@@ -1,0 +1,349 @@
+package graft
+
+/** DuckDB oracle SQL — one statement per entry in [[SparkEntry.queries]],
+  * semantically identical (same derivations, same rounding, same ORDER BY,
+  * same column names). Kept in one place so the shared constants (interval
+  * derivations, minhash family, marker vocabularies) are visibly in sync
+  * with the Scala operators.
+  */
+object OracleSql {
+
+  /** Derived interval CTEs shared by the genomic queries — must mirror
+    * SparkEntry.intervalsA/intervalsB exactly. */
+  private val ivA =
+    """SELECT l_orderkey*10 + l_linenumber AS iv_id,
+      | 'chr' || (l_orderkey % 4) AS chrom,
+      | (l_partkey*37) % 10000000 AS start,
+      | (l_partkey*37) % 10000000 + 50 + CAST(floor(l_quantity) AS BIGINT)*10 AS "end"
+      |FROM lineitem""".stripMargin
+  private val ivB =
+    """SELECT o_orderkey AS iv_id,
+      | 'chr' || (o_orderkey % 4) AS chrom,
+      | (o_custkey*53) % 10000000 AS start,
+      | (o_custkey*53) % 10000000 + 200 AS "end"
+      |FROM orders""".stripMargin
+
+  /** Minhash/shingle CTE fragments (mirror TextOps constants). */
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest([array_to_string(words[i:i+2], ' ')
+      |          for i in generate_series(1, greatest(len(words)-2, 1))]) AS sh
+      |  FROM w),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,8)) AS BIGINT) AS h FROM sh)""".stripMargin
+
+  private val sigCte =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id,
+       |  min((h*712371 + 136607) % 2038074743) AS s0,
+       |  min((h*431071 + 982451) % 2038074743) AS s1,
+       |  min((h*280081 + 276037) % 2038074743) AS s2,
+       |  min((h*918209 + 661619) % 2038074743) AS s3,
+       |  min((h*160289 + 104729) % 2038074743) AS s4,
+       |  min((h*555601 + 870967) % 2038074743) AS s5,
+       |  min((h*997813 + 350377) % 2038074743) AS s6,
+       |  min((h*331777 + 490019) % 2038074743) AS s7
+       | FROM h GROUP BY doc_id)""".stripMargin
+
+  private val bandCte =
+    s"""$sigCte,
+       |band AS (SELECT doc_id, t.b,
+       |  CASE t.b WHEN 0 THEN s0 || '_' || s1
+       |           WHEN 1 THEN s2 || '_' || s3
+       |           WHEN 2 THEN s4 || '_' || s5
+       |           ELSE s6 || '_' || s7 END AS key
+       | FROM sig, (SELECT unnest([0,1,2,3]) AS b) t)""".stripMargin
+
+  private val pairCte =
+    s"""$bandCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Embedding norm + double-precision dot product CTE. */
+  private val embCte =
+    """e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+      | FROM embeddings)""".stripMargin
+
+  private def dot(a: String, b: String): String =
+    s"list_sum([CAST($a.embedding[i] AS DOUBLE)*CAST($b.embedding[i] AS DOUBLE) " +
+      s"for i in generate_series(1, len($a.embedding))])"
+
+  private val bucket4 =
+    """CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+      | + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+      | + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+      | + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT)""".stripMargin
+
+  private val enStop = "('the','and','of','to','is','a')"
+
+  val all: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q04_broadcast_part" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_window_topn" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |       row_number() OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q06_setops" ->
+      """SELECT o_custkey, 'both' AS op FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT o_custkey, 'only95' AS op FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |ORDER BY op, o_custkey""".stripMargin,
+
+    "q07_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q08_semi_join" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q11_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id,
+        |  CASE WHEN lag(tus) OVER w IS NULL THEN 1
+        |       WHEN tus - lag(tus) OVER w > 1800*1000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_asof_join" ->
+      """SELECT user_id, count(*) AS n_matched,
+        | round(sum(o_totalprice), 2) AS sum_matched_price
+        |FROM (SELECT e.user_id, o.o_totalprice,
+        |       row_number() OVER (PARTITION BY e.event_id
+        |         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |      FROM events e JOIN orders o
+        |        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_interval_join" ->
+      s"""WITH iva AS ($ivA), ivb AS ($ivB)
+         |SELECT a.chrom, count(*) AS n_pairs,
+         | CAST(sum(least(a."end", b."end") - greatest(a.start, b.start)) AS BIGINT)
+         |   AS sum_overlap
+         |FROM iva a JOIN ivb b
+         |  ON a.chrom = b.chrom AND a.start < b."end" AND b.start < a."end"
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_parse_region" ->
+      s"""WITH ivb AS ($ivB)
+         |SELECT chrom, count(*) AS n_regions,
+         | CAST(sum("end" - start) AS BIGINT) AS sum_span,
+         | min(start) AS min_start, max("end") AS max_end
+         |FROM ivb GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_zoom_rollup" ->
+      s"""WITH iva AS ($ivA)
+         |SELECT chrom, (start // 100000) * 100000 AS bin_start,
+         | count(*) AS n_records,
+         | CAST(sum("end" - start) AS BIGINT) AS bases_covered,
+         | min("end" - start) AS min_val, max("end" - start) AS max_val,
+         | CAST(sum("end" - start) AS BIGINT) AS sum_val,
+         | CAST(sum(("end" - start)*("end" - start)) AS BIGINT) AS sum_squares
+         |FROM iva GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q17_flagstat" ->
+      """SELECT count(*) AS n_total,
+        | CAST(sum(CASE WHEN (flag & 1) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+        | CAST(sum(CASE WHEN (flag & 2) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_proper,
+        | CAST(sum(CASE WHEN (flag & 4) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmapped,
+        | CAST(sum(CASE WHEN (flag & 16) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reverse,
+        | CAST(sum(CASE WHEN (flag & 256) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_secondary,
+        | CAST(sum(CASE WHEN (flag & 1024) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate
+        |FROM (SELECT CAST(l_orderkey % 4096 AS INTEGER) AS flag FROM lineitem) t""".stripMargin,
+
+    "q18_cigar" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(floor(l_quantity) AS BIGINT) + (l_suppkey % 7)) AS BIGINT)
+        |   AS sum_ref_len,
+        | CAST(sum(3) AS BIGINT) AS sum_ops, count(*) AS n_records
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | round(avg(length(text)), 4) AS avg_chars,
+        | round(avg((CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1))
+        |           / CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS avg_word_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_quality" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS ws,
+         |  CAST(length(text) AS DOUBLE) AS chars FROM documents),
+         |q AS (SELECT source,
+         |  least(len(ws)/100.0, 1.0) * 0.25
+         |  + (CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws)) * 0.25
+         |  + (1.0 - abs(CAST(len(list_filter(ws, w -> w IN $enStop)) AS DOUBLE)
+         |               /len(ws) - 0.4)) * 0.25
+         |  + least(((chars - (len(ws)-1))/len(ws))/8.0, 1.0) * 0.25 AS q
+         | FROM t)
+         |SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+         | CAST(sum(CASE WHEN q > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_langid" ->
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+         |sc AS (SELECT lang,
+         |  len(list_filter(ws, w -> w IN $enStop)) AS s_en,
+         |  len(list_filter(ws, w -> w IN ('der','die','und','das','ist','ein'))) AS s_de,
+         |  len(list_filter(ws, w -> w IN ('el','los','las','de','y','es'))) AS s_es,
+         |  len(list_filter(ws, w -> w IN ('le','la','les','et','est','un'))) AS s_fr
+         | FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+         |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted
+         | FROM sc)
+         |SELECT lang, predicted, count(*) AS n_docs FROM p
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q23_minhash_sig" ->
+      s"""WITH $sigCte
+         |SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7 FROM sig
+         |ORDER BY doc_id""".stripMargin,
+
+    "q24_neardup_pairs" ->
+      s"""WITH $pairCte
+         |SELECT id_a, id_b FROM pairs ORDER BY 1, 2""".stripMargin,
+
+    "q25_simhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |h AS (SELECT doc_id, CAST(('0x' || substr(md5(word),1,8)) AS BIGINT) AS h
+         |  FROM w),
+         |v AS (SELECT doc_id,
+         |${(0 until 16).map(b =>
+             s"  sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+             .mkString(",\n")}
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST(${(0 until 16).map(b =>
+             s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")}
+         |  AS BIGINT) AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      s"""WITH $pairCte,
+         |shl AS (SELECT doc_id,
+         |  [array_to_string(words[i:i+2], ' ')
+         |   for i in generate_series(1, greatest(len(words)-2, 1))] AS sh
+         | FROM w)
+         |SELECT p.id_a, p.id_b,
+         | round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+         |       / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |FROM pairs p
+         | JOIN shl a ON p.id_a = a.doc_id
+         | JOIN shl b ON p.id_b = b.doc_id
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q27_cosine_topk" ->
+      s"""WITH $embCte,
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  round(${dot("q", "c")} / (q.nrm * c.nrm), 6) AS sim
+         | FROM e q, e c WHERE q.vec_id < 8 AND c.vec_id >= 8),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM p)
+         |SELECT query_id, rank, cand_id, sim FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q28_ann_bucket" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, embedding, nrm, $bucket4 AS bucket FROM e),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+         |  round(${dot("q", "c")} / (q.nrm * c.nrm), 6) AS sim
+         | FROM b q JOIN b c ON q.bucket = c.bucket
+         | WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM p)
+         |SELECT query_id, rank, cand_id, sim, bucket FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q29_embed_neardup" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, embedding, nrm, $bucket4 AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(${dot("a", "c")} / (a.nrm * c.nrm), 6) AS sim
+         | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.25 ORDER BY 1, 2""".stripMargin,
+
+    "q30_multimodal_meta" ->
+      """SELECT source, count(*) AS n_assets,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | count(DISTINCT md5(text)) AS n_distinct_payloads
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,13 +1,484 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GenomicFunctions._
+import graft.operators.{IntervalJoin, Similarity, TextOps}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the LLM-data-pipeline extension layer), each with an
+  * equivalent DuckDB oracle in [[SparkEntry.oracleSql]].
+  *
+  * Determinism rules shared with the oracles: every query ends in a full
+  * ORDER BY; money/ratio/similarity aggregates are rounded (2/4/6 dp);
+  * integer sums are exact; all column names match the oracle exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def pq(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries a nanosecond parquet timestamp, which Spark 4
+    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set
+    * in Verify/Bench sessions). Normalize to TimestampType (microseconds)
+    * with exact integer arithmetic — `ts div 1000` stays in Long, a double
+    * division would lose precision above 2^53. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = pq(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03_join_revenue(spark, "/root/testdata/sf0.001")
+
+  // ====================================================================
+  // Relational layer (Catalyst built-ins; SURVEY §2.6)
+  // ====================================================================
+
+  /** TPC-H-Q1-style pricing summary: filter → partial-aggregated groupBy. */
+  private def q01_agg_pricing(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + projection pushdown to the parquet scan, then top-k. */
+  private def q02_filter_topk(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_quantity"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(100)
+
+  /** Multi-way join: fact table joined to broadcast dimensions, then agg. */
+  private def q03_join_revenue(s: SparkSession, dir: String): DataFrame = {
+    val li = pq(s, dir, "lineitem")
+    val o = pq(s, dir, "orders")
+    val c = pq(s, dir, "customer")
+    val n = broadcast(pq(s, dir, "nation"))
+    val r = broadcast(pq(s, dir, "region"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Broadcast-hash join of fact to a small dimension. */
+  private def q04_broadcast_part(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem")
+      .join(broadcast(pq(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("p_brand"))
+
+  /** Window function: top-3 orders per customer. */
+  private def q05_window_topn(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    pq(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Set operations: INTERSECT and EXCEPT of yearly customer sets. */
+  private def q06_setops(s: SparkSession, dir: String): DataFrame = {
+    val o = pq(s, dir, "orders")
+    val y95 = o.where(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey")).distinct()
+    val y96 = o.where(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey")).distinct()
+    y95.intersect(y96).withColumn("op", lit("both"))
+      .unionAll(y95.except(y96).withColumn("op", lit("only95")))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** Distinct (dropDuplicates) over a projection. */
+  private def q07_distinct(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Left-semi join (EXISTS). */
+  private def q08_semi_join(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "customer")
+      .join(pq(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(pq(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+
+  /** Left-anti join (NOT EXISTS). */
+  private def q09_anti_join(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "customer")
+      .join(pq(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(pq(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+
+  /** ROLLUP grouping sets. */
+  private def q10_rollup(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Tumbling event-time window aggregation (batch analogue). */
+  private def q11_time_window(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity) via window functions. */
+  private def q12_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    events(s, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("tus") - lag(col("tus"), 1).over(w) > 1800L * 1000000L, 1)
+          .when(lag(col("tus"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: each event matched to the latest order of the same user
+    * at or before the event time (composed from join + per-event window;
+    * a dedicated sort-merge as-of strategy is the planned scale path). */
+  private def q13_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"), col("value"))
+    val o = pq(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("o_totalprice")), 2).as("sum_matched_price"))
+      .orderBy(col("user_id"))
+  }
+
+  // ====================================================================
+  // Genomic layer over derived intervals (SURVEY §2.3/§2.6/§2.7)
+  // ====================================================================
+
+  /** Derived interval set A (from lineitem): deterministic, shared with the
+    * oracle. Zero-based half-open on 4 synthetic chromosomes of 10 Mbp. */
+  private def intervalsA(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("iv_id"),
+      concat(lit("chr"), (col("l_orderkey") % 4).cast("string")).as("chrom"),
+      ((col("l_partkey") * 37) % 10000000L).as("start"),
+      (((col("l_partkey") * 37) % 10000000L) + 50 +
+        floor(col("l_quantity")) * 10).as("end"))
+
+  /** Derived interval set B (from orders). */
+  private def intervalsB(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "orders").select(
+      col("o_orderkey").as("iv_id"),
+      concat(lit("chr"), (col("o_orderkey") % 4).cast("string")).as("chrom"),
+      ((col("o_custkey") * 53) % 10000000L).as("start"),
+      (((col("o_custkey") * 53) % 10000000L) + 200).as("end"))
+
+  /** Distributed interval-overlap join (binned equi-join, §2.6). */
+  private def q14_interval_join(s: SparkSession, dir: String): DataFrame = {
+    val a = intervalsA(s, dir)
+      .withColumnRenamed("iv_id", "a_id")
+      .withColumnRenamed("start", "a_start").withColumnRenamed("end", "a_end")
+    val b = intervalsB(s, dir)
+      .withColumnRenamed("iv_id", "b_id").withColumnRenamed("chrom", "b_chrom")
+      .withColumnRenamed("start", "b_start").withColumnRenamed("end", "b_end")
+    IntervalJoin.overlapJoin(a, b,
+        leftCols = ("chrom", "a_start", "a_end"),
+        rightCols = ("b_chrom", "b_start", "b_end"), binSize = 1000L)
+      .groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("sum_overlap"))
+      .orderBy(col("chrom"))
+  }
+
+  /** parse_region expression over UCSC strings (coords.rs semantics). */
+  private def q15_parse_region(s: SparkSession, dir: String): DataFrame = {
+    val regions = intervalsB(s, dir).select(
+      // UCSC one-based closed notation for [start, end)
+      concat(col("chrom"), lit(":"), (col("start") + 1).cast("string"),
+        lit("-"), col("end").cast("string")).as("region_str"))
+    regions
+      .select(parse_region(col("region_str")).as("r"))
+      .groupBy(col("r.chrom").as("chrom"))
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("r.end") - col("r.start")).as("sum_span"),
+        min(col("r.start")).as("min_start"),
+        max(col("r.end")).as("max_end"))
+      .orderBy(col("chrom"))
+  }
+
+  /** BBI-zoom-style multi-resolution rollup (SURVEY §2.1 S18). */
+  private def q16_zoom_rollup(s: SparkSession, dir: String): DataFrame =
+    IntervalJoin.zoomRollup(intervalsA(s, dir), resolution = 100000L)
+      .select(col("chrom"), col("bin_start"), col("n_records"),
+        col("bases_covered"), col("min_val"), col("max_val"),
+        col("sum_val"), col("sum_squares"))
+      .orderBy(col("chrom"), col("bin_start"))
+
+  /** SAM-flag bitfield helpers (samtools-flagstat-style counts). */
+  private def q17_flagstat(s: SparkSession, dir: String): DataFrame = {
+    val withFlag = pq(s, dir, "lineitem")
+      .select((col("l_orderkey") % 4096).cast("int").as("flag"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    withFlag.agg(
+      count(lit(1)).as("n_total"),
+      cnt(flag_is_paired(col("flag"))).as("n_paired"),
+      cnt(flag_is_proper_pair(col("flag"))).as("n_proper"),
+      cnt(flag_is_unmapped(col("flag"))).as("n_unmapped"),
+      cnt(flag_is_reverse(col("flag"))).as("n_reverse"),
+      cnt(flag_is_secondary(col("flag"))).as("n_secondary"),
+      cnt(flag_is_duplicate(col("flag"))).as("n_duplicate"))
+  }
+
+  /** CIGAR expressions: ref-length consumed + op counting. */
+  private def q18_cigar(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem")
+      .withColumn("cigar",
+        concat(floor(col("l_quantity")).cast("string"), lit("M"),
+          col("l_linenumber").cast("string"), lit("S"),
+          (col("l_suppkey") % 7).cast("string"), lit("D")))
+      .withColumn("ref_len", cigar_ref_len(col("cigar")))
+      .withColumn("n_ops", size(cigar_ops(col("cigar"))))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("ref_len")).as("sum_ref_len"),
+        sum(col("n_ops")).cast("long").as("sum_ops"),
+        count(lit(1)).as("n_records"))
+      .orderBy(col("l_returnflag"))
+
+  // ====================================================================
+  // LLM-data-pipeline layer (dedup / text / similarity / multimodal)
+  // ====================================================================
+
+  /** Text statistics per language (token counting, char stats). */
+  private def q19_text_stats(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).cast("long").as("n_tokens"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        round(avg(TextOps.meanTokenLen(col("text"))), 4).as("avg_word_len"))
+      .orderBy(col("lang"))
+
+  /** Heuristic quality scoring per source. */
+  private def q20_quality(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents")
+      .withColumn("q", TextOps.qualityScore(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        sum(when(col("q") > 0.5, 1L).otherwise(0L)).as("n_high"))
+      .orderBy(col("source"))
+
+  /** Marker-based language identification vs the labeled column. */
+  private def q21_langid(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents")
+      .withColumn("predicted", TextOps.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** Exact-dedup fingerprints (md5 of normalized text). */
+  private def q22_fingerprint(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash signatures (k=8) per document. */
+  private def q23_minhash_sig(s: SparkSession, dir: String): DataFrame =
+    TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
+  /** MinHash-LSH near-duplicate candidate pairs (4 bands × 2 rows). */
+  private def q24_neardup_pairs(s: SparkSession, dir: String): DataFrame =
+    TextOps.lshCandidatePairs(
+        TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8),
+        "doc_id", k = 8, bandSize = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash (16-bit) per document. */
+  private def q25_simhash(s: SparkSession, dir: String): DataFrame =
+    TextOps.simhash(pq(s, dir, "documents"), "doc_id", "text", bits = 16)
+      .orderBy(col("doc_id"))
+
+  /** Exact n-gram Jaccard verification of the LSH candidates. */
+  private def q26_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = pq(s, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles(col("text")).as("sh"))
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(docs, "doc_id", "text", 8),
+      "doc_id", k = 8, bandSize = 2)
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-k (exact ANN baseline). */
+  private def q27_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = pq(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 8).select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+    val c = e.where(col("vec_id") >= 8).select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    q.crossJoin(c)
+      .withColumn("sim",
+        round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sign-bucket LSH approximate top-k (scale path: bucket equi-join). */
+  private def q28_ann_bucket(s: SparkSession, dir: String): DataFrame = {
+    val e = pq(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 16).select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"),
+      Similarity.signBucket(col("embedding"), 4).as("bucket"))
+    val c = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"),
+      Similarity.signBucket(col("embedding"), 4).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    q.join(c, "bucket")
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("sim",
+        round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"),
+        col("bucket"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs within sign buckets. */
+  private def q29_embed_neardup(s: SparkSession, dir: String): DataFrame = {
+    val e = pq(s, dir, "embeddings")
+    val v = e.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("n"),
+      Similarity.signBucket(col("embedding"), 4).as("bucket"))
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("n").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("n").as("nb"), col("bucket"))
+    a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("sim") >= 0.25)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
+  private def q30_multimodal_meta(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(octet_length(col("payload"))).cast("long").as("total_bytes"),
+        countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
+      .orderBy(col("source"))
+
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing" -> (q01_agg_pricing _),
+    "q02_filter_topk" -> (q02_filter_topk _),
+    "q03_join_revenue" -> (q03_join_revenue _),
+    "q04_broadcast_part" -> (q04_broadcast_part _),
+    "q05_window_topn" -> (q05_window_topn _),
+    "q06_setops" -> (q06_setops _),
+    "q07_distinct" -> (q07_distinct _),
+    "q08_semi_join" -> (q08_semi_join _),
+    "q09_anti_join" -> (q09_anti_join _),
+    "q10_rollup" -> (q10_rollup _),
+    "q11_time_window" -> (q11_time_window _),
+    "q12_sessionize" -> (q12_sessionize _),
+    "q13_asof_join" -> (q13_asof_join _),
+    "q14_interval_join" -> (q14_interval_join _),
+    "q15_parse_region" -> (q15_parse_region _),
+    "q16_zoom_rollup" -> (q16_zoom_rollup _),
+    "q17_flagstat" -> (q17_flagstat _),
+    "q18_cigar" -> (q18_cigar _),
+    "q19_text_stats" -> (q19_text_stats _),
+    "q20_quality" -> (q20_quality _),
+    "q21_langid" -> (q21_langid _),
+    "q22_fingerprint" -> (q22_fingerprint _),
+    "q23_minhash_sig" -> (q23_minhash_sig _),
+    "q24_neardup_pairs" -> (q24_neardup_pairs _),
+    "q25_simhash" -> (q25_simhash _),
+    "q26_ngram_jaccard" -> (q26_ngram_jaccard _),
+    "q27_cosine_topk" -> (q27_cosine_topk _),
+    "q28_ann_bucket" -> (q28_ann_bucket _),
+    "q29_embed_neardup" -> (q29_embed_neardup _),
+    "q30_multimodal_meta" -> (q30_multimodal_meta _))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

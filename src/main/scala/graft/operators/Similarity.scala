@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `Array[Float]` columns.
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: LSH-style
+  * sign-bucket partitioning — vectors only compared within their bucket, so
+  * the cross product shrinks by ~2^bits and the join is a bucket equi-join
+  * that shuffles instead of broadcasting the full corpus.
+  *
+  * All vector math is `zip_with`/`aggregate` over built-in functions
+  * (codegen'd, accumulates left-to-right in doubles — reproducible across
+  * engines for the oracle).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm in double precision. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane-style LSH bucket from the signs of the first `bits`
+    * dimensions (axis-aligned planes — deterministic, engine-portable; swap
+    * in seeded hyperplanes for production isotropy). */
+  def signBucket(vec: Column, bits: Int = 8): Column =
+    (0 until bits)
+      .map(i => when(element_at(vec, i + 1) > 0f, 1L << i).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Exact brute-force cosine top-k: for every query row, the k most
+    * similar candidate rows. The candidate set is broadcast when small
+    * enough (let Catalyst/AQE decide); similarity is computed once per
+    * pair, then per-query top-k via window. Norms are precomputed on both
+    * sides so the pair loop only does the dot product. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val pairs = q.crossJoin(c)
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign bucket.
+    * The bucket equi-join replaces the cross product; at 100 TB this is one
+    * shuffle on the bucket key with AQE handling bucket skew. */
+  def bucketedTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+      signBucket(col(vecCol), bits).as("__bucket"))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+      signBucket(col(vecCol), bits).as("__bucket"))
+    val pairs = q.join(c, "__bucket")
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: same sign bucket, cosine ≥ threshold,
+    * each unordered pair once. */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__n"), signBucket(col(vecCol), bits).as("__bucket"))
+    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__n").as("__na"), col("__bucket"))
+    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__n").as("__nb"), col("__bucket"))
+    a.join(b, "__bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators for large-scale document
+  * pipelines (the LLM-data-prep extension layer; BASELINE.json north star).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * — no UDFs — so whole plans stay inside whole-stage codegen and every
+  * shuffle benefits from map-side partial aggregation. The hash primitive
+  * (first 8 hex chars of md5 → int) is deliberately reproducible in any SQL
+  * engine, which is also how the DuckDB oracle cross-checks these operators.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 32-bit base hash of a string: first 8 hex digits of md5. Stable across
+    * engines, uniform, cheap. */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // ------------------------------------------------------------- minhash
+
+  /** Fixed linear-hash family for minhash: h_j(x) = (A(j)*x + B(j)) mod P.
+    * A(j) ≤ 10^6 and x < 2^32 keeps the product < 2^52 — exact in Long
+    * (and in any engine's 64-bit int). */
+  val MinhashA: Seq[Long] = Seq(712371L, 431071L, 280081L, 918209L,
+    160289L, 555601L, 997813L, 331777L)
+  val MinhashB: Seq[Long] = Seq(136607L, 982451L, 276037L, 661619L,
+    104729L, 870967L, 350377L, 490019L)
+  val MinhashP: Long = 2038074743L
+
+  /** Word 3-gram shingles; documents shorter than 3 words fall back to the
+    * truncated tail slice so every document has ≥1 shingle. */
+  def shingles(text: Column): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(3))))
+  }
+
+  /** Per-document minhash signatures.
+    *
+    * Explode shingles → hash → `groupBy(doc).agg(min...)`: the mins are
+    * partially aggregated map-side, so the shuffle carries one row per
+    * (document × partition), not per shingle — this is the 100 TB path.
+    *
+    * @return dataframe of (idCol, s0..s{k-1})
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k <= MinhashA.size, s"at most ${MinhashA.size} signatures")
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol))).as("__sh"))
+      .withColumn("__h", baseHash(col("__sh")))
+    val sigs = (0 until k).map(j =>
+      min((col("__h") * MinhashA(j) + MinhashB(j)) % MinhashP).as(s"s$j"))
+    sh.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH candidate pairs: documents agreeing on all signatures of at least
+    * one band. `bandSize` signatures per band, `k/bandSize` bands. A pair
+    * appearing in several bands is emitted once (dedup on the id pair).
+    * The band join is a plain equi-join on the band key — broadcastable
+    * when the signature table is small, AQE-skew-splittable when not.
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+      k: Int = 8, bandSize: Int = 2): DataFrame = {
+    val nBands = k / bandSize
+    val banded = signatures.select(
+      col(idCol),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_",
+            (0 until bandSize).map(j => col(s"s${b * bandSize + j}")): _*)
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-3-gram Jaccard similarity between two shingle-array
+    * columns (set semantics). */
+  def jaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB)).cast("double")
+
+  // ------------------------------------------------------------- simhash
+
+  /** `bits`-wide simhash over word unigrams: bit b is set when the sum of
+    * ±1 votes from each token's hash bit b is positive. One exploded pass +
+    * one partially-aggregated groupBy. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .withColumn("__h", baseHash(col("__w")))
+    val voteCols = (0 until bits).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$b")
+    }
+    val votes = tok.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val hash = (0 until bits)
+      .map(b => when(col(s"__b$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col(idCol), hash.as("simhash"))
+  }
+
+  // -------------------------------------------------- fingerprint / dedup
+
+  /** Canonical document fingerprint: md5 of the lower-cased, trimmed text.
+    * Exact-dedup = groupBy(fingerprint). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Exact deduplication: keep the row with the smallest `idCol` per
+    * fingerprint. Window-free formulation (min + semi-join back) so both
+    * stages stay partially aggregated. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.withColumn("__fp", fingerprint(col(textCol)))
+    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  // ------------------------------------------------------ language id
+
+  /** Stopword-marker vocabulary per language, ordered by tie-break
+    * priority. A deterministic n-gram-style heuristic: score = number of
+    * tokens that are marker words of the language. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(ws, w => markers.map(m => w === m).reduce(_ || _)))
+    }
+  }
+
+  /** Predicted language: argmax of marker scores, ties broken by marker
+    * order, "und" (undetermined) when every score is zero. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    // fold from the end: earlier languages win ties via >=
+    val best = scores.init.foldRight(lit(scores.last._1)) {
+      case ((lang, s), acc) =>
+        val later = scores.dropWhile(_._1 != lang).tail.map(_._2)
+        val laterMax =
+          if (later.size == 1) later.head else greatest(later: _*)
+        when(s >= laterMax, lang).otherwise(acc)
+    }
+    when(allZero, "und").otherwise(best)
+  }
+
+  // ------------------------------------------------------ quality scoring
+
+  /** Heuristic quality score in [0,1]:
+    * 0.25·min(tokens/100,1) + 0.25·distinct-token ratio +
+    * 0.25·(1 − |stopword-ratio − 0.4|) + 0.25·min(meanWordLen/8,1). */
+  def qualityScore(text: Column): Column = {
+    val ws = tokens(text)
+    val n = size(ws).cast("double")
+    val distinctRatio = size(array_distinct(ws)).cast("double") / n
+    val enStop = LangMarkers.head._2
+    val stopRatio = size(filter(ws,
+      w => enStop.map(m => w === m).reduce(_ || _))).cast("double") / n
+    val meanLen = (length(text).cast("double") - (n - 1)) / n
+    least(n / 100d, lit(1d)) * 0.25 +
+      distinctRatio * 0.25 +
+      (lit(1d) - abs(stopRatio - 0.4)) * 0.25 +
+      least(meanLen / 8d, lit(1d)) * 0.25
+  }
+
+  /** Token count (whitespace convention). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length, computed from char count assuming single spaces. */
+  def meanTokenLen(text: Column): Column = {
+    val n = size(tokens(text)).cast("double")
+    (length(text).cast("double") - (n - 1)) / n
+  }
+}
