@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.common.{LineFormat, LineParser, LineSourceUtil, LineTableProvider}
+
+/** GFF3 / GTF readers (SURVEY §2.1 S11/S12).
+  *
+  * Nine fixed columns (`seqid source type start end score strand frame`,
+  * 1-based closed coordinates, reference `gxf/model/field.rs:9-51`) plus an
+  * `attributes` struct whose sub-fields are discovered by sampling the file
+  * head — the reference's AttributeScanner pattern
+  * (`gxf/model/attribute.rs:166+`, `_core/gxf.py:50-100`):
+  *  - GTF attributes are always strings (`key "value";`)
+  *  - GFF3 attributes (`key=value`) are strings, or arrays of strings when
+  *    any sampled value holds a comma-separated list; values are
+  *    percent-decoded
+  *
+  * Options: `attribute_scan_rows` (default 1024), `attributes`
+  * (`name:string,name:array` to skip discovery), `coords` (`11` default —
+  * native; `01` shifts start to zero-based), `regions`.
+  */
+abstract class GxfFormat(val gtfStyle: Boolean) extends LineFormat {
+  override def commentPrefixes: Seq[String] = Seq("#")
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("seqid", "start", "end"))
+  override def coordSystem(options: Map[String, String]) =
+    graft.core.CoordSystem.fromCode(options.getOrElse("coords", "11"))
+
+  private val fixed = Seq(
+    StructField("seqid", StringType), StructField("source", StringType),
+    StructField("type", StringType), StructField("start", LongType),
+    StructField("end", LongType), StructField("score", FloatType),
+    StructField("strand", StringType), StructField("frame", IntegerType))
+
+  override def schema(options: Map[String, String], paths: Seq[Path],
+      conf: Configuration): StructType = {
+    val attrFields: Seq[StructField] = options.get("attributes") match {
+      case Some(spec) =>
+        spec.split(",").toSeq.filter(_.nonEmpty).map { part =>
+          val Array(n, t) = part.split(":")
+          StructField(n.trim, t.trim.toLowerCase match {
+            case "string" => StringType
+            case "array"  => ArrayType(StringType)
+            case other => throw new IllegalArgumentException(
+              s"attribute type must be string|array, got '$other'")
+          })
+        }
+      case None =>
+        val rows = options.get("attribute_scan_rows").map(_.toInt).getOrElse(1024)
+        discoverAttributes(paths, rows)
+    }
+    StructType(fixed :+
+      StructField("attributes", StructType(attrFields.toIndexedSeq)))
+  }
+
+  /** Sample the head of the first file(s): collect attribute keys in first-
+    * seen order; GFF values containing ',' promote the key to array. */
+  private def discoverAttributes(paths: Seq[Path], scanRows: Int): Seq[StructField] = {
+    val conf = new Configuration()
+    val keys = mutable.LinkedHashMap.empty[String, Boolean] // name → isArray
+    var seen = 0
+    paths.iterator.takeWhile(_ => seen < scanRows).foreach { p =>
+      val fs = p.getFileSystem(conf)
+      val raw = fs.open(p)
+      val in = if (LineSourceUtil.isGzip(p)) new GZIPInputStream(raw) else raw
+      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      try {
+        var line = r.readLine()
+        while (line != null && seen < scanRows) {
+          if (line.nonEmpty && !line.startsWith("#")) {
+            val cols = line.split("\t", -1)
+            if (cols.length >= 9) {
+              GxfAttributes.parseRaw(cols(8), gtfStyle).foreach { case (k, v) =>
+                val isArr = !gtfStyle && v.contains(",")
+                keys.get(k) match {
+                  case Some(prev) => if (isArr && !prev) keys(k) = true
+                  case None => keys(k) = isArr
+                }
+              }
+              seen += 1
+            }
+          }
+          line = r.readLine()
+        }
+      } finally r.close()
+    }
+    keys.toSeq.map { case (k, isArr) =>
+      StructField(k, if (isArr) ArrayType(StringType) else StringType)
+    }
+  }
+
+  override def newParser(fullSchema: StructType,
+      options: Map[String, String]): LineParser = {
+    val attrSchema = fullSchema("attributes").dataType.asInstanceOf[StructType]
+    new GxfParser(attrSchema, gtfStyle, coordSystem(options).startOffset)
+  }
+}
+
+object GxfAttributes {
+  /** Raw key/value pairs from column 9 (no decoding of list values). */
+  def parseRaw(s: String, gtfStyle: Boolean): Seq[(String, String)] = {
+    if (s.isEmpty || s == ".") return Nil
+    if (gtfStyle) {
+      // key "value"; key "value";  (values may be unquoted numbers)
+      s.split(";").toIndexedSeq.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+        val sp = kv.indexOf(' ')
+        if (sp < 0) None
+        else {
+          val k = kv.substring(0, sp)
+          val v = kv.substring(sp + 1).trim.stripPrefix("\"").stripSuffix("\"")
+          Some(k -> v)
+        }
+      }
+    } else {
+      s.split(";").toIndexedSeq.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+        val eq = kv.indexOf('=')
+        if (eq < 0) None else Some(kv.substring(0, eq) -> kv.substring(eq + 1))
+      }
+    }
+  }
+
+  def percentDecode(v: String): String =
+    if (v.indexOf('%') < 0) v
+    else java.net.URLDecoder.decode(v, "UTF-8")
+}
+
+class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long)
+    extends LineParser {
+  private val attrIndex: Map[String, Int] =
+    attrSchema.fieldNames.zipWithIndex.toMap
+  // native GFF/GTF start is 1-based closed; convert to the requested output
+  // system: out = native + delta, delta = -1 - outOffset ("11"→0, "01"→-1)
+  private val shift = -1L - startOffset
+
+  override def parse(line: String): InternalRow = {
+    val c = line.split("\t", -1)
+    if (c.length < 8) throw new IllegalArgumentException(
+      s"malformed GFF/GTF line (${c.length} cols): '$line'")
+    def str(v: String) =
+      if (v == "." || v.isEmpty) null else UTF8String.fromString(v)
+    val attrs = new Array[Any](attrSchema.length)
+    if (c.length >= 9) {
+      GxfAttributes.parseRaw(c(8), gtfStyle).foreach { case (k, v) =>
+        attrIndex.get(k).foreach { i =>
+          attrs(i) = attrSchema(i).dataType match {
+            case ArrayType(StringType, _) =>
+              ArrayData.toArrayData(v.split(",").map(x =>
+                UTF8String.fromString(GxfAttributes.percentDecode(x))))
+            case _ =>
+              UTF8String.fromString(GxfAttributes.percentDecode(v))
+          }
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      str(c(0)), str(c(1)), str(c(2)),
+      if (c(3) == "." || c(3).isEmpty) null else c(3).toLong + shift,
+      if (c(4) == "." || c(4).isEmpty) null else c(4).toLong,
+      if (c(5) == "." || c(5).isEmpty) null else c(5).toFloat,
+      str(c(6)),
+      if (c(7) == "." || c(7).isEmpty) null else c(7).toInt,
+      new GenericInternalRow(attrs)))
+  }
+}
+
+class GffDataSource extends LineTableProvider {
+  override def format: GxfFormat = new GxfFormat(gtfStyle = false) {
+    override def shortName: String = "gff"
+  }
+}
+
+class GtfDataSource extends LineTableProvider {
+  override def format: GxfFormat = new GxfFormat(gtfStyle = true) {
+    override def shortName: String = "gtf"
+  }
+}

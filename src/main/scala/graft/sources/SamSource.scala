@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.common.{LineFormat, LineParser, LineSourceUtil, LineTableProvider}
+
+/** SAM text reader (SURVEY §2.1 S1).
+  *
+  * Twelve standard columns (`qname flag rname pos mapq cigar rnext pnext
+  * tlen seq qual end`; reference field set `alignment/model/field.rs:17-76`
+  * — `end` is the computed alignment end, pos + CIGAR reference length − 1
+  * in 1-based closed coords) plus an optional `tags` struct.
+  *
+  * Tag schema comes from the `tags` option (`"NM:i,MD:Z"` — the reference's
+  * tag-def grammar) or from sampling `tag_scan_rows` records (TagScanner
+  * pattern, `alignment/model/tag.rs:593-640`). Tag type widening per the
+  * reference grid (`tag.rs:124-165`): A/Z/H → string, c/C/s/S/i/I → long,
+  * f → float, B:* → array of long/float.
+  *
+  * Options: `tags` / `tag_scan_rows` (default 1024, 0 = no tags column),
+  * `coords` (`11` default), `regions`, `maxpartitionbytes`.
+  */
+class SamFormat extends LineFormat {
+  override def shortName: String = "sam"
+  override def commentPrefixes: Seq[String] = Seq("@")
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("rname", "pos", "end"))
+  override def coordSystem(options: Map[String, String]) =
+    graft.core.CoordSystem.fromCode(options.getOrElse("coords", "11"))
+
+  private val fixed = Seq(
+    StructField("qname", StringType), StructField("flag", IntegerType),
+    StructField("rname", StringType), StructField("pos", LongType),
+    StructField("mapq", IntegerType), StructField("cigar", StringType),
+    StructField("rnext", StringType), StructField("pnext", LongType),
+    StructField("tlen", IntegerType), StructField("seq", StringType),
+    StructField("qual", StringType), StructField("end", LongType))
+
+  override def schema(options: Map[String, String], paths: Seq[Path],
+      conf: Configuration): StructType = {
+    val tagDefs: Seq[(String, Char)] = options.get("tags") match {
+      case Some(spec) => spec.split(",").toSeq.filter(_.nonEmpty).map { td =>
+        val Array(name, code) = td.trim.split(":")
+        (name, code.head)
+      }
+      case None =>
+        val n = options.get("tag_scan_rows").map(_.toInt).getOrElse(1024)
+        if (n == 0) Nil else discoverTags(paths, n)
+    }
+    if (tagDefs.isEmpty) StructType(fixed)
+    else StructType(fixed :+ StructField("tags",
+      StructType(tagDefs.map { case (name, c) =>
+        StructField(name, SamTags.sparkType(c))
+      }.toIndexedSeq)))
+  }
+
+  private def discoverTags(paths: Seq[Path], scanRows: Int): Seq[(String, Char)] = {
+    val conf = new Configuration()
+    // name → type code; conflicts widen to String sink ('Z'), like the
+    // reference's conflict rule
+    val seenTags = mutable.LinkedHashMap.empty[String, Char]
+    var seen = 0
+    paths.iterator.takeWhile(_ => seen < scanRows).foreach { p =>
+      val fs = p.getFileSystem(conf)
+      val raw = fs.open(p)
+      val in = if (LineSourceUtil.isGzip(p)) new GZIPInputStream(raw) else raw
+      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      try {
+        var line = r.readLine()
+        while (line != null && seen < scanRows) {
+          if (line.nonEmpty && !line.startsWith("@")) {
+            val cols = line.split("\t", -1)
+            cols.drop(11).foreach { t =>
+              val parts = t.split(":", 3)
+              if (parts.length == 3) {
+                val name = parts(0)
+                val code: Char =
+                  if (parts(1) == "B") // B:f,… → float array, else int array
+                    (if (parts(2).startsWith("f")) 'G' else 'L')
+                  else parts(1).head
+                seenTags.get(name) match {
+                  case Some(prev)
+                    if SamTags.sparkType(prev) != SamTags.sparkType(code) =>
+                    seenTags(name) = 'Z' // type conflict → string sink
+                  case Some(_) => ()
+                  case None => seenTags(name) = code
+                }
+              }
+            }
+            seen += 1
+          }
+          line = r.readLine()
+        }
+      } finally r.close()
+    }
+    seenTags.toSeq
+  }
+
+  override def newParser(fullSchema: StructType,
+      options: Map[String, String]): LineParser =
+    new SamParser(fullSchema, coordSystem(options).startOffset)
+}
+
+object SamTags {
+  /** Tag type code → Spark type (reference grid `tag.rs:124-165`).
+    * Internal codes: 'L' = B:integer array, 'G' = B:float array. */
+  def sparkType(code: Char): DataType = code match {
+    case 'A' | 'Z' | 'H' => StringType
+    case 'c' | 'C' | 's' | 'S' | 'i' | 'I' => LongType
+    case 'f' => FloatType
+    case 'L' => ArrayType(LongType)
+    case 'G' => ArrayType(FloatType)
+    case other =>
+      throw new IllegalArgumentException(s"unknown SAM tag type '$other'")
+  }
+
+  /** Reference bases consumed by a CIGAR string; -1 when unavailable. */
+  def cigarRefLen(cigar: String): Long = {
+    if (cigar == "*" || cigar.isEmpty) return -1L
+    var total = 0L; var n = 0L; var i = 0
+    while (i < cigar.length) {
+      val ch = cigar.charAt(i)
+      if (ch >= '0' && ch <= '9') n = n * 10 + (ch - '0')
+      else {
+        ch match {
+          case 'M' | 'D' | 'N' | '=' | 'X' => total += n
+          case _ => ()
+        }
+        n = 0
+      }
+      i += 1
+    }
+    total
+  }
+}
+
+class SamParser(fullSchema: StructType, outOffset: Long) extends LineParser {
+  private val tagSchema: Option[StructType] =
+    if (fullSchema.fieldNames.contains("tags"))
+      Some(fullSchema("tags").dataType.asInstanceOf[StructType])
+    else None
+  private val tagIndex: Map[String, Int] =
+    tagSchema.map(_.fieldNames.zipWithIndex.toMap).getOrElse(Map.empty)
+  // native SAM pos is 1-based closed → output delta ("11"→0, "01"→-1)
+  private val shift = -1L - outOffset
+
+  override def parse(line: String): InternalRow = {
+    val c = line.split("\t", -1)
+    require(c.length >= 11, s"malformed SAM line (${c.length} cols)")
+    def str(v: String) = if (v == "*" || v.isEmpty) null else UTF8String.fromString(v)
+    val pos = c(3).toLong
+    val cigarLen = SamTags.cigarRefLen(c(5))
+    val unmapped = (c(1).toInt & 0x4) != 0 || c(2) == "*" || pos == 0
+    // 1-based-closed end == 0-based-half-open end numerically, so no shift
+    val endVal: Any =
+      if (unmapped || cigarLen < 0) null
+      else pos + cigarLen - 1
+
+    val base = Array[Any](
+      str(c(0)), c(1).toInt, str(c(2)),
+      if (pos == 0) null else pos + shift,
+      c(4).toInt, str(c(5)), str(c(6)),
+      if (c(7).toLong == 0) null else c(7).toLong + shift,
+      c(8).toInt, str(c(9)), str(c(10)), endVal)
+
+    tagSchema match {
+      case None => new GenericInternalRow(base)
+      case Some(ts) =>
+        val tags = new Array[Any](ts.length)
+        var i = 11
+        while (i < c.length) {
+          val parts = c(i).split(":", 3)
+          if (parts.length == 3) {
+            tagIndex.get(parts(0)).foreach { idx =>
+              tags(idx) = convertTag(ts(idx).dataType, parts(2))
+            }
+          }
+          i += 1
+        }
+        new GenericInternalRow(base :+ (new GenericInternalRow(tags): Any))
+    }
+  }
+
+  private def convertTag(dt: DataType, v: String): Any = dt match {
+    case StringType => UTF8String.fromString(v)
+    case LongType => v.toLong
+    case FloatType => v.toFloat
+    case ArrayType(LongType, _) =>
+      ArrayData.toArrayData(v.split(",").drop(1).map(_.toLong))
+    case ArrayType(FloatType, _) =>
+      ArrayData.toArrayData(v.split(",").drop(1).map(_.toFloat))
+    case other => throw new IllegalArgumentException(s"bad tag type $other")
+  }
+}
+
+class SamDataSource extends LineTableProvider {
+  override def format: SamFormat = new SamFormat
+}

@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{CoordSystem, Region}
+import graft.sources.common.{LineFormat, LineParser, LineTableProvider}
+
+/** FASTA reader (SURVEY §2.1 S13/S14).
+  *
+  * One row per sequence record: `name, description, sequence` (all strings,
+  * reference `sequence/model/field.rs:7-41`). With the `regions` option,
+  * one row per (record × overlapping region) with the sliced subsequence
+  * and explicit `start`/`end` columns — the FAI-slicing capability
+  * (`sequence/scanner/fasta.rs:105-121`) expressed as a scan option; the
+  * linear scan stands in for the FAI index seek (index fast-path planned).
+  *
+  * Multi-line records make plain FASTA non-splittable; parallelism comes
+  * from many files (or the FAI-partitioned upgrade).
+  */
+class FastaFormat extends LineFormat {
+  override def shortName: String = "fasta"
+  override def commentPrefixes: Seq[String] = Seq(";")
+  override def splittable: Boolean = false
+
+  private def hasRegions(options: Map[String, String]): Boolean =
+    options.get("regions").exists(_.trim.nonEmpty)
+
+  override def schema(options: Map[String, String], paths: Seq[Path],
+      conf: Configuration): StructType = {
+    val base = StructType(Seq(
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("sequence", StringType)))
+    if (hasRegions(options)) {
+      StructType(base.fields.patch(2, Seq(
+        StructField("start", LongType), StructField("end", LongType)), 0))
+    } else base
+  }
+
+  override def newParser(fullSchema: StructType,
+      options: Map[String, String]): LineParser = {
+    val regions = options.get("regions").toSeq
+      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    new FastaParser(regions)
+  }
+}
+
+class FastaParser(regions: Seq[Region]) extends LineParser {
+  private var name: String = _
+  private var desc: String = _
+  private val seq = new StringBuilder
+
+  override def parse(line: String): InternalRow =
+    throw new IllegalStateException("FastaParser emits via parseMany")
+
+  override def parseMany(line: String): Seq[InternalRow] = {
+    if (line.startsWith(">")) {
+      val out = emit()
+      val header = line.substring(1)
+      val sp = header.indexOf(' ')
+      name = if (sp < 0) header else header.substring(0, sp)
+      desc = if (sp < 0) null else header.substring(sp + 1)
+      seq.clear()
+      out
+    } else {
+      if (name != null) seq.append(line.trim)
+      Nil
+    }
+  }
+
+  override def flushMany(): Seq[InternalRow] = {
+    val out = emit()
+    name = null
+    out
+  }
+
+  private def emit(): Seq[InternalRow] = {
+    if (name == null) return Nil
+    val s = seq.toString
+    if (regions.isEmpty) {
+      Seq(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(name),
+        if (desc == null) null else UTF8String.fromString(desc),
+        UTF8String.fromString(s))))
+    } else {
+      regions.filter(r => r.name == name && r.start < s.length).map { r =>
+        val end = math.min(r.end.getOrElse(s.length.toLong), s.length.toLong)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name),
+          if (desc == null) null else UTF8String.fromString(desc),
+          r.start, end,
+          UTF8String.fromString(s.substring(r.start.toInt, end.toInt))))
+      }
+    }
+  }
+}
+
+class FastaDataSource extends LineTableProvider {
+  override def format: FastaFormat = new FastaFormat
+}
+
+/** FASTQ reader (SURVEY §2.1 S15): 4-line records →
+  * `name, description, sequence, quality`. Non-splittable in plain text
+  * (record sync is ambiguous); BGZF-chunked splitting is the scale path. */
+class FastqFormat extends LineFormat {
+  override def shortName: String = "fastq"
+  override def commentPrefixes: Seq[String] = Nil
+  override def splittable: Boolean = false
+  override def skipEmptyLines: Boolean = false
+
+  override def schema(options: Map[String, String], paths: Seq[Path],
+      conf: Configuration): StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("description", StringType),
+    StructField("sequence", StringType),
+    StructField("quality", StringType)))
+
+  override def newParser(fullSchema: StructType,
+      options: Map[String, String]): LineParser = new FastqParser
+}
+
+class FastqParser extends LineParser {
+  private var lineNo = 0
+  private var name: String = _
+  private var desc: String = _
+  private var sequence: String = _
+
+  override def parse(line: String): InternalRow = {
+    lineNo % 4 match {
+      case 0 =>
+        require(line.startsWith("@"), s"bad FASTQ record header: '$line'")
+        val header = line.substring(1)
+        val sp = header.indexOf(' ')
+        name = if (sp < 0) header else header.substring(0, sp)
+        desc = if (sp < 0) null else header.substring(sp + 1)
+        lineNo += 1; null
+      case 1 => sequence = line; lineNo += 1; null
+      case 2 =>
+        require(line.startsWith("+"), s"bad FASTQ separator: '$line'")
+        lineNo += 1; null
+      case 3 =>
+        lineNo += 1
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name),
+          if (desc == null) null else UTF8String.fromString(desc),
+          UTF8String.fromString(sequence),
+          UTF8String.fromString(line)))
+    }
+  }
+}
+
+class FastqDataSource extends LineTableProvider {
+  override def format: FastqFormat = new FastqFormat
+}

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.common.{LineFormat, LineParser, LineSourceUtil, LineTableProvider}
+
+/** VCF text reader (SURVEY §2.1 S8).
+  *
+  * Fixed columns per the reference's variant model
+  * (`/root/reference/oxbow/src/variant/model/field.rs:17-65`):
+  * `chrom, pos, id: array<string>, ref, alt: array<string>, qual: float,
+  * filter: array<string>`, plus:
+  *  - `info` struct typed from the header's `##INFO` definitions
+  *    (`variant/model/info.rs:81-177`): Number=1 → scalar, anything else →
+  *    array; Type Integer→long (widened), Float→float, String/Character→
+  *    string, Flag→boolean (true when present, null when absent)
+  *  - `samples` struct from `##FORMAT` + the sample columns
+  *    (`variant/model.rs:230-270`): `genotype_by=sample` (default) nests
+  *    sample→field; `genotype_by=field` pivots to field→sample. `GT` is
+  *    special-cased to `array<struct<allele:int, phased:boolean>>`
+  *    (`variant/model/genotype.rs:169-180`).
+  *
+  * Options: `include_samples` (default true), `genotype_by` (sample|field),
+  * `samples` (comma list subset), `info_fields` (comma list subset),
+  * `coords` (`11` default), `regions`, `maxpartitionbytes`.
+  */
+class VcfFormat extends LineFormat {
+  override def shortName: String = "vcf"
+  override def commentPrefixes: Seq[String] = Seq("#")
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("chrom", "pos", "pos"))
+  override def coordSystem(options: Map[String, String]) =
+    graft.core.CoordSystem.fromCode(options.getOrElse("coords", "11"))
+
+  override def schema(options: Map[String, String], paths: Seq[Path],
+      conf: Configuration): StructType = {
+    val header = VcfHeader.read(paths.head, conf)
+    val fixed = Seq(
+      StructField("chrom", StringType), StructField("pos", LongType),
+      StructField("id", ArrayType(StringType)), StructField("ref", StringType),
+      StructField("alt", ArrayType(StringType)),
+      StructField("qual", FloatType),
+      StructField("filter", ArrayType(StringType)))
+
+    val infoSubset = options.get("info_fields")
+      .map(_.split(",").map(_.trim).toSet)
+    val infoDefs = header.info.filter(d =>
+      infoSubset.forall(_.contains(d.id)))
+    val infoField =
+      if (infoDefs.isEmpty) None
+      else Some(StructField("info", StructType(infoDefs.map(d =>
+        StructField(d.id, d.sparkType)).toIndexedSeq)))
+
+    val includeSamples =
+      options.getOrElse("include_samples", "true").toBoolean
+    val sampleSubset = options.get("samples")
+      .map(_.split(",").map(_.trim).toSet)
+    val samples = header.samples.filter(s => sampleSubset.forall(_.contains(s)))
+    val samplesField =
+      if (!includeSamples || samples.isEmpty || header.format.isEmpty) None
+      else {
+        val fieldStruct = StructType(header.format.map(d =>
+          StructField(d.id, d.sparkType)).toIndexedSeq)
+        val byField = options.getOrElse("genotype_by", "sample") == "field"
+        val st =
+          if (byField)
+            StructType(header.format.map(d => StructField(d.id,
+              StructType(samples.map(s => StructField(s,
+                d.sparkType)).toIndexedSeq))).toIndexedSeq)
+          else
+            StructType(samples.map(s =>
+              StructField(s, fieldStruct)).toIndexedSeq)
+        Some(StructField("samples", st))
+      }
+
+    StructType((fixed ++ infoField ++ samplesField).toIndexedSeq)
+  }
+
+  override def newParser(fullSchema: StructType,
+      options: Map[String, String]): LineParser =
+    new VcfParser(fullSchema,
+      byField = options.getOrElse("genotype_by", "sample") == "field",
+      shift = -1L - coordSystem(options).startOffset)
+}
+
+final case class VcfTypeDef(id: String, number: String, vcfType: String) {
+  /** Spark type per the reference mapping; GT is special-cased. */
+  def sparkType: DataType = {
+    if (id == "GT") return ArrayType(StructType(Seq(
+      StructField("allele", IntegerType), StructField("phased", BooleanType))))
+    val scalar: DataType = vcfType match {
+      case "Integer" => LongType
+      case "Float" => FloatType
+      case "Flag" => BooleanType
+      case _ => StringType // String | Character
+    }
+    if (vcfType == "Flag") scalar
+    else if (number == "1" || number == "0") scalar
+    else ArrayType(scalar)
+  }
+}
+
+final case class VcfHeaderInfo(info: Seq[VcfTypeDef], format: Seq[VcfTypeDef],
+    samples: Seq[String])
+
+object VcfHeader {
+  private val DefRe = """##(INFO|FORMAT)=<(.+)>""".r
+
+  def read(path: Path, conf: Configuration): VcfHeaderInfo = {
+    val fs = path.getFileSystem(conf)
+    val raw = fs.open(path)
+    val in = if (LineSourceUtil.isGzip(path)) new GZIPInputStream(raw) else raw
+    val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    val info = mutable.ArrayBuffer.empty[VcfTypeDef]
+    val format = mutable.ArrayBuffer.empty[VcfTypeDef]
+    var samples: Seq[String] = Nil
+    try {
+      var line = r.readLine()
+      while (line != null && line.startsWith("#")) {
+        line match {
+          case DefRe(kind, body) =>
+            val attrs = parseDefBody(body)
+            val d = VcfTypeDef(attrs.getOrElse("ID", ""),
+              attrs.getOrElse("Number", "."), attrs.getOrElse("Type", "String"))
+            if (d.id.nonEmpty) {
+              if (kind == "INFO") info += d else format += d
+            }
+          case l if l.startsWith("#CHROM") =>
+            val cols = l.split("\t")
+            if (cols.length > 9) samples = cols.drop(9).toSeq
+          case _ => ()
+        }
+        line = r.readLine()
+      }
+    } finally r.close()
+    VcfHeaderInfo(info.toSeq, format.toSeq, samples)
+  }
+
+  /** Parse `ID=DP,Number=1,Type=Integer,Description="..."` respecting
+    * quoted commas. */
+  private def parseDefBody(body: String): Map[String, String] = {
+    val out = mutable.Map.empty[String, String]
+    var i = 0; val sb = new StringBuilder; var inQuote = false
+    val parts = mutable.ArrayBuffer.empty[String]
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (ch == '"') { inQuote = !inQuote; sb.append(ch) }
+      else if (ch == ',' && !inQuote) { parts += sb.toString; sb.clear() }
+      else sb.append(ch)
+      i += 1
+    }
+    if (sb.nonEmpty) parts += sb.toString
+    parts.foreach { p =>
+      val eq = p.indexOf('=')
+      if (eq > 0) out(p.substring(0, eq)) = p.substring(eq + 1)
+    }
+    out.toMap
+  }
+}
+
+class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
+    extends LineParser {
+
+  private val infoSchema: Option[StructType] =
+    fullSchema.fieldNames.find(_ == "info").map(_ =>
+      fullSchema("info").dataType.asInstanceOf[StructType])
+  private val samplesSchema: Option[StructType] =
+    fullSchema.fieldNames.find(_ == "samples").map(_ =>
+      fullSchema("samples").dataType.asInstanceOf[StructType])
+
+  override def parse(line: String): InternalRow = {
+    val c = line.split("\t", -1)
+    require(c.length >= 8, s"malformed VCF line (${c.length} cols)")
+    def dot(v: String) = v == "." || v.isEmpty
+    def strList(v: String, sep: Char): Any =
+      if (dot(v)) null
+      else ArrayData.toArrayData(
+        v.split(sep).map(UTF8String.fromString))
+
+    val fixed = Array[Any](
+      if (dot(c(0))) null else UTF8String.fromString(c(0)),
+      if (dot(c(1))) null else c(1).toLong + shift,
+      strList(c(2), ';'),
+      if (dot(c(3))) null else UTF8String.fromString(c(3)),
+      strList(c(4), ','),
+      if (dot(c(5))) null else c(5).toFloat,
+      strList(c(6), ';'))
+
+    val infoVal: Seq[Any] = infoSchema.toSeq.map { is =>
+      val present = mutable.Map.empty[String, String]
+      if (!dot(c(7))) c(7).split(";").foreach { kv =>
+        val eq = kv.indexOf('=')
+        if (eq < 0) present(kv) = ""
+        else present(kv.substring(0, eq)) = kv.substring(eq + 1)
+      }
+      val arr = new Array[Any](is.length)
+      is.fields.zipWithIndex.foreach { case (f, i) =>
+        present.get(f.name).foreach { v =>
+          arr(i) = convert(f.dataType, v, isFlag = true)
+        }
+      }
+      new GenericInternalRow(arr)
+    }
+
+    val samplesVal: Seq[Any] = samplesSchema.toSeq.map { ss =>
+      val formatKeys: Array[String] =
+        if (c.length > 8 && !dot(c(8))) c(8).split(":") else Array.empty
+      // values per sample column, aligned by schema position
+      if (byField) {
+        // struct{field → struct{sample → value}}
+        val arr = new Array[Any](ss.length)
+        ss.fields.zipWithIndex.foreach { case (fieldF, i) =>
+          val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
+          val inner = new Array[Any](sampleStruct.length)
+          val keyIdx = formatKeys.indexOf(fieldF.name)
+          if (keyIdx >= 0) {
+            sampleStruct.fields.zipWithIndex.foreach { case (sf, j) =>
+              val col = 9 + j
+              if (col < c.length) {
+                val parts = c(col).split(":", -1)
+                if (keyIdx < parts.length && !dot(parts(keyIdx)))
+                  inner(j) = convert(sf.dataType, parts(keyIdx), isFlag = false)
+              }
+            }
+          }
+          arr(i) = new GenericInternalRow(inner)
+        }
+        new GenericInternalRow(arr)
+      } else {
+        // struct{sample → struct{field → value}}
+        val arr = new Array[Any](ss.length)
+        ss.fields.zipWithIndex.foreach { case (sampleF, j) =>
+          val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
+          val inner = new Array[Any](fieldStruct.length)
+          val col = 9 + j
+          if (col < c.length) {
+            val parts = c(col).split(":", -1)
+            fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
+              val keyIdx = formatKeys.indexOf(ff.name)
+              if (keyIdx >= 0 && keyIdx < parts.length && !dot(parts(keyIdx)))
+                inner(i) = convert(ff.dataType, parts(keyIdx), isFlag = false)
+            }
+          }
+          arr(j) = new GenericInternalRow(inner)
+        }
+        new GenericInternalRow(arr)
+      }
+    }
+
+    new GenericInternalRow(fixed ++ infoVal ++ samplesVal)
+  }
+
+  private def convert(dt: DataType, v: String, isFlag: Boolean): Any = dt match {
+    case LongType => v.toLong
+    case FloatType => v.toFloat
+    case BooleanType => true // Flag present
+    case StringType => UTF8String.fromString(v)
+    case ArrayType(LongType, _) =>
+      ArrayData.toArrayData(v.split(",").map(x =>
+        if (x == "." || x.isEmpty) null else java.lang.Long.valueOf(x.toLong)))
+    case ArrayType(FloatType, _) =>
+      ArrayData.toArrayData(v.split(",").map(x =>
+        if (x == "." || x.isEmpty) null else java.lang.Float.valueOf(x.toFloat)))
+    case ArrayType(StringType, _) =>
+      ArrayData.toArrayData(v.split(",").map(UTF8String.fromString))
+    case ArrayType(st: StructType, _) if st.fieldNames.sameElements(
+        Array("allele", "phased")) =>
+      parseGenotype(v)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported VCF value type $other")
+  }
+
+  /** `"0/1"` → [{0,false},{1,false}]; `"0|1"` → [{0,false},{1,true}];
+    * leading `|` phases the first allele; `.` alleles → null allele. */
+  private def parseGenotype(v: String): Any = {
+    val entries = mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    var phased = false
+    if (v.nonEmpty && v.charAt(0) == '|') { phased = true; i = 1 }
+    val sb = new StringBuilder
+    def emit(p: Boolean): Unit = {
+      val s = sb.toString; sb.clear()
+      val allele: Any =
+        if (s == "." || s.isEmpty) null else s.toInt
+      entries += new GenericInternalRow(Array[Any](allele, p))
+    }
+    var curPhased = phased
+    while (i < v.length) {
+      val ch = v.charAt(i)
+      if (ch == '/' || ch == '|') {
+        emit(curPhased)
+        curPhased = ch == '|'
+      } else sb.append(ch)
+      i += 1
+    }
+    emit(curPhased)
+    ArrayData.toArrayData(entries.toArray)
+  }
+}
+
+class VcfDataSource extends LineTableProvider {
+  override def format: VcfFormat = new VcfFormat
+}

@@ -1,0 +1,377 @@
+package graft.sources.common
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{CoordSystem, Region}
+
+/** Shared DataSource V2 infrastructure for the genomic text formats.
+  *
+  * Mirrors the reference's scanner contract (SURVEY §2.1: full scan,
+  * region query, byte-range partitioned scan, projection/limit pushdown)
+  * in Spark's native shape: `Table` → `ScanBuilder` (with
+  * `SupportsPushDownRequiredColumns` / `Filters` / `Limit`) → `Batch.
+  * planInputPartitions` (newline-aligned byte-range splits, the analogue
+  * of `partition_from_index`, `/root/reference/oxbow/src/util/index.rs:
+  * 117-178`) → per-partition record readers.
+  *
+  * Compression: plain files split by byte range; `.gz`/`.bgz` files read
+  * as a single gzip partition (BGZF is valid gzip; chunk-level BGZF
+  * splitting via index is the planned upgrade, reference
+  * `util/query.rs:46-114`).
+  */
+
+/** A per-partition, possibly stateful record parser. `parse` returns rows
+  * ready in the FULL table schema order; `flush` emits trailing records
+  * for multi-line formats (FASTA). Return null for "no row". */
+trait LineParser extends Serializable {
+  def parse(line: String): InternalRow
+  def flush(): InternalRow = null
+  /** Multi-row override point (e.g. one row per query region). Formats
+    * that emit at most one row per line keep the default. */
+  def parseMany(line: String): Seq[InternalRow] = Option(parse(line)).toSeq
+  def flushMany(): Seq[InternalRow] = Option(flush()).toSeq
+}
+
+/** Format plugin: schema + parser + region-column metadata. */
+trait LineFormat extends Serializable {
+  def shortName: String
+  /** Lines starting with any of these are skipped. */
+  def commentPrefixes: Seq[String]
+  /** Whether plain-text files of this format can be split mid-file
+    * (record = line). Multi-line formats return false. */
+  def splittable: Boolean = true
+  /** Whether blank lines are insignificant (false for FASTQ, where the
+    * 4-line cadence must see every line). */
+  def skipEmptyLines: Boolean = true
+  /** Infer/declare the full schema (may sample the file head). */
+  def schema(options: Map[String, String], paths: Seq[Path],
+      conf: Configuration): StructType
+  /** Build a fresh per-partition parser emitting rows in `fullSchema`
+    * field order (null-padding fields it cannot supply). */
+  def newParser(fullSchema: StructType, options: Map[String, String]): LineParser
+  /** Names of the (chrom, start, end) columns used for genomic region
+    * filtering, if this format has them. Coordinates in the emitted rows
+    * are in the declared output coordinate system. */
+  def regionColumns: Option[(String, String, String)] = None
+  /** Output coordinate system for `start` (for region filtering). */
+  def coordSystem(options: Map[String, String]): CoordSystem =
+    CoordSystem.fromCode(options.getOrElse("coords", "01"))
+}
+
+object LineSourceUtil {
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[Path] = {
+    val conf = new Configuration()
+    val raw = Option(options.get("paths"))
+      .map(_.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+      .orElse(Option(options.get("path")).map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("no path specified"))
+    raw.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val globbed = Option(fs.globStatus(path)).getOrElse(Array.empty[FileStatus])
+      if (globbed.isEmpty) Seq(path)
+      else globbed.toSeq.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq
+          .filter(_.isFile).map(_.getPath)
+        else Seq(st.getPath)
+      }
+    }
+  }
+
+  def isGzip(p: Path): Boolean = {
+    val n = p.getName.toLowerCase
+    n.endsWith(".gz") || n.endsWith(".bgz") || n.endsWith(".bgzf")
+  }
+
+  def optionsMap(o: CaseInsensitiveStringMap): Map[String, String] =
+    o.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
+}
+
+/** TableProvider base — subclasses provide the format. */
+abstract class LineTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  def format: LineFormat
+  override def shortName(): String = format.shortName
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = LineSourceUtil.resolvePaths(options)
+    format.schema(LineSourceUtil.optionsMap(options), paths, new Configuration())
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new LineTable(format, schema, LineSourceUtil.resolvePaths(opts),
+      LineSourceUtil.optionsMap(opts))
+  }
+}
+
+class LineTable(format: LineFormat, tableSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String =
+    s"${format.shortName}:${paths.map(_.toString).mkString(",")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new LineScanBuilder(format, tableSchema, paths,
+      options ++ LineSourceUtil.optionsMap(o))
+}
+
+class LineScanBuilder(format: LineFormat, fullSchema: StructType,
+    paths: Seq[Path], options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep full-schema field order for the projection mapping
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+  }
+
+  /** Recognize chrom/start/end comparisons for region-style row skipping;
+    * everything is also left for Spark to re-apply (we only prune). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = format.regionColumns match {
+      case Some((c, s, e)) =>
+        filters.filter {
+          case EqualTo(a, _) if a == c => true
+          case In(a, _) if a == c => true
+          case LessThan(a, _) if a == s => true
+          case LessThanOrEqual(a, _) if a == s => true
+          case GreaterThan(a, _) if a == e => true
+          case GreaterThanOrEqual(a, _) if a == e => true
+          case _ => false
+        }
+      case None => Array.empty[Filter]
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+
+  override def build(): Scan =
+    new LineScan(format, fullSchema, required, paths, options, pushed, limit)
+}
+
+/** One input split: [start, end) byte range of a file (whole file when the
+  * codec is not splittable). The reader aligns to newline boundaries:
+  * skip the first partial line unless start==0, read through the first
+  * newline past `end`. */
+case class LineInputPartition(pathStr: String, start: Long, end: Long,
+    gzip: Boolean) extends InputPartition
+
+class LineScan(format: LineFormat, fullSchema: StructType,
+    required: StructType, paths: Seq[Path], options: Map[String, String],
+    pushed: Array[Filter], limit: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-${format.shortName} ${paths.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    paths.flatMap { p =>
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      if (LineSourceUtil.isGzip(p) || !format.splittable || len <= maxSplit) {
+        Seq(LineInputPartition(p.toString, 0L, Long.MaxValue,
+          LineSourceUtil.isGzip(p)))
+      } else {
+        (0L until len by maxSplit).map { off =>
+          LineInputPartition(p.toString, off, math.min(off + maxSplit, len),
+            gzip = false)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LineReaderFactory(format, fullSchema, required, options, pushed, limit)
+}
+
+class LineReaderFactory(format: LineFormat, fullSchema: StructType,
+    required: StructType, options: Map[String, String], pushed: Array[Filter],
+    limit: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LineReader(format, fullSchema, required, options, pushed, limit,
+      p.asInstanceOf[LineInputPartition])
+}
+
+class LineReader(format: LineFormat, fullSchema: StructType,
+    required: StructType, options: Map[String, String], pushed: Array[Filter],
+    limit: Int, part: LineInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val path = new Path(part.pathStr)
+  private val fsIn = path.getFileSystem(conf).open(path)
+  private val reader: BufferedReader = {
+    if (part.gzip) {
+      new BufferedReader(new InputStreamReader(
+        new GZIPInputStream(fsIn), StandardCharsets.UTF_8))
+    } else {
+      if (part.start > 0) fsIn.seek(part.start)
+      new BufferedReader(
+        new InputStreamReader(fsIn, StandardCharsets.UTF_8))
+    }
+  }
+  // Byte position tracking for split boundaries (approximate by re-encoded
+  // line length + 1; exact for ASCII genomic text).
+  private var pos: Long = part.start
+  private var startedMidLine = part.start > 0
+  private val parser = format.newParser(fullSchema, options)
+
+  // region/filter predicate from `regions` option + pushed filters
+  private val regionPred: InternalRow => Boolean = buildRegionPred()
+  // projection full → required
+  private val projIdx: Array[Int] =
+    required.fieldNames.map(fullSchema.fieldIndex)
+  private val identityProj = projIdx.sameElements(fullSchema.indices)
+
+  private var current: InternalRow = _
+  private var emitted = 0
+  private var exhausted = false
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case other => other.toString.toLong
+  }
+
+  private def buildRegionPred(): InternalRow => Boolean = {
+    val regionsOpt = options.get("regions")
+    format.regionColumns match {
+      case Some((c, s, e)) if regionsOpt.isDefined || pushed.nonEmpty =>
+        val ci = fullSchema.fieldIndex(c)
+        val si = fullSchema.fieldIndex(s)
+        val ei = fullSchema.fieldIndex(e)
+        val cs = format.coordSystem(options)
+        val regions: Seq[Region] = regionsOpt.toSeq.flatMap(
+          _.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(Region.parse(_, CoordSystem.OneBasedClosed)))
+        // conservative bounds from pushed catalyst filters (output coords)
+        var chromSet: Option[Set[String]] = None
+        var startLt: Option[Long] = None
+        var endGt: Option[Long] = None
+        pushed.foreach {
+          case EqualTo(a, v) if a == c =>
+            chromSet = Some(chromSet.getOrElse(Set.empty) + v.toString)
+          case In(a, vs) if a == c =>
+            chromSet = Some(chromSet.getOrElse(Set.empty) ++ vs.map(_.toString))
+          case LessThan(a, v) if a == s =>
+            startLt = Some(startLt.fold(asLong(v))(math.min(_, asLong(v))))
+          case LessThanOrEqual(a, v) if a == s =>
+            startLt = Some(startLt.fold(asLong(v) + 1)(math.min(_, asLong(v) + 1)))
+          case GreaterThan(a, v) if a == e =>
+            endGt = Some(endGt.fold(asLong(v))(math.max(_, asLong(v))))
+          case GreaterThanOrEqual(a, v) if a == e =>
+            endGt = Some(endGt.fold(asLong(v) - 1)(math.max(_, asLong(v) - 1)))
+          case _ => ()
+        }
+        row => {
+          if (row.isNullAt(ci) || row.isNullAt(si) || row.isNullAt(ei)) {
+            regions.isEmpty && chromSet.isEmpty && startLt.isEmpty && endGt.isEmpty
+          } else {
+            val chrom = row.getUTF8String(ci).toString
+            val startOut = asLong(row.get(si, fullSchema(si).dataType))
+            val endOut = asLong(row.get(ei, fullSchema(ei).dataType))
+            // normalize to 0-based half-open for the region overlap check
+            val start0 = startOut + cs.startOffset
+            (regions.isEmpty || regions.exists(_.overlaps(chrom, start0, endOut))) &&
+              chromSet.forall(_.contains(chrom)) &&
+              startLt.forall(startOut < _) &&
+              endGt.forall(endOut > _)
+          }
+        }
+      case _ => _ => true
+    }
+  }
+
+  private val pending = scala.collection.mutable.Queue.empty[InternalRow]
+
+  private def emitFromPending(): Boolean = {
+    while (pending.nonEmpty) {
+      val row = pending.dequeue()
+      if (regionPred(row)) {
+        current = project(row); emitted += 1; return true
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    if (emitFromPending()) return true
+    if (exhausted) return false
+    while (true) {
+      val line = reader.readLine()
+      if (line == null) {
+        exhausted = true
+        pending ++= parser.flushMany()
+        return emitFromPending()
+      }
+      pos += line.getBytes(StandardCharsets.UTF_8).length + 1
+      val skip = startedMidLine
+      startedMidLine = false
+      // Hadoop line-split ownership: this split owns every line it reads
+      // (except the skipped partial first line); the line whose end
+      // crosses part.end is the last owned one.
+      if (!part.gzip && pos > part.end) exhausted = true
+      if (!skip && (line.nonEmpty || !format.skipEmptyLines) &&
+          !format.commentPrefixes.exists(p => p.nonEmpty && line.startsWith(p))) {
+        pending ++= parser.parseMany(line)
+        if (exhausted) pending ++= parser.flushMany()
+        if (emitFromPending()) return true
+      } else if (exhausted) {
+        pending ++= parser.flushMany()
+        return emitFromPending()
+      }
+      if (exhausted) return false
+    }
+    false
+  }
+
+  private def project(row: InternalRow): InternalRow =
+    if (identityProj) row
+    else {
+      val out = new Array[Any](projIdx.length)
+      var i = 0
+      while (i < projIdx.length) {
+        val idx = projIdx(i)
+        out(i) = if (row.isNullAt(idx)) null
+          else row.get(idx, fullSchema(idx).dataType)
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

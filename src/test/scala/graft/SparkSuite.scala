@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for suites. */
+trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSuite.session
+
+  override def afterAll(): Unit = super.afterAll()
+
+  /** Write lines to a temp file and return its absolute path. */
+  def tempFile(name: String, lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-test")
+    val f = dir.resolve(name)
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  /** Write lines gzip-compressed. */
+  def tempGzFile(name: String, lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-test")
+    val f = dir.resolve(name)
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    out.write(lines.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    f.toString
+  }
+}
+
+object SparkSuite {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

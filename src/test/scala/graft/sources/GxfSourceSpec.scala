@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class GxfSourceSpec extends SparkSuite {
+
+  private val gtf = Seq(
+    "#!genome-build test",
+    "chr1\tHAVANA\tgene\t11869\t14409\t.\t+\t.\t" +
+      "gene_id \"ENSG1\"; gene_name \"DDX11L1\"; level 2;",
+    "chr1\tHAVANA\ttranscript\t11869\t12227\t5.5\t+\t0\t" +
+      "gene_id \"ENSG1\"; transcript_id \"ENST1\"; level 2;")
+
+  private val gff = Seq(
+    "##gff-version 3",
+    "chr1\t.\tgene\t1000\t2000\t.\t+\t.\tID=gene1;Name=G1;Alias=a,b,c",
+    "chr1\t.\tmRNA\t1000\t1500\t0.9\t-\t1\tID=rna1;Parent=gene1;Note=hi%2Cthere")
+
+  test("gtf: fixed columns + discovered string attributes") {
+    val df = spark.read.format("gtf").load(tempFile("s.gtf", gtf))
+    assert(df.columns.toSeq == Seq("seqid", "source", "type", "start", "end",
+      "score", "strand", "frame", "attributes"))
+    val attrs = df.schema("attributes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(attrs.fieldNames.toSeq ==
+      Seq("gene_id", "gene_name", "level", "transcript_id"))
+    val rows = df.orderBy("start", "type").collect()
+    assert(rows(0).getLong(3) == 11869 && rows(0).getLong(4) == 14409)
+    val a0 = rows(0).getStruct(8)
+    assert(a0.getString(0) == "ENSG1" && a0.getString(1) == "DDX11L1" &&
+      a0.getString(2) == "2" && a0.isNullAt(3))
+    assert(rows(1).getFloat(5) == 5.5f && rows(1).getInt(7) == 0)
+  }
+
+  test("gff3: multi-value attributes become arrays, percent-decoded") {
+    val df = spark.read.format("gff").load(tempFile("s.gff", gff))
+    val attrs = df.schema("attributes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(attrs("Alias").dataType.typeName == "array")
+    val rows = df.orderBy(col("end").desc).collect()
+    val a0 = rows(0).getStruct(8)
+    assert(a0.getSeq[String](attrs.fieldIndex("Alias")) == Seq("a", "b", "c"))
+    val a1 = rows(1).getStruct(8)
+    assert(a1.getString(attrs.fieldIndex("Note")) == "hi,there")
+  }
+
+  test("gxf: explicit attributes option skips discovery") {
+    val df = spark.read.format("gtf")
+      .option("attributes", "gene_id:string")
+      .load(tempFile("s2.gtf", gtf))
+    val attrs = df.schema("attributes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(attrs.fieldNames.toSeq == Seq("gene_id"))
+  }
+
+  test("gxf: coords=01 shifts start to zero-based half-open") {
+    val df = spark.read.format("gff").option("coords", "01")
+      .load(tempFile("s3.gff", gff))
+    val r = df.orderBy(col("end").desc).collect()(0)
+    assert(r.getLong(3) == 999 && r.getLong(4) == 2000)
+  }
+
+  test("gxf: regions option filters (native 1-based coords)") {
+    val df = spark.read.format("gff")
+      .option("regions", "chr1:1600-1800")
+      .load(tempFile("s4.gff", gff))
+    val rows = df.collect()
+    assert(rows.length == 1) // only gene1 [1000,2000] overlaps
+  }
+}

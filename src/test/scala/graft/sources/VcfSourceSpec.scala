@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.SparkSuite
+
+class VcfSourceSpec extends SparkSuite {
+
+  // FIXTURES.md §2 shape: INFO defs incl. Flag and Number=A; 3 samples
+  private val vcf = Seq(
+    "##fileformat=VCFv4.1",
+    "##INFO=<ID=AC,Number=A,Type=Integer,Description=\"Allele count\">",
+    "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+    "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Freq, comma stuff\">",
+    "##INFO=<ID=DB,Number=0,Type=Flag,Description=\"dbSNP\">",
+    "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+    "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
+    "##FORMAT=<ID=AD,Number=.,Type=Integer,Description=\"Allele depths\">",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2",
+    "chr1\t100\trs1;rs2\tA\tG,T\t29.5\tPASS\tAC=1,2;DP=10;DB\t" +
+      "GT:DP:AD\t0|1:7:4,3\t1/2:.:1,1",
+    "chr2\t200\t.\tC\t.\t.\tq10;s50\tDP=3\tGT:DP\t./.:2\t0/0:5")
+
+  private def df = spark.read.format("vcf")
+    .load(tempFile("s.vcf", vcf))
+
+  test("vcf: fixed columns with list semantics") {
+    val d = df
+    assert(d.columns.toSeq == Seq("chrom", "pos", "id", "ref", "alt", "qual",
+      "filter", "info", "samples"))
+    val rows = d.orderBy("pos").collect()
+    assert(rows(0).getLong(1) == 100)
+    assert(rows(0).getSeq[String](2) == Seq("rs1", "rs2"))
+    assert(rows(0).getSeq[String](4) == Seq("G", "T"))
+    assert(rows(0).getFloat(5) == 29.5f)
+    assert(rows(0).getSeq[String](6) == Seq("PASS"))
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(4) && rows(1).isNullAt(5))
+    assert(rows(1).getSeq[String](6) == Seq("q10", "s50"))
+  }
+
+  test("vcf: header-driven info struct (Number=1 scalar, A array, Flag bool)") {
+    val d = df
+    val info = d.schema("info").dataType.asInstanceOf[StructType]
+    assert(info.fieldNames.toSeq == Seq("AC", "DP", "AF", "DB"))
+    assert(info("AC").dataType.typeName == "array")
+    assert(info("DP").dataType.typeName == "long")
+    assert(info("DB").dataType.typeName == "boolean")
+    val rows = d.orderBy("pos").select("info").collect()
+    val i0 = rows(0).getStruct(0)
+    assert(i0.getSeq[Long](0) == Seq(1L, 2L))
+    assert(i0.getLong(1) == 10 && i0.getBoolean(3))
+    val i1 = rows(1).getStruct(0)
+    assert(i1.isNullAt(0) && i1.getLong(1) == 3 && i1.isNullAt(3))
+  }
+
+  test("vcf: samples nested by sample with GT special-case") {
+    val d = df
+    val samples = d.schema("samples").dataType.asInstanceOf[StructType]
+    assert(samples.fieldNames.toSeq == Seq("NA1", "NA2"))
+    val rows = d.orderBy("pos").select("samples").collect()
+    val na1 = rows(0).getStruct(0).getStruct(0)
+    // GT 0|1 → [{0,false},{1,true}]
+    val gt = na1.getSeq[org.apache.spark.sql.Row](0)
+    assert(gt.map(r => (r.getInt(0), r.getBoolean(1))) ==
+      Seq((0, false), (1, true)))
+    assert(na1.getLong(1) == 7)
+    assert(na1.getSeq[Long](2) == Seq(4L, 3L))
+    // NA2 at chr2: GT 0/0, DP 5
+    val na2row2 = rows(1).getStruct(0).getStruct(1)
+    assert(na2row2.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getBoolean(1))) == Seq((0, false), (0, false)))
+    assert(na2row2.getLong(1) == 5)
+    // NA1 at chr2: GT ./. → null alleles; DP 2
+    val na1row2 = rows(1).getStruct(0).getStruct(0)
+    val gtNull = na1row2.getSeq[org.apache.spark.sql.Row](0)
+    assert(gtNull.map(_.isNullAt(0)) == Seq(true, true))
+  }
+
+  test("vcf: genotype_by=field pivot") {
+    val d = spark.read.format("vcf").option("genotype_by", "field")
+      .load(tempFile("s2.vcf", vcf))
+    val samples = d.schema("samples").dataType.asInstanceOf[StructType]
+    assert(samples.fieldNames.toSeq == Seq("GT", "DP", "AD"))
+    val dp = samples("DP").dataType.asInstanceOf[StructType]
+    assert(dp.fieldNames.toSeq == Seq("NA1", "NA2"))
+    val rows = d.orderBy("pos").select("samples.DP").collect()
+    val r0 = rows(0).getStruct(0)
+    assert(r0.getLong(0) == 7 && r0.isNullAt(1)) // NA2 DP '.' at chr1
+    val r1 = rows(1).getStruct(0)
+    assert(r1.getLong(0) == 2 && r1.getLong(1) == 5)
+  }
+
+  test("vcf: samples subset and exclusion") {
+    val d = spark.read.format("vcf").option("samples", "NA2")
+      .load(tempFile("s3.vcf", vcf))
+    val samples = d.schema("samples").dataType.asInstanceOf[StructType]
+    assert(samples.fieldNames.toSeq == Seq("NA2"))
+    val d2 = spark.read.format("vcf").option("include_samples", "false")
+      .load(tempFile("s4.vcf", vcf))
+    assert(!d2.columns.contains("samples"))
+  }
+
+  test("vcf: region filter on pos") {
+    val d = spark.read.format("vcf").option("regions", "chr1:50-150")
+      .load(tempFile("s5.vcf", vcf))
+    assert(d.count() == 1)
+    val d2 = spark.read.format("vcf").option("regions", "chr2:300-400")
+      .load(tempFile("s6.vcf", vcf))
+    assert(d2.count() == 0)
+  }
+
+  test("vcf: gzip input") {
+    val d = spark.read.format("vcf").load(tempGzFile("s.vcf.gz", vcf))
+    assert(d.count() == 2)
+  }
+}
