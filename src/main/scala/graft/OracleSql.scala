@@ -13,14 +13,14 @@ object OracleSql {
   private val ivA =
     """SELECT l_orderkey*10 + l_linenumber AS iv_id,
       | 'chr' || (l_orderkey % 4) AS chrom,
-      | (l_partkey*37) % 10000000 AS start,
-      | (l_partkey*37) % 10000000 + 50 + CAST(floor(l_quantity) AS BIGINT)*10 AS "end"
+      | (l_partkey*12347) % 10000000 AS start,
+      | (l_partkey*12347) % 10000000 + 50 + CAST(floor(l_quantity) AS BIGINT)*10 AS "end"
       |FROM lineitem""".stripMargin
   private val ivB =
     """SELECT o_orderkey AS iv_id,
       | 'chr' || (o_orderkey % 4) AS chrom,
-      | (o_custkey*53) % 10000000 AS start,
-      | (o_custkey*53) % 10000000 + 200 AS "end"
+      | (o_custkey*9973) % 10000000 AS start,
+      | (o_custkey*9973) % 10000000 + 200 AS "end"
       |FROM orders""".stripMargin
 
   /** Minhash/shingle CTE fragments (mirror TextOps constants). */

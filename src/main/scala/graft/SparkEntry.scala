@@ -222,8 +222,8 @@ object SparkEntry {
     pq(s, dir, "lineitem").select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("iv_id"),
       concat(lit("chr"), (col("l_orderkey") % 4).cast("string")).as("chrom"),
-      ((col("l_partkey") * 37) % 10000000L).as("start"),
-      (((col("l_partkey") * 37) % 10000000L) + 50 +
+      ((col("l_partkey") * 12347) % 10000000L).as("start"),
+      (((col("l_partkey") * 12347) % 10000000L) + 50 +
         floor(col("l_quantity")) * 10).as("end"))
 
   /** Derived interval set B (from orders). */
@@ -231,8 +231,8 @@ object SparkEntry {
     pq(s, dir, "orders").select(
       col("o_orderkey").as("iv_id"),
       concat(lit("chr"), (col("o_orderkey") % 4).cast("string")).as("chrom"),
-      ((col("o_custkey") * 53) % 10000000L).as("start"),
-      (((col("o_custkey") * 53) % 10000000L) + 200).as("end"))
+      ((col("o_custkey") * 9973) % 10000000L).as("start"),
+      (((col("o_custkey") * 9973) % 10000000L) + 200).as("end"))
 
   /** Distributed interval-overlap join (binned equi-join, §2.6). */
   private def q14_interval_join(s: SparkSession, dir: String): DataFrame = {
