@@ -1,0 +1,213 @@
+package graft.formats
+
+import java.io.{DataInputStream, EOFException, InputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BAM binary record codec, implemented from the published SAM/BAM spec
+  * (§4): header, reference dictionary, record block layout, 4-bit packed
+  * sequence, binary tag values. Produces rows in the same 12-column +
+  * `tags` shape as the SAM text reader, so the two sources are drop-in
+  * interchangeable (reference parity: `oxbow/src/alignment/scanner/bam.rs`).
+  */
+object BamCodec {
+
+  val SeqCodes = "=ACMGRSVTWYHKDBN"
+  val CigarOps = "MIDNSHP=X"
+
+  final case class BamHeader(text: String, refNames: IndexedSeq[String],
+      refLengths: IndexedSeq[Int])
+
+  final class LEInput(in: InputStream) {
+    private val d = new DataInputStream(in)
+    def readInt(): Int = java.lang.Integer.reverseBytes(d.readInt())
+    def readShort(): Int =
+      java.lang.Short.reverseBytes(d.readShort()) & 0xffff
+    def readByte(): Int = d.readUnsignedByte()
+    def readFloat(): Float =
+      java.lang.Float.intBitsToFloat(readInt())
+    def readBytes(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); d.readFully(b); b
+    }
+    /** Try to read the next int; None at clean EOF. */
+    def tryReadInt(): Option[Int] =
+      try Some(readInt()) catch { case _: EOFException => None }
+  }
+
+  def readHeader(le: LEInput): BamHeader = {
+    val magic = le.readBytes(4)
+    require(magic.sameElements(Array[Byte]('B', 'A', 'M', 1)),
+      "bad BAM magic")
+    val lText = le.readInt()
+    val text = new String(le.readBytes(lText), "UTF-8")
+    val nRef = le.readInt()
+    val names = new Array[String](nRef)
+    val lengths = new Array[Int](nRef)
+    var i = 0
+    while (i < nRef) {
+      val lName = le.readInt()
+      val nameBytes = le.readBytes(lName)
+      names(i) = new String(nameBytes, 0, lName - 1, "UTF-8") // strip NUL
+      lengths(i) = le.readInt()
+      i += 1
+    }
+    BamHeader(text, names.toIndexedSeq, lengths.toIndexedSeq)
+  }
+
+  /** A decoded record, pre-row, for filtering decisions. */
+  final case class RawRecord(refId: Int, pos0: Long, flag: Int, refLen: Long,
+      row: InternalRow)
+
+  /** Decoder producing rows in the full schema order:
+    * qname flag rname pos mapq cigar rnext pnext tlen seq qual end [tags].
+    * `need` marks which of the 12 fixed columns must be materialized
+    * (pruned columns are skipped, not decoded — reference P1 semantics). */
+  final class RecordDecoder(header: BamHeader, tagSchema: Option[StructType],
+      need: Array[Boolean], posShift: Long) {
+
+    private val tagIndex: Map[String, Int] =
+      tagSchema.map(_.fieldNames.zipWithIndex.toMap).getOrElse(Map.empty)
+
+    /** Read one record from the stream; None at EOF. */
+    def read(le: LEInput): Option[RawRecord] = {
+      val blockSize = le.tryReadInt().getOrElse(return None)
+      val block = le.readBytes(blockSize)
+      val bb = java.nio.ByteBuffer.wrap(block)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val refId = bb.getInt
+      val pos0 = bb.getInt.toLong
+      val lReadName = bb.get() & 0xff
+      val mapq = bb.get() & 0xff
+      bb.getShort // bin
+      val nCigar = bb.getShort & 0xffff
+      val flag = bb.getShort & 0xffff
+      val lSeq = bb.getInt
+      val nextRefId = bb.getInt
+      val nextPos0 = bb.getInt.toLong
+      val tlen = bb.getInt
+      val nameBytes = new Array[Byte](lReadName)
+      bb.get(nameBytes)
+      val qname =
+        if (need(0)) new String(nameBytes, 0, lReadName - 1, "UTF-8") else null
+
+      var refLen = 0L
+      var cigarStr: String = null
+      if (nCigar > 0) {
+        val sb = if (need(5)) new java.lang.StringBuilder else null
+        var i = 0
+        while (i < nCigar) {
+          val v = bb.getInt
+          val op = CigarOps.charAt(v & 0xf)
+          val len = v >>> 4
+          if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
+            refLen += len
+          if (sb != null) { sb.append(len); sb.append(op) }
+          i += 1
+        }
+        if (sb != null) cigarStr = sb.toString
+      }
+
+      val seqBytes = new Array[Byte]((lSeq + 1) / 2)
+      bb.get(seqBytes)
+      val seqStr: String =
+        if (need(9) && lSeq > 0) {
+          val sb = new java.lang.StringBuilder(lSeq)
+          var i = 0
+          while (i < lSeq) {
+            val b = seqBytes(i / 2) & 0xff
+            sb.append(SeqCodes.charAt(if (i % 2 == 0) b >>> 4 else b & 0xf))
+            i += 1
+          }
+          sb.toString
+        } else null
+
+      val qualBytes = new Array[Byte](lSeq)
+      bb.get(qualBytes)
+      val qualStr: String =
+        if (need(10) && lSeq > 0 && qualBytes(0) != -1) {
+          val sb = new java.lang.StringBuilder(lSeq)
+          var i = 0
+          while (i < lSeq) { sb.append((qualBytes(i) + 33).toChar); i += 1 }
+          sb.toString
+        } else null
+
+      val unmapped = (flag & 0x4) != 0 || refId < 0 || pos0 < 0
+      def refName(id: Int): Any =
+        if (id < 0 || id >= header.refNames.size) null
+        else UTF8String.fromString(header.refNames(id))
+
+      val base = Array[Any](
+        if (qname == null || qname == "*") null else UTF8String.fromString(qname),
+        flag,
+        if (unmapped) null else refName(refId),
+        if (unmapped) null else pos0 + 1 + posShift, // 1-based out ("11")
+        mapq,
+        if (cigarStr == null) null else UTF8String.fromString(cigarStr),
+        refName(nextRefId),
+        if (nextRefId < 0 || nextPos0 < 0) null else nextPos0 + 1 + posShift,
+        tlen,
+        if (seqStr == null) null else UTF8String.fromString(seqStr),
+        if (qualStr == null) null else UTF8String.fromString(qualStr),
+        if (unmapped || refLen == 0) null else pos0 + refLen) // closed 1-based
+
+      val row = tagSchema match {
+        case None => new GenericInternalRow(base)
+        case Some(ts) =>
+          val tags = new Array[Any](ts.length)
+          while (bb.remaining() >= 3) {
+            val tag = new String(Array(bb.get(), bb.get()), "ASCII")
+            val tpe = bb.get().toChar
+            val value = readTagValue(bb, tpe)
+            tagIndex.get(tag).foreach { idx =>
+              tags(idx) = coerce(value, ts(idx).dataType)
+            }
+          }
+          new GenericInternalRow(base :+ (new GenericInternalRow(tags): Any))
+      }
+      Some(RawRecord(refId, pos0, flag, refLen, row))
+    }
+
+    private def readTagValue(bb: java.nio.ByteBuffer, tpe: Char): Any = tpe match {
+      case 'A' => bb.get().toChar.toString
+      case 'c' => bb.get().toLong
+      case 'C' => (bb.get() & 0xff).toLong
+      case 's' => bb.getShort.toLong
+      case 'S' => (bb.getShort & 0xffff).toLong
+      case 'i' => bb.getInt.toLong
+      case 'I' => bb.getInt.toLong & 0xffffffffL
+      case 'f' => bb.getFloat
+      case 'Z' | 'H' =>
+        val sb = new java.lang.StringBuilder
+        var b = bb.get()
+        while (b != 0) { sb.append(b.toChar); b = bb.get() }
+        sb.toString
+      case 'B' =>
+        val sub = bb.get().toChar
+        val n = bb.getInt
+        (0 until n).map(_ => readTagValue(bb, sub))
+      case other =>
+        throw new IllegalArgumentException(s"unknown BAM tag type '$other'")
+    }
+
+    private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (s: String, StringType) => UTF8String.fromString(s)
+      case (l: Long, LongType) => l
+      case (f: Float, FloatType) => f
+      case (l: Long, StringType) => UTF8String.fromString(l.toString)
+      case (f: Float, StringType) => UTF8String.fromString(f.toString)
+      case (xs: Seq[_], ArrayType(LongType, _)) =>
+        ArrayData.toArrayData(xs.map(_.asInstanceOf[Long]).toArray)
+      case (xs: Seq[_], ArrayType(FloatType, _)) =>
+        ArrayData.toArrayData(xs.map {
+          case f: Float => f
+          case l: Long => l.toFloat
+        }.toArray)
+      case (other, StringType) => UTF8String.fromString(other.toString)
+      case _ => null
+    }
+  }
+}

@@ -1,0 +1,382 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{CoordSystem, Region}
+import graft.formats.{BamCodec, Bgzf, BgzfRangeInputStream, GenomicIndex, SeekableInputs}
+import graft.formats.Bgzf.VirtualPosition
+import graft.sources.common.LineSourceUtil
+
+/** DSv2 binary BAM reader (SURVEY §2.1 S2-S6).
+  *
+  * Capabilities mirrored from the reference scanner
+  * (`/root/reference/oxbow/src/alignment/scanner/bam.rs`):
+  *  - full scan with BGZF-chunk partitioning planned from the BAI/CSI
+  *    index (`partition_from_index`, `util/index.rs:117-178`) — each
+  *    partition is a virtual-position range, the Spark-native form of
+  *    `scan_virtual_ranges` (S6)
+  *  - indexed region queries: `regions` option or pushed `rname`
+  *    equality → index chunk lookup + per-record overlap re-check (S3)
+  *  - `unmapped=true`: scan from the index's last mapped offset (S4)
+  *  - column pruning skips decode of unneeded fields, limit pushdown,
+  *    tag schema via `tags` option or sampling discovery
+  *
+  * Options: `tags` ("NM:i,MD:Z"), `tag_scan_rows` (default 64, 0=none),
+  * `regions`, `unmapped`, `coords` ("11" default), `maxpartitionbytes`.
+  */
+class BamDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "bam"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = LineSourceUtil.resolvePaths(options)
+    BamSource.schema(LineSourceUtil.optionsMap(options), paths)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new BamTable(schema, LineSourceUtil.resolvePaths(opts),
+      LineSourceUtil.optionsMap(opts))
+  }
+}
+
+object BamSource {
+  val FixedFields: Seq[StructField] = Seq(
+    StructField("qname", StringType), StructField("flag", IntegerType),
+    StructField("rname", StringType), StructField("pos", LongType),
+    StructField("mapq", IntegerType), StructField("cigar", StringType),
+    StructField("rnext", StringType), StructField("pnext", LongType),
+    StructField("tlen", IntegerType), StructField("seq", StringType),
+    StructField("qual", StringType), StructField("end", LongType))
+
+  def schema(options: Map[String, String], paths: Seq[Path]): StructType = {
+    val tagDefs: Seq[(String, Char)] = options.get("tags") match {
+      case Some(spec) => spec.split(",").toSeq.filter(_.nonEmpty).map { td =>
+        val Array(name, code) = td.trim.split(":")
+        (name, code.head)
+      }
+      case None =>
+        val n = options.get("tag_scan_rows").map(_.toInt).getOrElse(64)
+        if (n == 0) Nil else discoverTags(paths.head, n)
+    }
+    if (tagDefs.isEmpty) StructType(FixedFields.toIndexedSeq)
+    else StructType((FixedFields :+ StructField("tags",
+      StructType(tagDefs.map { case (name, c) =>
+        StructField(name, SamTags.sparkType(c))
+      }.toIndexedSeq))).toIndexedSeq)
+  }
+
+  /** Sample the first `scanRows` records for (tag, type) pairs. */
+  private def discoverTags(path: Path, scanRows: Int): Seq[(String, Char)] = {
+    val conf = new Configuration()
+    val fs = path.getFileSystem(conf)
+    val in = new BgzfRangeInputStream(SeekableInputs.forHadoop(fs, path),
+      VirtualPosition(0L), None)
+    val seen = mutable.LinkedHashMap.empty[String, Char]
+    try {
+      val le = new BamCodec.LEInput(in)
+      val header = BamCodec.readHeader(le)
+      val _ = header
+      var n = 0
+      var done = false
+      while (n < scanRows && !done) {
+        le.tryReadInt() match {
+          case None => done = true
+          case Some(blockSize) =>
+            val block = le.readBytes(blockSize)
+            val bb = java.nio.ByteBuffer.wrap(block)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.position(8)
+            val lReadName = bb.get() & 0xff
+            bb.position(12)
+            val nCigar = bb.getShort & 0xffff
+            bb.position(16)
+            val lSeq = bb.getInt
+            bb.position(32 + lReadName + nCigar * 4 + (lSeq + 1) / 2 + lSeq)
+            while (bb.remaining() >= 3) {
+              val tag = new String(Array(bb.get(), bb.get()), "ASCII")
+              val tpe = bb.get().toChar
+              val code: Char = tpe match {
+                case 'B' =>
+                  val sub = bb.get().toChar
+                  val cnt = bb.getInt
+                  skipTagArray(bb, sub, cnt)
+                  if (sub == 'f') 'G' else 'L'
+                case other => skipTagScalar(bb, other); normalize(other)
+              }
+              seen.get(tag) match {
+                case Some(prev) if SamTags.sparkType(prev) !=
+                  SamTags.sparkType(code) => seen(tag) = 'Z'
+                case Some(_) => ()
+                case None => seen(tag) = code
+              }
+            }
+            n += 1
+        }
+      }
+    } finally in.close()
+    seen.toSeq
+  }
+
+  private def normalize(c: Char): Char = c match {
+    case 'c' | 'C' | 's' | 'S' | 'i' | 'I' => 'i'
+    case 'A' | 'H' => 'Z'
+    case other => other
+  }
+
+  private def skipTagScalar(bb: java.nio.ByteBuffer, t: Char): Unit = t match {
+    case 'A' | 'c' | 'C' => bb.get()
+    case 's' | 'S' => bb.getShort
+    case 'i' | 'I' | 'f' => bb.getInt
+    case 'Z' | 'H' => while (bb.get() != 0) ()
+    case other => throw new IllegalArgumentException(s"tag type '$other'")
+  }
+  private def skipTagArray(bb: java.nio.ByteBuffer, t: Char, n: Int): Unit = {
+    val w = t match {
+      case 'c' | 'C' => 1
+      case 's' | 'S' => 2
+      case 'i' | 'I' | 'f' => 4
+      case other => throw new IllegalArgumentException(s"B subtype '$other'")
+    }
+    bb.position(bb.position() + w * n)
+  }
+}
+
+class BamTable(tableSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"bam:${paths.mkString(",")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new BamScanBuilder(tableSchema, paths,
+      options ++ LineSourceUtil.optionsMap(o))
+}
+
+class BamScanBuilder(fullSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("rname", _) => true
+      case In("rname", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def build(): Scan =
+    new BamScan(fullSchema, required, paths, options, pushed, limit)
+}
+
+/** A BAM partition: a virtual-position range of one file, with optional
+  * residual region list (0-based half-open) to re-check per record. */
+case class BamInputPartition(pathStr: String, startVpos: Long, endVpos: Long,
+    regions: Seq[(String, Long, Long)]) extends InputPartition
+
+class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
+    options: Map[String, String], pushed: Array[Filter], limit: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-bam ${paths.mkString(",")}" +
+    (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
+
+  private def parseRegions: Seq[Region] = {
+    val fromOption = options.get("regions").toSeq
+      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val fromFilters: Seq[Region] = pushed.toSeq.flatMap {
+      case EqualTo("rname", v) => Seq(Region(v.toString, 0L, None))
+      case In("rname", vs) => vs.toSeq.map(v => Region(v.toString, 0L, None))
+      case _ => Nil
+    }
+    // regions option takes precedence (more specific)
+    if (fromOption.nonEmpty) fromOption else fromFilters
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    val unmappedOnly = options.get("unmapped").exists(_.toBoolean)
+    val regions = parseRegions
+
+    paths.flatMap { p =>
+      val fs = p.getFileSystem(conf)
+      val fileLen = fs.getFileStatus(p).getLen
+      val index = GenomicIndex.findFor(fs, p)
+      // header end vpos = first record boundary
+      val si = SeekableInputs.forHadoop(fs, p)
+      val headEnd = try {
+        val s = new BgzfRangeInputStream(si, VirtualPosition(0L), None)
+        val le = new BamCodec.LEInput(s)
+        BamCodec.readHeader(le)
+        s.virtualPosition
+      } finally si.close()
+      val eof = VirtualPosition(fileLen, 0)
+
+      if (unmappedOnly) {
+        // start after the last indexed (mapped) chunk
+        val lastMapped = index.flatMap(_.refs.iterator
+          .flatMap(_.bins.valuesIterator.flatMap(_.chunks.map(_.end.value)))
+          .maxOption).map(VirtualPosition(_)).getOrElse(headEnd)
+        Seq(BamInputPartition(p.toString, lastMapped.value, eof.value, Nil))
+      } else if (regions.nonEmpty && index.isDefined) {
+        // S3: indexed region query — resolve chrom → refId via header
+        val si2 = SeekableInputs.forHadoop(fs, p)
+        val header = try {
+          val s = new BgzfRangeInputStream(si2, VirtualPosition(0L), None)
+          BamCodec.readHeader(new BamCodec.LEInput(s))
+        } finally si2.close()
+        val refIds = header.refNames.zipWithIndex.toMap
+        regions.flatMap { r =>
+          refIds.get(r.name).toSeq.flatMap { refId =>
+            val endPos = r.end.getOrElse(
+              header.refLengths(refId).toLong.max(r.start + 1))
+            index.get.query(refId, r.start, endPos).map { ch =>
+              BamInputPartition(p.toString, ch.begin.value, ch.end.value,
+                Seq((r.name, r.start, endPos)))
+            }
+          }
+        }
+      } else {
+        // full scan: split at index-derived record boundaries (R1)
+        val splits = index.map(GenomicIndex.partitionFromIndex(_, maxSplit))
+          .getOrElse(Nil)
+          .filter(v => v.value > headEnd.value && v.compressedOffset < fileLen)
+        val bounds = (headEnd +: splits) :+ eof
+        bounds.sliding(2).collect {
+          case Seq(a, b) if a.value < b.value =>
+            BamInputPartition(p.toString, a.value, b.value,
+              regions.map(r => (r.name, r.start,
+                r.end.getOrElse(Long.MaxValue))))
+        }.toSeq
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BamReaderFactory(fullSchema, required, options, limit)
+}
+
+class BamReaderFactory(fullSchema: StructType, required: StructType,
+    options: Map[String, String], limit: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new BamPartitionReader(fullSchema, required, options, limit,
+      p.asInstanceOf[BamInputPartition])
+}
+
+class BamPartitionReader(fullSchema: StructType, required: StructType,
+    options: Map[String, String], limit: Int, part: BamInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val path = new Path(part.pathStr)
+  private val fs = path.getFileSystem(conf)
+
+  // read the header through a separate stream (ref name dictionary)
+  private val header = {
+    val si = SeekableInputs.forHadoop(fs, path)
+    try {
+      val s = new BgzfRangeInputStream(si, VirtualPosition(0L), None)
+      BamCodec.readHeader(new BamCodec.LEInput(s))
+    } finally si.close()
+  }
+
+  private val stream = new BgzfRangeInputStream(
+    SeekableInputs.forHadoop(fs, path),
+    VirtualPosition(part.startVpos),
+    Some(VirtualPosition(part.endVpos)))
+  private val le = new BamCodec.LEInput(stream)
+
+  private val tagSchema: Option[StructType] =
+    if (fullSchema.fieldNames.contains("tags"))
+      Some(fullSchema("tags").dataType.asInstanceOf[StructType])
+    else None
+  private val need: Array[Boolean] = {
+    val req = required.fieldNames.toSet
+    // region re-check needs rname/pos/end regardless of projection
+    val withRegion =
+      if (part.regions.nonEmpty) req ++ Set("rname", "pos", "end") else req
+    BamSource.FixedFields.map(f => withRegion(f.name)).toArray
+  }
+  private val coords =
+    CoordSystem.fromCode(options.getOrElse("coords", "11"))
+  private val decoder = new BamCodec.RecordDecoder(header, tagSchema, need,
+    posShift = coords match {
+      case CoordSystem.OneBasedClosed => 0L
+      case CoordSystem.ZeroBasedHalfOpen => -1L
+    })
+
+  private val refIdByName = header.refNames.zipWithIndex.toMap
+  private val regionsById: Seq[(Int, Long, Long)] = part.regions.flatMap {
+    case (name, s, e) => refIdByName.get(name).map(id => (id, s, e))
+  }
+
+  private val projIdx: Array[Int] =
+    required.fieldNames.map(fullSchema.fieldIndex)
+  private val identityProj = projIdx.sameElements(fullSchema.indices)
+
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (true) {
+      decoder.read(le) match {
+        case None => return false
+        case Some(rec) =>
+          val keep = regionsById.isEmpty || regionsById.exists {
+            case (id, s, e) =>
+              rec.refId == id && rec.pos0 < e && (rec.pos0 + rec.refLen) > s
+          }
+          if (keep) {
+            current =
+              if (identityProj) rec.row
+              else {
+                val out = new Array[Any](projIdx.length)
+                var i = 0
+                while (i < projIdx.length) {
+                  val idx = projIdx(i)
+                  out(i) = if (rec.row.isNullAt(idx)) null
+                    else rec.row.get(idx, fullSchema(idx).dataType)
+                  i += 1
+                }
+                new GenericInternalRow(out)
+              }
+            emitted += 1
+            return true
+          }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = stream.close()
+}

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.formats.{Bgzf, GenomicIndex}
+
+/** Generates tiny spec-conformant BAM files + BAI indexes for tests
+  * (fixture corpus per FIXTURES.md §1 — generated, not copied). Each
+  * record goes in its own BGZF block so virtual positions are simply
+  * (blockOffset, 0), which keeps the hand-built BAI exact. */
+object BamFixture {
+
+  final case class Rec(qname: String, flag: Int, refId: Int, pos0: Int,
+      mapq: Int, cigar: Seq[(Int, Char)], seq: String, qual: String,
+      tags: Array[Byte] = Array.empty)
+
+  def tagInt(tag: String, v: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(tag(0).toByte).put(tag(1).toByte).put('i'.toByte).putInt(v)
+    bb.array()
+  }
+  def tagStr(tag: String, v: String): Array[Byte] = {
+    val bb = ByteBuffer.allocate(3 + v.length + 1).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(tag(0).toByte).put(tag(1).toByte).put('Z'.toByte)
+    bb.put(v.getBytes("ASCII")).put(0.toByte)
+    bb.array()
+  }
+
+  private def encodeHeader(refs: Seq[(String, Int)]): Array[Byte] = {
+    val text = "@HD\tVN:1.6\n" +
+      refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString
+    val tb = text.getBytes("UTF-8")
+    val size = 4 + 4 + tb.length + 4 +
+      refs.map { case (n, _) => 4 + n.length + 1 + 4 }.sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(Array[Byte]('B', 'A', 'M', 1))
+    bb.putInt(tb.length).put(tb)
+    bb.putInt(refs.size)
+    refs.foreach { case (n, l) =>
+      bb.putInt(n.length + 1).put(n.getBytes("ASCII")).put(0.toByte).putInt(l)
+    }
+    bb.array()
+  }
+
+  private val CigarOps = "MIDNSHP=X"
+  private val SeqCodes = "=ACMGRSVTWYHKDBN"
+
+  private def encodeRecord(r: Rec): Array[Byte] = {
+    val nameB = r.qname.getBytes("ASCII")
+    val nSeq = r.seq.length
+    val seqB = new Array[Byte]((nSeq + 1) / 2)
+    r.seq.zipWithIndex.foreach { case (ch, i) =>
+      val code = SeqCodes.indexOf(ch.toUpper)
+      require(code >= 0, s"bad base $ch")
+      if (i % 2 == 0) seqB(i / 2) = (code << 4).toByte
+      else seqB(i / 2) = (seqB(i / 2) | code).toByte
+    }
+    val qualB =
+      if (r.qual == null) Array.fill[Byte](nSeq)(0xff.toByte)
+      else r.qual.map(c => (c - 33).toByte).toArray
+    val size = 32 + nameB.length + 1 + r.cigar.size * 4 + seqB.length +
+      qualB.length + r.tags.length
+    val bb = ByteBuffer.allocate(4 + size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(size)
+    bb.putInt(r.refId)
+    bb.putInt(if (r.refId < 0) -1 else r.pos0)
+    bb.put((nameB.length + 1).toByte)
+    bb.put(r.mapq.toByte)
+    bb.putShort(0.toShort) // bin (unused by the reader)
+    bb.putShort(r.cigar.size.toShort)
+    bb.putShort(r.flag.toShort)
+    bb.putInt(nSeq)
+    bb.putInt(-1) // next_refID
+    bb.putInt(-1) // next_pos
+    bb.putInt(0)  // tlen
+    bb.put(nameB).put(0.toByte)
+    r.cigar.foreach { case (len, op) =>
+      bb.putInt((len << 4) | CigarOps.indexOf(op))
+    }
+    bb.put(seqB).put(qualB).put(r.tags)
+    bb.array()
+  }
+
+  def refLen(r: Rec): Int = r.cigar.collect {
+    case (n, op) if "MDN=X".indexOf(op.toInt) >= 0 => n
+  }.sum
+
+  /** Write `records` (mapped ones must be sorted by refId, pos) to
+    * `path` (.bam) and a matching `.bam.bai`. Returns per-record block
+    * offsets. */
+  def write(path: String, refs: Seq[(String, Int)], records: Seq[Rec]): Unit = {
+    val out = new FileOutputStream(path)
+    out.write(Bgzf.writeBlock(encodeHeader(refs)))
+    var offset = new java.io.File(path).length()
+    // track (record, blockStart, blockEnd-compressed)
+    val spans = records.map { r =>
+      val blockBytes = Bgzf.writeBlock(encodeRecord(r))
+      out.write(blockBytes)
+      val start = offset
+      offset += blockBytes.length
+      (r, start, offset)
+    }
+    out.write(Bgzf.EofBlock)
+    out.close()
+
+    // ------- BAI
+    val bai = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+    bai.put(Array[Byte]('B', 'A', 'I', 1))
+    bai.putInt(refs.size)
+    (0 until refs.size).foreach { refId =>
+      val mapped = spans.filter { case (r, _, _) =>
+        r.refId == refId && (r.flag & 0x4) == 0
+      }
+      // bin → chunks
+      val bins = mapped.groupBy { case (r, _, _) =>
+        GenomicIndex.reg2bin(r.pos0.toLong, (r.pos0 + math.max(refLen(r), 1)).toLong)
+      }
+      bai.putInt(bins.size)
+      bins.toSeq.sortBy(_._1).foreach { case (bin, rs) =>
+        bai.putInt(bin)
+        bai.putInt(rs.size)
+        rs.foreach { case (_, s, e) =>
+          bai.putLong(s << 16)
+          bai.putLong(e << 16)
+        }
+      }
+      // linear index: 16 KiB windows
+      if (mapped.isEmpty) bai.putInt(0)
+      else {
+        val maxEnd = mapped.map { case (r, _, _) =>
+          r.pos0 + math.max(refLen(r), 1)
+        }.max
+        val nIntv = (maxEnd >> 14) + 1
+        bai.putInt(nIntv)
+        (0 until nIntv).foreach { w =>
+          val lo = mapped.collect {
+            case (r, s, _)
+              if (r.pos0 >> 14) <= w &&
+                ((r.pos0 + math.max(refLen(r), 1) - 1) >> 14) >= w => s << 16
+          }
+          bai.putLong(if (lo.isEmpty) 0L else lo.min)
+        }
+      }
+    }
+    val baiBytes = new Array[Byte](bai.position())
+    bai.rewind(); bai.get(baiBytes)
+    val bo = new FileOutputStream(path + ".bai")
+    bo.write(baiBytes)
+    bo.close()
+  }
+}

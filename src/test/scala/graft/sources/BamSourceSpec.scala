@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.formats.{Bgzf, GenomicIndex, SeekableInputs}
+import graft.sources.BamFixture.{Rec, tagInt, tagStr}
+
+class BamSourceSpec extends SparkSuite {
+
+  private def m(len: Int) = Seq((len, 'M'))
+
+  private lazy val bamPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bam")
+    val p = dir.resolve("sample.bam").toString
+    val refs = Seq(("chr1", 100000), ("chr2", 50000))
+    val records = Seq(
+      Rec("r001", 99, 0, 6, 30, Seq((8, 'M'), (2, 'I'), (4, 'M'), (1, 'D'),
+        (3, 'M')), "TTAGATAAAGGATACTG", null, tagInt("NM", 1) ++ tagStr("MD", "16")),
+      Rec("r002", 0, 0, 100, 20, m(6), "ATAGCT", "FFFFFF", tagInt("NM", 0)),
+      Rec("r003", 16, 0, 20000, 45, m(4), "GGCC", "IIII"),
+      Rec("r004", 0, 1, 15, 23, m(6), "ATAGCT", "FFFFFF"),
+      Rec("r005", 4, -1, -1, 0, Nil, "ACGT", null)) // unmapped, no coords
+    BamFixture.write(p, refs, records)
+    p
+  }
+
+  test("bam: full scan decodes records, computed end, phred qual") {
+    val df = spark.read.format("bam").option("tag_scan_rows", "0").load(bamPath)
+    assert(df.columns.toSeq == Seq("qname", "flag", "rname", "pos", "mapq",
+      "cigar", "rnext", "pnext", "tlen", "seq", "qual", "end"))
+    val rows = df.orderBy("qname").collect()
+    assert(rows.length == 5)
+    // r001: pos0 6 → 1-based 7; CIGAR 8M2I4M1D3M ref len 16 → end 22
+    assert(rows(0).getLong(3) == 7 && rows(0).getLong(11) == 22)
+    assert(rows(0).getString(5) == "8M2I4M1D3M")
+    assert(rows(0).getString(9) == "TTAGATAAAGGATACTG")
+    assert(rows(0).isNullAt(10)) // missing qual (0xff)
+    assert(rows(1).getString(10) == "FFFFFF")
+    // r005 unmapped
+    assert(rows(4).isNullAt(2) && rows(4).isNullAt(3) && rows(4).isNullAt(11))
+    assert(rows(4).getInt(1) == 4)
+  }
+
+  test("bam: binary tag discovery and values") {
+    val df = spark.read.format("bam").load(bamPath)
+    val tags = df.schema("tags").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(tags.fieldNames.toSet == Set("NM", "MD"))
+    val r1 = df.where(col("qname") === "r001").select("tags").collect()(0)
+      .getStruct(0)
+    assert(r1.getLong(0) == 1 && r1.getString(1) == "16")
+  }
+
+  test("bam: indexed region query returns only overlapping records") {
+    val df = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("regions", "chr1:1-200")
+      .load(bamPath)
+    assert(df.select("qname").collect().map(_.getString(0)).toSet ==
+      Set("r001", "r002"))
+    val df2 = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("regions", "chr2")
+      .load(bamPath)
+    assert(df2.select("qname").collect().map(_.getString(0)).toSet ==
+      Set("r004"))
+  }
+
+  test("bam: pushed rname filter prunes partitions via index") {
+    val df = spark.read.format("bam").option("tag_scan_rows", "0")
+      .load(bamPath)
+      .where(col("rname") === "chr2")
+    assert(df.select("qname").collect().map(_.getString(0)).toSet ==
+      Set("r004"))
+  }
+
+  test("bam: unmapped scan starts after last mapped chunk") {
+    val df = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("unmapped", "true")
+      .load(bamPath)
+    assert(df.select("qname").collect().map(_.getString(0)).toSet ==
+      Set("r005"))
+  }
+
+  test("bam: index-derived splits cover all records exactly once") {
+    val df = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("maxpartitionbytes", "1") // force a split at every boundary
+      .load(bamPath)
+    assert(df.rdd.getNumPartitions > 1)
+    assert(df.count() == 5)
+    assert(df.select("qname").distinct().count() == 5)
+  }
+
+  test("bam: coords=01 zero-based positions") {
+    val df = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("coords", "01").load(bamPath)
+    val r = df.where(col("qname") === "r001").collect()(0)
+    assert(r.getLong(3) == 6 && r.getLong(11) == 22) // end identical value
+  }
+
+  test("bgzf: block round-trip and virtual-position range reads") {
+    val payload = (0 until 3).map(i => s"block$i payload".getBytes("UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bgzf")
+    val f = dir.resolve("t.bgzf")
+    val out = new java.io.FileOutputStream(f.toString)
+    payload.foreach(p => out.write(Bgzf.writeBlock(p)))
+    out.write(Bgzf.EofBlock)
+    out.close()
+    // whole-stream read
+    val s1 = new graft.formats.BgzfRangeInputStream(
+      SeekableInputs.forLocal(f.toString), Bgzf.VirtualPosition(0, 0), None)
+    val all = new String(s1.readAllBytes(), "UTF-8")
+    s1.close()
+    assert(all == payload.map(new String(_, "UTF-8")).mkString)
+    // range read from block 1, skipping "block1 " (7 bytes)
+    val block0Size = Bgzf.writeBlock(payload(0)).length
+    val s2 = new graft.formats.BgzfRangeInputStream(
+      SeekableInputs.forLocal(f.toString),
+      Bgzf.VirtualPosition(block0Size.toLong, 7), None)
+    val tail = new String(s2.readAllBytes(), "UTF-8")
+    s2.close()
+    assert(tail == "payloadblock2 payload")
+  }
+
+  test("index: reg2bins covers reg2bin of contained intervals") {
+    val rng = new scala.util.Random(1)
+    (1 to 200).foreach { _ =>
+      val beg = rng.nextInt(1 << 28).toLong
+      val len = 1 + rng.nextInt(10000)
+      val bin = GenomicIndex.reg2bin(beg, beg + len)
+      val bins = GenomicIndex.reg2bins(beg, beg + len, 14, 5)
+      assert(bins.contains(bin))
+    }
+  }
+}
