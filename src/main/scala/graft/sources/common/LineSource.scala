@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.{CoordSystem, Region}
+import graft.formats.{Bgzf, GenomicIndex}
 
 /** Shared DataSource V2 infrastructure for the genomic text formats.
   *
@@ -176,12 +177,15 @@ class LineScanBuilder(format: LineFormat, fullSchema: StructType,
     new LineScan(format, fullSchema, required, paths, options, pushed, limit)
 }
 
-/** One input split: [start, end) byte range of a file (whole file when the
-  * codec is not splittable). The reader aligns to newline boundaries:
-  * skip the first partial line unless start==0, read through the first
-  * newline past `end`. */
+/** One input split. Three addressing modes:
+  *  - plain text: [start, end) byte range, newline-aligned by the reader
+  *    (skip first partial line unless start==0, read past `end` to EOL)
+  *  - gzip: whole file, single partition (`gzip=true`)
+  *  - BGZF + tabix index: [vposStart, vposEnd) virtual-position range
+  *    whose bounds are record starts (`vpos=true`) — the analogue of the
+  *    reference's scan_virtual_ranges (S6) for coordinate text. */
 case class LineInputPartition(pathStr: String, start: Long, end: Long,
-    gzip: Boolean) extends InputPartition
+    gzip: Boolean, vpos: Boolean = false) extends InputPartition
 
 class LineScan(format: LineFormat, fullSchema: StructType,
     required: StructType, paths: Seq[Path], options: Map[String, String],
@@ -196,12 +200,57 @@ class LineScan(format: LineFormat, fullSchema: StructType,
     val conf = new Configuration()
     val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
+    // regions requested via option or pushed chrom equality
+    val regions: Seq[graft.core.Region] = {
+      val fromOpt = options.get("regions").toSeq
+        .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+        .map(graft.core.Region.parse(_, graft.core.CoordSystem.OneBasedClosed))
+      val fromFilters = format.regionColumns.toSeq.flatMap { case (c, _, _) =>
+        pushed.toSeq.flatMap {
+          case EqualTo(a, v) if a == c =>
+            Seq(graft.core.Region(v.toString, 0L, None))
+          case In(a, vs) if a == c =>
+            vs.toSeq.map(v => graft.core.Region(v.toString, 0L, None))
+          case _ => Nil
+        }
+      }
+      if (fromOpt.nonEmpty) fromOpt else fromFilters
+    }
     paths.flatMap { p =>
       val fs = p.getFileSystem(conf)
       val len = fs.getFileStatus(p).getLen
-      if (LineSourceUtil.isGzip(p) || !format.splittable || len <= maxSplit) {
-        Seq(LineInputPartition(p.toString, 0L, Long.MaxValue,
-          LineSourceUtil.isGzip(p)))
+      if (LineSourceUtil.isGzip(p)) {
+        // BGZF + tabix index → vpos partitions (region chunks or splits)
+        GenomicIndex.findFor(fs, p) match {
+          case Some(index) if regions.nonEmpty =>
+            regions.flatMap { r =>
+              index.names.get(r.name).toSeq.flatMap { refId =>
+                val endPos = r.end.getOrElse(Long.MaxValue >> 16)
+                index.query(refId, r.start, endPos).map { ch =>
+                  LineInputPartition(p.toString, ch.begin.value,
+                    ch.end.value, gzip = false, vpos = true)
+                }
+              }
+            }
+          case Some(index) if format.splittable =>
+            val splits = GenomicIndex.partitionFromIndex(index, maxSplit)
+              .filter(_.compressedOffset < len)
+            if (splits.isEmpty)
+              Seq(LineInputPartition(p.toString, 0L, Long.MaxValue, gzip = true))
+            else {
+              val bounds = (Bgzf.VirtualPosition(0L) +: splits) :+
+                Bgzf.VirtualPosition(len, 0)
+              bounds.sliding(2).collect {
+                case Seq(a, b) if a.value < b.value =>
+                  LineInputPartition(p.toString, a.value, b.value,
+                    gzip = false, vpos = true)
+              }.toSeq
+            }
+          case _ =>
+            Seq(LineInputPartition(p.toString, 0L, Long.MaxValue, gzip = true))
+        }
+      } else if (!format.splittable || len <= maxSplit) {
+        Seq(LineInputPartition(p.toString, 0L, Long.MaxValue, gzip = false))
       } else {
         (0L until len by maxSplit).map { off =>
           LineInputPartition(p.toString, off, math.min(off + maxSplit, len),
@@ -230,21 +279,33 @@ class LineReader(format: LineFormat, fullSchema: StructType,
 
   private val conf = new Configuration()
   private val path = new Path(part.pathStr)
-  private val fsIn = path.getFileSystem(conf).open(path)
   private val reader: BufferedReader = {
-    if (part.gzip) {
+    if (part.vpos) {
+      // BGZF virtual-position range; bounds are record starts, so the
+      // stream ends exactly at a line boundary
+      val si = graft.formats.SeekableInputs.forHadoop(
+        path.getFileSystem(conf), path)
       new BufferedReader(new InputStreamReader(
-        new GZIPInputStream(fsIn), StandardCharsets.UTF_8))
+        new graft.formats.BgzfRangeInputStream(si,
+          graft.formats.Bgzf.VirtualPosition(part.start),
+          Some(graft.formats.Bgzf.VirtualPosition(part.end))),
+        StandardCharsets.UTF_8))
     } else {
-      if (part.start > 0) fsIn.seek(part.start)
-      new BufferedReader(
-        new InputStreamReader(fsIn, StandardCharsets.UTF_8))
+      val fsIn = path.getFileSystem(conf).open(path)
+      if (part.gzip) {
+        new BufferedReader(new InputStreamReader(
+          new GZIPInputStream(fsIn), StandardCharsets.UTF_8))
+      } else {
+        if (part.start > 0) fsIn.seek(part.start)
+        new BufferedReader(
+          new InputStreamReader(fsIn, StandardCharsets.UTF_8))
+      }
     }
   }
   // Byte position tracking for split boundaries (approximate by re-encoded
   // line length + 1; exact for ASCII genomic text).
   private var pos: Long = part.start
-  private var startedMidLine = part.start > 0
+  private var startedMidLine = !part.gzip && !part.vpos && part.start > 0
   private val parser = format.newParser(fullSchema, options)
 
   // region/filter predicate from `regions` option + pushed filters
@@ -342,8 +403,9 @@ class LineReader(format: LineFormat, fullSchema: StructType,
       startedMidLine = false
       // Hadoop line-split ownership: this split owns every line it reads
       // (except the skipped partial first line); the line whose end
-      // crosses part.end is the last owned one.
-      if (!part.gzip && pos > part.end) exhausted = true
+      // crosses part.end is the last owned one. (vpos streams end exactly
+      // at a record boundary instead.)
+      if (!part.gzip && !part.vpos && pos > part.end) exhausted = true
       if (!skip && (line.nonEmpty || !format.skipEmptyLines) &&
           !format.commentPrefixes.exists(p => p.nonEmpty && line.startsWith(p))) {
         pending ++= parser.parseMany(line)
