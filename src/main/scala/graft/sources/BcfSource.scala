@@ -1,0 +1,449 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{CoordSystem, Region}
+import graft.formats.{BamCodec, BcfCodec, Bgzf, BgzfRangeInputStream, GenomicIndex, SeekableInputs}
+import graft.formats.Bgzf.VirtualPosition
+import graft.sources.common.LineSourceUtil
+
+/** DSv2 binary BCF reader (SURVEY §2.1 S9).
+  *
+  * Same row shape as the VCF text reader (drop-in interchangeable, like
+  * the reference's vcf/bcf scanner pair `variant/scanner/{vcf,bcf}.rs`):
+  * fixed columns + header-driven `info` struct + `samples` struct with GT
+  * special-casing, both genotype layouts. BGZF + CSI partitioning and
+  * region queries ride the same index machinery as BAM.
+  *
+  * Options: `include_samples`, `genotype_by`, `samples`, `info_fields`,
+  * `coords` ("11" default), `regions`, `maxpartitionbytes`.
+  */
+class BcfDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "bcf"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = LineSourceUtil.resolvePaths(options)
+    val opts = LineSourceUtil.optionsMap(options)
+    val headerText = BcfSource.readHeaderText(paths.head)
+    BcfSource.schemaFromHeader(headerText, opts)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new BcfTable(schema, LineSourceUtil.resolvePaths(opts),
+      LineSourceUtil.optionsMap(opts))
+  }
+}
+
+object BcfSource {
+
+  def readHeaderText(path: Path): String = {
+    val fs = path.getFileSystem(new Configuration())
+    val si = SeekableInputs.forHadoop(fs, path)
+    try {
+      val s = new BgzfRangeInputStream(si, VirtualPosition(0L), None)
+      val le = new BamCodec.LEInput(s)
+      val magic = le.readBytes(3)
+      require(magic.sameElements("BCF".getBytes), "bad BCF magic")
+      le.readBytes(2) // version major.minor
+      val lText = le.readInt()
+      new String(le.readBytes(lText), "UTF-8").takeWhile(_ != '\u0000')
+    } finally si.close()
+  }
+
+  /** End-of-header virtual position (first record boundary). */
+  def headerEndVpos(path: Path): VirtualPosition = {
+    val fs = path.getFileSystem(new Configuration())
+    val si = SeekableInputs.forHadoop(fs, path)
+    try {
+      val s = new BgzfRangeInputStream(si, VirtualPosition(0L), None)
+      val le = new BamCodec.LEInput(s)
+      le.readBytes(5)
+      val lText = le.readInt()
+      le.readBytes(lText)
+      s.virtualPosition
+    } finally si.close()
+  }
+
+  /** Same schema construction as the VCF text source, driven by the
+    * embedded header text. */
+  def schemaFromHeader(headerText: String,
+      options: Map[String, String]): StructType = {
+    // reuse the VCF header model by parsing the text lines
+    val info = scala.collection.mutable.ArrayBuffer.empty[VcfTypeDef]
+    val format = scala.collection.mutable.ArrayBuffer.empty[VcfTypeDef]
+    var samples: Seq[String] = Nil
+    val DefRe = """##(INFO|FORMAT)=<(.+)>""".r
+    headerText.linesIterator.foreach {
+      case DefRe(kind, body) =>
+        val attrs = body.split(",").flatMap { p =>
+          val eq = p.indexOf('=')
+          if (eq > 0) Some(p.substring(0, eq) -> p.substring(eq + 1)) else None
+        }.toMap
+        val d = VcfTypeDef(attrs.getOrElse("ID", ""),
+          attrs.getOrElse("Number", "."), attrs.getOrElse("Type", "String"))
+        if (d.id.nonEmpty) { if (kind == "INFO") info += d else format += d }
+      case l if l.startsWith("#CHROM") =>
+        val cols = l.split("\t")
+        if (cols.length > 9) samples = cols.drop(9).toSeq
+      case _ => ()
+    }
+    val fixed = Seq(
+      StructField("chrom", StringType), StructField("pos", LongType),
+      StructField("id", ArrayType(StringType)), StructField("ref", StringType),
+      StructField("alt", ArrayType(StringType)),
+      StructField("qual", FloatType),
+      StructField("filter", ArrayType(StringType)))
+    val infoSubset = options.get("info_fields")
+      .map(_.split(",").map(_.trim).toSet)
+    val infoDefs = info.toSeq.filter(d => infoSubset.forall(_.contains(d.id)))
+    val infoField =
+      if (infoDefs.isEmpty) None
+      else Some(StructField("info", StructType(infoDefs.map(d =>
+        StructField(d.id, d.sparkType)).toIndexedSeq)))
+    val includeSamples = options.getOrElse("include_samples", "true").toBoolean
+    val sampleSubset = options.get("samples")
+      .map(_.split(",").map(_.trim).toSet)
+    val keptSamples = samples.filter(s => sampleSubset.forall(_.contains(s)))
+    val samplesField =
+      if (!includeSamples || keptSamples.isEmpty || format.isEmpty) None
+      else {
+        val byField = options.getOrElse("genotype_by", "sample") == "field"
+        val st =
+          if (byField)
+            StructType(format.toSeq.map(d => StructField(d.id,
+              StructType(keptSamples.map(s =>
+                StructField(s, d.sparkType)).toIndexedSeq))).toIndexedSeq)
+          else
+            StructType(keptSamples.map(s => StructField(s,
+              StructType(format.toSeq.map(d =>
+                StructField(d.id, d.sparkType)).toIndexedSeq))).toIndexedSeq)
+        Some(StructField("samples", st))
+      }
+    StructType((fixed ++ infoField ++ samplesField).toIndexedSeq)
+  }
+}
+
+class BcfTable(tableSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"bcf:${paths.mkString(",")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new BcfScanBuilder(tableSchema, paths,
+      options ++ LineSourceUtil.optionsMap(o))
+}
+
+class BcfScanBuilder(fullSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("chrom", _) => true
+      case In("chrom", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def build(): Scan =
+    new BcfScan(fullSchema, required, paths, options, pushed, limit)
+}
+
+case class BcfInputPartition(pathStr: String, startVpos: Long, endVpos: Long,
+    regions: Seq[(String, Long, Long)]) extends InputPartition
+
+class BcfScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
+    options: Map[String, String], pushed: Array[Filter], limit: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-bcf ${paths.mkString(",")}" +
+    (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
+
+  private def parseRegions: Seq[Region] = {
+    val fromOpt = options.get("regions").toSeq
+      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val fromFilters: Seq[Region] = pushed.toSeq.flatMap {
+      case EqualTo("chrom", v) => Seq(Region(v.toString, 0L, None))
+      case In("chrom", vs) => vs.toSeq.map(v => Region(v.toString, 0L, None))
+      case _ => Nil
+    }
+    if (fromOpt.nonEmpty) fromOpt else fromFilters
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    val regions = parseRegions
+    paths.flatMap { p =>
+      val fs = p.getFileSystem(conf)
+      val fileLen = fs.getFileStatus(p).getLen
+      val index = GenomicIndex.findFor(fs, p)
+      val headEnd = BcfSource.headerEndVpos(p)
+      val eof = VirtualPosition(fileLen, 0)
+      if (regions.nonEmpty && index.isDefined) {
+        val dict = BcfCodec.dictionaries(BcfSource.readHeaderText(p))
+        val refIds = dict.contigs.zipWithIndex.toMap
+        regions.flatMap { r =>
+          refIds.get(r.name).toSeq.flatMap { refId =>
+            val endPos = r.end.getOrElse(Long.MaxValue >> 17)
+            index.get.query(refId, r.start, endPos).map { ch =>
+              BcfInputPartition(p.toString, ch.begin.value, ch.end.value,
+                Seq((r.name, r.start, endPos)))
+            }
+          }
+        }
+      } else {
+        val splits = index.map(GenomicIndex.partitionFromIndex(_, maxSplit))
+          .getOrElse(Nil)
+          .filter(v => v.value > headEnd.value && v.compressedOffset < fileLen)
+        val bounds = (headEnd +: splits) :+ eof
+        bounds.sliding(2).collect {
+          case Seq(a, b) if a.value < b.value =>
+            BcfInputPartition(p.toString, a.value, b.value,
+              regions.map(r => (r.name, r.start,
+                r.end.getOrElse(Long.MaxValue))))
+        }.toSeq
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BcfReaderFactory(fullSchema, required, options, limit)
+}
+
+class BcfReaderFactory(fullSchema: StructType, required: StructType,
+    options: Map[String, String], limit: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new BcfPartitionReader(fullSchema, required, options, limit,
+      p.asInstanceOf[BcfInputPartition])
+}
+
+class BcfPartitionReader(fullSchema: StructType, required: StructType,
+    options: Map[String, String], limit: Int, part: BcfInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val path = new Path(part.pathStr)
+  private val fs = path.getFileSystem(new Configuration())
+  private val headerText = BcfSource.readHeaderText(path)
+  private val dict = BcfCodec.dictionaries(headerText)
+  private val byField = options.getOrElse("genotype_by", "sample") == "field"
+  private val shift = -1L - CoordSystem.fromCode(
+    options.getOrElse("coords", "11")).startOffset
+
+  private val stream = new BgzfRangeInputStream(
+    SeekableInputs.forHadoop(fs, path),
+    VirtualPosition(part.startVpos), Some(VirtualPosition(part.endVpos)))
+  private val le = new BamCodec.LEInput(stream)
+
+  private val infoSchema: Option[StructType] =
+    fullSchema.fieldNames.find(_ == "info").map(_ =>
+      fullSchema("info").dataType.asInstanceOf[StructType])
+  private val samplesSchema: Option[StructType] =
+    fullSchema.fieldNames.find(_ == "samples").map(_ =>
+      fullSchema("samples").dataType.asInstanceOf[StructType])
+
+  private val regionsById: Seq[(Int, Long, Long)] = {
+    val ids = dict.contigs.zipWithIndex.toMap
+    part.regions.flatMap { case (n, s, e) => ids.get(n).map(id => (id, s, e)) }
+  }
+
+  private val projIdx: Array[Int] =
+    required.fieldNames.map(fullSchema.fieldIndex)
+  private val identityProj = projIdx.sameElements(fullSchema.indices)
+
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (true) {
+      BcfCodec.readRecord(le) match {
+        case None => return false
+        case Some(rec) =>
+          val keep = regionsById.isEmpty || regionsById.exists {
+            case (id, s, e) =>
+              rec.contigId == id && rec.pos0 < e && (rec.pos0 + rec.rlen) > s
+          }
+          if (keep) {
+            current = project(toRow(rec))
+            emitted += 1
+            return true
+          }
+      }
+    }
+    false
+  }
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  private def toRow(rec: BcfCodec.BcfRecord): InternalRow = {
+    val chromName =
+      if (rec.contigId >= 0 && rec.contigId < dict.contigs.size)
+        utf8(dict.contigs(rec.contigId))
+      else null
+    val fixed = Array[Any](
+      chromName,
+      rec.pos0 + 1 + shift,
+      if (rec.ids.isEmpty) null
+      else ArrayData.toArrayData(rec.ids.map(utf8).toArray),
+      if (rec.ref.isEmpty) null else utf8(rec.ref),
+      if (rec.alts.isEmpty) null
+      else ArrayData.toArrayData(rec.alts.map(utf8).toArray),
+      rec.qual.map(Float.box).orNull,
+      if (rec.filters.isEmpty) null
+      else ArrayData.toArrayData(rec.filters.map(i =>
+        utf8(dict.strings(i))).toArray))
+
+    val infoVal: Seq[Any] = infoSchema.toSeq.map { is =>
+      val arr = new Array[Any](is.length)
+      rec.info.foreach { case (keyIdx, v) =>
+        if (keyIdx < dict.strings.size) {
+          val name = dict.strings(keyIdx)
+          val fi = is.fieldNames.indexOf(name)
+          if (fi >= 0) arr(fi) = convert(is(fi).dataType, v)
+        }
+      }
+      new GenericInternalRow(arr)
+    }
+
+    val samplesVal: Seq[Any] = samplesSchema.toSeq.map { ss =>
+      // formats: key dict idx → per-sample values
+      val byName: Map[String, IndexedSeq[Any]] = rec.formats.flatMap {
+        case (k, vals) if k < dict.strings.size => Some(dict.strings(k) -> vals)
+        case _ => None
+      }.toMap
+      if (byField) {
+        val arr = new Array[Any](ss.length)
+        ss.fields.zipWithIndex.foreach { case (fieldF, i) =>
+          val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
+          val inner = new Array[Any](sampleStruct.length)
+          byName.get(fieldF.name).foreach { vals =>
+            (0 until math.min(vals.size, sampleStruct.length)).foreach { j =>
+              inner(j) = convertSample(fieldF.name,
+                sampleStruct(j).dataType, vals(j))
+            }
+          }
+          arr(i) = new GenericInternalRow(inner)
+        }
+        new GenericInternalRow(arr)
+      } else {
+        val arr = new Array[Any](ss.length)
+        ss.fields.zipWithIndex.foreach { case (sampleF, j) =>
+          val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
+          val inner = new Array[Any](fieldStruct.length)
+          fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
+            byName.get(ff.name).foreach { vals =>
+              if (j < vals.size)
+                inner(i) = convertSample(ff.name, ff.dataType, vals(j))
+            }
+          }
+          arr(j) = new GenericInternalRow(inner)
+        }
+        new GenericInternalRow(arr)
+      }
+    }
+    new GenericInternalRow(fixed ++ infoVal ++ samplesVal)
+  }
+
+  private def convert(dt: DataType, v: Any): Any = (dt, v) match {
+    case (BooleanType, _) => true // Flag: presence means true, value is void
+    case (_, null) => null
+    case (LongType, l: java.lang.Long) => l.longValue()
+    case (LongType, xs: Seq[_]) => xs.headOption.map {
+      case l: java.lang.Long => l.longValue()
+      case _ => null
+    }.orNull
+    case (FloatType, f: java.lang.Float) => f.floatValue()
+    case (StringType, s: String) => utf8(s)
+    case (StringType, other) => utf8(other.toString)
+    case (ArrayType(LongType, _), xs: Seq[_]) =>
+      ArrayData.toArrayData(xs.map {
+        case l: java.lang.Long => l
+        case _ => null
+      }.toArray)
+    case (ArrayType(LongType, _), l: java.lang.Long) =>
+      ArrayData.toArrayData(Array(l))
+    case (ArrayType(FloatType, _), xs: Seq[_]) =>
+      ArrayData.toArrayData(xs.map {
+        case f: java.lang.Float => f
+        case _ => null
+      }.toArray)
+    case (ArrayType(FloatType, _), f: java.lang.Float) =>
+      ArrayData.toArrayData(Array(f))
+    case (ArrayType(StringType, _), s: String) =>
+      ArrayData.toArrayData(s.split(",").map(utf8))
+    case _ => null
+  }
+
+  /** FORMAT conversion with the GT special case: BCF encodes GT as int
+    * vector (allele+1)<<1 | phased. */
+  private def convertSample(name: String, dt: DataType, v: Any): Any = {
+    dt match {
+      case ArrayType(st: StructType, _) if name == "GT" &&
+          st.fieldNames.sameElements(Array("allele", "phased")) =>
+        val ints: Seq[Any] = v match {
+          case l: java.lang.Long => Seq(l)
+          case xs: Seq[_] => xs
+          case _ => return null
+        }
+        if (ints.isEmpty) null
+        else ArrayData.toArrayData(ints.map {
+          case l: java.lang.Long =>
+            val enc = l.toInt
+            val allele = (enc >> 1) - 1
+            new GenericInternalRow(Array[Any](
+              if (allele < 0) null else allele, (enc & 1) == 1))
+          case _ =>
+            new GenericInternalRow(Array[Any](null, false))
+        }.toArray)
+      case other => convert(other, v)
+    }
+  }
+
+  private def project(row: InternalRow): InternalRow =
+    if (identityProj) row
+    else {
+      val out = new Array[Any](projIdx.length)
+      var i = 0
+      while (i < projIdx.length) {
+        val idx = projIdx(i)
+        out(i) = if (row.isNullAt(idx)) null
+          else row.get(idx, fullSchema(idx).dataType)
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = stream.close()
+}
