@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.sources.BbiFixture.{BedItem, WigSection, Zoom}
+
+class BbiSourcesSpec extends SparkSuite {
+
+  private val chroms = Seq(("chr1", 0), ("chr2", 1))
+
+  private lazy val bigwigPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbi")
+    val p = dir.resolve("s.bw").toString
+    BbiFixture.write(p, chroms,
+      wigSections = Seq(
+        WigSection(0, 1, 100, 0, 0, // bedGraph
+          Seq((100L, 200L, 1.5f), (200L, 300L, 2.5f))),
+        WigSection(1, 2, 0, 0, 50,  // varStep span 50
+          Seq((0L, 50L, 5.0f), (100L, 150L, 7.0f))),
+        WigSection(0, 3, 1000, 100, 100, // fixedStep
+          Seq((0L, 0L, 9.0f), (0L, 0L, 10.0f)))),
+      bedItems = Nil,
+      zooms = Seq(
+        Zoom(0, 0, 1000, 200, 1.5f, 2.5f, 400f, 850f),
+        Zoom(0, 1000, 2000, 200, 9f, 10f, 1900f, 18100f)))
+    p
+  }
+
+  private lazy val bigbedPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbi")
+    val p = dir.resolve("s.bb").toString
+    BbiFixture.write(p, chroms,
+      wigSections = Nil,
+      bedItems = Seq(
+        BedItem(0, 10, 50, "feat1\t960"),
+        BedItem(0, 60, 90, "feat2\t3"),
+        BedItem(1, 5, 25, "feat3\t77")),
+      zooms = Nil)
+    p
+  }
+
+  test("bigwig: bedGraph, varStep and fixedStep sections decode") {
+    val df = spark.read.format("bigwig").load(bigwigPath)
+    assert(df.columns.toSeq == Seq("chrom", "start", "end", "value"))
+    val rows = df.orderBy("chrom", "start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getFloat(3)))
+    assert(rows.toSeq == Seq(
+      ("chr1", 100L, 200L, 1.5f), ("chr1", 200L, 300L, 2.5f),
+      ("chr1", 1000L, 1100L, 9.0f), ("chr1", 1100L, 1200L, 10.0f),
+      ("chr2", 0L, 50L, 5.0f), ("chr2", 100L, 150L, 7.0f)))
+  }
+
+  test("bigwig: r-tree region query reads only overlapping sections") {
+    val df = spark.read.format("bigwig")
+      .option("regions", "chr1:[150,250)")
+      .load(bigwigPath)
+    // section-level prune + residual overlap check
+    val rows = df.collect().map(r => (r.getLong(1), r.getFloat(3)))
+    assert(rows.toSet == Set((100L, 1.5f), (200L, 2.5f)))
+    assert(df.rdd.getNumPartitions == 1) // only the chr1 bedGraph section
+  }
+
+  test("bigwig: zoom_level reads stored summary records") {
+    val df = spark.read.format("bigwig").option("zoom_level", "0")
+      .load(bigwigPath)
+    assert(df.columns.toSeq == Seq("chrom", "start", "end", "bases_covered",
+      "min_val", "max_val", "sum_val", "sum_squares"))
+    val rows = df.orderBy("start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "chr1" && rows(0).getLong(3) == 200 &&
+      rows(0).getDouble(4) == 1.5 && rows(0).getDouble(5) == 2.5)
+    assert(rows(1).getDouble(6) == 1900.0)
+  }
+
+  test("bigbed: rest column and typed field dissection") {
+    val df = spark.read.format("bigbed").load(bigbedPath)
+    assert(df.columns.toSeq == Seq("chrom", "start", "end", "rest"))
+    val r = df.orderBy("chrom", "start").collect()
+    assert(r.length == 3 && r(0).getString(3) == "feat1\t960")
+
+    val typed = spark.read.format("bigbed")
+      .option("fields", "name:string,score:int")
+      .load(bigbedPath)
+    assert(typed.columns.toSeq == Seq("chrom", "start", "end", "name", "score"))
+    val t = typed.orderBy("chrom", "start").collect()
+    assert(t(0).getString(3) == "feat1" && t(0).getInt(4) == 960)
+    assert(t(2).getString(3) == "feat3" && t(2).getInt(4) == 77)
+  }
+
+  test("bigbed: pushed chrom filter prunes sections") {
+    val df = spark.read.format("bigbed").load(bigbedPath)
+      .where(col("chrom") === "chr2")
+    assert(df.collect().map(_.getLong(1)).toSeq == Seq(5L))
+  }
+}
