@@ -1,0 +1,105 @@
+package graft.formats
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.core.Region
+
+/** FASTA .fai index: per-sequence (length, byte offset, bases per line,
+  * bytes per line), enabling O(1) seek-based subsequence slicing — the
+  * fast path behind the reference's FASTA region queries
+  * (`/root/reference/oxbow/src/sequence/scanner/fasta.rs:105-121`).
+  * Format per the samtools faidx documentation.
+  */
+object FaiIndex {
+
+  final case class Entry(name: String, length: Long, offset: Long,
+      lineBases: Long, lineWidth: Long)
+
+  def parse(text: String): Seq[Entry] =
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val c = line.split("\t")
+      require(c.length >= 5, s"malformed .fai line: '$line'")
+      Entry(c(0), c(1).toLong, c(2).toLong, c(3).toLong, c(4).toLong)
+    }.toSeq
+
+  def readFor(fastaPath: Path, conf: Configuration): Option[Seq[Entry]] = {
+    val fai = new Path(fastaPath.toString + ".fai")
+    val fs = fai.getFileSystem(conf)
+    if (!fs.exists(fai)) None
+    else {
+      val in = fs.open(fai)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(fai).getLen.toInt)
+        in.readFully(bytes)
+        Some(parse(new String(bytes, "UTF-8")))
+      } finally in.close()
+    }
+  }
+
+  /** Byte offset of 0-based base `pos` within the entry's sequence. */
+  def byteOffset(e: Entry, pos: Long): Long =
+    e.offset + (pos / e.lineBases) * e.lineWidth + (pos % e.lineBases)
+
+  /** Seek-based slice of [region.start, region.end) — reads only the
+    * bytes covering the requested bases, never the whole record. */
+  def slice(in: Bgzf.SeekableInput, e: Entry, region: Region): String = {
+    val start = math.min(region.start, e.length)
+    val end = math.min(region.end.getOrElse(e.length), e.length)
+    if (end <= start) return ""
+    val byteStart = byteOffset(e, start)
+    val byteEnd = byteOffset(e, end - 1) + 1
+    val buf = new Array[Byte]((byteEnd - byteStart).toInt)
+    in.seek(byteStart)
+    in.readFully(buf, 0, buf.length)
+    val sb = new java.lang.StringBuilder((end - start).toInt)
+    buf.foreach { b =>
+      if (b != '\n' && b != '\r') sb.append(b.toChar)
+    }
+    sb.toString
+  }
+}
+
+/** Catalog-style metadata surface (SURVEY §2.5 M5): sequence dictionaries
+  * from whichever companion metadata a file carries. */
+object GraftMeta {
+
+  /** chrom → size for a FASTA (.fai), BAM (header dictionary), or
+    * BigWig/BigBed (chrom B+ tree). */
+  def chromSizes(path: String): Map[String, Long] = {
+    val p = new Path(path)
+    val conf = new Configuration()
+    val lower = p.getName.toLowerCase
+    if (lower.endsWith(".bam")) {
+      val fs = p.getFileSystem(conf)
+      val si = SeekableInputs.forHadoop(fs, p)
+      try {
+        val s = new BgzfRangeInputStream(si, Bgzf.VirtualPosition(0L), None)
+        val h = BamCodec.readHeader(new BamCodec.LEInput(s))
+        h.refNames.zip(h.refLengths.map(_.toLong)).toMap
+      } finally si.close()
+    } else if (lower.endsWith(".bw") || lower.endsWith(".bigwig") ||
+        lower.endsWith(".bb") || lower.endsWith(".bigbed")) {
+      val fs = p.getFileSystem(conf)
+      val in = SeekableInputs.forHadoop(fs, p)
+      try {
+        val h = BbiCodec.readHeader(in)
+        BbiCodec.readChroms(in, h).map(c => c.name -> c.size).toMap
+      } finally in.close()
+    } else {
+      FaiIndex.readFor(p, conf)
+        .map(_.map(e => e.name -> e.length).toMap)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no chrom metadata source for $path (need .bam/.bw/.bb or a .fai)"))
+    }
+  }
+
+  /** Zoom levels (reduction factors) of a BBI file. */
+  def zoomLevels(path: String): Seq[Int] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = SeekableInputs.forHadoop(fs, p)
+    try BbiCodec.readHeader(in).zoomLevels.map(_.reductionLevel)
+    finally in.close()
+  }
+}

@@ -272,6 +272,11 @@ class LineReaderFactory(format: LineFormat, fullSchema: StructType,
       p.asInstanceOf[LineInputPartition])
 }
 
+object LineReader {
+  private[common] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[LineReader])
+}
+
 class LineReader(format: LineFormat, fullSchema: StructType,
     required: StructType, options: Map[String, String], pushed: Array[Filter],
     limit: Int, part: LineInputPartition)
@@ -375,6 +380,23 @@ class LineReader(format: LineFormat, fullSchema: StructType,
     }
   }
 
+  // Malformed-record policy (SURVEY §4.2): FAILFAST (default) surfaces
+  // parse errors; PERMISSIVE logs and skips the record, like the
+  // reference's discovery paths (`bam.rs:131-145`).
+  private val permissive =
+    options.getOrElse("mode", "FAILFAST").equalsIgnoreCase("permissive")
+  private var skipped = 0L
+
+  private def parseSafe(line: String): Seq[InternalRow] =
+    if (!permissive) parser.parseMany(line)
+    else try parser.parseMany(line) catch {
+      case e: Exception =>
+        skipped += 1
+        if (skipped <= 10) LineReader.log.warn(
+          s"skipping malformed ${format.shortName} record: ${e.getMessage}")
+        Nil
+    }
+
   private val pending = scala.collection.mutable.Queue.empty[InternalRow]
 
   private def emitFromPending(): Boolean = {
@@ -408,7 +430,7 @@ class LineReader(format: LineFormat, fullSchema: StructType,
       if (!part.gzip && !part.vpos && pos > part.end) exhausted = true
       if (!skip && (line.nonEmpty || !format.skipEmptyLines) &&
           !format.commentPrefixes.exists(p => p.nonEmpty && line.startsWith(p))) {
-        pending ++= parser.parseMany(line)
+        pending ++= parseSafe(line)
         if (exhausted) pending ++= parser.flushMany()
         if (emitFromPending()) return true
       } else if (exhausted) {
