@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.GenomicFunctions
+
+/** Session extension registering the genomic expressions in the SQL
+  * function registry (SURVEY §7.3), so
+  * `spark.sql("SELECT parse_region(r).chrom ...")` works:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * Functions: `parse_region(str[, coords])`, `cigar_ref_len(str)`,
+  * `cigar_ops(str)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GenomicFunctions.type].getName, null, name,
+      usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("parse_region"),
+      info("parse_region",
+        "parse_region(str[, coords]) - parse a UCSC/bracket region string " +
+          "into struct<chrom,start,end> (0-based half-open)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => GenomicFunctions.ParseRegion(c, "11")
+        case Seq(c, coords) =>
+          GenomicFunctions.ParseRegion(c,
+            coords.eval().toString)
+        case other => throw new IllegalArgumentException(
+          s"parse_region takes 1-2 arguments, got ${other.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cigar_ref_len"),
+      info("cigar_ref_len",
+        "cigar_ref_len(cigar) - reference bases consumed by a CIGAR string"),
+      (args: Seq[Expression]) => GenomicFunctions.CigarRefLen(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cigar_ops"),
+      info("cigar_ops",
+        "cigar_ops(cigar) - CIGAR string as array<struct<op,len>>"),
+      (args: Seq[Expression]) => GenomicFunctions.CigarOps(args.head)))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL function registration via spark.sql.extensions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("genomic functions are callable from SQL") {
+    // extensions bind at session construction: tear down any shared
+    // session first (SparkSuite rebuilds on demand)
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT parse_region('chr1:10,001-20,000').chrom AS c,
+          |       parse_region('chr1:10,001-20,000').start AS s,
+          |       parse_region('chr1:[5,10)', '01').start AS s01,
+          |       cigar_ref_len('8M2I4M1D3M') AS rl,
+          |       size(cigar_ops('8M2I4M1D3M')) AS nops""".stripMargin)
+        .collect()(0)
+      assert(r.getString(0) == "chr1")
+      assert(r.getLong(1) == 10000L)
+      assert(r.getLong(2) == 5L)
+      assert(r.getLong(3) == 16L)
+      assert(r.getInt(4) == 5)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -31,15 +31,23 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSuite {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+  private var cached: SparkSession = _
+
+  /** Shared session, rebuilt if a suite (e.g. the extensions spec) stopped
+    * the active one. */
+  def session: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      cached = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      cached.sparkContext.setLogLevel("WARN")
+    }
+    cached
   }
 }
