@@ -94,6 +94,35 @@ object GraftMeta {
     }
   }
 
+  /** Per-reference record statistics from the companion BAI/CSI/TBI
+    * index's metadata pseudo-bin, the surface the reference exposes from
+    * index metadata: ref name → (n_mapped, n_unmapped). References whose
+    * index carries no pseudo-bin are omitted (minimal/hand-built indexes).
+    * Ref ids resolve through the tabix name list or, for BAM, the header
+    * dictionary. */
+  def indexStats(path: String): Map[String, (Long, Long)] = {
+    val p = new Path(path)
+    val conf = new Configuration()
+    val fs = p.getFileSystem(conf)
+    val index = GenomicIndex.findFor(fs, p).getOrElse(
+      throw new IllegalArgumentException(s"no .bai/.csi/.tbi index for $path"))
+    val names: Int => String =
+      if (index.names.nonEmpty) {
+        val byId = index.names.map(_.swap)
+        id => byId.getOrElse(id, id.toString)
+      } else if (p.getName.toLowerCase.endsWith(".bam")) {
+        val si = SeekableInputs.forHadoop(fs, p)
+        val refNames = try {
+          val s = new BgzfRangeInputStream(si, Bgzf.VirtualPosition(0L), None)
+          BamCodec.readHeader(new BamCodec.LEInput(s)).refNames
+        } finally si.close()
+        id => if (id < refNames.length) refNames(id) else id.toString
+      } else { id => id.toString }
+    index.refs.zipWithIndex.flatMap { case (r, id) =>
+      r.metadata.map(m => names(id) -> (m.nMapped, m.nUnmapped))
+    }.toMap
+  }
+
   /** Zoom levels (reduction factors) of a BBI file. */
   def zoomLevels(path: String): Seq[Int] = {
     val p = new Path(path)

@@ -27,7 +27,19 @@ object GenomicIndex {
 
   final case class Chunk(begin: VirtualPosition, end: VirtualPosition)
   final case class Bin(id: Int, chunks: Seq[Chunk], lOffset: Option[VirtualPosition])
-  final case class RefIndex(bins: Map[Int, Bin], linear: IndexedSeq[VirtualPosition])
+
+  /** Per-reference statistics from the BAI/TBI/CSI metadata pseudo-bin
+    * (SAM spec §5.2: bin id 37450 for the 14/5 scheme). Its first
+    * pseudo-chunk holds the virtual-offset span of this reference's
+    * records; the second holds raw mapped/unmapped record counts — NOT
+    * virtual positions, which is why pseudo-bins must never feed split
+    * planning or region queries. */
+  final case class RefMetadata(offBeg: VirtualPosition, offEnd: VirtualPosition,
+      nMapped: Long, nUnmapped: Long)
+
+  final case class RefIndex(bins: Map[Int, Bin],
+      linear: IndexedSeq[VirtualPosition],
+      metadata: Option[RefMetadata] = None)
 
   /** Parsed index, uniform across BAI/CSI/TBI. */
   final case class Index(
@@ -55,19 +67,27 @@ object GenomicIndex {
       val cand = reg2bins(begC, endC, minShift, depth).flatMap(ref.bins.get)
         .flatMap(_.chunks)
         .filter(_.end.value > minOffset)
-        .sortBy(_.begin.value)
-      // merge adjacent/overlapping chunks
-      val merged = mutable.ArrayBuffer.empty[Chunk]
-      cand.foreach { c =>
-        merged.lastOption match {
-          case Some(last) if c.begin.value <= last.end.value =>
-            if (c.end.value > last.end.value)
-              merged(merged.size - 1) = Chunk(last.begin, c.end)
-          case _ => merged += c
-        }
-      }
-      merged.toSeq
+      mergeChunks(cand)
     }
+  }
+
+  /** Sort chunks by begin vpos and coalesce overlapping/adjacent ones.
+    * Used both within one region's bin lookup and to dedupe the union of
+    * chunk lists across a multi-region query — two regions landing in the
+    * same bin otherwise plan the same compressed range twice and every
+    * matching record is emitted per-duplicate. */
+  def mergeChunks(chunks: Seq[Chunk]): Seq[Chunk] = {
+    val sorted = chunks.sortBy(_.begin.value)
+    val merged = mutable.ArrayBuffer.empty[Chunk]
+    sorted.foreach { c =>
+      merged.lastOption match {
+        case Some(last) if c.begin.value <= last.end.value =>
+          if (c.end.value > last.end.value)
+            merged(merged.size - 1) = Chunk(last.begin, c.end)
+        case _ => merged += c
+      }
+    }
+    merged.toSeq
   }
 
   /** Bins overlapping [beg, end) for the given binning parameters
@@ -112,7 +132,7 @@ object GenomicIndex {
     val d = new LEData(in)
     require(d.readBytes(4).sameElements("BAI\u0001".getBytes), "bad BAI magic")
     val nRef = d.readInt()
-    val refs = (0 until nRef).map(_ => readRef(d, csi = false))
+    val refs = (0 until nRef).map(_ => readRef(d, csi = false, depth = 5))
     Index(14, 5, refs.toIndexedSeq, Map.empty, None)
   }
 
@@ -124,7 +144,7 @@ object GenomicIndex {
     val lAux = d.readInt()
     val aux = d.readBytes(lAux)
     val nRef = d.readInt()
-    val refs = (0 until nRef).map(_ => readRef(d, csi = true))
+    val refs = (0 until nRef).map(_ => readRef(d, csi = true, depth = depth))
     // aux may carry a tabix-style config+names payload
     val (names, cfg) = parseCsiAux(aux)
     Index(minShift, depth, refs.toIndexedSeq, names, cfg)
@@ -142,7 +162,7 @@ object GenomicIndex {
     val nameBytes = d.readBytes(lNm)
     val names = new String(nameBytes, "UTF-8").split("\u0000")
       .filter(_.nonEmpty).zipWithIndex.toMap
-    val refs = (0 until nRef).map(_ => readRef(d, csi = false))
+    val refs = (0 until nRef).map(_ => readRef(d, csi = false, depth = 5))
     val zeroBased = (format & 0x10000) != 0
     Index(14, 5, refs.toIndexedSeq, names,
       Some((colSeq, colBeg, colEnd, zeroBased)))
@@ -164,16 +184,31 @@ object GenomicIndex {
     (names, Some((colSeq, colBeg, colEnd, (format & 0x10000) != 0)))
   }
 
-  private def readRef(d: LEData, csi: Boolean): RefIndex = {
+  /** First non-real bin id for a binning scheme: real bins are
+    * `0 until maxRealBins(depth)`; samtools/tabix/bcftools write per-ref
+    * statistics into a metadata pseudo-bin past that (id 37450 for the
+    * 14/5 scheme). Anything at or beyond this id must be excluded from
+    * chunk math — its "chunks" are counts, not virtual positions. */
+  def maxRealBins(depth: Int): Int = (((1L << ((depth + 1) * 3)) - 1) / 7).toInt
+
+  private def readRef(d: LEData, csi: Boolean, depth: Int): RefIndex = {
+    val pseudoFrom = maxRealBins(depth)
+    var metadata: Option[RefMetadata] = None
     val nBin = d.readInt()
-    val bins = (0 until nBin).map { _ =>
+    val bins = (0 until nBin).flatMap { _ =>
       val id = d.readInt()
       val lOffset = if (csi) Some(VirtualPosition(d.readLong())) else None
       val nChunk = d.readInt()
       val chunks = (0 until nChunk).map { _ =>
         Chunk(VirtualPosition(d.readLong()), VirtualPosition(d.readLong()))
       }
-      id -> Bin(id, chunks, lOffset)
+      if (id >= pseudoFrom) {
+        // metadata pseudo-bin: chunk0 = record vpos span, chunk1 = counts
+        if (chunks.size >= 2) metadata = Some(RefMetadata(
+          chunks(0).begin, chunks(0).end,
+          chunks(1).begin.value, chunks(1).end.value))
+        None
+      } else Some(id -> Bin(id, chunks, lOffset))
     }.toMap
     val linear =
       if (csi) IndexedSeq.empty
@@ -181,7 +216,7 @@ object GenomicIndex {
         val nIntv = d.readInt()
         (0 until nIntv).map(_ => VirtualPosition(d.readLong())).toIndexedSeq
       }
-    RefIndex(bins, linear)
+    RefIndex(bins, linear, metadata)
   }
 
   /** Auto-detect and load the companion index of `path`: tries

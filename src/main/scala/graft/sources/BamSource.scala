@@ -241,10 +241,15 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
       val eof = VirtualPosition(fileLen, 0)
 
       if (unmappedOnly) {
-        // start after the last indexed (mapped) chunk
-        val lastMapped = index.flatMap(_.refs.iterator
-          .flatMap(_.bins.valuesIterator.flatMap(_.chunks.map(_.end.value)))
-          .maxOption).map(VirtualPosition(_)).getOrElse(headEnd)
+        // start after the last indexed (mapped) chunk; prefer the metadata
+        // pseudo-bin's record-span end (what samtools writes it for), fall
+        // back to the max real chunk end for minimal indexes
+        val lastMapped = index.flatMap { ix =>
+          ix.refs.iterator.flatMap(_.metadata.map(_.offEnd.value)).maxOption
+            .orElse(ix.refs.iterator
+              .flatMap(_.bins.valuesIterator.flatMap(_.chunks.map(_.end.value)))
+              .maxOption)
+        }.map(VirtualPosition(_)).getOrElse(headEnd)
         Seq(BamInputPartition(p.toString, lastMapped.value, eof.value, Nil))
       } else if (regions.nonEmpty && index.isDefined) {
         // S3: indexed region query — resolve chrom → refId via header
@@ -254,15 +259,23 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
           BamCodec.readHeader(new BamCodec.LEInput(s))
         } finally si2.close()
         val refIds = header.refNames.zipWithIndex.toMap
-        regions.flatMap { r =>
-          refIds.get(r.name).toSeq.flatMap { refId =>
+        // resolve every region, union + merge the chunk lists, and attach
+        // the FULL region list as each partition's residual — per-region
+        // partitions double-emit records when regions share a bin or a
+        // record overlaps two query regions
+        val resolved = regions.flatMap { r =>
+          refIds.get(r.name).map { refId =>
             val endPos = r.end.getOrElse(
               header.refLengths(refId).toLong.max(r.start + 1))
-            index.get.query(refId, r.start, endPos).map { ch =>
-              BamInputPartition(p.toString, ch.begin.value, ch.end.value,
-                Seq((r.name, r.start, endPos)))
-            }
+            (refId, r.name, r.start, endPos)
           }
+        }
+        val chunks = GenomicIndex.mergeChunks(resolved.flatMap {
+          case (refId, _, s, e) => index.get.query(refId, s, e)
+        })
+        val residual = resolved.map { case (_, n, s, e) => (n, s, e) }
+        chunks.map { ch =>
+          BamInputPartition(p.toString, ch.begin.value, ch.end.value, residual)
         }
       } else {
         // full scan: split at index-derived record boundaries (R1)

@@ -213,14 +213,19 @@ class BcfScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
       if (regions.nonEmpty && index.isDefined) {
         val dict = BcfCodec.dictionaries(BcfSource.readHeaderText(p))
         val refIds = dict.contigs.zipWithIndex.toMap
-        regions.flatMap { r =>
-          refIds.get(r.name).toSeq.flatMap { refId =>
-            val endPos = r.end.getOrElse(Long.MaxValue >> 17)
-            index.get.query(refId, r.start, endPos).map { ch =>
-              BcfInputPartition(p.toString, ch.begin.value, ch.end.value,
-                Seq((r.name, r.start, endPos)))
-            }
+        // union + merge chunks across regions; attach ALL regions as the
+        // residual so a record is emitted at most once (see BamScan)
+        val resolved = regions.flatMap { r =>
+          refIds.get(r.name).map { refId =>
+            (refId, r.name, r.start, r.end.getOrElse(Long.MaxValue >> 17))
           }
+        }
+        val chunks = GenomicIndex.mergeChunks(resolved.flatMap {
+          case (refId, _, s, e) => index.get.query(refId, s, e)
+        })
+        val residual = resolved.map { case (_, n, s, e) => (n, s, e) }
+        chunks.map { ch =>
+          BcfInputPartition(p.toString, ch.begin.value, ch.end.value, residual)
         }
       } else {
         val splits = index.map(GenomicIndex.partitionFromIndex(_, maxSplit))

@@ -44,6 +44,43 @@ class VcfFormat extends LineFormat {
   override def coordSystem(options: Map[String, String]) =
     graft.core.CoordSystem.fromCode(options.getOrElse("coords", "11"))
 
+  /** htslib/tabix VCF end semantics: a record spans
+    * [pos0, pos0 + len(REF)), or up to INFO END (1-based inclusive) for
+    * symbolic alleles — so a deletion starting before the queried window
+    * but reaching into it is kept, matching `BcfSource`'s rlen behavior
+    * on the same data. */
+  override def regionEnd0(fullSchema: StructType,
+      options: Map[String, String]): Option[InternalRow => Long] = {
+    val cs = coordSystem(options)
+    val posIdx = fullSchema.fieldIndex("pos")
+    val refIdx = fullSchema.fieldIndex("ref")
+    // INFO END (Number=1, Integer → scalar long), if declared in the header
+    val infoEnd: Option[(Int, Int, Int)] =
+      fullSchema.fields.zipWithIndex.collectFirst {
+        case (StructField("info", st: StructType, _, _), ii) => (ii, st)
+      }.flatMap { case (ii, st) =>
+        st.fields.zipWithIndex.collectFirst {
+          case (StructField("END", LongType, _, _), fi) => (ii, fi, st.length)
+        }
+      }
+    Some { row =>
+      val pos0 = row.getLong(posIdx) + cs.startOffset
+      val fromInfo = infoEnd.flatMap { case (ii, fi, n) =>
+        if (row.isNullAt(ii)) None
+        else {
+          val s = row.getStruct(ii, n)
+          if (s.isNullAt(fi)) None else Some(s.getLong(fi))
+        }
+      }
+      fromInfo.getOrElse {
+        val refLen =
+          if (row.isNullAt(refIdx)) 1L
+          else math.max(1L, row.getUTF8String(refIdx).numChars().toLong)
+        pos0 + refLen
+      }
+    }
+  }
+
   override def schema(options: Map[String, String], paths: Seq[Path],
       conf: Configuration): StructType = {
     val header = VcfHeader.read(paths.head, conf)

@@ -69,6 +69,13 @@ trait LineFormat extends Serializable {
     * filtering, if this format has them. Coordinates in the emitted rows
     * are in the declared output coordinate system. */
   def regionColumns: Option[(String, String, String)] = None
+  /** Optional row-level extractor of the record's 0-based EXCLUSIVE end,
+    * overriding the plain end-column lookup in the residual region check.
+    * Needed when the true span is not a column of its own — e.g. VCF,
+    * where end = pos + len(REF) (or INFO END for symbolic alleles), so a
+    * deletion spanning into the queried window is not dropped. */
+  def regionEnd0(fullSchema: StructType,
+      options: Map[String, String]): Option[InternalRow => Long] = None
   /** Output coordinate system for `start` (for region filtering). */
   def coordSystem(options: Map[String, String]): CoordSystem =
     CoordSystem.fromCode(options.getOrElse("coords", "01"))
@@ -223,14 +230,19 @@ class LineScan(format: LineFormat, fullSchema: StructType,
         // BGZF + tabix index → vpos partitions (region chunks or splits)
         GenomicIndex.findFor(fs, p) match {
           case Some(index) if regions.nonEmpty =>
-            regions.flatMap { r =>
+            // union the chunk lists of ALL regions, then merge/dedupe:
+            // two regions hitting the same bin must not plan the same
+            // compressed range twice (the reader's residual predicate
+            // accepts records matching ANY region)
+            val chunks = regions.flatMap { r =>
               index.names.get(r.name).toSeq.flatMap { refId =>
                 val endPos = r.end.getOrElse(Long.MaxValue >> 16)
-                index.query(refId, r.start, endPos).map { ch =>
-                  LineInputPartition(p.toString, ch.begin.value,
-                    ch.end.value, gzip = false, vpos = true)
-                }
+                index.query(refId, r.start, endPos)
               }
+            }
+            GenomicIndex.mergeChunks(chunks).map { ch =>
+              LineInputPartition(p.toString, ch.begin.value,
+                ch.end.value, gzip = false, vpos = true)
             }
           case Some(index) if format.splittable =>
             val splits = GenomicIndex.partitionFromIndex(index, maxSplit)
@@ -361,6 +373,7 @@ class LineReader(format: LineFormat, fullSchema: StructType,
             endGt = Some(endGt.fold(asLong(v) - 1)(math.max(_, asLong(v) - 1)))
           case _ => ()
         }
+        val endOverride = format.regionEnd0(fullSchema, options)
         row => {
           if (row.isNullAt(ci) || row.isNullAt(si) || row.isNullAt(ei)) {
             regions.isEmpty && chromSet.isEmpty && startLt.isEmpty && endGt.isEmpty
@@ -369,8 +382,12 @@ class LineReader(format: LineFormat, fullSchema: StructType,
             val startOut = asLong(row.get(si, fullSchema(si).dataType))
             val endOut = asLong(row.get(ei, fullSchema(ei).dataType))
             // normalize to 0-based half-open for the region overlap check
+            // (a closed 1-based end equals the half-open end value, so the
+            // end column needs no shift; formats whose true span is not a
+            // column override it via regionEnd0)
             val start0 = startOut + cs.startOffset
-            (regions.isEmpty || regions.exists(_.overlaps(chrom, start0, endOut))) &&
+            val end0 = endOverride.fold(endOut)(f => f(row))
+            (regions.isEmpty || regions.exists(_.overlaps(chrom, start0, end0))) &&
               chromSet.forall(_.contains(chrom)) &&
               startLt.forall(startOut < _) &&
               endGt.forall(endOut > _)

@@ -62,6 +62,18 @@ class MetaAndModeSpec extends SparkSuite {
     assert(GraftMeta.zoomLevels(bw) == Seq(1000))
   }
 
+  test("meta: indexStats surfaces pseudo-bin mapped/unmapped counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats")
+    val bam = dir.resolve("s.bam").toString
+    graft.sources.BamFixture.write(bam, Seq(("chr1", 1000), ("chr2", 500)),
+      Seq(
+        graft.sources.BamFixture.Rec("a", 0, 0, 10, 30, Seq((4, 'M')), "ACGT", null),
+        graft.sources.BamFixture.Rec("b", 0, 0, 50, 30, Seq((4, 'M')), "GGTT", null),
+        graft.sources.BamFixture.Rec("c", 0, 1, 20, 30, Seq((4, 'M')), "CCAA", null)))
+    assert(GraftMeta.indexStats(bam) ==
+      Map("chr1" -> ((2L, 0L)), "chr2" -> ((1L, 0L))))
+  }
+
   test("permissive mode skips malformed records; failfast raises") {
     val lines = Seq(
       "chr1\t100\t200\tok1\t1\t+",

@@ -116,7 +116,15 @@ object BamFixture {
       val bins = mapped.groupBy { case (r, _, _) =>
         GenomicIndex.reg2bin(r.pos0.toLong, (r.pos0 + math.max(refLen(r), 1)).toLong)
       }
-      bai.putInt(bins.size)
+      // samtools always appends the metadata pseudo-bin 37450 (record
+      // vpos span + mapped/unmapped counts); real-world indexes have it,
+      // so the fixture writes it too — readers must NOT treat its
+      // pseudo-chunks as virtual positions
+      val unmappedHere = spans.count { case (r, _, _) =>
+        r.refId == refId && (r.flag & 0x4) != 0
+      }
+      val writeMeta = mapped.nonEmpty
+      bai.putInt(bins.size + (if (writeMeta) 1 else 0))
       bins.toSeq.sortBy(_._1).foreach { case (bin, rs) =>
         bai.putInt(bin)
         bai.putInt(rs.size)
@@ -124,6 +132,14 @@ object BamFixture {
           bai.putLong(s << 16)
           bai.putLong(e << 16)
         }
+      }
+      if (writeMeta) {
+        bai.putInt(37450) // metadata pseudo-bin
+        bai.putInt(2)
+        bai.putLong(mapped.map(_._2).min << 16) // off_beg
+        bai.putLong(mapped.map(_._3).max << 16) // off_end
+        bai.putLong(mapped.size.toLong)         // n_mapped (raw count!)
+        bai.putLong(unmappedHere.toLong)        // n_unmapped (raw count!)
       }
       // linear index: 16 KiB windows
       if (mapped.isEmpty) bai.putInt(0)

@@ -64,6 +64,17 @@ class BamSourceSpec extends SparkSuite {
       Set("r004"))
   }
 
+  test("bam: overlapping multi-region query emits each record once") {
+    // both regions cover r001/r002's bin on chr1; merged-chunk planning
+    // must emit each matching record exactly once, and a record
+    // overlapping both regions must not be emitted per-region
+    val df = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("regions", "chr1:1-150;chr1:90-250")
+      .load(bamPath)
+    val names = df.select("qname").collect().map(_.getString(0)).toSeq
+    assert(names.sorted == Seq("r001", "r002"))
+  }
+
   test("bam: pushed rname filter prunes partitions via index") {
     val df = spark.read.format("bam").option("tag_scan_rows", "0")
       .load(bamPath)

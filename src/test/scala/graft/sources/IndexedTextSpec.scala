@@ -46,11 +46,17 @@ class IndexedTextSpec extends SparkSuite {
       val bins = mine.groupBy { case ((_, s, e), _, _) =>
         GenomicIndex.reg2bin(s, math.max(e, s + 1))
       }
-      bb.putInt(bins.size)
+      // tabix writes a metadata pseudo-bin (37450) per ref on real files;
+      // include it so specs catch readers that mistake its counts for
+      // virtual positions
+      bb.putInt(bins.size + 1)
       bins.toSeq.sortBy(_._1).foreach { case (bin, rs) =>
         bb.putInt(bin).putInt(rs.size)
         rs.foreach { case (_, s, e) => bb.putLong(s << 16).putLong(e << 16) }
       }
+      bb.putInt(37450).putInt(2)
+      bb.putLong(mine.map(_._2).min << 16).putLong(mine.map(_._3).max << 16)
+      bb.putLong(mine.size.toLong).putLong(0L) // raw counts, not vpos
       val maxEnd = mine.map(_._1._3).max
       val nIntv = (maxEnd >> 14).toInt + 1
       bb.putInt(nIntv)
@@ -99,6 +105,31 @@ class IndexedTextSpec extends SparkSuite {
     assert(df.count() == 5)
     assert(df.select(sum(col("start"))).collect()(0).getLong(0) ==
       rows.map(_._2).sum)
+  }
+
+  test("overlapping multi-region query emits each record once") {
+    val p = writeTabixedBed("d.bed.gz", rows)
+    // both regions hit the bin holding chr1:15000-15100; before chunk
+    // merging this planned two identical partitions → duplicate rows
+    val df = spark.read.format("bed").option("bed_schema", "bed3")
+      .option("regions", "chr1:14001-16000;chr1:15001-40500")
+      .load(p)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.sorted == Seq(("chr1", 15000L), ("chr1", 40000L)))
+  }
+
+  test("pseudo-bin counts are excluded from split planning") {
+    val p = writeTabixedBed("e.bed.gz", rows)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val idx = GenomicIndex.findFor(fs, new org.apache.hadoop.fs.Path(p)).get
+    // metadata captured, not exposed as a bin
+    assert(idx.refs.forall(_.metadata.isDefined))
+    assert(idx.refs.flatMap(_.bins.keys).forall(_ < 37449))
+    assert(idx.refs.map(_.metadata.get.nMapped).sum == rows.size)
+    // split planning must only yield real BGZF block starts
+    val splits = GenomicIndex.partitionFromIndex(idx, 1L)
+    assert(splits.forall(v => v.uncompressedOffset == 0))
   }
 
   test("bgzf without index still reads as single gzip partition") {

@@ -113,4 +113,53 @@ class VcfSourceSpec extends SparkSuite {
     val d = spark.read.format("vcf").load(tempGzFile("s.vcf.gz", vcf))
     assert(d.count() == 2)
   }
+
+  // htslib/tabix end semantics: record spans [pos0, pos0+len(REF)), or up
+  // to INFO END for symbolic alleles — NOT a single base at pos
+  private val spanningVcf = Seq(
+    "##fileformat=VCFv4.1",
+    "##INFO=<ID=END,Number=1,Type=Integer,Description=\"End\">",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+    "chr1\t60\t.\tA\t<DEL>\t.\tPASS\tEND=120", // symbolic, spans 60..120
+    "chr1\t95\t.\tAAAAAAAAAA\tA\t.\tPASS\t.",  // 10bp deletion, spans 95..104
+    "chr1\t200\t.\tG\tC\t.\tPASS\t.")
+
+  test("vcf: region query keeps spanning deletions (tabix end semantics)") {
+    val d = spark.read.format("vcf").option("regions", "chr1:100-150")
+      .load(tempFile("span.vcf", spanningVcf))
+    // pos=60 reaches in via INFO END=120; pos=95 via len(REF)=10; pos=200 out
+    assert(d.select("pos").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(60L, 95L))
+    val d2 = spark.read.format("vcf").option("regions", "chr1:110-130")
+      .load(tempFile("span2.vcf", spanningVcf))
+    // only the symbolic record's END=120 still covers 110-130
+    assert(d2.select("pos").collect().map(_.getLong(0)).toSeq == Seq(60L))
+  }
+
+  test("vcf and bcf region queries agree on spanning deletions") {
+    val header = Seq(
+      "##fileformat=VCFv4.2",
+      "##FILTER=<ID=PASS,Description=\"ok\">",
+      "##contig=<ID=chr1,length=100000>",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    val vcfLines = header ++ Seq(
+      "chr1\t95\t.\tAAAAAAAAAA\tA\t.\tPASS\t.",
+      "chr1\t200\t.\tG\tC\t.\tPASS\t.")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vcfbcf")
+    val bcfPath = dir.resolve("same.bcf").toString
+    BcfFixture.write(bcfPath, header.mkString("\n"), Seq(
+      BcfFixture.BcfRec(0, 94, 10, None, Nil, Seq("AAAAAAAAAA", "A"),
+        Seq(0), info = Nil, fmt = Nil, nSample = 0),
+      BcfFixture.BcfRec(0, 199, 1, None, Nil, Seq("G", "C"),
+        Seq(0), info = Nil, fmt = Nil, nSample = 0)))
+    val region = "chr1:100-150"
+    val vcfPos = spark.read.format("vcf").option("regions", region)
+      .load(tempFile("same.vcf", vcfLines))
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    val bcfPos = spark.read.format("bcf").option("regions", region)
+      .load(bcfPath)
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vcfPos == Seq(95L))
+    assert(bcfPos == vcfPos)
+  }
 }
