@@ -1,0 +1,102 @@
+package graft.formats
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** bgzip .gzi index: pairs of (compressed offset, uncompressed offset),
+  * one per BGZF block after the first, enabling random access into the
+  * UNCOMPRESSED content of a bgzipped file. This is what backs the
+  * reference's seek-based slicing of bgzipped FASTA
+  * (`/root/reference/oxbow/src/sequence/scanner/fasta.rs:105-121`).
+  * Format per the bgzip documentation: little-endian u64 count, then
+  * count (u64, u64) pairs.
+  */
+object GziIndex {
+
+  /** (compressedOffset, uncompressedOffset), ascending; the implicit
+    * first block (0, 0) is NOT stored in the file but is prepended here. */
+  final case class Index(entries: IndexedSeq[(Long, Long)]) {
+    /** Compressed offset of the block containing uncompressed `uoff`,
+      * plus the uncompressed offset that block starts at. */
+    def blockFor(uoff: Long): (Long, Long) = {
+      var lo = 0
+      var hi = entries.size - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (entries(mid)._2 <= uoff) lo = mid else hi = mid - 1
+      }
+      entries(lo)
+    }
+  }
+
+  def parse(bytes: Array[Byte]): Index = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getLong.toInt
+    val entries = (0 until n).map(_ => (bb.getLong, bb.getLong))
+    Index(((0L, 0L) +: entries).toIndexedSeq)
+  }
+
+  def readFor(dataPath: Path, conf: Configuration): Option[Index] = {
+    val gzi = new Path(dataPath.toString + ".gzi")
+    val fs = gzi.getFileSystem(conf)
+    if (!fs.exists(gzi)) None
+    else {
+      val in = fs.open(gzi)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(gzi).getLen.toInt)
+        in.readFully(bytes)
+        Some(parse(bytes))
+      } finally in.close()
+    }
+  }
+
+  /** A [[Bgzf.SeekableInput]] view of the UNCOMPRESSED content of a
+    * bgzipped file, seeking through the .gzi block map. Lets the FAI
+    * byte math run unchanged over plain or bgzipped FASTA. Reads only
+    * the blocks covering the requested ranges. */
+  final class UncompressedView(in: Bgzf.SeekableInput, index: Index)
+      extends Bgzf.SeekableInput {
+    private var pos = 0L
+    // one-block cache: consecutive reads within a slice hit it
+    private var cached: Option[(Long, Bgzf.Block)] = None // (ustart, block)
+
+    override def seek(p: Long): Unit = pos = p
+
+    override def readFully(buf: Array[Byte], off: Int, len: Int): Int = {
+      var done = 0
+      while (done < len) {
+        val block = cached match {
+          case Some((ustart, b))
+            if pos >= ustart && pos < ustart + b.data.length => (ustart, b)
+          case _ =>
+            val (coff, ustart) = index.blockFor(pos)
+            var c = coff
+            var u = ustart
+            var blk = Bgzf.readBlock(in, c).getOrElse(return done)
+            // walk forward past any blocks the index is too coarse for
+            while (pos >= u + blk.data.length) {
+              c += blk.compressedSize
+              u += blk.data.length
+              blk = Bgzf.readBlock(in, c).getOrElse(return done)
+              if (blk.data.isEmpty) return done
+            }
+            cached = Some((u, blk))
+            (u, blk)
+        }
+        val (ustart, b) = block
+        val inBlock = (pos - ustart).toInt
+        val n = math.min(len - done, b.data.length - inBlock)
+        if (n <= 0) return done
+        System.arraycopy(b.data, inBlock, buf, off + done, n)
+        pos += n
+        done += n
+        if (pos >= ustart + b.data.length) cached = None
+      }
+      done
+    }
+
+    override def length: Long = Long.MaxValue // uncompressed size unknown
+    override def close(): Unit = in.close()
+  }
+}

@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{CoordSystem, Region}
+import graft.formats.{Bgzf, FaiIndex, GziIndex, SeekableInputs}
+import graft.sources.common.LineSourceUtil
+
+/** FAI-indexed FASTA region slicing (SURVEY §2.1 S14): one partition per
+  * (sequence × overlapping region), each reading ONLY the bytes covering
+  * the requested bases via the .fai byte math — never materializing the
+  * full contig (a multi-GB row on a real genome). Bgzipped FASTA seeks
+  * through the companion .gzi block map. Mirrors the reference's
+  * seek-based subsequence extraction
+  * (`/root/reference/oxbow/src/sequence/scanner/fasta.rs:105-121`);
+  * selected automatically by `format("fasta")` when `regions` is set and
+  * the indexes exist, falling back to the streaming scan otherwise. */
+object FastaFaiSource {
+  /** Test hook: bytes read from the underlying file by slice readers. */
+  val bytesRead = new LongAdder
+
+  private[sources] final class Counting(in: Bgzf.SeekableInput)
+      extends Bgzf.SeekableInput {
+    override def seek(p: Long): Unit = in.seek(p)
+    override def readFully(buf: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.readFully(buf, off, len)
+      if (n > 0) bytesRead.add(n)
+      n
+    }
+    override def length: Long = in.length
+    override def close(): Unit = in.close()
+  }
+}
+
+/** One (sequence, region) slice. `headerStart` is the byte offset of the
+  * record's `>` header line (computed from the previous entry's extent),
+  * so the description column survives the fast path. `regionEnd` = -1
+  * means to-end-of-sequence. */
+case class FaiSlicePartition(pathStr: String, gzi: Boolean,
+    name: String, length: Long, offset: Long, lineBases: Long,
+    lineWidth: Long, headerStart: Long, regionStart: Long, regionEnd: Long)
+    extends InputPartition
+
+class FaiSliceTable(tableSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"fasta-fai:${paths.mkString(",")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new FaiSliceScanBuilder(tableSchema, paths,
+      options ++ LineSourceUtil.optionsMap(o))
+}
+
+class FaiSliceScanBuilder(fullSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+  }
+  override def build(): Scan =
+    new FaiSliceScan(fullSchema, required, paths, options)
+}
+
+class FaiSliceScan(fullSchema: StructType, required: StructType,
+    paths: Seq[Path], options: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-fasta-fai ${paths.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val regions = options.get("regions").toSeq
+      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    paths.flatMap { p =>
+      val gzi = LineSourceUtil.isGzip(p)
+      val entries = FaiIndex.readFor(p, conf).getOrElse(Nil)
+      // header line of entry i spans from the previous entry's last
+      // sequence byte (+newline) to this entry's sequence offset
+      val byOffset = entries.sortBy(_.offset)
+      val headerStarts: Map[String, Long] = byOffset.zipWithIndex.map {
+        case (e, 0) => e.name -> 0L
+        case (e, i) =>
+          val prev = byOffset(i - 1)
+          e.name -> (FaiIndex.byteOffset(prev, prev.length - 1) + 1)
+      }.toMap
+      entries.flatMap { e =>
+        regions.filter(r => r.name == e.name && r.start < e.length).map { r =>
+          FaiSlicePartition(p.toString, gzi, e.name, e.length, e.offset,
+            e.lineBases, e.lineWidth, headerStarts(e.name),
+            r.start, r.end.getOrElse(-1L))
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FaiSliceReaderFactory(fullSchema, required)
+}
+
+class FaiSliceReaderFactory(fullSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new FaiSliceReader(fullSchema, required, p.asInstanceOf[FaiSlicePartition])
+}
+
+class FaiSliceReader(fullSchema: StructType, required: StructType,
+    part: FaiSlicePartition) extends PartitionReader[InternalRow] {
+
+  private val path = new Path(part.pathStr)
+  private val raw = new FastaFaiSource.Counting(
+    SeekableInputs.forHadoop(path.getFileSystem(new Configuration()), path))
+  private val in: Bgzf.SeekableInput =
+    if (part.gzi) {
+      val idx = GziIndex.readFor(path, new Configuration()).getOrElse(
+        throw new IllegalStateException(s"missing .gzi for ${part.pathStr}"))
+      new GziIndex.UncompressedView(raw, idx)
+    } else raw
+
+  private val entry = FaiIndex.Entry(part.name, part.length, part.offset,
+    part.lineBases, part.lineWidth)
+
+  private val projIdx: Array[Int] =
+    required.fieldNames.map(fullSchema.fieldIndex)
+
+  private var done = false
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val endOpt = if (part.regionEnd < 0) None else Some(part.regionEnd)
+    val seq = FaiIndex.slice(in, entry, Region(part.name, part.regionStart, endOpt))
+    val end = math.min(endOpt.getOrElse(part.length), part.length)
+    // description: parse the `>` header line (small, bounded by the
+    // sequence offset) only if the projection needs it
+    val desc: UTF8String =
+      if (!required.fieldNames.contains("description")) null
+      else {
+        val len = (part.offset - part.headerStart).toInt
+        val buf = new Array[Byte](len)
+        in.seek(part.headerStart)
+        in.readFully(buf, 0, len)
+        val text = new String(buf, "UTF-8")
+        text.linesIterator.find(_.startsWith(">")) match {
+          case Some(h) =>
+            val sp = h.indexOf(' ')
+            if (sp < 0) null else UTF8String.fromString(h.substring(sp + 1))
+          case None => null
+        }
+      }
+    val full = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(part.name), desc,
+      part.regionStart, end, UTF8String.fromString(seq)))
+    val out = new Array[Any](projIdx.length)
+    var i = 0
+    while (i < projIdx.length) {
+      val idx = projIdx(i)
+      out(i) = if (full.isNullAt(idx)) null
+        else full.get(idx, fullSchema(idx).dataType)
+      i += 1
+    }
+    current = new GenericInternalRow(out)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -103,6 +103,28 @@ class FastaParser(regions: Seq[Region]) extends LineParser {
 
 class FastaDataSource extends LineTableProvider {
   override def format: FastaFormat = new FastaFormat
+
+  /** Region queries take the FAI seek fast path when a .fai companion
+    * exists (plus .gzi for bgzipped FASTA): one partition per
+    * (sequence × region), reading only the bytes covering the slice —
+    * the streaming full-record scan is the fallback. */
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    val options = graft.sources.common.LineSourceUtil.optionsMap(opts)
+    val paths = graft.sources.common.LineSourceUtil.resolvePaths(opts)
+    val conf = new Configuration()
+    val hasRegions = options.get("regions").exists(_.trim.nonEmpty)
+    val indexable = hasRegions && paths.nonEmpty && paths.forall { p =>
+      graft.formats.FaiIndex.readFor(p, conf).isDefined &&
+        (!graft.sources.common.LineSourceUtil.isGzip(p) ||
+          graft.formats.GziIndex.readFor(p, conf).isDefined)
+    }
+    if (indexable) new FaiSliceTable(schema, paths, options)
+    else super.getTable(schema, partitioning, properties)
+  }
 }
 
 /** FASTQ reader (SURVEY §2.1 S15): 4-line records →

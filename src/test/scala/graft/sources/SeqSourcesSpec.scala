@@ -37,6 +37,79 @@ class SeqSourcesSpec extends SparkSuite {
     assert(rows(1).getString(0) == "chr2" && rows(1).getString(4) == "TTTT")
   }
 
+  test("fasta: fai fast path slices without materializing contigs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-faifast")
+    val chr1seq = "ACGT" * 50000 // 200k bases
+    val wrapped = chr1seq.grouped(60).mkString("\n")
+    val header1 = ">chr1 big contig"
+    val content = header1 + "\n" + wrapped + "\n>chr2\nTTTTGGGG\n"
+    val fa = dir.resolve("big.fa")
+    java.nio.file.Files.write(fa, content.getBytes("UTF-8"))
+    val off1 = header1.length + 1L
+    val off2 = off1 + wrapped.length + 1 + ">chr2\n".length
+    java.nio.file.Files.write(dir.resolve("big.fa.fai"),
+      (s"chr1\t200000\t$off1\t60\t61\n" +
+        s"chr2\t8\t$off2\t8\t9\n").getBytes("UTF-8"))
+
+    FastaFaiSource.bytesRead.reset()
+    val df = spark.read.format("fasta")
+      .option("regions", "chr1:1001-1100;chr2:2-5")
+      .load(fa.toString)
+    assert(df.rdd.getNumPartitions == 2) // one per (sequence, region)
+    val rows = df.orderBy("name").collect()
+    assert(rows(0).getString(0) == "chr1" &&
+      rows(0).getString(1) == "big contig" &&
+      rows(0).getLong(2) == 1000 && rows(0).getLong(3) == 1100 &&
+      rows(0).getString(4) == chr1seq.substring(1000, 1100))
+    assert(rows(1).getString(0) == "chr2" && rows(1).isNullAt(1) &&
+      rows(1).getString(4) == "TTTG")
+    // the point of the fast path: only slice + header bytes are read,
+    // not the 200 KB contig
+    assert(FastaFaiSource.bytesRead.sum() < 10000,
+      s"read ${FastaFaiSource.bytesRead.sum()} bytes")
+  }
+
+  test("fasta: bgzipped fasta slices through the gzi block map") {
+    import graft.formats.Bgzf
+    val dir = java.nio.file.Files.createTempDirectory("graft-gzi")
+    val chr1seq = "ACGTTGCA" * 375 // 3000 bases
+    val wrapped = chr1seq.grouped(60).mkString("\n")
+    val content = ">chr1 zipped\n" + wrapped + "\n"
+    val bytes = content.getBytes("UTF-8")
+    val fa = dir.resolve("z.fa.gz")
+    val out = new java.io.FileOutputStream(fa.toString)
+    // bgzip-style: fixed-size blocks + EOF sentinel, with a .gzi map
+    val gziEntries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var coff = 0L
+    var uoff = 0L
+    bytes.grouped(1024).foreach { chunk =>
+      if (uoff > 0) gziEntries += ((coff, uoff))
+      val block = Bgzf.writeBlock(chunk)
+      out.write(block)
+      coff += block.length
+      uoff += chunk.length
+    }
+    out.write(Bgzf.EofBlock)
+    out.close()
+    val gzi = java.nio.ByteBuffer
+      .allocate(8 + gziEntries.size * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    gzi.putLong(gziEntries.size.toLong)
+    gziEntries.foreach { case (c, u) => gzi.putLong(c).putLong(u) }
+    java.nio.file.Files.write(dir.resolve("z.fa.gz.gzi"), gzi.array())
+    val off1 = ">chr1 zipped\n".length.toLong
+    java.nio.file.Files.write(dir.resolve("z.fa.gz.fai"),
+      s"chr1\t3000\t$off1\t60\t61\n".getBytes("UTF-8"))
+
+    val df = spark.read.format("fasta")
+      .option("regions", "chr1:2001-2100")
+      .load(fa.toString)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(1) == "zipped")
+    assert(rows(0).getString(4) == chr1seq.substring(2000, 2100))
+  }
+
   test("fastq: 4-line records with quality") {
     val fq = Seq(
       "@read1 desc here", "ACGT", "+", "IIII",
