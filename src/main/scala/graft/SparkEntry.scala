@@ -193,19 +193,20 @@ object SparkEntry {
   }
 
   /** As-of join: each event matched to the latest order of the same user
-    * at or before the event time (composed from join + per-event window;
-    * a dedicated sort-merge as-of strategy is the planned scale path). */
+    * at or before the event time. Uses the union-timeline as-of operator
+    * (`operators/AsofJoin.backward`): one shuffle on user_id, one
+    * timeline sort per user, linear running fill — no per-event window
+    * sort and no quadratic join intermediate on hot users. */
   private def q13_asof_join(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(col("event_id"), col("user_id"),
       col("ts"), col("value"))
     val o = pq(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
       col("o_orderdate"), col("o_totalprice"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    e.join(o, col("user_id") === col("o_custkey") &&
-        col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    graft.operators.AsofJoin.backward(e, o,
+      probeKey = "user_id", refKey = "o_custkey",
+      probeTime = "ts", refTime = "o_orderdate",
+      tieBreak = Seq("o_orderdate", "o_orderkey"))
+      .where(col("o_orderkey").isNotNull) // inner as-of semantics
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_matched"),
         round(sum(col("o_totalprice")), 2).as("sum_matched_price"))

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe backward as-of join (each probe row matched to the latest
+  * reference row at-or-before its time, per key).
+  *
+  * Shape: union the two inputs into one keyed timeline, shuffle ONCE on
+  * the key, sort each key's timeline ONCE, then fill reference columns
+  * forward with running `last(_, ignoreNulls)` and keep the probe rows.
+  * Cost is O(shuffle + sort + linear scan) regardless of how many
+  * reference rows precede each probe — unlike the naive
+  * join-all-earlier + row_number()=1 plan, whose intermediate is
+  * quadratic per hot key and which re-sorts per probe row. All
+  * operations are codegen'd built-ins (running window frames evaluate
+  * in linear time).
+  *
+  * Matches the as-of semantics of the reference's query layer (probe
+  * rows with no earlier reference row get nulls; drop them for inner
+  * semantics).
+  */
+object AsofJoin {
+
+  /** @param probe     left side; every row is kept (left-outer as-of)
+    * @param ref       right side supplying the as-of payload
+    * @param probeKey  equality key column in `probe`
+    * @param refKey    equality key column in `ref` (renamed to probeKey)
+    * @param probeTime probe event-time column (cast to timestamp)
+    * @param refTime   reference event-time column (cast to timestamp);
+    *                  ties with a probe time match (inclusive <=)
+    * @param tieBreak  extra `ref` columns ordering same-time reference
+    *                  rows ascending — the LAST one wins
+    * @return probe columns plus the matched ref payload columns (null
+    *         when no reference row precedes the probe) */
+  def backward(probe: DataFrame, ref: DataFrame, probeKey: String,
+      refKey: String, probeTime: String, refTime: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val t = "__asof_t"
+    val isProbe = "__asof_is_probe"
+    val refStruct = "__asof_ref"
+    val probePayload = probe.columns.toSeq.filterNot(_ == probeKey)
+    val refPayload = ref.columns.toSeq.filterNot(_ == refKey)
+    require(probePayload.intersect(refPayload).isEmpty,
+      s"column collision: ${probePayload.intersect(refPayload).mkString(",")}")
+
+    // ref payload travels as ONE struct so the running fill is row-atomic
+    // (per-column last(ignoreNulls) could mix reference rows when a
+    // payload column is legitimately null)
+    val refStructType = org.apache.spark.sql.types.StructType(
+      refPayload.map(c => ref.schema(c)))
+    val probeU = probe.select(
+      col(probeKey) +: col(probeTime).cast("timestamp").as(t) +:
+        lit(1).as(isProbe) +: probePayload.map(col) :+
+        lit(null).cast(refStructType).as(refStruct): _*)
+    val refU = ref.select(
+      col(refKey).as(probeKey) +: col(refTime).cast("timestamp").as(t) +:
+        lit(0).as(isProbe) +: probePayload.map(c =>
+          lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        struct(refPayload.map(col): _*).as(refStruct): _*)
+
+    // reference rows sort before probe rows at equal time (inclusive
+    // as-of); among same-time reference rows the tieBreak order decides
+    // (probe rows carry a null struct, so their tieBreak fields are null
+    // and nulls_first keeps them out of the reference ordering)
+    val ordering: Seq[Column] =
+      col(t).asc +: col(isProbe).asc +:
+        tieBreak.map(c => col(s"$refStruct.$c").asc_nulls_first)
+    val w = Window.partitionBy(col(probeKey)).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    probeU.unionByName(refU)
+      .withColumn(refStruct, last(col(refStruct), ignoreNulls = true).over(w))
+      .where(col(isProbe) === 1)
+      .select(col(probeKey) +: (probePayload.map(col) ++
+        refPayload.map(c => col(s"$refStruct.$c").as(c))): _*)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class AsofJoinSpec extends SparkSuite {
+
+  test("asof backward: latest ref at-or-before, row-atomic payload") {
+    import spark.implicits._
+    val probe = Seq(
+      (1, "2024-01-05 10:00:00", "e1"),
+      (1, "2024-01-01 00:00:00", "e2"), // equal to order date → inclusive
+      (2, "2024-01-03 00:00:00", "e3"), // only later orders → null
+      (3, "2024-01-02 00:00:00", "e4")) // no orders for key → null
+      .toDF("uid", "ts", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq(
+      (1, "2024-01-01", 10, Some(100.0)),
+      (1, "2024-01-05", 11, Some(110.0)),
+      (1, "2024-01-05", 12, None), // tie on date → highest okey wins, and
+                                   // its null price must come along (atomic)
+      (2, "2024-01-04", 20, Some(200.0)))
+      .toDF("ouid", "odate", "okey", "price")
+      .withColumn("odate", col("odate").cast("date"))
+
+    val out = AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "odate",
+      tieBreak = Seq("okey"))
+    assert(out.columns.toSeq == Seq("uid", "ts", "eid", "odate", "okey", "price"))
+    val got = out.orderBy("eid").collect().map { r =>
+      (r.getString(2),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5))
+    }.toSeq
+    assert(got(0)._1 == "e1" && got(0)._2 == 12 && got(0)._3.isNaN)
+    assert(got(1) == (("e2", 10, 100.0)))
+    assert(got(2)._2 == -1) // e3: order strictly later
+    assert(got(3)._2 == -1) // e4: keyless
+    assert(got.size == 4)   // left-outer: every probe row kept
+  }
+
+  test("asof backward plan has no per-probe sort or join blow-up") {
+    import spark.implicits._
+    val probe = Seq((1, "2024-01-02 00:00:00", "e1")).toDF("uid", "ts", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq((1, "2024-01-01", 10)).toDF("ouid", "odate", "okey")
+      .withColumn("odate", col("odate").cast("date"))
+    val plan = AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "odate")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"))
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+}
