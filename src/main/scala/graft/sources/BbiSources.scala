@@ -39,7 +39,7 @@ abstract class BbiDataSource(wig: Boolean) extends TableProvider
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = LineSourceUtil.optionsMap(options)
-    BbiSource.schema(wig, opts)
+    BbiSource.schema(wig, opts, LineSourceUtil.resolvePaths(options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -61,7 +61,36 @@ object BbiSource {
   def zoomLevel(options: Map[String, String]): Option[Int] =
     options.get("zoom_level").map(_.toInt)
 
-  def schema(wig: Boolean, options: Map[String, String]): StructType = {
+  /** BigBed rest-field typing, in precedence order: explicit `fields`
+    * option → embedded AutoSql declaration (M4) → single `rest` string. */
+  def restFields(options: Map[String, String],
+      paths: Seq[Path]): Seq[graft.core.BedField] =
+    options.get("fields")
+      .map(graft.core.BedSchema.parseCustomFields)
+      .orElse(paths.headOption.flatMap(autoSqlFields))
+      .getOrElse(Nil)
+
+  /** Parse the embedded AutoSql into typed rest columns: fields beyond
+    * chrom/chromStart/chromEnd, truncated to the header's fieldCount. */
+  def autoSqlFields(path: Path): Option[Seq[graft.core.BedField]] = {
+    val fs = path.getFileSystem(new Configuration())
+    val in = SeekableInputs.forHadoop(fs, path)
+    try {
+      val header = BbiCodec.readHeader(in)
+      BbiCodec.readAutoSql(in, header).map { text =>
+        val table = graft.formats.AutoSql.parse(text)
+        val n =
+          if (header.fieldCount > 0)
+            math.min(header.fieldCount, table.fields.size)
+          else table.fields.size
+        table.fields.take(n).drop(3)
+          .map(f => graft.core.BedField(f.name, f.dataType))
+      }.filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  def schema(wig: Boolean, options: Map[String, String],
+      paths: Seq[Path]): StructType = {
     if (zoomLevel(options).isDefined) {
       StructType(Seq(
         StructField("chrom", StringType), StructField("start", LongType),
@@ -75,8 +104,7 @@ object BbiSource {
         StructField("chrom", StringType), StructField("start", LongType),
         StructField("end", LongType), StructField("value", FloatType)))
     } else {
-      val extra = options.get("fields")
-        .map(graft.core.BedSchema.parseCustomFields).getOrElse(Nil)
+      val extra = restFields(options, paths)
       val base = Seq(
         StructField("chrom", StringType), StructField("start", LongType),
         StructField("end", LongType))
@@ -227,8 +255,7 @@ class BbiPartitionReader(wig: Boolean, fullSchema: StructType,
 
   private val bedFields: Seq[graft.core.BedField] =
     if (wig || zoom.isDefined) Nil
-    else options.get("fields")
-      .map(graft.core.BedSchema.parseCustomFields).getOrElse(Nil)
+    else BbiSource.restFields(options, Seq(path))
 
   private val rows: Iterator[InternalRow] = {
     def chromName(id: Int): Any =
@@ -261,15 +288,7 @@ class BbiPartitionReader(wig: Boolean, fullSchema: StructType,
                 bedFields.zipWithIndex.map { case (f, idx) =>
                   val raw = if (idx < parts.length) parts(idx) else null
                   if (raw == null || raw.isEmpty || raw == ".") null
-                  else f.dataType match {
-                    case StringType => UTF8String.fromString(raw)
-                    case LongType => raw.toLong
-                    case IntegerType => raw.toInt
-                    case FloatType => raw.toFloat
-                    case DoubleType => raw.toDouble
-                    case other => throw new IllegalArgumentException(
-                      s"unsupported bigbed field type $other")
-                  }
+                  else convertBedValue(f.dataType, raw)
                 }.toArray[Any]
               }
             new GenericInternalRow(base ++ restCols)
@@ -277,6 +296,22 @@ class BbiPartitionReader(wig: Boolean, fullSchema: StructType,
     }
     val capped = if (limit >= 0) all.take(limit) else all
     capped.iterator
+  }
+
+  /** AutoSql lists and sets arrive as comma-separated text (often with a
+    * trailing comma in real BigBeds, e.g. blockSizes "1,2,3,"). */
+  private def convertBedValue(dt: DataType, raw: String): Any = dt match {
+    case StringType => UTF8String.fromString(raw)
+    case LongType => raw.toLong
+    case IntegerType => raw.toInt
+    case FloatType => raw.toFloat
+    case DoubleType => raw.toDouble
+    case ArrayType(elem, _) =>
+      val parts = raw.split(",").toSeq.filter(_.nonEmpty)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        parts.map(p => convertBedValue(elem, p)).toArray)
+    case other => throw new IllegalArgumentException(
+      s"unsupported bigbed field type $other")
   }
 
   private val projIdx: Array[Int] =

@@ -97,11 +97,16 @@ object BbiFixture {
     bb.array()
   }
 
-  /** Assemble a BigWig or BigBed file. `wigSections` XOR `bedItems`. */
+  /** Assemble a BigWig or BigBed file. `wigSections` XOR `bedItems`.
+    * `autoSql` embeds a NUL-terminated AutoSql declaration (BigBed);
+    * `fieldCount` overrides the header's field count when set. */
   def write(path: String, chroms: Seq[(String, Int)],
       wigSections: Seq[WigSection], bedItems: Seq[BedItem],
-      zooms: Seq[Zoom]): Unit = {
+      zooms: Seq[Zoom], autoSql: Option[String] = None,
+      fieldCount: Option[Int] = None): Unit = {
     val isWig = wigSections.nonEmpty
+    val autoSqlBytes = autoSql
+      .map(s => s.getBytes("UTF-8") :+ 0.toByte).getOrElse(Array.empty[Byte])
     val chromTree = encodeChromTree(chroms)
     val dataSections: Seq[(Array[Byte], (Int, Long, Int, Long))] =
       if (isWig) wigSections.map { s =>
@@ -124,7 +129,8 @@ object BbiFixture {
 
     val nZoom = if (zoomSection.isDefined) 1 else 0
     val headerSize = 64 + nZoom * 24
-    val chromTreeOffset = headerSize.toLong
+    val autoSqlOffset = if (autoSqlBytes.isEmpty) 0L else headerSize.toLong
+    val chromTreeOffset = headerSize.toLong + autoSqlBytes.length
     val fullDataOffset = chromTreeOffset + chromTree.length
     // data area: 8-byte section/item count then sections
     var cursor = fullDataOffset + 8
@@ -157,9 +163,9 @@ object BbiFixture {
     head.putLong(chromTreeOffset)
     head.putLong(fullDataOffset)
     head.putLong(fullIndexOffset)
-    head.putShort((if (isWig) 0 else 5).toShort) // fieldCount
+    head.putShort(fieldCount.getOrElse(if (isWig) 0 else 5).toShort)
     head.putShort((if (isWig) 0 else 3).toShort) // definedFieldCount
-    head.putLong(0L) // autoSqlOffset
+    head.putLong(autoSqlOffset)
     head.putLong(0L) // totalSummaryOffset
     head.putInt(0)   // uncompressBufSize (uncompressed)
     head.putInt(0).putInt(0) // 8 reserved bytes → header is exactly 64
@@ -172,6 +178,7 @@ object BbiFixture {
 
     val out = new FileOutputStream(path)
     out.write(head.array())
+    out.write(autoSqlBytes)
     out.write(chromTree)
     val cnt = le(8)
     cnt.putLong(dataSections.size.toLong)

@@ -87,6 +87,49 @@ class BbiSourcesSpec extends SparkSuite {
     assert(t(2).getString(3) == "feat3" && t(2).getInt(4) == 77)
   }
 
+  test("bigbed: embedded AutoSql auto-derives typed columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbi-as")
+    val p = dir.resolve("as.bb").toString
+    val autoSql =
+      """table narrowPeakish
+        |"Peaks with typed extras"
+        |(
+        |string chrom;        "Reference sequence"
+        |uint   chromStart;   "Start position"
+        |uint   chromEnd;     "End position"
+        |string name;         "Feature name"
+        |uint   score;        "Score 0-1000"
+        |char[1] strand;      "+ or -"
+        |float  signalValue;  "Measurement"
+        |int[blockCount] blockSizes; "Comma separated sizes"
+        |set(promoter,enhancer) kind; "Region classes"
+        |)""".stripMargin
+    BbiFixture.write(p, chroms,
+      wigSections = Nil,
+      bedItems = Seq(
+        BedItem(0, 10, 50, "feat1\t960\t+\t1.25\t4,6,\tpromoter,enhancer"),
+        BedItem(1, 5, 25, "feat3\t77\t-\t0.5\t20,\tenhancer")),
+      zooms = Nil, autoSql = Some(autoSql), fieldCount = Some(9))
+    val df = spark.read.format("bigbed").load(p)
+    assert(df.columns.toSeq == Seq("chrom", "start", "end", "name", "score",
+      "strand", "signalValue", "blockSizes", "kind"))
+    import org.apache.spark.sql.types._
+    assert(df.schema("score").dataType == LongType) // uint widens to long
+    assert(df.schema("strand").dataType == StringType) // char[1] is a string
+    assert(df.schema("blockSizes").dataType == ArrayType(IntegerType))
+    assert(df.schema("kind").dataType == ArrayType(StringType))
+    val r = df.orderBy("chrom", "start").collect()
+    assert(r(0).getString(3) == "feat1" && r(0).getLong(4) == 960 &&
+      r(0).getString(5) == "+" && r(0).getFloat(6) == 1.25f)
+    assert(r(0).getSeq[Int](7) == Seq(4, 6)) // trailing comma tolerated
+    assert(r(0).getSeq[String](8) == Seq("promoter", "enhancer"))
+    assert(r(1).getString(3) == "feat3" && r(1).getSeq[Int](7) == Seq(20))
+    // explicit fields option still wins over AutoSql
+    val overridden = spark.read.format("bigbed")
+      .option("fields", "name:string").load(p)
+    assert(overridden.columns.toSeq == Seq("chrom", "start", "end", "name"))
+  }
+
   test("bigbed: pushed chrom filter prunes sections") {
     val df = spark.read.format("bigbed").load(bigbedPath)
       .where(col("chrom") === "chr2")
