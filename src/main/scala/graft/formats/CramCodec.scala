@@ -1,0 +1,652 @@
+package graft.formats
+
+import java.io.{ByteArrayInputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+/** CRAM 3.0 container/slice/record codec (SURVEY §2.1 S7), implemented
+  * from the published CRAM specification (samtools/hts-specs). The
+  * reference reaches the same behavior through noodles
+  * (`/root/reference/oxbow/src/alignment/scanner/cram.rs:42-120`); this
+  * is an independent JVM implementation of the subset needed for
+  * reference-based scans:
+  *
+  *  - file definition, container headers, blocks (raw + gzip methods)
+  *  - compression header: preservation map (RN/AP/RR/SM/TD), data-series
+  *    and tag encoding maps
+  *  - codecs: EXTERNAL, HUFFMAN (canonical, incl. the common 0-bit
+  *    single-symbol case), BETA, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP
+  *  - record decode with read features (B X I S D i N P H b q) and
+  *    reference-based sequence reconstruction via the substitution
+  *    matrix; detached mate info; CRAI index parsing for region queries
+  *
+  * Unsupported (documented): rANS/lzma/bzip2 block methods and tag-value
+  * materialization (tag blocks are skipped; TL/TD are still parsed).
+  */
+object CramCodec {
+
+  // ------------------------------------------------------------- varints
+
+  def readItf8(in: InputStream): Int = {
+    val b0 = read1(in)
+    if ((b0 & 0x80) == 0) b0
+    else if ((b0 & 0x40) == 0) ((b0 & 0x7f) << 8) | read1(in)
+    else if ((b0 & 0x20) == 0)
+      ((b0 & 0x3f) << 16) | (read1(in) << 8) | read1(in)
+    else if ((b0 & 0x10) == 0)
+      ((b0 & 0x1f) << 24) | (read1(in) << 16) | (read1(in) << 8) | read1(in)
+    else
+      ((b0 & 0x0f) << 28) | (read1(in) << 20) | (read1(in) << 12) |
+        (read1(in) << 4) | (read1(in) & 0x0f)
+  }
+
+  def writeItf8(out: java.io.OutputStream, value: Int): Unit = {
+    val v = value & 0xffffffffL
+    if (v < (1 << 7)) out.write(v.toInt)
+    else if (v < (1 << 14)) {
+      out.write((0x80 | (v >> 8)).toInt); out.write((v & 0xff).toInt)
+    } else if (v < (1 << 21)) {
+      out.write((0xc0 | (v >> 16)).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    } else if (v < (1 << 28)) {
+      out.write((0xe0 | (v >> 24)).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    } else {
+      out.write((0xf0 | (v >> 28)).toInt)
+      out.write(((v >> 20) & 0xff).toInt)
+      out.write(((v >> 12) & 0xff).toInt)
+      out.write(((v >> 4) & 0xff).toInt); out.write((v & 0x0f).toInt)
+    }
+  }
+
+  def readLtf8(in: InputStream): Long = {
+    val b0 = read1(in)
+    var extra = 0
+    var mask = 0x80
+    while (extra < 8 && (b0 & mask) != 0) { extra += 1; mask >>= 1 }
+    var value: Long =
+      if (extra == 8) 0L else (b0 & ((1 << (7 - extra)) - 1)).toLong
+    var i = 0
+    while (i < extra) { value = (value << 8) | read1(in); i += 1 }
+    value
+  }
+
+  def writeLtf8(out: java.io.OutputStream, value: Long): Unit = {
+    // count bytes needed for the unsigned representation
+    var extra = 0
+    while (extra < 8 &&
+        (value >>> (7 - extra + 8 * extra)) != 0) extra += 1
+    if (extra == 8) {
+      out.write(0xff)
+      var i = 7
+      while (i >= 0) { out.write(((value >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    } else {
+      val prefix = (0xff << (8 - extra)) & 0xff
+      out.write(prefix | ((value >>> (8 * extra)) & ((1 << (7 - extra)) - 1)).toInt)
+      var i = extra - 1
+      while (i >= 0) { out.write(((value >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+  }
+
+  private def read1(in: InputStream): Int = {
+    val b = in.read()
+    if (b < 0) throw new EOFException("unexpected CRAM EOF")
+    b
+  }
+
+  def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var done = 0
+    while (done < n) {
+      val got = in.read(buf, done, n - done)
+      if (got < 0) throw new EOFException("unexpected CRAM EOF")
+      done += got
+    }
+    buf
+  }
+
+  private def readIntLE(in: InputStream): Int =
+    read1(in) | (read1(in) << 8) | (read1(in) << 16) | (read1(in) << 24)
+
+  // ------------------------------------------------------------ structure
+
+  /** "CRAM" + major.minor + 20-byte file id. */
+  final case class FileDefinition(major: Int, minor: Int, fileId: Array[Byte])
+
+  def readFileDefinition(in: InputStream): FileDefinition = {
+    val magic = readFully(in, 4)
+    require(magic.sameElements("CRAM".getBytes("ASCII")), "not a CRAM file")
+    FileDefinition(read1(in), read1(in), readFully(in, 20))
+  }
+
+  final case class ContainerHeader(length: Int, refSeqId: Int, startPos: Int,
+      span: Int, nRecords: Int, recordCounter: Long, bases: Long,
+      nBlocks: Int, landmarks: Seq[Int]) {
+    def isEof: Boolean = refSeqId == -1 && nRecords == 0 && nBlocks == 1 &&
+      startPos == 4542278 // the spec's EOF sentinel container
+  }
+
+  def readContainerHeader(in: InputStream): ContainerHeader = {
+    val length = readIntLE(in)
+    val refSeqId = readItf8(in)
+    val startPos = readItf8(in)
+    val span = readItf8(in)
+    val nRecords = readItf8(in)
+    val recordCounter = readLtf8(in)
+    val bases = readLtf8(in)
+    val nBlocks = readItf8(in)
+    val nLandmarks = readItf8(in)
+    val landmarks = (0 until nLandmarks).map(_ => readItf8(in))
+    readIntLE(in) // crc32 (not validated)
+    ContainerHeader(length, refSeqId, startPos, span, nRecords, recordCounter,
+      bases, nBlocks, landmarks)
+  }
+
+  /** content types: 0 file header, 1 compression header, 2 slice header,
+    * 4 external, 5 core. */
+  final case class Block(method: Int, contentType: Int, contentId: Int,
+      data: Array[Byte])
+
+  def readBlock(in: InputStream): Block = {
+    val method = read1(in)
+    val contentType = read1(in)
+    val contentId = readItf8(in)
+    val compressedSize = readItf8(in)
+    val rawSize = readItf8(in)
+    val payload = readFully(in, compressedSize)
+    val data = method match {
+      case 0 => payload
+      case 1 =>
+        val gz = new GZIPInputStream(new ByteArrayInputStream(payload))
+        try readFully(gz, rawSize) finally gz.close()
+      case other => throw new UnsupportedOperationException(
+        s"CRAM block compression method $other not supported (raw/gzip only)")
+    }
+    readIntLE(in) // crc32
+    Block(method, contentType, contentId, data)
+  }
+
+  // ---------------------------------------------------- compression header
+
+  sealed trait Encoding
+  case object NullEncoding extends Encoding
+  final case class External(contentId: Int) extends Encoding
+  final case class Huffman(alphabet: Seq[Int], lengths: Seq[Int]) extends Encoding
+  final case class ByteArrayLen(lenEnc: Encoding, valEnc: Encoding) extends Encoding
+  final case class ByteArrayStop(stop: Int, contentId: Int) extends Encoding
+  final case class Beta(offset: Int, bits: Int) extends Encoding
+
+  def readEncoding(in: InputStream): Encoding = {
+    val codec = readItf8(in)
+    val size = readItf8(in)
+    val params = new ByteArrayInputStream(readFully(in, size))
+    codec match {
+      case 0 => NullEncoding
+      case 1 => External(readItf8(params))
+      case 3 =>
+        val n = readItf8(params)
+        val alphabet = (0 until n).map(_ => readItf8(params))
+        val m = readItf8(params)
+        val lengths = (0 until m).map(_ => readItf8(params))
+        Huffman(alphabet, lengths)
+      case 4 => ByteArrayLen(readEncoding(params), readEncoding(params))
+      case 5 => ByteArrayStop(read1(params), readItf8(params))
+      case 6 => Beta(readItf8(params), readItf8(params))
+      case other => throw new UnsupportedOperationException(
+        s"CRAM encoding codec $other not supported")
+    }
+  }
+
+  final case class CompressionHeader(
+      readNamesIncluded: Boolean, apDelta: Boolean, referenceRequired: Boolean,
+      substitutionMatrix: Array[Byte],
+      tagDictionary: Seq[Seq[(String, Char)]],
+      dataSeries: Map[String, Encoding],
+      tagEncodings: Map[Int, Encoding])
+
+  def readCompressionHeader(data: Array[Byte]): CompressionHeader = {
+    val in = new ByteArrayInputStream(data)
+    // preservation map
+    var rn = true; var ap = true; var rr = true
+    var sm: Array[Byte] = Array(0x1b, 0x1b, 0x1b, 0x1b, 0x1b).map(_.toByte)
+    var td: Seq[Seq[(String, Char)]] = Seq(Nil)
+    locally {
+      readItf8(in) // byte size
+      val n = readItf8(in)
+      (0 until n).foreach { _ =>
+        val key = new String(readFully(in, 2), "ASCII")
+        key match {
+          case "RN" => rn = read1(in) != 0
+          case "AP" => ap = read1(in) != 0
+          case "RR" => rr = read1(in) != 0
+          case "SM" => sm = readFully(in, 5)
+          case "TD" =>
+            val len = readItf8(in)
+            val bytes = readFully(in, len)
+            td = new String(bytes, "ASCII").split(" ", -1).toSeq
+              .map { line =>
+                line.grouped(3).filter(_.length == 3)
+                  .map(t => (t.substring(0, 2), t.charAt(2))).toSeq
+              }
+          case _ => throw new UnsupportedOperationException(
+            s"unknown CRAM preservation key $key")
+        }
+      }
+    }
+    val ds: Map[String, Encoding] = {
+      readItf8(in) // byte size
+      val n = readItf8(in)
+      (0 until n).map { _ =>
+        val key = new String(readFully(in, 2), "ASCII")
+        key -> readEncoding(in)
+      }.toMap
+    }
+    val tags: Map[Int, Encoding] = {
+      readItf8(in) // byte size
+      val n = readItf8(in)
+      (0 until n).map(_ => readItf8(in) -> readEncoding(in)).toMap
+    }
+    CompressionHeader(rn, ap, rr, sm, td, ds, tags)
+  }
+
+  final case class SliceHeader(refSeqId: Int, start: Int, span: Int,
+      nRecords: Int, recordCounter: Long, nBlocks: Int,
+      contentIds: Seq[Int], embeddedRefId: Int, md5: Array[Byte])
+
+  def readSliceHeader(data: Array[Byte]): SliceHeader = {
+    val in = new ByteArrayInputStream(data)
+    val refSeqId = readItf8(in)
+    val start = readItf8(in)
+    val span = readItf8(in)
+    val nRecords = readItf8(in)
+    val recordCounter = readLtf8(in)
+    val nBlocks = readItf8(in)
+    val nIds = readItf8(in)
+    val ids = (0 until nIds).map(_ => readItf8(in))
+    val embeddedRefId = readItf8(in)
+    val md5 = readFully(in, 16)
+    SliceHeader(refSeqId, start, span, nRecords, recordCounter, nBlocks,
+      ids, embeddedRefId, md5)
+  }
+
+  // -------------------------------------------------------------- readers
+
+  /** MSB-first bit reader over the core block. */
+  final class BitReader(data: Array[Byte]) {
+    private var bytePos = 0
+    private var bitPos = 0
+    def readBit(): Int = {
+      val b = (data(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+  }
+
+  final class ByteCursor(val data: Array[Byte]) {
+    var pos = 0
+    def readByte(): Int = {
+      val b = data(pos) & 0xff; pos += 1; b
+    }
+    def readItf8Value(): Int = {
+      val in = new ByteArrayInputStream(data, pos, data.length - pos)
+      val before = in.available()
+      val v = CramCodec.readItf8(in)
+      pos += before - in.available()
+      v
+    }
+    def readBytes(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
+      pos += n
+      out
+    }
+    def readUntil(stop: Int): Array[Byte] = {
+      val start = pos
+      while (data(pos) != stop.toByte) pos += 1
+      val out = java.util.Arrays.copyOfRange(data, start, pos)
+      pos += 1 // consume stop byte
+      out
+    }
+  }
+
+  /** Canonical Huffman decoder (symbols ranked by (length, list order)). */
+  final class HuffmanDecoder(alphabet: Seq[Int], lengths: Seq[Int]) {
+    private val single: Option[Int] =
+      if (alphabet.size == 1) Some(alphabet.head) else None
+    // (code, length) -> symbol
+    private val table: Map[(Int, Int), Int] = {
+      val sorted = alphabet.zip(lengths).sortBy { case (sym, len) => (len, sym) }
+      var code = 0
+      var prevLen = 0
+      sorted.map { case (sym, len) =>
+        code <<= (len - prevLen)
+        prevLen = len
+        val entry = (code, len) -> sym
+        code += 1
+        entry
+      }.toMap
+    }
+    def read(core: BitReader): Int = single.getOrElse {
+      var code = 0
+      var len = 0
+      while (len < 32) {
+        code = (code << 1) | core.readBit()
+        len += 1
+        table.get((code, len)) match {
+          case Some(sym) => return sym
+          case None => ()
+        }
+      }
+      throw new IllegalStateException("bad huffman code in CRAM core stream")
+    }
+  }
+
+  /** Evaluates one data series' encoding against the slice streams. */
+  final class SeriesReader(enc: Encoding, core: BitReader,
+      ext: Map[Int, ByteCursor]) {
+    private val huff = enc match {
+      case h: Huffman => Some(new HuffmanDecoder(h.alphabet, h.lengths))
+      case _ => None
+    }
+    private def cursor(id: Int): ByteCursor =
+      ext.getOrElse(id, throw new IllegalStateException(
+        s"missing CRAM external block $id"))
+    def readInt(): Int = enc match {
+      case External(id) => cursor(id).readItf8Value()
+      case _: Huffman => huff.get.read(core)
+      case Beta(offset, bits) => core.readBits(bits) - offset
+      case other => throw new UnsupportedOperationException(
+        s"encoding $other for int series")
+    }
+    def readByte(): Int = enc match {
+      case External(id) => cursor(id).readByte()
+      case _: Huffman => huff.get.read(core)
+      case Beta(offset, bits) => core.readBits(bits) - offset
+      case other => throw new UnsupportedOperationException(
+        s"encoding $other for byte series")
+    }
+    def readBytes(): Array[Byte] = enc match {
+      case ByteArrayStop(stop, id) => cursor(id).readUntil(stop)
+      case ByteArrayLen(lenEnc, valEnc) =>
+        val n = new SeriesReader(lenEnc, core, ext).readInt()
+        valEnc match {
+          case External(id) => cursor(id).readBytes(n)
+          case other =>
+            val r = new SeriesReader(other, core, ext)
+            Array.fill(n)(r.readByte().toByte)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"encoding $other for byte-array series")
+    }
+    def readBytesN(n: Int): Array[Byte] = enc match {
+      case External(id) => cursor(id).readBytes(n)
+      case _ => Array.fill(n)(readByte().toByte)
+    }
+  }
+
+  // -------------------------------------------------------------- records
+
+  final case class Feature(code: Char, pos: Int, intVal: Int,
+      bytes: Array[Byte])
+
+  final case class CramRecord(bamFlags: Int, cramFlags: Int, refId: Int,
+      readLength: Int, alignmentStart: Int, readGroup: Int, readName: String,
+      mateRefId: Int, matePos: Int, templateSize: Int,
+      features: Seq[Feature], mappingQuality: Int,
+      qualityScores: Array[Byte], bases: Array[Byte]) {
+    def isUnmapped: Boolean = (bamFlags & 0x4) != 0
+    /** reference bases consumed (M/D/N span); end1 = start + this - 1. */
+    def referenceLength: Int = {
+      var readPos = 1
+      var refLen = 0
+      features.sortBy(_.pos).foreach { f =>
+        refLen += f.pos - readPos // matched stretch before this feature
+        readPos = f.pos
+        val n = if (f.bytes != null) f.bytes.length else 0
+        f.code match {
+          case 'X' | 'B' => refLen += 1; readPos += 1
+          case 'i' => readPos += 1
+          case 'I' | 'S' => readPos += n
+          case 'b' => refLen += n; readPos += n
+          case 'q' => readPos += n
+          case 'D' | 'N' => refLen += f.intVal
+          case _ => () // H, P, Q consume neither
+        }
+      }
+      refLen + (readLength + 1 - readPos) // trailing matched stretch
+    }
+  }
+
+  /** Decode all records of one slice. */
+  def decodeSlice(comp: CompressionHeader, slice: SliceHeader,
+      core: Array[Byte], external: Map[Int, Array[Byte]]): Seq[CramRecord] = {
+    val bits = new BitReader(core)
+    val cursors = external.map { case (id, d) => id -> new ByteCursor(d) }
+    def series(key: String): SeriesReader =
+      new SeriesReader(comp.dataSeries.getOrElse(key, NullEncoding), bits, cursors)
+    val bf = series("BF"); val cf = series("CF"); val ri = series("RI")
+    val rl = series("RL"); val ap = series("AP"); val rg = series("RG")
+    val rnS = series("RN"); val mf = series("MF"); val ns = series("NS")
+    val np = series("NP"); val ts = series("TS"); val nf = series("NF")
+    val tl = series("TL"); val fn = series("FN"); val fc = series("FC")
+    val fp = series("FP"); val bs = series("BS"); val inS = series("IN")
+    val sc = series("SC"); val dl = series("DL"); val ba = series("BA")
+    val rs = series("RS"); val pd = series("PD"); val hc = series("HC")
+    val mq = series("MQ"); val qs = series("QS")
+    val bb = series("BB"); val qq = series("QQ")
+
+    var prevAlignmentStart = slice.start
+    val out = mutable.ArrayBuffer.empty[CramRecord]
+    var i = 0
+    while (i < slice.nRecords) {
+      val bamFlags = bf.readInt()
+      val cramFlags = cf.readInt()
+      val refId = if (slice.refSeqId == -2) ri.readInt() else slice.refSeqId
+      val readLength = rl.readInt()
+      val alignmentStart =
+        if (comp.apDelta) { prevAlignmentStart += ap.readInt(); prevAlignmentStart }
+        else ap.readInt()
+      val readGroup = rg.readInt()
+      var readName: String =
+        if (comp.readNamesIncluded) new String(rnS.readBytes(), "ASCII") else null
+      var mateRefId = -1
+      var matePos = 0
+      var templateSize = 0
+      if ((cramFlags & 0x2) != 0) { // detached
+        mf.readInt() // mate flags (folded into bamFlags by writers)
+        if (!comp.readNamesIncluded)
+          readName = new String(rnS.readBytes(), "ASCII")
+        mateRefId = ns.readInt()
+        matePos = np.readInt()
+        templateSize = ts.readInt()
+      } else if ((cramFlags & 0x4) != 0) {
+        nf.readInt() // downstream mate distance (unused here)
+      }
+      val tagLine = tl.readInt()
+      // tag VALUES live in their own external blocks; skipping them does
+      // not advance any stream shared with the fixed columns
+      val _ = tagLine
+
+      var features: Seq[Feature] = Nil
+      var mappingQuality = -1
+      var quals: Array[Byte] = null
+      var bases: Array[Byte] = null
+      if ((bamFlags & 0x4) == 0) {
+        val nFeat = fn.readInt()
+        var readPos = 0
+        val fs = mutable.ArrayBuffer.empty[Feature]
+        var j = 0
+        while (j < nFeat) {
+          val code = fc.readByte().toChar
+          readPos += fp.readInt()
+          val feat = code match {
+            case 'B' =>
+              val b = ba.readByte()
+              qs.readByte() // paired quality
+              Feature(code, readPos, b, null)
+            case 'X' => Feature(code, readPos, bs.readByte(), null)
+            case 'I' => Feature(code, readPos, 0, inS.readBytes())
+            case 'S' => Feature(code, readPos, 0, sc.readBytes())
+            case 'D' => Feature(code, readPos, dl.readInt(), null)
+            case 'i' => Feature(code, readPos, ba.readByte(), null)
+            case 'N' => Feature(code, readPos, rs.readInt(), null)
+            case 'P' => Feature(code, readPos, pd.readInt(), null)
+            case 'H' => Feature(code, readPos, hc.readInt(), null)
+            case 'b' => Feature(code, readPos, 0, bb.readBytes())
+            case 'q' => Feature(code, readPos, 0, qq.readBytes())
+            case 'Q' => Feature(code, readPos, qs.readByte(), null)
+            case other => throw new UnsupportedOperationException(
+              s"CRAM read feature '$other'")
+          }
+          fs += feat
+          j += 1
+        }
+        features = fs.toSeq
+        mappingQuality = mq.readInt()
+        if ((cramFlags & 0x1) != 0) quals = qs.readBytesN(readLength)
+      } else {
+        bases = ba.readBytesN(readLength)
+        if ((cramFlags & 0x1) != 0) quals = qs.readBytesN(readLength)
+      }
+      out += CramRecord(bamFlags, cramFlags, refId, readLength,
+        alignmentStart, readGroup, readName, mateRefId, matePos,
+        templateSize, features, mappingQuality, quals, bases)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------- sequence + cigar
+
+  private val Bases = "ACGTN"
+
+  /** Substitution decode: matrix byte for the ref base ranks the other
+    * four bases (ACGTN order) in 2-bit fields. */
+  def substitute(matrix: Array[Byte], refBase: Char, code: Int): Char = {
+    val r = Bases.indexOf(refBase.toUpper) match {
+      case -1 => 4 // treat unknown as N
+      case idx => idx
+    }
+    val alts = Bases.filter(_ != Bases(r))
+    val b = matrix(r) & 0xff
+    var i = 0
+    while (i < 4) {
+      if (((b >> (6 - 2 * i)) & 0x3) == code) return alts(i)
+      i += 1
+    }
+    'N'
+  }
+
+  /** Encode side of [[substitute]] (fixture writers). */
+  def substitutionCode(matrix: Array[Byte], refBase: Char, readBase: Char): Int = {
+    val r = math.max(Bases.indexOf(refBase.toUpper), 0)
+    val alts = Bases.filter(_ != Bases(r))
+    val i = alts.indexOf(readBase.toUpper)
+    require(i >= 0, s"$readBase is not a substitution for $refBase")
+    ((matrix(r) & 0xff) >> (6 - 2 * i)) & 0x3
+  }
+
+  /** Reconstruct (cigar, seq) for a mapped record. `refSlice(pos0)` must
+    * return the reference base at 0-based position `pos0` (absolute). */
+  def reconstruct(rec: CramRecord, matrix: Array[Byte],
+      refSlice: Option[Long => Char]): (String, String) = {
+    val cigar = new StringBuilder
+    var cigarOp = ' '
+    var cigarLen = 0
+    def emit(op: Char, n: Int): Unit = {
+      if (n == 0) return
+      if (op == cigarOp) cigarLen += n
+      else {
+        if (cigarLen > 0) cigar.append(cigarLen).append(cigarOp)
+        cigarOp = op; cigarLen = n
+      }
+    }
+    val seq = Array.fill(rec.readLength)('N')
+    var readPos = 1 // 1-based position in the read
+    var refPos = rec.alignmentStart.toLong - 1 // 0-based reference position
+    def fillMatch(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        refSlice.foreach(f => seq(readPos - 1 + i) = f(refPos + i))
+        i += 1
+      }
+      emit('M', n)
+      readPos += n
+      refPos += n
+    }
+    rec.features.sortBy(_.pos).foreach { f =>
+      fillMatch(f.pos - readPos)
+      f.code match {
+        case 'X' =>
+          val refBase = refSlice.map(g => g(refPos)).getOrElse('N')
+          seq(readPos - 1) = substitute(matrix, refBase, f.intVal)
+          emit('M', 1); readPos += 1; refPos += 1
+        case 'B' =>
+          seq(readPos - 1) = f.intVal.toChar
+          emit('M', 1); readPos += 1; refPos += 1
+        case 'I' =>
+          f.bytes.zipWithIndex.foreach { case (b, i) =>
+            seq(readPos - 1 + i) = b.toChar
+          }
+          emit('I', f.bytes.length); readPos += f.bytes.length
+        case 'i' =>
+          seq(readPos - 1) = f.intVal.toChar
+          emit('I', 1); readPos += 1
+        case 'S' =>
+          f.bytes.zipWithIndex.foreach { case (b, i) =>
+            seq(readPos - 1 + i) = b.toChar
+          }
+          emit('S', f.bytes.length); readPos += f.bytes.length
+        case 'D' => emit('D', f.intVal); refPos += f.intVal
+        case 'N' => emit('N', f.intVal); refPos += f.intVal
+        case 'P' => emit('P', f.intVal)
+        case 'H' => emit('H', f.intVal)
+        case 'b' =>
+          f.bytes.zipWithIndex.foreach { case (b, i) =>
+            seq(readPos - 1 + i) = b.toChar
+          }
+          emit('M', f.bytes.length)
+          readPos += f.bytes.length; refPos += f.bytes.length
+        case 'q' => readPos += f.bytes.length // quality run; bases from ref
+        case 'Q' => ()
+        case other => throw new UnsupportedOperationException(
+          s"CRAM read feature '$other'")
+      }
+    }
+    fillMatch(rec.readLength + 1 - readPos)
+    if (cigarLen > 0) cigar.append(cigarLen).append(cigarOp)
+    (cigar.toString, new String(seq))
+  }
+
+  // ----------------------------------------------------------------- CRAI
+
+  /** One CRAI line: region → (container offset, slice offset, size). */
+  final case class CraiEntry(refSeqId: Int, start: Int, span: Int,
+      containerOffset: Long, sliceOffset: Int, sliceSize: Int)
+
+  def readCrai(in: InputStream): Seq[CraiEntry] = {
+    val gz = new GZIPInputStream(in)
+    val text = new String(readAll(gz), "ASCII")
+    text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+      val c = line.split("\t")
+      CraiEntry(c(0).toInt, c(1).toInt, c(2).toInt, c(3).toLong,
+        c(4).toInt, c(5).toInt)
+    }
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+}

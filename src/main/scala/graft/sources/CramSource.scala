@@ -1,0 +1,426 @@
+package graft.sources
+
+import java.io.InputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{CoordSystem, Region}
+import graft.formats.{CramCodec, FaiIndex, SeekableInputs}
+import graft.sources.common.LineSourceUtil
+
+/** DSv2 CRAM reader (SURVEY §2.1 S7) — the reference's CRAM scanner
+  * surface (`/root/reference/oxbow/src/alignment/scanner/cram.rs:42-120`)
+  * re-expressed as a Spark source: full scan, CRAI-indexed region
+  * queries, unmapped-only scan, reference-based sequence reconstruction
+  * via an indexed FASTA, BAM-compatible output shape.
+  *
+  * Options:
+  *  - `reference`: FASTA path (with `.fai`) used to rebuild SEQ for
+  *    mapped records; without it SEQ positions not covered by read
+  *    features decode as `N` (bases live in the reference, not the CRAM)
+  *  - `regions`, `unmapped`, `coords` ("11" default)
+  *
+  * Partitioning: one partition per data container (CRAM's own write-time
+  * batching, like the BBI section partitioner); region queries select
+  * containers through the `.crai` index with a per-record residual
+  * overlap check.
+  */
+class CramDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "cram"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CramSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new CramTable(schema, LineSourceUtil.resolvePaths(opts),
+      LineSourceUtil.optionsMap(opts))
+  }
+}
+
+object CramSource {
+  /** Same fixed shape as the BAM reader (alignment model parity). */
+  val schema: StructType = StructType(BamSource.FixedFields.toIndexedSeq)
+
+  /** Tracks the absolute file offset while parsing container headers. */
+  final class CountingStream(in: graft.formats.Bgzf.SeekableInput,
+      var pos: Long) extends InputStream {
+    private val one = new Array[Byte](1)
+    override def read(): Int = {
+      in.seek(pos)
+      val n = in.readFully(one, 0, 1)
+      if (n < 1) -1 else { pos += 1; one(0) & 0xff }
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      in.seek(pos)
+      val n = in.readFully(buf, off, len)
+      if (n <= 0) -1 else { pos += n; n }
+    }
+  }
+
+  final case class ContainerRef(offset: Long, refSeqId: Int, start: Int,
+      span: Int, nRecords: Int)
+
+  /** Walk container headers (cheap seeks, no block decode) and return the
+    * SAM header text plus the data containers. */
+  def scanContainers(in: graft.formats.Bgzf.SeekableInput)
+      : (String, Seq[ContainerRef]) = {
+    val s = new CountingStream(in, 0L)
+    CramCodec.readFileDefinition(s)
+    // first container holds the SAM header block
+    val h0 = CramCodec.readContainerHeader(s)
+    val headerBlock = CramCodec.readBlock(s)
+    val headerText = {
+      val d = headerBlock.data
+      val len = (d(0) & 0xff) | ((d(1) & 0xff) << 8) |
+        ((d(2) & 0xff) << 16) | ((d(3) & 0xff) << 24)
+      new String(d, 4, math.min(len, d.length - 4), "UTF-8")
+    }
+    val afterHeader = s.pos
+    val _ = h0
+    val out = scala.collection.mutable.ArrayBuffer.empty[ContainerRef]
+    var offset = afterHeader
+    var done = false
+    while (!done && offset < in.length) {
+      s.pos = offset
+      val ch =
+        try CramCodec.readContainerHeader(s)
+        catch { case _: java.io.EOFException => done = true; null }
+      if (!done) {
+        if (ch.isEof) done = true
+        else {
+          out += ContainerRef(offset, ch.refSeqId, ch.startPos, ch.span,
+            ch.nRecords)
+          offset = s.pos + ch.length // skip the container's blocks
+        }
+      }
+    }
+    (headerText, out.toSeq)
+  }
+
+  /** `@SQ` dictionary from the SAM header text, in declaration order. */
+  def refDictionary(headerText: String): Seq[(String, Int)] =
+    headerText.split("\n").toSeq.filter(_.startsWith("@SQ")).map { line =>
+      val fields = line.split("\t")
+      val sn = fields.collectFirst { case f if f.startsWith("SN:") =>
+        f.substring(3) }.getOrElse("")
+      val ln = fields.collectFirst { case f if f.startsWith("LN:") =>
+        f.substring(3).toInt }.getOrElse(0)
+      (sn, ln)
+    }
+}
+
+class CramTable(tableSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"cram:${paths.mkString(",")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new CramScanBuilder(tableSchema, paths,
+      options ++ LineSourceUtil.optionsMap(o))
+}
+
+class CramScanBuilder(fullSchema: StructType, paths: Seq[Path],
+    options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("rname", _) => true
+      case In("rname", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def build(): Scan =
+    new CramScan(fullSchema, required, paths, options, pushed, limit)
+}
+
+/** One data container, with the residual region list (0-based half-open). */
+case class CramInputPartition(pathStr: String, containerOffset: Long,
+    regions: Seq[(String, Long, Long)]) extends InputPartition
+
+class CramScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
+    options: Map[String, String], pushed: Array[Filter], limit: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-cram ${paths.mkString(",")}" +
+    (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
+
+  private def parseRegions: Seq[Region] = {
+    val fromOpt = options.get("regions").toSeq
+      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val fromFilters: Seq[Region] = pushed.toSeq.flatMap {
+      case EqualTo("rname", v) => Seq(Region(v.toString, 0L, None))
+      case In("rname", vs) => vs.toSeq.map(v => Region(v.toString, 0L, None))
+      case _ => Nil
+    }
+    if (fromOpt.nonEmpty) fromOpt else fromFilters
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val regions = parseRegions
+    val unmappedOnly = options.get("unmapped").exists(_.toBoolean)
+    paths.flatMap { p =>
+      val fs = p.getFileSystem(conf)
+      val in = SeekableInputs.forHadoop(fs, p)
+      val (headerText, containers) =
+        try CramSource.scanContainers(in) finally in.close()
+      val refIds = CramSource.refDictionary(headerText)
+        .map(_._1).zipWithIndex.toMap
+      val refLens = CramSource.refDictionary(headerText).map(_._2)
+      if (unmappedOnly) {
+        containers.filter(c => c.refSeqId == -1 && c.nRecords > 0)
+          .map(c => CramInputPartition(p.toString, c.offset, Nil))
+      } else if (regions.nonEmpty) {
+        val resolved = regions.flatMap { r =>
+          refIds.get(r.name).map { id =>
+            val end = r.end.getOrElse(
+              refLens.lift(id).map(_.toLong).getOrElse(Long.MaxValue))
+            (id, r.name, r.start, end)
+          }
+        }
+        // .crai narrows to overlapping slices' containers; fall back to
+        // header-level container spans when no index exists
+        val craiPath = new Path(p.toString + ".crai")
+        val offsets: Seq[Long] =
+          if (fs.exists(craiPath)) {
+            val cin = fs.open(craiPath)
+            val entries = try CramCodec.readCrai(cin) finally cin.close()
+            entries.filter { e =>
+              resolved.exists { case (id, _, s, en) =>
+                e.refSeqId == id && e.start - 1 < en &&
+                  (e.start - 1 + e.span) > s
+              }
+            }.map(_.containerOffset).distinct
+          } else {
+            containers.filter { c =>
+              resolved.exists { case (id, _, s, en) =>
+                c.refSeqId == id && c.start - 1 < en &&
+                  (c.start - 1 + c.span) > s
+              } || c.refSeqId == -2 // multi-ref containers always checked
+            }.map(_.offset)
+          }
+        val residual = resolved.map { case (_, n, s, e) => (n, s, e) }
+        offsets.sorted.map(off =>
+          CramInputPartition(p.toString, off, residual))
+      } else {
+        containers.map(c => CramInputPartition(p.toString, c.offset, Nil))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CramReaderFactory(fullSchema, required, options, limit)
+}
+
+class CramReaderFactory(fullSchema: StructType, required: StructType,
+    options: Map[String, String], limit: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new CramPartitionReader(fullSchema, required, options, limit,
+      p.asInstanceOf[CramInputPartition])
+}
+
+class CramPartitionReader(fullSchema: StructType, required: StructType,
+    options: Map[String, String], limit: Int, part: CramInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val path = new Path(part.pathStr)
+  private val fs = path.getFileSystem(conf)
+  private val in = SeekableInputs.forHadoop(fs, path)
+
+  private val posShift: Long =
+    CoordSystem.fromCode(options.getOrElse("coords", "11")) match {
+      case CoordSystem.OneBasedClosed => 0L
+      case CoordSystem.ZeroBasedHalfOpen => -1L
+    }
+
+  // SAM header (reference dictionary) from the first container
+  private val headerText: String = {
+    val s = new CramSource.CountingStream(in, 0L)
+    CramCodec.readFileDefinition(s)
+    CramCodec.readContainerHeader(s)
+    val block = CramCodec.readBlock(s)
+    val d = block.data
+    val len = (d(0) & 0xff) | ((d(1) & 0xff) << 8) |
+      ((d(2) & 0xff) << 16) | ((d(3) & 0xff) << 24)
+    new String(d, 4, math.min(len, d.length - 4), "UTF-8")
+  }
+  private val refNames: IndexedSeq[String] =
+    CramSource.refDictionary(headerText).map(_._1).toIndexedSeq
+  private val refIdByName = refNames.zipWithIndex.toMap
+
+  private val regionsById: Seq[(Int, Long, Long)] = part.regions.flatMap {
+    case (n, s, e) => refIdByName.get(n).map(id => (id, s, e))
+  }
+
+  // optional indexed FASTA for sequence reconstruction
+  private val reference: Option[(Path, Seq[FaiIndex.Entry])] =
+    options.get("reference").flatMap { refPath =>
+      val rp = new Path(refPath)
+      FaiIndex.readFor(rp, conf).map(entries => (rp, entries))
+    }
+
+  /** Decode the partition's container into records lazily per slice. */
+  private val rows: Iterator[InternalRow] = {
+    val s = new CramSource.CountingStream(in, part.containerOffset)
+    val container = CramCodec.readContainerHeader(s)
+    if (container.isEof || container.nRecords == 0) Iterator.empty
+    else {
+      val comp = {
+        val b = CramCodec.readBlock(s)
+        require(b.contentType == 1, s"expected compression header block")
+        CramCodec.readCompressionHeader(b.data)
+      }
+      // remaining blocks: slices (header + core + externals)
+      val slices = scala.collection.mutable.ArrayBuffer
+        .empty[(CramCodec.SliceHeader, Array[Byte], Map[Int, Array[Byte]])]
+      var blocksRead = 1
+      while (blocksRead < container.nBlocks) {
+        val sh = CramCodec.readBlock(s)
+        require(sh.contentType == 2,
+          s"expected slice header block, got ${sh.contentType}")
+        val slice = CramCodec.readSliceHeader(sh.data)
+        var core: Array[Byte] = Array.empty
+        val ext = Map.newBuilder[Int, Array[Byte]]
+        (0 until slice.nBlocks).foreach { _ =>
+          val b = CramCodec.readBlock(s)
+          if (b.contentType == 5) core = b.data
+          else ext += b.contentId -> b.data
+        }
+        slices += ((slice, core, ext.result()))
+        blocksRead += 1 + slice.nBlocks
+      }
+      slices.iterator.flatMap { case (slice, core, ext) =>
+        val records = CramCodec.decodeSlice(comp, slice, core, ext)
+        // fetch the reference span covering this slice once
+        val refSlice: Option[Long => Char] =
+          if (slice.refSeqId < 0) None
+          else reference.flatMap { case (rp, entries) =>
+            val name = refNames.lift(slice.refSeqId).getOrElse("")
+            entries.find(_.name == name).map { e =>
+              val start0 = math.max(0L, slice.start - 1L)
+              val end0 = math.min(e.length, start0 + slice.span.toLong)
+              val rin = SeekableInputs.forHadoop(rp.getFileSystem(conf), rp)
+              val text =
+                try FaiIndex.slice(rin, e, Region(name, start0, Some(end0)))
+                finally rin.close()
+              (pos0: Long) => {
+                val i = (pos0 - start0).toInt
+                if (i >= 0 && i < text.length) text.charAt(i) else 'N'
+              }
+            }
+          }
+        records.iterator.map(rec => toRow(rec, comp, refSlice))
+      }
+    }
+  }
+
+  private def toRow(rec: CramCodec.CramRecord,
+      comp: CramCodec.CompressionHeader,
+      refSlice: Option[Long => Char]): InternalRow = {
+    val mapped = !rec.isUnmapped && rec.refId >= 0
+    val (cigar, seq) =
+      if (mapped) CramCodec.reconstruct(rec, comp.substitutionMatrix, refSlice)
+      else (null,
+        if (rec.bases != null) new String(rec.bases.map(_.toChar)) else null)
+    val refLen = if (mapped) rec.referenceLength else 0
+    val qual =
+      if (rec.qualityScores == null) null
+      else if (rec.qualityScores.forall(_ == 0xff.toByte)) null
+      else new String(rec.qualityScores.map(q => (q + 33).toChar))
+    new GenericInternalRow(Array[Any](
+      if (rec.readName == null) null else UTF8String.fromString(rec.readName),
+      rec.bamFlags,
+      if (rec.refId < 0) null
+      else UTF8String.fromString(refNames.lift(rec.refId).getOrElse("")),
+      if (mapped) rec.alignmentStart.toLong + posShift else null,
+      if (rec.mappingQuality < 0) null else rec.mappingQuality,
+      if (cigar == null || cigar.isEmpty) null else UTF8String.fromString(cigar),
+      if (rec.mateRefId < 0) null
+      else UTF8String.fromString(refNames.lift(rec.mateRefId).getOrElse("")),
+      if (rec.matePos <= 0) null else rec.matePos.toLong + posShift,
+      rec.templateSize,
+      if (seq == null || seq.isEmpty) null else UTF8String.fromString(seq),
+      if (qual == null) null else UTF8String.fromString(qual),
+      // end is invariant across coord systems (1-based closed end equals
+      // the 0-based half-open end), matching the BAM reader
+      if (mapped) rec.alignmentStart.toLong + refLen - 1 else null))
+  }
+
+  private val projIdx: Array[Int] =
+    required.fieldNames.map(fullSchema.fieldIndex)
+  private val identityProj = projIdx.sameElements(fullSchema.indices)
+
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  private def keepRow(row: InternalRow): Boolean = {
+    if (regionsById.isEmpty) return true
+    val rnameIdx = 2; val posIdx = 3; val endIdx = 11
+    if (row.isNullAt(rnameIdx) || row.isNullAt(posIdx)) return false
+    val name = row.getUTF8String(rnameIdx).toString
+    val start0 = row.getLong(posIdx) - 1 - posShift
+    val end0 = row.getLong(endIdx) // 1-based closed end == half-open end
+    regionsById.exists { case (id, s, e) =>
+      refNames.lift(id).contains(name) && start0 < e && end0 > s
+    }
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (rows.hasNext) {
+      val row = rows.next()
+      if (keepRow(row)) {
+        current =
+          if (identityProj) row
+          else {
+            val out = new Array[Any](projIdx.length)
+            var i = 0
+            while (i < projIdx.length) {
+              val idx = projIdx(i)
+              out(i) = if (row.isNullAt(idx)) null
+                else row.get(idx, fullSchema(idx).dataType)
+              i += 1
+            }
+            new GenericInternalRow(out)
+          }
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

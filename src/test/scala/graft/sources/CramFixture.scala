@@ -1,0 +1,271 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+
+import graft.formats.CramCodec
+
+/** Spec-conformant CRAM 3.0 fixture generator (FIXTURES.md convention:
+  * generated, never copied). All data series use EXTERNAL encodings
+  * (one content id per series) with raw blocks, read names and byte
+  * arrays via BYTE_ARRAY_STOP — the simplest layout the CRAM spec
+  * permits, exercising container/slice/block structure, the compression
+  * header, feature decode, and reference-based reconstruction. */
+object CramFixture {
+
+  final case class Feat(code: Char, pos: Int, intVal: Int = 0,
+      bytes: Array[Byte] = null)
+
+  /** One record; `pos1` 1-based. Unmapped (flag & 4): `bases` stored. */
+  final case class CRec(qname: String, flag: Int, refId: Int, pos1: Int,
+      mapq: Int, readLen: Int, feats: Seq[Feat] = Nil,
+      quals: Array[Byte] = null, bases: String = null)
+
+  // content ids, one per data series
+  private val Ids: Map[String, Int] = Map(
+    "BF" -> 1, "CF" -> 2, "RL" -> 3, "AP" -> 4, "RG" -> 5, "RN" -> 6,
+    "MF" -> 7, "NS" -> 8, "NP" -> 9, "TS" -> 10, "TL" -> 11, "FN" -> 12,
+    "FC" -> 13, "FP" -> 14, "BS" -> 15, "IN" -> 16, "SC" -> 17, "DL" -> 18,
+    "BA" -> 19, "MQ" -> 20, "QS" -> 21, "RS" -> 22, "PD" -> 23, "HC" -> 24)
+
+  val SubstitutionMatrix: Array[Byte] =
+    Array(0x1b, 0x1b, 0x1b, 0x1b, 0x1b).map(_.toByte)
+
+  private def itf8(v: Int): Array[Byte] = {
+    val o = new ByteArrayOutputStream(); CramCodec.writeItf8(o, v); o.toByteArray
+  }
+  private def ltf8(v: Long): Array[Byte] = {
+    val o = new ByteArrayOutputStream(); CramCodec.writeLtf8(o, v); o.toByteArray
+  }
+
+  private def encExternal(id: Int): Array[Byte] = {
+    val args = itf8(id)
+    itf8(1) ++ itf8(args.length) ++ args
+  }
+  private def encByteArrayStop(stop: Int, id: Int): Array[Byte] = {
+    val args = Array(stop.toByte) ++ itf8(id)
+    itf8(5) ++ itf8(args.length) ++ args
+  }
+
+  private def compressionHeaderData(): Array[Byte] = {
+    // preservation map: RN=true, AP=false (absolute), RR=true, SM, TD
+    val pres = new ByteArrayOutputStream()
+    val presInner = new ByteArrayOutputStream()
+    CramCodec.writeItf8(presInner, 5)
+    presInner.write("RN".getBytes); presInner.write(1)
+    presInner.write("AP".getBytes); presInner.write(0)
+    presInner.write("RR".getBytes); presInner.write(1)
+    presInner.write("SM".getBytes); presInner.write(SubstitutionMatrix)
+    presInner.write("TD".getBytes)
+    CramCodec.writeItf8(presInner, 1); presInner.write(0) // one empty line
+    val presBytes = presInner.toByteArray
+    pres.write(itf8(presBytes.length)); pres.write(presBytes)
+
+    val ds = new ByteArrayOutputStream()
+    val dsInner = new ByteArrayOutputStream()
+    val byteArraySeries = Set("RN", "IN", "SC")
+    CramCodec.writeItf8(dsInner, Ids.size)
+    Ids.toSeq.sortBy(_._2).foreach { case (key, id) =>
+      dsInner.write(key.getBytes)
+      dsInner.write(
+        if (byteArraySeries(key)) encByteArrayStop(0, id) else encExternal(id))
+    }
+    val dsBytes = dsInner.toByteArray
+    ds.write(itf8(dsBytes.length)); ds.write(dsBytes)
+
+    val tags = new ByteArrayOutputStream()
+    val tagsInner = itf8(0)
+    tags.write(itf8(tagsInner.length)); tags.write(tagsInner)
+
+    pres.toByteArray ++ ds.toByteArray ++ tags.toByteArray
+  }
+
+  private def block(contentType: Int, contentId: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(0) // raw
+    o.write(contentType)
+    o.write(itf8(contentId))
+    o.write(itf8(data.length))
+    o.write(itf8(data.length))
+    o.write(data)
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    val c = crc.getValue
+    o.write((c & 0xff).toInt); o.write(((c >> 8) & 0xff).toInt)
+    o.write(((c >> 16) & 0xff).toInt); o.write(((c >> 24) & 0xff).toInt)
+    o.toByteArray
+  }
+
+  /** The spec's 38-byte v3 end-of-file container. */
+  val EofContainer: Array[Byte] = Array(
+    0x0f, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0x0f, 0xe0, 0x45, 0x4f,
+    0x46, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x05, 0xbd, 0xd9, 0x4f, 0x00,
+    0x01, 0x00, 0x06, 0x06, 0x01, 0x00, 0x01, 0x00, 0x01, 0x00, 0xee, 0x63,
+    0x01, 0x4b).map(_.toByte)
+
+  private def refConsumed(r: CRec): Int = {
+    var readPos = 1; var refLen = 0
+    r.feats.sortBy(_.pos).foreach { f =>
+      refLen += f.pos - readPos; readPos = f.pos
+      f.code match {
+        case 'X' => refLen += 1; readPos += 1
+        case 'I' => readPos += f.bytes.length
+        case 'S' => readPos += f.bytes.length
+        case 'i' => readPos += 1
+        case 'D' | 'N' => refLen += f.intVal
+        case _ => ()
+      }
+    }
+    refLen + (r.readLen + 1 - readPos)
+  }
+
+  /** Write a CRAM whose data containers each hold one slice of `recs`
+    * (all sharing a refId), plus the companion .crai. */
+  def write(path: String, samHeader: String,
+      containers: Seq[Seq[CRec]]): Unit = {
+    val out = new FileOutputStream(path)
+    out.write("CRAM".getBytes)
+    out.write(3); out.write(0)
+    out.write(Array.fill[Byte](20)(0x20))
+
+    // SAM header container: single FILE_HEADER block
+    val headerBytes = samHeader.getBytes("UTF-8")
+    val headerBlockData = Array[Byte](
+      (headerBytes.length & 0xff).toByte,
+      ((headerBytes.length >> 8) & 0xff).toByte,
+      ((headerBytes.length >> 16) & 0xff).toByte,
+      ((headerBytes.length >> 24) & 0xff).toByte) ++ headerBytes
+    val headerBlock = block(0, 0, headerBlockData)
+    writeContainerHeader(out, headerBlock.length, 0, 0, 0, 0, 1, Seq(0))
+    out.write(headerBlock)
+
+    val craiLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var fileOffset = 26L + containerHeaderSize(headerBlock.length, 0, 0, 0,
+      0, 1, Seq(0)) + headerBlock.length
+
+    containers.foreach { recs =>
+      require(recs.nonEmpty && recs.map(_.refId).distinct.size == 1,
+        "fixture containers are single-ref slices")
+      val refId = recs.head.refId
+      val mapped = recs.filter(r => (r.flag & 0x4) == 0)
+      val start = if (mapped.isEmpty) 0 else mapped.map(_.pos1).min
+      val span =
+        if (mapped.isEmpty) 0
+        else mapped.map(r => r.pos1 + refConsumed(r) - 1).max - start + 1
+
+      // per-series external buffers
+      val bufs = Ids.map { case (k, _) => k -> new ByteArrayOutputStream() }
+      def w(series: String, v: Int): Unit =
+        CramCodec.writeItf8(bufs(series), v)
+      def wByte(series: String, v: Int): Unit = bufs(series).write(v)
+      def wStop(series: String, bytes: Array[Byte]): Unit = {
+        bufs(series).write(bytes); bufs(series).write(0)
+      }
+
+      recs.foreach { r =>
+        val qualStored = r.quals != null
+        val cf = (if (qualStored) 0x1 else 0) | 0x2 // detached mates
+        w("BF", r.flag); w("CF", cf)
+        w("RL", r.readLen); w("AP", r.pos1); w("RG", -1)
+        wStop("RN", r.qname.getBytes("ASCII"))
+        w("MF", 0); w("NS", -1); w("NP", 0); w("TS", 0)
+        w("TL", 0)
+        if ((r.flag & 0x4) == 0) {
+          w("FN", r.feats.size)
+          var prev = 0
+          r.feats.sortBy(_.pos).foreach { f =>
+            wByte("FC", f.code.toInt)
+            w("FP", f.pos - prev); prev = f.pos
+            f.code match {
+              case 'X' => wByte("BS", f.intVal)
+              case 'I' => wStop("IN", f.bytes)
+              case 'S' => wStop("SC", f.bytes)
+              case 'D' => w("DL", f.intVal)
+              case 'i' => wByte("BA", f.intVal)
+              case 'N' => w("RS", f.intVal)
+              case 'P' => w("PD", f.intVal)
+              case 'H' => w("HC", f.intVal)
+              case other => throw new IllegalArgumentException(
+                s"fixture feature '$other'")
+            }
+          }
+          w("MQ", r.mapq)
+          if (qualStored) bufs("QS").write(r.quals)
+        } else {
+          r.bases.foreach(c => wByte("BA", c.toInt))
+          if (qualStored) bufs("QS").write(r.quals)
+        }
+      }
+
+      val extBlocks = Ids.toSeq.sortBy(_._2).flatMap { case (k, id) =>
+        val data = bufs(k).toByteArray
+        if (data.isEmpty) None else Some((id, block(4, id, data)))
+      }
+      val sliceHeaderData = {
+        val o = new ByteArrayOutputStream()
+        CramCodec.writeItf8(o, refId)
+        CramCodec.writeItf8(o, start)
+        CramCodec.writeItf8(o, span)
+        CramCodec.writeItf8(o, recs.size)
+        CramCodec.writeLtf8(o, 0L)
+        CramCodec.writeItf8(o, 1 + extBlocks.size) // core + externals
+        CramCodec.writeItf8(o, extBlocks.size)
+        extBlocks.foreach { case (id, _) => CramCodec.writeItf8(o, id) }
+        CramCodec.writeItf8(o, -1) // no embedded reference
+        o.write(Array.fill[Byte](16)(0))
+        o.toByteArray
+      }
+      val compBlock = block(1, 0, compressionHeaderData())
+      val sliceBlock = block(2, 0, sliceHeaderData)
+      val coreBlock = block(5, 0, Array.empty[Byte])
+      val allBlocks = compBlock ++ sliceBlock ++ coreBlock ++
+        extBlocks.flatMap(_._2)
+      val nBlocks = 2 + 1 + extBlocks.size
+      val landmarks = Seq(compBlock.length)
+
+      val headSize = containerHeaderSize(allBlocks.length, refId, start,
+        span, recs.size, nBlocks, landmarks)
+      craiLines += s"$refId\t$start\t$span\t$fileOffset\t" +
+        s"${headSize + compBlock.length}\t${sliceBlock.length}"
+      writeContainerHeader(out, allBlocks.length, refId, start, span,
+        recs.size, nBlocks, landmarks)
+      out.write(allBlocks)
+      fileOffset += headSize + allBlocks.length
+    }
+
+    out.write(EofContainer)
+    out.close()
+
+    val gz = new GZIPOutputStream(new FileOutputStream(path + ".crai"))
+    gz.write((craiLines.mkString("\n") + "\n").getBytes("ASCII"))
+    gz.close()
+  }
+
+  private def containerHeaderBytes(length: Int, refId: Int, start: Int,
+      span: Int, nRecords: Int, nBlocks: Int,
+      landmarks: Seq[Int]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(length & 0xff); o.write((length >> 8) & 0xff)
+    o.write((length >> 16) & 0xff); o.write((length >> 24) & 0xff)
+    o.write(itf8(refId)); o.write(itf8(start)); o.write(itf8(span))
+    o.write(itf8(nRecords))
+    o.write(ltf8(0L)) // record counter
+    o.write(ltf8(0L)) // bases
+    o.write(itf8(nBlocks))
+    o.write(itf8(landmarks.size))
+    landmarks.foreach(l => o.write(itf8(l)))
+    o.write(Array.fill[Byte](4)(0)) // crc32 (unvalidated by the reader)
+    o.toByteArray
+  }
+
+  private def containerHeaderSize(length: Int, refId: Int, start: Int,
+      span: Int, nRecords: Int, nBlocks: Int, landmarks: Seq[Int]): Int =
+    containerHeaderBytes(length, refId, start, span, nRecords, nBlocks,
+      landmarks).length
+
+  private def writeContainerHeader(out: FileOutputStream, length: Int,
+      refId: Int, start: Int, span: Int, nRecords: Int, nBlocks: Int,
+      landmarks: Seq[Int]): Unit =
+    out.write(containerHeaderBytes(length, refId, start, span, nRecords,
+      nBlocks, landmarks))
+}

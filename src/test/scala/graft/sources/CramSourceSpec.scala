@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.formats.CramCodec
+import graft.sources.CramFixture.{CRec, Feat}
+
+class CramSourceSpec extends SparkSuite {
+
+  private val chr1 = "ACGTACGTAC" * 10 // 100 bp
+  private val chr2 = "GGCC" * 15       // 60 bp
+
+  private val samHeader =
+    "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100\n@SQ\tSN:chr2\tLN:60\n"
+
+  private lazy val dir = java.nio.file.Files.createTempDirectory("graft-cram")
+
+  private lazy val refPath: String = {
+    val fa = dir.resolve("ref.fa")
+    java.nio.file.Files.write(fa,
+      (s">chr1\n$chr1\n>chr2\n$chr2\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("ref.fa.fai"),
+      (s"chr1\t100\t6\t100\t101\n" +
+        s"chr2\t60\t${6 + 101 + 6}\t60\t61\n").getBytes("UTF-8"))
+    fa.toString
+  }
+
+  private lazy val cramPath: String = {
+    val p = dir.resolve("sample.cram").toString
+    // X at read pos 5 substitutes ref base C (chr1 idx 11) with G
+    val xCode = CramCodec.substitutionCode(CramFixture.SubstitutionMatrix,
+      'C', 'G')
+    CramFixture.write(p, samHeader, Seq(
+      Seq(
+        CRec("c1", 0, 0, 5, 60, 8, quals = Array.fill[Byte](8)(30)),
+        CRec("c2", 0, 0, 10, 30, 10, feats = Seq(
+          Feat('S', 1, bytes = "TT".getBytes),
+          Feat('X', 5, intVal = xCode),
+          Feat('D', 7, intVal = 3)))),
+      Seq(CRec("c4", 0, 1, 50, 50, 5)),
+      Seq(CRec("c3", 4, -1, 0, -1, 4, bases = "ACGT"))))
+    p
+  }
+
+  private def readCram = spark.read.format("cram")
+    .option("reference", refPath).load(cramPath)
+
+  test("cram: full scan reconstructs seq/cigar/end against the reference") {
+    val df = readCram
+    assert(df.columns.toSeq == Seq("qname", "flag", "rname", "pos", "mapq",
+      "cigar", "rnext", "pnext", "tlen", "seq", "qual", "end"))
+    val rows = df.orderBy("qname").collect()
+    assert(rows.length == 4)
+    // c1: plain 8M match copied from the reference
+    assert(rows(0).getString(0) == "c1" && rows(0).getLong(3) == 5 &&
+      rows(0).getString(5) == "8M" && rows(0).getString(9) == "ACGTACAC" &&
+      rows(0).getLong(11) == 12 && rows(0).getInt(4) == 60)
+    assert(rows(0).getString(10) == "?" * 8) // phred 30 → '?'
+    // c2: soft clip + substitution + deletion
+    assert(rows(1).getString(0) == "c2" && rows(1).getLong(3) == 10 &&
+      rows(1).getString(5) == "2S4M3D4M" &&
+      rows(1).getString(9) == "TTCAGGGTAC" && rows(1).getLong(11) == 20)
+    assert(rows(1).isNullAt(10)) // no stored quals
+    // c3: unmapped with stored bases
+    assert(rows(2).getString(0) == "c3" && rows(2).getInt(1) == 4 &&
+      rows(2).isNullAt(2) && rows(2).isNullAt(3) &&
+      rows(2).getString(9) == "ACGT" && rows(2).isNullAt(11))
+    // c4: second chromosome
+    assert(rows(3).getString(0) == "c4" && rows(3).getString(2) == "chr2" &&
+      rows(3).getString(9) == "GCCGG" && rows(3).getLong(11) == 54)
+  }
+
+  test("cram: crai region query prunes containers, residual check applies") {
+    val d1 = readCram.filter(col("pos").isNotNull)
+    val _ = d1
+    val q1 = spark.read.format("cram").option("reference", refPath)
+      .option("regions", "chr1:1-9").load(cramPath)
+    assert(q1.rdd.getNumPartitions == 1) // only the chr1 container
+    assert(q1.select("qname").collect().map(_.getString(0)).toSeq == Seq("c1"))
+    val q2 = spark.read.format("cram").option("reference", refPath)
+      .option("regions", "chr1:15-20").load(cramPath)
+    assert(q2.select("qname").collect().map(_.getString(0)).toSeq == Seq("c2"))
+    val q3 = spark.read.format("cram").option("reference", refPath)
+      .option("regions", "chr2").load(cramPath)
+    assert(q3.select("qname").collect().map(_.getString(0)).toSeq == Seq("c4"))
+  }
+
+  test("cram: pushed rname filter and unmapped scan") {
+    val pushed = readCram.where(col("rname") === "chr2")
+    assert(pushed.select("qname").collect().map(_.getString(0)).toSeq ==
+      Seq("c4"))
+    val unmapped = spark.read.format("cram").option("unmapped", "true")
+      .load(cramPath)
+    assert(unmapped.select("qname").collect().map(_.getString(0)).toSeq ==
+      Seq("c3"))
+  }
+
+  test("cram: coords=01 shifts pos but not end") {
+    val df = spark.read.format("cram").option("reference", refPath)
+      .option("coords", "01").load(cramPath)
+    val r = df.where(col("qname") === "c1").collect()(0)
+    assert(r.getLong(3) == 4 && r.getLong(11) == 12)
+  }
+
+  test("cram: without a reference, match bases decode as N") {
+    val df = spark.read.format("cram").load(cramPath)
+    val r = df.where(col("qname") === "c2").collect()(0)
+    // soft-clipped and substituted bases come from the CRAM itself; the
+    // matched stretches need the reference
+    assert(r.getString(9) == "TTNNGNNNNN".replace('G',
+      CramCodec.substitute(CramFixture.SubstitutionMatrix, 'N',
+        CramCodec.substitutionCode(CramFixture.SubstitutionMatrix, 'C', 'G'))))
+    assert(r.getString(5) == "2S4M3D4M") // cigar never needs the reference
+  }
+
+  test("cram codec: huffman and beta core-stream decoders") {
+    // canonical huffman over {5:1bit, 6:2bits, 7:2bits}: codes 0,10,11
+    val dec = new CramCodec.HuffmanDecoder(Seq(5, 6, 7), Seq(1, 2, 2))
+    val bits = new CramCodec.BitReader(Array(0xB0.toByte)) // 10 11 0...
+    assert(dec.read(bits) == 6) // 10
+    assert(dec.read(bits) == 7) // 11
+    assert(dec.read(bits) == 5) // 0
+    // zero-bit single-symbol huffman never touches the stream
+    val single = new CramCodec.HuffmanDecoder(Seq(42), Seq(0))
+    assert(single.read(new CramCodec.BitReader(Array.empty)) == 42)
+    // beta: 4 bits, offset 2 → stored 9 = value 7
+    val beta = CramCodec.Beta(2, 4)
+    val r = new CramCodec.SeriesReader(beta,
+      new CramCodec.BitReader(Array(0x90.toByte)), Map.empty)
+    assert(r.readInt() == 7)
+  }
+
+  test("cram: itf8/ltf8 round-trip incl. negatives") {
+    val values = Seq(0, 1, 127, 128, 5000, 1 << 20, Int.MaxValue, -1, -2)
+    values.foreach { v =>
+      val o = new java.io.ByteArrayOutputStream()
+      CramCodec.writeItf8(o, v)
+      val in = new java.io.ByteArrayInputStream(o.toByteArray)
+      assert(CramCodec.readItf8(in) == v, s"itf8 $v")
+    }
+    val longs = Seq(0L, 200L, 1L << 40, Long.MaxValue)
+    longs.foreach { v =>
+      val o = new java.io.ByteArrayOutputStream()
+      CramCodec.writeLtf8(o, v)
+      val in = new java.io.ByteArrayInputStream(o.toByteArray)
+      assert(CramCodec.readLtf8(in) == v, s"ltf8 $v")
+    }
+  }
+}
