@@ -31,12 +31,43 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane-style LSH bucket from the signs of the first `bits`
-    * dimensions (axis-aligned planes — deterministic, engine-portable; swap
-    * in seeded hyperplanes for production isotropy). */
+    * dimensions (axis-aligned planes — deterministic, engine-portable and
+    * trivially SQL-mirrorable for the oracle; biased when dimensions are
+    * correlated — [[hyperplaneBucket]] is the production variant). */
   def signBucket(vec: Column, bits: Int = 8): Column =
     (0 until bits)
       .map(i => when(element_at(vec, i + 1) > 0f, 1L << i).otherwise(0L))
       .reduce(_ + _)
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** `bits` deterministic pseudo-random hyperplanes in `dim` dimensions,
+    * entries uniform in [-1, 1) from a splitmix64 stream of `seed`.
+    * Generated at plan time — identical on every executor and every run. */
+  def hyperplanes(seed: Long, bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (i, j) =>
+      val h = splitmix64(seed + i.toLong * 1000003L + j.toLong)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  /** Seeded random-hyperplane LSH bucket: bit i = sign(v · plane_i).
+    * Unlike [[signBucket]], unbiased under correlated dimensions — the
+    * classic SimHash-for-vectors scheme. The planes enter the plan as
+    * literal arrays, so the expression stays codegen'd built-ins with no
+    * UDF and no runtime randomness. */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int = 8,
+      seed: Long = 42L): Column = {
+    val planes = hyperplanes(seed, bits, dim)
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(vec, plane) > 0.0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+  }
 
   /** Exact brute-force cosine top-k: for every query row, the k most
     * similar candidate rows. The candidate set is broadcast when small
@@ -59,17 +90,24 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's sign bucket.
+  /** Approximate top-k: candidates restricted to the query's bucket.
     * The bucket equi-join replaces the cross product; at 100 TB this is one
-    * shuffle on the bucket key with AQE handling bucket skew. */
+    * shuffle on the bucket key with AQE handling bucket skew.
+    * `seededDim = Some(dim)` switches from axis-aligned sign bits to the
+    * seeded hyperplane scheme. */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, bits: Int = 8,
+      seededDim: Option[Int] = None, seed: Long = 42L): DataFrame = {
+    def bucket(vec: Column): Column = seededDim match {
+      case Some(dim) => hyperplaneBucket(vec, dim, bits, seed)
+      case None => signBucket(vec, bits)
+    }
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
-      signBucket(col(vecCol), bits).as("__bucket"))
+      bucket(col(vecCol)).as("__bucket"))
     val c = candidates.select(col(idCol).as("cand_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
-      signBucket(col(vecCol), bits).as("__bucket"))
+      bucket(col(vecCol)).as("__bucket"))
     val pairs = q.join(c, "__bucket")
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
