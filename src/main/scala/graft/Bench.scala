@@ -17,7 +17,10 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // s* scanner-gate queries scan constant-size fixtures — they verify
+    // reader correctness, not data-scale cost, so only q* is timed
+    val results = SparkEntry.queries.toSeq.filter(_._1.startsWith("q"))
+      .sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

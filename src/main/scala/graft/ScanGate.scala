@@ -1,0 +1,297 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.{BamFixture, BbiFixture, BcfFixture, CramFixture}
+
+/** Scanner-correctness gate (VERDICT r2 task 6).
+  *
+  * The DuckDB oracle cannot read genomic formats, so scanner rows were
+  * previously spec-only. These gate queries close that hole: each one
+  * (a) deterministically generates a genomic fixture, (b) writes the
+  * EXPECTED rows — hand-derived from the fixture definition, not from
+  * the reader — as parquet, and (c) returns the actual reader scan,
+  * canonicalized (scalar columns, full ORDER BY). The oracle SQL simply
+  * `read_parquet`s the expected dump, so the driver's DuckDB compare
+  * now covers S1/S2/S7/S8/S9/S10/S11/S13-14/S15/S16/S17 end-to-end.
+  *
+  * Named `s*` (not `q*`) so the Bench harness can exclude them: they
+  * scan constant-size fixtures and say nothing about data-scale cost.
+  */
+object ScanGate {
+
+  private val Root = "/tmp/graft_gate"
+
+  def expectedDir(name: String): String = s"$Root/expected/$name"
+
+  private def oracleFor(name: String, orderBy: String): String =
+    s"SELECT * FROM read_parquet('${expectedDir(name)}/*.parquet') " +
+      s"ORDER BY $orderBy"
+
+  // ------------------------------------------------------------- fixtures
+
+  private lazy val fixtures: String = synchronized {
+    Files.createDirectories(Paths.get(Root))
+    writeBam()
+    writeSam()
+    writeVcf()
+    writeBcf()
+    writeBed()
+    writeGff()
+    writeBbi()
+    writeFasta()
+    writeCram()
+    Root
+  }
+
+  private def writeBam(): Unit = {
+    BamFixture.write(s"$Root/g.bam",
+      Seq(("chr1", 100000), ("chr2", 50000)),
+      Seq(
+        BamFixture.Rec("r001", 99, 0, 6, 30,
+          Seq((8, 'M'), (2, 'I'), (4, 'M'), (1, 'D'), (3, 'M')),
+          "TTAGATAAAGGATACTG", null),
+        BamFixture.Rec("r002", 0, 0, 100, 20, Seq((6, 'M')), "ATAGCT", "FFFFFF"),
+        BamFixture.Rec("r003", 16, 0, 20000, 45, Seq((4, 'M')), "GGCC", "IIII"),
+        BamFixture.Rec("r004", 0, 1, 15, 23, Seq((6, 'M')), "ATAGCT", "FFFFFF"),
+        BamFixture.Rec("r005", 4, -1, -1, 0, Nil, "ACGT", null)))
+  }
+
+  private def writeSam(): Unit =
+    Files.writeString(Paths.get(s"$Root/g.sam"),
+      "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n" +
+        "s1\t0\tchr1\t10\t60\t4M\t*\t0\t0\tACGT\tFFFF\n" +
+        "s2\t16\tchr1\t40\t30\t2M1D2M\t*\t0\t0\tGGCC\t*\n")
+
+  private def writeVcf(): Unit =
+    Files.writeString(Paths.get(s"$Root/g.vcf"),
+      Seq(
+        "##fileformat=VCFv4.1",
+        "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        "chr1\t100\trs1\tA\tG,T\t29.5\tPASS\tDP=10",
+        "chr2\t200\t.\tC\t.\t.\tq10\tDP=3").mkString("\n") + "\n")
+
+  private val bcfHeader = Seq(
+    "##fileformat=VCFv4.2",
+    "##FILTER=<ID=PASS,Description=\"ok\">",
+    "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
+    "##contig=<ID=chr1,length=100000>",
+    "##contig=<ID=chr2,length=50000>",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO").mkString("\n")
+
+  private def writeBcf(): Unit =
+    BcfFixture.write(s"$Root/g.bcf", bcfHeader, Seq(
+      BcfFixture.BcfRec(0, 99, 1, Some(29.5f), Seq("rs1"), Seq("A", "G"),
+        Seq(0), info = Seq(1 -> BcfFixture.typedInt(10)), fmt = Nil,
+        nSample = 0),
+      BcfFixture.BcfRec(1, 199, 1, None, Nil, Seq("C"), Seq(0),
+        info = Nil, fmt = Nil, nSample = 0)))
+
+  private def writeBed(): Unit =
+    Files.writeString(Paths.get(s"$Root/g.bed"),
+      "chr1\t100\t200\tfeatA\t960\t+\n" +
+        "chr2\t50\t80\tfeatB\t3\t-\n")
+
+  private def writeGff(): Unit =
+    Files.writeString(Paths.get(s"$Root/g.gff"),
+      "##gff-version 3\n" +
+        "chr1\ttest\tgene\t100\t200\t.\t+\t.\tID=g1\n" +
+        "chr1\ttest\texon\t120\t180\t0.5\t+\t0\tID=e1;Parent=g1\n")
+
+  private def writeBbi(): Unit = {
+    BbiFixture.write(s"$Root/g.bw", Seq(("chr1", 0)),
+      wigSections = Seq(BbiFixture.WigSection(0, 1, 0, 0, 0,
+        Seq((100L, 200L, 1.5f), (300L, 400L, 2.5f)))),
+      bedItems = Nil, zooms = Nil)
+    BbiFixture.write(s"$Root/g.bb", Seq(("chr1", 0)),
+      wigSections = Nil,
+      bedItems = Seq(
+        BbiFixture.BedItem(0, 10, 50, "feat1\t960"),
+        BbiFixture.BedItem(0, 60, 90, "feat2\t3")),
+      zooms = Nil)
+  }
+
+  private val fastaChr1 = "ACGTACGTAC" * 3 // 30 bp
+
+  private def writeFasta(): Unit = {
+    Files.writeString(Paths.get(s"$Root/g.fa"), s">chr1 demo\n$fastaChr1\n")
+    Files.writeString(Paths.get(s"$Root/g.fa.fai"),
+      s"chr1\t30\t${">chr1 demo\n".length}\t30\t31\n")
+  }
+
+  private val cramChr1 = "ACGTACGTAC" * 10
+  private val cramChr2 = "GGCC" * 15
+
+  private def writeCram(): Unit = {
+    Files.writeString(Paths.get(s"$Root/ref.fa"),
+      s">chr1\n$cramChr1\n>chr2\n$cramChr2\n")
+    Files.writeString(Paths.get(s"$Root/ref.fa.fai"),
+      s"chr1\t100\t6\t100\t101\nchr2\t60\t${6 + 101 + 6}\t60\t61\n")
+    val xCode = graft.formats.CramCodec.substitutionCode(
+      CramFixture.SubstitutionMatrix, 'C', 'G')
+    CramFixture.write(s"$Root/g.cram",
+      "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100\n@SQ\tSN:chr2\tLN:60\n",
+      Seq(
+        Seq(
+          CramFixture.CRec("c1", 0, 0, 5, 60, 8),
+          CramFixture.CRec("c2", 0, 0, 10, 30, 10, feats = Seq(
+            CramFixture.Feat('S', 1, bytes = "TT".getBytes),
+            CramFixture.Feat('X', 5, intVal = xCode),
+            CramFixture.Feat('D', 7, intVal = 3)))),
+        Seq(CramFixture.CRec("c4", 0, 1, 50, 50, 5)),
+        Seq(CramFixture.CRec("c3", 4, -1, 0, -1, 4, bases = "ACGT"))))
+  }
+
+  // ---------------------------------------------------------------- truth
+
+  private def dumpExpected(s: SparkSession, name: String,
+      schema: StructType, rows: Seq[Row]): Unit =
+    s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+      .coalesce(1).write.mode("overwrite").parquet(expectedDir(name))
+
+  private val alnSchema = StructType(Seq(
+    StructField("qname", StringType), StructField("flag", IntegerType),
+    StructField("rname", StringType), StructField("pos", LongType),
+    StructField("cigar", StringType), StructField("seq", StringType),
+    StructField("end", LongType)))
+
+  // -------------------------------------------------------------- queries
+
+  /** name → (query, oracle SQL). All fixture generation is idempotent. */
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    ("s01_scan_bam", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s01_scan_bam", alnSchema, Seq(
+        Row("r001", 99, "chr1", 7L, "8M2I4M1D3M", "TTAGATAAAGGATACTG", 22L),
+        Row("r002", 0, "chr1", 101L, "6M", "ATAGCT", 106L),
+        Row("r003", 16, "chr1", 20001L, "4M", "GGCC", 20004L),
+        Row("r004", 0, "chr2", 16L, "6M", "ATAGCT", 21L),
+        Row("r005", 4, null, null, null, "ACGT", null)))
+      s.read.format("bam").option("tag_scan_rows", "0").load(s"$Root/g.bam")
+        .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
+        .orderBy("qname")
+    }, oracleFor("s01_scan_bam", "qname")),
+
+    ("s02_scan_sam", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s02_scan_sam", alnSchema, Seq(
+        Row("s1", 0, "chr1", 10L, "4M", "ACGT", 13L),
+        Row("s2", 16, "chr1", 40L, "2M1D2M", "GGCC", 44L)))
+      s.read.format("sam").option("tag_scan_rows", "0").load(s"$Root/g.sam")
+        .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
+        .orderBy("qname")
+    }, oracleFor("s02_scan_sam", "qname")),
+
+    ("s03_scan_vcf", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s03_scan_vcf", StructType(Seq(
+        StructField("chrom", StringType), StructField("pos", LongType),
+        StructField("ref", StringType), StructField("alt_str", StringType),
+        StructField("qual", FloatType), StructField("dp", LongType))), Seq(
+        Row("chr1", 100L, "A", "G,T", 29.5f, 10L),
+        Row("chr2", 200L, "C", null, null, 3L)))
+      s.read.format("vcf").load(s"$Root/g.vcf")
+        .select(col("chrom"), col("pos"), col("ref"),
+          array_join(col("alt"), ",").as("alt_str"), col("qual"),
+          col("info.DP").as("dp"))
+        .orderBy("chrom", "pos")
+    }, oracleFor("s03_scan_vcf", "chrom, pos")),
+
+    ("s04_scan_bcf", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s04_scan_bcf", StructType(Seq(
+        StructField("chrom", StringType), StructField("pos", LongType),
+        StructField("ref", StringType), StructField("qual", FloatType),
+        StructField("dp", LongType))), Seq(
+        Row("chr1", 100L, "A", 29.5f, 10L),
+        Row("chr2", 200L, "C", null, null)))
+      s.read.format("bcf").load(s"$Root/g.bcf")
+        .select(col("chrom"), col("pos"), col("ref"), col("qual"),
+          col("info.DP").as("dp"))
+        .orderBy("chrom", "pos")
+    }, oracleFor("s04_scan_bcf", "chrom, pos")),
+
+    ("s05_scan_bed", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s05_scan_bed", StructType(Seq(
+        StructField("chrom", StringType), StructField("start", LongType),
+        StructField("end", LongType), StructField("name", StringType),
+        StructField("score", IntegerType), StructField("strand", StringType))),
+        Seq(
+          Row("chr1", 100L, 200L, "featA", 960, "+"),
+          Row("chr2", 50L, 80L, "featB", 3, "-")))
+      s.read.format("bed").option("bed_schema", "bed6").load(s"$Root/g.bed")
+        .orderBy("chrom", "start")
+    }, oracleFor("s05_scan_bed", "chrom, start")),
+
+    ("s06_scan_gff", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s06_scan_gff", StructType(Seq(
+        StructField("seqid", StringType), StructField("source", StringType),
+        StructField("type", StringType), StructField("start", LongType),
+        StructField("end", LongType), StructField("score", FloatType),
+        StructField("strand", StringType))), Seq(
+        Row("chr1", "test", "exon", 120L, 180L, 0.5f, "+"),
+        Row("chr1", "test", "gene", 100L, 200L, null, "+")))
+      s.read.format("gff").load(s"$Root/g.gff")
+        .select("seqid", "source", "type", "start", "end", "score", "strand")
+        .orderBy("type")
+    }, oracleFor("s06_scan_gff", "type")),
+
+    ("s07_scan_bigwig", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s07_scan_bigwig", StructType(Seq(
+        StructField("chrom", StringType), StructField("start", LongType),
+        StructField("end", LongType), StructField("value", FloatType))), Seq(
+        Row("chr1", 100L, 200L, 1.5f),
+        Row("chr1", 300L, 400L, 2.5f)))
+      s.read.format("bigwig").load(s"$Root/g.bw").orderBy("start")
+    }, oracleFor("s07_scan_bigwig", "start")),
+
+    ("s08_scan_bigbed", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s08_scan_bigbed", StructType(Seq(
+        StructField("chrom", StringType), StructField("start", LongType),
+        StructField("end", LongType), StructField("name", StringType),
+        StructField("score", IntegerType))), Seq(
+        Row("chr1", 10L, 50L, "feat1", 960),
+        Row("chr1", 60L, 90L, "feat2", 3)))
+      s.read.format("bigbed").option("fields", "name:string,score:int")
+        .load(s"$Root/g.bb").orderBy("start")
+    }, oracleFor("s08_scan_bigbed", "start")),
+
+    ("s09_scan_fasta_slice", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s09_scan_fasta_slice", StructType(Seq(
+        StructField("name", StringType), StructField("start", LongType),
+        StructField("end", LongType), StructField("sequence", StringType))),
+        Seq(
+          Row("chr1", 2L, 6L, "GTAC"),
+          Row("chr1", 10L, 15L, "ACGTA")))
+      s.read.format("fasta").option("regions", "chr1:3-6;chr1:11-15")
+        .load(s"$Root/g.fa")
+        .select("name", "start", "end", "sequence")
+        .orderBy("start")
+    }, oracleFor("s09_scan_fasta_slice", "start")),
+
+    ("s10_scan_cram", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s10_scan_cram", alnSchema, Seq(
+        Row("c1", 0, "chr1", 5L, "8M", "ACGTACAC", 12L),
+        Row("c2", 0, "chr1", 10L, "2S4M3D4M", "TTCAGGGTAC", 20L),
+        Row("c3", 4, null, null, null, "ACGT", null),
+        Row("c4", 0, "chr2", 50L, "5M", "GCCGG", 54L)))
+      s.read.format("cram").option("reference", s"$Root/ref.fa")
+        .load(s"$Root/g.cram")
+        .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
+        .orderBy("qname")
+    }, oracleFor("s10_scan_cram", "qname")))
+}

@@ -479,7 +479,11 @@ object SparkEntry {
     "q27_cosine_topk" -> (q27_cosine_topk _),
     "q28_ann_bucket" -> (q28_ann_bucket _),
     "q29_embed_neardup" -> (q29_embed_neardup _),
-    "q30_multimodal_meta" -> (q30_multimodal_meta _))
+    "q30_multimodal_meta" -> (q30_multimodal_meta _)) ++
+    // scanner-correctness gate (s01..s10): genomic readers vs
+    // pre-materialized expected rows (see ScanGate)
+    ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap
 
-  def oracleSql: Map[String, String] = OracleSql.all
+  def oracleSql: Map[String, String] = OracleSql.all ++
+    ScanGate.queries.map { case (name, _, sql) => name -> sql }.toMap
 }

@@ -1,4 +1,4 @@
-package graft.sources
+package graft.fixtures
 
 import java.io.FileOutputStream
 import java.nio.{ByteBuffer, ByteOrder}

@@ -1,4 +1,4 @@
-package graft.sources
+package graft.fixtures
 
 import java.io.{ByteArrayOutputStream, FileOutputStream}
 import java.util.zip.GZIPOutputStream

@@ -47,17 +47,17 @@ class MetaAndModeSpec extends SparkSuite {
 
     // bam path
     val bam = dir.resolve("m.bam").toString
-    graft.sources.BamFixture.write(bam, Seq(("chr1", 1000), ("chr2", 500)),
-      Seq(graft.sources.BamFixture.Rec("r", 0, 0, 10, 30,
+    graft.fixtures.BamFixture.write(bam, Seq(("chr1", 1000), ("chr2", 500)),
+      Seq(graft.fixtures.BamFixture.Rec("r", 0, 0, 10, 30,
         Seq((4, 'M')), "ACGT", null)))
     assert(GraftMeta.chromSizes(bam) == Map("chr1" -> 1000L, "chr2" -> 500L))
 
     // bigwig path (fixture writes size 1000000 per chrom)
     val bw = dir.resolve("m.bw").toString
-    graft.sources.BbiFixture.write(bw, Seq(("chr1", 0)),
-      Seq(graft.sources.BbiFixture.WigSection(0, 1, 0, 0, 0,
+    graft.fixtures.BbiFixture.write(bw, Seq(("chr1", 0)),
+      Seq(graft.fixtures.BbiFixture.WigSection(0, 1, 0, 0, 0,
         Seq((0L, 10L, 1f)))), Nil,
-      Seq(graft.sources.BbiFixture.Zoom(0, 0, 10, 1, 1f, 1f, 1f, 1f)))
+      Seq(graft.fixtures.BbiFixture.Zoom(0, 0, 10, 1, 1f, 1f, 1f, 1f)))
     assert(GraftMeta.chromSizes(bw) == Map("chr1" -> 1000000L))
     assert(GraftMeta.zoomLevels(bw) == Seq(1000))
   }
@@ -65,11 +65,11 @@ class MetaAndModeSpec extends SparkSuite {
   test("meta: indexStats surfaces pseudo-bin mapped/unmapped counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stats")
     val bam = dir.resolve("s.bam").toString
-    graft.sources.BamFixture.write(bam, Seq(("chr1", 1000), ("chr2", 500)),
+    graft.fixtures.BamFixture.write(bam, Seq(("chr1", 1000), ("chr2", 500)),
       Seq(
-        graft.sources.BamFixture.Rec("a", 0, 0, 10, 30, Seq((4, 'M')), "ACGT", null),
-        graft.sources.BamFixture.Rec("b", 0, 0, 50, 30, Seq((4, 'M')), "GGTT", null),
-        graft.sources.BamFixture.Rec("c", 0, 1, 20, 30, Seq((4, 'M')), "CCAA", null)))
+        graft.fixtures.BamFixture.Rec("a", 0, 0, 10, 30, Seq((4, 'M')), "ACGT", null),
+        graft.fixtures.BamFixture.Rec("b", 0, 0, 50, 30, Seq((4, 'M')), "GGTT", null),
+        graft.fixtures.BamFixture.Rec("c", 0, 1, 20, 30, Seq((4, 'M')), "CCAA", null)))
     assert(GraftMeta.indexStats(bam) ==
       Map("chr1" -> ((2L, 0L)), "chr2" -> ((1L, 0L))))
   }

@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.sql.functions._
 import graft.SparkSuite
 import graft.formats.{Bgzf, GenomicIndex, SeekableInputs}
-import graft.sources.BamFixture.{Rec, tagInt, tagStr}
+import graft.fixtures.BamFixture
+import graft.fixtures.BamFixture.{Rec, tagInt, tagStr}
 
 class BamSourceSpec extends SparkSuite {
 

@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 import graft.SparkSuite
-import graft.sources.BbiFixture.{BedItem, WigSection, Zoom}
+import graft.fixtures.BbiFixture
+import graft.fixtures.BbiFixture.{BedItem, WigSection, Zoom}
 
 class BbiSourcesSpec extends SparkSuite {
 

@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.SparkSuite
-import graft.sources.BcfFixture.BcfRec
+import graft.fixtures.BcfFixture
+import graft.fixtures.BcfFixture.BcfRec
 
 class BcfSourceSpec extends SparkSuite {
 

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
 import graft.formats.CramCodec
-import graft.sources.CramFixture.{CRec, Feat}
+import graft.fixtures.CramFixture
+import graft.fixtures.CramFixture.{CRec, Feat}
 
 class CramSourceSpec extends SparkSuite {
 

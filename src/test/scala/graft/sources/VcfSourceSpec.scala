@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.SparkSuite
+import graft.fixtures.BcfFixture
 
 class VcfSourceSpec extends SparkSuite {
 
