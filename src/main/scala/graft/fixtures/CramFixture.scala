@@ -16,10 +16,12 @@ object CramFixture {
   final case class Feat(code: Char, pos: Int, intVal: Int = 0,
       bytes: Array[Byte] = null)
 
-  /** One record; `pos1` 1-based. Unmapped (flag & 4): `bases` stored. */
+  /** One record; `pos1` 1-based. Unmapped (flag & 4): `bases` stored.
+    * `tags`: (tag, SAM type char in {i, f, Z, A}, value). */
   final case class CRec(qname: String, flag: Int, refId: Int, pos1: Int,
       mapq: Int, readLen: Int, feats: Seq[Feat] = Nil,
-      quals: Array[Byte] = null, bases: String = null)
+      quals: Array[Byte] = null, bases: String = null,
+      tags: Seq[(String, Char, Any)] = Nil)
 
   // content ids, one per data series
   private val Ids: Map[String, Int] = Map(
@@ -47,7 +49,15 @@ object CramFixture {
     itf8(5) ++ itf8(args.length) ++ args
   }
 
-  private def compressionHeaderData(): Array[Byte] = {
+  /** BYTE_ARRAY_LEN(EXTERNAL lenId, EXTERNAL valId) — the common layout
+    * for tag values. */
+  private def encByteArrayLen(lenId: Int, valId: Int): Array[Byte] = {
+    val args = encExternal(lenId) ++ encExternal(valId)
+    itf8(4) ++ itf8(args.length) ++ args
+  }
+
+  private def compressionHeaderData(tdLines: Seq[String],
+      tagKeys: Seq[(Int, Int, Int)]): Array[Byte] = {
     // preservation map: RN=true, AP=false (absolute), RR=true, SM, TD
     val pres = new ByteArrayOutputStream()
     val presInner = new ByteArrayOutputStream()
@@ -57,7 +67,8 @@ object CramFixture {
     presInner.write("RR".getBytes); presInner.write(1)
     presInner.write("SM".getBytes); presInner.write(SubstitutionMatrix)
     presInner.write("TD".getBytes)
-    CramCodec.writeItf8(presInner, 1); presInner.write(0) // one empty line
+    val tdBytes = tdLines.flatMap(l => l.getBytes("ASCII") :+ 0.toByte).toArray
+    CramCodec.writeItf8(presInner, tdBytes.length); presInner.write(tdBytes)
     val presBytes = presInner.toByteArray
     pres.write(itf8(presBytes.length)); pres.write(presBytes)
 
@@ -74,10 +85,32 @@ object CramFixture {
     ds.write(itf8(dsBytes.length)); ds.write(dsBytes)
 
     val tags = new ByteArrayOutputStream()
-    val tagsInner = itf8(0)
-    tags.write(itf8(tagsInner.length)); tags.write(tagsInner)
+    val tagsInner = new ByteArrayOutputStream()
+    CramCodec.writeItf8(tagsInner, tagKeys.size)
+    tagKeys.foreach { case (key, lenId, valId) =>
+      CramCodec.writeItf8(tagsInner, key)
+      tagsInner.write(encByteArrayLen(lenId, valId))
+    }
+    val tagsBytes = tagsInner.toByteArray
+    tags.write(itf8(tagsBytes.length)); tags.write(tagsBytes)
 
     pres.toByteArray ++ ds.toByteArray ++ tags.toByteArray
+  }
+
+  /** BAM-binary encoding of a tag value. */
+  private def tagBytes(tpe: Char, v: Any): Array[Byte] = tpe match {
+    case 'i' =>
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(v.asInstanceOf[Int]); bb.array()
+    case 'f' =>
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putFloat(v.asInstanceOf[Float]); bb.array()
+    case 'Z' => v.asInstanceOf[String].getBytes("ASCII") :+ 0.toByte
+    case 'A' => Array(v.asInstanceOf[Char].toByte)
+    case other =>
+      throw new IllegalArgumentException(s"fixture tag type '$other'")
   }
 
   private def block(contentType: Int, contentId: Int,
@@ -162,6 +195,24 @@ object CramFixture {
         bufs(series).write(bytes); bufs(series).write(0)
       }
 
+      // tag dictionary: line 0 is always the empty (no-tags) line
+      def sig(r: CRec): String =
+        r.tags.map(t => s"${t._1}${t._2}").mkString
+      val tdLines = "" +: recs.map(sig).filter(_.nonEmpty).distinct
+      val tagDefs = recs.flatMap(_.tags.map(t => (t._1, t._2))).distinct
+      val tagIds: Map[(String, Char), (Int, Int)] =
+        tagDefs.zipWithIndex.map { case (d, k) =>
+          d -> (100 + 2 * k, 101 + 2 * k)
+        }.toMap
+      val tagBufs = tagIds.map { case (d, _) =>
+        d -> (new ByteArrayOutputStream(), new ByteArrayOutputStream())
+      }
+      val tagKeys = tagDefs.map { case (tag, tpe) =>
+        val (lenId, valId) = tagIds((tag, tpe))
+        ((tag.charAt(0) << 16) | (tag.charAt(1) << 8) | tpe.toInt,
+          lenId, valId)
+      }
+
       recs.foreach { r =>
         val qualStored = r.quals != null
         val cf = (if (qualStored) 0x1 else 0) | 0x2 // detached mates
@@ -169,7 +220,13 @@ object CramFixture {
         w("RL", r.readLen); w("AP", r.pos1); w("RG", -1)
         wStop("RN", r.qname.getBytes("ASCII"))
         w("MF", 0); w("NS", -1); w("NP", 0); w("TS", 0)
-        w("TL", 0)
+        w("TL", tdLines.indexOf(sig(r)))
+        r.tags.foreach { case (tag, tpe, v) =>
+          val bytes = tagBytes(tpe, v)
+          val (lenB, valB) = tagBufs((tag, tpe))
+          CramCodec.writeItf8(lenB, bytes.length)
+          valB.write(bytes)
+        }
         if ((r.flag & 0x4) == 0) {
           w("FN", r.feats.size)
           var prev = 0
@@ -200,6 +257,10 @@ object CramFixture {
       val extBlocks = Ids.toSeq.sortBy(_._2).flatMap { case (k, id) =>
         val data = bufs(k).toByteArray
         if (data.isEmpty) None else Some((id, block(4, id, data)))
+      } ++ tagIds.toSeq.sortBy(_._2._1).flatMap { case (d, (lenId, valId)) =>
+        val (lenB, valB) = tagBufs(d)
+        Seq((lenId, block(4, lenId, lenB.toByteArray)),
+          (valId, block(4, valId, valB.toByteArray)))
       }
       val sliceHeaderData = {
         val o = new ByteArrayOutputStream()
@@ -215,7 +276,7 @@ object CramFixture {
         o.write(Array.fill[Byte](16)(0))
         o.toByteArray
       }
-      val compBlock = block(1, 0, compressionHeaderData())
+      val compBlock = block(1, 0, compressionHeaderData(tdLines, tagKeys))
       val sliceBlock = block(2, 0, sliceHeaderData)
       val coreBlock = block(5, 0, Array.empty[Byte])
       val allBlocks = compBlock ++ sliceBlock ++ coreBlock ++

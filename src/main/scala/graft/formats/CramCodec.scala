@@ -401,7 +401,9 @@ object CramCodec {
       readLength: Int, alignmentStart: Int, readGroup: Int, readName: String,
       mateRefId: Int, matePos: Int, templateSize: Int,
       features: Seq[Feature], mappingQuality: Int,
-      qualityScores: Array[Byte], bases: Array[Byte]) {
+      qualityScores: Array[Byte], bases: Array[Byte],
+      /** (tag, SAM type char, BAM-binary value bytes) per TD line order. */
+      tags: Seq[(String, Char, Array[Byte])] = Nil) {
     def isUnmapped: Boolean = (bamFlags & 0x4) != 0
     /** reference bases consumed (M/D/N span); end1 = start + this - 1. */
     def referenceLength: Int = {
@@ -425,9 +427,11 @@ object CramCodec {
     }
   }
 
-  /** Decode all records of one slice. */
+  /** Decode all records of one slice. `decodeTags=false` skips tag-value
+    * reads entirely (safe: every tag series has its own blocks). */
   def decodeSlice(comp: CompressionHeader, slice: SliceHeader,
-      core: Array[Byte], external: Map[Int, Array[Byte]]): Seq[CramRecord] = {
+      core: Array[Byte], external: Map[Int, Array[Byte]],
+      decodeTags: Boolean = true): Seq[CramRecord] = {
     val bits = new BitReader(core)
     val cursors = external.map { case (id, d) => id -> new ByteCursor(d) }
     def series(key: String): SeriesReader =
@@ -442,6 +446,7 @@ object CramCodec {
     val rs = series("RS"); val pd = series("PD"); val hc = series("HC")
     val mq = series("MQ"); val qs = series("QS")
     val bb = series("BB"); val qq = series("QQ")
+    val tagReaders = mutable.Map.empty[Int, SeriesReader]
 
     var prevAlignmentStart = slice.start
     val out = mutable.ArrayBuffer.empty[CramRecord]
@@ -471,9 +476,18 @@ object CramCodec {
         nf.readInt() // downstream mate distance (unused here)
       }
       val tagLine = tl.readInt()
-      // tag VALUES live in their own external blocks; skipping them does
-      // not advance any stream shared with the fixed columns
-      val _ = tagLine
+      // each (tag, type) has its own encoding/blocks, keyed by the
+      // 3-byte int (tag0<<16 | tag1<<8 | type)
+      val tags: Seq[(String, Char, Array[Byte])] =
+        (if (decodeTags) comp.tagDictionary.lift(tagLine).getOrElse(Nil)
+         else Nil).map {
+          case (tag, tpe) =>
+            val key = (tag.charAt(0) << 16) | (tag.charAt(1) << 8) | tpe.toInt
+            val reader = tagReaders.getOrElseUpdate(key,
+              new SeriesReader(comp.tagEncodings.getOrElse(key, NullEncoding),
+                bits, cursors))
+            (tag, tpe, reader.readBytes())
+        }
 
       var features: Seq[Feature] = Nil
       var mappingQuality = -1
@@ -518,7 +532,7 @@ object CramCodec {
       }
       out += CramRecord(bamFlags, cramFlags, refId, readLength,
         alignmentStart, readGroup, readName, mateRefId, matePos,
-        templateSize, features, mappingQuality, quals, bases)
+        templateSize, features, mappingQuality, quals, bases, tags)
       i += 1
     }
     out.toSeq
@@ -624,6 +638,49 @@ object CramCodec {
     fillMatch(rec.readLength + 1 - readPos)
     if (cigarLen > 0) cigar.append(cigarLen).append(cigarOp)
     (cigar.toString, new String(seq))
+  }
+
+  /** Decode a tag value from its BAM-binary byte-array form (the CRAM
+    * convention: tag values are stored exactly as BAM aux values,
+    * little-endian). Returns Long / Float / String / Array[Long] /
+    * Array[Float]. */
+  def tagValue(tpe: Char, bytes: Array[Byte]): Any = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str(): String = {
+      val end = bytes.indexOf(0.toByte) match {
+        case -1 => bytes.length
+        case i => i
+      }
+      new String(bytes, 0, end, "ASCII")
+    }
+    tpe match {
+      case 'A' => new String(Array(bytes(0)), "ASCII")
+      case 'c' => bb.get().toLong
+      case 'C' => (bb.get() & 0xff).toLong
+      case 's' => bb.getShort.toLong
+      case 'S' => (bb.getShort & 0xffff).toLong
+      case 'i' => bb.getInt.toLong
+      case 'I' => bb.getInt.toLong & 0xffffffffL
+      case 'f' => bb.getFloat
+      case 'Z' | 'H' => str()
+      case 'B' =>
+        val sub = bb.get().toChar
+        val n = bb.getInt
+        sub match {
+          case 'f' => Array.fill(n)(bb.getFloat)
+          case 'c' => Array.fill(n)(bb.get().toLong)
+          case 'C' => Array.fill(n)((bb.get() & 0xff).toLong)
+          case 's' => Array.fill(n)(bb.getShort.toLong)
+          case 'S' => Array.fill(n)((bb.getShort & 0xffff).toLong)
+          case 'i' => Array.fill(n)(bb.getInt.toLong)
+          case 'I' => Array.fill(n)(bb.getInt.toLong & 0xffffffffL)
+          case other => throw new UnsupportedOperationException(
+            s"tag B subtype '$other'")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"tag type '$other'")
+    }
   }
 
   // ----------------------------------------------------------------- CRAI

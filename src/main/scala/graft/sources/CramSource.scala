@@ -41,7 +41,8 @@ class CramDataSource extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CramSource.schema
+    CramSource.schema(LineSourceUtil.optionsMap(options),
+      LineSourceUtil.resolvePaths(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -52,8 +53,69 @@ class CramDataSource extends TableProvider
 }
 
 object CramSource {
-  /** Same fixed shape as the BAM reader (alignment model parity). */
-  val schema: StructType = StructType(BamSource.FixedFields.toIndexedSeq)
+  /** Fixed columns match the BAM reader (alignment model parity); the
+    * optional `tags` struct comes from the `tags` option ("NM:i,MD:Z")
+    * or, by default, from the first data container's tag dictionary —
+    * CRAM's TD IS the tag discovery, no record sampling needed.
+    * `tag_scan_rows=0` disables the column (BAM-compatible switch). */
+  def schema(options: Map[String, String], paths: Seq[Path]): StructType = {
+    val base = BamSource.FixedFields
+    val tagDefs: Seq[(String, Char)] = options.get("tags") match {
+      case Some(spec) => spec.split(",").toSeq.filter(_.nonEmpty).map { td =>
+        val Array(name, code) = td.trim.split(":")
+        (name, code.head)
+      }
+      case None =>
+        if (options.get("tag_scan_rows").exists(_.toInt == 0)) Nil
+        else paths.headOption.map(discoverTags).getOrElse(Nil)
+    }
+    if (tagDefs.isEmpty) StructType(base.toIndexedSeq)
+    else StructType((base :+ StructField("tags",
+      StructType(tagDefs.map { case (name, c) =>
+        StructField(name, SamTags.sparkType(normalize(c)))
+      }.toIndexedSeq))).toIndexedSeq)
+  }
+
+  private def normalize(c: Char): Char = c match {
+    case 'B' => 'L' // array subtype lives in values; integers assumed
+    case other => other
+  }
+
+  /** Union of the first data container's TD lines, in appearance order;
+    * tags seen with conflicting Spark types sink to string. */
+  private def discoverTags(path: Path): Seq[(String, Char)] = {
+    val fs = path.getFileSystem(new Configuration())
+    val in = SeekableInputs.forHadoop(fs, path)
+    try {
+      val s = new CountingStream(in, 0L)
+      CramCodec.readFileDefinition(s)
+      val h0 = CramCodec.readContainerHeader(s)
+      val afterHeader = {
+        CramCodec.readBlock(s) // SAM header block
+        s.pos
+      }
+      val _ = (h0, afterHeader)
+      if (s.pos >= in.length) return Nil
+      val ch = CramCodec.readContainerHeader(s)
+      if (ch.isEof || ch.nRecords == 0) return Nil
+      val block = CramCodec.readBlock(s)
+      if (block.contentType != 1) return Nil
+      val comp = CramCodec.readCompressionHeader(block.data)
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Char]
+      comp.tagDictionary.flatten.foreach { case (tag, tpe) =>
+        seen.get(tag) match {
+          case Some(prev)
+            if SamTags.sparkType(normalize(prev)) !=
+              SamTags.sparkType(normalize(tpe)) => seen(tag) = 'Z'
+          case Some(_) => ()
+          case None => seen(tag) = tpe
+        }
+      }
+      seen.toSeq
+    } catch {
+      case _: Exception => Nil
+    } finally in.close()
+  }
 
   /** Tracks the absolute file offset while parsing container headers. */
   final class CountingStream(in: graft.formats.Bgzf.SeekableInput,
@@ -283,6 +345,11 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
     case (n, s, e) => refIdByName.get(n).map(id => (id, s, e))
   }
 
+  private val tagSchema: Option[StructType] =
+    if (fullSchema.fieldNames.contains("tags"))
+      Some(fullSchema("tags").dataType.asInstanceOf[StructType])
+    else None
+
   // optional indexed FASTA for sequence reconstruction
   private val reference: Option[(Path, Seq[FaiIndex.Entry])] =
     options.get("reference").flatMap { refPath =>
@@ -321,7 +388,8 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
         blocksRead += 1 + slice.nBlocks
       }
       slices.iterator.flatMap { case (slice, core, ext) =>
-        val records = CramCodec.decodeSlice(comp, slice, core, ext)
+        val records = CramCodec.decodeSlice(comp, slice, core, ext,
+          decodeTags = tagSchema.isDefined)
         // fetch the reference span covering this slice once
         val refSlice: Option[Long => Char] =
           if (slice.refSeqId < 0) None
@@ -358,6 +426,16 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
       if (rec.qualityScores == null) null
       else if (rec.qualityScores.forall(_ == 0xff.toByte)) null
       else new String(rec.qualityScores.map(q => (q + 33).toChar))
+    val tagsVal: Seq[Any] = tagSchema.toSeq.map { ts =>
+      val byName = rec.tags.map(t => t._1 -> t).toMap
+      val arr = new Array[Any](ts.length)
+      ts.fields.zipWithIndex.foreach { case (f, i) =>
+        byName.get(f.name).foreach { case (_, tpe, bytes) =>
+          arr(i) = toCatalystTag(f.dataType, CramCodec.tagValue(tpe, bytes))
+        }
+      }
+      new GenericInternalRow(arr)
+    }
     new GenericInternalRow(Array[Any](
       if (rec.readName == null) null else UTF8String.fromString(rec.readName),
       rec.bamFlags,
@@ -374,7 +452,26 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
       if (qual == null) null else UTF8String.fromString(qual),
       // end is invariant across coord systems (1-based closed end equals
       // the 0-based half-open end), matching the BAM reader
-      if (mapped) rec.alignmentStart.toLong + refLen - 1 else null))
+      if (mapped) rec.alignmentStart.toLong + refLen - 1 else null)
+      ++ tagsVal)
+  }
+
+  private def toCatalystTag(dt: DataType, v: Any): Any = (dt, v) match {
+    case (LongType, l: Long) => l
+    case (LongType, f: Float) => f.toLong
+    case (FloatType, f: Float) => f
+    case (FloatType, l: Long) => l.toFloat
+    case (StringType, s: String) => UTF8String.fromString(s)
+    case (StringType, other) => UTF8String.fromString(other.toString)
+    case (ArrayType(LongType, _), a: Array[Long]) =>
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a)
+    case (ArrayType(LongType, _), a: Array[Float]) =>
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.map(_.toLong))
+    case (ArrayType(FloatType, _), a: Array[Float]) =>
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a)
+    case (ArrayType(FloatType, _), a: Array[Long]) =>
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.map(_.toFloat))
+    case _ => null
   }
 
   private val projIdx: Array[Int] =

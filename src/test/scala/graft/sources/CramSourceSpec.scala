@@ -115,6 +115,33 @@ class CramSourceSpec extends SparkSuite {
     assert(r.getString(5) == "2S4M3D4M") // cigar never needs the reference
   }
 
+  test("cram: tag dictionary drives tags schema and values decode") {
+    val p = dir.resolve("tagged.cram").toString
+    CramFixture.write(p, samHeader, Seq(
+      Seq(
+        CRec("t1", 0, 0, 5, 60, 4,
+          tags = Seq(("NM", 'i', 2), ("MD", 'Z', "4"))),
+        CRec("t2", 0, 0, 8, 60, 4)))) // no tags → empty TD line
+    val df = spark.read.format("cram").option("reference", refPath).load(p)
+    val tagsType = df.schema("tags").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(tagsType.fieldNames.toSeq == Seq("NM", "MD"))
+    assert(tagsType("NM").dataType.typeName == "long")
+    val rows = df.orderBy("qname").select("qname", "tags").collect()
+    val t1 = rows(0).getStruct(1)
+    assert(t1.getLong(0) == 2 && t1.getString(1) == "4")
+    val t2 = rows(1).getStruct(1)
+    assert(t2.isNullAt(0) && t2.isNullAt(1))
+    // BAM-compatible disable switch
+    val noTags = spark.read.format("cram").option("tag_scan_rows", "0").load(p)
+    assert(!noTags.columns.contains("tags"))
+    // explicit tags option subsets/overrides discovery
+    val subset = spark.read.format("cram").option("tags", "NM:i").load(p)
+    assert(subset.schema("tags").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("NM"))
+  }
+
   test("cram codec: huffman and beta core-stream decoders") {
     // canonical huffman over {5:1bit, 6:2bits, 7:2bits}: codes 0,10,11
     val dec = new CramCodec.HuffmanDecoder(Seq(5, 6, 7), Seq(1, 2, 2))
