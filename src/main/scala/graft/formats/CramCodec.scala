@@ -12,7 +12,8 @@ import scala.collection.mutable
   * is an independent JVM implementation of the subset needed for
   * reference-based scans:
   *
-  *  - file definition, container headers, blocks (raw + gzip methods)
+  *  - file definition, container headers, blocks (raw, gzip and
+  *    rANS 4x8 methods — see [[RansCodec]])
   *  - compression header: preservation map (RN/AP/RR/SM/TD), data-series
   *    and tag encoding maps
   *  - codecs: EXTERNAL, HUFFMAN (canonical, incl. the common 0-bit
@@ -21,8 +22,8 @@ import scala.collection.mutable
   *    reference-based sequence reconstruction via the substitution
   *    matrix; detached mate info; CRAI index parsing for region queries
   *
-  * Unsupported (documented): rANS/lzma/bzip2 block methods and tag-value
-  * materialization (tag blocks are skipped; TL/TD are still parsed).
+  * Unsupported (documented): bzip2/lzma block methods and the 3.1
+  * codecs (ransNx16, adaptive arithmetic, fqzcomp, name tokeniser).
   */
 object CramCodec {
 
@@ -161,8 +162,10 @@ object CramCodec {
       case 1 =>
         val gz = new GZIPInputStream(new ByteArrayInputStream(payload))
         try readFully(gz, rawSize) finally gz.close()
+      case 4 => RansCodec.decode(payload)
       case other => throw new UnsupportedOperationException(
-        s"CRAM block compression method $other not supported (raw/gzip only)")
+        s"CRAM block compression method $other not supported " +
+          "(raw/gzip/rans4x8 only)")
     }
     readIntLE(in) // crc32
     Block(method, contentType, contentId, data)
