@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming pipelines over the events shape (the engine's
@@ -40,6 +43,72 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"),
         col("approx_users"))
+
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark are dropped, state expires after it —
+    * the streaming face of the batch md5-fingerprint dedup (q22). */
+  def dedupe(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with CUSTOM state (`KeyValueGroupedDataset
+    * .flatMapGroupsWithState`, event-time timeout): one state entry per
+    * user holds the open session; a session closes (and emits) when a
+    * new event arrives past the gap, or when the watermark passes the
+    * session end + gap (timeout). The streaming analogue of
+    * SparkEntry.q12_sessionize, with state bounded by the watermark. */
+  def sessionize(events: Dataset[SessionEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      lateness: String = "10 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+
+    def close(userId: Long, s: SessionAgg): UserSession =
+      UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
+        s.n, s.sum)
+
+    def update(userId: Long, evs: Iterator[SessionEvent],
+        state: GroupState[SessionAgg]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(userId, s))
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        val closed = Seq.newBuilder[UserSession]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.endMs > gapMs =>
+              closed += close(userId, s)
+              cur = Some(SessionAgg(t, t, 1, e.value))
+            case Some(s) =>
+              cur = Some(SessionAgg(s.startMs, math.max(s.endMs, t),
+                s.n + 1, s.sum + e.value))
+            case None =>
+              cur = Some(SessionAgg(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Run the windowed aggregation over a directory of event files and
     * collect results into `outDir` as parquet (append mode, watermarked

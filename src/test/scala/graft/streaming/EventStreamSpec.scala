@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.streaming.EventStream.SessionEvent
+
+class EventStreamSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessionize: custom state closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val ck = java.nio.file.Files.createTempDirectory("graft-sess-ck")
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session); user 2: one event
+      input.addData(
+        SessionEvent(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+        SessionEvent(2, ts("2024-01-01 00:10:00"), 1, "click", 2.0),
+        SessionEvent(3, ts("2024-01-01 00:05:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      // user 1 returns 2h later → gap exceeded → first session closes
+      input.addData(SessionEvent(4, ts("2024-01-01 02:00:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough that user 2's session times out
+      input.addData(SessionEvent(5, ts("2024-01-01 05:00:00"), 3, "view", 0.1))
+      q.processAllAvailable()
+      input.addData(SessionEvent(6, ts("2024-01-01 08:00:00"), 3, "view", 0.1))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions")
+        .select("user_id", "session_start", "session_end", "n_events",
+          "sum_value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      // user 1's first session: gap-closed with 2 events, sum 3.0
+      assert(out.contains((1L, "2024-01-01 00:00:00.0", 2L, 3.0)), s"got $out")
+      // user 2's only session: timeout-closed with 1 event, sum 5.0
+      assert(out.contains((2L, "2024-01-01 00:05:00.0", 1L, 5.0)), s"got $out")
+    } finally q.stop()
+  }
+
+  test("streaming dedupe drops duplicate event ids within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent]
+    val ck = java.nio.file.Files.createTempDirectory("graft-dedup-ck")
+    val q = EventStream.dedupe(input.toDS().toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+        SessionEvent(1, ts("2024-01-01 00:00:05"), 1, "view", 1.0), // dup id
+        SessionEvent(2, ts("2024-01-01 00:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        SessionEvent(1, ts("2024-01-01 00:02:00"), 1, "view", 1.0)) // dup id
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("windowed counts run identically over batch frames") {
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, ts("2024-01-01 01:05:00"), 1L, "view", 1.5),
+        org.apache.spark.sql.Row(2L, ts("2024-01-01 01:55:00"), 2L, "view", 2.5),
+        org.apache.spark.sql.Row(3L, ts("2024-01-01 02:05:00"), 1L, "view", 4.0))),
+      EventStream.EventSchema)
+    val rows = EventStream.windowedCounts(batch)
+      .orderBy("window_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(3) == 2 && rows(0).getDouble(4) == 4.0)
+    assert(rows(1).getLong(3) == 1 && rows(1).getDouble(4) == 4.0)
+  }
+}
