@@ -17,6 +17,10 @@ import graft.functions.GenomicFunctions
   *
   * Functions: `parse_region(str[, coords])`, `cigar_ref_len(str)`,
   * `cigar_ops(str)`.
+  *
+  * Also injects [[graft.plans.IntervalJoinRewrite]], the optimizer rule
+  * that turns naive chrom-equality + range-overlap joins into binned
+  * equi-joins (disable with `spark.graft.intervalJoin.binSize=0`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -25,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("parse_region"),
       info("parse_region",
