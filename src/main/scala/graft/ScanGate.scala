@@ -293,5 +293,30 @@ object ScanGate {
         .load(s"$Root/g.cram")
         .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
         .orderBy("qname")
-    }, oracleFor("s10_scan_cram", "qname")))
+    }, oracleFor("s10_scan_cram", "qname")),
+
+    // indexed region-query paths (S3 via BAI, CRAI for CRAM): chunk
+    // selection + residual overlap re-check, not just full scans
+    ("s11_region_bam", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s11_region_bam", alnSchema, Seq(
+        Row("r001", 99, "chr1", 7L, "8M2I4M1D3M", "TTAGATAAAGGATACTG", 22L),
+        Row("r002", 0, "chr1", 101L, "6M", "ATAGCT", 106L)))
+      // chr1:1-200 overlaps r001 (7-22) and r002 (101-106), not r003/r004
+      s.read.format("bam").option("tag_scan_rows", "0")
+        .option("regions", "chr1:1-200").load(s"$Root/g.bam")
+        .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
+        .orderBy("qname")
+    }, oracleFor("s11_region_bam", "qname")),
+
+    ("s12_region_cram", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s12_region_cram", alnSchema, Seq(
+        Row("c2", 0, "chr1", 10L, "2S4M3D4M", "TTCAGGGTAC", 20L)))
+      // chr1:15-20 reaches only into c2's deletion-extended span
+      s.read.format("cram").option("reference", s"$Root/ref.fa")
+        .option("regions", "chr1:15-20").load(s"$Root/g.cram")
+        .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
+        .orderBy("qname")
+    }, oracleFor("s12_region_cram", "qname")))
 }

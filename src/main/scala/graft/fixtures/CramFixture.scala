@@ -113,16 +113,28 @@ object CramFixture {
       throw new IllegalArgumentException(s"fixture tag type '$other'")
   }
 
-  private def block(contentType: Int, contentId: Int,
-      data: Array[Byte]): Array[Byte] = {
+  private def block(contentType: Int, contentId: Int, data: Array[Byte],
+      method: Int = 0): Array[Byte] = {
+    val (m, payload) = method match {
+      case _ if data.isEmpty => (0, data)
+      case 0 => (0, data)
+      case 1 =>
+        val b = new ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(b)
+        gz.write(data); gz.close()
+        (1, b.toByteArray)
+      case 4 => (4, graft.formats.RansCodec.encode(data, 1))
+      case other =>
+        throw new IllegalArgumentException(s"fixture block method $other")
+    }
     val o = new ByteArrayOutputStream()
-    o.write(0) // raw
+    o.write(m)
     o.write(contentType)
     o.write(itf8(contentId))
+    o.write(itf8(payload.length))
     o.write(itf8(data.length))
-    o.write(itf8(data.length))
-    o.write(data)
-    val crc = new java.util.zip.CRC32(); crc.update(data)
+    o.write(payload)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
     val c = crc.getValue
     o.write((c & 0xff).toInt); o.write(((c >> 8) & 0xff).toInt)
     o.write(((c >> 16) & 0xff).toInt); o.write(((c >> 24) & 0xff).toInt)
@@ -153,9 +165,10 @@ object CramFixture {
   }
 
   /** Write a CRAM whose data containers each hold one slice of `recs`
-    * (all sharing a refId), plus the companion .crai. */
+    * (all sharing a refId), plus the companion .crai. `blockMethod`
+    * compresses the external data blocks: 0 raw, 1 gzip, 4 rANS 4x8. */
   def write(path: String, samHeader: String,
-      containers: Seq[Seq[CRec]]): Unit = {
+      containers: Seq[Seq[CRec]], blockMethod: Int = 0): Unit = {
     val out = new FileOutputStream(path)
     out.write("CRAM".getBytes)
     out.write(3); out.write(0)
@@ -256,11 +269,12 @@ object CramFixture {
 
       val extBlocks = Ids.toSeq.sortBy(_._2).flatMap { case (k, id) =>
         val data = bufs(k).toByteArray
-        if (data.isEmpty) None else Some((id, block(4, id, data)))
+        if (data.isEmpty) None
+        else Some((id, block(4, id, data, blockMethod)))
       } ++ tagIds.toSeq.sortBy(_._2._1).flatMap { case (d, (lenId, valId)) =>
         val (lenB, valB) = tagBufs(d)
-        Seq((lenId, block(4, lenId, lenB.toByteArray)),
-          (valId, block(4, valId, valB.toByteArray)))
+        Seq((lenId, block(4, lenId, lenB.toByteArray, blockMethod)),
+          (valId, block(4, valId, valB.toByteArray, blockMethod)))
       }
       val sliceHeaderData = {
         val o = new ByteArrayOutputStream()

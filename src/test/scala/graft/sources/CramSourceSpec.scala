@@ -142,6 +142,26 @@ class CramSourceSpec extends SparkSuite {
       .fieldNames.toSeq == Seq("NM"))
   }
 
+  test("cram: gzip- and rans-compressed data blocks scan identically") {
+    val recs = Seq(
+      Seq(
+        CRec("c1", 0, 0, 5, 60, 8, quals = Array.fill[Byte](8)(30)),
+        CRec("c2", 0, 0, 10, 30, 10, feats = Seq(
+          Feat('S', 1, bytes = "TT".getBytes),
+          Feat('D', 7, intVal = 3)))))
+    def scan(method: Int): Seq[(String, Long, String)] = {
+      val p = dir.resolve(s"m$method.cram").toString
+      CramFixture.write(p, samHeader, recs, blockMethod = method)
+      spark.read.format("cram").option("reference", refPath).load(p)
+        .select("qname", "pos", "seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    }
+    val raw = scan(0)
+    assert(raw.map(_._1) == Seq("c1", "c2"))
+    assert(scan(1) == raw) // gzip blocks
+    assert(scan(4) == raw) // rANS 4x8 blocks
+  }
+
   test("cram codec: huffman and beta core-stream decoders") {
     // canonical huffman over {5:1bit, 6:2bits, 7:2bits}: codes 0,10,11
     val dec = new CramCodec.HuffmanDecoder(Seq(5, 6, 7), Seq(1, 2, 2))
