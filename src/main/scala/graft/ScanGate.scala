@@ -108,12 +108,24 @@ object ScanGate {
       wigSections = Seq(BbiFixture.WigSection(0, 1, 0, 0, 0,
         Seq((100L, 200L, 1.5f), (300L, 400L, 2.5f)))),
       bedItems = Nil, zooms = Nil)
+    // typed columns come from the embedded AutoSql declaration (M4)
     BbiFixture.write(s"$Root/g.bb", Seq(("chr1", 0)),
       wigSections = Nil,
       bedItems = Seq(
         BbiFixture.BedItem(0, 10, 50, "feat1\t960"),
         BbiFixture.BedItem(0, 60, 90, "feat2\t3")),
-      zooms = Nil)
+      zooms = Nil,
+      autoSql = Some(
+        """table gateBed
+          |"gate fixture"
+          |(
+          |string chrom;      "Reference sequence"
+          |uint   chromStart; "Start"
+          |uint   chromEnd;   "End"
+          |string name;       "Feature name"
+          |int    score;      "Score"
+          |)""".stripMargin),
+      fieldCount = Some(5))
   }
 
   private val fastaChr1 = "ACGTACGTAC" * 3 // 30 bp
@@ -264,8 +276,8 @@ object ScanGate {
         StructField("score", IntegerType))), Seq(
         Row("chr1", 10L, 50L, "feat1", 960),
         Row("chr1", 60L, 90L, "feat2", 3)))
-      s.read.format("bigbed").option("fields", "name:string,score:int")
-        .load(s"$Root/g.bb").orderBy("start")
+      // no fields option: name/score derive from the embedded AutoSql
+      s.read.format("bigbed").load(s"$Root/g.bb").orderBy("start")
     }, oracleFor("s08_scan_bigbed", "start")),
 
     ("s09_scan_fasta_slice", (s: SparkSession, _: String) => {
