@@ -164,11 +164,17 @@ object CramFixture {
     refLen + (r.readLen + 1 - readPos)
   }
 
+  /** Content id reserved for embedded-reference blocks. */
+  val EmbeddedRefId = 95
+
   /** Write a CRAM whose data containers each hold one slice of `recs`
     * (all sharing a refId), plus the companion .crai. `blockMethod`
-    * compresses the external data blocks: 0 raw, 1 gzip, 4 rANS 4x8. */
+    * compresses the external data blocks: 0 raw, 1 gzip, 4 rANS 4x8.
+    * `embeddedRefs` (refId → full contig) embeds the slice's reference
+    * span as an in-slice block instead of requiring an external FASTA. */
   def write(path: String, samHeader: String,
-      containers: Seq[Seq[CRec]], blockMethod: Int = 0): Unit = {
+      containers: Seq[Seq[CRec]], blockMethod: Int = 0,
+      embeddedRefs: Map[Int, String] = Map.empty): Unit = {
     val out = new FileOutputStream(path)
     out.write("CRAM".getBytes)
     out.write(3); out.write(0)
@@ -267,7 +273,15 @@ object CramFixture {
         }
       }
 
-      val extBlocks = Ids.toSeq.sortBy(_._2).flatMap { case (k, id) =>
+      val embedRef: Option[(Int, Array[Byte])] =
+        embeddedRefs.get(refId).map { contig =>
+          val s0 = math.max(0, start - 1)
+          val e0 = math.min(contig.length, s0 + span)
+          (EmbeddedRefId,
+            block(4, EmbeddedRefId,
+              contig.substring(s0, e0).getBytes("ASCII"), blockMethod))
+        }
+      val extBlocks = (Ids.toSeq.sortBy(_._2).flatMap { case (k, id) =>
         val data = bufs(k).toByteArray
         if (data.isEmpty) None
         else Some((id, block(4, id, data, blockMethod)))
@@ -275,7 +289,7 @@ object CramFixture {
         val (lenB, valB) = tagBufs(d)
         Seq((lenId, block(4, lenId, lenB.toByteArray, blockMethod)),
           (valId, block(4, valId, valB.toByteArray, blockMethod)))
-      }
+      }) ++ embedRef.toSeq
       val sliceHeaderData = {
         val o = new ByteArrayOutputStream()
         CramCodec.writeItf8(o, refId)
@@ -286,7 +300,8 @@ object CramFixture {
         CramCodec.writeItf8(o, 1 + extBlocks.size) // core + externals
         CramCodec.writeItf8(o, extBlocks.size)
         extBlocks.foreach { case (id, _) => CramCodec.writeItf8(o, id) }
-        CramCodec.writeItf8(o, -1) // no embedded reference
+        CramCodec.writeItf8(o,
+          if (embedRef.isDefined) EmbeddedRefId else -1)
         o.write(Array.fill[Byte](16)(0))
         o.toByteArray
       }

@@ -390,13 +390,21 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
       slices.iterator.flatMap { case (slice, core, ext) =>
         val records = CramCodec.decodeSlice(comp, slice, core, ext,
           decodeTags = tagSchema.isDefined)
-        // fetch the reference span covering this slice once
+        val start0 = math.max(0L, slice.start - 1L)
+        // reference bases for this slice: an embedded-reference block
+        // takes precedence (self-contained slices), else seek the span
+        // out of the indexed FASTA once
+        val embedded: Option[Long => Char] =
+          if (slice.embeddedRefId < 0) None
+          else ext.get(slice.embeddedRefId).map { bytes => (pos0: Long) =>
+            val i = (pos0 - start0).toInt
+            if (i >= 0 && i < bytes.length) (bytes(i) & 0xff).toChar else 'N'
+          }
         val refSlice: Option[Long => Char] =
           if (slice.refSeqId < 0) None
-          else reference.flatMap { case (rp, entries) =>
+          else embedded.orElse(reference.flatMap { case (rp, entries) =>
             val name = refNames.lift(slice.refSeqId).getOrElse("")
             entries.find(_.name == name).map { e =>
-              val start0 = math.max(0L, slice.start - 1L)
               val end0 = math.min(e.length, start0 + slice.span.toLong)
               val rin = SeekableInputs.forHadoop(rp.getFileSystem(conf), rp)
               val text =
@@ -407,7 +415,7 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
                 if (i >= 0 && i < text.length) text.charAt(i) else 'N'
               }
             }
-          }
+          })
         records.iterator.map(rec => toRow(rec, comp, refSlice))
       }
     }

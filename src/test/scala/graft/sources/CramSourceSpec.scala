@@ -162,6 +162,24 @@ class CramSourceSpec extends SparkSuite {
     assert(scan(4) == raw) // rANS 4x8 blocks
   }
 
+  test("cram: embedded-reference slices decode without a fasta") {
+    val p = dir.resolve("embed.cram").toString
+    CramFixture.write(p, samHeader, Seq(
+      Seq(
+        CRec("e1", 0, 0, 5, 60, 8),
+        CRec("e2", 0, 0, 10, 30, 10, feats = Seq(
+          Feat('S', 1, bytes = "TT".getBytes),
+          Feat('D', 7, intVal = 3))))),
+      embeddedRefs = Map(0 -> chr1))
+    // NO reference option — bases come from the embedded block
+    val rows = spark.read.format("cram").load(p)
+      .orderBy("qname").select("qname", "seq", "cigar").collect()
+    assert(rows(0).getString(1) == "ACGTACAC")
+    // no X feature here, so read pos 5 is the reference base (C)
+    assert(rows(1).getString(1) == "TTCACGGTAC" &&
+      rows(1).getString(2) == "2S4M3D4M")
+  }
+
   test("cram codec: huffman and beta core-stream decoders") {
     // canonical huffman over {5:1bit, 6:2bits, 7:2bits}: codes 0,10,11
     val dec = new CramCodec.HuffmanDecoder(Seq(5, 6, 7), Seq(1, 2, 2))
