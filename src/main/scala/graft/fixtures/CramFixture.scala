@@ -174,6 +174,15 @@ object CramFixture {
     * span as an in-slice block instead of requiring an external FASTA. */
   def write(path: String, samHeader: String,
       containers: Seq[Seq[CRec]], blockMethod: Int = 0,
+      embeddedRefs: Map[Int, String] = Map.empty): Unit =
+    writeSliced(path, samHeader, containers.map(Seq(_)), blockMethod,
+      embeddedRefs)
+
+  /** Like [[write]] but each container holds SEVERAL slices (the shape
+    * real CRAM writers produce); the compression header is shared per
+    * container, blocks and streams are per-slice. */
+  def writeSliced(path: String, samHeader: String,
+      containerSlices: Seq[Seq[Seq[CRec]]], blockMethod: Int = 0,
       embeddedRefs: Map[Int, String] = Map.empty): Unit = {
     val out = new FileOutputStream(path)
     out.write("CRAM".getBytes)
@@ -195,44 +204,99 @@ object CramFixture {
     var fileOffset = 26L + containerHeaderSize(headerBlock.length, 0, 0, 0,
       0, 1, Seq(0)) + headerBlock.length
 
-    containers.foreach { recs =>
-      require(recs.nonEmpty && recs.map(_.refId).distinct.size == 1,
-        "fixture containers are single-ref slices")
-      val refId = recs.head.refId
-      val mapped = recs.filter(r => (r.flag & 0x4) == 0)
-      val start = if (mapped.isEmpty) 0 else mapped.map(_.pos1).min
-      val span =
-        if (mapped.isEmpty) 0
-        else mapped.map(r => r.pos1 + refConsumed(r) - 1).max - start + 1
+    containerSlices.foreach { slices =>
+      val allRecs = slices.flatten
+      require(allRecs.nonEmpty, "fixture containers must hold records")
 
-      // per-series external buffers
-      val bufs = Ids.map { case (k, _) => k -> new ByteArrayOutputStream() }
-      def w(series: String, v: Int): Unit =
-        CramCodec.writeItf8(bufs(series), v)
-      def wByte(series: String, v: Int): Unit = bufs(series).write(v)
-      def wStop(series: String, bytes: Array[Byte]): Unit = {
-        bufs(series).write(bytes); bufs(series).write(0)
-      }
-
-      // tag dictionary: line 0 is always the empty (no-tags) line
+      // tag dictionary: per-container (shared compression header);
+      // line 0 is always the empty (no-tags) line
       def sig(r: CRec): String =
         r.tags.map(t => s"${t._1}${t._2}").mkString
-      val tdLines = "" +: recs.map(sig).filter(_.nonEmpty).distinct
-      val tagDefs = recs.flatMap(_.tags.map(t => (t._1, t._2))).distinct
+      val tdLines = "" +: allRecs.map(sig).filter(_.nonEmpty).distinct
+      val tagDefs = allRecs.flatMap(_.tags.map(t => (t._1, t._2))).distinct
       val tagIds: Map[(String, Char), (Int, Int)] =
         tagDefs.zipWithIndex.map { case (d, k) =>
           d -> (100 + 2 * k, 101 + 2 * k)
         }.toMap
-      val tagBufs = tagIds.map { case (d, _) =>
-        d -> (new ByteArrayOutputStream(), new ByteArrayOutputStream())
-      }
       val tagKeys = tagDefs.map { case (tag, tpe) =>
         val (lenId, valId) = tagIds((tag, tpe))
         ((tag.charAt(0) << 16) | (tag.charAt(1) << 8) | tpe.toInt,
           lenId, valId)
       }
 
-      recs.foreach { r =>
+      // build each slice's blocks (headerless): per-slice streams
+      val builtSlices: Seq[(Array[Byte], Array[Byte], Int, Int, Int)] =
+        slices.map { recs =>
+          buildSlice(recs, tdLines, tagIds, blockMethod, embeddedRefs,
+            sig)
+        }
+
+      val refIds = slices.map(_.head.refId).distinct
+      val refId = if (refIds.size == 1) refIds.head else -2
+      val starts = builtSlices.map(_._3).filter(_ > 0)
+      val start = if (starts.isEmpty) 0 else starts.min
+      val ends = builtSlices.collect { case (_, _, s, sp, _) if sp > 0 =>
+        s + sp }
+      val span = if (ends.isEmpty) 0 else ends.max - start
+
+      val compBlock = block(1, 0, compressionHeaderData(tdLines, tagKeys))
+      val sliceBytes = builtSlices.map { case (sb, rest, _, _, _) =>
+        sb ++ rest }
+      val allBlocks = compBlock ++ sliceBytes.flatten.toArray
+      val nBlocks = 1 + builtSlices.map { case (_, _, _, _, n) => 1 + n }.sum
+      // landmark per slice header, relative to end of container header
+      val landmarks = sliceBytes.scanLeft(compBlock.length)(_ + _.length)
+        .dropRight(1)
+
+      val headSize = containerHeaderSize(allBlocks.length, refId, start,
+        span, allRecs.size, nBlocks, landmarks)
+      // CRAI slice offset is relative to the end of the container header
+      builtSlices.zipWithIndex.foreach { case ((sb, _, s, sp, _), i) =>
+        craiLines += s"${slices(i).head.refId}\t$s\t$sp\t$fileOffset\t" +
+          s"${landmarks(i)}\t${sb.length}"
+      }
+      writeContainerHeader(out, allBlocks.length, refId, start, span,
+        allRecs.size, nBlocks, landmarks)
+      out.write(allBlocks)
+      fileOffset += headSize + allBlocks.length
+    }
+
+    out.write(EofContainer)
+    out.close()
+
+    val gz = new GZIPOutputStream(new FileOutputStream(path + ".crai"))
+    gz.write((craiLines.mkString("\n") + "\n").getBytes("ASCII"))
+    gz.close()
+  }
+
+  /** One slice's bytes: (slice header block, core+external blocks,
+    * start, span, nBlocks in slice). */
+  private def buildSlice(recs: Seq[CRec], tdLines: Seq[String],
+      tagIds: Map[(String, Char), (Int, Int)], blockMethod: Int,
+      embeddedRefs: Map[Int, String],
+      sig: CRec => String): (Array[Byte], Array[Byte], Int, Int, Int) = {
+    require(recs.nonEmpty && recs.map(_.refId).distinct.size == 1,
+      "fixture slices are single-ref")
+    val refId = recs.head.refId
+    val mapped = recs.filter(r => (r.flag & 0x4) == 0)
+    val start = if (mapped.isEmpty) 0 else mapped.map(_.pos1).min
+    val span =
+      if (mapped.isEmpty) 0
+      else mapped.map(r => r.pos1 + refConsumed(r) - 1).max - start + 1
+
+    // per-series external buffers (slice-scoped)
+    val bufs = Ids.map { case (k, _) => k -> new ByteArrayOutputStream() }
+    def w(series: String, v: Int): Unit =
+      CramCodec.writeItf8(bufs(series), v)
+    def wByte(series: String, v: Int): Unit = bufs(series).write(v)
+    def wStop(series: String, bytes: Array[Byte]): Unit = {
+      bufs(series).write(bytes); bufs(series).write(0)
+    }
+    val tagBufs = tagIds.map { case (d, _) =>
+      d -> (new ByteArrayOutputStream(), new ByteArrayOutputStream())
+    }
+
+    recs.foreach { r =>
         val qualStored = r.quals != null
         val cf = (if (qualStored) 0x1 else 0) | 0x2 // detached mates
         w("BF", r.flag); w("CF", cf)
@@ -305,30 +369,10 @@ object CramFixture {
         o.write(Array.fill[Byte](16)(0))
         o.toByteArray
       }
-      val compBlock = block(1, 0, compressionHeaderData(tdLines, tagKeys))
       val sliceBlock = block(2, 0, sliceHeaderData)
       val coreBlock = block(5, 0, Array.empty[Byte])
-      val allBlocks = compBlock ++ sliceBlock ++ coreBlock ++
-        extBlocks.flatMap(_._2)
-      val nBlocks = 2 + 1 + extBlocks.size
-      val landmarks = Seq(compBlock.length)
-
-      val headSize = containerHeaderSize(allBlocks.length, refId, start,
-        span, recs.size, nBlocks, landmarks)
-      craiLines += s"$refId\t$start\t$span\t$fileOffset\t" +
-        s"${headSize + compBlock.length}\t${sliceBlock.length}"
-      writeContainerHeader(out, allBlocks.length, refId, start, span,
-        recs.size, nBlocks, landmarks)
-      out.write(allBlocks)
-      fileOffset += headSize + allBlocks.length
-    }
-
-    out.write(EofContainer)
-    out.close()
-
-    val gz = new GZIPOutputStream(new FileOutputStream(path + ".crai"))
-    gz.write((craiLines.mkString("\n") + "\n").getBytes("ASCII"))
-    gz.close()
+      val rest = coreBlock ++ extBlocks.flatMap(_._2)
+      (sliceBlock, rest, start, span, 1 + extBlocks.size)
   }
 
   private def containerHeaderBytes(length: Int, refId: Int, start: Int,

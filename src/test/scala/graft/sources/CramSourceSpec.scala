@@ -162,6 +162,33 @@ class CramSourceSpec extends SparkSuite {
     assert(scan(4) == raw) // rANS 4x8 blocks
   }
 
+  test("cram: multi-slice containers decode every slice") {
+    val p = dir.resolve("multislice.cram").toString
+    // one container, three slices (two on chr1, one on chr2) — the shape
+    // real CRAM writers produce
+    CramFixture.writeSliced(p, samHeader, Seq(Seq(
+      Seq(
+        CRec("m1", 0, 0, 5, 60, 8, quals = Array.fill[Byte](8)(30)),
+        CRec("m2", 0, 0, 10, 30, 10, feats = Seq(
+          Feat('S', 1, bytes = "TT".getBytes),
+          Feat('D', 7, intVal = 3)))),
+      Seq(CRec("m3", 0, 0, 40, 50, 4)),
+      Seq(CRec("m4", 0, 1, 50, 50, 5)))))
+    val df = spark.read.format("cram").option("reference", refPath).load(p)
+    assert(df.rdd.getNumPartitions == 1) // one container
+    val rows = df.orderBy("qname")
+      .select("qname", "rname", "pos", "seq").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("m1", "m2", "m3", "m4"))
+    assert(rows(0).getString(3) == "ACGTACAC")
+    assert(rows(2).getString(1) == "chr1" && rows(2).getLong(2) == 40 &&
+      rows(2).getString(3) == chr1.substring(39, 43))
+    assert(rows(3).getString(1) == "chr2" && rows(3).getString(3) == "GCCGG")
+    // the crai carries one line per slice → chr2 region hits the container
+    val q = spark.read.format("cram").option("reference", refPath)
+      .option("regions", "chr2:45-55").load(p)
+    assert(q.select("qname").collect().map(_.getString(0)).toSeq == Seq("m4"))
+  }
+
   test("cram: embedded-reference slices decode without a fasta") {
     val p = dir.resolve("embed.cram").toString
     CramFixture.write(p, samHeader, Seq(
