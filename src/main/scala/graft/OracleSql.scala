@@ -345,5 +345,12 @@ object OracleSql {
       """SELECT source, count(*) AS n_assets,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | count(DISTINCT md5(text)) AS n_distinct_payloads
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_token_regex" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -321,6 +321,16 @@ object SparkEntry {
         round(avg(TextOps.meanTokenLen(col("text"))), 4).as("avg_word_len"))
       .orderBy(col("lang"))
 
+  /** BPE-style vs whitespace token accounting per source — the LLM cost
+    * proxy over the corpus (regex pre-tokenizer, letter/digit/punct). */
+  private def q31_token_regex(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).cast("long").as("ws_tokens"),
+        sum(TextOps.bpeTokenCount(col("text"))).cast("long").as("bpe_tokens"))
+      .orderBy(col("source"))
+
   /** Heuristic quality scoring per source. */
   private def q20_quality(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -479,7 +489,8 @@ object SparkEntry {
     "q27_cosine_topk" -> (q27_cosine_topk _),
     "q28_ann_bucket" -> (q28_ann_bucket _),
     "q29_embed_neardup" -> (q29_embed_neardup _),
-    "q30_multimodal_meta" -> (q30_multimodal_meta _)) ++
+    "q30_multimodal_meta" -> (q30_multimodal_meta _),
+    "q31_token_regex" -> (q31_token_regex _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -185,6 +185,18 @@ object TextOps {
   /** Token count (whitespace convention). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style tokenization regex: letter runs, digit runs, and single
+    * punctuation marks each count as a token — the usual pre-tokenizer
+    * shape of GPT-style vocabularies. Identical semantics in Java regex
+    * and RE2, so the oracle can mirror it. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Subword-ish token count under [[BpeTokenPattern]] — a closer LLM
+    * cost proxy than whitespace counting (punctuation and number runs
+    * tokenize separately). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Mean token length, computed from char count assuming single spaces. */
   def meanTokenLen(text: Column): Column = {
     val n = size(tokens(text)).cast("double")
