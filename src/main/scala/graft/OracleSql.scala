@@ -352,5 +352,20 @@ object OracleSql {
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
         | CAST(sum(len(regexp_extract_all(text,
         |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_winnow" ->
+      """WITH g AS (SELECT source,
+        |  list_transform(range(1, greatest(length(text)-7, 1)+1),
+        |    i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)),
+        |      1, 8)) AS BIGINT)) AS hs
+        |  FROM documents),
+        |w AS (SELECT source,
+        |  list_distinct(list_transform(range(1, greatest(len(hs)-3, 1)+1),
+        |    i -> list_min(hs[CAST(i AS INT):CAST(i+3 AS INT)]))) AS fp
+        |  FROM g)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(fp)) AS BIGINT) AS n_fps,
+        | CAST(sum(list_aggregate(fp, 'sum')) AS BIGINT) AS fp_checksum
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
 }

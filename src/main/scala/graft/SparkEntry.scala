@@ -331,6 +331,19 @@ object SparkEntry {
         sum(TextOps.bpeTokenCount(col("text"))).cast("long").as("bpe_tokens"))
       .orderBy(col("source"))
 
+  /** Winnowing (rolling-hash) fingerprint statistics per source: count
+    * and checksum of the MOSS-style k-gram window-min fingerprints. */
+  private def q32_winnow(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents")
+      .select(col("source"),
+        TextOps.winnowFingerprints(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("fp"))).cast("long").as("n_fps"),
+        sum(aggregate(col("fp"), lit(0L), (a, x) => a + x))
+          .cast("long").as("fp_checksum"))
+      .orderBy(col("source"))
+
   /** Heuristic quality scoring per source. */
   private def q20_quality(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -490,7 +503,8 @@ object SparkEntry {
     "q28_ann_bucket" -> (q28_ann_bucket _),
     "q29_embed_neardup" -> (q29_embed_neardup _),
     "q30_multimodal_meta" -> (q30_multimodal_meta _),
-    "q31_token_regex" -> (q31_token_regex _)) ++
+    "q31_token_regex" -> (q31_token_regex _),
+    "q32_winnow" -> (q32_winnow _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

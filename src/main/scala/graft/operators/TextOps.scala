@@ -120,6 +120,21 @@ object TextOps {
     * Exact-dedup = groupBy(fingerprint). */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Winnowing fingerprints (rolling character k-grams + window minima,
+    * the MOSS scheme): hash every k-char gram, keep the minimum of each
+    * w-wide window, dedupe. Robust to local edits — two documents
+    * sharing a long run share fingerprints regardless of alignment.
+    * Pure codegen'd built-ins (sequence/transform/slice/array_min), and
+    * the md5-based gram hash is engine-reproducible for the oracle. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val hashes = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => baseHash(text.substr(i, lit(k))))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => array_min(slice(hashes, i, lit(w)))))
+  }
+
   /** Exact deduplication: keep the row with the smallest `idCol` per
     * fingerprint. Window-free formulation (min + semi-join back) so both
     * stages stay partially aggregated. */
