@@ -28,7 +28,8 @@ object CramFixture {
     "BF" -> 1, "CF" -> 2, "RL" -> 3, "AP" -> 4, "RG" -> 5, "RN" -> 6,
     "MF" -> 7, "NS" -> 8, "NP" -> 9, "TS" -> 10, "TL" -> 11, "FN" -> 12,
     "FC" -> 13, "FP" -> 14, "BS" -> 15, "IN" -> 16, "SC" -> 17, "DL" -> 18,
-    "BA" -> 19, "MQ" -> 20, "QS" -> 21, "RS" -> 22, "PD" -> 23, "HC" -> 24)
+    "BA" -> 19, "MQ" -> 20, "QS" -> 21, "RS" -> 22, "PD" -> 23, "HC" -> 24,
+    "QQ" -> 25)
 
   val SubstitutionMatrix: Array[Byte] =
     Array(0x1b, 0x1b, 0x1b, 0x1b, 0x1b).map(_.toByte)
@@ -74,7 +75,7 @@ object CramFixture {
 
     val ds = new ByteArrayOutputStream()
     val dsInner = new ByteArrayOutputStream()
-    val byteArraySeries = Set("RN", "IN", "SC")
+    val byteArraySeries = Set("RN", "IN", "SC", "QQ")
     CramCodec.writeItf8(dsInner, Ids.size)
     Ids.toSeq.sortBy(_._2).foreach { case (key, id) =>
       dsInner.write(key.getBytes)
@@ -325,6 +326,8 @@ object CramFixture {
               case 'N' => w("RS", f.intVal)
               case 'P' => w("PD", f.intVal)
               case 'H' => w("HC", f.intVal)
+              case 'q' => wStop("QQ", f.bytes) // quality stretch, bases=ref
+              case 'Q' => wByte("QS", f.intVal) // single quality score
               case other => throw new IllegalArgumentException(
                 s"fixture feature '$other'")
             }

@@ -228,7 +228,7 @@ object CramCodec {
           case "TD" =>
             val len = readItf8(in)
             val bytes = readFully(in, len)
-            td = new String(bytes, "ASCII").split(" ", -1).toSeq
+            td = new String(bytes, "ASCII").split("\u0000", -1).toSeq
               .map { line =>
                 line.grouped(3).filter(_.length == 3)
                   .map(t => (t.substring(0, 2), t.charAt(2))).toSeq
@@ -421,9 +421,8 @@ object CramCodec {
           case 'i' => readPos += 1
           case 'I' | 'S' => readPos += n
           case 'b' => refLen += n; readPos += n
-          case 'q' => readPos += n
           case 'D' | 'N' => refLen += f.intVal
-          case _ => () // H, P, Q consume neither
+          case _ => () // H, P, Q, q consume neither (q is quality-only)
         }
       }
       refLen + (readLength + 1 - readPos) // trailing matched stretch
@@ -632,8 +631,10 @@ object CramCodec {
           }
           emit('M', f.bytes.length)
           readPos += f.bytes.length; refPos += f.bytes.length
-        case 'q' => readPos += f.bytes.length // quality run; bases from ref
-        case 'Q' => ()
+        // 'q'/'Q' carry quality only: bases stay reference matches, so the
+        // span is covered as M by the surrounding fillMatch (hts-specs CRAM
+        // §10.4; matches htsjdk/noodles).
+        case 'q' | 'Q' => ()
         case other => throw new UnsupportedOperationException(
           s"CRAM read feature '$other'")
       }

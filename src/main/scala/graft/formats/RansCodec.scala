@@ -138,6 +138,9 @@ object RansCodec {
     val order = in.u8()
     in.u32() // compressed size (informational)
     val outSz = in.u32().toInt
+    // empty blocks carry no frequency tables or states (writers normally
+    // use the raw method for these, but accept them in either direction)
+    if (outSz == 0) return Array.empty
     order match {
       case 0 => decode0(in, outSz)
       case 1 => decode1(in, outSz)
@@ -226,7 +229,9 @@ object RansCodec {
 
   def encode(input: Array[Byte], order: Int): Array[Byte] = {
     require(order == 0 || order == 1, s"rANS order $order")
-    val body = if (order == 0) encode0(input) else encode1(input)
+    val body =
+      if (input.isEmpty) Array.empty[Byte]
+      else if (order == 0) encode0(input) else encode1(input)
     val out = new Out
     out.u8(order)
     out.u32(body.length.toLong)

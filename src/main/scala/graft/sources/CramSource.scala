@@ -222,9 +222,13 @@ class CramScanBuilder(fullSchema: StructType, paths: Seq[Path],
     new CramScan(fullSchema, required, paths, options, pushed, limit)
 }
 
-/** One data container, with the residual region list (0-based half-open). */
+/** One data container, with the residual region list (0-based half-open).
+  * `unmappedOnly` keeps only records with the BAM unmapped flag (0x4) —
+  * needed because unmapped-placed records may live inside multi-ref (-2)
+  * containers, not just the unmapped (-1) tail. */
 case class CramInputPartition(pathStr: String, containerOffset: Long,
-    regions: Seq[(String, Long, Long)]) extends InputPartition
+    regions: Seq[(String, Long, Long)],
+    unmappedOnly: Boolean = false) extends InputPartition
 
 class CramScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
     options: Map[String, String], pushed: Array[Filter], limit: Int)
@@ -260,8 +264,15 @@ class CramScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
         .map(_._1).zipWithIndex.toMap
       val refLens = CramSource.refDictionary(headerText).map(_._2)
       if (unmappedOnly) {
-        containers.filter(c => c.refSeqId == -1 && c.nRecords > 0)
-          .map(c => CramInputPartition(p.toString, c.offset, Nil))
+        // -1 containers hold the unplaced tail; -2 (multi-ref) containers
+        // may interleave unmapped-placed records with mapped ones, so they
+        // are scanned too with a per-record flag residual (the reference
+        // seeks by index, alignment/scanner/bam.rs:214-230; container
+        // granularity is CRAM's natural analogue)
+        containers.filter(c =>
+            (c.refSeqId == -1 || c.refSeqId == -2) && c.nRecords > 0)
+          .map(c => CramInputPartition(p.toString, c.offset, Nil,
+            unmappedOnly = true))
       } else if (regions.nonEmpty) {
         val resolved = regions.flatMap { r =>
           refIds.get(r.name).map { id =>
@@ -490,6 +501,7 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
   private var emitted = 0
 
   private def keepRow(row: InternalRow): Boolean = {
+    if (part.unmappedOnly && (row.getInt(1) & 0x4) == 0) return false
     if (regionsById.isEmpty) return true
     val rnameIdx = 2; val posIdx = 3; val endIdx = 11
     if (row.isNullAt(rnameIdx) || row.isNullAt(posIdx)) return false

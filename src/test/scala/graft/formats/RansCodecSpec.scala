@@ -18,6 +18,13 @@ class RansCodecSpec extends AnyFunSuite {
     },
     Array.tabulate[Byte](4099)(i => (i * 7 % 13 + 60).toByte)) // n%4 != 0
 
+  test("rans empty input round-trips in both orders") {
+    Seq(0, 1).foreach { order =>
+      val enc = RansCodec.encode(Array.empty[Byte], order)
+      assert(RansCodec.decode(enc).isEmpty, s"order $order")
+    }
+  }
+
   test("rans order-0 round-trip") {
     samples.foreach { s =>
       val enc = RansCodec.encode(s, 0)

@@ -207,6 +207,47 @@ class CramSourceSpec extends SparkSuite {
       rows(1).getString(2) == "2S4M3D4M")
   }
 
+  test("cram: 'q'/'Q' features carry quality only — bases stay ref matches") {
+    val p = dir.resolve("qfeat.cram").toString
+    CramFixture.write(p, samHeader, Seq(
+      Seq(
+        // 'q' stretch over read positions 3..5: cigar must remain 8M, seq
+        // entirely from the reference, end unchanged
+        CRec("f1", 0, 0, 5, 60, 8, feats = Seq(
+          Feat('q', 3, bytes = Array[Byte](30, 31, 32)))),
+        // 'Q' single score at read pos 4 — same invariants
+        CRec("f2", 0, 0, 10, 60, 6, feats = Seq(
+          Feat('Q', 4, intVal = 35))))))
+    val rows = spark.read.format("cram").option("reference", refPath).load(p)
+      .orderBy("qname").select("qname", "cigar", "seq", "end").collect()
+    assert(rows(0).getString(1) == "8M")
+    assert(rows(0).getString(2) == chr1.substring(4, 12)) // all ref bases
+    assert(rows(0).getLong(3) == 12) // 5 + 8 - 1: q consumed no ref span
+    assert(rows(1).getString(1) == "6M")
+    assert(rows(1).getString(2) == chr1.substring(9, 15))
+    assert(rows(1).getLong(3) == 15)
+  }
+
+  test("cram: unmapped scan reaches records inside multi-ref containers") {
+    val p = dir.resolve("multiref-unmapped.cram").toString
+    // one container with two slices on different refs → container refSeqId
+    // -2; the unmapped-placed record hides inside it, plus a -1 tail
+    CramFixture.writeSliced(p, samHeader, Seq(
+      Seq(
+        Seq(
+          CRec("u1", 0, 0, 5, 60, 8),
+          CRec("u2", 4, 0, 0, -1, 4, bases = "ACGT")),
+        Seq(CRec("u3", 0, 1, 50, 50, 5))),
+      Seq(Seq(CRec("u4", 4, -1, 0, -1, 4, bases = "GGTT")))))
+    val unmapped = spark.read.format("cram").option("unmapped", "true")
+      .load(p)
+    assert(unmapped.select("qname").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("u2", "u4"))
+    // mapped records are untouched by the residual
+    val all = spark.read.format("cram").option("reference", refPath).load(p)
+    assert(all.count() == 4)
+  }
+
   test("cram codec: huffman and beta core-stream decoders") {
     // canonical huffman over {5:1bit, 6:2bits, 7:2bits}: codes 0,10,11
     val dec = new CramCodec.HuffmanDecoder(Seq(5, 6, 7), Seq(1, 2, 2))
