@@ -18,13 +18,20 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     } catch { case _: Throwable => () }
     // s* scanner-gate queries scan constant-size fixtures — they verify
-    // reader correctness, not data-scale cost, so only q* is timed
+    // reader correctness, not data-scale cost, so only q* is timed.
+    // Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and
+    // reports the median, so round-over-round deltas measure the code,
+    // not load noise.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.filter(_._1.startsWith("q"))
       .sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (0 until runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

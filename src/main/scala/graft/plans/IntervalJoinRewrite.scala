@@ -22,33 +22,73 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, 
   * bin-ownership check (`bin == bin(max(starts))`) so each overlapping
   * pair is emitted exactly once, no distinct needed.
   *
+  * Two guards keep the rewrite from firing where it would hurt:
+  *
+  *  1. **Key-column allowlist.** The single equality's column names (both
+  *     sides, lowercased, trailing digits/underscores stripped) must appear
+  *     in `spark.graft.intervalJoin.keyColumns` — by default the genomic
+  *     sequence-name conventions. A timestamp band join
+  *     (`a.key = b.key AND lo < ts AND ts < hi` over epoch numbers) can
+  *     therefore never match; users opt in other schemas by listing their
+  *     key column names.
+  *  2. **Bounded explode.** Rows longer than `binSize * maxBinsPerRow`
+  *     skip the fine bins and land in two per-chromosome coarse channels
+  *     (sentinel bins -1/-2, asymmetric: long-left×all-right and
+  *     all-left×long-right, mirroring CSI's coarse levels,
+  *     `/root/reference/oxbow/src/util/index.rs:78-115`). An open-ended
+  *     sentinel interval (end = Long.MaxValue) costs 2 rows instead of
+  *     overflowing `Sequence`, and when no long rows exist the coarse hash
+  *     joins build empty tables and enumerate nothing.
+  *
   * Fires only on inner joins whose condition has EXACTLY one
   * attribute-attribute equality (the chrom key) and the two strict
   * range comparisons in opposite directions over integral columns —
   * after the rewrite the join has two equality keys, so the rule never
   * re-fires. Interval semantics are zero-based half-open with
-  * non-negative coordinates (genomic convention).
+  * non-negative coordinates (genomic convention), so negative bins are
+  * free to use as the coarse-channel sentinels.
   *
-  * Config: `spark.graft.intervalJoin.binSize` (default 1000; 0 disables).
+  * Config: `spark.graft.intervalJoin.binSize` (default 1000; 0 disables),
+  * `spark.graft.intervalJoin.maxBinsPerRow` (default 1024),
+  * `spark.graft.intervalJoin.keyColumns` (comma-separated allowlist).
   */
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinSizeKey = "spark.graft.intervalJoin.binSize"
+  val MaxBinsKey = "spark.graft.intervalJoin.maxBinsPerRow"
+  val KeyColumnsKey = "spark.graft.intervalJoin.keyColumns"
 
-  private def binSize: Long =
-    try SQLConf.get.getConfString(BinSizeKey, "1000").toLong
-    catch { case _: NumberFormatException => 1000L }
+  val DefaultKeyColumns: String =
+    "chrom,chromosome,chr,contig,rname,seqid,seqname,refname,reference_name"
+
+  private def confLong(key: String, default: Long): Long =
+    try SQLConf.get.getConfString(key, default.toString).toLong
+    catch { case _: NumberFormatException => default }
+
+  private def keyAllowlist: Set[String] =
+    SQLConf.get.getConfString(KeyColumnsKey, DefaultKeyColumns)
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+
+  /** "chrom2", "CHROM_1" → "chrom": the allowlist matches disambiguated
+    * self-join aliases too. */
+  private def normalizeName(n: String): String =
+    n.toLowerCase.reverse.dropWhile(c => c.isDigit || c == '_').reverse
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val bs = binSize
-    if (bs <= 0) plan
-    else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) =>
-        rewrite(j, bs).getOrElse(j)
+    val bs = confLong(BinSizeKey, 1000L)
+    val maxBins = confLong(MaxBinsKey, 1024L)
+    if (bs <= 0 || maxBins <= 0) plan
+    else {
+      val allowed = keyAllowlist
+      plan.transformUp {
+        case j @ Join(_, _, Inner, Some(_), _) =>
+          rewrite(j, bs, maxBins, allowed).getOrElse(j)
+      }
     }
   }
 
-  private def rewrite(j: Join, bs: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, bs: Long, maxBins: Long,
+      allowed: Set[String]): Option[LogicalPlan] = {
     val left = j.left
     val right = j.right
     def isLeft(a: Attribute): Boolean = left.outputSet.contains(a)
@@ -60,6 +100,9 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (isLeft(a) && isRight(b)) || (isRight(a) && isLeft(b)) => e
     }
     if (attrEqs.size != 1) return None
+    // opt-in gate: both equality column names must be allowlisted
+    val eqNames = attrEqs.head.references.toSeq.map(a => normalizeName(a.name))
+    if (!eqNames.forall(allowed)) return None
 
     def integral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -84,21 +127,38 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         def binOf(e: Expression): Expression =
           Cast(Floor(Divide(Cast(e, DoubleType), Literal(bs.toDouble))),
             LongType)
-        def bins(s: Expression, e: Expression): Expression =
-          new Sequence(binOf(s), binOf(Subtract(asLong(e), Literal(1L))))
-            .withTimeZone(conf.sessionLocalTimeZone)
+        val capLen = Literal(bs * maxBins)
+        def isShort(s: Expression, e: Expression): Expression =
+          LessThanOrEqual(Subtract(asLong(e), asLong(s)), capLen)
+        // short rows: covering fine bins + the side's "all rows" coarse
+        // channel; long rows: the two coarse channels only
+        def keys(s: Expression, e: Expression, allChannel: Long): Expression =
+          If(isShort(s, e),
+            Concat(Seq(
+              new Sequence(binOf(s), binOf(Subtract(asLong(e), Literal(1L))))
+                .withTimeZone(conf.sessionLocalTimeZone),
+              CreateArray(Seq(Literal(allChannel))))),
+            CreateArray(Seq(Literal(-1L), Literal(-2L))))
 
         val binL = AttributeReference("__graft_binl", LongType,
           nullable = false)()
         val binR = AttributeReference("__graft_binr", LongType,
           nullable = false)()
-        val genL = Generate(Explode(bins(ls, le)), Nil, outer = false,
-          qualifier = None, generatorOutput = Seq(binL), child = left)
-        val genR = Generate(Explode(bins(rs, re)), Nil, outer = false,
-          qualifier = None, generatorOutput = Seq(binR), child = right)
+        val genL = Generate(Explode(keys(ls, le, allChannel = -2L)), Nil,
+          outer = false, qualifier = None, generatorOutput = Seq(binL),
+          child = left)
+        val genR = Generate(Explode(keys(rs, re, allChannel = -1L)), Nil,
+          outer = false, qualifier = None, generatorOutput = Seq(binR),
+          child = right)
 
-        val ownership = EqualTo(binL,
-          binOf(Greatest(Seq(asLong(ls), asLong(rs)))))
+        // fine bins dedup on max(starts); channel -1 (long-left×all-right)
+        // is already unique; channel -2 keeps only short-left pairs so
+        // long×long matches exactly once (in -1)
+        val ownership = CaseWhen(Seq(
+          (GreaterThanOrEqual(binL, Literal(0L)),
+            EqualTo(binL, binOf(Greatest(Seq(asLong(ls), asLong(rs)))))),
+          (EqualTo(binL, Literal(-1L)), Literal(true))),
+          Some(isShort(ls, le)))
         val newCond = (conjuncts :+ EqualTo(binL, binR) :+ ownership)
           .reduce(And)
         Some(Project(j.output,

@@ -70,6 +70,84 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("long intervals take the coarse channels: bounded explode, same result") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // cap = binSize(1000) * maxBinsPerRow(4) = 4000: a2/b2 are "long"
+      spark.conf.set(IntervalJoinRewrite.MaxBinsKey, "4")
+      try {
+        val a = Seq(
+          ("chr1", 100L, 200L, "a1"),            // short
+          ("chr1", 0L, 10_000_000L, "a2"),       // 10 Mbp — would be 10k bins
+          ("chr1", 6000L, 6100L, "a3"))          // short, inside a2
+          .toDF("chrom", "start", "end", "a_id")
+        val b = Seq(
+          ("chr1", 150L, 300L, "b1"),            // short; overlaps a1, a2
+          ("chr1", 5000L, 9_000_000L, "b2"),     // long; overlaps a2, a3
+          ("chr1", 20_000_000L, 20_000_100L, "b3")) // beyond a2's end
+          .toDF("chrom2", "start2", "end2", "b_id")
+        val joined = a.join(b,
+          a("chrom") === b("chrom2") &&
+            a("start") < b("end2") && b("start2") < a("end"))
+        assert(joined.queryExecution.optimizedPlan.toString
+          .contains("__graft_binl"))
+        val got = joined.select("a_id", "b_id").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+        // SS (a1,b1), LS (a2,b1), LL (a2,b2), SL (a3,b2) — each once
+        assert(got == Seq(("a1", "b1"), ("a2", "b1"), ("a2", "b2"),
+          ("a3", "b2")))
+      } finally spark.conf.unset(IntervalJoinRewrite.MaxBinsKey)
+    }
+  }
+
+  test("open-ended sentinel intervals no longer overflow Sequence") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // end = Long.MaxValue (the "no end" convention) used to generate a
+      // Sequence of ~2^53 bins and fail the query at runtime
+      val a = Seq(("chr1", 100L, Long.MaxValue, "a1"))
+        .toDF("chrom", "start", "end", "a_id")
+      val b = Seq(("chr1", 500L, 600L, "b1"))
+        .toDF("chrom2", "start2", "end2", "b_id")
+      val joined = a.join(b,
+        a("chrom") === b("chrom2") &&
+          a("start") < b("end2") && b("start2") < a("end"))
+      assert(joined.queryExecution.optimizedPlan.toString
+        .contains("__graft_binl")) // the rule DID fire — and must be safe
+      assert(joined.select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a1", "b1")))
+    }
+  }
+
+  test("non-genomic band joins never fire the rule") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // epoch-micros band join: the exact shape ADVICE flagged — one key
+      // equality plus opposite strict inequalities over longs
+      val events = Seq((1L, 1_700_000_000_000_000L, 1_700_000_003_600_000L, "w1"))
+        .toDF("key", "lo", "hi", "w_id")
+      val points = Seq((1L, 1_700_000_001_000_000L, 1_700_000_002_000_000L, "p1"))
+        .toDF("key2", "lo2", "hi2", "p_id")
+      val band = events.join(points,
+        events("key") === points("key2") &&
+          events("lo") < points("hi2") && points("lo2") < events("hi"))
+      assert(!band.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin"))
+      assert(band.count() == 1) // plain (slow) join still works
+      // opting the column name in via conf turns the rewrite on
+      spark.conf.set(IntervalJoinRewrite.KeyColumnsKey,
+        IntervalJoinRewrite.DefaultKeyColumns + ",key")
+      try {
+        val opted = events.join(points,
+          events("key") === points("key2") &&
+            events("lo") < points("hi2") && points("lo2") < events("hi"))
+        assert(opted.queryExecution.optimizedPlan.toString
+          .contains("__graft_binl"))
+        assert(opted.count() == 1)
+      } finally spark.conf.unset(IntervalJoinRewrite.KeyColumnsKey)
+    }
+  }
+
   test("rule leaves equi-joins and non-overlap range joins alone") {
     withExtSession { spark =>
       import spark.implicits._
