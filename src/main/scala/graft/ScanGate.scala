@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.fixtures.{BamFixture, BbiFixture, BcfFixture, CramFixture}
+import graft.fixtures.{BamFixture, BbiFixture, BcfFixture, CramFixture, TabixFixture}
 
 /** Scanner-correctness gate (VERDICT r2 task 6).
   *
@@ -45,6 +45,10 @@ object ScanGate {
     writeBbi()
     writeFasta()
     writeCram()
+    writeGtf()
+    writeFastq()
+    writeMultiRefCram()
+    writeTabixBed()
     Root
   }
 
@@ -104,10 +108,15 @@ object ScanGate {
         "chr1\ttest\texon\t120\t180\t0.5\t+\t0\tID=e1;Parent=g1\n")
 
   private def writeBbi(): Unit = {
+    // zoom summaries exercised by s15 (the full-resolution s07 scan
+    // ignores them); values are the exact per-bin stats of the wig rows
     BbiFixture.write(s"$Root/g.bw", Seq(("chr1", 0)),
       wigSections = Seq(BbiFixture.WigSection(0, 1, 0, 0, 0,
         Seq((100L, 200L, 1.5f), (300L, 400L, 2.5f)))),
-      bedItems = Nil, zooms = Nil)
+      bedItems = Nil,
+      zooms = Seq(
+        BbiFixture.Zoom(0, 0, 256, 100, 1.5f, 1.5f, 150f, 225f),
+        BbiFixture.Zoom(0, 256, 512, 100, 2.5f, 2.5f, 250f, 625f)))
     // typed columns come from the embedded AutoSql declaration (M4)
     BbiFixture.write(s"$Root/g.bb", Seq(("chr1", 0)),
       wigSections = Nil,
@@ -158,6 +167,40 @@ object ScanGate {
         Seq(CramFixture.CRec("c4", 0, 1, 50, 50, 5)),
         Seq(CramFixture.CRec("c3", 4, -1, 0, -1, 4, bases = "ACGT"))))
   }
+
+  private def writeGtf(): Unit =
+    Files.writeString(Paths.get(s"$Root/g.gtf"),
+      "#!genome-build test\n" +
+        "chr1\ttest\tgene\t100\t200\t.\t+\t.\t" +
+        "gene_id \"g1\"; gene_name \"alpha\";\n" +
+        "chr1\ttest\texon\t120\t180\t0.5\t+\t0\t" +
+        "gene_id \"g1\"; transcript_id \"t1\";\n")
+
+  private def writeFastq(): Unit =
+    Files.writeString(Paths.get(s"$Root/g.fq"),
+      "@read1 lane=1\nACGTACGT\n+\nFFFFIIII\n" +
+        "@read2\nGGCCTTAA\n+\n!!!!BBBB\n")
+
+  /** One container with two slices on different refs (container refSeqId
+    * -2, the multi-ref case) holding an unmapped-placed record, plus a
+    * -1 unmapped-tail container — the S4 analogue CRAM path. */
+  private def writeMultiRefCram(): Unit =
+    CramFixture.writeSliced(s"$Root/gm.cram",
+      "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100\n@SQ\tSN:chr2\tLN:60\n",
+      Seq(
+        Seq(
+          Seq(
+            CramFixture.CRec("m1", 0, 0, 5, 60, 8),
+            CramFixture.CRec("m2", 4, 0, 0, -1, 4, bases = "ACGT")),
+          Seq(CramFixture.CRec("m3", 0, 1, 50, 50, 5))),
+        Seq(Seq(CramFixture.CRec("m4", 4, -1, 0, -1, 4, bases = "GGTT")))))
+
+  private val tabixRows = Seq(
+    ("chr1", 100L, 200L), ("chr1", 15000L, 15100L),
+    ("chr1", 40000L, 40200L), ("chr2", 50L, 80L))
+
+  private def writeTabixBed(): Unit =
+    TabixFixture.writeBedGz(s"$Root/g.bed.gz", tabixRows)
 
   // ---------------------------------------------------------------- truth
 
@@ -330,5 +373,104 @@ object ScanGate {
         .option("regions", "chr1:15-20").load(s"$Root/g.cram")
         .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
         .orderBy("qname")
-    }, oracleFor("s12_region_cram", "qname")))
+    }, oracleFor("s12_region_cram", "qname")),
+
+    // GTF attribute discovery (S12, gtfStyle branch): key "value"; pairs,
+    // keys sampled from the file head in first-seen order
+    ("s13_scan_gtf", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s13_scan_gtf", StructType(Seq(
+        StructField("seqid", StringType), StructField("type", StringType),
+        StructField("start", LongType), StructField("end", LongType),
+        StructField("gene_id", StringType),
+        StructField("gene_name", StringType),
+        StructField("transcript_id", StringType))), Seq(
+        Row("chr1", "exon", 120L, 180L, "g1", null, "t1"),
+        Row("chr1", "gene", 100L, 200L, "g1", "alpha", null)))
+      s.read.format("gtf").load(s"$Root/g.gtf")
+        .select(col("seqid"), col("type"), col("start"), col("end"),
+          col("attributes.gene_id").as("gene_id"),
+          col("attributes.gene_name").as("gene_name"),
+          col("attributes.transcript_id").as("transcript_id"))
+        .orderBy("type")
+    }, oracleFor("s13_scan_gtf", "type")),
+
+    // FASTQ 4-line records (S15)
+    ("s14_scan_fastq", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s14_scan_fastq", StructType(Seq(
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("sequence", StringType),
+        StructField("quality", StringType))), Seq(
+        Row("read1", "lane=1", "ACGTACGT", "FFFFIIII"),
+        Row("read2", null, "GGCCTTAA", "!!!!BBBB")))
+      s.read.format("fastq").load(s"$Root/g.fq").orderBy("name")
+    }, oracleFor("s14_scan_fastq", "name")),
+
+    // BBI zoom-level read (S18): stored multi-resolution summaries, not
+    // the full-resolution intervals
+    ("s15_zoom_bigwig", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s15_zoom_bigwig", StructType(Seq(
+        StructField("chrom", StringType), StructField("start", LongType),
+        StructField("end", LongType),
+        StructField("bases_covered", LongType),
+        StructField("min_val", DoubleType),
+        StructField("max_val", DoubleType),
+        StructField("sum_val", DoubleType),
+        StructField("sum_squares", DoubleType))), Seq(
+        Row("chr1", 0L, 256L, 100L, 1.5, 1.5, 150.0, 225.0),
+        Row("chr1", 256L, 512L, 100L, 2.5, 2.5, 250.0, 625.0)))
+      s.read.format("bigwig").option("zoom_level", "0").load(s"$Root/g.bw")
+        .orderBy("start")
+    }, oracleFor("s15_zoom_bigwig", "start")),
+
+    // unmapped-only scans (S4): BAM via the index's last mapped offset;
+    // CRAM via multi-ref (-2) containers (flag 0x4 residual) + -1 tail
+    ("s16_scan_unmapped", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s16_scan_unmapped", StructType(Seq(
+        StructField("fmt", StringType), StructField("qname", StringType),
+        StructField("flag", IntegerType), StructField("seq", StringType))),
+        Seq(
+          Row("bam", "r005", 4, "ACGT"),
+          Row("cram", "m2", 4, "ACGT"),
+          Row("cram", "m4", 4, "GGTT")))
+      val bam = s.read.format("bam").option("tag_scan_rows", "0")
+        .option("unmapped", "true").load(s"$Root/g.bam")
+        .select(lit("bam").as("fmt"), col("qname"), col("flag"), col("seq"))
+      val cram = s.read.format("cram").option("unmapped", "true")
+        .load(s"$Root/gm.cram")
+        .select(lit("cram").as("fmt"), col("qname"), col("flag"), col("seq"))
+      bam.unionAll(cram).orderBy("fmt", "qname")
+    }, oracleFor("s16_scan_unmapped", "fmt, qname")),
+
+    // tabix'd text region query (P3 over BGZF text): chunk selection from
+    // the TBI + residual overlap re-check
+    ("s17_region_tabix", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s17_region_tabix", StructType(Seq(
+        StructField("chrom", StringType), StructField("start", LongType),
+        StructField("end", LongType))), Seq(
+        Row("chr1", 15000L, 15100L)))
+      s.read.format("bed").option("bed_schema", "bed3")
+        .option("regions", "chr1:14001-16000").load(s"$Root/g.bed.gz")
+        .orderBy("chrom", "start")
+    }, oracleFor("s17_region_tabix", "chrom, start")),
+
+    // two regions hitting the same index bin must not duplicate records
+    // (P7 chunk-merge dedup on the text path)
+    ("s18_region_dedup", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s18_region_dedup", StructType(Seq(
+        StructField("chrom", StringType), StructField("start", LongType),
+        StructField("end", LongType))), Seq(
+        Row("chr1", 15000L, 15100L),
+        Row("chr1", 40000L, 40200L)))
+      s.read.format("bed").option("bed_schema", "bed3")
+        .option("regions", "chr1:14001-16000;chr1:15001-40500")
+        .load(s"$Root/g.bed.gz")
+        .orderBy("chrom", "start")
+    }, oracleFor("s18_region_dedup", "chrom, start")))
 }
