@@ -142,8 +142,13 @@ object CramSource {
       : (String, Seq[ContainerRef]) = {
     val s = new CountingStream(in, 0L)
     CramCodec.readFileDefinition(s)
-    // first container holds the SAM header block
+    // first container holds the SAM header block; samtools pads this
+    // container (and may write extra blocks) so the in-place header-rewrite
+    // trick works, so the next container starts at the declared container
+    // `length` past the header — NOT at the end of the first block
+    // (spec §9; bug found against /root/reference/fixtures/sample.cram)
     val h0 = CramCodec.readContainerHeader(s)
+    val h0DataStart = s.pos
     val headerBlock = CramCodec.readBlock(s)
     val headerText = {
       val d = headerBlock.data
@@ -151,8 +156,7 @@ object CramSource {
         ((d(2) & 0xff) << 16) | ((d(3) & 0xff) << 24)
       new String(d, 4, math.min(len, d.length - 4), "UTF-8")
     }
-    val afterHeader = s.pos
-    val _ = h0
+    val afterHeader = h0DataStart + h0.length
     val out = scala.collection.mutable.ArrayBuffer.empty[ContainerRef]
     var offset = afterHeader
     var done = false
