@@ -70,11 +70,23 @@ object OracleSql {
     s"list_sum([CAST($a.embedding[i] AS DOUBLE)*CAST($b.embedding[i] AS DOUBLE) " +
       s"for i in generate_series(1, len($a.embedding))])"
 
-  private val bucket4 =
-    """CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-      | + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-      | + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-      | + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT)""".stripMargin
+  /** Seeded-hyperplane LSH bucket mirroring
+    * [[graft.operators.Similarity.hyperplaneBucket]] bit-for-bit: the
+    * integer-quantized planes print exactly, and `list_reduce` reproduces
+    * Spark's left-to-right double accumulation, so bucket assignment is
+    * identical across engines. `vecExpr[j]` is cast to DOUBLE like Spark's
+    * `x.cast("double")`. */
+  private def hpBucketSql(vecExpr: String, bits: Int, seed: Long): String = {
+    val planes = graft.operators.Similarity.intPlanes(seed, bits, 64)
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_reduce(list_transform(range(1,65), " +
+        s"j -> CAST($vecExpr[j] AS DOUBLE) * " +
+        s"(${p.mkString("[", ",", "]")}::DOUBLE[])[j]), (a,x) -> a+x) > 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("CAST((", "\n + ", ") AS BIGINT)")
+  }
+
+  private val hpBucket6 = hpBucketSql("embedding", 6, 42L)
 
   private val enStop = "('the','and','of','to','is','a')"
 
@@ -323,7 +335,7 @@ object OracleSql {
 
     "q28_ann_bucket" ->
       s"""WITH $embCte,
-         |b AS (SELECT vec_id, embedding, nrm, $bucket4 AS bucket FROM e),
+         |b AS (SELECT vec_id, embedding, nrm, $hpBucket6 AS bucket FROM e),
          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
          |  round(${dot("q", "c")} / (q.nrm * c.nrm), 6) AS sim
          | FROM b q JOIN b c ON q.bucket = c.bucket
@@ -335,7 +347,7 @@ object OracleSql {
 
     "q29_embed_neardup" ->
       s"""WITH $embCte,
-         |b AS (SELECT vec_id, embedding, nrm, $bucket4 AS bucket FROM e),
+         |b AS (SELECT vec_id, embedding, nrm, $hpBucket6 AS bucket FROM e),
          |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
          |  round(${dot("a", "c")} / (a.nrm * c.nrm), 6) AS sim
          | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
@@ -367,5 +379,47 @@ object OracleSql {
         |SELECT source, count(*) AS n_docs,
         | CAST(sum(len(fp)) AS BIGINT) AS n_fps,
         | CAST(sum(list_aggregate(fp, 'sum')) AS BIGINT) AS fp_checksum
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q33_ann_banded" -> q33Sql)
+
+  /** Banded hyperplane-LSH ANN oracle, mirroring
+    * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same
+    * integer planes and dyadic perturbation multipliers print exactly, and
+    * every dot/norm is a `list_reduce` left fold, so candidate sets, sims
+    * and ranks are reproduced bit-for-bit. */
+  private def q33Sql: String = {
+    import graft.operators.Similarity
+    val mult = Similarity.perturbMultipliers(99L, 64)
+      .mkString("[", ",", "]")
+    def bandKeySelects(src: String): String =
+      (0 until 4).map { b =>
+        s"SELECT id, $b AS band, ${hpBucketSql("vec", 16, 42L + 7919L * b)}" +
+          s" AS key FROM $src"
+      }.mkString("\n UNION ALL ")
+    s"""WITH qv AS (SELECT vec_id AS id,
+       |  list_transform(range(1,65),
+       |    i -> CAST(embedding[i] AS DOUBLE) * ($mult::DOUBLE[])[i]) AS vec
+       | FROM embeddings WHERE vec_id < 16),
+       |cv AS (SELECT vec_id AS id,
+       |  list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE)) AS vec
+       | FROM embeddings),
+       |qn AS (SELECT id, vec, sqrt(list_reduce(list_transform(vec, x -> x*x),
+       |  (a,b) -> a+b)) AS nrm FROM qv),
+       |cn AS (SELECT id, vec, sqrt(list_reduce(list_transform(vec, x -> x*x),
+       |  (a,b) -> a+b)) AS nrm FROM cv),
+       |qk AS (${bandKeySelects("qv")}),
+       |ck AS (${bandKeySelects("cv")}),
+       |cand AS (SELECT DISTINCT qk.id AS query_id, ck.id AS cand_id
+       |  FROM qk JOIN ck ON qk.band = ck.band AND qk.key = ck.key),
+       |p AS (SELECT c.query_id, c.cand_id,
+       |  list_reduce(list_transform(range(1,65), j -> q.vec[j] * t.vec[j]),
+       |    (a,x) -> a+x) / (q.nrm * t.nrm) AS sim
+       | FROM cand c JOIN qn q ON c.query_id = q.id
+       |   JOIN cn t ON c.cand_id = t.id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM p)
+       |SELECT query_id, rank, cand_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 }

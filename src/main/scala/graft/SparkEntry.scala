@@ -419,15 +419,17 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Sign-bucket LSH approximate top-k (scale path: bucket equi-join). */
+  /** Seeded-hyperplane LSH approximate top-k (bucket equi-join through the
+    * production [[Similarity.hyperplaneBucket]] expression; the banded
+    * scale path is q33). */
   private def q28_ann_bucket(s: SparkSession, dir: String): DataFrame = {
     val e = pq(s, dir, "embeddings")
     val q = e.where(col("vec_id") < 16).select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"),
-      Similarity.signBucket(col("embedding"), 4).as("bucket"))
+      Similarity.hyperplaneBucket(col("embedding"), 64, 6).as("bucket"))
     val c = e.select(col("vec_id").as("cand_id"),
       col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"),
-      Similarity.signBucket(col("embedding"), 4).as("bucket"))
+      Similarity.hyperplaneBucket(col("embedding"), 64, 6).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     q.join(c, "bucket")
@@ -441,12 +443,12 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding near-dup pairs within sign buckets. */
+  /** Embedding near-dup pairs within seeded-hyperplane buckets. */
   private def q29_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val e = pq(s, dir, "embeddings")
     val v = e.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("n"),
-      Similarity.signBucket(col("embedding"), 4).as("bucket"))
+      Similarity.hyperplaneBucket(col("embedding"), 64, 6).as("bucket"))
     val a = v.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("n").as("na"), col("bucket"))
     val b = v.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -458,6 +460,30 @@ object SparkEntry {
       .where(col("sim") >= 0.25)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Banded hyperplane-LSH ANN — the scale-honest production path
+    * ([[Similarity.bandedTopK]]): 4 independent 16-bit band keys per
+    * vector, candidates only where a band key collides (content-derived
+    * cardinality, no capped bucket count), exact cosine rerank on the
+    * candidate set. Queries are deterministic near-duplicates of 16 corpus
+    * vectors (elementwise dyadic multipliers, cosine ≈ 0.9996), so the
+    * banded index must actually recover each planted neighbor — an empty
+    * or truncated result fails the oracle. */
+  private def q33_ann_banded(s: SparkSession, dir: String): DataFrame = {
+    val e = pq(s, dir, "embeddings")
+    val mult = array(
+      Similarity.perturbMultipliers(99L, 64).map(lit).toIndexedSeq: _*)
+    val queries = e.where(col("vec_id") < 16).select(
+      col("vec_id").as("id"),
+      zip_with(col("embedding"), mult,
+        (x, m) => x.cast("double") * m).as("vec"))
+    val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bandedTopK(queries, cands, "id", "vec", k = 3, dim = 64)
+      .withColumn("sim", round(col("sim"), 6))
+      .withColumn("rank", col("rank").cast("long"))
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
@@ -504,7 +530,8 @@ object SparkEntry {
     "q29_embed_neardup" -> (q29_embed_neardup _),
     "q30_multimodal_meta" -> (q30_multimodal_meta _),
     "q31_token_regex" -> (q31_token_regex _),
-    "q32_winnow" -> (q32_winnow _)) ++
+    "q32_winnow" -> (q32_winnow _),
+    "q33_ann_banded" -> (q33_ann_banded _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -55,6 +55,16 @@ object Similarity {
       (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
 
+  /** Integer-quantized hyperplanes, entries uniform in [-512, 511]. The
+    * LSH family is the same as [[hyperplanes]] (signs are scale-free), but
+    * integer entries print exactly as SQL literals, so an external oracle
+    * can rebuild the identical planes and reproduce every dot product
+    * bit-for-bit. */
+  def intPlanes(seed: Long, bits: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(bits, dim) { (i, j) =>
+      (splitmix64(seed + i.toLong * 1000003L + j.toLong) >>> 54) - 512L
+    }
+
   /** Seeded random-hyperplane LSH bucket: bit i = sign(v · plane_i).
     * Unlike [[signBucket]], unbiased under correlated dimensions — the
     * classic SimHash-for-vectors scheme. The planes enter the plan as
@@ -62,11 +72,64 @@ object Similarity {
     * UDF and no runtime randomness. */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int = 8,
       seed: Long = 42L): Column = {
-    val planes = hyperplanes(seed, bits, dim)
+    val planes = intPlanes(seed, bits, dim)
     planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit).toIndexedSeq: _*)
+      val plane = array(p.map(v => lit(v.toDouble)).toIndexedSeq: _*)
       when(dot(vec, plane) > 0.0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** One `bitsPerBand`-bit [[hyperplaneBucket]] key per band, each band
+    * seeded independently — the vector-space analogue of the minhash band
+    * construction in `TextOps.lshCandidatePairs`. Two vectors are
+    * candidates when ANY band key collides, so recall is
+    * 1-(1-p^bits)^bands while each band key keeps full content-derived
+    * cardinality (2^bits values per band — no capped bucket count). */
+  def bandKeys(vec: Column, dim: Int, bands: Int, bitsPerBand: Int,
+      seed: Long = 42L): Seq[Column] =
+    (0 until bands).map(b =>
+      hyperplaneBucket(vec, dim, bitsPerBand, seed + 7919L * b))
+
+  /** Deterministic near-identity multipliers 1 + k/512 with k ∈ [-10, 10]
+    * (dyadic, so the decimal print is the exact double). Multiplying a
+    * vector elementwise keeps cosine ≈ 0.9996 — used to plant recoverable
+    * near-duplicates for ANN validation. */
+  def perturbMultipliers(seed: Long, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val k = java.lang.Math.floorMod(splitmix64(seed + j) >>> 40, 21L) - 10L
+      1.0 + k.toDouble / 512.0
+    }
+
+  /** Banded-LSH approximate top-k — the 100 TB scale path. Candidate
+    * generation is a (band, key) equi-join unioned over bands (one shuffle
+    * on content-derived 2^bitsPerBand-cardinality keys, AQE-splittable),
+    * followed by an exact cosine rerank restricted to the candidates.
+    * Contrast with [[bucketedTopK]], whose single bucket column caps the
+    * partition count at 2^bits and so grows near-quadratically per bucket
+    * as the corpus scales. */
+  def bandedTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, bands: Int = 4,
+      bitsPerBand: Int = 16, seed: Long = 42L): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    def keyed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id),
+        posexplode(array(bandKeys(col(vec), dim, bands, bitsPerBand,
+          seed): _*)).as(Seq("band", "key")))
+    val cand = keyed(q, "query_id", "__qv")
+      .join(keyed(c, "cand_id", "__cv"), Seq("band", "key"))
+      .select("query_id", "cand_id").distinct()
+    val pairs = cand.join(q, "query_id").join(c, "cand_id")
+      .withColumn("sim",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
   /** Exact brute-force cosine top-k: for every query row, the k most

@@ -56,4 +56,49 @@ class SimilaritySpec extends SparkSuite {
       .groupBy("b").count().collect()
     assert(buckets.length > 1)
   }
+
+  test("banded top-k: recall on clusters, high-cardinality band keys") {
+    import spark.implicits._
+    val dim = 16
+    val df = clustered(200, dim).toDF("id", "vec")
+    val k = 5
+    val exact = Similarity.bruteForceTopK(df, df, "id", "vec", k)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands × 8 bits: each band needs all 8 signs to agree, but ANY of
+    // the 4 bands suffices — recall should beat the single-bucket scheme
+    val banded = Similarity.bandedTopK(df, df, "id", "vec", k, dim,
+      bands = 4, bitsPerBand = 8)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & banded).size.toDouble / exact.size
+    assert(recall >= 0.8, s"banded recall $recall")
+    // band keys are content-derived with 2^bits cardinality per band, not
+    // a fixed global partition: the distinct (band, key) count must exceed
+    // any capped bucket scheme's 2^4
+    val keys = df.select(posexplode(array(
+        Similarity.bandKeys(col("vec"), dim, 4, 8): _*)).as(Seq("band", "key")))
+      .select("band", "key").distinct().count()
+    assert(keys > 16, s"distinct band keys $keys")
+  }
+
+  test("banded top-k recovers planted near-duplicates") {
+    import spark.implicits._
+    val dim = 16
+    val base = clustered(120, dim)
+    val mult = Similarity.perturbMultipliers(5L, dim)
+    // queries: perturbed copies of every 10th vector, same id
+    val queries = base.collect { case (id, v) if id % 10 == 0 =>
+      (id, v.indices.map(j => (v(j) * mult(j)).toFloat).toArray)
+    }.toDF("id", "vec")
+    val cands = base.toDF("id", "vec")
+    val top = Similarity.bandedTopK(queries, cands, "id", "vec", k = 1, dim,
+      bands = 4, bitsPerBand = 8)
+      .where(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every planted neighbor recovered at rank 1 (sim ≈ 0.9996 dominates)
+    val recovered = top.count { case (q, c) => q == c }
+    assert(recovered >= top.size - 1 && top.size >= 11,
+      s"recovered $recovered of ${top.size}")
+  }
 }
