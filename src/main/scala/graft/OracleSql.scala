@@ -381,7 +381,24 @@ object OracleSql {
         | CAST(sum(list_aggregate(fp, 'sum')) AS BIGINT) AS fp_checksum
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q33_ann_banded" -> q33Sql)
+    "q33_ann_banded" -> q33Sql,
+
+    // Analytic mirror of q34: the Spark side BUILDS real PNG/JPEG bytes
+    // and PARSES the dims back via MediaDecoder; the oracle recomputes the
+    // dims directly from the text length, so builder/parser offset bugs
+    // surface as a mismatch.
+    "q34_media_dims" ->
+      """WITH d AS (SELECT doc_id,
+        |  octet_length(encode(text)) AS nb FROM documents)
+        |SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+        |            ELSE 'image/jpeg' END AS mime,
+        | CAST(nb % 64 + 1 AS BIGINT) AS width,
+        | CAST(nb % 48 + 1 AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
+        |   AS n_channels,
+        | CAST(8 AS BIGINT) AS bit_depth,
+        | count(*) AS n_assets
+        |FROM d GROUP BY 1, 2, 3, 4, 5 ORDER BY mime, width, height""".stripMargin)
 
   /** Banded hyperplane-LSH ANN oracle, mirroring
     * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same

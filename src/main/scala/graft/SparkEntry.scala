@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GenomicFunctions._
-import graft.operators.{IntervalJoin, Similarity, TextOps}
+import graft.operators.{IntervalJoin, Multimodal, Similarity, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2 + the LLM-data-pipeline extension layer), each with an
@@ -486,6 +486,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Real media-header decode over built-in-constructed payloads: even
+    * docs become truecolor PNGs, odd docs grayscale JPEGs, with dims
+    * derived from the text length; [[Multimodal.MediaDecoder]] parses the
+    * PNG IHDR / JPEG SOF0 bytes back out (real header parsing — only
+    * pixel-level features are stubbed). The oracle recomputes the dims
+    * analytically, so a mis-offset in either the builder or the parser
+    * fails the gate. */
+  private def q34_media_dims(s: SparkSession, dir: String): DataFrame = {
+    val docs = pq(s, dir, "documents")
+    val nb = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val w = (nb % 64 + 1).cast("int")
+    val h = (nb % 48 + 1).cast("int")
+    val assets = docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0, "image/png")
+        .otherwise("image/jpeg").as("mime"),
+      when(col("doc_id") % 2 === 0, Multimodal.pngPayload(w, h))
+        .otherwise(Multimodal.jpegPayload(w, h)).as("payload"))
+    val feats = Multimodal.extractFeatures(s,
+      Multimodal.toAssets(assets, "doc_id", "mime", "payload"))
+    feats.toDF()
+      .groupBy(col("mime"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("bit_depth").cast("long").as("bit_depth"))
+      .agg(count(lit(1)).as("n_assets"))
+      .orderBy(col("mime"), col("width"), col("height"))
+  }
+
   /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
   private def q30_multimodal_meta(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -531,7 +560,8 @@ object SparkEntry {
     "q30_multimodal_meta" -> (q30_multimodal_meta _),
     "q31_token_regex" -> (q31_token_regex _),
     "q32_winnow" -> (q32_winnow _),
-    "q33_ann_banded" -> (q33_ann_banded _)) ++
+    "q33_ann_banded" -> (q33_ann_banded _),
+    "q34_media_dims" -> (q34_media_dims _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap
