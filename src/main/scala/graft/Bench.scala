@@ -22,7 +22,10 @@ object Bench {
     // Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and
     // reports the median, so round-over-round deltas measure the code,
     // not load noise.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // clamp: non-numeric or <1 would otherwise crash the median index
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
+        .getOrElse(3))
     val results = SparkEntry.queries.toSeq.filter(_._1.startsWith("q"))
       .sortBy(_._1).map {
       case (name, fn) =>

@@ -23,26 +23,49 @@ import org.apache.spark.sql.functions._
   * Long intervals are NOT exploded without bound (mirroring CSI's coarse
   * levels, `/root/reference/oxbow/src/util/index.rs:78-115`): a row longer
   * than `binSize * maxBinsPerRow` skips the fine bins and lands in one of
-  * two per-chromosome coarse channels encoded as sentinel bins:
+  * two per-chromosome coarse channels encoded as sentinel bins
+  * (`Long.MinValue` and `Long.MinValue + 1`, unreachable by any fine bin
+  * even with negative coordinates):
   *
-  *  - bin -1: long LEFT rows × ALL right rows
-  *  - bin -2: ALL left rows × long RIGHT rows (ownership keeps only
-  *    short-left pairs here, so long×long pairs match exactly once in -1)
+  *  - LONG_LEFT: long LEFT rows × ALL right rows
+  *  - LONG_RIGHT: ALL left rows × long RIGHT rows (ownership keeps only
+  *    short-left pairs here, so long×long pairs match exactly once in
+  *    LONG_LEFT)
   *
   * The channels are asymmetric on purpose — each coarse bucket has the
-  * long rows of one side as its build side, so when no over-long interval
-  * exists the coarse hash joins build empty tables and enumerate nothing.
-  * Worst case is `n_long × n` pairs per chromosome, the honest cost of
-  * chromosome-arm-scale intervals, instead of an unbounded `len/binSize`
-  * row explosion (a 10 Mbp annotation would otherwise emit 10,000 rows).
+  * long rows of one side as its build side — and a side emits its
+  * "all rows" channel copy ONLY when the opposite side actually contains
+  * a long row (a broadcast one-row aggregate decides at run time), so in
+  * the common all-short case nothing shuffles into the coarse channels at
+  * all. Worst case is `n_long × n` pairs per chromosome, the honest cost
+  * of chromosome-arm-scale intervals, instead of an unbounded
+  * `len/binSize` row explosion (a 10 Mbp annotation would otherwise emit
+  * 10,000 rows).
+  *
+  * Degenerate rows: `end <= start` rows get the single bin of `start`,
+  * which is provably the ownership bin of every pair the raw predicate
+  * admits (a partner with `r.start < l.end && l.start < r.end` must cover
+  * `[l.end, l.start]`, hence `start`'s bin). Zero-length insertion points
+  * therefore match partners that strictly span them (the bedtools
+  * convention), inverted rows keep the exact raw-predicate semantics of a
+  * naive join, and neither can trigger an unbounded descending explode.
   *
   * Scale properties: both sides shuffle once on the bin key; no broadcast
   * required; skewed hot bins can be handled by AQE skew-join splitting
   * since the join is a plain equi-join after the explode. Explode factor is
   * `min(len/binSize, maxBinsPerRow) + 1` per row — pick `binSize` near the
-  * typical interval length so the factor stays ~2.
+  * typical interval length so the factor stays ~2. The long-row existence
+  * probes cost one extra columnar scan per side (a map-side-combined
+  * max aggregate) — cheap next to the shuffle they can eliminate.
   */
 object IntervalJoin {
+
+  /** Coarse-channel sentinel bins. Fine bins are `floor(coord/binSize)`,
+    * which cannot reach these values for any representable coordinate when
+    * `binSize > 1`, and for `binSize == 1` only at coordinates below
+    * `Long.MinValue + 2` — out of any coordinate domain. */
+  val LongLeftChannel: Long = Long.MinValue
+  val LongRightChannel: Long = Long.MinValue + 1
 
   /** Overlap-join two interval DataFrames.
     *
@@ -62,36 +85,55 @@ object IntervalJoin {
     val (lc, ls, le) = leftCols
     val (rc, rs, re) = rightCols
     val capLen = binSize * maxBinsPerRow
+    val emptyBins = array().cast("array<bigint>")
 
     def fineBins(s: String, e: String): Column =
-      sequence(
-        floor(col(s) / binSize),
-        // end is exclusive: last occupied base is end-1
-        floor((col(e) - 1) / binSize))
+      when(col(e) > col(s),
+        sequence(
+          floor(col(s) / binSize),
+          // end is exclusive: last occupied base is end-1
+          floor((col(e) - 1) / binSize)))
+        // end <= start: the single bin of `start` — the only possible
+        // ownership bin of any raw-predicate match (partner spans it);
+        // also prevents Spark's descending `sequence` explode
+        .otherwise(array(floor(col(s) / binSize)))
 
-    // short rows: fine bins + the side's "all rows" coarse channel;
-    // long rows: both coarse channels only (bounded, never Sequence'd)
-    def binned(df: DataFrame, s: String, e: String, allChannel: Long) =
-      df.withColumn("__bin",
-        explode(when(col(e) - col(s) <= capLen,
-          concat(fineBins(s, e), array(lit(allChannel))))
-          .otherwise(array(lit(-1L), lit(-2L)))))
+    // long rows: both coarse channels only (bounded, never Sequence'd);
+    // everything else: fine bins + the side's "all rows" coarse copy,
+    // emitted only if the opposite side has a long row to meet there
+    def binned(df: DataFrame, s: String, e: String, allChannel: Long,
+        oppHasLong: Column) =
+      df.withColumn("__bin", explode(
+        when(col(e) - col(s) > capLen,
+          array(lit(LongLeftChannel), lit(LongRightChannel)))
+          .otherwise(concat(fineBins(s, e),
+            when(oppHasLong, array(lit(allChannel))).otherwise(emptyBins)))))
 
-    val l = binned(left, ls, le, allChannel = -2L)
-    val r = binned(right, rs, re, allChannel = -1L)
+    // one-row existence probes, broadcast into each side's explode
+    val rightHasLong = right.agg(
+      coalesce(max(col(re) - col(rs)) > capLen, lit(false))
+        .as("__graft_r_long"))
+    val leftHasLong = left.agg(
+      coalesce(max(col(le) - col(ls)) > capLen, lit(false))
+        .as("__graft_l_long"))
 
-    // ownership: fine bins dedup on max(starts); channel -1 (long-left ×
-    // all-right) is already unique; channel -2 keeps only short-left pairs
+    val l = binned(left.crossJoin(broadcast(rightHasLong)), ls, le,
+      allChannel = LongRightChannel, oppHasLong = col("__graft_r_long"))
+    val r = binned(right.crossJoin(broadcast(leftHasLong)), rs, re,
+      allChannel = LongLeftChannel, oppHasLong = col("__graft_l_long"))
+
+    // ownership: fine bins dedup on max(starts); LONG_LEFT (long-left ×
+    // all-right) is already unique; LONG_RIGHT keeps only short-left pairs
     val ownership =
-      when(l("__bin") >= 0, l("__bin") === floor(greatest(l(ls), r(rs)) / binSize))
-        .when(l("__bin") === -1L, lit(true))
-        .otherwise(l(le) - l(ls) <= capLen)
+      when(l("__bin") === LongLeftChannel, lit(true))
+        .when(l("__bin") === LongRightChannel, l(le) - l(ls) <= capLen)
+        .otherwise(l("__bin") === floor(greatest(l(ls), r(rs)) / binSize))
 
     val joined = l.join(r,
       l(lc) === r(rc) && l("__bin") === r("__bin") &&
         l(ls) < r(re) && r(rs) < l(le) && ownership)
 
-    joined.drop("__bin")
+    joined.drop("__bin", "__graft_r_long", "__graft_l_long")
   }
 
   /** Multi-resolution summary rollup — the Spark-native equivalent of BBI

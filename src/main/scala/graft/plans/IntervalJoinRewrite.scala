@@ -33,20 +33,28 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, 
   *     key column names.
   *  2. **Bounded explode.** Rows longer than `binSize * maxBinsPerRow`
   *     skip the fine bins and land in two per-chromosome coarse channels
-  *     (sentinel bins -1/-2, asymmetric: long-left×all-right and
-  *     all-left×long-right, mirroring CSI's coarse levels,
-  *     `/root/reference/oxbow/src/util/index.rs:78-115`). An open-ended
-  *     sentinel interval (end = Long.MaxValue) costs 2 rows instead of
-  *     overflowing `Sequence`, and when no long rows exist the coarse hash
-  *     joins build empty tables and enumerate nothing.
+  *     (sentinel bins `Long.MinValue` / `Long.MinValue + 1`, unreachable
+  *     by fine bins even for negative coordinates; asymmetric:
+  *     long-left×all-right and all-left×long-right, mirroring CSI's
+  *     coarse levels, `/root/reference/oxbow/src/util/index.rs:78-115`).
+  *     An open-ended sentinel interval (end = Long.MaxValue) costs 2 rows
+  *     instead of overflowing `Sequence`, and when no long rows exist the
+  *     coarse hash joins build empty tables and enumerate nothing.
+  *     (Unlike `IntervalJoin.overlapJoin`, the rewrite cannot cheaply
+  *     probe the opposite side for long-row existence at plan time, so
+  *     every short row still ships one coarse-channel copy.)
+  *
+  * Degenerate rows mirror the operator: `end <= start` gets the single
+  * bin of `start` — provably the ownership bin of every pair the raw
+  * predicate admits — so zero-length and inverted rows keep the exact
+  * semantics of the un-rewritten join (an optimizer rule must not change
+  * results) without Spark's descending-`sequence` explode.
   *
   * Fires only on inner joins whose condition has EXACTLY one
   * attribute-attribute equality (the chrom key) and the two strict
   * range comparisons in opposite directions over integral columns —
   * after the rewrite the join has two equality keys, so the rule never
-  * re-fires. Interval semantics are zero-based half-open with
-  * non-negative coordinates (genomic convention), so negative bins are
-  * free to use as the coarse-channel sentinels.
+  * re-fires.
   *
   * Config: `spark.graft.intervalJoin.binSize` (default 1000; 0 disables),
   * `spark.graft.intervalJoin.maxBinsPerRow` (default 1024),
@@ -122,6 +130,8 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val ls = o1.left; val le = o2.right
         val rs = o2.left; val re = o1.right
 
+        val chLongLeft = graft.operators.IntervalJoin.LongLeftChannel
+        val chLongRight = graft.operators.IntervalJoin.LongRightChannel
         def asLong(e: Expression): Expression =
           if (e.dataType == LongType) e else Cast(e, LongType)
         def binOf(e: Expression): Expression =
@@ -130,35 +140,39 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val capLen = Literal(bs * maxBins)
         def isShort(s: Expression, e: Expression): Expression =
           LessThanOrEqual(Subtract(asLong(e), asLong(s)), capLen)
-        // short rows: covering fine bins + the side's "all rows" coarse
-        // channel; long rows: the two coarse channels only
+        // long rows: the two coarse channels only; end <= start rows: the
+        // single start bin (semantics-preserving, explode-safe); ordinary
+        // short rows: covering fine bins; both short shapes also ship the
+        // side's "all rows" coarse copy
         def keys(s: Expression, e: Expression, allChannel: Long): Expression =
-          If(isShort(s, e),
-            Concat(Seq(
-              new Sequence(binOf(s), binOf(Subtract(asLong(e), Literal(1L))))
-                .withTimeZone(conf.sessionLocalTimeZone),
-              CreateArray(Seq(Literal(allChannel))))),
-            CreateArray(Seq(Literal(-1L), Literal(-2L))))
+          CaseWhen(Seq(
+            (Not(isShort(s, e)),
+              CreateArray(Seq(Literal(chLongLeft), Literal(chLongRight)))),
+            (GreaterThan(asLong(e), asLong(s)),
+              Concat(Seq(
+                new Sequence(binOf(s), binOf(Subtract(asLong(e), Literal(1L))))
+                  .withTimeZone(conf.sessionLocalTimeZone),
+                CreateArray(Seq(Literal(allChannel))))))),
+            Some(CreateArray(Seq(binOf(s), Literal(allChannel)))))
 
         val binL = AttributeReference("__graft_binl", LongType,
           nullable = false)()
         val binR = AttributeReference("__graft_binr", LongType,
           nullable = false)()
-        val genL = Generate(Explode(keys(ls, le, allChannel = -2L)), Nil,
-          outer = false, qualifier = None, generatorOutput = Seq(binL),
+        val genL = Generate(Explode(keys(ls, le, allChannel = chLongRight)),
+          Nil, outer = false, qualifier = None, generatorOutput = Seq(binL),
           child = left)
-        val genR = Generate(Explode(keys(rs, re, allChannel = -1L)), Nil,
-          outer = false, qualifier = None, generatorOutput = Seq(binR),
+        val genR = Generate(Explode(keys(rs, re, allChannel = chLongLeft)),
+          Nil, outer = false, qualifier = None, generatorOutput = Seq(binR),
           child = right)
 
-        // fine bins dedup on max(starts); channel -1 (long-left×all-right)
-        // is already unique; channel -2 keeps only short-left pairs so
-        // long×long matches exactly once (in -1)
+        // fine bins dedup on max(starts); LONG_LEFT (long-left×all-right)
+        // is already unique; LONG_RIGHT keeps only short-left pairs so
+        // long×long matches exactly once (in LONG_LEFT)
         val ownership = CaseWhen(Seq(
-          (GreaterThanOrEqual(binL, Literal(0L)),
-            EqualTo(binL, binOf(Greatest(Seq(asLong(ls), asLong(rs)))))),
-          (EqualTo(binL, Literal(-1L)), Literal(true))),
-          Some(isShort(ls, le)))
+          (EqualTo(binL, Literal(chLongLeft)), Literal(true)),
+          (EqualTo(binL, Literal(chLongRight)), isShort(ls, le))),
+          Some(EqualTo(binL, binOf(Greatest(Seq(asLong(ls), asLong(rs)))))))
         val newCond = (conjuncts :+ EqualTo(binL, binR) :+ ownership)
           .reduce(And)
         Some(Project(j.output,

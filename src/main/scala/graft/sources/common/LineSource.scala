@@ -319,11 +319,54 @@ class LineReader(format: LineFormat, fullSchema: StructType,
       }
     }
   }
-  // Byte position tracking for split boundaries (approximate by re-encoded
-  // line length + 1; exact for ASCII genomic text).
+  // Byte position tracking for split boundaries — exact: readLineExact
+  // counts the UTF-8 bytes it consumes (terminator included), so CRLF
+  // endings and unterminated final lines keep split ownership correct.
   private var pos: Long = part.start
   private var startedMidLine = !part.gzip && !part.vpos && part.start > 0
   private val parser = format.newParser(fullSchema, options)
+
+  private val lineBuf = new java.lang.StringBuilder(256)
+  private val charBuf = new Array[Char](8192)
+  private var charLen = 0
+  private var charPos = 0
+  private var lastLineBytes = 0L
+
+  private def utf8Len(c: Char): Int =
+    if (c < 0x80) 1
+    else if (c < 0x800) 2
+    else if (c >= 0xd800 && c <= 0xdfff) 2 // surrogate half: pair totals 4
+    else 3
+
+  /** Line read with exact byte accounting: strips `\n` and `\r\n`
+    * terminators (both counted in [[lastLineBytes]]), returns null at
+    * EOF. A final unterminated line is returned with no terminator
+    * bytes added. */
+  private def readLineExact(): String = {
+    lineBuf.setLength(0)
+    var bytes = 0L
+    var sawAny = false
+    var done = false
+    while (!done) {
+      if (charPos >= charLen) {
+        charLen = reader.read(charBuf)
+        charPos = 0
+      }
+      if (charLen <= 0) done = true
+      else {
+        sawAny = true
+        val c = charBuf(charPos)
+        charPos += 1
+        bytes += utf8Len(c)
+        if (c == '\n') done = true else lineBuf.append(c)
+      }
+    }
+    if (!sawAny) { lastLineBytes = 0L; return null }
+    if (lineBuf.length > 0 && lineBuf.charAt(lineBuf.length - 1) == '\r')
+      lineBuf.setLength(lineBuf.length - 1)
+    lastLineBytes = bytes
+    lineBuf.toString
+  }
 
   // region/filter predicate from `regions` option + pushed filters
   private val regionPred: InternalRow => Boolean = buildRegionPred()
@@ -431,13 +474,13 @@ class LineReader(format: LineFormat, fullSchema: StructType,
     if (emitFromPending()) return true
     if (exhausted) return false
     while (true) {
-      val line = reader.readLine()
+      val line = readLineExact()
       if (line == null) {
         exhausted = true
         pending ++= parser.flushMany()
         return emitFromPending()
       }
-      pos += line.getBytes(StandardCharsets.UTF_8).length + 1
+      pos += lastLineBytes
       val skip = startedMidLine
       startedMidLine = false
       // Hadoop line-split ownership: this split owns every line it reads

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 /** Operator-level coverage for [[IntervalJoin.overlapJoin]], including the
@@ -53,6 +55,70 @@ class IntervalJoinSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
     assert(got == Seq(("a1", "b1"), ("a2", "b1"), ("a2", "b2"),
       ("a3", "b2")))
+  }
+
+  test("degenerate and negative-coordinate intervals stay exact") {
+    import spark.implicits._
+    val a = Seq(
+      ("chr1", 1000L, 1000L, "a_pt"),   // zero-length on a bin boundary
+      ("chr1", 500L, 400L, "a_bad"),    // invalid: must join nothing
+      ("chr1", -1500L, -500L, "a_neg"), // fine bins land on -2/-1
+      ("chr1", 100L, 200L, "a_ok"))
+      .toDF("chrom", "start", "end", "a_id")
+    val b = Seq(
+      ("chr1", 900L, 1100L, "b_span"),  // strictly spans the point
+      ("chr1", 1000L, 1200L, "b_at"),   // starts AT the point: no overlap
+      ("chr1", -1000L, -900L, "b_neg"),
+      ("chr1", 0L, 9_000_000L, "b_long"), // long row: populates channels
+      ("chr1", 150L, 160L, "b_in"))
+      .toDF("chrom2", "start2", "end2", "b_id")
+    // brute-force oracle: the raw predicate, exactly — inverted rows keep
+    // naive-join semantics (a_bad matches b_long, which spans [400,500])
+    val oracle = a.crossJoin(b)
+      .where(col("chrom") === col("chrom2") &&
+        col("start") < col("end2") && col("start2") < col("end"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val got = IntervalJoin.overlapJoin(a, b,
+        leftCols = ("chrom", "start", "end"),
+        rightCols = ("chrom2", "start2", "end2"),
+        binSize = 1000L, maxBinsPerRow = 4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // with the old -1/-2 sentinels, a_neg's fine bins would collide with
+    // the coarse channels (forced-true ownership → duplicate pairs)
+    assert(got == oracle, s"got $got vs oracle $oracle")
+    assert(got.contains(("a_pt", "b_span")) &&
+      got.contains(("a_bad", "b_long")))
+  }
+
+  test("coarse-channel gating exact under every long-row combination") {
+    import spark.implicits._
+    def df(rows: Seq[(String, Long, Long, String)], c: String, s: String,
+        e: String, id: String) = rows.toDF(c, s, e, id)
+    val shortA = Seq(("chr1", 100L, 200L, "a1"), ("chr1", 900L, 1500L, "a2"))
+    val longA = shortA :+ ("chr1", 0L, 8_000_000L, "aL")
+    val shortB = Seq(("chr1", 150L, 300L, "b1"), ("chr1", 1200L, 1300L, "b2"))
+    val longB = shortB :+ ("chr1", 50L, 9_000_000L, "bL")
+    // the gating decides per side whether the "all rows" channel ships;
+    // every combination must still match the brute-force oracle
+    for (aRows <- Seq(shortA, longA); bRows <- Seq(shortB, longB)) {
+      val a = df(aRows, "chrom", "start", "end", "a_id")
+      val b = df(bRows, "chrom2", "start2", "end2", "b_id")
+      val oracle = a.crossJoin(b)
+        .where(col("chrom") === col("chrom2") &&
+          col("start") < col("end2") && col("start2") < col("end"))
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      val got = IntervalJoin.overlapJoin(a, b,
+          leftCols = ("chrom", "start", "end"),
+          rightCols = ("chrom2", "start2", "end2"),
+          binSize = 1000L, maxBinsPerRow = 4)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(got == oracle,
+        s"aLong=${aRows.size > 2} bLong=${bRows.size > 2}: $got vs $oracle")
+    }
   }
 
   test("zoomRollup reproduces BBI zoom summary fields") {

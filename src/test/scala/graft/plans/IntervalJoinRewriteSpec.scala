@@ -119,6 +119,43 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate and negative intervals through the rewrite stay exact") {
+    withExtSession { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val a = Seq(
+        ("chr1", 1000L, 1000L, "a_pt"),   // zero-length on a bin boundary
+        ("chr1", 500L, 400L, "a_bad"),    // invalid
+        ("chr1", -1500L, -500L, "a_neg"), // fine bins on old sentinels
+        ("chr1", 100L, 200L, "a_ok"))
+        .toDF("chrom", "start", "end", "a_id")
+      val b = Seq(
+        ("chr1", 900L, 1100L, "b_span"),
+        ("chr1", 1000L, 1200L, "b_at"),
+        ("chr1", -1000L, -900L, "b_neg"),
+        ("chr1", 0L, 9_000_000_000L, "b_long"))
+        .toDF("chrom2", "start2", "end2", "b_id")
+      val naive = a.join(b,
+        a("chrom") === b("chrom2") &&
+          a("start") < b("end2") && b("start2") < a("end"))
+      assert(naive.queryExecution.optimizedPlan.toString
+        .contains("__graft_binl"))
+      val got = naive.select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      // brute-force semantics of the ORIGINAL predicate — the rewrite must
+      // not change results, inverted rows included
+      val oracle = a.crossJoin(b)
+        .where(col("chrom") === col("chrom2") &&
+          col("start") < col("end2") && col("start2") < col("end"))
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(got == oracle, s"got $got vs oracle $oracle")
+      assert(got.contains(("a_pt", "b_span")) &&
+        got.contains(("a_neg", "b_neg")) &&
+        got.contains(("a_bad", "b_long")))
+    }
+  }
+
   test("non-genomic band joins never fire the rule") {
     withExtSession { spark =>
       import spark.implicits._

@@ -120,6 +120,23 @@ class BedSourceSpec extends SparkSuite {
       (0 until 5000).map(_ * 10L).sum)
   }
 
+  test("CRLF endings: values stripped, split ownership stays exact") {
+    val lines = (0 until 5000).map(i => s"chr${i % 3}\t${i * 10}\t${i * 10 + 5}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-test")
+    val f = dir.resolve("crlf.bed")
+    java.nio.file.Files.write(f,
+      (lines.mkString("\r\n") + "\r\n").getBytes("UTF-8"))
+    val df = spark.read.format("bed").option("bed_schema", "bed3")
+      .option("maxpartitionbytes", "1024") // many splits over CRLF lines
+      .load(f.toString)
+    assert(df.rdd.getNumPartitions > 10)
+    // a \r left on the end column would fail the long parse; an off-by-one
+    // byte position would drop or duplicate boundary rows
+    assert(df.count() == 5000)
+    assert(df.select(sum(col("end"))).collect()(0).getLong(0) ==
+      (0 until 5000).map(_ * 10L + 5).sum)
+  }
+
   test("gzip input reads as a single partition") {
     val path = tempGzFile("z.bed.gz", bed6Lines)
     val df = spark.read.format("bed").option("bed_schema", "bed6").load(path)
