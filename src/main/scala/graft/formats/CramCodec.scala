@@ -22,8 +22,10 @@ import scala.collection.mutable
   *    reference-based sequence reconstruction via the substitution
   *    matrix; detached mate info; CRAI index parsing for region queries
   *
-  * Unsupported (documented): bzip2/lzma block methods and the 3.1
-  * codecs (ransNx16, adaptive arithmetic, fqzcomp, name tokeniser).
+  * Block methods: raw, gzip, rans4x8, and CRAM 3.1's ransNx16
+  * ([[RansNx16Codec]]). Unsupported (precise error on contact):
+  * bzip2/lzma and the remaining 3.1 codecs (adaptive arithmetic,
+  * fqzcomp, name tokeniser).
   */
 object CramCodec {
 
@@ -163,9 +165,20 @@ object CramCodec {
         val gz = new GZIPInputStream(new ByteArrayInputStream(payload))
         try readFully(gz, rawSize) finally gz.close()
       case 4 => RansCodec.decode(payload)
-      case other => throw new UnsupportedOperationException(
-        s"CRAM block compression method $other not supported " +
-          "(raw/gzip/rans4x8 only)")
+      case 5 => RansNx16Codec.decode(payload, rawSize)
+      case other =>
+        // name the exact codec so users know what their file needs
+        val name = other match {
+          case 2 => "bzip2"
+          case 3 => "lzma"
+          case 6 => "adaptive arithmetic (CRAM 3.1)"
+          case 7 => "fqzcomp (CRAM 3.1)"
+          case 8 => "name tokeniser (CRAM 3.1)"
+          case _ => s"unknown method id $other"
+        }
+        throw new UnsupportedOperationException(
+          s"CRAM block compression method $other ($name) not supported; " +
+            "supported: raw, gzip, rans4x8, ransNx16")
     }
     readIntLE(in) // crc32
     Block(method, contentType, contentId, data)

@@ -1,0 +1,113 @@
+package graft.formats
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RansNx16CodecSpec extends AnyFunSuite {
+
+  private def bytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("real samtools 3.1 payloads: PACK(nsym=1) + CAT quality blocks") {
+    // the two ransNx16 blocks of /root/reference/fixtures/sample-ref.cram
+    // (QS data series, missing quals → 0xff): flags PACK|CAT, ulen, pack
+    // meta {nsym=1, map=[0xff], packed_len=0}, empty payload
+    val d1 = RansNx16Codec.decode(bytes("a01c01ff00"), 28)
+    assert(d1.length == 28 && d1.forall(_ == 0xff.toByte))
+    val d2 = RansNx16Codec.decode(bytes("a01801ff00"), 24)
+    assert(d2.length == 24 && d2.forall(_ == 0xff.toByte))
+  }
+
+  test("order-0 round-trip, 4 and 32 states") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(4, 32); len <- Seq(32, 100, 4096, 65537)) {
+      val data = Array.fill(len)((rnd.nextInt(20) + 60).toByte)
+      val enc = RansNx16Codec.encode(data, n)
+      if (len >= 4096)
+        assert(enc.length < data.length, s"n=$n len=$len should compress")
+      val dec = RansNx16Codec.decode(enc, data.length)
+      assert(dec.sameElements(data), s"n=$n len=$len")
+    }
+  }
+
+  test("single-symbol and tiny payloads take PACK/CAT paths") {
+    val uniform = Array.fill(1000)('I'.toByte)
+    val encU = RansNx16Codec.encode(uniform)
+    assert(encU.length <= 6) // flags + ulen(2) + nsym + sym + packed_len
+    assert(RansNx16Codec.decode(encU, 1000).sameElements(uniform))
+    val tiny = "ACGT".getBytes
+    val encT = RansNx16Codec.encode(tiny)
+    assert(RansNx16Codec.decode(encT, 4).sameElements(tiny))
+    val empty = RansNx16Codec.encode(Array.empty[Byte])
+    assert(RansNx16Codec.decode(empty, 0).isEmpty)
+  }
+
+  test("hand-built PACK 2/4/16-symbol streams expand correctly") {
+    // nsym=2: 1 bit/val, low bits first. packed byte 0b00000110 → A,B,B,A...
+    // stream: flags=PACK|CAT(0xa0), ulen=8, nsym=2, map=[65,66],
+    // packed_len=1, payload=0x06
+    val p2 = RansNx16Codec.decode(bytes("a00802414201" + "06"), 8)
+    assert(new String(p2) == "ABBAAAAA")
+    // nsym=4: 2 bits/val: 0b11100100 → 0,1,2,3
+    val p4 = RansNx16Codec.decode(bytes("a004044142434401" + "e4"), 4)
+    assert(new String(p4) == "ABCD")
+    // nsym=16: 4 bits/val: 0x21 → 1,2
+    val p16 = RansNx16Codec.decode(
+      bytes("a0021041424344454647484950515253545556" + "01" + "21"), 2)
+    assert(new String(p16) == "BC")
+  }
+
+  test("hand-built RLE stream expands runs") {
+    // flags=RLE|CAT(0x60), ulen=10; meta (raw, bit0 set): one runnable
+    // symbol 'A'; entropy stream "AB" with run meta [8] → A×9 B
+    // meta bytes: n=1, sym=65, runs=[8] → meta len 3 → metaLen=(3<<1)|1=7
+    val stream = bytes("600a" + "07" + "02" + "014108" + "4142")
+    val out = RansNx16Codec.decode(stream, 10)
+    assert(new String(out) == "AAAAAAAAAB")
+  }
+
+  test("hand-built STRIPE stream interleaves sub-streams") {
+    // flags=STRIPE(0x08), ulen=6, n=2, clens, two CAT sub-streams
+    // sub0 = "ACE" (flags CAT|NOSZ=0x30, payload ACE) len 4
+    // sub1 = "BDF" likewise
+    val sub = "30"
+    val stream = bytes("0806" + "02" + "0404" +
+      sub + "414345" + sub + "424446")
+    val out = RansNx16Codec.decode(stream, 6)
+    assert(new String(out) == "ABCDEF")
+  }
+
+  test("cram blocks with method=5 decode through ransNx16") {
+    val rnd = new scala.util.Random(5)
+    val payload = Array.fill[Byte](500)((33 + rnd.nextInt(40)).toByte)
+    val enc = RansNx16Codec.encode(payload)
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(5) // method ransNx16
+    o.write(4) // content type external
+    CramCodec.writeItf8(o, 12)
+    CramCodec.writeItf8(o, enc.length)
+    CramCodec.writeItf8(o, payload.length)
+    o.write(enc)
+    o.write(Array.fill[Byte](4)(0)) // crc
+    val block = CramCodec.readBlock(
+      new java.io.ByteArrayInputStream(o.toByteArray))
+    assert(block.contentId == 12)
+    assert(block.data.sameElements(payload))
+  }
+
+  test("unsupported 3.1 codecs fail with the exact codec name") {
+    for ((id, name) <- Seq(6 -> "adaptive arithmetic", 7 -> "fqzcomp",
+        8 -> "name tokeniser", 2 -> "bzip2")) {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(id); o.write(4)
+      CramCodec.writeItf8(o, 1)
+      CramCodec.writeItf8(o, 2)
+      CramCodec.writeItf8(o, 10)
+      o.write(Array[Byte](1, 2))
+      o.write(Array.fill[Byte](4)(0))
+      val e = intercept[UnsupportedOperationException] {
+        CramCodec.readBlock(new java.io.ByteArrayInputStream(o.toByteArray))
+      }
+      assert(e.getMessage.contains(name), s"method $id: ${e.getMessage}")
+    }
+  }
+}
