@@ -159,6 +159,11 @@ class BamTable(tableSchema: StructType, paths: Seq[Path],
     options: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"bam:${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
+  // M5 catalog surface: chrom names/sizes from the header dictionary,
+  // record counts from the index pseudo-bins (bam.rs:74-89).
+  private lazy val tableProps =
+    graft.sources.common.GraftTableProps.forPaths(paths, indexStats = true)
+  override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =

@@ -121,6 +121,11 @@ class BbiTable(wig: Boolean, tableSchema: StructType, paths: Seq[Path],
   override def name(): String =
     s"${if (wig) "bigwig" else "bigbed"}:${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
+  // M5 catalog surface: chrom B+ tree names/sizes and zoom reduction
+  // levels (bigwig.rs:94-117).
+  private lazy val tableProps =
+    graft.sources.common.GraftTableProps.forPaths(paths, zoom = true)
+  override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =

@@ -55,6 +55,10 @@ class FaiSliceTable(tableSchema: StructType, paths: Seq[Path],
     options: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"fasta-fai:${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
+  // M5 catalog surface: sequence names/lengths from the .fai companion.
+  private lazy val tableProps =
+    graft.sources.common.GraftTableProps.forPaths(paths)
+  override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =

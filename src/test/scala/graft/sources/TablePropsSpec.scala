@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.expressions.Transform
+
+import graft.SparkSuite
+import graft.fixtures.{BamFixture, BbiFixture}
+
+/** M5 catalog metadata surface: chrom_names / chrom_sizes / zoom_levels /
+  * index record counts exposed as DSv2 `Table.properties()`, mirroring the
+  * per-handle metadata of the reference scanners
+  * (`/root/reference/oxbow/src/alignment/scanner/bam.rs:74-89`,
+  * `/root/reference/oxbow/src/bbi/scanner/bigwig.rs:94-117`). */
+class TablePropsSpec extends SparkSuite {
+
+  private def props(provider: org.apache.spark.sql.connector.catalog.TableProvider,
+      path: String): java.util.Map[String, String] = {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", path)
+    val cism = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+    val schema = provider.inferSchema(cism)
+    provider.getTable(schema, Array.empty[Transform], opts).properties()
+  }
+
+  test("bam table surfaces chrom sizes and index record counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-props")
+    val bam = dir.resolve("p.bam").toString
+    BamFixture.write(bam, Seq(("chr1", 1000), ("chr2", 500)),
+      Seq(
+        BamFixture.Rec("a", 0, 0, 10, 30, Seq((4, 'M')), "ACGT", null),
+        BamFixture.Rec("b", 0, 0, 50, 30, Seq((4, 'M')), "GGTT", null),
+        BamFixture.Rec("c", 0, 1, 20, 30, Seq((4, 'M')), "CCAA", null)))
+    val p = props(new BamDataSource(), bam)
+    assert(p.get("chrom_names") == "chr1,chr2")
+    assert(p.get("chrom_sizes") == "chr1:1000,chr2:500")
+    assert(p.get("index.n_mapped") == "3")
+    assert(p.get("index.n_unmapped") == "0")
+    assert(p.get("index.record_counts") == "chr1:2:0,chr2:1:0")
+  }
+
+  test("bigwig table surfaces chrom sizes and zoom levels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-props-bw")
+    val bw = dir.resolve("p.bw").toString
+    BbiFixture.write(bw, Seq(("chr1", 0)),
+      Seq(BbiFixture.WigSection(0, 1, 0, 0, 0, Seq((0L, 10L, 1f)))), Nil,
+      Seq(BbiFixture.Zoom(0, 0, 10, 1, 1f, 1f, 1f, 1f)))
+    val p = props(new BigWigDataSource(), bw)
+    assert(p.get("chrom_names") == "chr1")
+    assert(p.get("chrom_sizes") == "chr1:1000000")
+    assert(p.get("zoom_levels") == "1000")
+  }
+
+  test("missing companion metadata omits properties, never fails the read") {
+    // FASTA without a .fai: the table still loads; properties are empty.
+    val fa = tempFile("nofai.fa", Seq(">c", "ACGT"))
+    val p = props(new FastaDataSource(), fa)
+    assert(!p.containsKey("chrom_sizes"))
+    val rows = spark.read.format("fasta").load(fa).count()
+    assert(rows == 1)
+  }
+}
