@@ -49,6 +49,10 @@ object ScanGate {
     writeFastq()
     writeMultiRefCram()
     writeTabixBed()
+    writeTagBam()
+    writeSplitBed()
+    writeGenotypeVcf()
+    writeGenotypeBcf()
     Root
   }
 
@@ -194,6 +198,76 @@ object ScanGate {
             CramFixture.CRec("m2", 4, 0, 0, -1, 4, bases = "ACGT")),
           Seq(CramFixture.CRec("m3", 0, 1, 50, 50, 5))),
         Seq(Seq(CramFixture.CRec("m4", 4, -1, 0, -1, 4, bases = "GGTT")))))
+
+  /** BAM with typed tags (M1): NM:i, MD:Z, XF:f, XB:B,i — plus XW seen
+    * as int then string, exercising the sampling pass's type widening
+    * (reference `alignment/model/tag.rs:124-165`, scan_rows sampling
+    * `alignment/scanner/bam.rs:122-149`). */
+  private def writeTagBam(): Unit = {
+    import BamFixture._
+    BamFixture.write(s"$Root/gt.bam", Seq(("chr1", 100000)), Seq(
+      Rec("t1", 0, 0, 10, 60, Seq((4, 'M')), "ACGT", "FFFF",
+        tags = tagInt("NM", 2) ++ tagStr("MD", "2A1") ++
+          tagFloat("XF", 1.5f) ++ tagIntArray("XB", Seq(1, -2, 3))),
+      Rec("t2", 0, 0, 50, 60, Seq((4, 'M')), "GGCC", "IIII",
+        tags = tagInt("NM", 0) ++ tagInt("XW", 7)),
+      Rec("t3", 0, 0, 90, 60, Seq((4, 'M')), "TTAA", "FFFF",
+        tags = tagStr("XW", "abc"))))
+  }
+
+  /** Plain-text multi-line BED sized so a tiny maxpartitionbytes forces
+    * newline-aligned byte-range splits (S5). */
+  private val splitBedRows: Seq[(String, Long, Long)] =
+    (0 until 8).map(i => ("chr1", 1000L * i + 100, 1000L * i + 200)) :+
+      (("chr2", 40L, 90L))
+
+  private def writeSplitBed(): Unit =
+    Files.writeString(Paths.get(s"$Root/split.bed"),
+      splitBedRows.map { case (c, s, e) => s"$c\t$s\t$e\n" }.mkString)
+
+  /** Multi-sample VCF: GT + DP FORMAT fields over 2 samples, covering
+    * phased/unphased/missing alleles and a missing DP (P2/M3; reference
+    * `variant/model.rs:230-270`, `variant/model/genotype.rs:169-180`). */
+  private def writeGenotypeVcf(): Unit =
+    Files.writeString(Paths.get(s"$Root/gv.vcf"),
+      Seq(
+        "##fileformat=VCFv4.2",
+        "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
+        "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"genotype\">",
+        "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"read depth\">",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2",
+        "chr1\t100\t.\tA\tG\t50\tPASS\tDP=30\tGT:DP\t0/1:10\t1|1:20",
+        "chr1\t200\t.\tC\tT\t.\tPASS\t.\tGT:DP\t0|0:7\t./1:.")
+        .mkString("\n") + "\n")
+
+  /** The same two sites as gv.vcf in BCF2 binary form: GT encoded as
+    * (allele+1)<<1|phased int8 vectors, DP with a 0x80 missing. */
+  private val genotypeBcfHeader = Seq(
+    "##fileformat=VCFv4.2",
+    "##FILTER=<ID=PASS,Description=\"ok\">",
+    "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
+    "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"genotype\">",
+    "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"read depth\">",
+    "##contig=<ID=chr1,length=100000>",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2")
+    .mkString("\n")
+
+  private def writeGenotypeBcf(): Unit =
+    // string dict: PASS=0, DP=1 (INFO, shared with FORMAT DP), GT=2
+    BcfFixture.write(s"$Root/gv.bcf", genotypeBcfHeader, Seq(
+      BcfFixture.BcfRec(0, 99, 1, Some(50f), Nil, Seq("A", "G"), Seq(0),
+        info = Seq(1 -> BcfFixture.typedInt(30)),
+        fmt = Seq(
+          2 -> Seq(Seq(2, 4), Seq(4, 5)),     // GT 0/1 | 1|1
+          1 -> Seq(Seq(10), Seq(20))),        // DP
+        nSample = 2),
+      BcfFixture.BcfRec(0, 199, 1, None, Nil, Seq("C", "T"), Seq(0),
+        info = Nil,
+        fmt = Seq(
+          2 -> Seq(Seq(2, 3), Seq(0, 4)),     // GT 0|0 | ./1
+          1 -> Seq(Seq(7),
+            Seq(graft.formats.BcfCodec.MissingInt8))), // DP 7 | .
+        nSample = 2)))
 
   private val tabixRows = Seq(
     ("chr1", 100L, 200L), ("chr1", 15000L, 15100L),
@@ -472,5 +546,87 @@ object ScanGate {
         .option("regions", "chr1:14001-16000;chr1:15001-40500")
         .load(s"$Root/g.bed.gz")
         .orderBy("chrom", "start")
-    }, oracleFor("s18_region_dedup", "chrom, start")))
+    }, oracleFor("s18_region_dedup", "chrom, start")),
+
+    // SAM/BAM tags struct via the sampling discovery pass (M1): typed
+    // NM:i/MD:Z/XF:f/XB:B,i plus XW widened int→string across records
+    ("s19_bam_tags", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s19_bam_tags", StructType(Seq(
+        StructField("qname", StringType), StructField("nm", LongType),
+        StructField("md", StringType), StructField("xf", FloatType),
+        StructField("xb", StringType),
+        StructField("xw", StringType))), Seq(
+        Row("t1", 2L, "2A1", 1.5f, "1,-2,3", null),
+        Row("t2", 0L, null, null, null, "7"),
+        Row("t3", null, null, null, null, "abc")))
+      // no tags/tag_scan_rows options: schema comes from discovery; the
+      // B:i array is flattened to a joined string (gate results stay
+      // scalar so the driver's column hash is well-defined)
+      s.read.format("bam").load(s"$Root/gt.bam")
+        .select(col("qname"), col("tags.NM").as("nm"),
+          col("tags.MD").as("md"), col("tags.XF").as("xf"),
+          array_join(col("tags.XB").cast("array<string>"), ",").as("xb"),
+          col("tags.XW").as("xw"))
+        .orderBy("qname")
+    }, oracleFor("s19_bam_tags", "qname")),
+
+    // split planning (S5/S6/R1): the same logical rows scanned across
+    // multiple partitions — BGZF virtual-position splits planned from the
+    // tabix index (partition_from_index, chunksize=1 byte → one partition
+    // per block) and plain-text newline-aligned byte-range splits. Any
+    // duplicate or dropped record at a split boundary fails the row hash;
+    // SplitPlanningSpec asserts the plans really are ≥3 partitions.
+    ("s20_split_scan", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s20_split_scan", StructType(Seq(
+        StructField("src", StringType), StructField("chrom", StringType),
+        StructField("start", LongType), StructField("end", LongType))),
+        tabixRows.map { case (c, st, e) => Row("bgzf", c, st, e) } ++
+          splitBedRows.map { case (c, st, e) => Row("text", c, st, e) })
+      val bgzf = s.read.format("bed").option("bed_schema", "bed3")
+        .option("maxpartitionbytes", "1").load(s"$Root/g.bed.gz")
+        .select(lit("bgzf").as("src"), col("chrom"), col("start"), col("end"))
+      val text = s.read.format("bed").option("bed_schema", "bed3")
+        .option("maxpartitionbytes", "32").load(s"$Root/split.bed")
+        .select(lit("text").as("src"), col("chrom"), col("start"), col("end"))
+      bgzf.unionAll(text).orderBy("src", "chrom", "start")
+    }, oracleFor("s20_split_scan", "src, chrom, start")),
+
+    // genotype layouts (P2): the same sites through genotype_by=sample,
+    // genotype_by=field, and the binary BCF path must flatten to
+    // identical per-sample GT alleles/phasing and DP values
+    ("s21_genotypes", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      val schema = StructType(Seq(
+        StructField("src", StringType), StructField("pos", LongType),
+        StructField("a11", IntegerType), StructField("a12", IntegerType),
+        StructField("p12", BooleanType), StructField("dp1", LongType),
+        StructField("a21", IntegerType), StructField("a22", IntegerType),
+        StructField("p22", BooleanType), StructField("dp2", LongType)))
+      def rowsFor(src: String) = Seq(
+        Row(src, 100L, 0, 1, false, 10L, 1, 1, true, 20L),
+        Row(src, 200L, 0, 0, true, 7L, null, 1, false, null))
+      dumpExpected(s, "s21_genotypes", schema,
+        Seq("bcf", "vcf_field", "vcf_sample").flatMap(rowsFor))
+      def flatten(df: DataFrame, src: String, byField: Boolean): DataFrame = {
+        def gt(sample: String) =
+          if (byField) col(s"samples.GT.$sample") else col(s"samples.$sample.GT")
+        def dp(sample: String) =
+          if (byField) col(s"samples.DP.$sample") else col(s"samples.$sample.DP")
+        df.select(lit(src).as("src"), col("pos"),
+          gt("NA1")(0)("allele").as("a11"), gt("NA1")(1)("allele").as("a12"),
+          gt("NA1")(1)("phased").as("p12"), dp("NA1").as("dp1"),
+          gt("NA2")(0)("allele").as("a21"), gt("NA2")(1)("allele").as("a22"),
+          gt("NA2")(1)("phased").as("p22"), dp("NA2").as("dp2"))
+      }
+      val bySample = flatten(s.read.format("vcf").load(s"$Root/gv.vcf"),
+        "vcf_sample", byField = false)
+      val byField = flatten(s.read.format("vcf")
+        .option("genotype_by", "field").load(s"$Root/gv.vcf"),
+        "vcf_field", byField = true)
+      val bcf = flatten(s.read.format("bcf").load(s"$Root/gv.bcf"),
+        "bcf", byField = false)
+      bcf.unionAll(byField).unionAll(bySample).orderBy("src", "pos")
+    }, oracleFor("s21_genotypes", "src, pos")))
 }

@@ -26,6 +26,20 @@ object BamFixture {
     bb.put(v.getBytes("ASCII")).put(0.toByte)
     bb.array()
   }
+  def tagFloat(tag: String, v: Float): Array[Byte] = {
+    val bb = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(tag(0).toByte).put(tag(1).toByte).put('f'.toByte).putFloat(v)
+    bb.array()
+  }
+  /** B:i (int32) array tag. */
+  def tagIntArray(tag: String, vs: Seq[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 4 * vs.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(tag(0).toByte).put(tag(1).toByte).put('B'.toByte).put('i'.toByte)
+    bb.putInt(vs.length)
+    vs.foreach(bb.putInt)
+    bb.array()
+  }
 
   private def encodeHeader(refs: Seq[(String, Int)]): Array[Byte] = {
     val text = "@HD\tVN:1.6\n" +

@@ -56,9 +56,19 @@ def main(sfdir, outdir):
                           f"(dtypes {wv.dtype}/{gv.dtype})"
                     break
             else:
-                if not ((wv.isna() & gv.isna()) | (wv.astype(object) ==
-                        gv.astype(object))).all():
-                    mism = (wv.astype(object) != gv.astype(object))
+                # normalize list-valued cells (numpy arrays from parquet
+                # list columns) to tuples so == stays scalar
+                def norm(v):
+                    if v is None:
+                        return None
+                    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+                        return tuple(norm(x) for x in (
+                            v.tolist() if hasattr(v, "tolist") else v))
+                    return v
+                wo = wv.map(norm).astype(object)
+                go = gv.map(norm).astype(object)
+                if not ((wv.isna() & gv.isna()) | (wo == go)).all():
+                    mism = (wo != go) & ~(wv.isna() & gv.isna())
                     idx = mism[mism].index[0]
                     bad = f"col {c} row {idx}: oracle={wv[idx]!r} " \
                           f"spark={gv[idx]!r}"
