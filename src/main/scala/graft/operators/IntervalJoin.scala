@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
 
 /** Distributed interval-overlap join.
   *
@@ -60,18 +62,35 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Coarse-channel sentinel bins. Fine bins are `floor(coord/binSize)`,
-    * which cannot reach these values for any representable coordinate when
-    * `binSize > 1`, and for `binSize == 1` only at coordinates below
-    * `Long.MinValue + 2` — out of any coordinate domain. */
+  /** Coarse-channel sentinel bins. Fine bins are `floor(coord/binSize)`
+    * computed in exact integer arithmetic (see [[floorDiv]]), which cannot
+    * reach these values for any coordinate above `Long.MinValue + binSize`
+    * — out of any coordinate domain. */
   val LongLeftChannel: Long = Long.MinValue
   val LongRightChannel: Long = Long.MinValue + 1
+
+  /** Exact integer floor division of a long column: `v - pmod(v, d)` is a
+    * multiple of `d`, so truncating integral division equals floor.
+    * (Double-based `floor(v / d)` loses bin precision past 2^53 and
+    * saturates extreme negatives to Long.MinValue — onto the sentinels.) */
+  private def floorDiv(c: Column, d: Long): Column = {
+    val v = c.cast("long")
+    ColumnShim.column(new IntegralDivide(
+      ColumnShim.expression(v - pmod(v, lit(d))), Literal(d)))
+  }
 
   /** Overlap-join two interval DataFrames.
     *
     * Each side must carry `chrom/start/end` columns (zero-based half-open)
     * named via the triples. All other columns are preserved; supply
     * disambiguated names upstream.
+    *
+    * Determinism assumption: the long-row existence probes re-scan each
+    * input as a separate subplan, so inputs must produce the same rows on
+    * re-evaluation (true for files/tables). For non-deterministic inputs
+    * (e.g. a `rand()` filter), `cache()`/`localCheckpoint()` the frames
+    * first, or a long row visible only to the join scan would find no
+    * gated coarse partners.
     */
   def overlapJoin(
       left: DataFrame,
@@ -90,13 +109,13 @@ object IntervalJoin {
     def fineBins(s: String, e: String): Column =
       when(col(e) > col(s),
         sequence(
-          floor(col(s) / binSize),
+          floorDiv(col(s), binSize),
           // end is exclusive: last occupied base is end-1
-          floor((col(e) - 1) / binSize)))
+          floorDiv(col(e) - 1, binSize)))
         // end <= start: the single bin of `start` — the only possible
         // ownership bin of any raw-predicate match (partner spans it);
         // also prevents Spark's descending `sequence` explode
-        .otherwise(array(floor(col(s) / binSize)))
+        .otherwise(array(floorDiv(col(s), binSize)))
 
     // long rows: both coarse channels only (bounded, never Sequence'd);
     // everything else: fine bins + the side's "all rows" coarse copy,
@@ -127,7 +146,7 @@ object IntervalJoin {
     val ownership =
       when(l("__bin") === LongLeftChannel, lit(true))
         .when(l("__bin") === LongRightChannel, l(le) - l(ls) <= capLen)
-        .otherwise(l("__bin") === floor(greatest(l(ls), r(rs)) / binSize))
+        .otherwise(l("__bin") === floorDiv(greatest(l(ls), r(rs)), binSize))
 
     val joined = l.join(r,
       l(lc) === r(rc) && l("__bin") === r("__bin") &&

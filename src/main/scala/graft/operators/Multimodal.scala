@@ -75,6 +75,10 @@ object Multimodal {
       var o = 2
       while (o + 4 <= b.length) {
         if ((b(o) & 0xff) != 0xff) return None
+        // T.81 §B.1.1.2: markers may be preceded by any number of 0xFF
+        // fill bytes — skip them rather than reading 0xFF as a marker id
+        while (o + 4 <= b.length && (b(o + 1) & 0xff) == 0xff) o += 1
+        if (o + 4 > b.length) return None
         val marker = b(o + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {

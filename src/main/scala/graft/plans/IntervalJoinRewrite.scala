@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Max
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule rescuing naive interval-overlap joins.
   *
@@ -38,11 +39,16 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, 
   *     long-left×all-right and all-left×long-right, mirroring CSI's
   *     coarse levels, `/root/reference/oxbow/src/util/index.rs:78-115`).
   *     An open-ended sentinel interval (end = Long.MaxValue) costs 2 rows
-  *     instead of overflowing `Sequence`, and when no long rows exist the
-  *     coarse hash joins build empty tables and enumerate nothing.
-  *     (Unlike `IntervalJoin.overlapJoin`, the rewrite cannot cheaply
-  *     probe the opposite side for long-row existence at plan time, so
-  *     every short row still ships one coarse-channel copy.)
+  *     instead of overflowing `Sequence`. A side ships its "all rows"
+  *     coarse copy only when the opposite side actually contains a long
+  *     row: an uncorrelated scalar subquery (`max(end-start) > cap`) per
+  *     side — the logical-plan mirror of the operator's broadcast
+  *     one-row probe — decides at run time, so the common all-short case
+  *     shuffles nothing into the coarse channels. Set
+  *     `spark.graft.intervalJoin.coarseChannels=on` to restore the
+  *     unconditional copies (skips the two probe subqueries). The
+  *     probes assume the inputs are deterministic (same assumption as
+  *     the operator — see `IntervalJoin.overlapJoin`'s doc).
   *
   * Degenerate rows mirror the operator: `end <= start` gets the single
   * bin of `start` — provably the ownership bin of every pair the raw
@@ -65,6 +71,9 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val BinSizeKey = "spark.graft.intervalJoin.binSize"
   val MaxBinsKey = "spark.graft.intervalJoin.maxBinsPerRow"
   val KeyColumnsKey = "spark.graft.intervalJoin.keyColumns"
+  /** "auto" (default): runtime existence probes gate the coarse copies;
+    * "on": unconditional copies, no probe subqueries. */
+  val CoarseChannelsKey = "spark.graft.intervalJoin.coarseChannels"
 
   val DefaultKeyColumns: String =
     "chrom,chromosome,chr,contig,rname,seqid,seqname,refname,reference_name"
@@ -134,17 +143,48 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val chLongRight = graft.operators.IntervalJoin.LongRightChannel
         def asLong(e: Expression): Expression =
           if (e.dataType == LongType) e else Cast(e, LongType)
-        def binOf(e: Expression): Expression =
-          Cast(Floor(Divide(Cast(e, DoubleType), Literal(bs.toDouble))),
-            LongType)
+        // exact integer floor division: (v - pmod(v, bs)) is a multiple of
+        // bs, so the truncating IntegralDivide equals floor. Double-based
+        // Floor(v/bs) loses bin precision past 2^53 and saturates extreme
+        // negatives onto the sentinel values; integer arithmetic keeps the
+        // sentinels unreachable for every coordinate above
+        // Long.MinValue + bs.
+        def binOf(e: Expression): Expression = {
+          val v = asLong(e)
+          new IntegralDivide(
+            Subtract(v, new Pmod(v, Literal(bs))), Literal(bs))
+        }
         val capLen = Literal(bs * maxBins)
         def isShort(s: Expression, e: Expression): Expression =
           LessThanOrEqual(Subtract(asLong(e), asLong(s)), capLen)
+
+        // runtime long-row existence probe of one side: an uncorrelated
+        // scalar subquery the physical planner executes once and inlines
+        val coarseMode =
+          SQLConf.get.getConfString(CoarseChannelsKey, "auto")
+        def hasLongProbe(side: LogicalPlan, s: Expression,
+            e: Expression): Expression =
+          if (coarseMode == "on") Literal(true)
+          else ScalarSubquery(Aggregate(Nil, Seq(Alias(
+            Coalesce(Seq(
+              GreaterThan(
+                Max(Subtract(asLong(e), asLong(s))).toAggregateExpression(),
+                capLen),
+              Literal(false))), "__graft_has_long")()), side))
+
+        // containsNull=false to exactly match CreateArray/Sequence output
+        // types (post-analysis expressions get no coercion pass)
+        val emptyBins = Literal.create(Seq.empty[Long],
+          ArrayType(LongType, containsNull = false))
         // long rows: the two coarse channels only; end <= start rows: the
         // single start bin (semantics-preserving, explode-safe); ordinary
         // short rows: covering fine bins; both short shapes also ship the
-        // side's "all rows" coarse copy
-        def keys(s: Expression, e: Expression, allChannel: Long): Expression =
+        // side's "all rows" coarse copy — but only when the opposite side
+        // has a long row to meet there
+        def keys(s: Expression, e: Expression, allChannel: Long,
+            oppHasLong: Expression): Expression = {
+          val allCopy = If(oppHasLong,
+            CreateArray(Seq(Literal(allChannel))), emptyBins)
           CaseWhen(Seq(
             (Not(isShort(s, e)),
               CreateArray(Seq(Literal(chLongLeft), Literal(chLongRight)))),
@@ -152,17 +192,22 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               Concat(Seq(
                 new Sequence(binOf(s), binOf(Subtract(asLong(e), Literal(1L))))
                   .withTimeZone(conf.sessionLocalTimeZone),
-                CreateArray(Seq(Literal(allChannel))))))),
-            Some(CreateArray(Seq(binOf(s), Literal(allChannel)))))
+                allCopy)))),
+            Some(Concat(Seq(CreateArray(Seq(binOf(s))), allCopy))))
+        }
 
         val binL = AttributeReference("__graft_binl", LongType,
           nullable = false)()
         val binR = AttributeReference("__graft_binr", LongType,
           nullable = false)()
-        val genL = Generate(Explode(keys(ls, le, allChannel = chLongRight)),
+        val genL = Generate(
+          Explode(keys(ls, le, allChannel = chLongRight,
+            oppHasLong = hasLongProbe(right, rs, re))),
           Nil, outer = false, qualifier = None, generatorOutput = Seq(binL),
           child = left)
-        val genR = Generate(Explode(keys(rs, re, allChannel = chLongLeft)),
+        val genR = Generate(
+          Explode(keys(rs, re, allChannel = chLongLeft,
+            oppHasLong = hasLongProbe(left, ls, le))),
           Nil, outer = false, qualifier = None, generatorOutput = Seq(binR),
           child = right)
 

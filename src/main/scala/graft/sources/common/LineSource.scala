@@ -341,7 +341,15 @@ class LineReader(format: LineFormat, fullSchema: StructType,
   /** Line read with exact byte accounting: strips `\n` and `\r\n`
     * terminators (both counted in [[lastLineBytes]]), returns null at
     * EOF. A final unterminated line is returned with no terminator
-    * bytes added. */
+    * bytes added.
+    *
+    * Accounting constraints (fine for the ASCII genomic text formats this
+    * source serves): bytes are counted from DECODED chars, so malformed
+    * UTF-8 — where the decoder substitutes U+FFFD (counted 3) for an
+    * invalid byte (actually 1) — would drift the split position, and a
+    * lone `\r` is not treated as a line terminator (classic-Mac line
+    * endings do not occur in these formats). A byte-oriented reader
+    * would lift both; revisit if a non-UTF-8 text format is added. */
   private def readLineExact(): String = {
     lineBuf.setLength(0)
     var bytes = 0L

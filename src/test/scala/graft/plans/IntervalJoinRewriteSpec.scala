@@ -185,6 +185,57 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("all-short workloads ship no coarse-channel copies (runtime probe)") {
+    withExtSession { spark =>
+      import spark.implicits._
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // a1: 1 fine bin; a2: 2 fine bins; b1: 1 fine bin — no row exceeds
+      // the cap, so the probes must suppress every "all rows" coarse copy
+      val a = Seq(
+        ("chr1", 100L, 200L, "a1"),
+        ("chr1", 1500L, 2500L, "a2"))
+        .toDF("chrom", "start", "end", "a_id")
+      val b = Seq(("chr1", 150L, 250L, "b1"))
+        .toDF("chrom2", "start2", "end2", "b_id")
+      val joined = a.join(b,
+        a("chrom") === b("chrom2") &&
+          a("start") < b("end2") && b("start2") < a("end"))
+      val proj = joined.select("a_id", "b_id")
+      val opt = proj.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_binl"), opt)
+      assert(opt.contains("scalar-subquery"), opt) // probes present
+      val got = proj.collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(got == Seq(("a1", "b1")))
+      // exploded row count == fine bins only (3 left + 1 right); any
+      // coarse copy would add one row per input row
+      val gens = proj.queryExecution.executedPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.size == 2, proj.queryExecution.executedPlan.toString)
+      val exploded = gens.map(_.metrics("numOutputRows").value).sum
+      assert(exploded == 4, s"expected 4 exploded rows, got $exploded")
+      // coarseChannels=on restores the unconditional copies: one per input
+      // row on top of the 4 fine bins -> 7 exploded rows
+      spark.conf.set(IntervalJoinRewrite.CoarseChannelsKey, "on")
+      try {
+        val on = a.join(b,
+          a("chrom") === b("chrom2") &&
+            a("start") < b("end2") && b("start2") < a("end"))
+          .select("a_id", "b_id")
+        assert(!on.queryExecution.optimizedPlan.toString
+          .contains("scalar-subquery"))
+        val got2 = on.collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+        assert(got2 == got)
+        val gens2 = on.queryExecution.executedPlan.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }
+        assert(gens2.map(_.metrics("numOutputRows").value).sum == 7)
+      } finally spark.conf.unset(IntervalJoinRewrite.CoarseChannelsKey)
+    }
+  }
+
   test("rule leaves equi-joins and non-overlap range joins alone") {
     withExtSession { spark =>
       import spark.implicits._
