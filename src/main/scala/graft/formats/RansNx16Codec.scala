@@ -22,9 +22,12 @@ package graft.formats
   *
   * Conformance notes: the wrapper layers (CAT/PACK and the metadata
   * framing) are validated against a samtools-written CRAM 3.1 file
-  * (`/root/reference/fixtures/sample-ref.cram`); the o0/o1 entropy
-  * sections and RLE/STRIPE are validated by encoder/decoder round-trip
-  * (no tool-produced sample of those paths exists in the test corpus).
+  * (`/root/reference/fixtures/sample-ref.cram`); the o0 and o1 entropy
+  * sections are validated against byte-literal streams hand-derived from
+  * the spec's algorithm (full state arithmetic in `RansNx16CodecSpec`,
+  * not produced by this encoder), including down-shifted frequency
+  * tables; RLE/STRIPE by hand-built streams plus round-trip. No
+  * tool-produced sample of the entropy paths exists in the test corpus.
   */
 object RansNx16Codec {
 
@@ -186,14 +189,14 @@ object RansNx16Codec {
     out
   }
 
-  /** Alphabet + uint7 frequencies, renormalized to 4096 (spec
-    * ReadFrequencies0 / NormaliseFrequencies0). Same sym/run RLE scheme
+  /** Alphabet + uint7 frequencies, scaled to 4096 (spec ReadFrequencies0
+    * + the shift-based NormaliseFrequencies0). Same sym/run RLE scheme
     * as the 4x8 codec's tables, 0-terminated. */
   private def readFreqs0(in: In): (Array[Int], Array[Int]) = {
     val alphabet = readAlphabet(in)
     val f = new Array[Int](256)
     alphabet.foreach(s => f(s) = in.uint7())
-    normalize(f)
+    scaleFreqs(f, 0 until 256, TotFreq)
     val c = new Array[Int](257)
     var x = 0
     var s = 0
@@ -221,6 +224,28 @@ object RansNx16Codec {
     out.toSeq
   }
 
+  /** Decoder-side frequency scaling, matching the spec/htscodecs scheme:
+    * stored tables sum either to `tot` exactly or to a smaller
+    * power-of-two fraction of it (encoders may down-shift small tables),
+    * in which case every frequency is scaled up by the shift difference.
+    * Any other total is a corrupt/non-conformant table — fail loudly
+    * rather than silently building a different table than the encoder
+    * used (which would emit garbage bytes). */
+  private def scaleFreqs(f: Array[Int], syms: Iterable[Int],
+      tot: Int): Unit = {
+    var total = 0L
+    syms.foreach(s => total += f(s))
+    if (total == 0 || total == tot) return
+    require(total < tot && tot % total == 0,
+      s"ransNx16 frequency table sums to $total, " +
+        s"not a power-of-two fraction of $tot")
+    val mul = (tot / total).toInt
+    syms.foreach(s => f(s) *= mul)
+  }
+
+  /** Encoder-side proportional normalization of raw counts to [[TotFreq]]
+    * (spec NormaliseFrequencies0): min-1 clamp, remainder onto the most
+    * frequent symbol. Decode uses the strict [[scaleFreqs]] instead. */
   private def normalize(f: Array[Int]): Unit = {
     var total = 0L
     var s = 0
@@ -295,21 +320,8 @@ object RansNx16Codec {
     alphabet.foreach { ctx =>
       val f = fs(ctx)
       alphabet.foreach { s => f(s) = tblIn.uint7() }
-      // normalize this row to 1 << shift
-      var total = 0L
-      alphabet.foreach(s => total += f(s))
-      if (total > 0 && total != tot) {
-        var assigned = 0
-        var maxSym = alphabet.head
-        alphabet.foreach { s =>
-          if (f(s) > 0) {
-            if (f(s) > f(maxSym)) maxSym = s
-            f(s) = math.max(1, (f(s).toLong * tot / total).toInt)
-            assigned += f(s)
-          }
-        }
-        f(maxSym) += tot - assigned
-      }
+      // scale this row to 1 << shift (strict power-of-two-fraction rule)
+      scaleFreqs(f, alphabet, tot)
       val c = cs(ctx)
       var x = 0
       var s = 0

@@ -17,6 +17,53 @@ class RansNx16CodecSpec extends AnyFunSuite {
     assert(d2.length == 24 && d2.forall(_ == 0xff.toByte))
   }
 
+  test("byte-literal order-0 stream hand-derived from the spec algorithm") {
+    // data = "abababab", N=4, freqs normalized to 4096: f(a)=f(b)=2048,
+    // c(a)=0, c(b)=2048. Encoding backwards from L=2^15 per state, each
+    // state handles 2 symbols; x_max = ((2^15)>>12 << 16)*2048 = 2^30 is
+    // never reached, so no 16-bit words are emitted:
+    //   a-states: 32768 -> (16<<12)+0+0    = 65536  -> (32<<12) = 131072
+    //   b-states: 32768 -> (16<<12)+0+2048 = 67584  -> (33<<12)+0+2048
+    //                                                = 137216
+    // Stream: flags=0, ulen=8, alphabet {a,b} as 61 62 00(run) 00(term),
+    // freqs uint7(2048)=[0x90,0x00] twice, then states u32le
+    // j=0..3: 131072=0x20000, 137216=0x21800, 131072, 137216.
+    val o0 = bytes("00" + "08" + "6162" + "0000" + "9000" + "9000" +
+      "00000200" + "00180200" + "00000200" + "00180200")
+    assert(new String(RansNx16Codec.decode(o0, 8)) == "abababab")
+    // same payload with the frequency table stored down-shifted to sum
+    // 1024 (f=512 each, uint7=[0x84,0x00]): the decoder must scale by 4,
+    // landing on the identical 2048/2048 table
+    val o0shifted = bytes("00" + "08" + "6162" + "0000" + "8400" + "8400" +
+      "00000200" + "00180200" + "00000200" + "00180200")
+    assert(new String(RansNx16Codec.decode(o0shifted, 8)) == "abababab")
+    // a table summing to 12 (not a power-of-two fraction of 4096) is
+    // non-conformant: fail loudly, never silently rebuild a table
+    val bad = bytes("00" + "08" + "6162" + "0000" + "03" + "09" +
+      "00000200" + "00180200" + "00000200" + "00180200")
+    val e = intercept[IllegalArgumentException] {
+      RansNx16Codec.decode(bad, 8)
+    }
+    assert(e.getMessage.contains("power-of-two"))
+  }
+
+  test("byte-literal order-1 stream hand-derived from the spec algorithm") {
+    // data = "abababab", N=4 slices of 2: each state decodes "ab" with
+    // context chain 0 -> 'a'. Shared alphabet {0,'a','b'} (0 is the
+    // initial context); 3x3 row-major freq rows:
+    //   ctx 0:  [0,1,0]      (stored down-shifted: total 1, scaled x4096)
+    //   ctx 'a':[0,0,4096]   (stored exact; uint7(4096)=[0xA0,0x00])
+    //   ctx 'b':[0,0,0]      (never a context: all-zero row stays unused)
+    // With a single 4096-frequency symbol per row, each encode step maps
+    // L=32768 -> (8<<12)+0+0 = 32768, so all 4 states are 32768.
+    // comp byte 0xC0 = shift 12, tables raw. Alphabet bytes: 00 61 62
+    // 00(run after consecutive 61->62) 00(terminator).
+    val o1 = bytes("01" + "08" + "c0" + "00616200" + "00" +
+      "000100" + "0000a000" + "000000" +
+      "00800000" + "00800000" + "00800000" + "00800000")
+    assert(new String(RansNx16Codec.decode(o1, 8)) == "abababab")
+  }
+
   test("order-0 round-trip, 4 and 32 states") {
     val rnd = new scala.util.Random(11)
     for (n <- Seq(4, 32); len <- Seq(32, 100, 4096, 65537)) {
