@@ -93,14 +93,20 @@ class FaiSliceScan(fullSchema: StructType, required: StructType,
     paths.flatMap { p =>
       val gzi = LineSourceUtil.isGzip(p)
       val entries = FaiIndex.readFor(p, conf).getOrElse(Nil)
-      // header line of entry i spans from the previous entry's last
-      // sequence byte (+newline) to this entry's sequence offset
+      // header line of entry i lies in (previous entry's last sequence
+      // byte, this entry's sequence offset); the reader scans that span
+      // forward for the first '>' line, so blank/comment lines between
+      // records are tolerated. Clamp into [0, e.offset] and handle
+      // zero-length previous sequences (whose extent is just the header).
       val byOffset = entries.sortBy(_.offset)
       val headerStarts: Map[String, Long] = byOffset.zipWithIndex.map {
         case (e, 0) => e.name -> 0L
         case (e, i) =>
           val prev = byOffset(i - 1)
-          e.name -> (FaiIndex.byteOffset(prev, prev.length - 1) + 1)
+          val afterPrev =
+            if (prev.length <= 0) prev.offset
+            else FaiIndex.byteOffset(prev, prev.length - 1) + 1
+          e.name -> math.max(0L, math.min(afterPrev, e.offset))
       }.toMap
       entries.flatMap { e =>
         regions.filter(r => r.name == e.name && r.start < e.length).map { r =>

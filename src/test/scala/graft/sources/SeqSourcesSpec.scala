@@ -69,6 +69,35 @@ class SeqSourcesSpec extends SparkSuite {
       s"read ${FastaFaiSource.bytesRead.sum()} bytes")
   }
 
+  test("fasta: fai header location survives gaps and empty sequences") {
+    // records separated by blank lines, with a zero-length record in the
+    // middle: headerStart derivation must not overshoot the next header
+    val dir = java.nio.file.Files.createTempDirectory("graft-faigap")
+    val content = ">chrA first contig\nACGTACGT\n\n\n" +
+      ">chrEmpty placeholder\n" +
+      ">chrB second contig\nGGGGCCCC\n"
+    val fa = dir.resolve("gap.fa")
+    java.nio.file.Files.write(fa, content.getBytes("UTF-8"))
+    val offA = ">chrA first contig\n".length.toLong
+    val offEmpty = offA + 9 + 2 + ">chrEmpty placeholder\n".length
+    val offB = offEmpty + ">chrB second contig\n".length
+    java.nio.file.Files.write(dir.resolve("gap.fa.fai"),
+      (s"chrA\t8\t$offA\t8\t9\n" +
+        s"chrEmpty\t0\t$offEmpty\t8\t9\n" +
+        s"chrB\t8\t$offB\t8\t9\n").getBytes("UTF-8"))
+    val rows = spark.read.format("fasta")
+      .option("regions", "chrA:1-4;chrB:5-8")
+      .load(fa.toString)
+      .orderBy("name").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "chrA" &&
+      rows(0).getString(1) == "first contig" &&
+      rows(0).getString(4) == "ACGT")
+    assert(rows(1).getString(0) == "chrB" &&
+      rows(1).getString(1) == "second contig" &&
+      rows(1).getString(4) == "CCCC")
+  }
+
   test("fasta: bgzipped fasta slices through the gzi block map") {
     import graft.formats.Bgzf
     val dir = java.nio.file.Files.createTempDirectory("graft-gzi")
