@@ -79,16 +79,33 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** One `bitsPerBand`-bit [[hyperplaneBucket]] key per band, each band
-    * seeded independently — the vector-space analogue of the minhash band
-    * construction in `TextOps.lshCandidatePairs`. Two vectors are
+  /** One `bitsPerBand`-bit [[hyperplaneBucket]]-family key per band, each
+    * band seeded independently — the vector-space analogue of the minhash
+    * band construction in `TextOps.lshCandidatePairs`. Two vectors are
     * candidates when ANY band key collides, so recall is
     * 1-(1-p^bits)^bands while each band key keeps full content-derived
-    * cardinality (2^bits values per band — no capped bucket count). */
+    * cardinality (2^bits values per band — no capped bucket count).
+    *
+    * The band's planes enter the plan as ONE literal matrix traversed by a
+    * `transform` lambda, not `bits` separate dot-product subtrees: with
+    * bands×bits planes the unrolled form (r5) produced a 4096-term
+    * expression whose first-use analysis+codegen took ~1 minute; the
+    * matrix form is a constant-size tree per band with identical values
+    * (same per-plane left-to-right double aggregation, same integer
+    * weights). */
   def bandKeys(vec: Column, dim: Int, bands: Int, bitsPerBand: Int,
       seed: Long = 42L): Seq[Column] =
-    (0 until bands).map(b =>
-      hyperplaneBucket(vec, dim, bitsPerBand, seed + 7919L * b))
+    (0 until bands).map { b =>
+      val planes = array(intPlanes(seed + 7919L * b, bitsPerBand, dim)
+        .map(p => array(p.map(v => lit(v.toDouble)).toIndexedSeq: _*))
+        .toIndexedSeq: _*)
+      val bits = transform(planes,
+        p => when(dot(vec, p) > 0.0, 1L).otherwise(0L))
+      val weights = array((0 until bitsPerBand)
+        .map(i => lit(1L << i)).toIndexedSeq: _*)
+      aggregate(zip_with(bits, weights, (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+    }
 
   /** Deterministic near-identity multipliers 1 + k/512 with k ∈ [-10, 10]
     * (dyadic, so the decimal print is the exact double). Multiplying a
