@@ -398,7 +398,17 @@ object OracleSql {
         |   AS n_channels,
         | CAST(8 AS BIGINT) AS bit_depth,
         | count(*) AS n_assets
-        |FROM d GROUP BY 1, 2, 3, 4, 5 ORDER BY mime, width, height""".stripMargin)
+        |FROM d GROUP BY 1, 2, 3, 4, 5 ORDER BY mime, width, height""".stripMargin,
+
+    // q35: the streaming windowed aggregation's final table must equal
+    // the plain batch aggregation — same grouping as q11 minus the
+    // distinct-user count (not expressible in a streaming aggregate)
+    "q35_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |   AS hour_start,
+        | event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** Banded hyperplane-LSH ANN oracle, mirroring
     * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same

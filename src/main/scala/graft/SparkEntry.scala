@@ -515,6 +515,23 @@ object SparkEntry {
       .orderBy(col("mime"), col("width"), col("height"))
   }
 
+  /** Structured Streaming driven to completion and oracle-checked: the
+    * same 1-hour tumbling windows as q11 computed by a REAL streaming
+    * query (file source → AvailableNow → complete-mode memory sink,
+    * [[graft.streaming.EventStream.windowedCountsToCompletion]]); the
+    * final table must match DuckDB's batch aggregation over the same
+    * rows. Streaming forbids exact distinct aggregates, so this query
+    * carries no n_users column. */
+  private def q35_stream_window(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .windowedCountsToCompletion(s, s"$dir/events.parquet")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n_events"),
+        round(col("sum_raw"), 2).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
   /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
   private def q30_multimodal_meta(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -561,7 +578,8 @@ object SparkEntry {
     "q31_token_regex" -> (q31_token_regex _),
     "q32_winnow" -> (q32_winnow _),
     "q33_ann_banded" -> (q33_ann_banded _),
-    "q34_media_dims" -> (q34_media_dims _)) ++
+    "q34_media_dims" -> (q34_media_dims _),
+    "q35_stream_window" -> (q35_stream_window _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

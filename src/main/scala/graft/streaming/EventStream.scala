@@ -122,4 +122,56 @@ object EventStream {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Drive a REAL streaming tumbling-window aggregation to completion over
+    * the events parquet and return its final result: file stream source →
+    * 1-hour windows (complete mode, so every window is in the final
+    * table; streaming forbids exact distinct aggregates, hence no
+    * n_users column) → AvailableNow trigger → memory sink. The result
+    * must equal the batch/DuckDB aggregation over the same rows — the
+    * oracle-checkable face of the streaming layer (gate row q35).
+    * Nanosecond-long `ts` columns are normalized to micros exactly as the
+    * batch path does. */
+  def windowedCountsToCompletion(spark: SparkSession,
+      eventsPath: String): DataFrame = {
+    val batchSchema = spark.read.parquet(eventsPath).schema
+    // the file stream source requires a DIRECTORY; testdata tables are
+    // single parquet files, so stage a symlink (fallback: copy) in a
+    // temp dir — the stream then lists exactly that one file
+    val src = java.nio.file.Paths.get(eventsPath)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) eventsPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-in")
+        val link = d.resolve(src.getFileName)
+        try java.nio.file.Files.createSymbolicLink(link, src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, link)
+        }
+        d.toString
+      }
+    val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
+    val events = batchSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_raw"))
+    val name = s"graft_stream_win_${runCounter.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }

@@ -86,4 +86,43 @@ class EventStreamSpec extends SparkSuite {
     assert(rows(0).getLong(3) == 2 && rows(0).getDouble(4) == 4.0)
     assert(rows(1).getLong(3) == 1 && rows(1).getDouble(4) == 4.0)
   }
+
+  test("streaming run to completion equals the batch aggregation (q35 path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-q35")
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, ts("2024-01-01 01:05:00"), 1L, "view", 1.5),
+        org.apache.spark.sql.Row(2L, ts("2024-01-01 01:55:00"), 2L, "buy", 2.5),
+        org.apache.spark.sql.Row(3L, ts("2024-01-01 01:58:00"), 2L, "view", 3.0),
+        org.apache.spark.sql.Row(4L, ts("2024-01-01 02:05:00"), 1L, "view", 4.0))),
+      EventStream.EventSchema)
+    val file = dir.resolve("ev.parquet")
+    batch.coalesce(1).write.mode("overwrite").parquet(file.toString)
+    val streamed = EventStream
+      .windowedCountsToCompletion(spark, file.toString)
+      .select(org.apache.spark.sql.functions.col("window.start").as("ws"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("n_events"),
+        org.apache.spark.sql.functions.col("sum_raw"))
+      .orderBy("ws", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val expected = batch
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("value")).as("sum_raw"))
+      .select(org.apache.spark.sql.functions.col("window.start").as("ws"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("n_events"),
+        org.apache.spark.sql.functions.col("sum_raw"))
+      .orderBy("ws", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(streamed == expected)
+    assert(streamed.size == 3) // (01h view), (01h buy), (02h view)
+  }
 }
