@@ -168,6 +168,19 @@ class BgzfRangeInputStream(in: Bgzf.SeekableInput,
   def virtualPosition: Bgzf.VirtualPosition =
     Bgzf.VirtualPosition(blockOffset, posInBlock)
 
+  /** [[virtualPosition]] with an exhausted block normalized to the next
+    * block's start, `(nextOffset, 0)`. Index-derived chunk begins always
+    * take that form, so planners comparing a header-end position against
+    * split candidates must use this one — the raw form
+    * `(headerBlock, headerLen)` compares unequal to `(nextBlock, 0)`
+    * even though both name the same stream position, which planned a
+    * record-less leading partition per file. */
+  def alignedVirtualPosition: Bgzf.VirtualPosition = block match {
+    case Some(b) if posInBlock >= b.data.length =>
+      Bgzf.VirtualPosition(blockOffset + b.compressedSize, 0)
+    case _ => virtualPosition
+  }
+
   private def atEnd: Boolean = end.exists { e =>
     blockOffset > e.compressedOffset ||
       (blockOffset == e.compressedOffset && posInBlock >= e.uncompressedOffset)

@@ -241,7 +241,10 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
         val s = new BgzfRangeInputStream(si, VirtualPosition(0L), None)
         val le = new BamCodec.LEInput(s)
         BamCodec.readHeader(le)
-        s.virtualPosition
+        // aligned: an exhausted header block reports the NEXT block start,
+        // matching index-derived split points so no empty leading
+        // partition is planned
+        s.alignedVirtualPosition
       } finally si.close()
       val eof = VirtualPosition(fileLen, 0)
 

@@ -75,7 +75,8 @@ object BcfSource {
       le.readBytes(5)
       val lText = le.readInt()
       le.readBytes(lText)
-      s.virtualPosition
+      // aligned: see BamSource — avoids a record-less leading partition
+      s.alignedVirtualPosition
     } finally si.close()
   }
 

@@ -44,6 +44,9 @@ object SparkSuite {
         .appName("graft-test")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
+        // testdata events.parquet carries nanosecond timestamps; match
+        // the Verify/Bench sessions so specs can read it
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       cached.sparkContext.setLogLevel("WARN")
