@@ -64,8 +64,8 @@ object FaiIndex {
   * from whichever companion metadata a file carries. */
 object GraftMeta {
 
-  /** chrom → size for a FASTA (.fai), BAM (header dictionary), or
-    * BigWig/BigBed (chrom B+ tree). */
+  /** chrom → size for a FASTA (.fai), BAM/CRAM (header dictionary),
+    * VCF/BCF (##contig header lines), or BigWig/BigBed (chrom B+ tree). */
   def chromSizes(path: String): Map[String, Long] = {
     val p = new Path(path)
     val conf = new Configuration()
@@ -78,6 +78,15 @@ object GraftMeta {
         val h = BamCodec.readHeader(new BamCodec.LEInput(s))
         h.refNames.zip(h.refLengths.map(_.toLong)).toMap
       } finally si.close()
+    } else if (lower.endsWith(".cram")) {
+      samDictionary(cramHeaderText(p, conf))
+    } else if (lower.endsWith(".bcf")) {
+      vcfContigs(bcfHeaderText(p, conf))
+    } else if (lower.endsWith(".vcf") || lower.endsWith(".vcf.gz") ||
+        lower.endsWith(".vcf.bgz")) {
+      vcfContigs(leadingLines(p, conf, "#"))
+    } else if (lower.endsWith(".sam")) {
+      samDictionary(leadingLines(p, conf, "@"))
     } else if (lower.endsWith(".bw") || lower.endsWith(".bigwig") ||
         lower.endsWith(".bb") || lower.endsWith(".bigbed")) {
       val fs = p.getFileSystem(conf)
@@ -90,8 +99,104 @@ object GraftMeta {
       FaiIndex.readFor(p, conf)
         .map(_.map(e => e.name -> e.length).toMap)
         .getOrElse(throw new IllegalArgumentException(
-          s"no chrom metadata source for $path (need .bam/.bw/.bb or a .fai)"))
+          s"no chrom metadata source for $path (need bam/cram/vcf/bcf/" +
+            "bw/bb or a .fai)"))
     }
+  }
+
+  /** SAM header text of a CRAM: file definition, first container header,
+    * header block — no data container is touched. */
+  private def cramHeaderText(p: Path, conf: Configuration): String = {
+    val fs = p.getFileSystem(conf)
+    val in = SeekableInputs.forHadoop(fs, p)
+    try {
+      in.seek(0L)
+      val fileLen = in.length
+      val s = new java.io.InputStream {
+        private var pos = 0L
+        override def read(): Int = {
+          val b = new Array[Byte](1)
+          if (read(b, 0, 1) < 0) -1 else b(0) & 0xff
+        }
+        override def read(b: Array[Byte], off: Int, len: Int): Int = {
+          val n = math.min(len.toLong, fileLen - pos).toInt
+          if (n <= 0) return -1
+          in.readFully(b, off, n)
+          pos += n
+          n
+        }
+      }
+      CramCodec.readFileDefinition(s)
+      CramCodec.readContainerHeader(s)
+      val block = CramCodec.readBlock(s)
+      val d = block.data
+      val len = (d(0) & 0xff) | ((d(1) & 0xff) << 8) |
+        ((d(2) & 0xff) << 16) | ((d(3) & 0xff) << 24)
+      new String(d, 4, math.min(len, d.length - 4), "UTF-8")
+    } finally in.close()
+  }
+
+  /** `@SQ SN:/LN:` pairs of a SAM header text. */
+  private def samDictionary(text: String): Map[String, Long] =
+    text.split("\n").iterator.filter(_.startsWith("@SQ")).flatMap { line =>
+      val fields = line.split("\t")
+      for {
+        sn <- fields.collectFirst { case f if f.startsWith("SN:") =>
+          f.substring(3) }
+        ln <- fields.collectFirst { case f if f.startsWith("LN:") =>
+          f.substring(3).toLong }
+      } yield sn -> ln
+    }.toMap
+
+  private def bcfHeaderText(p: Path, conf: Configuration): String = {
+    val fs = p.getFileSystem(conf)
+    val si = SeekableInputs.forHadoop(fs, p)
+    try {
+      val s = new BgzfRangeInputStream(si, Bgzf.VirtualPosition(0L), None)
+      val le = new BamCodec.LEInput(s)
+      le.readBytes(5) // "BCF" + version
+      val lText = le.readInt()
+      new String(le.readBytes(lText), "UTF-8")
+    } finally si.close()
+  }
+
+  /** Leading header lines (those starting with `prefix`) of a plain or
+    * gzip/bgzf text file. */
+  private def leadingLines(p: Path, conf: Configuration,
+      prefix: String): String = {
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
+    val lower = p.getName.toLowerCase
+    val in =
+      if (lower.endsWith(".gz") || lower.endsWith(".bgz"))
+        new java.util.zip.GZIPInputStream(raw)
+      else raw
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"))
+    val sb = new StringBuilder
+    try {
+      var line = r.readLine()
+      while (line != null && line.startsWith(prefix)) {
+        sb.append(line).append('\n')
+        line = r.readLine()
+      }
+    } finally r.close()
+    sb.toString
+  }
+
+  /** `##contig=<ID=...,length=...>` pairs; contigs without a length are
+    * omitted (the surface reports sizes, not bare names). */
+  private def vcfContigs(header: String): Map[String, Long] = {
+    val Re = """##contig=<(.+)>""".r
+    header.linesIterator.collect { case Re(body) =>
+      val attrs = body.split(",").flatMap { part =>
+        val eq = part.indexOf('=')
+        if (eq > 0) Some(part.substring(0, eq) ->
+          part.substring(eq + 1).stripSuffix(">"))
+        else None
+      }.toMap
+      (attrs.get("ID"), attrs.get("length").flatMap(_.toLongOption))
+    }.collect { case (Some(id), Some(len)) => id -> len }.toMap
   }
 
   /** Per-reference record statistics from the companion BAI/CSI/TBI

@@ -143,6 +143,10 @@ class BcfTable(tableSchema: StructType, paths: Seq[Path],
     options: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"bcf:${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
+  // M5 catalog surface: ##contig dictionary + CSI record stats
+  private lazy val tableProps =
+    graft.sources.common.GraftTableProps.forPaths(paths, indexStats = true)
+  override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =

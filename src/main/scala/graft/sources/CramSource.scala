@@ -193,6 +193,10 @@ class CramTable(tableSchema: StructType, paths: Seq[Path],
     options: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"cram:${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
+  // M5 catalog surface: @SQ dictionary from the SAM header container
+  private lazy val tableProps =
+    graft.sources.common.GraftTableProps.forPaths(paths)
+  override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =

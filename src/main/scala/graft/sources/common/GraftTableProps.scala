@@ -28,7 +28,8 @@ object GraftTableProps {
   def forPath(path: Path, zoom: Boolean = false,
       indexStats: Boolean = false): java.util.Map[String, String] = {
     val m = new java.util.LinkedHashMap[String, String]()
-    Try(GraftMeta.chromSizes(path.toString)).toOption.foreach { sizes =>
+    Try(GraftMeta.chromSizes(path.toString)).toOption
+      .filter(_.nonEmpty).foreach { sizes =>
       val sorted = sizes.toSeq.sortBy(_._1)
       m.put("chrom_names", sorted.map(_._1).mkString(","))
       m.put("chrom_sizes",

@@ -136,6 +136,12 @@ class LineTable(format: LineFormat, tableSchema: StructType, paths: Seq[Path],
   override def name(): String =
     s"${format.shortName}:${paths.map(_.toString).mkString(",")}"
   override def schema(): StructType = tableSchema
+  // M5 catalog surface (best-effort): VCF ##contig / SAM @SQ dictionaries
+  // + tabix record stats; formats without header metadata (bed/gff) just
+  // return an empty map
+  private lazy val tableProps =
+    GraftTableProps.forPaths(paths, indexStats = true)
+  override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =

@@ -49,6 +49,37 @@ class TablePropsSpec extends SparkSuite {
     assert(p.get("zoom_levels") == "1000")
   }
 
+  test("vcf and sam tables surface their header dictionaries") {
+    val vcf = tempFile("p.vcf", Seq(
+      "##fileformat=VCFv4.2",
+      "##contig=<ID=chr1,length=248956422>",
+      "##contig=<ID=chrM,length=16569>",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+      "chr1\t100\t.\tA\tG\t.\tPASS\t."))
+    val pv = props(new VcfDataSource(), vcf)
+    assert(pv.get("chrom_names") == "chr1,chrM")
+    assert(pv.get("chrom_sizes") == "chr1:248956422,chrM:16569")
+    val sam = tempFile("p.sam", Seq(
+      "@HD\tVN:1.6",
+      "@SQ\tSN:chr9\tLN:138394717",
+      "s1\t0\tchr9\t10\t60\t4M\t*\t0\t0\tACGT\tFFFF"))
+    val ps = props(new SamDataSource(), sam)
+    assert(ps.get("chrom_sizes") == "chr9:138394717")
+  }
+
+  test("cram and bcf tables surface their header dictionaries") {
+    // reuse the scan-gate fixtures (idempotent writers); running any gate
+    // query materializes them
+    graft.ScanGate.queries.collectFirst {
+      case ("s10_scan_cram", fn, _) => fn(spark, "unused").count()
+    }
+    val p = props(new CramDataSource(), "/tmp/graft_gate/g.cram")
+    assert(p.get("chrom_names") == "chr1,chr2")
+    assert(p.get("chrom_sizes") == "chr1:100,chr2:60")
+    val pb = props(new BcfDataSource(), "/tmp/graft_gate/gv.bcf")
+    assert(pb.get("chrom_sizes") == "chr1:100000")
+  }
+
   test("missing companion metadata omits properties, never fails the read") {
     // FASTA without a .fai: the table still loads; properties are empty.
     val fa = tempFile("nofai.fa", Seq(">c", "ACGT"))
