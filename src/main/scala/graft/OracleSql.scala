@@ -408,7 +408,32 @@ object OracleSql {
         |   AS hour_start,
         | event_type, count(*) AS n_events,
         | round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q36: bedtools-merge via the identical running-max window sweep
+    "q36_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT 'chr' || CAST(o_orderkey % 4 AS VARCHAR) AS chrom,
+        |         CAST((o_custkey * 7919) % 10000000 AS BIGINT) AS "start",
+        |         CAST((o_custkey * 7919) % 10000000 + 40 + o_orderkey % 4000
+        |           AS BIGINT) AS "end"
+        |  FROM orders),
+        |g AS (
+        |  SELECT chrom, "start", "end",
+        |    CASE WHEN max(greatest("end", "start")) OVER w IS NULL
+        |           OR "start" > max(greatest("end", "start")) OVER w
+        |         THEN 1 ELSE 0 END AS new_grp
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY chrom ORDER BY "start", "end"
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |h AS (
+        |  SELECT chrom, "start", "end",
+        |    sum(new_grp) OVER (PARTITION BY chrom ORDER BY "start", "end"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g)
+        |SELECT chrom, min("start") AS "start",
+        |  max(greatest("end", "start")) AS "end", count(*) AS n_merged
+        |FROM h GROUP BY chrom, grp ORDER BY chrom, "start"""".stripMargin)
 
   /** Banded hyperplane-LSH ANN oracle, mirroring
     * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same

@@ -532,6 +532,20 @@ object SparkEntry {
         round(col("sum_raw"), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** bedtools-style merge over deterministic intervals derived from
+    * orders ([[graft.operators.IntervalOps.mergeIntervals]]): per-chrom
+    * running-max sweep via window functions — one shuffle, no driver
+    * state. The DuckDB oracle replays the identical window construction. */
+  private def q36_merge_intervals(s: SparkSession, dir: String): DataFrame = {
+    val iv = pq(s, dir, "orders").select(
+      concat(lit("chr"), (col("o_orderkey") % 4).cast("string")).as("chrom"),
+      ((col("o_custkey") * 7919) % 10000000).cast("long").as("start"),
+      ((col("o_custkey") * 7919) % 10000000 + 40 + col("o_orderkey") % 4000)
+        .cast("long").as("end"))
+    graft.operators.IntervalOps.mergeIntervals(iv)
+      .orderBy(col("chrom"), col("start"))
+  }
+
   /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
   private def q30_multimodal_meta(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -579,7 +593,8 @@ object SparkEntry {
     "q32_winnow" -> (q32_winnow _),
     "q33_ann_banded" -> (q33_ann_banded _),
     "q34_media_dims" -> (q34_media_dims _),
-    "q35_stream_window" -> (q35_stream_window _)) ++
+    "q35_stream_window" -> (q35_stream_window _),
+    "q36_merge_intervals" -> (q36_merge_intervals _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

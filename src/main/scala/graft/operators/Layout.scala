@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-layout helpers for repeated large-scale joins/aggregations.
+  *
+  * Bucketing is the 100 TB answer to "this join runs every day on the
+  * same key": both sides written with `bucketBy(n, key)` + `sortBy` are
+  * hash-partitioned on disk, so Catalyst plans the join with ZERO
+  * exchanges — no shuffle of either side, ever again. The one-time write
+  * cost amortizes across every downstream join/groupBy on the key.
+  * (`PlanAuditSpec` pins the no-Exchange plan.)
+  */
+object Layout {
+
+  /** Write `df` as a bucketed, per-bucket-sorted saved table. Bucket
+    * count should match downstream parallelism (buckets are the minimum
+    * task granularity for bucket-preserving reads). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: String*): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.drop(1): _*)
+      .sortBy(keys.head, keys.drop(1): _*)
+      .saveAsTable(table)
+}

@@ -80,6 +80,24 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bucketed tables join with zero exchanges") {
+    val lineitem = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+    graft.operators.Layout.writeBucketed(lineitem, "li_b", 4, "l_orderkey")
+    graft.operators.Layout.writeBucketed(orders, "ord_b", 4, "o_orderkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b").join(spark.table("ord_b"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = executedString(joined)
+      assert(!plan.contains("Exchange"), plan) // neither side shuffles
+      assert(joined.count() == lineitem.count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("multi-file and glob loads fan out across files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-multi").toString
     for (i <- 1 to 3)

@@ -42,6 +42,8 @@ object SparkSuite {
       cached = SparkSession.builder()
         .master("local[4]")
         .appName("graft-test")
+        .config("spark.sql.warehouse.dir", java.nio.file.Files
+          .createTempDirectory("graft-warehouse").toString)
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         // testdata events.parquet carries nanosecond timestamps; match

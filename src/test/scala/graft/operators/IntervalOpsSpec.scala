@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class IntervalOpsSpec extends SparkSuite {
+
+  test("mergeIntervals: overlaps, book-ends, points, inverted rows") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      // chr1: [10,50) overlaps [40,80); [80,90) book-ends (merges);
+      // [95,95) is a point; [200,100) is inverted (point at 200)
+      ("chr1", 10L, 50L),
+      ("chr1", 40L, 80L),
+      ("chr1", 80L, 90L),
+      ("chr1", 95L, 95L),
+      ("chr1", 200L, 100L),
+      // chr2: disjoint singles
+      ("chr2", 5L, 6L),
+      ("chr2", 8L, 9L))
+      .toDF("chrom", "start", "end")
+    val got = IntervalOps.mergeIntervals(iv)
+      .orderBy("chrom", "start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("chr1", 10L, 90L, 3L),
+      ("chr1", 95L, 95L, 1L),
+      ("chr1", 200L, 200L, 1L),
+      ("chr2", 5L, 6L, 1L),
+      ("chr2", 8L, 9L, 1L)))
+  }
+
+  test("mergeIntervals: merged set is disjoint and covers the input") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val iv = (0 until 500).map { _ =>
+      val st = rnd.nextInt(10000).toLong
+      ("chrX", st, st + 1 + rnd.nextInt(50))
+    }.toDF("chrom", "start", "end")
+    val merged = IntervalOps.mergeIntervals(iv)
+      .orderBy("start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // strictly separated (half-open: a gap of at least one base)
+    merged.sliding(2).foreach {
+      case Array((_, e1, _), (s2, _, _)) => assert(s2 > e1)
+      case _ => ()
+    }
+    assert(merged.map(_._3).sum == 500) // every source row counted once
+    // total covered length equals the length of the union set
+    val covered = merged.map { case (s2, e2, _) => e2 - s2 }.sum
+    val expected = {
+      val points = scala.collection.mutable.Set.empty[Long]
+      iv.collect().foreach { r =>
+        (r.getLong(1) until math.max(r.getLong(2), r.getLong(1)))
+          .foreach(points += _)
+      }
+      points.size.toLong
+    }
+    assert(covered == expected)
+  }
+}
