@@ -47,6 +47,36 @@ object Bgzf {
     def length: Long
   }
 
+  /** True when the input starts with a gzip magic — the BGZF (or plain
+    * gzip) case. htslib also writes UNCOMPRESSED BAM/BCF (`samtools -u`),
+    * whose payload starts directly with the format magic; readers fall
+    * back to raw pass-through for those. */
+  def hasGzipMagic(in: SeekableInput): Boolean = {
+    if (in.length < 2) return false
+    in.seek(0L)
+    val b = new Array[Byte](2)
+    if (in.readFully(b, 0, 2) < 2) return false
+    (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+  }
+
+  private[formats] val RawChunkSize = 1 << 16
+
+  /** Raw-mode pseudo-block: a 64 KiB slice of an uncompressed file,
+    * shaped as a Block so the range-stream state machine is unchanged
+    * (compressedSize == data length, so virtual positions degrade to
+    * (byteOffset, offsetInChunk)). */
+  private[formats] def readRawChunk(in: SeekableInput,
+      offset: Long): Option[Block] = {
+    if (offset >= in.length) return None
+    val n = math.min(RawChunkSize.toLong, in.length - offset).toInt
+    val buf = new Array[Byte](n)
+    in.seek(offset)
+    val got = in.readFully(buf, 0, n)
+    if (got <= 0) None
+    else Some(Block(offset, got,
+      if (got == n) buf else java.util.Arrays.copyOf(buf, got)))
+  }
+
   /** Read the BGZF block starting at `offset`; None at EOF/EOF-sentinel
     * position. */
   def readBlock(in: SeekableInput, offset: Long): Option[Block] = {
@@ -150,10 +180,16 @@ class BgzfRangeInputStream(in: Bgzf.SeekableInput,
   private var block: Option[Bgzf.Block] = None
   private var posInBlock = 0
 
+  // uncompressed BAM/BCF (`samtools -u` style): no gzip magic → serve the
+  // raw bytes through pseudo-blocks; vpos degrades to (byteOffset, delta)
+  private val rawMode = !Bgzf.hasGzipMagic(in)
+
   loadBlock(skipTo = start.uncompressedOffset)
 
   private def loadBlock(skipTo: Int): Unit = {
-    block = Bgzf.readBlock(in, blockOffset)
+    block =
+      if (rawMode) Bgzf.readRawChunk(in, blockOffset)
+      else Bgzf.readBlock(in, blockOffset)
     posInBlock = skipTo
     block match {
       case Some(b) if b.data.isEmpty && blockOffset + b.compressedSize < in.length =>

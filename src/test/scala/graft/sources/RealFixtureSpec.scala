@@ -106,6 +106,68 @@ class RealFixtureSpec extends SparkSuite {
     }
   }
 
+  // sample.ubam: htslib's UNCOMPRESSED BAM (no BGZF wrapper) — the SAM
+  // spec's example trio. Ground truth from a python-struct walk of the
+  // raw bytes: r001 flag163 chr1 pos7 mapq30, r002 pos9 9-op cigar,
+  // r003 pos9.
+  test("real: sample.ubam uncompressed BAM raw pass-through") {
+    withFixture("sample.ubam") {
+      val df = spark.read.format("bam").option("tag_scan_rows", "0")
+        .load(s"$fx/sample.ubam")
+        .select("qname", "flag", "rname", "pos", "mapq")
+        .orderBy("qname").collect()
+      assert(df.length == 3)
+      assert(df.map(_.getString(0)).toSeq == Seq("r001", "r002", "r003"))
+      assert(df(0).getInt(1) == 163 && df(0).getString(2) == "chr1" &&
+        df(0).getLong(3) == 7L && df(0).getInt(4) == 30)
+      assert(df(1).getLong(3) == 9L && df(2).getLong(3) == 9L)
+    }
+  }
+
+  // sample.ubcf: uncompressed BCF2.2 twin of sample.bcf (same 100 chrY
+  // records — first positions confirmed by a python-struct frame walk).
+  test("real: sample.ubcf uncompressed BCF raw pass-through") {
+    withFixture("sample.ubcf") {
+      val u = spark.read.format("bcf").load(s"$fx/sample.ubcf")
+      assert(u.count() == 100)
+      assert(u.orderBy("pos").select("pos").collect().map(_.getLong(0))
+        .take(3).toSeq == Seq(2761189L, 6932688L, 7225794L))
+    }
+  }
+
+  // sample-ref.cram: CRAM *3.1* twin of sample-ref.sam (5 reads over the
+  // 2-contig sample-ref.fa) — rANS Nx16 block codecs end-to-end, not just
+  // the byte-level codec test in RansNx16CodecSpec.
+  test("real: sample-ref.cram (CRAM 3.1) matches its SAM twin") {
+    withFixture("sample-ref.cram", "sample-ref.fa") {
+      val df = spark.read.format("cram")
+        .option("reference", s"$fx/sample-ref.fa")
+        .load(s"$fx/sample-ref.cram")
+        .select("qname", "flag", "rname", "pos", "mapq", "cigar", "seq")
+        .orderBy("pos", "qname").collect()
+      assert(df.length == 5)
+      assert(df.map(_.getString(0)).sorted.toSeq ==
+        Seq("read1", "read1", "read2", "read3", "read4"))
+      val r1 = df.find(r => r.getString(0) == "read1" && r.getInt(1) == 99).get
+      assert(r1.getString(2) == "chr1" && r1.getLong(3) == 1L &&
+        r1.getInt(4) == 30 && r1.getString(5) == "10M" &&
+        r1.getString(6) == "ACGTACGTAC")
+      val r4 = df.find(_.getString(0) == "read4").get
+      assert(r4.getString(2) == "chr2" && r4.getLong(3) == 1L &&
+        r4.getString(5) == "5M2I5M" && r4.getString(6) == "TGCATATGCATG")
+    }
+  }
+
+  test("real: sample-ref.cram.crai region query on the 3.1 file") {
+    withFixture("sample-ref.cram", "sample-ref.cram.crai", "sample-ref.fa") {
+      val chr2 = spark.read.format("cram")
+        .option("reference", s"$fx/sample-ref.fa")
+        .option("regions", "chr2").load(s"$fx/sample-ref.cram")
+      assert(chr2.select("qname").collect().map(_.getString(0)).sorted
+        .toSeq == Seq("read3", "read4"))
+    }
+  }
+
   // sample.vcf: 25 records, samples NA12878i NA12891 NA12892; chrom "1" has
   // 5 records at pos 65872, 69511, 762273, ... (derived via grep/awk).
   test("real: sample.vcf and sample.vcf.gz full scans") {
