@@ -168,6 +168,47 @@ class RealFixtureSpec extends SparkSuite {
     }
   }
 
+  // sample.sam.gz + .tbi: tabix'd SAM text (the bgzf text path with the
+  // SAM preset) — r004 chr1:16 cigar 6M14N1I5M (ref span 25 → covers
+  // 16..40), r003 chr1:29 (6H5M → 29..33), r001 chr2:37.
+  test("real: tabix'd SAM region query") {
+    withFixture("sample.sam.gz", "sample.sam.gz.tbi") {
+      val q = spark.read.format("sam").option("tag_scan_rows", "0")
+        .option("regions", "chr1:25-35").load(s"$fx/sample.sam.gz")
+      // both chr1 reads overlap 25-35 once the cigar span is applied
+      assert(q.select("qname").collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("r003", "r004"))
+      val all = spark.read.format("sam").option("tag_scan_rows", "0")
+        .option("regions", "chr1;chr2").load(s"$fx/sample.sam.gz")
+      assert(all.count() == 3)
+    }
+  }
+
+  // sample.vcf.gz ships BOTH a .tbi and a .csi: staging copies with only
+  // one index each must agree (index auto-detection R2 across layouts).
+  test("real: CSI and TBI indexes give identical VCF region results") {
+    withFixture("sample.vcf.gz", "sample.vcf.gz.tbi", "sample.vcf.gz.csi") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-idx")
+      def stage(idx: String): String = {
+        val d = java.nio.file.Files.createDirectory(dir.resolve(idx))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$fx/sample.vcf.gz"),
+          d.resolve("sample.vcf.gz"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$fx/sample.vcf.gz.$idx"),
+          d.resolve(s"sample.vcf.gz.$idx"))
+        d.resolve("sample.vcf.gz").toString
+      }
+      def posAt(path: String): Seq[Long] =
+        spark.read.format("vcf").option("regions", "1:60000-800000")
+          .load(path).select("pos").collect().map(_.getLong(0)).sorted.toSeq
+      val viaTbi = posAt(stage("tbi"))
+      val viaCsi = posAt(stage("csi"))
+      assert(viaTbi == Seq(65872L, 69511L, 762273L))
+      assert(viaCsi == viaTbi)
+    }
+  }
+
   // sample.vcf: 25 records, samples NA12878i NA12891 NA12892; chrom "1" has
   // 5 records at pos 65872, 69511, 762273, ... (derived via grep/awk).
   test("real: sample.vcf and sample.vcf.gz full scans") {
