@@ -53,8 +53,18 @@ object ScanGate {
     writeSplitBed()
     writeGenotypeVcf()
     writeGenotypeBcf()
+    writeRawBam()
     Root
   }
+
+  /** Uncompressed BAM (no BGZF wrapper): the raw pass-through path that
+    * htslib's `samtools view -u` produces. */
+  private def writeRawBam(): Unit =
+    BamFixture.writeRaw(s"$Root/u.bam", Seq(("chr1", 100000)), Seq(
+      BamFixture.Rec("u1", 0, 0, 10, 60, Seq((4, 'M')), "ACGT", "FFFF"),
+      BamFixture.Rec("u2", 16, 0, 50, 30, Seq((2, 'M'), (1, 'D'), (2, 'M')),
+        "GGCC", null),
+      BamFixture.Rec("u3", 4, -1, -1, 0, Nil, "TTAA", null)))
 
   private def writeBam(): Unit = {
     BamFixture.write(s"$Root/g.bam",
@@ -628,5 +638,18 @@ object ScanGate {
       val bcf = flatten(s.read.format("bcf").load(s"$Root/gv.bcf"),
         "bcf", byField = false)
       bcf.unionAll(byField).unionAll(bySample).orderBy("src", "pos")
-    }, oracleFor("s21_genotypes", "src, pos")))
+    }, oracleFor("s21_genotypes", "src, pos")),
+
+    // uncompressed BAM (raw pass-through, no BGZF): same decode pipeline,
+    // pseudo-block stream; cigar-extended end and unmapped row included
+    ("s22_scan_ubam", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s22_scan_ubam", alnSchema, Seq(
+        Row("u1", 0, "chr1", 11L, "4M", "ACGT", 14L),
+        Row("u2", 16, "chr1", 51L, "2M1D2M", "GGCC", 55L),
+        Row("u3", 4, null, null, null, "TTAA", null)))
+      s.read.format("bam").option("tag_scan_rows", "0").load(s"$Root/u.bam")
+        .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
+        .orderBy("qname")
+    }, oracleFor("s22_scan_ubam", "qname")))
 }

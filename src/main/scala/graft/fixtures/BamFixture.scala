@@ -100,6 +100,16 @@ object BamFixture {
     case (n, op) if "MDN=X".indexOf(op.toInt) >= 0 => n
   }.sum
 
+  /** Write `records` as an UNCOMPRESSED BAM (no BGZF wrapper, htslib
+    * `samtools view -u` style) — exercises the raw pass-through path. */
+  def writeRaw(path: String, refs: Seq[(String, Int)],
+      records: Seq[Rec]): Unit = {
+    val out = new FileOutputStream(path)
+    out.write(encodeHeader(refs))
+    records.foreach(r => out.write(encodeRecord(r)))
+    out.close()
+  }
+
   /** Write `records` (mapped ones must be sorted by refId, pos) to
     * `path` (.bam) and a matching `.bam.bai`. Returns per-record block
     * offsets. */
