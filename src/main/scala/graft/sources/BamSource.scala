@@ -231,6 +231,19 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
     val unmappedOnly = options.get("unmapped").exists(_.toBoolean)
     val regions = parseRegions
 
+    // caller-precomputed virtual-position ranges (scan_virtual_ranges,
+    // `alignment/scanner/bam.rs:263-279`): bounds must be record starts
+    val explicit = options.get("virtual_ranges").toSeq
+      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map { s =>
+        val Array(a, b) = s.split("-")
+        (a.trim.toLong, b.trim.toLong)
+      }
+    if (explicit.nonEmpty)
+      return paths.flatMap(p => explicit.map { case (a, b) =>
+        BamInputPartition(p.toString, a, b, Nil)
+      }).toArray
+
     paths.flatMap { p =>
       val fs = p.getFileSystem(conf)
       val fileLen = fs.getFileStatus(p).getLen

@@ -229,10 +229,35 @@ class LineScan(format: LineFormat, fullSchema: StructType,
       }
       if (fromOpt.nonEmpty) fromOpt else fromFilters
     }
+    // caller-precomputed partitioning (reference scan_byte_ranges /
+    // scan_virtual_ranges, `alignment/scanner/bam.rs:239-279`): explicit
+    // "start-end;start-end" pairs. byte_ranges addresses plain-text
+    // bytes — split points may fall mid-line, the reader's
+    // first-line-skip/last-line-finish ownership keeps rows exactly-once;
+    // virtual_ranges addresses BGZF virtual positions, whose bounds must
+    // be record starts (chunk begins from an index), as in the reference.
+    def parseRanges(key: String): Seq[(Long, Long)] =
+      options.get(key).toSeq
+        .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+        .map { s =>
+          val Array(a, b) = s.split("-")
+          (a.trim.toLong, b.trim.toLong)
+        }
+    val byteRanges = parseRanges("byte_ranges")
+    val virtualRanges = parseRanges("virtual_ranges")
+
     paths.flatMap { p =>
       val fs = p.getFileSystem(conf)
       val len = fs.getFileStatus(p).getLen
-      if (LineSourceUtil.isGzip(p)) {
+      if (virtualRanges.nonEmpty) {
+        virtualRanges.map { case (a, b) =>
+          LineInputPartition(p.toString, a, b, gzip = false, vpos = true)
+        }
+      } else if (byteRanges.nonEmpty) {
+        byteRanges.map { case (a, b) =>
+          LineInputPartition(p.toString, a, math.min(b, len), gzip = false)
+        }
+      } else if (LineSourceUtil.isGzip(p)) {
         // BGZF + tabix index → vpos partitions (region chunks or splits)
         GenomicIndex.findFor(fs, p) match {
           case Some(index) if regions.nonEmpty =>

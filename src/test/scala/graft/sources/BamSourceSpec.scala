@@ -101,6 +101,26 @@ class BamSourceSpec extends SparkSuite {
     assert(df.select("qname").distinct().count() == 5)
   }
 
+  test("bam: explicit virtual_ranges option drives the partitioning") {
+    // precompute record-start vpos from the BAI chunk begins (the
+    // reference's scan_virtual_ranges contract) and scan exactly those
+    val p = new org.apache.hadoop.fs.Path(bamPath)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val index = GenomicIndex.findFor(fs, p).get
+    val starts = index.refs.flatMap(_.bins.values.flatMap(_.chunks))
+      .map(_.begin.value).distinct.sorted
+    val eof = fs.getFileStatus(p).getLen << 16
+    val spec = (starts :+ eof).sliding(2)
+      .map { case Seq(a, b) => s"$a-$b" }.mkString(";")
+    val df = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("virtual_ranges", spec).load(bamPath)
+    assert(df.rdd.getNumPartitions == starts.length)
+    // mapped records only: the unmapped tail is past the last chunk...
+    // except the final range extends to EOF, so all 5 records appear
+    assert(df.select("qname").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("r001", "r002", "r003", "r004", "r005"))
+  }
+
   test("bam: coords=01 zero-based positions") {
     val df = spark.read.format("bam").option("tag_scan_rows", "0")
       .option("coords", "01").load(bamPath)

@@ -25,6 +25,44 @@ class IndexedTextSpec extends SparkSuite {
     ("chr1", 100L, 200L), ("chr1", 15000L, 15100L), ("chr1", 40000L, 40200L),
     ("chr2", 50L, 80L), ("chr2", 20000L, 20100L))
 
+  test("explicit byte_ranges and virtual_ranges options drive the scan") {
+    // plain text: split points landing mid-line must still yield each row
+    // exactly once (first-line-skip / last-line-finish ownership)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ranges")
+    val lines = rows.map { case (c, s, e) => s"$c\t$s\t$e\n" }.mkString
+    val txt = dir.resolve("r.bed")
+    java.nio.file.Files.write(txt, lines.getBytes("UTF-8"))
+    val mid = lines.length / 2 // mid-file, intentionally not line-aligned
+    val byBytes = spark.read.format("bed").option("bed_schema", "bed3")
+      .option("byte_ranges", s"0-$mid;$mid-${lines.length}")
+      .load(txt.toString)
+    assert(byBytes.rdd.getNumPartitions == 2)
+    assert(byBytes.count() == rows.length)
+    assert(byBytes.orderBy("chrom", "start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      rows.sortBy(r => (r._1, r._2)))
+
+    // BGZF: virtual-position ranges whose bounds are record starts — the
+    // per-line block layout makes every (blockOffset<<16) a record start
+    val gz = writeTabixedBed("r.bed.gz", rows)
+    val fs = new org.apache.hadoop.fs.Path(gz)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val index = graft.formats.GenomicIndex
+      .findFor(fs, new org.apache.hadoop.fs.Path(gz)).get
+    val starts = index.refs.flatMap(_.bins.values.flatMap(_.chunks))
+      .map(_.begin.value).distinct.sorted
+    val eof = fs.getFileStatus(new org.apache.hadoop.fs.Path(gz)).getLen << 16
+    val bounds = starts :+ eof
+    val rangeSpec = bounds.sliding(2)
+      .map { case Seq(a, b) => s"$a-$b" }.mkString(";")
+    val byVpos = spark.read.format("bed").option("bed_schema", "bed3")
+      .option("virtual_ranges", rangeSpec).load(gz)
+    assert(byVpos.rdd.getNumPartitions == rows.length)
+    assert(byVpos.orderBy("chrom", "start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      rows.sortBy(r => (r._1, r._2)))
+  }
+
   test("tabix region query reads only matching chunks") {
     val p = writeTabixedBed("a.bed.gz", rows)
     val df = spark.read.format("bed").option("bed_schema", "bed3")
