@@ -26,7 +26,13 @@ object IntervalOps {
     * interval. Zero-length and inverted rows participate as points at
     * `start`. */
   def mergeIntervals(df: DataFrame, chrom: String = "chrom",
-      start: String = "start", end: String = "end"): DataFrame = {
+      start: String = "start", end: String = "end"): DataFrame =
+    windowMerge(df, chrom, start, end, lit(1L))
+
+  /** The running-max window sweep shared by both merge variants; `cnt`
+    * is each row's source-row weight. */
+  private def windowMerge(df: DataFrame, chrom: String, start: String,
+      end: String, cnt: org.apache.spark.sql.Column): DataFrame = {
     val ord = Window.partitionBy(col(chrom)).orderBy(col(start), col(end))
     // the running max of `end` over all PRIOR rows; a new merged group
     // starts where the current start exceeds it (strictly: half-open
@@ -42,7 +48,57 @@ object IntervalOps {
       .agg(
         min(col(start)).as("start"),
         max(greatest(col(end), col(start))).as("end"),
-        count(lit(1)).as("n_merged"))
+        sum(cnt).as("n_merged"))
       .drop("__grp")
+  }
+
+  /** One locally-merged run: disjoint within its source partition. */
+  final case class IvRun(chrom: String, start: Long, end: Long, n: Long)
+
+  /** Skew-robust merge for few-contig loads. [[mergeIntervals]]'s window
+    * puts an entire chromosome in one task; here the data is first
+    * range-repartitioned on (chrom, start) and each sorted partition is
+    * merged by a streaming linear sweep, so the per-chromosome window
+    * only processes the surviving RUNS (input reduced by the local merge
+    * factor — the common case for dense genomic interval sets; a
+    * no-overlap worst case degrades to the plain window). Results are
+    * identical to [[mergeIntervals]]. */
+  def mergeIntervalsRange(df: DataFrame, chrom: String = "chrom",
+      start: String = "start", end: String = "end",
+      partitions: Int = 0): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val n = if (partitions > 0) partitions
+      else session.sessionState.conf.numShufflePartitions
+    val typed = df.select(col(chrom).cast("string").as("_1"),
+      col(start).cast("long").as("_2"), col(end).cast("long").as("_3"))
+      .as[(String, Long, Long)]
+    val runs = typed
+      .repartitionByRange(n, col("_1"), col("_2"))
+      .sortWithinPartitions("_1", "_2", "_3")
+      .mapPartitions { it =>
+        val base = it.map { case (c, st, en) => (c, st, math.max(en, st)) }
+        new Iterator[IvRun] {
+          private var cur: IvRun = null
+          private var pending: IvRun = null
+          private def advance(): Unit = {
+            while (pending == null && base.hasNext) {
+              val (c, st, en) = base.next()
+              if (cur == null) cur = IvRun(c, st, en, 1)
+              else if (c == cur.chrom && st <= cur.end)
+                cur = cur.copy(end = math.max(cur.end, en), n = cur.n + 1)
+              else { pending = cur; cur = IvRun(c, st, en, 1) }
+            }
+            if (pending == null && cur != null && !base.hasNext) {
+              pending = cur; cur = null
+            }
+          }
+          def hasNext: Boolean = { advance(); pending != null }
+          def next(): IvRun = {
+            advance(); val r = pending; pending = null; r
+          }
+        }
+      }
+    windowMerge(runs.toDF(), "chrom", "start", "end", col("n"))
   }
 }

@@ -32,6 +32,33 @@ class IntervalOpsSpec extends SparkSuite {
       ("chr2", 8L, 9L, 1L)))
   }
 
+  test("mergeIntervalsRange equals mergeIntervals, including single-contig") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // heavy single-contig plus two light ones — the skew shape the
+    // range variant exists for
+    val iv = ((0 until 2000).map { _ =>
+      val st = rnd.nextInt(50000).toLong
+      ("chrBig", st, st + 1 + rnd.nextInt(60))
+    } ++ (0 until 50).map { _ =>
+      val st = rnd.nextInt(5000).toLong
+      ("chrA", st, st + 1 + rnd.nextInt(40))
+    } :+ (("chrB", 10L, 10L)))
+      .toDF("chrom", "start", "end")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("chrom", "start").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val plain = canon(IntervalOps.mergeIntervals(iv))
+    val ranged = canon(IntervalOps.mergeIntervalsRange(iv, partitions = 7))
+    assert(ranged == plain)
+    // and with a partition count that gives tiny partitions (boundary-
+    // crossing runs everywhere)
+    assert(canon(IntervalOps.mergeIntervalsRange(iv, partitions = 40)) ==
+      plain)
+  }
+
   test("mergeIntervals: merged set is disjoint and covers the input") {
     val s = spark
     import s.implicits._
