@@ -533,16 +533,19 @@ object SparkEntry {
       .orderBy(col("hour_start"), col("event_type"))
 
   /** bedtools-style merge over deterministic intervals derived from
-    * orders ([[graft.operators.IntervalOps.mergeIntervals]]): per-chrom
-    * running-max sweep via window functions — one shuffle, no driver
-    * state. The DuckDB oracle replays the identical window construction. */
+    * orders, through the skew-robust production path
+    * ([[graft.operators.IntervalOps.mergeIntervalsRange]]: range
+    * repartition → per-partition linear sweep → window over surviving
+    * runs). The DuckDB oracle replays the equivalent single window
+    * construction — both formulations are provably identical, so the
+    * gate validates the scale path against the simple spec. */
   private def q36_merge_intervals(s: SparkSession, dir: String): DataFrame = {
     val iv = pq(s, dir, "orders").select(
       concat(lit("chr"), (col("o_orderkey") % 4).cast("string")).as("chrom"),
       ((col("o_custkey") * 7919) % 10000000).cast("long").as("start"),
       ((col("o_custkey") * 7919) % 10000000 + 40 + col("o_orderkey") % 4000)
         .cast("long").as("end"))
-    graft.operators.IntervalOps.mergeIntervals(iv)
+    graft.operators.IntervalOps.mergeIntervalsRange(iv)
       .orderBy(col("chrom"), col("start"))
   }
 
