@@ -433,7 +433,22 @@ object OracleSql {
         |  FROM g)
         |SELECT chrom, min("start") AS "start",
         |  max(greatest("end", "start")) AS "end", count(*) AS n_merged
-        |FROM h GROUP BY chrom, grp ORDER BY chrom, "start"""".stripMargin)
+        |FROM h GROUP BY chrom, grp ORDER BY chrom, "start"""".stripMargin,
+
+    // q37: connected components of the LSH pair graph via a recursive
+    // transitive-closure CTE — every node labeled with the smallest
+    // reachable id, mirroring TextOps.dedupClusters' fixpoint
+    "q37_dedup_clusters" ->
+      s"""WITH RECURSIVE $pairCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin)
 
   /** Banded hyperplane-LSH ANN oracle, mirroring
     * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same

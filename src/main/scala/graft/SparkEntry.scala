@@ -549,6 +549,18 @@ object SparkEntry {
       .orderBy(col("chrom"), col("start"))
   }
 
+  /** Near-dup cluster formation over the LSH candidate pairs
+    * ([[TextOps.dedupClusters]]): connected components by min-label
+    * propagation, each doc mapped to its component's smallest id — the
+    * keep/drop decision of a dedup pipeline. The DuckDB oracle computes
+    * the same components with a recursive transitive-closure CTE. */
+  private def q37_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8),
+      "doc_id", k = 8, bandSize = 2)
+    TextOps.dedupClusters(pairs).orderBy("doc_id")
+  }
+
   /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
   private def q30_multimodal_meta(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -597,7 +609,8 @@ object SparkEntry {
     "q33_ann_banded" -> (q33_ann_banded _),
     "q34_media_dims" -> (q34_media_dims _),
     "q35_stream_window" -> (q35_stream_window _),
-    "q36_merge_intervals" -> (q36_merge_intervals _)) ++
+    "q36_merge_intervals" -> (q36_merge_intervals _),
+    "q37_dedup_clusters" -> (q37_dedup_clusters _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

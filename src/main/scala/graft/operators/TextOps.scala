@@ -93,6 +93,52 @@ object TextOps {
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB)).cast("double")
 
+  /** Near-duplicate CLUSTERS from verified pair edges: connected
+    * components by iterative min-label propagation — each member of a
+    * component converges to the smallest doc id reachable from it, the
+    * canonical representative a dedup pipeline keeps.
+    *
+    * Scale shape: each superstep is one equi-join + partial-aggregated
+    * groupBy over the edge list; the driver only checks a one-row
+    * convergence aggregate per step (the standard Spark
+    * connected-components pattern — iteration control on the driver,
+    * data never leaves the cluster) and `localCheckpoint` truncates the
+    * growing lineage. Steps needed = component diameter, which for
+    * near-dup clusters is small; `maxIter` bounds pathological chains.
+    * Only ids that appear in an edge are returned (singletons are their
+    * own cluster implicitly). */
+  def dedupClusters(pairs: DataFrame, a: String = "id_a",
+      b: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels.join(nbrMin,
+          labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"),
+            col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .where(col("u.cluster_id") =!= col("l.cluster_id"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** `bits`-wide simhash over word unigrams: bit b is set when the sum of
