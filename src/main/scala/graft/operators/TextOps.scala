@@ -119,21 +119,20 @@ object TextOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors;
+      // the previous label rides along so convergence is read off the
+      // same materialized frame without a second join
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
       val updated = labels.join(nbrMin,
           labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("nbr_min"),
             col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .where(col("u.cluster_id") =!= col("l.cluster_id"))
-        .isEmpty
-      labels = updated
+      converged = updated.where(col("cluster_id") =!= col("__old")).isEmpty
+      labels = updated.drop("__old")
       iter += 1
     }
     labels
