@@ -6,16 +6,31 @@ import org.apache.spark.sql.functions._
 /** Text-analysis and deduplication operators for large-scale document
   * pipelines (the LLM-data-prep extension layer; BASELINE.json north star).
   *
-  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
-  * — no UDFs — so whole plans stay inside whole-stage codegen and every
-  * shuffle benefits from map-side partial aggregation. The hash primitive
-  * (first 8 hex chars of md5 → int) is deliberately reproducible in any SQL
-  * engine, which is also how the DuckDB oracle cross-checks these operators.
+  * Everything here is built from `org.apache.spark.sql.functions` — no
+  * UDFs — so every shuffle benefits from map-side partial aggregation.
+  * Scalar pipelines stay inside whole-stage codegen; the higher-order
+  * array functions (transform/filter/aggregate) evaluate interpreted,
+  * which is why array-valued subexpressions must be let-bound (see
+  * [[TextOps.bind]]) rather than referenced inside lambdas. The hash
+  * primitive (first 8 hex chars of md5 → int) is deliberately
+  * reproducible in any SQL engine, which is also how the DuckDB oracle
+  * cross-checks these operators.
   */
 object TextOps {
 
   /** Whitespace tokenization (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Expression-level let-binding: evaluate `bound` ONCE per row and pass
+    * the value into `f`. Catalyst has no common-subexpression elimination
+    * across higher-order-function lambda boundaries, so an array-valued
+    * subexpression referenced inside a `transform` lambda is re-evaluated
+    * for EVERY element — quadratic for windowed constructions (a sf0.1
+    * winnowing materialization burned 750+ s in one task before this).
+    * Wrapping the value as the single element of an array and
+    * transforming over it binds it as a lambda variable instead. */
+  private def bind(bound: Column, f: Column => Column): Column =
+    element_at(transform(array(bound), f), 1)
 
   /** 32-bit base hash of a string: first 8 hex digits of md5. Stable across
     * engines, uniform, cheap. */
@@ -34,13 +49,14 @@ object TextOps {
   val MinhashP: Long = 2038074743L
 
   /** Word 3-gram shingles; documents shorter than 3 words fall back to the
-    * truncated tail slice so every document has ≥1 shingle. */
-  def shingles(text: Column): Column = {
-    val ws = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(3))))
-  }
+    * truncated tail slice so every document has ≥1 shingle. The token
+    * array is [[bind]]-ed so the text is split once, not once per
+    * shingle position. */
+  def shingles(text: Column): Column =
+    bind(tokens(text), ws =>
+      transform(
+        sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+        i => concat_ws(" ", slice(ws, i, lit(3)))))
 
   /** Per-document minhash signatures.
     *
@@ -169,16 +185,20 @@ object TextOps {
     * the MOSS scheme): hash every k-char gram, keep the minimum of each
     * w-wide window, dedupe. Robust to local edits — two documents
     * sharing a long run share fingerprints regardless of alignment.
-    * Pure codegen'd built-ins (sequence/transform/slice/array_min), and
-    * the md5-based gram hash is engine-reproducible for the oracle. */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val hashes = transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => baseHash(text.substr(i, lit(k))))
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-      i => array_min(slice(hashes, i, lit(w)))))
-  }
+    * Built entirely from built-in functions (no UDF); the md5-based gram
+    * hash is engine-reproducible for the oracle. The gram-hash array is
+    * [[bind]]-ed so each gram is hashed once — without the binding the
+    * O(n) hash array was re-evaluated per window position, O(n²) md5
+    * calls per document. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    bind(
+      transform(
+        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+        i => baseHash(text.substr(i, lit(k)))),
+      hashes =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+          i => array_min(slice(hashes, i, lit(w))))))
 
   /** Exact deduplication: keep the row with the smallest `idCol` per
     * fingerprint. Window-free formulation (min + semi-join back) so both

@@ -198,9 +198,14 @@ class BamScanBuilder(fullSchema: StructType, paths: Seq[Path],
 }
 
 /** A BAM partition: a virtual-position range of one file, with optional
-  * residual region list (0-based half-open) to re-check per record. */
+  * residual region list (0-based half-open) to re-check per record.
+  * `unmappedOnly` keeps only flag-0x4 records — the tail scan starts at
+  * the last indexed offset, but an index-less file scans everything and
+  * sorted BAMs can interleave mate-placed unmapped reads with mapped
+  * ones, so the flag is the authoritative filter (mirrors CramSource). */
 case class BamInputPartition(pathStr: String, startVpos: Long, endVpos: Long,
-    regions: Seq[(String, Long, Long)]) extends InputPartition
+    regions: Seq[(String, Long, Long)],
+    unmappedOnly: Boolean = false) extends InputPartition
 
 class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
     options: Map[String, String], pushed: Array[Filter], limit: Int)
@@ -271,7 +276,8 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
               .flatMap(_.bins.valuesIterator.flatMap(_.chunks.map(_.end.value)))
               .maxOption)
         }.map(VirtualPosition(_)).getOrElse(headEnd)
-        Seq(BamInputPartition(p.toString, lastMapped.value, eof.value, Nil))
+        Seq(BamInputPartition(p.toString, lastMapped.value, eof.value, Nil,
+          unmappedOnly = true))
       } else if (regions.nonEmpty && index.isDefined) {
         // S3: indexed region query — resolve chrom → refId via header
         val si2 = SeekableInputs.forHadoop(fs, p)
@@ -385,10 +391,11 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
       decoder.read(le) match {
         case None => return false
         case Some(rec) =>
-          val keep = regionsById.isEmpty || regionsById.exists {
-            case (id, s, e) =>
-              rec.refId == id && rec.pos0 < e && (rec.pos0 + rec.refLen) > s
-          }
+          val keep = (!part.unmappedOnly || (rec.flag & 0x4) != 0) &&
+            (regionsById.isEmpty || regionsById.exists {
+              case (id, s, e) =>
+                rec.refId == id && rec.pos0 < e && (rec.pos0 + rec.refLen) > s
+            })
           if (keep) {
             current =
               if (identityProj) rec.row

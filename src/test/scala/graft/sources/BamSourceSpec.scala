@@ -121,6 +121,24 @@ class BamSourceSpec extends SparkSuite {
       Seq("r001", "r002", "r003", "r004", "r005"))
   }
 
+  test("bam: unmapped=true on an index-less file filters by flag") {
+    // without an index the tail scan covers the whole file, so the flag
+    // filter is what keeps the mapped records out (mirrors CramSource)
+    val dir = java.nio.file.Files.createTempDirectory("graft-unm")
+    val p = dir.resolve("u.bam").toString
+    BamFixture.writeRaw(p, Seq(("chr1", 100000)), Seq(
+      Rec("m1", 0, 0, 10, 60, m(4), "ACGT", "FFFF"),
+      Rec("m2", 16, 0, 50, 30, m(4), "GGCC", null),
+      Rec("u1", 4, -1, -1, 0, Nil, "TTAA", null)))
+    val unm = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("unmapped", "true").load(p)
+    assert(unm.select("qname").collect().map(_.getString(0)).toSeq ==
+      Seq("u1"))
+    // the plain scan still sees everything
+    val all = spark.read.format("bam").option("tag_scan_rows", "0").load(p)
+    assert(all.count() == 3)
+  }
+
   test("bam: coords=01 zero-based positions") {
     val df = spark.read.format("bam").option("tag_scan_rows", "0")
       .option("coords", "01").load(bamPath)
