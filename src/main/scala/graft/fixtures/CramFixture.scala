@@ -124,6 +124,19 @@ object CramFixture {
         val gz = new java.util.zip.GZIPOutputStream(b)
         gz.write(data); gz.close()
         (1, b.toByteArray)
+      case 2 =>
+        val b = new ByteArrayOutputStream()
+        val bz = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorOutputStream(b)
+        bz.write(data); bz.close()
+        (2, b.toByteArray)
+      case 3 =>
+        // the .xz container, matching htslib's lzma_easy_buffer_encode
+        val b = new ByteArrayOutputStream()
+        val xz = new org.tukaani.xz.XZOutputStream(
+          b, new org.tukaani.xz.LZMA2Options())
+        xz.write(data); xz.close()
+        (3, b.toByteArray)
       case 4 => (4, graft.formats.RansCodec.encode(data, 1))
       case other =>
         throw new IllegalArgumentException(s"fixture block method $other")

@@ -22,10 +22,11 @@ import scala.collection.mutable
   *    reference-based sequence reconstruction via the substitution
   *    matrix; detached mate info; CRAI index parsing for region queries
   *
-  * Block methods: raw, gzip, rans4x8, and CRAM 3.1's ransNx16
-  * ([[RansNx16Codec]]). Unsupported (precise error on contact):
-  * bzip2/lzma and the remaining 3.1 codecs (adaptive arithmetic,
-  * fqzcomp, name tokeniser).
+  * Block methods: raw, gzip, bzip2 (commons-compress), lzma (xz-java —
+  * both the .xz container htslib writes and the bare .lzma "alone"
+  * format), rans4x8, and CRAM 3.1's ransNx16 ([[RansNx16Codec]]).
+  * Unsupported (precise error on contact): the remaining 3.1 codecs
+  * (adaptive arithmetic, fqzcomp, name tokeniser).
   */
 object CramCodec {
 
@@ -164,13 +165,30 @@ object CramCodec {
       case 1 =>
         val gz = new GZIPInputStream(new ByteArrayInputStream(payload))
         try readFully(gz, rawSize) finally gz.close()
+      case 2 =>
+        // bzip2, via commons-compress (a Spark runtime dependency)
+        val bz = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorInputStream(new ByteArrayInputStream(payload))
+        try readFully(bz, rawSize) finally bz.close()
+      case 3 =>
+        // htslib writes LZMA blocks in the .xz container
+        // (lzma_easy_buffer_encode); accept the bare .lzma "alone"
+        // format too for robustness. xz-java ships with Spark.
+        val isXz = payload.length >= 6 &&
+          payload(0) == 0xfd.toByte && payload(1) == '7'.toByte &&
+          payload(2) == 'z'.toByte && payload(3) == 'X'.toByte &&
+          payload(4) == 'Z'.toByte && payload(5) == 0x00.toByte
+        val xz: InputStream =
+          if (isXz) new org.tukaani.xz.XZInputStream(
+            new ByteArrayInputStream(payload))
+          else new org.tukaani.xz.LZMAInputStream(
+            new ByteArrayInputStream(payload))
+        try readFully(xz, rawSize) finally xz.close()
       case 4 => RansCodec.decode(payload)
       case 5 => RansNx16Codec.decode(payload, rawSize)
       case other =>
         // name the exact codec so users know what their file needs
         val name = other match {
-          case 2 => "bzip2"
-          case 3 => "lzma"
           case 6 => "adaptive arithmetic (CRAM 3.1)"
           case 7 => "fqzcomp (CRAM 3.1)"
           case 8 => "name tokeniser (CRAM 3.1)"
@@ -178,7 +196,7 @@ object CramCodec {
         }
         throw new UnsupportedOperationException(
           s"CRAM block compression method $other ($name) not supported; " +
-            "supported: raw, gzip, rans4x8, ransNx16")
+            "supported: raw, gzip, bzip2, lzma, rans4x8, ransNx16")
     }
     readIntLE(in) // crc32
     Block(method, contentType, contentId, data)

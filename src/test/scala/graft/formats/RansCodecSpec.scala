@@ -64,4 +64,28 @@ class RansCodecSpec extends AnyFunSuite {
     assert(block.contentId == 77)
     assert(block.data.sameElements(payload))
   }
+
+  test("cram blocks declared method=3 accept bare .lzma alone format") {
+    // htslib emits the .xz container (covered by CramSourceSpec); the
+    // bare LZMA-alone framing is the documented fallback sniff path
+    val payload = ("quality string data " * 40).getBytes("ASCII")
+    val b = new java.io.ByteArrayOutputStream()
+    val lz = new org.tukaani.xz.LZMAOutputStream(
+      b, new org.tukaani.xz.LZMA2Options(), payload.length.toLong)
+    lz.write(payload); lz.close()
+    val compressed = b.toByteArray
+    assert(compressed(0) != 0xfd.toByte) // genuinely not the xz container
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(3) // method lzma
+    o.write(4) // content type external
+    CramCodec.writeItf8(o, 78)
+    CramCodec.writeItf8(o, compressed.length)
+    CramCodec.writeItf8(o, payload.length)
+    o.write(compressed)
+    o.write(Array.fill[Byte](4)(0)) // crc
+    val block = CramCodec.readBlock(
+      new java.io.ByteArrayInputStream(o.toByteArray))
+    assert(block.contentId == 78)
+    assert(block.data.sameElements(payload))
+  }
 }

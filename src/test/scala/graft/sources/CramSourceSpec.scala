@@ -159,6 +159,8 @@ class CramSourceSpec extends SparkSuite {
     val raw = scan(0)
     assert(raw.map(_._1) == Seq("c1", "c2"))
     assert(scan(1) == raw) // gzip blocks
+    assert(scan(2) == raw) // bzip2 blocks
+    assert(scan(3) == raw) // lzma blocks (.xz container, as htslib writes)
     assert(scan(4) == raw) // rANS 4x8 blocks
   }
 
