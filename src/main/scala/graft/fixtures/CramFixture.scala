@@ -138,6 +138,7 @@ object CramFixture {
         xz.write(data); xz.close()
         (3, b.toByteArray)
       case 4 => (4, graft.formats.RansCodec.encode(data, 1))
+      case 6 => (6, graft.formats.ArithCodec.encode(data, 1)) // order-1
       case other =>
         throw new IllegalArgumentException(s"fixture block method $other")
     }

@@ -24,9 +24,9 @@ import scala.collection.mutable
   *
   * Block methods: raw, gzip, bzip2 (commons-compress), lzma (xz-java —
   * both the .xz container htslib writes and the bare .lzma "alone"
-  * format), rans4x8, and CRAM 3.1's ransNx16 ([[RansNx16Codec]]).
-  * Unsupported (precise error on contact): the remaining 3.1 codecs
-  * (adaptive arithmetic, fqzcomp, name tokeniser).
+  * format), rans4x8, and CRAM 3.1's ransNx16 ([[RansNx16Codec]]) and
+  * adaptive arithmetic ([[ArithCodec]]). Unsupported (precise error on
+  * contact): fqzcomp and the name tokeniser.
   */
 object CramCodec {
 
@@ -186,17 +186,17 @@ object CramCodec {
         try readFully(xz, rawSize) finally xz.close()
       case 4 => RansCodec.decode(payload)
       case 5 => RansNx16Codec.decode(payload, rawSize)
+      case 6 => ArithCodec.decode(payload, rawSize)
       case other =>
         // name the exact codec so users know what their file needs
         val name = other match {
-          case 6 => "adaptive arithmetic (CRAM 3.1)"
           case 7 => "fqzcomp (CRAM 3.1)"
           case 8 => "name tokeniser (CRAM 3.1)"
           case _ => s"unknown method id $other"
         }
         throw new UnsupportedOperationException(
           s"CRAM block compression method $other ($name) not supported; " +
-            "supported: raw, gzip, bzip2, lzma, rans4x8, ransNx16")
+            "supported: raw, gzip, bzip2, lzma, rans4x8, ransNx16, arith")
     }
     readIntLE(in) // crc32
     Block(method, contentType, contentId, data)

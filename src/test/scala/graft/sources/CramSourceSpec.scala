@@ -162,6 +162,7 @@ class CramSourceSpec extends SparkSuite {
     assert(scan(2) == raw) // bzip2 blocks
     assert(scan(3) == raw) // lzma blocks (.xz container, as htslib writes)
     assert(scan(4) == raw) // rANS 4x8 blocks
+    assert(scan(6) == raw) // adaptive arithmetic blocks (CRAM 3.1)
   }
 
   test("cram: multi-slice containers decode every slice") {
