@@ -187,16 +187,17 @@ object CramCodec {
       case 4 => RansCodec.decode(payload)
       case 5 => RansNx16Codec.decode(payload, rawSize)
       case 6 => ArithCodec.decode(payload, rawSize)
+      case 8 => NameTokCodec.decode(payload, rawSize)
       case other =>
         // name the exact codec so users know what their file needs
         val name = other match {
           case 7 => "fqzcomp (CRAM 3.1)"
-          case 8 => "name tokeniser (CRAM 3.1)"
           case _ => s"unknown method id $other"
         }
         throw new UnsupportedOperationException(
           s"CRAM block compression method $other ($name) not supported; " +
-            "supported: raw, gzip, bzip2, lzma, rans4x8, ransNx16, arith")
+            "supported: raw, gzip, bzip2, lzma, rans4x8, ransNx16, " +
+            "arith, name-tokeniser")
     }
     readIntLE(in) // crc32
     Block(method, contentType, contentId, data)
