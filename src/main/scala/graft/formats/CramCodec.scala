@@ -22,11 +22,12 @@ import scala.collection.mutable
   *    reference-based sequence reconstruction via the substitution
   *    matrix; detached mate info; CRAI index parsing for region queries
   *
-  * Block methods: raw, gzip, bzip2 (commons-compress), lzma (xz-java —
-  * both the .xz container htslib writes and the bare .lzma "alone"
-  * format), rans4x8, and CRAM 3.1's ransNx16 ([[RansNx16Codec]]) and
-  * adaptive arithmetic ([[ArithCodec]]). Unsupported (precise error on
-  * contact): fqzcomp and the name tokeniser.
+  * Block methods — the full CRAM 3.0 + 3.1 set: raw, gzip, bzip2
+  * (commons-compress), lzma (xz-java — both the .xz container htslib
+  * writes and the bare .lzma "alone" format), rans4x8, and the CRAM 3.1
+  * codecs ransNx16 ([[RansNx16Codec]]), adaptive arithmetic
+  * ([[ArithCodec]]), fqzcomp ([[FqzCodec]]) and the name tokeniser
+  * ([[NameTokCodec]]).
   */
 object CramCodec {
 
@@ -187,17 +188,13 @@ object CramCodec {
       case 4 => RansCodec.decode(payload)
       case 5 => RansNx16Codec.decode(payload, rawSize)
       case 6 => ArithCodec.decode(payload, rawSize)
+      case 7 => FqzCodec.decode(payload, rawSize)
       case 8 => NameTokCodec.decode(payload, rawSize)
       case other =>
-        // name the exact codec so users know what their file needs
-        val name = other match {
-          case 7 => "fqzcomp (CRAM 3.1)"
-          case _ => s"unknown method id $other"
-        }
         throw new UnsupportedOperationException(
-          s"CRAM block compression method $other ($name) not supported; " +
-            "supported: raw, gzip, bzip2, lzma, rans4x8, ransNx16, " +
-            "arith, name-tokeniser")
+          s"CRAM block compression method $other (unknown id) not " +
+            "supported; supported: raw, gzip, bzip2, lzma, rans4x8, " +
+            "ransNx16, arith, fqzcomp, name-tokeniser")
     }
     readIntLE(in) // crc32
     Block(method, contentType, contentId, data)

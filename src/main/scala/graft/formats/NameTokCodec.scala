@@ -81,15 +81,32 @@ object NameTokCodec {
 
   // ------------------------------------------------------------- encode
 
-  /** Encode a block of newline-separated names (trailing newline
-    * optional and preserved). `useArith` picks the per-stream entropy
-    * coder: adaptive arithmetic instead of rANS Nx16. */
+  /** Encode a block of names separated by newline (the CLI convention)
+    * or NUL (the CRAM RN convention — BYTE_ARRAY_STOP with stop 0).
+    * Each name keeps its terminator as a trailing CHAR token, so the
+    * codec needs no out-of-band separator convention and arbitrary
+    * trailing-byte shapes round-trip exactly; after the first name the
+    * terminator column collapses to MATCH tokens. `useArith` picks the
+    * per-stream entropy coder: adaptive arithmetic instead of rANS
+    * Nx16. */
   def encode(raw: Array[Byte], useArith: Boolean = false): Array[Byte] = {
     val text = new String(raw, "ASCII")
-    val endsWithSep = text.nonEmpty && text.last == '\n'
-    val names: Array[String] =
-      if (text.isEmpty) Array.empty
-      else (if (endsWithSep) text.dropRight(1) else text).split("\n", -1)
+    // split AFTER each separator, terminators staying with their name
+    val names: Array[String] = {
+      val out = Array.newBuilder[String]
+      var start = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c == '\n' || c == '\u0000') {
+          out += text.substring(start, i + 1)
+          start = i + 1
+        }
+        i += 1
+      }
+      if (start < text.length) out += text.substring(start)
+      out.result()
+    }
 
     // per-(position, type) byte streams
     val streams = mutable.LinkedHashMap.empty[(Int, Int), mutable.ArrayBuffer[Byte]]
