@@ -215,9 +215,19 @@ object ArithCodec {
   // ------------------------------------------------------------- decode
 
   /** Decode an arith stream. `expectedLen` is the block's declared raw
-    * size, needed when the NOSZ flag omits the in-stream length. */
+    * size, needed when the NOSZ flag omits the in-stream length.
+    * Corrupt or truncated payloads raise [[IllegalArgumentException]]
+    * naming the codec, never a bare index error. */
   def decode(src: Array[Byte], expectedLen: Int): Array[Byte] =
-    decode(new In(src), expectedLen)
+    try decode(new In(src), expectedLen)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: java.io.IOException | _: OutOfMemoryError) =>
+        throw new IllegalArgumentException(
+          s"adaptive arithmetic: corrupt or truncated payload " +
+            s"(${src.length} bytes): ${e.getClass.getSimpleName}", e)
+    }
 
   private def decode(in: In, expectedLen: Int): Array[Byte] = {
     val flags = in.u8()

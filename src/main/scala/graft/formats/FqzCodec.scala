@@ -33,14 +33,19 @@ package graft.formats
   * (qbits|qshift, qloc|sloc, ploc|dloc), optional qmap (max_sym bytes)
   * and RLE'd qtab/ptab/dtab arrays; then the range-coded payload.
   *
+  * Array framing: qtab/ptab/dtab are monotone non-decreasing bucket
+  * tables, serialized per the spec's `read_array` scheme — a list of
+  * run lengths, one per value `k = 0, 1, 2, ...` (a length of 255
+  * continues the same value in the next byte; a length of 0 skips a
+  * value), with the run-length list itself byte-RLE'd (a byte equal to
+  * its predecessor is followed by a count of additional repeats).
+  *
   * Conformance notes: no tool-produced method-7 CRAM exists in the test
   * corpus, so validation is by round-trip over realistic quality
   * corpora (plateau, ramp, binned, dedup-heavy shapes) with the
-  * context-mixing architecture and header layout following the
-  * published spec; byte-level identity with htscodecs output is not
-  * asserted anywhere. The RLE'd-array serialization is (value, run)
-  * uint7 pairs, documented here because the spec's table framing is the
-  * one part reconstructed without a reference stream to check against.
+  * context-mixing architecture, header layout and array framing
+  * following the published spec; byte-level identity with htscodecs
+  * output is not asserted anywhere.
   */
 object FqzCodec {
 
@@ -91,41 +96,90 @@ object FqzCodec {
 
   // ------------------------------------------------- RLE'd array framing
 
+  /** Spec `store_array`: run length per value k (chunked at 255: a 255
+    * byte continues the same value; 0 skips a value), then the run
+    * list byte-RLE'd — a byte equal to its predecessor is followed by
+    * a count of additional repeats. Tables must be monotone
+    * non-decreasing starting from 0. */
   private def writeArray(out: java.io.ByteArrayOutputStream,
       arr: Array[Int]): Unit = {
-    def uint7(v0: Int): Unit = {
-      var v = v0
-      val tmp = new Array[Int](5)
-      var n = 0
-      do { tmp(n) = v & 0x7f; v >>>= 7; n += 1 } while (v != 0)
-      var i = n - 1
-      while (i > 0) { out.write(tmp(i) | 0x80); i -= 1 }
-      out.write(tmp(0))
-    }
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
+    var k = 0
     while (i < arr.length) {
-      var run = 1
-      while (i + run < arr.length && arr(i + run) == arr(i)) run += 1
-      uint7(arr(i)); uint7(run)
-      i += run
+      require(arr(i) >= k && arr(i) >= 0,
+        s"fqzcomp tables must be monotone non-decreasing (saw ${arr(i)} after $k)")
+      var run = 0
+      while (i < arr.length && arr(i) == k) { run += 1; i += 1 }
+      var r = 0
+      do { r = math.min(255, run); runs += r; run -= r } while (r == 255)
+      k += 1
+    }
+    var j = 0
+    var last = -1
+    while (j < runs.length) {
+      val b = runs(j)
+      out.write(b)
+      if (b == last) {
+        var extra = 0
+        while (j + 1 + extra < runs.length && extra < 255 &&
+          runs(j + 1 + extra) == b) extra += 1
+        out.write(extra)
+        j += extra
+      } else last = b
+      j += 1
     }
   }
 
+  /** Spec `read_array`: inverse of [[writeArray]]. */
   private def readArray(in: ArithCodec.In, size: Int): Array[Int] = {
+    // undo the byte-RLE into the per-value run-length list
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var z = 0
+    var last = -1
+    while (z < size) {
+      val b = in.u8()
+      runs += b; z += b
+      if (b == last) {
+        var rep = in.u8()
+        while (rep > 0) { runs += b; z += b; rep -= 1 }
+      } else last = b
+    }
+    require(z == size, s"fqzcomp array runs sum $z != $size")
+    // expand: value k repeated runs(j) times, 255 continuing the value
     val out = new Array[Int](size)
     var i = 0
+    var j = 0
+    var k = 0
     while (i < size) {
-      val v = in.uint7()
-      var run = in.uint7()
-      require(i + run <= size, s"fqzcomp array overrun at $i run $run")
-      while (run > 0) { out(i) = v; i += 1; run -= 1 }
+      require(j < runs.length, "fqzcomp array truncated")
+      var runLen = 0
+      var r = 0
+      do { r = runs(j); j += 1; runLen += r } while (r == 255 && j < runs.length)
+      require(i + runLen <= size, s"fqzcomp array overrun at $i run $runLen")
+      var c = 0
+      while (c < runLen) { out(i) = k; i += 1; c += 1 }
+      k += 1
     }
     out
   }
 
   // ------------------------------------------------------------- decode
 
-  def decode(src: Array[Byte], expectedLen: Int): Array[Byte] = {
+  /** Corrupt or truncated payloads raise [[IllegalArgumentException]]
+    * naming the codec, never a bare index error. */
+  def decode(src: Array[Byte], expectedLen: Int): Array[Byte] =
+    try decodeImpl(src, expectedLen)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: java.io.IOException) =>
+        throw new IllegalArgumentException(
+          s"fqzcomp: corrupt or truncated payload " +
+            s"(${src.length} bytes): ${e.getClass.getSimpleName}", e)
+    }
+
+  private def decodeImpl(src: Array[Byte], expectedLen: Int): Array[Byte] = {
     if (expectedLen <= 0) return Array.empty
     val in = new ArithCodec.In(src)
     val vers = in.u8()
@@ -180,12 +234,14 @@ object FqzCodec {
     var delta = 0
     var prevQ = 0
     var ctx = 0
+    var sel = 0
     while (i < expectedLen) {
       if (p == 0) {
         // ---- new record
         val s =
           if (maxSel > 0) models.sel.decodeSymbol(rc)
           else 0
+        sel = s
         pm = params(if (s < stab.length) stab(s) else nParam - 1)
         recLen =
           if (pm.doLen || i == 0) {
@@ -220,13 +276,14 @@ object FqzCodec {
         val q = models.q(ctx).decodeSymbol(rc)
         out(i) = (if (q < pm.qmap.length) pm.qmap(q) else q).toByte
         i += 1
-        p -= 1
-        // mix the next context
+        // mix the next context; the position term reads p BEFORE the
+        // decrement (spec: ptab[min(p,1023)], then p--)
         qctx = (qctx << pm.qshift) + pm.qtab(q)
         var next = (qctx & pm.qmask) << pm.qloc
         next += pm.ptab(math.min(p, 1023)) << pm.ploc
         next += pm.dtab(math.min(delta, 255)) << pm.dloc
-        if (pm.doSel && maxSel > 0) next += 0 // sel mixed by caller params
+        if (pm.doSel) next += sel << pm.sloc
+        p -= 1
         if (prevQ != q) delta += 1
         prevQ = q
         ctx = next & 0xffff
@@ -316,11 +373,13 @@ object FqzCodec {
         while (k < off + len) {
           val q = qIndex(data(k) & 0xff)
           models.q(ctx).encodeSymbol(rc, q)
-          p -= 1
+          // position term reads p before the decrement (mirrors decode)
           qctx = (qctx << pm.qshift) + pm.qtab(q)
           var next = (qctx & pm.qmask) << pm.qloc
           next += pm.ptab(math.min(p, 1023)) << pm.ploc
           next += pm.dtab(math.min(delta, 255)) << pm.dloc
+          if (pm.doSel) next += 0 << pm.sloc // single-param encode: sel 0
+          p -= 1
           if (prevQ != q) delta += 1
           prevQ = q
           ctx = next & 0xffff

@@ -8,30 +8,42 @@ import scala.collection.mutable
   *
   * Read names ("SRR1234.567/1", "chr1:10002-20001#7", ...) are highly
   * structured: instrument/run prefixes repeat verbatim and trailing
-  * counters step by small deltas. The codec decomposes each
-  * newline-separated name into tokens — digit runs (zero-padded or
-  * not), alphabetic runs, single punctuation characters — and codes
-  * each (token position, token type) pair as its own stream, so a
-  * column of near-identical values compresses to almost nothing. Token
-  * types relate a name to the previous one: MATCH repeats the previous
-  * name's token at the same position, DELTA/DELTA0 store a 0-255
-  * increment on the previous numeric value, DUP repeats an entire
-  * earlier name. Each stream is entropy-coded independently by either
-  * rANS Nx16 ([[RansNx16Codec]]) or adaptive arithmetic
-  * ([[ArithCodec]]), selected by the `use_arith` header byte.
+  * counters step by small deltas. The codec decomposes each name into
+  * tokens — digit runs (zero-padded or not), alphabetic runs, single
+  * punctuation characters — and codes each (token position, token
+  * type) pair as its own stream, so a column of near-identical values
+  * compresses to almost nothing. Token types relate a name to an
+  * EARLIER name chosen by distance: the position-0 TYPE stream holds
+  * DIFF (tokens delta against name `i - dist`) or DUP (name `i` is a
+  * verbatim copy of name `i - dist`), with `dist` stored as uint32-LE
+  * in the DIFF/DUP value stream (`dist = 0` on a DIFF means "no
+  * reference" — all tokens literal; used for the first name). Each
+  * stream is entropy-coded independently by either rANS Nx16
+  * ([[RansNx16Codec]]) or adaptive arithmetic ([[ArithCodec]]),
+  * selected by the `use_arith` header byte.
   *
-  * Serialized layout: uint7 uncompressed length, uint7 name count, one
-  * `use_arith` byte, then the streams in position order (TYPE stream
-  * first within a position, then value streams by ascending type id).
-  * Per stream: a descriptor byte (type id, 0x80 = starts a new
-  * position), a uint7 compressed length, and the compressed bytes.
+  * Serialized layout (per the spec): a fixed 9-byte header — uint32-LE
+  * uncompressed length, uint32-LE name count, one `use_arith` byte —
+  * then the streams in position order (TYPE stream first within a
+  * position, then value streams by ascending type id). Per stream: a
+  * descriptor byte (type id in bits 0-5, 0x80 = starts a new position,
+  * 0x40 = duplicate stream), then EITHER two bytes (position, type) of
+  * an earlier stream whose uncompressed bytes this stream repeats
+  * (0x40 set), OR a uint7 compressed length and the compressed bytes.
+  *
+  * Separator convention (htscodecs `tok3_decode_names`): the encoder
+  * accepts names terminated by `\n` or NUL and does not code the
+  * terminators; the decoder regenerates names each followed by a NUL
+  * byte — the shape CRAM's BYTE_ARRAY_STOP(stop=0) RN series consumes
+  * directly. A missing trailing terminator is reproduced exactly (the
+  * header's uncompressed length disambiguates).
   *
   * Conformance notes: no tool-produced method-8 CRAM exists in the test
-  * corpus, so this implementation is validated by round-trip over
-  * realistic name corpora (Illumina, SRA, PacBio and name-sorted
-  * shapes) plus unit fixtures for the token decomposition; the token
-  * model and stream framing follow the published spec, but byte-level
-  * identity with htscodecs output is not asserted anywhere.
+  * corpus, so byte-level identity with htscodecs output is not asserted
+  * anywhere; the header framing, descriptor bits, distance semantics
+  * and token model follow the published spec, and validation is by
+  * round-trip over realistic name corpora plus the end-to-end CRAM
+  * gate fixture (s23).
   */
 object NameTokCodec {
 
@@ -81,17 +93,15 @@ object NameTokCodec {
 
   // ------------------------------------------------------------- encode
 
-  /** Encode a block of names separated by newline (the CLI convention)
+  /** Encode a block of names terminated by newline (the CLI convention)
     * or NUL (the CRAM RN convention — BYTE_ARRAY_STOP with stop 0).
-    * Each name keeps its terminator as a trailing CHAR token, so the
-    * codec needs no out-of-band separator convention and arbitrary
-    * trailing-byte shapes round-trip exactly; after the first name the
-    * terminator column collapses to MATCH tokens. `useArith` picks the
-    * per-stream entropy coder: adaptive arithmetic instead of rANS
-    * Nx16. */
+    * Terminators separate names and are not themselves coded; a final
+    * name without a terminator is allowed and reproduced. `useArith`
+    * picks the per-stream entropy coder: adaptive arithmetic instead
+    * of rANS Nx16. */
   def encode(raw: Array[Byte], useArith: Boolean = false): Array[Byte] = {
     val text = new String(raw, "ASCII")
-    // split AFTER each separator, terminators staying with their name
+    // split on separators; terminators excluded from the names
     val names: Array[String] = {
       val out = Array.newBuilder[String]
       var start = 0
@@ -99,7 +109,7 @@ object NameTokCodec {
       while (i < text.length) {
         val c = text.charAt(i)
         if (c == '\n' || c == '\u0000') {
-          out += text.substring(start, i + 1)
+          out += text.substring(start, i)
           start = i + 1
         }
         i += 1
@@ -122,11 +132,12 @@ object NameTokCodec {
     names.foreach { name =>
       if (prevName != null && name == prevName) {
         s(0, TType) += TDup.toByte
-        u32le(s(0, TDup), 0) // distance to the duplicated name
+        u32le(s(0, TDup), 1) // name i duplicates name i - 1
         // tokens carry over unchanged for the next name's reference
       } else {
         s(0, TType) += TDiff.toByte
-        u32le(s(0, TDiff), 0) // distance to the reference name
+        // dist 0 = no reference name (first / fresh); else delta vs i-1
+        u32le(s(0, TDiff), if (prevName == null) 0 else 1)
         val toks = tokenize(name)
         toks.zipWithIndex.foreach { case (tok, idx) =>
           val p = idx + 1
@@ -167,6 +178,10 @@ object NameTokCodec {
     }
 
     val out = new java.io.ByteArrayOutputStream()
+    def u32leOut(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
     def uint7(v0: Int): Unit = {
       var v = v0
       val tmp = new Array[Int](5)
@@ -176,31 +191,52 @@ object NameTokCodec {
       while (i > 0) { out.write(tmp(i) | 0x80); i -= 1 }
       out.write(tmp(0))
     }
-    uint7(raw.length)
-    uint7(names.length)
+    // fixed 9-byte header: uint32-LE ulen, uint32-LE nnames, use_arith
+    u32leOut(raw.length)
+    u32leOut(names.length)
     out.write(if (useArith) 1 else 0)
     // position-major, TYPE stream first, then value streams by type id
     val ordered = streams.toSeq.sortBy { case ((p, t), _) => (p, t) }
+    // uncompressed bytes of already-emitted streams, for 0x40 dup refs
+    val emitted = mutable.ArrayBuffer.empty[((Int, Int), Array[Byte])]
     var lastPos = -1
     ordered.foreach { case ((p, t), bytes) =>
       val newPos = p != lastPos
       lastPos = p
-      out.write(t | (if (newPos) 0x80 else 0))
       val payload = bytes.toArray
-      val comp =
-        if (useArith) ArithCodec.encode(payload, 0)
-        else RansNx16Codec.encode(payload)
-      uint7(comp.length)
-      out.write(comp, 0, comp.length)
+      val dup = emitted.find { case ((dp, _), b) =>
+        dp <= 255 && java.util.Arrays.equals(b, payload)
+      }
+      dup match {
+        case Some(((dp, dt), _)) =>
+          out.write(t | (if (newPos) 0x80 else 0) | 0x40)
+          out.write(dp)
+          out.write(dt)
+        case None =>
+          out.write(t | (if (newPos) 0x80 else 0))
+          val comp =
+            if (useArith) ArithCodec.encode(payload, 0)
+            else RansNx16Codec.encode(payload)
+          uint7(comp.length)
+          out.write(comp, 0, comp.length)
+      }
+      if (p <= 255 && t <= 255) emitted += (((p, t), payload))
     }
     out.toByteArray
   }
 
   // ------------------------------------------------------------- decode
 
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"name tokeniser: $msg")
+
   private final class In(val data: Array[Byte], var pos: Int = 0) {
     def hasNext: Boolean = pos < data.length
-    def u8(): Int = { val b = data(pos) & 0xff; pos += 1; b }
+    def u8(): Int = {
+      if (pos >= data.length) fail(
+        s"truncated stream: need byte at offset $pos, have ${data.length}")
+      val b = data(pos) & 0xff; pos += 1; b
+    }
     def uint7(): Int = {
       var v = 0
       var c = 0
@@ -211,6 +247,8 @@ object NameTokCodec {
       u8().toLong | (u8().toLong << 8) | (u8().toLong << 16) |
         (u8().toLong << 24)
     def take(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > data.length) fail(
+        s"truncated stream: need $n bytes at offset $pos, have ${data.length}")
       val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
       pos += n
       out
@@ -223,45 +261,68 @@ object NameTokCodec {
     }
   }
 
+  /** Decode to names each followed by a NUL separator (htscodecs
+    * convention — directly consumable by BYTE_ARRAY_STOP(stop=0)); a
+    * missing final separator in the original input is reproduced. */
   def decode(src: Array[Byte], expectedLen: Int): Array[Byte] = {
     val in = new In(src)
-    val ulen = in.uint7()
-    val nNames = in.uint7()
+    if (src.length < 9) {
+      if (src.isEmpty && expectedLen <= 0) return Array.empty[Byte]
+      fail(s"header truncated: ${src.length} bytes, need 9")
+    }
+    val ulen = in.u32le().toInt
+    val nNames = in.u32le().toInt
     val useArith = in.u8() != 0
+    if (nNames < 0 || ulen < 0 || nNames > ulen + 1)
+      fail(s"implausible header: ulen=$ulen names=$nNames")
 
+    val rawStreams = mutable.Map.empty[(Int, Int), Array[Byte]]
     val streams = mutable.Map.empty[(Int, Int), In]
     var pos = -1
     while (in.hasNext) {
       val desc = in.u8()
       if ((desc & 0x80) != 0) pos += 1
+      if (pos < 0) fail("first stream descriptor lacks the new-position bit")
       val t = desc & 0x3f
-      val clen = in.uint7()
-      val payload = in.take(clen)
       val raw =
-        if (useArith) ArithCodec.decode(payload, -1)
-        else RansNx16Codec.decode(payload, -1)
+        if ((desc & 0x40) != 0) {
+          // duplicate-stream descriptor: copy an earlier stream's bytes
+          val dp = in.u8(); val dt = in.u8()
+          rawStreams.getOrElse((dp, dt),
+            fail(s"dup descriptor references missing stream (pos=$dp, type=$dt)"))
+        } else {
+          val clen = in.uint7()
+          val payload = in.take(clen)
+          if (useArith) ArithCodec.decode(payload, -1)
+          else RansNx16Codec.decode(payload, -1)
+        }
+      rawStreams((pos, t)) = raw
       streams((pos, t)) = new In(raw)
     }
     def stream(p: Int, t: Int): In =
-      streams.getOrElse((p, t), throw new IllegalArgumentException(
-        s"name tokeniser: missing stream (pos=$p, type=$t)"))
+      streams.getOrElse((p, t),
+        fail(s"missing stream (pos=$p, type=$t)"))
 
     val names = new Array[String](nNames)
-    var prevToks: Vector[Tok] = Vector.empty
+    // per-name token vectors: DIFF/DUP distances may reference any
+    // earlier name, not just i-1 (spec: reference is name i - dist)
+    val allToks = new Array[Vector[Tok]](nNames)
     var i = 0
     while (i < nNames) {
       val t0 = stream(0, TType).u8()
       if (t0 == TDup) {
         val dist = stream(0, TDup).u32le().toInt
-        names(i) = names(i - 1 - dist)
-        // re-derive this name's tokens so a following DIFF name deltas
-        // against the duplicate, not the name before it
-        if (dist != 0) prevToks = tokenize(names(i))
+        if (dist < 1 || i - dist < 0)
+          fail(s"DUP distance $dist out of range at name $i")
+        names(i) = names(i - dist)
+        allToks(i) = allToks(i - dist)
       } else {
-        require(t0 == TDiff, s"name tokeniser: unexpected name-type $t0")
+        if (t0 != TDiff) fail(s"unexpected name-type $t0")
         val dist = stream(0, TDiff).u32le().toInt
-        require(dist == 0 || i - 1 - dist >= 0,
-          s"name tokeniser: DIFF distance $dist out of range at name $i")
+        if (dist != 0 && i - dist < 0)
+          fail(s"DIFF distance $dist out of range at name $i")
+        val prevToks: Vector[Tok] =
+          if (dist == 0) Vector.empty else allToks(i - dist)
         val toks = Vector.newBuilder[Tok]
         val sb = new StringBuilder
         var p = 1
@@ -272,8 +333,7 @@ object NameTokCodec {
           t match {
             case TEnd => done = true
             case TMatch =>
-              require(prev != null,
-                s"name tokeniser: MATCH with no previous token at pos $p")
+              if (prev == null) fail(s"MATCH with no previous token at pos $p")
               toks += prev
               sb.append(prev.text)
             case TChar =>
@@ -295,39 +355,38 @@ object NameTokCodec {
               toks += Tok(text, v, padded = true)
               sb.append(text)
             case TDelta =>
-              require(prev != null && prev.value >= 0,
-                s"name tokeniser: DELTA with no previous number at pos $p")
+              if (prev == null || prev.value < 0)
+                fail(s"DELTA with no previous number at pos $p")
               val v = prev.value + stream(p, TDelta).u8()
               toks += Tok(v.toString, v)
               sb.append(v.toString)
             case TDelta0 =>
-              require(prev != null && prev.value >= 0,
-                s"name tokeniser: DELTA0 with no previous number at pos $p")
+              if (prev == null || prev.value < 0)
+                fail(s"DELTA0 with no previous number at pos $p")
               val v = prev.value + stream(p, TDelta0).u8()
               val text = f"%%0${prev.text.length}d".format(v)
               toks += Tok(text, v, padded = true)
               sb.append(text)
             case other =>
-              throw new IllegalArgumentException(
-                s"name tokeniser: unsupported token type $other at pos $p")
+              fail(s"unsupported token type $other at pos $p")
           }
           p += 1
         }
         names(i) = sb.toString()
-        prevToks = toks.result()
+        allToks(i) = toks.result()
       }
       i += 1
     }
 
-    // reassemble: '\n' after every name iff the original had a trailing
-    // separator (derivable from the declared uncompressed length)
-    val joined = names.mkString("\n")
+    // reassemble with NUL separators; the final separator existed in
+    // the original iff the declared uncompressed length says so
+    val joined = names.mkString("\u0000")
     val out =
-      if (joined.length + 1 == ulen) joined + "\n"
+      if (joined.length + 1 == ulen) joined + "\u0000"
       else joined
     val bytes = out.getBytes("ASCII")
-    require(bytes.length == ulen || (expectedLen >= 0 && bytes.length == expectedLen),
-      s"name tokeniser: decoded ${bytes.length} bytes, header says $ulen")
+    if (!(bytes.length == ulen || (expectedLen >= 0 && bytes.length == expectedLen)))
+      fail(s"decoded ${bytes.length} bytes, header says $ulen")
     bytes
   }
 }

@@ -85,9 +85,19 @@ object RansNx16Codec {
   // ------------------------------------------------------------- decode
 
   /** Decode a ransNx16 stream. `expectedLen` is the block's declared raw
-    * size, needed when the NOSZ flag omits the in-stream length. */
+    * size, needed when the NOSZ flag omits the in-stream length.
+    * Corrupt or truncated payloads raise [[IllegalArgumentException]]
+    * naming the codec, never a bare index error. */
   def decode(src: Array[Byte], expectedLen: Int): Array[Byte] =
-    decode(new In(src), expectedLen)
+    try decode(new In(src), expectedLen)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: java.io.IOException | _: OutOfMemoryError) =>
+        throw new IllegalArgumentException(
+          s"ransNx16: corrupt or truncated payload " +
+            s"(${src.length} bytes): ${e.getClass.getSimpleName}", e)
+    }
 
   private def decode(in: In, expectedLen: Int): Array[Byte] = {
     val flags = in.u8()
@@ -368,27 +378,76 @@ object RansNx16Codec {
   // (round-trip validation + 3.1 fixture generation; order-0 only, with
   // optional CAT/PACK exactly as the decode side expects)
 
-  /** Encode with order-0 rANS (or CAT when the payload is tiny), choosing
-    * PACK for low-cardinality input like the real samtools streams. */
+  /** Encode with order-0 rANS, CAT, or a 1/2/4-bit PACK transform with
+    * an entropy-coded packed stream — whichever serializes smallest
+    * (mirroring htscodecs' per-stream method selection). */
   def encode(data: Array[Byte], n: Int = 4): Array[Byte] = {
-    val out = new Out
     val distinct = data.map(_ & 0xff).distinct.sorted
-    if (distinct.length == 1) {
-      out.u8(FPack | FCat | (if (n == 32) FN32 else 0))
-      out.uint7(data.length)
-      out.u8(1)
-      out.u8(distinct(0))
-      out.uint7(0)
-    } else if (data.length < 32) {
-      out.u8(FCat | (if (n == 32) FN32 else 0))
+    val nflag = if (n == 32) FN32 else 0
+
+    def cat: Array[Byte] = {
+      val out = new Out
+      out.u8(FCat | nflag)
       out.uint7(data.length)
       out.bytes(data)
-    } else {
-      out.u8(if (n == 32) FN32 else 0)
-      out.uint7(data.length)
-      encodeO0(out, data, n)
+      out.result
     }
-    out.result
+    def o0: Option[Array[Byte]] =
+      if (data.length < 32) None
+      else {
+        val out = new Out
+        out.u8(nflag)
+        out.uint7(data.length)
+        encodeO0(out, data, n)
+        Some(out.result)
+      }
+    def pack1: Option[Array[Byte]] =
+      if (distinct.length != 1) None
+      else {
+        val out = new Out
+        out.u8(FPack | FCat | nflag)
+        out.uint7(data.length)
+        out.u8(1)
+        out.u8(distinct(0))
+        out.uint7(0)
+        Some(out.result)
+      }
+    def packN: Option[Array[Byte]] =
+      if (distinct.length < 2 || distinct.length > 16 || data.isEmpty) None
+      else {
+        val (bits, per) =
+          if (distinct.length <= 2) (1, 8)
+          else if (distinct.length <= 4) (2, 4)
+          else (4, 2)
+        val index = new Array[Int](256)
+        distinct.zipWithIndex.foreach { case (v, k) => index(v) = k }
+        val packed = new Array[Byte]((data.length + per - 1) / per)
+        var i = 0
+        while (i < data.length) {
+          packed(i / per) = (packed(i / per) |
+            (index(data(i) & 0xff) << ((i % per) * bits))).toByte
+          i += 1
+        }
+        val out = new Out
+        if (packed.length < 32) {
+          out.u8(FPack | FCat | nflag)
+          out.uint7(data.length)
+          out.u8(distinct.length)
+          distinct.foreach(out.u8)
+          out.uint7(packed.length)
+          out.bytes(packed)
+        } else {
+          out.u8(FPack | nflag)
+          out.uint7(data.length)
+          out.u8(distinct.length)
+          distinct.foreach(out.u8)
+          out.uint7(packed.length)
+          encodeO0(out, packed, n)
+        }
+        Some(out.result)
+      }
+
+    (Seq(cat) ++ o0 ++ pack1 ++ packN).minBy(_.length)
   }
 
   private def encodeO0(out: Out, data: Array[Byte], n: Int): Unit = {

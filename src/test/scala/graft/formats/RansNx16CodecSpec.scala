@@ -141,9 +141,12 @@ class RansNx16CodecSpec extends AnyFunSuite {
     assert(block.data.sameElements(payload))
   }
 
-  test("unsupported 3.1 codecs fail with the exact codec name") {
+  test("3.1 codec methods dispatch; corrupt payloads raise typed errors") {
+    // methods 6/7/8 are implemented: a garbage 2-byte payload must
+    // reach the real decoder and come back as IllegalArgumentException
+    // naming the codec — never a bare ArrayIndexOutOfBoundsException
     for ((id, name) <- Seq(6 -> "adaptive arithmetic", 7 -> "fqzcomp",
-        8 -> "name tokeniser", 2 -> "bzip2")) {
+        8 -> "name tokeniser")) {
       val o = new java.io.ByteArrayOutputStream()
       o.write(id); o.write(4)
       CramCodec.writeItf8(o, 1)
@@ -151,10 +154,34 @@ class RansNx16CodecSpec extends AnyFunSuite {
       CramCodec.writeItf8(o, 10)
       o.write(Array[Byte](1, 2))
       o.write(Array.fill[Byte](4)(0))
-      val e = intercept[UnsupportedOperationException] {
+      val e = intercept[IllegalArgumentException] {
         CramCodec.readBlock(new java.io.ByteArrayInputStream(o.toByteArray))
       }
       assert(e.getMessage.contains(name), s"method $id: ${e.getMessage}")
     }
+    // method 2 (bzip2) goes through commons-compress, which reports
+    // garbage as an IOException
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(2); o.write(4)
+    CramCodec.writeItf8(o, 1)
+    CramCodec.writeItf8(o, 2)
+    CramCodec.writeItf8(o, 10)
+    o.write(Array[Byte](1, 2))
+    o.write(Array.fill[Byte](4)(0))
+    intercept[java.io.IOException] {
+      CramCodec.readBlock(new java.io.ByteArrayInputStream(o.toByteArray))
+    }
+    // a genuinely unknown method id still names the supported set
+    val u = new java.io.ByteArrayOutputStream()
+    u.write(9); u.write(4)
+    CramCodec.writeItf8(u, 1)
+    CramCodec.writeItf8(u, 2)
+    CramCodec.writeItf8(u, 10)
+    u.write(Array[Byte](1, 2))
+    u.write(Array.fill[Byte](4)(0))
+    val e = intercept[UnsupportedOperationException] {
+      CramCodec.readBlock(new java.io.ByteArrayInputStream(u.toByteArray))
+    }
+    assert(e.getMessage.contains("unknown id"))
   }
 }
