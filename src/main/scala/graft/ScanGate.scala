@@ -54,6 +54,7 @@ object ScanGate {
     writeGenotypeVcf()
     writeGenotypeBcf()
     writeRawBam()
+    writeCram31()
     Root
   }
 
@@ -285,6 +286,31 @@ object ScanGate {
 
   private def writeTabixBed(): Unit =
     TabixFixture.writeBedGz(s"$Root/g.bed.gz", tabixRows)
+
+  /** CRAM 3.1 file whose blocks use the 3.1-only codecs end-to-end:
+    * read names through the name tokeniser (method 8, incl. a DUP name
+    * pair), qualities through fqzcomp (method 7), unmapped bases
+    * through adaptive arithmetic (method 6), everything else through
+    * rANS Nx16 (method 5) — the htslib archive-profile shape
+    * (reference decodes these via noodles/htscodecs,
+    * `alignment/scanner/cram.rs:42-120`). */
+  private def writeCram31(): Unit =
+    CramFixture.write(s"$Root/g31.cram",
+      "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100\n@SQ\tSN:chr2\tLN:60\n",
+      Seq(
+        Seq(
+          CramFixture.CRec("M9:1:1101:1000:2000", 99, 0, 5, 60, 8,
+            quals = Array[Byte](5, 10, 15, 20, 25, 30, 35, 40)),
+          CramFixture.CRec("M9:1:1101:1000:2000", 147, 0, 11, 60, 6,
+            quals = Array.fill[Byte](6)(40)),
+          CramFixture.CRec("M9:1:1101:1003:2001", 0, 0, 21, 55, 10,
+            quals = Array[Byte](2, 3, 4, 5, 6, 7, 8, 9, 10, 11))),
+        Seq(
+          CramFixture.CRec("M9:1:1101:1007:2003", 4, -1, 0, -1, 4,
+            bases = "ACGT", quals = Array[Byte](30, 30, 31, 31)))),
+      blockMethod = 5,
+      seriesMethods = Map("RN" -> 8, "QS" -> 7, "BA" -> 6),
+      minorVersion = 1)
 
   // ---------------------------------------------------------------- truth
 
@@ -651,5 +677,27 @@ object ScanGate {
       s.read.format("bam").option("tag_scan_rows", "0").load(s"$Root/u.bam")
         .select("qname", "flag", "rname", "pos", "cigar", "seq", "end")
         .orderBy("qname")
-    }, oracleFor("s22_scan_ubam", "qname")))
+    }, oracleFor("s22_scan_ubam", "qname")),
+
+    // CRAM 3.1 codec stack end-to-end (S7): names via the tokeniser
+    // (method 8), qualities via fqzcomp (7), unmapped bases via
+    // adaptive arithmetic (6), the rest via rANS Nx16 (5)
+    ("s23_scan_cram31", (s: SparkSession, _: String) => {
+      val _ = fixtures
+      dumpExpected(s, "s23_scan_cram31", StructType(
+        alnSchema.fields.toSeq :+ StructField("qual", StringType)), Seq(
+        Row("M9:1:1101:1000:2000", 99, "chr1", 5L, "8M", "ACGTACAC", 12L,
+          "&+05:?DI"),
+        Row("M9:1:1101:1000:2000", 147, "chr1", 11L, "6M", "ACGTAC", 16L,
+          "IIIIII"),
+        Row("M9:1:1101:1003:2001", 0, "chr1", 21L, "10M", "ACGTACGTAC",
+          30L, "#$%&'()*+,"),
+        Row("M9:1:1101:1007:2003", 4, null, null, null, "ACGT", null,
+          "??@@")))
+      s.read.format("cram").option("reference", s"$Root/ref.fa")
+        .load(s"$Root/g31.cram")
+        .select("qname", "flag", "rname", "pos", "cigar", "seq", "end",
+          "qual")
+        .orderBy("qname", "flag")
+    }, oracleFor("s23_scan_cram31", "qname, flag")))
 }

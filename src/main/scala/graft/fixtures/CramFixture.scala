@@ -115,7 +115,7 @@ object CramFixture {
   }
 
   private def block(contentType: Int, contentId: Int, data: Array[Byte],
-      method: Int = 0): Array[Byte] = {
+      method: Int = 0, fqzLens: Seq[Int] = Nil): Array[Byte] = {
     val (m, payload) = method match {
       case _ if data.isEmpty => (0, data)
       case 0 => (0, data)
@@ -138,7 +138,10 @@ object CramFixture {
         xz.write(data); xz.close()
         (3, b.toByteArray)
       case 4 => (4, graft.formats.RansCodec.encode(data, 1))
+      case 5 => (5, graft.formats.RansNx16Codec.encode(data))
       case 6 => (6, graft.formats.ArithCodec.encode(data, 1)) // order-1
+      case 7 => (7, graft.formats.FqzCodec.encode(data, fqzLens))
+      case 8 => (8, graft.formats.NameTokCodec.encode(data))
       case other =>
         throw new IllegalArgumentException(s"fixture block method $other")
     }
@@ -184,24 +187,33 @@ object CramFixture {
 
   /** Write a CRAM whose data containers each hold one slice of `recs`
     * (all sharing a refId), plus the companion .crai. `blockMethod`
-    * compresses the external data blocks: 0 raw, 1 gzip, 4 rANS 4x8.
+    * compresses the external data blocks: 0 raw, 1 gzip, 4 rANS 4x8,
+    * 5 rANS Nx16, 6 adaptive arithmetic, 8 name tokeniser;
+    * `seriesMethods` overrides the method per data series (e.g.
+    * "RN" -> 8, "QS" -> 7 — the htslib CRAM 3.1 shape; method 7
+    * fqzcomp is only valid for "QS", which supplies record lengths).
     * `embeddedRefs` (refId → full contig) embeds the slice's reference
-    * span as an in-slice block instead of requiring an external FASTA. */
+    * span as an in-slice block instead of requiring an external FASTA.
+    * `minorVersion` sets the file-definition minor (1 = CRAM 3.1). */
   def write(path: String, samHeader: String,
       containers: Seq[Seq[CRec]], blockMethod: Int = 0,
-      embeddedRefs: Map[Int, String] = Map.empty): Unit =
+      embeddedRefs: Map[Int, String] = Map.empty,
+      seriesMethods: Map[String, Int] = Map.empty,
+      minorVersion: Int = 0): Unit =
     writeSliced(path, samHeader, containers.map(Seq(_)), blockMethod,
-      embeddedRefs)
+      embeddedRefs, seriesMethods, minorVersion)
 
   /** Like [[write]] but each container holds SEVERAL slices (the shape
     * real CRAM writers produce); the compression header is shared per
     * container, blocks and streams are per-slice. */
   def writeSliced(path: String, samHeader: String,
       containerSlices: Seq[Seq[Seq[CRec]]], blockMethod: Int = 0,
-      embeddedRefs: Map[Int, String] = Map.empty): Unit = {
+      embeddedRefs: Map[Int, String] = Map.empty,
+      seriesMethods: Map[String, Int] = Map.empty,
+      minorVersion: Int = 0): Unit = {
     val out = new FileOutputStream(path)
     out.write("CRAM".getBytes)
-    out.write(3); out.write(0)
+    out.write(3); out.write(minorVersion)
     out.write(Array.fill[Byte](20)(0x20))
 
     // SAM header container: single FILE_HEADER block
@@ -243,7 +255,7 @@ object CramFixture {
       val builtSlices: Seq[(Array[Byte], Array[Byte], Int, Int, Int)] =
         slices.map { recs =>
           buildSlice(recs, tdLines, tagIds, blockMethod, embeddedRefs,
-            sig)
+            sig, seriesMethods)
         }
 
       val refIds = slices.map(_.head.refId).distinct
@@ -289,7 +301,8 @@ object CramFixture {
   private def buildSlice(recs: Seq[CRec], tdLines: Seq[String],
       tagIds: Map[(String, Char), (Int, Int)], blockMethod: Int,
       embeddedRefs: Map[Int, String],
-      sig: CRec => String): (Array[Byte], Array[Byte], Int, Int, Int) = {
+      sig: CRec => String, seriesMethods: Map[String, Int] = Map.empty)
+      : (Array[Byte], Array[Byte], Int, Int, Int) = {
     require(recs.nonEmpty && recs.map(_.refId).distinct.size == 1,
       "fixture slices are single-ref")
     val refId = recs.head.refId
@@ -362,10 +375,13 @@ object CramFixture {
             block(4, EmbeddedRefId,
               contig.substring(s0, e0).getBytes("ASCII"), blockMethod))
         }
+      // record lengths of quality-bearing records, for fqzcomp ("QS" -> 7)
+      val qsLens = recs.collect { case r if r.quals != null => r.readLen }
       val extBlocks = (Ids.toSeq.sortBy(_._2).flatMap { case (k, id) =>
         val data = bufs(k).toByteArray
         if (data.isEmpty) None
-        else Some((id, block(4, id, data, blockMethod)))
+        else Some((id, block(4, id, data,
+          seriesMethods.getOrElse(k, blockMethod), qsLens)))
       } ++ tagIds.toSeq.sortBy(_._2._1).flatMap { case (d, (lenId, valId)) =>
         val (lenB, valB) = tagBufs(d)
         Seq((lenId, block(4, lenId, lenB.toByteArray, blockMethod)),

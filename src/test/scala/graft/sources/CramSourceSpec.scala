@@ -284,4 +284,37 @@ class CramSourceSpec extends SparkSuite {
       assert(CramCodec.readLtf8(in) == v, s"ltf8 $v")
     }
   }
+
+  test("cram 3.1: name-tokenised RN, fqzcomp QS, arith + ransNx16 blocks") {
+    val p = dir.resolve("sample31.cram").toString
+    CramFixture.write(p, samHeader, Seq(
+      Seq(
+        CRec("M9:1:1101:1000:2000", 99, 0, 5, 60, 8,
+          quals = Array[Byte](5, 10, 15, 20, 25, 30, 35, 40)),
+        CRec("M9:1:1101:1000:2000", 147, 0, 11, 60, 6,
+          quals = Array.fill[Byte](6)(40)),
+        CRec("M9:1:1101:1003:2001", 0, 0, 21, 55, 10,
+          quals = Array[Byte](2, 3, 4, 5, 6, 7, 8, 9, 10, 11))),
+      Seq(CRec("M9:1:1101:1007:2003", 4, -1, 0, -1, 4,
+        bases = "ACGT", quals = Array[Byte](30, 30, 31, 31)))),
+      blockMethod = 5,
+      seriesMethods = Map("RN" -> 8, "QS" -> 7, "BA" -> 6),
+      minorVersion = 1)
+    val rows = spark.read.format("cram").option("reference", refPath)
+      .load(p)
+      .select("qname", "flag", "rname", "pos", "cigar", "seq", "qual",
+        "end")
+      .orderBy("qname", "flag").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "M9:1:1101:1000:2000", "M9:1:1101:1000:2000",
+      "M9:1:1101:1003:2001", "M9:1:1101:1007:2003"))
+    assert(rows(0).getString(5) == "ACGTACAC" &&
+      rows(0).getString(6) == "&+05:?DI")
+    assert(rows(1).getString(5) == "ACGTAC" &&
+      rows(1).getString(6) == "IIIIII")
+    assert(rows(2).getString(4) == "10M" &&
+      rows(2).getString(6) == "#$%&'()*+,")
+    assert(rows(3).getString(5) == "ACGT" &&
+      rows(3).getString(6) == "??@@")
+  }
 }
