@@ -171,8 +171,8 @@ object IntervalJoin {
       value: Option[String] = None): DataFrame = {
     val v = value.map(col).getOrElse(col(end) - col(start))
     intervals
-      .groupBy(col(chrom), (floor(col(start) / resolution) * resolution)
-        .cast("long").as("bin_start"))
+      .groupBy(col(chrom), (floorDiv(col(start), resolution) *
+        lit(resolution)).cast("long").as("bin_start"))
       .agg(
         count(lit(1)).as("n_records"),
         sum(col(end) - col(start)).cast("long").as("bases_covered"),

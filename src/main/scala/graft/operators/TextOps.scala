@@ -118,20 +118,30 @@ object TextOps {
     * groupBy over the edge list; the driver only checks a one-row
     * convergence aggregate per step (the standard Spark
     * connected-components pattern — iteration control on the driver,
-    * data never leaves the cluster) and `localCheckpoint` truncates the
-    * growing lineage. Steps needed = component diameter, which for
-    * near-dup clusters is small; `maxIter` bounds pathological chains.
-    * Only ids that appear in an edge are returned (singletons are their
-    * own cluster implicitly). */
+    * data never leaves the cluster) and a checkpoint truncates the
+    * growing lineage each superstep. Steps needed = component diameter,
+    * which for near-dup clusters is small; `maxIter` bounds
+    * pathological chains. Only ids that appear in an edge are returned
+    * (singletons are their own cluster implicitly).
+    *
+    * Checkpoint durability: by default supersteps use
+    * `localCheckpoint`, which stores blocks on executors — fast, but an
+    * executor loss mid-iteration fails the job unrecoverably, which at
+    * 100 TB over long-running clusters is a real event. Pass
+    * `checkpointDir` (HDFS/S3 path) to use reliable `checkpoint`
+    * storage that survives executor loss, at the cost of writing each
+    * superstep to the filesystem. */
   def dedupClusters(pairs: DataFrame, a: String = "id_a",
-      b: String = "id_b", maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      b: String = "id_b", maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = snap(pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = snap(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -141,12 +151,11 @@ object TextOps {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels.join(nbrMin,
+      val updated = snap(labels.join(nbrMin,
           labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("nbr_min"),
-            col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+            col("cluster_id"))).as("cluster_id")))
       converged = updated.where(col("cluster_id") =!= col("__old")).isEmpty
       labels = updated.drop("__old")
       iter += 1

@@ -57,6 +57,35 @@ class IntervalJoinSpec extends SparkSuite {
       ("a3", "b2")))
   }
 
+  test("coordinates near +-2^62 bin exactly (no double-precision loss)") {
+    import spark.implicits._
+    // doubles near 2^62 are spaced 512 apart: floor(v/binSize) computed
+    // through doubles collapses neighbouring intervals into one bin and
+    // extreme negatives saturate onto the coarse-channel sentinels.
+    // Integer floor-division must keep these exact.
+    val hi = 1L << 62
+    val lo = -(1L << 62)
+    val a = Seq(
+      ("chr1", hi, hi + 100L, "a_hi"),
+      ("chr1", hi + 200L, hi + 300L, "a_hi2"), // no partner
+      ("chr1", lo, lo + 100L, "a_lo"),
+      ("chr1", -100L, 50L, "a_zero"))
+      .toDF("chrom", "start", "end", "a_id")
+    val b = Seq(
+      ("chr1", hi + 50L, hi + 150L, "b_hi"),   // overlaps a_hi only
+      ("chr1", hi + 301L, hi + 400L, "b_none"),
+      ("chr1", lo + 80L, lo + 180L, "b_lo"),   // overlaps a_lo only
+      ("chr1", 0L, 10L, "b_zero"))             // overlaps a_zero
+      .toDF("chrom2", "start2", "end2", "b_id")
+    val got = IntervalJoin.overlapJoin(a, b,
+        leftCols = ("chrom", "start", "end"),
+        rightCols = ("chrom2", "start2", "end2"), binSize = 64L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(("a_hi", "b_hi"), ("a_lo", "b_lo"),
+      ("a_zero", "b_zero")))
+  }
+
   test("degenerate and negative-coordinate intervals stay exact") {
     import spark.implicits._
     val a = Seq(

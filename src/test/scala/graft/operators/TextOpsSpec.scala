@@ -30,4 +30,26 @@ class TextOpsSpec extends SparkSuite {
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(TextOps.dedupClusters(none).count() == 0)
   }
+
+  test("dedupClusters: reliable checkpointing matches localCheckpoint") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (5L, 6L),
+      (11L, 10L))
+      .toDF("id_a", "id_b")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val reliable = TextOps.dedupClusters(pairs,
+        checkpointDir = Some(dir))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = TextOps.dedupClusters(pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(reliable == local)
+    // reliable mode actually wrote superstep snapshots to the dir
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .count() > 0)
+  }
 }

@@ -251,4 +251,33 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
       assert(range.count() == 1)
     }
   }
+
+  test("rewrite bins coordinates near +-2^62 exactly") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // double-based floor(v/binSize) is 512-coarse at 2^62 and
+      // saturates extreme negatives onto the coarse sentinels; the
+      // rule's integer floor-division must keep every match exact
+      val hi = 1L << 62
+      val lo = -(1L << 62)
+      val a = Seq(
+        ("chr1", hi, hi + 100L, "a_hi"),
+        ("chr1", hi + 200L, hi + 300L, "a_hi2"),
+        ("chr1", lo, lo + 100L, "a_lo"))
+        .toDF("chrom", "start", "end", "a_id")
+      val b = Seq(
+        ("chr1", hi + 50L, hi + 150L, "b_hi"),
+        ("chr1", hi + 301L, hi + 400L, "b_none"),
+        ("chr1", lo + 80L, lo + 180L, "b_lo"))
+        .toDF("chrom2", "start2", "end2", "b_id")
+      val joined = a.join(b,
+        a("chrom") === b("chrom2") &&
+          a("start") < b("end2") && b("start2") < a("end"))
+      assert(joined.queryExecution.optimizedPlan.toString
+        .contains("__graft_binl"))
+      val got = joined.select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(got == Seq(("a_hi", "b_hi"), ("a_lo", "b_lo")))
+    }
+  }
 }

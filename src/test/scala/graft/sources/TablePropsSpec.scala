@@ -80,6 +80,31 @@ class TablePropsSpec extends SparkSuite {
     assert(pb.get("chrom_sizes") == "chr1:100000")
   }
 
+  test("DESCRIBE TABLE EXTENDED surfaces the properties through SQL") {
+    // the user-visible half of M5: register a graft table with the
+    // session catalog and read the metadata back without any API
+    val dir = java.nio.file.Files.createTempDirectory("graft-props-sql")
+    val bam = dir.resolve("p.bam").toString
+    BamFixture.write(bam, Seq(("chr1", 1000), ("chr2", 500)),
+      Seq(
+        BamFixture.Rec("a", 0, 0, 10, 30, Seq((4, 'M')), "ACGT", null),
+        BamFixture.Rec("b", 0, 0, 50, 30, Seq((4, 'M')), "GGTT", null),
+        BamFixture.Rec("c", 0, 1, 20, 30, Seq((4, 'M')), "CCAA", null)))
+    spark.sql(s"CREATE TABLE graft_props_bam USING bam OPTIONS (path '$bam')")
+    try {
+      val tp = spark.sql("DESCRIBE TABLE EXTENDED graft_props_bam")
+        .collect()
+        .find(_.getString(0) == "Table Properties")
+        .map(_.getString(1))
+      assert(tp.isDefined, "no Table Properties row in DESCRIBE output")
+      assert(tp.get.contains("chrom_sizes=chr1:1000,chr2:500"), tp.get)
+      assert(tp.get.contains("index.n_mapped=3"), tp.get)
+      // and the registered table is queryable
+      assert(spark.sql("SELECT count(*) FROM graft_props_bam")
+        .collect()(0).getLong(0) == 3)
+    } finally spark.sql("DROP TABLE graft_props_bam")
+  }
+
   test("missing companion metadata omits properties, never fails the read") {
     // FASTA without a .fai: the table still loads; properties are empty.
     val fa = tempFile("nofai.fa", Seq(">c", "ACGT"))
