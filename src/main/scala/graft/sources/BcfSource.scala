@@ -115,7 +115,8 @@ object BcfSource {
     val infoField =
       if (infoDefs.isEmpty) None
       else Some(StructField("info", StructType(infoDefs.map(d =>
-        StructField(d.id, d.sparkType)).toIndexedSeq)))
+        StructField(d.id, d.sparkType,
+          metadata = d.fieldMetadata)).toIndexedSeq)))
     val includeSamples = options.getOrElse("include_samples", "true").toBoolean
     val sampleSubset = options.get("samples")
       .map(_.split(",").map(_.trim).toSet)
@@ -128,11 +129,13 @@ object BcfSource {
           if (byField)
             StructType(format.toSeq.map(d => StructField(d.id,
               StructType(keptSamples.map(s =>
-                StructField(s, d.sparkType)).toIndexedSeq))).toIndexedSeq)
+                StructField(s, d.sparkType,
+                  metadata = d.fieldMetadata)).toIndexedSeq))).toIndexedSeq)
           else
             StructType(keptSamples.map(s => StructField(s,
               StructType(format.toSeq.map(d =>
-                StructField(d.id, d.sparkType)).toIndexedSeq))).toIndexedSeq)
+                StructField(d.id, d.sparkType,
+                  metadata = d.fieldMetadata)).toIndexedSeq))).toIndexedSeq)
         Some(StructField("samples", st))
       }
     StructType((fixed ++ infoField ++ samplesField).toIndexedSeq)
@@ -340,7 +343,8 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
         if (keyIdx < dict.strings.size) {
           val name = dict.strings(keyIdx)
           val fi = is.fieldNames.indexOf(name)
-          if (fi >= 0) arr(fi) = convert(is(fi).dataType, v)
+          if (fi >= 0) arr(fi) = enforceCount(is(fi),
+            convert(is(fi).dataType, v))
         }
       }
       new GenericInternalRow(arr)
@@ -359,8 +363,9 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
           val inner = new Array[Any](sampleStruct.length)
           byName.get(fieldF.name).foreach { vals =>
             (0 until math.min(vals.size, sampleStruct.length)).foreach { j =>
-              inner(j) = convertSample(fieldF.name,
-                sampleStruct(j).dataType, vals(j))
+              inner(j) = enforceCount(sampleStruct(j),
+                convertSample(fieldF.name,
+                  sampleStruct(j).dataType, vals(j)))
             }
           }
           arr(i) = new GenericInternalRow(inner)
@@ -374,7 +379,8 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
           fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
             byName.get(ff.name).foreach { vals =>
               if (j < vals.size)
-                inner(i) = convertSample(ff.name, ff.dataType, vals(j))
+                inner(i) = enforceCount(ff,
+                  convertSample(ff.name, ff.dataType, vals(j)))
             }
           }
           arr(j) = new GenericInternalRow(inner)
@@ -383,6 +389,24 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
       }
     }
     new GenericInternalRow(fixed ++ infoVal ++ samplesVal)
+  }
+
+  /** Enforce a declared fixed Number=n carried as field metadata (the
+    * reference's FixedSizeList semantics, `variant/model/info.rs:81-113`):
+    * a BCF value whose own length word disagrees with the header
+    * declaration is malformed. */
+  private def enforceCount(f: StructField, value: Any): Any = {
+    if (value != null && f.metadata.contains("vcf_number")) {
+      val n = f.metadata.getLong("vcf_number")
+      value match {
+        case a: ArrayData if a.numElements() != n =>
+          throw new IllegalArgumentException(
+            s"BCF field ${f.name} declares Number=$n but the record " +
+              s"carries ${a.numElements()} values")
+        case _ => ()
+      }
+    }
+    value
   }
 
   private def convert(dt: DataType, v: Any): Any = (dt, v) match {

@@ -98,7 +98,8 @@ class VcfFormat extends LineFormat {
     val infoField =
       if (infoDefs.isEmpty) None
       else Some(StructField("info", StructType(infoDefs.map(d =>
-        StructField(d.id, d.sparkType)).toIndexedSeq)))
+        StructField(d.id, d.sparkType,
+          metadata = d.fieldMetadata)).toIndexedSeq)))
 
     val includeSamples =
       options.getOrElse("include_samples", "true").toBoolean
@@ -109,13 +110,14 @@ class VcfFormat extends LineFormat {
       if (!includeSamples || samples.isEmpty || header.format.isEmpty) None
       else {
         val fieldStruct = StructType(header.format.map(d =>
-          StructField(d.id, d.sparkType)).toIndexedSeq)
+          StructField(d.id, d.sparkType,
+            metadata = d.fieldMetadata)).toIndexedSeq)
         val byField = options.getOrElse("genotype_by", "sample") == "field"
         val st =
           if (byField)
             StructType(header.format.map(d => StructField(d.id,
-              StructType(samples.map(s => StructField(s,
-                d.sparkType)).toIndexedSeq))).toIndexedSeq)
+              StructType(samples.map(s => StructField(s, d.sparkType,
+                metadata = d.fieldMetadata)).toIndexedSeq))).toIndexedSeq)
           else
             StructType(samples.map(s =>
               StructField(s, fieldStruct)).toIndexedSeq)
@@ -133,6 +135,23 @@ class VcfFormat extends LineFormat {
 }
 
 final case class VcfTypeDef(id: String, number: String, vcfType: String) {
+
+  /** Declared fixed cardinality when Number=n with n > 1 (the
+    * reference's FixedSizeList case, `variant/model/info.rs:81-113`).
+    * Spark has no fixed-size array type, so the count is carried as
+    * field metadata and enforced by the parser: a record whose value
+    * count differs from the declaration is malformed (FAILFAST raises,
+    * PERMISSIVE skips the record). Flags, GT and the A/R/G/. symbolic
+    * numbers are unconstrained. */
+  def fixedCount: Option[Int] =
+    if (vcfType == "Flag" || id == "GT") None
+    else number.toIntOption.filter(_ > 1)
+
+  /** StructField metadata carrying [[fixedCount]] (key `vcf_number`). */
+  def fieldMetadata: Metadata =
+    fixedCount.map(n => new MetadataBuilder()
+      .putLong("vcf_number", n.toLong).build()).getOrElse(Metadata.empty)
+
   /** Spark type per the reference mapping; GT is special-cased. */
   def sparkType: DataType = {
     if (id == "GT") return ArrayType(StructType(Seq(
@@ -217,6 +236,23 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
     fullSchema.fieldNames.find(_ == "samples").map(_ =>
       fullSchema("samples").dataType.asInstanceOf[StructType])
 
+  /** Enforce a declared fixed Number=n (carried as field metadata):
+    * the reference's FixedSizeList semantics — a count mismatch makes
+    * the record malformed rather than silently shaping differently. */
+  private def enforceCount(f: StructField, value: Any): Any = {
+    if (value != null && f.metadata.contains("vcf_number")) {
+      val n = f.metadata.getLong("vcf_number")
+      value match {
+        case a: ArrayData if a.numElements() != n =>
+          throw new IllegalArgumentException(
+            s"VCF field ${f.name} declares Number=$n but the record " +
+              s"carries ${a.numElements()} values")
+        case _ => ()
+      }
+    }
+    value
+  }
+
   override def parse(line: String): InternalRow = {
     val c = line.split("\t", -1)
     require(c.length >= 8, s"malformed VCF line (${c.length} cols)")
@@ -245,7 +281,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
       val arr = new Array[Any](is.length)
       is.fields.zipWithIndex.foreach { case (f, i) =>
         present.get(f.name).foreach { v =>
-          arr(i) = convert(f.dataType, v, isFlag = true)
+          arr(i) = enforceCount(f, convert(f.dataType, v, isFlag = true))
         }
       }
       new GenericInternalRow(arr)
@@ -268,7 +304,8 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
               if (col < c.length) {
                 val parts = c(col).split(":", -1)
                 if (keyIdx < parts.length && !dot(parts(keyIdx)))
-                  inner(j) = convert(sf.dataType, parts(keyIdx), isFlag = false)
+                  inner(j) = enforceCount(sf,
+                    convert(sf.dataType, parts(keyIdx), isFlag = false))
               }
             }
           }
@@ -287,7 +324,8 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
             fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
               val keyIdx = formatKeys.indexOf(ff.name)
               if (keyIdx >= 0 && keyIdx < parts.length && !dot(parts(keyIdx)))
-                inner(i) = convert(ff.dataType, parts(keyIdx), isFlag = false)
+                inner(i) = enforceCount(ff,
+                  convert(ff.dataType, parts(keyIdx), isFlag = false))
             }
           }
           arr(j) = new GenericInternalRow(inner)

@@ -163,4 +163,29 @@ class VcfSourceSpec extends SparkSuite {
     assert(vcfPos == Seq(95L))
     assert(bcfPos == vcfPos)
   }
+
+  test("vcf: declared Number=n is enforced (FixedSizeList semantics)") {
+    // reference: variant/model/info.rs maps Number=n (n>1) to
+    // FixedSizeList(n) — a count mismatch cannot build the batch there,
+    // so here it makes the record malformed
+    val lines = Seq(
+      "##fileformat=VCFv4.1",
+      "##INFO=<ID=AC2,Number=2,Type=Integer,Description=\"pair\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+      "chr1\t100\t.\tA\tG\t10\tPASS\tAC2=1,2",      // conforming
+      "chr1\t200\t.\tC\tT\t10\tPASS\tAC2=1,2,3")   // 3 values: bad
+    val path = tempFile("nenforce.vcf", lines)
+    // FAILFAST (default): the mismatch surfaces with field and counts
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("vcf").load(path).collect()
+    }
+    assert(e.getCause != null &&
+      e.getCause.getMessage.contains("AC2 declares Number=2"),
+      String.valueOf(e.getCause))
+    // PERMISSIVE: the bad record is skipped, the conforming one reads
+    val ok = spark.read.format("vcf").option("mode", "permissive")
+      .load(path).select("pos", "info.AC2").collect()
+    assert(ok.length == 1 && ok(0).getLong(0) == 100L)
+    assert(ok(0).getSeq[Long](1) == Seq(1L, 2L))
+  }
 }
