@@ -448,7 +448,13 @@ object OracleSql {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |  FROM reach GROUP BY src)
-         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin)
+         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+
+    // q38: the streaming watermarked dedup reads every event twice and
+    // must emit exactly the single-copy distinct rows DuckDB sees
+    "q38_stream_dedup" ->
+      """SELECT event_id, event_type, round(value, 2) AS value_r
+        |FROM events ORDER BY event_id""".stripMargin)
 
   /** Banded hyperplane-LSH ANN oracle, mirroring
     * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same

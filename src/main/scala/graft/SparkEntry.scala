@@ -532,6 +532,19 @@ object SparkEntry {
         round(col("sum_raw"), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Streaming watermarked dedup driven to completion (the streaming
+    * face of q22's batch dedup, [[graft.streaming.EventStream
+    * .dedupToCompletion]]): the stream reads every event TWICE and
+    * `withWatermark + dropDuplicates(event_id)` must reduce it back to
+    * the source's distinct rows — DuckDB sees the single-copy table, so
+    * a no-op dedup fails the row count. */
+  private def q38_stream_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .dedupToCompletion(s, s"$dir/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value_r"))
+      .orderBy(col("event_id"))
+
   /** bedtools-style merge over deterministic intervals derived from
     * orders, through the skew-robust production path
     * ([[graft.operators.IntervalOps.mergeIntervalsRange]]: range
@@ -610,7 +623,8 @@ object SparkEntry {
     "q34_media_dims" -> (q34_media_dims _),
     "q35_stream_window" -> (q35_stream_window _),
     "q36_merge_intervals" -> (q36_merge_intervals _),
-    "q37_dedup_clusters" -> (q37_dedup_clusters _)) ++
+    "q37_dedup_clusters" -> (q37_dedup_clusters _),
+    "q38_stream_dedup" -> (q38_stream_dedup _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

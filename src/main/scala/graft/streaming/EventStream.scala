@@ -174,4 +174,50 @@ object EventStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming watermarked dedup driven to completion and
+    * oracle-checkable (gate row q38): the input directory is staged
+    * with TWO copies of the events file, so the stream carries every
+    * event twice; `withWatermark + dropDuplicates` on `event_id` must
+    * reduce it back to exactly the source's distinct rows (append-mode
+    * memory sink — dedup emits rows on arrival; the watermark only
+    * bounds state). A no-op dedup would emit twice the rows and fail
+    * the oracle's row count, so the gate genuinely observes the
+    * dropping. At scale the same plan runs unbounded: state is
+    * per-event_id within the watermark horizon, expiring as event time
+    * advances. */
+  def dedupToCompletion(spark: SparkSession,
+      eventsPath: String): DataFrame = {
+    val batchSchema = spark.read.parquet(eventsPath).schema
+    val src = java.nio.file.Paths.get(eventsPath)
+    val d = java.nio.file.Files.createTempDirectory("graft-dedup-in")
+    Seq("copy_a.parquet", "copy_b.parquet").foreach { nm =>
+      val link = d.resolve(nm)
+      try java.nio.file.Files.createSymbolicLink(link, src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, link)
+      }
+    }
+    val raw = spark.readStream.schema(batchSchema).parquet(d.toString)
+    val events = batchSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val deduped = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dedup-ckpt").toString
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
