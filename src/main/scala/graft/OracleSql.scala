@@ -454,7 +454,34 @@ object OracleSql {
     // must emit exactly the single-copy distinct rows DuckDB sees
     "q38_stream_dedup" ->
       """SELECT event_id, event_type, round(value, 2) AS value_r
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // q39: WAV/MP4 payloads are built from these exact doc-derived
+    // formulas and parsed back by the real header decoders; DuckDB
+    // computes the formulas directly
+    "q39_av_meta" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |m AS (SELECT
+        |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + nb % 3) ELSE 0 END
+        |    AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 + nb % 2 ELSE 0 END AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + nb % 2) ELSE 0 END AS bits,
+        |  CASE WHEN doc_id % 2 = 0 THEN nb ELSE 0 END AS n_frames,
+        |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE nb * 10 END AS duration_ms,
+        |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE nb % 128 + 16 END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE nb % 96 + 16 END AS height
+        | FROM d)
+        |SELECT kind, CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(bits AS BIGINT) AS bits,
+        |  count(*) AS n_assets,
+        |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+        |  CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms,
+        |  CAST(sum(width) AS BIGINT) AS sum_width,
+        |  CAST(sum(height) AS BIGINT) AS sum_height
+        |FROM m GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)
 
   /** Banded hyperplane-LSH ANN oracle, mirroring
     * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same

@@ -545,6 +545,41 @@ object SparkEntry {
         round(col("value"), 2).as("value_r"))
       .orderBy(col("event_id"))
 
+  /** Audio/video header metadata (REAL WAV RIFF and MP4 box parsing —
+    * [[graft.operators.Multimodal.MediaDecoder]]): payloads are built
+    * from doc-derived formulas with Spark built-ins, parsed back per
+    * partition, and the aggregate must reproduce the formulas DuckDB
+    * computes directly. */
+  private def q39_av_meta(s: SparkSession, dir: String): DataFrame = {
+    val docs = pq(s, dir, "documents")
+    val nb = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val assets = docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      when(col("doc_id") % 2 === 0,
+        graft.operators.Multimodal.wavPayload(
+          (lit(8000) * (lit(1) + nb % 3)).cast("int"),
+          (lit(1) + nb % 2).cast("int"),
+          (lit(8) * (lit(1) + nb % 2)).cast("int"), nb))
+      .otherwise(graft.operators.Multimodal.mp4Payload(
+          (nb % 128 + 16).cast("int"), (nb % 96 + 16).cast("int"),
+          (nb * 10).cast("int"))).as("payload"))
+    val meta = graft.operators.Multimodal.extractAvMeta(s,
+      graft.operators.Multimodal.toAssets(assets, "doc_id", "mime",
+        "payload"))
+    meta.toDF()
+      .groupBy(col("kind"), col("sample_rate"), col("channels"),
+        col("bits"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("duration_ms")).as("sum_duration_ms"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"))
+      .orderBy(col("kind"), col("sample_rate"), col("channels"),
+        col("bits"))
+  }
+
   /** bedtools-style merge over deterministic intervals derived from
     * orders, through the skew-robust production path
     * ([[graft.operators.IntervalOps.mergeIntervalsRange]]: range
@@ -624,7 +659,8 @@ object SparkEntry {
     "q35_stream_window" -> (q35_stream_window _),
     "q36_merge_intervals" -> (q36_merge_intervals _),
     "q37_dedup_clusters" -> (q37_dedup_clusters _),
-    "q38_stream_dedup" -> (q38_stream_dedup _)) ++
+    "q38_stream_dedup" -> (q38_stream_dedup _),
+    "q39_av_meta" -> (q39_av_meta _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

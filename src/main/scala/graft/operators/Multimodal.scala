@@ -97,8 +97,117 @@ object Multimodal {
       None
     }
 
-    /** Header metadata is REAL (PNG IHDR / JPEG SOF byte parsing, no media
-      * library needed); pixel-level features are a documented deterministic
+    /** Parsed audio container metadata. */
+    final case class AudioMeta(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, nFrames: Long)
+
+    /** Parsed video container metadata; width/height from the first
+      * video track header, duration in the mvhd timescale → ms. */
+    final case class VideoMeta(durationMs: Long, width: Int, height: Int)
+
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** WAV RIFF header: "RIFF" size "WAVE", then chunks; "fmt " carries
+      * (LE) audioFormat u16, channels u16, sampleRate u32, byteRate u32,
+      * blockAlign u16, bitsPerSample u16; frame count is the declared
+      * "data" chunk size over blockAlign (the declared size is trusted
+      * even when the sample bytes are truncated away — header-only
+      * payloads are the pipeline's fixture shape). */
+    def wavMeta(b: Array[Byte]): Option[AudioMeta] = {
+      if (b.length < 36 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+        return None
+      var o = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var blockAlign = 0
+      var dataSize = -1L
+      while (o + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = fourcc(b, o)
+        val size = le32(b, o + 4)
+        if (id == "fmt " && size >= 16 && o + 24 <= b.length) {
+          val ch = le16(b, o + 10)
+          val rate = le32(b, o + 12).toInt
+          blockAlign = le16(b, o + 20)
+          val bits = le16(b, o + 22)
+          if (ch <= 0 || rate <= 0 || bits <= 0) return None
+          fmt = Some((ch, rate, bits))
+        } else if (id == "data") {
+          dataSize = size
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        o += 8 + size.toInt + (size.toInt & 1)
+      }
+      fmt.map { case (ch, rate, bits) =>
+        val align = if (blockAlign > 0) blockAlign else ch * (bits / 8)
+        val frames =
+          if (dataSize < 0 || align <= 0) 0L else dataSize / align
+        AudioMeta(rate, ch, bits, frames)
+      }
+    }
+
+    /** Minimal ISO BMFF (MP4) walk: top-level boxes to `moov`, then
+      * `mvhd` (v0: timescale u32 + duration u32 after the 4-byte
+      * fullbox header and two 4-byte times; v1: u64 variants) for
+      * duration, and the first `trak`/`tkhd` for width/height (16.16
+      * fixed point at the box tail). */
+    def mp4Meta(b: Array[Byte]): Option[VideoMeta] = {
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var o = lo
+          def hasNext: Boolean = o + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val size = be32(b, o)
+            val tpe = fourcc(b, o + 4)
+            val body = o + 8
+            val end = if (size <= 0) hi else math.min(hi, o + size)
+            o = if (size <= 8) hi else end
+            (tpe, body, end)
+          }
+        }
+      if (b.length < 16) return None
+      if (!boxes(0, b.length).exists(_._1 == "ftyp")) return None
+      val moov = boxes(0, b.length).find(_._1 == "moov").getOrElse {
+        return None
+      }
+      var durationMs = 0L
+      var width = 0
+      var height = 0
+      boxes(moov._2, moov._3).foreach {
+        case ("mvhd", body, end) if body + 4 <= end =>
+          val v = b(body) & 0xff
+          if (v == 1 && body + 32 <= end) {
+            val ts = be32(b, body + 20).toLong & 0xffffffffL
+            val dur = ((be32(b, body + 24).toLong & 0xffffffffL) << 32) |
+              (be32(b, body + 28).toLong & 0xffffffffL)
+            if (ts > 0) durationMs = dur * 1000 / ts
+          } else if (body + 20 <= end) {
+            val ts = be32(b, body + 12).toLong & 0xffffffffL
+            val dur = be32(b, body + 16).toLong & 0xffffffffL
+            if (ts > 0) durationMs = dur * 1000 / ts
+          }
+        case ("trak", tbody, tend) if width == 0 =>
+          boxes(tbody, tend).foreach {
+            case ("tkhd", body, end) =>
+              // width/height are the final two 16.16 words of the box
+              if (end - 8 >= body && width == 0) {
+                width = be32(b, end - 8) >>> 16
+                height = be32(b, end - 4) >>> 16
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      Some(VideoMeta(durationMs, width, height))
+    }
+
+    /** Header metadata is REAL (PNG IHDR / JPEG SOF / WAV RIFF / MP4 box
+      * byte parsing, no media library needed); pixel-level features are a
+      * documented deterministic
       * STUB — this container has no codec to inflate pixel data, so
       * brightness/embedding are pure functions of the payload bytes. Swap
       * the feature branch for a real codec without touching the pipeline.
@@ -122,6 +231,16 @@ object Multimodal {
     * codegen'd built-ins (hex → lpad → unhex). */
   private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
   private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+
+  /** Little-endian counterparts: the big-endian hex string re-assembled
+    * byte-reversed — still pure codegen'd built-ins. */
+  private def leN(c: Column, bytes: Int): Column = {
+    val hx = lpad(hex(c.cast("long")), bytes * 2, "0")
+    concat((0 until bytes).map(i =>
+      unhex(substring(hx, (bytes - 1 - i) * 2 + 1, 2))): _*)
+  }
+  private def le32(c: Column): Column = leN(c, 4)
+  private def le16(c: Column): Column = leN(c, 2)
 
   /** Build a structurally valid truecolor 8-bit PNG (signature, IHDR with
     * the given dims + live crc32, fixed IDAT/IEND) entirely from Spark
@@ -160,6 +279,87 @@ object Multimodal {
       lit(Array[Byte](0x01, 0x01, 0x11, 0x00)))
     val eoi = lit(Array[Byte](0xff.toByte, 0xd9.toByte))
     concat(soi, app0, sof0, eoi)
+  }
+
+  /** Build a header-only WAV payload (RIFF + fmt + data chunk header,
+    * sample bytes omitted — the declared data size carries the frame
+    * count, which [[MediaDecoder.wavMeta]] trusts) from Spark
+    * built-ins; PCM format 1. */
+  def wavPayload(sampleRate: Column, channels: Column, bits: Column,
+      nFrames: Column): Column = {
+    val blockAlign = (channels * (bits / lit(8))).cast("long")
+    val dataSize = (nFrames * blockAlign).cast("long")
+    val byteRate = (sampleRate * blockAlign).cast("long")
+    val fmt = concat(
+      lit("fmt ".getBytes("US-ASCII")), le32(lit(16)),
+      le16(lit(1)), le16(channels), le32(sampleRate), le32(byteRate),
+      le16(blockAlign), le16(bits))
+    val dataHdr = concat(lit("data".getBytes("US-ASCII")), le32(dataSize))
+    concat(
+      lit("RIFF".getBytes("US-ASCII")), le32(dataSize + lit(36)),
+      lit("WAVE".getBytes("US-ASCII")), fmt, dataHdr)
+  }
+
+  /** Build a minimal MP4 (ftyp + moov(mvhd v0 + trak(tkhd v0))) with
+    * the given dims and duration in ms (timescale 1000) from Spark
+    * built-ins. */
+  def mp4Payload(width: Column, height: Column, durationMs: Column): Column = {
+    val zeros = (n: Int) => lit(Array.fill[Byte](n)(0))
+    // identity transformation matrix (0x00010000, 0, 0, 0, 0x00010000,
+    // 0, 0, 0, 0x40000000)
+    val matrix = lit(Array[Byte](0, 1, 0, 0) ++ Array.fill[Byte](12)(0) ++
+      Array[Byte](0, 1, 0, 0) ++ Array.fill[Byte](12)(0) ++
+      Array[Byte](0x40, 0, 0, 0))
+    val ftyp = concat(be32(lit(20)), lit("ftypisom".getBytes("US-ASCII")),
+      be32(lit(0)), lit("isom".getBytes("US-ASCII")))
+    // mvhd v0: fullbox(4) ctime(4) mtime(4) timescale(4) duration(4)
+    // rate(4) volume(2) reserved(10) matrix(36) predefined(24) next(4)
+    val mvhd = concat(be32(lit(108)), lit("mvhd".getBytes("US-ASCII")),
+      zeros(4), zeros(8), be32(lit(1000)), be32(durationMs),
+      lit(Array[Byte](0, 1, 0, 0)), zeros(12), matrix, zeros(24),
+      be32(lit(2)))
+    // tkhd v0: fullbox(4) ctime(4) mtime(4) track(4) reserved(4)
+    // duration(4) reserved(8) layer(2) alt(2) volume(2) reserved(2)
+    // matrix(36) width(4, 16.16) height(4, 16.16)
+    val tkhd = concat(be32(lit(92)), lit("tkhd".getBytes("US-ASCII")),
+      lit(Array[Byte](0, 0, 0, 7)), zeros(8), be32(lit(1)), zeros(4),
+      be32(durationMs), zeros(8), zeros(8), matrix,
+      be16(width), be16(lit(0)), be16(height), be16(lit(0)))
+    val trak = concat(be32(lit(100)), lit("trak".getBytes("US-ASCII")), tkhd)
+    val moov = concat(be32(lit(216)), lit("moov".getBytes("US-ASCII")),
+      mvhd, trak)
+    concat(ftyp, moov)
+  }
+
+  /** Audio/video header metadata extracted per partition (same
+    * decoder-per-partition batch shape as [[extractFeatures]]); WAV and
+    * MP4 payloads are parsed for real, anything else yields nulls-as-
+    * zeros with kind "unknown". */
+  final case class AvMeta(asset_id: Long, mime: String, kind: String,
+      sample_rate: Long, channels: Long, bits: Long, n_frames: Long,
+      duration_ms: Long, width: Long, height: Long)
+
+  def extractAvMeta(spark: SparkSession, assets: DataFrame): Dataset[AvMeta] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mime, payload) =>
+          MediaDecoder.wavMeta(payload) match {
+            case Some(a) =>
+              AvMeta(id, mime, "audio", a.sampleRate.toLong,
+                a.channels.toLong, a.bitsPerSample.toLong, a.nFrames,
+                0L, 0L, 0L)
+            case None => MediaDecoder.mp4Meta(payload) match {
+              case Some(vm) =>
+                AvMeta(id, mime, "video", 0L, 0L, 0L, 0L,
+                  vm.durationMs, vm.width.toLong, vm.height.toLong)
+              case None =>
+                AvMeta(id, mime, "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            }
+          }
+        }
+      }
   }
 
   /** Wrap raw binary rows (`id`, `mime`, `payload`) into the typed asset
