@@ -450,6 +450,20 @@ object OracleSql {
          |  FROM reach GROUP BY src)
          |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
 
+    // q40: the star-contraction path must produce the identical
+    // transitive closure
+    "q40_dedup_star" ->
+      s"""WITH RECURSIVE $pairCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+
     // q38: the streaming watermarked dedup reads every event twice and
     // must emit exactly the single-copy distinct rows DuckDB sees
     "q38_stream_dedup" ->

@@ -609,6 +609,16 @@ object SparkEntry {
     TextOps.dedupClusters(pairs).orderBy("doc_id")
   }
 
+  /** Same clusters through the O(log n) large-star/small-star path
+    * ([[TextOps.dedupClustersStar]]) — the deep-component variant of
+    * q37, checked against the identical DuckDB transitive closure. */
+  private def q40_dedup_star(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8),
+      "doc_id", k = 8, bandSize = 2)
+    TextOps.dedupClustersStar(pairs).orderBy("doc_id")
+  }
+
   /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
   private def q30_multimodal_meta(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -660,7 +670,8 @@ object SparkEntry {
     "q36_merge_intervals" -> (q36_merge_intervals _),
     "q37_dedup_clusters" -> (q37_dedup_clusters _),
     "q38_stream_dedup" -> (q38_stream_dedup _),
-    "q39_av_meta" -> (q39_av_meta _)) ++
+    "q39_av_meta" -> (q39_av_meta _),
+    "q40_dedup_star" -> (q40_dedup_star _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -163,6 +163,82 @@ object TextOps {
     labels
   }
 
+  /** Near-duplicate clusters by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * the deep-component scale path complementing [[dedupClusters]].
+    *
+    * Min-label propagation needs O(component diameter) supersteps —
+    * fine for near-dup clusters (shallow by construction), quadratic
+    * pain on pathological chains. The star operations contract every
+    * node toward its component minimum in O(log n) rounds regardless of
+    * diameter: large-star hangs every neighbor larger than `u` off
+    * `u`'s current minimum; small-star re-hangs `u` and its smaller
+    * neighbors likewise. Each round is two equi-joins + two partial
+    * aggregates over the (shrinking) edge list; convergence is read
+    * from an order-independent checksum aggregate (count + sums +
+    * hash-sum), one driver-side row per round.
+    *
+    * Output matches [[dedupClusters]]: (doc_id, cluster_id = component
+    * minimum) for every id that appears in an edge. */
+  def dedupClustersStar(pairs: DataFrame, a: String = "id_a",
+      b: String = "id_b", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    // edges kept directed high → low (u > v), deduped
+    def largeStar(edges: DataFrame): DataFrame = {
+      val both = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      both.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
+      val j = edges.join(mins, "u")
+      j.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def checksum(edges: DataFrame): (Long, String, String, String) = {
+      // decimal(38,0) sums: hash sums overflow long under ANSI
+      val r = edges.agg(count(lit(1)),
+        coalesce(sum(col("u").cast("decimal(38,0)")), lit(0))
+          .cast("string"),
+        coalesce(sum(col("v").cast("decimal(38,0)")), lit(0))
+          .cast("string"),
+        coalesce(sum(xxhash64(col("u"), col("v"))
+          .cast("decimal(38,0)")), lit(0)).cast("string")).collect()(0)
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+
+    var edges = snap(pairs
+      .select(greatest(col(a), col(b)).as("u"),
+        least(col(a), col(b)).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    var sig = checksum(edges)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIter) {
+      val next = snap(smallStar(largeStar(edges)))
+      val nsig = checksum(next)
+      done = nsig == sig
+      edges = next
+      sig = nsig
+      iter += 1
+    }
+    // fixpoint is a star forest: u → component min; the minima label
+    // themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("doc_id"),
+        col("v").as("cluster_id")))
+      .distinct()
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** `bits`-wide simhash over word unigrams: bit b is set when the sum of

@@ -52,4 +52,30 @@ class TextOpsSpec extends SparkSuite {
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .count() > 0)
   }
+
+  test("dedupClustersStar matches propagation on chains, stars, random") {
+    val s = spark
+    import s.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // deep chain (diameter 119 — the shape propagation hates), star,
+    // isolated pair
+    val chain = (1L until 120L).map(i => (i, i + 1)) ++
+      Seq((500L, 501L), (200L, 201L), (200L, 202L), (200L, 203L))
+    val chainDf = chain.toDF("id_a", "id_b")
+    assert(labels(TextOps.dedupClustersStar(chainDf)) ==
+      labels(TextOps.dedupClusters(chainDf, maxIter = 200)))
+    // random graph, fixed seed
+    val rnd = new scala.util.Random(11)
+    val randomPairs = (0 until 400).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val rdf = randomPairs.toDF("id_a", "id_b")
+    assert(labels(TextOps.dedupClustersStar(rdf)) ==
+      labels(TextOps.dedupClusters(rdf, maxIter = 200)))
+    // empty input
+    assert(TextOps.dedupClustersStar(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+  }
 }

@@ -316,5 +316,12 @@ class CramSourceSpec extends SparkSuite {
       rows(2).getString(6) == "#$%&'()*+,")
     assert(rows(3).getString(5) == "ACGT" &&
       rows(3).getString(6) == "??@@")
+    // CRAI region query through the same 3.1 container: chr1:21-25
+    // reaches only the third record
+    val reg = spark.read.format("cram").option("reference", refPath)
+      .option("regions", "chr1:21-25").load(p)
+      .select("qname", "pos", "qual").collect()
+    assert(reg.length == 1 && reg(0).getString(0) == "M9:1:1101:1003:2001")
+    assert(reg(0).getString(2) == "#$%&'()*+,")
   }
 }
