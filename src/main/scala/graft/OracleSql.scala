@@ -450,6 +450,10 @@ object OracleSql {
          |  FROM reach GROUP BY src)
          |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
 
+    // q41: IVF mirrored bit-for-bit — same left-fold dots/norms, same
+    // deterministic seed-vector quantizer, same tie-breaks
+    "q41_ann_ivf" -> q41Sql,
+
     // q40: the star-contraction path must produce the identical
     // transitive closure
     "q40_dedup_star" ->
@@ -496,6 +500,52 @@ object OracleSql {
         |  CAST(sum(width) AS BIGINT) AS sum_width,
         |  CAST(sum(height) AS BIGINT) AS sum_height
         |FROM m GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)
+
+  /** IVF ANN oracle, mirroring `Similarity.ivfTopK` exactly: the
+    * corpus vectors with the 8 lowest ids are the quantizer centroids,
+    * every vector is assigned to its best-cosine cell (ties to the
+    * lower cell id), queries (vec_id < 16) probe their 2 closest
+    * cells, and the exact rerank reuses the same left-fold dot/norm
+    * arithmetic, so sims and ranks reproduce bit-for-bit. */
+  private def q41Sql: String =
+    """WITH v AS (SELECT vec_id AS id,
+      |    list_transform(range(1,65),
+      |      j -> CAST(embedding[j] AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |n AS (SELECT id, vec,
+      |    sqrt(list_reduce(list_transform(vec, x -> x * x),
+      |      (a, x) -> a + x)) AS nrm
+      |  FROM v),
+      |cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
+      |  FROM n WHERE id < 8),
+      |casg AS (SELECT id, cell_id FROM (
+      |    SELECT n.id, cent.cell_id, row_number() OVER (
+      |        PARTITION BY n.id ORDER BY
+      |        (list_reduce(list_transform(range(1,65),
+      |           j -> n.vec[j] * cent.cvec[j]), (a, x) -> a + x)
+      |         / (n.nrm * cent.cnrm)) DESC, cent.cell_id) AS rk
+      |    FROM n, cent) WHERE rk = 1),
+      |qprb AS (SELECT id, cell_id FROM (
+      |    SELECT n.id, cent.cell_id, row_number() OVER (
+      |        PARTITION BY n.id ORDER BY
+      |        (list_reduce(list_transform(range(1,65),
+      |           j -> n.vec[j] * cent.cvec[j]), (a, x) -> a + x)
+      |         / (n.nrm * cent.cnrm)) DESC, cent.cell_id) AS rk
+      |    FROM n, cent WHERE n.id < 16) WHERE rk <= 2),
+      |pairs AS (SELECT q.id AS query_id, c.id AS cand_id,
+      |    (list_reduce(list_transform(range(1,65),
+      |       j -> q.vec[j] * c.vec[j]), (a, x) -> a + x)
+      |     / (q.nrm * c.nrm)) AS sim
+      |  FROM qprb JOIN casg ON qprb.cell_id = casg.cell_id
+      |  JOIN n q ON q.id = qprb.id
+      |  JOIN n c ON c.id = casg.id),
+      |ranked AS (SELECT query_id, cand_id, sim, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      |  FROM pairs)
+      |SELECT query_id, cand_id, round(sim, 6) AS sim_r,
+      |  CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Banded hyperplane-LSH ANN oracle, mirroring
     * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same

@@ -619,6 +619,19 @@ object SparkEntry {
     TextOps.dedupClustersStar(pairs).orderBy("doc_id")
   }
 
+  /** IVF-style ANN ([[graft.operators.Similarity.ivfTopK]]): coarse
+    * quantizer cells + nProbe probing + exact rerank, bit-mirrored by
+    * the DuckDB oracle (deterministic seed-vector quantizer). */
+  private def q41_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = pq(s, dir, "embeddings")
+    graft.operators.Similarity.ivfTopK(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "embedding",
+        k = 3, nCells = 8, nProbe = 2)
+      .select(col("query_id"), col("cand_id"),
+        round(col("sim"), 6).as("sim_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
   private def q30_multimodal_meta(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -671,7 +684,8 @@ object SparkEntry {
     "q37_dedup_clusters" -> (q37_dedup_clusters _),
     "q38_stream_dedup" -> (q38_stream_dedup _),
     "q39_av_meta" -> (q39_av_meta _),
-    "q40_dedup_star" -> (q40_dedup_star _)) ++
+    "q40_dedup_star" -> (q40_dedup_star _),
+    "q41_ann_ivf" -> (q41_ann_ivf _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

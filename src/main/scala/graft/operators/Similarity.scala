@@ -149,6 +149,55 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** IVF-style ANN — the inverted-file counterpart to [[bandedTopK]].
+    * A coarse quantizer assigns every corpus vector to its best-cosine
+    * cell; a query probes its `nProbe` closest cells and reranks
+    * exactly within their populations. The cell id is a shuffle key
+    * like an LSH band key, but cells follow the data distribution (no
+    * empty hash buckets) and recall/cost is tuned per query via
+    * `nProbe` with no index rebuild.
+    *
+    * The quantizer here is deterministic — the `nCells` lowest-id
+    * corpus vectors act as centroids — which keeps the whole operator
+    * bit-mirrorable by an external SQL oracle (gate q41); a trained
+    * k-means quantizer drops in by swapping the centroid frame. The
+    * centroid set is broadcast (tiny); assignment is one narrow pass
+    * over the corpus — at 100 TB the only shuffle is the cell-key
+    * join plus the per-query top-k window. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    val cents = candidates.where(col(idCol) < nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("__cent"),
+        norm(col(vecCol)).as("__centn"))
+    def assign(df: DataFrame, id: String, vec: String, n: String,
+        keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__csim").desc, col("cell_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__csim",
+          dot(col(vec), col("__cent")) / (col(n) * col("__centn")))
+        .withColumn("__crank", row_number().over(w))
+        .where(col("__crank") <= keep)
+        .drop("__cent", "__centn", "__csim", "__crank")
+    }
+    val c = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val assignedC = assign(c, "cand_id", "__cv", "__cn", keep = 1)
+    val probedQ = assign(q, "query_id", "__qv", "__qn", keep = nProbe)
+    val pairs = probedQ.join(assignedC, "cell_id")
+      .withColumn("sim",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** Exact brute-force cosine top-k: for every query row, the k most
     * similar candidate rows. The candidate set is broadcast when small
     * enough (let Catalyst/AQE decide); similarity is computed once per

@@ -101,4 +101,34 @@ class SimilaritySpec extends SparkSuite {
     assert(recovered >= top.size - 1 && top.size >= 11,
       s"recovered $recovered of ${top.size}")
   }
+
+  test("ivf top-k: self-recovery, in-cell candidates, nProbe recall") {
+    import spark.implicits._
+    val dim = 16
+    val df = clustered(200, dim).toDF("id", "vec")
+    val queries = df.where(col("id") < 20)
+    val got = Similarity.ivfTopK(queries, df, "id", "vec", k = 3,
+        nCells = 8, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    // every query finds itself at rank 1 (it lives in its own cell)
+    val rank1 = got.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
+    assert((0L until 20L).forall(q => rank1.get(q).contains(q)),
+      s"rank-1 self-recovery failed: $rank1")
+    // rank 2 stays in the query's planted cluster (ids mod 4 agree) for
+    // nearly all queries — the clusters are well-separated
+    val rank2 = got.filter(_._3 == 2)
+    val intra = rank2.count { case (q, c, _) => q % 4 == c % 4 }
+    assert(intra >= rank2.size - 2, s"intra-cluster rank-2: $intra/${rank2.size}")
+    // wider probing never shrinks the candidate pool: sims at rank 2
+    // with nProbe=4 are >= those with nProbe=1 for every query
+    def rank2Sim(nProbe: Int): Map[Long, Double] =
+      Similarity.ivfTopK(queries, df, "id", "vec", k = 3,
+          nCells = 8, nProbe = nProbe)
+        .where(col("rank") === 2).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wide = rank2Sim(4)
+    val narrow = rank2Sim(1)
+    assert(narrow.keySet.forall(q => wide(q) >= narrow(q) - 1e-12))
+  }
 }
