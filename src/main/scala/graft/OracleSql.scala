@@ -90,6 +90,21 @@ object OracleSql {
 
   private val enStop = "('the','and','of','to','is','a')"
 
+  /** Transitive-closure clustering oracle shared by q37 (min-label
+    * propagation) and q40 (star contraction) — one definition so the
+    * two gates can never drift apart. */
+  private def dedupClosureSql: String =
+    s"""WITH RECURSIVE $pairCte,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -439,16 +454,7 @@ object OracleSql {
     // transitive-closure CTE — every node labeled with the smallest
     // reachable id, mirroring TextOps.dedupClusters' fixpoint
     "q37_dedup_clusters" ->
-      s"""WITH RECURSIVE $pairCte,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |  FROM reach GROUP BY src)
-         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+      dedupClosureSql,
 
     // q41: IVF mirrored bit-for-bit — same left-fold dots/norms, same
     // deterministic seed-vector quantizer, same tie-breaks
@@ -457,16 +463,7 @@ object OracleSql {
     // q40: the star-contraction path must produce the identical
     // transitive closure
     "q40_dedup_star" ->
-      s"""WITH RECURSIVE $pairCte,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |  FROM reach GROUP BY src)
-         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+      dedupClosureSql,
 
     // q38: the streaming watermarked dedup reads every event twice and
     // must emit exactly the single-copy distinct rows DuckDB sees
@@ -501,8 +498,8 @@ object OracleSql {
         |  CAST(sum(height) AS BIGINT) AS sum_height
         |FROM m GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)
 
-  /** IVF ANN oracle, mirroring `Similarity.ivfTopK` exactly: the
-    * corpus vectors with the 8 lowest ids are the quantizer centroids,
+  /** IVF ANN oracle, mirroring `Similarity.ivfTopK` exactly: the 8
+    * lowest-id corpus vectors are the quantizer centroids,
     * every vector is assigned to its best-cosine cell (ties to the
     * lower cell id), queries (vec_id < 16) probe their 2 closest
     * cells, and the exact rerank reuses the same left-fold dot/norm
@@ -517,7 +514,7 @@ object OracleSql {
       |      (a, x) -> a + x)) AS nrm
       |  FROM v),
       |cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
-      |  FROM n WHERE id < 8),
+      |  FROM n ORDER BY id LIMIT 8),
       |casg AS (SELECT id, cell_id FROM (
       |    SELECT n.id, cent.cell_id, row_number() OVER (
       |        PARTITION BY n.id ORDER BY

@@ -137,7 +137,11 @@ object FqzCodec {
     val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
     var z = 0
     var last = -1
-    while (z < size) {
+    // a 255 chunk continues the same value in the next byte, so the
+    // stream is only complete once the final chunk is < 255 — even
+    // after the run total has reached `size` (a run that is an exact
+    // multiple of 255 ends with a 0 continuation byte)
+    while (z < size || (runs.nonEmpty && runs.last == 255)) {
       val b = in.u8()
       runs += b; z += b
       if (b == last) {

@@ -311,18 +311,20 @@ object NameTokCodec {
     while (i < nNames) {
       val t0 = stream(0, TType).u8()
       if (t0 == TDup) {
-        val dist = stream(0, TDup).u32le().toInt
-        if (dist < 1 || i - dist < 0)
+        // distances are unsigned 32-bit: validate in Long so values
+        // past 2^31 fail typed instead of wrapping negative
+        val dist = stream(0, TDup).u32le()
+        if (dist < 1 || dist > i)
           fail(s"DUP distance $dist out of range at name $i")
-        names(i) = names(i - dist)
-        allToks(i) = allToks(i - dist)
+        names(i) = names(i - dist.toInt)
+        allToks(i) = allToks(i - dist.toInt)
       } else {
         if (t0 != TDiff) fail(s"unexpected name-type $t0")
-        val dist = stream(0, TDiff).u32le().toInt
-        if (dist != 0 && i - dist < 0)
+        val dist = stream(0, TDiff).u32le()
+        if (dist != 0 && dist > i)
           fail(s"DIFF distance $dist out of range at name $i")
         val prevToks: Vector[Tok] =
-          if (dist == 0) Vector.empty else allToks(i - dist)
+          if (dist == 0) Vector.empty else allToks(i - dist.toInt)
         val toks = Vector.newBuilder[Tok]
         val sb = new StringBuilder
         var p = 1

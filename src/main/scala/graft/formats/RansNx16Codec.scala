@@ -93,7 +93,7 @@ object RansNx16Codec {
     catch {
       case e: IllegalArgumentException => throw e
       case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
-          _: java.io.IOException | _: OutOfMemoryError) =>
+          _: java.io.IOException) =>
         throw new IllegalArgumentException(
           s"ransNx16: corrupt or truncated payload " +
             s"(${src.length} bytes): ${e.getClass.getSimpleName}", e)

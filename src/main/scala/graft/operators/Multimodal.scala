@@ -139,8 +139,12 @@ object Multimodal {
         } else if (id == "data") {
           dataSize = size
         }
-        // chunks are word-aligned: odd sizes carry a pad byte
-        o += 8 + size.toInt + (size.toInt & 1)
+        // chunks are word-aligned: odd sizes carry a pad byte; sizes
+        // are unsigned, so advance in Long and stop on any step that
+        // fails to move forward (corrupt size) instead of looping
+        val step = 8L + size + (size & 1L)
+        if (step <= 0 || o + step > Int.MaxValue) o = b.length
+        else o += step.toInt
       }
       fmt.map { case (ch, rate, bits) =>
         val align = if (blockAlign > 0) blockAlign else ch * (bits / 8)

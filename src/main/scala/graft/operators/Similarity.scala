@@ -167,9 +167,13 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 8,
       nProbe: Int = 2): DataFrame = {
-    val cents = candidates.where(col(idCol) < nCells)
+    // the nCells lowest ids PRESENT in the corpus (not `id < nCells`,
+    // which silently yields no centroids on non-dense id spaces)
+    val cents = candidates
       .select(col(idCol).as("cell_id"), col(vecCol).as("__cent"),
         norm(col(vecCol)).as("__centn"))
+      .orderBy(col("cell_id").asc)
+      .limit(nCells)
     def assign(df: DataFrame, id: String, vec: String, n: String,
         keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id))

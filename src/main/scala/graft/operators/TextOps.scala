@@ -216,6 +216,10 @@ object TextOps {
       (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
     }
 
+    // every id that appears in any input pair (self-pairs included)
+    // must get a label, matching dedupClusters' contract
+    val nodes = pairs.select(col(a).as("doc_id"))
+      .unionAll(pairs.select(col(b).as("doc_id"))).distinct()
     var edges = snap(pairs
       .select(greatest(col(a), col(b)).as("u"),
         least(col(a), col(b)).as("v"))
@@ -232,11 +236,15 @@ object TextOps {
       iter += 1
     }
     // fixpoint is a star forest: u → component min; the minima label
-    // themselves
-    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    // themselves, and ids seen only in self-pairs are their own cluster
+    val starLabels = edges
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionAll(edges.select(col("v").as("doc_id"),
         col("v").as("cluster_id")))
       .distinct()
+    nodes.join(starLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   // ------------------------------------------------------------- simhash

@@ -393,13 +393,15 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
 
   /** Enforce a declared fixed Number=n carried as field metadata (the
     * reference's FixedSizeList semantics, `variant/model/info.rs:81-113`):
-    * a BCF value whose own length word disagrees with the header
-    * declaration is malformed. */
+    * a BCF value longer than the declaration is malformed. Shorter is
+    * legal — htslib encodes missing sample values as MISSING +
+    * END_OF_VECTOR padding, which the codec strips, so under-length
+    * vectors are how '.' looks after decode. */
   private def enforceCount(f: StructField, value: Any): Any = {
     if (value != null && f.metadata.contains("vcf_number")) {
       val n = f.metadata.getLong("vcf_number")
       value match {
-        case a: ArrayData if a.numElements() != n =>
+        case a: ArrayData if a.numElements() > n =>
           throw new IllegalArgumentException(
             s"BCF field ${f.name} declares Number=$n but the record " +
               s"carries ${a.numElements()} values")

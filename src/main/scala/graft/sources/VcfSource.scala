@@ -139,10 +139,10 @@ final case class VcfTypeDef(id: String, number: String, vcfType: String) {
   /** Declared fixed cardinality when Number=n with n > 1 (the
     * reference's FixedSizeList case, `variant/model/info.rs:81-113`).
     * Spark has no fixed-size array type, so the count is carried as
-    * field metadata and enforced by the parser: a record whose value
-    * count differs from the declaration is malformed (FAILFAST raises,
-    * PERMISSIVE skips the record). Flags, GT and the A/R/G/. symbolic
-    * numbers are unconstrained. */
+    * field metadata and enforced by the parser: a record carrying more
+    * values than declared is malformed (FAILFAST raises, PERMISSIVE
+    * skips the record); fewer is legal (missing-value conventions).
+    * Flags, GT and the A/R/G/. symbolic numbers are unconstrained. */
   def fixedCount: Option[Int] =
     if (vcfType == "Flag" || id == "GT") None
     else number.toIntOption.filter(_ > 1)
@@ -237,13 +237,17 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
       fullSchema("samples").dataType.asInstanceOf[StructType])
 
   /** Enforce a declared fixed Number=n (carried as field metadata):
-    * the reference's FixedSizeList semantics — a count mismatch makes
-    * the record malformed rather than silently shaping differently. */
+    * the reference's FixedSizeList semantics — a record carrying MORE
+    * values than declared is malformed rather than silently shaped
+    * differently. Fewer values are tolerated: both the text convention
+    * (trailing missing values omitted) and BCF's END_OF_VECTOR padding
+    * legally produce short vectors, and rejecting them would refuse
+    * spec-valid files. */
   private def enforceCount(f: StructField, value: Any): Any = {
     if (value != null && f.metadata.contains("vcf_number")) {
       val n = f.metadata.getLong("vcf_number")
       value match {
-        case a: ArrayData if a.numElements() != n =>
+        case a: ArrayData if a.numElements() > n =>
           throw new IllegalArgumentException(
             s"VCF field ${f.name} declares Number=$n but the record " +
               s"carries ${a.numElements()} values")

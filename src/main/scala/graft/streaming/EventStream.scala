@@ -177,25 +177,36 @@ object EventStream {
 
   /** Streaming watermarked dedup driven to completion and
     * oracle-checkable (gate row q38): the input directory is staged
-    * with TWO copies of the events file, so the stream carries every
-    * event twice; `withWatermark + dropDuplicates` on `event_id` must
-    * reduce it back to exactly the source's distinct rows (append-mode
-    * memory sink — dedup emits rows on arrival; the watermark only
-    * bounds state). A no-op dedup would emit twice the rows and fail
-    * the oracle's row count, so the gate genuinely observes the
-    * dropping. At scale the same plan runs unbounded: state is
-    * per-event_id within the watermark horizon, expiring as event time
-    * advances. */
+    * with TWO copies of every events file, so the stream carries each
+    * event twice; `withWatermark + dropDuplicatesWithinWatermark` on
+    * `event_id` must reduce it back to exactly the source's distinct
+    * rows (append-mode memory sink — dedup emits rows on arrival). A
+    * no-op dedup would emit twice the rows and fail the oracle's row
+    * count, so the gate genuinely observes the dropping. At scale the
+    * same plan runs unbounded: dropDuplicatesWithinWatermark expires
+    * per-event_id state as the watermark passes (plain
+    * dropDuplicates without the event-time column in its key set
+    * would hold state forever). */
   def dedupToCompletion(spark: SparkSession,
       eventsPath: String): DataFrame = {
     val batchSchema = spark.read.parquet(eventsPath).schema
-    val src = java.nio.file.Paths.get(eventsPath)
+    val src = java.nio.file.Paths.get(eventsPath).toAbsolutePath
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s = java.nio.file.Files.list(src)
+        try {
+          scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+            .asScala.filter(_.toString.endsWith(".parquet")).toVector
+        } finally s.close()
+      } else Seq(src)
     val d = java.nio.file.Files.createTempDirectory("graft-dedup-in")
-    Seq("copy_a.parquet", "copy_b.parquet").foreach { nm =>
-      val link = d.resolve(nm)
-      try java.nio.file.Files.createSymbolicLink(link, src)
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(src, link)
+    files.zipWithIndex.foreach { case (f, i) =>
+      Seq("a", "b").foreach { tag =>
+        val link = d.resolve(s"copy_${tag}_$i.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, f)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(f, link)
+        }
       }
     }
     val raw = spark.readStream.schema(batchSchema).parquet(d.toString)
@@ -206,7 +217,7 @@ object EventStream {
     }
     val deduped = events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-dedup-ckpt").toString

@@ -130,5 +130,14 @@ class SimilaritySpec extends SparkSuite {
     val wide = rank2Sim(4)
     val narrow = rank2Sim(1)
     assert(narrow.keySet.forall(q => wide(q) >= narrow(q) - 1e-12))
+    // non-dense id spaces still produce centroids (lowest ids present,
+    // not `id < nCells`)
+    val shifted = clustered(60, dim).map { case (id, v) => (id + 1000L, v) }
+      .toDF("id", "vec")
+    val sgot = Similarity.ivfTopK(shifted.where(col("id") < 1010L),
+        shifted, "id", "vec", k = 1, nCells = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sgot.nonEmpty && sgot.forall { case (q, c) => q == c },
+      s"shifted-id self-recovery failed: $sgot")
   }
 }

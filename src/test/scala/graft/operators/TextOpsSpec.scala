@@ -77,5 +77,12 @@ class TextOpsSpec extends SparkSuite {
     // empty input
     assert(TextOps.dedupClustersStar(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    // ids appearing only in self-pairs still get a label (contract
+    // parity with dedupClusters, whose edge list keeps the endpoint)
+    val selfDf = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    assert(labels(TextOps.dedupClustersStar(selfDf)) ==
+      Seq(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(labels(TextOps.dedupClustersStar(selfDf)) ==
+      labels(TextOps.dedupClusters(selfDf)))
   }
 }
