@@ -114,4 +114,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(multi.select("qname").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("m1", "m3"))
   }
+
+  test("ivf assignment broadcasts the centroid frame, never shuffles it") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 500L)
+      .map(i => (i, Array.fill(16)((i % 7).toFloat + 1f)))
+      .toDF("id", "vec")
+    val df = graft.operators.Similarity.ivfTopK(
+      vecs.where(col("id") < 8), vecs, "id", "vec", k = 2,
+      nCells = 4, nProbe = 2)
+    val plan = executedString(df)
+    // the tiny centroid side rides a broadcast (BNLJ over a broadcast
+    // exchange), and the corpus never becomes a cartesian product
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("star-contraction rounds stay equi-join shaped (no cartesian)") {
+    val s = spark
+    import s.implicits._
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.operators.TextOps.dedupClustersStar(pairs)
+    val plan = executedString(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(out.count() == 60)
+  }
 }
