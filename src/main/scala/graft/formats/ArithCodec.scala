@@ -223,7 +223,7 @@ object ArithCodec {
     catch {
       case e: IllegalArgumentException => throw e
       case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
-          _: java.io.IOException) =>
+          _: NullPointerException | _: java.io.IOException) =>
         throw new IllegalArgumentException(
           s"adaptive arithmetic: corrupt or truncated payload " +
             s"(${src.length} bytes): ${e.getClass.getSimpleName}", e)

@@ -37,7 +37,20 @@ object AutoSql {
   private val ScalarRe = """(?s)^([A-Za-z]+)\s*(?:\[\s*([^\]]*)\s*\])?\s+(\w+)$""".r
 
   def parse(text: String): AsTable = {
-    val open = text.indexOf('(')
+    // the field block's '(' must be located OUTSIDE quoted strings — a
+    // parenthesis inside the table description is data, not structure
+    val open = {
+      var i = 0
+      var inQuote = false
+      var found = -1
+      while (found < 0 && i < text.length) {
+        val c = text.charAt(i)
+        if (c == '"') inQuote = !inQuote
+        else if (c == '(' && !inQuote) found = i
+        i += 1
+      }
+      found
+    }
     val close = text.lastIndexOf(')')
     require(open >= 0 && close > open, "malformed AutoSql: missing ( ... )")
     val head = text.substring(0, open)

@@ -89,8 +89,8 @@ object Bgzf {
       f"not a BGZF/gzip block at offset $offset (magic ${header(0)}%02x${header(1)}%02x)")
     require((header(3) & 0x04) != 0, "BGZF requires FEXTRA flag")
     val xlen = u16(header, 10)
-    // scan extra subfields for BC
-    val extra = new Array[Byte](xlen - 6) // we already read 6 bytes of extra
+    require(xlen >= 6, s"gzip extra field too short for BC at offset " +
+      s"$offset (xlen=$xlen)")
     // header bytes 12..17 hold the first subfield if it is BC (usual case)
     var bsize = -1
     if (header(12) == 'B' && header(13) == 'C' && u16(header, 14) == 2)
@@ -109,7 +109,6 @@ object Bgzf {
       }
       require(bsize > 0, s"no BC subfield in gzip extra at offset $offset")
     }
-    val _ = extra
     val cdataLen = bsize - xlen - 19 - 1
     val cdata = new Array[Byte](cdataLen)
     in.seek(offset + 12 + xlen)
@@ -146,6 +145,12 @@ object Bgzf {
     val crc = new CRC32
     crc.update(data)
     val bsize = clen + 19 + 6 + 1
+    // BSIZE is a u16: incompressible payloads near 64 KiB deflate LARGER
+    // than the input (stored blocks + overhead) and would silently wrap
+    // the size field — htslib caps payloads at 0xff00 for this reason
+    require(bsize - 1 <= 0xffff,
+      s"BGZF block serializes to $bsize bytes (> u16 BSIZE); " +
+        "cap the payload near 0xff00 bytes")
     val out = java.nio.ByteBuffer.allocate(18 + clen + 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put(0x1f.toByte).put(0x8b.toByte).put(8.toByte).put(4.toByte)

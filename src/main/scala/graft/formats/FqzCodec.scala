@@ -201,7 +201,7 @@ object FqzCodec {
     val params = Array.fill(nParam) {
       val context = in.u8() | (in.u8() << 8)
       val pflags = in.u8()
-      val maxSym = in.u8()
+      val maxSym = { val b = in.u8(); if (b == 0) 256 else b }
       val x0 = in.u8(); val qbits = x0 >> 4; val qshift = x0 & 15
       val x1 = in.u8(); val qloc = x1 >> 4; val sloc = x1 & 15
       val x2 = in.u8(); val ploc = x2 >> 4; val dloc = x2 & 15
@@ -342,7 +342,7 @@ object FqzCodec {
     out.write(0) // gflags: single param, no stab, no rev
     out.write(context & 0xff); out.write((context >> 8) & 0xff)
     out.write(pflags)
-    out.write(maxSym)
+    out.write(maxSym & 0xff) // 256 symbols write as 0 (0-means-256)
     out.write((qbits << 4) | qshift)
     out.write((qloc << 4) | sloc)
     out.write((ploc << 4) | dloc)

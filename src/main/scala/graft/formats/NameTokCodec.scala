@@ -100,7 +100,7 @@ object NameTokCodec {
     * picks the per-stream entropy coder: adaptive arithmetic instead
     * of rANS Nx16. */
   def encode(raw: Array[Byte], useArith: Boolean = false): Array[Byte] = {
-    val text = new String(raw, "ASCII")
+    val text = new String(raw, "ISO-8859-1")
     // split on separators; terminators excluded from the names
     val names: Array[String] = {
       val out = Array.newBuilder[String]
@@ -167,7 +167,7 @@ object NameTokCodec {
             s(p, TChar) += tok.text.charAt(0).toByte
           } else {
             s(p, TType) += TString.toByte
-            tok.text.getBytes("ASCII").foreach(s(p, TString) += _)
+            tok.text.getBytes("ISO-8859-1").foreach(s(p, TString) += _)
             s(p, TString) += 0.toByte
           }
         }
@@ -386,7 +386,7 @@ object NameTokCodec {
     val out =
       if (joined.length + 1 == ulen) joined + "\u0000"
       else joined
-    val bytes = out.getBytes("ASCII")
+    val bytes = out.getBytes("ISO-8859-1")
     if (!(bytes.length == ulen || (expectedLen >= 0 && bytes.length == expectedLen)))
       fail(s"decoded ${bytes.length} bytes, header says $ulen")
     bytes

@@ -133,7 +133,21 @@ object RansCodec {
 
   // --------------------------------------------------------------- decode
 
-  def decode(data: Array[Byte]): Array[Byte] = {
+  /** Corrupt or truncated payloads raise [[IllegalArgumentException]]
+    * naming the codec, never a bare index error — the same error
+    * contract as the 3.1 block codecs. */
+  def decode(data: Array[Byte]): Array[Byte] =
+    try decodeImpl(data)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: NullPointerException | _: java.io.IOException) =>
+        throw new IllegalArgumentException(
+          s"rANS 4x8: corrupt or truncated payload " +
+            s"(${data.length} bytes): ${e.getClass.getSimpleName}", e)
+    }
+
+  private def decodeImpl(data: Array[Byte]): Array[Byte] = {
     val in = new In(data)
     val order = in.u8()
     in.u32() // compressed size (informational)

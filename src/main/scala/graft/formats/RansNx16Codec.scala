@@ -93,7 +93,7 @@ object RansNx16Codec {
     catch {
       case e: IllegalArgumentException => throw e
       case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
-          _: java.io.IOException) =>
+          _: NullPointerException | _: java.io.IOException) =>
         throw new IllegalArgumentException(
           s"ransNx16: corrupt or truncated payload " +
             s"(${src.length} bytes): ${e.getClass.getSimpleName}", e)
@@ -261,12 +261,16 @@ object RansNx16Codec {
     var s = 0
     while (s < 256) { total += f(s); s += 1 }
     if (total == 0 || total == TotFreq) return
-    var assigned = 0
+    // pick the remainder carrier from the RAW histogram before any slot
+    // is overwritten: comparing raw counts against already-normalized
+    // slots can select a small symbol and drive it negative
     var maxSym = 0
+    s = 0
+    while (s < 256) { if (f(s) > f(maxSym)) maxSym = s; s += 1 }
+    var assigned = 0
     s = 0
     while (s < 256) {
       if (f(s) > 0) {
-        if (f(s) > f(maxSym)) maxSym = s
         f(s) = math.max(1, (f(s).toLong * TotFreq / total).toInt)
         assigned += f(s)
       }

@@ -77,6 +77,75 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("normalize picks the remainder carrier from raw counts") {
+    // skewed histogram where a mid-frequency symbol's RAW count exceeds
+    // the DOMINANT symbol's already-normalized frequency: the old code
+    // flipped maxSym mid-loop and drove its slot negative
+    val data = new Array[Byte](1048576)
+    var i = 0
+    while (i < 1044122) { data(i) = 0; i += 1 }
+    while (i < 1044122 + 4200) { data(i) = 1; i += 1 }
+    var s = 2
+    while (i < data.length && s < 256) { data(i) = s.toByte; s += 1; i += 1 }
+    val dec = RansNx16Codec.decode(RansNx16Codec.encode(data), data.length)
+    assert(dec.sameElements(data))
+  }
+
+  test("fqzcomp round-trips a full 256-symbol quality alphabet") {
+    // max_sym is a single byte: 256 symbols must use the 0-means-256
+    // convention on both sides
+    val data = Array.tabulate[Byte](512)(i => (i % 256).toByte)
+    val dec = FqzCodec.decode(FqzCodec.encode(data, Seq(256, 256)), 512)
+    assert(dec.sameElements(data))
+  }
+
+  test("name tokeniser round-trips bytes above 0x7f losslessly") {
+    // ISO-8859-1, not ASCII: 0x80-0xff must not collapse to '?'
+    val raw = Array[Byte](0x41, 0x80.toByte, 0xff.toByte, 0x41, 0) ++
+      Array[Byte](0xe9.toByte, 0x31, 0)
+    val dec = NameTokCodec.decode(NameTokCodec.encode(raw), raw.length)
+    assert(dec.sameElements(raw),
+      dec.map(b => f"$b%02x").mkString(","))
+  }
+
+  test("rans 4x8 decode reports truncated payloads with a typed error") {
+    val enc = RansCodec.encode(
+      Array.tabulate[Byte](500)(i => (i % 7).toByte), 1)
+    val e = intercept[IllegalArgumentException] {
+      RansCodec.decode(enc.take(enc.length / 2))
+    }
+    assert(e.getMessage.contains("rANS 4x8"))
+  }
+
+  test("bgzf writeBlock refuses payloads whose block overflows BSIZE") {
+    // incompressible payloads near 64 KiB deflate LARGER than the
+    // input; the u16 BSIZE field would silently wrap
+    val rnd = new scala.util.Random(3)
+    val incompressible = Array.fill[Byte](65536)(rnd.nextInt().toByte)
+    val e = intercept[IllegalArgumentException] {
+      Bgzf.writeBlock(incompressible)
+    }
+    assert(e.getMessage.contains("BSIZE"))
+    // a compressible payload of the same size still writes + reads back
+    val compressible = Array.fill[Byte](65536)(7)
+    val block = Bgzf.writeBlock(compressible)
+    val f = java.nio.file.Files.createTempFile("graft-bgzf", ".gz")
+    java.nio.file.Files.write(f, block)
+    val in = SeekableInputs.forLocal(f.toString)
+    try {
+      val back = Bgzf.readBlock(in, 0L).get
+      assert(back.data.sameElements(compressible))
+    } finally in.close()
+  }
+
+  test("autosql parse skips parentheses inside the table description") {
+    val asql = "table t\n\"coverage (percent) of (things)\"\n(\n" +
+      "string chrom; \"c\"\nuint score; \"s\"\n)\n"
+    val t = AutoSql.parse(asql)
+    assert(t.description == "coverage (percent) of (things)")
+    assert(t.fields.map(_.name) == Seq("chrom", "score"))
+  }
+
   test("fqzcomp table framing round-trips monotone tables incl. 255 runs") {
     // exercises writeArray/readArray through full encode/decode with a
     // qual alphabet of one symbol repeated n times: ptab runs hit exact
