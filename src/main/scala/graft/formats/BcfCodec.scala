@@ -42,10 +42,9 @@ object BcfCodec {
     val contigs = mutable.LinkedHashMap.empty[String, Int]
     headerText.linesIterator.foreach {
       case HeaderLine(kind, body) =>
-        val attrs = body.split(",").flatMap { p =>
-          val eq = p.indexOf('=')
-          if (eq > 0) Some(p.substring(0, eq) -> p.substring(eq + 1)) else None
-        }.toMap
+        // quote-aware: a comma inside Description must not create a
+        // phantom attribute (which could shift implicit IDX numbering)
+        val attrs = graft.sources.VcfHeader.parseDefBody(body)
         attrs.get("ID").foreach { id =>
           val idx = attrs.get("IDX").map(_.toInt)
           if (kind == "contig") {

@@ -68,7 +68,7 @@ object GraftMeta {
     * VCF/BCF (##contig header lines), or BigWig/BigBed (chrom B+ tree). */
   def chromSizes(path: String): Map[String, Long] = {
     val p = new Path(path)
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val lower = p.getName.toLowerCase
     if (lower.endsWith(".bam")) {
       val fs = p.getFileSystem(conf)
@@ -207,7 +207,7 @@ object GraftMeta {
     * dictionary. */
   def indexStats(path: String): Map[String, (Long, Long)] = {
     val p = new Path(path)
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val fs = p.getFileSystem(conf)
     val index = GenomicIndex.findFor(fs, p).getOrElse(
       throw new IllegalArgumentException(s"no .bai/.csi/.tbi index for $path"))
@@ -231,7 +231,7 @@ object GraftMeta {
   /** Zoom levels (reduction factors) of a BBI file. */
   def zoomLevels(path: String): Seq[Int] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.sources.common.GraftHadoop.conf())
     val in = SeekableInputs.forHadoop(fs, p)
     try BbiCodec.readHeader(in).zoomLevels.map(_.reductionLevel)
     finally in.close()

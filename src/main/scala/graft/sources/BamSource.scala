@@ -81,7 +81,7 @@ object BamSource {
 
   /** Sample the first `scanRows` records for (tag, type) pairs. */
   private def discoverTags(path: Path, scanRows: Int): Seq[(String, Char)] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val fs = path.getFileSystem(conf)
     val in = new BgzfRangeInputStream(SeekableInputs.forHadoop(fs, path),
       VirtualPosition(0L), None)
@@ -230,7 +230,7 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
     val unmappedOnly = options.get("unmapped").exists(_.toBoolean)
@@ -335,7 +335,7 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
     options: Map[String, String], limit: Int, part: BamInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = graft.sources.common.GraftHadoop.conf()
   private val path = new Path(part.pathStr)
   private val fs = path.getFileSystem(conf)
 
@@ -394,7 +394,10 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
           val keep = (!part.unmappedOnly || (rec.flag & 0x4) != 0) &&
             (regionsById.isEmpty || regionsById.exists {
               case (id, s, e) =>
-                rec.refId == id && rec.pos0 < e && (rec.pos0 + rec.refLen) > s
+                // htslib bam_endpos convention: zero-reference-length
+                // records (no CIGAR, all-clip/insert) span length 1
+                rec.refId == id && rec.pos0 < e &&
+                  (rec.pos0 + math.max(rec.refLen, 1L)) > s
             })
           if (keep) {
             current =

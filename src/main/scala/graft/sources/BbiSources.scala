@@ -73,7 +73,7 @@ object BbiSource {
   /** Parse the embedded AutoSql into typed rest columns: fields beyond
     * chrom/chromStart/chromEnd, truncated to the header's fieldCount. */
   def autoSqlFields(path: Path): Option[Seq[graft.core.BedField]] = {
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(graft.sources.common.GraftHadoop.conf())
     val in = SeekableInputs.forHadoop(fs, path)
     try {
       val header = BbiCodec.readHeader(in)
@@ -187,7 +187,7 @@ class BbiScan(wig: Boolean, fullSchema: StructType, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val regions = parseRegions
     paths.flatMap { p =>
       val fs = p.getFileSystem(conf)
@@ -204,15 +204,25 @@ class BbiScan(wig: Boolean, fullSchema: StructType, required: StructType,
           case None => header.fullIndexOffset
         }
         if (regions.nonEmpty) {
-          regions.flatMap { r =>
-            byName.get(r.name).toSeq.flatMap { chrom =>
-              val endPos = r.end.getOrElse(chrom.size)
-              BbiCodec.querySections(in, indexOffset, chrom.id, r.start, endPos)
-                .map(s => BbiInputPartition(p.toString, s.dataOffset,
-                  s.dataSize, s.startChromId, s.startBase, s.endChromId,
-                  s.endBase, Seq((r.name, r.start, endPos))))
-            }
+          // union the section lists across regions, dedup by file
+          // offset, and attach the FULL region list as the residual:
+          // per-region partitions would emit a record once per query
+          // region it overlaps (the same hazard GenomicIndex.mergeChunks
+          // handles for BAI/CSI/TBI scans)
+          val resolved = regions.flatMap { r =>
+            byName.get(r.name).map(c => (c, r.start,
+              r.end.getOrElse(c.size)))
           }
+          val residuals = resolved.map { case (c, s, e) => (c.name, s, e) }
+          val secs = scala.collection.mutable.LinkedHashMap
+            .empty[Long, BbiCodec.Section]
+          resolved.foreach { case (c, s, e) =>
+            BbiCodec.querySections(in, indexOffset, c.id, s, e)
+              .foreach(sec => secs.getOrElseUpdate(sec.dataOffset, sec))
+          }
+          secs.values.toSeq.map(s => BbiInputPartition(p.toString,
+            s.dataOffset, s.dataSize, s.startChromId, s.startBase,
+            s.endChromId, s.endBase, residuals))
         } else {
           BbiCodec.querySections(in, indexOffset, -1, 0, 0)
             .map(s => BbiInputPartition(p.toString, s.dataOffset, s.dataSize,
@@ -239,7 +249,7 @@ class BbiPartitionReader(wig: Boolean, fullSchema: StructType,
     part: BbiInputPartition) extends PartitionReader[InternalRow] {
 
   private val path = new Path(part.pathStr)
-  private val fs = path.getFileSystem(new Configuration())
+  private val fs = path.getFileSystem(graft.sources.common.GraftHadoop.conf())
   private val in = SeekableInputs.forHadoop(fs, path)
   private val header = BbiCodec.readHeader(in)
   private val chroms = BbiCodec.readChroms(in, header)
@@ -258,9 +268,19 @@ class BbiPartitionReader(wig: Boolean, fullSchema: StructType,
       chromId == id && start < e && end > s
     }
 
+  // derive the typed rest columns from the SCHEMA, not by re-reading
+  // the file header/options per partition: row arity then matches
+  // fullSchema by construction (a user-supplied schema via
+  // supportsExternalMetadata would otherwise desync), and the header
+  // parse happens once at planning time
   private val bedFields: Seq[graft.core.BedField] =
     if (wig || zoom.isDefined) Nil
-    else BbiSource.restFields(options, Seq(path))
+    else {
+      val rest = fullSchema.fields.drop(3)
+      if (rest.length == 1 && rest.head.name == "rest" &&
+        rest.head.dataType == org.apache.spark.sql.types.StringType) Nil
+      else rest.map(f => graft.core.BedField(f.name, f.dataType)).toSeq
+    }
 
   private val rows: Iterator[InternalRow] = {
     def chromName(id: Int): Any =

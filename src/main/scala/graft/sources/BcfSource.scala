@@ -52,7 +52,7 @@ class BcfDataSource extends TableProvider
 object BcfSource {
 
   def readHeaderText(path: Path): String = {
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(graft.sources.common.GraftHadoop.conf())
     val si = SeekableInputs.forHadoop(fs, path)
     try {
       val s = new BgzfRangeInputStream(si, VirtualPosition(0L), None)
@@ -67,7 +67,7 @@ object BcfSource {
 
   /** End-of-header virtual position (first record boundary). */
   def headerEndVpos(path: Path): VirtualPosition = {
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(graft.sources.common.GraftHadoop.conf())
     val si = SeekableInputs.forHadoop(fs, path)
     try {
       val s = new BgzfRangeInputStream(si, VirtualPosition(0L), None)
@@ -91,10 +91,7 @@ object BcfSource {
     val DefRe = """##(INFO|FORMAT)=<(.+)>""".r
     headerText.linesIterator.foreach {
       case DefRe(kind, body) =>
-        val attrs = body.split(",").flatMap { p =>
-          val eq = p.indexOf('=')
-          if (eq > 0) Some(p.substring(0, eq) -> p.substring(eq + 1)) else None
-        }.toMap
+        val attrs = VcfHeader.parseDefBody(body)
         val d = VcfTypeDef(attrs.getOrElse("ID", ""),
           attrs.getOrElse("Number", "."), attrs.getOrElse("Type", "String"))
         if (d.id.nonEmpty) { if (kind == "INFO") info += d else format += d }
@@ -124,18 +121,27 @@ object BcfSource {
     val samplesField =
       if (!includeSamples || keptSamples.isEmpty || format.isEmpty) None
       else {
+        // remember each kept sample's position in the FULL sample list:
+        // with a `samples` subset, schema position j is not the file's
+        // per-sample vector index
+        def sampleMeta(s: String, base: Metadata): Metadata =
+          new MetadataBuilder().withMetadata(base)
+            .putLong("vcf_sample_idx", samples.indexOf(s).toLong)
+            .build()
         val byField = options.getOrElse("genotype_by", "sample") == "field"
         val st =
           if (byField)
             StructType(format.toSeq.map(d => StructField(d.id,
               StructType(keptSamples.map(s =>
                 StructField(s, d.sparkType,
-                  metadata = d.fieldMetadata)).toIndexedSeq))).toIndexedSeq)
+                  metadata = sampleMeta(s, d.fieldMetadata)))
+                .toIndexedSeq))).toIndexedSeq)
           else
             StructType(keptSamples.map(s => StructField(s,
               StructType(format.toSeq.map(d =>
                 StructField(d.id, d.sparkType,
-                  metadata = d.fieldMetadata)).toIndexedSeq))).toIndexedSeq)
+                  metadata = d.fieldMetadata)).toIndexedSeq),
+              metadata = sampleMeta(s, Metadata.empty))).toIndexedSeq)
         Some(StructField("samples", st))
       }
     StructType((fixed ++ infoField ++ samplesField).toIndexedSeq)
@@ -208,7 +214,7 @@ class BcfScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
     val regions = parseRegions
@@ -266,7 +272,7 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(part.pathStr)
-  private val fs = path.getFileSystem(new Configuration())
+  private val fs = path.getFileSystem(graft.sources.common.GraftHadoop.conf())
   private val headerText = BcfSource.readHeaderText(path)
   private val dict = BcfCodec.dictionaries(headerText)
   private val byField = options.getOrElse("genotype_by", "sample") == "field"
@@ -356,16 +362,21 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
         case (k, vals) if k < dict.strings.size => Some(dict.strings(k) -> vals)
         case _ => None
       }.toMap
+      def sampleSlot(f: StructField, default: Int): Int =
+        if (f.metadata.contains("vcf_sample_idx"))
+          f.metadata.getLong("vcf_sample_idx").toInt
+        else default
       if (byField) {
         val arr = new Array[Any](ss.length)
         ss.fields.zipWithIndex.foreach { case (fieldF, i) =>
           val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
           val inner = new Array[Any](sampleStruct.length)
           byName.get(fieldF.name).foreach { vals =>
-            (0 until math.min(vals.size, sampleStruct.length)).foreach { j =>
-              inner(j) = enforceCount(sampleStruct(j),
-                convertSample(fieldF.name,
-                  sampleStruct(j).dataType, vals(j)))
+            sampleStruct.fields.zipWithIndex.foreach { case (sf, j) =>
+              val slot = sampleSlot(sf, j)
+              if (slot < vals.size)
+                inner(j) = enforceCount(sf,
+                  convertSample(fieldF.name, sf.dataType, vals(slot)))
             }
           }
           arr(i) = new GenericInternalRow(inner)
@@ -376,11 +387,12 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
         ss.fields.zipWithIndex.foreach { case (sampleF, j) =>
           val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
           val inner = new Array[Any](fieldStruct.length)
+          val slot = sampleSlot(sampleF, j)
           fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
             byName.get(ff.name).foreach { vals =>
-              if (j < vals.size)
+              if (slot < vals.size)
                 inner(i) = enforceCount(ff,
-                  convertSample(ff.name, ff.dataType, vals(j)))
+                  convertSample(ff.name, ff.dataType, vals(slot)))
             }
           }
           arr(j) = new GenericInternalRow(inner)
@@ -420,6 +432,10 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
       case _ => null
     }.orNull
     case (FloatType, f: java.lang.Float) => f.floatValue()
+    case (FloatType, xs: Seq[_]) => xs.headOption.map {
+      case f: java.lang.Float => f.floatValue()
+      case _ => null
+    }.orNull
     case (StringType, s: String) => utf8(s)
     case (StringType, other) => utf8(other.toString)
     case (ArrayType(LongType, _), xs: Seq[_]) =>
@@ -438,6 +454,12 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
       ArrayData.toArrayData(Array(f))
     case (ArrayType(StringType, _), s: String) =>
       ArrayData.toArrayData(s.split(",").map(utf8))
+    case (ArrayType(StringType, _), xs: Seq[_]) =>
+      ArrayData.toArrayData(xs.map {
+        case s: String => utf8(s)
+        case other if other != null => utf8(other.toString)
+        case _ => null
+      }.toArray)
     case _ => null
   }
 

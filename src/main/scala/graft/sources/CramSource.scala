@@ -84,7 +84,7 @@ object CramSource {
   /** Union of the first data container's TD lines, in appearance order;
     * tags seen with conflicting Spark types sink to string. */
   private def discoverTags(path: Path): Seq[(String, Char)] = {
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(graft.sources.common.GraftHadoop.conf())
     val in = SeekableInputs.forHadoop(fs, path)
     try {
       val s = new CountingStream(in, 0L)
@@ -260,7 +260,7 @@ class CramScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val regions = parseRegions
     val unmappedOnly = options.get("unmapped").exists(_.toBoolean)
     paths.flatMap { p =>
@@ -334,7 +334,7 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
     options: Map[String, String], limit: Int, part: CramInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = graft.sources.common.GraftHadoop.conf()
   private val path = new Path(part.pathStr)
   private val fs = path.getFileSystem(conf)
   private val in = SeekableInputs.forHadoop(fs, path)
@@ -515,7 +515,12 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
     if (row.isNullAt(rnameIdx) || row.isNullAt(posIdx)) return false
     val name = row.getUTF8String(rnameIdx).toString
     val start0 = row.getLong(posIdx) - 1 - posShift
-    val end0 = row.getLong(endIdx) // 1-based closed end == half-open end
+    // 1-based closed end == half-open end; placed records with no
+    // reference span (null/zero end) count as length 1 (htslib
+    // bam_endpos convention)
+    val end0 =
+      if (row.isNullAt(endIdx)) start0 + 1
+      else math.max(row.getLong(endIdx), start0 + 1)
     regionsById.exists { case (id, s, e) =>
       refNames.lift(id).contains(name) && start0 < e && end0 > s
     }

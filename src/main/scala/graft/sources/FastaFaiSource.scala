@@ -86,7 +86,7 @@ class FaiSliceScan(fullSchema: StructType, required: StructType,
   override def description(): String = s"graft-fasta-fai ${paths.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val regions = options.get("regions").toSeq
       .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
       .map(Region.parse(_, CoordSystem.OneBasedClosed))
@@ -133,10 +133,10 @@ class FaiSliceReader(fullSchema: StructType, required: StructType,
 
   private val path = new Path(part.pathStr)
   private val raw = new FastaFaiSource.Counting(
-    SeekableInputs.forHadoop(path.getFileSystem(new Configuration()), path))
+    SeekableInputs.forHadoop(path.getFileSystem(graft.sources.common.GraftHadoop.conf()), path))
   private val in: Bgzf.SeekableInput =
     if (part.gzi) {
-      val idx = GziIndex.readFor(path, new Configuration()).getOrElse(
+      val idx = GziIndex.readFor(path, graft.sources.common.GraftHadoop.conf()).getOrElse(
         throw new IllegalStateException(s"missing .gzi for ${part.pathStr}"))
       new GziIndex.UncompressedView(raw, idx)
     } else raw

@@ -69,7 +69,7 @@ abstract class GxfFormat(val gtfStyle: Boolean) extends LineFormat {
   /** Sample the head of the first file(s): collect attribute keys in first-
     * seen order; GFF values containing ',' promote the key to array. */
   private def discoverAttributes(paths: Seq[Path], scanRows: Int): Seq[StructField] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val keys = mutable.LinkedHashMap.empty[String, Boolean] // name → isArray
     var seen = 0
     paths.iterator.takeWhile(_ => seen < scanRows).foreach { p =>

@@ -40,6 +40,22 @@ class SamFormat extends LineFormat {
   override def coordSystem(options: Map[String, String]) =
     graft.core.CoordSystem.fromCode(options.getOrElse("coords", "11"))
 
+  /** htslib bam_endpos convention for region queries: a placed record
+    * with no reference span ('*' CIGAR → null end, or all-clip/insert)
+    * counts as length 1 — samtools returns it for a region covering
+    * its position. */
+  override def regionEnd0(fullSchema: StructType,
+      options: Map[String, String]): Option[InternalRow => Long] = {
+    val cs = coordSystem(options)
+    val posIdx = fullSchema.fieldIndex("pos")
+    val endIdx = fullSchema.fieldIndex("end")
+    Some { row =>
+      val start0 = row.getLong(posIdx) + cs.startOffset
+      if (row.isNullAt(endIdx)) start0 + 1
+      else math.max(row.getLong(endIdx), start0 + 1)
+    }
+  }
+
   private val fixed = Seq(
     StructField("qname", StringType), StructField("flag", IntegerType),
     StructField("rname", StringType), StructField("pos", LongType),
@@ -67,7 +83,7 @@ class SamFormat extends LineFormat {
   }
 
   private def discoverTags(paths: Seq[Path], scanRows: Int): Seq[(String, Char)] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     // name → type code; conflicts widen to String sink ('Z'), like the
     // reference's conflict rule
     val seenTags = mutable.LinkedHashMap.empty[String, Char]

@@ -115,7 +115,7 @@ class FastaDataSource extends LineTableProvider {
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
     val options = graft.sources.common.LineSourceUtil.optionsMap(opts)
     val paths = graft.sources.common.LineSourceUtil.resolvePaths(opts)
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val hasRegions = options.get("regions").exists(_.trim.nonEmpty)
     val indexable = hasRegions && paths.nonEmpty && paths.forall { p =>
       graft.formats.FaiIndex.readFor(p, conf).isDefined &&
@@ -174,6 +174,16 @@ class FastqParser extends LineParser {
           UTF8String.fromString(sequence),
           UTF8String.fromString(line)))
     }
+  }
+
+  /** A file ending mid-record (1-3 lines into the 4-line cadence) is
+    * truncated: raise instead of silently dropping the dangling
+    * record (PERMISSIVE mode downgrades this to a skip + warning). */
+  override def flush(): InternalRow = {
+    require(lineNo % 4 == 0,
+      s"truncated FASTQ: file ends ${lineNo % 4} line(s) into record " +
+        s"'${if (name != null) name else "?"}'")
+    null
   }
 }
 

@@ -109,6 +109,13 @@ class VcfFormat extends LineFormat {
     val samplesField =
       if (!includeSamples || samples.isEmpty || header.format.isEmpty) None
       else {
+        // each kept sample remembers its position in the FULL header
+        // sample list: with a `samples` subset, schema position j does
+        // not equal file column 9+j
+        def sampleMeta(s: String, base: Metadata): Metadata =
+          new MetadataBuilder().withMetadata(base)
+            .putLong("vcf_sample_idx", header.samples.indexOf(s).toLong)
+            .build()
         val fieldStruct = StructType(header.format.map(d =>
           StructField(d.id, d.sparkType,
             metadata = d.fieldMetadata)).toIndexedSeq)
@@ -117,10 +124,12 @@ class VcfFormat extends LineFormat {
           if (byField)
             StructType(header.format.map(d => StructField(d.id,
               StructType(samples.map(s => StructField(s, d.sparkType,
-                metadata = d.fieldMetadata)).toIndexedSeq))).toIndexedSeq)
+                metadata = sampleMeta(s, d.fieldMetadata)))
+                .toIndexedSeq))).toIndexedSeq)
           else
             StructType(samples.map(s =>
-              StructField(s, fieldStruct)).toIndexedSeq)
+              StructField(s, fieldStruct,
+                metadata = sampleMeta(s, Metadata.empty))).toIndexedSeq)
         Some(StructField("samples", st))
       }
 
@@ -205,8 +214,10 @@ object VcfHeader {
   }
 
   /** Parse `ID=DP,Number=1,Type=Integer,Description="..."` respecting
-    * quoted commas. */
-  private def parseDefBody(body: String): Map[String, String] = {
+    * quoted commas (shared with the BCF header/dictionary parsers —
+    * a naive split(",") mis-keys attributes when a Description
+    * contains commas). */
+  private[graft] def parseDefBody(body: String): Map[String, String] = {
     val out = mutable.Map.empty[String, String]
     var i = 0; val sb = new StringBuilder; var inQuote = false
     val parts = mutable.ArrayBuffer.empty[String]
@@ -295,6 +306,10 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
       val formatKeys: Array[String] =
         if (c.length > 8 && !dot(c(8))) c(8).split(":") else Array.empty
       // values per sample column, aligned by schema position
+      def sampleCol(f: StructField, default: Int): Int =
+        if (f.metadata.contains("vcf_sample_idx"))
+          f.metadata.getLong("vcf_sample_idx").toInt
+        else default
       if (byField) {
         // struct{field → struct{sample → value}}
         val arr = new Array[Any](ss.length)
@@ -304,7 +319,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
           val keyIdx = formatKeys.indexOf(fieldF.name)
           if (keyIdx >= 0) {
             sampleStruct.fields.zipWithIndex.foreach { case (sf, j) =>
-              val col = 9 + j
+              val col = 9 + sampleCol(sf, j)
               if (col < c.length) {
                 val parts = c(col).split(":", -1)
                 if (keyIdx < parts.length && !dot(parts(keyIdx)))
@@ -322,7 +337,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long)
         ss.fields.zipWithIndex.foreach { case (sampleF, j) =>
           val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
           val inner = new Array[Any](fieldStruct.length)
-          val col = 9 + j
+          val col = 9 + sampleCol(sampleF, j)
           if (col < c.length) {
             val parts = c(col).split(":", -1)
             fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>

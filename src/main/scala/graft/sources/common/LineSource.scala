@@ -83,7 +83,7 @@ trait LineFormat extends Serializable {
 
 object LineSourceUtil {
   def resolvePaths(options: CaseInsensitiveStringMap): Seq[Path] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val raw = Option(options.get("paths"))
       .map(_.stripPrefix("[").stripSuffix("]").split(",").toSeq
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
@@ -97,6 +97,12 @@ object LineSourceUtil {
       else globbed.toSeq.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq
           .filter(_.isFile).map(_.getPath)
+          // tool-written directories carry _SUCCESS/.crc metadata files
+          // that are not data (same filter as Spark's file sources)
+          .filterNot { p =>
+            val n = p.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
         else Seq(st.getPath)
       }
     }
@@ -120,7 +126,7 @@ abstract class LineTableProvider extends TableProvider
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = LineSourceUtil.resolvePaths(options)
-    format.schema(LineSourceUtil.optionsMap(options), paths, new Configuration())
+    format.schema(LineSourceUtil.optionsMap(options), paths, graft.sources.common.GraftHadoop.conf())
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -210,7 +216,7 @@ class LineScan(format: LineFormat, fullSchema: StructType,
     s"graft-${format.shortName} ${paths.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = graft.sources.common.GraftHadoop.conf()
     val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
     // regions requested via option or pushed chrom equality
@@ -325,7 +331,7 @@ class LineReader(format: LineFormat, fullSchema: StructType,
     limit: Int, part: LineInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = graft.sources.common.GraftHadoop.conf()
   private val path = new Path(part.pathStr)
   private val reader: BufferedReader = {
     if (part.vpos) {
@@ -457,12 +463,17 @@ class LineReader(format: LineFormat, fullSchema: StructType,
         }
         val endOverride = format.regionEnd0(fullSchema, options)
         row => {
-          if (row.isNullAt(ci) || row.isNullAt(si) || row.isNullAt(ei)) {
+          // a null end column only disqualifies the row when no format
+          // override can supply the true span (e.g. SAM '*'-cigar rows)
+          if (row.isNullAt(ci) || row.isNullAt(si) ||
+            (endOverride.isEmpty && row.isNullAt(ei))) {
             regions.isEmpty && chromSet.isEmpty && startLt.isEmpty && endGt.isEmpty
           } else {
             val chrom = row.getUTF8String(ci).toString
             val startOut = asLong(row.get(si, fullSchema(si).dataType))
-            val endOut = asLong(row.get(ei, fullSchema(ei).dataType))
+            val endOut =
+              if (row.isNullAt(ei)) startOut
+              else asLong(row.get(ei, fullSchema(ei).dataType))
             // normalize to 0-based half-open for the region overlap check
             // (a closed 1-based end equals the half-open end value, so the
             // end column needs no shift; formats whose true span is not a
@@ -496,6 +507,17 @@ class LineReader(format: LineFormat, fullSchema: StructType,
         Nil
     }
 
+  private def flushSafe(): Seq[InternalRow] =
+    if (!permissive) parser.flushMany()
+    else try parser.flushMany() catch {
+      case e: Exception =>
+        skipped += 1
+        if (skipped <= 10) LineReader.log.warn(
+          s"dropping truncated trailing ${format.shortName} record: " +
+            e.getMessage)
+        Nil
+    }
+
   private val pending = scala.collection.mutable.Queue.empty[InternalRow]
 
   private def emitFromPending(): Boolean = {
@@ -516,7 +538,7 @@ class LineReader(format: LineFormat, fullSchema: StructType,
       val line = readLineExact()
       if (line == null) {
         exhausted = true
-        pending ++= parser.flushMany()
+        pending ++= flushSafe()
         return emitFromPending()
       }
       pos += lastLineBytes
@@ -530,10 +552,10 @@ class LineReader(format: LineFormat, fullSchema: StructType,
       if (!skip && (line.nonEmpty || !format.skipEmptyLines) &&
           !format.commentPrefixes.exists(p => p.nonEmpty && line.startsWith(p))) {
         pending ++= parseSafe(line)
-        if (exhausted) pending ++= parser.flushMany()
+        if (exhausted) pending ++= flushSafe()
         if (emitFromPending()) return true
       } else if (exhausted) {
-        pending ++= parser.flushMany()
+        pending ++= flushSafe()
         return emitFromPending()
       }
       if (exhausted) return false

@@ -61,6 +61,17 @@ class BbiSourcesSpec extends SparkSuite {
     assert(df.rdd.getNumPartitions == 1) // only the chr1 bedGraph section
   }
 
+  test("bigwig: overlapping multi-region queries emit each record once") {
+    // both regions hit the same section AND the same record (100,150):
+    // per-region partitions would emit it twice
+    val df = spark.read.format("bigwig")
+      .option("regions", "chr1:[90,160);chr1:[140,260)")
+      .load(bigwigPath)
+    val rows = df.collect().map(r => (r.getLong(1), r.getFloat(3))).toSeq
+    assert(rows.sorted == Seq((100L, 1.5f), (200L, 2.5f)),
+      s"expected each interval once, got $rows")
+  }
+
   test("bigwig: zoom_level reads stored summary records") {
     val df = spark.read.format("bigwig").option("zoom_level", "0")
       .load(bigwigPath)

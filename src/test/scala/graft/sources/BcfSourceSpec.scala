@@ -51,6 +51,22 @@ class BcfSourceSpec extends SparkSuite {
     assert(samples.fieldNames.toSeq == Seq("NA1", "NA2"))
   }
 
+  test("bcf: samples subset reads the right per-sample vector slots") {
+    // NA2 (file slot 1): GT 1/1, FD missing; positional mapping would
+    // leak NA1's 0|1 / 7
+    val d = spark.read.format("bcf").option("samples", "NA2").load(bcfPath)
+    val r = d.where(org.apache.spark.sql.functions.col("pos") === 100)
+      .select("samples.NA2.GT", "samples.NA2.FD").collect()(0)
+    val gt = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(gt.map(_.getInt(0)) == Seq(1, 1), s"GT alleles: $gt")
+    assert(r.isNullAt(1), s"expected NA2 FD null, got $r")
+    val dbf = spark.read.format("bcf").option("samples", "NA2")
+      .option("genotype_by", "field").load(bcfPath)
+    val r2 = dbf.where(org.apache.spark.sql.functions.col("pos") === 100)
+      .select("samples.FD.NA2").collect()(0)
+    assert(r2.isNullAt(0))
+  }
+
   test("bcf: record decode (dictionary strings, typed values, GT)") {
     val rows = spark.read.format("bcf").load(bcfPath).orderBy("pos").collect()
     assert(rows.length == 2)

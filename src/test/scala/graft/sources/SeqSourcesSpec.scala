@@ -157,4 +157,18 @@ class SeqSourcesSpec extends SparkSuite {
     val df = spark.read.format("fastq").load(tempGzFile("s.fq.gz", fq))
     assert(df.count() == 1)
   }
+
+  test("fastq: truncated trailing record raises in FAILFAST, skips in PERMISSIVE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fqtrunc")
+    val p = dir.resolve("t.fq")
+    java.nio.file.Files.writeString(p,
+      "@r1\nACGT\n+\nFFFF\n@r2\nGGCC\n+\n") // cut before quality
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("fastq").load(p.toString).collect()
+    }
+    assert(String.valueOf(e.getCause).contains("truncated FASTQ"))
+    val ok = spark.read.format("fastq").option("mode", "permissive")
+      .load(p.toString).select("name").collect().map(_.getString(0))
+    assert(ok.toSeq == Seq("r1"))
+  }
 }

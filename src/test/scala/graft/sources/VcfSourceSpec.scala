@@ -96,6 +96,19 @@ class VcfSourceSpec extends SparkSuite {
       .load(tempFile("s3.vcf", vcf))
     val samples = d.schema("samples").dataType.asInstanceOf[StructType]
     assert(samples.fieldNames.toSeq == Seq("NA2"))
+    // the VALUES must be NA2's (file column 10), not column 9's: NA2 is
+    // "1/2:.:1,1" — DP missing, AD [1,1]; a positional mapping would
+    // leak NA1's 7 / [4,3]
+    val row = d.where(col("pos") === 100)
+      .select("samples.NA2.DP", "samples.NA2.AD").collect()(0)
+    assert(row.isNullAt(0), s"expected NA2 DP null, got $row")
+    assert(row.getSeq[Long](1) == Seq(1L, 1L))
+    // byField pivot honors the same mapping
+    val dbf = spark.read.format("vcf").option("samples", "NA2")
+      .option("genotype_by", "field").load(tempFile("s3f.vcf", vcf))
+    val r2 = dbf.where(col("pos") === 100)
+      .select("samples.DP.NA2", "samples.AD.NA2").collect()(0)
+    assert(r2.isNullAt(0) && r2.getSeq[Long](1) == Seq(1L, 1L))
     val d2 = spark.read.format("vcf").option("include_samples", "false")
       .load(tempFile("s4.vcf", vcf))
     assert(!d2.columns.contains("samples"))
