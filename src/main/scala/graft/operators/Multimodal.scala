@@ -165,10 +165,14 @@ object Multimodal {
           private var o = lo
           def hasNext: Boolean = o + 8 <= hi
           def next(): (String, Int, Int) = {
-            val size = be32(b, o)
+            // size is an unsigned 32-bit field: advance in Long so a
+            // corrupt value cannot wrap the offset negative
+            val size = be32(b, o).toLong & 0xffffffffL
             val tpe = fourcc(b, o + 4)
             val body = o + 8
-            val end = if (size <= 0) hi else math.min(hi, o + size)
+            val end =
+              if (size <= 0) hi
+              else math.min(hi.toLong, o.toLong + size).toInt
             o = if (size <= 8) hi else end
             (tpe, body, end)
           }
@@ -189,7 +193,7 @@ object Multimodal {
             val dur = ((be32(b, body + 24).toLong & 0xffffffffL) << 32) |
               (be32(b, body + 28).toLong & 0xffffffffL)
             if (ts > 0) durationMs = dur * 1000 / ts
-          } else if (body + 20 <= end) {
+          } else if (v == 0 && body + 20 <= end) {
             val ts = be32(b, body + 12).toLong & 0xffffffffL
             val dur = be32(b, body + 16).toLong & 0xffffffffL
             if (ts > 0) durationMs = dur * 1000 / ts
@@ -239,7 +243,10 @@ object Multimodal {
   /** Little-endian counterparts: the big-endian hex string re-assembled
     * byte-reversed — still pure codegen'd built-ins. */
   private def leN(c: Column, bytes: Int): Column = {
-    val hx = lpad(hex(c.cast("long")), bytes * 2, "0")
+    // keep the conventional LOW bits: lpad would truncate away the
+    // low-order nibbles of an oversized (or negative) value
+    val masked = pmod(c.cast("long"), lit(1L << (bytes * 8)))
+    val hx = lpad(hex(masked), bytes * 2, "0")
     concat((0 until bytes).map(i =>
       unhex(substring(hx, (bytes - 1 - i) * 2 + 1, 2))): _*)
   }
@@ -349,7 +356,9 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, mime, payload) =>
-          MediaDecoder.wavMeta(payload) match {
+          if (payload == null)
+            AvMeta(id, mime, "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          else MediaDecoder.wavMeta(payload) match {
             case Some(a) =>
               AvMeta(id, mime, "audio", a.sampleRate.toLong,
                 a.channels.toLong, a.bitsPerSample.toLong, a.nFrames,

@@ -138,12 +138,20 @@ object Similarity {
     val cand = keyed(q, "query_id", "__qv")
       .join(keyed(c, "cand_id", "__cv"), Seq("band", "key"))
       .select("query_id", "cand_id").distinct()
-    val pairs = cand.join(q, "query_id").join(c, "cand_id")
-      .withColumn("sim",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    rerank(cand.join(q, "query_id").join(c, "cand_id"), k)
+  }
+
+  /** Shared exact-cosine rerank tail: compute sims over candidate
+    * pairs carrying (__qv,__qn) / (__cv,__cn), keep each query's top-k
+    * by similarity (ties to the lower cand_id). One definition for the
+    * four search variants, so tie-breaking and output shape can never
+    * drift. */
+  private def rerank(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.withColumn("sim",
+      dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
-    pairs
+    scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
@@ -191,15 +199,7 @@ object Similarity {
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val assignedC = assign(c, "cand_id", "__cv", "__cn", keep = 1)
     val probedQ = assign(q, "query_id", "__qv", "__qn", keep = nProbe)
-    val pairs = probedQ.join(assignedC, "cell_id")
-      .withColumn("sim",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+    rerank(probedQ.join(assignedC, "cell_id"), k)
   }
 
   /** Exact brute-force cosine top-k: for every query row, the k most
@@ -213,14 +213,7 @@ object Similarity {
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val c = candidates.select(col(idCol).as("cand_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
-    val pairs = q.crossJoin(c)
-      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+    rerank(q.crossJoin(c), k)
   }
 
   /** Approximate top-k: candidates restricted to the query's bucket.
@@ -241,14 +234,7 @@ object Similarity {
     val c = candidates.select(col(idCol).as("cand_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
       bucket(col(vecCol)).as("__bucket"))
-    val pairs = q.join(c, "__bucket")
-      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+    rerank(q.join(c, "__bucket"), k)
   }
 
   /** Embedding near-duplicate pairs: same sign bucket, cosine ≥ threshold,

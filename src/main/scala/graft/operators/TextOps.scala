@@ -109,6 +109,54 @@ object TextOps {
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB)).cast("double")
 
+  /** Superstep snapshot function for the iterative clustering
+    * operators. Default: `localCheckpoint` (executor-block storage,
+    * lost on executor failure). With `checkpointDir`: reliable
+    * `checkpoint()` that survives executor loss — the checkpoint dir is
+    * set only if the context has none (never silently redirecting the
+    * application's own setting), and each superstep deletes the
+    * PREVIOUS round's checkpoint files once the new one is
+    * materialized, so durable storage holds ~one copy instead of one
+    * per round (Spark's own cleaner only runs with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, off by
+    * default). */
+  private final class Snapshotter(pairs: DataFrame,
+      checkpointDir: Option[String]) {
+    checkpointDir.foreach { d =>
+      val sc = pairs.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
+    private def base(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    /** Snapshot that outlives the whole iteration (never cleaned up
+      * mid-run — e.g. the edge list every superstep joins against). */
+    def pin(df: DataFrame): DataFrame = base(df)
+
+    /** Rotating superstep snapshot: once the new checkpoint is
+      * materialized, the PREVIOUS rotating checkpoint's files are
+      * deleted (reliable mode only), so durable storage holds ~one
+      * copy instead of one per round — Spark's own cleaner runs only
+      * with `spark.cleaner.referenceTracking.cleanCheckpoints`, off by
+      * default. */
+    private var prev: Option[String] = None
+    def roll(df: DataFrame): DataFrame = {
+      val snapped = base(df)
+      if (checkpointDir.isDefined) {
+        val file = snapped.rdd.getCheckpointFile
+        prev.filter(p => !file.contains(p)).foreach { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(
+              graft.sources.common.GraftHadoop.conf()).delete(path, true)
+          } catch { case _: Exception => () } // cleanup is best-effort
+        }
+        prev = file
+      }
+      snapped
+    }
+  }
+
   /** Near-duplicate CLUSTERS from verified pair edges: connected
     * components by iterative min-label propagation — each member of a
     * component converges to the smallest doc id reachable from it, the
@@ -134,13 +182,12 @@ object TextOps {
   def dedupClusters(pairs: DataFrame, a: String = "id_a",
       b: String = "id_b", maxIter: Int = 30,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = snap(pairs.select(col(a).as("src"), col(b).as("dst"))
+    val snap = new Snapshotter(pairs, checkpointDir)
+    // edges are joined in EVERY superstep: pinned, never rotated away
+    val edges = snap.pin(pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct())
-    var labels = snap(edges.select(col("src").as("doc_id")).distinct()
+    var labels = snap.roll(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var iter = 0
@@ -151,7 +198,7 @@ object TextOps {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = snap(labels.join(nbrMin,
+      val updated = snap.roll(labels.join(nbrMin,
           labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("nbr_min"),
@@ -183,9 +230,7 @@ object TextOps {
   def dedupClustersStar(pairs: DataFrame, a: String = "id_a",
       b: String = "id_b", maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val snap = new Snapshotter(pairs, checkpointDir)
 
     // edges kept directed high → low (u > v), deduped
     def largeStar(edges: DataFrame): DataFrame = {
@@ -220,7 +265,7 @@ object TextOps {
     // must get a label, matching dedupClusters' contract
     val nodes = pairs.select(col(a).as("doc_id"))
       .unionAll(pairs.select(col(b).as("doc_id"))).distinct()
-    var edges = snap(pairs
+    var edges = snap.roll(pairs
       .select(greatest(col(a), col(b)).as("u"),
         least(col(a), col(b)).as("v"))
       .where(col("u") =!= col("v")).distinct())
@@ -228,7 +273,7 @@ object TextOps {
     var iter = 0
     var done = edges.isEmpty
     while (!done && iter < maxIter) {
-      val next = snap(smallStar(largeStar(edges)))
+      val next = snap.roll(smallStar(largeStar(edges)))
       val nsig = checksum(next)
       done = nsig == sig
       edges = next
@@ -236,12 +281,16 @@ object TextOps {
       iter += 1
     }
     // fixpoint is a star forest: u → component min; the minima label
-    // themselves, and ids seen only in self-pairs are their own cluster
+    // themselves, and ids seen only in self-pairs are their own cluster.
+    // The min-aggregate keeps the output one-row-per-doc even when the
+    // loop exits via maxIter before full convergence (a node can then
+    // still carry edges toward two hubs).
     val starLabels = edges
       .select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionAll(edges.select(col("v").as("doc_id"),
         col("v").as("cluster_id")))
-      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
     nodes.join(starLabels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
