@@ -64,7 +64,7 @@ object Bench {
     } catch { case _: Throwable => () }
     // s* scanner-gate queries scan constant-size fixtures — they verify
     // reader correctness, not data-scale cost, so only q* is timed.
-    // clamp: non-numeric or <1 would otherwise crash the median index
+    // clamp: non-numeric or <1 run would be meaningless
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
         .getOrElse(3))
@@ -81,19 +81,34 @@ object Bench {
     val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val passTotals = (0 until runs).map { _ =>
       calibrations += calibrate(spark)
       val passT0 = System.nanoTime()
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        // noop write forces the FULL plan — a bare count() lets
+        // Catalyst prune final sorts and unreferenced projections, so
+        // the timed work would exclude exactly the operator cost the
+        // bench exists to measure (switched in round 7; earlier rounds'
+        // numbers are count()-based and slightly lower for sort-heavy
+        // queries)
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // a failed query must NOT record its time-to-crash as a
+            // legitimate (absurdly fast) sample
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
       (System.nanoTime() - passT0) / 1e9
     }
     calibrations += calibrate(spark)
-    val results = queries.map { case (name, _) =>
-      name -> samples(name).min
+    val results = queries.collect {
+      case (name, _) if samples(name).nonEmpty => name -> samples(name).min
     }
     val loadAfter = ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
@@ -105,6 +120,8 @@ object Bench {
       s"\"" + name + "\":" + samples(name).map(t => f"$t%.3f")
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val failedJson = failed.map(n => s"\"" + n + "\"")
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calJson = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
     val passJson = passTotals.map(p => f"$p%.3f").mkString("[", ",", "]")
@@ -112,7 +129,8 @@ object Bench {
       s""""mem_available_mb":$memBefore,"cpus":"$cpus",""" +
       s""""host_cores":${Runtime.getRuntime.availableProcessors}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","runs":$runs,"calibration_sec":$calJson,""" +
+      s""""sf":"$sfDir","runs":$runs,"action":"noop-write",""" +
+      s""""failed":$failedJson,"calibration_sec":$calJson,""" +
       s""""pass_totals_sec":$passJson,"samples_sec":$sampleJson,""" +
       s""""system":$sysJson}""")
     spark.stop()

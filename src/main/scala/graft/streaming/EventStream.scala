@@ -88,9 +88,15 @@ object EventStream {
             case Some(s) if t - s.endMs > gapMs =>
               closed += close(userId, s)
               cur = Some(SessionAgg(t, t, 1, e.value))
+            case Some(s) if s.startMs - t > gapMs =>
+              // in-watermark straggler more than a gap BEFORE the open
+              // session: its own earlier session, closed immediately
+              closed += close(userId, SessionAgg(t, t, 1, e.value))
             case Some(s) =>
-              cur = Some(SessionAgg(s.startMs, math.max(s.endMs, t),
-                s.n + 1, s.sum + e.value))
+              // a straggler inside the gap window extends the session
+              // backward too, not just forward
+              cur = Some(SessionAgg(math.min(s.startMs, t),
+                math.max(s.endMs, t), s.n + 1, s.sum + e.value))
             case None =>
               cur = Some(SessionAgg(t, t, 1, e.value))
           }
@@ -125,6 +131,66 @@ object EventStream {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger
 
+  // memory-sink tables from previous driver-side invocations: dropped
+  // lazily at the next invocation (their consumers have materialized by
+  // then), so repeated gate/bench runs do not accumulate driver memory
+  private val liveTables =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def recycleTables(spark: SparkSession): Unit = {
+    var n = liveTables.poll()
+    while (n != null) {
+      try spark.catalog.dropTempView(n) catch { case _: Exception => () }
+      n = liveTables.poll()
+    }
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    try {
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator.asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    } catch { case _: Exception => () } // cleanup is best-effort
+  }
+
+  /** Stage a parquet file or directory-shaped table as a fresh stream
+    * source directory holding `copies` links (fallback: copies) of
+    * every data file. Paths are resolved absolute — a relative link
+    * target would dangle from the temp dir. */
+  private def stageAsDir(eventsPath: String, copies: Int)
+      : java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(eventsPath).toAbsolutePath
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s = java.nio.file.Files.list(src)
+        try {
+          scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+            .asScala.filter(_.toString.endsWith(".parquet")).toVector
+        } finally s.close()
+      } else Seq(src)
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    files.zipWithIndex.foreach { case (f, i) =>
+      (0 until copies).foreach { c =>
+        val link = d.resolve(s"copy_${c}_$i.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, f)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(f, link)
+        }
+      }
+    }
+    d
+  }
+
+  /** Normalize a nanosecond-long `ts` column (the testdata shape under
+    * `nanosAsLong`) to a real timestamp; pass true timestamps through. */
+  private def normalizeTs(raw: DataFrame, schema: StructType): DataFrame =
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+
   /** Drive a REAL streaming tumbling-window aggregation to completion over
     * the events parquet and return its final result: file stream source →
     * 1-hour windows (complete mode, so every window is in the final
@@ -136,42 +202,31 @@ object EventStream {
     * batch path does. */
   def windowedCountsToCompletion(spark: SparkSession,
       eventsPath: String): DataFrame = {
+    recycleTables(spark)
     val batchSchema = spark.read.parquet(eventsPath).schema
-    // the file stream source requires a DIRECTORY; testdata tables are
-    // single parquet files, so stage a symlink (fallback: copy) in a
-    // temp dir — the stream then lists exactly that one file
-    val src = java.nio.file.Paths.get(eventsPath)
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) eventsPath
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream-in")
-        val link = d.resolve(src.getFileName)
-        try java.nio.file.Files.createSymbolicLink(link, src)
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(src, link)
-        }
-        d.toString
-      }
-    val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
-    val events = batchSchema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    // the file stream source requires a DIRECTORY of files
+    val streamDir = stageAsDir(eventsPath, copies = 1)
+    val events = normalizeTs(
+      spark.readStream.schema(batchSchema).parquet(streamDir.toString),
+      batchSchema)
     val agg = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_raw"))
     val name = s"graft_stream_win_${runCounter.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // results live in the driver memory sink; the run's scratch dirs
+    // are done (repeated bench/gate runs must not fill /tmp)
+    deleteRecursively(ckpt)
+    deleteRecursively(streamDir)
+    liveTables.add(name)
     spark.table(name)
   }
 
@@ -189,46 +244,28 @@ object EventStream {
     * would hold state forever). */
   def dedupToCompletion(spark: SparkSession,
       eventsPath: String): DataFrame = {
+    recycleTables(spark)
     val batchSchema = spark.read.parquet(eventsPath).schema
-    val src = java.nio.file.Paths.get(eventsPath).toAbsolutePath
-    val files: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        val s = java.nio.file.Files.list(src)
-        try {
-          scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
-            .asScala.filter(_.toString.endsWith(".parquet")).toVector
-        } finally s.close()
-      } else Seq(src)
-    val d = java.nio.file.Files.createTempDirectory("graft-dedup-in")
-    files.zipWithIndex.foreach { case (f, i) =>
-      Seq("a", "b").foreach { tag =>
-        val link = d.resolve(s"copy_${tag}_$i.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, f)
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(f, link)
-        }
-      }
-    }
-    val raw = spark.readStream.schema(batchSchema).parquet(d.toString)
-    val events = batchSchema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val streamDir = stageAsDir(eventsPath, copies = 2)
+    val events = normalizeTs(
+      spark.readStream.schema(batchSchema).parquet(streamDir.toString),
+      batchSchema)
     val deduped = events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-dedup-ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
     val q = deduped.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteRecursively(ckpt)
+    deleteRecursively(streamDir)
+    liveTables.add(name)
     spark.table(name)
   }
 }
