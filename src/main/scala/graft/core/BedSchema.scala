@@ -66,6 +66,9 @@ object BedSchema {
   def parse(spec: String, custom: Seq[BedField] = Nil): BedSchema =
     spec.trim.toLowerCase match {
       case "bedgraph" =>
+        require(custom.isEmpty,
+          s"'bedgraph' declares no extra fields but ${custom.size} " +
+            "custom defs given")
         BedSchema(Standard.take(3), Seq(BedField("value", FloatType)),
           restColumn = false)
       case BedN(nStr, plus, mStr) =>

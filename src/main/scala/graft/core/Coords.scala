@@ -71,7 +71,13 @@ object Region {
   private val BracketHalfOpen = """(.+?):\[([0-9,_]+),([0-9,_]*)\)""".r
   private val BracketClosed = """(.+?):\[([0-9,_]+),([0-9,_]+)\]""".r
 
-  private def num(s: String): Long = s.replaceAll("[,_]", "").toLong
+  private def num(s: String): Long = {
+    val digits = s.replaceAll("[,_]", "")
+    // separator-only matches like "chr1:," must fail with the
+    // documented IllegalArgumentException, not a NumberFormatException
+    require(digits.nonEmpty, s"cannot parse region coordinate '$s'")
+    digits.toLong
+  }
 
   /** Parse a region string.
     *
@@ -99,12 +105,9 @@ object Region {
       case Ucsc(name, a, b) =>
         val rawStart = num(a)
         val start = rawStart + defaultSystem.startOffset
-        val end = Option(b).map { bb =>
-          defaultSystem match {
-            case CoordSystem.OneBasedClosed    => num(bb) // closed end == half-open end
-            case CoordSystem.ZeroBasedHalfOpen => num(bb)
-          }
-        }
+        // a closed 1-based end equals the half-open end value, so the
+        // end needs no per-system shift
+        val end = Option(b).map(num)
         Region(name, start, end)
       case name if name.nonEmpty && !name.contains(':') =>
         Region(name, 0L, None)

@@ -68,6 +68,9 @@ object GenomicFunctions {
   case class CigarRefLen(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    // '*'/empty evaluate to null even from a non-nullable child; without
+    // this the optimizer folds IS NULL checks on the result to false
+    override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any = {
       val s = v.toString
       if (s == "*" || s.isEmpty) null
@@ -89,6 +92,8 @@ object GenomicFunctions {
           }
           i += 1
         }
+        if (seen) throw new IllegalArgumentException(
+          s"bad CIGAR '$s' (trailing count)")
         total
       }
     }
@@ -105,6 +110,7 @@ object GenomicFunctions {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("op", StringType, nullable = false),
       StructField("len", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true // '*'/empty → null (see CigarRefLen)
     override def nullSafeEval(v: Any): Any = {
       val s = v.toString
       if (s == "*" || s.isEmpty) null
@@ -123,6 +129,8 @@ object GenomicFunctions {
           }
           i += 1
         }
+        if (seen) throw new IllegalArgumentException(
+          s"bad CIGAR '$s' (trailing count)")
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
       }
     }

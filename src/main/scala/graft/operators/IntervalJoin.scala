@@ -106,6 +106,13 @@ object IntervalJoin {
     val capLen = binSize * maxBinsPerRow
     val emptyBins = array().cast("array<bigint>")
 
+    // e - s overflows Long (an ANSI-mode error) for spans crossing huge
+    // magnitudes — negative start with end near Long.MaxValue, both
+    // supported inputs; try_subtract yields null there, and a null
+    // length with e > s can only mean "astronomically long"
+    def isLong(s: Column, e: Column): Column =
+      coalesce(try_subtract(e, s) > capLen, e > s)
+
     def fineBins(s: String, e: String): Column =
       when(col(e) > col(s),
         sequence(
@@ -123,18 +130,18 @@ object IntervalJoin {
     def binned(df: DataFrame, s: String, e: String, allChannel: Long,
         oppHasLong: Column) =
       df.withColumn("__bin", explode(
-        when(col(e) - col(s) > capLen,
+        when(isLong(col(s), col(e)),
           array(lit(LongLeftChannel), lit(LongRightChannel)))
           .otherwise(concat(fineBins(s, e),
             when(oppHasLong, array(lit(allChannel))).otherwise(emptyBins)))))
 
     // one-row existence probes, broadcast into each side's explode
     val rightHasLong = right.agg(
-      coalesce(max(col(re) - col(rs)) > capLen, lit(false))
-        .as("__graft_r_long"))
+      coalesce(max(when(isLong(col(rs), col(re)), 1L).otherwise(0L)) === 1L,
+        lit(false)).as("__graft_r_long"))
     val leftHasLong = left.agg(
-      coalesce(max(col(le) - col(ls)) > capLen, lit(false))
-        .as("__graft_l_long"))
+      coalesce(max(when(isLong(col(ls), col(le)), 1L).otherwise(0L)) === 1L,
+        lit(false)).as("__graft_l_long"))
 
     val l = binned(left.crossJoin(broadcast(rightHasLong)), ls, le,
       allChannel = LongRightChannel, oppHasLong = col("__graft_r_long"))
@@ -145,7 +152,7 @@ object IntervalJoin {
     // all-right) is already unique; LONG_RIGHT keeps only short-left pairs
     val ownership =
       when(l("__bin") === LongLeftChannel, lit(true))
-        .when(l("__bin") === LongRightChannel, l(le) - l(ls) <= capLen)
+        .when(l("__bin") === LongRightChannel, !isLong(l(ls), l(le)))
         .otherwise(l("__bin") === floorDiv(greatest(l(ls), r(rs)), binSize))
 
     val joined = l.join(r,

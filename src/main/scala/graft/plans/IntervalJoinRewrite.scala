@@ -125,19 +125,30 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // the analyzer wraps mixed-width integral comparisons in Cast
+    // (int start vs long end), so matching bare attributes only would
+    // silently leave those joins un-rewritten and quadratic
+    object IntegralAttr {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference if integral(a.dataType) => Some(a)
+        case c: Cast => c.child match {
+          case a: AttributeReference
+            if integral(a.dataType) && integral(c.dataType) => Some(a)
+          case _ => None
+        }
+        case _ => None
+      }
+    }
     val lts = conjuncts.collect {
-      case lt @ LessThan(a: AttributeReference, b: AttributeReference)
-        if integral(a.dataType) && integral(b.dataType) => lt
+      case LessThan(IntegralAttr(a), IntegralAttr(b)) => (a, b)
     }
     // a.start < b.end (left attr < right attr) and b.start < a.end
-    val lsRe = lts.find(lt => isLeft(lt.left.asInstanceOf[AttributeReference]) &&
-      isRight(lt.right.asInstanceOf[AttributeReference]))
-    val rsLe = lts.find(lt => isRight(lt.left.asInstanceOf[AttributeReference]) &&
-      isLeft(lt.right.asInstanceOf[AttributeReference]))
+    val lsRe = lts.find { case (a, b) => isLeft(a) && isRight(b) }
+    val rsLe = lts.find { case (a, b) => isRight(a) && isLeft(b) }
     (lsRe, rsLe) match {
       case (Some(o1), Some(o2)) =>
-        val ls = o1.left; val le = o2.right
-        val rs = o2.left; val re = o1.right
+        val ls = o1._1; val le = o2._2
+        val rs = o2._1; val re = o1._2
 
         val chLongLeft = graft.operators.IntervalJoin.LongLeftChannel
         val chLongRight = graft.operators.IntervalJoin.LongRightChannel
@@ -155,8 +166,17 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             Subtract(v, new Pmod(v, Literal(bs))), Literal(bs))
         }
         val capLen = Literal(bs * maxBins)
+        // e - s overflows Long for spans crossing huge magnitudes
+        // (negative start, end near Long.MaxValue — both explicitly
+        // supported); TRY-mode subtraction yields null there, and a
+        // null length with e > s can only mean "astronomically long"
+        def isLong(s: Expression, e: Expression): Expression = {
+          val diff = Subtract(asLong(e), asLong(s), EvalMode.TRY)
+          Coalesce(Seq(GreaterThan(diff, capLen),
+            GreaterThan(asLong(e), asLong(s))))
+        }
         def isShort(s: Expression, e: Expression): Expression =
-          LessThanOrEqual(Subtract(asLong(e), asLong(s)), capLen)
+          Not(isLong(s, e))
 
         // runtime long-row existence probe of one side: an uncorrelated
         // scalar subquery the physical planner executes once and inlines
@@ -167,9 +187,10 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if (coarseMode == "on") Literal(true)
           else ScalarSubquery(Aggregate(Nil, Seq(Alias(
             Coalesce(Seq(
-              GreaterThan(
-                Max(Subtract(asLong(e), asLong(s))).toAggregateExpression(),
-                capLen),
+              GreaterThanOrEqual(
+                Max(If(isLong(s, e), Literal(1L), Literal(0L)))
+                  .toAggregateExpression(),
+                Literal(1L)),
               Literal(false))), "__graft_has_long")()), side))
 
         // containsNull=false to exactly match CreateArray/Sequence output
@@ -193,7 +214,8 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 new Sequence(binOf(s), binOf(Subtract(asLong(e), Literal(1L))))
                   .withTimeZone(conf.sessionLocalTimeZone),
                 allCopy)))),
-            Some(Concat(Seq(CreateArray(Seq(binOf(s))), allCopy))))
+            Some(If(IsNull(asLong(s)), emptyBins,
+              Concat(Seq(CreateArray(Seq(binOf(s))), allCopy)))))
         }
 
         val binL = AttributeReference("__graft_binl", LongType,

@@ -37,4 +37,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("cigar expressions declare nullability and reject trailing counts") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-cigar-test")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // non-nullable input column (when/otherwise over literals): '*'
+      // still evaluates to null, and the IS NULL filter must SURVIVE
+      // optimization (without the nullable override the optimizer folds
+      // IsNull(non-nullable) to false)
+      val df = Seq(1, 2).toDF("i")
+        .select(when(col("i") === 1, "3M").otherwise("*").as("c"))
+      assert(!df.schema("c").nullable)
+      val nulls = df
+        .select(graft.functions.GenomicFunctions.cigar_ref_len(col("c"))
+          .as("l"))
+        .where(col("l").isNull).count()
+      assert(nulls == 1L)
+      // a trailing count is a truncated record, not clean data
+      val e = intercept[Exception] {
+        Seq("10M5").toDF("c")
+          .select(graft.functions.GenomicFunctions.cigar_ref_len(col("c")))
+          .collect()
+      }
+      assert(String.valueOf(e.getMessage) .contains("bad CIGAR") ||
+        String.valueOf(e.getCause).contains("bad CIGAR"))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }

@@ -51,6 +51,14 @@ class CoordsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Region.parse(""))
     intercept[IllegalArgumentException](Region.parse("chr1:abc-def"))
     intercept[IllegalArgumentException](Region("chr1", 100, Some(50)))
+    // separator-only coordinates: the documented IAE, never a raw
+    // NumberFormatException
+    intercept[IllegalArgumentException](Region.parse("chr1:,"))
+    intercept[IllegalArgumentException](Region.parse("chr1:1,000-___"))
+    // bedgraph declares its own fields
+    intercept[IllegalArgumentException](graft.core.BedSchema.parse(
+      "bedgraph", Seq(graft.core.BedField("x",
+        org.apache.spark.sql.types.LongType))))
   }
 
   test("overlaps semantics are half-open") {

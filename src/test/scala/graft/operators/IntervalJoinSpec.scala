@@ -86,6 +86,27 @@ class IntervalJoinSpec extends SparkSuite {
       ("a_zero", "b_zero")))
   }
 
+  test("chromosome-crossing spans (negative start, huge end) classify long") {
+    import spark.implicits._
+    // end - start overflows Long here (an ANSI error if computed
+    // naively) — the row must take the coarse channel and still match
+    val a = Seq(
+      ("chr1", -1000L, Long.MaxValue, "a_all"),
+      ("chr1", 100L, 200L, "a_short"))
+      .toDF("chrom", "start", "end", "a_id")
+    val b = Seq(
+      ("chr1", 150L, 250L, "b1"),
+      ("chr1", 5_000_000L, 5_000_100L, "b2"))
+      .toDF("chrom2", "start2", "end2", "b_id")
+    val got = IntervalJoin.overlapJoin(a, b,
+        leftCols = ("chrom", "start", "end"),
+        rightCols = ("chrom2", "start2", "end2"), binSize = 1000L,
+        maxBinsPerRow = 4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(("a_all", "b1"), ("a_all", "b2"), ("a_short", "b1")))
+  }
+
   test("degenerate and negative-coordinate intervals stay exact") {
     import spark.implicits._
     val a = Seq(

@@ -252,6 +252,46 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-width int/long overlap joins still fire the rule") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // int starts/ends on one side: the analyzer wraps the comparisons
+      // in Cast, which must not stop the rewrite
+      val a = Seq(("chr1", 100, 200, "a1"), ("chr1", 5000, 9000, "a2"))
+        .toDF("chrom", "start", "end", "a_id") // IntegerType coords
+      val b = Seq(("chr1", 150L, 300L, "b1"), ("chr1", 8990L, 12000L, "b2"))
+        .toDF("chrom2", "start2", "end2", "b_id") // LongType coords
+      val joined = a.join(b,
+        a("chrom") === b("chrom2") &&
+          a("start") < b("end2") && b("start2") < a("end"))
+      assert(joined.queryExecution.optimizedPlan.toString
+        .contains("__graft_binl"), joined.queryExecution.optimizedPlan)
+      val got = joined.select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(got == Seq(("a1", "b1"), ("a2", "b2")))
+    }
+  }
+
+  test("rewritten chromosome-crossing spans classify long, not overflow") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val a = Seq(
+        ("chr1", -1000L, Long.MaxValue, "a_all"),
+        ("chr1", 100L, 200L, "a_short"))
+        .toDF("chrom", "start", "end", "a_id")
+      val b = Seq(("chr1", 150L, 250L, "b1"))
+        .toDF("chrom2", "start2", "end2", "b_id")
+      val joined = a.join(b,
+        a("chrom") === b("chrom2") &&
+          a("start") < b("end2") && b("start2") < a("end"))
+      assert(joined.queryExecution.optimizedPlan.toString
+        .contains("__graft_binl"))
+      val got = joined.select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(got == Seq(("a_all", "b1"), ("a_short", "b1")))
+    }
+  }
+
   test("rewrite bins coordinates near +-2^62 exactly") {
     withExtSession { spark =>
       import spark.implicits._
