@@ -157,6 +157,61 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** The deterministic coarse quantizer, materialized: the `nCells`
+    * lowest-id corpus vectors (not `id < nCells`, which silently yields
+    * no centroids on non-dense id spaces), collected once on the driver
+    * and folded into ONE literal array of (cell_id, cent, centn)
+    * structs. This is quantizer *metadata* — a few KB, the same
+    * driver-side materialization a trained k-means quantizer performs —
+    * never the corpus. None when the corpus is empty. */
+  private[graft] def centroidLiteral(candidates: DataFrame, idCol: String,
+      vecCol: String, nCells: Int): Option[Column] = {
+    val rows = candidates
+      .select(col(idCol).cast("long").as("cell_id"),
+        col(vecCol).cast("array<double>").as("__cent"),
+        norm(col(vecCol)).as("__centn"))
+      .orderBy(col("cell_id").asc)
+      .limit(nCells)
+      .collect()
+    if (rows.isEmpty) None
+    else Some(array(rows.toIndexedSeq.map { r =>
+      struct(lit(r.getLong(0)).as("cell_id"),
+        array(r.getSeq[Double](1).map(lit(_)): _*).as("cent"),
+        lit(r.getDouble(2)).as("centn"))
+    }: _*))
+  }
+
+  /** Per-row cell scores against the literal centroid matrix — the same
+    * left-fold double cosine the oracle mirrors, one struct per cell. */
+  private def cellScores(cents: Column, vec: Column, n: Column): Column =
+    transform(cents, c => struct(
+      (dot(vec, c("cent")) / (n * c("centn"))).as("sim"),
+      c("cell_id").as("cell_id")))
+
+  /** Adds a `cell_id` column: each row's `keep` best cells by
+    * (cosine desc, cell_id asc) against the literal centroids — a pure
+    * narrow projection (no join, no window, no shuffle; plan-pinned in
+    * `PlanAuditSpec`). `keep = 1` is a single O(nCells) fold argmax;
+    * `keep > 1` sorts the nCells scores per row and explodes the slice. */
+  private[graft] def assignCells(df: DataFrame, cents: Column, vec: String,
+      n: String, keep: Int): DataFrame = {
+    val scores = cellScores(cents, col(vec), col(n))
+    if (keep == 1) {
+      val best = aggregate(scores, element_at(scores, 1), (acc, x) =>
+        when(x("sim") > acc("sim") ||
+          (x("sim") === acc("sim") && x("cell_id") < acc("cell_id")), x)
+          .otherwise(acc))
+      df.withColumn("cell_id", best("cell_id"))
+    } else {
+      val sorted = array_sort(scores, (l, r) =>
+        when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
+          .when(l("cell_id") < r("cell_id"), -1)
+          .when(l("cell_id") > r("cell_id"), 1).otherwise(0))
+      df.withColumn("cell_id",
+        explode(transform(slice(sorted, 1, keep), x => x("cell_id"))))
+    }
+  }
+
   /** IVF-style ANN — the inverted-file counterpart to [[bandedTopK]].
     * A coarse quantizer assigns every corpus vector to its best-cosine
     * cell; a query probes its `nProbe` closest cells and reranks
@@ -168,38 +223,29 @@ object Similarity {
     * The quantizer here is deterministic — the `nCells` lowest-id
     * corpus vectors act as centroids — which keeps the whole operator
     * bit-mirrorable by an external SQL oracle (gate q41); a trained
-    * k-means quantizer drops in by swapping the centroid frame. The
-    * centroid set is broadcast (tiny); assignment is one narrow pass
-    * over the corpus — at 100 TB the only shuffle is the cell-key
-    * join plus the per-query top-k window. */
+    * k-means quantizer drops in by swapping [[centroidLiteral]].
+    * Assignment is join-free: the centroids ride the plan as one
+    * literal matrix and each row computes its own argmax in a narrow
+    * pass ([[assignCells]]) — at 100 TB the only shuffle is the
+    * cell-key join plus the per-query top-k window. (The r7 shape —
+    * crossJoin(broadcast(cents)) + row_number window — blew the corpus
+    * up nCells× and shuffled the blown-up frame just to pick each
+    * row's argmin; at production cell counts that dominates the job.) */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 8,
       nProbe: Int = 2): DataFrame = {
-    // the nCells lowest ids PRESENT in the corpus (not `id < nCells`,
-    // which silently yields no centroids on non-dense id spaces)
-    val cents = candidates
-      .select(col(idCol).as("cell_id"), col(vecCol).as("__cent"),
-        norm(col(vecCol)).as("__centn"))
-      .orderBy(col("cell_id").asc)
-      .limit(nCells)
-    def assign(df: DataFrame, id: String, vec: String, n: String,
-        keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__csim").desc, col("cell_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("__csim",
-          dot(col(vec), col("__cent")) / (col(n) * col("__centn")))
-        .withColumn("__crank", row_number().over(w))
-        .where(col("__crank") <= keep)
-        .drop("__cent", "__centn", "__csim", "__crank")
-    }
     val c = candidates.select(col(idCol).as("cand_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
-    val assignedC = assign(c, "cand_id", "__cv", "__cn", keep = 1)
-    val probedQ = assign(q, "query_id", "__qv", "__qn", keep = nProbe)
-    rerank(probedQ.join(assignedC, "cell_id"), k)
+    centroidLiteral(candidates, idCol, vecCol, nCells) match {
+      case None => // empty corpus: empty result, correct schema
+        rerank(q.crossJoin(c).where(lit(false)), k)
+      case Some(cents) =>
+        val assignedC = assignCells(c, cents, "__cv", "__cn", keep = 1)
+        val probedQ = assignCells(q, cents, "__qv", "__qn", keep = nProbe)
+        rerank(probedQ.join(assignedC, "cell_id"), k)
+    }
   }
 
   /** Exact brute-force cosine top-k: for every query row, the k most

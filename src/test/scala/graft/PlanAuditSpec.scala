@@ -115,22 +115,35 @@ class PlanAuditSpec extends SparkSuite {
       Seq("m1", "m3"))
   }
 
-  test("ivf assignment broadcasts the centroid frame, never shuffles it") {
+  test("ivf assignment is a narrow pass: no join, window, or exchange") {
     import org.apache.spark.sql.functions.col
     val s = spark
     import s.implicits._
     val vecs = (0L until 500L)
       .map(i => (i, Array.fill(16)((i % 7).toFloat + 1f)))
       .toDF("id", "vec")
-    val df = graft.operators.Similarity.ivfTopK(
+    val Some(cents) = graft.operators.Similarity.centroidLiteral(
+      vecs, "id", "vec", 4)
+    val base = vecs.select(col("id").as("cand_id"), col("vec").as("__cv"),
+      graft.operators.Similarity.norm(col("vec")).as("__cn"))
+    // both the argmax (keep=1) and the sorted-probe (keep>1) assignment
+    // stages must be pure narrow projections over the scan — the
+    // centroids ride the plan as a literal matrix, so any Join, Window
+    // or Exchange here is the r7 nCells× row-blowup regression
+    for (keep <- Seq(1, 2)) {
+      val plan = executedString(graft.operators.Similarity.assignCells(
+        base, cents, "__cv", "__cn", keep))
+      assert(!plan.contains("Join") && !plan.contains("Window") &&
+        !plan.contains("Exchange") && !plan.contains("CartesianProduct"),
+        plan)
+    }
+    // end-to-end, the only remaining plan hazards would be a cartesian
+    // or nested-loop join — the cell-key join must stay an equi-join
+    val full = executedString(graft.operators.Similarity.ivfTopK(
       vecs.where(col("id") < 8), vecs, "id", "vec", k = 2,
-      nCells = 4, nProbe = 2)
-    val plan = executedString(df)
-    // the tiny centroid side rides a broadcast (BNLJ over a broadcast
-    // exchange), and the corpus never becomes a cartesian product
-    assert(plan.contains("BroadcastExchange") ||
-      plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+      nCells = 4, nProbe = 2))
+    assert(!full.contains("CartesianProduct") &&
+      !full.contains("BroadcastNestedLoopJoin"), full)
   }
 
   test("star-contraction rounds stay equi-join shaped (no cartesian)") {
