@@ -3,13 +3,86 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{CoordSystem, Region}
+
+/** Row-level kernels behind the genomic Catalyst expressions, written once
+  * and shared by interpreted `nullSafeEval` and generated code alike (a
+  * standalone Scala object compiles to static forwarders, so generated
+  * Java calls these directly). Keeping the expressions out of
+  * `CodegenFallback` keeps the surrounding stage fully codegen'd — no
+  * per-row `InternalRow` materialization just to re-enter the interpreter. */
+object GenomicCodegen {
+
+  /** Reference bases consumed by a CIGAR; -1 encodes SQL null ("*"/empty
+    * input — a real CIGAR sums to >= 0). Throws on malformed input. */
+  def cigarRefLen(v: UTF8String): Long = {
+    val s = v.toString
+    if (s == "*" || s.isEmpty) -1L
+    else {
+      var total = 0L; var n = 0L; var i = 0; var seen = false
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch >= '0' && ch <= '9') { n = n * 10 + (ch - '0'); seen = true }
+        else {
+          if (!seen) throw new IllegalArgumentException(s"bad CIGAR '$s'")
+          ch match {
+            case 'M' | 'D' | 'N' | '=' | 'X' => total += n
+            case 'I' | 'S' | 'H' | 'P'       => ()
+            case other =>
+              throw new IllegalArgumentException(
+                s"bad CIGAR op '$other' in '$s'")
+          }
+          n = 0; seen = false
+        }
+        i += 1
+      }
+      if (seen) throw new IllegalArgumentException(
+        s"bad CIGAR '$s' (trailing count)")
+      total
+    }
+  }
+
+  /** CIGAR → array of (op, len) rows; null for "*"/empty. */
+  def cigarOps(v: UTF8String): ArrayData = {
+    val s = v.toString
+    if (s == "*" || s.isEmpty) null
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var n = 0L; var i = 0; var seen = false
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch >= '0' && ch <= '9') { n = n * 10 + (ch - '0'); seen = true }
+        else {
+          if (!seen || "MIDNSHP=X".indexOf(ch.toInt) < 0)
+            throw new IllegalArgumentException(s"bad CIGAR '$s'")
+          out += new GenericInternalRow(
+            Array[Any](UTF8String.fromString(ch.toString), n))
+          n = 0; seen = false
+        }
+        i += 1
+      }
+      if (seen) throw new IllegalArgumentException(
+        s"bad CIGAR '$s' (trailing count)")
+      ArrayData.toArrayData(out.toArray)
+    }
+  }
+
+  /** Region string → (chrom, start, end) row, zero-based half-open. */
+  def parseRegion(v: UTF8String, cs: CoordSystem): InternalRow = {
+    val r = Region.parse(v.toString, cs)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(r.name),
+      r.start,
+      r.end.map(Long.box).orNull))
+  }
+}
 
 /** Genomic scalar functions, exposed as Catalyst expressions / Column
   * helpers.
@@ -31,18 +104,20 @@ object GenomicFunctions {
     * zero-based half-open. `end` is null for open-ended regions.
     */
   case class ParseRegion(child: Expression, coords: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     private lazy val cs = CoordSystem.fromCode(coords)
     override def dataType: DataType = StructType(Seq(
       StructField("chrom", StringType, nullable = true),
       StructField("start", LongType, nullable = true),
       StructField("end", LongType, nullable = true)))
-    override def nullSafeEval(v: Any): Any = {
-      val r = Region.parse(v.toString, cs)
-      new GenericInternalRow(Array[Any](
-        UTF8String.fromString(r.name),
-        r.start,
-        r.end.map(Long.box).orNull))
+    override def nullSafeEval(v: Any): Any =
+      GenomicCodegen.parseRegion(v.asInstanceOf[UTF8String], cs)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val csRef = ctx.addReferenceObj("coordSys", cs,
+        classOf[CoordSystem].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GenomicCodegen.parseRegion($c, $csRef);")
     }
     override def prettyName: String = "parse_region"
     override protected def withNewChildInternal(c: Expression): ParseRegion =
@@ -66,37 +141,21 @@ object GenomicFunctions {
   /** Number of reference bases consumed by a CIGAR string: sum of lengths of
     * M/D/N/=/X operations (I/S/H/P consume none). Null for "*" or null. */
   case class CigarRefLen(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     // '*'/empty evaluate to null even from a non-nullable child; without
     // this the optimizer folds IS NULL checks on the result to false
     override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any = {
-      val s = v.toString
-      if (s == "*" || s.isEmpty) null
-      else {
-        var total = 0L; var n = 0L; var i = 0; var seen = false
-        while (i < s.length) {
-          val ch = s.charAt(i)
-          if (ch >= '0' && ch <= '9') { n = n * 10 + (ch - '0'); seen = true }
-          else {
-            if (!seen) throw new IllegalArgumentException(s"bad CIGAR '$s'")
-            ch match {
-              case 'M' | 'D' | 'N' | '=' | 'X' => total += n
-              case 'I' | 'S' | 'H' | 'P'       => ()
-              case other =>
-                throw new IllegalArgumentException(
-                  s"bad CIGAR op '$other' in '$s'")
-            }
-            n = 0; seen = false
-          }
-          i += 1
-        }
-        if (seen) throw new IllegalArgumentException(
-          s"bad CIGAR '$s' (trailing count)")
-        total
-      }
+      val r = GenomicCodegen.cigarRefLen(v.asInstanceOf[UTF8String])
+      if (r < 0) null else r
     }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.GenomicCodegen.cigarRefLen($c);
+        if (${ev.value} < 0L) { ${ev.isNull} = true; ${ev.value} = 0L; }
+      """)
     override def prettyName: String = "cigar_ref_len"
     override protected def withNewChildInternal(c: Expression): CigarRefLen =
       copy(child = c)
@@ -106,34 +165,19 @@ object GenomicFunctions {
 
   /** CIGAR string → array of (op, len) structs. */
   case class CigarOps(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("op", StringType, nullable = false),
       StructField("len", LongType, nullable = false))), containsNull = false)
     override def nullable: Boolean = true // '*'/empty → null (see CigarRefLen)
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.toString
-      if (s == "*" || s.isEmpty) null
-      else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        var n = 0L; var i = 0; var seen = false
-        while (i < s.length) {
-          val ch = s.charAt(i)
-          if (ch >= '0' && ch <= '9') { n = n * 10 + (ch - '0'); seen = true }
-          else {
-            if (!seen || "MIDNSHP=X".indexOf(ch.toInt) < 0)
-              throw new IllegalArgumentException(s"bad CIGAR '$s'")
-            out += new GenericInternalRow(
-              Array[Any](UTF8String.fromString(ch.toString), n))
-            n = 0; seen = false
-          }
-          i += 1
-        }
-        if (seen) throw new IllegalArgumentException(
-          s"bad CIGAR '$s' (trailing count)")
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
-      }
-    }
+    override def nullSafeEval(v: Any): Any =
+      GenomicCodegen.cigarOps(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.GenomicCodegen.cigarOps($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
     override def prettyName: String = "cigar_ops"
     override protected def withNewChildInternal(c: Expression): CigarOps =
       copy(child = c)

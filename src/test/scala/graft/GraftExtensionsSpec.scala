@@ -38,6 +38,57 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("genomic expressions run inside whole-stage codegen, no fallback") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import graft.functions.GenomicFunctions
+    // the classes must not re-grow the interpreted escape hatch
+    assert(!classOf[CodegenFallback]
+      .isAssignableFrom(classOf[GenomicFunctions.ParseRegion]))
+    assert(!classOf[CodegenFallback]
+      .isAssignableFrom(classOf[GenomicFunctions.CigarRefLen]))
+    assert(!classOf[CodegenFallback]
+      .isAssignableFrom(classOf[GenomicFunctions.CigarOps]))
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // fallback=false: a doGenCode bug fails the test instead of silently
+    // reverting to interpreted execution
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-codegen-test")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      // spark.range can't collapse to a LocalRelation, so the Project
+      // really executes inside WholeStageCodegen
+      val df = spark.range(3).select(
+        GenomicFunctions.parse_region(concat(lit("chr1:"),
+          (col("id") * 1000 + 1).cast("string"), lit("-"),
+          ((col("id") + 1) * 1000).cast("string"))).as("r"),
+        GenomicFunctions.cigar_ref_len(
+          when(col("id") === 1, "*").otherwise(
+            concat((col("id") + 1).cast("string"), lit("M2I3M")))).as("rl"),
+        GenomicFunctions.cigar_ops(concat((col("id") + 1).cast("string"),
+          lit("M2I3M"))).as("ops"))
+      // the '*(n)' prefix is the whole-stage-codegen marker: the Project
+      // holding all three expressions compiles into the generated stage
+      assert(df.queryExecution.executedPlan.toString
+        .contains("*(1) Project"), df.queryExecution.executedPlan)
+      val rows = df.collect()
+      assert(rows.map(_.getStruct(0).getLong(1)).toSeq ==
+        Seq(0L, 1000L, 2000L)) // 1-based starts normalized to 0-based
+      assert(rows.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq ==
+        Seq(4L, -1L, 6L)) // id M + 3M ref bases; '*' → null survives codegen
+      assert(rows.map(_.getSeq[Any](2).size).toSeq == Seq(3, 3, 3))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("cigar expressions declare nullability and reject trailing counts") {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
