@@ -41,7 +41,7 @@ object BamFixture {
     bb.array()
   }
 
-  private def encodeHeader(refs: Seq[(String, Int)]): Array[Byte] = {
+  private[fixtures] def encodeHeader(refs: Seq[(String, Int)]): Array[Byte] = {
     val text = "@HD\tVN:1.6\n" +
       refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString
     val tb = text.getBytes("UTF-8")
@@ -60,7 +60,7 @@ object BamFixture {
   private val CigarOps = "MIDNSHP=X"
   private val SeqCodes = "=ACMGRSVTWYHKDBN"
 
-  private def encodeRecord(r: Rec): Array[Byte] = {
+  private[fixtures] def encodeRecord(r: Rec): Array[Byte] = {
     val nameB = r.qname.getBytes("ASCII")
     val nSeq = r.seq.length
     val seqB = new Array[Byte]((nSeq + 1) / 2)

@@ -90,6 +90,58 @@ object GenomicIndex {
     merged.toSeq
   }
 
+  /** Group merged chunks into scan-partition ranges: consecutive chunks
+    * whose compressed gap is ≤ `gapBytes` coalesce into one range, and a
+    * range is cut once its compressed span would exceed `spanBytes`.
+    *
+    * Region queries over block-packed files otherwise plan one partition
+    * PER index chunk — an 8 Mbp slice of a real BAM yields hundreds of
+    * near-adjacent chunks, i.e. hundreds of tasks that each open the
+    * file to read ~one block (observed in the r8 reader bench: 278
+    * partitions for a 2 MB compressed slice). Decoding a bounded gap and
+    * letting the residual region predicate drop its records costs
+    * microseconds; a task costs milliseconds plus scheduler pressure, so
+    * coalescing is strictly better until spans approach the split size. */
+  def coalesceChunks(chunks: Seq[Chunk], gapBytes: Long,
+      spanBytes: Long): Seq[Chunk] = {
+    val merged = mergeChunks(chunks)
+    val out = mutable.ArrayBuffer.empty[Chunk]
+    merged.foreach { c =>
+      out.lastOption match {
+        case Some(last)
+          if c.begin.compressedOffset - last.end.compressedOffset <= gapBytes &&
+            c.end.compressedOffset - last.begin.compressedOffset <= spanBytes =>
+          out(out.size - 1) = Chunk(last.begin, c.end)
+        case _ => out += c
+      }
+    }
+    out.toSeq
+  }
+
+  /** Pack gap-coalesced ranges into partition groups holding ~`spanBytes`
+    * of real compressed data each (a zero-length chunk still costs one
+    * block read, so it is charged a block).
+    *
+    * Complements [[coalesceChunks]]: records straddling coarse-bin
+    * boundaries leave a tail of tiny chunks scattered across the
+    * reference (a real BAM's BAI always has them), and gap coalescing
+    * rightly refuses to span the multi-MB gaps between them. Packing
+    * them into shared multi-range partitions bounds the task count by
+    * data volume — ceil(bytes/spanBytes) — instead of by chunk scatter,
+    * with zero read amplification. */
+  def packRanges(chunks: Seq[Chunk], spanBytes: Long): Seq[Seq[Chunk]] = {
+    val out = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Chunk]]
+    var acc = 0L
+    chunks.foreach { c =>
+      val sz = math.max(
+        c.end.compressedOffset - c.begin.compressedOffset, 1L << 16)
+      if (out.isEmpty || acc + sz > spanBytes) {
+        out += mutable.ArrayBuffer(c); acc = sz
+      } else { out.last += c; acc += sz }
+    }
+    out.map(_.toSeq).toSeq
+  }
+
   /** Bins overlapping [beg, end) for the given binning parameters
     * (SAM spec reg2bins generalized to CSI). */
   def reg2bins(beg: Long, end: Long, minShift: Int, depth: Int): Seq[Int] = {

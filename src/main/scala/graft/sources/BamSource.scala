@@ -197,13 +197,15 @@ class BamScanBuilder(fullSchema: StructType, paths: Seq[Path],
     new BamScan(fullSchema, required, paths, options, pushed, limit)
 }
 
-/** A BAM partition: a virtual-position range of one file, with optional
-  * residual region list (0-based half-open) to re-check per record.
+/** A BAM partition: one or more record-aligned virtual-position ranges
+  * of one file (region queries pack scattered index chunks into shared
+  * partitions — `GenomicIndex.packRanges`), with optional residual
+  * region list (0-based half-open) to re-check per record.
   * `unmappedOnly` keeps only flag-0x4 records — the tail scan starts at
   * the last indexed offset, but an index-less file scans everything and
   * sorted BAMs can interleave mate-placed unmapped reads with mapped
   * ones, so the flag is the authoritative filter (mirrors CramSource). */
-case class BamInputPartition(pathStr: String, startVpos: Long, endVpos: Long,
+case class BamInputPartition(pathStr: String, ranges: Seq[(Long, Long)],
     regions: Seq[(String, Long, Long)],
     unmappedOnly: Boolean = false) extends InputPartition
 
@@ -246,7 +248,7 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
       }
     if (explicit.nonEmpty)
       return paths.flatMap(p => explicit.map { case (a, b) =>
-        BamInputPartition(p.toString, a, b, Nil)
+        BamInputPartition(p.toString, Seq((a, b)), Nil)
       }).toArray
 
     paths.flatMap { p =>
@@ -276,8 +278,8 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
               .flatMap(_.bins.valuesIterator.flatMap(_.chunks.map(_.end.value)))
               .maxOption)
         }.map(VirtualPosition(_)).getOrElse(headEnd)
-        Seq(BamInputPartition(p.toString, lastMapped.value, eof.value, Nil,
-          unmappedOnly = true))
+        Seq(BamInputPartition(p.toString, Seq((lastMapped.value, eof.value)),
+          Nil, unmappedOnly = true))
       } else if (regions.nonEmpty && index.isDefined) {
         // S3: indexed region query — resolve chrom → refId via header
         val si2 = SeekableInputs.forHadoop(fs, p)
@@ -297,12 +299,18 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
             (refId, r.name, r.start, endPos)
           }
         }
-        val chunks = GenomicIndex.mergeChunks(resolved.flatMap {
+        // coalesce near-adjacent chunks into few bounded ranges (the
+        // residual predicate drops gap records — µs of decode for
+        // hundreds fewer tasks), then pack the survivors into
+        // multi-range partitions so the task count follows data volume,
+        // not BAI chunk scatter
+        val chunks = GenomicIndex.coalesceChunks(resolved.flatMap {
           case (refId, _, s, e) => index.get.query(refId, s, e)
-        })
+        }, gapBytes = 1L << 20, spanBytes = maxSplit)
         val residual = resolved.map { case (_, n, s, e) => (n, s, e) }
-        chunks.map { ch =>
-          BamInputPartition(p.toString, ch.begin.value, ch.end.value, residual)
+        GenomicIndex.packRanges(chunks, maxSplit).map { group =>
+          BamInputPartition(p.toString,
+            group.map(ch => (ch.begin.value, ch.end.value)), residual)
         }
       } else {
         // full scan: split at index-derived record boundaries (R1)
@@ -312,7 +320,7 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
         val bounds = (headEnd +: splits) :+ eof
         bounds.sliding(2).collect {
           case Seq(a, b) if a.value < b.value =>
-            BamInputPartition(p.toString, a.value, b.value,
+            BamInputPartition(p.toString, Seq((a.value, b.value)),
               regions.map(r => (r.name, r.start,
                 r.end.getOrElse(Long.MaxValue))))
         }.toSeq
@@ -348,10 +356,21 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
     } finally si.close()
   }
 
-  private val stream = new BgzfRangeInputStream(
-    SeekableInputs.forHadoop(fs, path),
-    VirtualPosition(part.startVpos),
-    Some(VirtualPosition(part.endVpos)))
+  // ranges are record-aligned, so lazily concatenating one BGZF range
+  // stream per range yields a single contiguous record stream; streams
+  // open only when reached and SequenceInputStream closes each on advance
+  private val stream: java.io.InputStream = {
+    val it = part.ranges.iterator
+    new java.io.SequenceInputStream(
+      new java.util.Enumeration[java.io.InputStream] {
+        override def hasMoreElements: Boolean = it.hasNext
+        override def nextElement(): java.io.InputStream = {
+          val (a, b) = it.next()
+          new BgzfRangeInputStream(SeekableInputs.forHadoop(fs, path),
+            VirtualPosition(a), Some(VirtualPosition(b)))
+        }
+      })
+  }
   private val le = new BamCodec.LEInput(stream)
 
   private val tagSchema: Option[StructType] =

@@ -189,7 +189,7 @@ class BcfScanBuilder(fullSchema: StructType, paths: Seq[Path],
     new BcfScan(fullSchema, required, paths, options, pushed, limit)
 }
 
-case class BcfInputPartition(pathStr: String, startVpos: Long, endVpos: Long,
+case class BcfInputPartition(pathStr: String, ranges: Seq[(Long, Long)],
     regions: Seq[(String, Long, Long)]) extends InputPartition
 
 class BcfScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
@@ -234,12 +234,16 @@ class BcfScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
             (refId, r.name, r.start, r.end.getOrElse(Long.MaxValue >> 17))
           }
         }
-        val chunks = GenomicIndex.mergeChunks(resolved.flatMap {
+        // coalesce near-adjacent chunks, then pack the survivors into
+        // multi-range partitions (see GenomicIndex.coalesceChunks /
+        // packRanges) so the task count follows data volume
+        val chunks = GenomicIndex.coalesceChunks(resolved.flatMap {
           case (refId, _, s, e) => index.get.query(refId, s, e)
-        })
+        }, gapBytes = 1L << 20, spanBytes = maxSplit)
         val residual = resolved.map { case (_, n, s, e) => (n, s, e) }
-        chunks.map { ch =>
-          BcfInputPartition(p.toString, ch.begin.value, ch.end.value, residual)
+        GenomicIndex.packRanges(chunks, maxSplit).map { group =>
+          BcfInputPartition(p.toString,
+            group.map(ch => (ch.begin.value, ch.end.value)), residual)
         }
       } else {
         val splits = index.map(GenomicIndex.partitionFromIndex(_, maxSplit))
@@ -248,7 +252,7 @@ class BcfScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
         val bounds = (headEnd +: splits) :+ eof
         bounds.sliding(2).collect {
           case Seq(a, b) if a.value < b.value =>
-            BcfInputPartition(p.toString, a.value, b.value,
+            BcfInputPartition(p.toString, Seq((a.value, b.value)),
               regions.map(r => (r.name, r.start,
                 r.end.getOrElse(Long.MaxValue))))
         }.toSeq
@@ -279,9 +283,20 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
   private val shift = -1L - CoordSystem.fromCode(
     options.getOrElse("coords", "11")).startOffset
 
-  private val stream = new BgzfRangeInputStream(
-    SeekableInputs.forHadoop(fs, path),
-    VirtualPosition(part.startVpos), Some(VirtualPosition(part.endVpos)))
+  // ranges are record-aligned; lazily concatenate one BGZF range stream
+  // per range (multi-range partitions — see BamPartitionReader)
+  private val stream: java.io.InputStream = {
+    val it = part.ranges.iterator
+    new java.io.SequenceInputStream(
+      new java.util.Enumeration[java.io.InputStream] {
+        override def hasMoreElements: Boolean = it.hasNext
+        override def nextElement(): java.io.InputStream =
+          it.next() match { case (a, b) =>
+            new BgzfRangeInputStream(SeekableInputs.forHadoop(fs, path),
+              VirtualPosition(a), Some(VirtualPosition(b)))
+          }
+      })
+  }
   private val le = new BamCodec.LEInput(stream)
 
   private val infoSchema: Option[StructType] =

@@ -204,7 +204,10 @@ class LineScanBuilder(format: LineFormat, fullSchema: StructType,
   *    whose bounds are record starts (`vpos=true`) — the analogue of the
   *    reference's scan_virtual_ranges (S6) for coordinate text. */
 case class LineInputPartition(pathStr: String, start: Long, end: Long,
-    gzip: Boolean, vpos: Boolean = false) extends InputPartition
+    gzip: Boolean, vpos: Boolean = false,
+    /** additional [start, end) vpos ranges packed into this partition
+      * (region queries over scattered index chunks; vpos-only) */
+    moreRanges: Seq[(Long, Long)] = Nil) extends InputPartition
 
 class LineScan(format: LineFormat, fullSchema: StructType,
     required: StructType, paths: Seq[Path], options: Map[String, String],
@@ -277,9 +280,17 @@ class LineScan(format: LineFormat, fullSchema: StructType,
                 index.query(refId, r.start, endPos)
               }
             }
-            GenomicIndex.mergeChunks(chunks).map { ch =>
-              LineInputPartition(p.toString, ch.begin.value,
-                ch.end.value, gzip = false, vpos = true)
+            // coalesce near-adjacent chunks into bounded ranges (the
+            // per-record region predicate drops gap records), then pack
+            // scattered survivors into multi-range partitions so the
+            // task count follows data volume, not index chunk scatter
+            GenomicIndex.packRanges(
+                GenomicIndex.coalesceChunks(chunks, gapBytes = 1L << 20,
+                  spanBytes = maxSplit), maxSplit).map { group =>
+              LineInputPartition(p.toString, group.head.begin.value,
+                group.head.end.value, gzip = false, vpos = true,
+                moreRanges = group.tail.map(ch =>
+                  (ch.begin.value, ch.end.value)))
             }
           case Some(index) if format.splittable =>
             val splits = GenomicIndex.partitionFromIndex(index, maxSplit)
@@ -335,15 +346,24 @@ class LineReader(format: LineFormat, fullSchema: StructType,
   private val path = new Path(part.pathStr)
   private val reader: BufferedReader = {
     if (part.vpos) {
-      // BGZF virtual-position range; bounds are record starts, so the
-      // stream ends exactly at a line boundary
-      val si = graft.formats.SeekableInputs.forHadoop(
-        path.getFileSystem(conf), path)
-      new BufferedReader(new InputStreamReader(
-        new graft.formats.BgzfRangeInputStream(si,
-          graft.formats.Bgzf.VirtualPosition(part.start),
-          Some(graft.formats.Bgzf.VirtualPosition(part.end))),
-        StandardCharsets.UTF_8))
+      // BGZF virtual-position range(s); bounds are record starts, so
+      // each stream ends exactly at a line boundary and the lazy
+      // concatenation of the partition's packed ranges reads as one
+      // contiguous line stream
+      val fs = path.getFileSystem(conf)
+      val it = ((part.start, part.end) +: part.moreRanges).iterator
+      val cat = new java.io.SequenceInputStream(
+        new java.util.Enumeration[java.io.InputStream] {
+          override def hasMoreElements: Boolean = it.hasNext
+          override def nextElement(): java.io.InputStream =
+            it.next() match { case (a, b) =>
+              new graft.formats.BgzfRangeInputStream(
+                graft.formats.SeekableInputs.forHadoop(fs, path),
+                graft.formats.Bgzf.VirtualPosition(a),
+                Some(graft.formats.Bgzf.VirtualPosition(b)))
+            }
+        })
+      new BufferedReader(new InputStreamReader(cat, StandardCharsets.UTF_8))
     } else {
       val fsIn = path.getFileSystem(conf).open(path)
       if (part.gzip) {

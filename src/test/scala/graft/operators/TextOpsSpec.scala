@@ -4,6 +4,49 @@ import graft.SparkSuite
 
 class TextOpsSpec extends SparkSuite {
 
+  test("fastHash variant: valid, distinct from md5, dedup-equivalent") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark execution plans"))
+      .toDF("doc_id", "text")
+    // minhash: identical docs agree on EVERY signature under both hash
+    // families; the families themselves produce different values
+    for (fast <- Seq(false, true)) {
+      val sig = TextOps.minhashSignatures(docs, "doc_id", "text", 4,
+        fastHash = fast).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(sig(1L) == sig(2L), s"fast=$fast")
+      assert(sig(1L) != sig(3L), s"fast=$fast")
+      assert(sig.values.flatten.forall {
+        case l: Long => l >= 0L && l < (1L << 32); case _ => false })
+    }
+    val md5Sig = TextOps.minhashSignatures(docs, "doc_id", "text", 4)
+      .collect().map(_.toSeq.tail).toSeq
+    val fastSig = TextOps.minhashSignatures(docs, "doc_id", "text", 4,
+      fastHash = true).collect().map(_.toSeq.tail).toSeq
+    assert(md5Sig != fastSig, "families must differ in value")
+    // winnow: both paths yield non-empty distinct fingerprint sets that
+    // agree for identical docs and differ across families
+    val fp = docs.select(col("doc_id"),
+      TextOps.winnowFingerprints(col("text")).as("slow"),
+      TextOps.winnowFingerprints(col("text"), fastHash = true).as("fast"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    fp.foreach { case (id, slow, fastV) =>
+      assert(slow.nonEmpty && fastV.nonEmpty, s"doc $id")
+      assert(slow != fastV, s"doc $id: families must differ")
+      assert(slow.distinct == slow && fastV.distinct == fastV)
+    }
+    val byId = fp.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._3 == byId(2L)._3)
+    // simhash: identical docs agree under the fast family too
+    val sh = TextOps.simhash(docs, "doc_id", "text", fastHash = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L) && sh(1L) != sh(3L))
+  }
+
   test("dedupClusters: components converge to the min reachable id") {
     val s = spark
     import s.implicits._
