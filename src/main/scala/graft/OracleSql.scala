@@ -460,6 +460,20 @@ object OracleSql {
     // deterministic seed-vector quantizer, same tie-breaks
     "q41_ann_ivf" -> q41Sql,
 
+    // q42: the streaming custom-state sessionization must reproduce the
+    // batch transitive gap closure — the oracle IS q12's sessionization
+    // (same 30-min gap, same counts), computed the window-function way
+    "q42_stream_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id,
+        |  CASE WHEN lag(tus) OVER w IS NULL THEN 1
+        |       WHEN tus - lag(tus) OVER w > 1800*1000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q40: the star-contraction path must produce the identical
     // transitive closure
     "q40_dedup_star" ->

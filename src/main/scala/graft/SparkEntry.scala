@@ -545,6 +545,18 @@ object SparkEntry {
         round(col("value"), 2).as("value_r"))
       .orderBy(col("event_id"))
 
+  /** Custom-state sessionization driven to completion
+    * ([[graft.streaming.EventStream.sessionizeToCompletion]]:
+    * flatMapGroupsWithState with an event-time timeout, sentinel-flushed
+    * watermark): the per-user session counts must equal the batch
+    * window-function sessionization q12 computes — one oracle, two
+    * independent formulations (batch window scan vs streaming custom
+    * state). */
+  private def q42_stream_sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .sessionizeToCompletion(s, s"$dir/events.parquet")
+      .orderBy(col("user_id"))
+
   /** Audio/video header metadata (REAL WAV RIFF and MP4 box parsing —
     * [[graft.operators.Multimodal.MediaDecoder]]): payloads are built
     * from doc-derived formulas with Spark built-ins, parsed back per
@@ -685,7 +697,8 @@ object SparkEntry {
     "q38_stream_dedup" -> (q38_stream_dedup _),
     "q39_av_meta" -> (q39_av_meta _),
     "q40_dedup_star" -> (q40_dedup_star _),
-    "q41_ann_ivf" -> (q41_ann_ivf _)) ++
+    "q41_ann_ivf" -> (q41_ann_ivf _),
+    "q42_stream_sessionize" -> (q42_stream_sessionize _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -54,15 +54,26 @@ object EventStream {
   final case class SessionEvent(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+  /** Custom state: ALL of a user's not-yet-final sessions, sorted by
+    * start. Holding the list (not just the newest session) makes
+    * in-watermark stragglers exact: an event landing between two pending
+    * sessions extends or even bridges them, and a session only becomes
+    * immutable — and is emitted — once the watermark guarantees no
+    * further event can reach it. */
+  final case class SessionList(sessions: Seq[SessionAgg])
   final case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)
 
   /** Gap-based sessionization with CUSTOM state (`KeyValueGroupedDataset
     * .flatMapGroupsWithState`, event-time timeout): one state entry per
-    * user holds the open session; a session closes (and emits) when a
-    * new event arrives past the gap, or when the watermark passes the
-    * session end + gap (timeout). The streaming analogue of
-    * SparkEntry.q12_sessionize, with state bounded by the watermark. */
+    * user holds the pending sessions; every incoming event is folded in
+    * as a singleton run and gap-adjacent runs coalesce (the same
+    * transitive gap closure q12 computes in batch), so any in-watermark
+    * straggler — before, inside, between or after pending sessions —
+    * lands exactly. A session emits when the watermark passes its
+    * end + gap (checked on every update, and via event-time timeout for
+    * quiet users); state is bounded by the watermark. The streaming
+    * analogue of SparkEntry.q12_sessionize. */
   def sessionize(events: Dataset[SessionEvent],
       gapMs: Long = 30L * 60 * 1000,
       lateness: String = "10 minutes"): Dataset[UserSession] = {
@@ -72,41 +83,35 @@ object EventStream {
       UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
         s.n, s.sum)
 
-    def update(userId: Long, evs: Iterator[SessionEvent],
-        state: GroupState[SessionAgg]): Iterator[UserSession] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(close(userId, s))
-      } else {
-        val sorted = evs.toSeq.sortBy(_.ts.getTime)
-        val closed = Seq.newBuilder[UserSession]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.endMs > gapMs =>
-              closed += close(userId, s)
-              cur = Some(SessionAgg(t, t, 1, e.value))
-            case Some(s) if s.startMs - t > gapMs =>
-              // in-watermark straggler more than a gap BEFORE the open
-              // session: its own earlier session, closed immediately
-              closed += close(userId, SessionAgg(t, t, 1, e.value))
-            case Some(s) =>
-              // a straggler inside the gap window extends the session
-              // backward too, not just forward
-              cur = Some(SessionAgg(math.min(s.startMs, t),
-                math.max(s.endMs, t), s.n + 1, s.sum + e.value))
-            case None =>
-              cur = Some(SessionAgg(t, t, 1, e.value))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.endMs + gapMs)
-        }
-        closed.result().iterator
+    /** Coalesce a start-sorted run list: gap-adjacent runs merge. */
+    def coalesce(runs: Seq[SessionAgg]): Seq[SessionAgg] =
+      runs.sortBy(s => (s.startMs, s.endMs)).foldLeft(List.empty[SessionAgg]) {
+        case (acc @ (last :: rest), s) if s.startMs - last.endMs <= gapMs =>
+          SessionAgg(last.startMs, math.max(last.endMs, s.endMs),
+            last.n + s.n, last.sum + s.sum) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
+    /** Emit sessions the watermark has made final; re-arm the timeout
+      * for the earliest still-pending close. */
+    def finalize(userId: Long, sessions: Seq[SessionAgg],
+        state: GroupState[SessionList]): Iterator[UserSession] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (done, open) = sessions.partition(_.endMs + gapMs <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionList(open))
+        state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
       }
+      done.sortBy(_.startMs).map(close(userId, _)).iterator
+    }
+
+    def update(userId: Long, evs: Iterator[SessionEvent],
+        state: GroupState[SessionList]): Iterator[UserSession] = {
+      val pending = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val incoming = evs.map(e =>
+        SessionAgg(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+      finalize(userId, coalesce(pending ++ incoming), state)
     }
 
     events
@@ -228,6 +233,82 @@ object EventStream {
     deleteRecursively(streamDir)
     liveTables.add(name)
     spark.table(name)
+  }
+
+  /** Custom-state sessionization driven to completion and
+    * oracle-checkable (gate row q42): file stream → [[sessionize]]
+    * (30-min gap, the exact transitive gap closure q12 computes in
+    * batch) → append-mode memory sink, then a batch rollup to q12's
+    * (user_id, n_sessions, n_events) shape.
+    *
+    * Emission is watermark-driven, so the run must end with the
+    * watermark beyond every real session's end + gap: two far-future
+    * sentinel events for a reserved user (-1) are staged as the two
+    * NEWEST files and `maxFilesPerTrigger=1` forces one file per
+    * microbatch — the first sentinel batch advances the watermark past
+    * all real data, the second runs with that watermark so every
+    * pending timeout fires inside a real batch (no reliance on a
+    * trailing no-data batch). Sentinel sessions are filtered out. */
+  def sessionizeToCompletion(spark: SparkSession,
+      eventsPath: String): DataFrame = {
+    import spark.implicits._
+    recycleTables(spark)
+    val batch = spark.read.parquet(eventsPath)
+    val batchSchema = batch.schema
+    val streamDir = stageAsDir(eventsPath, copies = 1)
+    // sentinels: the latest real event pushed 30/60 days ahead for
+    // user -1, preserving the source schema (incl. nanosecond-long ts)
+    val sentinelTmp = java.nio.file.Files.createTempDirectory("graft-sess-sen")
+    for ((days, i) <- Seq(30L, 60L).zipWithIndex) {
+      val bumped = batchSchema("ts").dataType match {
+        case LongType => col("ts") + lit(days * 24 * 3600 * 1000000000L)
+        case _ => col("ts") + expr(s"INTERVAL $days DAYS")
+      }
+      val out = sentinelTmp.resolve(s"s$i").toString
+      batch.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", bumped.cast(batchSchema("ts").dataType))
+        .withColumn("user_id", lit(-1L).cast(batchSchema("user_id").dataType))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      val part = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+          .asScala.filter(_.toString.endsWith(".parquet")).toSeq.head
+        finally s.close()
+      }
+      val dst = streamDir.resolve(s"zz_sentinel_$i.parquet")
+      java.nio.file.Files.copy(part, dst)
+      // file order = modification time: sentinels strictly last, in order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 100000L * (i + 1)))
+    }
+    val events = normalizeTs(
+      spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+      batchSchema)
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+      .as[SessionEvent]
+    val name = s"graft_stream_sess_${runCounter.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
+    val q = sessionize(events).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ckpt)
+    deleteRecursively(streamDir)
+    deleteRecursively(sentinelTmp)
+    liveTables.add(name)
+    spark.table(name)
+      .where(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
   }
 
   /** Streaming watermarked dedup driven to completion and

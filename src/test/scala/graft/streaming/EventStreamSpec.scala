@@ -125,4 +125,69 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == expected)
     assert(streamed.size == 3) // (01h view), (01h buy), (02h view)
   }
+
+  test("sessionize: in-watermark stragglers merge into earlier sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStream.SessionEvent]
+    val ck = java.nio.file.Files.createTempDirectory("graft-sess-strag")
+    // wide lateness so the stragglers are in-watermark when they arrive
+    val q = EventStream.sessionize(input.toDS(), lateness = "3 hours")
+      .writeStream.format("memory").queryName("strag_sessions")
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append").start()
+    try {
+      // batch 1: an open session at 02:00
+      input.addData(
+        EventStream.SessionEvent(1, ts("2024-01-01 02:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: TWO stragglers >gap before the open session but within
+      // one gap of EACH OTHER — the r7 code closed them as two
+      // single-event sessions; they must merge into one 2-event session
+      input.addData(
+        EventStream.SessionEvent(2, ts("2024-01-01 00:10:00"), 1, "view", 2.0),
+        EventStream.SessionEvent(3, ts("2024-01-01 00:30:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far past everything so all sessions emit
+      input.addData(
+        EventStream.SessionEvent(4, ts("2024-01-02 12:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.SessionEvent(5, ts("2024-01-03 12:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("strag_sessions")
+        .where($"user_id" === 1L)
+        .select("session_start", "n_events", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == Set(
+        ("2024-01-01 00:10:00.0", 2L, 5.0), // merged straggler session
+        ("2024-01-01 02:00:00.0", 1L, 1.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("sessionizeToCompletion equals batch sessionization (q42 path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-q42")
+    val rows = Seq(
+      // user 1: two sessions (gap > 30 min between event 2 and 3)
+      org.apache.spark.sql.Row(1L, ts("2024-01-01 01:00:00"), 1L, "view", 1.0),
+      org.apache.spark.sql.Row(2L, ts("2024-01-01 01:20:00"), 1L, "view", 2.0),
+      org.apache.spark.sql.Row(3L, ts("2024-01-01 03:00:00"), 1L, "buy", 3.0),
+      // user 2: one session of three events
+      org.apache.spark.sql.Row(4L, ts("2024-01-01 02:00:00"), 2L, "view", 1.0),
+      org.apache.spark.sql.Row(5L, ts("2024-01-01 02:29:00"), 2L, "view", 1.0),
+      org.apache.spark.sql.Row(6L, ts("2024-01-01 02:58:00"), 2L, "view", 1.0),
+      // user 3: three single-event sessions
+      org.apache.spark.sql.Row(7L, ts("2024-01-01 00:00:00"), 3L, "view", 1.0),
+      org.apache.spark.sql.Row(8L, ts("2024-01-01 05:00:00"), 3L, "view", 1.0),
+      org.apache.spark.sql.Row(9L, ts("2024-01-01 10:00:00"), 3L, "view", 1.0))
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), EventStream.EventSchema)
+    val file = dir.resolve("ev.parquet")
+    batch.coalesce(1).write.mode("overwrite").parquet(file.toString)
+    val got = EventStream.sessionizeToCompletion(spark, file.toString)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 3L, 3L)), s"got $got")
+  }
 }
