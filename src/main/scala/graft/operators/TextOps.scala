@@ -146,10 +146,21 @@ object TextOps {
       * with `spark.cleaner.referenceTracking.cleanCheckpoints`, off by
       * default. */
     private var prev: Option[String] = None
+
+    /** The checkpoint file of the nearest checkpointed ANCESTOR:
+      * `Dataset.checkpoint` returns a frame whose `.rdd` is a derived
+      * (deserializing) RDD — its own `getCheckpointFile` is always None,
+      * so the location must be read off the lineage. */
+    private def checkpointFileOf(rdd: org.apache.spark.rdd.RDD[_])
+        : Option[String] =
+      rdd.getCheckpointFile.orElse(
+        rdd.dependencies.view.flatMap(d => checkpointFileOf(d.rdd))
+          .headOption)
+
     def roll(df: DataFrame): DataFrame = {
       val snapped = base(df)
       if (checkpointDir.isDefined) {
-        val file = snapped.rdd.getCheckpointFile
+        val file = checkpointFileOf(snapped.queryExecution.toRdd)
         prev.filter(p => !file.contains(p)).foreach { p =>
           try {
             val path = new org.apache.hadoop.fs.Path(p)

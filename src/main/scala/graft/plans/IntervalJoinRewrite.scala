@@ -127,13 +127,23 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     // the analyzer wraps mixed-width integral comparisons in Cast
     // (int start vs long end), so matching bare attributes only would
-    // silently leave those joins un-rewritten and quadratic
+    // silently leave those joins un-rewritten and quadratic. Only
+    // WIDENING casts may unwrap: a user-written narrowing cast (e.g.
+    // CAST(longStart AS INT) < end) changes the compared value for
+    // out-of-range inputs (wrap, or ANSI error), so rewriting it to
+    // bin/compare the full-width attribute would silently change join
+    // semantics — those joins are left to the generic paths.
+    def width(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 4; case LongType => 8; case _ => 0
+    }
     object IntegralAttr {
       def unapply(e: Expression): Option[AttributeReference] = e match {
         case a: AttributeReference if integral(a.dataType) => Some(a)
         case c: Cast => c.child match {
           case a: AttributeReference
-            if integral(a.dataType) && integral(c.dataType) => Some(a)
+            if integral(a.dataType) && integral(c.dataType) &&
+              width(c.dataType) >= width(a.dataType) => Some(a)
           case _ => None
         }
         case _ => None

@@ -91,9 +91,21 @@ class TextOpsSpec extends SparkSuite {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(reliable == local)
-    // reliable mode actually wrote superstep snapshots to the dir
-    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .count() > 0)
+    // reliable mode actually wrote superstep snapshots to the dir, AND
+    // rotated them: the diameter-5 chain runs several supersteps, but
+    // only the pinned edge list and the final superstep may remain —
+    // one rdd-* dir per round means the rotation is dead (the r7 bug:
+    // getCheckpointFile on the derived RDD was always None)
+    val rddDirs = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+        .asScala.filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-")).toVector
+      finally s.close()
+    }
+    assert(rddDirs.nonEmpty, "no checkpoint written")
+    assert(rddDirs.size <= 2,
+      s"checkpoint rotation left ${rddDirs.size} rdd dirs: $rddDirs")
   }
 
   test("dedupClustersStar matches propagation on chains, stars, random") {

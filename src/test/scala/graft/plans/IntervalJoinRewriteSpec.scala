@@ -272,6 +272,36 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("user-written NARROWING casts do not fire the rule") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // CAST(longStart AS INT) wraps for values past 2^31: rewriting to
+      // bin the full-width attribute would silently change the join's
+      // semantics for those rows, so the rule must leave it alone
+      val a = Seq(("chr1", 100L, 200L, "a1"),
+        ("chr1", (1L << 33) + 100, (1L << 33) + 200, "a2"))
+        .toDF("chrom", "start", "end", "a_id") // LongType coords
+      val b = Seq(("chr1", 150, 300, "b1"))
+        .toDF("chrom2", "start2", "end2", "b_id") // IntegerType coords
+      val joined = a.join(b,
+        a("chrom") === b("chrom2") &&
+          a("start").cast("int") < b("end2") &&
+          b("start2") < a("end").cast("int"))
+      assert(!joined.queryExecution.optimizedPlan.toString
+        .contains("__graft_binl"), joined.queryExecution.optimizedPlan)
+      // and the un-rewritten query keeps the cast's ANSI semantics: the
+      // out-of-range row ERRORS at execution — a rewrite that binned the
+      // full-width attribute would have silently returned rows instead
+      val e = intercept[Exception] {
+        joined.select("a_id", "b_id").collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        String.valueOf(t.getMessage).contains("CAST_OVERFLOW")), e)
+    }
+  }
+
   test("rewritten chromosome-crossing spans classify long, not overflow") {
     withExtSession { spark =>
       import spark.implicits._
