@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.{CoordSystem, Region}
@@ -327,9 +327,85 @@ class LineScan(format: LineFormat, fullSchema: StructType,
 class LineReaderFactory(format: LineFormat, fullSchema: StructType,
     required: StructType, options: Map[String, String], pushed: Array[Filter],
     limit: Int) extends PartitionReaderFactory {
+
+  /** Columnar reads (SURVEY §4.2): flat primitive/string projections —
+    * BED/bedgraph and the fixed text columns generally — are emitted as
+    * `OnHeapColumnVector` batches, which lets whole-stage codegen
+    * consume vectors through `ColumnarToRow` instead of crossing the
+    * DSv2 row boundary per record. Nested/array projections (VCF
+    * structs, bed9+ itemRgb, attribute maps) keep the row path.
+    * `columnar=false` opts out. */
+  private val columnarOk: Boolean =
+    options.getOrElse("columnar", "true").toBoolean &&
+      required.fields.nonEmpty &&
+      required.fields.forall(_.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType |
+             BooleanType | StringType => true
+        case _ => false
+      })
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnarOk
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new LineReader(format, fullSchema, required, options, pushed, limit,
       p.asInstanceOf[LineInputPartition])
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ColumnarLineReader(
+      new LineReader(format, fullSchema, required, options, pushed, limit,
+        p.asInstanceOf[LineInputPartition]), required)
+}
+
+/** Batches a row-producing partition reader into `OnHeapColumnVector`s.
+  * The per-line parse stays row-at-a-time (text decode is inherently so)
+  * but downstream operators read column vectors, and the scan boundary
+  * amortizes to one virtual call per 4096 rows instead of per row. */
+class ColumnarLineReader(rows: PartitionReader[InternalRow],
+    schema: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, schema)
+  private val batch =
+    new ColumnarBatch(vectors.map(v => v: ColumnVector), 0)
+
+  override def next(): Boolean = {
+    var n = 0
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    while (n < capacity && rows.next()) {
+      val row = rows.get()
+      var c = 0
+      while (c < vectors.length) {
+        val v = vectors(c)
+        if (row.isNullAt(c)) v.putNull(n)
+        else schema.fields(c).dataType match {
+          case LongType => v.putLong(n, row.getLong(c))
+          case IntegerType => v.putInt(n, row.getInt(c))
+          case DoubleType => v.putDouble(n, row.getDouble(c))
+          case FloatType => v.putFloat(n, row.getFloat(c))
+          case BooleanType => v.putBoolean(n, row.getBoolean(c))
+          case StringType =>
+            val b = row.getUTF8String(c).getBytes
+            v.putByteArray(n, b, 0, b.length)
+          case other =>
+            throw new IllegalStateException(
+              s"unsupported columnar type $other") // guarded by factory
+        }
+        c += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = rows.close()
 }
 
 object LineReader {

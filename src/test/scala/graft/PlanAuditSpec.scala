@@ -146,6 +146,30 @@ class PlanAuditSpec extends SparkSuite {
       !full.contains("BroadcastNestedLoopJoin"), full)
   }
 
+  test("flat text scans read columnar; nested schemas keep the row path") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-colnar")
+    val bed = dir.resolve("t.bed").toString
+    val fw = new java.io.FileWriter(bed)
+    fw.write((0 until 5000).map(i =>
+      s"chr1\t${i * 10}\t${i * 10 + 50}\tf$i\t${i % 1000}\t+").mkString("\n"))
+    fw.close()
+    val df = spark.read.format("bed").option("bed_schema", "bed6").load(bed)
+    // the scan emits OnHeapColumnVector batches: codegen consumes them
+    // through ColumnarToRow instead of a per-row DSv2 boundary
+    assert(executedString(df).contains("ColumnarToRow"), executedString(df))
+    assert(df.count() == 5000)
+    val colRows = df.orderBy(col("start")).collect()
+    val rowRows = spark.read.format("bed").option("bed_schema", "bed6")
+      .option("columnar", "false").load(bed).orderBy(col("start")).collect()
+    assert(!executedString(spark.read.format("bed").option("bed_schema", "bed6")
+      .option("columnar", "false").load(bed)).contains("ColumnarToRow"))
+    assert(colRows.toSeq == rowRows.toSeq)
+    // null-bearing and projected reads stay correct through the batch
+    val proj = df.select(col("chrom"), col("score")).limit(7).collect()
+    assert(proj.length == 7 && proj.forall(_.getString(0) == "chr1"))
+  }
+
   test("star-contraction rounds stay equi-join shaped (no cartesian)") {
     val s = spark
     import s.implicits._
