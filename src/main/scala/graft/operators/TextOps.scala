@@ -266,16 +266,18 @@ object TextOps {
         .unionAll(mins.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
     }
-    def checksum(edges: DataFrame): (Long, String, String, String) = {
-      // decimal(38,0) sums: hash sums overflow long under ANSI
+    def checksum(edges: DataFrame): (Long, Long, Long, Long) = {
+      // each round's edge list is distinct(), so count + XOR-folds over
+      // a SET are an order-independent checksum with no overflow — and,
+      // unlike the earlier decimal(38,0) hash-sums, the aggregate
+      // codegen is plain long arithmetic (the decimal version dominated
+      // the operator's cold first-run cost)
       val r = edges.agg(count(lit(1)),
-        coalesce(sum(col("u").cast("decimal(38,0)")), lit(0))
-          .cast("string"),
-        coalesce(sum(col("v").cast("decimal(38,0)")), lit(0))
-          .cast("string"),
-        coalesce(sum(xxhash64(col("u"), col("v"))
-          .cast("decimal(38,0)")), lit(0)).cast("string")).collect()(0)
-      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+        coalesce(bit_xor(col("u")), lit(0L)),
+        coalesce(bit_xor(col("v")), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
 
     // every id that appears in any input pair (self-pairs included)
