@@ -328,15 +328,18 @@ class LineReaderFactory(format: LineFormat, fullSchema: StructType,
     required: StructType, options: Map[String, String], pushed: Array[Filter],
     limit: Int) extends PartitionReaderFactory {
 
-  /** Columnar reads (SURVEY §4.2): flat primitive/string projections —
-    * BED/bedgraph and the fixed text columns generally — are emitted as
-    * `OnHeapColumnVector` batches, which lets whole-stage codegen
-    * consume vectors through `ColumnarToRow` instead of crossing the
-    * DSv2 row boundary per record. Nested/array projections (VCF
-    * structs, bed9+ itemRgb, attribute maps) keep the row path.
-    * `columnar=false` opts out. */
+  /** Columnar reads (SURVEY §4.2), opt-in via `columnar=true` for flat
+    * primitive/string projections — BED/bedgraph and the fixed text
+    * columns generally; nested/array projections (VCF structs, bed9+
+    * itemRgb) always keep the row path. Off by default on measurement:
+    * stock Spark re-materializes rows at `ColumnarToRow` for the
+    * codegen pipeline, so with parse-dominated per-record cost the
+    * batch copy is pure overhead (66 MB BED full scan: 1.59 s columnar
+    * vs 1.53 s row). The path exists as the integration surface for
+    * vector-consuming engines (RAPIDS/Gluten-style columnar plugins,
+    * Arrow hand-off), which elide ColumnarToRow entirely. */
   private val columnarOk: Boolean =
-    options.getOrElse("columnar", "true").toBoolean &&
+    options.getOrElse("columnar", "false").toBoolean &&
       required.fields.nonEmpty &&
       required.fields.forall(_.dataType match {
         case LongType | IntegerType | DoubleType | FloatType |
@@ -352,16 +355,17 @@ class LineReaderFactory(format: LineFormat, fullSchema: StructType,
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ColumnarLineReader(
+    new ColumnarRowBatcher(
       new LineReader(format, fullSchema, required, options, pushed, limit,
         p.asInstanceOf[LineInputPartition]), required)
 }
 
-/** Batches a row-producing partition reader into `OnHeapColumnVector`s.
-  * The per-line parse stays row-at-a-time (text decode is inherently so)
-  * but downstream operators read column vectors, and the scan boundary
+/** Batches any row-producing partition reader into `OnHeapColumnVector`s
+  * (used by the text readers and the BAM reader alike). The per-record
+  * parse stays row-at-a-time (format decode is inherently so) but
+  * downstream operators read column vectors, and the scan boundary
   * amortizes to one virtual call per 4096 rows instead of per row. */
-class ColumnarLineReader(rows: PartitionReader[InternalRow],
+class ColumnarRowBatcher(rows: PartitionReader[InternalRow],
     schema: StructType)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector

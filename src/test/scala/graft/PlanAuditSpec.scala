@@ -154,20 +154,33 @@ class PlanAuditSpec extends SparkSuite {
     fw.write((0 until 5000).map(i =>
       s"chr1\t${i * 10}\t${i * 10 + 50}\tf$i\t${i % 1000}\t+").mkString("\n"))
     fw.close()
-    val df = spark.read.format("bed").option("bed_schema", "bed6").load(bed)
-    // the scan emits OnHeapColumnVector batches: codegen consumes them
-    // through ColumnarToRow instead of a per-row DSv2 boundary
+    // columnar is opt-in (row path measured faster under stock Spark's
+    // ColumnarToRow re-materialization — see the factory scaladoc)
+    val df = spark.read.format("bed").option("bed_schema", "bed6")
+      .option("columnar", "true").load(bed)
+    // the opted-in scan emits OnHeapColumnVector batches, consumed
+    // through ColumnarToRow
     assert(executedString(df).contains("ColumnarToRow"), executedString(df))
     assert(df.count() == 5000)
     val colRows = df.orderBy(col("start")).collect()
-    val rowRows = spark.read.format("bed").option("bed_schema", "bed6")
-      .option("columnar", "false").load(bed).orderBy(col("start")).collect()
-    assert(!executedString(spark.read.format("bed").option("bed_schema", "bed6")
-      .option("columnar", "false").load(bed)).contains("ColumnarToRow"))
-    assert(colRows.toSeq == rowRows.toSeq)
+    val rowDf = spark.read.format("bed").option("bed_schema", "bed6").load(bed)
+    assert(!executedString(rowDf).contains("ColumnarToRow"))
+    assert(colRows.toSeq == rowDf.orderBy(col("start")).collect().toSeq)
     // null-bearing and projected reads stay correct through the batch
     val proj = df.select(col("chrom"), col("score")).limit(7).collect()
     assert(proj.length == 7 && proj.forall(_.getString(0) == "chr1"))
+    // the BAM reader exposes the same opt-in batch path for flat
+    // projections (tags struct excluded)
+    val bamDir = java.nio.file.Files.createTempDirectory("graft-colbam")
+    fixtures.BamFixture.write(bamDir.resolve("c.bam").toString,
+      Seq(("chr1", 100000)),
+      (1 to 50).map(i => fixtures.BamFixture.Rec(s"r$i", 0, 0, i * 100, 60,
+        Seq((4, 'M')), "ACGT", "FFFF")))
+    val bam = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("columnar", "true").load(bamDir.resolve("c.bam").toString)
+      .select(col("qname"), col("pos"), col("flag"))
+    assert(executedString(bam).contains("ColumnarToRow"), executedString(bam))
+    assert(bam.count() == 50)
   }
 
   test("star-contraction rounds stay equi-join shaped (no cartesian)") {
