@@ -104,9 +104,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // reader bench corpus: generated once (marker-cached), OUTSIDE any
-    // timed region; size overridable / disableable via env
+    // timed region; size overridable / disableable via env. A focused
+    // SPARK_GRAFT_BENCH_ONLY run that names no b* entry must not pay
+    // corpus generation or planning.
+    val readerNames = Seq("b01_bam_full", "b02_bam_region", "b03_bam_split",
+      "b04_vcf_info", "b05_bed_region")
     val corpus: Option[graft.fixtures.BenchCorpus.Paths] =
-      if (sys.env.get("SPARK_GRAFT_BENCH_READERS").contains("0")) None
+      if (sys.env.get("SPARK_GRAFT_BENCH_READERS").contains("0") ||
+          !only.forall(f => readerNames.exists(f.contains))) None
       else try {
         val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS_DIR",
           "/tmp/graft_bench_corpus")

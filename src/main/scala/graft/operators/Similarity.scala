@@ -163,22 +163,40 @@ object Similarity {
     * and folded into ONE literal array of (cell_id, cent, centn)
     * structs. This is quantizer *metadata* — a few KB, the same
     * driver-side materialization a trained k-means quantizer performs —
-    * never the corpus. None when the corpus is empty. */
+    * never the corpus. None when the corpus is empty.
+    *
+    * Two representation choices matter at production scale: the id
+    * keeps its ORIGINAL type (any orderable id — string doc ids
+    * included — works, as the r7 broadcast shape did), and the whole
+    * matrix is one `Literal.create` of pre-converted data rather than a
+    * per-element `lit()` tree — 4096 cells × 768 dims as expression
+    * nodes would be ~3M analyzer-visible nodes and a plan-size cliff;
+    * as a single Literal it is O(1) plan nodes regardless of size. */
   private[graft] def centroidLiteral(candidates: DataFrame, idCol: String,
       vecCol: String, nCells: Int): Option[Column] = {
+    import org.apache.spark.sql.types._
+    val idType = candidates.schema(idCol).dataType
     val rows = candidates
-      .select(col(idCol).cast("long").as("cell_id"),
+      .select(col(idCol).as("cell_id"),
         col(vecCol).cast("array<double>").as("__cent"),
         norm(col(vecCol)).as("__centn"))
       .orderBy(col("cell_id").asc)
       .limit(nCells)
       .collect()
     if (rows.isEmpty) None
-    else Some(array(rows.toIndexedSeq.map { r =>
-      struct(lit(r.getLong(0)).as("cell_id"),
-        array(r.getSeq[Double](1).map(lit(_)): _*).as("cent"),
-        lit(r.getDouble(2)).as("centn"))
-    }: _*))
+    else {
+      val structType = StructType(Seq(
+        StructField("cell_id", idType, nullable = false),
+        StructField("cent", ArrayType(DoubleType, containsNull = false),
+          nullable = false),
+        StructField("centn", DoubleType, nullable = false)))
+      val value = rows.toIndexedSeq.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.getSeq[Double](1),
+          r.getDouble(2)))
+      Some(org.apache.spark.sql.graftshim.ColumnShim.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          value, ArrayType(structType, containsNull = false))))
+    }
   }
 
   /** Per-row cell scores against the literal centroid matrix — the same

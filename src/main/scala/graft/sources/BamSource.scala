@@ -344,17 +344,7 @@ class BamReaderFactory(fullSchema: StructType, required: StructType,
     * 2.38 s row); the path is the integration surface for
     * vector-consuming engines that elide ColumnarToRow. */
   private val columnarOk: Boolean =
-    options.getOrElse("columnar", "false").toBoolean &&
-      required.fields.nonEmpty &&
-      required.fields.forall(_.dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.DoubleType |
-             org.apache.spark.sql.types.FloatType |
-             org.apache.spark.sql.types.BooleanType |
-             org.apache.spark.sql.types.StringType => true
-        case _ => false
-      })
+    graft.sources.common.RangeStreams.columnarEligible(options, required)
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnarOk
 
@@ -387,20 +377,11 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
   }
 
   // ranges are record-aligned, so lazily concatenating one BGZF range
-  // stream per range yields a single contiguous record stream; streams
-  // open only when reached and SequenceInputStream closes each on advance
-  private val stream: java.io.InputStream = {
-    val it = part.ranges.iterator
-    new java.io.SequenceInputStream(
-      new java.util.Enumeration[java.io.InputStream] {
-        override def hasMoreElements: Boolean = it.hasNext
-        override def nextElement(): java.io.InputStream = {
-          val (a, b) = it.next()
-          new BgzfRangeInputStream(SeekableInputs.forHadoop(fs, path),
-            VirtualPosition(a), Some(VirtualPosition(b)))
-        }
-      })
-  }
+  // stream per range yields a single contiguous record stream
+  // (graft.sources.common.RangeStreams — opens each range when reached,
+  // closes only the open one)
+  private val stream: java.io.InputStream =
+    graft.sources.common.RangeStreams.bgzfRanges(fs, path, part.ranges)
   private val le = new BamCodec.LEInput(stream)
 
   private val tagSchema: Option[StructType] =

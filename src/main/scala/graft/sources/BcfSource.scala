@@ -284,19 +284,9 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
     options.getOrElse("coords", "11")).startOffset
 
   // ranges are record-aligned; lazily concatenate one BGZF range stream
-  // per range (multi-range partitions — see BamPartitionReader)
-  private val stream: java.io.InputStream = {
-    val it = part.ranges.iterator
-    new java.io.SequenceInputStream(
-      new java.util.Enumeration[java.io.InputStream] {
-        override def hasMoreElements: Boolean = it.hasNext
-        override def nextElement(): java.io.InputStream =
-          it.next() match { case (a, b) =>
-            new BgzfRangeInputStream(SeekableInputs.forHadoop(fs, path),
-              VirtualPosition(a), Some(VirtualPosition(b)))
-          }
-      })
-  }
+  // per range (multi-range partitions — graft.sources.common.RangeStreams)
+  private val stream: java.io.InputStream =
+    graft.sources.common.RangeStreams.bgzfRanges(fs, path, part.ranges)
   private val le = new BamCodec.LEInput(stream)
 
   private val infoSchema: Option[StructType] =

@@ -339,13 +339,7 @@ class LineReaderFactory(format: LineFormat, fullSchema: StructType,
     * vector-consuming engines (RAPIDS/Gluten-style columnar plugins,
     * Arrow hand-off), which elide ColumnarToRow entirely. */
   private val columnarOk: Boolean =
-    options.getOrElse("columnar", "false").toBoolean &&
-      required.fields.nonEmpty &&
-      required.fields.forall(_.dataType match {
-        case LongType | IntegerType | DoubleType | FloatType |
-             BooleanType | StringType => true
-        case _ => false
-      })
+    RangeStreams.columnarEligible(options, required)
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnarOk
 
@@ -377,6 +371,29 @@ class ColumnarRowBatcher(rows: PartitionReader[InternalRow],
   private val batch =
     new ColumnarBatch(vectors.map(v => v: ColumnVector), 0)
 
+  // per-column writers resolved ONCE — the type dispatch must not run
+  // per cell in the loop this batch path exists to make cheap
+  private val writers: Array[(InternalRow, Int) => Unit] =
+    Array.tabulate(schema.fields.length) { c =>
+      val v = vectors(c)
+      val put: (InternalRow, Int) => Unit = schema.fields(c).dataType match {
+        case LongType => (row, n) => v.putLong(n, row.getLong(c))
+        case IntegerType => (row, n) => v.putInt(n, row.getInt(c))
+        case DoubleType => (row, n) => v.putDouble(n, row.getDouble(c))
+        case FloatType => (row, n) => v.putFloat(n, row.getFloat(c))
+        case BooleanType => (row, n) => v.putBoolean(n, row.getBoolean(c))
+        case StringType => (row, n) => {
+          val b = row.getUTF8String(c).getBytes
+          v.putByteArray(n, b, 0, b.length)
+        }
+        case other =>
+          throw new IllegalStateException(
+            s"unsupported columnar type $other") // guarded by factory
+      }
+      (row: InternalRow, n: Int) =>
+        if (row.isNullAt(c)) v.putNull(n) else put(row, n)
+    }
+
   override def next(): Boolean = {
     var n = 0
     var i = 0
@@ -384,22 +401,8 @@ class ColumnarRowBatcher(rows: PartitionReader[InternalRow],
     while (n < capacity && rows.next()) {
       val row = rows.get()
       var c = 0
-      while (c < vectors.length) {
-        val v = vectors(c)
-        if (row.isNullAt(c)) v.putNull(n)
-        else schema.fields(c).dataType match {
-          case LongType => v.putLong(n, row.getLong(c))
-          case IntegerType => v.putInt(n, row.getInt(c))
-          case DoubleType => v.putDouble(n, row.getDouble(c))
-          case FloatType => v.putFloat(n, row.getFloat(c))
-          case BooleanType => v.putBoolean(n, row.getBoolean(c))
-          case StringType =>
-            val b = row.getUTF8String(c).getBytes
-            v.putByteArray(n, b, 0, b.length)
-          case other =>
-            throw new IllegalStateException(
-              s"unsupported columnar type $other") // guarded by factory
-        }
+      while (c < writers.length) {
+        writers(c)(row, n)
         c += 1
       }
       n += 1
@@ -428,21 +431,10 @@ class LineReader(format: LineFormat, fullSchema: StructType,
     if (part.vpos) {
       // BGZF virtual-position range(s); bounds are record starts, so
       // each stream ends exactly at a line boundary and the lazy
-      // concatenation of the partition's packed ranges reads as one
-      // contiguous line stream
-      val fs = path.getFileSystem(conf)
-      val it = ((part.start, part.end) +: part.moreRanges).iterator
-      val cat = new java.io.SequenceInputStream(
-        new java.util.Enumeration[java.io.InputStream] {
-          override def hasMoreElements: Boolean = it.hasNext
-          override def nextElement(): java.io.InputStream =
-            it.next() match { case (a, b) =>
-              new graft.formats.BgzfRangeInputStream(
-                graft.formats.SeekableInputs.forHadoop(fs, path),
-                graft.formats.Bgzf.VirtualPosition(a),
-                Some(graft.formats.Bgzf.VirtualPosition(b)))
-            }
-        })
+      // concatenation of the partition's packed ranges
+      // (RangeStreams.bgzfRanges) reads as one contiguous line stream
+      val cat = RangeStreams.bgzfRanges(path.getFileSystem(conf), path,
+        (part.start, part.end) +: part.moreRanges)
       new BufferedReader(new InputStreamReader(cat, StandardCharsets.UTF_8))
     } else {
       val fsIn = path.getFileSystem(conf).open(path)

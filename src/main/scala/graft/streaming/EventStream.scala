@@ -93,11 +93,15 @@ object EventStream {
       }.reverse
 
     /** Emit sessions the watermark has made final; re-arm the timeout
-      * for the earliest still-pending close. */
+      * for the earliest still-pending close. Strictly-less-than: Spark's
+      * late-row filter keeps events with ts == watermark, and an event
+      * at exactly endMs+gapMs must still merge (the batch oracle merges
+      * at gap <= gapMs), so a session is final only once the watermark
+      * is strictly past its end + gap. */
     def finalize(userId: Long, sessions: Seq[SessionAgg],
         state: GroupState[SessionList]): Iterator[UserSession] = {
       val wm = state.getCurrentWatermarkMs()
-      val (done, open) = sessions.partition(_.endMs + gapMs <= wm)
+      val (done, open) = sessions.partition(_.endMs + gapMs < wm)
       if (open.isEmpty) state.remove()
       else {
         state.update(SessionList(open))
@@ -238,77 +242,98 @@ object EventStream {
   /** Custom-state sessionization driven to completion and
     * oracle-checkable (gate row q42): file stream → [[sessionize]]
     * (30-min gap, the exact transitive gap closure q12 computes in
-    * batch) → append-mode memory sink, then a batch rollup to q12's
+    * batch) → append-mode parquet sink, then a batch rollup to q12's
     * (user_id, n_sessions, n_events) shape.
     *
-    * Emission is watermark-driven, so the run must end with the
-    * watermark beyond every real session's end + gap: two far-future
-    * sentinel events for a reserved user (-1) are staged as the two
-    * NEWEST files and `maxFilesPerTrigger=1` forces one file per
-    * microbatch — the first sentinel batch advances the watermark past
-    * all real data, the second runs with that watermark so every
-    * pending timeout fires inside a real batch (no reliance on a
-    * trailing no-data batch). Sentinel sessions are filtered out. */
+    * The drive is THREE sequential AvailableNow executions sharing one
+    * checkpoint and sink:
+    *  1. all real data in a single batch — the watermark is 0 while it
+    *     processes, so cross-file event-time disorder can never be
+    *     dropped as late (a per-file-batch design diverges from the
+    *     batch oracle exactly there);
+    *  2. a far-future sentinel event for a reserved user (-1) advances
+    *     the persisted watermark past every real session's end + gap;
+    *  3. a second, later sentinel batch runs WITH that watermark, so
+    *     every pending event-time timeout fires inside a real batch
+    *     (no reliance on a trailing no-data batch).
+    * The parquet sink accumulates exactly-once across the executions;
+    * sentinel sessions are filtered from the rollup. */
   def sessionizeToCompletion(spark: SparkSession,
       eventsPath: String): DataFrame = {
     import spark.implicits._
-    recycleTables(spark)
     val batch = spark.read.parquet(eventsPath)
     val batchSchema = batch.schema
     val streamDir = stageAsDir(eventsPath, copies = 1)
-    // sentinels: the latest real event pushed 30/60 days ahead for
-    // user -1, preserving the source schema (incl. nanosecond-long ts)
-    val sentinelTmp = java.nio.file.Files.createTempDirectory("graft-sess-sen")
-    for ((days, i) <- Seq(30L, 60L).zipWithIndex) {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess-out")
+
+    def addSentinel(days: Long, i: Int): Unit = {
+      // the latest real event pushed `days` ahead for user -1,
+      // preserving the source schema (incl. nanosecond-long ts)
       val bumped = batchSchema("ts").dataType match {
         case LongType => col("ts") + lit(days * 24 * 3600 * 1000000000L)
         case _ => col("ts") + expr(s"INTERVAL $days DAYS")
       }
-      val out = sentinelTmp.resolve(s"s$i").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-sen")
       batch.orderBy(col("ts").desc).limit(1)
         .withColumn("ts", bumped.cast(batchSchema("ts").dataType))
         .withColumn("user_id", lit(-1L).cast(batchSchema("user_id").dataType))
-        .coalesce(1).write.mode("overwrite").parquet(out)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("s").toString)
       val part = {
-        val s = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+        val s = java.nio.file.Files.list(tmp.resolve("s"))
         try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
           .asScala.filter(_.toString.endsWith(".parquet")).toSeq.head
         finally s.close()
       }
-      val dst = streamDir.resolve(s"zz_sentinel_$i.parquet")
-      java.nio.file.Files.copy(part, dst)
-      // file order = modification time: sentinels strictly last, in order
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() + 100000L * (i + 1)))
+      java.nio.file.Files.copy(part, streamDir.resolve(s"zz_sentinel_$i.parquet"))
+      deleteRecursively(tmp)
     }
-    val events = normalizeTs(
-      spark.readStream.schema(batchSchema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
-      batchSchema)
-      .select(col("event_id").cast("long").as("event_id"), col("ts"),
-        col("user_id").cast("long").as("user_id"),
-        col("event_type").cast("string").as("event_type"),
-        col("value").cast("double").as("value"))
-      .as[SessionEvent]
-    val name = s"graft_stream_sess_${runCounter.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
-    val q = sessionize(events).writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    deleteRecursively(ckpt)
-    deleteRecursively(streamDir)
-    deleteRecursively(sentinelTmp)
-    liveTables.add(name)
-    spark.table(name)
+
+    def runOnce(): Unit = {
+      val events = normalizeTs(
+        spark.readStream.schema(batchSchema).parquet(streamDir.toString),
+        batchSchema)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast("double").as("value"))
+        .as[SessionEvent]
+      val q = sessionize(events).writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce() // all data, single batch, watermark 0 — nothing dropped
+    addSentinel(days = 30, i = 0)
+    runOnce() // advances the persisted watermark past all real sessions
+    addSentinel(days = 60, i = 1)
+    runOnce() // pending timeouts fire with the advanced watermark
+
+    val sessionSchema =
+      org.apache.spark.sql.Encoders.product[UserSession].schema
+    // materialize the (small) per-user rollup so the scratch dirs can go
+    val rows = spark.read.schema(sessionSchema).parquet(outDir.toString)
       .where(col("user_id") >= 0)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().toIndexedSeq
+    deleteRecursively(ckpt)
+    deleteRecursively(streamDir)
+    deleteRecursively(outDir)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_sessions",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** Streaming watermarked dedup driven to completion and

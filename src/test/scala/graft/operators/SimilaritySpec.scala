@@ -102,6 +102,21 @@ class SimilaritySpec extends SparkSuite {
       s"recovered $recovered of ${top.size}")
   }
 
+  test("ivf top-k works with non-numeric (string) id columns") {
+    import spark.implicits._
+    val dim = 16
+    // string doc ids — the quantizer must keep the id's original type
+    // (the r8 literal-centroid rewrite initially cast ids to long,
+    // which nulled every string id at plan construction)
+    val df = clustered(80, dim)
+      .map { case (id, v) => (f"doc$id%03d", v) }.toDF("id", "vec")
+    val got = Similarity.ivfTopK(df.where(col("id") < "doc010"), df,
+        "id", "vec", k = 1, nCells = 4, nProbe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.size == 10 && got.forall { case (q, c) => q == c },
+      s"string-id self-recovery failed: $got")
+  }
+
   test("ivf top-k: self-recovery, in-cell candidates, nProbe recall") {
     import spark.implicits._
     val dim = 16

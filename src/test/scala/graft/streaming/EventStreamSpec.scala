@@ -168,24 +168,39 @@ class EventStreamSpec extends SparkSuite {
 
   test("sessionizeToCompletion equals batch sessionization (q42 path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-q42")
-    val rows = Seq(
+    val fileA = Seq(
       // user 1: two sessions (gap > 30 min between event 2 and 3)
       org.apache.spark.sql.Row(1L, ts("2024-01-01 01:00:00"), 1L, "view", 1.0),
       org.apache.spark.sql.Row(2L, ts("2024-01-01 01:20:00"), 1L, "view", 2.0),
       org.apache.spark.sql.Row(3L, ts("2024-01-01 03:00:00"), 1L, "buy", 3.0),
+      // user 3's LATEST events live in the first file: a per-file-batch
+      // drive would advance the watermark past file B's earlier rows
+      // and silently drop them as late (the r8 review's divergence)
+      org.apache.spark.sql.Row(8L, ts("2024-01-01 05:00:00"), 3L, "view", 1.0),
+      org.apache.spark.sql.Row(9L, ts("2024-01-01 10:00:00"), 3L, "view", 1.0))
+    val fileB = Seq(
       // user 2: one session of three events
       org.apache.spark.sql.Row(4L, ts("2024-01-01 02:00:00"), 2L, "view", 1.0),
       org.apache.spark.sql.Row(5L, ts("2024-01-01 02:29:00"), 2L, "view", 1.0),
       org.apache.spark.sql.Row(6L, ts("2024-01-01 02:58:00"), 2L, "view", 1.0),
-      // user 3: three single-event sessions
-      org.apache.spark.sql.Row(7L, ts("2024-01-01 00:00:00"), 3L, "view", 1.0),
-      org.apache.spark.sql.Row(8L, ts("2024-01-01 05:00:00"), 3L, "view", 1.0),
-      org.apache.spark.sql.Row(9L, ts("2024-01-01 10:00:00"), 3L, "view", 1.0))
-    val batch = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), EventStream.EventSchema)
-    val file = dir.resolve("ev.parquet")
-    batch.coalesce(1).write.mode("overwrite").parquet(file.toString)
-    val got = EventStream.sessionizeToCompletion(spark, file.toString)
+      // user 3's earliest event — hours before file A's
+      org.apache.spark.sql.Row(7L, ts("2024-01-01 00:00:00"), 3L, "view", 1.0))
+    val evDir = dir.resolve("events")
+    java.nio.file.Files.createDirectory(evDir)
+    for ((rows, name) <- Seq((fileA, "a"), (fileB, "b"))) {
+      val tmp = dir.resolve(s"tmp_$name")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), EventStream.EventSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = java.nio.file.Files.list(tmp)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+          .asScala.filter(_.toString.endsWith(".parquet")).toSeq.head
+        finally s.close()
+      }
+      java.nio.file.Files.copy(part, evDir.resolve(s"$name.parquet"))
+    }
+    val got = EventStream.sessionizeToCompletion(spark, evDir.toString)
       .orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 3L, 3L)), s"got $got")
