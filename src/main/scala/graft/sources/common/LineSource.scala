@@ -65,6 +65,14 @@ trait LineFormat extends Serializable {
   /** Build a fresh per-partition parser emitting rows in `fullSchema`
     * field order (null-padding fields it cannot supply). */
   def newParser(fullSchema: StructType, options: Map[String, String]): LineParser
+  /** Projection-aware variant: `parseNeeded` lists the top-level columns
+    * whose VALUES will actually be consumed (the pruned projection plus
+    * any row-level predicate columns). Formats able to skip expensive
+    * un-consumed columns (VCF: samples/INFO parsing is most of the line
+    * cost) override this; the default ignores the hint. Rows must still
+    * be emitted in FULL schema order — skipped slots stay null. */
+  def newParser(fullSchema: StructType, options: Map[String, String],
+      parseNeeded: StructType): LineParser = newParser(fullSchema, options)
   /** Names of the (chrom, start, end) columns used for genomic region
     * filtering, if this format has them. Coordinates in the emitted rows
     * are in the declared output coordinate system. */
@@ -453,7 +461,14 @@ class LineReader(format: LineFormat, fullSchema: StructType,
   // endings and unterminated final lines keep split ownership correct.
   private var pos: Long = part.start
   private var startedMidLine = !part.gzip && !part.vpos && part.start > 0
-  private val parser = format.newParser(fullSchema, options)
+  private val parser = {
+    // projection-aware parsing: when a row-level region/filter predicate
+    // is active it may consult un-projected columns (regionEnd0 reads
+    // ref/INFO END), so only predicate-free scans pass the pruned set
+    val predicateActive = options.get("regions").isDefined || pushed.nonEmpty
+    format.newParser(fullSchema, options,
+      if (predicateActive) fullSchema else required)
+  }
 
   private val lineBuf = new java.lang.StringBuilder(256)
   private val charBuf = new Array[Char](8192)
