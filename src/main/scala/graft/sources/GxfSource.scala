@@ -103,9 +103,17 @@ abstract class GxfFormat(val gtfStyle: Boolean) extends LineFormat {
   }
 
   override def newParser(fullSchema: StructType,
-      options: Map[String, String]): LineParser = {
+      options: Map[String, String]): LineParser =
+    newParser(fullSchema, options, fullSchema)
+
+  /** Projection-aware: column-9 attribute parsing (split + percent
+    * decode per key) is skipped when the `attributes` struct is not
+    * consumed. */
+  override def newParser(fullSchema: StructType,
+      options: Map[String, String], parseNeeded: StructType): LineParser = {
     val attrSchema = fullSchema("attributes").dataType.asInstanceOf[StructType]
-    new GxfParser(attrSchema, gtfStyle, coordSystem(options).startOffset)
+    new GxfParser(attrSchema, gtfStyle, coordSystem(options).startOffset,
+      parseAttrs = parseNeeded.fieldNames.contains("attributes"))
   }
 }
 
@@ -137,8 +145,8 @@ object GxfAttributes {
     else java.net.URLDecoder.decode(v, "UTF-8")
 }
 
-class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long)
-    extends LineParser {
+class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
+    parseAttrs: Boolean = true) extends LineParser {
   private val attrIndex: Map[String, Int] =
     attrSchema.fieldNames.zipWithIndex.toMap
   // native GFF/GTF start is 1-based closed; convert to the requested output
@@ -152,7 +160,7 @@ class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long)
     def str(v: String) =
       if (v == "." || v.isEmpty) null else UTF8String.fromString(v)
     val attrs = new Array[Any](attrSchema.length)
-    if (c.length >= 9) {
+    if (parseAttrs && c.length >= 9) {
       GxfAttributes.parseRaw(c(8), gtfStyle).foreach { case (k, v) =>
         attrIndex.get(k).foreach { i =>
           attrs(i) = attrSchema(i).dataType match {

@@ -127,6 +127,13 @@ class SamFormat extends LineFormat {
   override def newParser(fullSchema: StructType,
       options: Map[String, String]): LineParser =
     new SamParser(fullSchema, coordSystem(options).startOffset)
+
+  /** Projection-aware: tag parsing (per-tag split + typed convert) is
+    * skipped when the `tags` struct is not consumed. */
+  override def newParser(fullSchema: StructType,
+      options: Map[String, String], parseNeeded: StructType): LineParser =
+    new SamParser(fullSchema, coordSystem(options).startOffset,
+      parseTags = parseNeeded.fieldNames.contains("tags"))
 }
 
 object SamTags {
@@ -162,7 +169,8 @@ object SamTags {
   }
 }
 
-class SamParser(fullSchema: StructType, outOffset: Long) extends LineParser {
+class SamParser(fullSchema: StructType, outOffset: Long,
+    parseTags: Boolean = true) extends LineParser {
   private val tagSchema: Option[StructType] =
     if (fullSchema.fieldNames.contains("tags"))
       Some(fullSchema("tags").dataType.asInstanceOf[StructType])
@@ -193,6 +201,9 @@ class SamParser(fullSchema: StructType, outOffset: Long) extends LineParser {
 
     tagSchema match {
       case None => new GenericInternalRow(base)
+      case Some(ts) if !parseTags =>
+        // un-projected tags column: emit the slot as null, skip parsing
+        new GenericInternalRow(base :+ (null: Any))
       case Some(ts) =>
         val tags = new Array[Any](ts.length)
         var i = 11
