@@ -460,6 +460,27 @@ object OracleSql {
     // deterministic seed-vector quantizer, same tie-breaks
     "q41_ann_ivf" -> q41Sql,
 
+    // q43: the md5-bucket split assignment reproduced exactly — same
+    // hash, same modulus, same rounded cumulative-weight boundaries
+    "q43_hash_split" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        |    % 1000 AS bucket FROM documents),
+        |s AS (SELECT CASE WHEN bucket < 800 THEN 'train'
+        |             WHEN bucket < 900 THEN 'val'
+        |             ELSE 'test' END AS split,
+        |       len(string_split(text, ' ')) AS ntok FROM b)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q44: keep the 30 smallest doc_ids per source, then summarize
+    "q44_source_cap" ->
+      """WITH r AS (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS rk FROM documents)
+        |SELECT source, count(*) AS n_kept, max(doc_id) AS max_kept_id
+        |FROM r WHERE rk <= 30 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q42: the streaming custom-state sessionization must reproduce the
     // batch transitive gap closure — the oracle IS q12's sessionization
     // (same 30-min gap, same counts), computed the window-function way

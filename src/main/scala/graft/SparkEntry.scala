@@ -368,6 +368,29 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic weighted train/val/test assignment
+    * ([[graft.operators.TextOps.hashSplit]]): per-split doc counts and
+    * token totals; the md5-derived bucket math is mirrored exactly by
+    * the oracle, so the assignment itself is what is checked. */
+  private def q43_hash_split(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents")
+      .withColumn("split", TextOps.hashSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy(col("split"))
+
+  /** Per-source quota cap ([[graft.operators.TextOps.capPerKey]]): at
+    * most 30 docs per source, deterministic by doc_id — the canonical
+    * curation "at most N per domain" operator. */
+  private def q44_source_cap(s: SparkSession, dir: String): DataFrame =
+    TextOps.capPerKey(pq(s, dir, "documents"), "source", "doc_id", 30)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("doc_id")).as("max_kept_id"))
+      .orderBy(col("source"))
+
   /** MinHash signatures (k=8) per document. */
   private def q23_minhash_sig(s: SparkSession, dir: String): DataFrame =
     TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", k = 8)
@@ -698,7 +721,9 @@ object SparkEntry {
     "q39_av_meta" -> (q39_av_meta _),
     "q40_dedup_star" -> (q40_dedup_star _),
     "q41_ann_ivf" -> (q41_ann_ivf _),
-    "q42_stream_sessionize" -> (q42_stream_sessionize _)) ++
+    "q42_stream_sessionize" -> (q42_stream_sessionize _),
+    "q43_hash_split" -> (q43_hash_split _),
+    "q44_source_cap" -> (q44_source_cap _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and deduplication operators for large-scale document
@@ -446,5 +447,46 @@ object TextOps {
   def meanTokenLen(text: Column): Column = {
     val n = size(tokens(text)).cast("double")
     (length(text).cast("double") - (n - 1)) / n
+  }
+
+  // ------------------------------------------------- corpus partitioning
+
+  /** Deterministic train/val/test (or any weighted) split assignment:
+    * the id hashes into one of `buckets` buckets and cumulative-weight
+    * boundaries map buckets to split names. A document's split depends
+    * only on its id — stable across runs, partitionings, cluster sizes
+    * and engines (the md5-derived [[baseHash]], so an external system
+    * or the oracle reproduces the same assignment) — which is the
+    * property ad-hoc `rand()` splits lack and training pipelines need
+    * (no eval-set leakage when the corpus is re-processed). A narrow
+    * per-row expression: no shuffle, no state. */
+  def hashSplit(id: Column, weights: Seq[(String, Double)],
+      buckets: Int = 1000, fast: Boolean = false): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = baseHash(id.cast("string"), fast) % buckets
+    // integer boundaries from cumulative weights; the last split takes
+    // any remainder so every bucket is assigned
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(cw => math.round(cw / total * buckets))
+    weights.init.zip(bounds.init).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, ((name, _), b)) =>
+        when(bucket < b, name).otherwise(acc)
+      }
+  }
+
+  /** Per-key quota: keep at most `n` rows per `keyCol`, preferring the
+    * smallest `orderCol` (deterministic, so re-runs keep the same rows).
+    * The canonical curation cap ("at most N documents per domain").
+    * One shuffle on the key with a rank window; at 100 TB hot keys are
+    * plain window partitions — bound the damage by capping upstream
+    * (this operator IS that cap) and let AQE handle residual skew. */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
   }
 }

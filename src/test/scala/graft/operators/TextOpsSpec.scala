@@ -47,6 +47,45 @@ class TextOpsSpec extends SparkSuite {
     assert(sh(1L) == sh(2L) && sh(1L) != sh(3L))
   }
 
+  test("hashSplit: deterministic, total, proportional; capPerKey caps") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 5}")).toDF("id", "src")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split1 = docs.withColumn("split", TextOps.hashSplit(col("id"), w))
+    // total: every row gets a split; deterministic: re-run identical
+    val counts = split1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L && counts.keySet ==
+      Set("train", "val", "test"))
+    // proportionality within md5-uniformity tolerance
+    assert(math.abs(counts("train") - 1600L) < 120, counts.toString)
+    assert(math.abs(counts("val") - 200L) < 60, counts.toString)
+    val again = docs.withColumn("split", TextOps.hashSplit(col("id"), w))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val first = split1.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(first == again)
+    // the fast (xxhash64) family also assigns totally, with different
+    // buckets than md5
+    val fast = docs.withColumn("split",
+      TextOps.hashSplit(col("id"), w, fast = true))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(fast.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(fast != first)
+    // capPerKey: at most n per key, smallest order values kept
+    val capped = TextOps.capPerKey(docs, "src", "id", 7)
+    val perKey = capped.groupBy("src").agg(count(lit(1)).as("n"),
+      max(col("id")).as("mx")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perKey.forall(_._2 == 7L))
+    // ids are i with src = i%5: the 7 smallest for srcK are K, K+5, ...
+    perKey.foreach { case (src, _, mx) =>
+      val k = src.stripPrefix("src").toLong
+      assert(mx == k + 5 * 6, s"$src kept up to $mx")
+    }
+  }
+
   test("dedupClusters: components converge to the min reachable id") {
     val s = spark
     import s.implicits._
