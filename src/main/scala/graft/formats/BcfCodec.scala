@@ -122,13 +122,20 @@ object BcfCodec {
       nSample: Int)
 
   /** Read one record from a little-endian stream; None at EOF. */
-  def readRecord(le: BamCodec.LEInput): Option[BcfRecord] = {
+  /** `wantInfo`/`wantFormats` = false skips decoding the INFO typed
+    * values / the entire per-sample block (the projection-aware reader
+    * passes the pruned requirement; the site fields and rlen are always
+    * decoded, so region residual checks never depend on the flags). */
+  def readRecord(le: BamCodec.LEInput, wantInfo: Boolean = true,
+      wantFormats: Boolean = true): Option[BcfRecord] = {
     val lShared = le.tryReadInt().getOrElse(return None)
     val lIndiv = le.readInt()
     val shared = ByteBuffer.wrap(le.readBytes(lShared))
       .order(ByteOrder.LITTLE_ENDIAN)
-    val indiv = ByteBuffer.wrap(le.readBytes(lIndiv))
-      .order(ByteOrder.LITTLE_ENDIAN)
+    val indiv =
+      if (wantFormats) ByteBuffer.wrap(le.readBytes(lIndiv))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      else { le.readBytes(lIndiv); null } // consume, skip decode
 
     val contigId = shared.getInt
     val pos0 = shared.getInt.toLong
@@ -160,7 +167,7 @@ object BcfCodec {
       case xs: Seq[_] => xs.collect { case l: Long => l.toInt }
       case _ => Nil
     }
-    val info = (0 until nInfo).map { _ =>
+    val info = if (!wantInfo) Nil else (0 until nInfo).map { _ =>
       val key = readTypedValue(shared) match {
         case l: Long => l.toInt
         case other => throw new IllegalStateException(s"bad info key $other")
@@ -169,7 +176,7 @@ object BcfCodec {
       key -> value
     }
 
-    val formats = (0 until nFmt).map { _ =>
+    val formats = if (!wantFormats) Nil else (0 until nFmt).map { _ =>
       val key = readTypedValue(indiv) match {
         case l: Long => l.toInt
         case other => throw new IllegalStateException(s"bad fmt key $other")

@@ -308,10 +308,17 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
   private var current: InternalRow = _
   private var emitted = 0
 
+  // projection-aware decode: un-projected INFO values / the whole
+  // per-sample block skip typed decoding (region residual checks use
+  // contigId/pos0/rlen, which are always decoded, so this is safe even
+  // under region queries)
+  private val wantInfo = required.fieldNames.contains("info")
+  private val wantSamples = required.fieldNames.contains("samples")
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (true) {
-      BcfCodec.readRecord(le) match {
+      BcfCodec.readRecord(le, wantInfo, wantSamples) match {
         case None => return false
         case Some(rec) =>
           val keep = regionsById.isEmpty || regionsById.exists {
