@@ -66,8 +66,11 @@ object BamCodec {
     * qname flag rname pos mapq cigar rnext pnext tlen seq qual end [tags].
     * `need` marks which of the 12 fixed columns must be materialized
     * (pruned columns are skipped, not decoded — reference P1 semantics). */
+  /** `parseTags = false` keeps the row shape (null tags slot) but skips
+    * the per-tag scan+convert — the projection-aware reader passes it
+    * when the tags struct is not consumed. */
   final class RecordDecoder(header: BamHeader, tagSchema: Option[StructType],
-      need: Array[Boolean], posShift: Long) {
+      need: Array[Boolean], posShift: Long, parseTags: Boolean = true) {
 
     private val tagIndex: Map[String, Int] =
       tagSchema.map(_.fieldNames.zipWithIndex.toMap).getOrElse(Map.empty)
@@ -156,6 +159,8 @@ object BamCodec {
 
       val row = tagSchema match {
         case None => new GenericInternalRow(base)
+        case Some(_) if !parseTags =>
+          new GenericInternalRow(base :+ (null: Any))
         case Some(ts) =>
           val tags = new Array[Any](ts.length)
           while (bb.remaining() >= 3) {

@@ -401,7 +401,8 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
     posShift = coords match {
       case CoordSystem.OneBasedClosed => 0L
       case CoordSystem.ZeroBasedHalfOpen => -1L
-    })
+    },
+    parseTags = required.fieldNames.contains("tags"))
 
   private val refIdByName = header.refNames.zipWithIndex.toMap
   private val regionsById: Seq[(Int, Long, Long)] = part.regions.flatMap {
