@@ -65,8 +65,8 @@ object BamCodec {
   /** Decoder producing rows in the full schema order:
     * qname flag rname pos mapq cigar rnext pnext tlen seq qual end [tags].
     * `need` marks which of the 12 fixed columns must be materialized
-    * (pruned columns are skipped, not decoded — reference P1 semantics). */
-  /** `parseTags = false` keeps the row shape (null tags slot) but skips
+    * (pruned columns are skipped, not decoded — reference P1 semantics).
+    * `parseTags = false` keeps the row shape (null tags slot) but skips
     * the per-tag scan+convert — the projection-aware reader passes it
     * when the tags struct is not consumed. */
   final class RecordDecoder(header: BamHeader, tagSchema: Option[StructType],

@@ -470,10 +470,18 @@ object TextOps {
     // any remainder so every bucket is assigned
     val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
       .tail.map(cw => math.round(cw / total * buckets))
-    weights.init.zip(bounds.init).reverse
+    // every split must own >= 1 bucket, or it would silently never
+    // receive a row (e.g. weight 0.0003 at buckets=1000 rounds to 0)
+    require(bounds.zip(0L +: bounds.init).forall { case (b, prev) => b > prev },
+      s"a split rounds to zero of $buckets buckets; raise `buckets` " +
+        s"or the weight (bounds=${bounds.mkString(",")})")
+    val assigned = weights.init.zip(bounds.init).reverse
       .foldLeft(lit(weights.last._1): Column) { case (acc, ((name, _), b)) =>
         when(bucket < b, name).otherwise(acc)
       }
+    // a null id must yield a null split, not silently land in the last
+    // (held-out) split via the when-chain fallthrough
+    when(bucket.isNotNull, assigned)
   }
 
   /** Per-key quota: keep at most `n` rows per `keyCol`, preferring the
@@ -484,9 +492,12 @@ object TextOps {
     * (this operator IS that cap) and let AQE handle residual skew. */
   def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
       n: Int): DataFrame = {
+    // collision-proof temp name: never clobber a caller column
+    val rk = Iterator.from(0).map(i => s"__graft_rk$i")
+      .find(name => !df.columns.contains(name)).get
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-    df.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= n)
-      .drop("__rk")
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= n)
+      .drop(rk)
   }
 }

@@ -356,6 +356,7 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
         utf8(dict.strings(i))).toArray))
 
     val infoVal: Seq[Any] = infoSchema.toSeq.map { is =>
+      if (!wantInfo) null else {
       val arr = new Array[Any](is.length)
       rec.info.foreach { case (keyIdx, v) =>
         if (keyIdx < dict.strings.size) {
@@ -366,9 +367,13 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
         }
       }
       new GenericInternalRow(arr)
+      }
     }
 
     val samplesVal: Seq[Any] = samplesSchema.toSeq.map { ss =>
+      // un-projected: emit a null slot, don't build the struct tree
+      // (O(samples) allocations per record otherwise)
+      if (!wantSamples) null else {
       // formats: key dict idx → per-sample values
       val byName: Map[String, IndexedSeq[Any]] = rec.formats.flatMap {
         case (k, vals) if k < dict.strings.size => Some(dict.strings(k) -> vals)
@@ -410,6 +415,7 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
           arr(j) = new GenericInternalRow(inner)
         }
         new GenericInternalRow(arr)
+      }
       }
     }
     new GenericInternalRow(fixed ++ infoVal ++ samplesVal)

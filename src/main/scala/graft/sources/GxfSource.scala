@@ -159,19 +159,24 @@ class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
       s"malformed GFF/GTF line (${c.length} cols): '$line'")
     def str(v: String) =
       if (v == "." || v.isEmpty) null else UTF8String.fromString(v)
-    val attrs = new Array[Any](attrSchema.length)
-    if (parseAttrs && c.length >= 9) {
-      GxfAttributes.parseRaw(c(8), gtfStyle).foreach { case (k, v) =>
-        attrIndex.get(k).foreach { i =>
-          attrs(i) = attrSchema(i).dataType match {
-            case ArrayType(StringType, _) =>
-              ArrayData.toArrayData(v.split(",").map(x =>
-                UTF8String.fromString(GxfAttributes.percentDecode(x))))
-            case _ =>
-              UTF8String.fromString(GxfAttributes.percentDecode(v))
+    // un-projected attributes: null slot (same convention as SAM/BAM/VCF),
+    // no per-row array + struct allocation
+    val attrsVal: Any = if (!parseAttrs) null else {
+      val attrs = new Array[Any](attrSchema.length)
+      if (c.length >= 9) {
+        GxfAttributes.parseRaw(c(8), gtfStyle).foreach { case (k, v) =>
+          attrIndex.get(k).foreach { i =>
+            attrs(i) = attrSchema(i).dataType match {
+              case ArrayType(StringType, _) =>
+                ArrayData.toArrayData(v.split(",").map(x =>
+                  UTF8String.fromString(GxfAttributes.percentDecode(x))))
+              case _ =>
+                UTF8String.fromString(GxfAttributes.percentDecode(v))
+            }
           }
         }
       }
+      new GenericInternalRow(attrs)
     }
     new GenericInternalRow(Array[Any](
       str(c(0)), str(c(1)), str(c(2)),
@@ -180,7 +185,7 @@ class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
       if (c(5) == "." || c(5).isEmpty) null else c(5).toFloat,
       str(c(6)),
       if (c(7) == "." || c(7).isEmpty) null else c(7).toInt,
-      new GenericInternalRow(attrs)))
+      attrsVal))
   }
 }
 

@@ -86,6 +86,34 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("hashSplit/capPerKey edge cases: null ids, tiny weights, __rk") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // a null id must produce a null split, never fall into the held-out
+    // last split
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("id")
+      .withColumn("split", TextOps.hashSplit(col("id"), w))
+    val nullRows = withNull.where(col("id").isNull).collect()
+    assert(nullRows.length == 1 && nullRows.head.isNullAt(1))
+    assert(withNull.where(col("id").isNotNull && col("split").isNull)
+      .count() == 0)
+    // a weight too small for the bucket count must fail loudly, not
+    // silently produce an empty split
+    val tiny = intercept[IllegalArgumentException] {
+      TextOps.hashSplit(col("id"), Seq("a" -> 0.0003, "b" -> 0.9997))
+    }
+    assert(tiny.getMessage.contains("zero"))
+    // a pre-existing __graft_rk0 column must survive capPerKey untouched
+    val df = (0L until 20L).map(i => (i, s"k${i % 2}", s"v$i"))
+      .toDF("id", "key", "__graft_rk0")
+    val capped = TextOps.capPerKey(df, "key", "id", 3)
+    assert(capped.columns.toSeq == Seq("id", "key", "__graft_rk0"))
+    assert(capped.count() == 6)
+    assert(capped.where(col("__graft_rk0").isNull).count() == 0)
+  }
+
   test("dedupClusters: components converge to the min reachable id") {
     val s = spark
     import s.implicits._
