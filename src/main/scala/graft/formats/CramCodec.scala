@@ -154,13 +154,24 @@ object CramCodec {
   final case class Block(method: Int, contentType: Int, contentId: Int,
       data: Array[Byte])
 
-  def readBlock(in: InputStream): Block = {
+  def readBlock(in: InputStream): Block = readBlock(in, _ => false)
+
+  /** `skipExternal(contentId)` = true skips DECOMPRESSION of that
+    * external data block (the payload bytes are still consumed from the
+    * stream) and returns it with `data = null` — the projection-aware
+    * reader uses this to avoid paying rANS/fqzcomp decode for blocks
+    * (quality scores, read names) no projected column consumes. */
+  def readBlock(in: InputStream, skipExternal: Int => Boolean): Block = {
     val method = read1(in)
     val contentType = read1(in)
     val contentId = readItf8(in)
     val compressedSize = readItf8(in)
     val rawSize = readItf8(in)
     val payload = readFully(in, compressedSize)
+    if (contentType == 4 && skipExternal(contentId)) {
+      readIntLE(in) // crc32
+      return Block(method, contentType, contentId, null)
+    }
     val data = method match {
       case 0 => payload
       case 1 =>
@@ -204,6 +215,10 @@ object CramCodec {
 
   sealed trait Encoding
   case object NullEncoding extends Encoding
+  /** Substituted for a series whose values the projection does not need
+    * AND whose reads touch only its own external blocks ([[pureExternal]]):
+    * reads become no-ops, keeping every shared stream position intact. */
+  case object Skipped extends Encoding
   final case class External(contentId: Int) extends Encoding
   final case class Huffman(alphabet: Seq[Int], lengths: Seq[Int]) extends Encoding
   final case class ByteArrayLen(lenEnc: Encoding, valEnc: Encoding) extends Encoding
@@ -395,6 +410,7 @@ object CramCodec {
       case External(id) => cursor(id).readItf8Value()
       case _: Huffman => huff.get.read(core)
       case Beta(offset, bits) => core.readBits(bits) - offset
+      case Skipped => 0
       case other => throw new UnsupportedOperationException(
         s"encoding $other for int series")
     }
@@ -402,6 +418,7 @@ object CramCodec {
       case External(id) => cursor(id).readByte()
       case _: Huffman => huff.get.read(core)
       case Beta(offset, bits) => core.readBits(bits) - offset
+      case Skipped => 0
       case other => throw new UnsupportedOperationException(
         s"encoding $other for byte series")
     }
@@ -415,13 +432,33 @@ object CramCodec {
             val r = new SeriesReader(other, core, ext)
             Array.fill(n)(r.readByte().toByte)
         }
+      case Skipped => Array.emptyByteArray
       case other => throw new UnsupportedOperationException(
         s"encoding $other for byte-array series")
     }
     def readBytesN(n: Int): Array[Byte] = enc match {
       case External(id) => cursor(id).readBytes(n)
+      case Skipped => null
       case _ => Array.fill(n)(readByte().toByte)
     }
+  }
+
+  /** External content ids an encoding reads from (transitively through
+    * composite encodings). */
+  def externalIds(e: Encoding): Set[Int] = e match {
+    case External(id) => Set(id)
+    case ByteArrayStop(_, id) => Set(id)
+    case ByteArrayLen(l, v) => externalIds(l) ++ externalIds(v)
+    case _ => Set.empty
+  }
+
+  /** True when every read of this encoding touches only its own external
+    * blocks — never the shared core bitstream — so skipping its reads
+    * cannot desynchronize any other series. */
+  def pureExternal(e: Encoding): Boolean = e match {
+    case External(_) | ByteArrayStop(_, _) | NullEncoding | Skipped => true
+    case ByteArrayLen(l, v) => pureExternal(l) && pureExternal(v)
+    case _ => false
   }
 
   // -------------------------------------------------------------- records
@@ -462,11 +499,17 @@ object CramCodec {
     * reads entirely (safe: every tag series has its own blocks). */
   def decodeSlice(comp: CompressionHeader, slice: SliceHeader,
       core: Array[Byte], external: Map[Int, Array[Byte]],
-      decodeTags: Boolean = true): Seq[CramRecord] = {
+      decodeTags: Boolean = true,
+      skipSeries: Set[String] = Set.empty): Seq[CramRecord] = {
     val bits = new BitReader(core)
     val cursors = external.map { case (id, d) => id -> new ByteCursor(d) }
-    def series(key: String): SeriesReader =
-      new SeriesReader(comp.dataSeries.getOrElse(key, NullEncoding), bits, cursors)
+    def series(key: String): SeriesReader = {
+      val enc =
+        if (skipSeries(key) &&
+          pureExternal(comp.dataSeries.getOrElse(key, NullEncoding))) Skipped
+        else comp.dataSeries.getOrElse(key, NullEncoding)
+      new SeriesReader(enc, bits, cursors)
+    }
     val bf = series("BF"); val cf = series("CF"); val ri = series("RI")
     val rl = series("RL"); val ap = series("AP"); val rg = series("RG")
     val rnS = series("RN"); val mf = series("MF"); val ns = series("NS")
@@ -509,15 +552,29 @@ object CramCodec {
       val tagLine = tl.readInt()
       // each (tag, type) has its own encoding/blocks, keyed by the
       // 3-byte int (tag0<<16 | tag1<<8 | type)
+      val tagDefs = comp.tagDictionary.lift(tagLine).getOrElse(Nil)
       val tags: Seq[(String, Char, Array[Byte])] =
-        (if (decodeTags) comp.tagDictionary.lift(tagLine).getOrElse(Nil)
-         else Nil).map {
+        if (decodeTags) tagDefs.map {
           case (tag, tpe) =>
             val key = (tag.charAt(0) << 16) | (tag.charAt(1) << 8) | tpe.toInt
             val reader = tagReaders.getOrElseUpdate(key,
               new SeriesReader(comp.tagEncodings.getOrElse(key, NullEncoding),
                 bits, cursors))
             (tag, tpe, reader.readBytes())
+        } else {
+          // un-projected tags: a core-touching tag encoding must still be
+          // read (and discarded) to keep the shared bitstream in sync;
+          // purely-external tag series are safe to leave unread
+          tagDefs.foreach { case (tag, tpe) =>
+            val key = (tag.charAt(0) << 16) | (tag.charAt(1) << 8) | tpe.toInt
+            val enc = comp.tagEncodings.getOrElse(key, NullEncoding)
+            if (!pureExternal(enc)) {
+              val reader = tagReaders.getOrElseUpdate(key,
+                new SeriesReader(enc, bits, cursors))
+              reader.readBytes()
+            }
+          }
+          Nil
         }
 
       var features: Seq[Feature] = Nil

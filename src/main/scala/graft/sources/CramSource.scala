@@ -369,6 +369,15 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
       Some(fullSchema("tags").dataType.asInstanceOf[StructType])
     else None
 
+  // projection-aware decode: quality scores, read names and tags are the
+  // bulkiest CRAM series; when un-projected their reads are skipped and
+  // (for purely-external series) their blocks are never decompressed.
+  // Region predicates only consult refId/start/refLen, which are always
+  // decoded, so required-based skipping is safe under region queries too.
+  private val wantQual = required.fieldNames.contains("qual")
+  private val wantQname = required.fieldNames.contains("qname")
+  private val wantTags = required.fieldNames.contains("tags")
+
   // optional indexed FASTA for sequence reconstruction
   private val reference: Option[(Path, Seq[FaiIndex.Entry])] =
     options.get("reference").flatMap { refPath =>
@@ -387,6 +396,35 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
         require(b.contentType == 1, s"expected compression header block")
         CramCodec.readCompressionHeader(b.data)
       }
+      val doTags = tagSchema.isDefined && wantTags
+      // series whose values no projected column consumes AND whose reads
+      // never touch the shared core bitstream — safe to no-op entirely
+      val skipKeys: Set[String] =
+        ((if (wantQual) Set.empty[String] else Set("QS", "QQ")) ++
+          (if (wantQname) Set.empty[String] else Set("RN")))
+          .filter(k => CramCodec.pureExternal(
+            comp.dataSeries.getOrElse(k, CramCodec.NullEncoding)))
+      // external blocks referenced ONLY by skipped series (and, when tags
+      // are skipped, only by purely-external tag series) need no
+      // decompression at all — for quality-heavy CRAMs that is most of
+      // the decode CPU
+      val retainedIds: Set[Int] =
+        comp.dataSeries.collect {
+          case (k, e) if !skipKeys(k) => CramCodec.externalIds(e)
+        }.flatten.toSet ++
+          comp.tagEncodings.values.collect {
+            case e if doTags || !CramCodec.pureExternal(e) =>
+              CramCodec.externalIds(e)
+          }.flatten.toSet
+      val tagIds: Set[Int] =
+        if (doTags) Set.empty
+        else comp.tagEncodings.values.collect {
+          case e if CramCodec.pureExternal(e) => CramCodec.externalIds(e)
+        }.flatten.toSet
+      val skippableIds: Set[Int] =
+        (skipKeys.flatMap(k => CramCodec.externalIds(
+          comp.dataSeries.getOrElse(k, CramCodec.NullEncoding))) ++
+          tagIds) -- retainedIds
       // remaining blocks: slices (header + core + externals)
       val slices = scala.collection.mutable.ArrayBuffer
         .empty[(CramCodec.SliceHeader, Array[Byte], Map[Int, Array[Byte]])]
@@ -399,16 +437,17 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
         var core: Array[Byte] = Array.empty
         val ext = Map.newBuilder[Int, Array[Byte]]
         (0 until slice.nBlocks).foreach { _ =>
-          val b = CramCodec.readBlock(s)
+          val b = CramCodec.readBlock(s,
+            id => skippableIds(id) && id != slice.embeddedRefId)
           if (b.contentType == 5) core = b.data
-          else ext += b.contentId -> b.data
+          else if (b.data != null) ext += b.contentId -> b.data
         }
         slices += ((slice, core, ext.result()))
         blocksRead += 1 + slice.nBlocks
       }
       slices.iterator.flatMap { case (slice, core, ext) =>
         val records = CramCodec.decodeSlice(comp, slice, core, ext,
-          decodeTags = tagSchema.isDefined)
+          decodeTags = doTags, skipSeries = skipKeys)
         val start0 = math.max(0L, slice.start - 1L)
         // reference bases for this slice: an embedded-reference block
         // takes precedence (self-contained slices), else seek the span
@@ -454,6 +493,8 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
       else if (rec.qualityScores.forall(_ == 0xff.toByte)) null
       else new String(rec.qualityScores.map(q => (q + 33).toChar))
     val tagsVal: Seq[Any] = tagSchema.toSeq.map { ts =>
+      // un-projected: null slot, skip the struct build
+      if (!wantTags) null else {
       val byName = rec.tags.map(t => t._1 -> t).toMap
       val arr = new Array[Any](ts.length)
       ts.fields.zipWithIndex.foreach { case (f, i) =>
@@ -462,6 +503,7 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
         }
       }
       new GenericInternalRow(arr)
+      }
     }
     new GenericInternalRow(Array[Any](
       if (rec.readName == null) null else UTF8String.fromString(rec.readName),

@@ -324,4 +324,41 @@ class CramSourceSpec extends SparkSuite {
     assert(reg.length == 1 && reg(0).getString(0) == "M9:1:1101:1003:2001")
     assert(reg(0).getString(2) == "#$%&'()*+,")
   }
+
+  test("cram: un-projected qual/qname/tags skip series AND block decode") {
+    // write with rANS-compressed QS and RN blocks, then corrupt both
+    // payloads in place: a projection that needs them must fail, while a
+    // projection that does not must succeed — proof the skipped blocks
+    // are never decompressed, not merely discarded after decode
+    val p = dir.resolve("skipdecode.cram").toString
+    CramFixture.write(p, samHeader, Seq(Seq(
+      CRec("r1", 0, 0, 5, 60, 8, quals = Array.fill[Byte](8)(30)),
+      CRec("r2", 0, 0, 10, 30, 6, quals = Array.fill[Byte](6)(35)))),
+      seriesMethods = Map("QS" -> 4, "RN" -> 4))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // block header shape for these ids: method=4, contentType=4 external,
+    // contentId itf8 one byte (QS=21=0x15, RN=6=0x06)
+    var corrupted = 0
+    for (id <- Seq(0x15, 0x06); i <- bytes.indices.dropRight(8)) {
+      if (bytes(i) == 4.toByte && bytes(i + 1) == 4.toByte &&
+        (bytes(i + 2) & 0xff) == id && (bytes(i + 3) & 0xff) < 0x80) {
+        // corrupt the whole payload (skip method/type/id/compSize/rawSize)
+        val compSize = bytes(i + 3) & 0xff
+        for (j <- (i + 5) until math.min(i + 5 + compSize, bytes.length))
+          bytes(j) = (bytes(j) ^ 0xa5).toByte
+        corrupted += 1
+      }
+    }
+    assert(corrupted >= 2, s"found $corrupted candidate QS/RN blocks")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    def scan = spark.read.format("cram").option("reference", refPath).load(p)
+    // needs the corrupted blocks → must fail
+    intercept[Throwable] { scan.select("qual").collect() }
+    intercept[Throwable] { scan.select("qname").collect() }
+    // does not need them → must succeed with correct values
+    val ok = scan.select("pos", "seq", "end").orderBy("pos").collect()
+    assert(ok.length == 2 && ok(0).getLong(0) == 5 &&
+      ok(0).getString(1) == "ACGTACAC" && ok(0).getLong(2) == 12)
+    assert(ok(1).getLong(0) == 10)
+  }
 }
