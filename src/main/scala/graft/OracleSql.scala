@@ -460,6 +460,10 @@ object OracleSql {
     // deterministic seed-vector quantizer, same tie-breaks
     "q41_ann_ivf" -> q41Sql,
 
+    // q45: banded-LSH embedding dedup mirrored end to end — same planted
+    // corpus, same band keys, same rounded cosine, same closure
+    "q45_embed_dedup" -> q45Sql,
+
     // q43: the md5-bucket split assignment reproduced exactly — same
     // hash, same modulus, same rounded cumulative-weight boundaries
     "q43_hash_split" ->
@@ -584,15 +588,19 @@ object OracleSql {
     * integer planes and dyadic perturbation multipliers print exactly, and
     * every dot/norm is a `list_reduce` left fold, so candidate sets, sims
     * and ranks are reproduced bit-for-bit. */
+  /** The 4×16-bit band keys of [[graft.operators.Similarity.bandKeys]],
+    * one SELECT per band over a CTE exposing (id, vec) — shared by the
+    * q33 search and q45 dedup oracles. */
+  private def bandKeySelects(src: String): String =
+    (0 until 4).map { b =>
+      s"SELECT id, $b AS band, ${hpBucketSql("vec", 16, 42L + 7919L * b)}" +
+        s" AS key FROM $src"
+    }.mkString("\n UNION ALL ")
+
   private def q33Sql: String = {
     import graft.operators.Similarity
     val mult = Similarity.perturbMultipliers(99L, 64)
       .mkString("[", ",", "]")
-    def bandKeySelects(src: String): String =
-      (0 until 4).map { b =>
-        s"SELECT id, $b AS band, ${hpBucketSql("vec", 16, 42L + 7919L * b)}" +
-          s" AS key FROM $src"
-      }.mkString("\n UNION ALL ")
     s"""WITH qv AS (SELECT vec_id AS id,
        |  list_transform(range(1,65),
        |    i -> CAST(embedding[i] AS DOUBLE) * ($mult::DOUBLE[])[i]) AS vec
@@ -617,5 +625,48 @@ object OracleSql {
        |    ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM p)
        |SELECT query_id, rank, cand_id, round(sim, 6) AS sim
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of `SparkEntry.q45_embed_dedup` /
+    * `Similarity.embeddingDedupClusters`: the same doubled corpus (ids
+    * +1000, perturbed by the seed-99 multipliers), the same 4×16-bit
+    * band keys, the same 6-dp-rounded cosine threshold, and the
+    * transitive closure of the surviving pairs (the q37/q40 closure
+    * shape). Left-fold `list_reduce` sums keep the float arithmetic
+    * identical to Spark's sequential `aggregate`. */
+  private def q45Sql: String = {
+    val mult = graft.operators.Similarity.perturbMultipliers(99L, 64)
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE base AS (SELECT vec_id AS id,
+       |  list_transform(range(1,65),
+       |    i -> CAST(embedding[i] AS DOUBLE)) AS vec
+       | FROM embeddings),
+       |planted AS (SELECT id + 1000 AS id,
+       |  list_transform(range(1,65),
+       |    i -> vec[i] * ($mult::DOUBLE[])[i]) AS vec
+       | FROM base),
+       |v AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |n AS (SELECT id, vec, sqrt(list_reduce(
+       |  list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+       |k AS (${bandKeySelects("v")}),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM k a JOIN k b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |pairs AS (SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN n x ON c.id_a = x.id JOIN n y ON c.id_b = y.id
+       |  WHERE round(list_reduce(
+       |      list_transform(range(1,65), j -> x.vec[j] * y.vec[j]),
+       |      (a,q) -> a+q) / (x.nrm * y.nrm), 6) >= 0.9),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT v.id AS vec_id,
+       |  CAST(coalesce(l.cluster_id, v.id) AS BIGINT) AS cluster_id
+       |FROM v LEFT JOIN lab l ON v.id = l.id ORDER BY vec_id""".stripMargin
   }
 }

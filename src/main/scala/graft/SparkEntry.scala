@@ -391,6 +391,25 @@ object SparkEntry {
         max(col("doc_id")).as("max_kept_id"))
       .orderBy(col("source"))
 
+  /** Embedding-cosine near-duplicate clustering
+    * ([[graft.operators.Similarity.embeddingDedupClusters]]): the corpus
+    * is doubled with a perturbed copy (ids +1000, cosine ≈ 0.9996 to the
+    * original — the q33 planting scheme), and banded-LSH candidates +
+    * exact cosine ≥ 0.9 + star contraction must pair each original with
+    * its plant; the oracle mirrors bands, cosine and transitive closure
+    * exactly, so candidate generation itself is what is checked. */
+  private def q45_embed_dedup(s: SparkSession, dir: String): DataFrame = {
+    val mult = array(Similarity.perturbMultipliers(99L, 64)
+      .map(lit).toIndexedSeq: _*)
+    val base = pq(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val planted = base.select((col("vec_id") + 1000L).as("vec_id"),
+      zip_with(col("vec"), mult, (x, m) => x * m).as("vec"))
+    Similarity.embeddingDedupClusters(base.unionAll(planted),
+      "vec_id", "vec", threshold = 0.9, dim = 64)
+      .orderBy("vec_id")
+  }
+
   /** MinHash signatures (k=8) per document. */
   private def q23_minhash_sig(s: SparkSession, dir: String): DataFrame =
     TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", k = 8)
@@ -723,7 +742,8 @@ object SparkEntry {
     "q41_ann_ivf" -> (q41_ann_ivf _),
     "q42_stream_sessionize" -> (q42_stream_sessionize _),
     "q43_hash_split" -> (q43_hash_split _),
-    "q44_source_cap" -> (q44_source_cap _)) ++
+    "q44_source_cap" -> (q44_source_cap _),
+    "q45_embed_dedup" -> (q45_embed_dedup _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -301,6 +301,55 @@ object Similarity {
     rerank(q.join(c, "__bucket"), k)
   }
 
+  /** Banded-LSH near-duplicate pairs — the scalable successor to
+    * [[nearDupPairs]]' single capped bucket: candidate pairs come from
+    * ANY shared (band, key) — one equi-join per band over
+    * 2^bitsPerBand-cardinality content-derived keys (AQE-splittable,
+    * never all-pairs) — and the exact cosine runs on candidates only.
+    * `sim` is rounded to 6 dp before the threshold compare so the
+    * boundary is engine-portable (same convention as the q29 oracle). */
+  def bandedNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bands: Int = 4, bitsPerBand: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val v = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    val keyed = v.select(col("__id"), posexplode(array(
+      bandKeys(col("__v"), dim, bands, bitsPerBand, seed): _*))
+      .as(Seq("band", "key")))
+    val cand = keyed.as("a").join(keyed.as("b"),
+      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    cand
+      .join(v.select(col("__id").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), "id_a")
+      .join(v.select(col("__id").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("sim",
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Embedding near-duplicate CLUSTERING — the dedup (not search) shape
+    * of banded LSH: [[bandedNearDupPairs]] candidates, then O(log n)
+    * star-contraction connected components
+    * ([[TextOps.dedupClustersStar]]). Every input id gets a label
+    * (component min id); vectors with no near-duplicate label
+    * themselves. Reference analogue: corpus-level semantic dedup over an
+    * embedding column, end to end on DataFrames. */
+  def embeddingDedupClusters(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dim: Int, bands: Int = 4,
+      bitsPerBand: Int = 16, seed: Long = 42L): DataFrame = {
+    val pairs = bandedNearDupPairs(vectors, idCol, vecCol, threshold, dim,
+      bands, bitsPerBand, seed)
+    val labels = TextOps.dedupClustersStar(pairs)
+    vectors.select(col(idCol).as("doc_id")).distinct()
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Embedding near-duplicate pairs: same sign bucket, cosine ≥ threshold,
     * each unordered pair once. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

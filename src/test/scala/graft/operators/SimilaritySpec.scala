@@ -155,4 +155,32 @@ class SimilaritySpec extends SparkSuite {
     assert(sgot.nonEmpty && sgot.forall { case (q, c) => q == c },
       s"shifted-id self-recovery failed: $sgot")
   }
+
+  test("embedding dedup: planted near-dups cluster, singletons self-label") {
+    import spark.implicits._
+    val dim = 32
+    val base = clustered(60, dim)
+    // plant a near-identical copy of each vector at id+1000 (tiny scale
+    // perturbation keeps cosine ≈ 1) — these MUST pair with the original
+    val planted = base.map { case (id, v) => (id + 1000L, v.map(x => x * 1.0001f)) }
+    val df = (base ++ planted).toDF("id", "vec")
+      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("vec"))
+    // pairs: each unordered pair once, sim filter applied
+    val pairs = Similarity.bandedNearDupPairs(df, "id", "vec",
+      threshold = 0.999, dim = dim, bands = 8, bitsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+    val clusters = Similarity.embeddingDedupClusters(df, "id", "vec",
+      threshold = 0.999, dim = dim, bands = 8, bitsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters.size == 120) // every id labeled exactly once
+    // scaled copies have cosine exactly 1 to their original; with 8 bands
+    // of 8 bits each, missing all bands is vanishingly unlikely — and a
+    // same-cluster plant must share its original's label
+    val paired = base.count { case (id, _) => clusters(id + 1000L) == clusters(id) }
+    assert(paired >= 55, s"only $paired/60 planted near-dups were clustered")
+    // labels are component minima: every label is a member labeling itself
+    clusters.values.foreach(c => assert(clusters(c) == c))
+  }
 }
