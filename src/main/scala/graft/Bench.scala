@@ -75,7 +75,16 @@ object Bench {
       // tabix-indexed text region query (20 Mbp slice)
       "b05_bed_region" -> ((s: SparkSession, _: String) => s.read
         .format("bed").option("regions", "chr1:100000001-120000000")
-        .load(c.bed)))
+        .load(c.bed)),
+      // full CRAM decode: rANS quality blocks + gzip names + seq
+      // reconstruction from the embedded reference
+      "b06_cram_full" -> ((s: SparkSession, _: String) => s.read
+        .format("cram").load(c.cram)),
+      // coordinate projection: the QS/RN blocks must never be
+      // decompressed (projection-aware series skip) — the b06 delta IS
+      // the skip win
+      "b07_cram_slim" -> ((s: SparkSession, _: String) => s.read
+        .format("cram").load(c.cram).select("rname", "pos", "end")))
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,7 +117,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY run that names no b* entry must not pay
     // corpus generation or planning.
     val readerNames = Seq("b01_bam_full", "b02_bam_region", "b03_bam_split",
-      "b04_vcf_info", "b05_bed_region")
+      "b04_vcf_info", "b05_bed_region", "b06_cram_full", "b07_cram_slim")
     val corpus: Option[graft.fixtures.BenchCorpus.Paths] =
       if (sys.env.get("SPARK_GRAFT_BENCH_READERS").contains("0") ||
           !only.forall(f => readerNames.exists(f.contains))) None
@@ -120,7 +129,8 @@ object Bench {
         Some(graft.fixtures.BenchCorpus.ensure(dir,
           nBam = sz("SPARK_GRAFT_BENCH_BAM_RECS", 4000000),
           nVcf = sz("SPARK_GRAFT_BENCH_VCF_RECS", 2500000),
-          nBed = sz("SPARK_GRAFT_BENCH_BED_RECS", 6000000)))
+          nBed = sz("SPARK_GRAFT_BENCH_BED_RECS", 6000000),
+          nCram = sz("SPARK_GRAFT_BENCH_CRAM_RECS", 1500000)))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] corpus generation failed: $e")
@@ -136,6 +146,7 @@ object Bench {
       val bamMb = new java.io.File(c.bam).length() / (1 << 20)
       val vcfMb = new java.io.File(c.vcf).length() / (1 << 20)
       val bedMb = new java.io.File(c.bed).length() / (1 << 20)
+      val cramMb = new java.io.File(c.cram).length() / (1 << 20)
       val splitParts = spark.read.format("bam")
         .option("tags", "NM:i,AS:i,RG:Z")
         .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
@@ -145,6 +156,7 @@ object Bench {
         .option("regions", "chr1:60000001-68000000")
         .load(c.bam).rdd.getNumPartitions
       s"""{"bam_mb":$bamMb,"vcf_mb":$vcfMb,"bed_mb":$bedMb,""" +
+        s""""cram_mb":$cramMb,""" +
         s""""b03_partitions":$splitParts,"b02_partitions":$regionParts}"""
     }.getOrElse("null")
     val loadBefore = ManagementFactory.getOperatingSystemMXBean

@@ -27,7 +27,8 @@ import graft.formats.{Bgzf, GenomicIndex}
   */
 object BenchCorpus {
 
-  final case class Paths(bam: String, vcf: String, bed: String)
+  final case class Paths(bam: String, vcf: String, bed: String,
+      cram: String)
 
   // --------------------------------------------------------------- writers
 
@@ -334,19 +335,20 @@ object BenchCorpus {
   /** Generate the corpus under `dir` unless a marker written with the
     * same size parameters already exists alongside the files. */
   def ensure(dir: String, nBam: Int = 4000000, nVcf: Int = 2500000,
-      nBed: Int = 6000000): Paths = {
+      nBed: Int = 6000000, nCram: Int = 1500000): Paths = {
     val d = new File(dir)
     d.mkdirs()
     val paths = Paths(new File(d, "bench.bam").getPath,
       new File(d, "bench.vcf.gz").getPath,
-      new File(d, "bench.bed.gz").getPath)
+      new File(d, "bench.bed.gz").getPath,
+      new File(d, "bench.cram").getPath)
     val marker = new File(d, "corpus.marker")
-    val tag = s"v2:$nBam:$nVcf:$nBed"
+    val tag = s"v3:$nBam:$nVcf:$nBed:$nCram"
     val fresh = marker.exists() && {
       val src = scala.io.Source.fromFile(marker)
       try src.mkString.trim == tag finally src.close()
     } && Seq(paths.bam, paths.bam + ".bai", paths.vcf, paths.vcf + ".tbi",
-      paths.bed, paths.bed + ".tbi").forall(new File(_).exists())
+      paths.bed, paths.bed + ".tbi", paths.cram).forall(new File(_).exists())
     if (!fresh) {
       def timed(what: String)(f: => Unit): Unit = {
         val t0 = System.nanoTime()
@@ -357,9 +359,45 @@ object BenchCorpus {
       timed(s"generated $nBam-record BAM")(genBam(paths.bam, nBam))
       timed(s"generated $nVcf-record VCF")(genVcf(paths.vcf, nVcf))
       timed(s"generated $nBed-record BED")(genBed(paths.bed, nBed))
+      timed(s"generated $nCram-record CRAM")(genCram(paths.cram, nCram))
       val fw = new java.io.FileWriter(marker)
       try fw.write(tag) finally fw.close()
     }
     paths
+  }
+
+  /** Mapped-read CRAM with rANS-compressed quality scores and gzipped
+    * read names (the htslib method mix for these series), an embedded
+    * per-slice reference and 10k-record slices. Random phred values make
+    * the QS blocks near-incompressible — worst-case rANS decode cost, the
+    * honest upper bound for the b06/b07 skip-decode comparison. */
+  private def genCram(path: String, nRecs: Int): Unit = {
+    val per = 10000
+    val readLen = 100
+    val contigLen = 3 * nRecs + readLen + 100
+    val contig = {
+      val Bases = "ACGT"
+      val a = new Array[Char](contigLen)
+      var i = 0
+      while (i < a.length) { a(i) = Bases((splitmix64(i ^ 0xc4a) & 3).toInt); i += 1 }
+      new String(a)
+    }
+    val header = s"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:$contigLen\n"
+    val nCont = (nRecs + per - 1) / per
+    val containers: Seq[Seq[CramFixture.CRec]] =
+      Vector.tabulate(nCont) { ci =>
+        val lo = ci * per
+        val hi = math.min(lo + per, nRecs)
+        (lo until hi).map { i =>
+          val quals = Array.tabulate[Byte](readLen) { j =>
+            (splitmix64(i.toLong * readLen + j) & 0x3f).toByte
+          }
+          CramFixture.CRec(f"r$i%08d", 0, 0, 1 + 3 * i, 60, readLen,
+            quals = quals)
+        }
+      }
+    CramFixture.write(path, header, containers,
+      embeddedRefs = Map(0 -> contig),
+      seriesMethods = Map("QS" -> 4, "RN" -> 1))
   }
 }

@@ -193,4 +193,20 @@ class PlanAuditSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(out.count() == 60)
   }
+
+  test("embedding dedup candidates come from the band equi-join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian()))).toDF("id", "vec")
+    val pairs = graft.operators.Similarity.bandedNearDupPairs(
+      vecs, "id", "vec", threshold = 0.8, dim = 16, bands = 4,
+      bitsPerBand = 8)
+    val plan = executedString(pairs)
+    // never all-pairs: the candidate join must be (band, key)-keyed
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    pairs.count() // must execute cleanly
+  }
 }

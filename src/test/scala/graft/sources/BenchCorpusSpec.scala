@@ -13,7 +13,26 @@ class BenchCorpusSpec extends SparkSuite {
 
   private lazy val corpus = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bc").toString
-    BenchCorpus.ensure(dir, nBam = 30000, nVcf = 20000, nBed = 30000)
+    BenchCorpus.ensure(dir, nBam = 30000, nVcf = 20000, nBed = 30000,
+      nCram = 25000)
+  }
+
+  test("cram corpus: full scan values; slim projection skips qual decode") {
+    val df = spark.read.format("cram").load(corpus.cram)
+    assert(df.count() == 25000)
+    val r = df.where(col("qname") === "r00000002")
+      .select("rname", "pos", "end", "cigar", "mapq", "qual", "seq")
+      .collect()(0)
+    assert(r.getString(0) == "chr1")
+    assert(r.getLong(1) == 7 && r.getLong(2) == 106) // pos = 1 + 3*i
+    assert(r.getString(3) == "100M" && r.getInt(4) == 60)
+    assert(r.getString(5).length == 100 && r.getString(6).length == 100)
+    // seq reconstructs from the embedded reference (plain match)
+    assert(r.getString(6).forall("ACGT".contains(_)))
+    // slim projection returns the same coordinates (QS/RN blocks skipped)
+    val slim = spark.read.format("cram").load(corpus.cram)
+      .select("pos", "end").where(col("pos") === 7).collect()
+    assert(slim.length == 1 && slim(0).getLong(1) == 106)
   }
 
   test("bam corpus: full scan count, values, multi-block layout") {
