@@ -254,6 +254,8 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long,
   private val infoSchema: Option[StructType] =
     fullSchema.fieldNames.find(_ == "info").map(_ =>
       fullSchema("info").dataType.asInstanceOf[StructType])
+  private val infoIndex: Map[String, Int] =
+    infoSchema.map(_.fieldNames.zipWithIndex.toMap).getOrElse(Map.empty)
   private val samplesSchema: Option[StructType] =
     fullSchema.fieldNames.find(_ == "samples").map(_ =>
       fullSchema("samples").dataType.asInstanceOf[StructType])
@@ -299,16 +301,27 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long,
 
     val infoVal: Seq[Any] = infoSchema.toSeq.map { is =>
       if (!parseInfo) null else {
-      val present = mutable.Map.empty[String, String]
-      if (!dot(c(7))) c(7).split(";").foreach { kv =>
-        val eq = kv.indexOf('=')
-        if (eq < 0) present(kv) = ""
-        else present(kv.substring(0, eq)) = kv.substring(eq + 1)
-      }
+      // single pass over the INFO string, filling schema slots directly:
+      // no split array, no intermediate map, and value substrings are
+      // extracted only for keys the schema keeps (duplicate keys
+      // last-win, matching the previous map behavior)
       val arr = new Array[Any](is.length)
-      is.fields.zipWithIndex.foreach { case (f, i) =>
-        present.get(f.name).foreach { v =>
-          arr(i) = enforceCount(f, convert(f.dataType, v, isFlag = true))
+      val s = c(7)
+      if (!dot(s)) {
+        val n = s.length
+        var start = 0
+        while (start < n) {
+          var semi = s.indexOf(';', start)
+          if (semi < 0) semi = n
+          var eq = s.indexOf('=', start)
+          if (eq < 0 || eq > semi) eq = semi
+          val idx = infoIndex.getOrElse(s.substring(start, eq), -1)
+          if (idx >= 0) {
+            val v = if (eq == semi) "" else s.substring(eq + 1, semi)
+            arr(idx) = enforceCount(is(idx),
+              convert(is(idx).dataType, v, isFlag = true))
+          }
+          start = semi + 1
         }
       }
       new GenericInternalRow(arr)
