@@ -583,11 +583,6 @@ object OracleSql {
       |FROM ranked WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
-  /** Banded hyperplane-LSH ANN oracle, mirroring
-    * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same
-    * integer planes and dyadic perturbation multipliers print exactly, and
-    * every dot/norm is a `list_reduce` left fold, so candidate sets, sims
-    * and ranks are reproduced bit-for-bit. */
   /** The 4×16-bit band keys of [[graft.operators.Similarity.bandKeys]],
     * one SELECT per band over a CTE exposing (id, vec) — shared by the
     * q33 search and q45 dedup oracles. */
@@ -597,6 +592,11 @@ object OracleSql {
         s" AS key FROM $src"
     }.mkString("\n UNION ALL ")
 
+  /** Banded hyperplane-LSH ANN oracle, mirroring
+    * `SparkEntry.q33_ann_banded` / `Similarity.bandedTopK`: the same
+    * integer planes and dyadic perturbation multipliers print exactly, and
+    * every dot/norm is a `list_reduce` left fold, so candidate sets, sims
+    * and ranks are reproduced bit-for-bit. */
   private def q33Sql: String = {
     import graft.operators.Similarity
     val mult = Similarity.perturbMultipliers(99L, 64)

@@ -384,8 +384,10 @@ object BenchCorpus {
     }
     val header = s"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:$contigLen\n"
     val nCont = (nRecs + per - 1) / per
-    val containers: Seq[Seq[CramFixture.CRec]] =
-      Vector.tabulate(nCont) { ci =>
+    // a non-memoizing view keeps residency at one 10k-record container
+    // instead of all nCram records at once
+    val containers: Iterable[Seq[CramFixture.CRec]] =
+      (0 until nCont).view.map { ci =>
         val lo = ci * per
         val hi = math.min(lo + per, nRecs)
         (lo until hi).map { i =>

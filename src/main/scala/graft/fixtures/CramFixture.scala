@@ -196,7 +196,7 @@ object CramFixture {
     * span as an in-slice block instead of requiring an external FASTA.
     * `minorVersion` sets the file-definition minor (1 = CRAM 3.1). */
   def write(path: String, samHeader: String,
-      containers: Seq[Seq[CRec]], blockMethod: Int = 0,
+      containers: Iterable[Seq[CRec]], blockMethod: Int = 0,
       embeddedRefs: Map[Int, String] = Map.empty,
       seriesMethods: Map[String, Int] = Map.empty,
       minorVersion: Int = 0): Unit =
@@ -207,7 +207,7 @@ object CramFixture {
     * real CRAM writers produce); the compression header is shared per
     * container, blocks and streams are per-slice. */
   def writeSliced(path: String, samHeader: String,
-      containerSlices: Seq[Seq[Seq[CRec]]], blockMethod: Int = 0,
+      containerSlices: Iterable[Seq[Seq[CRec]]], blockMethod: Int = 0,
       embeddedRefs: Map[Int, String] = Map.empty,
       seriesMethods: Map[String, Int] = Map.empty,
       minorVersion: Int = 0): Unit = {

@@ -497,10 +497,16 @@ object CramCodec {
 
   /** Decode all records of one slice. `decodeTags=false` skips tag-value
     * reads entirely (safe: every tag series has its own blocks). */
+  /** `skipSeries`/`skipTagKeys` name series whose reads may be no-ops —
+    * the caller must guarantee (as CramPartitionReader's fixpoint does)
+    * that their external blocks are not shared with any series still
+    * being read; the default (skip nothing, discard-read every
+    * un-projected tag) is always safe. */
   def decodeSlice(comp: CompressionHeader, slice: SliceHeader,
       core: Array[Byte], external: Map[Int, Array[Byte]],
       decodeTags: Boolean = true,
-      skipSeries: Set[String] = Set.empty): Seq[CramRecord] = {
+      skipSeries: Set[String] = Set.empty,
+      skipTagKeys: Set[Int] = Set.empty): Seq[CramRecord] = {
     val bits = new BitReader(core)
     val cursors = external.map { case (id, d) => id -> new ByteCursor(d) }
     def series(key: String): SeriesReader = {
@@ -562,16 +568,15 @@ object CramCodec {
                 bits, cursors))
             (tag, tpe, reader.readBytes())
         } else {
-          // un-projected tags: a core-touching tag encoding must still be
-          // read (and discarded) to keep the shared bitstream in sync;
-          // purely-external tag series are safe to leave unread
+          // un-projected tags: every tag series the caller did not prove
+          // skippable must still be read (and discarded) to keep shared
+          // streams in sync
           tagDefs.foreach { case (tag, tpe) =>
             val key = (tag.charAt(0) << 16) | (tag.charAt(1) << 8) | tpe.toInt
-            val enc = comp.tagEncodings.getOrElse(key, NullEncoding)
-            if (!pureExternal(enc)) {
-              val reader = tagReaders.getOrElseUpdate(key,
-                new SeriesReader(enc, bits, cursors))
-              reader.readBytes()
+            // a tag with no encoding entry has no stream to keep in sync
+            if (!skipTagKeys(key)) comp.tagEncodings.get(key).foreach { enc =>
+              tagReaders.getOrElseUpdate(key,
+                new SeriesReader(enc, bits, cursors)).readBytes()
             }
           }
           Nil

@@ -377,6 +377,12 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
   private val wantQual = required.fieldNames.contains("qual")
   private val wantQname = required.fieldNames.contains("qname")
   private val wantTags = required.fieldNames.contains("tags")
+  // seq/cigar reconstruction (per-base reference fill + cigar assembly)
+  // is the dominant per-record CPU after block decode; `end` only needs
+  // the feature-derived reference length, so a coordinate projection
+  // skips reconstruct entirely
+  private val wantSeq = required.fieldNames.contains("seq")
+  private val wantCigar = required.fieldNames.contains("cigar")
 
   // optional indexed FASTA for sequence reconstruction
   private val reference: Option[(Path, Seq[FaiIndex.Entry])] =
@@ -397,34 +403,53 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
         CramCodec.readCompressionHeader(b.data)
       }
       val doTags = tagSchema.isDefined && wantTags
-      // series whose values no projected column consumes AND whose reads
-      // never touch the shared core bitstream — safe to no-op entirely
-      val skipKeys: Set[String] =
+      def dataEnc(k: String) =
+        comp.dataSeries.getOrElse(k, CramCodec.NullEncoding)
+      // Skip candidates: series whose values no projected column consumes
+      // AND whose reads never touch the shared core bitstream. A
+      // candidate is only actually skippable if its external blocks are
+      // disjoint from every block a retained series still reads — the
+      // spec allows two EXTERNAL series to share one block, and skipping
+      // one of them would desynchronize the shared cursor. The loop is a
+      // fixpoint: demoting a candidate to "read" grows the read-id set,
+      // which can demote further candidates (sets are tiny, it converges
+      // in <= a few passes).
+      val candData: Set[String] =
         ((if (wantQual) Set.empty[String] else Set("QS", "QQ")) ++
           (if (wantQname) Set.empty[String] else Set("RN")))
-          .filter(k => CramCodec.pureExternal(
-            comp.dataSeries.getOrElse(k, CramCodec.NullEncoding)))
-      // external blocks referenced ONLY by skipped series (and, when tags
-      // are skipped, only by purely-external tag series) need no
-      // decompression at all — for quality-heavy CRAMs that is most of
-      // the decode CPU
-      val retainedIds: Set[Int] =
-        comp.dataSeries.collect {
-          case (k, e) if !skipKeys(k) => CramCodec.externalIds(e)
-        }.flatten.toSet ++
-          comp.tagEncodings.values.collect {
-            case e if doTags || !CramCodec.pureExternal(e) =>
-              CramCodec.externalIds(e)
-          }.flatten.toSet
-      val tagIds: Set[Int] =
+          .filter(k => CramCodec.pureExternal(dataEnc(k)))
+      val candTags: Set[Int] =
         if (doTags) Set.empty
-        else comp.tagEncodings.values.collect {
-          case e if CramCodec.pureExternal(e) => CramCodec.externalIds(e)
-        }.flatten.toSet
+        else comp.tagEncodings.collect {
+          case (k, e) if CramCodec.pureExternal(e) => k
+        }.toSet
+      var skipKeys = candData
+      var skipTagKeys = candTags
+      var stable = false
+      while (!stable) {
+        val readIds: Set[Int] =
+          comp.dataSeries.collect {
+            case (k, e) if !skipKeys(k) => CramCodec.externalIds(e)
+          }.flatten.toSet ++
+            comp.tagEncodings.collect {
+              case (k, e) if !skipTagKeys(k) => CramCodec.externalIds(e)
+            }.flatten.toSet
+        val d = skipKeys.filter(k =>
+          (CramCodec.externalIds(dataEnc(k)) intersect readIds).isEmpty)
+        val t = skipTagKeys.filter(k => (CramCodec.externalIds(
+          comp.tagEncodings(k)) intersect readIds).isEmpty)
+        stable = d == skipKeys && t == skipTagKeys
+        skipKeys = d
+        skipTagKeys = t
+      }
+      // external blocks referenced only by skipped series need no
+      // decompression at all — for quality-heavy CRAMs that is most of
+      // the decode CPU (disjointness from read blocks holds by the
+      // fixpoint above)
       val skippableIds: Set[Int] =
-        (skipKeys.flatMap(k => CramCodec.externalIds(
-          comp.dataSeries.getOrElse(k, CramCodec.NullEncoding))) ++
-          tagIds) -- retainedIds
+        skipKeys.flatMap(k => CramCodec.externalIds(dataEnc(k))) ++
+          skipTagKeys.flatMap(k =>
+            CramCodec.externalIds(comp.tagEncodings(k)))
       // remaining blocks: slices (header + core + externals)
       val slices = scala.collection.mutable.ArrayBuffer
         .empty[(CramCodec.SliceHeader, Array[Byte], Map[Int, Array[Byte]])]
@@ -447,7 +472,8 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
       }
       slices.iterator.flatMap { case (slice, core, ext) =>
         val records = CramCodec.decodeSlice(comp, slice, core, ext,
-          decodeTags = doTags, skipSeries = skipKeys)
+          decodeTags = doTags, skipSeries = skipKeys,
+          skipTagKeys = skipTagKeys)
         val start0 = math.max(0L, slice.start - 1L)
         // reference bases for this slice: an embedded-reference block
         // takes precedence (self-contained slices), else seek the span
@@ -484,12 +510,14 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
       refSlice: Option[Long => Char]): InternalRow = {
     val mapped = !rec.isUnmapped && rec.refId >= 0
     val (cigar, seq) =
-      if (mapped) CramCodec.reconstruct(rec, comp.substitutionMatrix, refSlice)
+      if (!wantSeq && !wantCigar) (null, null) // un-projected: skip rebuild
+      else if (mapped)
+        CramCodec.reconstruct(rec, comp.substitutionMatrix, refSlice)
       else (null,
         if (rec.bases != null) new String(rec.bases.map(_.toChar)) else null)
     val refLen = if (mapped) rec.referenceLength else 0
     val qual =
-      if (rec.qualityScores == null) null
+      if (!wantQual || rec.qualityScores == null) null
       else if (rec.qualityScores.forall(_ == 0xff.toByte)) null
       else new String(rec.qualityScores.map(q => (q + 33).toChar))
     val tagsVal: Seq[Any] = tagSchema.toSeq.map { ts =>

@@ -313,8 +313,10 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long,
         while (start < n) {
           var semi = s.indexOf(';', start)
           if (semi < 0) semi = n
-          var eq = s.indexOf('=', start)
-          if (eq < 0 || eq > semi) eq = semi
+          // scan for '=' only within the segment: an unbounded indexOf
+          // would re-scan the whole tail for every flag-style key
+          var eq = start
+          while (eq < semi && s.charAt(eq) != '=') eq += 1
           val idx = infoIndex.getOrElse(s.substring(start, eq), -1)
           if (idx >= 0) {
             val v = if (eq == semi) "" else s.substring(eq + 1, semi)
