@@ -84,7 +84,15 @@ object Bench {
       // decompressed (projection-aware series skip) — the b06 delta IS
       // the skip win
       "b07_cram_slim" -> ((s: SparkSession, _: String) => s.read
-        .format("cram").load(c.cram).select("rname", "pos", "end")))
+        .format("cram").load(c.cram).select("rname", "pos", "end")),
+      // genotype-heavy projection: exercises the per-sample FORMAT parse
+      // (the dominant VCF cost when samples are consumed)
+      "b08_vcf_genotypes" -> ((s: SparkSession, _: String) => s.read
+        .format("vcf").load(c.vcf)
+        .select(org.apache.spark.sql.functions.col("chrom"),
+          org.apache.spark.sql.functions.col("pos"),
+          org.apache.spark.sql.functions.col("samples.s1.GT").as("gt1"),
+          org.apache.spark.sql.functions.col("samples.s3.DP").as("dp3"))))
   }
 
   def main(args: Array[String]): Unit = {
@@ -117,7 +125,8 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY run that names no b* entry must not pay
     // corpus generation or planning.
     val readerNames = Seq("b01_bam_full", "b02_bam_region", "b03_bam_split",
-      "b04_vcf_info", "b05_bed_region", "b06_cram_full", "b07_cram_slim")
+      "b04_vcf_info", "b05_bed_region", "b06_cram_full", "b07_cram_slim",
+      "b08_vcf_genotypes")
     val corpus: Option[graft.fixtures.BenchCorpus.Paths] =
       if (sys.env.get("SPARK_GRAFT_BENCH_READERS").contains("0") ||
           !only.forall(f => readerNames.exists(f.contains))) None

@@ -140,17 +140,24 @@ class VcfFormat extends LineFormat {
       options: Map[String, String]): LineParser =
     newParser(fullSchema, options, fullSchema)
 
-  /** Projection-aware: INFO and samples parsing dominate the per-line
-    * cost (measured 11.8 s -> 7.1 s over a 2.5M-record bgzipped VCF when
-    * both are skipped), so columns absent from `parseNeeded` are left
-    * null instead of parsed. */
+  /** Projection-aware down to NESTED fields: INFO and samples parsing
+    * dominate the per-line cost (measured 11.8 s -> 7.1 s over a
+    * 2.5M-record bgzipped VCF when both are skipped entirely), so a
+    * top-level column absent from `parseNeeded` is left null, and within
+    * a present info/samples struct only the Catalyst-pruned sub-fields
+    * are parsed (selecting `samples.s1.GT` out of a 1000-sample file
+    * parses one sample column, not a thousand). */
   override def newParser(fullSchema: StructType,
-      options: Map[String, String], parseNeeded: StructType): LineParser =
+      options: Map[String, String], parseNeeded: StructType): LineParser = {
+    def nested(name: String): Option[StructType] =
+      parseNeeded.fields.find(_.name == name)
+        .map(_.dataType.asInstanceOf[StructType])
     new VcfParser(fullSchema,
       byField = options.getOrElse("genotype_by", "sample") == "field",
       shift = -1L - coordSystem(options).startOffset,
-      parseInfo = parseNeeded.fieldNames.contains("info"),
-      parseSamples = parseNeeded.fieldNames.contains("samples"))
+      infoNeeded = nested("info"),
+      samplesNeeded = nested("samples"))
+  }
 }
 
 final case class VcfTypeDef(id: String, number: String, vcfType: String) {
@@ -247,18 +254,48 @@ object VcfHeader {
   }
 }
 
-class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long,
-    parseInfo: Boolean = true, parseSamples: Boolean = true)
-    extends LineParser {
+/** `infoNeeded`/`samplesNeeded`: the Catalyst-pruned sub-structs whose
+  * values will actually be consumed — `None` skips the column entirely,
+  * a present struct limits parsing to its fields. Rows are always
+  * emitted in FULL schema shape; un-requested slots stay null. The
+  * no-hint constructor (`parseAll`) parses everything. */
+class VcfParser(fullSchema: StructType, byField: Boolean,
+    shift: Long, infoNeeded: Option[StructType],
+    samplesNeeded: Option[StructType]) extends LineParser {
+
+  /** Parse-everything constructor (hint = the full schema itself). */
+  def this(fullSchema: StructType, byField: Boolean, shift: Long) =
+    this(fullSchema, byField, shift,
+      fullSchema.fields.find(_.name == "info")
+        .map(_.dataType.asInstanceOf[StructType]),
+      fullSchema.fields.find(_.name == "samples")
+        .map(_.dataType.asInstanceOf[StructType]))
 
   private val infoSchema: Option[StructType] =
     fullSchema.fieldNames.find(_ == "info").map(_ =>
       fullSchema("info").dataType.asInstanceOf[StructType])
-  private val infoIndex: Map[String, Int] =
-    infoSchema.map(_.fieldNames.zipWithIndex.toMap).getOrElse(Map.empty)
+  private val parseInfo = infoNeeded.isDefined
+  private val parseSamples = samplesNeeded.isDefined
+  // full-schema slot index per info key, limited to the requested keys
+  private val infoIndex: Map[String, Int] = (infoSchema, infoNeeded) match {
+    case (Some(full), Some(need)) =>
+      val keep = need.fieldNames.toSet
+      full.fieldNames.zipWithIndex.filter(kv => keep(kv._1)).toMap
+    case _ => Map.empty
+  }
   private val samplesSchema: Option[StructType] =
     fullSchema.fieldNames.find(_ == "samples").map(_ =>
       fullSchema("samples").dataType.asInstanceOf[StructType])
+  // per full-schema outer position: the requested inner field names, or
+  // None when that outer entry (sample, or FORMAT field in `byField`
+  // mode) is not consumed at all
+  private val outerNeed: Array[Option[Set[String]]] =
+    (samplesSchema, samplesNeeded) match {
+      case (Some(full), Some(need)) =>
+        full.fields.map(f => need.fields.find(_.name == f.name)
+          .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet))
+      case _ => Array.empty
+    }
 
   /** Enforce a declared fixed Number=n (carried as field metadata):
     * the reference's FixedSizeList semantics — a record carrying MORE
@@ -340,43 +377,52 @@ class VcfParser(fullSchema: StructType, byField: Boolean, shift: Long,
           f.metadata.getLong("vcf_sample_idx").toInt
         else default
       if (byField) {
-        // struct{field → struct{sample → value}}
+        // struct{field → struct{sample → value}}; outerNeed limits both
+        // which FORMAT fields and which samples within them are parsed
         val arr = new Array[Any](ss.length)
         ss.fields.zipWithIndex.foreach { case (fieldF, i) =>
-          val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
-          val inner = new Array[Any](sampleStruct.length)
-          val keyIdx = formatKeys.indexOf(fieldF.name)
-          if (keyIdx >= 0) {
-            sampleStruct.fields.zipWithIndex.foreach { case (sf, j) =>
-              val col = 9 + sampleCol(sf, j)
-              if (col < c.length) {
-                val parts = c(col).split(":", -1)
-                if (keyIdx < parts.length && !dot(parts(keyIdx)))
-                  inner(j) = enforceCount(sf,
-                    convert(sf.dataType, parts(keyIdx), isFlag = false))
+          outerNeed(i).foreach { needSamples =>
+            val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
+            val inner = new Array[Any](sampleStruct.length)
+            val keyIdx = formatKeys.indexOf(fieldF.name)
+            if (keyIdx >= 0) {
+              sampleStruct.fields.zipWithIndex.foreach { case (sf, j) =>
+                val col = 9 + sampleCol(sf, j)
+                if (needSamples(sf.name) && col < c.length) {
+                  val parts = c(col).split(":", -1)
+                  if (keyIdx < parts.length && !dot(parts(keyIdx)))
+                    inner(j) = enforceCount(sf,
+                      convert(sf.dataType, parts(keyIdx), isFlag = false))
+                }
               }
             }
+            arr(i) = new GenericInternalRow(inner)
           }
-          arr(i) = new GenericInternalRow(inner)
         }
         new GenericInternalRow(arr)
       } else {
-        // struct{sample → struct{field → value}}
+        // struct{sample → struct{field → value}}; un-requested samples
+        // skip the per-sample split entirely
         val arr = new Array[Any](ss.length)
         ss.fields.zipWithIndex.foreach { case (sampleF, j) =>
-          val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
-          val inner = new Array[Any](fieldStruct.length)
-          val col = 9 + sampleCol(sampleF, j)
-          if (col < c.length) {
-            val parts = c(col).split(":", -1)
-            fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
-              val keyIdx = formatKeys.indexOf(ff.name)
-              if (keyIdx >= 0 && keyIdx < parts.length && !dot(parts(keyIdx)))
-                inner(i) = enforceCount(ff,
-                  convert(ff.dataType, parts(keyIdx), isFlag = false))
+          outerNeed(j).foreach { needFields =>
+            val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
+            val inner = new Array[Any](fieldStruct.length)
+            val col = 9 + sampleCol(sampleF, j)
+            if (col < c.length) {
+              val parts = c(col).split(":", -1)
+              fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
+                if (needFields(ff.name)) {
+                  val keyIdx = formatKeys.indexOf(ff.name)
+                  if (keyIdx >= 0 && keyIdx < parts.length &&
+                    !dot(parts(keyIdx)))
+                    inner(i) = enforceCount(ff,
+                      convert(ff.dataType, parts(keyIdx), isFlag = false))
+                }
+              }
             }
+            arr(j) = new GenericInternalRow(inner)
           }
-          arr(j) = new GenericInternalRow(inner)
         }
         new GenericInternalRow(arr)
       }

@@ -65,12 +65,14 @@ trait LineFormat extends Serializable {
   /** Build a fresh per-partition parser emitting rows in `fullSchema`
     * field order (null-padding fields it cannot supply). */
   def newParser(fullSchema: StructType, options: Map[String, String]): LineParser
-  /** Projection-aware variant: `parseNeeded` lists the top-level columns
-    * whose VALUES will actually be consumed (the pruned projection plus
-    * any row-level predicate columns). Formats able to skip expensive
-    * un-consumed columns (VCF: samples/INFO parsing is most of the line
-    * cost) override this; the default ignores the hint. Rows must still
-    * be emitted in FULL schema order — skipped slots stay null. */
+  /** Projection-aware variant: `parseNeeded` is the Catalyst-pruned
+    * schema — top-level columns whose VALUES will actually be consumed,
+    * with struct columns pruned down to the requested NESTED fields
+    * (e.g. `samples.s1.GT` arrives as samples{s1{GT}}). Formats able to
+    * skip expensive un-consumed parsing (VCF: samples/INFO is most of
+    * the line cost) override this; the default ignores the hint. Rows
+    * must still be emitted in FULL schema order/shape — skipped slots
+    * stay null. */
   def newParser(fullSchema: StructType, options: Map[String, String],
       parseNeeded: StructType): LineParser = newParser(fullSchema, options)
   /** Names of the (chrom, start, end) columns used for genomic region
@@ -169,6 +171,11 @@ class LineScanBuilder(format: LineFormat, fullSchema: StructType,
     with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
+  // the schema exactly as Catalyst pruned it, including NESTED pruning
+  // (e.g. samples.s1.GT only) — readSchema still answers whole top-level
+  // structs, but formats able to skip un-requested nested parsing get
+  // this as their parse hint
+  private var requiredNested: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
 
@@ -176,6 +183,7 @@ class LineScanBuilder(format: LineFormat, fullSchema: StructType,
     // keep full-schema field order for the projection mapping
     val keep = requiredSchema.fieldNames.toSet
     required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+    requiredNested = requiredSchema
   }
 
   /** Recognize chrom/start/end comparisons for region-style row skipping;
@@ -201,7 +209,8 @@ class LineScanBuilder(format: LineFormat, fullSchema: StructType,
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def build(): Scan =
-    new LineScan(format, fullSchema, required, paths, options, pushed, limit)
+    new LineScan(format, fullSchema, required, requiredNested, paths,
+      options, pushed, limit)
 }
 
 /** One input split. Three addressing modes:
@@ -218,7 +227,8 @@ case class LineInputPartition(pathStr: String, start: Long, end: Long,
     moreRanges: Seq[(Long, Long)] = Nil) extends InputPartition
 
 class LineScan(format: LineFormat, fullSchema: StructType,
-    required: StructType, paths: Seq[Path], options: Map[String, String],
+    required: StructType, requiredNested: StructType, paths: Seq[Path],
+    options: Map[String, String],
     pushed: Array[Filter], limit: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -329,11 +339,13 @@ class LineScan(format: LineFormat, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LineReaderFactory(format, fullSchema, required, options, pushed, limit)
+    new LineReaderFactory(format, fullSchema, required, requiredNested,
+      options, pushed, limit)
 }
 
 class LineReaderFactory(format: LineFormat, fullSchema: StructType,
-    required: StructType, options: Map[String, String], pushed: Array[Filter],
+    required: StructType, requiredNested: StructType,
+    options: Map[String, String], pushed: Array[Filter],
     limit: Int) extends PartitionReaderFactory {
 
   /** Columnar reads (SURVEY §4.2), opt-in via `columnar=true` for flat
@@ -352,14 +364,14 @@ class LineReaderFactory(format: LineFormat, fullSchema: StructType,
   override def supportColumnarReads(p: InputPartition): Boolean = columnarOk
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new LineReader(format, fullSchema, required, options, pushed, limit,
-      p.asInstanceOf[LineInputPartition])
+    new LineReader(format, fullSchema, required, requiredNested, options,
+      pushed, limit, p.asInstanceOf[LineInputPartition])
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ColumnarRowBatcher(
-      new LineReader(format, fullSchema, required, options, pushed, limit,
-        p.asInstanceOf[LineInputPartition]), required)
+      new LineReader(format, fullSchema, required, requiredNested, options,
+        pushed, limit, p.asInstanceOf[LineInputPartition]), required)
 }
 
 /** Batches any row-producing partition reader into `OnHeapColumnVector`s
@@ -429,7 +441,8 @@ object LineReader {
 }
 
 class LineReader(format: LineFormat, fullSchema: StructType,
-    required: StructType, options: Map[String, String], pushed: Array[Filter],
+    required: StructType, requiredNested: StructType,
+    options: Map[String, String], pushed: Array[Filter],
     limit: Int, part: LineInputPartition)
     extends PartitionReader[InternalRow] {
 
@@ -467,7 +480,7 @@ class LineReader(format: LineFormat, fullSchema: StructType,
     // ref/INFO END), so only predicate-free scans pass the pruned set
     val predicateActive = options.get("regions").isDefined || pushed.nonEmpty
     format.newParser(fullSchema, options,
-      if (predicateActive) fullSchema else required)
+      if (predicateActive) fullSchema else requiredNested)
   }
 
   private val lineBuf = new java.lang.StringBuilder(256)

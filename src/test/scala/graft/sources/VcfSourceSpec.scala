@@ -201,4 +201,34 @@ class VcfSourceSpec extends SparkSuite {
     assert(ok.length == 1 && ok(0).getLong(0) == 100L)
     assert(ok(0).getSeq[Long](1) == Seq(1L, 2L))
   }
+
+  test("vcf: nested pruning parses only the requested samples/info keys") {
+    // NA2's DP is malformed ("xx"): any projection that needs NA2.DP must
+    // fail in FAILFAST, while projections of other samples/fields must
+    // succeed — proof the un-requested sample column is never parsed
+    val lines = Seq(
+      "##fileformat=VCFv4.1",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+      "##INFO=<ID=MQ,Number=1,Type=Integer,Description=\"MapQ\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2",
+      "chr1\t100\t.\tA\tG\t10\tPASS\tDP=7;MQ=xx\tGT:DP\t0|1:4\t1/1:xx")
+    val path = tempFile("pruned.vcf", lines)
+    def scan = spark.read.format("vcf").load(path)
+    // needs the malformed values → must fail
+    intercept[Throwable] { scan.select("samples.NA2.DP").collect() }
+    intercept[Throwable] { scan.select("info.MQ").collect() }
+    // doesn't → must succeed with correct values
+    val r = scan.select(col("pos"), col("samples.NA1.GT").as("gt"),
+      col("samples.NA1.DP").as("dp"), col("info.DP").as("idp")).collect()(0)
+    assert(r.getLong(0) == 100 &&
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getInt(0), x.getBoolean(1))) ==
+        Seq((0, false), (1, true)) &&
+      r.getLong(2) == 4L && r.getLong(3) == 7L)
+    // whole-struct projection still parses (and therefore fails)
+    intercept[Throwable] { scan.select("samples").collect() }
+    intercept[Throwable] { scan.select("info").collect() }
+  }
 }
