@@ -70,10 +70,17 @@ object BamCodec {
     * the per-tag scan+convert — the projection-aware reader passes it
     * when the tags struct is not consumed. */
   final class RecordDecoder(header: BamHeader, tagSchema: Option[StructType],
-      need: Array[Boolean], posShift: Long, parseTags: Boolean = true) {
+      need: Array[Boolean], posShift: Long, parseTags: Boolean = true,
+      neededTags: Option[Set[String]] = None) {
 
+    // slot index limited to the tags whose values are actually consumed
+    // (nested pruning); un-requested tags are still WALKED (their sizes
+    // drive the cursor) but never converted/boxed
     private val tagIndex: Map[String, Int] =
-      tagSchema.map(_.fieldNames.zipWithIndex.toMap).getOrElse(Map.empty)
+      tagSchema.map { ts =>
+        val all = ts.fieldNames.zipWithIndex.toMap
+        neededTags.fold(all)(keep => all.filter(kv => keep(kv._1)))
+      }.getOrElse(Map.empty)
 
     /** Read one record from the stream; None at EOF. */
     def read(le: LEInput): Option[RawRecord] = {
@@ -166,9 +173,10 @@ object BamCodec {
           while (bb.remaining() >= 3) {
             val tag = new String(Array(bb.get(), bb.get()), "ASCII")
             val tpe = bb.get().toChar
-            val value = readTagValue(bb, tpe)
-            tagIndex.get(tag).foreach { idx =>
-              tags(idx) = coerce(value, ts(idx).dataType)
+            tagIndex.get(tag) match {
+              case Some(idx) =>
+                tags(idx) = coerce(readTagValue(bb, tpe), ts(idx).dataType)
+              case None => skipTagValue(bb, tpe) // advance, never box
             }
           }
           new GenericInternalRow(base :+ (new GenericInternalRow(tags): Any))
@@ -197,6 +205,28 @@ object BamCodec {
       case other =>
         throw new IllegalArgumentException(s"unknown BAM tag type '$other'")
     }
+
+    /** Advance past a tag value without materializing it. */
+    private def skipTagValue(bb: java.nio.ByteBuffer, tpe: Char): Unit =
+      tpe match {
+        case 'A' | 'c' | 'C' => bb.position(bb.position() + 1)
+        case 's' | 'S' => bb.position(bb.position() + 2)
+        case 'i' | 'I' | 'f' => bb.position(bb.position() + 4)
+        case 'Z' | 'H' => while (bb.get() != 0) ()
+        case 'B' =>
+          val sub = bb.get().toChar
+          val n = bb.getInt
+          val w = sub match {
+            case 'c' | 'C' => 1
+            case 's' | 'S' => 2
+            case 'i' | 'I' | 'f' => 4
+            case other => throw new IllegalArgumentException(
+              s"unknown BAM tag array type '$other'")
+          }
+          bb.position(bb.position() + n * w)
+        case other =>
+          throw new IllegalArgumentException(s"unknown BAM tag type '$other'")
+      }
 
     private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
       case (s: String, StringType) => UTF8String.fromString(s)

@@ -176,12 +176,15 @@ class BamScanBuilder(fullSchema: StructType, paths: Seq[Path],
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
   private var required: StructType = fullSchema
+  // verbatim Catalyst pruning, incl. nested tag pruning (parse hint only)
+  private var requiredNested: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val keep = requiredSchema.fieldNames.toSet
     required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+    requiredNested = requiredSchema
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -194,7 +197,8 @@ class BamScanBuilder(fullSchema: StructType, paths: Seq[Path],
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def build(): Scan =
-    new BamScan(fullSchema, required, paths, options, pushed, limit)
+    new BamScan(fullSchema, required, requiredNested, paths, options,
+      pushed, limit)
 }
 
 /** A BAM partition: one or more record-aligned virtual-position ranges
@@ -209,7 +213,8 @@ case class BamInputPartition(pathStr: String, ranges: Seq[(Long, Long)],
     regions: Seq[(String, Long, Long)],
     unmappedOnly: Boolean = false) extends InputPartition
 
-class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
+class BamScan(fullSchema: StructType, required: StructType,
+    requiredNested: StructType, paths: Seq[Path],
     options: Map[String, String], pushed: Array[Filter], limit: Int)
     extends Scan with Batch {
 
@@ -329,10 +334,11 @@ class BamScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BamReaderFactory(fullSchema, required, options, limit)
+    new BamReaderFactory(fullSchema, required, requiredNested, options, limit)
 }
 
 class BamReaderFactory(fullSchema: StructType, required: StructType,
+    requiredNested: StructType,
     options: Map[String, String], limit: Int) extends PartitionReaderFactory {
 
   /** Columnar reads (SURVEY §4.2), opt-in via `columnar=true`: every
@@ -349,17 +355,18 @@ class BamReaderFactory(fullSchema: StructType, required: StructType,
   override def supportColumnarReads(p: InputPartition): Boolean = columnarOk
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new BamPartitionReader(fullSchema, required, options, limit,
+    new BamPartitionReader(fullSchema, required, requiredNested, options, limit,
       p.asInstanceOf[BamInputPartition])
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new graft.sources.common.ColumnarRowBatcher(
-      new BamPartitionReader(fullSchema, required, options, limit,
+      new BamPartitionReader(fullSchema, required, requiredNested, options, limit,
         p.asInstanceOf[BamInputPartition]), required)
 }
 
 class BamPartitionReader(fullSchema: StructType, required: StructType,
+    requiredNested: StructType,
     options: Map[String, String], limit: Int, part: BamInputPartition)
     extends PartitionReader[InternalRow] {
 
@@ -402,7 +409,9 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
       case CoordSystem.OneBasedClosed => 0L
       case CoordSystem.ZeroBasedHalfOpen => -1L
     },
-    parseTags = required.fieldNames.contains("tags"))
+    parseTags = required.fieldNames.contains("tags"),
+    neededTags = requiredNested.fields.find(_.name == "tags")
+      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet))
 
   private val refIdByName = header.refNames.zipWithIndex.toMap
   private val regionsById: Seq[(Int, Long, Long)] = part.regions.flatMap {

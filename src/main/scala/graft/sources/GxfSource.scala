@@ -106,14 +106,16 @@ abstract class GxfFormat(val gtfStyle: Boolean) extends LineFormat {
       options: Map[String, String]): LineParser =
     newParser(fullSchema, options, fullSchema)
 
-  /** Projection-aware: column-9 attribute parsing (split + percent
-    * decode per key) is skipped when the `attributes` struct is not
-    * consumed. */
+  /** Projection-aware down to nested fields: column-9 attribute parsing
+    * is skipped when the `attributes` struct is not consumed, and the
+    * percent-decode/convert limited to the requested keys otherwise. */
   override def newParser(fullSchema: StructType,
       options: Map[String, String], parseNeeded: StructType): LineParser = {
     val attrSchema = fullSchema("attributes").dataType.asInstanceOf[StructType]
+    val needed = parseNeeded.fields.find(_.name == "attributes")
+      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet)
     new GxfParser(attrSchema, gtfStyle, coordSystem(options).startOffset,
-      parseAttrs = parseNeeded.fieldNames.contains("attributes"))
+      parseAttrs = needed.isDefined, neededAttrs = needed)
   }
 }
 
@@ -146,9 +148,13 @@ object GxfAttributes {
 }
 
 class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
-    parseAttrs: Boolean = true) extends LineParser {
-  private val attrIndex: Map[String, Int] =
-    attrSchema.fieldNames.zipWithIndex.toMap
+    parseAttrs: Boolean = true,
+    neededAttrs: Option[Set[String]] = None) extends LineParser {
+  // slot index limited to the attributes actually consumed
+  private val attrIndex: Map[String, Int] = {
+    val all = attrSchema.fieldNames.zipWithIndex.toMap
+    neededAttrs.fold(all)(keep => all.filter(kv => keep(kv._1)))
+  }
   // native GFF/GTF start is 1-based closed; convert to the requested output
   // system: out = native + delta, delta = -1 - outOffset ("11"→0, "01"→-1)
   private val shift = -1L - startOffset

@@ -128,12 +128,16 @@ class SamFormat extends LineFormat {
       options: Map[String, String]): LineParser =
     new SamParser(fullSchema, coordSystem(options).startOffset)
 
-  /** Projection-aware: tag parsing (per-tag split + typed convert) is
-    * skipped when the `tags` struct is not consumed. */
+  /** Projection-aware down to nested fields: tag parsing is skipped
+    * when the `tags` struct is not consumed, and limited to the
+    * Catalyst-requested tag names otherwise. */
   override def newParser(fullSchema: StructType,
-      options: Map[String, String], parseNeeded: StructType): LineParser =
+      options: Map[String, String], parseNeeded: StructType): LineParser = {
+    val needed = parseNeeded.fields.find(_.name == "tags")
+      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet)
     new SamParser(fullSchema, coordSystem(options).startOffset,
-      parseTags = parseNeeded.fieldNames.contains("tags"))
+      parseTags = needed.isDefined, neededTags = needed)
+  }
 }
 
 object SamTags {
@@ -170,13 +174,18 @@ object SamTags {
 }
 
 class SamParser(fullSchema: StructType, outOffset: Long,
-    parseTags: Boolean = true) extends LineParser {
+    parseTags: Boolean = true,
+    neededTags: Option[Set[String]] = None) extends LineParser {
   private val tagSchema: Option[StructType] =
     if (fullSchema.fieldNames.contains("tags"))
       Some(fullSchema("tags").dataType.asInstanceOf[StructType])
     else None
+  // slot index limited to the tags whose values are actually consumed
   private val tagIndex: Map[String, Int] =
-    tagSchema.map(_.fieldNames.zipWithIndex.toMap).getOrElse(Map.empty)
+    tagSchema.map { ts =>
+      val all = ts.fieldNames.zipWithIndex.toMap
+      neededTags.fold(all)(keep => all.filter(kv => keep(kv._1)))
+    }.getOrElse(Map.empty)
   // native SAM pos is 1-based closed → output delta ("11"→0, "01"→-1)
   private val shift = -1L - outOffset
 
@@ -208,10 +217,12 @@ class SamParser(fullSchema: StructType, outOffset: Long,
         val tags = new Array[Any](ts.length)
         var i = 11
         while (i < c.length) {
-          val parts = c(i).split(":", 3)
-          if (parts.length == 3) {
-            tagIndex.get(parts(0)).foreach { idx =>
-              tags(idx) = convertTag(ts(idx).dataType, parts(2))
+          // "XX:T:value" — identify the 2-char tag without splitting, so
+          // un-requested tags cost no allocation at all
+          val t = c(i)
+          if (t.length >= 5 && t.charAt(2) == ':' && t.charAt(4) == ':') {
+            tagIndex.get(t.substring(0, 2)).foreach { idx =>
+              tags(idx) = convertTag(ts(idx).dataType, t.substring(5))
             }
           }
           i += 1

@@ -52,6 +52,16 @@ class BamSourceSpec extends SparkSuite {
     assert(r1.getLong(0) == 1 && r1.getString(1) == "16")
   }
 
+  test("bam: nested tag projection returns the requested tag's value") {
+    val df = spark.read.format("bam").load(bamPath)
+    val r = df.where(col("qname") === "r001")
+      .select(col("tags.NM").as("nm")).collect()(0)
+    assert(r.getLong(0) == 1L)
+    val md = df.where(col("qname") === "r001")
+      .select(col("tags.MD").as("md")).collect()(0)
+    assert(md.getString(0) == "16")
+  }
+
   test("bam: indexed region query returns only overlapping records") {
     val df = spark.read.format("bam").option("tag_scan_rows", "0")
       .option("regions", "chr1:1-200")

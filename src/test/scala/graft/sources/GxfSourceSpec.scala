@@ -33,6 +33,13 @@ class GxfSourceSpec extends SparkSuite {
     assert(rows(1).getFloat(5) == 5.5f && rows(1).getInt(7) == 0)
   }
 
+  test("gtf: nested attribute projection returns the requested key") {
+    val df = spark.read.format("gtf").load(tempFile("sn.gtf", gtf))
+    val r = df.orderBy("start", "type")
+      .select(col("attributes.gene_id").as("g")).collect()
+    assert(r(0).getString(0) == "ENSG1")
+  }
+
   test("gff3: multi-value attributes become arrays, percent-decoded") {
     val df = spark.read.format("gff").load(tempFile("s.gff", gff))
     val attrs = df.schema("attributes").dataType

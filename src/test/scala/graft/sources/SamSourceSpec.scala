@@ -45,6 +45,14 @@ class SamSourceSpec extends SparkSuite {
     assert(r3.isNullAt(0) && r3.isNullAt(1))
   }
 
+  test("sam: nested tag projection returns the requested tag's value") {
+    val df = spark.read.format("sam").option("tags", "NM:i,MD:Z")
+      .load(tempFile("s2n.sam", sam))
+    val r = df.where(col("qname") === "r001")
+      .select(col("tags.NM").as("nm")).collect()(0)
+    assert(r.getLong(0) == 1L)
+  }
+
   test("sam: tag discovery by sampling") {
     val df = spark.read.format("sam").load(tempFile("s3.sam", sam))
     val tags = df.schema("tags").dataType
