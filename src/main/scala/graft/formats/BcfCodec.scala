@@ -79,6 +79,18 @@ object BcfCodec {
     readTypedBody(bb, tpe, len)
   }
 
+  /** Advance past one typed value (descriptor already consumed) without
+    * materializing it — nested pruning walks un-requested INFO/FORMAT
+    * entries by size only. */
+  def skipTypedBody(bb: ByteBuffer, tpe: Int, len: Int): Unit = tpe match {
+    case 0 => ()
+    case TypeChar | TypeInt8 => bb.position(bb.position() + len)
+    case TypeInt16 => bb.position(bb.position() + 2 * len)
+    case TypeInt32 | TypeFloat => bb.position(bb.position() + 4 * len)
+    case other =>
+      throw new IllegalArgumentException(s"unknown BCF type $other")
+  }
+
   def readTypedBody(bb: ByteBuffer, tpe: Int, len: Int): Any = tpe match {
     case 0 => null // MISSING type (flag values)
     case TypeChar =>
@@ -127,7 +139,9 @@ object BcfCodec {
     * passes the pruned requirement; the site fields and rlen are always
     * decoded, so region residual checks never depend on the flags). */
   def readRecord(le: BamCodec.LEInput, wantInfo: Boolean = true,
-      wantFormats: Boolean = true): Option[BcfRecord] = {
+      wantFormats: Boolean = true,
+      wantInfoKey: Int => Boolean = _ => true,
+      wantFmtKey: Int => Boolean = _ => true): Option[BcfRecord] = {
     val lShared = le.tryReadInt().getOrElse(return None)
     val lIndiv = le.readInt()
     val shared = ByteBuffer.wrap(le.readBytes(lShared))
@@ -167,16 +181,27 @@ object BcfCodec {
       case xs: Seq[_] => xs.collect { case l: Long => l.toInt }
       case _ => Nil
     }
-    val info = if (!wantInfo) Nil else (0 until nInfo).map { _ =>
+    val info = if (!wantInfo) Nil else (0 until nInfo).flatMap { _ =>
       val key = readTypedValue(shared) match {
         case l: Long => l.toInt
         case other => throw new IllegalStateException(s"bad info key $other")
       }
-      val value = readTypedValue(shared)
-      key -> value
+      if (wantInfoKey(key)) Some(key -> readTypedValue(shared))
+      else {
+        // un-requested key: advance by size, never box the value
+        val desc = shared.get() & 0xff
+        val tpe = desc & 0xf
+        var len = desc >>> 4
+        if (len == 15) len = readTypedValue(shared) match {
+          case l: Long => l.toInt
+          case _ => 0
+        }
+        skipTypedBody(shared, tpe, len)
+        None
+      }
     }
 
-    val formats = if (!wantFormats) Nil else (0 until nFmt).map { _ =>
+    val formats = if (!wantFormats) Nil else (0 until nFmt).flatMap { _ =>
       val key = readTypedValue(indiv) match {
         case l: Long => l.toInt
         case other => throw new IllegalStateException(s"bad fmt key $other")
@@ -190,9 +215,15 @@ object BcfCodec {
           case _ => 0
         }
       }
+      if (!wantFmtKey(key)) {
+        // un-requested FORMAT field: one sized skip over all samples
+        skipTypedBody(indiv, tpe, perLen * nSample)
+        None
+      } else {
       val values = (0 until nSample).map(_ =>
         readTypedBody(indiv, tpe, perLen)).toIndexedSeq
-      key -> values
+      Some(key -> values)
+      }
     }
 
     Some(BcfRecord(contigId, pos0, rlen, qual.map(_.floatValue()),

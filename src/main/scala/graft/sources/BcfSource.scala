@@ -168,12 +168,16 @@ class BcfScanBuilder(fullSchema: StructType, paths: Seq[Path],
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
   private var required: StructType = fullSchema
+  // verbatim Catalyst pruning, incl. nested info/sample pruning (a parse
+  // hint only — readSchema stays whole-struct)
+  private var requiredNested: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val keep = requiredSchema.fieldNames.toSet
     required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+    requiredNested = requiredSchema
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -186,13 +190,15 @@ class BcfScanBuilder(fullSchema: StructType, paths: Seq[Path],
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def build(): Scan =
-    new BcfScan(fullSchema, required, paths, options, pushed, limit)
+    new BcfScan(fullSchema, required, requiredNested, paths, options,
+      pushed, limit)
 }
 
 case class BcfInputPartition(pathStr: String, ranges: Seq[(Long, Long)],
     regions: Seq[(String, Long, Long)]) extends InputPartition
 
-class BcfScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
+class BcfScan(fullSchema: StructType, required: StructType,
+    requiredNested: StructType, paths: Seq[Path],
     options: Map[String, String], pushed: Array[Filter], limit: Int)
     extends Scan with Batch {
 
@@ -261,17 +267,19 @@ class BcfScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BcfReaderFactory(fullSchema, required, options, limit)
+    new BcfReaderFactory(fullSchema, required, requiredNested, options, limit)
 }
 
 class BcfReaderFactory(fullSchema: StructType, required: StructType,
+    requiredNested: StructType,
     options: Map[String, String], limit: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new BcfPartitionReader(fullSchema, required, options, limit,
+    new BcfPartitionReader(fullSchema, required, requiredNested, options, limit,
       p.asInstanceOf[BcfInputPartition])
 }
 
 class BcfPartitionReader(fullSchema: StructType, required: StructType,
+    requiredNested: StructType,
     options: Map[String, String], limit: Int, part: BcfInputPartition)
     extends PartitionReader[InternalRow] {
 
@@ -314,11 +322,33 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
   // under region queries)
   private val wantInfo = required.fieldNames.contains("info")
   private val wantSamples = required.fieldNames.contains("samples")
+  // nested pruning → string-dictionary index predicates: un-requested
+  // INFO keys / FORMAT fields are size-skipped in the codec, never boxed
+  private def nestedStruct(name: String): Option[StructType] =
+    requiredNested.fields.find(_.name == name)
+      .map(_.dataType.asInstanceOf[StructType])
+  private def dictIdx(names: Set[String]): Set[Int] =
+    names.flatMap(n => Some(dict.strings.indexOf(n)).filter(_ >= 0))
+  private val wantedInfoIdx: Option[Set[Int]] =
+    nestedStruct("info").map(st => dictIdx(st.fieldNames.toSet))
+  private val wantedFmtIdx: Option[Set[Int]] =
+    nestedStruct("samples").map { st =>
+      val keys =
+        if (byField) st.fieldNames.toSet
+        else st.fields.flatMap(
+          _.dataType.asInstanceOf[StructType].fieldNames).toSet
+      dictIdx(keys)
+    }
+  private val wantInfoKey: Int => Boolean =
+    k => wantedInfoIdx.forall(_(k))
+  private val wantFmtKey: Int => Boolean =
+    k => wantedFmtIdx.forall(_(k))
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (true) {
-      BcfCodec.readRecord(le, wantInfo, wantSamples) match {
+      BcfCodec.readRecord(le, wantInfo, wantSamples,
+        wantInfoKey, wantFmtKey) match {
         case None => return false
         case Some(rec) =>
           val keep = regionsById.isEmpty || regionsById.exists {

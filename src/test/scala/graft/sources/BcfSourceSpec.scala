@@ -98,6 +98,26 @@ class BcfSourceSpec extends SparkSuite {
     assert(gt2.map(_.isNullAt(0)) == Seq(true, true)) // ./.
   }
 
+  test("bcf: nested projection skips un-requested info/format decoding") {
+    // only DP and NA1.GT are requested: AF/DB and FD are size-skipped in
+    // the codec, and the returned values must still be exact
+    val df = spark.read.format("bcf").load(bcfPath)
+    val r = df.orderBy("pos")
+      .select(col("pos"), col("info.DP").as("dp"),
+        col("samples.NA1.GT").as("gt")).collect()
+    assert(r(0).getLong(0) == 100 && r(0).getLong(1) == 10)
+    assert(r(0).getSeq[org.apache.spark.sql.Row](2)
+      .map(g => (g.getInt(0), g.getBoolean(1))) == Seq((0, false), (1, true)))
+    assert(r(1).isNullAt(1)) // record 2 has no DP
+    // FD-only projection must still read FD exactly (skip GT)
+    val fd = df.orderBy("pos").select(col("samples.NA1.FD").as("fd"))
+      .collect()
+    assert(fd(0).getLong(0) == 7L && fd(1).isNullAt(0))
+    // AF-only projection skips DP/DB
+    val af = df.orderBy("pos").select(col("info.AF").as("af")).collect()
+    assert(af(0).isNullAt(0) && af(1).getSeq[Float](0) == Seq(0.5f))
+  }
+
   test("bcf: CSI region query and pushed chrom filter") {
     val df = spark.read.format("bcf")
       .option("regions", "chr2:150-250").load(bcfPath)
