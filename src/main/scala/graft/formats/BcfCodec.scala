@@ -79,6 +79,24 @@ object BcfCodec {
     readTypedBody(bb, tpe, len)
   }
 
+  /** Advance past one full typed value (descriptor included) without
+    * materializing it. Mirrors [[readTypedValue]]'s descriptor handling
+    * exactly — including THROWING on a malformed long-vector length —
+    * so the skip path can never silently desynchronize where the read
+    * path would error. */
+  def skipTypedValue(bb: ByteBuffer): Unit = {
+    val desc = bb.get() & 0xff
+    val tpe = desc & 0xf
+    var len = desc >>> 4
+    if (len == 15) {
+      readTypedValue(bb) match {
+        case l: Long => len = l.toInt
+        case other => throw new IllegalStateException(s"bad length $other")
+      }
+    }
+    skipTypedBody(bb, tpe, len)
+  }
+
   /** Advance past one typed value (descriptor already consumed) without
     * materializing it — nested pruning walks un-requested INFO/FORMAT
     * entries by size only. */
@@ -189,14 +207,7 @@ object BcfCodec {
       if (wantInfoKey(key)) Some(key -> readTypedValue(shared))
       else {
         // un-requested key: advance by size, never box the value
-        val desc = shared.get() & 0xff
-        val tpe = desc & 0xf
-        var len = desc >>> 4
-        if (len == 15) len = readTypedValue(shared) match {
-          case l: Long => l.toInt
-          case _ => 0
-        }
-        skipTypedBody(shared, tpe, len)
+        skipTypedValue(shared)
         None
       }
     }
@@ -212,7 +223,8 @@ object BcfCodec {
       if (perLen == 15) {
         perLen = readTypedValue(indiv) match {
           case l: Long => l.toInt
-          case _ => 0
+          case other => // silent 0 would desync every later field
+            throw new IllegalStateException(s"bad fmt length $other")
         }
       }
       if (!wantFmtKey(key)) {

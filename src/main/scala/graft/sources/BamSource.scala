@@ -410,8 +410,8 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
       case CoordSystem.ZeroBasedHalfOpen => -1L
     },
     parseTags = required.fieldNames.contains("tags"),
-    neededTags = requiredNested.fields.find(_.name == "tags")
-      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet))
+    neededTags = graft.sources.common.LineSourceUtil
+      .nestedStruct(requiredNested, "tags").map(_.fieldNames.toSet))
 
   private val refIdByName = header.refNames.zipWithIndex.toMap
   private val regionsById: Seq[(Int, Long, Long)] = part.regions.flatMap {

@@ -325,8 +325,7 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
   // nested pruning → string-dictionary index predicates: un-requested
   // INFO keys / FORMAT fields are size-skipped in the codec, never boxed
   private def nestedStruct(name: String): Option[StructType] =
-    requiredNested.fields.find(_.name == name)
-      .map(_.dataType.asInstanceOf[StructType])
+    graft.sources.common.LineSourceUtil.nestedStruct(requiredNested, name)
   private def dictIdx(names: Set[String]): Set[Int] =
     names.flatMap(n => Some(dict.strings.indexOf(n)).filter(_ >= 0))
   private val wantedInfoIdx: Option[Set[Int]] =

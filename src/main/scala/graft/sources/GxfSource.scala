@@ -112,8 +112,8 @@ abstract class GxfFormat(val gtfStyle: Boolean) extends LineFormat {
   override def newParser(fullSchema: StructType,
       options: Map[String, String], parseNeeded: StructType): LineParser = {
     val attrSchema = fullSchema("attributes").dataType.asInstanceOf[StructType]
-    val needed = parseNeeded.fields.find(_.name == "attributes")
-      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet)
+    val needed = graft.sources.common.LineSourceUtil
+      .nestedStruct(parseNeeded, "attributes").map(_.fieldNames.toSet)
     new GxfParser(attrSchema, gtfStyle, coordSystem(options).startOffset,
       parseAttrs = needed.isDefined, neededAttrs = needed)
   }
@@ -159,6 +159,46 @@ class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
   // system: out = native + delta, delta = -1 - outOffset ("11"→0, "01"→-1)
   private val shift = -1L - startOffset
 
+  /** Single pass over column 9, matching the key BEFORE extracting any
+    * value substring — un-requested attributes cost nothing beyond the
+    * key probe (same semantics as GxfAttributes.parseRaw: last duplicate
+    * wins, quoted GTF values unwrapped, values percent-decoded). */
+  private def fillAttrs(s: String, attrs: Array[Any]): Unit = {
+    if (s.isEmpty || s == ".") return
+    val n = s.length
+    var start = 0
+    while (start < n) {
+      var semi = s.indexOf(';', start)
+      if (semi < 0) semi = n
+      var b = start
+      while (b < semi && s.charAt(b) == ' ') b += 1
+      var e = semi
+      while (e > b && s.charAt(e - 1) == ' ') e -= 1
+      if (e > b) {
+        val sepChar = if (gtfStyle) ' ' else '='
+        var sep = b
+        while (sep < e && s.charAt(sep) != sepChar) sep += 1
+        if (sep > b && sep < e) {
+          attrIndex.get(s.substring(b, sep)).foreach { i =>
+            var vb = sep + 1
+            if (gtfStyle) while (vb < e && s.charAt(vb) == ' ') vb += 1
+            var raw = s.substring(vb, e)
+            if (gtfStyle)
+              raw = raw.stripPrefix("\"").stripSuffix("\"")
+            attrs(i) = attrSchema(i).dataType match {
+              case ArrayType(StringType, _) =>
+                ArrayData.toArrayData(raw.split(",").map(x =>
+                  UTF8String.fromString(GxfAttributes.percentDecode(x))))
+              case _ =>
+                UTF8String.fromString(GxfAttributes.percentDecode(raw))
+            }
+          }
+        }
+      }
+      start = semi + 1
+    }
+  }
+
   override def parse(line: String): InternalRow = {
     val c = line.split("\t", -1)
     if (c.length < 8) throw new IllegalArgumentException(
@@ -169,19 +209,7 @@ class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
     // no per-row array + struct allocation
     val attrsVal: Any = if (!parseAttrs) null else {
       val attrs = new Array[Any](attrSchema.length)
-      if (c.length >= 9) {
-        GxfAttributes.parseRaw(c(8), gtfStyle).foreach { case (k, v) =>
-          attrIndex.get(k).foreach { i =>
-            attrs(i) = attrSchema(i).dataType match {
-              case ArrayType(StringType, _) =>
-                ArrayData.toArrayData(v.split(",").map(x =>
-                  UTF8String.fromString(GxfAttributes.percentDecode(x))))
-              case _ =>
-                UTF8String.fromString(GxfAttributes.percentDecode(v))
-            }
-          }
-        }
-      }
+      if (c.length >= 9) fillAttrs(c(8), attrs)
       new GenericInternalRow(attrs)
     }
     new GenericInternalRow(Array[Any](

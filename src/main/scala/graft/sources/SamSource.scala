@@ -133,8 +133,8 @@ class SamFormat extends LineFormat {
     * Catalyst-requested tag names otherwise. */
   override def newParser(fullSchema: StructType,
       options: Map[String, String], parseNeeded: StructType): LineParser = {
-    val needed = parseNeeded.fields.find(_.name == "tags")
-      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet)
+    val needed = graft.sources.common.LineSourceUtil
+      .nestedStruct(parseNeeded, "tags").map(_.fieldNames.toSet)
     new SamParser(fullSchema, coordSystem(options).startOffset,
       parseTags = needed.isDefined, neededTags = needed)
   }

@@ -150,8 +150,7 @@ class VcfFormat extends LineFormat {
   override def newParser(fullSchema: StructType,
       options: Map[String, String], parseNeeded: StructType): LineParser = {
     def nested(name: String): Option[StructType] =
-      parseNeeded.fields.find(_.name == name)
-        .map(_.dataType.asInstanceOf[StructType])
+      graft.sources.common.LineSourceUtil.nestedStruct(parseNeeded, name)
     new VcfParser(fullSchema,
       byField = options.getOrElse("genotype_by", "sample") == "field",
       shift = -1L - coordSystem(options).startOffset,
@@ -262,14 +261,6 @@ object VcfHeader {
 class VcfParser(fullSchema: StructType, byField: Boolean,
     shift: Long, infoNeeded: Option[StructType],
     samplesNeeded: Option[StructType]) extends LineParser {
-
-  /** Parse-everything constructor (hint = the full schema itself). */
-  def this(fullSchema: StructType, byField: Boolean, shift: Long) =
-    this(fullSchema, byField, shift,
-      fullSchema.fields.find(_.name == "info")
-        .map(_.dataType.asInstanceOf[StructType]),
-      fullSchema.fields.find(_.name == "samples")
-        .map(_.dataType.asInstanceOf[StructType]))
 
   private val infoSchema: Option[StructType] =
     fullSchema.fieldNames.find(_ == "info").map(_ =>

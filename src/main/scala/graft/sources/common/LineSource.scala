@@ -92,6 +92,15 @@ trait LineFormat extends Serializable {
 }
 
 object LineSourceUtil {
+
+  /** The Catalyst-pruned inner struct of top-level column `name` in a
+    * pruned schema, if the column is requested at all — the shared
+    * nested-projection hint extractor for every format reader. */
+  def nestedStruct(pruned: org.apache.spark.sql.types.StructType,
+      name: String): Option[org.apache.spark.sql.types.StructType] =
+    pruned.fields.find(_.name == name)
+      .map(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
+
   def resolvePaths(options: CaseInsensitiveStringMap): Seq[Path] = {
     val conf = graft.sources.common.GraftHadoop.conf()
     val raw = Option(options.get("paths"))
