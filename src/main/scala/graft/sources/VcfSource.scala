@@ -151,11 +151,13 @@ class VcfFormat extends LineFormat {
       options: Map[String, String], parseNeeded: StructType): LineParser = {
     def nested(name: String): Option[StructType] =
       graft.sources.common.LineSourceUtil.nestedStruct(parseNeeded, name)
+    val top = parseNeeded.fieldNames.toSet
     new VcfParser(fullSchema,
       byField = options.getOrElse("genotype_by", "sample") == "field",
       shift = -1L - coordSystem(options).startOffset,
       infoNeeded = nested("info"),
-      samplesNeeded = nested("samples"))
+      samplesNeeded = nested("samples"),
+      fixedNeeded = VcfParser.FixedNames.map(top.contains))
   }
 }
 
@@ -258,9 +260,16 @@ object VcfHeader {
   * a present struct limits parsing to its fields. Rows are always
   * emitted in FULL schema shape; un-requested slots stay null. The
   * no-hint constructor (`parseAll`) parses everything. */
+object VcfParser {
+  /** The seven fixed columns, in schema slot order. */
+  val FixedNames: Array[String] =
+    Array("chrom", "pos", "id", "ref", "alt", "qual", "filter")
+}
+
 class VcfParser(fullSchema: StructType, byField: Boolean,
     shift: Long, infoNeeded: Option[StructType],
-    samplesNeeded: Option[StructType]) extends LineParser {
+    samplesNeeded: Option[StructType],
+    fixedNeeded: Array[Boolean] = Array.fill(7)(true)) extends LineParser {
 
   private val infoSchema: Option[StructType] =
     fullSchema.fieldNames.find(_ == "info").map(_ =>
@@ -288,6 +297,80 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
       case _ => Array.empty
     }
 
+  private def sampleColOf(f: StructField, default: Int): Int =
+    if (f.metadata.contains("vcf_sample_idx"))
+      f.metadata.getLong("vcf_sample_idx").toInt
+    else default
+
+  // per-row loop plans, precomputed so the hot path never touches field
+  // metadata or name sets: in sample mode, each outer sample's VCF
+  // column and the consumed inner FORMAT-field indices (null = sample
+  // skipped); in byField mode, each FORMAT field's consumed sample
+  // slots and their VCF columns (null = field skipped)
+  private val sampleModeCols: Array[Int] = samplesSchema match {
+    case Some(ss) if !byField =>
+      ss.fields.zipWithIndex.map { case (f, j) => 9 + sampleColOf(f, j) }
+    case _ => Array.empty
+  }
+  private val sampleModeInner: Array[Array[Int]] = samplesSchema match {
+    case Some(ss) if !byField && parseSamples =>
+      ss.fields.zipWithIndex.map { case (f, j) =>
+        outerNeed(j) match {
+          case Some(need) =>
+            f.dataType.asInstanceOf[StructType].fields.zipWithIndex
+              .collect { case (ff, i) if need(ff.name) => i }
+          case None => null
+        }
+      }
+    case _ => Array.empty
+  }
+  private val byFieldInner: Array[Array[Int]] = samplesSchema match {
+    case Some(ss) if byField && parseSamples =>
+      ss.fields.zipWithIndex.map { case (f, i) =>
+        outerNeed(i) match {
+          case Some(needSamples) =>
+            f.dataType.asInstanceOf[StructType].fields.zipWithIndex
+              .collect { case (sf, j) if needSamples(sf.name) => j }
+          case None => null
+        }
+      }
+    case _ => Array.empty
+  }
+  private val byFieldCols: Array[Array[Int]] = samplesSchema match {
+    case Some(ss) if byField && parseSamples =>
+      ss.fields.zipWithIndex.map { case (f, i) =>
+        if (byFieldInner(i) == null) null
+        else {
+          val sampleStruct = f.dataType.asInstanceOf[StructType]
+          byFieldInner(i).map(j => 9 + sampleColOf(sampleStruct.fields(j), j))
+        }
+      }
+    case _ => Array.empty
+  }
+
+  // memoized FORMAT-column parse: real files carry very few distinct
+  // FORMAT strings, so the split + key-position map is computed once
+  // per distinct value instead of per row (parsers are per-partition
+  // and single-threaded, so plain mutable fields are safe)
+  private var fmtCacheStr: String = null
+  private var fmtCacheIdx: java.util.HashMap[String, Integer] = null
+  private def formatIndex(fmt: String): java.util.HashMap[String, Integer] = {
+    if (fmt != fmtCacheStr) {
+      val m = new java.util.HashMap[String, Integer]()
+      if (fmt != "." && fmt.nonEmpty) {
+        val keys = fmt.split(":")
+        var i = 0
+        while (i < keys.length) { m.put(keys(i), Integer.valueOf(i)); i += 1 }
+      }
+      fmtCacheStr = fmt
+      fmtCacheIdx = m
+    }
+    fmtCacheIdx
+  }
+
+  // reusable tab-offset buffer for the column scan
+  private var tabBuf = new Array[Int](12)
+
   /** Enforce a declared fixed Number=n (carried as field metadata):
     * the reference's FixedSizeList semantics — a record carrying MORE
     * values than declared is malformed rather than silently shaped
@@ -309,23 +392,44 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
     value
   }
 
-  override def parse(line: String): InternalRow = {
-    val c = line.split("\t", -1)
-    require(c.length >= 8, s"malformed VCF line (${c.length} cols)")
-    def dot(v: String) = v == "." || v.isEmpty
-    def strList(v: String, sep: Char): Any =
-      if (dot(v)) null
-      else ArrayData.toArrayData(
-        v.split(sep).map(UTF8String.fromString))
+  private def dot(v: String) = v == "." || v.isEmpty
+  private def strList(v: String, sep: Char): Any =
+    if (dot(v)) null
+    else ArrayData.toArrayData(v.split(sep).map(UTF8String.fromString))
 
-    val fixed = Array[Any](
-      if (dot(c(0))) null else UTF8String.fromString(c(0)),
-      if (dot(c(1))) null else c(1).toLong + shift,
-      strList(c(2), ';'),
-      if (dot(c(3))) null else UTF8String.fromString(c(3)),
-      strList(c(4), ','),
-      if (dot(c(5))) null else c(5).toFloat,
-      strList(c(6), ';'))
+  override def parse(line: String): InternalRow = {
+    // offset scan over the tabs: a column substring is materialized
+    // only when that column is actually consumed — split("\t") would
+    // allocate one String per sample column even for an INFO-only scan
+    var nTabs = 0
+    var ti = line.indexOf('\t')
+    while (ti >= 0) {
+      if (nTabs == tabBuf.length)
+        tabBuf = java.util.Arrays.copyOf(tabBuf, nTabs * 2)
+      tabBuf(nTabs) = ti
+      nTabs += 1
+      ti = line.indexOf('\t', ti + 1)
+    }
+    val nCols = nTabs + 1
+    require(nCols >= 8, s"malformed VCF line ($nCols cols)")
+    def col(i: Int): String = {
+      val a = if (i == 0) 0 else tabBuf(i - 1) + 1
+      val b = if (i == nTabs) line.length else tabBuf(i)
+      line.substring(a, b)
+    }
+
+    val fixed = new Array[Any](7)
+    if (fixedNeeded(0)) { val v = col(0)
+      if (!dot(v)) fixed(0) = UTF8String.fromString(v) }
+    if (fixedNeeded(1)) { val v = col(1)
+      if (!dot(v)) fixed(1) = v.toLong + shift }
+    if (fixedNeeded(2)) fixed(2) = strList(col(2), ';')
+    if (fixedNeeded(3)) { val v = col(3)
+      if (!dot(v)) fixed(3) = UTF8String.fromString(v) }
+    if (fixedNeeded(4)) fixed(4) = strList(col(4), ',')
+    if (fixedNeeded(5)) { val v = col(5)
+      if (!dot(v)) fixed(5) = v.toFloat }
+    if (fixedNeeded(6)) fixed(6) = strList(col(6), ';')
 
     val infoVal: Seq[Any] = infoSchema.toSeq.map { is =>
       if (!parseInfo) null else {
@@ -334,7 +438,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
       // extracted only for keys the schema keeps (duplicate keys
       // last-win, matching the previous map behavior)
       val arr = new Array[Any](is.length)
-      val s = c(7)
+      val s = col(7)
       if (!dot(s)) {
         val n = s.length
         var start = 0
@@ -360,60 +464,78 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
 
     val samplesVal: Seq[Any] = samplesSchema.toSeq.map { ss =>
       if (!parseSamples) null else {
-      val formatKeys: Array[String] =
-        if (c.length > 8 && !dot(c(8))) c(8).split(":") else Array.empty
-      // values per sample column, aligned by schema position
-      def sampleCol(f: StructField, default: Int): Int =
-        if (f.metadata.contains("vcf_sample_idx"))
-          f.metadata.getLong("vcf_sample_idx").toInt
-        else default
+      val fmtIdx = formatIndex(if (nCols > 8) col(8) else "")
       if (byField) {
-        // struct{field → struct{sample → value}}; outerNeed limits both
-        // which FORMAT fields and which samples within them are parsed
+        // struct{field → struct{sample → value}}; the plan arrays limit
+        // both which FORMAT fields and which samples within them are
+        // parsed; each consumed sample column is split at most once per
+        // row (cached), not once per FORMAT field
         val arr = new Array[Any](ss.length)
-        ss.fields.zipWithIndex.foreach { case (fieldF, i) =>
-          outerNeed(i).foreach { needSamples =>
-            val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
+        val partsCache = new Array[Array[String]](nCols)
+        var i = 0
+        while (i < ss.length) {
+          val innerIdx = byFieldInner(i)
+          if (innerIdx != null) {
+            val sampleStruct =
+              ss.fields(i).dataType.asInstanceOf[StructType]
             val inner = new Array[Any](sampleStruct.length)
-            val keyIdx = formatKeys.indexOf(fieldF.name)
-            if (keyIdx >= 0) {
-              sampleStruct.fields.zipWithIndex.foreach { case (sf, j) =>
-                val col = 9 + sampleCol(sf, j)
-                if (needSamples(sf.name) && col < c.length) {
-                  val parts = c(col).split(":", -1)
-                  if (keyIdx < parts.length && !dot(parts(keyIdx)))
-                    inner(j) = enforceCount(sf,
+            val key = fmtIdx.get(ss.fields(i).name)
+            if (key != null) {
+              val keyIdx = key.intValue()
+              val cols = byFieldCols(i)
+              var k = 0
+              while (k < innerIdx.length) {
+                val ci = cols(k)
+                if (ci < nCols) {
+                  var parts = partsCache(ci)
+                  if (parts == null) {
+                    parts = col(ci).split(":", -1)
+                    partsCache(ci) = parts
+                  }
+                  if (keyIdx < parts.length && !dot(parts(keyIdx))) {
+                    val sf = sampleStruct.fields(innerIdx(k))
+                    inner(innerIdx(k)) = enforceCount(sf,
                       convert(sf.dataType, parts(keyIdx), isFlag = false))
+                  }
                 }
+                k += 1
               }
             }
             arr(i) = new GenericInternalRow(inner)
           }
+          i += 1
         }
         new GenericInternalRow(arr)
       } else {
         // struct{sample → struct{field → value}}; un-requested samples
-        // skip the per-sample split entirely
+        // never even materialize their column substring
         val arr = new Array[Any](ss.length)
-        ss.fields.zipWithIndex.foreach { case (sampleF, j) =>
-          outerNeed(j).foreach { needFields =>
-            val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
+        var j = 0
+        while (j < ss.length) {
+          val innerIdx = sampleModeInner(j)
+          if (innerIdx != null) {
+            val fieldStruct =
+              ss.fields(j).dataType.asInstanceOf[StructType]
             val inner = new Array[Any](fieldStruct.length)
-            val col = 9 + sampleCol(sampleF, j)
-            if (col < c.length) {
-              val parts = c(col).split(":", -1)
-              fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
-                if (needFields(ff.name)) {
-                  val keyIdx = formatKeys.indexOf(ff.name)
-                  if (keyIdx >= 0 && keyIdx < parts.length &&
-                    !dot(parts(keyIdx)))
-                    inner(i) = enforceCount(ff,
+            val ci = sampleModeCols(j)
+            if (ci < nCols) {
+              val parts = col(ci).split(":", -1)
+              var k = 0
+              while (k < innerIdx.length) {
+                val ff = fieldStruct.fields(innerIdx(k))
+                val key = fmtIdx.get(ff.name)
+                if (key != null) {
+                  val keyIdx = key.intValue()
+                  if (keyIdx < parts.length && !dot(parts(keyIdx)))
+                    inner(innerIdx(k)) = enforceCount(ff,
                       convert(ff.dataType, parts(keyIdx), isFlag = false))
                 }
+                k += 1
               }
             }
             arr(j) = new GenericInternalRow(inner)
           }
+          j += 1
         }
         new GenericInternalRow(arr)
       }
