@@ -140,15 +140,16 @@ object EventStream {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger
 
-  // memory-sink tables from previous driver-side invocations: dropped
-  // lazily at the next invocation (their consumers have materialized by
-  // then), so repeated gate/bench runs do not accumulate driver memory
+  // memory-sink tables from previous driver-side invocations, paired
+  // with the gate session owning them: dropped lazily at the next
+  // invocation (their consumers have materialized by then), so repeated
+  // gate/bench runs do not accumulate driver memory
   private val liveTables =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private def recycleTables(spark: SparkSession): Unit = {
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String)]()
+  private def recycleTables(): Unit = {
     var n = liveTables.poll()
     while (n != null) {
-      try spark.catalog.dropTempView(n) catch { case _: Exception => () }
+      try n._1.catalog.dropTempView(n._2) catch { case _: Exception => () }
       n = liveTables.poll()
     }
   }
@@ -200,6 +201,20 @@ object EventStream {
       case _ => raw
     }
 
+  /** A cloned session for a completion-driven gate run: the stateful
+    * shuffle (= state-store partition count) is sized to the bounded
+    * input instead of inheriting the session-wide width — each
+    * AvailableNow execution pays one state-store file set per partition,
+    * so a 32-wide store on a gate-sized keyspace is pure fixed cost.
+    * Unbounded production streams keep the caller's sizing. The clone
+    * keeps the override out of the caller's later queries. */
+  private def gateSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", math.min(8,
+      spark.sessionState.conf.numShufflePartitions).toString)
+    ss
+  }
+
   /** Drive a REAL streaming tumbling-window aggregation to completion over
     * the events parquet and return its final result: file stream source →
     * 1-hour windows (complete mode, so every window is in the final
@@ -211,12 +226,13 @@ object EventStream {
     * batch path does. */
   def windowedCountsToCompletion(spark: SparkSession,
       eventsPath: String): DataFrame = {
-    recycleTables(spark)
-    val batchSchema = spark.read.parquet(eventsPath).schema
+    recycleTables()
+    val ss = gateSession(spark)
+    val batchSchema = ss.read.parquet(eventsPath).schema
     // the file stream source requires a DIRECTORY of files
     val streamDir = stageAsDir(eventsPath, copies = 1)
     val events = normalizeTs(
-      spark.readStream.schema(batchSchema).parquet(streamDir.toString),
+      ss.readStream.schema(batchSchema).parquet(streamDir.toString),
       batchSchema)
     val agg = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -235,8 +251,8 @@ object EventStream {
     // are done (repeated bench/gate runs must not fill /tmp)
     deleteRecursively(ckpt)
     deleteRecursively(streamDir)
-    liveTables.add(name)
-    spark.table(name)
+    liveTables.add(ss -> name)
+    ss.table(name)
   }
 
   /** Custom-state sessionization driven to completion and
@@ -260,8 +276,15 @@ object EventStream {
     * sentinel sessions are filtered from the rollup. */
   def sessionizeToCompletion(spark: SparkSession,
       eventsPath: String): DataFrame = {
-    import spark.implicits._
-    val batch = spark.read.parquet(eventsPath)
+    // the three drives each pay one state-store file set per shuffle
+    // partition per execution; a completion-driven gate run sizes the
+    // stateful shuffle to its bounded input instead of inheriting the
+    // session-wide width (the unbounded production `sessionize` stream
+    // keeps the caller's sizing). Cloned session: the override must not
+    // leak into the caller's later queries.
+    val ss = gateSession(spark)
+    import ss.implicits._
+    val batch = ss.read.parquet(eventsPath)
     val batchSchema = batch.schema
     val streamDir = stageAsDir(eventsPath, copies = 1)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
@@ -291,7 +314,7 @@ object EventStream {
 
     def runOnce(): Unit = {
       val events = normalizeTs(
-        spark.readStream.schema(batchSchema).parquet(streamDir.toString),
+        ss.readStream.schema(batchSchema).parquet(streamDir.toString),
         batchSchema)
         .select(col("event_id").cast("long").as("event_id"), col("ts"),
           col("user_id").cast("long").as("user_id"),
@@ -317,7 +340,7 @@ object EventStream {
     val sessionSchema =
       org.apache.spark.sql.Encoders.product[UserSession].schema
     // materialize the (small) per-user rollup so the scratch dirs can go
-    val rows = spark.read.schema(sessionSchema).parquet(outDir.toString)
+    val rows = ss.read.schema(sessionSchema).parquet(outDir.toString)
       .where(col("user_id") >= 0)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
@@ -350,11 +373,12 @@ object EventStream {
     * would hold state forever). */
   def dedupToCompletion(spark: SparkSession,
       eventsPath: String): DataFrame = {
-    recycleTables(spark)
-    val batchSchema = spark.read.parquet(eventsPath).schema
+    recycleTables()
+    val ss = gateSession(spark)
+    val batchSchema = ss.read.parquet(eventsPath).schema
     val streamDir = stageAsDir(eventsPath, copies = 2)
     val events = normalizeTs(
-      spark.readStream.schema(batchSchema).parquet(streamDir.toString),
+      ss.readStream.schema(batchSchema).parquet(streamDir.toString),
       batchSchema)
     val deduped = events
       .withWatermark("ts", "1 hour")
@@ -371,7 +395,7 @@ object EventStream {
     q.awaitTermination()
     deleteRecursively(ckpt)
     deleteRecursively(streamDir)
-    liveTables.add(name)
-    spark.table(name)
+    liveTables.add(ss -> name)
+    ss.table(name)
   }
 }
