@@ -485,6 +485,25 @@ object OracleSql {
         |SELECT source, count(*) AS n_kept, max(doc_id) AS max_kept_id
         |FROM r WHERE rk <= 30 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q46: word-level repetition fractions, same bigram construction
+    // (1-based adjacent pairs) and 6-dp rounding as the Spark plan
+    "q46_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws), 6)
+        |    AS dwf,
+        |  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    AS bgs FROM w),
+        |e AS (SELECT doc_id, dwf, unnest(bgs) AS bg FROM b),
+        |c AS (SELECT doc_id, any_value(dwf) AS dwf, bg, count(*) AS cnt
+        |  FROM e GROUP BY doc_id, bg)
+        |SELECT doc_id, any_value(dwf) AS dup_word_frac,
+        |  round(CAST(max(cnt) AS DOUBLE)/sum(cnt), 6) AS top_bigram_frac,
+        |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    /sum(cnt), 6) AS rep_bigram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q42: the streaming custom-state sessionization must reproduce the
     // batch transitive gap closure — the oracle IS q12's sessionization
     // (same 30-min gap, same counts), computed the window-function way

@@ -381,6 +381,14 @@ object SparkEntry {
         sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
       .orderBy(col("split"))
 
+  /** Repetition quality filters ([[graft.operators.TextOps
+    * .repetitionStats]]): Gopher-style duplicate-word, top-bigram and
+    * repeated-bigram fractions per document — the signals a curation
+    * pipeline drops boilerplate and degenerate pages with. */
+  private def q46_repetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(pq(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Per-source quota cap ([[graft.operators.TextOps.capPerKey]]): at
     * most 30 docs per source, deterministic by doc_id — the canonical
     * curation "at most N per domain" operator. */
@@ -743,7 +751,8 @@ object SparkEntry {
     "q42_stream_sessionize" -> (q42_stream_sessionize _),
     "q43_hash_split" -> (q43_hash_split _),
     "q44_source_cap" -> (q44_source_cap _),
-    "q45_embed_dedup" -> (q45_embed_dedup _)) ++
+    "q45_embed_dedup" -> (q45_embed_dedup _),
+    "q46_repetition" -> (q46_repetition _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

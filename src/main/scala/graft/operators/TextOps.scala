@@ -431,6 +431,46 @@ object TextOps {
   /** Token count (whitespace convention). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Repetition quality signals per document — the Gopher/C4-style
+    * filters a training-data pipeline drops boilerplate and
+    * degenerate pages with:
+    *
+    *  - `dup_word_frac`: 1 − distinct-word ratio (narrow, per row);
+    *  - `top_bigram_frac`: occurrences of the most frequent word
+    *    bigram over all bigram occurrences;
+    *  - `rep_bigram_frac`: fraction of bigram occurrences whose bigram
+    *    appears more than once.
+    *
+    * Plan shape: one narrow projection (words + bigram array), explode,
+    * then two hash aggregations — (id, bigram) counts and the per-id
+    * rollup — both with map-side partial aggregation; no joins, no
+    * windows, so it scales by the bigram-occurrence count. Documents
+    * with fewer than two words carry no bigram signal and are absent
+    * from the output (the oracle's unnest drops them identically). */
+  def repetitionStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val n = size(col("__ws")).cast("double")
+    docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        round(lit(1d) - size(array_distinct(col("__ws"))).cast("double") / n,
+          6).as("dup_word_frac"),
+        // element_at is 1-based; the size guard matters because
+        // sequence(1, 0) is a DESCENDING sequence in Spark, not empty
+        explode(expr("CASE WHEN size(__ws) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(__ws) - 1), i -> " +
+          "concat(element_at(__ws, i), ' ', element_at(__ws, i + 1))) END"))
+          .as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(first(col("dup_word_frac")).as("dwf"), count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        first(col("dwf")).as("dup_word_frac"),
+        round(max(col("cnt")).cast("double") / sum(col("cnt")), 6)
+          .as("top_bigram_frac"),
+        round(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+          .cast("double") / sum(col("cnt")), 6).as("rep_bigram_frac"))
+  }
+
   /** BPE-style tokenization regex: letter runs, digit runs, and single
     * punctuation marks each count as a token — the usual pre-tokenizer
     * shape of GPT-style vocabularies. Identical semantics in Java regex

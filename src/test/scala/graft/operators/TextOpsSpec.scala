@@ -207,4 +207,27 @@ class TextOpsSpec extends SparkSuite {
     assert(labels(TextOps.dedupClustersStar(selfDf)) ==
       labels(TextOps.dedupClusters(selfDf)))
   }
+
+  test("repetitionStats: hand-computed fractions, short docs dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // words: [a b a b c], bigrams: "a b","b a","a b","b c" →
+      // dup_word 1-3/5=0.4, top 2/4=0.5, rep 2/4=0.5
+      (1L, "a b a b c"),
+      // all-distinct words, every bigram unique
+      (2L, "one two three four"),
+      // degenerate: "x x x x" → dup 0.75, top/rep = 3/3 = 1.0
+      (3L, "x x x x"),
+      // single word: no bigram signal, absent from output
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((0.4, 0.5, 0.5)))
+    assert(out(2L) == ((0.0, 0.333333, 0.0)))
+    assert(out(3L) == ((0.75, 1.0, 1.0)))
+  }
 }
