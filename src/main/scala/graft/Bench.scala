@@ -92,7 +92,16 @@ object Bench {
         .select(org.apache.spark.sql.functions.col("chrom"),
           org.apache.spark.sql.functions.col("pos"),
           org.apache.spark.sql.functions.col("samples.s1.GT").as("gt1"),
-          org.apache.spark.sql.functions.col("samples.s3.DP").as("dp3"))))
+          org.apache.spark.sql.functions.col("samples.s3.DP").as("dp3"))),
+      // R1 for VCF: the b04 projection with tabix-derived record-aligned
+      // splits, the multi-core scan path a production file (>> one split
+      // budget) takes by default — b04 vs b09 is the parallel speedup
+      "b09_vcf_split" -> ((s: SparkSession, _: String) => s.read
+        .format("vcf")
+        .option("maxpartitionbytes", (4L * 1024 * 1024).toString)
+        .load(c.vcf)
+        .select("chrom", "pos", "info.DP", "info.AF", "info.MQ",
+          "info.QD", "info.AN", "info.AC")))
   }
 
   def main(args: Array[String]): Unit = {
@@ -164,9 +173,13 @@ object Bench {
         .option("tags", "NM:i,AS:i,RG:Z")
         .option("regions", "chr1:60000001-68000000")
         .load(c.bam).rdd.getNumPartitions
+      val vcfSplitParts = spark.read.format("vcf")
+        .option("maxpartitionbytes", (4L * 1024 * 1024).toString)
+        .load(c.vcf).rdd.getNumPartitions
       s"""{"bam_mb":$bamMb,"vcf_mb":$vcfMb,"bed_mb":$bedMb,""" +
         s""""cram_mb":$cramMb,""" +
-        s""""b03_partitions":$splitParts,"b02_partitions":$regionParts}"""
+        s""""b03_partitions":$splitParts,"b02_partitions":$regionParts,""" +
+        s""""b09_partitions":$vcfSplitParts}"""
     }.getOrElse("null")
     val loadBefore = ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage

@@ -221,8 +221,8 @@ class BcfScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
-    val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
-      .getOrElse(64L * 1024 * 1024)
+    val maxSplit = graft.sources.common.LineSourceUtil
+      .maxSplitBytes(options, 64L * 1024 * 1024)
     val regions = parseRegions
     paths.flatMap { p =>
       val fs = p.getFileSystem(conf)

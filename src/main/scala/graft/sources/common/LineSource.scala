@@ -101,6 +101,20 @@ object LineSourceUtil {
     pruned.fields.find(_.name == name)
       .map(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** Split-size budget for partition planning, in priority order: the
+    * reader's `maxpartitionbytes` option, then Spark's standard
+    * `spark.sql.files.maxPartitionBytes` — but only when the user SET
+    * it (at submit, builder or runtime; the conf's own 128 MB default
+    * must not override a format-appropriate fallback), then `fallback`.
+    * Planning runs on the driver, so the active session is reachable. */
+  def maxSplitBytes(options: Map[String, String], fallback: Long): Long =
+    options.get("maxpartitionbytes").map(_.toLong)
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .filter(_.sessionState.conf.contains(
+          "spark.sql.files.maxPartitionBytes"))
+        .map(_.sessionState.conf.filesMaxPartitionBytes))
+      .getOrElse(fallback)
+
   def resolvePaths(options: CaseInsensitiveStringMap): Seq[Path] = {
     val conf = graft.sources.common.GraftHadoop.conf()
     val raw = Option(options.get("paths"))
@@ -247,8 +261,7 @@ class LineScan(format: LineFormat, fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
-    val maxSplit = options.get("maxpartitionbytes").map(_.toLong)
-      .getOrElse(128L * 1024 * 1024)
+    val maxSplit = LineSourceUtil.maxSplitBytes(options, 128L * 1024 * 1024)
     // regions requested via option or pushed chrom equality
     val regions: Seq[graft.core.Region] = {
       val fromOpt = options.get("regions").toSeq
