@@ -133,12 +133,13 @@ object Bench {
     // timed region; size overridable / disableable via env. A focused
     // SPARK_GRAFT_BENCH_ONLY run that names no b* entry must not pay
     // corpus generation or planning.
-    val readerNames = Seq("b01_bam_full", "b02_bam_region", "b03_bam_split",
-      "b04_vcf_info", "b05_bed_region", "b06_cram_full", "b07_cram_slim",
-      "b08_vcf_genotypes")
+    // any focused-run name starting "b" is a reader row; deriving the
+    // gate from the prefix (not a literal list) keeps new b-rows from
+    // silently no-opping when named alone
+    val readerPrefix = "b"
     val corpus: Option[graft.fixtures.BenchCorpus.Paths] =
       if (sys.env.get("SPARK_GRAFT_BENCH_READERS").contains("0") ||
-          !only.forall(f => readerNames.exists(f.contains))) None
+          !only.forall(_.exists(_.startsWith(readerPrefix)))) None
       else try {
         val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS_DIR",
           "/tmp/graft_bench_corpus")

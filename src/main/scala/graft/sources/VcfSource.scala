@@ -258,8 +258,9 @@ object VcfHeader {
 /** `infoNeeded`/`samplesNeeded`: the Catalyst-pruned sub-structs whose
   * values will actually be consumed — `None` skips the column entirely,
   * a present struct limits parsing to its fields. Rows are always
-  * emitted in FULL schema shape; un-requested slots stay null. The
-  * no-hint constructor (`parseAll`) parses everything. */
+  * emitted in FULL schema shape; un-requested slots stay null.
+  * Parse-everything is expressed by passing the full schema's structs
+  * (as `VcfFormat.newParser` does when a predicate is active). */
 object VcfParser {
   /** The seven fixed columns, in schema slot order. */
   val FixedNames: Array[String] =
@@ -360,7 +361,11 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
       if (fmt != "." && fmt.nonEmpty) {
         val keys = fmt.split(":")
         var i = 0
-        while (i < keys.length) { m.put(keys(i), Integer.valueOf(i)); i += 1 }
+        // putIfAbsent: a duplicated FORMAT key resolves to its FIRST
+        // position, matching the indexOf semantics this map replaced
+        while (i < keys.length) {
+          m.putIfAbsent(keys(i), Integer.valueOf(i)); i += 1
+        }
       }
       fmtCacheStr = fmt
       fmtCacheIdx = m

@@ -201,19 +201,34 @@ object EventStream {
       case _ => raw
     }
 
-  /** A cloned session for a completion-driven gate run: the stateful
+  /** A derived session for completion-driven gate runs: the stateful
     * shuffle (= state-store partition count) is sized to the bounded
     * input instead of inheriting the session-wide width — each
     * AvailableNow execution pays one state-store file set per partition,
     * so a 32-wide store on a gate-sized keyspace is pure fixed cost.
-    * Unbounded production streams keep the caller's sizing. The clone
-    * keeps the override out of the caller's later queries. */
-  private def gateSession(spark: SparkSession): SparkSession = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", math.min(8,
-      spark.sessionState.conf.numShufflePartitions).toString)
-    ss
-  }
+    * Unbounded production streams keep the caller's sizing, and the
+    * derived session keeps the override out of the caller's queries.
+    *
+    * Memoized per caller session: every `newSession()` registers a
+    * StreamingQueryManager listener on the shared context bus that can
+    * never be unregistered (stopping the session would stop the shared
+    * SparkContext), so repeated gate/bench runs must reuse one. The
+    * caller's runtime-set SQL confs are copied at first use (newSession
+    * alone only inherits builder-time options); a conf changed AFTER
+    * the first gate run is not re-propagated. */
+  private val gateSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def gateSession(spark: SparkSession): SparkSession =
+    gateSessions.computeIfAbsent(spark, parent => {
+      val ss = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        try ss.conf.set(k, v)
+        catch { case _: Exception => () } // static/non-settable confs
+      }
+      ss.conf.set("spark.sql.shuffle.partitions", math.min(8,
+        parent.sessionState.conf.numShufflePartitions).toString)
+      ss
+    })
 
   /** Drive a REAL streaming tumbling-window aggregation to completion over
     * the events parquet and return its final result: file stream source →
