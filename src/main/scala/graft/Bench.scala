@@ -93,6 +93,12 @@ object Bench {
           org.apache.spark.sql.functions.col("pos"),
           org.apache.spark.sql.functions.col("samples.s1.GT").as("gt1"),
           org.apache.spark.sql.functions.col("samples.s3.DP").as("dp3"))),
+      // CRAI-indexed region query (the reference's published bench shape
+      // for CRAM as b02 is for BAM): a ~400 kbp slice of the ~4.5 Mbp
+      // contig — container pushdown must beat b06's full decode
+      "b10_cram_region" -> ((s: SparkSession, _: String) => s.read
+        .format("cram").option("regions", "chr1:2000001-2400000")
+        .load(c.cram)),
       // R1 for VCF: the b04 projection with tabix-derived record-aligned
       // splits, the multi-core scan path a production file (>> one split
       // budget) takes by default — b04 vs b09 is the parallel speedup

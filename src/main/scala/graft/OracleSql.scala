@@ -504,6 +504,18 @@ object OracleSql {
         |    /sum(cnt), 6) AS rep_bigram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q47: same unigram model — corpus word counts over the same
+    // whitespace tokens, same log10 mean, 6-dp rounding
+    "q47_unigram_lm" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(avg(log10(cnt/total)), 6) AS mean_log10p
+        |FROM w JOIN c USING (w) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q42: the streaming custom-state sessionization must reproduce the
     // batch transitive gap closure — the oracle IS q12's sessionization
     // (same 30-min gap, same counts), computed the window-function way

@@ -389,6 +389,13 @@ object SparkEntry {
     TextOps.repetitionStats(pq(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Corpus-relative unigram log-probability ([[graft.operators.TextOps
+    * .unigramLogProb]]): the curation-pipeline "perplexity filter" —
+    * docs whose words are atypical for the corpus score low. */
+  private def q47_unigram_lm(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogProb(pq(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Per-source quota cap ([[graft.operators.TextOps.capPerKey]]): at
     * most 30 docs per source, deterministic by doc_id — the canonical
     * curation "at most N per domain" operator. */
@@ -752,7 +759,8 @@ object SparkEntry {
     "q43_hash_split" -> (q43_hash_split _),
     "q44_source_cap" -> (q44_source_cap _),
     "q45_embed_dedup" -> (q45_embed_dedup _),
-    "q46_repetition" -> (q46_repetition _)) ++
+    "q46_repetition" -> (q46_repetition _),
+    "q47_unigram_lm" -> (q47_unigram_lm _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -431,6 +431,35 @@ object TextOps {
   /** Token count (whitespace convention). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Corpus-relative unigram log-probability per document — the
+    * "perplexity filter" of training-data curation (docs whose words
+    * are atypical for the corpus score low; gibberish and boilerplate
+    * both stand out):
+    * `mean_log10p = avg(log10(count(w) / total_words))` over the
+    * document's words, under the corpus's own unigram model.
+    *
+    * Plan shape: one exploded word frame feeds (a) the vocab counts —
+    * a partial-aggregated groupBy — and (b) an equi-join back on the
+    * word; the per-doc rollup partial-aggregates again. The counts
+    * side of the join is vocab-sized, so AQE broadcasts it whenever it
+    * fits; the one-row total is an explicit broadcast. At web scale
+    * the vocab itself is capped top-K with an OOV floor before the
+    * join — the model changes, the plan shape does not. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__w"))
+    val counts = words.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum(col("__cnt")).cast("double").as("__total"))
+    words.join(counts, "__w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(log10(col("__cnt") / col("__total"))), 6)
+          .as("mean_log10p"))
+  }
+
   /** Repetition quality signals per document — the Gopher/C4-style
     * filters a training-data pipeline drops boilerplate and
     * degenerate pages with:

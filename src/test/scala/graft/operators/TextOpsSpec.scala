@@ -208,6 +208,23 @@ class TextOpsSpec extends SparkSuite {
       labels(TextOps.dedupClusters(selfDf)))
   }
 
+  test("unigramLogProb: hand-computed corpus model") {
+    val s = spark
+    import s.implicits._
+    // corpus: a×3, b×2, c×1 over 6 total words
+    // doc 1 "a b a": mean log10 of (3/6, 2/6, 3/6)
+    // doc 2 "b c a": mean log10 of (2/6, 1/6, 3/6)
+    val docs = Seq((1L, "a b a"), (2L, "b c a")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def m(ps: Double*) =
+      BigDecimal(ps.map(math.log10).sum / ps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, m(0.5, 2.0 / 6, 0.5))))
+    assert(out(2L) == ((3L, m(2.0 / 6, 1.0 / 6, 0.5))))
+  }
+
   test("repetitionStats: hand-computed fractions, short docs dropped") {
     val s = spark
     import s.implicits._
