@@ -131,15 +131,25 @@ object LineSourceUtil {
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq
           .filter(_.isFile).map(_.getPath)
           // tool-written directories carry _SUCCESS/.crc metadata files
-          // that are not data (same filter as Spark's file sources)
+          // that are not data (same filter as Spark's file sources),
+          // and genomic data commonly sits NEXT TO its index/companion
+          // files — scanning a .tbi as rows would be garbage, so known
+          // companion extensions are excluded from directory expansion
+          // (an explicitly-named file is never filtered)
           .filterNot { p =>
             val n = p.getName
-            n.startsWith("_") || n.startsWith(".")
+            n.startsWith("_") || n.startsWith(".") ||
+              LineSourceUtil.CompanionExts.exists(n.toLowerCase.endsWith)
           }
         else Seq(st.getPath)
       }
     }
   }
+
+  /** Index/companion-file extensions that are never row data for any
+    * graft format: excluded when a DIRECTORY is expanded. */
+  val CompanionExts: Seq[String] =
+    Seq(".bai", ".csi", ".tbi", ".crai", ".fai", ".gzi")
 
   def isGzip(p: Path): Boolean = {
     val n = p.getName.toLowerCase

@@ -25,6 +25,19 @@ class VcfSourceSpec extends SparkSuite {
   private def df = spark.read.format("vcf")
     .load(tempFile("s.vcf", vcf))
 
+  test("vcf: directory load expands data files, skips index companions") {
+    val f = tempFile("s.vcf", vcf)
+    val dir = java.nio.file.Paths.get(f).getParent
+    // companion/index files next to the data must NOT be scanned as rows
+    java.nio.file.Files.write(dir.resolve("s.vcf.gz.tbi"),
+      Array[Byte](0x1f, 0x0b.toByte, 1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("ref.fa.fai"),
+      "chr1\t100\t6\t100\t101\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    val d = spark.read.format("vcf").load(dir.toString)
+    assert(d.count() == 2)
+  }
+
   test("vcf: fixed columns with list semantics") {
     val d = df
     assert(d.columns.toSeq == Seq("chrom", "pos", "id", "ref", "alt", "qual",
