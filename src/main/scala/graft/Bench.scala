@@ -183,10 +183,17 @@ object Bench {
       val vcfSplitParts = spark.read.format("vcf")
         .option("maxpartitionbytes", (4L * 1024 * 1024).toString)
         .load(c.vcf).rdd.getNumPartitions
+      val cramRegionParts = spark.read.format("cram")
+        .option("regions", "chr1:2000001-2400000")
+        .load(c.cram).rdd.getNumPartitions
+      val cramFullParts = spark.read.format("cram")
+        .load(c.cram).rdd.getNumPartitions
       s"""{"bam_mb":$bamMb,"vcf_mb":$vcfMb,"bed_mb":$bedMb,""" +
         s""""cram_mb":$cramMb,""" +
         s""""b03_partitions":$splitParts,"b02_partitions":$regionParts,""" +
-        s""""b09_partitions":$vcfSplitParts}"""
+        s""""b09_partitions":$vcfSplitParts,""" +
+        s""""b10_partitions":$cramRegionParts,""" +
+        s""""b06_partitions":$cramFullParts}"""
     }.getOrElse("null")
     val loadBefore = ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage

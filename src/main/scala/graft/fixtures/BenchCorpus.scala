@@ -348,7 +348,8 @@ object BenchCorpus {
       val src = scala.io.Source.fromFile(marker)
       try src.mkString.trim == tag finally src.close()
     } && Seq(paths.bam, paths.bam + ".bai", paths.vcf, paths.vcf + ".tbi",
-      paths.bed, paths.bed + ".tbi", paths.cram).forall(new File(_).exists())
+      paths.bed, paths.bed + ".tbi", paths.cram, paths.cram + ".crai")
+      .forall(new File(_).exists())
     if (!fresh) {
       def timed(what: String)(f: => Unit): Unit = {
         val t0 = System.nanoTime()

@@ -124,30 +124,35 @@ object LineSourceUtil {
       .getOrElse(throw new IllegalArgumentException("no path specified"))
     raw.flatMap { p =>
       val path = new Path(p)
+      // A path the user WROTE OUT in full is never filtered; anything
+      // discovered by expansion (glob match or directory listing) is —
+      // tool-written directories carry _SUCCESS/.crc metadata files
+      // that are not data (same filter as Spark's file sources), and
+      // genomic data commonly sits NEXT TO its index/companion files,
+      // so scanning a globbed .tbi as rows would be garbage.
+      val literal = !p.exists("*?[]{}".contains(_))
       val fs = path.getFileSystem(conf)
       val globbed = Option(fs.globStatus(path)).getOrElse(Array.empty[FileStatus])
       if (globbed.isEmpty) Seq(path)
       else globbed.toSeq.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq
           .filter(_.isFile).map(_.getPath)
-          // tool-written directories carry _SUCCESS/.crc metadata files
-          // that are not data (same filter as Spark's file sources),
-          // and genomic data commonly sits NEXT TO its index/companion
-          // files — scanning a .tbi as rows would be garbage, so known
-          // companion extensions are excluded from directory expansion
-          // (an explicitly-named file is never filtered)
-          .filterNot { p =>
-            val n = p.getName
-            n.startsWith("_") || n.startsWith(".") ||
-              LineSourceUtil.CompanionExts.exists(n.toLowerCase.endsWith)
-          }
-        else Seq(st.getPath)
+          .filterNot(isNonData)
+        else if (literal) Seq(st.getPath)
+        else Seq(st.getPath).filterNot(isNonData)
       }
     }
   }
 
+  private def isNonData(p: Path): Boolean = {
+    val n = p.getName
+    n.startsWith("_") || n.startsWith(".") ||
+      LineSourceUtil.CompanionExts.exists(n.toLowerCase.endsWith)
+  }
+
   /** Index/companion-file extensions that are never row data for any
-    * graft format: excluded when a DIRECTORY is expanded. */
+    * graft format: excluded when a directory or glob is EXPANDED
+    * (an explicitly-named literal path is never filtered). */
   val CompanionExts: Seq[String] =
     Seq(".bai", ".csi", ".tbi", ".crai", ".fai", ".gzi")
 

@@ -36,6 +36,17 @@ class VcfSourceSpec extends SparkSuite {
     java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
     val d = spark.read.format("vcf").load(dir.toString)
     assert(d.count() == 2)
+    // glob expansion must filter companions the same way ...
+    val g = spark.read.format("vcf").load(dir.toString + "/*")
+    assert(g.count() == 2)
+    // ... but a literal path the user wrote out in full is never
+    // filtered: FAILFAST must reach the (non-VCF) content and die
+    // parsing it, not silently skip the file
+    val lit = spark.read.format("vcf")
+      .schema(d.schema).option("mode", "FAILFAST")
+      .load(dir.resolve("ref.fa.fai").toString)
+    val e = intercept[org.apache.spark.SparkException](lit.count())
+    assert(e.getMessage != null)
   }
 
   test("vcf: fixed columns with list semantics") {
