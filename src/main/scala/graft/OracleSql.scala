@@ -516,6 +516,22 @@ object OracleSql {
         |FROM w JOIN c USING (w) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q48: same whitespace tokens, same 13-gram windows (no short-doc
+    // fallback: generate_series(1, len-12) is empty below 13 words),
+    // same md5 32-bit gram hash as the Spark side
+    "q48_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, [array_to_string(w[i:i+12], ' ')
+        |   for i in generate_series(1, len(w)-12)] AS gs FROM t),
+        |cg AS (SELECT doc_id, CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 20 <> 0)),
+        |bg AS (SELECT DISTINCT CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) AS h
+        |  FROM (SELECT unnest(gs) AS g FROM g WHERE doc_id % 20 = 0)),
+        |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (h))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
     // q42: the streaming custom-state sessionization must reproduce the
     // batch transitive gap closure — the oracle IS q12's sessionization
     // (same 30-min gap, same counts), computed the window-function way

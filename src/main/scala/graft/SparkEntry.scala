@@ -396,6 +396,20 @@ object SparkEntry {
     TextOps.unigramLogProb(pq(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination ([[graft.operators.TextOps
+    * .decontaminate]]): docs with `doc_id % 20 == 0` stand in for an
+    * eval set; every remaining doc sharing a 13-gram with one of them
+    * is removed — the GPT-3-style overlap rule that keeps test text out
+    * of training data. */
+  private def q48_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = pq(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    TextOps.decontaminate(corpus, bench, "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quota cap ([[graft.operators.TextOps.capPerKey]]): at
     * most 30 docs per source, deterministic by doc_id — the canonical
     * curation "at most N per domain" operator. */
@@ -760,7 +774,8 @@ object SparkEntry {
     "q44_source_cap" -> (q44_source_cap _),
     "q45_embed_dedup" -> (q45_embed_dedup _),
     "q46_repetition" -> (q46_repetition _),
-    "q47_unigram_lm" -> (q47_unigram_lm _)) ++
+    "q47_unigram_lm" -> (q47_unigram_lm _),
+    "q48_decontaminate" -> (q48_decontaminate _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -375,6 +375,45 @@ object TextOps {
     fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
 
+  /** Word n-grams with NO short-document fallback: a document of fewer
+    * than `n` words has no n-gram (contrast [[shingles]], whose ≥1-gram
+    * guarantee exists for minhash). The token array is [[bind]]-ed so
+    * the text splits once, not once per gram position. */
+  def wordGrams(text: Column, n: Int): Column =
+    bind(tokens(text), ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+
+  /** Benchmark decontamination: drop every corpus document that shares
+    * at least one word `n`-gram with any benchmark/eval document (the
+    * GPT-3-style 13-gram overlap rule) — the step that keeps test-set
+    * text out of training data.
+    *
+    * Shape for 100 TB: grams are hashed before the join so the shuffle
+    * rows are (id, long) not (id, text); the benchmark gram set is tiny
+    * relative to the corpus, so AQE broadcasts both the semi-join that
+    * flags contaminated ids and the anti-join that removes them — the
+    * corpus is never shuffled. `fastHash` switches the md5 oracle hash
+    * to codegen'd xxhash64 for production (a hash collision can only
+    * over-remove, the conservative direction for decontamination).
+    *
+    * @return the corpus rows minus contaminated documents
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, fastHash: Boolean = false): DataFrame = {
+    val cg = corpus
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("__g"))
+      .select(col(idCol), baseHash(col("__g"), fastHash).as("__h"))
+    val bg = benchmark
+      .select(explode(wordGrams(col(textCol), n)).as("__g"))
+      .select(baseHash(col("__g"), fastHash).as("__h")).distinct()
+    val flagged = cg.join(bg, Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------ language id
 
   /** Stopword-marker vocabulary per language, ordered by tie-break

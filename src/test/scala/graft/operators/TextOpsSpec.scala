@@ -247,4 +247,38 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == ((0.0, 0.333333, 0.0)))
     assert(out(3L) == ((0.75, 1.0, 1.0)))
   }
+
+  test("decontaminate: n-gram overlap removal, no short-doc fallback") {
+    val s = spark
+    import s.implicits._
+    def words(pre: String, a: Int, b: Int) =
+      (a to b).map(i => s"$pre$i").mkString(" ")
+    val bench = Seq(
+      (100L, words("w", 1, 13)),          // exactly one 13-gram: w1..w13
+      (101L, words("s", 1, 5)))           // 5 words: NO gram at n=13
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains w1..w13 as a run inside a longer doc → contaminated
+      (1L, "x0 " + words("w", 1, 13) + " x1 x2"),
+      // shares only a 12-word run (w2..w13) → clean
+      (2L, words("w", 2, 13) + " y1 y2"),
+      // identical to the SHORT benchmark doc: no gram on either side,
+      // so the 13-gram rule cannot flag it → clean
+      (3L, words("s", 1, 5)),
+      // unrelated → clean
+      (4L, words("z", 1, 20)))
+      .toDF("doc_id", "text")
+    val kept = TextOps.decontaminate(corpus, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L, 4L))
+    // at n=12 the w2..w13 run is itself a gram → doc 2 flagged too
+    val kept12 = TextOps.decontaminate(corpus, bench, "doc_id", "text", n = 12)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept12.toSeq == Seq(3L, 4L))
+    // fast-hash path removes the same documents
+    val keptFast = TextOps
+      .decontaminate(corpus, bench, "doc_id", "text", fastHash = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptFast.toSeq == Seq(2L, 3L, 4L))
+  }
 }
