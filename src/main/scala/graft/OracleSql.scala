@@ -532,6 +532,20 @@ object OracleSql {
         |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
 
+    // q49: same whitespace token counts; the two-pass bucketed prefix
+    // sum must equal the plain global window sum, shard = offset // budget
+    "q49_shard_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS tok_offset FROM t)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 1000 AS shard_id
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // q42: the streaming custom-state sessionization must reproduce the
     // batch transitive gap closure — the oracle IS q12's sessionization
     // (same 30-min gap, same counts), computed the window-function way

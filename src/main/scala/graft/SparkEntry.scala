@@ -410,6 +410,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget shard packing ([[graft.operators.TextOps
+    * .packShards]]): deterministic training-shard assignment by fixed
+    * token offsets, computed with the two-pass distributed prefix sum
+    * (literal range bounds + per-bucket windows) instead of a
+    * single-partition global window. */
+  private def q49_shard_pack(s: SparkSession, dir: String): DataFrame =
+    TextOps.packShards(pq(s, dir, "documents"), "doc_id", "text", 1000L)
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("shard_id"))
+      .orderBy(col("doc_id"))
+
   /** Per-source quota cap ([[graft.operators.TextOps.capPerKey]]): at
     * most 30 docs per source, deterministic by doc_id — the canonical
     * curation "at most N per domain" operator. */
@@ -775,7 +786,8 @@ object SparkEntry {
     "q45_embed_dedup" -> (q45_embed_dedup _),
     "q46_repetition" -> (q46_repetition _),
     "q47_unigram_lm" -> (q47_unigram_lm _),
-    "q48_decontaminate" -> (q48_decontaminate _)) ++
+    "q48_decontaminate" -> (q48_decontaminate _),
+    "q49_shard_pack" -> (q49_shard_pack _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -592,6 +592,76 @@ object TextOps {
     when(bucket.isNotNull, assigned)
   }
 
+  /** Exact EXCLUSIVE prefix sum of `valueCol` in `orderCol` order,
+    * without the single-partition global window (`Window.orderBy` with
+    * no partition key — the canonical Spark scale anti-pattern this
+    * method exists to avoid).
+    *
+    * Two-pass distributed scan: literal range bounds (one
+    * `approxQuantile` job) split the order domain into `buckets`
+    * roughly-equal key ranges; the bucket is then a PURE FUNCTION of
+    * the row, so the totals job and the output job cannot disagree on
+    * placement (the trap with `repartitionByRange` +
+    * `spark_partition_id`, whose sampled boundaries may differ between
+    * jobs on an uncached frame). Per-bucket totals — at most `buckets`
+    * rows — come back to the driver, their running sum becomes a
+    * literal offset array, and the output job adds the offset to a
+    * per-bucket window scan. Each window partition holds ~1/buckets of
+    * the data: no global sort, no driver data path beyond the bounded
+    * totals row set.
+    *
+    * Rows with a null `orderCol` are excluded (a total order cannot
+    * place them). `orderCol` values must be distinct (document ids) —
+    * ties would make "exclusive" ambiguous.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, buckets: Int = 32): DataFrame = {
+    val base = df.where(col(orderCol).isNotNull)
+    // interior quantile bounds; distinct guards collapsed ranges when
+    // the key domain is tiny relative to `buckets`
+    val bounds = base.stat
+      .approxQuantile(orderCol,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    val bucketOf = {
+      val bs = array(bounds.map(lit).toIndexedSeq: _*)
+      size(filter(bs, b => col(orderCol) >= b))
+    }
+    val bk = Iterator.from(0).map(i => s"__graft_bk$i")
+      .find(n => !df.columns.contains(n)).get
+    val bucketed = base.withColumn(bk, bucketOf)
+    val totals = bucketed.groupBy(col(bk))
+      .agg(sum(col(valueCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to bounds.length).scanLeft(0L) {
+      case (acc, b) => acc + totals.getOrElse(b, 0L)
+    }
+    val offsetOf = element_at(
+      array(offsets.map(lit).toIndexedSeq: _*), col(bk) + 1)
+    val w = Window.partitionBy(col(bk)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn(outCol,
+        coalesce(sum(col(valueCol)).over(w), lit(0L)) + offsetOf)
+      .drop(bk)
+  }
+
+  /** Token-budget shard packing: assign each document to a training
+    * shard of ~`budget` tokens by fixed token offsets — shard =
+    * floor(exclusive-prefix-sum(tokens) / budget) in `orderCol` order,
+    * the deterministic sharding a dataloader can reproduce. Built on
+    * [[prefixSum]], so no global-sort bottleneck. Adds `n_tokens`,
+    * `tok_offset` and `shard_id`. */
+  def packShards(docs: DataFrame, orderCol: String, textCol: String,
+      budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val counted = docs.withColumn("n_tokens",
+      tokenCount(col(textCol)).cast("long"))
+    prefixSum(counted, orderCol, "n_tokens", "tok_offset", buckets)
+      .withColumn("shard_id",
+        floor(col("tok_offset") / lit(budget)).cast("long"))
+  }
+
   /** Per-key quota: keep at most `n` rows per `keyCol`, preferring the
     * smallest `orderCol` (deterministic, so re-runs keep the same rows).
     * The canonical curation cap ("at most N documents per domain").

@@ -281,4 +281,33 @@ class TextOpsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(keptFast.toSeq == Seq(2L, 3L, 4L))
   }
+
+  test("prefixSum/packShards: two-pass scan equals the global window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // hand-computed: exclusive offsets 0,3,8,10; budget 5 → shards 0,0,1,2
+    val docs = Seq(
+      (10L, "a b c"), (20L, "d e f g h"), (30L, "i j"), (40L, "k l m"))
+      .toDF("doc_id", "text")
+    val packed = TextOps.packShards(docs, "doc_id", "text", 5L)
+      .select("doc_id", "tok_offset", "shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == Seq(
+      (10L, 0L, 0L), (20L, 3L, 0L), (30L, 8L, 1L), (40L, 10L, 2L)))
+    // more ids than buckets: the bucketed scan must equal the plain
+    // single-partition global window on the same data (null order
+    // rows excluded, null values contribute nothing)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (i * 3L, if (i % 41 == 0) null else Integer.valueOf(rnd.nextInt(50))))
+    val df = (rows :+ ((-1L, Integer.valueOf(9)))).toDF("id", "v")
+      .withColumn("id", when(col("id") === -1L, lit(null)).otherwise(col("id")))
+    val got = TextOps.prefixSum(df, "id", "v", "ps", buckets = 8)
+      .select("id", "ps").as[(Long, Long)].collect().toMap
+    val expect = rows.scanLeft((0L, 0L)) { case ((_, acc), (id, v)) =>
+      (id, acc + Option(v).map(_.toLong).getOrElse(0L))
+    }.sliding(2).map { case Seq((_, prev), (id, _)) => id -> prev }.toMap
+    assert(got == expect)
+  }
 }
