@@ -209,4 +209,33 @@ class PlanAuditSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     pairs.count() // must execute cleanly
   }
+
+  test("prefix-sum shard packing never funnels into one partition") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).map(i => (i, ("w " * (i % 30 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps
+      .packShards(docs, "doc_id", "text", 100L, buckets = 8)
+    val plan = executedString(out)
+    // the global-window formulation would show Exchange SinglePartition;
+    // the two-pass scan must keep every stage bucket-parallel
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("decontamination joins stay hashed-gram equi-joins") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 120L).map(i =>
+      (i, (1 to 20).map(j => s"t${(i * 7 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.decontaminate(
+      docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+      "doc_id", "text")
+    val plan = executedString(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    out.count() // must execute cleanly
+  }
 }
