@@ -99,9 +99,10 @@ object Bench {
       "b10_cram_region" -> ((s: SparkSession, _: String) => s.read
         .format("cram").option("regions", "chr1:2000001-2400000")
         .load(c.cram)),
-      // R1 for VCF: the b04 projection with tabix-derived record-aligned
-      // splits, the multi-core scan path a production file (>> one split
-      // budget) takes by default — b04 vs b09 is the parallel speedup
+      // R1 for VCF: the b04 projection with an explicit 4 MB split
+      // budget. Since the bytes-per-core shrink, b04's DEFAULT planning
+      // also fans out (Spark's FilePartition heuristic), so b04 and b09
+      // should now land close — b09 pins the explicit-budget path
       "b09_vcf_split" -> ((s: SparkSession, _: String) => s.read
         .format("vcf")
         .option("maxpartitionbytes", (4L * 1024 * 1024).toString)

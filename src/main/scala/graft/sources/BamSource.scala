@@ -238,8 +238,10 @@ class BamScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
+    val pathLens = paths.map(p =>
+      p -> p.getFileSystem(conf).getFileStatus(p).getLen)
     val maxSplit = graft.sources.common.LineSourceUtil
-      .maxSplitBytes(options, 64L * 1024 * 1024)
+      .maxSplitBytes(options, 64L * 1024 * 1024, pathLens.map(_._2).sum)
     val unmappedOnly = options.get("unmapped").exists(_.toBoolean)
     val regions = parseRegions
 
@@ -256,9 +258,8 @@ class BamScan(fullSchema: StructType, required: StructType,
         BamInputPartition(p.toString, Seq((a, b)), Nil)
       }).toArray
 
-    paths.flatMap { p =>
+    pathLens.flatMap { case (p, fileLen) =>
       val fs = p.getFileSystem(conf)
-      val fileLen = fs.getFileStatus(p).getLen
       val index = GenomicIndex.findFor(fs, p)
       // header end vpos = first record boundary
       val si = SeekableInputs.forHadoop(fs, p)

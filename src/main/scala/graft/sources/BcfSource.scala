@@ -221,12 +221,13 @@ class BcfScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
+    val pathLens = paths.map(p =>
+      p -> p.getFileSystem(conf).getFileStatus(p).getLen)
     val maxSplit = graft.sources.common.LineSourceUtil
-      .maxSplitBytes(options, 64L * 1024 * 1024)
+      .maxSplitBytes(options, 64L * 1024 * 1024, pathLens.map(_._2).sum)
     val regions = parseRegions
-    paths.flatMap { p =>
+    pathLens.flatMap { case (p, fileLen) =>
       val fs = p.getFileSystem(conf)
-      val fileLen = fs.getFileStatus(p).getLen
       val index = GenomicIndex.findFor(fs, p)
       val headEnd = BcfSource.headerEndVpos(p)
       val eof = VirtualPosition(fileLen, 0)

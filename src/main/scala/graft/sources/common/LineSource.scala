@@ -106,14 +106,32 @@ object LineSourceUtil {
     * `spark.sql.files.maxPartitionBytes` — but only when the user SET
     * it (at submit, builder or runtime; the conf's own 128 MB default
     * must not override a format-appropriate fallback), then `fallback`.
-    * Planning runs on the driver, so the active session is reachable. */
-  def maxSplitBytes(options: Map[String, String], fallback: Long): Long =
-    options.get("maxpartitionbytes").map(_.toLong)
-      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+    *
+    * When `totalBytes` of the planned input is known, the budget then
+    * shrinks to `max(openCostInBytes, totalBytes / defaultParallelism)`
+    * — Spark's own `FilePartition.maxSplitBytes` heuristic — so a
+    * small-vs-the-budget input still fans out across every core
+    * instead of planning one oversized partition (a 69 MB indexed VCF
+    * on 32 cores must be 32-ish tasks, not 1). The open-cost floor
+    * keeps tiny fixtures at one task. Planning runs on the driver, so
+    * the active session is reachable. */
+  def maxSplitBytes(options: Map[String, String], fallback: Long,
+      totalBytes: Long = 0L): Long = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val budget = options.get("maxpartitionbytes").map(_.toLong)
+      .orElse(session
         .filter(_.sessionState.conf.contains(
           "spark.sql.files.maxPartitionBytes"))
         .map(_.sessionState.conf.filesMaxPartitionBytes))
       .getOrElse(fallback)
+    session match {
+      case Some(s) if totalBytes > 0 =>
+        val openCost = s.sessionState.conf.filesOpenCostInBytes
+        val bytesPerCore = totalBytes / s.sparkContext.defaultParallelism
+        math.min(budget, math.max(openCost, bytesPerCore))
+      case _ => budget
+    }
+  }
 
   def resolvePaths(options: CaseInsensitiveStringMap): Seq[Path] = {
     val conf = graft.sources.common.GraftHadoop.conf()
@@ -276,7 +294,10 @@ class LineScan(format: LineFormat, fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
-    val maxSplit = LineSourceUtil.maxSplitBytes(options, 128L * 1024 * 1024)
+    val pathLens = paths.map(p =>
+      p -> p.getFileSystem(conf).getFileStatus(p).getLen)
+    val maxSplit = LineSourceUtil.maxSplitBytes(options, 128L * 1024 * 1024,
+      pathLens.map(_._2).sum)
     // regions requested via option or pushed chrom equality
     val regions: Seq[graft.core.Region] = {
       val fromOpt = options.get("regions").toSeq
@@ -310,9 +331,8 @@ class LineScan(format: LineFormat, fullSchema: StructType,
     val byteRanges = parseRanges("byte_ranges")
     val virtualRanges = parseRanges("virtual_ranges")
 
-    paths.flatMap { p =>
+    pathLens.flatMap { case (p, len) =>
       val fs = p.getFileSystem(conf)
-      val len = fs.getFileStatus(p).getLen
       if (virtualRanges.nonEmpty) {
         virtualRanges.map { case (a, b) =>
           LineInputPartition(p.toString, a, b, gzip = false, vpos = true)

@@ -128,4 +128,23 @@ class IndexedTextSpec extends SparkSuite {
     assert(df.rdd.getNumPartitions == 1)
     assert(df.count() == 5)
   }
+
+  test("split budget shrinks for small inputs (bytes-per-core heuristic)") {
+    import graft.sources.common.LineSourceUtil.maxSplitBytes
+    spark.sparkContext // force session so the heuristic is active
+    val p = spark.sparkContext.defaultParallelism
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val budget = 128L * 1024 * 1024
+    // large input: budget shrinks to bytes-per-core so all cores get work
+    val big = 64L * budget * p
+    assert(maxSplitBytes(Map.empty, budget, big) == budget)
+    val mid = 8L * openCost * p
+    assert(maxSplitBytes(Map.empty, budget, mid) == 8L * openCost)
+    // tiny input: open-cost floor keeps fixtures at one task
+    assert(maxSplitBytes(Map.empty, budget, 100L) == openCost)
+    // an explicit option is a hard cap the shrink never exceeds
+    assert(maxSplitBytes(Map("maxpartitionbytes" -> "1"), budget, mid) == 1L)
+    // unknown size: plain budget resolution, unchanged
+    assert(maxSplitBytes(Map.empty, budget) == budget)
+  }
 }
