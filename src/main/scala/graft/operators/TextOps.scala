@@ -630,8 +630,9 @@ object TextOps {
     val bk = Iterator.from(0).map(i => s"__graft_bk$i")
       .find(n => !df.columns.contains(n)).get
     val bucketed = base.withColumn(bk, bucketOf)
+    // coalesce: a bucket whose every value is null sums to NULL
     val totals = bucketed.groupBy(col(bk))
-      .agg(sum(col(valueCol)).as("t"))
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 to bounds.length).scanLeft(0L) {
       case (acc, b) => acc + totals.getOrElse(b, 0L)

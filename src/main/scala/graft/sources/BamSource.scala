@@ -238,15 +238,13 @@ class BamScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
-    val pathLens = paths.map(p =>
-      p -> p.getFileSystem(conf).getFileStatus(p).getLen)
-    val maxSplit = graft.sources.common.LineSourceUtil
-      .maxSplitBytes(options, 64L * 1024 * 1024, pathLens.map(_._2).sum)
     val unmappedOnly = options.get("unmapped").exists(_.toBoolean)
     val regions = parseRegions
 
     // caller-precomputed virtual-position ranges (scan_virtual_ranges,
-    // `alignment/scanner/bam.rs:263-279`): bounds must be record starts
+    // `alignment/scanner/bam.rs:263-279`): bounds must be record starts.
+    // Handled before any file-status lookup — this path needs no
+    // lengths, so it stays RPC-free at planning time.
     val explicit = options.get("virtual_ranges").toSeq
       .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
       .map { s =>
@@ -258,6 +256,8 @@ class BamScan(fullSchema: StructType, required: StructType,
         BamInputPartition(p.toString, Seq((a, b)), Nil)
       }).toArray
 
+    val (pathLens, maxSplit) = graft.sources.common.LineSourceUtil
+      .pathLensAndBudget(paths, conf, options, 64L * 1024 * 1024)
     pathLens.flatMap { case (p, fileLen) =>
       val fs = p.getFileSystem(conf)
       val index = GenomicIndex.findFor(fs, p)

@@ -221,10 +221,8 @@ class BcfScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
-    val pathLens = paths.map(p =>
-      p -> p.getFileSystem(conf).getFileStatus(p).getLen)
-    val maxSplit = graft.sources.common.LineSourceUtil
-      .maxSplitBytes(options, 64L * 1024 * 1024, pathLens.map(_._2).sum)
+    val (pathLens, maxSplit) = graft.sources.common.LineSourceUtil
+      .pathLensAndBudget(paths, conf, options, 64L * 1024 * 1024)
     val regions = parseRegions
     pathLens.flatMap { case (p, fileLen) =>
       val fs = p.getFileSystem(conf)

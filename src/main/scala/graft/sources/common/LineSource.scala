@@ -133,6 +133,18 @@ object LineSourceUtil {
     }
   }
 
+  /** File lengths of `paths` plus the [[maxSplitBytes]] budget shrunk
+    * for their total size — the shared planning preamble of every
+    * splittable scan. */
+  def pathLensAndBudget(paths: Seq[Path],
+      conf: org.apache.hadoop.conf.Configuration,
+      options: Map[String, String], fallback: Long)
+      : (Seq[(Path, Long)], Long) = {
+    val lens = paths.map(p =>
+      p -> p.getFileSystem(conf).getFileStatus(p).getLen)
+    (lens, maxSplitBytes(options, fallback, lens.map(_._2).sum))
+  }
+
   def resolvePaths(options: CaseInsensitiveStringMap): Seq[Path] = {
     val conf = graft.sources.common.GraftHadoop.conf()
     val raw = Option(options.get("paths"))
@@ -294,10 +306,8 @@ class LineScan(format: LineFormat, fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
-    val pathLens = paths.map(p =>
-      p -> p.getFileSystem(conf).getFileStatus(p).getLen)
-    val maxSplit = LineSourceUtil.maxSplitBytes(options, 128L * 1024 * 1024,
-      pathLens.map(_._2).sum)
+    val (pathLens, maxSplit) = LineSourceUtil
+      .pathLensAndBudget(paths, conf, options, 128L * 1024 * 1024)
     // regions requested via option or pushed chrom equality
     val regions: Seq[graft.core.Region] = {
       val fromOpt = options.get("regions").toSeq

@@ -309,5 +309,11 @@ class TextOpsSpec extends SparkSuite {
       (id, acc + Option(v).map(_.toLong).getOrElse(0L))
     }.sliding(2).map { case Seq((_, prev), (id, _)) => id -> prev }.toMap
     assert(got == expect)
+    // all-null values: every bucket total is NULL — must not NPE
+    val allNull = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val z = TextOps.packShards(allNull, "doc_id", "text", 5L)
+      .select("tok_offset").as[Long].collect()
+    assert(z.toSeq == Seq(0L, 0L))
   }
 }
