@@ -46,6 +46,29 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Bench-only production-path variants: timed for the honest cost
+    * comparison but NOT gate queries (no DuckDB oracle can mirror
+    * xxhash64 — engine-reproducible md5 is exactly what the gated q32
+    * pays for). */
+  private def fastPathBenches
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // q32 with fastHash=true: same winnowing, xxhash64 grams — the
+    // variant a production pipeline runs; the q32/x32 delta is the
+    // price of oracle-reproducible hashing
+    "x32_winnow_fast" -> ((s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("source"),
+          graft.operators.TextOps.winnowFingerprints(
+            org.apache.spark.sql.functions.col("text"), fastHash = true)
+            .as("fp"))
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.col("fp")))
+            .cast("long").as("n_fps"))))
+
   /** Genomic-reader benchmark entries (b01–b05) over the generated
     * multi-hundred-MB corpus — the surface the q* parquet analytics never
     * touch, and the only benchmark shape the reference itself publishes
@@ -163,6 +186,7 @@ object Bench {
           None
       }
     val queries = (SparkEntry.queries.toSeq.filter(_._1.startsWith("q"))
+        ++ fastPathBenches
         ++ corpus.toSeq.flatMap(readerBenches))
       .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1)

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level text kernels behind the production-path text expressions
+  * (same static-forwarder pattern as [[GenomicCodegen]]: one Scala
+  * object shared by interpreted eval and generated code). */
+object TextKernels {
+
+  /** O(n) winnowing fingerprints (MOSS): 32-bit polynomial rolling hash
+    * of the k-char grams, monotonic-deque window minima over w-wide
+    * windows, first-appearance distinct — the same gram positions,
+    * window count and distinct semantics as the oracle-mirrored
+    * HOF formulation in `TextOps.winnowFingerprints` (gram positions
+    * `max(len-k+1, 1)` with the short-text tail clamp; window positions
+    * `max(nHashes-w+1, 1)` with slice clamp), but a different 32-bit
+    * hash family and none of the per-position substring+digest cost:
+    * each character is consumed once by the rolling update and each
+    * hash enters/leaves the deque once.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val B = 131L
+    val Mask = 0xFFFFFFFFL
+    val nGrams = math.max(n - k + 1, 1)
+    val hashes = new Array[Long](nGrams)
+    if (n <= k) {
+      // single clamped gram: hash whatever characters exist
+      var h = 0L; var i = 0
+      while (i < n) { h = (h * B + s.charAt(i)) & Mask; i += 1 }
+      hashes(0) = h
+    } else {
+      // B^(k-1) mod 2^32 for the rolling subtract
+      var bk = 1L
+      var e = 0
+      while (e < k - 1) { bk = (bk * B) & Mask; e += 1 }
+      var h = 0L; var i = 0
+      while (i < k) { h = (h * B + s.charAt(i)) & Mask; i += 1 }
+      hashes(0) = h
+      var p = 1
+      while (p < nGrams) {
+        h = ((h - (s.charAt(p - 1) * bk & Mask)) & Mask) * B & Mask
+        h = (h + s.charAt(p + k - 1)) & Mask
+        hashes(p) = h
+        p += 1
+      }
+    }
+    // window minima via monotonic deque (indices of increasing hash),
+    // emitting in first-appearance order without re-adding duplicates
+    val nWins = math.max(nGrams - w + 1, 1)
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // [head, tail)
+    val seen = new java.util.HashSet[Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    while (i < nGrams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val winStart = i - w + 1
+      while (deque(head) < winStart) head += 1
+      // windows are positions 0..nWins-1; emit once the first full (or
+      // clamped-final) window is reached
+      if (i >= w - 1 || i == nGrams - 1) {
+        val m = hashes(deque(head))
+        if (seen.add(m)) out.add(m)
+      }
+      i += 1
+    }
+    // short inputs: nGrams < w means exactly one (clamped) window — the
+    // loop above emits it at i == nGrams-1
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Production-path text expressions (fingerprinting); registered from
+  * [[graft.operators.TextOps]] when `fastHash = true`. */
+object TextFunctions {
+
+  /** Catalyst expression: O(n) rolling-hash winnowing fingerprints.
+    * Codegen'd via a static kernel call — no `CodegenFallback`, no
+    * interpreted higher-order functions in the hot path. */
+  case class WinnowFast(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.winnow(v.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.winnow($c, $k, $w);")
+    override def prettyName: String = "winnow_fingerprints_fast"
+    override protected def withNewChildInternal(c: Expression): WinnowFast =
+      copy(child = c)
+  }
+
+  def winnow_fast(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      WinnowFast(org.apache.spark.sql.graftshim.ColumnShim.expression(c),
+        k, w))
+}

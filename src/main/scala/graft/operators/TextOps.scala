@@ -357,10 +357,16 @@ object TextOps {
     * calls per document. */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4,
       fastHash: Boolean = false): Column =
-    bind(
+    if (fastHash)
+      // production path: one codegen'd O(n) kernel (rolling 32-bit
+      // gram hash + deque window minima) instead of per-position
+      // substring+digest under interpreted higher-order functions —
+      // same gram/window/distinct semantics, different hash family
+      graft.functions.TextFunctions.winnow_fast(text, k, w)
+    else bind(
       transform(
         sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-        i => baseHash(text.substr(i, lit(k)), fastHash)),
+        i => baseHash(text.substr(i, lit(k)))),
       hashes =>
         array_distinct(transform(
           sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
