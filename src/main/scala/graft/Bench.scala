@@ -47,14 +47,16 @@ object Bench {
   }
 
   /** Bench-only production-path variants: timed for the honest cost
-    * comparison but NOT gate queries (no DuckDB oracle can mirror
-    * xxhash64 — engine-reproducible md5 is exactly what the gated q32
-    * pays for). */
+    * comparison but NOT gate queries. The kernel's base-131 polynomial
+    * gram hash is engine-reproducible in principle, but the md5 family
+    * is the one the gated q32 pins; x32 exists to price that choice,
+    * not to re-verify the winnowing (the kernel has its own
+    * brute-force-reference spec). */
   private def fastPathBenches
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    // q32 with fastHash=true: same winnowing, xxhash64 grams — the
-    // variant a production pipeline runs; the q32/x32 delta is the
-    // price of oracle-reproducible hashing
+    // q32 with fastHash=true: same winnowing via the codegen'd O(n)
+    // rolling-hash kernel — the variant a production pipeline runs;
+    // the q32/x32 delta is the price of oracle-reproducible hashing
     "x32_winnow_fast" -> ((s: SparkSession, dir: String) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(org.apache.spark.sql.functions.col("source"),

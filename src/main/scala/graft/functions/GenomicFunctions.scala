@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,6 +20,11 @@ import graft.core.{CoordSystem, Region}
   * per-row `InternalRow` materialization just to re-enter the interpreter. */
 object GenomicCodegen {
 
+  /** Cap on a single CIGAR op count: far above the BAM encoding's
+    * 28-bit limit, far below Long wrap even when summed over any
+    * realistic op list. */
+  final val MaxOpLen: Long = 1L << 40
+
   /** Reference bases consumed by a CIGAR; -1 encodes SQL null ("*"/empty
     * input — a real CIGAR sums to >= 0). Throws on malformed input. */
   def cigarRefLen(v: UTF8String): Long = {
@@ -29,8 +34,14 @@ object GenomicCodegen {
       var total = 0L; var n = 0L; var i = 0; var seen = false
       while (i < s.length) {
         val ch = s.charAt(i)
-        if (ch >= '0' && ch <= '9') { n = n * 10 + (ch - '0'); seen = true }
-        else {
+        if (ch >= '0' && ch <= '9') {
+          n = n * 10 + (ch - '0'); seen = true
+          // overflow guard: unchecked accumulation would wrap negative,
+          // and a negative total is this function's NULL sentinel — a
+          // malformed count must throw, not masquerade as '*'
+          if (n > MaxOpLen) throw new IllegalArgumentException(
+            s"CIGAR count overflow in '$s'")
+        } else {
           if (!seen) throw new IllegalArgumentException(s"bad CIGAR '$s'")
           ch match {
             case 'M' | 'D' | 'N' | '=' | 'X' => total += n
@@ -58,8 +69,11 @@ object GenomicCodegen {
       var n = 0L; var i = 0; var seen = false
       while (i < s.length) {
         val ch = s.charAt(i)
-        if (ch >= '0' && ch <= '9') { n = n * 10 + (ch - '0'); seen = true }
-        else {
+        if (ch >= '0' && ch <= '9') {
+          n = n * 10 + (ch - '0'); seen = true
+          if (n > MaxOpLen) throw new IllegalArgumentException(
+            s"CIGAR count overflow in '$s'")
+        } else {
           if (!seen || "MIDNSHP=X".indexOf(ch.toInt) < 0)
             throw new IllegalArgumentException(s"bad CIGAR '$s'")
           out += new GenericInternalRow(
@@ -104,7 +118,8 @@ object GenomicFunctions {
     * zero-based half-open. `end` is null for open-ended regions.
     */
   case class ParseRegion(child: Expression, coords: String)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     private lazy val cs = CoordSystem.fromCode(coords)
     override def dataType: DataType = StructType(Seq(
       StructField("chrom", StringType, nullable = true),
@@ -141,7 +156,8 @@ object GenomicFunctions {
   /** Number of reference bases consumed by a CIGAR string: sum of lengths of
     * M/D/N/=/X operations (I/S/H/P consume none). Null for "*" or null. */
   case class CigarRefLen(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     // '*'/empty evaluate to null even from a non-nullable child; without
     // this the optimizer folds IS NULL checks on the result to false
@@ -165,7 +181,8 @@ object GenomicFunctions {
 
   /** CIGAR string → array of (op, len) structs. */
   case class CigarOps(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("op", StringType, nullable = false),
       StructField("len", LongType, nullable = false))), containsNull = false)

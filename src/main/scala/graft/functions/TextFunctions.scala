@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -22,8 +22,15 @@ object TextKernels {
     * hash family and none of the per-position substring+digest cost:
     * each character is consumed once by the rolling update and each
     * hash enters/leaves the deque once.
+    *
+    * Length is counted in UTF-16 units (`String.length`), the HOF path
+    * in code points (Spark `length` on UTF8String) — for text with
+    * non-BMP characters the two paths emit different fingerprint
+    * COUNTS. Each path is self-consistent (all a dedup fingerprint
+    * needs); do not cross-compare their structure on astral-plane text.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k > 0 && w > 0, s"winnow needs k > 0 and w > 0, got k=$k w=$w")
     val s = text.toString
     val n = s.length
     val B = 131L
@@ -52,8 +59,9 @@ object TextKernels {
       }
     }
     // window minima via monotonic deque (indices of increasing hash),
-    // emitting in first-appearance order without re-adding duplicates
-    val nWins = math.max(nGrams - w + 1, 1)
+    // emitting in first-appearance order without re-adding duplicates;
+    // the max(nGrams-w+1, 1) window count is implicit in the emission
+    // condition below (full windows, plus the clamped final one)
     val deque = new Array[Int](nGrams)
     var head = 0; var tail = 0 // [head, tail)
     val seen = new java.util.HashSet[Long]()
@@ -89,7 +97,8 @@ object TextFunctions {
     * Codegen'd via a static kernel call — no `CodegenFallback`, no
     * interpreted higher-order functions in the hot path. */
   case class WinnowFast(child: Expression, k: Int, w: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType =
       ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
@@ -103,8 +112,10 @@ object TextFunctions {
       copy(child = c)
   }
 
-  def winnow_fast(c: Column, k: Int, w: Int): Column =
+  def winnow_fast(c: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, s"winnow needs k > 0 and w > 0, got k=$k w=$w")
     org.apache.spark.sql.graftshim.ColumnShim.column(
       WinnowFast(org.apache.spark.sql.graftshim.ColumnShim.expression(c),
         k, w))
+  }
 }

@@ -149,8 +149,12 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
     }
+    // GreaterThan is collected flipped: Catalyst has no canonicalization
+    // rule turning `b.end > a.start` into `a.start < b.end` at this
+    // point, and both spellings of the overlap predicate are common
     val lts = conjuncts.collect {
       case LessThan(IntegralAttr(a), IntegralAttr(b)) => (a, b)
+      case GreaterThan(IntegralAttr(b), IntegralAttr(a)) => (a, b)
     }
     // a.start < b.end (left attr < right attr) and b.start < a.end
     val lsRe = lts.find { case (a, b) => isLeft(a) && isRight(b) }

@@ -67,6 +67,17 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
           .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
         assert(plain == got)
       } finally spark.conf.set(IntervalJoinRewrite.BinSizeKey, "1000")
+
+      // the GreaterThan spelling of the same predicate fires too
+      // (Catalyst never canonicalizes b.end > a.start to a.start < b.end)
+      val flipped = a.join(b,
+        a("chrom") === b("chrom2") &&
+          b("end2") > a("start") && a("end") > b("start2"))
+      val flippedPlan = flipped.queryExecution.optimizedPlan.toString
+      assert(flippedPlan.contains("__graft_binl"), flippedPlan)
+      val gotFlipped = flipped.select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(gotFlipped == got)
     }
   }
 
