@@ -62,7 +62,9 @@ object IntervalOps {
     * only processes the surviving RUNS (input reduced by the local merge
     * factor — the common case for dense genomic interval sets; a
     * no-overlap worst case degrades to the plain window). Results are
-    * identical to [[mergeIntervals]]. */
+    * identical to [[mergeIntervals]], including the output schema: the
+    * chromosome column keeps the caller's name and type (the sweep
+    * widens coordinates to long internally and casts back). */
   def mergeIntervalsRange(df: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end",
       partitions: Int = 0): DataFrame = {
@@ -100,5 +102,9 @@ object IntervalOps {
         }
       }
     windowMerge(runs.toDF(), "chrom", "start", "end", col("n"))
+      .select(col("chrom").cast(df.schema(chrom).dataType).as(chrom),
+        col("start").cast(df.schema(start).dataType).as("start"),
+        col("end").cast(df.schema(end).dataType).as("end"),
+        col("n_merged"))
   }
 }

@@ -17,9 +17,11 @@ object Layout {
     * count should match downstream parallelism (buckets are the minimum
     * task granularity for bucket-preserving reads). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      keys: String*): Unit =
+      keys: String*): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.drop(1): _*)
       .sortBy(keys.head, keys.drop(1): _*)
       .saveAsTable(table)
+  }
 }

@@ -43,6 +43,9 @@ object Multimodal {
         ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     private def be16(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def be64(b: Array[Byte], o: Int): Long =
+      ((be32(b, o).toLong & 0xffffffffL) << 32) |
+        (be32(b, o + 4).toLong & 0xffffffffL)
 
     private val PngSig =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -169,12 +172,24 @@ object Multimodal {
             // corrupt value cannot wrap the offset negative
             val size = be32(b, o).toLong & 0xffffffffL
             val tpe = fourcc(b, o + 4)
-            val body = o + 8
-            val end =
-              if (size <= 0) hi
-              else math.min(hi.toLong, o.toLong + size).toInt
-            o = if (size <= 8) hi else end
-            (tpe, body, end)
+            if (size == 1L && o + 16 <= hi) {
+              // size==1: 64-bit largesize follows the type (ISO BMFF
+              // §4.2) — common on >4 GB mdat; must not end the walk
+              val large = be64(b, o + 8)
+              val end =
+                if (large < 16L) hi
+                else math.min(hi.toLong, o.toLong + large).toInt
+              val cur = o
+              o = if (large < 16L) hi else end
+              (tpe, cur + 16, end)
+            } else {
+              val body = o + 8
+              val end =
+                if (size <= 0) hi
+                else math.min(hi.toLong, o.toLong + size).toInt
+              o = if (size <= 8) hi else end
+              (tpe, body, end)
+            }
           }
         }
       if (b.length < 16) return None
@@ -236,9 +251,15 @@ object Multimodal {
   }
 
   /** 4-byte / 2-byte big-endian binary from an integral column, via
-    * codegen'd built-ins (hex → lpad → unhex). */
-  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
-  private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+    * codegen'd built-ins (hex → lpad → unhex). Masked to the field
+    * width first: lpad TRUNCATES THE TAIL of an oversized hex string,
+    * which would keep the HIGH-order digits — a negative or oversized
+    * value must keep its conventional low bits (same pmod as [[leN]]). */
+  private def beN(c: Column, bytes: Int): Column =
+    unhex(lpad(hex(pmod(c.cast("long"), lit(1L << (bytes * 8)))),
+      bytes * 2, "0"))
+  private def be32(c: Column): Column = beN(c, 4)
+  private def be16(c: Column): Column = beN(c, 2)
 
   /** Little-endian counterparts: the big-endian hex string re-assembled
     * byte-reversed — still pure codegen'd built-ins. */
@@ -394,13 +415,18 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     assets.select(col("asset_id"), col("mime"), col("payload"),
-        col("meta.n_bytes").as("n_bytes"))
+        // a null payload has a null octet_length; the typed Long must
+        // not see it (and the decoder gets an empty array, mirroring
+        // extractAvMeta's null fallback instead of failing the task)
+        coalesce(col("meta.n_bytes"), lit(0L)).as("n_bytes"))
       .as[(Long, String, Array[Byte], Long)]
       .mapPartitions { it =>
         // per-partition decoder init goes here (real codecs: open context)
         it.map { case (id, mime, payload, nBytes) =>
-          val (w, h, c, bd, bright, emb) = MediaDecoder.decode(payload, mime)
-          MediaFeatures(id, mime, nBytes, w, h, c, bd, bright, emb)
+          val p = if (payload == null) Array.emptyByteArray else payload
+          val m = if (mime == null) "" else mime
+          val (w, h, c, bd, bright, emb) = MediaDecoder.decode(p, m)
+          MediaFeatures(id, m, nBytes, w, h, c, bd, bright, emb)
         }
       }
   }

@@ -46,17 +46,10 @@ object Similarity {
     x ^ (x >>> 31)
   }
 
-  /** `bits` deterministic pseudo-random hyperplanes in `dim` dimensions,
-    * entries uniform in [-1, 1) from a splitmix64 stream of `seed`.
-    * Generated at plan time — identical on every executor and every run. */
-  def hyperplanes(seed: Long, bits: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(bits, dim) { (i, j) =>
-      val h = splitmix64(seed + i.toLong * 1000003L + j.toLong)
-      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
-
-  /** Integer-quantized hyperplanes, entries uniform in [-512, 511]. The
-    * LSH family is the same as [[hyperplanes]] (signs are scale-free), but
+  /** Integer-quantized deterministic pseudo-random hyperplanes, entries
+    * uniform in [-512, 511] from a splitmix64 stream of `seed`, generated
+    * at plan time — identical on every executor and every run. Signs are
+    * scale-free, so quantization does not change the LSH family, and
     * integer entries print exactly as SQL literals, so an external oracle
     * can rebuild the identical planes and reproduce every dot product
     * bit-for-bit. */
@@ -127,10 +120,8 @@ object Similarity {
   def bandedTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int, bands: Int = 4,
       bitsPerBand: Int = 16, seed: Long = 42L): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
-    val c = candidates.select(col(idCol).as("cand_id"),
-      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
     def keyed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id),
         posexplode(array(bandKeys(col(vec), dim, bands, bitsPerBand,
@@ -140,6 +131,18 @@ object Similarity {
       .select("query_id", "cand_id").distinct()
     rerank(cand.join(q, "query_id").join(c, "cand_id"), k)
   }
+
+  /** Shared (id, vec, norm) projection for every search/dedup operator,
+    * DROPPING zero-norm, NaN and null vectors: a zero vector has no
+    * direction, and its NaN cosine would rank FIRST under Spark's
+    * NaN-is-greatest ordering (and pass every `>= threshold` compare) —
+    * polluting every top-k with junk rather than merely wasting work.
+    * The NaN check must be explicit: `NaN > 0.0` is TRUE in Spark. */
+  private def normed(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        norm(col(vecCol)).as(nAs))
+      .where(col(nAs) > 0.0 && !isnan(col(nAs)))
 
   /** Shared exact-cosine rerank tail: compute sims over candidate
     * pairs carrying (__qv,__qn) / (__cv,__cn), keep each query's top-k
@@ -180,6 +183,10 @@ object Similarity {
       .select(col(idCol).as("cell_id"),
         col(vecCol).cast("array<double>").as("__cent"),
         norm(col(vecCol)).as("__centn"))
+      // null ids sort FIRST ascending and a zero/NaN-norm centroid
+      // poisons every cosine against it — neither may enter the quantizer
+      .where(col("cell_id").isNotNull &&
+        col("__centn") > 0.0 && !isnan(col("__centn")))
       .orderBy(col("cell_id").asc)
       .limit(nCells)
       .collect()
@@ -252,10 +259,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 8,
       nProbe: Int = 2): DataFrame = {
-    val c = candidates.select(col(idCol).as("cand_id"),
-      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
+    val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     centroidLiteral(candidates, idCol, vecCol, nCells) match {
       case None => // empty corpus: empty result, correct schema
         rerank(q.crossJoin(c).where(lit(false)), k)
@@ -273,10 +278,8 @@ object Similarity {
     * sides so the pair loop only does the dot product. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
-    val c = candidates.select(col(idCol).as("cand_id"),
-      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
     rerank(q.crossJoin(c), k)
   }
 
@@ -292,12 +295,10 @@ object Similarity {
       case Some(dim) => hyperplaneBucket(vec, dim, bits, seed)
       case None => signBucket(vec, bits)
     }
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
-      bucket(col(vecCol)).as("__bucket"))
-    val c = candidates.select(col(idCol).as("cand_id"),
-      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
-      bucket(col(vecCol)).as("__bucket"))
+    val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+      .withColumn("__bucket", bucket(col("__qv")))
+    val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
+      .withColumn("__bucket", bucket(col("__cv")))
     rerank(q.join(c, "__bucket"), k)
   }
 
@@ -311,8 +312,7 @@ object Similarity {
   def bandedNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bands: Int = 4, bitsPerBand: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val v = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      norm(col(vecCol)).as("__n"))
+    val v = normed(vectors, idCol, vecCol, "__id", "__v", "__n")
     val keyed = v.select(col("__id"), posexplode(array(
       bandKeys(col("__v"), dim, bands, bitsPerBand, seed): _*))
       .as(Seq("band", "key")))
@@ -354,11 +354,11 @@ object Similarity {
     * each unordered pair once. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 8): DataFrame = {
-    val v = vectors.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("__n"), signBucket(col(vecCol), bits).as("__bucket"))
-    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+    val v = normed(vectors, idCol, vecCol, "__id", "__v", "__n")
+      .withColumn("__bucket", signBucket(col("__v"), bits))
+    val a = v.select(col("__id").as("id_a"), col("__v").as("__va"),
       col("__n").as("__na"), col("__bucket"))
-    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+    val b = v.select(col("__id").as("id_b"), col("__v").as("__vb"),
       col("__n").as("__nb"), col("__bucket"))
     a.join(b, "__bucket")
       .where(col("id_a") < col("id_b"))

@@ -57,6 +57,20 @@ class IntervalOpsSpec extends SparkSuite {
     // crossing runs everywhere)
     assert(canon(IntervalOps.mergeIntervalsRange(iv, partitions = 40)) ==
       plain)
+    // schema parity: custom chrom name and integer coordinate types
+    // survive the range path (it widens to long internally)
+    import org.apache.spark.sql.functions.col
+    val typedIv = ((1, 100, 200) :: (1, 150, 300) :: (2, 10, 20) :: Nil)
+      .toDF("contig", "start", "end")
+      .select(col("contig"), col("start").cast("int"),
+        col("end").cast("int"))
+    val a = IntervalOps.mergeIntervals(typedIv, chrom = "contig")
+    val b = IntervalOps.mergeIntervalsRange(typedIv, chrom = "contig")
+    // names and types must match (nullability may widen across the cast)
+    assert(a.schema.map(f => (f.name, f.dataType)) ==
+      b.schema.map(f => (f.name, f.dataType)), s"${a.schema} vs ${b.schema}")
+    assert(b.orderBy("contig", "start").collect().toSeq ==
+      a.orderBy("contig", "start").collect().toSeq)
   }
 
   test("mergeIntervals: merged set is disjoint and covers the input") {

@@ -183,4 +183,39 @@ class SimilaritySpec extends SparkSuite {
     // labels are component minima: every label is a member labeling itself
     clusters.values.foreach(c => assert(clusters(c) == c))
   }
+
+  test("zero-norm vectors never enter top-k results or near-dup pairs") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val good = (0L until 12L).map(i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 17 + j + 1).toFloat)))
+    // id 50: all-zero vector (NaN cosine would rank FIRST if kept);
+    // id 51: a NaN component
+    val poisoned = good ++ Seq(
+      (50L, Array.fill(dim)(0f)),
+      (51L, Array.tabulate(dim)(j => if (j == 0) Float.NaN else 1f)))
+    val df = poisoned.toDF("id", "vec")
+    for (topk <- Seq(
+        Similarity.bruteForceTopK(df, df, "id", "vec", 3),
+        Similarity.bucketedTopK(df, df, "id", "vec", 3),
+        Similarity.bandedTopK(df, df, "id", "vec", 3, dim),
+        Similarity.ivfTopK(df, df, "id", "vec", 3, nCells = 4))) {
+      val rows = topk.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getLong(0) < 50L && r.getLong(1) < 50L))
+      assert(rows.forall(r => !r.getDouble(2).isNaN))
+    }
+    for (pairs <- Seq(
+        Similarity.nearDupPairs(df, "id", "vec", 0.5),
+        Similarity.bandedNearDupPairs(df, "id", "vec", 0.5, dim))) {
+      assert(pairs.collect().forall(r =>
+        r.getLong(0) < 50L && r.getLong(1) < 50L))
+    }
+    // the quantizer skips them too: id 50/51 sort below nCells=4 ids
+    // only if included — centroids must all be usable
+    val ivf = Similarity.ivfTopK(df.orderBy(col("id").desc), df, "id",
+      "vec", 2, nCells = 14)
+    assert(ivf.collect().forall(r => !r.getDouble(2).isNaN))
+  }
 }
