@@ -456,6 +456,30 @@ object OracleSql {
     "q37_dedup_clusters" ->
       dedupClosureSql,
 
+    // q50: the same pair closure, every doc labeled (self if unpaired),
+    // then the q43 md5-bucket split applied to the CLUSTER id
+    "q50_leakage_split" ->
+      s"""WITH RECURSIVE $pairCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |alldocs AS (SELECT d.doc_id,
+         |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |b AS (SELECT doc_id, cluster_id,
+         |  CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),1,8))
+         |    AS BIGINT) % 1000 AS bucket FROM alldocs)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     // q41: IVF mirrored bit-for-bit — same left-fold dots/norms, same
     // deterministic seed-vector quantizer, same tie-breaks
     "q41_ann_ivf" -> q41Sql,

@@ -421,6 +421,20 @@ object SparkEntry {
         col("shard_id"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe splitting ([[graft.operators.TextOps
+    * .leakageSafeSplit]]): near-dup clusters (same LSH pair graph as
+    * q37/q40) assigned to train/val/test as units, so near-duplicates
+    * never straddle train and eval. */
+  private def q50_leakage_split(s: SparkSession, dir: String): DataFrame = {
+    val docs = pq(s, dir, "documents")
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(docs, "doc_id", "text", 8),
+      "doc_id", k = 8, bandSize = 2)
+    TextOps.leakageSafeSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quota cap ([[graft.operators.TextOps.capPerKey]]): at
     * most 30 docs per source, deterministic by doc_id — the canonical
     * curation "at most N per domain" operator. */
@@ -787,7 +801,8 @@ object SparkEntry {
     "q46_repetition" -> (q46_repetition _),
     "q47_unigram_lm" -> (q47_unigram_lm _),
     "q48_decontaminate" -> (q48_decontaminate _),
-    "q49_shard_pack" -> (q49_shard_pack _)) ++
+    "q49_shard_pack" -> (q49_shard_pack _),
+    "q50_leakage_split" -> (q50_leakage_split _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

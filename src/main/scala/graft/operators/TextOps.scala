@@ -598,6 +598,29 @@ object TextOps {
     when(bucket.isNotNull, assigned)
   }
 
+  /** Leakage-safe split assignment: near-duplicate clusters are
+    * assigned to train/val/test as UNITS. A document's split is
+    * [[hashSplit]] of its CLUSTER label (component min id from
+    * [[dedupClustersStar]] over `pairs`; unpaired docs label
+    * themselves), so two near-duplicates can never straddle train and
+    * eval — the leakage channel a per-document split leaves open.
+    * Deterministic end to end: same pairs → same clusters → same
+    * splits, across runs and engines.
+    *
+    * @return (idCol, cluster_id, split) for every row of `docs`
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], buckets: Int = 1000,
+      fast: Boolean = false): DataFrame = {
+    val labels = dedupClustersStar(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        hashSplit(col("cluster_id"), weights, buckets, fast))
+  }
+
   /** Exact EXCLUSIVE prefix sum of `valueCol` in `orderCol` order,
     * without the single-partition global window (`Window.orderBy` with
     * no partition key — the canonical Spark scale anti-pattern this

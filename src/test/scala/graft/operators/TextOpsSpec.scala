@@ -316,4 +316,31 @@ class TextOpsSpec extends SparkSuite {
       .select("tok_offset").as[Long].collect()
     assert(z.toSeq == Seq(0L, 0L))
   }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} via chain, {10,11}; rest unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = TextOps.leakageSafeSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out.size == 60) // total: every doc assigned
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size == 1,
+      "cluster {1,2,3} must share cluster_id AND split")
+    assert(Seq(10L, 11L).map(out(_)).distinct.size == 1)
+    assert(out(20L)._1 == 20L) // unpaired docs label themselves
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the split IS the hashSplit of the CLUSTER id: members inherit the
+    // label doc's assignment, and unpaired docs keep their own
+    val own = docs.withColumn("split", TextOps.hashSplit(col("doc_id"),
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(Seq(1L, 2L, 3L).forall(i => out(i)._2 == own(1L)))
+    assert(Seq(10L, 11L).forall(i => out(i)._2 == own(10L)))
+    assert((12L to 60L).forall(i => out(i)._2 == own(i)))
+  }
 }
