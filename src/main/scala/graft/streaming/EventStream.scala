@@ -53,7 +53,10 @@ object EventStream {
 
   final case class SessionEvent(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
-  final case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+  /** Session run in MICROsecond event time: the batch oracle (q12)
+    * compares gaps at microsecond precision, so millisecond state would
+    * merge two events exactly 1800.0005 s apart that the oracle splits. */
+  final case class SessionAgg(startUs: Long, endUs: Long, n: Long, sum: Double)
   /** Custom state: ALL of a user's not-yet-final sessions, sorted by
     * start. Holding the list (not just the newest session) makes
     * in-watermark stragglers exact: an event landing between two pending
@@ -78,16 +81,27 @@ object EventStream {
       gapMs: Long = 30L * 60 * 1000,
       lateness: String = "10 minutes"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+
+    // Timestamp ↔ micros, preserving the sub-ms part (`getTime` alone
+    // truncates to ms). Local defs: the state closures must capture
+    // only serializable locals, never this module object.
+    def tsToUs(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     def close(userId: Long, s: SessionAgg): UserSession =
-      UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
-        s.n, s.sum)
+      UserSession(userId, usToTs(s.startUs), usToTs(s.endUs), s.n, s.sum)
 
     /** Coalesce a start-sorted run list: gap-adjacent runs merge. */
     def coalesce(runs: Seq[SessionAgg]): Seq[SessionAgg] =
-      runs.sortBy(s => (s.startMs, s.endMs)).foldLeft(List.empty[SessionAgg]) {
-        case (acc @ (last :: rest), s) if s.startMs - last.endMs <= gapMs =>
-          SessionAgg(last.startMs, math.max(last.endMs, s.endMs),
+      runs.sortBy(s => (s.startUs, s.endUs)).foldLeft(List.empty[SessionAgg]) {
+        case (acc @ (last :: rest), s) if s.startUs - last.endUs <= gapUs =>
+          SessionAgg(last.startUs, math.max(last.endUs, s.endUs),
             last.n + s.n, last.sum + s.sum) :: rest
         case (acc, s) => s :: acc
       }.reverse
@@ -95,26 +109,32 @@ object EventStream {
     /** Emit sessions the watermark has made final; re-arm the timeout
       * for the earliest still-pending close. Strictly-less-than: Spark's
       * late-row filter keeps events with ts == watermark, and an event
-      * at exactly endMs+gapMs must still merge (the batch oracle merges
-      * at gap <= gapMs), so a session is final only once the watermark
-      * is strictly past its end + gap. */
+      * at exactly endUs+gapUs must still merge (the batch oracle merges
+      * at gap <= gap), so a session is final only once the watermark
+      * is strictly past its end + gap. The watermark/timeout APIs are
+      * millisecond-based; the timeout rounds UP one ms so re-arming can
+      * never set a timestamp at/behind the current watermark (a late
+      * timeout only re-invokes finalize, which re-checks in micros). */
     def finalize(userId: Long, sessions: Seq[SessionAgg],
         state: GroupState[SessionList]): Iterator[UserSession] = {
-      val wm = state.getCurrentWatermarkMs()
-      val (done, open) = sessions.partition(_.endMs + gapMs < wm)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (done, open) = sessions.partition(_.endUs + gapUs < wmUs)
       if (open.isEmpty) state.remove()
       else {
         state.update(SessionList(open))
-        state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
+        state.setTimeoutTimestamp(
+          (open.map(_.endUs).min + gapUs) / 1000L + 1L)
       }
-      done.sortBy(_.startMs).map(close(userId, _)).iterator
+      done.sortBy(_.startUs).map(close(userId, _)).iterator
     }
 
     def update(userId: Long, evs: Iterator[SessionEvent],
         state: GroupState[SessionList]): Iterator[UserSession] = {
       val pending = state.getOption.map(_.sessions).getOrElse(Seq.empty)
-      val incoming = evs.map(e =>
-        SessionAgg(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+      val incoming = evs.map { e =>
+        val us = tsToUs(e.ts)
+        SessionAgg(us, us, 1, e.value)
+      }.toSeq
       finalize(userId, coalesce(pending ++ incoming), state)
     }
 
@@ -166,19 +186,26 @@ object EventStream {
 
   /** Stage a parquet file or directory-shaped table as a fresh stream
     * source directory holding `copies` links (fallback: copies) of
-    * every data file. Paths are resolved absolute — a relative link
-    * target would dangle from the temp dir. */
+    * every data file. The walk is RECURSIVE so Hive-partitioned tables
+    * (date=…/part-….parquet) stage their leaves, and an input with no
+    * parquet files fails loudly instead of streaming zero batches and
+    * returning a silently-empty result. Paths are resolved absolute — a
+    * relative link target would dangle from the temp dir. */
   private def stageAsDir(eventsPath: String, copies: Int)
       : java.nio.file.Path = {
     val src = java.nio.file.Paths.get(eventsPath).toAbsolutePath
     val files: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(src)) {
-        val s = java.nio.file.Files.list(src)
+        val s = java.nio.file.Files.walk(src)
         try {
           scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
-            .asScala.filter(_.toString.endsWith(".parquet")).toVector
+            .asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              p.toString.endsWith(".parquet"))
+            .toVector
         } finally s.close()
       } else Seq(src)
+    require(files.nonEmpty, s"no parquet data files under $eventsPath")
     val d = java.nio.file.Files.createTempDirectory("graft-stream-in")
     files.zipWithIndex.foreach { case (f, i) =>
       (0 until copies).foreach { c =>
@@ -216,8 +243,13 @@ object EventStream {
     * caller's runtime-set SQL confs are copied at first use (newSession
     * alone only inherits builder-time options); a conf changed AFTER
     * the first gate run is not re-propagated. */
-  private val gateSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // weak keys: an entry dies with its parent session instead of pinning
+  // every session a long-lived driver ever created. @transient because
+  // WeakHashMap is not serializable and this module rides into the
+  // stateful closures; deserialization resolves back to the singleton.
+  @transient private lazy val gateSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
   private def gateSession(spark: SparkSession): SparkSession =
     gateSessions.computeIfAbsent(spark, parent => {
       val ss = parent.newSession()
@@ -254,19 +286,22 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_raw"))
     val name = s"graft_stream_win_${runCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // results live in the driver memory sink; the run's scratch dirs
-    // are done (repeated bench/gate runs must not fill /tmp)
-    deleteRecursively(ckpt)
-    deleteRecursively(streamDir)
+    // registered up front so even a failed drive's memory-sink view is
+    // recycled; the finally keeps scratch dirs out of /tmp on failure
     liveTables.add(ss -> name)
+    try {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(streamDir)
+    }
     ss.table(name)
   }
 
@@ -282,8 +317,10 @@ object EventStream {
     *     processes, so cross-file event-time disorder can never be
     *     dropped as late (a per-file-batch design diverges from the
     *     batch oracle exactly there);
-    *  2. a far-future sentinel event for a reserved user (-1) advances
-    *     the persisted watermark past every real session's end + gap;
+    *  2. a far-future sentinel event for a reserved user
+    *     (Long.MinValue — outside any realistic id domain, so real
+    *     negative ids are untouched) advances the persisted watermark
+    *     past every real session's end + gap;
     *  3. a second, later sentinel batch runs WITH that watermark, so
     *     every pending event-time timeout fires inside a real batch
     *     (no reliance on a trailing no-data batch).
@@ -305,17 +342,22 @@ object EventStream {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
     val outDir = java.nio.file.Files.createTempDirectory("graft-sess-out")
 
+    // one top-1 scan of the source serves both sentinels
+    val latest = batch.orderBy(col("ts").desc).limit(1).cache()
+
     def addSentinel(days: Long, i: Int): Unit = {
-      // the latest real event pushed `days` ahead for user -1,
-      // preserving the source schema (incl. nanosecond-long ts)
+      // the latest real event pushed `days` ahead for the reserved
+      // sentinel user, preserving the source schema (incl.
+      // nanosecond-long ts)
       val bumped = batchSchema("ts").dataType match {
         case LongType => col("ts") + lit(days * 24 * 3600 * 1000000000L)
         case _ => col("ts") + expr(s"INTERVAL $days DAYS")
       }
       val tmp = java.nio.file.Files.createTempDirectory("graft-sess-sen")
-      batch.orderBy(col("ts").desc).limit(1)
+      latest
         .withColumn("ts", bumped.cast(batchSchema("ts").dataType))
-        .withColumn("user_id", lit(-1L).cast(batchSchema("user_id").dataType))
+        .withColumn("user_id",
+          lit(Long.MinValue).cast(batchSchema("user_id").dataType))
         .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("s").toString)
       val part = {
         val s = java.nio.file.Files.list(tmp.resolve("s"))
@@ -346,23 +388,32 @@ object EventStream {
       q.awaitTermination()
     }
 
-    runOnce() // all data, single batch, watermark 0 — nothing dropped
-    addSentinel(days = 30, i = 0)
-    runOnce() // advances the persisted watermark past all real sessions
-    addSentinel(days = 60, i = 1)
-    runOnce() // pending timeouts fire with the advanced watermark
+    // the finally block keeps a failed drive from leaking scratch dirs
+    // into /tmp across repeated bench/gate runs
+    val rows = try {
+      runOnce() // all data, single batch, watermark 0 — nothing dropped
+      addSentinel(days = 30, i = 0)
+      runOnce() // advances the persisted watermark past all real sessions
+      addSentinel(days = 60, i = 1)
+      runOnce() // pending timeouts fire with the advanced watermark
 
-    val sessionSchema =
-      org.apache.spark.sql.Encoders.product[UserSession].schema
-    // materialize the (small) per-user rollup so the scratch dirs can go
-    val rows = ss.read.schema(sessionSchema).parquet(outDir.toString)
-      .where(col("user_id") >= 0)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
-      .collect().toIndexedSeq
-    deleteRecursively(ckpt)
-    deleteRecursively(streamDir)
-    deleteRecursively(outDir)
+      val sessionSchema =
+        org.apache.spark.sql.Encoders.product[UserSession].schema
+      // materialize the (small) per-user rollup so the scratch dirs
+      // can go; only the reserved sentinel user is excluded — real
+      // negative ids sessionize like any other
+      ss.read.schema(sessionSchema).parquet(outDir.toString)
+        .where(col("user_id") =!= Long.MinValue)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+        .collect().toIndexedSeq
+    } finally {
+      latest.unpersist()
+      deleteRecursively(ckpt)
+      deleteRecursively(streamDir)
+      deleteRecursively(outDir)
+    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       org.apache.spark.sql.types.StructType(Seq(
@@ -400,17 +451,20 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
     val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    deleteRecursively(ckpt)
-    deleteRecursively(streamDir)
     liveTables.add(ss -> name)
+    try {
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(streamDir)
+    }
     ss.table(name)
   }
 }

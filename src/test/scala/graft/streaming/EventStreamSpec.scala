@@ -49,6 +49,48 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionize: gap decisions use microsecond precision, not ms") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def microTs(base: String, micros: Int): Timestamp = {
+      val t = Timestamp.valueOf(base)
+      t.setNanos(micros * 1000)
+      t
+    }
+    val input = MemoryStream[SessionEvent]
+    val ck = java.nio.file.Files.createTempDirectory("graft-sess-us")
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("us_sessions")
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append").start()
+    try {
+      // events 1800.0005 s apart: > 30-min gap by 500 MICROseconds —
+      // the batch oracle splits them; ms-truncated state would merge
+      input.addData(
+        SessionEvent(1, microTs("2024-01-01 00:00:00", 400), 1, "a", 1.0),
+        SessionEvent(2, microTs("2024-01-01 00:30:00", 900), 1, "b", 1.0),
+        // exactly the 30-min gap (<=) for user 2: must merge
+        SessionEvent(3, microTs("2024-01-01 00:00:00", 400), 2, "a", 1.0),
+        SessionEvent(4, microTs("2024-01-01 00:30:00", 400), 2, "b", 1.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(5, ts("2024-01-01 06:00:00"), 3, "a", 0.1))
+      q.processAllAvailable()
+      input.addData(SessionEvent(6, ts("2024-01-01 12:00:00"), 3, "a", 0.1))
+      q.processAllAvailable()
+      val out = spark.table("us_sessions")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(out(1L) == Seq(1L, 1L), s"got $out") // split: two sessions
+      assert(out(2L) == Seq(2L), s"got $out")     // merged: one session
+      // emitted timestamps preserve the micro fraction
+      val starts = spark.table("us_sessions").where(col("user_id") === 1L)
+        .select("session_start").collect()
+        .map(_.getTimestamp(0).getNanos).toSet
+      assert(starts == Set(400000, 900000), s"got $starts")
+    } finally q.stop()
+  }
+
   test("streaming dedupe drops duplicate event ids within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
