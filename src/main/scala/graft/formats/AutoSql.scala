@@ -58,12 +58,30 @@ object AutoSql {
     val description =
       QuotedRe.findFirstMatchIn(head).map(_.group(1)).getOrElse("")
     // declarations end with ';'; the per-field comment FOLLOWS the
-    // semicolon, so strip leading quoted strings from each segment
-    val fields = text.substring(open + 1, close).split(";").toSeq
+    // semicolon, so strip leading quoted strings from each segment.
+    // The split is quote-aware for the same reason the '(' search is:
+    // a ';' inside a field comment is data, not a declaration break
+    val fields = splitOutsideQuotes(text.substring(open + 1, close), ';')
       .map(stripLeadingComment)
       .filter(_.nonEmpty)
       .map(parseField)
     AsTable(name, description, fields)
+  }
+
+  private def splitOutsideQuotes(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') { inQuote = !inQuote; cur.append(c) }
+      else if (c == sep && !inQuote) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.result()
   }
 
   private def stripLeadingComment(segment: String): String = {

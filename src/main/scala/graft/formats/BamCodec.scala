@@ -106,19 +106,28 @@ object BamCodec {
 
       var refLen = 0L
       var cigarStr: String = null
+      // long-CIGAR placeholder (SAMv1 §4.2.2): >65535 ops overflow
+      // n_cigar_op, so the record carries `lSeq S, refLen N` here and
+      // the REAL CIGAR in a CG:B,I tag
+      var cigarPlaceholder = false
       if (nCigar > 0) {
         val sb = if (need(5)) new java.lang.StringBuilder else null
+        var op0 = ' '; var len0 = 0; var opLast = ' '
         var i = 0
         while (i < nCigar) {
           val v = bb.getInt
           val op = CigarOps.charAt(v & 0xf)
           val len = v >>> 4
+          if (i == 0) { op0 = op; len0 = len }
+          opLast = op
           if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
             refLen += len
           if (sb != null) { sb.append(len); sb.append(op) }
           i += 1
         }
         if (sb != null) cigarStr = sb.toString
+        cigarPlaceholder =
+          nCigar == 2 && op0 == 'S' && len0 == lSeq && opLast == 'N'
       }
 
       val seqBytes = new Array[Byte]((lSeq + 1) / 2)
@@ -144,6 +153,44 @@ object BamCodec {
           while (i < lSeq) { sb.append((qualBytes(i) + 33).toChar); i += 1 }
           sb.toString
         } else null
+
+      // reconstruct the real CIGAR from CG:B,I when the record carries
+      // the placeholder; the scan restores the buffer position so the
+      // regular tag walk below is unaffected
+      var cigarReconstructed = false
+      if (cigarPlaceholder && need(5)) {
+        val save = bb.position()
+        while (!cigarReconstructed && bb.remaining() >= 3) {
+          val t0 = bb.get(); val t1 = bb.get(); val tpe = bb.get().toChar
+          if (t0 == 'C' && t1 == 'G' && tpe == 'B') {
+            val sub = bb.get().toChar
+            val n = bb.getInt
+            if (sub == 'I') {
+              val sb = new java.lang.StringBuilder
+              var rl = 0L
+              var j = 0
+              while (j < n) {
+                val v = bb.getInt
+                val op = CigarOps.charAt(v & 0xf)
+                val len = v >>> 4
+                if (op == 'M' || op == 'D' || op == 'N' ||
+                    op == '=' || op == 'X') rl += len
+                sb.append(len); sb.append(op)
+                j += 1
+              }
+              cigarStr = sb.toString
+              refLen = rl
+              cigarReconstructed = true
+            } else {
+              val w = sub match {
+                case 'c' | 'C' => 1; case 's' | 'S' => 2; case _ => 4
+              }
+              bb.position(bb.position() + n * w)
+            }
+          } else skipTagValue(bb, tpe)
+        }
+        bb.position(save)
+      }
 
       val unmapped = (flag & 0x4) != 0 || refId < 0 || pos0 < 0
       def refName(id: Int): Any =
@@ -173,7 +220,10 @@ object BamCodec {
           while (bb.remaining() >= 3) {
             val tag = new String(Array(bb.get(), bb.get()), "ASCII")
             val tpe = bb.get().toChar
-            tagIndex.get(tag) match {
+            // a CG tag consumed as the real CIGAR is not reported as a
+            // tag too (same convention as htslib's reconstruction)
+            if (tag == "CG" && cigarReconstructed) skipTagValue(bb, tpe)
+            else tagIndex.get(tag) match {
               case Some(idx) =>
                 tags(idx) = coerce(readTagValue(bb, tpe), ts(idx).dataType)
               case None => skipTagValue(bb, tpe) // advance, never box

@@ -53,7 +53,12 @@ object BbiCodec {
   private def buf(in: Bgzf.SeekableInput, off: Long, len: Int): ByteBuffer = {
     val b = new Array[Byte](len)
     in.seek(off)
-    in.readFully(b, 0, len)
+    val got = in.readFully(b, 0, len)
+    // a short read means the offset table points past a truncated file:
+    // zero-padded bytes would parse as empty-but-valid tree nodes and
+    // silently return no rows
+    if (got < len) throw new java.io.EOFException(
+      s"truncated BBI file: wanted $len bytes at $off, got $got")
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
   }
 
@@ -88,10 +93,16 @@ object BbiCodec {
   def readAutoSql(in: Bgzf.SeekableInput, header: Header): Option[String] = {
     if (header.autoSqlOffset == 0) return None
     val end = math.min(header.autoSqlOffset + 65536, in.length)
+    if (end <= header.autoSqlOffset) return None // offset at/past EOF
     val bb = buf(in, header.autoSqlOffset, (end - header.autoSqlOffset).toInt)
     val bytes = mutable.ArrayBuffer.empty[Byte]
-    var b = bb.get()
-    while (b != 0 && bb.hasRemaining) { bytes += b; b = bb.get() }
+    // hasRemaining checked BEFORE get so an unterminated window keeps
+    // its final byte and cannot underflow
+    var done = false
+    while (!done && bb.hasRemaining) {
+      val b = bb.get()
+      if (b == 0) done = true else bytes += b
+    }
     Some(new String(bytes.toArray, "UTF-8"))
   }
 
@@ -240,10 +251,17 @@ object BbiCodec {
       val chromId = bb.getInt
       val st = bb.getInt.toLong & 0xffffffffL
       val en = bb.getInt.toLong & 0xffffffffL
-      val sb = new StringBuilder
-      var b = bb.get()
-      while (b != 0) { sb.append(b.toChar); b = bb.get() }
-      out += Interval(chromId, st, en, 0f, sb.toString)
+      // collect the NUL-terminated rest as BYTES and decode as UTF-8:
+      // per-byte toChar mangles multi-byte characters, and the bounds
+      // check stops cleanly on a truncated/unterminated final item
+      val bytes = mutable.ArrayBuffer.empty[Byte]
+      var done = false
+      while (!done && bb.hasRemaining) {
+        val b = bb.get()
+        if (b == 0) done = true else bytes += b
+      }
+      out += Interval(chromId, st, en, 0f,
+        new String(bytes.toArray, "UTF-8"))
     }
     out.toSeq
   }

@@ -84,7 +84,11 @@ object Bgzf {
     in.seek(offset)
     val header = new Array[Byte](18)
     val got = in.readFully(header, 0, 18)
-    if (got < 18) return None
+    if (got == 0) return None
+    // a PARTIAL header is a truncated file, not a clean end — treating
+    // it as EOF would silently drop the tail of the scan
+    if (got < 18) throw new EOFException(
+      s"truncated BGZF block header at offset $offset ($got of 18 bytes)")
     require((header(0) & 0xff) == 0x1f && (header(1) & 0xff) == 0x8b,
       f"not a BGZF/gzip block at offset $offset (magic ${header(0)}%02x${header(1)}%02x)")
     require((header(3) & 0x04) != 0, "BGZF requires FEXTRA flag")
@@ -223,8 +227,15 @@ class BgzfRangeInputStream(in: Bgzf.SeekableInput,
   }
 
   private def atEnd: Boolean = end.exists { e =>
-    blockOffset > e.compressedOffset ||
-      (blockOffset == e.compressedOffset && posInBlock >= e.uncompressedOffset)
+    if (rawMode)
+      // raw vpos is (byteOffset, delta): the bound is an ABSOLUTE byte.
+      // Comparing chunk offsets would only stop on this stream's own
+      // 64 KiB grid — an end inside a chunk would be overshot and its
+      // bytes served by two partitions.
+      blockOffset + posInBlock >= e.compressedOffset + e.uncompressedOffset
+    else
+      blockOffset > e.compressedOffset ||
+        (blockOffset == e.compressedOffset && posInBlock >= e.uncompressedOffset)
   }
 
   override def read(): Int = {
@@ -240,14 +251,23 @@ class BgzfRangeInputStream(in: Bgzf.SeekableInput,
       case Some(b) =>
         if (posInBlock >= b.data.length) {
           blockOffset += b.compressedSize
+          posInBlock = 0
           if (blockOffset >= in.length) { block = None; return -1 }
+          // end-of-range check BEFORE decompressing the next block: a
+          // range ending at (nextBlock, 0) — every index-derived split
+          // point — must not inflate a full block just to discard it
+          if (atEnd) { block = None; return -1 }
           loadBlock(0)
           if (block.isEmpty || atEnd) return -1
           return read(buf, off, len)
         }
         var avail = b.data.length - posInBlock
         end.foreach { e =>
-          if (blockOffset == e.compressedOffset)
+          if (rawMode) {
+            val endAbs = e.compressedOffset + e.uncompressedOffset
+            avail = math.min(avail.toLong,
+              endAbs - (blockOffset + posInBlock)).toInt
+          } else if (blockOffset == e.compressedOffset)
             avail = math.min(avail, e.uncompressedOffset - posInBlock)
         }
         val n = math.min(len, avail)
