@@ -251,10 +251,16 @@ class BamScan(fullSchema: StructType, required: StructType,
         val Array(a, b) = s.split("-")
         (a.trim.toLong, b.trim.toLong)
       }
-    if (explicit.nonEmpty)
+    if (explicit.nonEmpty) {
+      // explicit vpos ranges address one file's offsets; replaying them
+      // per path would scan other files mid-record
+      require(paths.lengthCompare(1) == 0,
+        s"virtual_ranges address a single file's offsets; " +
+          s"got ${paths.length} resolved paths")
       return paths.flatMap(p => explicit.map { case (a, b) =>
         BamInputPartition(p.toString, Seq((a, b)), Nil)
       }).toArray
+    }
 
     val (pathLens, maxSplit) = graft.sources.common.LineSourceUtil
       .pathLensAndBudget(paths, conf, options, 64L * 1024 * 1024)

@@ -45,9 +45,18 @@ class BedFormat extends LineFormat {
       conf: Configuration): StructType = bedSchema(options).toStructType
 
   override def newParser(fullSchema: StructType,
-      options: Map[String, String]): LineParser =
-    new BedLineParser(bedSchema(options),
-      coordSystem(options))
+      options: Map[String, String]): LineParser = {
+    val derived = bedSchema(options)
+    // the parser's row shape comes from the bed_schema grammar, not the
+    // (possibly user-supplied) fullSchema: a diverging external schema
+    // would silently mis-slot every row, so fail loudly instead
+    require(fullSchema.length == derived.toStructType.length,
+      s"schema has ${fullSchema.length} fields but bed_schema " +
+        s"'${options.getOrElse("bed_schema", "bed3")}' dissects " +
+        s"${derived.toStructType.length}; describe the file with the " +
+        "bed_schema/fields options instead of .schema(...)")
+    new BedLineParser(derived, coordSystem(options))
+  }
 }
 
 class BedLineParser(schema: BedSchema, cs: CoordSystem) extends LineParser {

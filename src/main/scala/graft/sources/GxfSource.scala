@@ -124,8 +124,22 @@ object GxfAttributes {
   def parseRaw(s: String, gtfStyle: Boolean): Seq[(String, String)] = {
     if (s.isEmpty || s == ".") return Nil
     if (gtfStyle) {
-      // key "value"; key "value";  (values may be unquoted numbers)
-      s.split(";").toIndexedSeq.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+      // key "value"; key "value";  (values may be unquoted numbers).
+      // The split skips ';' INSIDE quoted values — `note "a; b"` is one
+      // attribute, not an attribute plus junk
+      val segs = {
+        val out = Seq.newBuilder[String]
+        val cur = new StringBuilder
+        var inQ = false
+        s.foreach {
+          case '"' => inQ = !inQ; cur.append('"')
+          case ';' if !inQ => out += cur.toString; cur.clear()
+          case c => cur.append(c)
+        }
+        out += cur.toString
+        out.result()
+      }
+      segs.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
         val sp = kv.indexOf(' ')
         if (sp < 0) None
         else {
@@ -142,9 +156,27 @@ object GxfAttributes {
     }
   }
 
-  def percentDecode(v: String): String =
-    if (v.indexOf('%') < 0) v
-    else java.net.URLDecoder.decode(v, "UTF-8")
+  /** GFF3 %XX unescaping. NOT URLDecoder: that would throw on a literal
+    * '%' that is not a hex escape and turn '+' into a space — neither is
+    * GFF3 semantics ('+' is literal; a stray '%' passes through). Works
+    * on UTF-8 bytes because escapes encode bytes, not characters. */
+  def percentDecode(v: String): String = {
+    if (v.indexOf('%') < 0) return v
+    val in = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(in.length)
+    var i = 0
+    while (i < in.length) {
+      val c = in(i)
+      if (c == '%' && i + 2 < in.length &&
+          Character.digit(in(i + 1), 16) >= 0 &&
+          Character.digit(in(i + 2), 16) >= 0) {
+        out.write(Character.digit(in(i + 1), 16) * 16 +
+          Character.digit(in(i + 2), 16))
+        i += 3
+      } else { out.write(c); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }
 
 class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
@@ -162,14 +194,25 @@ class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
   /** Single pass over column 9, matching the key BEFORE extracting any
     * value substring — un-requested attributes cost nothing beyond the
     * key probe (same semantics as GxfAttributes.parseRaw: last duplicate
-    * wins, quoted GTF values unwrapped, values percent-decoded). */
+    * wins, quoted GTF values unwrapped — with ';' inside quotes kept as
+    * data — and GFF3 values percent-decoded; GTF is not a
+    * percent-encoded format, so its values pass through verbatim). */
   private def fillAttrs(s: String, attrs: Array[Any]): Unit = {
     if (s.isEmpty || s == ".") return
     val n = s.length
     var start = 0
     while (start < n) {
-      var semi = s.indexOf(';', start)
-      if (semi < 0) semi = n
+      var semi = start
+      if (gtfStyle) {
+        var inQ = false
+        while (semi < n && (inQ || s.charAt(semi) != ';')) {
+          if (s.charAt(semi) == '"') inQ = !inQ
+          semi += 1
+        }
+      } else {
+        semi = s.indexOf(';', start)
+        if (semi < 0) semi = n
+      }
       var b = start
       while (b < semi && s.charAt(b) == ' ') b += 1
       var e = semi
@@ -185,12 +228,14 @@ class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
             var raw = s.substring(vb, e)
             if (gtfStyle)
               raw = raw.stripPrefix("\"").stripSuffix("\"")
+            def decode(x: String): String =
+              if (gtfStyle) x else GxfAttributes.percentDecode(x)
             attrs(i) = attrSchema(i).dataType match {
               case ArrayType(StringType, _) =>
                 ArrayData.toArrayData(raw.split(",").map(x =>
-                  UTF8String.fromString(GxfAttributes.percentDecode(x))))
+                  UTF8String.fromString(decode(x))))
               case _ =>
-                UTF8String.fromString(GxfAttributes.percentDecode(raw))
+                UTF8String.fromString(decode(raw))
             }
           }
         }

@@ -41,6 +41,9 @@ class VcfFormat extends LineFormat {
   override def commentPrefixes: Seq[String] = Seq("#")
   override def regionColumns: Option[(String, String, String)] =
     Some(("chrom", "pos", "pos"))
+  override def predicateNeeds(options: Map[String, String])
+      : (Seq[String], Seq[(String, String)]) =
+    (Seq("ref"), Seq("info" -> "END")) // regionEnd0's inputs
   override def coordSystem(options: Map[String, String]) =
     graft.core.CoordSystem.fromCode(options.getOrElse("coords", "11"))
 
@@ -84,6 +87,21 @@ class VcfFormat extends LineFormat {
   override def schema(options: Map[String, String], paths: Seq[Path],
       conf: Configuration): StructType = {
     val header = VcfHeader.read(paths.head, conf)
+    // the sample-column mapping comes from ONE header but is applied to
+    // every file: a file with a different sample order would silently
+    // assign one sample's genotypes to another. Planning-time check —
+    // a header read per file, far cheaper than wrong data. (FORMAT
+    // divergence is safe: the per-row FORMAT string drives that
+    // parsing; differing INFO types fail loudly at parse time.)
+    if (paths.length > 1 && header.samples.nonEmpty &&
+        options.getOrElse("include_samples", "true").toBoolean)
+      paths.tail.foreach { p =>
+        val other = VcfHeader.read(p, conf).samples
+        require(other == header.samples,
+          s"sample columns of $p (${other.mkString(",")}) differ from " +
+            s"${paths.head} (${header.samples.mkString(",")}); load " +
+            "files with differing sample headers separately")
+      }
     val fixed = Seq(
       StructField("chrom", StringType), StructField("pos", LongType),
       StructField("id", ArrayType(StringType)), StructField("ref", StringType),
@@ -456,9 +474,18 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
           while (eq < semi && s.charAt(eq) != '=') eq += 1
           val idx = infoIndex.getOrElse(s.substring(start, eq), -1)
           if (idx >= 0) {
-            val v = if (eq == semi) "" else s.substring(eq + 1, semi)
-            arr(idx) = enforceCount(is(idx),
-              convert(is(idx).dataType, v, isFlag = true))
+            val dt = is(idx).dataType
+            if (eq == semi) {
+              // bare key: a Flag is present; a typed key with no value
+              // carries nothing and stays null
+              if (dt == BooleanType) arr(idx) = true
+            } else {
+              val v = s.substring(eq + 1, semi)
+              // '.' is the spec's missing marker for ANY typed value
+              // ('DP=.'): null, same as the fixed and sample paths
+              if (!dot(v))
+                arr(idx) = enforceCount(is(idx), convert(dt, v))
+            }
           }
           start = semi + 1
         }
@@ -500,7 +527,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
                   if (keyIdx < parts.length && !dot(parts(keyIdx))) {
                     val sf = sampleStruct.fields(innerIdx(k))
                     inner(innerIdx(k)) = enforceCount(sf,
-                      convert(sf.dataType, parts(keyIdx), isFlag = false))
+                      convert(sf.dataType, parts(keyIdx)))
                   }
                 }
                 k += 1
@@ -533,7 +560,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
                   val keyIdx = key.intValue()
                   if (keyIdx < parts.length && !dot(parts(keyIdx)))
                     inner(innerIdx(k)) = enforceCount(ff,
-                      convert(ff.dataType, parts(keyIdx), isFlag = false))
+                      convert(ff.dataType, parts(keyIdx)))
                 }
                 k += 1
               }
@@ -550,7 +577,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
     new GenericInternalRow(fixed ++ infoVal ++ samplesVal)
   }
 
-  private def convert(dt: DataType, v: String, isFlag: Boolean): Any = dt match {
+  private def convert(dt: DataType, v: String): Any = dt match {
     case LongType => v.toLong
     case FloatType => v.toFloat
     case BooleanType => true // Flag present

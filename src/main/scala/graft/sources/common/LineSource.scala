@@ -89,6 +89,13 @@ trait LineFormat extends Serializable {
   /** Output coordinate system for `start` (for region filtering). */
   def coordSystem(options: Map[String, String]): CoordSystem =
     CoordSystem.fromCode(options.getOrElse("coords", "01"))
+  /** Columns the row-level predicate machinery consults BEYOND the
+    * pruned projection and [[regionColumns]]: top-level names plus
+    * (struct, nested-field) pairs. Lets predicate-active scans keep
+    * nested pruning instead of parsing the full schema — e.g. VCF's
+    * [[regionEnd0]] reads `ref` and `info.END`, not all of `info`. */
+  def predicateNeeds(options: Map[String, String])
+      : (Seq[String], Seq[(String, String)]) = (Nil, Nil)
 }
 
 object LineSourceUtil {
@@ -100,6 +107,42 @@ object LineSourceUtil {
       name: String): Option[org.apache.spark.sql.types.StructType] =
     pruned.fields.find(_.name == name)
       .map(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The parse-needed schema for a PREDICATE-ACTIVE scan: the pruned
+    * projection widened by the columns the predicate machinery reads —
+    * `topCols` at full fidelity, `nestedCols` merged into their parent
+    * struct's pruned field set. Only NAMES matter to the parsers (rows
+    * are always emitted in full-schema shape), so field order inside
+    * the result is irrelevant. */
+  def mergeNeeded(full: StructType, pruned: StructType,
+      topCols: Seq[String], nestedCols: Seq[(String, String)]): StructType = {
+    val prunedByName = pruned.fields.map(f => f.name -> f).toMap
+    val top = topCols.toSet
+    val nestedWant = nestedCols.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    StructType(full.fields.flatMap { f =>
+      val p = prunedByName.get(f.name)
+      val want = nestedWant.get(f.name)
+      if (top.contains(f.name)) Some(f)
+      else (p, want) match {
+        case (Some(pf), Some(w)) => (pf.dataType, f.dataType) match {
+          case (ps: StructType, fs: StructType) =>
+            val have = ps.fieldNames.toSet
+            val add = fs.fields.filter(x => w(x.name) && !have(x.name))
+            Some(f.copy(dataType = StructType(ps.fields ++ add)))
+          case _ => Some(pf)
+        }
+        case (Some(pf), None) => Some(pf)
+        case (None, Some(w)) => f.dataType match {
+          case fs: StructType =>
+            Some(f.copy(dataType =
+              StructType(fs.fields.filter(x => w(x.name)))))
+          case _ => Some(f)
+        }
+        case (None, None) => None
+      }
+    })
+  }
 
   /** Split-size budget for partition planning, in priority order: the
     * reader's `maxpartitionbytes` option, then Spark's standard
@@ -340,6 +383,13 @@ class LineScan(format: LineFormat, fullSchema: StructType,
         }
     val byteRanges = parseRanges("byte_ranges")
     val virtualRanges = parseRanges("virtual_ranges")
+    // explicit ranges address offsets of ONE file; replaying them per
+    // path would scan other files at foreign positions (mid-record in a
+    // BGZF stream) — fail loudly instead
+    require(byteRanges.isEmpty && virtualRanges.isEmpty ||
+      pathLens.lengthCompare(1) == 0,
+      s"byte_ranges/virtual_ranges address a single file's offsets; " +
+        s"got ${pathLens.length} resolved paths")
 
     pathLens.flatMap { case (p, len) =>
       val fs = p.getFileSystem(conf)
@@ -542,12 +592,25 @@ class LineReader(format: LineFormat, fullSchema: StructType,
   private var pos: Long = part.start
   private var startedMidLine = !part.gzip && !part.vpos && part.start > 0
   private val parser = {
-    // projection-aware parsing: when a row-level region/filter predicate
-    // is active it may consult un-projected columns (regionEnd0 reads
-    // ref/INFO END), so only predicate-free scans pass the pruned set
+    // projection-aware parsing under predicates: a row-level
+    // region/filter predicate consults columns beyond the projection
+    // (regionEnd0 reads ref/INFO END; residual filters read their own
+    // columns), so the pruned set is WIDENED by exactly those —
+    // a region query over a 1000-sample VCF still parses one sample,
+    // not a thousand
     val predicateActive = options.get("regions").isDefined || pushed.nonEmpty
-    format.newParser(fullSchema, options,
-      if (predicateActive) fullSchema else requiredNested)
+    val parseSchema =
+      if (!predicateActive) requiredNested
+      else {
+        val regionTop = format.regionColumns.toSeq
+          .flatMap { case (c, s, e) => Seq(c, s, e) }
+        val filterTop = pushed.toSeq
+          .flatMap(_.references.toSeq.map(_.takeWhile(_ != '.')))
+        val (extraTop, extraNested) = format.predicateNeeds(options)
+        LineSourceUtil.mergeNeeded(fullSchema, requiredNested,
+          (regionTop ++ filterTop ++ extraTop).distinct, extraNested)
+      }
+    format.newParser(fullSchema, options, parseSchema)
   }
 
   private val lineBuf = new java.lang.StringBuilder(256)

@@ -75,4 +75,26 @@ class GxfSourceSpec extends SparkSuite {
     val rows = df.collect()
     assert(rows.length == 1) // only gene1 [1000,2000] overlaps
   }
+
+  test("gtf: quoted values keep semicolons and literal percent signs") {
+    val lines = Seq(
+      "chr1\tsrc\tgene\t1\t100\t.\t+\t.\t" +
+        "gene_id \"g1\"; note \"50% similar; see docs\"; level 2;")
+    val df = spark.read.format("gtf").load(tempFile("q.gtf", lines))
+    val r = df.select(col("attributes.gene_id"), col("attributes.note"),
+      col("attributes.level")).collect()(0)
+    assert(r.getString(0) == "g1")
+    assert(r.getString(1) == "50% similar; see docs", r.getString(1))
+    assert(r.getString(2) == "2")
+  }
+
+  test("gff3: percent-decode handles stray % and keeps '+' literal") {
+    val lines = Seq(
+      "chr1\tsrc\tgene\t1\t100\t.\t+\t.\t" +
+        "ID=g1;Note=a%2Cb+c 100%25 and 50% raw")
+    val df = spark.read.format("gff").load(tempFile("p.gff", lines))
+    val note = df.select(col("attributes.Note")).collect()(0).getString(0)
+    // %2C → ',', %25 → '%', '+' stays, stray '% r' passes through
+    assert(note == "a,b+c 100% and 50% raw", note)
+  }
 }

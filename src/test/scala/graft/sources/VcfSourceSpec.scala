@@ -254,5 +254,33 @@ class VcfSourceSpec extends SparkSuite {
     // whole-struct projection still parses (and therefore fails)
     intercept[Throwable] { scan.select("samples").collect() }
     intercept[Throwable] { scan.select("info").collect() }
+    // nested pruning SURVIVES an active region predicate: the widened
+    // parse set adds only chrom/pos/ref/info.END, so NA2's malformed DP
+    // and the malformed info.MQ must still never be touched
+    val rq = spark.read.format("vcf").option("regions", "chr1:50-150")
+      .load(path)
+      .select(col("pos"), col("samples.NA1.DP").as("dp")).collect()
+    assert(rq.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 4L)))
+  }
+
+  test("vcf: INFO '.' and empty values are missing, not parse errors") {
+    val lines = Seq(
+      "##fileformat=VCFv4.1",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Freq\">",
+      "##INFO=<ID=DB,Number=0,Type=Flag,Description=\"db\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+      "chr1\t100\t.\tA\tG\t10\tPASS\tDP=.;AF=.;DB",
+      "chr1\t200\t.\tA\tG\t10\tPASS\tDP=;AF=0.5",
+      "chr1\t300\t.\tA\tG\t10\tPASS\tDP=7")
+    val d = spark.read.format("vcf")
+      .load(tempFile("dots.vcf", lines))
+      .select(col("pos"), col("info.DP").as("dp"), col("info.AF").as("af"),
+        col("info.DB").as("db"))
+      .orderBy("pos").collect()
+    assert(d(0).isNullAt(1) && d(0).isNullAt(2) && d(0).getBoolean(3))
+    assert(d(1).isNullAt(1) &&
+      d(1).getSeq[Float](2) == Seq(0.5f) && d(1).isNullAt(3))
+    assert(d(2).getLong(1) == 7L)
   }
 }
