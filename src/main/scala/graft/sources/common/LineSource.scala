@@ -108,6 +108,41 @@ object LineSourceUtil {
     pruned.fields.find(_.name == name)
       .map(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  private[common] def filterAsLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case other => other.toString.toLong
+  }
+
+  /** Conservative (startLt, endGt) bounds in OUTPUT coordinates from
+    * pushed catalyst filters on the (start, end) region columns — the
+    * shared folding used by the residual row predicate AND by index
+    * chunk planning (kept rows satisfy `startOut < startLt` and
+    * `endOut > endGt`). */
+  def pushedBounds(pushed: Seq[org.apache.spark.sql.sources.Filter],
+      s: String, e: String): (Option[Long], Option[Long]) = {
+    import org.apache.spark.sql.sources._
+    var startLt: Option[Long] = None
+    var endGt: Option[Long] = None
+    pushed.foreach {
+      case LessThan(a, v) if a == s =>
+        startLt = Some(startLt.fold(filterAsLong(v))(
+          math.min(_, filterAsLong(v))))
+      case LessThanOrEqual(a, v) if a == s =>
+        startLt = Some(startLt.fold(filterAsLong(v) + 1)(
+          math.min(_, filterAsLong(v) + 1)))
+      case GreaterThan(a, v) if a == e =>
+        endGt = Some(endGt.fold(filterAsLong(v))(
+          math.max(_, filterAsLong(v))))
+      case GreaterThanOrEqual(a, v) if a == e =>
+        endGt = Some(endGt.fold(filterAsLong(v) - 1)(
+          math.max(_, filterAsLong(v) - 1)))
+      case _ => ()
+    }
+    (startLt, endGt)
+  }
+
   /** The parse-needed schema for a PREDICATE-ACTIVE scan: the pruned
     * projection widened by the columns the predicate machinery reads —
     * `topCols` at full fidelity, `nestedCols` merged into their parent
@@ -356,14 +391,23 @@ class LineScan(format: LineFormat, fullSchema: StructType,
       val fromOpt = options.get("regions").toSeq
         .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
         .map(graft.core.Region.parse(_, graft.core.CoordSystem.OneBasedClosed))
-      val fromFilters = format.regionColumns.toSeq.flatMap { case (c, _, _) =>
-        pushed.toSeq.flatMap {
-          case EqualTo(a, v) if a == c =>
-            Seq(graft.core.Region(v.toString, 0L, None))
-          case In(a, vs) if a == c =>
-            vs.toSeq.map(v => graft.core.Region(v.toString, 0L, None))
+      val fromFilters = format.regionColumns.toSeq.flatMap { case (c, s, e) =>
+        // pushed coordinate bounds narrow the index window: kept rows
+        // satisfy startOut < startLt and endOut > endGt (the same
+        // folding the residual applies), which in 0-based half-open
+        // space is the window [endGt, startLt + startOffset) — so
+        // `chrom='chr1' AND pos BETWEEN a AND b` plans a's..b's chunks,
+        // not the whole chromosome
+        val (startLt, endGt) = LineSourceUtil.pushedBounds(pushed.toSeq, s, e)
+        val cs = format.coordSystem(options)
+        val qs = math.max(0L, endGt.getOrElse(0L))
+        val qe = startLt.map(v => math.max(v + cs.startOffset, qs))
+        val names = pushed.toSeq.flatMap {
+          case EqualTo(a, v) if a == c => Seq(v.toString)
+          case In(a, vs) if a == c => vs.toSeq.map(_.toString)
           case _ => Nil
         }
+        names.map(n => graft.core.Region(n, qs, qe))
       }
       if (fromOpt.nonEmpty) fromOpt else fromFilters
     }
@@ -692,23 +736,15 @@ class LineReader(format: LineFormat, fullSchema: StructType,
         val regions: Seq[Region] = regionsOpt.toSeq.flatMap(
           _.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
             .map(Region.parse(_, CoordSystem.OneBasedClosed)))
-        // conservative bounds from pushed catalyst filters (output coords)
+        // conservative bounds from pushed catalyst filters (output
+        // coords) — shared folding with index chunk planning
+        val (startLt, endGt) = LineSourceUtil.pushedBounds(pushed.toSeq, s, e)
         var chromSet: Option[Set[String]] = None
-        var startLt: Option[Long] = None
-        var endGt: Option[Long] = None
         pushed.foreach {
           case EqualTo(a, v) if a == c =>
             chromSet = Some(chromSet.getOrElse(Set.empty) + v.toString)
           case In(a, vs) if a == c =>
             chromSet = Some(chromSet.getOrElse(Set.empty) ++ vs.map(_.toString))
-          case LessThan(a, v) if a == s =>
-            startLt = Some(startLt.fold(asLong(v))(math.min(_, asLong(v))))
-          case LessThanOrEqual(a, v) if a == s =>
-            startLt = Some(startLt.fold(asLong(v) + 1)(math.min(_, asLong(v) + 1)))
-          case GreaterThan(a, v) if a == e =>
-            endGt = Some(endGt.fold(asLong(v))(math.max(_, asLong(v))))
-          case GreaterThanOrEqual(a, v) if a == e =>
-            endGt = Some(endGt.fold(asLong(v) - 1)(math.max(_, asLong(v) - 1)))
           case _ => ()
         }
         val endOverride = format.regionEnd0(fullSchema, options)

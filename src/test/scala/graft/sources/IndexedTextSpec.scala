@@ -129,6 +129,24 @@ class IndexedTextSpec extends SparkSuite {
     assert(df.count() == 5)
   }
 
+  test("pushed coordinate bounds narrow the index window, rows exact") {
+    val p = writeTabixedBed("pb.bed.gz", rows)
+    def load = spark.read.format("bed").option("bed_schema", "bed3").load(p)
+    // chrom + coordinate bounds: results must equal the post-filtered
+    // full scan even though planning now queries a narrowed window
+    val got = load
+      .where(col("chrom") === "chr1" && col("start") < 20000L &&
+        col("end") > 150L)
+      .select("start").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(100L, 15000L))
+    // bound-only (no narrowing effect possible from a contradictory
+    // window): start < 0 yields nothing rather than an error
+    assert(load.where(col("chrom") === "chr1" && col("start") < 0L)
+      .count() == 0)
+    // chrom-only still returns the whole chromosome
+    assert(load.where(col("chrom") === "chr2").count() == 2)
+  }
+
   test("split budget shrinks for small inputs (bytes-per-core heuristic)") {
     import graft.sources.common.LineSourceUtil.maxSplitBytes
     spark.sparkContext // force session so the heuristic is active
