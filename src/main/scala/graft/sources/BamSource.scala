@@ -64,10 +64,7 @@ object BamSource {
 
   def schema(options: Map[String, String], paths: Seq[Path]): StructType = {
     val tagDefs: Seq[(String, Char)] = options.get("tags") match {
-      case Some(spec) => spec.split(",").toSeq.filter(_.nonEmpty).map { td =>
-        val Array(name, code) = td.trim.split(":")
-        (name, code.head)
-      }
+      case Some(spec) => SamTags.parseTagSpec(spec)
       case None =>
         val n = options.get("tag_scan_rows").map(_.toInt).getOrElse(64)
         if (n == 0) Nil else discoverTags(paths.head, n)

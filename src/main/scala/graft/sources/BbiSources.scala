@@ -31,7 +31,9 @@ import graft.sources.common.LineSourceUtil
   * Partitioning: one partition per r-tree leaf section (the file's own
   * write-time batching); region queries traverse the r-tree and read only
   * overlapping sections, with a residual per-record overlap check.
-  * Coordinates are 0-based half-open natively (`coords=01` default).
+  * Coordinates are always 0-based half-open — the BBI formats' native
+  * convention; a `coords` option other than "01" is rejected rather
+  * than silently ignored.
   */
 abstract class BbiDataSource(wig: Boolean) extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -59,7 +61,13 @@ class BigBedDataSource extends BbiDataSource(wig = false) {
 
 object BbiSource {
   def zoomLevel(options: Map[String, String]): Option[Int] =
-    options.get("zoom_level").map(_.toInt)
+    options.get("zoom_level").map { s =>
+      val level = s.toInt
+      // the upper bound is header-dependent (checked at planning), but
+      // a negative level must not reach an array index
+      require(level >= 0, s"zoom_level must be >= 0, got $level")
+      level
+    }
 
   /** BigBed rest-field typing, in precedence order: explicit `fields`
     * option → embedded AutoSql declaration (M4) → single `rest` string. */
@@ -128,9 +136,15 @@ class BbiTable(wig: Boolean, tableSchema: StructType, paths: Seq[Path],
   override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new BbiScanBuilder(wig, tableSchema, paths,
-      options ++ LineSourceUtil.optionsMap(o))
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = options ++ LineSourceUtil.optionsMap(o)
+    // BBI emits native 0-based half-open coordinates; accepting and
+    // ignoring coords=11 would silently hand the user off-by-one rows
+    require(merged.getOrElse("coords", "01") == "01",
+      "bigwig/bigbed coordinates are 0-based half-open; coords=" +
+        s"'${merged("coords")}' is not supported")
+    new BbiScanBuilder(wig, tableSchema, paths, merged)
+  }
 }
 
 class BbiScanBuilder(wig: Boolean, fullSchema: StructType, paths: Seq[Path],

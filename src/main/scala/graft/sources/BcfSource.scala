@@ -38,6 +38,19 @@ class BcfDataSource extends TableProvider
     val paths = LineSourceUtil.resolvePaths(options)
     val opts = LineSourceUtil.optionsMap(options)
     val headerText = BcfSource.readHeaderText(paths.head)
+    // same guard as VcfFormat.schema: the sample slot mapping comes
+    // from ONE header — a file with a different sample order would
+    // silently swap genotype columns
+    val first = BcfSource.sampleColumns(headerText)
+    if (paths.length > 1 && first.nonEmpty &&
+        opts.getOrElse("include_samples", "true").toBoolean)
+      paths.tail.foreach { p =>
+        val other = BcfSource.sampleColumns(BcfSource.readHeaderText(p))
+        require(other == first,
+          s"sample columns of $p (${other.mkString(",")}) differ from " +
+            s"${paths.head} (${first.mkString(",")}); load files with " +
+            "differing sample headers separately")
+      }
     BcfSource.schemaFromHeader(headerText, opts)
   }
 
@@ -82,6 +95,14 @@ object BcfSource {
 
   /** Same schema construction as the VCF text source, driven by the
     * embedded header text. */
+  /** The #CHROM line's sample columns (empty when the file has none). */
+  def sampleColumns(headerText: String): Seq[String] =
+    headerText.linesIterator.collectFirst {
+      case l if l.startsWith("#CHROM") =>
+        val cols = l.split("\t")
+        if (cols.length > 9) cols.drop(9).toSeq else Seq.empty[String]
+    }.getOrElse(Nil)
+
   def schemaFromHeader(headerText: String,
       options: Map[String, String]): StructType = {
     // reuse the VCF header model by parsing the text lines
@@ -227,7 +248,6 @@ class BcfScan(fullSchema: StructType, required: StructType,
     pathLens.flatMap { case (p, fileLen) =>
       val fs = p.getFileSystem(conf)
       val index = GenomicIndex.findFor(fs, p)
-      val headEnd = BcfSource.headerEndVpos(p)
       val eof = VirtualPosition(fileLen, 0)
       if (regions.nonEmpty && index.isDefined) {
         val dict = BcfCodec.dictionaries(BcfSource.readHeaderText(p))
@@ -251,6 +271,10 @@ class BcfScan(fullSchema: StructType, required: StructType,
             group.map(ch => (ch.begin.value, ch.end.value)), residual)
         }
       } else {
+        // header decompression only on the branch that needs its end
+        // vpos: the region branch above reads the header for its
+        // dictionaries already, a second inflate would be pure waste
+        val headEnd = BcfSource.headerEndVpos(p)
         val splits = index.map(GenomicIndex.partitionFromIndex(_, maxSplit))
           .getOrElse(Nil)
           .filter(v => v.value > headEnd.value && v.compressedOffset < fileLen)
@@ -380,8 +404,14 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
       else ArrayData.toArrayData(rec.alts.map(utf8).toArray),
       rec.qual.map(Float.box).orNull,
       if (rec.filters.isEmpty) null
-      else ArrayData.toArrayData(rec.filters.map(i =>
-        utf8(dict.strings(i))).toArray))
+      else ArrayData.toArrayData(rec.filters.map { i =>
+        // guarded like the INFO lookup below: an index outside the
+        // header dictionary (or an IDX= hole) is a malformed record,
+        // not a raw IndexOutOfBounds/NPE
+        require(i >= 0 && i < dict.strings.size && dict.strings(i) != null,
+          s"FILTER index $i not in the header dictionary")
+        utf8(dict.strings(i))
+      }.toArray))
 
     val infoVal: Seq[Any] = infoSchema.toSeq.map { is =>
       if (!wantInfo) null else {
@@ -473,15 +503,24 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
     case (BooleanType, _) => true // Flag: presence means true, value is void
     case (_, null) => null
     case (LongType, l: java.lang.Long) => l.longValue()
-    case (LongType, xs: Seq[_]) => xs.headOption.map {
-      case l: java.lang.Long => l.longValue()
-      case _ => null
-    }.orNull
+    case (LongType, xs: Seq[_]) =>
+      // Number=1 with a multi-value vector is malformed — the VCF text
+      // reader fails on the same data, silently keeping the head would
+      // diverge from it
+      require(xs.lengthCompare(1) <= 0,
+        s"scalar-typed BCF value carries ${xs.length} elements")
+      xs.headOption.map {
+        case l: java.lang.Long => l.longValue()
+        case _ => null
+      }.orNull
     case (FloatType, f: java.lang.Float) => f.floatValue()
-    case (FloatType, xs: Seq[_]) => xs.headOption.map {
-      case f: java.lang.Float => f.floatValue()
-      case _ => null
-    }.orNull
+    case (FloatType, xs: Seq[_]) =>
+      require(xs.lengthCompare(1) <= 0,
+        s"scalar-typed BCF value carries ${xs.length} elements")
+      xs.headOption.map {
+        case f: java.lang.Float => f.floatValue()
+        case _ => null
+      }.orNull
     case (StringType, s: String) => utf8(s)
     case (StringType, other) => utf8(other.toString)
     case (ArrayType(LongType, _), xs: Seq[_]) =>

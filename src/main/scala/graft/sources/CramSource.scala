@@ -61,10 +61,7 @@ object CramSource {
   def schema(options: Map[String, String], paths: Seq[Path]): StructType = {
     val base = BamSource.FixedFields
     val tagDefs: Seq[(String, Char)] = options.get("tags") match {
-      case Some(spec) => spec.split(",").toSeq.filter(_.nonEmpty).map { td =>
-        val Array(name, code) = td.trim.split(":")
-        (name, code.head)
-      }
+      case Some(spec) => SamTags.parseTagSpec(spec)
       case None =>
         if (options.get("tag_scan_rows").exists(_.toInt == 0)) Nil
         else paths.headOption.map(discoverTags).getOrElse(Nil)

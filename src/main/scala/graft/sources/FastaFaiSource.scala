@@ -154,7 +154,13 @@ class FaiSliceReader(fullSchema: StructType, required: StructType,
     if (done) return false
     done = true
     val endOpt = if (part.regionEnd < 0) None else Some(part.regionEnd)
-    val seq = FaiIndex.slice(in, entry, Region(part.name, part.regionStart, endOpt))
+    // the slice read (seek + bulk read + newline strip) is the whole
+    // cost of this reader: projection-gated like `description` below,
+    // so select(name, start, end) pays no sequence I/O at all
+    val seq: String =
+      if (!required.fieldNames.contains("sequence")) null
+      else FaiIndex.slice(in, entry,
+        Region(part.name, part.regionStart, endOpt))
     val end = math.min(endOpt.getOrElse(part.length), part.length)
     // description: parse the `>` header line (small, bounded by the
     // sequence offset) only if the projection needs it
@@ -175,7 +181,8 @@ class FaiSliceReader(fullSchema: StructType, required: StructType,
       }
     val full = new GenericInternalRow(Array[Any](
       UTF8String.fromString(part.name), desc,
-      part.regionStart, end, UTF8String.fromString(seq)))
+      part.regionStart, end,
+      if (seq == null) null else UTF8String.fromString(seq)))
     val out = new Array[Any](projIdx.length)
     var i = 0
     while (i < projIdx.length) {

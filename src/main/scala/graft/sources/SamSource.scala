@@ -67,10 +67,7 @@ class SamFormat extends LineFormat {
   override def schema(options: Map[String, String], paths: Seq[Path],
       conf: Configuration): StructType = {
     val tagDefs: Seq[(String, Char)] = options.get("tags") match {
-      case Some(spec) => spec.split(",").toSeq.filter(_.nonEmpty).map { td =>
-        val Array(name, code) = td.trim.split(":")
-        (name, code.head)
-      }
+      case Some(spec) => SamTags.parseTagSpec(spec)
       case None =>
         val n = options.get("tag_scan_rows").map(_.toInt).getOrElse(1024)
         if (n == 0) Nil else discoverTags(paths, n)
@@ -141,6 +138,24 @@ class SamFormat extends LineFormat {
 }
 
 object SamTags {
+  /** Parse a `tags` option: comma list of `NAME:code`, plus the
+    * spec-style array form `NAME:B:sub` (→ internal codes 'L' integer
+    * array / 'G' float array, the same codes discovery produces). A
+    * bare `NAME:B` is ambiguous and rejected with a usable message
+    * instead of a MatchError. Shared by the SAM, BAM and CRAM sources. */
+  def parseTagSpec(spec: String): Seq[(String, Char)] =
+    spec.split(",").toSeq.filter(_.nonEmpty).map { td =>
+      td.trim.split(":") match {
+        case Array(name, "B", sub) =>
+          (name, if (sub == "f") 'G' else 'L')
+        case Array(name, code) if code.nonEmpty && code != "B" =>
+          (name, code.head)
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse tag declaration '$td' " +
+            "(use NAME:code or NAME:B:sub for arrays)")
+      }
+    }
+
   /** Tag type code → Spark type (reference grid `tag.rs:124-165`).
     * Internal codes: 'L' = B:integer array, 'G' = B:float array. */
   def sparkType(code: Char): DataType = code match {

@@ -149,25 +149,47 @@ class FastqFormat extends LineFormat {
 
 class FastqParser extends LineParser {
   private var lineNo = 0
+  private var bad = false
   private var name: String = _
   private var desc: String = _
   private var sequence: String = _
 
+  /** The 4-line cadence advances BEFORE validation, so a malformed
+    * line in PERMISSIVE mode poisons only its own record (flagged and
+    * skipped at emission) instead of shifting every later record's
+    * phase — the old post-validation increment left the parser
+    * re-trying phase 0 forever, and a quality line starting with '@'
+    * (Q31) would then be consumed as a header, emitting garbage. */
   override def parse(line: String): InternalRow = {
-    lineNo % 4 match {
+    val phase = lineNo % 4
+    lineNo += 1
+    phase match {
       case 0 =>
-        require(line.startsWith("@"), s"bad FASTQ record header: '$line'")
+        bad = false
+        if (!line.startsWith("@")) {
+          bad = true
+          throw new IllegalArgumentException(
+            s"bad FASTQ record header: '$line'")
+        }
         val header = line.substring(1)
         val sp = header.indexOf(' ')
         name = if (sp < 0) header else header.substring(0, sp)
         desc = if (sp < 0) null else header.substring(sp + 1)
-        lineNo += 1; null
-      case 1 => sequence = line; lineNo += 1; null
+        null
+      case 1 => sequence = line; null
       case 2 =>
-        require(line.startsWith("+"), s"bad FASTQ separator: '$line'")
-        lineNo += 1; null
+        if (!bad && !line.startsWith("+")) {
+          bad = true
+          throw new IllegalArgumentException(
+            s"bad FASTQ separator: '$line'")
+        }
+        null
       case 3 =>
-        lineNo += 1
+        if (bad) {
+          bad = false
+          throw new IllegalArgumentException(
+            s"FASTQ record skipped after a malformed line")
+        }
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(name),
           if (desc == null) null else UTF8String.fromString(desc),

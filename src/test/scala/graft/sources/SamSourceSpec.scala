@@ -82,4 +82,22 @@ class SamSourceSpec extends SparkSuite {
       .select("qname", "pos")
     assert(df.collect().map(_.getString(0)).toSet == Set("r001", "r002"))
   }
+
+  test("sam: B-array tags declarable via the spec NAME:B:sub grammar") {
+    val withB = sam :+
+      "r005\t0\tchr1\t20\t30\t6M\t*\t0\t0\tATAGCT\t*\tXB:B:i,1,2,3\tXF:B:f,1.5,2.5"
+    val df = spark.read.format("sam")
+      .option("tags", "XB:B:i,XF:B:f,NM:i")
+      .load(tempFile("sb.sam", withB))
+    val r = df.where(col("qname") === "r005")
+      .select("tags.XB", "tags.XF").collect()(0)
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Float](1) == Seq(1.5f, 2.5f))
+    // a bare NAME:B is ambiguous and rejected with a usable message
+    val e = intercept[Exception] {
+      spark.read.format("sam").option("tags", "XB:B")
+        .load(tempFile("sb2.sam", withB)).collect()
+    }
+    assert(e.getMessage.contains("NAME:B:sub"), e.getMessage)
+  }
 }

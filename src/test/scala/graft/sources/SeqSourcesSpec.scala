@@ -171,4 +171,24 @@ class SeqSourcesSpec extends SparkSuite {
       .load(p.toString).select("name").collect().map(_.getString(0))
     assert(ok.toSeq == Seq("r1"))
   }
+
+  test("fastq: a malformed record cannot desync later records") {
+    // record 2's header is malformed; its quality line starts with '@'
+    // (legal Q31) — the old post-validation cadence re-tried phase 0
+    // and consumed that quality line as a header, emitting garbage
+    val dir = java.nio.file.Files.createTempDirectory("graft-fqsync")
+    val p = dir.resolve("d.fq")
+    java.nio.file.Files.writeString(p,
+      "@r1\nACGT\n+\nFFFF\n" +
+        "BADHEADER\nGGCC\n+\n@@@@\n" + // malformed record, poisoned
+        "@r3\nTTAA\n+\nIIII\n")
+    val rows = spark.read.format("fastq").option("mode", "permissive")
+      .load(p.toString).orderBy("name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("r1", "r3"))
+    assert(rows.map(_.getString(2)).toSeq == Seq("ACGT", "TTAA"))
+    // FAILFAST still dies on the malformed header
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("fastq").load(p.toString).collect()
+    }
+  }
 }
