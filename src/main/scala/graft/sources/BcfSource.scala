@@ -97,76 +97,17 @@ object BcfSource {
     * embedded header text. */
   /** The #CHROM line's sample columns (empty when the file has none). */
   def sampleColumns(headerText: String): Seq[String] =
-    headerText.linesIterator.collectFirst {
-      case l if l.startsWith("#CHROM") =>
-        val cols = l.split("\t")
-        if (cols.length > 9) cols.drop(9).toSeq else Seq.empty[String]
-    }.getOrElse(Nil)
+    VcfHeader.fromLines(headerText.linesIterator).samples
 
+  /** One schema builder with the VCF text source: the header block of a
+    * BCF is VCF header text, so [[VcfHeader.fromLines]] +
+    * [[VcfHeader.buildSchema]] guarantee the two sources emit identical
+    * schemas (a near-verbatim local copy drifted once — the multi-file
+    * sample guard existed only in the VCF copy). */
   def schemaFromHeader(headerText: String,
-      options: Map[String, String]): StructType = {
-    // reuse the VCF header model by parsing the text lines
-    val info = scala.collection.mutable.ArrayBuffer.empty[VcfTypeDef]
-    val format = scala.collection.mutable.ArrayBuffer.empty[VcfTypeDef]
-    var samples: Seq[String] = Nil
-    val DefRe = """##(INFO|FORMAT)=<(.+)>""".r
-    headerText.linesIterator.foreach {
-      case DefRe(kind, body) =>
-        val attrs = VcfHeader.parseDefBody(body)
-        val d = VcfTypeDef(attrs.getOrElse("ID", ""),
-          attrs.getOrElse("Number", "."), attrs.getOrElse("Type", "String"))
-        if (d.id.nonEmpty) { if (kind == "INFO") info += d else format += d }
-      case l if l.startsWith("#CHROM") =>
-        val cols = l.split("\t")
-        if (cols.length > 9) samples = cols.drop(9).toSeq
-      case _ => ()
-    }
-    val fixed = Seq(
-      StructField("chrom", StringType), StructField("pos", LongType),
-      StructField("id", ArrayType(StringType)), StructField("ref", StringType),
-      StructField("alt", ArrayType(StringType)),
-      StructField("qual", FloatType),
-      StructField("filter", ArrayType(StringType)))
-    val infoSubset = options.get("info_fields")
-      .map(_.split(",").map(_.trim).toSet)
-    val infoDefs = info.toSeq.filter(d => infoSubset.forall(_.contains(d.id)))
-    val infoField =
-      if (infoDefs.isEmpty) None
-      else Some(StructField("info", StructType(infoDefs.map(d =>
-        StructField(d.id, d.sparkType,
-          metadata = d.fieldMetadata)).toIndexedSeq)))
-    val includeSamples = options.getOrElse("include_samples", "true").toBoolean
-    val sampleSubset = options.get("samples")
-      .map(_.split(",").map(_.trim).toSet)
-    val keptSamples = samples.filter(s => sampleSubset.forall(_.contains(s)))
-    val samplesField =
-      if (!includeSamples || keptSamples.isEmpty || format.isEmpty) None
-      else {
-        // remember each kept sample's position in the FULL sample list:
-        // with a `samples` subset, schema position j is not the file's
-        // per-sample vector index
-        def sampleMeta(s: String, base: Metadata): Metadata =
-          new MetadataBuilder().withMetadata(base)
-            .putLong("vcf_sample_idx", samples.indexOf(s).toLong)
-            .build()
-        val byField = options.getOrElse("genotype_by", "sample") == "field"
-        val st =
-          if (byField)
-            StructType(format.toSeq.map(d => StructField(d.id,
-              StructType(keptSamples.map(s =>
-                StructField(s, d.sparkType,
-                  metadata = sampleMeta(s, d.fieldMetadata)))
-                .toIndexedSeq))).toIndexedSeq)
-          else
-            StructType(keptSamples.map(s => StructField(s,
-              StructType(format.toSeq.map(d =>
-                StructField(d.id, d.sparkType,
-                  metadata = d.fieldMetadata)).toIndexedSeq),
-              metadata = sampleMeta(s, Metadata.empty))).toIndexedSeq)
-        Some(StructField("samples", st))
-      }
-    StructType((fixed ++ infoField ++ samplesField).toIndexedSeq)
-  }
+      options: Map[String, String]): StructType =
+    VcfHeader.buildSchema(
+      VcfHeader.fromLines(headerText.linesIterator), options)
 }
 
 class BcfTable(tableSchema: StructType, paths: Seq[Path],

@@ -102,56 +102,7 @@ class VcfFormat extends LineFormat {
             s"${paths.head} (${header.samples.mkString(",")}); load " +
             "files with differing sample headers separately")
       }
-    val fixed = Seq(
-      StructField("chrom", StringType), StructField("pos", LongType),
-      StructField("id", ArrayType(StringType)), StructField("ref", StringType),
-      StructField("alt", ArrayType(StringType)),
-      StructField("qual", FloatType),
-      StructField("filter", ArrayType(StringType)))
-
-    val infoSubset = options.get("info_fields")
-      .map(_.split(",").map(_.trim).toSet)
-    val infoDefs = header.info.filter(d =>
-      infoSubset.forall(_.contains(d.id)))
-    val infoField =
-      if (infoDefs.isEmpty) None
-      else Some(StructField("info", StructType(infoDefs.map(d =>
-        StructField(d.id, d.sparkType,
-          metadata = d.fieldMetadata)).toIndexedSeq)))
-
-    val includeSamples =
-      options.getOrElse("include_samples", "true").toBoolean
-    val sampleSubset = options.get("samples")
-      .map(_.split(",").map(_.trim).toSet)
-    val samples = header.samples.filter(s => sampleSubset.forall(_.contains(s)))
-    val samplesField =
-      if (!includeSamples || samples.isEmpty || header.format.isEmpty) None
-      else {
-        // each kept sample remembers its position in the FULL header
-        // sample list: with a `samples` subset, schema position j does
-        // not equal file column 9+j
-        def sampleMeta(s: String, base: Metadata): Metadata =
-          new MetadataBuilder().withMetadata(base)
-            .putLong("vcf_sample_idx", header.samples.indexOf(s).toLong)
-            .build()
-        val fieldStruct = StructType(header.format.map(d =>
-          StructField(d.id, d.sparkType,
-            metadata = d.fieldMetadata)).toIndexedSeq)
-        val byField = options.getOrElse("genotype_by", "sample") == "field"
-        val st =
-          if (byField)
-            StructType(header.format.map(d => StructField(d.id,
-              StructType(samples.map(s => StructField(s, d.sparkType,
-                metadata = sampleMeta(s, d.fieldMetadata)))
-                .toIndexedSeq))).toIndexedSeq)
-          else
-            StructType(samples.map(s =>
-              StructField(s, fieldStruct,
-                metadata = sampleMeta(s, Metadata.empty))).toIndexedSeq)
-        Some(StructField("samples", st))
-      }
-
-    StructType((fixed ++ infoField ++ samplesField).toIndexedSeq)
+    VcfHeader.buildSchema(header, options)
   }
 
   override def newParser(fullSchema: StructType,
@@ -224,29 +175,94 @@ object VcfHeader {
     val raw = fs.open(path)
     val in = if (LineSourceUtil.isGzip(path)) new GZIPInputStream(raw) else raw
     val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    try {
+      val lines = Iterator.continually(r.readLine())
+        .takeWhile(l => l != null && l.startsWith("#"))
+      fromLines(lines)
+    } finally r.close()
+  }
+
+  /** Parse the `##`/`#CHROM` header lines into the typed model — shared
+    * by the text reader (file head) and the BCF reader (header block
+    * text), so the two sources cannot drift on header semantics. */
+  def fromLines(lines: Iterator[String]): VcfHeaderInfo = {
     val info = mutable.ArrayBuffer.empty[VcfTypeDef]
     val format = mutable.ArrayBuffer.empty[VcfTypeDef]
     var samples: Seq[String] = Nil
-    try {
-      var line = r.readLine()
-      while (line != null && line.startsWith("#")) {
-        line match {
-          case DefRe(kind, body) =>
-            val attrs = parseDefBody(body)
-            val d = VcfTypeDef(attrs.getOrElse("ID", ""),
-              attrs.getOrElse("Number", "."), attrs.getOrElse("Type", "String"))
-            if (d.id.nonEmpty) {
-              if (kind == "INFO") info += d else format += d
-            }
-          case l if l.startsWith("#CHROM") =>
-            val cols = l.split("\t")
-            if (cols.length > 9) samples = cols.drop(9).toSeq
-          case _ => ()
+    lines.foreach {
+      case DefRe(kind, body) =>
+        val attrs = parseDefBody(body)
+        val d = VcfTypeDef(attrs.getOrElse("ID", ""),
+          attrs.getOrElse("Number", "."), attrs.getOrElse("Type", "String"))
+        if (d.id.nonEmpty) {
+          if (kind == "INFO") info += d else format += d
         }
-        line = r.readLine()
-      }
-    } finally r.close()
+      case l if l.startsWith("#CHROM") =>
+        val cols = l.split("\t")
+        if (cols.length > 9) samples = cols.drop(9).toSeq
+      case _ => ()
+    }
     VcfHeaderInfo(info.toSeq, format.toSeq, samples)
+  }
+
+  /** The output StructType for a parsed header — fixed columns, the
+    * header-typed `info` struct and the `genotype_by`-shaped `samples`
+    * struct (with `vcf_sample_idx` slot metadata). One builder for the
+    * VCF text AND BCF binary sources: the schemas must be identical for
+    * the documented drop-in interchangeability, and a second copy has
+    * already drifted once. */
+  def buildSchema(header: VcfHeaderInfo,
+      options: Map[String, String]): StructType = {
+    val fixed = Seq(
+      StructField("chrom", StringType), StructField("pos", LongType),
+      StructField("id", ArrayType(StringType)), StructField("ref", StringType),
+      StructField("alt", ArrayType(StringType)),
+      StructField("qual", FloatType),
+      StructField("filter", ArrayType(StringType)))
+
+    val infoSubset = options.get("info_fields")
+      .map(_.split(",").map(_.trim).toSet)
+    val infoDefs = header.info.filter(d =>
+      infoSubset.forall(_.contains(d.id)))
+    val infoField =
+      if (infoDefs.isEmpty) None
+      else Some(StructField("info", StructType(infoDefs.map(d =>
+        StructField(d.id, d.sparkType,
+          metadata = d.fieldMetadata)).toIndexedSeq)))
+
+    val includeSamples =
+      options.getOrElse("include_samples", "true").toBoolean
+    val sampleSubset = options.get("samples")
+      .map(_.split(",").map(_.trim).toSet)
+    val samples = header.samples.filter(s => sampleSubset.forall(_.contains(s)))
+    val samplesField =
+      if (!includeSamples || samples.isEmpty || header.format.isEmpty) None
+      else {
+        // each kept sample remembers its position in the FULL header
+        // sample list: with a `samples` subset, schema position j does
+        // not equal file column 9+j
+        def sampleMeta(s: String, base: Metadata): Metadata =
+          new MetadataBuilder().withMetadata(base)
+            .putLong("vcf_sample_idx", header.samples.indexOf(s).toLong)
+            .build()
+        val fieldStruct = StructType(header.format.map(d =>
+          StructField(d.id, d.sparkType,
+            metadata = d.fieldMetadata)).toIndexedSeq)
+        val byField = options.getOrElse("genotype_by", "sample") == "field"
+        val st =
+          if (byField)
+            StructType(header.format.map(d => StructField(d.id,
+              StructType(samples.map(s => StructField(s, d.sparkType,
+                metadata = sampleMeta(s, d.fieldMetadata)))
+                .toIndexedSeq))).toIndexedSeq)
+          else
+            StructType(samples.map(s =>
+              StructField(s, fieldStruct,
+                metadata = sampleMeta(s, Metadata.empty))).toIndexedSeq)
+        Some(StructField("samples", st))
+      }
+
+    StructType((fixed ++ infoField ++ samplesField).toIndexedSeq)
   }
 
   /** Parse `ID=DP,Number=1,Type=Integer,Description="..."` respecting
