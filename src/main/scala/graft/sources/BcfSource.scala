@@ -37,21 +37,21 @@ class BcfDataSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = LineSourceUtil.resolvePaths(options)
     val opts = LineSourceUtil.optionsMap(options)
-    val headerText = BcfSource.readHeaderText(paths.head)
+    val header = VcfHeader.fromLines(
+      BcfSource.readHeaderText(paths.head).linesIterator)
     // same guard as VcfFormat.schema: the sample slot mapping comes
     // from ONE header — a file with a different sample order would
     // silently swap genotype columns
-    val first = BcfSource.sampleColumns(headerText)
-    if (paths.length > 1 && first.nonEmpty &&
+    if (paths.length > 1 && header.samples.nonEmpty &&
         opts.getOrElse("include_samples", "true").toBoolean)
       paths.tail.foreach { p =>
         val other = BcfSource.sampleColumns(BcfSource.readHeaderText(p))
-        require(other == first,
+        require(other == header.samples,
           s"sample columns of $p (${other.mkString(",")}) differ from " +
-            s"${paths.head} (${first.mkString(",")}); load files with " +
-            "differing sample headers separately")
+            s"${paths.head} (${header.samples.mkString(",")}); load " +
+            "files with differing sample headers separately")
       }
-    BcfSource.schemaFromHeader(headerText, opts)
+    VcfHeader.buildSchema(header, opts)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -93,8 +93,6 @@ object BcfSource {
     } finally si.close()
   }
 
-  /** Same schema construction as the VCF text source, driven by the
-    * embedded header text. */
   /** The #CHROM line's sample columns (empty when the file has none). */
   def sampleColumns(headerText: String): Seq[String] =
     VcfHeader.fromLines(headerText.linesIterator).samples

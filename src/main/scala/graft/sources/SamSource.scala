@@ -146,13 +146,14 @@ object SamTags {
   def parseTagSpec(spec: String): Seq[(String, Char)] =
     spec.split(",").toSeq.filter(_.nonEmpty).map { td =>
       td.trim.split(":") match {
-        case Array(name, "B", sub) =>
+        case Array(name, "B", sub)
+            if Set("c", "C", "s", "S", "i", "I", "f").contains(sub) =>
           (name, if (sub == "f") 'G' else 'L')
         case Array(name, code) if code.nonEmpty && code != "B" =>
           (name, code.head)
         case _ => throw new IllegalArgumentException(
           s"cannot parse tag declaration '$td' " +
-            "(use NAME:code or NAME:B:sub for arrays)")
+            "(use NAME:code or NAME:B:sub with sub in c,C,s,S,i,I,f)")
       }
     }
 

@@ -156,12 +156,23 @@ class FastqParser extends LineParser {
 
   /** The 4-line cadence advances BEFORE validation, so a malformed
     * line in PERMISSIVE mode poisons only its own record (flagged and
-    * skipped at emission) instead of shifting every later record's
-    * phase — the old post-validation increment left the parser
-    * re-trying phase 0 forever, and a quality line starting with '@'
-    * (Q31) would then be consumed as a header, emitting garbage. */
+    * silently dropped at emission — the phase-0 throw already counted
+    * it) instead of shifting every later record's phase — the old
+    * post-validation increment left the parser re-trying phase 0
+    * forever, and a quality line starting with '@' (Q31) would then be
+    * consumed as a header, emitting garbage. Two extra guards: a BLANK
+    * line at phase 0 is skipped without consuming the phase (the
+    * common inserted-line corruption, which would otherwise shift
+    * every later record), and emission requires len(qual) ==
+    * len(seq) — the FASTQ invariant — so residual desync can never
+    * emit a mismatched record. A non-blank line-count shift (an extra
+    * or missing real line) still desyncs the remainder of the
+    * partition; that is inherent to the format ('@' is a valid quality
+    * character, so headers are not unambiguously recognizable). */
   override def parse(line: String): InternalRow = {
     val phase = lineNo % 4
+    if (phase == 0 && line.isEmpty)
+      throw new IllegalArgumentException("blank line between FASTQ records")
     lineNo += 1
     phase match {
       case 0 =>
@@ -185,12 +196,12 @@ class FastqParser extends LineParser {
         }
         null
       case 3 =>
-        if (bad) {
-          bad = false
+        if (bad) { bad = false; null } // already counted at its throw
+        else if (line.length != sequence.length)
           throw new IllegalArgumentException(
-            s"FASTQ record skipped after a malformed line")
-        }
-        new GenericInternalRow(Array[Any](
+            s"FASTQ quality length ${line.length} != sequence length " +
+              s"${sequence.length} for record '$name'")
+        else new GenericInternalRow(Array[Any](
           UTF8String.fromString(name),
           if (desc == null) null else UTF8String.fromString(desc),
           UTF8String.fromString(sequence),

@@ -129,13 +129,15 @@ object LineSourceUtil {
       case LessThan(a, v) if a == s =>
         startLt = Some(startLt.fold(filterAsLong(v))(
           math.min(_, filterAsLong(v))))
-      case LessThanOrEqual(a, v) if a == s =>
+      case LessThanOrEqual(a, v) if a == s && filterAsLong(v) != Long.MaxValue =>
+        // `<= Long.MaxValue` is a tautology whose +1 would wrap the
+        // bound negative and silently drop every row — add no bound
         startLt = Some(startLt.fold(filterAsLong(v) + 1)(
           math.min(_, filterAsLong(v) + 1)))
       case GreaterThan(a, v) if a == e =>
         endGt = Some(endGt.fold(filterAsLong(v))(
           math.max(_, filterAsLong(v))))
-      case GreaterThanOrEqual(a, v) if a == e =>
+      case GreaterThanOrEqual(a, v) if a == e && filterAsLong(v) != Long.MinValue =>
         endGt = Some(endGt.fold(filterAsLong(v) - 1)(
           math.max(_, filterAsLong(v) - 1)))
       case _ => ()
@@ -718,12 +720,7 @@ class LineReader(format: LineFormat, fullSchema: StructType,
   private var emitted = 0
   private var exhausted = false
 
-  private def asLong(v: Any): Long = v match {
-    case i: Int => i.toLong
-    case l: Long => l
-    case s: Short => s.toLong
-    case other => other.toString.toLong
-  }
+  private def asLong(v: Any): Long = LineSourceUtil.filterAsLong(v)
 
   private def buildRegionPred(): InternalRow => Boolean = {
     val regionsOpt = options.get("regions")
