@@ -488,6 +488,32 @@ object OracleSql {
     // corpus, same band keys, same rounded cosine, same closure
     "q45_embed_dedup" -> q45Sql,
 
+    // q51: deterministic PII augmentation, counts, and redacted-byte
+    // checksum — patterns interpolated from the TextOps constants
+    "q51_pii_redact" -> q51Sql,
+
+    // q52: paragraph-level exact dedup over the planted partial copies
+    "q52_para_dedup" -> q52Sql,
+
+    // q53: the fixed-point Lloyd loop replayed exactly in SQL
+    "q53_kmeans" -> q53Sql,
+
+    // q54: temperature rebalancing — same counts, same correctly-rounded
+    // sqrt threshold, same md5-bucket acceptance as temperatureSample
+    "q54_temp_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |t AS (SELECT lang, CAST(floor(sqrt(CAST(mn AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS thr FROM c, m),
+        |k AS (SELECT d.lang, d.doc_id, t.thr
+        |  FROM documents d JOIN t USING (lang)
+        |  WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))
+        |    AS BIGINT) % 1000000 < t.thr)
+        |SELECT lang, count(*) AS n_kept, max(thr) AS keep_threshold,
+        |  max(doc_id) AS max_kept_id
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q43: the md5-bucket split assignment reproduced exactly — same
     // hash, same modulus, same rounded cumulative-weight boundaries
     "q43_hash_split" ->
@@ -621,6 +647,113 @@ object OracleSql {
         |  CAST(sum(width) AS BIGINT) AS sum_width,
         |  CAST(sum(height) AS BIGINT) AS sum_height
         |FROM m GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)
+
+  /** Mirror of `SparkEntry.q51_pii_redact`: the same deterministic PII
+    * augmentation, the same RE2/Java-common patterns (interpolated from
+    * the TextOps constants so they can never drift), the same
+    * email → phone → IPv4 redaction order, and the md5-derived checksum
+    * of the redacted text — so the oracle verifies redacted bytes, not
+    * just counts. */
+  private def q51Sql: String = {
+    import graft.operators.TextOps.{EmailPattern, PhonePattern, Ipv4Pattern}
+    s"""WITH a AS (SELECT source, text || ' reach user'
+       |  || CAST(doc_id AS VARCHAR)
+       |  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com or +1-555-'
+       |  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+       |  || CAST(doc_id % 100 AS VARCHAR) AS aug FROM documents),
+       |r AS (SELECT source,
+       |  len(regexp_extract_all(aug, '$EmailPattern')) AS ne,
+       |  len(regexp_extract_all(aug, '$PhonePattern')) AS np,
+       |  len(regexp_extract_all(aug, '$Ipv4Pattern')) AS ni,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$EmailPattern', '[EMAIL]', 'g'), '$PhonePattern', '[PHONE]',
+       |    'g'), '$Ipv4Pattern', '[IP]', 'g') AS red FROM a)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(ne) AS BIGINT) AS n_emails,
+       |  CAST(sum(np) AS BIGINT) AS n_phones,
+       |  CAST(sum(ni) AS BIGINT) AS n_ips,
+       |  CAST(sum(CAST(('0x'||substr(md5(red),1,8)) AS BIGINT)) AS BIGINT)
+       |    AS redact_checksum
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Mirror of `SparkEntry.q52_para_dedup` / `TextOps.paragraphDedup`:
+    * the same doubled corpus (ids +10000, first 36 words), the same
+    * 12-word paragraph chunking (inclusive list slices = Spark's
+    * `slice(ws, start, len)`), and keep-the-earliest by (doc_id, pos)
+    * over md5 paragraph hashes. */
+  private def q52Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000,
+      |    array_to_string(string_split(text,' ')[1:36], ' ')
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+      |p AS (SELECT doc_id, list_transform(
+      |    range(1, CAST(ceil(len(ws)/12.0) AS INT) + 1),
+      |    i -> array_to_string(ws[((i-1)*12+1):(i*12)], ' ')) AS ps
+      |  FROM w),
+      |o AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ps)+1),
+      |      i -> {'pos': i, 'para': ps[i]})) AS u FROM p),
+      |f AS (SELECT doc_id, u.pos AS pos, md5(u.para) AS h FROM o),
+      |r AS (SELECT doc_id, h,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+      |  FROM f)
+      |SELECT doc_id, count(*) AS n_paras,
+      |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mirror of `SparkEntry.q53_kmeans` / `Similarity.kmeansFixedPoint`
+    * with k=4, iters=2: the full fixed-point Lloyd loop replayed in SQL
+    * — same floor(x·1e6) quantization, exact long squared-L2 argmin
+    * (ties to the lower cell), exact integer floor-division centroid
+    * updates (the pmod trick keeps `//`'s truncation irrelevant:
+    * the adjusted numerator divides exactly), empty cells inheriting
+    * the previous centroid. Assignments a1/a2 drive updates c1/c2; the
+    * output is the final assignment under c2. */
+  private def q53Sql: String = {
+    def dist(v: String, c: String) =
+      s"list_sum(list_transform(range(1,65), j -> ($v[j]-$c[j])*($v[j]-$c[j])))"
+    def asg(name: String, ct: String) = {
+      val d = dist("v.qv", s"$ct.cent")
+      s"""$name AS (SELECT id, qv, cell, dist FROM (
+         |  SELECT v.id, v.qv, $ct.cell, $d AS dist,
+         |    row_number() OVER (PARTITION BY v.id ORDER BY $d, $ct.cell)
+         |      AS rk
+         |  FROM v, $ct) WHERE rk = 1)""".stripMargin
+    }
+    def upd(name: String, a: String, prev: String) =
+      s"""${name}s AS (SELECT cell, jj.j AS pos, sum(qv[jj.j]) AS sm,
+         |    count(*) AS cnt
+         |  FROM $a, (SELECT unnest(range(1,65)) AS j) jj GROUP BY 1, 2),
+         |$name AS (SELECT p.cell, coalesce(u.cent, p.cent) AS cent
+         |  FROM $prev p
+         |  LEFT JOIN (SELECT cell,
+         |      list(CAST((sm - ((sm % cnt) + cnt) % cnt) // cnt AS BIGINT)
+         |        ORDER BY pos) AS cent
+         |    FROM ${name}s GROUP BY cell) u USING (cell))""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, list_transform(range(1,65),
+       |    j -> CAST(floor(CAST(embedding[j] AS DOUBLE)*1000000) AS BIGINT))
+       |      AS qv
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+       |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+       |    qv AS cent
+       |  FROM (SELECT id, qv FROM v ORDER BY id LIMIT 4)),
+       |${asg("a1", "c0")},
+       |${upd("c1", "a1", "c0")},
+       |${asg("a2", "c1")},
+       |${upd("c2", "a2", "c1")},
+       |${asg("a3", "c2")}
+       |SELECT CAST(a3.cell AS BIGINT) AS cell_id, count(*) AS n_vectors,
+       |  CAST(sum(a3.dist) AS BIGINT) AS sum_dist,
+       |  CAST(max(cs.s) AS BIGINT) AS cent_sum
+       |FROM a3 JOIN (SELECT cell, list_sum(cent) AS s FROM c2) cs
+       |  USING (cell)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** IVF ANN oracle, mirroring `Similarity.ivfTopK` exactly: the 8
     * lowest-id corpus vectors are the quantizer centroids,

@@ -740,6 +740,72 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PII detection + redaction ([[graft.operators.TextOps.redactPii]]):
+    * deterministic PII (an email, a phone, an IPv4 derived from doc_id)
+    * is appended to every document by BOTH engines, then counted and
+    * scrubbed; the per-source redacted-text hash checksum means the
+    * oracle verifies the redacted BYTES, not just the match counts. */
+  private def q51_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    val aug = pq(s, dir, "documents").withColumn("aug",
+      concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string")))
+    aug.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.piiCount(col("aug"), TextOps.EmailPattern))
+          .cast("long").as("n_emails"),
+        sum(TextOps.piiCount(col("aug"), TextOps.PhonePattern))
+          .cast("long").as("n_phones"),
+        sum(TextOps.piiCount(col("aug"), TextOps.Ipv4Pattern))
+          .cast("long").as("n_ips"),
+        sum(TextOps.baseHash(TextOps.redactPii(col("aug"))))
+          .cast("long").as("redact_checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** Paragraph-level exact dedup ([[graft.operators.TextOps
+    * .paragraphDedup]]): the corpus is doubled with planted partial
+    * copies (ids +10000, text = the first 36 words of the original),
+    * so every plant's 12-word paragraphs duplicate its original's
+    * leading chunks; keep-the-earliest bookkeeping must attribute them
+    * accordingly. */
+  private def q52_para_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+    val plants = docs.select((col("doc_id") + 10000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 36)).as("text"))
+    val withParas = docs.unionAll(plants)
+      .withColumn("paras", TextOps.paragraphs(col("text"), 12))
+    TextOps.paragraphDedup(withParas, "doc_id", "paras")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic fixed-point k-means ([[graft.operators.Similarity
+    * .kmeansFixedPoint]]): k=4 / 2 Lloyd iterations over the
+    * embeddings in scaled-long arithmetic; the oracle replays init,
+    * both update rounds and the final assignment exactly, so cluster
+    * sizes, quantization error and centroid checksums must all match
+    * bit-for-bit. */
+  private def q53_kmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansFixedPoint(pq(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2, dim = 64)
+      .orderBy(col("cell_id"))
+
+  /** Temperature-based domain rebalancing ([[graft.operators.TextOps
+    * .temperatureSample]]): languages are skewed in the corpus; at
+    * alpha=0.5 each language keeps sqrt(n_min/n_lang) of itself via
+    * md5-threshold acceptance, which the oracle reproduces exactly
+    * (same hash, same correctly-rounded sqrt threshold). */
+  private def q54_temp_sample(s: SparkSession, dir: String): DataFrame =
+    TextOps.temperatureSample(pq(s, dir, "documents"), "lang", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("keep_threshold")).as("keep_threshold"),
+        max(col("doc_id")).as("max_kept_id"))
+      .orderBy(col("lang"))
+
   /** Opaque-binary (multimodal) column plumbing: payload bytes + digest. */
   private def q30_multimodal_meta(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
@@ -802,7 +868,11 @@ object SparkEntry {
     "q47_unigram_lm" -> (q47_unigram_lm _),
     "q48_decontaminate" -> (q48_decontaminate _),
     "q49_shard_pack" -> (q49_shard_pack _),
-    "q50_leakage_split" -> (q50_leakage_split _)) ++
+    "q50_leakage_split" -> (q50_leakage_split _),
+    "q51_pii_redact" -> (q51_pii_redact _),
+    "q52_para_dedup" -> (q52_para_dedup _),
+    "q53_kmeans" -> (q53_kmeans _),
+    "q54_temp_sample" -> (q54_temp_sample _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

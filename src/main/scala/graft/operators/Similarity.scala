@@ -271,6 +271,122 @@ object Similarity {
     }
   }
 
+  /** Deterministic fixed-point Lloyd k-means over an embedding column —
+    * the trained counterpart to [[ivfTopK]]'s seed quantizer (its output
+    * drops into [[centroidLiteral]]'s role) and the clustering step of
+    * corpus diversity analysis / data-mixing pipelines.
+    *
+    * Determinism is the design constraint: float k-means depends on
+    * partition-order-sensitive double sums, so two runs (or two engines)
+    * disagree in the last bit and assignments flip. Here every vector is
+    * quantized once to `floor(x · scale)` longs, distances are squared-L2
+    * sums of longs (exact, order-independent), and centroid updates are
+    * exact integer floor-division of long sums — bit-identical on any
+    * engine, which is how the q53 oracle replays the whole loop in SQL.
+    * Bounds: |x·scale| ≤ ~2^21 for unit-scale embeddings at the default
+    * `scale`, so a 64-dim squared distance stays ≤ ~2^47 — far from Long
+    * overflow; the sums job holds one Long per (cell, dim) per map
+    * partition.
+    *
+    * Plan shape per iteration (the MLlib shape, expressed relationally):
+    * centroids ride the plan as ONE literal matrix (O(1) plan nodes via
+    * `Literal.create`, same as [[centroidLiteral]]), each row computes
+    * its own argmin in a narrow codegen-friendly pass — no join, no
+    * window, no shuffle for assignment — and the update is a posexplode +
+    * `groupBy(cell, dim)` whose partial aggregation shuffles k·dim rows
+    * per map partition. The k·dim sums return to the driver (quantizer
+    * metadata, a few KB), never the corpus. Empty cells keep their
+    * previous centroid. Init = the k lowest-id vectors (deterministic;
+    * swap in k-means‖ sampling for production without changing the loop).
+    *
+    * @return per-cell summary: `cell_id` (0-based, init-id order),
+    *         `n_vectors`, `sum_dist` (scaled squared-L2 total — the
+    *         quantization error), `cent_sum` (centroid component sum — a
+    *         portable centroid checksum)
+    */
+  def kmeansFixedPoint(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int, scale: Long = 1000000L): DataFrame = {
+    require(k > 0 && iters >= 0 && dim > 0 && scale > 0,
+      "k, iters, dim, scale must be positive")
+    val quantized = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * scale).cast("long"))
+    val base = df
+      .where(col(idCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("__id"), quantized.as("__qv"))
+    // init: the k lowest-id vectors, numbered 0..k-1 in id order
+    var cents: IndexedSeq[(Int, IndexedSeq[Long])] = base
+      .orderBy(col("__id").asc).limit(k).collect().toIndexedSeq
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1).toIndexedSeq }
+    if (cents.isEmpty)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), kmeansSchema)
+
+    def centLit: Column = {
+      import org.apache.spark.sql.types._
+      val structType = StructType(Seq(
+        StructField("cell", IntegerType, nullable = false),
+        StructField("cent", ArrayType(LongType, containsNull = false),
+          nullable = false)))
+      org.apache.spark.sql.graftshim.ColumnShim.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          cents.map { case (c, v) => org.apache.spark.sql.Row(c, v) },
+          ArrayType(structType, containsNull = false)))
+    }
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, x) => acc + x)
+    // narrow per-row argmin against the literal matrix (ties to the
+    // lower cell id) — the assignCells fold with distance ordering
+    def assigned: DataFrame = {
+      val scores = transform(centLit, c => struct(
+        l2(col("__qv"), c("cent")).as("dist"), c("cell").as("cell")))
+      val best = aggregate(scores, element_at(scores, 1), (acc, x) =>
+        when(x("dist") < acc("dist") ||
+          (x("dist") === acc("dist") && x("cell") < acc("cell")), x)
+          .otherwise(acc))
+      base.withColumn("__cell", best("cell")).withColumn("__dist",
+        best("dist"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assigned
+        .select(col("__cell"), posexplode(col("__qv"))
+          .as(Seq("__pos", "__x")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(col("__x")).as("__sum"), count(lit(1)).as("__cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents = cents.map { case (c, prev) =>
+        c -> prev.indices.map { j =>
+          sums.get((c, j)) match {
+            case Some((s, n)) => Math.floorDiv(s, n)
+            case None         => prev(j) // empty cell keeps its centroid
+          }
+        }
+      }
+    }
+    assigned.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("__dist")).as("sum_dist"))
+      .select(col("__cell").cast("long").as("cell_id"),
+        col("n_vectors"),
+        col("sum_dist"),
+        element_at(
+          array(cents.map(c => lit(c._2.sum)).toIndexedSeq: _*),
+          col("__cell") + 1).as("cent_sum"))
+  }
+
+  private def kmeansSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("cell_id", LongType),
+      StructField("n_vectors", LongType, nullable = false),
+      StructField("sum_dist", LongType),
+      StructField("cent_sum", LongType)))
+  }
+
   /** Exact brute-force cosine top-k: for every query row, the k most
     * similar candidate rows. The candidate set is broadcast when small
     * enough (let Catalyst/AQE decide); similarity is computed once per

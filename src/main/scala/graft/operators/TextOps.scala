@@ -708,4 +708,128 @@ object TextOps {
       .where(col(rk) <= n)
       .drop(rk)
   }
+
+  /** Temperature-based domain rebalancing — the data-mixing operator
+    * that downsamples over-represented domains so a multi-domain
+    * corpus approaches `p_k ∝ n_k^alpha` (multilingual-sampling
+    * convention, `alpha < 1` flattens the distribution). Realized as
+    * deterministic per-row acceptance: key `k` keeps a row iff
+    * `md5-bucket(id) < floor((n_min / n_k)^(1-alpha) · buckets)`, so
+    * the smallest domain keeps everything and a domain 4× its size
+    * keeps half of itself at `alpha = 0.5`. The hash acceptance is a
+    * pure function of the id — stable across runs, partitionings and
+    * engines (no `rand()`), re-runs keep the SAME rows.
+    *
+    * `alpha = 0.5` uses `sqrt` (IEEE correctly-rounded, so an external
+    * SQL oracle reproduces the thresholds bit-for-bit); other alphas
+    * go through `pow`, whose last-bit rounding is libm-dependent —
+    * fine in production, not oracle-exact.
+    *
+    * Plan shape: one partial-aggregated count per key (a key-cardinality
+    * frame), the one-row min folded in by cross-joining its broadcast,
+    * and the rates rejoined to the corpus via broadcast — the big side
+    * is scanned once for counts and once for the filter, with no
+    * shuffle of the corpus itself.
+    *
+    * @return `df` rows that survive, plus a `keep_threshold` column
+    *         (the key's acceptance bound in [0, buckets])
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, idCol: String,
+      alpha: Double = 0.5, buckets: Int = 1000000,
+      fast: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, lit(1.0 - alpha))
+    val thresholds = counts.crossJoin(broadcast(minN))
+      .select(col(keyCol),
+        floor(rate * buckets).cast("long").as("keep_threshold"))
+    df.join(broadcast(thresholds), Seq(keyCol))
+      .where(baseHash(col(idCol).cast("string"), fast) % buckets
+        < col("keep_threshold"))
+  }
+
+  // ----------------------------------------------------- PII redaction
+
+  /** PII patterns, written to the common subset of Java regex and RE2
+    * (no lookaround, no backreferences) so external engines — and the
+    * oracle — match byte-identically. Deliberately high-recall
+    * curation patterns, not validators (e.g. the IPv4 arm accepts
+    * out-of-range octets, as scrubbing pipelines do). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+\\d{1,3}-\\d{3}-\\d{3,4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of pattern matches in `text` (non-overlapping, left to
+    * right — the semantics every regex engine shares). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redacted text: emails → `[EMAIL]`, then phones → `[PHONE]`, then
+    * IPv4s → `[IP]`. Email first (its local part may contain digits
+    * and dots an IP arm would chew on); the replacement tokens contain
+    * no digits or `@`, so later passes cannot re-match earlier
+    * redactions. A narrow codegen'd projection — the 100 TB shape for
+    * a scrubbing pass is exactly this: no shuffle, no state. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
+  // ------------------------------------------------- paragraph dedup
+
+  /** Fixed-size word-window "paragraphs": the token array in `words`-
+    * sized chunks (the tail chunk keeps whatever remains). Documents
+    * need no explicit paragraph markers — dedup granularity becomes a
+    * tunable — and the construction is pure array arithmetic, exactly
+    * reproducible by any engine with list slicing. */
+  def paragraphs(text: Column, words: Int): Column = {
+    require(words > 0, "paragraph size must be positive")
+    bind(tokens(text), ws =>
+      transform(sequence(lit(1), ceil(size(ws) / lit(words.toDouble))
+          .cast("int")),
+        i => concat_ws(" ", slice(ws, (i - 1) * words + 1, lit(words)))))
+  }
+
+  /** Paragraph-level exact dedup bookkeeping — the passage-granularity
+    * companion to [[exactDedup]] (whole documents) that catches
+    * boilerplate shared ACROSS distinct pages (headers, licence
+    * blocks, templated intros). A paragraph occurrence is KEPT iff it
+    * is the first occurrence of its content in (id, position) order —
+    * the deterministic "keep the earliest copy" rule — and every later
+    * occurrence, across documents or within one, is a duplicate.
+    *
+    * Plan shape: posexplode the paragraph array, md5 each paragraph,
+    * one `groupBy(hash)` whose `min(struct(id, pos))` partially
+    * aggregates map-side (the shuffle carries one row per distinct
+    * paragraph per map partition, not per occurrence), broadcast-free
+    * equi-join back on the hash, then a per-document rollup. No
+    * windows, no all-pairs anything: cost scales with occurrence
+    * count, the 100 TB shape.
+    *
+    * @param parasCol array-of-strings column (e.g. [[paragraphs]])
+    * @return one row per document: `n_paras`, `n_kept`, `n_dup`
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String,
+      parasCol: String): DataFrame = {
+    val occ = docs
+      .select(col(idCol), posexplode(col(parasCol)).as(Seq("__pos", "__p")))
+      .select(col(idCol), col("__pos"), md5(col("__p")).as("__h"))
+    val firsts = occ.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    occ.join(firsts, "__h")
+      .withColumn("__kept",
+        (col("__first")(idCol) === col(idCol) &&
+          col("__first")("__pos") === col("__pos")).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("__kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("__kept"))).as("n_dup"))
+  }
 }

@@ -224,6 +224,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("kmeans assignment is narrow: literal centroids, no join/window") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 300L)
+      .map(i => (i, Array.fill(8)((i % 5).toFloat)))
+      .toDF("id", "vec")
+    val out = graft.operators.Similarity.kmeansFixedPoint(
+      vecs, "id", "vec", k = 3, iters = 1, dim = 8)
+    // the whole loop must stay join- and window-free: centroids ride as
+    // a literal matrix, assignment is a narrow fold, and the only
+    // shuffles are the (cell, dim) update agg and the final summary agg
+    val plan = executedString(out)
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("temperature-sample thresholds join via broadcast, not shuffle") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 500L).map(i => (i, s"k${i % 7}")).toDF("id", "key")
+    val plan = executedString(
+      graft.operators.TextOps.temperatureSample(df, "key", "id"))
+    // the per-key threshold frame is key-cardinality-sized metadata; the
+    // corpus itself must never shuffle for this join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("decontamination joins stay hashed-gram equi-joins") {
     val s = spark
     import s.implicits._
