@@ -142,6 +142,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -276,11 +277,24 @@ object Bench {
     val sysJson = s"""{"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,""" +
       s""""mem_available_mb":$memBefore,"cpus":"$cpus",""" +
       s""""host_cores":${Runtime.getRuntime.availableProcessors}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Two lines, detail FIRST: the driver keeps only a fixed-size tail
+    // of stdout (observed 2000 chars) and parses the last JSON line it
+    // can see. One all-in line (per-pass samples for 50+ queries, reader
+    // meta, calibration) outgrew that window rounds ago — the tail began
+    // mid-line and every BENCH_r*.json since r6 recorded "parsed": null.
+    // So the full diagnostic line is printed first (for humans reading
+    // the log) and the LAST line is a compact summary, kept well under
+    // the tail window so it always parses.
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec",""" +
       s""""sf":"$sfDir","runs":$runs,"action":"noop-write",""" +
       s""""failed":$failedJson,"calibration_sec":$calJson,""" +
       s""""pass_totals_sec":$passJson,"samples_sec":$sampleJson,""" +
       s""""reader_corpus":$readerMeta,"system":$sysJson}""")
+    val qsCompact = results.map { case (k, v) => s"\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":$qsCompact,"sf":"$sfDir","runs":$runs,""" +
+      s""""action":"noop-write","failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -20,16 +20,23 @@ object SparkEntry {
   private def pq(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries a nanosecond parquet timestamp, which Spark 4
-    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set
-    * in Verify/Bench sessions). Normalize to TimestampType (microseconds)
-    * with exact integer arithmetic — `ts div 1000` stays in Long, a double
-    * division would lose precision above 2^53. */
+  /** The events table's `ts` has shipped in three physical shapes across
+    * testdata generations: nanosecond parquet timestamps read as a raw
+    * long (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench
+    * sessions), TIMESTAMP_NTZ, and plain TIMESTAMP. Normalize all three
+    * to TimestampType so `unix_micros`/watermarks type-check: the long
+    * path uses exact integer arithmetic (`ts div 1000` stays in Long — a
+    * double division would lose precision above 2^53), and the NTZ cast
+    * is deterministic because the gate sessions run with a UTC session
+    * timezone, matching the oracle's naive-timestamp epoch math. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = pq(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

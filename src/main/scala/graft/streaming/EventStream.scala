@@ -219,12 +219,17 @@ object EventStream {
     d
   }
 
-  /** Normalize a nanosecond-long `ts` column (the testdata shape under
-    * `nanosAsLong`) to a real timestamp; pass true timestamps through. */
+  /** Normalize `ts` to TimestampType: nanosecond-long (the testdata
+    * shape under `nanosAsLong`) via exact integer micros, TIMESTAMP_NTZ
+    * via a cast (deterministic under the UTC session timezone the gate
+    * sessions set — watermarks reject NTZ outright), true timestamps
+    * pass through. */
   private def normalizeTs(raw: DataFrame, schema: StructType): DataFrame =
     schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
 
