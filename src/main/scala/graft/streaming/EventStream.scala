@@ -332,7 +332,7 @@ object EventStream {
     * The parquet sink accumulates exactly-once across the executions;
     * sentinel sessions are filtered from the rollup. */
   def sessionizeToCompletion(spark: SparkSession,
-      eventsPath: String): DataFrame = {
+      eventsPath: String, rollupDir: Option[String] = None): DataFrame = {
     // the three drives each pay one state-store file set per shuffle
     // partition per execution; a completion-driven gate run sizes the
     // stateful shuffle to its bounded input instead of inheriting the
@@ -394,8 +394,14 @@ object EventStream {
     }
 
     // the finally block keeps a failed drive from leaking scratch dirs
-    // into /tmp across repeated bench/gate runs
-    val rows = try {
+    // into /tmp across repeated bench/gate runs; the rollup output dir
+    // is NOT scratch — it backs the returned DataFrame
+    val rollup = rollupDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft-sess-rollup")
+      deleteOnJvmExit(d) // default dir lives until JVM exit; production
+      d.toString         // callers pass their own path and own its life
+    }
+    try {
       runOnce() // all data, single batch, watermark 0 — nothing dropped
       addSentinel(days = 30, i = 0)
       runOnce() // advances the persisted watermark past all real sessions
@@ -404,31 +410,30 @@ object EventStream {
 
       val sessionSchema =
         org.apache.spark.sql.Encoders.product[UserSession].schema
-      // materialize the (small) per-user rollup so the scratch dirs
-      // can go; only the reserved sentinel user is excluded — real
-      // negative ids sessionize like any other
+      // per-user rollup is written executor-side and returned as a
+      // distributed parquet read — no row ever passes through the
+      // driver, so the shape holds at production user cardinality.
+      // Only the reserved sentinel user is excluded — real negative
+      // ids sessionize like any other.
       ss.read.schema(sessionSchema).parquet(outDir.toString)
         .where(col("user_id") =!= Long.MinValue)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"))
-        .collect().toIndexedSeq
+        .write.mode("overwrite").parquet(rollup)
     } finally {
       latest.unpersist()
       deleteRecursively(ckpt)
       deleteRecursively(streamDir)
       deleteRecursively(outDir)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_sessions",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_events",
-          org.apache.spark.sql.types.LongType))))
+    spark.read.parquet(rollup)
   }
+
+  /** Best-effort JVM-exit cleanup for default-located rollup dirs. */
+  private def deleteOnJvmExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(dir) catch { case _: Exception => () }))
 
   /** Streaming watermarked dedup driven to completion and
     * oracle-checkable (gate row q38): the input directory is staged

@@ -242,8 +242,18 @@ class EventStreamSpec extends SparkSuite {
       }
       java.nio.file.Files.copy(part, evDir.resolve(s"$name.parquet"))
     }
-    val got = EventStream.sessionizeToCompletion(spark, evDir.toString)
-      .orderBy("user_id").collect()
+    val res = EventStream.sessionizeToCompletion(spark, evDir.toString)
+    // the completion result must be a DISTRIBUTED parquet read — if it
+    // were driver-materialized rows the plan would be a LocalRelation /
+    // ExistingRDD scan and this shape would not hold at production
+    // user cardinality
+    val planStr = res.queryExecution.optimizedPlan.toString
+    assert(planStr.toLowerCase.contains("parquet"),
+      s"rollup is not a distributed parquet read:\n$planStr")
+    assert(!planStr.contains("LocalRelation") &&
+      !planStr.contains("ExistingRDD"),
+      s"rollup passed through the driver:\n$planStr")
+    val got = res.orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 3L, 3L)), s"got $got")
   }
