@@ -343,7 +343,7 @@ object SparkEntry {
   private def q32_winnow(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "documents")
       .select(col("source"),
-        TextOps.winnowFingerprints(col("text")).as("fp"))
+        TextOps.winnowFingerprints(col("text"), fastHash = false).as("fp"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("fp"))).cast("long").as("n_fps"),
@@ -412,7 +412,7 @@ object SparkEntry {
     val docs = pq(s, dir, "documents")
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)
     val bench = docs.filter(col("doc_id") % 20 === 0)
-    TextOps.decontaminate(corpus, bench, "doc_id", "text")
+    TextOps.decontaminate(corpus, bench, "doc_id", "text", fastHash = false)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
   }
@@ -435,7 +435,7 @@ object SparkEntry {
   private def q50_leakage_split(s: SparkSession, dir: String): DataFrame = {
     val docs = pq(s, dir, "documents")
     val pairs = TextOps.lshCandidatePairs(
-      TextOps.minhashSignatures(docs, "doc_id", "text", 8),
+      TextOps.minhashSignatures(docs, "doc_id", "text", 8, fastHash = false),
       "doc_id", k = 8, bandSize = 2)
     TextOps.leakageSafeSplit(docs, pairs, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -473,19 +473,22 @@ object SparkEntry {
 
   /** MinHash signatures (k=8) per document. */
   private def q23_minhash_sig(s: SparkSession, dir: String): DataFrame =
-    TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", k = 8)
+    TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text",
+        k = 8, fastHash = false)
       .orderBy(col("doc_id"))
 
   /** MinHash-LSH near-duplicate candidate pairs (4 bands × 2 rows). */
   private def q24_neardup_pairs(s: SparkSession, dir: String): DataFrame =
     TextOps.lshCandidatePairs(
-        TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8),
+        TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8,
+          fastHash = false),
         "doc_id", k = 8, bandSize = 2)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash (16-bit) per document. */
   private def q25_simhash(s: SparkSession, dir: String): DataFrame =
-    TextOps.simhash(pq(s, dir, "documents"), "doc_id", "text", bits = 16)
+    TextOps.simhash(pq(s, dir, "documents"), "doc_id", "text", bits = 16,
+        fastHash = false)
       .orderBy(col("doc_id"))
 
   /** Exact n-gram Jaccard verification of the LSH candidates. */
@@ -494,7 +497,7 @@ object SparkEntry {
     val sh = docs.select(col("doc_id"),
       TextOps.shingles(col("text")).as("sh"))
     val pairs = TextOps.lshCandidatePairs(
-      TextOps.minhashSignatures(docs, "doc_id", "text", 8),
+      TextOps.minhashSignatures(docs, "doc_id", "text", 8, fastHash = false),
       "doc_id", k = 8, bandSize = 2)
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -719,7 +722,8 @@ object SparkEntry {
     * the same components with a recursive transitive-closure CTE. */
   private def q37_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = TextOps.lshCandidatePairs(
-      TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8),
+      TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8,
+        fastHash = false),
       "doc_id", k = 8, bandSize = 2)
     TextOps.dedupClusters(pairs).orderBy("doc_id")
   }
@@ -729,7 +733,8 @@ object SparkEntry {
     * q37, checked against the identical DuckDB transitive closure. */
   private def q40_dedup_star(s: SparkSession, dir: String): DataFrame = {
     val pairs = TextOps.lshCandidatePairs(
-      TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8),
+      TextOps.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text", 8,
+        fastHash = false),
       "doc_id", k = 8, bandSize = 2)
     TextOps.dedupClustersStar(pairs).orderBy("doc_id")
   }

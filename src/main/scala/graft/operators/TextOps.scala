@@ -33,13 +33,15 @@ object TextOps {
   private def bind(bound: Column, f: Column => Column): Column =
     element_at(transform(array(bound), f), 1)
 
-  /** 32-bit base hash of a string. Default: first 8 hex digits of md5 —
-    * reproducible in any SQL engine, which is how the DuckDB oracle
-    * mirrors every hash-derived operator. `fast = true`: xxhash64 masked
-    * to 32 bits — an order of magnitude cheaper per gram (no digest, no
-    * hex round-trip; fully codegen'd), the variant a production pipeline
-    * should run. Both stay in [0, 2^32) so the minhash linear family's
-    * products remain exact in 64-bit ints. */
+  /** 32-bit base hash of a string. `fast = false` (this building
+    * block's default — note the PUBLIC operators above it default to
+    * fast): first 8 hex digits of md5, reproducible in any SQL engine,
+    * which is how the DuckDB oracle mirrors every hash-derived
+    * operator. `fast = true`: xxhash64 masked to 32 bits — an order of
+    * magnitude cheaper per gram (no digest, no hex round-trip; fully
+    * codegen'd), what the public operators run by default. Both stay
+    * in [0, 2^32) so the minhash linear family's products remain exact
+    * in 64-bit ints. */
   def baseHash(c: Column, fast: Boolean = false): Column =
     if (fast) xxhash64(c).bitwiseAND(lit(0xFFFFFFFFL))
     else conv(substring(md5(c), 1, 8), 16, 10).cast("long")
@@ -74,7 +76,7 @@ object TextOps {
     * @return dataframe of (idCol, s0..s{k-1})
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, fastHash: Boolean = false): DataFrame = {
+      k: Int = 8, fastHash: Boolean = true): DataFrame = {
     require(k <= MinhashA.size, s"at most ${MinhashA.size} signatures")
     val sh = docs.select(col(idCol), explode(shingles(col(textCol))).as("__sh"))
       .withColumn("__h", baseHash(col("__sh"), fastHash))
@@ -322,7 +324,7 @@ object TextOps {
     * ±1 votes from each token's hash bit b is positive. One exploded pass +
     * one partially-aggregated groupBy. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, fastHash: Boolean = false): DataFrame = {
+      bits: Int = 16, fastHash: Boolean = true): DataFrame = {
     val tok = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
       .withColumn("__h", baseHash(col("__w"), fastHash))
@@ -347,16 +349,17 @@ object TextOps {
     * the MOSS scheme): hash every k-char gram, keep the minimum of each
     * w-wide window, dedupe. Robust to local edits — two documents
     * sharing a long run share fingerprints regardless of alignment.
-    * Built entirely from built-in functions (no UDF); the default
-    * md5-based gram hash is engine-reproducible for the oracle, and
-    * `fastHash = true` switches every gram to xxhash64 — the gram hash
-    * dominates this operator's cost (one digest per character position),
-    * so production runs should use it. The gram-hash array is
+    * Built entirely from built-in functions (no UDF). The DEFAULT is
+    * the codegen'd fast path (`fastHash = true`, ~14× cheaper — the
+    * gram hash dominates this operator's cost, one digest per
+    * character position); `fastHash = false` switches to the md5-based
+    * gram hash, which is reproducible in any engine and is what the
+    * DuckDB oracle gates pin. The md5 branch's gram-hash array is
     * [[bind]]-ed so each gram is hashed once — without the binding the
     * O(n) hash array was re-evaluated per window position, O(n²) md5
     * calls per document. */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4,
-      fastHash: Boolean = false): Column =
+      fastHash: Boolean = true): Column =
     if (fastHash)
       // production path: one codegen'd O(n) kernel (rolling 32-bit
       // gram hash + deque window minima) instead of per-position
@@ -401,14 +404,15 @@ object TextOps {
     * rows are (id, long) not (id, text); the benchmark gram set is tiny
     * relative to the corpus, so AQE broadcasts both the semi-join that
     * flags contaminated ids and the anti-join that removes them — the
-    * corpus is never shuffled. `fastHash` switches the md5 oracle hash
-    * to codegen'd xxhash64 for production (a hash collision can only
-    * over-remove, the conservative direction for decontamination).
+    * corpus is never shuffled. Codegen'd xxhash64 grams are the default
+    * (a hash collision can only over-remove, the conservative direction
+    * for decontamination); `fastHash = false` switches to the md5 hash
+    * the DuckDB oracle can reproduce.
     *
     * @return the corpus rows minus contaminated documents
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int = 13, fastHash: Boolean = false): DataFrame = {
+      textCol: String, n: Int = 13, fastHash: Boolean = true): DataFrame = {
     val cg = corpus
       .select(col(idCol), explode(wordGrams(col(textCol), n)).as("__g"))
       .select(col(idCol), baseHash(col("__g"), fastHash).as("__h"))

@@ -23,15 +23,21 @@ class TextOpsSpec extends SparkSuite {
       assert(sig.values.flatten.forall {
         case l: Long => l >= 0L && l < (1L << 32); case _ => false })
     }
-    val md5Sig = TextOps.minhashSignatures(docs, "doc_id", "text", 4)
-      .collect().map(_.toSeq.tail).toSeq
+    val md5Sig = TextOps.minhashSignatures(docs, "doc_id", "text", 4,
+      fastHash = false).collect().map(_.toSeq.tail).toSeq
     val fastSig = TextOps.minhashSignatures(docs, "doc_id", "text", 4,
       fastHash = true).collect().map(_.toSeq.tail).toSeq
     assert(md5Sig != fastSig, "families must differ in value")
+    // the PUBLIC default is the fast family (the md5 family exists for
+    // oracle reproducibility and must be requested explicitly)
+    val defSig = TextOps.minhashSignatures(docs, "doc_id", "text", 4)
+      .collect().map(_.toSeq.tail).toSeq
+    assert(defSig.toSet == fastSig.toSet && defSig.toSet != md5Sig.toSet,
+      "default must be the fast-hash family")
     // winnow: both paths yield non-empty distinct fingerprint sets that
     // agree for identical docs and differ across families
     val fp = docs.select(col("doc_id"),
-      TextOps.winnowFingerprints(col("text")).as("slow"),
+      TextOps.winnowFingerprints(col("text"), fastHash = false).as("slow"),
       TextOps.winnowFingerprints(col("text"), fastHash = true).as("fast"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
     fp.foreach { case (id, slow, fastV) =>
@@ -41,6 +47,12 @@ class TextOpsSpec extends SparkSuite {
     }
     val byId = fp.map(t => t._1 -> t).toMap
     assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._3 == byId(2L)._3)
+    // the default winnow path IS the codegen'd WinnowFast expression
+    assert(org.apache.spark.sql.graftshim.ColumnShim
+      .expression(TextOps.winnowFingerprints(col("text")))
+      .find(_.isInstanceOf[graft.functions.TextFunctions.WinnowFast])
+      .isDefined,
+      "default winnowFingerprints must use the codegen'd fast kernel")
     // simhash: identical docs agree under the fast family too
     val sh = TextOps.simhash(docs, "doc_id", "text", fastHash = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -275,11 +287,12 @@ class TextOpsSpec extends SparkSuite {
     val kept12 = TextOps.decontaminate(corpus, bench, "doc_id", "text", n = 12)
       .select("doc_id").as[Long].collect().sorted
     assert(kept12.toSeq == Seq(3L, 4L))
-    // fast-hash path removes the same documents
-    val keptFast = TextOps
-      .decontaminate(corpus, bench, "doc_id", "text", fastHash = true)
+    // the md5 oracle path removes the same documents as the (default)
+    // fast-hash path
+    val keptMd5 = TextOps
+      .decontaminate(corpus, bench, "doc_id", "text", fastHash = false)
       .select("doc_id").as[Long].collect().sorted
-    assert(keptFast.toSeq == Seq(2L, 3L, 4L))
+    assert(keptMd5.toSeq == Seq(2L, 3L, 4L))
   }
 
   test("prefixSum/packShards: two-pass scan equals the global window") {
