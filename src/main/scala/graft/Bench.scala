@@ -30,6 +30,11 @@ import java.lang.management.ManagementFactory
   *     so the judge can compare environments across rounds.
   */
 object Bench {
+  /** Locale-pinned fixed-point formatter: JSON consumers need '.'
+    * decimals even under a comma-decimal default locale. */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private def memAvailableMb(): Long =
     try {
       scala.io.Source.fromFile("/proc/meminfo").getLines()
@@ -137,6 +142,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // ALL numeric formatting below must be machine-parseable JSON: under
+    // a comma-decimal default locale (de_DE etc.) f"%.3f" would emit
+    // "1,234" and break every consumer, so pin ROOT process-wide.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -266,33 +275,48 @@ object Bench {
     // raw per-pass samples (pass order) — lets a reader separate a cold
     // first pass from a genuine steady-state shift per query
     val sampleJson = queries.map { case (name, _) =>
-      s"\"" + name + "\":" + samples(name).map(t => f"$t%.3f")
+      s"\"" + name + "\":" + samples(name).map(fmt)
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map(n => s"\"" + n + "\"")
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val calJson = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val passJson = passTotals.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val calJson = calibrations.map(fmt).mkString("[", ",", "]")
+    val passJson = passTotals.map(fmt).mkString("[", ",", "]")
     val sysJson = s"""{"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,""" +
       s""""mem_available_mb":$memBefore,"cpus":"$cpus",""" +
       s""""host_cores":${Runtime.getRuntime.availableProcessors}}"""
-    // Two lines, detail FIRST: the driver keeps only a fixed-size tail
-    // of stdout (observed 2000 chars) and parses the last JSON line it
-    // can see. One all-in line (per-pass samples for 50+ queries, reader
-    // meta, calibration) outgrew that window rounds ago — the tail began
-    // mid-line and every BENCH_r*.json since r6 recorded "parsed": null.
-    // So the full diagnostic line is printed first (for humans reading
-    // the log) and the LAST line is a compact summary, kept well under
-    // the tail window so it always parses.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec",""" +
+    // The harness keeps only a fixed-size tail of stdout (observed
+    // 2000 chars) and parses the last JSON line it can see — and in r9
+    // even a <2000-char final line arrived truncated and "[info]"-
+    // prefixed because the forked JVM's stdout went through sbt's
+    // logger (fixed in build.sbt: run/outputStrategy = StdoutOutput).
+    // Three layers of robustness now:
+    //  1. the full diagnostic record (per-pass samples, reader meta,
+    //     calibration, per-query minimums) is WRITTEN TO A FILE in the
+    //     repo (bench_out/latest.json, committed per round), so the
+    //     complete artifact survives regardless of stdout handling;
+    //  2. the same record is printed first for humans reading the log;
+    //  3. the LAST stdout line is a compact summary kept well under the
+    //     tail window.
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",""" +
       s""""sf":"$sfDir","runs":$runs,"action":"noop-write",""" +
-      s""""failed":$failedJson,"calibration_sec":$calJson,""" +
+      s""""failed":$failedJson,"queries":$qs,"calibration_sec":$calJson,""" +
       s""""pass_totals_sec":$passJson,"samples_sec":$sampleJson,""" +
-      s""""reader_corpus":$readerMeta,"system":$sysJson}""")
-    val qsCompact = results.map { case (k, v) => s"\"" + k + f"\":$v%.3f" }
+      s""""reader_corpus":$readerMeta,"system":$sysJson}"""
+    try {
+      val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "bench_out/latest.json"))
+      Option(outPath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(outPath, detail + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out: $e")
+    }
+    println(detail)
+    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qsCompact,"sf":"$sfDir","runs":$runs,""" +
       s""""action":"noop-write","failed":$failedJson}""")
     spark.stop()
