@@ -33,7 +33,13 @@ object Similarity {
   /** Random-hyperplane-style LSH bucket from the signs of the first `bits`
     * dimensions (axis-aligned planes — deterministic, engine-portable and
     * trivially SQL-mirrorable for the oracle; biased when dimensions are
-    * correlated — [[hyperplaneBucket]] is the production variant). */
+    * correlated — [[hyperplaneBucket]] is the production variant).
+    *
+    * @note SUPERSEDED BASELINE — kept for the oracle gates (q28/q29) and
+    *       as the teaching-simple variant. New code should key on
+    *       [[bandKeys]] (banded, content-derived cardinality) instead:
+    *       a single `bits`-wide bucket caps the join's parallelism at
+    *       2^bits and grows near-quadratically within buckets at scale. */
   def signBucket(vec: Column, bits: Int = 8): Column =
     (0 until bits)
       .map(i => when(element_at(vec, i + 1) > 0f, 1L << i).otherwise(0L))
@@ -296,8 +302,16 @@ object Similarity {
     * `groupBy(cell, dim)` whose partial aggregation shuffles k·dim rows
     * per map partition. The k·dim sums return to the driver (quantizer
     * metadata, a few KB), never the corpus. Empty cells keep their
-    * previous centroid. Init = the k lowest-id vectors (deterministic;
-    * swap in k-means‖ sampling for production without changing the loop).
+    * previous centroid.
+    *
+    * Init: by default the k lowest-id vectors (deterministic, the
+    * variant the q53 oracle mirrors bit-for-bit). `initSeed =
+    * Some(seed)` switches to a deterministic seeded SAMPLE — the k
+    * vectors with the smallest `xxhash64(id, seed)` — which spreads the
+    * seeds uniformly over the corpus regardless of id layout (lowest-id
+    * init degenerates when ids correlate with content, e.g. time-ordered
+    * ingestion). Both inits are pure functions of the data, so results
+    * reproduce across runs and executor counts; the loop is identical.
     *
     * @return per-cell summary: `cell_id` (0-based, init-id order),
     *         `n_vectors`, `sum_dist` (scaled squared-L2 total — the
@@ -305,7 +319,8 @@ object Similarity {
     *         portable centroid checksum)
     */
   def kmeansFixedPoint(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, dim: Int, scale: Long = 1000000L): DataFrame = {
+      k: Int, iters: Int, dim: Int, scale: Long = 1000000L,
+      initSeed: Option[Long] = None): DataFrame = {
     require(k > 0 && iters >= 0 && dim > 0 && scale > 0,
       "k, iters, dim, scale must be positive")
     val quantized = transform(col(vecCol).cast("array<double>"),
@@ -313,9 +328,16 @@ object Similarity {
     val base = df
       .where(col(idCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).as("__id"), quantized.as("__qv"))
-    // init: the k lowest-id vectors, numbered 0..k-1 in id order
-    var cents: IndexedSeq[(Int, IndexedSeq[Long])] = base
-      .orderBy(col("__id").asc).limit(k).collect().toIndexedSeq
+    // init: k seed vectors numbered 0..k-1 in draw order. Either way
+    // the pick is a TakeOrderedAndProject (top-k, no global sort) and
+    // only k rows reach the driver — quantizer metadata, not data.
+    val initRows = (initSeed match {
+      case Some(seed) => base.orderBy(
+        xxhash64(col("__id"), lit(seed)).asc, col("__id").asc)
+      case None => base.orderBy(col("__id").asc)
+    }).limit(k)
+    var cents: IndexedSeq[(Int, IndexedSeq[Long])] = initRows
+      .collect().toIndexedSeq
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](1).toIndexedSeq }
     if (cents.isEmpty)
@@ -391,7 +413,14 @@ object Similarity {
     * similar candidate rows. The candidate set is broadcast when small
     * enough (let Catalyst/AQE decide); similarity is computed once per
     * pair, then per-query top-k via window. Norms are precomputed on both
-    * sides so the pair loop only does the dot product. */
+    * sides so the pair loop only does the dot product.
+    *
+    * @note SUPERSEDED BASELINE — the `crossJoin` is O(|Q|·|C|) by
+    *       construction and exists as the exact-recall yardstick (gate
+    *       q27). For anything beyond a small candidate table use
+    *       [[bandedTopK]] (banded LSH + rerank) or [[ivfTopK]]
+    *       (coarse-quantizer cells + nProbe) — both return the same
+    *       (query_id, cand_id, sim, rank) shape. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
@@ -403,7 +432,14 @@ object Similarity {
     * The bucket equi-join replaces the cross product; at 100 TB this is one
     * shuffle on the bucket key with AQE handling bucket skew.
     * `seededDim = Some(dim)` switches from axis-aligned sign bits to the
-    * seeded hyperplane scheme. */
+    * seeded hyperplane scheme.
+    *
+    * @note SUPERSEDED BASELINE — a single bucket column caps the key
+    *       space at 2^bits, so buckets grow near-quadratically as the
+    *       corpus scales (gate q28 pins this variant). Production ANN
+    *       should use [[bandedTopK]] (multi-band keys, full
+    *       content-derived cardinality, recall 1-(1-p^bits)^bands) or
+    *       [[ivfTopK]]; same output shape. */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int = 8,
       seededDim: Option[Int] = None, seed: Long = 42L): DataFrame = {
@@ -467,7 +503,13 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: same sign bucket, cosine ≥ threshold,
-    * each unordered pair once. */
+    * each unordered pair once.
+    *
+    * @note SUPERSEDED BASELINE — single capped sign bucket (gate q29
+    *       pins it). Production near-dup detection should use
+    *       [[bandedNearDupPairs]] (banded keys, candidates never
+    *       all-pairs) or [[embeddingDedupClusters]] for the full
+    *       cluster-label dedup shape; same (id_a, id_b, sim) output. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 8): DataFrame = {
     val v = normed(vectors, idCol, vecCol, "__id", "__v", "__n")

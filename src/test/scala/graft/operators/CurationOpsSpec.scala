@@ -144,6 +144,39 @@ class CurationOpsSpec extends SparkSuite {
     assert(empty.count() == 0L)
   }
 
+  test("kmeansFixedPoint: seeded-sampling init is deterministic and " +
+      "converges like lowest-id init") {
+    val s = spark
+    import s.implicits._
+    // ids correlate with content (first 20 ids = cluster 0) — exactly
+    // the layout where lowest-id init degenerates to two seeds in the
+    // SAME cluster; the seeded sample draws across the corpus
+    val vecs = (0L until 40L).map { i =>
+      val c = (i / 20).toFloat
+      (i, Array(c + 0.001f * i, c, c, c))
+    }.toDF("id", "vec")
+    val seeded = Similarity.kmeansFixedPoint(vecs, "id", "vec",
+        k = 2, iters = 3, dim = 4, initSeed = Some(7L))
+      .orderBy("cell_id").collect()
+    assert(seeded.map(_.getLong(1)).sum == 40L)
+    // pure function of (data, seed): bit-identical on re-run
+    val again = Similarity.kmeansFixedPoint(vecs, "id", "vec",
+        k = 2, iters = 3, dim = 4, initSeed = Some(7L))
+      .orderBy("cell_id").collect()
+    assert(seeded.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // with enough iterations the seeded init separates the two obvious
+    // clusters (lloyd converges here regardless of which rows seed it)
+    val sizes = Similarity.kmeansFixedPoint(vecs, "id", "vec",
+        k = 2, iters = 6, dim = 4, initSeed = Some(7L))
+      .orderBy("cell_id").collect().map(_.getLong(1)).toSeq
+    assert(sizes.sorted == Seq(20L, 20L), s"got $sizes")
+    // a different seed is a different (still valid, still total) draw
+    val other = Similarity.kmeansFixedPoint(vecs, "id", "vec",
+        k = 2, iters = 3, dim = 4, initSeed = Some(8L))
+      .agg(sum("n_vectors")).head.getLong(0)
+    assert(other == 40L)
+  }
+
   test("kmeansFixedPoint: empty cells keep their centroid") {
     val s = spark
     import s.implicits._
