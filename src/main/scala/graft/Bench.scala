@@ -74,7 +74,73 @@ object Bench {
           org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.size(
               org.apache.spark.sql.functions.col("fp")))
-            .cast("long").as("n_fps"))))
+            .cast("long").as("n_fps"))),
+    // q14's interval-overlap join with 90% of BOTH interval sets forced
+    // onto one chromosome (the remaining 10% keep the q14 layout): the
+    // shuffle key is (chrom, bin), so chromosome-level skew spreads
+    // over the bin dimension with no straggler task — the binned
+    // design, not AQE, is the first line of defense (AQE skew-split
+    // remains the safety net for genuinely hot BINS, pinned by
+    // PlanAuditSpec's skew test). NOTE when comparing to q14: piling
+    // 90%² of both sides onto one chromosome inflates the OUTPUT pair
+    // count ~3.3× (0.81·A·B·p vs uniform 4-chrom A·B·p/4), so parity
+    // is time-per-pair, not raw seconds.
+    "x14_interval_skew" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      def skewed(key: org.apache.spark.sql.Column) =
+        when(key % 10 < 9, lit("chr0"))
+          .otherwise(concat(lit("chr"), (key % 4).cast("string")))
+      val a = s.read.parquet(s"$dir/lineitem.parquet").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("a_id"),
+        skewed(col("l_orderkey")).as("chrom"),
+        ((col("l_partkey") * 12347) % 10000000L).as("a_start"),
+        (((col("l_partkey") * 12347) % 10000000L) + 50 +
+          floor(col("l_quantity")) * 10).as("a_end"))
+      val b = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey").as("b_id"),
+        skewed(col("o_orderkey")).as("b_chrom"),
+        ((col("o_custkey") * 9973) % 10000000L).as("b_start"),
+        (((col("o_custkey") * 9973) % 10000000L) + 200).as("b_end"))
+      graft.operators.IntervalJoin.overlapJoin(a, b,
+          leftCols = ("chrom", "a_start", "a_end"),
+          rightCols = ("b_chrom", "b_start", "b_end"), binSize = 1000L)
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("sum_overlap"))
+        .orderBy(col("chrom"))
+    }))
+
+  /** Columnar-pilot A/B pairs (x-rows, not gates): the same flat
+    * projection through the row path and the opt-in `columnar=true`
+    * batch path (`ColumnarRowBatcher`), at real corpus sizes. The
+    * projections exclude struct columns (tags / itemRgb) because the
+    * batcher is flat-schema-only by design. The per-pair delta is the
+    * evidence behind the pilot's off-by-default decision — under stock
+    * Spark the plan re-materializes rows at ColumnarToRow, so the batch
+    * copy can only pay off for a vector-consuming downstream. */
+  private def columnarAbBenches(c: graft.fixtures.BenchCorpus.Paths)
+      : Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def bamProj(s: SparkSession, col: Boolean) = s.read.format("bam")
+      .option("tags", "NM:i,AS:i,RG:Z")
+      .option("columnar", col.toString).load(c.bam)
+      .select("qname", "flag", "rname", "pos", "end", "mapq", "cigar")
+    def bamSplit(s: SparkSession, col: Boolean) = s.read.format("bam")
+      .option("tags", "NM:i,AS:i,RG:Z")
+      .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
+      .option("columnar", col.toString).load(c.bam)
+      .select("qname", "flag", "rname", "pos", "end", "mapq", "cigar")
+    def bedProj(s: SparkSession, col: Boolean) = s.read.format("bed")
+      .option("columnar", col.toString).load(c.bed)
+      .select("chrom", "start", "end")
+    Seq(
+      "x01_bam_proj_row" -> ((s: SparkSession, _: String) => bamProj(s, false)),
+      "x02_bam_proj_col" -> ((s: SparkSession, _: String) => bamProj(s, true)),
+      "x03_bam_split_row" -> ((s: SparkSession, _: String) => bamSplit(s, false)),
+      "x04_bam_split_col" -> ((s: SparkSession, _: String) => bamSplit(s, true)),
+      "x05_bed_proj_row" -> ((s: SparkSession, _: String) => bedProj(s, false)),
+      "x06_bed_proj_col" -> ((s: SparkSession, _: String) => bedProj(s, true)))
+  }
 
   /** Genomic-reader benchmark entries (b01–b05) over the generated
     * multi-hundred-MB corpus — the surface the q* parquet analytics never
@@ -97,6 +163,14 @@ object Bench {
       "b03_bam_split" -> ((s: SparkSession, _: String) => bam(s)
         .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
         .load(c.bam)),
+      // whole-chromosome region: ~2/3 of the file through the INDEXED
+      // path — large-region chunk-coalesce + packRanges must fan out
+      // into many partitions (b02's 8 Mbp slice correctly plans 1), so
+      // this is the at-scale evidence for region splitting. Same 16 MB
+      // budget as b03 so the two fan-outs are comparable.
+      "b11_bam_chrom" -> ((s: SparkSession, _: String) => bam(s)
+        .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
+        .option("regions", "chr1").load(c.bam)),
       // INFO-heavy projection through the header-driven schema
       "b04_vcf_info" -> ((s: SparkSession, _: String) => s.read
         .format("vcf").load(c.vcf)
@@ -175,13 +249,15 @@ object Bench {
     // timed region; size overridable / disableable via env. A focused
     // SPARK_GRAFT_BENCH_ONLY run that names no b* entry must not pay
     // corpus generation or planning.
-    // any focused-run name starting "b" is a reader row; deriving the
-    // gate from the prefix (not a literal list) keeps new b-rows from
+    // any focused-run name starting "b" is a reader row, and x01–x06
+    // are the columnar A/B twins over the same corpus; deriving the
+    // gate from the name shape (not a literal list) keeps new rows from
     // silently no-opping when named alone
-    val readerPrefix = "b"
+    val needsCorpus = (n: String) =>
+      n.startsWith("b") || n.matches("x0[1-6].*")
     val corpus: Option[graft.fixtures.BenchCorpus.Paths] =
       if (sys.env.get("SPARK_GRAFT_BENCH_READERS").contains("0") ||
-          !only.forall(_.exists(_.startsWith(readerPrefix)))) None
+          !only.forall(_.exists(needsCorpus))) None
       else try {
         val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS_DIR",
           "/tmp/graft_bench_corpus")
@@ -199,7 +275,8 @@ object Bench {
       }
     val queries = (SparkEntry.queries.toSeq.filter(_._1.startsWith("q"))
         ++ fastPathBenches
-        ++ corpus.toSeq.flatMap(readerBenches))
+        ++ corpus.toSeq.flatMap(readerBenches)
+        ++ corpus.toSeq.flatMap(columnarAbBenches))
       .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1)
     // planning-time facts the judge needs alongside the timings: real
@@ -225,12 +302,18 @@ object Bench {
         .load(c.cram).rdd.getNumPartitions
       val cramFullParts = spark.read.format("cram")
         .load(c.cram).rdd.getNumPartitions
+      val chromParts = spark.read.format("bam")
+        .option("tags", "NM:i,AS:i,RG:Z")
+        .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
+        .option("regions", "chr1")
+        .load(c.bam).rdd.getNumPartitions
       s"""{"bam_mb":$bamMb,"vcf_mb":$vcfMb,"bed_mb":$bedMb,""" +
         s""""cram_mb":$cramMb,""" +
         s""""b03_partitions":$splitParts,"b02_partitions":$regionParts,""" +
         s""""b09_partitions":$vcfSplitParts,""" +
         s""""b10_partitions":$cramRegionParts,""" +
-        s""""b06_partitions":$cramFullParts}"""
+        s""""b06_partitions":$cramFullParts,""" +
+        s""""b11_partitions":$chromParts}"""
     }.getOrElse("null")
     val loadBefore = ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage

@@ -350,9 +350,14 @@ class BamReaderFactory(fullSchema: StructType, required: StructType,
     * excluding the `tags` struct can batch into `OnHeapColumnVector`s.
     * Off by default on measurement: record decode dominates and stock
     * Spark re-materializes rows at ColumnarToRow, so the batch copy is
-    * pure overhead (345 MB BAM projection scan: 2.58 s columnar vs
-    * 2.38 s row); the path is the integration surface for
-    * vector-consuming engines that elide ColumnarToRow. */
+    * pure overhead. Round-10 A/B at bench scale (345 MB BAM,
+    * qname..cigar projection, min of interleaved passes, local[32]):
+    * x01/x02 whole-file 0.428 s row vs 0.468 s columnar (+9%), x03/x04
+    * 16 MB-split 0.433 s row vs 0.469 s columnar (+8%) — the columnar
+    * plan also pays a much larger first-use codegen warmup (6-7 s vs
+    * <1 s in the cold pass). Row stays the default; the path is the
+    * integration surface for vector-consuming engines that elide
+    * ColumnarToRow. */
   private val columnarOk: Boolean =
     graft.sources.common.RangeStreams.columnarEligible(options, required)
 

@@ -517,10 +517,13 @@ class LineReaderFactory(format: LineFormat, fullSchema: StructType,
     * itemRgb) always keep the row path. Off by default on measurement:
     * stock Spark re-materializes rows at `ColumnarToRow` for the
     * codegen pipeline, so with parse-dominated per-record cost the
-    * batch copy is pure overhead (66 MB BED full scan: 1.59 s columnar
-    * vs 1.53 s row). The path exists as the integration surface for
-    * vector-consuming engines (RAPIDS/Gluten-style columnar plugins,
-    * Arrow hand-off), which elide ColumnarToRow entirely. */
+    * batch copy is pure overhead. Round-10 A/B at bench scale (x05/x06:
+    * 66 MB BGZF BED, chrom/start/end projection, min of interleaved
+    * passes, local[32]): 1.58 s row vs 1.65 s columnar — columnar loses
+    * ~4%, consistent with the BAM pairs (x01–x04, ~8-9%), so the row
+    * path stays the default. The path exists as the integration surface
+    * for vector-consuming engines (RAPIDS/Gluten-style columnar
+    * plugins, Arrow hand-off), which elide ColumnarToRow entirely. */
   private val columnarOk: Boolean =
     RangeStreams.columnarEligible(options, required)
 

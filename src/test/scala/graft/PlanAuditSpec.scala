@@ -253,6 +253,54 @@ class PlanAuditSpec extends SparkSuite {
       !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("AQE skew-join splits a genuinely hot interval bin") {
+    // chromosome-level skew is absorbed by the (chrom, bin) shuffle key
+    // (benched as x14_interval_skew ≈ q14); this pins the safety net
+    // BELOW the binning: when one bin itself is hot, AQE must split
+    // that shuffle partition instead of leaving a straggler task. Skew
+    // thresholds are lowered to test scale and restored after.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(Option(s.conf.get(k))).toOption.flatten).toMap
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot (chrom, bin): 5000 left intervals and 40 right intervals
+      // inside bin 0 of chrU; a sprinkle of spread rows sets the median
+      val left = ((0L until 5000L).map(i => (i, "chrU", 10L, 20L)) ++
+        (0L until 200L).map(i => (10000L + i, s"chr${i % 4}",
+          i * 1000L, i * 1000L + 50L)))
+        .toDF("a_id", "chrom", "a_start", "a_end")
+      val right = ((0L until 40L).map(i => (i, "chrU", 5L, 25L)) ++
+        (0L until 200L).map(i => (1000L + i, s"chr${i % 4}",
+          i * 1000L, i * 1000L + 50L)))
+        .toDF("b_id", "b_chrom", "b_start", "b_end")
+      val joined = graft.operators.IntervalJoin.overlapJoin(left, right,
+        leftCols = ("chrom", "a_start", "a_end"),
+        rightCols = ("b_chrom", "b_start", "b_end"), binSize = 1000L)
+      val plan = executedString(joined)
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot bin:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("decontamination joins stay hashed-gram equi-joins") {
     val s = spark
     import s.implicits._
