@@ -29,6 +29,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * rests on the in-tree encoders (property round-trips in
   * `CodecPropertySpec`, typed-error malformed-payload tests per codec)
   * plus the s23 end-to-end gate whose CRAM uses methods 6/7/8.
+  *
+  * Round-10 re-attempt for rANS 4x8 specifically, documented so it is
+  * not retried blindly: (a) swept the sandbox for any spec text or
+  * vendored byte listing (reference repo, retrieved papers/snippets) —
+  * none exists, only the 3.1 Nx16 blocks already pinned above; (b) the
+  * 3.0 fixture was re-checked hoping samtools had emitted rANS-4x8
+  * blocks — its census (pinned below) is raw/gzip only; (c) considered
+  * HAND-assembling an order-0 4x8 stream from the spec arithmetic and
+  * pinning it as a literal. Rejected: with no independent byte listing
+  * to transcribe, a hand derivation necessarily encodes this repo's
+  * OWN reading of the normalization/renorm rules — the exact thing a
+  * conformance vector must be independent of — so it would only restate
+  * the encoder round-trip with extra steps. A real 4x8 vector requires
+  * tool-produced bytes (htscodecs test corpus or a samtools-written
+  * CRAM 3.0 with rANS blocks) entering the sandbox.
   */
 class CramConformanceSpec extends AnyFunSuite {
 
