@@ -430,10 +430,22 @@ object EventStream {
     spark.read.parquet(rollup)
   }
 
-  /** Best-effort JVM-exit cleanup for default-located rollup dirs. */
-  private def deleteOnJvmExit(dir: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try deleteRecursively(dir) catch { case _: Exception => () }))
+  /** Best-effort JVM-exit cleanup for default-located rollup dirs.
+    * One shared hook + a registry, so a long-lived driver running many
+    * gate/bench cycles doesn't accumulate a shutdown hook per call. */
+  @transient private lazy val exitDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  @transient private lazy val exitHook: Thread = {
+    val t = new Thread(() => exitDirs.forEach(d =>
+      try deleteRecursively(d) catch { case _: Exception => () }))
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+  private def deleteOnJvmExit(dir: java.nio.file.Path): Unit = {
+    exitHook // force one-time registration
+    exitDirs.add(dir)
+  }
 
   /** Streaming watermarked dedup driven to completion and
     * oracle-checkable (gate row q38): the input directory is staged

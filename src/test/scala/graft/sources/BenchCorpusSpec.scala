@@ -71,6 +71,25 @@ class BenchCorpusSpec extends SparkSuite {
       s"region query planned ${region.rdd.getNumPartitions} partitions")
   }
 
+  test("bam corpus: whole-chromosome region fans out AND stays exact") {
+    // the b11 bench shape as a durable spec: a region covering a whole
+    // chromosome (2/3 of the file) must flow through the indexed path
+    // with chunk-coalesce + packRanges FAN-OUT — not one mega-partition
+    // (a small split budget forces the issue at corpus-spec size) —
+    // and still return exactly the full-scan filter's rows
+    val full = spark.read.format("bam").option("tag_scan_rows", "0")
+      .load(corpus.bam)
+    val expected = full.where(col("rname") === "chr1").count()
+    assert(expected > 0, "chr1 must be populated")
+    val region = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("maxpartitionbytes", (128 * 1024).toString)
+      .option("regions", "chr1").load(corpus.bam)
+    assert(region.count() == expected)
+    assert(region.rdd.getNumPartitions >= 4,
+      s"whole-chromosome region planned only " +
+        s"${region.rdd.getNumPartitions} partition(s)")
+  }
+
   test("coalesceChunks: bounded gaps merge, large gaps and spans cut") {
     import graft.formats.GenomicIndex.{Chunk, coalesceChunks}
     import graft.formats.Bgzf.VirtualPosition
