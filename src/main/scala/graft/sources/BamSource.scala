@@ -351,11 +351,13 @@ class BamReaderFactory(fullSchema: StructType, required: StructType,
     * Off by default on measurement: record decode dominates and stock
     * Spark re-materializes rows at ColumnarToRow, so the batch copy is
     * pure overhead. Round-10 A/B at bench scale (345 MB BAM,
-    * qname..cigar projection, min of interleaved passes, local[32]):
-    * x01/x02 whole-file 0.428 s row vs 0.468 s columnar (+9%), x03/x04
-    * 16 MB-split 0.433 s row vs 0.469 s columnar (+8%) — the columnar
-    * plan also pays a much larger first-use codegen warmup (6-7 s vs
-    * <1 s in the cold pass). Row stays the default; the path is the
+    * qname..cigar projection, min of interleaved passes, local[32],
+    * x01-x04 in BENCH_r10/bench_out): columnar NEVER wins — +8-21% on
+    * an idle heap, and up to 3× on the 32-way split scan inside the
+    * full 73-row bench run, where 32 concurrent tasks' per-batch
+    * OnHeapColumnVector allocation meets an already-busy heap; the
+    * columnar plan also pays a much larger first-use codegen warmup
+    * (4-7 s vs <1 s cold). Row stays the default; the path is the
     * integration surface for vector-consuming engines that elide
     * ColumnarToRow. */
   private val columnarOk: Boolean =
