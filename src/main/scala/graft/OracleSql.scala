@@ -679,13 +679,13 @@ object OracleSql {
   }
 
   /** Mirror of `SparkEntry.q52_para_dedup` / `TextOps.paragraphDedup`:
-    * the same doubled corpus (ids +10000, first 36 words), the same
+    * the same doubled corpus (ids +1e9, first 36 words), the same
     * 12-word paragraph chunking (inclusive list slices = Spark's
     * `slice(ws, start, len)`), and keep-the-earliest by (doc_id, pos)
     * over md5 paragraph hashes. */
   private def q52Sql: String =
     """WITH d AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 10000,
+      |  UNION ALL SELECT doc_id + 1000000000,
       |    array_to_string(string_split(text,' ')[1:36], ' ')
       |  FROM documents),
       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
@@ -859,7 +859,7 @@ object OracleSql {
        |  list_transform(range(1,65),
        |    i -> CAST(embedding[i] AS DOUBLE)) AS vec
        | FROM embeddings),
-       |planted AS (SELECT id + 1000 AS id,
+       |planted AS (SELECT id + 1000000000 AS id,
        |  list_transform(range(1,65),
        |    i -> vec[i] * ($mult::DOUBLE[])[i]) AS vec
        | FROM base),

@@ -454,7 +454,9 @@ object SparkEntry {
 
   /** Embedding-cosine near-duplicate clustering
     * ([[graft.operators.Similarity.embeddingDedupClusters]]): the corpus
-    * is doubled with a perturbed copy (ids +1000, cosine ≈ 0.9996 to the
+    * is doubled with a perturbed copy (ids offset by 1e9 — past any
+    * test-SF id range, so plants can never collide with base ids the
+    * way a +1000 offset silently did at sf0.1 — cosine ≈ 0.9996 to the
     * original — the q33 planting scheme), and banded-LSH candidates +
     * exact cosine ≥ 0.9 + star contraction must pair each original with
     * its plant; the oracle mirrors bands, cosine and transitive closure
@@ -464,7 +466,7 @@ object SparkEntry {
       .map(lit).toIndexedSeq: _*)
     val base = pq(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
-    val planted = base.select((col("vec_id") + 1000L).as("vec_id"),
+    val planted = base.select((col("vec_id") + 1000000000L).as("vec_id"),
       zip_with(col("vec"), mult, (x, m) => x * m).as("vec"))
     Similarity.embeddingDedupClusters(base.unionAll(planted),
       "vec_id", "vec", threshold = 0.9, dim = 64)
@@ -780,13 +782,14 @@ object SparkEntry {
 
   /** Paragraph-level exact dedup ([[graft.operators.TextOps
     * .paragraphDedup]]): the corpus is doubled with planted partial
-    * copies (ids +10000, text = the first 36 words of the original),
+    * copies (ids offset by 1e9, collision-proof at any test SF;
+    * text = the first 36 words of the original),
     * so every plant's 12-word paragraphs duplicate its original's
     * leading chunks; keep-the-earliest bookkeeping must attribute them
     * accordingly. */
   private def q52_para_dedup(s: SparkSession, dir: String): DataFrame = {
     val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
-    val plants = docs.select((col("doc_id") + 10000L).as("doc_id"),
+    val plants = docs.select((col("doc_id") + 1000000000L).as("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 36)).as("text"))
     val withParas = docs.unionAll(plants)
       .withColumn("paras", TextOps.paragraphs(col("text"), 12))
