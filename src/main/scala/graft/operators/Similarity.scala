@@ -489,7 +489,18 @@ object Similarity {
     * ([[TextOps.dedupClustersStar]]). Every input id gets a label
     * (component min id); vectors with no near-duplicate label
     * themselves. Reference analogue: corpus-level semantic dedup over an
-    * embedding column, end to end on DataFrames. */
+    * embedding column, end to end on DataFrames.
+    *
+    * Production note: the logical DAG references `vectors` several
+    * times (band-key self-join sides share their exchange via
+    * ReusedExchange, but the rerank id-joins and the final label join
+    * each re-derive the quantize/norm projection — ~4 corpus passes
+    * measured on the executed q45 plan). At gate scale recomputing a
+    * narrow projection is cheaper than materializing; at a 100 TB
+    * corpus, `vectors.persist(MEMORY_AND_DISK)` (or a pre-written
+    * normed+keyed table) before calling this collapses those passes to
+    * one read — the contraction loop itself already snapshots its edge
+    * list per superstep. */
   def embeddingDedupClusters(vectors: DataFrame, idCol: String,
       vecCol: String, threshold: Double, dim: Int, bands: Int = 4,
       bitsPerBand: Int = 16, seed: Long = 42L): DataFrame = {
