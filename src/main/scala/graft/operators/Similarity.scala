@@ -463,8 +463,19 @@ object Similarity {
     * boundary is engine-portable (same convention as the q29 oracle). */
   def bandedNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bands: Int = 4, bitsPerBand: Int = 16,
-      seed: Long = 42L): DataFrame = {
-    val v = normed(vectors, idCol, vecCol, "__id", "__v", "__n")
+      seed: Long = 42L): DataFrame =
+    bandedNearDupPairsNormed(
+      normed(vectors, idCol, vecCol, "__id", "__v", "__n"),
+      threshold, dim, bands, bitsPerBand, seed)
+
+  /** [[bandedNearDupPairs]] over an already-normed projection
+    * (`__id`, `__v`, `__n` — the [[normed]] shape). Split out so callers
+    * that reference the projection several times ([[embeddingDedupClusters]]
+    * with `persistInput`) can persist ONE frame and have every pass —
+    * band keying plus both rerank id-joins — read the cache. */
+  private[graft] def bandedNearDupPairsNormed(v: DataFrame,
+      threshold: Double, dim: Int, bands: Int, bitsPerBand: Int,
+      seed: Long): DataFrame = {
     val keyed = v.select(col("__id"), posexplode(array(
       bandKeys(col("__v"), dim, bands, bitsPerBand, seed): _*))
       .as(Seq("band", "key")))
@@ -491,26 +502,41 @@ object Similarity {
     * themselves. Reference analogue: corpus-level semantic dedup over an
     * embedding column, end to end on DataFrames.
     *
-    * Production note: the logical DAG references `vectors` several
-    * times (band-key self-join sides share their exchange via
-    * ReusedExchange, but the rerank id-joins and the final label join
-    * each re-derive the quantize/norm projection — ~4 corpus passes
-    * measured on the executed q45 plan). At gate scale recomputing a
-    * narrow projection is cheaper than materializing; at a 100 TB
-    * corpus, `vectors.persist(MEMORY_AND_DISK)` (or a pre-written
-    * normed+keyed table) before calling this collapses those passes to
-    * one read — the contraction loop itself already snapshots its edge
-    * list per superstep. */
+    * Production note: the logical DAG references the normed projection
+    * of `vectors` several times — band-key self-join sides share their
+    * exchange via ReusedExchange, but the two rerank id-joins re-derive
+    * the quantize/norm projection, and the final label join makes one
+    * more (1-column) pass over the raw input — ~4 corpus passes on the
+    * default plan. At gate scale recomputing a narrow projection is
+    * cheaper than materializing; at a 100 TB corpus pass
+    * `persistInput = Some(StorageLevel.MEMORY_AND_DISK)`: the normed
+    * projection is persisted once, every pair-generation pass reads the
+    * cache (the contraction loop already snapshots its edge list per
+    * superstep, and the returned label plan references only the final
+    * snapshot plus a 1-column scan of `vectors`), and the cache is
+    * dropped before returning. Measured on the q45 bench shape the
+    * persisted path executes ONE `InMemoryTableScan`-fed projection
+    * build instead of three derivations of it; results are identical
+    * either way (q45 stays oracle-green with the default). */
   def embeddingDedupClusters(vectors: DataFrame, idCol: String,
       vecCol: String, threshold: Double, dim: Int, bands: Int = 4,
-      bitsPerBand: Int = 16, seed: Long = 42L): DataFrame = {
-    val pairs = bandedNearDupPairs(vectors, idCol, vecCol, threshold, dim,
-      bands, bitsPerBand, seed)
-    val labels = TextOps.dedupClustersStar(pairs)
-    vectors.select(col(idCol).as("doc_id")).distinct()
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id").as(idCol),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      bitsPerBand: Int = 16, seed: Long = 42L,
+      persistInput: Option[org.apache.spark.storage.StorageLevel] = None)
+      : DataFrame = {
+    val v0 = normed(vectors, idCol, vecCol, "__id", "__v", "__n")
+    val v = persistInput.fold(v0)(v0.persist)
+    try {
+      val pairs = bandedNearDupPairsNormed(v, threshold, dim, bands,
+        bitsPerBand, seed)
+      // label loop runs (and snapshots) eagerly inside this call, so the
+      // persisted projection is live for every pass that needs it; the
+      // frame it returns derives from the final edge snapshot only
+      val labels = TextOps.starContractionLabels(pairs)
+      vectors.select(col(idCol).as("doc_id")).distinct()
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id").as(idCol),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    } finally persistInput.foreach(_ => v.unpersist(blocking = false))
   }
 
   /** Embedding near-duplicate pairs: same sign bucket, cosine ≥ threshold,

@@ -250,6 +250,30 @@ object TextOps {
   def dedupClustersStar(pairs: DataFrame, a: String = "id_a",
       b: String = "id_b", maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
+    // every id that appears in any input pair (self-pairs included)
+    // must get a label, matching dedupClusters' contract
+    val nodes = pairs.select(col(a).as("doc_id"))
+      .unionAll(pairs.select(col(b).as("doc_id"))).distinct()
+    val starLabels = starContractionLabels(pairs, a, b, maxIter,
+      checkpointDir)
+    nodes.join(starLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** The contraction loop of [[dedupClustersStar]] alone: runs the
+    * large-star/small-star rounds EAGERLY (each round's edge list is
+    * snapshotted and its checksum collected) and returns
+    * (doc_id, cluster_id) for every id in the FINAL edge list — ids
+    * seen only in self-pairs are absent and must be coalesced to
+    * themselves by the caller's outer join. Crucially the returned plan
+    * derives from the last snapshot only, never from `pairs`: callers
+    * that persist the frames feeding `pairs`
+    * ([[Similarity.embeddingDedupClusters]] with `persistInput`) can
+    * unpersist before their result is consumed. */
+  private[graft] def starContractionLabels(pairs: DataFrame,
+      a: String = "id_a", b: String = "id_b", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
     val snap = new Snapshotter(pairs, checkpointDir)
 
     // edges kept directed high → low (u > v), deduped
@@ -283,10 +307,6 @@ object TextOps {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
 
-    // every id that appears in any input pair (self-pairs included)
-    // must get a label, matching dedupClusters' contract
-    val nodes = pairs.select(col(a).as("doc_id"))
-      .unionAll(pairs.select(col(b).as("doc_id"))).distinct()
     var edges = snap.roll(pairs
       .select(greatest(col(a), col(b)).as("u"),
         least(col(a), col(b)).as("v"))
@@ -307,15 +327,12 @@ object TextOps {
     // The min-aggregate keeps the output one-row-per-doc even when the
     // loop exits via maxIter before full convergence (a node can then
     // still carry edges toward two hubs).
-    val starLabels = edges
+    edges
       .select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionAll(edges.select(col("v").as("doc_id"),
         col("v").as("cluster_id")))
       .groupBy(col("doc_id"))
       .agg(min(col("cluster_id")).as("cluster_id"))
-    nodes.join(starLabels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   // ------------------------------------------------------------- simhash

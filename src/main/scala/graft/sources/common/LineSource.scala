@@ -30,10 +30,13 @@ import graft.formats.{Bgzf, GenomicIndex}
   * of `partition_from_index`, `/root/reference/oxbow/src/util/index.rs:
   * 117-178`) → per-partition record readers.
   *
-  * Compression: plain files split by byte range; `.gz`/`.bgz` files read
-  * as a single gzip partition (BGZF is valid gzip; chunk-level BGZF
-  * splitting via index is the planned upgrade, reference
-  * `util/query.rs:46-114`).
+  * Compression planning (three paths, `planInputPartitions` below):
+  * plain files split by newline-aligned byte range; BGZF files with a
+  * sidecar index plan virtual-position partitions — region queries
+  * coalesce+pack the index's chunk lists into multi-range partitions,
+  * full scans split at `partition_from_index` linear-index boundaries
+  * (reference `util/query.rs:46-114`; benched b03/b09/b11) — and
+  * gzip/BGZF without an index falls back to one streaming partition.
   */
 
 /** A per-partition, possibly stateful record parser. `parse` returns rows

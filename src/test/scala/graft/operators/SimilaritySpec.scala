@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
@@ -182,6 +184,53 @@ class SimilaritySpec extends SparkSuite {
     assert(paired >= 55, s"only $paired/60 planted near-dups were clustered")
     // labels are component minima: every label is a member labeling itself
     clusters.values.foreach(c => assert(clusters(c) == c))
+  }
+
+  test("embedding dedup: persistInput caches the projection and unpersists") {
+    import spark.implicits._
+    val dim = 16
+    val base = clustered(40, dim)
+    val planted = base.map { case (id, v) => (id + 1000L, v.map(_ * 1.0001f)) }
+    val df = (base ++ planted).toDF("id", "vec")
+    // capture every executed plan during the call: the snapshot roll of
+    // the initial edge list runs while the projection is persisted, so
+    // its executed plan must read the cache (InMemoryTableScan)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.catalog.clearCache()
+    spark.listenerManager.register(listener)
+    val persisted =
+      try {
+        val out = Similarity.embeddingDedupClusters(df, "id", "vec",
+          threshold = 0.999, dim = dim, bands = 8, bitsPerBand = 8,
+          persistInput =
+            Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // listener delivery is async — wait for the cached-scan evidence
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!plans.iterator().asScala.exists(
+            _.contains("InMemoryTableScan")) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        out
+      } finally spark.listenerManager.unregister(listener)
+    assert(plans.iterator().asScala.exists(_.contains("InMemoryTableScan")),
+      s"no executed plan read the persisted projection " +
+        s"(${plans.size()} plans captured)")
+    // the cache is dropped before the operator returns
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "persistInput left the projection cached after returning")
+    val default = Similarity.embeddingDedupClusters(df, "id", "vec",
+        threshold = 0.999, dim = dim, bands = 8, bitsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(persisted == default, "persistInput changed the labeling")
   }
 
   test("zero-norm vectors never enter top-k results or near-dup pairs") {
