@@ -76,7 +76,9 @@ object Bench {
               org.apache.spark.sql.functions.col("fp")))
             .cast("long").as("n_fps"))),
     // q14's interval-overlap join with 90% of BOTH interval sets forced
-    // onto one chromosome (the remaining 10% keep the q14 layout): the
+    // onto one chromosome (the remaining 10% spread over chr1–chr4, so
+    // the spill bucket never aliases chr0 and the skew fraction is
+    // exactly 90%): the
     // shuffle key is (chrom, bin), so chromosome-level skew spreads
     // over the bin dimension with no straggler task — the binned
     // design, not AQE, is the first line of defense (AQE skew-split
@@ -89,7 +91,7 @@ object Bench {
       import org.apache.spark.sql.functions._
       def skewed(key: org.apache.spark.sql.Column) =
         when(key % 10 < 9, lit("chr0"))
-          .otherwise(concat(lit("chr"), (key % 4).cast("string")))
+          .otherwise(concat(lit("chr"), ((key % 4) + 1).cast("string")))
       val a = s.read.parquet(s"$dir/lineitem.parquet").select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("a_id"),
         skewed(col("l_orderkey")).as("chrom"),
@@ -249,12 +251,16 @@ object Bench {
     // timed region; size overridable / disableable via env. A focused
     // SPARK_GRAFT_BENCH_ONLY run that names no b* entry must not pay
     // corpus generation or planning.
-    // any focused-run name starting "b" is a reader row, and x01–x06
-    // are the columnar A/B twins over the same corpus; deriving the
-    // gate from the name shape (not a literal list) keeps new rows from
-    // silently no-opping when named alone
-    val needsCorpus = (n: String) =>
-      n.startsWith("b") || n.matches("x0[1-6].*")
+    // the corpus-needing rows are exactly the reader benches plus the
+    // columnar A/B twins: derive their names from the SAME builders
+    // that register them (placeholder paths — the thunks are never
+    // invoked here), so a row added to either list can never silently
+    // no-op when named alone in SPARK_GRAFT_BENCH_ONLY
+    val corpusNames: Set[String] = {
+      val probe = graft.fixtures.BenchCorpus.Paths("", "", "", "")
+      (readerBenches(probe) ++ columnarAbBenches(probe)).map(_._1).toSet
+    }
+    val needsCorpus = (n: String) => corpusNames.contains(n)
     val corpus: Option[graft.fixtures.BenchCorpus.Paths] =
       if (sys.env.get("SPARK_GRAFT_BENCH_READERS").contains("0") ||
           !only.forall(_.exists(needsCorpus))) None
