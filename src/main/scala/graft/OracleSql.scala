@@ -497,6 +497,9 @@ object OracleSql {
 
     // q53: the fixed-point Lloyd loop replayed exactly in SQL
     "q53_kmeans" -> q53Sql,
+    // q55: the same loop with the production SEEDED init — the
+    // xxhash64 draw replayed bit-exactly in HUGEINT arithmetic
+    "q55_kmeans_seeded" -> q55Sql,
 
     // q54: temperature rebalancing — same counts, same correctly-rounded
     // sqrt threshold, same md5-bucket acceptance as temperatureSample
@@ -713,7 +716,16 @@ object OracleSql {
     * the adjusted numerator divides exactly), empty cells inheriting
     * the previous centroid. Assignments a1/a2 drive updates c1/c2; the
     * output is the final assignment under c2. */
-  private def q53Sql: String = {
+  private def q53Sql: String = kmeansLoopSql(
+    """c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+      |    qv AS cent
+      |  FROM (SELECT id, qv FROM v ORDER BY id LIMIT 4))""".stripMargin)
+
+  /** Shared Lloyd-loop replay (see [[q53Sql]] doc above): everything but
+    * the seed-pick is identical between the lowest-id init (q53) and the
+    * seeded-sample init (q55), so both gates share this builder and only
+    * inject the CTE chain that defines `c0(cell, cent)`. */
+  private def kmeansLoopSql(initCtes: String): String = {
     def dist(v: String, c: String) =
       s"list_sum(list_transform(range(1,65), j -> ($v[j]-$c[j])*($v[j]-$c[j])))"
     def asg(name: String, ct: String) = {
@@ -739,9 +751,7 @@ object OracleSql {
        |      AS qv
        |  FROM embeddings
        |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
-       |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
-       |    qv AS cent
-       |  FROM (SELECT id, qv FROM v ORDER BY id LIMIT 4)),
+       |$initCtes,
        |${asg("a1", "c0")},
        |${upd("c1", "a1", "c0")},
        |${asg("a2", "c1")},
@@ -753,6 +763,82 @@ object OracleSql {
        |FROM a3 JOIN (SELECT cell, list_sum(cent) AS s FROM c2) cs
        |  USING (cell)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB replay of Spark's `xxhash64(input, lit(seedLit))` over ONE
+    * long column: XXH64 of 8 little-endian bytes, seed chained through
+    * both children exactly as Catalyst's `XxHash64` folds them
+    * (`hashLong(input, 42)` then `hashLong(seedLit, prev)`). All
+    * arithmetic is HUGEINT mod 2^64: the wrapping 64-bit multiply
+    * splits one operand into 32-bit halves (a full 64×64 product can
+    * overflow signed INT128), rotations/shifts are dyadic mul/div, and
+    * xor is DuckDB's bitwise `xor` on non-negative HUGEINTs. Each step
+    * is its OWN chained CTE — lateral column aliases would textually
+    * re-expand every referenced step (2-3 refs per step, ~24 steps:
+    * exponential blowup, observed as a planner hang).
+    *
+    * @return (cte definitions, final cte name, unsigned-hash column);
+    *         the caller orders by the SIGNED value (`xxh64SignedSql`)
+    *         to match Spark's LongType ordering. */
+  private def xxh64Ctes(src: String, inpExpr: String, seedExpr: String,
+      tag: String): (Seq[String], String, String) = {
+    val HM = "18446744073709551616::HUGEINT"
+    val H32 = "4294967296::HUGEINT"
+    def mulmod(a: String, b: String) =
+      s"(((($a % $H32) * $b) % $HM + (((($a // $H32) * $b) % $H32) * $H32)) % $HM)"
+    val P1 = "11400714785074694791::HUGEINT"
+    val P2 = "14029467366897019727::HUGEINT"
+    val P3 = "1609587929392839161::HUGEINT"
+    val P4 = "9650029242287828579::HUGEINT"
+    val P5 = "2870177450012600261::HUGEINT"
+    var prev = src
+    val defs = scala.collection.mutable.ArrayBuffer[String]()
+    def add(n: String, expr: String): Unit = {
+      val name = s"${tag}_$n"
+      defs += s"$name AS (SELECT *, $expr AS $tag$n FROM $prev)"
+      prev = name
+    }
+    add("h0", s"(($seedExpr) + $P5 + 8) % $HM")
+    add("k1", mulmod(s"($inpExpr)", P2))
+    // rotl(k1, 31): disjoint bit ranges, so + is |
+    add("k2", s"((${tag}k1 * 2147483648::HUGEINT) % $HM) + " +
+      s"(${tag}k1 // 8589934592::HUGEINT)")
+    add("k3", mulmod(s"${tag}k2", P1))
+    add("h1", s"xor(${tag}h0, ${tag}k3)")
+    // rotl(h1, 27)
+    add("h2", s"((${tag}h1 * 134217728::HUGEINT) % $HM) + " +
+      s"(${tag}h1 // 137438953472::HUGEINT)")
+    add("h3", s"(${mulmod(s"${tag}h2", P1)} + $P4) % $HM")
+    // fmix avalanche: ^>>33, *P2, ^>>29, *P3, ^>>32
+    add("f1", s"xor(${tag}h3, ${tag}h3 // 8589934592::HUGEINT)")
+    add("f2", mulmod(s"${tag}f1", P2))
+    add("f3", s"xor(${tag}f2, ${tag}f2 // 536870912::HUGEINT)")
+    add("f4", mulmod(s"${tag}f3", P3))
+    add("f5", s"xor(${tag}f4, ${tag}f4 // 4294967296::HUGEINT)")
+    (defs.toSeq, prev, s"${tag}f5")
+  }
+
+  /** Reinterpret an unsigned mod-2^64 hash as Spark's signed long. */
+  private def xxh64SignedSql(u: String): String =
+    s"($u - (CASE WHEN $u >= 9223372036854775808::HUGEINT " +
+      s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END))"
+
+  /** Mirror of `SparkEntry.q55_kmeans_seeded`: the q53 loop with the
+    * SEEDED init — c0 holds the 4 vectors with the smallest
+    * `xxhash64(vec_id, 7L)` (signed order, ties to the lower id),
+    * numbered in draw order, replayed via the [[xxh64Ctes]] chain. */
+  private def q55Sql: String = {
+    val toU = "(CAST(id AS HUGEINT) + CASE WHEN id < 0 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    val (d1, last1, h1) = xxh64Ctes("v", toU, "42::HUGEINT", "xa")
+    val (d2, last2, h2) = xxh64Ctes(last1, "7::HUGEINT", h1, "xb")
+    val initCtes = (d1 ++ d2).mkString(",\n") + ",\n" +
+      s"""hx AS (SELECT id, qv, ${xxh64SignedSql(h2)} AS hs FROM $last2),
+         |c0 AS (SELECT row_number() OVER (ORDER BY hs, id) - 1 AS cell,
+         |    qv AS cent
+         |  FROM (SELECT id, qv, hs FROM hx ORDER BY hs, id LIMIT 4))"""
+        .stripMargin
+    kmeansLoopSql(initCtes)
   }
 
   /** IVF ANN oracle, mirroring `Similarity.ivfTopK` exactly: the 8

@@ -808,6 +808,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, iters = 2, dim = 64)
       .orderBy(col("cell_id"))
 
+  /** The q53 loop with the PRODUCTION seeded init: `initSeed = Some(7)`
+    * draws the 4 vectors with the smallest `xxhash64(vec_id, 7L)`
+    * (uniform over the corpus regardless of id layout). The oracle
+    * replays that draw bit-exactly — XXH64 in HUGEINT mod-2^64
+    * arithmetic — plus the same two update rounds, so the seeded init
+    * path is oracle-pinned, not just spec-covered. */
+  private def q55_kmeans_seeded(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansFixedPoint(pq(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2, dim = 64,
+        initSeed = Some(7L))
+      .orderBy(col("cell_id"))
+
   /** Temperature-based domain rebalancing ([[graft.operators.TextOps
     * .temperatureSample]]): languages are skewed in the corpus; at
     * alpha=0.5 each language keeps sqrt(n_min/n_lang) of itself via
@@ -887,7 +899,8 @@ object SparkEntry {
     "q51_pii_redact" -> (q51_pii_redact _),
     "q52_para_dedup" -> (q52_para_dedup _),
     "q53_kmeans" -> (q53_kmeans _),
-    "q54_temp_sample" -> (q54_temp_sample _)) ++
+    "q54_temp_sample" -> (q54_temp_sample _),
+    "q55_kmeans_seeded" -> (q55_kmeans_seeded _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap
