@@ -357,6 +357,10 @@ object Bench {
     val results = queries.collect {
       case (name, _) if samples(name).nonEmpty => name -> samples(name).min
     }
+    // measured ANN quality (untimed, like readerMeta): recall@10 of the
+    // production banded/IVF paths vs brute-force ground truth — the
+    // number next to the timings that says the fast paths are also GOOD
+    val annRecall = AnnRecall.json(spark, sfDir)
     val loadAfter = ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -392,7 +396,8 @@ object Bench {
       s""""sf":"$sfDir","runs":$runs,"action":"noop-write",""" +
       s""""failed":$failedJson,"queries":$qs,"calibration_sec":$calJson,""" +
       s""""pass_totals_sec":$passJson,"samples_sec":$sampleJson,""" +
-      s""""reader_corpus":$readerMeta,"system":$sysJson}"""
+      s""""reader_corpus":$readerMeta,"ann_recall":$annRecall,""" +
+      s""""system":$sysJson}"""
     try {
       val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench_out/latest.json"))
@@ -407,7 +412,8 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qsCompact,"sf":"$sfDir","runs":$runs,""" +
-      s""""action":"noop-write","failed":$failedJson}""")
+      s""""action":"noop-write","ann_recall":$annRecall,""" +
+      s""""failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -409,6 +409,23 @@ object Similarity {
       StructField("cent_sum", LongType)))
   }
 
+  /** Recall of an approximate top-k result against the exact one: the
+    * fraction of exact (query_id, cand_id) pairs the approximate search
+    * recovered. Both inputs are the (query_id, cand_id, sim, rank)
+    * shape every top-k variant here returns. One output row:
+    * (n_exact, n_hit, recall). Distributed end to end — a left-semi
+    * join plus two counts — so it prices recall at any corpus size,
+    * not just on collected samples. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("cand_id"))
+    val hits = e.join(approx.select(col("query_id"), col("cand_id")),
+      Seq("query_id", "cand_id"), "leftsemi")
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 4).as("recall"))
+  }
+
   /** Exact brute-force cosine top-k: for every query row, the k most
     * similar candidate rows. The candidate set is broadcast when small
     * enough (let Catalyst/AQE decide); similarity is computed once per

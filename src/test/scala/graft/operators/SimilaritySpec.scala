@@ -186,6 +186,30 @@ class SimilaritySpec extends SparkSuite {
     clusters.values.foreach(c => assert(clusters(c) == c))
   }
 
+  test("ann recall@10 floor on the testdata embedding corpus") {
+    // the SAME configs the bench records (graft.AnnRecall) — a recall
+    // regression in either production path fails here loudly instead of
+    // silently shipping a worse number in bench_out. The floor applies
+    // to TRUE-NEIGHBOR pairs (sim >= 0.5, the planted structure);
+    // unconditioned recall@10 on this isotropic corpus is dominated by
+    // nearest-random-point pairs no sublinear index can recover, so it
+    // only gets a loose sanity bound.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ex = graft.AnnRecall.exact(emb).persist()
+    try {
+      val exTrue = ex.where(col("sim") >= graft.AnnRecall.trueNbrSim)
+      for ((name, approx) <- Seq(
+          "bandedTopK" -> graft.AnnRecall.banded(emb),
+          "ivfTopK" -> graft.AnnRecall.ivf(emb))) {
+        val trueNbr = graft.AnnRecall.recallOf(exTrue, approx)
+        assert(trueNbr >= graft.AnnRecall.floor,
+          s"$name true-neighbor recall@10 $trueNbr < ${graft.AnnRecall.floor}")
+        val overall = graft.AnnRecall.recallOf(ex, approx)
+        assert(overall >= 0.2, s"$name overall recall@10 $overall < 0.2")
+      }
+    } finally ex.unpersist(blocking = false)
+  }
+
   test("embedding dedup: persistInput caches the projection and unpersists") {
     import spark.implicits._
     val dim = 16
