@@ -359,7 +359,10 @@ class BamReaderFactory(fullSchema: StructType, required: StructType,
     * columnar plan also pays a much larger first-use codegen warmup
     * (4-7 s vs <1 s cold). Row stays the default; the path is the
     * integration surface for vector-consuming engines that elide
-    * ColumnarToRow. */
+    * ColumnarToRow — the in-tree consumer is
+    * `ArrowShim.toIpcBytesColumnar` (round 11), which serializes the
+    * batches to Arrow IPC executor-side with no row round-trip and
+    * beats the row-path sink ~5.6× at bench scale. */
   private val columnarOk: Boolean =
     graft.sources.common.RangeStreams.columnarEligible(options, required)
 
