@@ -501,6 +501,40 @@ object OracleSql {
     // xxhash64 draw replayed bit-exactly in HUGEINT arithmetic
     "q55_kmeans_seeded" -> q55Sql,
 
+    // q56: the REAL pixel decoder (ImageIO) against closed-form
+    // two-tone PNGs: brightness = (a+b)/510 and the left/right 4x2
+    // thumbnail cells = tone/255*2-1, all single correctly-rounded
+    // divisions of the same exact rationals the decoder computes from
+    // its integer pixel sums — bit-identical doubles on both engines
+    "q56_media_pixels" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  doc_id % 256 AS a, (doc_id * 31) % 256 AS b FROM documents)
+        |SELECT doc_id,
+        | CAST(4 * (doc_id % 4 + 1) AS BIGINT) AS width,
+        | CAST(doc_id % 6 + 1 AS BIGINT) AS height,
+        | round((a + b) / 510.0, 6) AS brightness,
+        | round(a / 255.0 * 2 - 1, 3) AS emb_left,
+        | round(b / 255.0 * 2 - 1, 3) AS emb_right
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q57: the REAL PCM sample decoder against the same id-derived
+    // sample formula aggregated in SQL; squares are exact dyadic
+    // rationals (power-of-two normalizers), so sum/avg/sqrt round
+    // identically in both engines. x*x, not pow(x,2) — pow may detour
+    // through exp/log and lose the exactness argument
+    "q57_wav_pcm" ->
+      """WITH s AS (SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 2 = 0
+        |    THEN ((d.doc_id * 7 + t.i * 13) % 256 - 128) / 128.0
+        |    ELSE (((d.doc_id * 7 + t.i * 13) * 257) % 65536 - 32768)
+        |      / 32768.0 END AS x
+        |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        |  CROSS JOIN generate_series(0, 63) t(i)
+        |  WHERE t.i <= d.doc_id % 64)
+        |SELECT doc_id, round(sqrt(avg(x * x)), 6) AS rms,
+        |  round(max(abs(x)), 6) AS peak
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q54: temperature rebalancing — same counts, same correctly-rounded
     // sqrt threshold, same md5-bucket acceptance as temperatureSample
     "q54_temp_sample" ->

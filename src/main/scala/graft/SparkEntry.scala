@@ -700,6 +700,78 @@ object SparkEntry {
         col("bits"))
   }
 
+  /** REAL pixel decode oracle ([[graft.operators.Multimodal.MediaDecoder
+    * .pixelDecode]] — the JDK's ImageIO, not a stub): each doc becomes a
+    * two-tone truecolor PNG encoded executor-side (left half gray `a`,
+    * right half gray `b`, both id-derived), and the decoded mean
+    * luminance plus the left/right 4×2-thumbnail cells must reproduce
+    * the closed-form values DuckDB computes directly. The width is a
+    * multiple of 4 so thumbnail cells never straddle the tone boundary;
+    * brightness/thumbnail sums are single fused divisions of exact
+    * integer sums, so Spark and DuckDB round identical doubles. The
+    * left/right cells also pin ORIENTATION: a mirrored or transposed
+    * unfilter swaps them. */
+  private def q56_media_pixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 * (id % 4 + 1)).toInt
+        val h = (id % 6 + 1).toInt
+        val a = (id % 256).toInt
+        val b = ((id * 31) % 256).toInt
+        (id, "image/png", Multimodal.encodeTwoTonePng(w, h, a, b))
+      }
+    }.toDF("doc_id", "mime", "payload")
+    Multimodal.extractFeatures(s,
+        Multimodal.toAssets(assets, "doc_id", "mime", "payload"))
+      .toDF()
+      .select(col("asset_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("brightness"), 6).as("brightness"),
+        // embedding cells are floats ([-1,1]); 3 dp keeps a ~16x margin
+        // over float quantization at every possible cell value
+        round(element_at(col("embedding"), 1).cast("double"), 3)
+          .as("emb_left"),
+        round(element_at(col("embedding"), 4).cast("double"), 3)
+          .as("emb_right"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL PCM sample decode oracle ([[graft.operators.Multimodal
+    * .MediaDecoder.wavPcmFeatures]]): each doc becomes a WAV whose data
+    * chunk carries id-derived samples (8-bit unsigned for even ids,
+    * 16-bit signed LE for odd), encoded executor-side; decoded RMS and
+    * peak must equal DuckDB's closed-form aggregation over the same
+    * sample formula. Normalizers are powers of two and squares exact
+    * dyadic rationals, so both engines' sum/avg/sqrt round identically. */
+  private def q57_wav_pcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 64 + 1).toInt
+        val bits = if (id % 2 == 0) 8 else 16
+        val samples = Array.tabulate(n) { i =>
+          if (bits == 8) ((id * 7 + i * 13) % 256).toInt
+          else (((id * 7 + i * 13) * 257) % 65536 - 32768).toInt
+        }
+        (id, "audio/wav", Multimodal.encodePcmWav(8000, bits, samples))
+      }
+    }.toDF("doc_id", "mime", "payload")
+    Multimodal.extractAudioFeatures(s,
+        Multimodal.toAssets(assets, "doc_id", "mime", "payload"))
+      .toDF()
+      .where(col("decoded"))
+      .select(col("asset_id").as("doc_id"),
+        round(col("rms"), 6).as("rms"),
+        round(col("peak"), 6).as("peak"))
+      .orderBy(col("doc_id"))
+  }
+
   /** bedtools-style merge over deterministic intervals derived from
     * orders, through the skew-robust production path
     * ([[graft.operators.IntervalOps.mergeIntervalsRange]]: range
@@ -900,7 +972,9 @@ object SparkEntry {
     "q52_para_dedup" -> (q52_para_dedup _),
     "q53_kmeans" -> (q53_kmeans _),
     "q54_temp_sample" -> (q54_temp_sample _),
-    "q55_kmeans_seeded" -> (q55_kmeans_seeded _)) ++
+    "q55_kmeans_seeded" -> (q55_kmeans_seeded _),
+    "q56_media_pixels" -> (q56_media_pixels _),
+    "q57_wav_pcm" -> (q57_wav_pcm _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap
