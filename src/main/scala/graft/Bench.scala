@@ -87,6 +87,13 @@ object Bench {
     // 90%² of both sides onto one chromosome inflates the OUTPUT pair
     // count ~3.3× (0.81·A·B·p vs uniform 4-chrom A·B·p/4), so parity
     // is time-per-pair, not raw seconds.
+    // q45 with persistInput: the documented 100 TB knob (one
+    // materialized normed projection instead of ~4 recomputed corpus
+    // passes). Results are identical to q45; the x45/q45 delta prices
+    // the knob at bench scale so the scaladoc's advice carries a number.
+    "x45_embed_persist" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.embedDedup(s, dir, persistInput =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
     "x14_interval_skew" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       def skewed(key: org.apache.spark.sql.Column) =

