@@ -104,6 +104,33 @@ object Multimodal {
       None
     }
 
+    /** GIF logical screen descriptor: "GIF87a"/"GIF89a", then width and
+      * height as little-endian u16 (GIF89a spec §18). Channels reported
+      * as 3 (palette RGB), depth 8 — the decoded representation. */
+    def gifDims(b: Array[Byte]): Option[Dims] = {
+      if (b.length < 10) return None
+      val sig = new String(b, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return None
+      Some(Dims(le16(b, 6), le16(b, 8), 3, 8))
+    }
+
+    /** BMP BITMAPINFOHEADER: "BM", then signed LE i32 width at 18 and
+      * height at 22 (negative height = top-down rows — dims are the
+      * magnitude); bit count at 28 maps to channels. */
+    def bmpDims(b: Array[Byte]): Option[Dims] = {
+      if (b.length < 30 || b(0) != 'B' || b(1) != 'M') return None
+      val w = le32(b, 18).toInt
+      val h = math.abs(le32(b, 22).toInt)
+      val bpp = le16(b, 28)
+      val channels = bpp match {
+        case 1 | 4 | 8 => 1
+        case 16 | 24 => 3
+        case 32 => 4
+        case _ => return None
+      }
+      if (w <= 0 || h == 0) None else Some(Dims(w, h, channels, 8))
+    }
+
     /** Parsed audio container metadata. */
     final case class AudioMeta(sampleRate: Int, channels: Int,
         bitsPerSample: Int, nFrames: Long)
@@ -256,6 +283,7 @@ object Multimodal {
         if (!imageIoReady || b.length < 16) None
         else {
           val declared = pngDims(b).orElse(jpegDims(b))
+            .orElse(gifDims(b)).orElse(bmpDims(b))
           if (declared.exists(d =>
               d.width.toLong * d.height > MaxPixels ||
               d.width <= 0 || d.height <= 0)) None
@@ -369,8 +397,9 @@ object Multimodal {
       Some((math.sqrt(sumSq / n), peak))
     }
 
-    /** Header metadata is REAL (PNG IHDR / JPEG SOF / WAV RIFF / MP4 box
-      * byte parsing); pixel features are REAL whenever the JDK can
+    /** Header metadata is REAL (PNG IHDR / JPEG SOF / GIF LSD / BMP
+      * info / WAV RIFF / MP4 box parsing); pixel features are REAL
+      * whenever the JDK can
       * decode the payload ([[pixelDecode]]): brightness is the mean
       * luminance ([[meanLuminance]]) and the embedding a 4×2 area-mean
       * luminance [[thumbnail]] mapped to [-1,1]. Payloads the JDK cannot
@@ -381,7 +410,8 @@ object Multimodal {
       * both parse (a BufferedImage forgets palette/bit-depth layout). */
     def decode(payload: Array[Byte], mime: String): (Int, Int, Int, Int, Double, Array[Float]) = {
       val h = java.util.Arrays.hashCode(payload)
-      val dims = pngDims(payload).orElse(jpegDims(payload)).getOrElse {
+      val dims = pngDims(payload).orElse(jpegDims(payload))
+        .orElse(gifDims(payload)).orElse(bmpDims(payload)).getOrElse {
         Dims(16 + math.abs(h % 64), 16 + math.abs((h / 64) % 64),
           if (mime.startsWith("image")) 3 else 1, 8)
       }
