@@ -533,10 +533,13 @@ object Similarity {
     * snapshot plus a 1-column scan of `vectors`), and the cache is
     * dropped before returning. Measured on the q45 bench shape the
     * persisted path executes ONE `InMemoryTableScan`-fed projection
-    * build instead of three derivations of it — 3.85 s vs 4.23 s at
-    * sf0.1 (the bench-only x45 twin prices this every round; the gap
-    * widens with corpus size since the recomputed passes re-scan the
-    * raw vectors) — and results are identical either way (q45 stays
+    * build instead of three derivations of it; the bench-only x45 twin
+    * prices the knob every round — at sf0.1 it is a wash (2.98 s
+    * persisted vs 2.84 s default on a quiet run: materializing the
+    * projection costs about what the three recomputes save), which is
+    * exactly the crossover logic above — the knob pays once re-scanning
+    * the RAW corpus dominates, i.e. wide rows or remote storage, not at
+    * gate scale. Results are identical either way (q45 stays
     * oracle-green with the default). */
   def embeddingDedupClusters(vectors: DataFrame, idCol: String,
       vecCol: String, threshold: Double, dim: Int, bands: Int = 4,
