@@ -535,6 +535,22 @@ object OracleSql {
         |  round(max(abs(x)), 6) AS peak
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q58: the REAL MP4 sample-table demux against closed-form frame
+    // geometry: frame i of doc d has size (d%7+1+i%3)*8, pts i*(d%5+1)*40
+    // (timescale 1000), and is filled with byte (d+i)%256 — so byte_sum
+    // = size * fill pins that the demuxed offset window covers exactly
+    // the frame's bytes. Every second frame (stride 2), all integers.
+    "q58_mp4_frames" ->
+      """SELECT d.doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+        | CAST((d.doc_id % 7 + 1 + t.i % 3) * 8 AS BIGINT) AS size_bytes,
+        | CAST(t.i * (d.doc_id % 5 + 1) * 40 AS BIGINT) AS pts_ms,
+        | CAST((d.doc_id % 7 + 1 + t.i % 3) * 8
+        |   * ((d.doc_id + t.i) % 256) AS BIGINT) AS byte_sum
+        |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        |CROSS JOIN generate_series(0, 15) t(i)
+        |WHERE t.i <= d.doc_id % 16 AND t.i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // q54: temperature rebalancing — same counts, same correctly-rounded
     // sqrt threshold, same md5-bucket acceptance as temperatureSample
     "q54_temp_sample" ->

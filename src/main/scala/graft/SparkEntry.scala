@@ -783,6 +783,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL MP4 frame-sampling oracle ([[graft.operators.Multimodal
+    * .MediaDecoder.mp4Frames]] — stts/stsz/stsc/stco sample-table
+    * demux): each doc becomes an MP4 with id-derived frame sizes/deltas
+    * and frame `i` filled with byte `(id+i)%256`; every second frame is
+    * sampled and its size, presentation time, and BYTE SUM must match
+    * DuckDB's closed forms — the byte sum is the content witness that
+    * the demuxed offsets point at the actual frame bytes, so a
+    * one-byte placement error anywhere in the table composition fails
+    * the gate. */
+  private def q58_mp4_frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 16 + 1).toInt
+        val deltas = Array.tabulate(n)(_ => (id % 5 + 1) * 40L)
+        val sizes = Array.tabulate(n)(i => (id % 7 + 1 + i % 3) * 8L)
+        val payload = Multimodal.encodeMp4Frames(320, 240,
+          timescale = 1000L, deltas = deltas, sizes = sizes,
+          frameFill = i => ((id + i) % 256).toByte)
+        (id, "video/mp4", payload)
+      }
+    }.toDF("doc_id", "mime", "payload")
+    Multimodal.sampleFrames(s,
+        Multimodal.toAssets(assets, "doc_id", "mime", "payload"),
+        stride = 2)
+      .toDF()
+      .select(col("asset_id").as("doc_id"), col("frame_idx"),
+        col("size_bytes"), col("pts_ms"), col("byte_sum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** bedtools-style merge over deterministic intervals derived from
     * orders, through the skew-robust production path
     * ([[graft.operators.IntervalOps.mergeIntervalsRange]]: range
@@ -985,7 +1018,8 @@ object SparkEntry {
     "q54_temp_sample" -> (q54_temp_sample _),
     "q55_kmeans_seeded" -> (q55_kmeans_seeded _),
     "q56_media_pixels" -> (q56_media_pixels _),
-    "q57_wav_pcm" -> (q57_wav_pcm _)) ++
+    "q57_wav_pcm" -> (q57_wav_pcm _),
+    "q58_mp4_frames" -> (q58_mp4_frames _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -397,6 +397,164 @@ object Multimodal {
       Some((math.sqrt(sumSq / n), peak))
     }
 
+    /** One frame's location inside an MP4 payload, derived from the
+      * sample tables: byte offset/size of the sample and its decode
+      * timestamp in the media timescale. */
+    final case class FrameLoc(index: Int, offset: Long, size: Long,
+        ptsUnits: Long)
+
+    /** REAL MP4 sample-table demux: walks `moov/trak/mdia` to the first
+      * track whose `stbl` carries the four mandatory tables and maps
+      * every sample to its absolute byte range and timestamp —
+      * `stts` (decode deltas, run-length), `stsz` (sizes, uniform or
+      * tabled), `stsc` (samples-per-chunk runs), `stco`/`co64` (chunk
+      * offsets) — the same composition every demuxer performs. Returns
+      * (timescale, frames) or None when any table is absent/corrupt.
+      * This is frame SAMPLING, not decoding: the JDK has no H.264
+      * codec, but locating frame byte ranges needs none. */
+    def mp4Frames(b: Array[Byte]): Option[(Long, Seq[FrameLoc])] = {
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var o = lo
+          def hasNext: Boolean = o + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val size = be32(b, o).toLong & 0xffffffffL
+            val tpe = fourcc(b, o + 4)
+            if (size == 1L && o + 16 <= hi) {
+              val large = be64(b, o + 8)
+              val end = if (large < 16L) hi
+                else math.min(hi.toLong, o.toLong + large).toInt
+              val cur = o
+              o = if (large < 16L) hi else end
+              (tpe, cur + 16, end)
+            } else {
+              val body = o + 8
+              val end = if (size <= 0) hi
+                else math.min(hi.toLong, o.toLong + size).toInt
+              o = if (size <= 8) hi else end
+              (tpe, body, end)
+            }
+          }
+        }
+      def find(lo: Int, hi: Int, tpe: String): Option[(Int, Int)] =
+        boxes(lo, hi).collectFirst { case (`tpe`, b0, b1) => (b0, b1) }
+      try {
+        if (b.length < 16 || !boxes(0, b.length).exists(_._1 == "ftyp"))
+          return None
+        val (moov0, moov1) = find(0, b.length, "moov").getOrElse(return None)
+        // first trak with a complete sample table wins
+        boxes(moov0, moov1).collect { case ("trak", t0, t1) => (t0, t1) }
+          .flatMap { case (t0, t1) =>
+            for {
+              (md0, md1) <- find(t0, t1, "mdia")
+              (mh0, mh1) <- find(md0, md1, "mdhd")
+              (mi0, mi1) <- find(md0, md1, "minf")
+              (st0, st1) <- find(mi0, mi1, "stbl")
+              (tt0, tt1) <- find(st0, st1, "stts")
+              (sz0, sz1) <- find(st0, st1, "stsz")
+              (sc0, sc1) <- find(st0, st1, "stsc")
+              (co0, co1) <- find(st0, st1, "stco")
+                .orElse(find(st0, st1, "co64"))
+              co64 = find(st0, st1, "stco").isEmpty
+              frames <- composeFrames(b, mh0, mh1, tt0, tt1, sz0, sz1,
+                sc0, sc1, co0, co1, co64)
+            } yield frames
+          }.nextOption()
+      } catch { case _: Throwable => None }
+    }
+
+    /** The table-composition step of [[mp4Frames]], separated so each
+      * refusal path (truncated table, zero counts, absurd cardinality)
+      * is a plain return. */
+    private def composeFrames(b: Array[Byte], mh0: Int, mh1: Int,
+        tt0: Int, tt1: Int, sz0: Int, sz1: Int, sc0: Int, sc1: Int,
+        co0: Int, co1: Int, co64: Boolean): Option[(Long, Seq[FrameLoc])] = {
+      val MaxSamples = 1 << 20 // refuse absurd declared cardinalities
+      // mdhd v0: fullbox(4) ctime(4) mtime(4) timescale(4); v1: 64-bit times
+      if (mh0 + 4 > mh1) return None
+      val timescale = (b(mh0) & 0xff) match {
+        case 0 if mh0 + 16 <= mh1 => be32(b, mh0 + 12).toLong & 0xffffffffL
+        case 1 if mh0 + 24 <= mh1 => be32(b, mh0 + 20).toLong & 0xffffffffL
+        case _ => return None
+      }
+      if (timescale <= 0) return None
+      // stts: entry_count x (sample_count, sample_delta)
+      if (tt0 + 8 > tt1) return None
+      val nTts = be32(b, tt0 + 4)
+      if (nTts < 0 || nTts > MaxSamples || tt0 + 8 + 8L * nTts > tt1)
+        return None
+      val deltas = Seq.newBuilder[Long]
+      var pts = 0L
+      val ptsOf = Seq.newBuilder[Long]
+      var ti = 0
+      var total = 0L
+      while (ti < nTts) {
+        val cnt = be32(b, tt0 + 8 + 8 * ti)
+        val delta = be32(b, tt0 + 12 + 8 * ti).toLong & 0xffffffffL
+        if (cnt < 0 || total + cnt > MaxSamples) return None
+        total += cnt
+        var c = 0
+        while (c < cnt) { ptsOf += pts; pts += delta; c += 1 }
+        ti += 1
+      }
+      val nSamples = total.toInt
+      if (nSamples == 0) return None
+      // stsz: uniform sample_size, or 0 + per-sample table
+      if (sz0 + 12 > sz1) return None
+      val uniform = be32(b, sz0 + 4).toLong & 0xffffffffL
+      val szCount = be32(b, sz0 + 8)
+      if (szCount != nSamples) return None
+      val sizeOf: Int => Long =
+        if (uniform != 0) _ => uniform
+        else {
+          if (sz0 + 12 + 4L * nSamples > sz1) return None
+          i => be32(b, sz0 + 12 + 4 * i).toLong & 0xffffffffL
+        }
+      // stsc: runs of (first_chunk, samples_per_chunk, desc_index)
+      if (sc0 + 8 > sc1) return None
+      val nScs = be32(b, sc0 + 4)
+      if (nScs <= 0 || nScs > MaxSamples || sc0 + 8 + 12L * nScs > sc1)
+        return None
+      // stco/co64: chunk_count offsets
+      if (co0 + 8 > co1) return None
+      val nChunks = be32(b, co0 + 4)
+      val entryW = if (co64) 8 else 4
+      if (nChunks <= 0 || nChunks > MaxSamples ||
+          co0 + 8 + entryW.toLong * nChunks > co1) return None
+      def chunkOff(i: Int): Long =
+        if (co64) be64(b, co0 + 8 + 8 * i)
+        else be32(b, co0 + 8 + 4 * i).toLong & 0xffffffffL
+      // samples-per-chunk for chunk index c (0-based) from the stsc runs
+      def samplesPerChunk(c: Int): Int = {
+        var run = 0
+        var spc = 0
+        while (run < nScs && be32(b, sc0 + 8 + 12 * run) <= c + 1) {
+          spc = be32(b, sc0 + 12 + 12 * run)
+          run += 1
+        }
+        spc
+      }
+      val ptsArr = ptsOf.result()
+      val out = Seq.newBuilder[FrameLoc]
+      var sample = 0
+      var chunk = 0
+      while (sample < nSamples && chunk < nChunks) {
+        val spc = samplesPerChunk(chunk)
+        if (spc <= 0) return None
+        var off = chunkOff(chunk)
+        var s = 0
+        while (s < spc && sample < nSamples) {
+          val sz = sizeOf(sample)
+          out += FrameLoc(sample, off, sz, ptsArr(sample))
+          off += sz
+          s += 1
+          sample += 1
+        }
+        chunk += 1
+      }
+      if (sample < nSamples) None else Some((timescale, out.result()))
+    }
+
     /** Header metadata is REAL (PNG IHDR / JPEG SOF / GIF LSD / BMP
       * info / WAV RIFF / MP4 box parsing); pixel features are REAL
       * whenever the JDK can
@@ -482,6 +640,69 @@ object Multimodal {
     }
     if ((dataSize & 1) == 1) bo.write(0) // RIFF word alignment
     bo.toByteArray
+  }
+
+  /** Executor-side MP4 writer WITH a real sample table (gate/test
+    * generator): ftyp, moov(mvhd, trak(tkhd, mdia(mdhd, minf(stbl(stts
+    * run-length from `deltas`, stsz table from `sizes`, one-chunk stsc,
+    * absolute-offset stco))))), then an mdat whose frame `i` is
+    * `sizes(i)` copies of `frameFill(i)` — so [[MediaDecoder.mp4Frames]]
+    * must locate every frame's bytes exactly for a byte-sum check to
+    * pass. Two-pass build: the moov is laid out once to learn the mdat
+    * offset the stco entry must carry, then rebuilt with it. */
+  def encodeMp4Frames(width: Int, height: Int, timescale: Long,
+      deltas: Array[Long], sizes: Array[Long],
+      frameFill: Int => Byte, useCo64: Boolean = false): Array[Byte] = {
+    require(deltas.length == sizes.length && deltas.nonEmpty)
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(tpe: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      be32(len) ++ tpe.getBytes("US-ASCII") ++ body.flatten
+    }
+    val zero4 = Array.fill[Byte](4)(0)
+    val matrix = be32(0x00010000L) ++ Array.fill[Byte](12)(0) ++
+      be32(0x00010000L) ++ Array.fill[Byte](12)(0) ++ be32(0x40000000L)
+    val duration = deltas.sum
+    val ftyp = box("ftyp", "isom".getBytes, zero4, "isom".getBytes)
+    val mvhd = box("mvhd", zero4, zero4, zero4, be32(timescale),
+      be32(duration), be32(0x00010000L), Array.fill[Byte](12)(0), matrix,
+      Array.fill[Byte](24)(0), be32(2))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7), zero4, zero4,
+      be32(1), zero4, be32(duration), Array.fill[Byte](16)(0), matrix,
+      be32(width.toLong << 16), be32(height.toLong << 16))
+    val mdhd = box("mdhd", zero4, zero4, zero4, be32(timescale),
+      be32(duration), Array[Byte](0x55, (0xc4 - 256).toByte, 0, 0))
+    // stts run-length: consecutive equal deltas collapse to one entry
+    val runs = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    deltas.foreach { d =>
+      if (runs.nonEmpty && runs.last._2 == d)
+        runs(runs.length - 1) = (runs.last._1 + 1, d)
+      else runs += ((1, d))
+    }
+    val stts = box("stts", zero4, be32(runs.length),
+      runs.toArray.flatMap { case (c, d) => be32(c) ++ be32(d) })
+    val stsz = box("stsz", zero4, be32(0), be32(sizes.length),
+      sizes.flatMap(be32))
+    val stsc = box("stsc", zero4, be32(1), be32(1), be32(sizes.length),
+      be32(1))
+    def moovWith(chunkOff: Long): Array[Byte] = {
+      val stco =
+        if (useCo64) box("co64", zero4, be32(1), be64(chunkOff))
+        else box("stco", zero4, be32(1), be32(chunkOff))
+      val stbl = box("stbl", stts, stsz, stsc, stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+    val headerLen = ftyp.length + moovWith(0L).length
+    val moov = moovWith(headerLen + 8L) // mdat payload starts after its header
+    val mdat = box("mdat", sizes.zipWithIndex.flatMap { case (sz, i) =>
+      Array.fill[Byte](sz.toInt)(frameFill(i))
+    })
+    ftyp ++ moov ++ mdat
   }
 
   /** 4-byte / 2-byte big-endian binary from an integral column, via
@@ -696,6 +917,48 @@ object Multimodal {
     * [[extractFeatures]]. */
   final case class Thumbnail(asset_id: Long, width: Int, height: Int,
       decoded: Boolean, cells: Array[Float])
+
+  /** One sampled video frame: its byte range inside the payload, its
+    * presentation time, and the unsigned byte sum of the frame's actual
+    * bytes — the cheap content witness that proves the sample-table
+    * offsets point at the right data (a demux that mislocates a frame
+    * by even one byte changes the sum). */
+  final case class FrameSample(asset_id: Long, frame_idx: Long,
+      size_bytes: Long, pts_ms: Long, byte_sum: Long)
+
+  /** The FRAME-SAMPLE operator: every `stride`-th frame of each MP4
+    * payload located via the REAL sample-table demux
+    * ([[MediaDecoder.mp4Frames]] — stts/stsz/stsc/stco composition, no
+    * video codec involved) with its byte range read back out of the
+    * payload. Non-MP4 / corrupt payloads contribute no rows (a training
+    * pipeline samples frames only from things that demux). Frames whose
+    * declared range exceeds the payload are skipped likewise. */
+  def sampleFrames(spark: SparkSession, assets: DataFrame,
+      stride: Int): Dataset[FrameSample] = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val p = if (payload == null) Array.emptyByteArray else payload
+          MediaDecoder.mp4Frames(p).toSeq.flatMap {
+            case (timescale, frames) =>
+              frames.iterator
+                .filter(f => f.index % stride == 0 &&
+                  f.offset >= 0 && f.offset + f.size <= p.length)
+                .map { f =>
+                  var sum = 0L
+                  var i = f.offset.toInt
+                  val end = (f.offset + f.size).toInt
+                  while (i < end) { sum += (p(i) & 0xff); i += 1 }
+                  FrameSample(id, f.index.toLong, f.size,
+                    f.ptsUnits * 1000 / timescale, sum)
+                }
+          }
+        }
+      }
+  }
 
   def extractThumbnails(spark: SparkSession, assets: DataFrame,
       gridW: Int, gridH: Int): Dataset[Thumbnail] = {
