@@ -524,22 +524,21 @@ object Multimodal {
       def chunkOff(i: Int): Long =
         if (co64) be64(b, co0 + 8 + 8 * i)
         else be32(b, co0 + 8 + 4 * i).toLong & 0xffffffffL
-      // samples-per-chunk for chunk index c (0-based) from the stsc runs
-      def samplesPerChunk(c: Int): Int = {
-        var run = 0
-        var spc = 0
-        while (run < nScs && be32(b, sc0 + 8 + 12 * run) <= c + 1) {
-          spc = be32(b, sc0 + 12 + 12 * run)
-          run += 1
-        }
-        spc
-      }
       val ptsArr = ptsOf.result()
       val out = Seq.newBuilder[FrameLoc]
       var sample = 0
       var chunk = 0
+      // stsc runs are sorted by first_chunk: advance a single cursor
+      // instead of rescanning the run table per chunk (a hostile table
+      // could otherwise cost chunks x runs)
+      var run = 0
+      var spcCur = 0
       while (sample < nSamples && chunk < nChunks) {
-        val spc = samplesPerChunk(chunk)
+        while (run < nScs && be32(b, sc0 + 8 + 12 * run) <= chunk + 1) {
+          spcCur = be32(b, sc0 + 12 + 12 * run)
+          run += 1
+        }
+        val spc = spcCur
         if (spc <= 0) return None
         var off = chunkOff(chunk)
         var s = 0
