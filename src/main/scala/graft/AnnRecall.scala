@@ -55,26 +55,36 @@ private[graft] object AnnRecall {
     Similarity.ivfTopK(emb, emb, "vec_id", "embedding", k,
       nCells = 32, nProbe = 8)
 
-  def recallOf(exactDf: DataFrame, approx: DataFrame): Double =
-    Similarity.recallAtK(exactDf, approx).collect()(0).getDouble(2)
+  def recallOf(exactDf: DataFrame, approx: DataFrame): Double = {
+    val row = Similarity.recallAtK(exactDf, approx).collect()(0)
+    // an empty ground-truth frame divides 0/0 -> null recall; report
+    // 0.0 instead of NPE-ing out of getDouble
+    if (row.isNullAt(2)) 0.0 else row.getDouble(2)
+  }
 
   /** Both paths' (overall, true-neighbor) recalls over `sfDir`'s
     * embedding table, as a JSON fragment for the bench record ("null"
-    * on failure — the bench must not die on a recall measurement). */
+    * on failure — the bench must not die on a recall measurement).
+    * Both approximate results are persisted for their two evaluations
+    * (overall + true-neighbor), like the exact frame. */
   def json(spark: SparkSession, sfDir: String): String =
     try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val ex = exact(emb).persist()
+      val b = banded(emb).persist()
+      val i = ivf(emb).persist()
       try {
         val exTrue = ex.where(col("sim") >= trueNbrSim)
-        val b = banded(emb)
-        val i = ivf(emb)
         s"""{"banded_at$k":${recallOf(ex, b)},""" +
           s""""banded_at${k}_truenbr":${recallOf(exTrue, b)},""" +
           s""""ivf_at$k":${recallOf(ex, i)},""" +
           s""""ivf_at${k}_truenbr":${recallOf(exTrue, i)},""" +
           s""""true_nbr_sim":$trueNbrSim,"floor_truenbr":$floor}"""
-      } finally ex.unpersist(blocking = false)
+      } finally {
+        ex.unpersist(blocking = false)
+        b.unpersist(blocking = false)
+        i.unpersist(blocking = false)
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ann recall failed: $e")

@@ -76,9 +76,9 @@ object Bench {
               org.apache.spark.sql.functions.col("fp")))
             .cast("long").as("n_fps"))),
     // q14's interval-overlap join with 90% of BOTH interval sets forced
-    // onto one chromosome (the remaining 10% spread over chr1–chr4, so
-    // the spill bucket never aliases chr0 and the skew fraction is
-    // exactly 90%): the
+    // onto one chromosome. The 10% tail has key%10==9, which forces the
+    // key odd, so (key%4)+1 lands it on chr2/chr4 only — two spill
+    // chromosomes, never chr0, skew fraction exactly 90%: the
     // shuffle key is (chrom, bin), so chromosome-level skew spreads
     // over the bin dimension with no straggler task — the binned
     // design, not AQE, is the first line of defense (AQE skew-split
@@ -366,8 +366,13 @@ object Bench {
     }
     // measured ANN quality (untimed, like readerMeta): recall@10 of the
     // production banded/IVF paths vs brute-force ground truth — the
-    // number next to the timings that says the fast paths are also GOOD
-    val annRecall = AnnRecall.json(spark, sfDir)
+    // number next to the timings that says the fast paths are also
+    // GOOD. Skipped on focused SPARK_GRAFT_BENCH_ONLY runs: the
+    // brute-force ground truth is O(n^2) and a single-query A/B must
+    // not pay minutes of untimed recall work (same contract as the
+    // corpus gate above).
+    val annRecall =
+      if (only.isEmpty) AnnRecall.json(spark, sfDir) else "null"
     val loadAfter = ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -111,7 +111,11 @@ object Multimodal {
       if (b.length < 10) return None
       val sig = new String(b, 0, 6, "US-ASCII")
       if (sig != "GIF87a" && sig != "GIF89a") return None
-      Some(Dims(le16(b, 6), le16(b, 8), 3, 8))
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      // a zeroed logical screen descriptor must fall through to the
+      // hash-derived dims, not report an authoritative 0x0
+      if (w <= 0 || h <= 0) None else Some(Dims(w, h, 3, 8))
     }
 
     /** BMP BITMAPINFOHEADER: "BM", then signed LE i32 width at 18 and
@@ -270,27 +274,45 @@ object Multimodal {
     }
 
     /** Pixel cap for real decode: a corrupt or hostile header declaring
-      * billboard dims must not make an executor allocate the buffer.
+      * billboard dims must not make an executor allocate the buffer,
+      * and the feature kernels' `getRGB` bulk read costs 4 bytes/pixel
+      * ON TOP of the decoded raster — at 16 MP that is a 64 MB spike
+      * per concurrent task, the right ceiling for 4–8 GB executors
+      * running tens of tasks (training images are far smaller).
       * Oversized images fall back to the stub features. */
-    private val MaxPixels = 64L * 1024 * 1024
+    private val MaxPixels = 16L * 1024 * 1024
 
     /** REAL pixel decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/
-      * BMP readers ship in `java.desktop`). None for header-only,
-      * truncated, oversized, or non-image payloads — decode failures
-      * degrade to the stub, never fail the task. */
+      * BMP readers ship in `java.desktop`; newer JDKs add TIFF/WBMP).
+      * None for header-only, truncated, oversized, or non-image
+      * payloads — decode failures degrade to the stub, never fail the
+      * task. The [[MaxPixels]] cap is enforced through the ImageReader
+      * header API (`getWidth`/`getHeight` parse only the header), so it
+      * holds for EVERY installed reader — a format without a hand-
+      * rolled dims parser (e.g. TIFF) cannot smuggle a billboard
+      * allocation past the cap the way a plain `ImageIO.read` would. */
     def pixelDecode(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try {
         if (!imageIoReady || b.length < 16) None
         else {
-          val declared = pngDims(b).orElse(jpegDims(b))
-            .orElse(gifDims(b)).orElse(bmpDims(b))
-          if (declared.exists(d =>
-              d.width.toLong * d.height > MaxPixels ||
-              d.width <= 0 || d.height <= 0)) None
-          else Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(b)))
-            .filter(img => img.getWidth > 0 && img.getHeight > 0 &&
-              img.getWidth.toLong * img.getHeight <= MaxPixels)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis, true, true)
+                val w = r.getWidth(0)
+                val h = r.getHeight(0)
+                if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+                else Option(r.read(0))
+                  .filter(img => img.getWidth > 0 && img.getHeight > 0 &&
+                    img.getWidth.toLong * img.getHeight <= MaxPixels)
+              } finally r.dispose()
+            }
+          } finally if (iis != null) iis.close()
         }
       } catch { case _: Throwable => None }
 
@@ -304,10 +326,12 @@ object Multimodal {
       * correctly-rounded double of the exact rational, so an oracle
       * computing the same rational differently still matches bit-wise. */
     def thumbnail(img: java.awt.image.BufferedImage, gw: Int, gh: Int)
-        : Array[Float] = {
-      val w = img.getWidth
-      val h = img.getHeight
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
+        : Array[Float] =
+      thumbnailOf(img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+        img.getWidth), img.getWidth, img.getHeight, gw, gh)
+
+    private def thumbnailOf(px: Array[Int], w: Int, h: Int, gw: Int,
+        gh: Int): Array[Float] = {
       val out = new Array[Float](gw * gh)
       var gy = 0
       while (gy < gh) {
@@ -340,7 +364,10 @@ object Multimodal {
     def meanLuminance(img: java.awt.image.BufferedImage): Double = {
       val w = img.getWidth
       val h = img.getHeight
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      meanLuminanceOf(img.getRGB(0, 0, w, h, null, 0, w), w, h)
+    }
+
+    private def meanLuminanceOf(px: Array[Int], w: Int, h: Int): Double = {
       var sum = 0L
       var i = 0
       while (i < px.length) {
@@ -349,6 +376,19 @@ object Multimodal {
         i += 1
       }
       sum / (3.0 * 255.0 * w * h)
+    }
+
+    /** [[meanLuminance]] + the 4×2 [[thumbnail]] from ONE shared bulk
+      * pixel read — the per-asset `getRGB` copy is the dominant
+      * allocation at the pixel cap, so the feature pipeline must not
+      * pay it twice. Values are identical to the public one-shot
+      * kernels (same sums, same fused divisions). */
+    private[operators] def pixelFeatures(img: java.awt.image.BufferedImage)
+        : (Double, Array[Float]) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      (meanLuminanceOf(px, w, h), thumbnailOf(px, w, h, 4, 2))
     }
 
     /** REAL PCM sample features from a WAV payload that carries its data
@@ -483,22 +523,30 @@ object Multimodal {
       val nTts = be32(b, tt0 + 4)
       if (nTts < 0 || nTts > MaxSamples || tt0 + 8 + 8L * nTts > tt1)
         return None
-      val deltas = Seq.newBuilder[Long]
-      var pts = 0L
-      val ptsOf = Seq.newBuilder[Long]
+      // first pass: total sample count; second: Array-backed pts (a
+      // linked Seq here would make the sample walk below O(n^2) via
+      // positional lookups at the 2^20 cap)
       var ti = 0
       var total = 0L
       while (ti < nTts) {
         val cnt = be32(b, tt0 + 8 + 8 * ti)
-        val delta = be32(b, tt0 + 12 + 8 * ti).toLong & 0xffffffffL
         if (cnt < 0 || total + cnt > MaxSamples) return None
         total += cnt
-        var c = 0
-        while (c < cnt) { ptsOf += pts; pts += delta; c += 1 }
         ti += 1
       }
       val nSamples = total.toInt
       if (nSamples == 0) return None
+      val ptsArr = new Array[Long](nSamples)
+      var pts = 0L
+      var si = 0
+      ti = 0
+      while (ti < nTts) {
+        val cnt = be32(b, tt0 + 8 + 8 * ti)
+        val delta = be32(b, tt0 + 12 + 8 * ti).toLong & 0xffffffffL
+        var c = 0
+        while (c < cnt) { ptsArr(si) = pts; pts += delta; si += 1; c += 1 }
+        ti += 1
+      }
       // stsz: uniform sample_size, or 0 + per-sample table
       if (sz0 + 12 > sz1) return None
       val uniform = be32(b, sz0 + 4).toLong & 0xffffffffL
@@ -524,17 +572,20 @@ object Multimodal {
       def chunkOff(i: Int): Long =
         if (co64) be64(b, co0 + 8 + 8 * i)
         else be32(b, co0 + 8 + 4 * i).toLong & 0xffffffffL
-      val ptsArr = ptsOf.result()
       val out = Seq.newBuilder[FrameLoc]
       var sample = 0
       var chunk = 0
       // stsc runs are sorted by first_chunk: advance a single cursor
       // instead of rescanning the run table per chunk (a hostile table
-      // could otherwise cost chunks x runs)
+      // could otherwise cost chunks x runs). first_chunk is unsigned —
+      // a signed read would compare a corrupt 2^31 run as negative and
+      // silently consume it, mislocating every frame after it
       var run = 0
       var spcCur = 0
       while (sample < nSamples && chunk < nChunks) {
-        while (run < nScs && be32(b, sc0 + 8 + 12 * run) <= chunk + 1) {
+        while (run < nScs &&
+            (be32(b, sc0 + 8 + 12 * run).toLong & 0xffffffffL) <=
+              chunk + 1L) {
           spcCur = be32(b, sc0 + 12 + 12 * run)
           run += 1
         }
@@ -574,9 +625,10 @@ object Multimodal {
       }
       pixelDecode(payload) match {
         case Some(img) =>
-          val emb = thumbnail(img, 4, 2).map(v => (v * 2 - 1).toFloat)
+          val (lum, th) = pixelFeatures(img)
+          val emb = th.map(v => (v * 2 - 1).toFloat)
           (dims.width, dims.height, dims.channels, dims.bitDepth,
-            meanLuminance(img), emb)
+            lum, emb)
         case None =>
           val brightness =
             if (payload.isEmpty) 0.0
@@ -944,8 +996,12 @@ object Multimodal {
           MediaDecoder.mp4Frames(p).toSeq.flatMap {
             case (timescale, frames) =>
               frames.iterator
+                // overflow-safe bounds: `offset + size <= length` wraps
+                // negative for a hostile co64 offset near Long.MaxValue
+                // and would admit the frame; compare subtractively
                 .filter(f => f.index % stride == 0 &&
-                  f.offset >= 0 && f.offset + f.size <= p.length)
+                  f.offset >= 0 && f.size >= 0 && f.size <= p.length &&
+                  f.offset <= p.length - f.size)
                 .map { f =>
                   var sum = 0L
                   var i = f.offset.toInt
