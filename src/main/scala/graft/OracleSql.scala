@@ -551,6 +551,15 @@ object OracleSql {
         |WHERE t.i <= d.doc_id % 16 AND t.i % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // q59: image near-dup clusters — docs sharing doc_id%50 carry
+    // IDENTICAL planted images, so the decode->dHash->band->contraction
+    // pipeline must assign each doc the class-min doc_id; the oracle
+    // needs no pixels, just the planted class structure
+    "q59_image_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | min(doc_id) OVER (PARTITION BY doc_id % 50) AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q54: temperature rebalancing — same counts, same correctly-rounded
     // sqrt threshold, same md5-bucket acceptance as temperatureSample
     "q54_temp_sample" ->

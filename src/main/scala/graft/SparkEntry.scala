@@ -816,6 +816,46 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** IMAGE near-dup clustering oracle ([[graft.operators.Multimodal
+    * .imageDedupClusters]] — real decode → dHash → banded Hamming join
+    * → star contraction, end to end): each doc's PNG carries the pixel
+    * pattern of its class (`doc_id % 50`), so docs of one class decode
+    * to identical images and must land in one cluster whose label is
+    * the class-min doc_id — which DuckDB computes directly as a window
+    * min over the residue. The class patterns are id-derived constants
+    * (SF-independent), so the 50 planted dHash values can never drift
+    * with scale; a hash collision between classes, a band-join recall
+    * bug, or a contraction error all change the cluster assignment. */
+  private def q59_image_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      // splitmix-style avalanche: a LINEAR pattern in (x, y) makes
+      // dHash compare phase-shifted ramps and classes collide — each
+      // pixel must look independent for the 50 planted hashes to be
+      // pairwise distinct
+      def mix(z0: Long): Long = {
+        var z = z0 * 0x9e3779b97f4a7c15L
+        z ^= z >>> 32; z *= 0xbf58476d1ce4e5b9L; z ^= z >>> 29
+        z
+      }
+      it.map { id =>
+        val cls = id % 50
+        val payload = Multimodal.encodePatternPng(24, 16, (x, y) => {
+          val v = (mix(cls * 1000003L + x * 1009L + y) & 0xffL).toInt
+          v * 0x010101
+        })
+        (id, "image/png", payload)
+      }
+    }.toDF("doc_id", "mime", "payload")
+    Multimodal.imageDedupClusters(s,
+        Multimodal.toAssets(assets, "doc_id", "mime", "payload"),
+        maxHamming = 0)
+      .select(col("asset_id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** bedtools-style merge over deterministic intervals derived from
     * orders, through the skew-robust production path
     * ([[graft.operators.IntervalOps.mergeIntervalsRange]]: range
@@ -1019,7 +1059,8 @@ object SparkEntry {
     "q55_kmeans_seeded" -> (q55_kmeans_seeded _),
     "q56_media_pixels" -> (q56_media_pixels _),
     "q57_wav_pcm" -> (q57_wav_pcm _),
-    "q58_mp4_frames" -> (q58_mp4_frames _)) ++
+    "q58_mp4_frames" -> (q58_mp4_frames _),
+    "q59_image_dedup" -> (q59_image_dedup _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -378,6 +378,28 @@ object Multimodal {
       sum / (3.0 * 255.0 * w * h)
     }
 
+    /** Perceptual difference hash (dHash) over the REAL decoded
+      * pixels: a 9×8 area-mean luminance grid, one bit per horizontally
+      * adjacent cell pair (`cell > right neighbor`), row-major MSB
+      * first — 64 bits that survive re-encoding, resizing and small
+      * brightness shifts, the standard cheap image near-dup signature.
+      * Ties compare as 0 so the hash is deterministic on flat regions. */
+    def dHash64(img: java.awt.image.BufferedImage): Long = {
+      val cells = thumbnail(img, 9, 8)
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          h <<= 1
+          if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h |= 1L
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
     /** [[meanLuminance]] + the 4×2 [[thumbnail]] from ONE shared bulk
       * pixel read — the per-asset `getRGB` copy is the dominant
       * allocation at the pixel cap, so the feature pipeline must not
@@ -660,6 +682,25 @@ object Multimodal {
         img.setRGB(x, y, if (x < w / 2) l else r)
         x += 1
       }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Executor-side lossless PNG writer for arbitrary per-pixel RGB
+    * (gate/test generator): `pixelRgb(x, y)` supplies the 0xRRGGBB
+    * value. The q59 gate uses id-derived patterns so distinct image
+    * classes get distinct [[MediaDecoder.dHash64]] values. */
+  def encodePatternPng(w: Int, h: Int, pixelRgb: (Int, Int) => Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelRgb(x, y)); x += 1 }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -959,6 +1000,67 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** One asset's perceptual hash; `decoded=false` (hash 0) when the
+    * payload has no decodable pixels. */
+  final case class ImageHash(asset_id: Long, dhash: Long, decoded: Boolean)
+
+  /** Per-asset [[MediaDecoder.dHash64]] over the decoded pixels — the
+    * image-modality fingerprint feeding [[imageDedupClusters]]. */
+  def imageHashes(spark: SparkSession, assets: DataFrame)
+      : Dataset[ImageHash] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val p = if (payload == null) Array.emptyByteArray else payload
+          MediaDecoder.pixelDecode(p) match {
+            case Some(img) => ImageHash(id, MediaDecoder.dHash64(img), true)
+            case None => ImageHash(id, 0L, false)
+          }
+        }
+      }
+  }
+
+  /** IMAGE near-duplicate clustering — the visual-modality sibling of
+    * the text SimHash path: [[imageHashes]] dHash per asset, the 64-bit
+    * hash split into 4×16-bit bands (two hashes within Hamming distance
+    * 3 must agree on at least one band — pigeonhole), candidate pairs
+    * from a band equi-join (bucketed, never all-pairs), verified with
+    * `bit_count(xor) <= maxHamming` (codegen'd built-ins), then star
+    * contraction to component-min labels. Every DECODED asset gets a
+    * label (undecodable payloads label themselves — no pixels, no
+    * visual identity). Scale shape: the band join shuffles on
+    * (band, key) like the text LSH paths, the Hamming verify runs on
+    * candidates only, and the contraction is the shared O(log n)
+    * [[TextOps.dedupClustersStar]] loop. */
+  def imageDedupClusters(spark: SparkSession, assets: DataFrame,
+      maxHamming: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      "maxHamming outside [0,16]: 4x16-bit banding only guarantees " +
+        "candidate recall through distance 3; beyond that add bands")
+    val hashes = imageHashes(spark, assets).toDF()
+    val decoded = hashes.where(col("decoded"))
+      .select(col("asset_id"), col("dhash"))
+    val banded = decoded.select(col("asset_id"), col("dhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("dhash"), i * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "key")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val labels = TextOps.dedupClustersStar(pairs)
+      .withColumnRenamed("doc_id", "asset_id")
+    hashes.select(col("asset_id")).join(labels, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("cluster_id"), col("asset_id")).as("cluster_id"))
   }
 
   /** The RESIZE operator: per-asset `gw`×`gh` area-mean luminance
