@@ -1025,17 +1025,29 @@ object Multimodal {
   }
 
   /** IMAGE near-duplicate clustering — the visual-modality sibling of
-    * the text SimHash path: [[imageHashes]] dHash per asset, the 64-bit
-    * hash split into 4×16-bit bands (two hashes within Hamming distance
-    * 3 must agree on at least one band — pigeonhole), candidate pairs
-    * from a band equi-join (bucketed, never all-pairs), verified with
-    * `bit_count(xor) <= maxHamming` (codegen'd built-ins), then star
-    * contraction to component-min labels. Every DECODED asset gets a
-    * label (undecodable payloads label themselves — no pixels, no
-    * visual identity). Scale shape: the band join shuffles on
-    * (band, key) like the text LSH paths, the Hamming verify runs on
-    * candidates only, and the contraction is the shared O(log n)
-    * [[TextOps.dedupClustersStar]] loop. */
+    * the text SimHash path, in two stages whose split IS the scale
+    * design:
+    *
+    *  1. EXACT collapse: group by the 64-bit [[imageHashes]] dHash and
+    *     keep the min asset id as the representative. Identical images
+    *     (re-uploads, mirrored shards — the dominant duplicate shape in
+    *     a crawl) never reach the pair join; without this, a class of
+    *     s identical copies costs C(s,2) candidate pairs in the band
+    *     join — quadratic in copy count, the all-pairs blowup the
+    *     banding exists to avoid.
+    *  2. NEAR on representatives only: the hash split into 4×16-bit
+    *     bands (two hashes within Hamming distance 3 must share a band
+    *     — pigeonhole), candidate pairs from a band equi-join, verified
+    *     with codegen'd `bit_count(xor) <= maxHamming` on candidates
+    *     only, then the shared O(log n) star contraction
+    *     ([[TextOps.dedupClustersStar]]).
+    *
+    * Labels map back through the hash groups: a component's label is
+    * its min rep id = the min asset id across all merged copies. Every
+    * DECODED asset gets a label; undecodable payloads label themselves
+    * (no pixels, no visual identity). `maxHamming = 0` degenerates to
+    * pure exact-duplicate dedup with no join at all surviving the
+    * Hamming filter. */
   def imageDedupClusters(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
@@ -1044,23 +1056,30 @@ object Multimodal {
     val hashes = imageHashes(spark, assets).toDF()
     val decoded = hashes.where(col("decoded"))
       .select(col("asset_id"), col("dhash"))
-    val banded = decoded.select(col("asset_id"), col("dhash"),
+    val reps = decoded.groupBy(col("dhash"))
+      .agg(min(col("asset_id")).as("rep_id"))
+    val banded = reps.select(col("rep_id"), col("dhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("dhash"), i * 16)
           .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "key")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+          col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
         col("a.dhash").as("ha"), col("b.dhash").as("hb"))
       .distinct()
       .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
       .select(col("id_a"), col("id_b"))
-    val labels = TextOps.dedupClustersStar(pairs)
-      .withColumnRenamed("doc_id", "asset_id")
-    hashes.select(col("asset_id")).join(labels, Seq("asset_id"), "left")
+    val repLabels = TextOps.dedupClustersStar(pairs)
+      .withColumnRenamed("doc_id", "rep_id")
+    val byHash = reps.join(repLabels, Seq("rep_id"), "left")
+      .select(col("dhash"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+    hashes.select(col("asset_id"), col("dhash"), col("decoded"))
+      .join(byHash, Seq("dhash"), "left")
       .select(col("asset_id"),
-        coalesce(col("cluster_id"), col("asset_id")).as("cluster_id"))
+        when(col("decoded"), col("cluster_id"))
+          .otherwise(col("asset_id")).as("cluster_id"))
   }
 
   /** The RESIZE operator: per-asset `gw`×`gh` area-mean luminance
