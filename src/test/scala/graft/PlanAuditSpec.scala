@@ -210,6 +210,24 @@ class PlanAuditSpec extends SparkSuite {
     pairs.count() // must execute cleanly
   }
 
+  test("image dedup candidates come from the band equi-join") {
+    val s = spark
+    import s.implicits._
+    val assets = graft.operators.Multimodal.toAssets(
+      (1L to 40L).map(i => (i, "image/png",
+        graft.operators.Multimodal.encodeTwoTonePng(8, 4,
+          (i % 7 * 30).toInt, (i % 5 * 50).toInt)))
+        .toDF("id", "mime", "payload"),
+      "id", "mime", "payload")
+    val out = graft.operators.Multimodal
+      .imageDedupClusters(s, assets, maxHamming = 2)
+    val plan = executedString(out)
+    // the rep pair join must be (band, key)-keyed, never all-pairs
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(out.count() == 40)
+  }
+
   test("prefix-sum shard packing never funnels into one partition") {
     val s = spark
     import s.implicits._
