@@ -560,6 +560,17 @@ object OracleSql {
         | min(doc_id) OVER (PARTITION BY doc_id % 50) AS cluster_id
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // q60: image NEAR-dup clusters — variants of one class carry
+    // DISTINCT planted dHashes at Hamming 1-3 from the class base, so
+    // only the banded Hamming join (not the exact collapse) can merge
+    // them; the fixed point is still the class-min doc_id. Any band
+    // recall miss splits a class; any verify admitting distance > 3
+    // merges classes — either changes this window min.
+    "q60_image_neardup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | min(doc_id) OVER (PARTITION BY doc_id % 50) AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q54: temperature rebalancing — same counts, same correctly-rounded
     // sqrt threshold, same md5-bucket acceptance as temperatureSample
     "q54_temp_sample" ->

@@ -856,6 +856,40 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** IMAGE NEAR-dup clustering oracle — the `maxHamming = 3` path of
+    * [[graft.operators.Multimodal.imageDedupClusters]], where the
+    * banded Hamming join's RECALL (not the exact-hash collapse q59
+    * pins) determines the answer. Each doc carries a
+    * [[graft.operators.Multimodal.plantedNearDupPng]] for class
+    * `doc_id % 50`, variant `(doc_id / 50) % 3`: variants of one class
+    * decode to DIFFERENT images whose dHashes sit at Hamming distance
+    * 1–3 from the class base (exact bit placement by construction —
+    * scaladoc there), so after the exact collapse each class still has
+    * up to 3 distinct representatives that ONLY the 4×16-bit band join
+    * + `bit_count(xor) <= 3` verify can merge. A missed band candidate
+    * splits a class (recall bug → wrong cluster ids); a verify that
+    * admits distance > 3 merges classes (inter-class planted distances
+    * are far above 3, asserted over all 150 hashes in PipelineOpsSpec).
+    * The DuckDB mirror needs no pixels: the planted class structure
+    * makes the fixed point a window min over the class residue. */
+  private def q60_image_neardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val payload = Multimodal.plantedNearDupPng(
+          id % 50, ((id / 50) % 3).toInt)
+        (id, "image/png", payload)
+      }
+    }.toDF("doc_id", "mime", "payload")
+    Multimodal.imageDedupClusters(s,
+        Multimodal.toAssets(assets, "doc_id", "mime", "payload"),
+        maxHamming = 3)
+      .select(col("asset_id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** bedtools-style merge over deterministic intervals derived from
     * orders, through the skew-robust production path
     * ([[graft.operators.IntervalOps.mergeIntervalsRange]]: range
@@ -1060,7 +1094,8 @@ object SparkEntry {
     "q56_media_pixels" -> (q56_media_pixels _),
     "q57_wav_pcm" -> (q57_wav_pcm _),
     "q58_mp4_frames" -> (q58_mp4_frames _),
-    "q59_image_dedup" -> (q59_image_dedup _)) ++
+    "q59_image_dedup" -> (q59_image_dedup _),
+    "q60_image_neardup" -> (q60_image_neardup _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

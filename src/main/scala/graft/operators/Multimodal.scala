@@ -120,9 +120,14 @@ object Multimodal {
 
     /** BMP BITMAPINFOHEADER: "BM", then signed LE i32 width at 18 and
       * height at 22 (negative height = top-down rows — dims are the
-      * magnitude); bit count at 28 maps to channels. */
+      * magnitude); bit count at 28 maps to channels. The DIB header
+      * size at offset 14 must be >= 40 (BITMAPINFOHEADER or later) —
+      * the legacy 12-byte BITMAPCOREHEADER lays out u16 dims at
+      * different offsets, so reading it at INFOHEADER offsets would
+      * yield garbage reported as authoritative. */
     def bmpDims(b: Array[Byte]): Option[Dims] = {
       if (b.length < 30 || b(0) != 'B' || b(1) != 'M') return None
+      if (le32(b, 14) < 40L) return None
       val w = le32(b, 18).toInt
       val h = math.abs(le32(b, 22).toInt)
       val bpp = le16(b, 28)
@@ -415,7 +420,11 @@ object Multimodal {
 
     /** REAL PCM sample features from a WAV payload that carries its data
       * chunk: (rms, peak) of the normalized samples — 8-bit unsigned
-      * (`(v-128)/128`) and 16-bit signed LE (`v/32768`) PCM. None when
+      * (`(v-128)/128`) and 16-bit signed LE (`v/32768`) PCM. Multi-channel
+      * interleaved PCM is treated as one flat sample stream: rms/peak are
+      * computed over ALL interleaved channel samples, not per-channel
+      * (rms is then the quadratic mean across channels — the usual
+      * "energy of the interleaved stream" convention). None when
       * the fmt is non-PCM, the bit depth is unhandled, or the sample
       * bytes are absent/truncated (the header-only fixture shape).
       * Normalizers are powers of two and per-sample squares are exact
@@ -706,6 +715,49 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Planted NEAR-duplicate image generator (q60 gate / spec): a 9×8
+    * grayscale PNG whose pixels map 1:1 onto [[MediaDecoder.dHash64]]'s
+    * 9×8 thumbnail cells, so the hash bits are directly controllable.
+    *
+    * The base pattern (`variant = 0`) fills every cell with an
+    * id-derived gray in [1,253] (splitmix avalanche — cells look
+    * independent, so 50 class hashes are pairwise far apart; the range
+    * excludes 0/255 so a forced extreme always wins/loses its
+    * comparison strictly). Variants perturb ONLY column-0 pixels:
+    * cell (r,0) feeds exactly one hash bit — `cell(r,0) > cell(r,1)`,
+    * bit 63-8r — and no other (there is no column to its left), so
+    * forcing it to the opposite extreme of its base comparison flips
+    * EXACTLY that bit. Variant 1 flips row 0 (Hamming 1 from base);
+    * variant 2 flips rows {0,2,5} (Hamming 3 from base, 2 from
+    * variant 1). Every within-class pair is thus at distance ≤ 3 —
+    * inside the 4×16-bit banding's pigeonhole recall guarantee — while
+    * inter-class distances stay large (asserted in PipelineOpsSpec over
+    * all 150 planted hashes). Deterministic and SF-independent: the
+    * pattern depends only on (cls, variant). */
+  def plantedNearDupPng(cls: Long, variant: Int): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 * 0x9e3779b97f4a7c15L
+      z ^= z >>> 32; z *= 0xbf58476d1ce4e5b9L; z ^= z >>> 29
+      z
+    }
+    def base(x: Int, y: Int): Int =
+      1 + java.lang.Math.floorMod(mix(cls * 1000003L + x * 1009L + y), 253L)
+        .toInt
+    val flipRows: Set[Int] = variant % 3 match {
+      case 0 => Set.empty
+      case 1 => Set(0)
+      case _ => Set(0, 2, 5)
+    }
+    encodePatternPng(9, 8, (x, y) => {
+      val v =
+        if (x == 0 && flipRows.contains(y)) {
+          // force the opposite of the base comparison for bit (y, 0)
+          if (base(0, y) > base(1, y)) 0 else 255
+        } else base(x, y)
+      v * 0x010101
+    })
   }
 
   /** Executor-side PCM WAV writer (gate/test generator): 8-bit unsigned
@@ -1045,9 +1097,19 @@ object Multimodal {
     * Labels map back through the hash groups: a component's label is
     * its min rep id = the min asset id across all merged copies. Every
     * DECODED asset gets a label; undecodable payloads label themselves
-    * (no pixels, no visual identity). `maxHamming = 0` degenerates to
+    * (no pixels, no visual identity) and never enter the hash join —
+    * a crawl with many undecodable payloads would otherwise pile them
+    * all onto one hot join key. `maxHamming = 0` degenerates to
     * pure exact-duplicate dedup with no join at all surviving the
-    * Hamming filter. */
+    * Hamming filter.
+    *
+    * dHash LIMITATION: gradient ties hash to 0 bits, so every uniform
+    * image (all-white, all-black, any solid fill) has dHash 0 and is
+    * clustered as an exact duplicate of every other flat image even at
+    * `maxHamming = 0`. That is inherent to difference hashing (flat
+    * images are visually indistinguishable to a gradient fingerprint),
+    * not a banding artifact; pipelines that must separate solid colors
+    * need a brightness-augmented hash. */
   def imageDedupClusters(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
@@ -1075,11 +1137,15 @@ object Multimodal {
     val byHash = reps.join(repLabels, Seq("rep_id"), "left")
       .select(col("dhash"),
         coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
-    hashes.select(col("asset_id"), col("dhash"), col("decoded"))
-      .join(byHash, Seq("dhash"), "left")
-      .select(col("asset_id"),
-        when(col("decoded"), col("cluster_id"))
-          .otherwise(col("asset_id")).as("cluster_id"))
+    // only decoded rows join byHash: undecoded rows all carry dhash=0
+    // and would funnel onto that one key before being discarded anyway
+    val labeledDecoded = hashes.where(col("decoded"))
+      .select(col("asset_id"), col("dhash"))
+      .join(byHash, Seq("dhash"))
+      .select(col("asset_id"), col("cluster_id"))
+    val selfLabeled = hashes.where(!col("decoded"))
+      .select(col("asset_id"), col("asset_id").as("cluster_id"))
+    labeledDecoded.unionByName(selfLabeled)
   }
 
   /** The RESIZE operator: per-asset `gw`×`gh` area-mean luminance
