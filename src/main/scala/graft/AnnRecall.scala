@@ -40,9 +40,68 @@ private[graft] object AnnRecall {
   /** recall@K floor asserted by the spec for both paths, on true-
     * neighbor pairs (sim ≥ [[trueNbrSim]]). */
   val floor = 0.95
+  /** UNCONDITIONED recall@K floor asserted on the [[clusteredCorpus]] —
+    * meaningful there because every vector's true top-k IS its blob's
+    * other members, not random points. */
+  val clusteredFloor = 0.9
   val trueNbrSim = 0.5
   val k = 10
   val dim = 64
+
+  /** Structured recall corpus: `n` unit vectors in `nClusters` Gaussian
+    * blobs (fixed splitmix64 streams — bit-reproducible, executor-
+    * parallel). Cluster centers are isotropic unit gaussians; a member
+    * is `normalize(center + sigma·g)`, so within-blob cosines
+    * concentrate near `1/(1+sigma²)` (~0.89 at the default 0.35) while
+    * inter-blob cosines stay near 0 (±~1/√dim). Each vector's exact
+    * top-k is therefore its blob mates — the structure every published
+    * ANN benchmark (GloVe/SIFT) has and the isotropic testdata corpus
+    * deliberately lacks — which makes UNCONDITIONED recall@k a
+    * meaningful, pinnable number here. Same (vec_id, embedding) shape
+    * as the testdata table so [[exact]]/[[banded]]/[[ivf]] apply
+    * unchanged. */
+  def clusteredCorpus(spark: SparkSession, n: Int = 2000,
+      nClusters: Int = 100, sigma: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val d = dim
+    val nc = nClusters
+    val sg = sigma
+    spark.range(n.toLong).as[Long].mapPartitions { it =>
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      // deterministic standard gaussian stream: Box-Muller over two
+      // splitmix64 draws from a per-(seed, index) counter
+      def gauss(seed: Long, i: Int): Double = {
+        val u1 = (mix(seed * 1000003L + 2L * i) >>> 11) / 9007199254740992.0
+        val u2 = (mix(seed * 1000003L + 2L * i + 1) >>> 11) /
+          9007199254740992.0
+        math.sqrt(-2.0 * math.log(u1 + 1e-300)) *
+          math.cos(2.0 * math.Pi * u2)
+      }
+      it.map { id =>
+        val cluster = id % nc
+        val v = new Array[Float](d)
+        var norm = 0.0
+        var i = 0
+        while (i < d) {
+          // center coord + sigma * member noise
+          val x = gauss(0x5eedc0de + cluster, i) +
+            sg * gauss(0x0ffbeefL + id, i)
+          v(i) = x.toFloat
+          norm += x * x
+          i += 1
+        }
+        val inv = (1.0 / math.sqrt(norm)).toFloat
+        i = 0
+        while (i < d) { v(i) *= inv; i += 1 }
+        (id, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
 
   def exact(emb: DataFrame): DataFrame =
     Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k)
@@ -73,17 +132,28 @@ private[graft] object AnnRecall {
       val ex = exact(emb).persist()
       val b = banded(emb).persist()
       val i = ivf(emb).persist()
+      val cl = clusteredCorpus(spark).persist()
+      val cx = exact(cl).persist()
+      val cb = banded(cl).persist()
+      val ci = ivf(cl).persist()
       try {
         val exTrue = ex.where(col("sim") >= trueNbrSim)
         s"""{"banded_at$k":${recallOf(ex, b)},""" +
           s""""banded_at${k}_truenbr":${recallOf(exTrue, b)},""" +
           s""""ivf_at$k":${recallOf(ex, i)},""" +
           s""""ivf_at${k}_truenbr":${recallOf(exTrue, i)},""" +
-          s""""true_nbr_sim":$trueNbrSim,"floor_truenbr":$floor}"""
+          s""""clustered_banded_at$k":${recallOf(cx, cb)},""" +
+          s""""clustered_ivf_at$k":${recallOf(cx, ci)},""" +
+          s""""true_nbr_sim":$trueNbrSim,"floor_truenbr":$floor,""" +
+          s""""floor_clustered":$clusteredFloor}"""
       } finally {
         ex.unpersist(blocking = false)
         b.unpersist(blocking = false)
         i.unpersist(blocking = false)
+        cl.unpersist(blocking = false)
+        cx.unpersist(blocking = false)
+        cb.unpersist(blocking = false)
+        ci.unpersist(blocking = false)
       }
     } catch {
       case e: Throwable =>

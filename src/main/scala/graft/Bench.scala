@@ -142,13 +142,34 @@ object Bench {
     def bedProj(s: SparkSession, col: Boolean) = s.read.format("bed")
       .option("columnar", col.toString).load(c.bed)
       .select("chrom", "start", "end")
+    // standing IPC-sink pair (K1's one consumer): the SAME flat BED
+    // projection collected to Arrow IPC bytes through the row sink
+    // (executeCollect + driver re-encode) and the columnar sink
+    // (executor-parallel per-partition IPC streams spliced driver-side,
+    // ArrowShim.toIpcBytesColumnar). The encode runs eagerly inside the
+    // timed thunk; the returned one-row frame just records the byte
+    // count. Timings are END-TO-END (BGZF scan + parse + encode), so
+    // the pair's ratio is smaller than the encode-only 5.6x measured at
+    // introduction — the scan cost is shared; what must not regress is
+    // the x07-x08 delta.
+    def ipcSink(s: SparkSession, columnar: Boolean) = {
+      val df = bedProj(s, columnar)
+      val bytes =
+        if (columnar)
+          org.apache.spark.sql.graftshim.ArrowShim.toIpcBytesColumnar(df)
+        else org.apache.spark.sql.graftshim.ArrowShim.toIpcBytes(df)
+      s.range(1).select(org.apache.spark.sql.functions
+        .lit(bytes.length.toLong).as("ipc_bytes"))
+    }
     Seq(
       "x01_bam_proj_row" -> ((s: SparkSession, _: String) => bamProj(s, false)),
       "x02_bam_proj_col" -> ((s: SparkSession, _: String) => bamProj(s, true)),
       "x03_bam_split_row" -> ((s: SparkSession, _: String) => bamSplit(s, false)),
       "x04_bam_split_col" -> ((s: SparkSession, _: String) => bamSplit(s, true)),
       "x05_bed_proj_row" -> ((s: SparkSession, _: String) => bedProj(s, false)),
-      "x06_bed_proj_col" -> ((s: SparkSession, _: String) => bedProj(s, true)))
+      "x06_bed_proj_col" -> ((s: SparkSession, _: String) => bedProj(s, true)),
+      "x07_ipc_sink_row" -> ((s: SparkSession, _: String) => ipcSink(s, false)),
+      "x08_ipc_sink_col" -> ((s: SparkSession, _: String) => ipcSink(s, true)))
   }
 
   /** Genomic-reader benchmark entries (b01–b05) over the generated
@@ -251,7 +272,9 @@ object Bench {
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
         .getOrElse(3))
-    // optional comma-list filter for focused A/B experiments
+    // optional comma-list filter for focused A/B experiments; PREFIX is
+    // the family-level variant ("q" = gates only, the scale2x recipe)
+    val prefix = sys.env.get("SPARK_GRAFT_BENCH_PREFIX").filter(_.nonEmpty)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // reader bench corpus: generated once (marker-cached), OUTSIDE any
@@ -270,7 +293,8 @@ object Bench {
     val needsCorpus = (n: String) => corpusNames.contains(n)
     val corpus: Option[graft.fixtures.BenchCorpus.Paths] =
       if (sys.env.get("SPARK_GRAFT_BENCH_READERS").contains("0") ||
-          !only.forall(_.exists(needsCorpus))) None
+          !only.forall(_.exists(needsCorpus)) ||
+          !prefix.forall(p => corpusNames.exists(_.startsWith(p)))) None
       else try {
         val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS_DIR",
           "/tmp/graft_bench_corpus")
@@ -290,7 +314,8 @@ object Bench {
         ++ fastPathBenches
         ++ corpus.toSeq.flatMap(readerBenches)
         ++ corpus.toSeq.flatMap(columnarAbBenches))
-      .filter(q => only.forall(_.contains(q._1)))
+      .filter(q => only.forall(_.contains(q._1)) &&
+        prefix.forall(q._1.startsWith(_)))
       .sortBy(_._1)
     // planning-time facts the judge needs alongside the timings: real
     // fan-out of the split scan and pushdown factor of the region query
@@ -336,29 +361,46 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // noop write forces the FULL plan — a bare count() lets
+    // Catalyst prune final sorts and unreferenced projections, so
+    // the timed work would exclude exactly the operator cost the
+    // bench exists to measure (switched in round 7; earlier rounds'
+    // numbers are count()-based and slightly lower for sort-heavy
+    // queries)
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame)
+        : Unit = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // a failed query must NOT record its time-to-crash as a
+          // legitimate (absurdly fast) sample
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+    }
     val passTotals = (0 until runs).map { _ =>
       calibrations += calibrate(spark)
       val passT0 = System.nanoTime()
-      queries.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop write forces the FULL plan — a bare count() lets
-        // Catalyst prune final sorts and unreferenced projections, so
-        // the timed work would exclude exactly the operator cost the
-        // bench exists to measure (switched in round 7; earlier rounds'
-        // numbers are count()-based and slightly lower for sort-heavy
-        // queries)
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            // a failed query must NOT record its time-to-crash as a
-            // legitimate (absurdly fast) sample
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-      }
+      queries.foreach { case (name, fn) => timeOne(name, fn) }
       (System.nanoTime() - passT0) / 1e9
+    }
+    // the b-family reader scans showed >30% min-of-3 wobble in r11 (b01
+    // 2.30 -> 3.03 s with samples spread 3.03-5.85) — too few samples
+    // for a min over a file-I/O-heavy scan under ambient load. Extra
+    // interleaved passes over JUST the b* entries bring them to
+    // min-of-5 without 2 more passes over the whole suite.
+    val readerRuns = math.max(runs,
+      sys.env.get("SPARK_GRAFT_BENCH_READER_RUNS").flatMap(_.toIntOption)
+        .getOrElse(5))
+    val readerQs = queries.filter(_._1.startsWith("b"))
+    (runs until readerRuns).foreach { _ =>
+      if (readerQs.nonEmpty) {
+        calibrations += calibrate(spark)
+        readerQs.foreach { case (name, fn) => timeOne(name, fn) }
+      }
     }
     calibrations += calibrate(spark)
     val results = queries.collect {
@@ -372,7 +414,19 @@ object Bench {
     // not pay minutes of untimed recall work (same contract as the
     // corpus gate above).
     val annRecall =
-      if (only.isEmpty) AnnRecall.json(spark, sfDir) else "null"
+      if (only.isEmpty && prefix.isEmpty) AnnRecall.json(spark, sfDir)
+      else "null"
+    // optional untimed per-query OUTPUT row counts (scale2x recipe):
+    // a 2x-data ratio conflates output growth with plan degradation for
+    // pair-producing queries (candidate pairs roughly quadruple when
+    // every planted class doubles), so the scaling artifact needs
+    // result cardinality next to seconds to normalize rows/sec.
+    val rowCounts: String =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_COUNTS").contains("1")) "null"
+      else queries.map { case (name, fn) =>
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        s"\"" + name + "\":" + n
+      }.mkString("{", ",", "}")
     val loadAfter = ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -409,7 +463,7 @@ object Bench {
       s""""failed":$failedJson,"queries":$qs,"calibration_sec":$calJson,""" +
       s""""pass_totals_sec":$passJson,"samples_sec":$sampleJson,""" +
       s""""reader_corpus":$readerMeta,"ann_recall":$annRecall,""" +
-      s""""system":$sysJson}"""
+      s""""rows":$rowCounts,"system":$sysJson}"""
     try {
       val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench_out/latest.json"))

@@ -415,6 +415,21 @@ object OracleSql {
         | count(*) AS n_assets
         |FROM d GROUP BY 1, 2, 3, 4, 5 ORDER BY mime, width, height""".stripMargin,
 
+    // q61: q34's corpus through the header-only extractDims path — same
+    // analytic dims oracle; header parsing alone must reproduce it
+    "q61_media_dims_hdr" ->
+      """WITH d AS (SELECT doc_id,
+        |  octet_length(encode(text)) AS nb FROM documents)
+        |SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+        |            ELSE 'image/jpeg' END AS mime,
+        | CAST(nb % 64 + 1 AS BIGINT) AS width,
+        | CAST(nb % 48 + 1 AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
+        |   AS n_channels,
+        | CAST(8 AS BIGINT) AS bit_depth,
+        | count(*) AS n_assets
+        |FROM d GROUP BY 1, 2, 3, 4, 5 ORDER BY mime, width, height""".stripMargin,
+
     // q35: the streaming windowed aggregation's final table must equal
     // the plain batch aggregation — same grouping as q11 minus the
     // distinct-user count (not expressible in a streaming aggregate)

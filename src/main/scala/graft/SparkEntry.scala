@@ -634,6 +634,33 @@ object SparkEntry {
       .orderBy(col("mime"), col("width"), col("height"))
   }
 
+  /** q34's corpus through the METADATA-ONLY path
+    * ([[Multimodal.extractDims]] — pure header parsers, no ImageIO
+    * probe): same analytic oracle as q34, so the dims-only operator is
+    * correctness-gated in its own right, and its standing bench row
+    * prices the skipped pixel probe against q34's full-decode cost. */
+  private def q61_media_dims_hdr(s: SparkSession, dir: String): DataFrame = {
+    val docs = pq(s, dir, "documents")
+    val nb = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val w = (nb % 64 + 1).cast("int")
+    val h = (nb % 48 + 1).cast("int")
+    val assets = docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0, "image/png")
+        .otherwise("image/jpeg").as("mime"),
+      when(col("doc_id") % 2 === 0, Multimodal.pngPayload(w, h))
+        .otherwise(Multimodal.jpegPayload(w, h)).as("payload"))
+    Multimodal.extractDims(s,
+        Multimodal.toAssets(assets, "doc_id", "mime", "payload"))
+      .toDF()
+      .groupBy(col("mime"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("bit_depth").cast("long").as("bit_depth"))
+      .agg(count(lit(1)).as("n_assets"))
+      .orderBy(col("mime"), col("width"), col("height"))
+  }
+
   /** Structured Streaming driven to completion and oracle-checked: the
     * same 1-hour tumbling windows as q11 computed by a REAL streaming
     * query (file source → AvailableNow → complete-mode memory sink,
@@ -1095,7 +1122,8 @@ object SparkEntry {
     "q57_wav_pcm" -> (q57_wav_pcm _),
     "q58_mp4_frames" -> (q58_mp4_frames _),
     "q59_image_dedup" -> (q59_image_dedup _),
-    "q60_image_neardup" -> (q60_image_neardup _)) ++
+    "q60_image_neardup" -> (q60_image_neardup _),
+    "q61_media_dims_hdr" -> (q61_media_dims_hdr _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -1007,6 +1007,43 @@ object Multimodal {
         octet_length(col(payloadCol)).cast("long").as("n_bytes"),
         md5(col(payloadCol)).as("digest")).as("meta"))
 
+  /** Header-only image metadata: real dims or nothing, no pixel work. */
+  final case class MediaDims(asset_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, n_channels: Int, bit_depth: Int,
+      parsed: Boolean)
+
+  /** METADATA-ONLY dims extractor: the pure header parsers
+    * ([[MediaDecoder.pngDims]]/[[MediaDecoder.jpegDims]]/
+    * [[MediaDecoder.gifDims]]/[[MediaDecoder.bmpDims]]) with NO ImageIO
+    * reader probe — [[extractFeatures]] pays that probe per asset to
+    * get pixels, which a dims-only pipeline (sharding by resolution,
+    * filtering thumbnails, schema discovery) never needs. Payloads no
+    * header parser recognizes yield `parsed = false` with zero dims —
+    * honest metadata, not the hash-derived stand-ins the feature path
+    * keeps for its total-pipeline contract. Narrow per-partition parse
+    * of a few leading bytes; scales as a pure map. */
+  def extractDims(spark: SparkSession, assets: DataFrame)
+      : Dataset[MediaDims] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("mime"), col("payload"),
+        coalesce(col("meta.n_bytes"), lit(0L)).as("n_bytes"))
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, mime, payload, nBytes) =>
+          val p = if (payload == null) Array.emptyByteArray else payload
+          val m = if (mime == null) "" else mime
+          MediaDecoder.pngDims(p).orElse(MediaDecoder.jpegDims(p))
+            .orElse(MediaDecoder.gifDims(p))
+            .orElse(MediaDecoder.bmpDims(p)) match {
+            case Some(d) => MediaDims(id, m, nBytes, d.width, d.height,
+              d.channels, d.bitDepth, parsed = true)
+            case None => MediaDims(id, m, nBytes, 0, 0, 0, 0,
+              parsed = false)
+          }
+        }
+      }
+  }
+
   /** Feature extraction over partition-sized batches: one decoder
     * instance per partition (the expensive-init pattern real codecs
     * need), rows streamed through it — the Scala analogue of

@@ -210,6 +210,31 @@ class SimilaritySpec extends SparkSuite {
     } finally ex.unpersist(blocking = false)
   }
 
+  test("ann UNCONDITIONED recall@10 floor on the clustered corpus") {
+    // Gaussian-blob corpus (graft.AnnRecall.clusteredCorpus): every
+    // vector's exact top-10 is its blob mates, so unconditioned recall
+    // is meaningful here — the number the isotropic testdata corpus
+    // cannot provide. Same production configs as the bench record;
+    // smaller n than the bench (600/30 blobs of 20) keeps the spec
+    // fast while preserving the geometry (blob size 20 > k=10,
+    // within-blob cosine ~0.89, inter-blob ~0).
+    val cl = graft.AnnRecall.clusteredCorpus(spark, n = 600,
+      nClusters = 30).persist()
+    val ex = graft.AnnRecall.exact(cl).persist()
+    try {
+      for ((name, approx) <- Seq(
+          "bandedTopK" -> graft.AnnRecall.banded(cl),
+          "ivfTopK" -> graft.AnnRecall.ivf(cl))) {
+        val r = graft.AnnRecall.recallOf(ex, approx)
+        assert(r >= graft.AnnRecall.clusteredFloor,
+          s"$name clustered recall@10 $r < ${graft.AnnRecall.clusteredFloor}")
+      }
+    } finally {
+      ex.unpersist(blocking = false)
+      cl.unpersist(blocking = false)
+    }
+  }
+
   test("embedding dedup: persistInput caches the projection and unpersists") {
     import spark.implicits._
     val dim = 16

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Reproducible 2x data-volume scaling artifact (driver-side tooling).
+
+Builds the sf1x/sf2x parquet pair with make_scale2x.py (marker-cached),
+runs graft.Bench over each (q-gates only, 2 interleaved passes, with
+untimed output-row counts), and assembles bench_out/scale2x_r{N}.json.
+
+The artifact records, per query: seconds at 1x and 2x, the time ratio,
+OUTPUT rows at 1x and 2x, the row ratio, and rows/sec at both scales —
+so a reader can tell "4x output in 2.3x time" (healthy: pair-producing
+queries whose candidate sets grow quadratically when every planted
+class doubles) from genuine plan degradation (time ratio >> row ratio
+with flat output).
+
+Usage: run_scale2x.py <round-number> [src-sf-dir] [scale-dir]
+"""
+import json
+import os
+import subprocess
+import sys
+
+
+def run_bench(sfdir, out):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sfdir,
+               SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_PREFIX="q",
+               SPARK_GRAFT_BENCH_RUNS="2",
+               SPARK_GRAFT_BENCH_READERS="0",
+               SPARK_GRAFT_BENCH_COUNTS="1",
+               SPARK_GRAFT_BENCH_OUT=out)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                   cwd="/root/repo", env=env, check=True,
+                   stdout=subprocess.DEVNULL)
+    return json.load(open(out))
+
+
+def main():
+    rnd = int(sys.argv[1])
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    scale_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/graft_scale"
+    marker = os.path.join(scale_dir, "scale2x.marker")
+    tag = f"v1:{src}"
+    if not (os.path.exists(marker) and open(marker).read().strip() == tag):
+        subprocess.run([sys.executable,
+                        "/root/repo/tools/make_scale2x.py", src, scale_dir],
+                       check=True)
+        with open(marker, "w") as f:
+            f.write(tag)
+    one = run_bench(os.path.join(scale_dir, "sf1x"), "/tmp/scale2x_1x.json")
+    two = run_bench(os.path.join(scale_dir, "sf2x"), "/tmp/scale2x_2x.json")
+    q1, q2 = one["queries"], two["queries"]
+    r1, r2 = one.get("rows") or {}, two.get("rows") or {}
+    per = {}
+    for name in sorted(q1):
+        if name not in q2:
+            continue
+        t1, t2 = q1[name], q2[name]
+        n1, n2 = r1.get(name, -1), r2.get(name, -1)
+        e = {"sec_1x": round(t1, 3), "sec_2x": round(t2, 3),
+             "time_ratio": round(t2 / t1, 2) if t1 > 0 else None,
+             "rows_1x": n1, "rows_2x": n2}
+        if n1 > 0 and n2 > 0:
+            e["row_ratio"] = round(n2 / n1, 2)
+            e["rows_per_sec_1x"] = round(n1 / t1)
+            e["rows_per_sec_2x"] = round(n2 / t2)
+            # throughput ratio > 1 means the engine got FASTER per output
+            # row at 2x data; < 1 by more than noise flags degradation
+            e["throughput_ratio"] = round((n2 / t2) / (n1 / t1), 2)
+        per[name] = e
+    t1sum = sum(q1[n] for n in per)
+    t2sum = sum(q2[n] for n in per)
+    art = {
+        "round": rnd,
+        "what": ("per-query runtime AND output-row scaling at 2x data "
+                 "volume (tools/make_scale2x.py clone pair, same writer); "
+                 "q-gates only, min of 2 interleaved passes, local[32]. "
+                 "throughput_ratio normalizes output growth out of the "
+                 "time ratio: pair-producing queries legitimately emit "
+                 "~4x rows when every planted class doubles."),
+        "sf1x_total_sec": t1sum,
+        "sf2x_total_sec": t2sum,
+        "total_ratio": round(t2sum / t1sum, 3),
+        "calibration_sec": {"sf1x": one["calibration_sec"],
+                            "sf2x": two["calibration_sec"]},
+        "per_query": per,
+    }
+    out = f"/root/repo/bench_out/scale2x_r{rnd}.json"
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"wrote {out}: total {art['total_ratio']}x at 2x data")
+    worst = sorted((e.get("throughput_ratio"), n) for n, e in per.items()
+                   if e.get("throughput_ratio"))
+    for tr, n in worst[:5]:
+        print(f"  lowest throughput_ratio {tr}: {n} "
+              f"(time x{per[n]['time_ratio']}, rows x{per[n].get('row_ratio')})")
+
+
+if __name__ == "__main__":
+    main()
