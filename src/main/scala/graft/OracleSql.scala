@@ -566,6 +566,21 @@ object OracleSql {
         |WHERE t.i <= d.doc_id % 16 AND t.i % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // q62: video frame pixels — every doc's MP4 carries n=(id%4+2)
+    // uniform-gray 16x16 JPEG frames (gray (id*31+i*17)%256, delta
+    // (id%5+1)*40 at timescale 1000); stride 2 keeps even frame
+    // indices, and the decoded mean luminance must round back to the
+    // planted gray exactly (uniform JPEG round-trip is lossless)
+    "q62_video_frames" ->
+      """SELECT d.doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+        | CAST(t.i * (d.doc_id % 5 + 1) * 40 AS BIGINT) AS pts_ms,
+        | CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        | CAST((d.doc_id * 31 + t.i * 17) % 256 AS BIGINT) AS gray
+        |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        |CROSS JOIN generate_series(0, 5) t(i)
+        |WHERE t.i < d.doc_id % 4 + 2 AND t.i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // q59: image near-dup clusters — docs sharing doc_id%50 carry
     // IDENTICAL planted images, so the decode->dHash->band->contraction
     // pipeline must assign each doc the class-min doc_id; the oracle

@@ -843,6 +843,48 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** VIDEO FRAME PIXELS oracle ([[graft.operators.Multimodal
+    * .decodeFrames]] — sample-table demux composed with real ImageIO
+    * pixel decode, the MJPEG-in-MP4 path): each doc becomes an MP4
+    * whose frames are COMPLETE uniform-gray 16×16 JPEGs (gray
+    * `(id*31 + i*17) % 256`), so every sampled frame must come back as
+    * decoded pixels whose mean luminance is exactly `gray/255` — the
+    * JDK JPEG codec round-trips a uniform image exactly (exhaustively
+    * spec-verified), which is what makes a closed-form oracle possible
+    * through a lossy codec. A demux placement error hands the decoder
+    * a truncated JPEG (decoded=false → row filtered → row-count
+    * mismatch); a pixel-path error changes the gray. Real video-frame
+    * pixels end-to-end with zero new codec work; reference analogue:
+    * none (oxbow has no video surface). */
+  private def q62_video_frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 4 + 2).toInt
+        val deltas = Array.tabulate(n)(_ => (id % 5 + 1) * 40L)
+        val frames = Array.tabulate(n)(i =>
+          Multimodal.encodeUniformJpeg(16, 16,
+            ((id * 31 + i * 17) % 256).toInt))
+        val payload = Multimodal.encodeMp4FrameBytes(16, 16,
+          timescale = 1000L, deltas = deltas, frames = frames)
+        (id, "video/mp4", payload)
+      }
+    }.toDF("doc_id", "mime", "payload")
+    Multimodal.decodeFrames(s,
+        Multimodal.toAssets(assets, "doc_id", "mime", "payload"),
+        stride = 2)
+      .toDF()
+      .where(col("decoded"))
+      .select(col("asset_id").as("doc_id"), col("frame_idx"),
+        col("pts_ms"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("luminance") * 255, 0).cast("long").as("gray"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** IMAGE near-dup clustering oracle ([[graft.operators.Multimodal
     * .imageDedupClusters]] — real decode → dHash → banded Hamming join
     * → star contraction, end to end): each doc's PNG carries the pixel
@@ -1123,7 +1165,8 @@ object SparkEntry {
     "q58_mp4_frames" -> (q58_mp4_frames _),
     "q59_image_dedup" -> (q59_image_dedup _),
     "q60_image_neardup" -> (q60_image_neardup _),
-    "q61_media_dims_hdr" -> (q61_media_dims_hdr _)) ++
+    "q61_media_dims_hdr" -> (q61_media_dims_hdr _),
+    "q62_video_frames" -> (q62_video_frames _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -796,7 +796,20 @@ object Multimodal {
     * offset the stco entry must carry, then rebuilt with it. */
   def encodeMp4Frames(width: Int, height: Int, timescale: Long,
       deltas: Array[Long], sizes: Array[Long],
-      frameFill: Int => Byte, useCo64: Boolean = false): Array[Byte] = {
+      frameFill: Int => Byte, useCo64: Boolean = false): Array[Byte] =
+    encodeMp4FrameBytes(width, height, timescale, deltas,
+      sizes.zipWithIndex.map { case (sz, i) =>
+        Array.fill[Byte](sz.toInt)(frameFill(i))
+      }, useCo64)
+
+  /** [[encodeMp4Frames]] with ARBITRARY per-frame byte payloads — the
+    * MJPEG-in-MP4 fixture shape: each frame is a complete JPEG stream
+    * and the sample table carries the real encoded sizes, so a demuxed
+    * frame's byte range IS a decodable image ([[decodeFrames]]). */
+  def encodeMp4FrameBytes(width: Int, height: Int, timescale: Long,
+      deltas: Array[Long], frames: Array[Array[Byte]],
+      useCo64: Boolean = false): Array[Byte] = {
+    val sizes = frames.map(_.length.toLong)
     require(deltas.length == sizes.length && deltas.nonEmpty)
     def be32(v: Long): Array[Byte] =
       Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
@@ -843,10 +856,30 @@ object Multimodal {
     }
     val headerLen = ftyp.length + moovWith(0L).length
     val moov = moovWith(headerLen + 8L) // mdat payload starts after its header
-    val mdat = box("mdat", sizes.zipWithIndex.flatMap { case (sz, i) =>
-      Array.fill[Byte](sz.toInt)(frameFill(i))
-    })
+    val mdat = box("mdat", frames.flatten)
     ftyp ++ moov ++ mdat
+  }
+
+  /** Executor-side uniform-gray JPEG (gate/test generator): every pixel
+    * is gray `g`. The JDK JPEG codec round-trips a uniform image
+    * EXACTLY for all 256 gray values (only the DC coefficient is
+    * nonzero, and its quantization is lossless for a constant block —
+    * verified exhaustively in PipelineOpsSpec), which is what lets the
+    * q62 video-frame gate pin decoded luminance in closed form through
+    * a LOSSY codec. */
+  def encodeUniformJpeg(w: Int, h: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g & 0xff) * 0x010101
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
   }
 
   /** 4-byte / 2-byte big-endian binary from an integral column, via
@@ -1233,6 +1266,54 @@ object Multimodal {
                   while (i < end) { sum += (p(i) & 0xff); i += 1 }
                   FrameSample(id, f.index.toLong, f.size,
                     f.ptsUnits * 1000 / timescale, sum)
+                }
+          }
+        }
+      }
+  }
+
+  /** One sampled video frame DECODED to pixels: dims and mean luminance
+    * of the frame image, `decoded=false` (zero dims/luminance) when the
+    * frame bytes aren't a JDK-decodable image. */
+  final case class FramePixels(asset_id: Long, frame_idx: Long,
+      pts_ms: Long, width: Int, height: Int, decoded: Boolean,
+      luminance: Double)
+
+  /** VIDEO FRAME PIXELS end-to-end: [[sampleFrames]]' sample-table
+    * demux composed with [[MediaDecoder.pixelDecode]] — for MJPEG-style
+    * payloads whose frames are complete JPEG (or any ImageIO-decodable)
+    * streams, every `stride`-th frame comes back as REAL pixels with
+    * zero new codec work. Frames the JDK cannot decode (H.264 etc.)
+    * yield `decoded=false` rows — the demux half (byte location, pts)
+    * is still real and q58-verified; only pixel access needs a JDK-
+    * known codec. Same per-partition batch shape and overflow-safe
+    * bounds as [[sampleFrames]]; narrow map, no shuffle — scales. */
+  def decodeFrames(spark: SparkSession, assets: DataFrame,
+      stride: Int): Dataset[FramePixels] = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val p = if (payload == null) Array.emptyByteArray else payload
+          MediaDecoder.mp4Frames(p).toSeq.flatMap {
+            case (timescale, frames) =>
+              frames.iterator
+                .filter(f => f.index % stride == 0 &&
+                  f.offset >= 0 && f.size >= 0 && f.size <= p.length &&
+                  f.offset <= p.length - f.size)
+                .map { f =>
+                  val bytes = java.util.Arrays.copyOfRange(p,
+                    f.offset.toInt, (f.offset + f.size).toInt)
+                  val ptsMs = f.ptsUnits * 1000 / timescale
+                  MediaDecoder.pixelDecode(bytes) match {
+                    case Some(img) => FramePixels(id, f.index.toLong,
+                      ptsMs, img.getWidth, img.getHeight, true,
+                      MediaDecoder.meanLuminance(img))
+                    case None => FramePixels(id, f.index.toLong,
+                      ptsMs, 0, 0, false, 0.0)
+                  }
                 }
           }
         }
