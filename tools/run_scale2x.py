@@ -77,7 +77,11 @@ def main():
                  "q-gates only, min of 2 interleaved passes, local[32]. "
                  "throughput_ratio normalizes output growth out of the "
                  "time ratio: pair-producing queries legitimately emit "
-                 "~4x rows when every planted class doubles."),
+                 "many-x rows when every planted class doubles, so for "
+                 "them tput >= ~1 is the health signal; for fixed-output "
+                 "aggregations (row_ratio 1.0) tput is just 1/time_ratio "
+                 "and the health signal is time_ratio <= 2 (input-linear "
+                 "or better)."),
         "sf1x_total_sec": t1sum,
         "sf2x_total_sec": t2sum,
         "total_ratio": round(t2sum / t1sum, 3),
