@@ -1185,7 +1185,17 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 16,
       "maxHamming outside [0,16]: 4x16-bit banding only guarantees " +
         "candidate recall through distance 3; beyond that add bands")
+    // one decode pass, not one per consumer: the hash frame feeds the
+    // rep groupBy, the label join, and the undecoded self-label branch,
+    // and each branch of the final DAG would re-run the (expensive)
+    // pixel decode. A round-robin-free repartition on the unique
+    // asset_id puts ONE Exchange directly above the decode; every
+    // consumer references the identical subtree, so ReuseExchange
+    // materializes the tiny (asset_id, dhash, decoded) rows once and
+    // the decode never re-executes. Keyed by asset_id, not dhash —
+    // undecoded rows all carry dhash 0 and would skew a dhash shuffle.
     val hashes = imageHashes(spark, assets).toDF()
+      .repartition(col("asset_id"))
     val decoded = hashes.where(col("decoded"))
       .select(col("asset_id"), col("dhash"))
     val reps = decoded.groupBy(col("dhash"))
@@ -1209,8 +1219,7 @@ object Multimodal {
         coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
     // only decoded rows join byHash: undecoded rows all carry dhash=0
     // and would funnel onto that one key before being discarded anyway
-    val labeledDecoded = hashes.where(col("decoded"))
-      .select(col("asset_id"), col("dhash"))
+    val labeledDecoded = decoded
       .join(byHash, Seq("dhash"))
       .select(col("asset_id"), col("cluster_id"))
     val selfLabeled = hashes.where(!col("decoded"))
