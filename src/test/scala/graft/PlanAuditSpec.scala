@@ -228,6 +228,43 @@ class PlanAuditSpec extends SparkSuite {
     assert(out.count() == 40)
   }
 
+  test("image dedup decodes each payload once (ReusedExchange)") {
+    val s = spark
+    import s.implicits._
+    val assets = graft.operators.Multimodal.toAssets(
+      (1L to 30L).map(i => (i, "image/png",
+        graft.operators.Multimodal.plantedNearDupPng(i % 5, (i % 3).toInt)))
+        .toDF("id", "mime", "payload"),
+      "id", "mime", "payload")
+    val out = graft.operators.Multimodal
+      .imageDedupClusters(s, assets, maxHamming = 3)
+    val plan = executedString(out)
+    // the hash frame feeds three consumers; without exchange reuse each
+    // branch re-runs the pixel-decode mapPartitions. The asset_id
+    // repartition above the decode must be materialized once and
+    // re-read everywhere else.
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(out.count() == 30)
+  }
+
+  test("video frame decode is narrow: no shuffle anywhere in the plan") {
+    val s = spark
+    import s.implicits._
+    val mjpeg = graft.operators.Multimodal.encodeMp4FrameBytes(16, 16,
+      1000L, Array(40L, 40L),
+      Array(50, 90).map(graft.operators.Multimodal.encodeUniformJpeg(16, 16, _)))
+    val assets = graft.operators.Multimodal.toAssets(
+      (1L to 8L).map(i => (i, "video/mp4", mjpeg))
+        .toDF("id", "mime", "payload"),
+      "id", "mime", "payload")
+    val out = graft.operators.Multimodal.decodeFrames(s, assets, stride = 1)
+    val plan = executedString(out.toDF())
+    // demux + per-frame decode is a pure map over asset rows — an
+    // Exchange here would mean the operator shuffles binary payloads
+    assert(!plan.contains("Exchange"), plan)
+    assert(out.count() == 16)
+  }
+
   test("prefix-sum shard packing never funnels into one partition") {
     val s = spark
     import s.implicits._
