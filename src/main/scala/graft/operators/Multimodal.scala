@@ -418,6 +418,29 @@ object Multimodal {
       (meanLuminanceOf(px, w, h), thumbnailOf(px, w, h, 4, 2))
     }
 
+    /** [[dHash64]] + [[meanLuminance]] from one shared bulk pixel read
+      * (same single-copy contract as [[pixelFeatures]]); values are
+      * identical to the public one-shot kernels. */
+    private[operators] def hashFeatures(img: java.awt.image.BufferedImage)
+        : (Long, Double) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val cells = thumbnailOf(px, w, h, 9, 8)
+      var hsh = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          hsh <<= 1
+          if (cells(r * 9 + c) > cells(r * 9 + c + 1)) hsh |= 1L
+          c += 1
+        }
+        r += 1
+      }
+      (hsh, meanLuminanceOf(px, w, h))
+    }
+
     /** REAL PCM sample features from a WAV payload that carries its data
       * chunk: (rms, peak) of the normalized samples — 8-bit unsigned
       * (`(v-128)/128`) and 16-bit signed LE (`v/32768`) PCM. Multi-channel
@@ -1124,12 +1147,18 @@ object Multimodal {
       }
   }
 
-  /** One asset's perceptual hash; `decoded=false` (hash 0) when the
-    * payload has no decodable pixels. */
-  final case class ImageHash(asset_id: Long, dhash: Long, decoded: Boolean)
+  /** One asset's perceptual hash and mean luminance; `decoded=false`
+    * (hash 0, brightness 0) when the payload has no decodable pixels.
+    * Brightness rides along because dHash is brightness-blind (a
+    * gradient fingerprint — every uniform image hashes to 0), and
+    * [[imageDedupClusters]]' optional `brightnessTol` needs it to
+    * separate flat images. */
+  final case class ImageHash(asset_id: Long, dhash: Long,
+      decoded: Boolean, brightness: Double)
 
-  /** Per-asset [[MediaDecoder.dHash64]] over the decoded pixels — the
-    * image-modality fingerprint feeding [[imageDedupClusters]]. */
+  /** Per-asset [[MediaDecoder.dHash64]] + mean luminance over the
+    * decoded pixels (one shared pixel read) — the image-modality
+    * fingerprint feeding [[imageDedupClusters]]. */
   def imageHashes(spark: SparkSession, assets: DataFrame)
       : Dataset[ImageHash] = {
     import spark.implicits._
@@ -1139,8 +1168,10 @@ object Multimodal {
         it.map { case (id, payload) =>
           val p = if (payload == null) Array.emptyByteArray else payload
           MediaDecoder.pixelDecode(p) match {
-            case Some(img) => ImageHash(id, MediaDecoder.dHash64(img), true)
-            case None => ImageHash(id, 0L, false)
+            case Some(img) =>
+              val (h, b) = MediaDecoder.hashFeatures(img)
+              ImageHash(id, h, true, b)
+            case None => ImageHash(id, 0L, false, 0.0)
           }
         }
       }
@@ -1173,18 +1204,29 @@ object Multimodal {
     * pure exact-duplicate dedup with no join at all surviving the
     * Hamming filter.
     *
-    * dHash LIMITATION: gradient ties hash to 0 bits, so every uniform
-    * image (all-white, all-black, any solid fill) has dHash 0 and is
-    * clustered as an exact duplicate of every other flat image even at
-    * `maxHamming = 0`. That is inherent to difference hashing (flat
-    * images are visually indistinguishable to a gradient fingerprint),
-    * not a banding artifact; pipelines that must separate solid colors
-    * need a brightness-augmented hash. */
+    * dHash LIMITATION and the `brightnessTol` knob: gradient ties hash
+    * to 0 bits, so every uniform image (all-white, all-black, any solid
+    * fill) has dHash 0 — inherent to difference hashing (flat images
+    * are indistinguishable to a gradient fingerprint). By default
+    * (`brightnessTol = ∞`) flat images therefore cluster together.
+    * A finite `brightnessTol` separates them: reps collapse on
+    * (dhash, exact brightness), candidate pairs additionally require a
+    * shared brightness bucket, and the verify adds
+    * `|brightness_a − brightness_b| ≤ tol`. Bucketing emits each rep
+    * into buckets `⌊b/tol⌋` and `⌊b/tol⌋+1`, so any pair within tol
+    * shares a bucket (floors differ by ≤ 1 — no boundary misses), while
+    * flat images of genuinely different brightness get DIFFERENT band
+    * keys — the dhash-0 crowd no longer lands on one hot join key, it
+    * spreads across brightness buckets. Cost when enabled: 2× band
+    * rows. */
   def imageDedupClusters(spark: SparkSession, assets: DataFrame,
-      maxHamming: Int = 0): DataFrame = {
+      maxHamming: Int = 0,
+      brightnessTol: Double = Double.PositiveInfinity): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
       "maxHamming outside [0,16]: 4x16-bit banding only guarantees " +
         "candidate recall through distance 3; beyond that add bands")
+    require(brightnessTol > 0, "brightnessTol must be positive")
+    val useB = !brightnessTol.isPosInfinity
     // one decode pass, not one per consumer: the hash frame feeds the
     // rep groupBy, the label join, and the undecoded self-label branch,
     // and each branch of the final DAG would re-run the (expensive)
@@ -1197,30 +1239,43 @@ object Multimodal {
     val hashes = imageHashes(spark, assets).toDF()
       .repartition(col("asset_id"))
     val decoded = hashes.where(col("decoded"))
-      .select(col("asset_id"), col("dhash"))
-    val reps = decoded.groupBy(col("dhash"))
+      .select(col("asset_id"), col("dhash"), col("brightness"))
+    // exact collapse key: identical copies share brightness exactly, so
+    // including it never splits a true exact-duplicate class
+    val repKey = if (useB) Seq("dhash", "brightness") else Seq("dhash")
+    val reps0 = decoded.groupBy(repKey.map(col): _*)
       .agg(min(col("asset_id")).as("rep_id"))
-    val banded = reps.select(col("rep_id"), col("dhash"),
+    val reps = if (useB) reps0 else reps0.withColumn("brightness", lit(0.0))
+    val bucketed =
+      if (useB) {
+        val bk = floor(col("brightness") / brightnessTol).cast("long")
+        reps.withColumn("bkey", explode(array(bk, bk + 1)))
+      } else reps.withColumn("bkey", lit(0L))
+    val banded = bucketed.select(col("rep_id"), col("dhash"),
+      col("brightness"), col("bkey"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("dhash"), i * 16)
           .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "key")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.bkey") === col("b.bkey") &&
           col("a.rep_id") < col("b.rep_id"))
       .select(col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"),
+        col("a.brightness").as("ba"), col("b.brightness").as("bb"))
       .distinct()
-      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming &&
+        abs(col("ba") - col("bb")) <= brightnessTol)
       .select(col("id_a"), col("id_b"))
     val repLabels = TextOps.dedupClustersStar(pairs)
       .withColumnRenamed("doc_id", "rep_id")
     val byHash = reps.join(repLabels, Seq("rep_id"), "left")
-      .select(col("dhash"),
-        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+      .select(repKey.map(col) :+
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"): _*)
     // only decoded rows join byHash: undecoded rows all carry dhash=0
     // and would funnel onto that one key before being discarded anyway
     val labeledDecoded = decoded
-      .join(byHash, Seq("dhash"))
+      .join(byHash, repKey)
       .select(col("asset_id"), col("cluster_id"))
     val selfLabeled = hashes.where(!col("decoded"))
       .select(col("asset_id"), col("asset_id").as("cluster_id"))
