@@ -132,28 +132,36 @@ private[graft] object AnnRecall {
       val ex = exact(emb).persist()
       val b = banded(emb).persist()
       val i = ivf(emb).persist()
-      val cl = clusteredCorpus(spark).persist()
-      val cx = exact(cl).persist()
-      val cb = banded(cl).persist()
-      val ci = ivf(cl).persist()
       try {
         val exTrue = ex.where(col("sim") >= trueNbrSim)
+        // the clustered-corpus evaluation must not null the four
+        // testdata numbers if it alone fails — its own try, its own
+        // "null" fragments
+        val (clB, clI) = {
+          val cl = clusteredCorpus(spark).persist()
+          val cx = exact(cl).persist()
+          try (s"${recallOf(cx, banded(cl))}", s"${recallOf(cx, ivf(cl))}")
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] clustered ann recall failed: $e")
+              ("null", "null")
+          } finally {
+            cx.unpersist(blocking = false)
+            cl.unpersist(blocking = false)
+          }
+        }
         s"""{"banded_at$k":${recallOf(ex, b)},""" +
           s""""banded_at${k}_truenbr":${recallOf(exTrue, b)},""" +
           s""""ivf_at$k":${recallOf(ex, i)},""" +
           s""""ivf_at${k}_truenbr":${recallOf(exTrue, i)},""" +
-          s""""clustered_banded_at$k":${recallOf(cx, cb)},""" +
-          s""""clustered_ivf_at$k":${recallOf(cx, ci)},""" +
+          s""""clustered_banded_at$k":$clB,""" +
+          s""""clustered_ivf_at$k":$clI,""" +
           s""""true_nbr_sim":$trueNbrSim,"floor_truenbr":$floor,""" +
           s""""floor_clustered":$clusteredFloor}"""
       } finally {
         ex.unpersist(blocking = false)
         b.unpersist(blocking = false)
         i.unpersist(blocking = false)
-        cl.unpersist(blocking = false)
-        cx.unpersist(blocking = false)
-        cb.unpersist(blocking = false)
-        ci.unpersist(blocking = false)
       }
     } catch {
       case e: Throwable =>

@@ -421,9 +421,12 @@ object Bench {
     // pair-producing queries (candidate pairs roughly quadruple when
     // every planted class doubles), so the scaling artifact needs
     // result cardinality next to seconds to normalize rows/sec.
+    // q-gates only: the x-twins include eager driver-side work (the IPC
+    // sinks collect the full reader corpus inside the thunk), which a
+    // counts pass must not re-pay for a constant-1 count
     val rowCounts: String =
       if (!sys.env.get("SPARK_GRAFT_BENCH_COUNTS").contains("1")) "null"
-      else queries.map { case (name, fn) =>
+      else queries.filter(_._1.startsWith("q")).map { case (name, fn) =>
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         s"\"" + name + "\":" + n
       }.mkString("{", ",", "}")

@@ -612,26 +612,36 @@ object SparkEntry {
     * pixel-level features are stubbed). The oracle recomputes the dims
     * analytically, so a mis-offset in either the builder or the parser
     * fails the gate. */
-  private def q34_media_dims(s: SparkSession, dir: String): DataFrame = {
-    val docs = pq(s, dir, "documents")
+  /** The ONE corpus definition behind the q34/q61 pair (full-decode vs
+    * header-only path over the SAME assets and oracle): even docs become
+    * truecolor PNGs, odd docs grayscale JPEGs, dims derived from the
+    * text length. Shared so the two gates can never desynchronize. */
+  private def mediaDimsAssets(docs: DataFrame): DataFrame = {
     val nb = octet_length(encode(col("text"), "UTF-8")).cast("long")
     val w = (nb % 64 + 1).cast("int")
     val h = (nb % 48 + 1).cast("int")
-    val assets = docs.select(
+    docs.select(
       col("doc_id"),
       when(col("doc_id") % 2 === 0, "image/png")
         .otherwise("image/jpeg").as("mime"),
       when(col("doc_id") % 2 === 0, Multimodal.pngPayload(w, h))
         .otherwise(Multimodal.jpegPayload(w, h)).as("payload"))
-    val feats = Multimodal.extractFeatures(s,
-      Multimodal.toAssets(assets, "doc_id", "mime", "payload"))
-    feats.toDF()
+  }
+
+  /** The shared dims rollup for the q34/q61 pair. */
+  private def dimsRollup(feats: DataFrame): DataFrame =
+    feats
       .groupBy(col("mime"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("n_channels").cast("long").as("n_channels"),
         col("bit_depth").cast("long").as("bit_depth"))
       .agg(count(lit(1)).as("n_assets"))
       .orderBy(col("mime"), col("width"), col("height"))
+
+  private def q34_media_dims(s: SparkSession, dir: String): DataFrame = {
+    val assets = mediaDimsAssets(pq(s, dir, "documents"))
+    dimsRollup(Multimodal.extractFeatures(s,
+      Multimodal.toAssets(assets, "doc_id", "mime", "payload")).toDF())
   }
 
   /** q34's corpus through the METADATA-ONLY path
@@ -640,25 +650,9 @@ object SparkEntry {
     * correctness-gated in its own right, and its standing bench row
     * prices the skipped pixel probe against q34's full-decode cost. */
   private def q61_media_dims_hdr(s: SparkSession, dir: String): DataFrame = {
-    val docs = pq(s, dir, "documents")
-    val nb = octet_length(encode(col("text"), "UTF-8")).cast("long")
-    val w = (nb % 64 + 1).cast("int")
-    val h = (nb % 48 + 1).cast("int")
-    val assets = docs.select(
-      col("doc_id"),
-      when(col("doc_id") % 2 === 0, "image/png")
-        .otherwise("image/jpeg").as("mime"),
-      when(col("doc_id") % 2 === 0, Multimodal.pngPayload(w, h))
-        .otherwise(Multimodal.jpegPayload(w, h)).as("payload"))
-    Multimodal.extractDims(s,
-        Multimodal.toAssets(assets, "doc_id", "mime", "payload"))
-      .toDF()
-      .groupBy(col("mime"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"),
-        col("n_channels").cast("long").as("n_channels"),
-        col("bit_depth").cast("long").as("bit_depth"))
-      .agg(count(lit(1)).as("n_assets"))
-      .orderBy(col("mime"), col("width"), col("height"))
+    val assets = mediaDimsAssets(pq(s, dir, "documents"))
+    dimsRollup(Multimodal.extractDims(s,
+      Multimodal.toAssets(assets, "doc_id", "mime", "payload")).toDF())
   }
 
   /** Structured Streaming driven to completion and oracle-checked: the

@@ -129,6 +129,8 @@ object Multimodal {
       if (b.length < 30 || b(0) != 'B' || b(1) != 'M') return None
       if (le32(b, 14) < 40L) return None
       val w = le32(b, 18).toInt
+      // math.abs(Int.MinValue) is still negative — the <= 0 guard below
+      // must see the result, not assume abs() made it positive
       val h = math.abs(le32(b, 22).toInt)
       val bpp = le16(b, 28)
       val channels = bpp match {
@@ -137,7 +139,7 @@ object Multimodal {
         case 32 => 4
         case _ => return None
       }
-      if (w <= 0 || h == 0) None else Some(Dims(w, h, channels, 8))
+      if (w <= 0 || h <= 0) None else Some(Dims(w, h, channels, 8))
     }
 
     /** Parsed audio container metadata. */
@@ -389,8 +391,12 @@ object Multimodal {
       * first — 64 bits that survive re-encoding, resizing and small
       * brightness shifts, the standard cheap image near-dup signature.
       * Ties compare as 0 so the hash is deterministic on flat regions. */
-    def dHash64(img: java.awt.image.BufferedImage): Long = {
-      val cells = thumbnail(img, 9, 8)
+    def dHash64(img: java.awt.image.BufferedImage): Long =
+      dHashOf(thumbnail(img, 9, 8))
+
+    /** The bit-packing shared by [[dHash64]] and [[hashFeatures]] —
+      * one definition so the two paths can never diverge. */
+    private def dHashOf(cells: Array[Float]): Long = {
       var h = 0L
       var r = 0
       while (r < 8) {
@@ -426,19 +432,7 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val px = img.getRGB(0, 0, w, h, null, 0, w)
-      val cells = thumbnailOf(px, w, h, 9, 8)
-      var hsh = 0L
-      var r = 0
-      while (r < 8) {
-        var c = 0
-        while (c < 8) {
-          hsh <<= 1
-          if (cells(r * 9 + c) > cells(r * 9 + c + 1)) hsh |= 1L
-          c += 1
-        }
-        r += 1
-      }
-      (hsh, meanLuminanceOf(px, w, h))
+      (dHashOf(thumbnailOf(px, w, h, 9, 8)), meanLuminanceOf(px, w, h))
     }
 
     /** REAL PCM sample features from a WAV payload that carries its data
@@ -1320,9 +1314,13 @@ object Multimodal {
                 // overflow-safe bounds: `offset + size <= length` wraps
                 // negative for a hostile co64 offset near Long.MaxValue
                 // and would admit the frame; compare subtractively
+                // overflow-safe pts too: a hostile stts whose cumulative
+                // deltas exceed Long.MaxValue/1000 would wrap *1000
+                // negative and emit garbage pts as real metadata
                 .filter(f => f.index % stride == 0 &&
                   f.offset >= 0 && f.size >= 0 && f.size <= p.length &&
-                  f.offset <= p.length - f.size)
+                  f.offset <= p.length - f.size &&
+                  f.ptsUnits >= 0 && f.ptsUnits <= Long.MaxValue / 1000)
                 .map { f =>
                   var sum = 0L
                   var i = f.offset.toInt
@@ -1364,9 +1362,12 @@ object Multimodal {
           MediaDecoder.mp4Frames(p).toSeq.flatMap {
             case (timescale, frames) =>
               frames.iterator
+                // same overflow-safe bounds AND pts guard as
+                // [[sampleFrames]]
                 .filter(f => f.index % stride == 0 &&
                   f.offset >= 0 && f.size >= 0 && f.size <= p.length &&
-                  f.offset <= p.length - f.size)
+                  f.offset <= p.length - f.size &&
+                  f.ptsUnits >= 0 && f.ptsUnits <= Long.MaxValue / 1000)
                 .map { f =>
                   val bytes = java.util.Arrays.copyOfRange(p,
                     f.offset.toInt, (f.offset + f.size).toInt)

@@ -3,7 +3,10 @@
 DuckDB against the sf parquet tables and compare (columns sorted by name,
 values compared in row order) with the Spark outputs dumped by graft.Verify.
 
-Usage: python3 tools/oracle_check.py <sfdir> <verify_out_dir>
+Usage: python3 tools/oracle_check.py <sfdir> <verify_out_dir> [--dumped-only]
+
+--dumped-only restricts the check to queries whose dump dir exists (for
+focused Verify runs); the default FAILs on any missing dump.
 """
 import json
 import os
@@ -22,11 +25,14 @@ def main(sfdir, outdir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    # focused iteration: check only the queries actually dumped (a
-    # graft.Verify run with a name filter), instead of FAILing the rest
-    only = {n for n in os.listdir(outdir) if n in oracle}
-    if only:
-        oracle = {n: s for n, s in oracle.items() if n in only}
+    # --dumped-only: check only the queries actually dumped (a focused
+    # graft.Verify run with a name filter). OPT-IN — the default full
+    # gate must keep FAILing on missing dumps, otherwise a query that
+    # crashed inside Verify (caught there, no dump dir) would silently
+    # vanish from an all-green "N/N queries match".
+    if "--dumped-only" in sys.argv:
+        dumped = {n for n in os.listdir(outdir) if n in oracle}
+        oracle = {n: s for n, s in oracle.items() if n in dumped}
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:

@@ -52,6 +52,11 @@ def main():
     q1, q2 = one["queries"], two["queries"]
     r1, r2 = one.get("rows") or {}, two.get("rows") or {}
     per = {}
+    # a q-gate present at one scale but missing/failed at the other is
+    # the strongest degradation signal there is — record it loudly
+    # instead of silently dropping it from the totals
+    missing = sorted((set(q1) ^ set(q2)) |
+                     set(one.get("failed", [])) | set(two.get("failed", [])))
     for name in sorted(q1):
         if name not in q2:
             continue
@@ -87,14 +92,20 @@ def main():
         "total_ratio": round(t2sum / t1sum, 3),
         "calibration_sec": {"sf1x": one["calibration_sec"],
                             "sf2x": two["calibration_sec"]},
+        "missing_or_failed": missing,
         "per_query": per,
     }
     out = f"/root/repo/bench_out/scale2x_r{rnd}.json"
     with open(out, "w") as f:
         json.dump(art, f, indent=1)
     print(f"wrote {out}: total {art['total_ratio']}x at 2x data")
+    if missing:
+        print(f"  WARNING missing/failed at one scale: {missing}")
+    # `is not None`, not truthiness: a throughput_ratio that rounds to
+    # exactly 0.0 is the most degraded row there is — it must top this
+    # list, not be filtered out of it
     worst = sorted((e.get("throughput_ratio"), n) for n, e in per.items()
-                   if e.get("throughput_ratio"))
+                   if e.get("throughput_ratio") is not None)
     for tr, n in worst[:5]:
         print(f"  lowest throughput_ratio {tr}: {n} "
               f"(time x{per[n]['time_ratio']}, rows x{per[n].get('row_ratio')})")
