@@ -581,6 +581,16 @@ object OracleSql {
         |WHERE t.i < d.doc_id % 4 + 2 AND t.i % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // q63: flat-image brightness separation — every image has dHash 0,
+    // so only the brightness bucket join can shape the clusters: the
+    // ±1-gray variants of a class merge (within tol, across bucket
+    // boundaries via two-bucket emission), distinct classes (>= 12
+    // gray levels apart) stay separate; fixed point = class-min id
+    "q63_flat_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | min(doc_id) OVER (PARTITION BY doc_id % 20) AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q59: image near-dup clusters — docs sharing doc_id%50 carry
     // IDENTICAL planted images, so the decode->dHash->band->contraction
     // pipeline must assign each doc the class-min doc_id; the oracle

@@ -953,6 +953,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** FLAT-image brightness-separation oracle — the `brightnessTol`
+    * path of [[graft.operators.Multimodal.imageDedupClusters]], where
+    * the brightness BUCKET join (not dHash, which is 0 for every flat
+    * image) determines the answer. Each doc is a uniform PNG with gray
+    * `(doc_id % 20) * 13 + (doc_id / 20) % 2`: the ±1-gray-level
+    * variants (|Δ| = 1/255 ≈ 0.0039 ≤ tol 0.01) must merge — and
+    * adjacent grays can straddle a 0.01-wide bucket boundary, so the
+    * two-bucket emission's recall is exactly what's being gated — while
+    * distinct classes sit ≥ 12/255 ≈ 0.047 apart and must stay
+    * separate. The fixed point is the class-min doc_id, a window min
+    * over `doc_id % 20` in DuckDB. Without the knob every one of these
+    * images would collapse into a single dhash-0 cluster. */
+  private def q63_flat_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val g = ((id % 20) * 13 + (id / 20) % 2).toInt
+        (id, "image/png",
+          Multimodal.encodePatternPng(8, 8, (_, _) => g * 0x010101))
+      }
+    }.toDF("doc_id", "mime", "payload")
+    Multimodal.imageDedupClusters(s,
+        Multimodal.toAssets(assets, "doc_id", "mime", "payload"),
+        maxHamming = 0, brightnessTol = 0.01)
+      .select(col("asset_id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** bedtools-style merge over deterministic intervals derived from
     * orders, through the skew-robust production path
     * ([[graft.operators.IntervalOps.mergeIntervalsRange]]: range
@@ -1160,7 +1190,8 @@ object SparkEntry {
     "q59_image_dedup" -> (q59_image_dedup _),
     "q60_image_neardup" -> (q60_image_neardup _),
     "q61_media_dims_hdr" -> (q61_media_dims_hdr _),
-    "q62_video_frames" -> (q62_video_frames _)) ++
+    "q62_video_frames" -> (q62_video_frames _),
+    "q63_flat_dedup" -> (q63_flat_dedup _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap
