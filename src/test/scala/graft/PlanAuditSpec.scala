@@ -226,6 +226,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(out.count() == 40)
+    // the brightness-separated variant adds a bucket to the join key —
+    // still an equi-join, never all-pairs
+    val outB = graft.operators.Multimodal
+      .imageDedupClusters(s, assets, maxHamming = 2, brightnessTol = 0.05)
+    val planB = executedString(outB)
+    assert(!planB.contains("CartesianProduct") &&
+      !planB.contains("BroadcastNestedLoopJoin"), planB)
+    assert(outB.count() == 40)
   }
 
   test("image dedup decodes each payload once (ReusedExchange)") {
