@@ -1215,7 +1215,9 @@ object Multimodal {
     * rows. */
   def imageDedupClusters(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 0,
-      brightnessTol: Double = Double.PositiveInfinity): DataFrame = {
+      brightnessTol: Double = Double.PositiveInfinity,
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
       "maxHamming outside [0,16]: 4x16-bit banding only guarantees " +
         "candidate recall through distance 3; beyond that add bands")
@@ -1261,7 +1263,8 @@ object Multimodal {
       .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming &&
         abs(col("ba") - col("bb")) <= brightnessTol)
       .select(col("id_a"), col("id_b"))
-    val repLabels = TextOps.dedupClustersStar(pairs)
+    val repLabels = TextOps.dedupClustersStar(pairs, maxIter = maxIter,
+        checkpointDir = checkpointDir)
       .withColumnRenamed("doc_id", "rep_id")
     val byHash = reps.join(repLabels, Seq("rep_id"), "left")
       .select(repKey.map(col) :+

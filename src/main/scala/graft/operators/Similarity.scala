@@ -128,27 +128,39 @@ object Similarity {
       bitsPerBand: Int = 16, seed: Long = 42L): DataFrame = {
     val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
-    def keyed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id),
-        posexplode(array(bandKeys(col(vec), dim, bands, bitsPerBand,
-          seed): _*)).as(Seq("band", "key")))
-    val cand = keyed(q, "query_id", "__qv")
-      .join(keyed(c, "cand_id", "__cv"), Seq("band", "key"))
+    val cand = bandKeyed(q, "query_id", "__qv", dim, bands, bitsPerBand,
+        seed)
+      .join(bandKeyed(c, "cand_id", "__cv", dim, bands, bitsPerBand,
+        seed), Seq("band", "key"))
       .select("query_id", "cand_id").distinct()
     rerank(cand.join(q, "query_id").join(c, "cand_id"), k)
   }
 
+  /** The (id, band, key) posexplode projection shared by the banded
+    * search ([[bandedTopK]]) and banded dedup
+    * ([[bandedNearDupPairsNormed]]) paths — one definition so the band
+    * encoding can never drift between them. */
+  private def bandKeyed(df: DataFrame, id: String, vec: String, dim: Int,
+      bands: Int, bitsPerBand: Int, seed: Long): DataFrame =
+    df.select(col(id),
+      posexplode(array(bandKeys(col(vec), dim, bands, bitsPerBand,
+        seed): _*)).as(Seq("band", "key")))
+
   /** Shared (id, vec, norm) projection for every search/dedup operator,
-    * DROPPING zero-norm, NaN and null vectors: a zero vector has no
-    * direction, and its NaN cosine would rank FIRST under Spark's
+    * DROPPING zero-norm, NaN, INFINITE and null vectors: a zero vector
+    * has no direction, and a NaN cosine would rank FIRST under Spark's
     * NaN-is-greatest ordering (and pass every `>= threshold` compare) —
     * polluting every top-k with junk rather than merely wasting work.
-    * The NaN check must be explicit: `NaN > 0.0` is TRUE in Spark. */
+    * The NaN check must be explicit (`NaN > 0.0` is TRUE in Spark), and
+    * so must the Infinity bound: an Inf-element vector has norm Inf,
+    * which passes `> 0` and `!isnan` but yields Inf/Inf = NaN sims —
+    * the same pollution through the back door. */
   private def normed(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String, nAs: String): DataFrame =
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         norm(col(vecCol)).as(nAs))
-      .where(col(nAs) > 0.0 && !isnan(col(nAs)))
+      .where(col(nAs) > 0.0 && !isnan(col(nAs)) &&
+        col(nAs) < Double.PositiveInfinity)
 
   /** Shared exact-cosine rerank tail: compute sims over candidate
     * pairs carrying (__qv,__qn) / (__cv,__cn), keep each query's top-k
@@ -265,6 +277,9 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 8,
       nProbe: Int = 2): DataFrame = {
+    // a zero nCells would silently take the empty-corpus branch below
+    // and return "no neighbors" for a populated corpus
+    require(nCells > 0 && nProbe > 0, "nCells and nProbe must be > 0")
     val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
     val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     centroidLiteral(candidates, idCol, vecCol, nCells) match {
@@ -325,8 +340,15 @@ object Similarity {
       "k, iters, dim, scale must be positive")
     val quantized = transform(col(vecCol).cast("array<double>"),
       x => floor(x * scale).cast("long"))
+    // drop NaN/Inf/null-element vectors like the search paths do
+    // (Similarity.normed): a NaN element quantizes to a null long, the
+    // l2 fold then yields null distances, the argmin falls through to
+    // cell 0, and the update step's count/sum disagree on the row —
+    // cell 0's centroid would silently drift toward zero
+    val finite = !exists(col(vecCol).cast("array<double>"),
+      x => x.isNull || isnan(x) || abs(x) === Double.PositiveInfinity)
     val base = df
-      .where(col(idCol).isNotNull && size(col(vecCol)) === dim)
+      .where(col(idCol).isNotNull && size(col(vecCol)) === dim && finite)
       .select(col(idCol).as("__id"), quantized.as("__qv"))
     // init: k seed vectors numbered 0..k-1 in draw order. Either way
     // the pick is a TakeOrderedAndProject (top-k, no global sort) and
@@ -493,9 +515,7 @@ object Similarity {
   private[graft] def bandedNearDupPairsNormed(v: DataFrame,
       threshold: Double, dim: Int, bands: Int, bitsPerBand: Int,
       seed: Long): DataFrame = {
-    val keyed = v.select(col("__id"), posexplode(array(
-      bandKeys(col("__v"), dim, bands, bitsPerBand, seed): _*))
-      .as(Seq("band", "key")))
+    val keyed = bandKeyed(v, "__id", "__v", dim, bands, bitsPerBand, seed)
     val cand = keyed.as("a").join(keyed.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.__id") < col("b.__id"))
@@ -544,7 +564,8 @@ object Similarity {
   def embeddingDedupClusters(vectors: DataFrame, idCol: String,
       vecCol: String, threshold: Double, dim: Int, bands: Int = 4,
       bitsPerBand: Int = 16, seed: Long = 42L,
-      persistInput: Option[org.apache.spark.storage.StorageLevel] = None)
+      persistInput: Option[org.apache.spark.storage.StorageLevel] = None,
+      maxIter: Int = 25, checkpointDir: Option[String] = None)
       : DataFrame = {
     val v0 = normed(vectors, idCol, vecCol, "__id", "__v", "__n")
     val v = persistInput.fold(v0)(v0.persist)
@@ -553,8 +574,13 @@ object Similarity {
         bitsPerBand, seed)
       // label loop runs (and snapshots) eagerly inside this call, so the
       // persisted projection is live for every pass that needs it; the
-      // frame it returns derives from the final edge snapshot only
-      val labels = TextOps.starContractionLabels(pairs)
+      // frame it returns derives from the final edge snapshot only.
+      // maxIter/checkpointDir plumb through to the contraction loop —
+      // at 100 TB over a long-running cluster, localCheckpoint block
+      // loss is a real event and the reliable-checkpoint knob must be
+      // reachable from this public entry point, not only from TextOps
+      val labels = TextOps.starContractionLabels(pairs,
+        maxIter = maxIter, checkpointDir = checkpointDir)
       vectors.select(col(idCol).as("doc_id")).distinct()
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id").as(idCol),

@@ -93,6 +93,12 @@ object TextOps {
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
       k: Int = 8, bandSize: Int = 2): DataFrame = {
+    // a non-dividing bandSize would silently leave the trailing
+    // signature columns out of every band key — dead minhashes, lower
+    // recall, no error
+    require(k > 0 && bandSize > 0 && k % bandSize == 0,
+      s"bandSize $bandSize must divide k $k (trailing signatures " +
+        "would silently not contribute to candidate recall)")
     val nBands = k / bandSize
     val banded = signatures.select(
       col(idCol),
@@ -460,7 +466,11 @@ object TextOps {
   }
 
   /** Predicted language: argmax of marker scores, ties broken by marker
-    * order, "und" (undetermined) when every score is zero. */
+    * order, "und" (undetermined) when every score is zero, null for
+    * null text. The null guard is load-bearing: `size(null)` is -1
+    * under Spark's default config, so without it every score would be
+    * -1 and English would win the >= tie-break — null documents
+    * confidently labeled "en" and surviving language filters. */
   def langId(text: Column): Column = {
     val scores = langScores(text)
     val allZero = scores.map(_._2 === 0).reduce(_ && _)
@@ -472,7 +482,8 @@ object TextOps {
           if (later.size == 1) later.head else greatest(later: _*)
         when(s >= laterMax, lang).otherwise(acc)
     }
-    when(allZero, "und").otherwise(best)
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(when(allZero, "und").otherwise(best))
   }
 
   // ------------------------------------------------------ quality scoring
@@ -488,10 +499,15 @@ object TextOps {
     val stopRatio = size(filter(ws,
       w => enStop.map(m => w === m).reduce(_ || _))).cast("double") / n
     val meanLen = (length(text).cast("double") - (n - 1)) / n
-    least(n / 100d, lit(1d)) * 0.25 +
+    val score = least(n / 100d, lit(1d)) * 0.25 +
       distinctRatio * 0.25 +
       (lit(1d) - abs(stopRatio - 0.4)) * 0.25 +
       least(meanLen / 8d, lit(1d)) * 0.25
+    // null text must score null, not a passing mid-range value:
+    // size(null) = -1 makes the ratio terms -1/-1 = 1.0 and
+    // null-skipping least() turns the meanLen term into 1.0, summing
+    // to ~0.60 — above a typical 0.5 quality cutoff
+    when(text.isNull, lit(null).cast("double")).otherwise(score)
   }
 
   /** Token count (whitespace convention). */
@@ -615,8 +631,11 @@ object TextOps {
         when(bucket < b, name).otherwise(acc)
       }
     // a null id must yield a null split, not silently land in the last
-    // (held-out) split via the when-chain fallthrough
-    when(bucket.isNotNull, assigned)
+    // (held-out) split via the when-chain fallthrough. The guard must
+    // be on the ID, not the bucket: xxhash64(null) is NOT null (it
+    // returns the seed, 42), so the fast path's bucket is non-null for
+    // null ids and a bucket-null check alone would assign them
+    when(id.isNotNull && bucket.isNotNull, assigned)
   }
 
   /** Leakage-safe split assignment: near-duplicate clusters are
@@ -632,8 +651,12 @@ object TextOps {
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
       weights: Seq[(String, Double)], buckets: Int = 1000,
-      fast: Boolean = false): DataFrame = {
-    val labels = dedupClustersStar(pairs)
+      fast: Boolean = false, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // maxIter/checkpointDir reach the contraction loop so a production
+    // run can enable reliable checkpointing without bypassing this API
+    val labels = dedupClustersStar(pairs, maxIter = maxIter,
+        checkpointDir = checkpointDir)
       .withColumnRenamed("doc_id", idCol)
     docs.select(col(idCol))
       .join(labels, Seq(idCol), "left")
@@ -680,9 +703,22 @@ object TextOps {
     val bk = Iterator.from(0).map(i => s"__graft_bk$i")
       .find(n => !df.columns.contains(n)).get
     val bucketed = base.withColumn(bk, bucketOf)
-    // coalesce: a bucket whose every value is null sums to NULL
+    // coalesce: a bucket whose every value is null sums to NULL. The
+    // explicit long cast makes the driver-side getLong total valid for
+    // any integral valueCol width (sum() widens int->long anyway); a
+    // fractional valueCol is a contract violation (token budgets are
+    // integral) and now fails loudly at analysis instead of as a
+    // runtime ClassCastException on the collected row
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"prefixSum requires an integral $valueCol, got " +
+        df.schema(valueCol).dataType.simpleString)
     val totals = bucketed.groupBy(col(bk))
-      .agg(coalesce(sum(col(valueCol)), lit(0L)).as("t"))
+      .agg(coalesce(sum(col(valueCol)).cast("long"), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 to bounds.length).scanLeft(0L) {
       case (acc, b) => acc + totals.getOrElse(b, 0L)
@@ -769,9 +805,13 @@ object TextOps {
     val thresholds = counts.crossJoin(broadcast(minN))
       .select(col(keyCol),
         floor(rate * buckets).cast("long").as("keep_threshold"))
+    // explicit id guard: with fast=true, xxhash64(null) is the seed
+    // (42), so every null-id row would share one bucket and be kept or
+    // dropped as a block; the md5 path nulls out — make both drop
     df.join(broadcast(thresholds), Seq(keyCol))
-      .where(baseHash(col(idCol).cast("string"), fast) % buckets
-        < col("keep_threshold"))
+      .where(col(idCol).isNotNull &&
+        baseHash(col(idCol).cast("string"), fast) % buckets
+          < col("keep_threshold"))
   }
 
   // ----------------------------------------------------- PII redaction

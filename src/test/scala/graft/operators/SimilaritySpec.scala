@@ -289,10 +289,13 @@ class SimilaritySpec extends SparkSuite {
     val good = (0L until 12L).map(i =>
       (i, Array.tabulate(dim)(j => math.sin(i * 17 + j + 1).toFloat)))
     // id 50: all-zero vector (NaN cosine would rank FIRST if kept);
-    // id 51: a NaN component
+    // id 51: a NaN component; id 52: an Inf component (norm Inf passes
+    // a > 0 && !isnan check but yields Inf/Inf = NaN sims)
     val poisoned = good ++ Seq(
       (50L, Array.fill(dim)(0f)),
-      (51L, Array.tabulate(dim)(j => if (j == 0) Float.NaN else 1f)))
+      (51L, Array.tabulate(dim)(j => if (j == 0) Float.NaN else 1f)),
+      (52L, Array.tabulate(dim)(j =>
+        if (j == 0) Float.PositiveInfinity else 1f)))
     val df = poisoned.toDF("id", "vec")
     for (topk <- Seq(
         Similarity.bruteForceTopK(df, df, "id", "vec", 3),
@@ -315,5 +318,14 @@ class SimilaritySpec extends SparkSuite {
     val ivf = Similarity.ivfTopK(df.orderBy(col("id").desc), df, "id",
       "vec", 2, nCells = 14)
     assert(ivf.collect().forall(r => !r.getDouble(2).isNaN))
+    // kmeans drops NON-FINITE vectors like the search paths (a NaN
+    // element quantizes to a null long and corrupts cell 0's centroid)
+    // but KEEPS the zero vector — zero is a perfectly valid point in
+    // L2 space; it is junk only under cosine. 12 clean + 1 zero = 13.
+    val km = Similarity.kmeansFixedPoint(df, "id", "vec", k = 2,
+      iters = 1, dim = dim)
+    val kmRows = km.collect()
+    assert(kmRows.map(_.getLong(1)).sum == 13L,
+      s"NaN/Inf vectors leaked into kmeans cells: ${kmRows.mkString}")
   }
 }

@@ -356,4 +356,44 @@ class TextOpsSpec extends SparkSuite {
     assert(Seq(10L, 11L).forall(i => out(i)._2 == own(10L)))
     assert((12L to 60L).forall(i => out(i)._2 == own(i)))
   }
+
+  test("null text/id semantics: langId, qualityScore, hashSplit") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Option("the of and to a in some english words")),
+        (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "en")
+    // size(null) = -1 would otherwise score null docs as "en"/~0.6
+    assert(out(2L).isNullAt(1), "null text must yield null language")
+    assert(out(2L).isNullAt(2), "null text must yield null quality")
+    // null ids must yield null splits on BOTH hash paths —
+    // xxhash64(null) is the seed (42), not null, so the fast path
+    // needs the explicit id guard
+    for (fast <- Seq(false, true)) {
+      val splits = Seq(Option(7L), Option.empty[Long]).toDF("id")
+        .select(col("id"), TextOps.hashSplit(col("id"),
+          Seq("train" -> 0.8, "test" -> 0.2), fast = fast).as("split"))
+        .collect()
+      assert(splits.count(r => !r.isNullAt(0) && !r.isNullAt(1)) == 1)
+      assert(splits.count(r => r.isNullAt(0)) == 1)
+      assert(splits.filter(_.isNullAt(0)).forall(_.isNullAt(1)),
+        s"fast=$fast: null id must yield null split")
+    }
+  }
+
+  test("prefixSum rejects non-integral value columns loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.prefixSum(df, "id", "v", "cum")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
