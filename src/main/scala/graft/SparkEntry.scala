@@ -31,14 +31,9 @@ object SparkEntry {
     * timezone, matching the oracle's naive-timestamp epoch math. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = pq(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    // the ONE ts-normalization definition, shared with the streaming
+    // drivers so batch and streaming can never diverge on the same input
+    graft.streaming.EventStream.normalizeTs(raw, raw.schema)
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -105,6 +105,17 @@ object IntervalJoin {
     val (rc, rs, re) = rightCols
     val capLen = binSize * maxBinsPerRow
     val emptyBins = array().cast("array<bigint>")
+    // working-column names picked to miss BOTH inputs' columns: a
+    // caller frame already carrying e.g. "__bin" would otherwise be
+    // silently overwritten by the withColumn and then dropped from the
+    // output
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !left.columns.contains(n) && !right.columns.contains(n))
+        .get
+    val binCol = fresh("__bin")
+    val rLongCol = fresh("__graft_r_long")
+    val lLongCol = fresh("__graft_l_long")
 
     // e - s overflows Long (an ANSI-mode error) for spans crossing huge
     // magnitudes — negative start with end near Long.MaxValue, both
@@ -129,7 +140,7 @@ object IntervalJoin {
     // emitted only if the opposite side has a long row to meet there
     def binned(df: DataFrame, s: String, e: String, allChannel: Long,
         oppHasLong: Column) =
-      df.withColumn("__bin", explode(
+      df.withColumn(binCol, explode(
         when(isLong(col(s), col(e)),
           array(lit(LongLeftChannel), lit(LongRightChannel)))
           .otherwise(concat(fineBins(s, e),
@@ -138,28 +149,37 @@ object IntervalJoin {
     // one-row existence probes, broadcast into each side's explode
     val rightHasLong = right.agg(
       coalesce(max(when(isLong(col(rs), col(re)), 1L).otherwise(0L)) === 1L,
-        lit(false)).as("__graft_r_long"))
+        lit(false)).as(rLongCol))
     val leftHasLong = left.agg(
       coalesce(max(when(isLong(col(ls), col(le)), 1L).otherwise(0L)) === 1L,
-        lit(false)).as("__graft_l_long"))
+        lit(false)).as(lLongCol))
 
+    // subquery aliases + qualified refs, NOT l(col)/r(col) attribute
+    // refs: with shared-lineage inputs (overlapJoin(df, df) — the
+    // standard pairs-within-one-set use) both sides carry identical
+    // attribute ids, and df(col) either throws AMBIGUOUS_SELF_JOIN or
+    // resolves both comparison sides to the left attribute
     val l = binned(left.crossJoin(broadcast(rightHasLong)), ls, le,
-      allChannel = LongRightChannel, oppHasLong = col("__graft_r_long"))
+      allChannel = LongRightChannel, oppHasLong = col(rLongCol))
+      .alias("__graft_ij_l")
     val r = binned(right.crossJoin(broadcast(leftHasLong)), rs, re,
-      allChannel = LongLeftChannel, oppHasLong = col("__graft_l_long"))
+      allChannel = LongLeftChannel, oppHasLong = col(lLongCol))
+      .alias("__graft_ij_r")
+    def L(c: String): Column = col(s"__graft_ij_l.$c")
+    def R(c: String): Column = col(s"__graft_ij_r.$c")
 
     // ownership: fine bins dedup on max(starts); LONG_LEFT (long-left ×
     // all-right) is already unique; LONG_RIGHT keeps only short-left pairs
     val ownership =
-      when(l("__bin") === LongLeftChannel, lit(true))
-        .when(l("__bin") === LongRightChannel, !isLong(l(ls), l(le)))
-        .otherwise(l("__bin") === floorDiv(greatest(l(ls), r(rs)), binSize))
+      when(L(binCol) === LongLeftChannel, lit(true))
+        .when(L(binCol) === LongRightChannel, !isLong(L(ls), L(le)))
+        .otherwise(L(binCol) === floorDiv(greatest(L(ls), R(rs)), binSize))
 
     val joined = l.join(r,
-      l(lc) === r(rc) && l("__bin") === r("__bin") &&
-        l(ls) < r(re) && r(rs) < l(le) && ownership)
+      L(lc) === R(rc) && L(binCol) === R(binCol) &&
+        L(ls) < R(re) && R(rs) < L(le) && ownership)
 
-    joined.drop("__bin", "__graft_r_long", "__graft_l_long")
+    joined.drop(binCol, rLongCol, lLongCol)
   }
 
   /** Multi-resolution summary rollup — the Spark-native equivalent of BBI
@@ -176,6 +196,9 @@ object IntervalJoin {
       start: String = "start",
       end: String = "end",
       value: Option[String] = None): DataFrame = {
+    // a zero resolution would floorDiv every row into a null bin (one
+    // garbage group) in non-ANSI mode instead of erroring
+    require(resolution > 0, "resolution must be positive")
     val v = value.map(col).getOrElse(col(end) - col(start))
     intervals
       .groupBy(col(chrom), (floorDiv(col(start), resolution) *

@@ -24,10 +24,20 @@ object IntervalOps {
     * intervals per chromosome: the minimal set of disjoint intervals
     * covering the input, with the count of source rows per merged
     * interval. Zero-length and inverted rows participate as points at
-    * `start`. */
+    * `start`. Rows with a null chromosome or coordinate are DROPPED —
+    * they have no well-defined position (and the [[mergeIntervalsRange]]
+    * twin's typed sweep could not represent them), so both variants
+    * share one explicit semantics instead of the window's
+    * null-sorts-first accident. */
   def mergeIntervals(df: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end"): DataFrame =
-    windowMerge(df, chrom, start, end, lit(1L))
+    windowMerge(dropNullCoords(df, chrom, start, end), chrom, start, end,
+      lit(1L))
+
+  private def dropNullCoords(df: DataFrame, chrom: String, start: String,
+      end: String): DataFrame =
+    df.where(col(chrom).isNotNull && col(start).isNotNull &&
+      col(end).isNotNull)
 
   /** The running-max window sweep shared by both merge variants; `cnt`
     * is each row's source-row weight. */
@@ -72,8 +82,11 @@ object IntervalOps {
     import session.implicits._
     val n = if (partitions > 0) partitions
       else session.sessionState.conf.numShufflePartitions
-    val typed = df.select(col(chrom).cast("string").as("_1"),
-      col(start).cast("long").as("_2"), col(end).cast("long").as("_3"))
+    // same null-coordinate drop as mergeIntervals — without it the
+    // primitive-Long tuple decode below dies on the first null row
+    val typed = dropNullCoords(df, chrom, start, end)
+      .select(col(chrom).cast("string").as("_1"),
+        col(start).cast("long").as("_2"), col(end).cast("long").as("_3"))
       .as[(String, Long, Long)]
     val runs = typed
       .repartitionByRange(n, col("_1"), col("_2"))

@@ -186,26 +186,43 @@ object EventStream {
 
   /** Stage a parquet file or directory-shaped table as a fresh stream
     * source directory holding `copies` links (fallback: copies) of
-    * every data file. The walk is RECURSIVE so Hive-partitioned tables
-    * (date=…/part-….parquet) stage their leaves, and an input with no
-    * parquet files fails loudly instead of streaming zero batches and
-    * returning a silently-empty result. Paths are resolved absolute — a
-    * relative link target would dangle from the temp dir. */
-  private def stageAsDir(eventsPath: String, copies: Int)
-      : java.nio.file.Path = {
+    * every data file. An input with no parquet files fails loudly
+    * instead of streaming zero batches and returning a silently-empty
+    * result. Paths are resolved absolute — a relative link target
+    * would dangle from the temp dir.
+    *
+    * Hive-partitioned tables (date=…/part-….parquet) are REWRITTEN
+    * flat through a batch read first: partition-column values live in
+    * the directory names, not the leaf files, so a flat symlink stage
+    * would hand the stream leaves whose partition columns read back as
+    * all-null — silently wrong groups (or, for a partitioned ts,
+    * every row dropped as null-event-time). */
+  private def stageAsDir(ss: SparkSession, eventsPath: String,
+      copies: Int): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(eventsPath).toAbsolutePath
-    val files: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        val s = java.nio.file.Files.walk(src)
-        try {
-          scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
-            .asScala
-            .filter(p => java.nio.file.Files.isRegularFile(p) &&
-              p.toString.endsWith(".parquet"))
-            .toVector
-        } finally s.close()
-      } else Seq(src)
-    require(files.nonEmpty, s"no parquet data files under $eventsPath")
+    def leaves(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+          .asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+          .toVector
+      } finally s.close()
+    }
+    val raw: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) leaves(src) else Seq(src)
+    require(raw.nonEmpty, s"no parquet data files under $eventsPath")
+    val partitioned = raw.exists(_.getParent != src)
+    val files =
+      if (!partitioned) raw
+      else {
+        val flat = java.nio.file.Files.createTempDirectory("graft-stream-flat")
+        deleteOnJvmExit(flat)
+        ss.read.parquet(eventsPath).write.mode("overwrite")
+          .parquet(flat.resolve("t").toString)
+        leaves(flat)
+      }
     val d = java.nio.file.Files.createTempDirectory("graft-stream-in")
     files.zipWithIndex.foreach { case (f, i) =>
       (0 until copies).foreach { c =>
@@ -224,7 +241,8 @@ object EventStream {
     * via a cast (deterministic under the UTC session timezone the gate
     * sessions set — watermarks reject NTZ outright), true timestamps
     * pass through. */
-  private def normalizeTs(raw: DataFrame, schema: StructType): DataFrame =
+  private[graft] def normalizeTs(raw: DataFrame, schema: StructType)
+      : DataFrame =
     schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -282,7 +300,7 @@ object EventStream {
     val ss = gateSession(spark)
     val batchSchema = ss.read.parquet(eventsPath).schema
     // the file stream source requires a DIRECTORY of files
-    val streamDir = stageAsDir(eventsPath, copies = 1)
+    val streamDir = stageAsDir(ss, eventsPath, copies = 1)
     val events = normalizeTs(
       ss.readStream.schema(batchSchema).parquet(streamDir.toString),
       batchSchema)
@@ -322,10 +340,12 @@ object EventStream {
     *     processes, so cross-file event-time disorder can never be
     *     dropped as late (a per-file-batch design diverges from the
     *     batch oracle exactly there);
-    *  2. a far-future sentinel event for a reserved user
-    *     (Long.MinValue — outside any realistic id domain, so real
-    *     negative ids are untouched) advances the persisted watermark
-    *     past every real session's end + gap;
+    *  2. a far-future sentinel event for a reserved user (the id
+    *     type's own MinValue — outside any realistic id domain, so
+    *     real negative ids are untouched, and representable in the
+    *     source's user_id type so the write cast can never overflow)
+    *     advances the persisted watermark past every real session's
+    *     end + gap;
     *  3. a second, later sentinel batch runs WITH that watermark, so
     *     every pending event-time timeout fires inside a real batch
     *     (no reliance on a trailing no-data batch).
@@ -343,12 +363,25 @@ object EventStream {
     import ss.implicits._
     val batch = ss.read.parquet(eventsPath)
     val batchSchema = batch.schema
-    val streamDir = stageAsDir(eventsPath, copies = 1)
+    val streamDir = stageAsDir(ss, eventsPath, copies = 1)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
     val outDir = java.nio.file.Files.createTempDirectory("graft-sess-out")
 
     // one top-1 scan of the source serves both sentinels
     val latest = batch.orderBy(col("ts").desc).limit(1).cache()
+
+    // the reserved sentinel id, chosen IN THE SOURCE's id type: casting
+    // Long.MinValue into a narrower user_id column would overflow —
+    // CAST_OVERFLOW under ANSI, silent wrap onto a REAL user id without
+    // — breaking the reserved-id invariant the design rests on. The
+    // type's own MinValue survives both the write cast and the read
+    // widening back to long, so the rollup filter sees it exactly.
+    val sentinelId: Long = batchSchema("user_id").dataType match {
+      case ByteType => Byte.MinValue.toLong
+      case ShortType => Short.MinValue.toLong
+      case IntegerType => Int.MinValue.toLong
+      case _ => Long.MinValue
+    }
 
     def addSentinel(days: Long, i: Int): Unit = {
       // the latest real event pushed `days` ahead for the reserved
@@ -362,7 +395,7 @@ object EventStream {
       latest
         .withColumn("ts", bumped.cast(batchSchema("ts").dataType))
         .withColumn("user_id",
-          lit(Long.MinValue).cast(batchSchema("user_id").dataType))
+          lit(sentinelId).cast(batchSchema("user_id").dataType))
         .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("s").toString)
       val part = {
         val s = java.nio.file.Files.list(tmp.resolve("s"))
@@ -378,10 +411,16 @@ object EventStream {
       val events = normalizeTs(
         ss.readStream.schema(batchSchema).parquet(streamDir.toString),
         batchSchema)
+        // rows missing identity/time can't sessionize, and a null in
+        // any of these primitives would crash the SessionEvent decode
+        // mid-stream; value is a payload aggregate, so a null there
+        // contributes 0 instead of killing the drive
+        .where(col("event_id").isNotNull && col("ts").isNotNull &&
+          col("user_id").isNotNull)
         .select(col("event_id").cast("long").as("event_id"), col("ts"),
           col("user_id").cast("long").as("user_id"),
           col("event_type").cast("string").as("event_type"),
-          col("value").cast("double").as("value"))
+          coalesce(col("value").cast("double"), lit(0.0)).as("value"))
         .as[SessionEvent]
       val q = sessionize(events).writeStream
         .outputMode(OutputMode.Append)
@@ -416,7 +455,7 @@ object EventStream {
       // Only the reserved sentinel user is excluded — real negative
       // ids sessionize like any other.
       ss.read.schema(sessionSchema).parquet(outDir.toString)
-        .where(col("user_id") =!= Long.MinValue)
+        .where(col("user_id") =!= sentinelId)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"))
@@ -464,7 +503,7 @@ object EventStream {
     recycleTables()
     val ss = gateSession(spark)
     val batchSchema = ss.read.parquet(eventsPath).schema
-    val streamDir = stageAsDir(eventsPath, copies = 2)
+    val streamDir = stageAsDir(ss, eventsPath, copies = 2)
     val events = normalizeTs(
       ss.readStream.schema(batchSchema).parquet(streamDir.toString),
       batchSchema)

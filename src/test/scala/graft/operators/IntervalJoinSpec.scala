@@ -34,6 +34,50 @@ class IntervalJoinSpec extends SparkSuite {
     assert(got.distinct == got) // ownership: each pair exactly once
   }
 
+  test("overlapJoin(df, df): shared-lineage self join stays exact") {
+    import spark.implicits._
+    // pairs-within-one-set — the standard genomics use. With attribute
+    // -ref join conditions this either threw AMBIGUOUS_SELF_JOIN or
+    // degenerated to trivial self-comparisons; the alias-qualified
+    // conditions must produce the true overlap pairs.
+    val rnd = new scala.util.Random(11)
+    val iv = (0 until 80).map { i =>
+      val start = rnd.nextInt(20000).toLong
+      (s"chr${1 + rnd.nextInt(2)}", start, start + 1 + rnd.nextInt(2000),
+        s"v$i")
+    }.toDF("chrom", "start", "end", "id")
+    // count-based oracle: the self-join output duplicates every column
+    // name (both sides are the same frame), so compare pair counts
+    // against the brute force rather than selecting by name
+    val nGot = IntervalJoin.overlapJoin(iv, iv, binSize = 1000L).count()
+    val a = iv.toDF("c1", "s1", "e1", "i1")
+    val b = iv.toDF("c2", "s2", "e2", "i2")
+    val nOracle = a.crossJoin(b)
+      .where($"c1" === $"c2" && $"s1" < $"e2" && $"s2" < $"e1").count()
+    assert(nGot == nOracle, s"self join: $nGot vs oracle $nOracle")
+  }
+
+  test("overlapJoin preserves caller columns named __bin") {
+    import spark.implicits._
+    val a = Seq(("chr1", 10L, 100L, 7L)).toDF("chrom", "start", "end", "__bin")
+    val b = Seq(("chr1", 50L, 60L, "x")).toDF("c2", "s2", "e2", "id")
+    val out = IntervalJoin.overlapJoin(a, b,
+      rightCols = ("c2", "s2", "e2"))
+    assert(out.columns.contains("__bin"),
+      s"caller __bin vanished: ${out.columns.mkString(",")}")
+    val r = out.collect()
+    assert(r.length == 1 && r(0).getAs[Long]("__bin") == 7L)
+  }
+
+  test("zoomRollup rejects a non-positive resolution") {
+    import spark.implicits._
+    val iv = Seq(("chr1", 0L, 10L)).toDF("chrom", "start", "end")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.zoomRollup(iv, resolution = 0L)
+    }
+    assert(e.getMessage.contains("resolution"))
+  }
+
   test("overlapJoin long intervals via coarse channels, still exact") {
     import spark.implicits._
     // maxBinsPerRow=4 → cap 4000; mix of S/L on both sides incl. nesting

@@ -73,6 +73,27 @@ class IntervalOpsSpec extends SparkSuite {
       a.orderBy("contig", "start").collect().toSeq)
   }
 
+  test("null-coordinate rows drop identically from both merge variants") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      (Option("chr1"), Option(10L), Option(100L)),
+      (Option("chr1"), Option(50L), Option(150L)),
+      (Option.empty[String], Option(10L), Option(20L)),
+      (Option("chr1"), Option.empty[Long], Option(20L)),
+      (Option("chr1"), Option(10L), Option.empty[Long]))
+      .toDF("chrom", "start", "end")
+    // the typed sweep (primitive Long tuples) used to crash on the
+    // null rows while the window path processed them — both now share
+    // the explicit drop
+    val a = IntervalOps.mergeIntervals(iv).collect()
+    val b = IntervalOps.mergeIntervalsRange(iv).collect()
+    assert(a.length == 1 && b.length == 1)
+    assert(a(0).getLong(1) == 10L && a(0).getLong(2) == 150L &&
+      a(0).getLong(3) == 2L)
+    assert(a(0).toSeq == b(0).toSeq)
+  }
+
   test("mergeIntervals: merged set is disjoint and covers the input") {
     val s = spark
     import s.implicits._

@@ -168,6 +168,53 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.size == 3) // (01h view), (01h buy), (02h view)
   }
 
+  test("hive-partitioned source keeps partition-column values") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-part")
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, ts("2024-01-01 01:05:00"), 1L, "view", 1.0),
+        org.apache.spark.sql.Row(2L, ts("2024-01-01 01:10:00"), 2L, "buy", 2.0),
+        org.apache.spark.sql.Row(3L, ts("2024-01-01 01:20:00"), 1L, "view", 3.0))),
+      EventStream.EventSchema)
+    val tbl = dir.resolve("events").toString
+    // event_type lives in DIRECTORY NAMES, not the leaf files — a flat
+    // symlink stage would stream it back as all-null and collapse the
+    // grouped result into one null group
+    batch.write.partitionBy("event_type").parquet(tbl)
+    val got = EventStream.windowedCountsToCompletion(spark, tbl)
+      .select(c("event_type"), c("n_events"), c("sum_raw"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("buy", 1L, 2.0), ("view", 2L, 4.0)), s"got $got")
+  }
+
+  test("sessionizeToCompletion survives an int user_id source") {
+    import org.apache.spark.sql.types._
+    val intSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", IntegerType), // narrower than long
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-int")
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, ts("2024-01-01 01:00:00"), 1, "view", 1.0),
+        org.apache.spark.sql.Row(2L, ts("2024-01-01 01:10:00"), 1, "view", 1.0),
+        org.apache.spark.sql.Row(3L, ts("2024-01-01 03:00:00"), 2, "buy", 1.0))),
+      intSchema)
+    val file = dir.resolve("ev.parquet")
+    batch.coalesce(1).write.mode("overwrite").parquet(file.toString)
+    // the sentinel is written in the SOURCE's id type: casting
+    // Long.MinValue into an int column would overflow (ANSI crash, or
+    // a silent wrap onto a real id that breaks the reserved-id filter)
+    val got = EventStream.sessionizeToCompletion(spark, file.toString)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 2L), (2L, 1L, 1L)), s"got $got")
+  }
+
   test("sessionize: in-watermark stragglers merge into earlier sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
