@@ -44,7 +44,14 @@ object GenomicCodegen {
         } else {
           if (!seen) throw new IllegalArgumentException(s"bad CIGAR '$s'")
           ch match {
-            case 'M' | 'D' | 'N' | '=' | 'X' => total += n
+            case 'M' | 'D' | 'N' | '=' | 'X' =>
+              total += n
+              // the per-op guard bounds each count, but ~8M maximal ops
+              // would still wrap the SUM negative — and a negative total
+              // is the NULL sentinel, so an overflow would masquerade
+              // as '*' instead of throwing
+              if (total > MaxOpLen) throw new IllegalArgumentException(
+                s"CIGAR reference length overflow in '$s'")
             case 'I' | 'S' | 'H' | 'P'       => ()
             case other =>
               throw new IllegalArgumentException(
@@ -120,7 +127,10 @@ object GenomicFunctions {
   case class ParseRegion(child: Expression, coords: String)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(StringType)
-    private lazy val cs = CoordSystem.fromCode(coords)
+    // eager: an invalid coords code must fail at expression
+    // construction (a well-located analysis-time error), not from the
+    // first task that evaluates the lazy val mid-query
+    private val cs = CoordSystem.fromCode(coords)
     override def dataType: DataType = StructType(Seq(
       StructField("chrom", StringType, nullable = true),
       StructField("start", LongType, nullable = true),

@@ -61,11 +61,33 @@ object TextKernels {
     // window minima via monotonic deque (indices of increasing hash),
     // emitting in first-appearance order without re-adding duplicates;
     // the max(nGrams-w+1, 1) window count is implicit in the emission
-    // condition below (full windows, plus the clamped final one)
+    // condition below (full windows, plus the clamped final one).
+    // Dedup is a PRIMITIVE open-addressing table (-1 sentinel — hashes
+    // are 32-bit-masked, so -1 is unreachable): this kernel exists to
+    // strip per-position allocation, and a HashSet<Long> would box
+    // every window minimum right back.
     val deque = new Array[Int](nGrams)
     var head = 0; var tail = 0 // [head, tail)
-    val seen = new java.util.HashSet[Long]()
-    val out = new java.util.ArrayList[java.lang.Long]()
+    val nWins = math.max(nGrams - w + 1, 1)
+    // distinct emissions <= window count; table at <=50% load
+    var cap = 8
+    while (cap < nWins * 2 && cap > 0) cap <<= 1
+    require(cap > 0, s"winnow window count $nWins too large to table")
+    val table = new Array[Long](cap)
+    java.util.Arrays.fill(table, -1L)
+    val outArr = new Array[Long](nWins)
+    var outN = 0
+    def addIfNew(m: Long): Unit = {
+      var idx = ((m * 0x9E3779B97F4A7C15L) >>> 40).toInt & (cap - 1)
+      var done = false
+      while (!done) {
+        val cur = table(idx)
+        if (cur == m) done = true
+        else if (cur == -1L) {
+          table(idx) = m; outArr(outN) = m; outN += 1; done = true
+        } else idx = (idx + 1) & (cap - 1)
+      }
+    }
     var i = 0
     while (i < nGrams) {
       while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
@@ -74,18 +96,12 @@ object TextKernels {
       while (deque(head) < winStart) head += 1
       // windows are positions 0..nWins-1; emit once the first full (or
       // clamped-final) window is reached
-      if (i >= w - 1 || i == nGrams - 1) {
-        val m = hashes(deque(head))
-        if (seen.add(m)) out.add(m)
-      }
+      if (i >= w - 1 || i == nGrams - 1) addIfNew(hashes(deque(head)))
       i += 1
     }
     // short inputs: nGrams < w means exactly one (clamped) window — the
     // loop above emits it at i == nGrams-1
-    val arr = new Array[Long](out.size())
-    var j = 0
-    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
-    new GenericArrayData(arr)
+    new GenericArrayData(java.util.Arrays.copyOf(outArr, outN))
   }
 }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, EqualTo, EvalMode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, Literal, Or, Pmod, Subtract}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -63,21 +63,45 @@ import org.apache.spark.sql.graftshim.ColumnShim
 object IntervalJoin {
 
   /** Coarse-channel sentinel bins. Fine bins are `floor(coord/binSize)`
-    * computed in exact integer arithmetic (see [[floorDiv]]), which cannot
-    * reach these values for any coordinate above `Long.MinValue + binSize`
-    * — out of any coordinate domain. */
+    * computed in exact integer arithmetic (see [[floorDivExpr]]): for any
+    * `binSize >= 2` the smallest reachable fine bin is
+    * `floor(Long.MinValue / binSize) >= Long.MinValue / 2`, so the
+    * sentinels are unreachable for EVERY coordinate (at `binSize = 1`
+    * only the two coordinates equal to the sentinels themselves would
+    * collide — out of any genomic domain). */
   val LongLeftChannel: Long = Long.MinValue
   val LongRightChannel: Long = Long.MinValue + 1
 
-  /** Exact integer floor division of a long column: `v - pmod(v, d)` is a
-    * multiple of `d`, so truncating integral division equals floor.
-    * (Double-based `floor(v / d)` loses bin precision past 2^53 and
-    * saturates extreme negatives to Long.MinValue — onto the sentinels.) */
-  private def floorDiv(c: Column, d: Long): Column = {
-    val v = c.cast("long")
-    ColumnShim.column(new IntegralDivide(
-      ColumnShim.expression(v - pmod(v, lit(d))), Literal(d)))
+  /** Exact OVERFLOW-SAFE integer floor division, shared by the operator
+    * and [[graft.plans.IntervalJoinRewrite]] so the two binning paths
+    * can never drift. Truncating `IntegralDivide` equals floor when
+    * `v >= 0` or the division is exact; otherwise floor = trunc − 1.
+    * (The earlier `(v - pmod(v, d)) / d` form subtracted below
+    * `Long.MinValue` for coordinates within `d` of it, wrapping the bin
+    * sign and feeding `Sequence` an astronomic descending range;
+    * double-based `floor(v / d)` loses bin precision past 2^53.) */
+  private[graft] def floorDivExpr(v: Expression, d: Long): Expression = {
+    val trunc = new IntegralDivide(v, Literal(d))
+    CaseWhen(Seq((
+      Or(GreaterThanOrEqual(v, Literal(0L)),
+        EqualTo(new Pmod(v, Literal(d)), Literal(0L))), trunc)),
+      Some(Subtract(trunc, Literal(1L))))
   }
+
+  /** The long-row classifier, shared with the rewrite rule: `e − s`
+    * overflows Long for spans crossing huge magnitudes (negative start,
+    * end near Long.MaxValue — both supported inputs); TRY-mode
+    * subtraction yields null there, and a null length with `e > s` can
+    * only mean "astronomically long". */
+  private[graft] def isLongExpr(s: Expression, e: Expression,
+      capLen: Long): Expression = {
+    val diff = Subtract(e, s, EvalMode.TRY)
+    Coalesce(Seq(GreaterThan(diff, Literal(capLen)), GreaterThan(e, s)))
+  }
+
+  private def floorDiv(c: Column, d: Long): Column =
+    ColumnShim.column(
+      floorDivExpr(ColumnShim.expression(c.cast("long")), d))
 
   /** Overlap-join two interval DataFrames.
     *
@@ -122,7 +146,8 @@ object IntervalJoin {
     // supported inputs; try_subtract yields null there, and a null
     // length with e > s can only mean "astronomically long"
     def isLong(s: Column, e: Column): Column =
-      coalesce(try_subtract(e, s) > capLen, e > s)
+      ColumnShim.column(isLongExpr(ColumnShim.expression(s),
+        ColumnShim.expression(e), capLen))
 
     def fineBins(s: String, e: String): Column =
       when(col(e) > col(s),

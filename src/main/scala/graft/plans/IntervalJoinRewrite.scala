@@ -47,8 +47,11 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, L
   *     shuffles nothing into the coarse channels. Set
   *     `spark.graft.intervalJoin.coarseChannels=on` to restore the
   *     unconditional copies (skips the two probe subqueries). The
-  *     probes assume the inputs are deterministic (same assumption as
-  *     the operator — see `IntervalJoin.overlapJoin`'s doc).
+  *     probes require deterministic inputs (they re-evaluate each side
+  *     as a separate subplan), so the rule BAILS on joins whose sides
+  *     contain a Sample node or any non-deterministic expression — an
+  *     automatic rewrite must never change results, and the operator
+  *     API documents the same assumption as a caller contract.
   *
   * Degenerate rows mirror the operator: `end <= start` gets the single
   * bin of `start` — provably the ownership bin of every pair the raw
@@ -156,11 +159,30 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case LessThan(IntegralAttr(a), IntegralAttr(b)) => (a, b)
       case GreaterThan(IntegralAttr(b), IntegralAttr(a)) => (a, b)
     }
-    // a.start < b.end (left attr < right attr) and b.start < a.end
-    val lsRe = lts.find { case (a, b) => isLeft(a) && isRight(b) }
-    val rsLe = lts.find { case (a, b) => isRight(a) && isLeft(b) }
-    (lsRe, rsLe) match {
-      case (Some(o1), Some(o2)) =>
+    // a.start < b.end (left attr < right attr) and b.start < a.end.
+    // EXACTLY one candidate per direction: with a second cross-side
+    // inequality in the same direction (say an id tiebreaker
+    // a.read_id < b.read_id) a .find could latch onto the wrong pair
+    // as the interval bounds — results would stay correct (the raw
+    // conjuncts are all kept) but every row could classify long and
+    // the "rescue" would degrade to the naive per-chromosome pairing
+    // plus probe/explode overhead. Ambiguous shapes keep their plan.
+    val lsReAll = lts.filter { case (a, b) => isLeft(a) && isRight(b) }
+    val rsLeAll = lts.filter { case (a, b) => isRight(a) && isLeft(b) }
+    // the probes (and the join scan) re-evaluate each side as separate
+    // subplans: for a non-deterministic side (sample, rand() filter)
+    // the probe's long-row answer can disagree with the join scan's
+    // rows, silently dropping short×long pairs. An automatic rule must
+    // not change results — bail instead (the operator API documents
+    // the same assumption as a caller contract).
+    def nondeterministic(p: LogicalPlan): Boolean =
+      p.exists {
+        case _: Sample => true
+        case node => node.expressions.exists(e => !e.deterministic)
+      }
+    if (nondeterministic(left) || nondeterministic(right)) return None
+    (lsReAll, rsLeAll) match {
+      case (Seq(o1), Seq(o2)) =>
         val ls = o1._1; val le = o2._2
         val rs = o2._1; val re = o1._2
 
@@ -168,36 +190,30 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val chLongRight = graft.operators.IntervalJoin.LongRightChannel
         def asLong(e: Expression): Expression =
           if (e.dataType == LongType) e else Cast(e, LongType)
-        // exact integer floor division: (v - pmod(v, bs)) is a multiple of
-        // bs, so the truncating IntegralDivide equals floor. Double-based
-        // Floor(v/bs) loses bin precision past 2^53 and saturates extreme
-        // negatives onto the sentinel values; integer arithmetic keeps the
-        // sentinels unreachable for every coordinate above
-        // Long.MinValue + bs.
-        def binOf(e: Expression): Expression = {
-          val v = asLong(e)
-          new IntegralDivide(
-            Subtract(v, new Pmod(v, Literal(bs))), Literal(bs))
-        }
-        val capLen = Literal(bs * maxBins)
-        // e - s overflows Long for spans crossing huge magnitudes
-        // (negative start, end near Long.MaxValue — both explicitly
-        // supported); TRY-mode subtraction yields null there, and a
-        // null length with e > s can only mean "astronomically long"
-        def isLong(s: Expression, e: Expression): Expression = {
-          val diff = Subtract(asLong(e), asLong(s), EvalMode.TRY)
-          Coalesce(Seq(GreaterThan(diff, capLen),
-            GreaterThan(asLong(e), asLong(s))))
-        }
-        def isShort(s: Expression, e: Expression): Expression =
-          Not(isLong(s, e))
+        // binning + long-row classification come from the ONE shared
+        // Expression-level definition in the operator
+        // (IntervalJoin.floorDivExpr / isLongExpr) — overflow-safe for
+        // coordinates within binSize of Long.MinValue, and immune to
+        // the operator/rule drift a second copy invites
+        def binOf(e: Expression): Expression =
+          graft.operators.IntervalJoin.floorDivExpr(asLong(e), bs)
+        val capLen = bs * maxBins
+        def isLong(s: Expression, e: Expression): Expression =
+          graft.operators.IntervalJoin.isLongExpr(asLong(s), asLong(e),
+            capLen)
 
         // runtime long-row existence probe of one side: an uncorrelated
-        // scalar subquery the physical planner executes once and inlines
+        // scalar subquery the physical planner executes once and
+        // inlines. The explicit coordinate Project matters: the
+        // optimizer's Subquery batch has already run by the time this
+        // rule fires, so no ColumnPruning will ever reach the probe's
+        // plan — without the Project it would re-scan every column of
+        // the side (seq/qual dominate BAM-shaped rows) for a two-column
+        // aggregate.
         val coarseMode =
           SQLConf.get.getConfString(CoarseChannelsKey, "auto")
-        def hasLongProbe(side: LogicalPlan, s: Expression,
-            e: Expression): Expression =
+        def hasLongProbe(side: LogicalPlan, s: AttributeReference,
+            e: AttributeReference): Expression =
           if (coarseMode == "on") Literal(true)
           else ScalarSubquery(Aggregate(Nil, Seq(Alias(
             Coalesce(Seq(
@@ -205,7 +221,8 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 Max(If(isLong(s, e), Literal(1L), Literal(0L)))
                   .toAggregateExpression(),
                 Literal(1L)),
-              Literal(false))), "__graft_has_long")()), side))
+              Literal(false))), "__graft_has_long")()),
+            Project(Seq(s, e).distinct, side)))
 
         // containsNull=false to exactly match CreateArray/Sequence output
         // types (post-analysis expressions get no coercion pass)
@@ -221,7 +238,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val allCopy = If(oppHasLong,
             CreateArray(Seq(Literal(allChannel))), emptyBins)
           CaseWhen(Seq(
-            (Not(isShort(s, e)),
+            (isLong(s, e),
               CreateArray(Seq(Literal(chLongLeft), Literal(chLongRight)))),
             (GreaterThan(asLong(e), asLong(s)),
               Concat(Seq(
@@ -252,7 +269,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // long×long matches exactly once (in LONG_LEFT)
         val ownership = CaseWhen(Seq(
           (EqualTo(binL, Literal(chLongLeft)), Literal(true)),
-          (EqualTo(binL, Literal(chLongRight)), isShort(ls, le))),
+          (EqualTo(binL, Literal(chLongRight)), Not(isLong(ls, le)))),
           Some(EqualTo(binL, binOf(Greatest(Seq(asLong(ls), asLong(rs)))))))
         val newCond = (conjuncts :+ EqualTo(binL, binR) :+ ownership)
           .reduce(And)
