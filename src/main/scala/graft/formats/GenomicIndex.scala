@@ -61,8 +61,30 @@ object GenomicIndex {
       val ref = refs(refId)
       val minOffset: Long = {
         val window = (begC >> minShift).toInt
-        if (ref.linear.isEmpty) 0L
-        else ref.linear(math.min(math.max(window, 0), ref.linear.size - 1)).value
+        if (ref.linear.nonEmpty)
+          ref.linear(math.min(math.max(window, 0), ref.linear.size - 1)).value
+        else {
+          // CSI has no linear index; its per-bin loffset carries the
+          // same information (virtual offset of the first record
+          // overlapping the bin's window). Use the deepest bin
+          // containing beg, walking to ancestors when absent — each
+          // step widens the window, so the bound only gets more
+          // conservative, never unsafe. Without this every candidate
+          // chunk of every coarse bin survives the filter, costing a
+          // pointless block open/seek/inflate per query (a remote GET
+          // each on object stores).
+          var bin = ((1 << (depth * 3)) - 1) / 7 + (begC >> minShift).toInt
+          var res = 0L
+          var found = false
+          while (!found && bin >= 0) {
+            ref.bins.get(bin).flatMap(_.lOffset) match {
+              case Some(lo) => res = lo.value; found = true
+              case None =>
+                if (bin == 0) found = true else bin = (bin - 1) >> 3
+            }
+          }
+          res
+        }
       }
       val cand = reg2bins(begC, endC, minShift, depth).flatMap(ref.bins.get)
         .flatMap(_.chunks)

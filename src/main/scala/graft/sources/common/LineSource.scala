@@ -103,6 +103,18 @@ trait LineFormat extends Serializable {
 
 object LineSourceUtil {
 
+  /** The ONE parse of the `regions` option, shared by partition
+    * planning and the reader's residual predicate: if the separator,
+    * trimming, or default coordinate system ever drifted between the
+    * two, the planner's index window and the reader's row filter would
+    * disagree. */
+  def parseRegionsOption(options: Map[String, String])
+      : Seq[graft.core.Region] =
+    options.get("regions").toSeq
+      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(graft.core.Region.parse(_,
+        graft.core.CoordSystem.OneBasedClosed))
+
   /** The Catalyst-pruned inner struct of top-level column `name` in a
     * pruned schema, if the column is requested at all — the shared
     * nested-projection hint extractor for every format reader. */
@@ -393,9 +405,7 @@ class LineScan(format: LineFormat, fullSchema: StructType,
       .pathLensAndBudget(paths, conf, options, 128L * 1024 * 1024)
     // regions requested via option or pushed chrom equality
     val regions: Seq[graft.core.Region] = {
-      val fromOpt = options.get("regions").toSeq
-        .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
-        .map(graft.core.Region.parse(_, graft.core.CoordSystem.OneBasedClosed))
+      val fromOpt = LineSourceUtil.parseRegionsOption(options)
       val fromFilters = format.regionColumns.toSeq.flatMap { case (c, s, e) =>
         // pushed coordinate bounds narrow the index window: kept rows
         // satisfy startOut < startLt and endOut > endGt (the same
@@ -408,8 +418,11 @@ class LineScan(format: LineFormat, fullSchema: StructType,
         val qs = math.max(0L, endGt.getOrElse(0L))
         val qe = startLt.map(v => math.max(v + cs.startOffset, qs))
         val names = pushed.toSeq.flatMap {
-          case EqualTo(a, v) if a == c => Seq(v.toString)
-          case In(a, vs) if a == c => vs.toSeq.map(_.toString)
+          case EqualTo(a, v) if a == c && v != null => Seq(v.toString)
+          // a null In-list element never equals anything — drop it
+          // instead of NPE-ing the planner
+          case In(a, vs) if a == c =>
+            vs.toSeq.filter(_ != null).map(_.toString)
           case _ => Nil
         }
         names.map(n => graft.core.Region(n, qs, qe))
@@ -453,7 +466,13 @@ class LineScan(format: LineFormat, fullSchema: StructType,
       } else if (LineSourceUtil.isGzip(p)) {
         // BGZF + tabix index → vpos partitions (region chunks or splits)
         GenomicIndex.findFor(fs, p) match {
-          case Some(index) if regions.nonEmpty =>
+          // names must be present to narrow by region: a CSI written
+          // without its tabix aux block parses with an EMPTY name map,
+          // and planning region chunks against it would find no refs
+          // and return zero partitions — silently empty results. Fall
+          // through to the split/full scan; the residual predicate
+          // still applies the regions per record.
+          case Some(index) if regions.nonEmpty && index.names.nonEmpty =>
             // union the chunk lists of ALL regions, then merge/dedupe:
             // two regions hitting the same bin must not plan the same
             // compressed range twice (the reader's residual predicate
@@ -736,44 +755,56 @@ class LineReader(format: LineFormat, fullSchema: StructType,
         val si = fullSchema.fieldIndex(s)
         val ei = fullSchema.fieldIndex(e)
         val cs = format.coordSystem(options)
-        val regions: Seq[Region] = regionsOpt.toSeq.flatMap(
-          _.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
-            .map(Region.parse(_, CoordSystem.OneBasedClosed)))
+        val regions: Seq[Region] = LineSourceUtil.parseRegionsOption(options)
         // conservative bounds from pushed catalyst filters (output
         // coords) — shared folding with index chunk planning
         val (startLt, endGt) = LineSourceUtil.pushedBounds(pushed.toSeq, s, e)
         var chromSet: Option[Set[String]] = None
         pushed.foreach {
+          // null comparands never match: EqualTo(c, null) keeps nothing
+          // (empty set), and null In-list elements drop out — matching
+          // SQL three-valued semantics instead of NPE-ing the reader
           case EqualTo(a, v) if a == c =>
-            chromSet = Some(chromSet.getOrElse(Set.empty) + v.toString)
+            chromSet = Some(chromSet.getOrElse(Set.empty) ++
+              Option(v).map(_.toString))
           case In(a, vs) if a == c =>
-            chromSet = Some(chromSet.getOrElse(Set.empty) ++ vs.map(_.toString))
+            chromSet = Some(chromSet.getOrElse(Set.empty) ++
+              vs.filter(_ != null).map(_.toString))
           case _ => ()
         }
         val endOverride = format.regionEnd0(fullSchema, options)
         row => {
-          // a null end column only disqualifies the row when no format
-          // override can supply the true span (e.g. SAM '*'-cigar rows)
-          if (row.isNullAt(ci) || row.isNullAt(si) ||
-            (endOverride.isEmpty && row.isNullAt(ei))) {
-            regions.isEmpty && chromSet.isEmpty && startLt.isEmpty && endGt.isEmpty
-          } else {
-            val chrom = row.getUTF8String(ci).toString
-            val startOut = asLong(row.get(si, fullSchema(si).dataType))
-            val endOut =
-              if (row.isNullAt(ei)) startOut
-              else asLong(row.get(ei, fullSchema(ei).dataType))
-            // normalize to 0-based half-open for the region overlap check
-            // (a closed 1-based end equals the half-open end value, so the
-            // end column needs no shift; formats whose true span is not a
-            // column override it via regionEnd0)
-            val start0 = startOut + cs.startOffset
-            val end0 = endOverride.fold(endOut)(f => f(row))
-            (regions.isEmpty || regions.exists(_.overlaps(chrom, start0, end0))) &&
-              chromSet.forall(_.contains(chrom)) &&
-              startLt.forall(startOut < _) &&
-              endGt.forall(endOut > _)
-          }
+          // SQL null semantics PER CONSTRAINT: a null column fails only
+          // the constraints that reference it. Collapsing all nulls to
+          // "keep iff nothing was pushed" dropped rows Spark would keep
+          // — a GFF row with end='.' under a pushed start-only filter
+          // satisfies that filter regardless of its end. (A null end
+          // only matters when no format override can supply the true
+          // span — e.g. SAM '*'-cigar rows override it.)
+          val chromNull = row.isNullAt(ci)
+          val startNull = row.isNullAt(si)
+          val endNull = endOverride.isEmpty && row.isNullAt(ei)
+          lazy val chrom = row.getUTF8String(ci).toString
+          lazy val startOut = asLong(row.get(si, fullSchema(si).dataType))
+          lazy val endOut =
+            if (row.isNullAt(ei)) startOut
+            else asLong(row.get(ei, fullSchema(ei).dataType))
+          // normalize to 0-based half-open for the region overlap check
+          // (a closed 1-based end equals the half-open end value, so the
+          // end column needs no shift; formats whose true span is not a
+          // column override it via regionEnd0)
+          lazy val start0 = startOut + cs.startOffset
+          lazy val end0 = endOverride.fold(endOut)(f => f(row))
+          (regions.isEmpty ||
+            (!chromNull && !startNull && !endNull &&
+              regions.exists(_.overlaps(chrom, start0, end0)))) &&
+            (chromSet.isEmpty ||
+              (!chromNull && chromSet.forall(_.contains(chrom)))) &&
+            (startLt.isEmpty ||
+              (!startNull && startLt.forall(startOut < _))) &&
+            (endGt.isEmpty ||
+              (!endNull && !(row.isNullAt(ei) && startNull) &&
+                endGt.forall(endOut > _)))
         }
       case _ => _ => true
     }

@@ -97,4 +97,28 @@ class GxfSourceSpec extends SparkSuite {
     // %2C → ',', %25 → '%', '+' stays, stray '% r' passes through
     assert(note == "a,b+c 100% and 50% raw", note)
   }
+
+  test("null region columns fail only the constraints referencing them") {
+    // g1 has end='.' (null): a pushed start-only filter must keep it —
+    // the residual predicate used to drop every null-coordinate row
+    // whenever ANY region-style filter was pushed, returning fewer rows
+    // than Spark's own evaluation of the same filter
+    val lines = Seq(
+      "##gff-version 3",
+      "chr1\t.\tgene\t100\t.\t.\t+\t.\tID=g1",
+      "chr1\t.\tgene\t5000\t6000\t.\t+\t.\tID=g2",
+      "chr2\t.\tgene\t150\t300\t.\t+\t.\tID=g3")
+    val path = tempFile("nulls.gff", lines)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("attributes.ID")).collect().map(_.getString(0)).toSet
+    val df = spark.read.format("gff").load(path)
+    // start-only filter: null end is irrelevant, g1 qualifies
+    assert(ids(df.where(col("start") < 1000)) == Set("g1", "g3"))
+    // end filter: null end fails it (SQL semantics), start doesn't help
+    assert(ids(df.where(col("end") > 200)) == Set("g2", "g3"))
+    // chrom-only filter: null end irrelevant again
+    assert(ids(df.where(col("seqid") === "chr1")) == Set("g1", "g2"))
+    // a null In-list element must narrow, not NPE the planner/reader
+    assert(ids(df.where(col("seqid").isin("chr2", null))) == Set("g3"))
+  }
 }
