@@ -42,8 +42,13 @@ object AsofJoin {
     val refStruct = "__asof_ref"
     val probePayload = probe.columns.toSeq.filterNot(_ == probeKey)
     val refPayload = ref.columns.toSeq.filterNot(_ == refKey)
-    require(probePayload.intersect(refPayload).isEmpty,
-      s"column collision: ${probePayload.intersect(refPayload).mkString(",")}")
+    // the output carries probeKey + probe payload + ref payload, so a
+    // ref payload column named like probeKey collides too (duplicate
+    // output names → ambiguous downstream references)
+    val collisions = probePayload.intersect(refPayload) ++
+      refPayload.filter(_ == probeKey)
+    require(collisions.isEmpty,
+      s"column collision: ${collisions.mkString(",")}")
 
     // ref payload travels as ONE struct so the running fill is row-atomic
     // (per-column last(ignoreNulls) could mix reference rows when a
@@ -54,11 +59,17 @@ object AsofJoin {
       col(probeKey) +: col(probeTime).cast("timestamp").as(t) +:
         lit(1).as(isProbe) +: probePayload.map(col) :+
         lit(null).cast(refStructType).as(refStruct): _*)
-    val refU = ref.select(
-      col(refKey).as(probeKey) +: col(refTime).cast("timestamp").as(t) +:
-        lit(0).as(isProbe) +: probePayload.map(c =>
-          lit(null).cast(probe.schema(c).dataType).as(c)) :+
-        struct(refPayload.map(col): _*).as(refStruct): _*)
+    // a null (or uncastable) refTime would sort NULLS FIRST — before
+    // every real row of its key — and its payload would become the
+    // "earliest" match for every probe with no genuine predecessor;
+    // a reference row without a time cannot be an as-of match at all
+    val refU = ref
+      .where(col(refTime).cast("timestamp").isNotNull)
+      .select(
+        col(refKey).as(probeKey) +: col(refTime).cast("timestamp").as(t) +:
+          lit(0).as(isProbe) +: probePayload.map(c =>
+            lit(null).cast(probe.schema(c).dataType).as(c)) :+
+          struct(refPayload.map(col): _*).as(refStruct): _*)
 
     // reference rows sort before probe rows at equal time (inclusive
     // as-of); among same-time reference rows the tieBreak order decides

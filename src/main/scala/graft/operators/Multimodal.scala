@@ -51,6 +51,42 @@ object Multimodal {
       ((be32(b, o).toLong & 0xffffffffL) << 32) |
         (be32(b, o + 4).toLong & 0xffffffffL)
 
+    /** The ONE ISO-BMFF box walk shared by [[mp4Meta]] and
+      * [[mp4Frames]] — size==1/largesize handling, unsigned 32-bit
+      * sizes advanced in Long so corrupt values cannot wrap the offset,
+      * child ends clamped to the parent. Yields (type, bodyStart,
+      * bodyEnd). */
+    private def bmffBoxes(b: Array[Byte], lo: Int, hi: Int)
+        : Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var o = lo
+        def hasNext: Boolean = o + 8 <= hi
+        def next(): (String, Int, Int) = {
+          // size is an unsigned 32-bit field: advance in Long so a
+          // corrupt value cannot wrap the offset negative
+          val size = be32(b, o).toLong & 0xffffffffL
+          val tpe = fourcc(b, o + 4)
+          if (size == 1L && o + 16 <= hi) {
+            // size==1: 64-bit largesize follows the type (ISO BMFF
+            // §4.2) — common on >4 GB mdat; must not end the walk
+            val large = be64(b, o + 8)
+            val end =
+              if (large < 16L) hi
+              else math.min(hi.toLong, o.toLong + large).toInt
+            val cur = o
+            o = if (large < 16L) hi else end
+            (tpe, cur + 16, end)
+          } else {
+            val body = o + 8
+            val end =
+              if (size <= 0) hi
+              else math.min(hi.toLong, o.toLong + size).toInt
+            o = if (size <= 8) hi else end
+            (tpe, body, end)
+          }
+        }
+      }
+
     private val PngSig =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -69,7 +105,13 @@ object Multimodal {
         case 6 => 4 // truecolor + alpha
         case _ => return None
       }
-      Some(Dims(be32(b, 16), be32(b, 20), channels, b(24) & 0xff))
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      // zero or >= 2^31 (negative via signed be32) dims are corrupt —
+      // fall through to the hash-derived stub like GIF/BMP do instead
+      // of reporting them as authoritative header metadata
+      if (w <= 0 || h <= 0) None
+      else Some(Dims(w, h, channels, b(24) & 0xff))
     }
 
     /** JPEG SOF scan: walk marker segments from SOI until a start-of-frame
@@ -90,8 +132,12 @@ object Multimodal {
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
           if (o + 10 > b.length) return None
-          return Some(Dims(be16(b, o + 7), be16(b, o + 5),
-            b(o + 9) & 0xff, b(o + 4) & 0xff))
+          val w = be16(b, o + 7)
+          val h = be16(b, o + 5)
+          // height 0 is legal in T.81 (deferred via DNL) but is not an
+          // authoritative dimension; width 0 is simply corrupt
+          return if (w <= 0 || h <= 0) None
+          else Some(Dims(w, h, b(o + 9) & 0xff, b(o + 4) & 0xff))
         } else if (marker == 0xd8 || marker == 0x01 ||
             (marker >= 0xd0 && marker <= 0xd7)) {
           o += 2 // standalone marker, no segment length
@@ -158,30 +204,33 @@ object Multimodal {
     private def fourcc(b: Array[Byte], o: Int): String =
       new String(b, o, 4, "US-ASCII")
 
-    /** WAV RIFF header: "RIFF" size "WAVE", then chunks; "fmt " carries
-      * (LE) audioFormat u16, channels u16, sampleRate u32, byteRate u32,
-      * blockAlign u16, bitsPerSample u16; frame count is the declared
-      * "data" chunk size over blockAlign (the declared size is trusted
-      * even when the sample bytes are truncated away — header-only
-      * payloads are the pipeline's fixture shape). */
-    def wavMeta(b: Array[Byte]): Option[AudioMeta] = {
+    /** The full RIFF walk behind [[wavMeta]] and
+      * [[wavPcmFeatures]] — ONE definition of the word-aligned,
+      * corrupt-size-hardened chunk stepping, yielding the fmt fields
+      * (incl. the audioFormat tag) and the data chunk's location. */
+    private final case class WavChunks(audioFormat: Int, channels: Int,
+        sampleRate: Int, blockAlign: Int, bitsPerSample: Int,
+        dataOffset: Int, dataSize: Long)
+    private def wavChunks(b: Array[Byte]): Option[WavChunks] = {
       if (b.length < 36 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
         return None
       var o = 12
-      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
-      var blockAlign = 0
+      var fmt: Option[(Int, Int, Int, Int, Int)] = None
+      var dataOff = -1
       var dataSize = -1L
       while (o + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
         val id = fourcc(b, o)
         val size = le32(b, o + 4)
         if (id == "fmt " && size >= 16 && o + 24 <= b.length) {
+          val af = le16(b, o + 8)
           val ch = le16(b, o + 10)
           val rate = le32(b, o + 12).toInt
-          blockAlign = le16(b, o + 20)
+          val align = le16(b, o + 20)
           val bits = le16(b, o + 22)
           if (ch <= 0 || rate <= 0 || bits <= 0) return None
-          fmt = Some((ch, rate, bits))
+          fmt = Some((af, ch, rate, align, bits))
         } else if (id == "data") {
+          dataOff = o + 8
           dataSize = size
         }
         // chunks are word-aligned: odd sizes carry a pad byte; sizes
@@ -191,13 +240,26 @@ object Multimodal {
         if (step <= 0 || o + step > Int.MaxValue) o = b.length
         else o += step.toInt
       }
-      fmt.map { case (ch, rate, bits) =>
-        val align = if (blockAlign > 0) blockAlign else ch * (bits / 8)
-        val frames =
-          if (dataSize < 0 || align <= 0) 0L else dataSize / align
-        AudioMeta(rate, ch, bits, frames)
+      fmt.map { case (af, ch, rate, align, bits) =>
+        WavChunks(af, ch, rate, align, bits, dataOff, dataSize)
       }
     }
+
+    /** WAV RIFF header: "RIFF" size "WAVE", then chunks; "fmt " carries
+      * (LE) audioFormat u16, channels u16, sampleRate u32, byteRate u32,
+      * blockAlign u16, bitsPerSample u16; frame count is the declared
+      * "data" chunk size over blockAlign (the declared size is trusted
+      * even when the sample bytes are truncated away — header-only
+      * payloads are the pipeline's fixture shape). */
+    def wavMeta(b: Array[Byte]): Option[AudioMeta] =
+      wavChunks(b).map { c =>
+        val align =
+          if (c.blockAlign > 0) c.blockAlign
+          else c.channels * (c.bitsPerSample / 8)
+        val frames =
+          if (c.dataSize < 0 || align <= 0) 0L else c.dataSize / align
+        AudioMeta(c.sampleRate, c.channels, c.bitsPerSample, frames)
+      }
 
     /** Minimal ISO BMFF (MP4) walk: top-level boxes to `moov`, then
       * `mvhd` (v0: timescale u32 + duration u32 after the 4-byte
@@ -206,34 +268,7 @@ object Multimodal {
       * fixed point at the box tail). */
     def mp4Meta(b: Array[Byte]): Option[VideoMeta] = {
       def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
-        new Iterator[(String, Int, Int)] {
-          private var o = lo
-          def hasNext: Boolean = o + 8 <= hi
-          def next(): (String, Int, Int) = {
-            // size is an unsigned 32-bit field: advance in Long so a
-            // corrupt value cannot wrap the offset negative
-            val size = be32(b, o).toLong & 0xffffffffL
-            val tpe = fourcc(b, o + 4)
-            if (size == 1L && o + 16 <= hi) {
-              // size==1: 64-bit largesize follows the type (ISO BMFF
-              // §4.2) — common on >4 GB mdat; must not end the walk
-              val large = be64(b, o + 8)
-              val end =
-                if (large < 16L) hi
-                else math.min(hi.toLong, o.toLong + large).toInt
-              val cur = o
-              o = if (large < 16L) hi else end
-              (tpe, cur + 16, end)
-            } else {
-              val body = o + 8
-              val end =
-                if (size <= 0) hi
-                else math.min(hi.toLong, o.toLong + size).toInt
-              o = if (size <= 8) hi else end
-              (tpe, body, end)
-            }
-          }
-        }
+        bmffBoxes(b, lo, hi)
       if (b.length < 16) return None
       if (!boxes(0, b.length).exists(_._1 == "ftyp")) return None
       val moov = boxes(0, b.length).find(_._1 == "moov").getOrElse {
@@ -449,20 +484,17 @@ object Multimodal {
       * of the exact rational — an oracle computing the same formula
       * matches bit-wise. */
     def wavPcmFeatures(b: Array[Byte]): Option[(Double, Double)] = {
-      val meta = wavMeta(b).getOrElse(return None)
+      val meta = wavChunks(b).getOrElse(return None)
+      // audioFormat 1 = integer PCM. A-law/mu-law (6/7) are ALSO 8 bits
+      // per sample — decoding their companded bytes as unsigned PCM
+      // would emit confident garbage rms/peak, so the tag check is
+      // load-bearing, not pedantry
+      if (meta.audioFormat != 1) return None
       if (meta.bitsPerSample != 8 && meta.bitsPerSample != 16) return None
-      // locate the data chunk and require the declared bytes to be present
-      var o = 12
-      var dataOff = -1
-      var dataLen = -1L
-      while (dataOff < 0 && o + 8 <= b.length) {
-        val id = fourcc(b, o)
-        val size = le32(b, o + 4)
-        if (id == "data") { dataOff = o + 8; dataLen = size }
-        val step = 8L + size + (size & 1L)
-        if (step <= 0 || o + step > Int.MaxValue) o = b.length
-        else o += step.toInt
-      }
+      // the shared walk located the data chunk; require the declared
+      // bytes to actually be present
+      val dataOff = meta.dataOffset
+      val dataLen = meta.dataSize
       if (dataOff < 0 || dataLen <= 0 || dataOff + dataLen > b.length)
         return None
       val n = dataLen.toInt / (meta.bitsPerSample / 8)
@@ -502,28 +534,7 @@ object Multimodal {
       * codec, but locating frame byte ranges needs none. */
     def mp4Frames(b: Array[Byte]): Option[(Long, Seq[FrameLoc])] = {
       def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
-        new Iterator[(String, Int, Int)] {
-          private var o = lo
-          def hasNext: Boolean = o + 8 <= hi
-          def next(): (String, Int, Int) = {
-            val size = be32(b, o).toLong & 0xffffffffL
-            val tpe = fourcc(b, o + 4)
-            if (size == 1L && o + 16 <= hi) {
-              val large = be64(b, o + 8)
-              val end = if (large < 16L) hi
-                else math.min(hi.toLong, o.toLong + large).toInt
-              val cur = o
-              o = if (large < 16L) hi else end
-              (tpe, cur + 16, end)
-            } else {
-              val body = o + 8
-              val end = if (size <= 0) hi
-                else math.min(hi.toLong, o.toLong + size).toInt
-              o = if (size <= 8) hi else end
-              (tpe, body, end)
-            }
-          }
-        }
+        bmffBoxes(b, lo, hi)
       def find(lo: Int, hi: Int, tpe: String): Option[(Int, Int)] =
         boxes(lo, hi).collectFirst { case (`tpe`, b0, b1) => (b0, b1) }
       try {
@@ -661,23 +672,35 @@ object Multimodal {
       * luminance [[thumbnail]] mapped to [-1,1]. Payloads the JDK cannot
       * decode (header-only fixtures, truncated streams, video) keep the
       * documented deterministic byte-derived STUB features, so every
-      * asset still yields a row; unrecognized payloads additionally fall
-      * back to hash-derived dims. Header dims stay authoritative when
+      * asset still yields a row; payloads that neither header-parse nor
+      * pixel-decode fall back to hash-derived dims, while a payload the
+      * JDK decodes without a hand parser (e.g. TIFF) reports the
+      * decoded image's REAL dims. Header dims stay authoritative when
       * both parse (a BufferedImage forgets palette/bit-depth layout). */
     def decode(payload: Array[Byte], mime: String): (Int, Int, Int, Int, Double, Array[Float]) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val dims = pngDims(payload).orElse(jpegDims(payload))
-        .orElse(gifDims(payload)).orElse(bmpDims(payload)).getOrElse {
-        Dims(16 + math.abs(h % 64), 16 + math.abs((h / 64) % 64),
-          if (mime.startsWith("image")) 3 else 1, 8)
-      }
+      // lazy: the happy path (header parses, pixels decode) must not
+      // pay an O(n_bytes) full-payload hash it never uses
+      lazy val h = java.util.Arrays.hashCode(payload)
+      val hdr = pngDims(payload).orElse(jpegDims(payload))
+        .orElse(gifDims(payload)).orElse(bmpDims(payload))
       pixelDecode(payload) match {
         case Some(img) =>
+          // header dims stay authoritative when both parse (a
+          // BufferedImage forgets palette/bit-depth layout); when no
+          // hand parser recognizes the format but the JDK decodes it
+          // (e.g. TIFF), the decoded image's REAL dims beat a
+          // hash-derived fake
+          val dims = hdr.getOrElse(Dims(img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, 8))
           val (lum, th) = pixelFeatures(img)
           val emb = th.map(v => (v * 2 - 1).toFloat)
           (dims.width, dims.height, dims.channels, dims.bitDepth,
             lum, emb)
         case None =>
+          val dims = hdr.getOrElse {
+            Dims(16 + math.abs(h % 64), 16 + math.abs((h / 64) % 64),
+              if (mime.startsWith("image")) 3 else 1, 8)
+          }
           val brightness =
             if (payload.isEmpty) 0.0
             else payload.iterator.map(b => (b & 0xff).toDouble).sum /
@@ -1182,11 +1205,13 @@ object Multimodal {
     *     s identical copies costs C(s,2) candidate pairs in the band
     *     join — quadratic in copy count, the all-pairs blowup the
     *     banding exists to avoid.
-    *  2. NEAR on representatives only: the hash split into 4×16-bit
-    *     bands (two hashes within Hamming distance 3 must share a band
-    *     — pigeonhole), candidate pairs from a band equi-join, verified
-    *     with codegen'd `bit_count(xor) <= maxHamming` on candidates
-    *     only, then the shared O(log n) star contraction
+    *  2. NEAR on representatives only: the hash split into
+    *     `maxHamming + 1` bands (two hashes within the radius have
+    *     fewer differing bits than bands, so one band is intact —
+    *     pigeonhole, for EVERY accepted radius), candidate pairs from
+    *     a band equi-join, verified with codegen'd
+    *     `bit_count(xor) <= maxHamming` on candidates only, then the
+    *     shared O(log n) star contraction
     *     ([[TextOps.dedupClustersStar]]).
     *
     * Labels map back through the hash groups: a component's label is
@@ -1219,10 +1244,19 @@ object Multimodal {
       maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
-      "maxHamming outside [0,16]: 4x16-bit banding only guarantees " +
-        "candidate recall through distance 3; beyond that add bands")
+      "maxHamming outside [0,16]: wider radii explode the candidate " +
+        "rate (17+ bands of <4 bits each collide on most pairs)")
     require(brightnessTol > 0, "brightnessTol must be positive")
     val useB = !brightnessTol.isPosInfinity
+    // banding is DERIVED from the radius so the pigeonhole recall
+    // guarantee holds for every accepted maxHamming, not just <= 3:
+    // with (maxHamming + 1) bands, a pair within the radius has more
+    // bands than differing bits, so at least one band is intact and
+    // the pair becomes a candidate. (A fixed 4x16 layout silently
+    // dropped true pairs at distance 4+ — bits can spread 2+1+1+1
+    // across four bands and share none.)
+    val nBands = maxHamming + 1
+    val bandW = 64 / nBands
     // one decode pass, not one per consumer: the hash frame feeds the
     // rep groupBy, the label join, and the undecoded self-label branch,
     // and each branch of the final DAG would re-run the (expensive)
@@ -1249,9 +1283,14 @@ object Multimodal {
       } else reps.withColumn("bkey", lit(0L))
     val banded = bucketed.select(col("rep_id"), col("dhash"),
       col("brightness"), col("bkey"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("dhash"), i * 16)
-          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "key")))
+      posexplode(array((0 until nBands).map { i =>
+        // band i covers bits [i*bandW, ...); the last band absorbs the
+        // remainder so all 64 bits are covered
+        val width = if (i == nBands - 1) 64 - i * bandW else bandW
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        shiftrightunsigned(col("dhash"), i * bandW)
+          .bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "key")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.bkey") === col("b.bkey") &&

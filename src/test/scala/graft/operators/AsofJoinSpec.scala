@@ -51,4 +51,36 @@ class AsofJoinSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("cartesianproduct"))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
   }
+
+  test("null-time reference rows are never as-of matches") {
+    import spark.implicits._
+    // the null-time ref row would sort NULLS FIRST and become the
+    // "earliest" match for probes with no genuine predecessor
+    val probe = Seq((1, "2024-01-01 00:00:00", "p1"))
+      .toDF("uid", "ts", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq((1, Option.empty[String], 99),
+        (1, Option("2024-06-01 00:00:00"), 7)) // later than the probe
+      .toDF("ouid", "ots", "okey")
+      .withColumn("ots", col("ots").cast("timestamp"))
+    val out = AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("okey")),
+      s"probe with no earlier real ref matched: ${out(0)}")
+  }
+
+  test("ref payload named like the probe key is rejected loudly") {
+    import spark.implicits._
+    val probe = Seq((1, "2024-01-01 00:00:00"))
+      .toDF("uid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq((1, "2024-01-01 00:00:00", 5))
+      .toDF("ouid", "ots", "uid") // payload column collides with probeKey
+      .withColumn("ots", col("ots").cast("timestamp"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots")
+    }
+    assert(e.getMessage.contains("collision"))
+  }
 }
