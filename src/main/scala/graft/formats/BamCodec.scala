@@ -200,8 +200,13 @@ object BamCodec {
       val base = Array[Any](
         if (qname == null || qname == "*") null else UTF8String.fromString(qname),
         flag,
-        if (unmapped) null else refName(refId),
-        if (unmapped) null else pos0 + 1 + posShift, // 1-based out ("11")
+        // placement, not mappedness: a flag-0x4 read with a valid
+        // refId/pos is a mate-placed unmapped read whose RNAME/POS are
+        // real data (the SAM text parser keeps them — '*'/0 are the
+        // only null spellings there); nulling on the flag lost the
+        // placement and broke SAM/BAM row parity
+        if (refId < 0) null else refName(refId),
+        if (pos0 < 0) null else pos0 + 1 + posShift, // 1-based out ("11")
         mapq,
         if (cigarStr == null) null else UTF8String.fromString(cigarStr),
         refName(nextRefId),
@@ -220,9 +225,13 @@ object BamCodec {
           while (bb.remaining() >= 3) {
             val tag = new String(Array(bb.get(), bb.get()), "ASCII")
             val tpe = bb.get().toChar
-            // a CG tag consumed as the real CIGAR is not reported as a
-            // tag too (same convention as htslib's reconstruction)
-            if (tag == "CG" && cigarReconstructed) skipTagValue(bb, tpe)
+            // a record carrying the long-CIGAR placeholder holds its
+            // real CIGAR in CG:B,I — that tag is never reported as a
+            // tag (htslib's convention), and the gate must be the
+            // RECORD property (placeholder present), not whether the
+            // cigar column happened to be projected: tags.CG must not
+            // change value with the projection
+            if (tag == "CG" && cigarPlaceholder) skipTagValue(bb, tpe)
             else tagIndex.get(tag) match {
               case Some(idx) =>
                 tags(idx) = coerce(readTagValue(bb, tpe), ts(idx).dataType)
@@ -285,7 +294,13 @@ object BamCodec {
       case (l: Long, StringType) => UTF8String.fromString(l.toString)
       case (f: Float, StringType) => UTF8String.fromString(f.toString)
       case (xs: Seq[_], ArrayType(LongType, _)) =>
-        ArrayData.toArrayData(xs.map(_.asInstanceOf[Long]).toArray)
+        // a record whose B-array subtype drifted to 'f' against a
+        // long-typed schema degrades by truncation like the scalar
+        // cases, instead of a task-killing ClassCastException
+        ArrayData.toArrayData(xs.map {
+          case l: Long => l
+          case f: Float => f.toLong
+        }.toArray)
       case (xs: Seq[_], ArrayType(FloatType, _)) =>
         ArrayData.toArrayData(xs.map {
           case f: Float => f

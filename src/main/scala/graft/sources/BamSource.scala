@@ -48,6 +48,22 @@ class BamDataSource extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // supportsExternalMetadata lets callers SKIP inference (e.g. a
+    // catalog-supplied schema), not reorder or subset columns: the
+    // decoder emits rows in FixedFields order, so a reordered user
+    // schema would silently misalign every value ('rname' reading
+    // qname bytes). Reject loudly; projection belongs in select().
+    val fixed = BamSource.FixedFields
+    val core =
+      if (schema.fieldNames.lastOption.contains("tags"))
+        schema.fields.dropRight(1).toSeq
+      else schema.fields.toSeq
+    require(core.map(f => (f.name, f.dataType)) ==
+        fixed.map(f => (f.name, f.dataType)),
+      "user-supplied BAM schema must match the source layout " +
+        s"(${fixed.map(_.name).mkString(",")}[, tags]); got " +
+        s"${schema.fieldNames.mkString(",")} — project with select() " +
+        "instead of a reordered/subset schema")
     new BamTable(schema, LineSourceUtil.resolvePaths(opts),
       LineSourceUtil.optionsMap(opts))
   }
@@ -221,12 +237,15 @@ class BamScan(fullSchema: StructType, required: StructType,
     (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
 
   private def parseRegions: Seq[Region] = {
-    val fromOption = options.get("regions").toSeq
-      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
-      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val fromOption =
+      graft.sources.common.LineSourceUtil.parseRegionsOption(options)
+    // null comparands never match — drop them instead of NPE-ing the
+    // planner (isin("chr1", null) pushes an In containing null)
     val fromFilters: Seq[Region] = pushed.toSeq.flatMap {
-      case EqualTo("rname", v) => Seq(Region(v.toString, 0L, None))
-      case In("rname", vs) => vs.toSeq.map(v => Region(v.toString, 0L, None))
+      case EqualTo("rname", v) if v != null =>
+        Seq(Region(v.toString, 0L, None))
+      case In("rname", vs) =>
+        vs.toSeq.filter(_ != null).map(v => Region(v.toString, 0L, None))
       case _ => Nil
     }
     // regions option takes precedence (more specific)
@@ -254,8 +273,14 @@ class BamScan(fullSchema: StructType, required: StructType,
       require(paths.lengthCompare(1) == 0,
         s"virtual_ranges address a single file's offsets; " +
           s"got ${paths.length} resolved paths")
+      // the expert ranges pick the BYTES to scan, but regions/unmapped
+      // remain row predicates — silently dropping them returned mapped
+      // (or out-of-region) records against the caller's explicit ask
+      val residual = regions.map(r =>
+        (r.name, r.start, r.end.getOrElse(Long.MaxValue)))
       return paths.flatMap(p => explicit.map { case (a, b) =>
-        BamInputPartition(p.toString, Seq((a, b)), Nil)
+        BamInputPartition(p.toString, Seq((a, b)), residual,
+          unmappedOnly = unmappedOnly)
       }).toArray
     }
 
@@ -264,16 +289,20 @@ class BamScan(fullSchema: StructType, required: StructType,
     pathLens.flatMap { case (p, fileLen) =>
       val fs = p.getFileSystem(conf)
       val index = GenomicIndex.findFor(fs, p)
-      // header end vpos = first record boundary
+      // ONE header read per file serves every branch: the parsed
+      // header (region refId resolution) and the header-end vpos =
+      // first record boundary. The indexed-region branch used to open
+      // a second stream for the same header — two opens + seeks +
+      // inflates per file at planning time, a remote GET each on
+      // object stores.
       val si = SeekableInputs.forHadoop(fs, p)
-      val headEnd = try {
+      val (header, headEnd) = try {
         val s = new BgzfRangeInputStream(si, VirtualPosition(0L), None)
-        val le = new BamCodec.LEInput(s)
-        BamCodec.readHeader(le)
+        val h = BamCodec.readHeader(new BamCodec.LEInput(s))
         // aligned: an exhausted header block reports the NEXT block start,
         // matching index-derived split points so no empty leading
         // partition is planned
-        s.alignedVirtualPosition
+        (h, s.alignedVirtualPosition)
       } finally si.close()
       val eof = VirtualPosition(fileLen, 0)
 
@@ -290,12 +319,8 @@ class BamScan(fullSchema: StructType, required: StructType,
         Seq(BamInputPartition(p.toString, Seq((lastMapped.value, eof.value)),
           Nil, unmappedOnly = true))
       } else if (regions.nonEmpty && index.isDefined) {
-        // S3: indexed region query — resolve chrom → refId via header
-        val si2 = SeekableInputs.forHadoop(fs, p)
-        val header = try {
-          val s = new BgzfRangeInputStream(si2, VirtualPosition(0L), None)
-          BamCodec.readHeader(new BamCodec.LEInput(s))
-        } finally si2.close()
+        // S3: indexed region query — resolve chrom → refId via the
+        // already-read header
         val refIds = header.refNames.zipWithIndex.toMap
         // resolve every region, union + merge the chunk lists, and attach
         // the FULL region list as each partition's residual — per-region
@@ -412,9 +437,10 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
   private val need: Array[Boolean] = {
     val req = required.fieldNames.toSet
     // region re-check needs rname/pos/end regardless of projection
-    val withRegion =
-      if (part.regions.nonEmpty) req ++ Set("rname", "pos", "end") else req
-    BamSource.FixedFields.map(f => withRegion(f.name)).toArray
+    // NOTE: the region residual reads RawRecord.refId/pos0/refLen,
+    // which the decoder extracts unconditionally — region checks need
+    // no column materialization, so `req` is used as-is
+    BamSource.FixedFields.map(f => req(f.name)).toArray
   }
   private val coords =
     CoordSystem.fromCode(options.getOrElse("coords", "11"))

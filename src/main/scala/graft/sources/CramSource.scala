@@ -245,12 +245,15 @@ class CramScan(fullSchema: StructType, required: StructType, paths: Seq[Path],
     (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
 
   private def parseRegions: Seq[Region] = {
-    val fromOpt = options.get("regions").toSeq
-      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
-      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val fromOpt =
+      graft.sources.common.LineSourceUtil.parseRegionsOption(options)
+    // null comparands never match — drop them instead of NPE-ing the
+    // planner (same convention as BamSource/LineSource)
     val fromFilters: Seq[Region] = pushed.toSeq.flatMap {
-      case EqualTo("rname", v) => Seq(Region(v.toString, 0L, None))
-      case In("rname", vs) => vs.toSeq.map(v => Region(v.toString, 0L, None))
+      case EqualTo("rname", v) if v != null =>
+        Seq(Region(v.toString, 0L, None))
+      case In("rname", vs) =>
+        vs.toSeq.filter(_ != null).map(v => Region(v.toString, 0L, None))
       case _ => Nil
     }
     if (fromOpt.nonEmpty) fromOpt else fromFilters

@@ -212,9 +212,13 @@ class SamParser(fullSchema: StructType, outOffset: Long,
     val pos = c(3).toLong
     val cigarLen = SamTags.cigarRefLen(c(5))
     val unmapped = (c(1).toInt & 0x4) != 0 || c(2) == "*" || pos == 0
-    // 1-based-closed end == 0-based-half-open end numerically, so no shift
+    // 1-based-closed end == 0-based-half-open end numerically, so no
+    // shift. cigarLen <= 0 (not just '*' = -1): a zero-reference-length
+    // CIGAR (all clips/inserts) covers no reference base, so end is
+    // null — matching the BAM decoder instead of emitting the nonsense
+    // coordinate pos-1
     val endVal: Any =
-      if (unmapped || cigarLen < 0) null
+      if (unmapped || cigarLen <= 0) null
       else pos + cigarLen - 1
 
     val base = Array[Any](

@@ -180,6 +180,33 @@ class BamSourceSpec extends SparkSuite {
     assert(tail == "payloadblock2 payload")
   }
 
+  test("bam: mate-placed unmapped reads keep RNAME/POS (SAM parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bam-placed")
+    val p = dir.resolve("placed.bam").toString
+    BamFixture.write(p, Seq(("chr1", 100000)), Seq(
+      Rec("m1", 0, 0, 99, 30, m(4), "ACGT", null),
+      // flag 0x4 with a valid refId/pos: a mate-placed unmapped read —
+      // its placement is real data the SAM text parser keeps, so the
+      // BAM decoder must not null it on the flag alone
+      Rec("m2", 4, 0, 99, 0, Nil, "ACGT", null),
+      Rec("m3", 4, -1, -1, 0, Nil, "ACGT", null))) // truly placeless
+    val rows = spark.read.format("bam").option("tag_scan_rows", "0")
+      .load(p).orderBy("qname").collect()
+    assert(rows(1).getString(2) == "chr1" && rows(1).getLong(3) == 100,
+      s"placed-unmapped lost its placement: ${rows(1)}")
+    assert(rows(1).isNullAt(11)) // but no alignment end (flag 0x4)
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3))
+  }
+
+  test("bam: a reordered user-supplied schema is rejected loudly") {
+    val e = intercept[Exception] {
+      spark.read.format("bam").schema("rname STRING, pos LONG")
+        .load(bamPath).collect()
+    }
+    assert(e.getMessage.contains("select()"),
+      s"misaligned schema not rejected: ${e.getMessage}")
+  }
+
   test("index: reg2bins covers reg2bin of contained intervals") {
     val rng = new scala.util.Random(1)
     (1 to 200).foreach { _ =>
