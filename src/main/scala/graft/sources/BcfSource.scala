@@ -42,7 +42,10 @@ class BcfDataSource extends TableProvider
     // same guard as VcfFormat.schema: the sample slot mapping comes
     // from ONE header — a file with a different sample order would
     // silently swap genotype columns
-    if (paths.length > 1 && header.samples.nonEmpty &&
+    // no samples.nonEmpty short-circuit: a sites-only FIRST file would
+    // otherwise skip the check and silently drop the other files'
+    // genotype columns ([] vs [A,B] is exactly a differing header)
+    if (paths.length > 1 &&
         opts.getOrElse("include_samples", "true").toBoolean)
       paths.tail.foreach { p =>
         val other = BcfSource.sampleColumns(BcfSource.readHeaderText(p))
@@ -63,6 +66,9 @@ class BcfDataSource extends TableProvider
 }
 
 object BcfSource {
+
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[BcfPartitionReader])
 
   def readHeaderText(path: Path): String = {
     val fs = path.getFileSystem(graft.sources.common.GraftHadoop.conf())
@@ -168,12 +174,15 @@ class BcfScan(fullSchema: StructType, required: StructType,
     (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
 
   private def parseRegions: Seq[Region] = {
-    val fromOpt = options.get("regions").toSeq
-      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
-      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val fromOpt =
+      graft.sources.common.LineSourceUtil.parseRegionsOption(options)
+    // null comparands never match — drop them instead of NPE-ing the
+    // planner (same convention as BamSource/CramSource/LineSource)
     val fromFilters: Seq[Region] = pushed.toSeq.flatMap {
-      case EqualTo("chrom", v) => Seq(Region(v.toString, 0L, None))
-      case In("chrom", vs) => vs.toSeq.map(v => Region(v.toString, 0L, None))
+      case EqualTo("chrom", v) if v != null =>
+        Seq(Region(v.toString, 0L, None))
+      case In("chrom", vs) =>
+        vs.toSeq.filter(_ != null).map(v => Region(v.toString, 0L, None))
       case _ => Nil
     }
     if (fromOpt.nonEmpty) fromOpt else fromFilters
@@ -305,6 +314,60 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
   private val wantFmtKey: Int => Boolean =
     k => wantedFmtIdx.forall(_(k))
 
+  // ---- per-partition precomputation: the hot row loop must never
+  // touch field metadata, fieldNames arrays (each call allocates), or
+  // string maps per record — the text-path VcfParser upholds the same
+  // contract, and this reader paid all three per record before
+  private val infoSlotByDict: Array[Int] = {
+    val nameToSlot: Map[String, Int] =
+      infoSchema.map(_.fieldNames.zipWithIndex.toMap).getOrElse(Map.empty)
+    Array.tabulate(dict.strings.size) { i =>
+      val n = dict.strings(i)
+      if (n == null) -1 else nameToSlot.getOrElse(n, -1)
+    }
+  }
+  private def metaSlot(f: StructField, default: Int): Int =
+    if (f.metadata.contains("vcf_sample_idx"))
+      f.metadata.getLong("vcf_sample_idx").toInt
+    else default
+  private val dictIdxOfName: Map[String, Int] =
+    dict.strings.zipWithIndex
+      .collect { case (s, i) if s != null => s -> i }.toMap
+  // byField layout: outer field = FORMAT key (dict idx per field),
+  // inner = samples (slot per inner field)
+  private val byFieldDictIdx: Array[Int] = samplesSchema match {
+    case Some(ss) if byField =>
+      ss.fields.map(f => dictIdxOfName.getOrElse(f.name, -1))
+    case _ => Array.empty
+  }
+  private val byFieldInnerSlots: Array[Array[Int]] = samplesSchema match {
+    case Some(ss) if byField =>
+      ss.fields.map(_.dataType.asInstanceOf[StructType].fields
+        .zipWithIndex.map { case (sf, j) => metaSlot(sf, j) })
+    case _ => Array.empty
+  }
+  // bySample layout: outer field = sample (its value slot), inner =
+  // FORMAT keys (same struct for every sample → one dict-idx array)
+  private val bySampleSlots: Array[Int] = samplesSchema match {
+    case Some(ss) if !byField =>
+      ss.fields.zipWithIndex.map { case (f, j) => metaSlot(f, j) }
+    case _ => Array.empty
+  }
+  private val bySampleFieldDictIdx: Array[Int] = samplesSchema match {
+    case Some(ss) if !byField && ss.fields.nonEmpty =>
+      ss.fields.head.dataType.asInstanceOf[StructType].fields
+        .map(ff => dictIdxOfName.getOrElse(ff.name, -1))
+    case _ => Array.empty
+  }
+
+  // same malformed-record policy as the text reader (VcfSource
+  // promises "FAILFAST raises, PERMISSIVE skips the record" for the
+  // shared Number=n enforcement — the BCF face must honor the option
+  // too, not silently ignore it)
+  private val permissive =
+    options.getOrElse("mode", "FAILFAST").equalsIgnoreCase("permissive")
+  private var skipped = 0L
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (true) {
@@ -317,9 +380,20 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
               rec.contigId == id && rec.pos0 < e && (rec.pos0 + rec.rlen) > s
           }
           if (keep) {
-            current = project(toRow(rec))
-            emitted += 1
-            return true
+            val row =
+              if (!permissive) project(toRow(rec))
+              else try project(toRow(rec)) catch {
+                case e: Exception =>
+                  skipped += 1
+                  if (skipped <= 10) BcfSource.log.warn(
+                    s"skipping malformed BCF record: ${e.getMessage}")
+                  null
+              }
+            if (row != null) {
+              current = row
+              emitted += 1
+              return true
+            }
           }
       }
     }
@@ -356,38 +430,45 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
       if (!wantInfo) null else {
       val arr = new Array[Any](is.length)
       rec.info.foreach { case (keyIdx, v) =>
-        if (keyIdx < dict.strings.size) {
-          val name = dict.strings(keyIdx)
-          val fi = is.fieldNames.indexOf(name)
-          if (fi >= 0) arr(fi) = enforceCount(is(fi),
-            convert(is(fi).dataType, v))
-        }
+        val fi =
+          if (keyIdx >= 0 && keyIdx < infoSlotByDict.length)
+            infoSlotByDict(keyIdx)
+          else -1
+        if (fi >= 0) arr(fi) = enforceCount(is(fi),
+          convert(is(fi).dataType, v))
       }
       new GenericInternalRow(arr)
       }
     }
 
+    // formats are few per record: a linear probe beats building a
+    // string-keyed map per record
+    def valsFor(dictIdx: Int): IndexedSeq[Any] =
+      if (dictIdx < 0) null
+      else {
+        var i = 0
+        var res: IndexedSeq[Any] = null
+        while (res == null && i < rec.formats.length) {
+          if (rec.formats(i)._1 == dictIdx) res = rec.formats(i)._2
+          i += 1
+        }
+        res
+      }
+
     val samplesVal: Seq[Any] = samplesSchema.toSeq.map { ss =>
       // un-projected: emit a null slot, don't build the struct tree
       // (O(samples) allocations per record otherwise)
       if (!wantSamples) null else {
-      // formats: key dict idx → per-sample values
-      val byName: Map[String, IndexedSeq[Any]] = rec.formats.flatMap {
-        case (k, vals) if k < dict.strings.size => Some(dict.strings(k) -> vals)
-        case _ => None
-      }.toMap
-      def sampleSlot(f: StructField, default: Int): Int =
-        if (f.metadata.contains("vcf_sample_idx"))
-          f.metadata.getLong("vcf_sample_idx").toInt
-        else default
       if (byField) {
         val arr = new Array[Any](ss.length)
         ss.fields.zipWithIndex.foreach { case (fieldF, i) =>
           val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
           val inner = new Array[Any](sampleStruct.length)
-          byName.get(fieldF.name).foreach { vals =>
+          val vals = valsFor(byFieldDictIdx(i))
+          if (vals != null) {
+            val slots = byFieldInnerSlots(i)
             sampleStruct.fields.zipWithIndex.foreach { case (sf, j) =>
-              val slot = sampleSlot(sf, j)
+              val slot = slots(j)
               if (slot < vals.size)
                 inner(j) = enforceCount(sf,
                   convertSample(fieldF.name, sf.dataType, vals(slot)))
@@ -401,13 +482,12 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
         ss.fields.zipWithIndex.foreach { case (sampleF, j) =>
           val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
           val inner = new Array[Any](fieldStruct.length)
-          val slot = sampleSlot(sampleF, j)
+          val slot = bySampleSlots(j)
           fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
-            byName.get(ff.name).foreach { vals =>
-              if (slot < vals.size)
-                inner(i) = enforceCount(ff,
-                  convertSample(ff.name, ff.dataType, vals(slot)))
-            }
+            val vals = valsFor(bySampleFieldDictIdx(i))
+            if (vals != null && slot < vals.size)
+              inner(i) = enforceCount(ff,
+                convertSample(ff.name, ff.dataType, vals(slot)))
           }
           arr(j) = new GenericInternalRow(inner)
         }
@@ -424,19 +504,8 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
     * legal — htslib encodes missing sample values as MISSING +
     * END_OF_VECTOR padding, which the codec strips, so under-length
     * vectors are how '.' looks after decode. */
-  private def enforceCount(f: StructField, value: Any): Any = {
-    if (value != null && f.metadata.contains("vcf_number")) {
-      val n = f.metadata.getLong("vcf_number")
-      value match {
-        case a: ArrayData if a.numElements() > n =>
-          throw new IllegalArgumentException(
-            s"BCF field ${f.name} declares Number=$n but the record " +
-              s"carries ${a.numElements()} values")
-        case _ => ()
-      }
-    }
-    value
-  }
+  private def enforceCount(f: StructField, value: Any): Any =
+    VcfHeader.enforceNumber(f, value, "BCF")
 
   private def convert(dt: DataType, v: Any): Any = (dt, v) match {
     case (BooleanType, _) => true // Flag: presence means true, value is void
@@ -452,12 +521,16 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
         case l: java.lang.Long => l.longValue()
         case _ => null
       }.orNull
+    // int-encoded values against a Float-declared field convert (the
+    // text reader parses "3" as 3.0f — parity demands the same here)
     case (FloatType, f: java.lang.Float) => f.floatValue()
+    case (FloatType, l: java.lang.Long) => l.floatValue()
     case (FloatType, xs: Seq[_]) =>
       require(xs.lengthCompare(1) <= 0,
         s"scalar-typed BCF value carries ${xs.length} elements")
       xs.headOption.map {
         case f: java.lang.Float => f.floatValue()
+        case l: java.lang.Long => l.floatValue()
         case _ => null
       }.orNull
     case (StringType, s: String) => utf8(s)
@@ -472,10 +545,13 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
     case (ArrayType(FloatType, _), xs: Seq[_]) =>
       ArrayData.toArrayData(xs.map {
         case f: java.lang.Float => f
+        case l: java.lang.Long => java.lang.Float.valueOf(l.floatValue())
         case _ => null
       }.toArray)
     case (ArrayType(FloatType, _), f: java.lang.Float) =>
       ArrayData.toArrayData(Array(f))
+    case (ArrayType(FloatType, _), l: java.lang.Long) =>
+      ArrayData.toArrayData(Array(l.floatValue()))
     case (ArrayType(StringType, _), s: String) =>
       ArrayData.toArrayData(s.split(",").map(utf8))
     case (ArrayType(StringType, _), xs: Seq[_]) =>
@@ -484,7 +560,14 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
         case other if other != null => utf8(other.toString)
         case _ => null
       }.toArray)
-    case _ => null
+    // loud, like the text reader: a record whose encoded type cannot
+    // satisfy the header-declared schema type used to fall through to
+    // silent null — silent data loss where the same data through the
+    // VCF text path raises at parse time. PERMISSIVE mode turns this
+    // into a skipped record; FAILFAST surfaces it.
+    case (dt2, other) => throw new IllegalArgumentException(
+      s"BCF value of type ${other.getClass.getSimpleName} does not " +
+        s"match the header-declared ${dt2.simpleString}")
   }
 
   /** FORMAT conversion with the GT special case: BCF encodes GT as int

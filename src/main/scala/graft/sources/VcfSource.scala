@@ -93,7 +93,10 @@ class VcfFormat extends LineFormat {
     // a header read per file, far cheaper than wrong data. (FORMAT
     // divergence is safe: the per-row FORMAT string drives that
     // parsing; differing INFO types fail loudly at parse time.)
-    if (paths.length > 1 && header.samples.nonEmpty &&
+    // no samples.nonEmpty short-circuit: a sites-only FIRST file would
+    // otherwise skip the check and silently drop the other files'
+    // genotype columns ([] vs [A,B] is exactly a differing header)
+    if (paths.length > 1 &&
         options.getOrElse("include_samples", "true").toBoolean)
       paths.tail.foreach { p =>
         val other = VcfHeader.read(p, conf).samples
@@ -170,10 +173,39 @@ final case class VcfHeaderInfo(info: Seq[VcfTypeDef], format: Seq[VcfTypeDef],
 object VcfHeader {
   private val DefRe = """##(INFO|FORMAT)=<(.+)>""".r
 
+  /** THE Number=n FixedSizeList enforcement shared by the VCF text
+    * parser and the BCF binary reader (the reference's semantics,
+    * `variant/model/info.rs:81-113`): a value longer than the declared
+    * fixed count is malformed. Shorter is legal — '.'-padded /
+    * END_OF_VECTOR-stripped vectors are how missing looks after
+    * decode. One definition so the two faces cannot drift (a
+    * near-verbatim local copy drifted once before). */
+  def enforceNumber(f: StructField, value: Any, what: String): Any = {
+    if (value != null && f.metadata.contains("vcf_number")) {
+      val n = f.metadata.getLong("vcf_number")
+      value match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData
+            if a.numElements() > n =>
+          throw new IllegalArgumentException(
+            s"$what field ${f.name} declares Number=$n but the record " +
+              s"carries ${a.numElements()} values")
+        case _ => ()
+      }
+    }
+    value
+  }
+
   def read(path: Path, conf: Configuration): VcfHeaderInfo = {
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
-    val in = if (LineSourceUtil.isGzip(path)) new GZIPInputStream(raw) else raw
+    // the GZIP constructor reads the stream header and throws on
+    // empty/corrupt input BEFORE the reader's try/finally exists —
+    // without this guard `raw` (a connection-holding filesystem
+    // stream) leaks on every such file during schema inference
+    val in =
+      try {
+        if (LineSourceUtil.isGzip(path)) new GZIPInputStream(raw) else raw
+      } catch { case e: Throwable => raw.close(); throw e }
     val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
     try {
       val lines = Iterator.continually(r.readLine())
@@ -417,19 +449,8 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
     * (trailing missing values omitted) and BCF's END_OF_VECTOR padding
     * legally produce short vectors, and rejecting them would refuse
     * spec-valid files. */
-  private def enforceCount(f: StructField, value: Any): Any = {
-    if (value != null && f.metadata.contains("vcf_number")) {
-      val n = f.metadata.getLong("vcf_number")
-      value match {
-        case a: ArrayData if a.numElements() > n =>
-          throw new IllegalArgumentException(
-            s"VCF field ${f.name} declares Number=$n but the record " +
-              s"carries ${a.numElements()} values")
-        case _ => ()
-      }
-    }
-    value
-  }
+  private def enforceCount(f: StructField, value: Any): Any =
+    VcfHeader.enforceNumber(f, value, "VCF")
 
   private def dot(v: String) = v == "." || v.isEmpty
   private def strList(v: String, sep: Char): Any =
