@@ -37,17 +37,36 @@ object GziIndex {
     Index(((0L, 0L) +: entries).toIndexedSeq)
   }
 
+  // per-JVM parsed-index cache keyed by (path, size, mtime): one FAI
+  // slice query plans one partition per (sequence x region), and every
+  // FaiSliceReader on an executor would otherwise re-download and
+  // re-parse the same ~16-bytes-per-64KB-block index (easily more
+  // index I/O than sequence I/O on thousand-slice queries). The
+  // (size, mtime) key invalidates naturally when the file changes;
+  // bounded so a long-lived executor touching many genomes cannot
+  // grow it without limit.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Index]()
+  private val CacheMax = 64
+
   def readFor(dataPath: Path, conf: Configuration): Option[Index] = {
     val gzi = new Path(dataPath.toString + ".gzi")
     val fs = gzi.getFileSystem(conf)
     if (!fs.exists(gzi)) None
     else {
-      val in = fs.open(gzi)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(gzi).getLen.toInt)
-        in.readFully(bytes)
-        Some(parse(bytes))
-      } finally in.close()
+      val st = fs.getFileStatus(gzi)
+      val key = (gzi.toString, st.getLen, st.getModificationTime)
+      Option(cache.get(key)).orElse {
+        val in = fs.open(gzi)
+        val idx = try {
+          val bytes = new Array[Byte](st.getLen.toInt)
+          in.readFully(bytes)
+          parse(bytes)
+        } finally in.close()
+        if (cache.size >= CacheMax) cache.clear()
+        cache.put(key, idx)
+        Some(idx)
+      }
     }
   }
 

@@ -176,7 +176,13 @@ class BbiScanBuilder(wig: Boolean, fullSchema: StructType, paths: Seq[Path],
 /** One r-tree section of one file. */
 case class BbiInputPartition(pathStr: String, dataOffset: Long,
     dataSize: Long, startChromId: Int, startBase: Long, endChromId: Int,
-    endBase: Long, regions: Seq[(String, Long, Long)]) extends InputPartition
+    endBase: Long, regions: Seq[(String, Long, Long)],
+    // header + chrom table ship WITH the partition: one partition per
+    // r-tree leaf section means a big file has thousands, and each
+    // reader re-reading the header and walking the chromosome B+ tree
+    // (several seeks each) is pure planning work repeated per task
+    header: graft.formats.BbiCodec.Header,
+    chroms: Seq[graft.formats.BbiCodec.Chrom]) extends InputPartition
 
 class BbiScan(wig: Boolean, fullSchema: StructType, required: StructType,
     paths: Seq[Path], options: Map[String, String], pushed: Array[Filter],
@@ -189,12 +195,15 @@ class BbiScan(wig: Boolean, fullSchema: StructType, required: StructType,
       (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
 
   private def parseRegions: Seq[Region] = {
-    val fromOpt = options.get("regions").toSeq
-      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
-      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val fromOpt =
+      graft.sources.common.LineSourceUtil.parseRegionsOption(options)
+    // null comparands never match - drop them instead of NPE-ing the
+    // planner (same convention as every other source)
     val fromFilters: Seq[Region] = pushed.toSeq.flatMap {
-      case EqualTo("chrom", v) => Seq(Region(v.toString, 0L, None))
-      case In("chrom", vs) => vs.toSeq.map(v => Region(v.toString, 0L, None))
+      case EqualTo("chrom", v) if v != null =>
+        Seq(Region(v.toString, 0L, None))
+      case In("chrom", vs) =>
+        vs.toSeq.filter(_ != null).map(v => Region(v.toString, 0L, None))
       case _ => Nil
     }
     if (fromOpt.nonEmpty) fromOpt else fromFilters
@@ -208,6 +217,13 @@ class BbiScan(wig: Boolean, fullSchema: StructType, required: StructType,
       val in = SeekableInputs.forHadoop(fs, p)
       try {
         val header = BbiCodec.readHeader(in)
+        // the chosen format must match the file: readHeader accepts
+        // both magics, and a bigwig file read as bigbed (or vice
+        // versa) would parse the other encoding as silent garbage rows
+        require(header.isBigWig == wig,
+          s"$p is a ${if (header.isBigWig) "BigWig" else "BigBed"} file; " +
+            s"read it with format(\"${if (header.isBigWig) "bigwig"
+              else "bigbed"}\")")
         val chroms = BbiCodec.readChroms(in, header)
         val byName = chroms.map(c => c.name -> c).toMap
         val indexOffset = BbiSource.zoomLevel(options) match {
@@ -236,11 +252,12 @@ class BbiScan(wig: Boolean, fullSchema: StructType, required: StructType,
           }
           secs.values.toSeq.map(s => BbiInputPartition(p.toString,
             s.dataOffset, s.dataSize, s.startChromId, s.startBase,
-            s.endChromId, s.endBase, residuals))
+            s.endChromId, s.endBase, residuals, header, chroms))
         } else {
           BbiCodec.querySections(in, indexOffset, -1, 0, 0)
             .map(s => BbiInputPartition(p.toString, s.dataOffset, s.dataSize,
-              s.startChromId, s.startBase, s.endChromId, s.endBase, Nil))
+              s.startChromId, s.startBase, s.endChromId, s.endBase, Nil,
+              header, chroms))
         }
       } finally in.close()
     }.toArray
@@ -265,8 +282,9 @@ class BbiPartitionReader(wig: Boolean, fullSchema: StructType,
   private val path = new Path(part.pathStr)
   private val fs = path.getFileSystem(graft.sources.common.GraftHadoop.conf())
   private val in = SeekableInputs.forHadoop(fs, path)
-  private val header = BbiCodec.readHeader(in)
-  private val chroms = BbiCodec.readChroms(in, header)
+  // shipped from planning - no per-section header/B+-tree re-read
+  private val header = part.header
+  private val chroms = part.chroms
   private val nameById = chroms.map(c => c.id -> c.name).toMap
   private val idByName = chroms.map(c => c.name -> c.id).toMap
   private val zoom = BbiSource.zoomLevel(options)
@@ -360,20 +378,8 @@ class BbiPartitionReader(wig: Boolean, fullSchema: StructType,
 
   override def next(): Boolean = {
     if (!rows.hasNext) return false
-    val row = rows.next()
-    current =
-      if (identityProj) row
-      else {
-        val out = new Array[Any](projIdx.length)
-        var i = 0
-        while (i < projIdx.length) {
-          val idx = projIdx(i)
-          out(i) = if (row.isNullAt(idx)) null
-            else row.get(idx, fullSchema(idx).dataType)
-          i += 1
-        }
-        new GenericInternalRow(out)
-      }
+    current = graft.sources.common.LineSourceUtil.projectRow(
+      rows.next(), projIdx, fullSchema, identityProj)
     true
   }
 

@@ -87,9 +87,7 @@ class FaiSliceScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
-    val regions = options.get("regions").toSeq
-      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
-      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val regions = LineSourceUtil.parseRegionsOption(options)
     paths.flatMap { p =>
       val gzi = LineSourceUtil.isGzip(p)
       val entries = FaiIndex.readFor(p, conf).getOrElse(Nil)
@@ -146,6 +144,7 @@ class FaiSliceReader(fullSchema: StructType, required: StructType,
 
   private val projIdx: Array[Int] =
     required.fieldNames.map(fullSchema.fieldIndex)
+  private val identityProj = projIdx.sameElements(fullSchema.indices)
 
   private var done = false
   private var current: InternalRow = _
@@ -183,15 +182,8 @@ class FaiSliceReader(fullSchema: StructType, required: StructType,
       UTF8String.fromString(part.name), desc,
       part.regionStart, end,
       if (seq == null) null else UTF8String.fromString(seq)))
-    val out = new Array[Any](projIdx.length)
-    var i = 0
-    while (i < projIdx.length) {
-      val idx = projIdx(i)
-      out(i) = if (full.isNullAt(idx)) null
-        else full.get(idx, fullSchema(idx).dataType)
-      i += 1
-    }
-    current = new GenericInternalRow(out)
+    current = LineSourceUtil.projectRow(full, projIdx, fullSchema,
+      identityProj)
     true
   }
 

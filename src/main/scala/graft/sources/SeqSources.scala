@@ -27,8 +27,12 @@ class FastaFormat extends LineFormat {
   override def commentPrefixes: Seq[String] = Seq(";")
   override def splittable: Boolean = false
 
+  // presence must be derived from the PARSED list, not the raw value:
+  // a separator-only regions value (";") trims non-empty but parses to
+  // zero regions, and a schema/parser disagreement emits 3-field rows
+  // under a 5-field schema
   private def hasRegions(options: Map[String, String]): Boolean =
-    options.get("regions").exists(_.trim.nonEmpty)
+    graft.sources.common.LineSourceUtil.parseRegionsOption(options).nonEmpty
 
   override def schema(options: Map[String, String], paths: Seq[Path],
       conf: Configuration): StructType = {
@@ -44,9 +48,8 @@ class FastaFormat extends LineFormat {
 
   override def newParser(fullSchema: StructType,
       options: Map[String, String]): LineParser = {
-    val regions = options.get("regions").toSeq
-      .flatMap(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
-      .map(Region.parse(_, CoordSystem.OneBasedClosed))
+    val regions =
+      graft.sources.common.LineSourceUtil.parseRegionsOption(options)
     new FastaParser(regions)
   }
 }
@@ -116,7 +119,8 @@ class FastaDataSource extends LineTableProvider {
     val options = graft.sources.common.LineSourceUtil.optionsMap(opts)
     val paths = graft.sources.common.LineSourceUtil.resolvePaths(opts)
     val conf = graft.sources.common.GraftHadoop.conf()
-    val hasRegions = options.get("regions").exists(_.trim.nonEmpty)
+    val hasRegions = graft.sources.common.LineSourceUtil
+      .parseRegionsOption(options).nonEmpty
     val indexable = hasRegions && paths.nonEmpty && paths.forall { p =>
       graft.formats.FaiIndex.readFor(p, conf).isDefined &&
         (!graft.sources.common.LineSourceUtil.isGzip(p) ||
@@ -170,10 +174,13 @@ class FastqParser extends LineParser {
     * partition; that is inherent to the format ('@' is a valid quality
     * character, so headers are not unambiguously recognizable). */
   override def parse(line: String): InternalRow = {
-    val phase = lineNo % 4
+    val phase = lineNo
     if (phase == 0 && line.isEmpty)
       throw new IllegalArgumentException("blank line between FASTQ records")
-    lineNo += 1
+    // bounded, never a raw counter: an Int incremented past 2^31 lines
+    // (NovaSeq-scale single files) wraps negative and `% 4` then
+    // matches no case — a mid-scan MatchError
+    lineNo = (lineNo + 1) % 4
     phase match {
       case 0 =>
         bad = false

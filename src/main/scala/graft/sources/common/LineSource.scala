@@ -115,6 +115,26 @@ object LineSourceUtil {
       .map(graft.core.Region.parse(_,
         graft.core.CoordSystem.OneBasedClosed))
 
+  /** The ONE row projector shared by every partition reader (line,
+    * BBI, FAI-slice): copy the required ordinals out of a full-schema
+    * row, with the identity short-circuit. Three hand-rolled copies of
+    * this loop existed before; keeping the null handling in one place
+    * means it cannot drift. */
+  def projectRow(row: InternalRow, projIdx: Array[Int],
+      fullSchema: StructType, identityProj: Boolean): InternalRow =
+    if (identityProj) row
+    else {
+      val out = new Array[Any](projIdx.length)
+      var i = 0
+      while (i < projIdx.length) {
+        val idx = projIdx(i)
+        out(i) = if (row.isNullAt(idx)) null
+          else row.get(idx, fullSchema(idx).dataType)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    }
+
   /** The Catalyst-pruned inner struct of top-level column `name` in a
     * pruned schema, if the column is requested at all — the shared
     * nested-projection hint extractor for every format reader. */
@@ -884,18 +904,7 @@ class LineReader(format: LineFormat, fullSchema: StructType,
   }
 
   private def project(row: InternalRow): InternalRow =
-    if (identityProj) row
-    else {
-      val out = new Array[Any](projIdx.length)
-      var i = 0
-      while (i < projIdx.length) {
-        val idx = projIdx(i)
-        out(i) = if (row.isNullAt(idx)) null
-          else row.get(idx, fullSchema(idx).dataType)
-        i += 1
-      }
-      new GenericInternalRow(out)
-    }
+    LineSourceUtil.projectRow(row, projIdx, fullSchema, identityProj)
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
