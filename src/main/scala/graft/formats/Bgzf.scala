@@ -107,7 +107,11 @@ object Bgzf {
       var i = 0
       while (i + 4 <= xlen && bsize < 0) {
         val slen = u16(full, i + 2)
-        if (full(i) == 'B' && full(i + 1) == 'C' && slen == 2)
+        // reading the BC payload needs i+6 <= xlen, not just the i+4
+        // subfield header — a truncated extra field must hit the
+        // require below, not an ArrayIndexOutOfBounds
+        if (full(i) == 'B' && full(i + 1) == 'C' && slen == 2 &&
+            i + 6 <= xlen)
           bsize = u16(full, i + 4) + 1
         i += 4 + slen
       }
@@ -116,9 +120,17 @@ object Bgzf {
     val cdataLen = bsize - xlen - 19 - 1
     val cdata = new Array[Byte](cdataLen)
     in.seek(offset + 12 + xlen)
-    in.readFully(cdata, 0, cdataLen)
+    // short reads are TRUNCATION, same as a partial header: with the
+    // trailer buffer zeroed, isize would read 0, the inflate loop
+    // would be skipped, and the partial final block would silently
+    // decode as empty — dropping the tail of the scan as a clean EOF
+    val gotC = in.readFully(cdata, 0, cdataLen)
+    if (gotC < cdataLen) throw new EOFException(
+      s"truncated BGZF block data at offset $offset ($gotC of $cdataLen)")
     val trailer = new Array[Byte](8)
-    in.readFully(trailer, 0, 8)
+    val gotT = in.readFully(trailer, 0, 8)
+    if (gotT < 8) throw new EOFException(
+      s"truncated BGZF block trailer at offset $offset ($gotT of 8)")
     val isize = u32(trailer, 4).toInt
     val out = new Array[Byte](isize)
     if (isize > 0) {

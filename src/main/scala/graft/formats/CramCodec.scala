@@ -343,12 +343,32 @@ object CramCodec {
     def readByte(): Int = {
       val b = data(pos) & 0xff; pos += 1; b
     }
+    // inline ITF8 decode straight off the array: this is the hottest
+    // cursor op (most int series are EXTERNAL — 10+ reads per record),
+    // and the stream-based form allocated a fresh ByteArrayInputStream
+    // per value. Same prefix scheme as CramCodec.readItf8: the number
+    // of leading 1-bits in the first byte selects 0-4 continuation
+    // bytes; the 5-byte form keeps only the LOW 4 bits of the prefix.
     def readItf8Value(): Int = {
-      val in = new ByteArrayInputStream(data, pos, data.length - pos)
-      val before = in.available()
-      val v = CramCodec.readItf8(in)
-      pos += before - in.available()
-      v
+      val b0 = data(pos) & 0xff
+      pos += 1
+      if ((b0 & 0x80) == 0) b0
+      else if ((b0 & 0x40) == 0) {
+        val v = ((b0 & 0x3f) << 8) | (data(pos) & 0xff); pos += 1; v
+      } else if ((b0 & 0x20) == 0) {
+        val v = ((b0 & 0x1f) << 16) | ((data(pos) & 0xff) << 8) |
+          (data(pos + 1) & 0xff)
+        pos += 2; v
+      } else if ((b0 & 0x10) == 0) {
+        val v = ((b0 & 0x0f) << 24) | ((data(pos) & 0xff) << 16) |
+          ((data(pos + 1) & 0xff) << 8) | (data(pos + 2) & 0xff)
+        pos += 3; v
+      } else {
+        val v = ((b0 & 0x0f) << 28) | ((data(pos) & 0xff) << 20) |
+          ((data(pos + 1) & 0xff) << 12) | ((data(pos + 2) & 0xff) << 4) |
+          (data(pos + 3) & 0x0f)
+        pos += 4; v
+      }
     }
     def readBytes(n: Int): Array[Byte] = {
       val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
@@ -366,8 +386,14 @@ object CramCodec {
 
   /** Canonical Huffman decoder (symbols ranked by (length, list order)). */
   final class HuffmanDecoder(alphabet: Seq[Int], lengths: Seq[Int]) {
+    // zero-LENGTH code, not just single-symbol: a writer may legally
+    // assign a 1-bit code to a one-symbol alphabet, and skipping the
+    // bit read would leave an unconsumed core bit per record,
+    // desynchronizing every later core-consuming series in the slice
     private val single: Option[Int] =
-      if (alphabet.size == 1) Some(alphabet.head) else None
+      if (alphabet.size == 1 && lengths.headOption.contains(0))
+        Some(alphabet.head)
+      else None
     // (code, length) -> symbol
     private val table: Map[(Int, Int), Int] = {
       val sorted = alphabet.zip(lengths).sortBy { case (sym, len) => (len, sym) }
@@ -546,14 +572,29 @@ object CramCodec {
       var matePos = 0
       var templateSize = 0
       if ((cramFlags & 0x2) != 0) { // detached
-        mf.readInt() // mate flags (folded into bamFlags by writers)
+        // KNOWN GAP: MF (mate flags) is consumed but not OR-ed back
+        // into bamFlags. htslib/htsjdk translate MF's mate-unmapped/
+        // mate-reverse bits into BF 0x8/0x20 for detached records; a
+        // writer that relies on MF alone (the spec permits it) loses
+        // those two flag bits here. Every fixture in this repo and
+        // htslib's own output duplicate them into BF, which is why the
+        // gates stay green — closing this needs an MF-only fixture.
+        mf.readInt()
         if (!comp.readNamesIncluded)
           readName = new String(rnS.readBytes(), "ASCII")
         mateRefId = ns.readInt()
         matePos = np.readInt()
         templateSize = ts.readInt()
       } else if ((cramFlags & 0x4) != 0) {
-        nf.readInt() // downstream mate distance (unused here)
+        // KNOWN GAP: NF (downstream mate distance) is consumed but
+        // in-slice mates are not resolved — non-detached paired
+        // records report mateRefId=-1/matePos=0/templateSize=0 (null
+        // rnext/pnext, tlen 0 in the row) where htslib reconstructs
+        // them from the mate record NF points at. Parity holds for
+        // detached pairs (the common cross-slice case) and all current
+        // fixtures; full resolution needs a second pass over the
+        // decoded slice records plus htslib's tlen/flag reconstruction.
+        nf.readInt()
       }
       val tagLine = tl.readInt()
       // each (tag, type) has its own encoding/blocks, keyed by the

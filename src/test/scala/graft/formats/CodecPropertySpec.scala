@@ -156,4 +156,22 @@ class CodecPropertySpec extends AnyFunSuite {
       assert(dec.sameElements(data), s"n=$n")
     }
   }
+
+  test("ByteCursor inline ITF8 decode matches the stream decoder") {
+    // the cursor's allocation-free inline form must agree with the
+    // canonical stream readItf8 on every prefix width and on packed
+    // back-to-back values
+    check("itf8Inline", Prop.forAll(
+      org.scalacheck.Gen.listOfN(8,
+        org.scalacheck.Gen.chooseNum(Int.MinValue, Int.MaxValue))) { vs =>
+      val bo = new java.io.ByteArrayOutputStream()
+      vs.foreach(v => CramCodec.writeItf8(bo, v))
+      val bytes = bo.toByteArray
+      val cur = new CramCodec.ByteCursor(bytes)
+      val sin = new java.io.ByteArrayInputStream(bytes)
+      vs.forall { _ =>
+        cur.readItf8Value() == CramCodec.readItf8(sin)
+      } && cur.pos == bytes.length
+    })
+  }
 }
