@@ -128,6 +128,12 @@ private[graft] object AnnRecall {
     * (overall + true-neighbor), like the exact frame. */
   def json(spark: SparkSession, sfDir: String): String =
     try {
+      // SPARK_GRAFT_ANN_SCALE=k multiplies the clustered corpus (k x
+      // vectors AND k x clusters — per-blob size stays fixed while
+      // band/cell key density grows), so the scale2x artifact can pin
+      // clustered recall against data volume, not just at 1x
+      val clScale = math.max(1, sys.env.get("SPARK_GRAFT_ANN_SCALE")
+        .flatMap(_.toIntOption).getOrElse(1))
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val ex = exact(emb).persist()
       val b = banded(emb).persist()
@@ -138,7 +144,8 @@ private[graft] object AnnRecall {
         // testdata numbers if it alone fails — its own try, its own
         // "null" fragments
         val (clB, clI) = {
-          val cl = clusteredCorpus(spark).persist()
+          val cl = clusteredCorpus(spark, n = 2000 * clScale,
+            nClusters = 100 * clScale).persist()
           val cx = exact(cl).persist()
           try (s"${recallOf(cx, banded(cl))}", s"${recallOf(cx, ivf(cl))}")
           catch {
@@ -156,6 +163,7 @@ private[graft] object AnnRecall {
           s""""ivf_at${k}_truenbr":${recallOf(exTrue, i)},""" +
           s""""clustered_banded_at$k":$clB,""" +
           s""""clustered_ivf_at$k":$clI,""" +
+          s""""clustered_scale":$clScale,""" +
           s""""true_nbr_sim":$trueNbrSim,"floor_truenbr":$floor,""" +
           s""""floor_clustered":$clusteredFloor}"""
       } finally {

@@ -51,6 +51,24 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed SCAN-shaped calibration job: a parquet aggregation over the
+    * sf dir's lineitem table (no graft code). The register-bound
+    * range-sum above under-prices the contention that actually slows
+    * the reader benches — an r13 interleaved A/B saw scan times rise
+    * 2.8x while the CPU calibration moved 14%, i.e. the machine was
+    * memory-bandwidth/page-cache contended, not core-starved. A real
+    * columnar scan (decompress + decode + aggregate) exercises the
+    * same resources the b-family does, so the COMBINED per-pass
+    * calibration (cpu + scan) is what `queries_calibrated` divides by. */
+  private def calibrateScan(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("sum(l_quantity)", "sum(l_extendedprice)", "count(*)")
+      .collect()
+    catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Bench-only production-path variants: timed for the honest cost
     * comparison but NOT gate queries. The kernel's base-131 polynomial
     * gram hash is engine-reproducible in principle, but the md5 family
@@ -358,6 +376,11 @@ object Bench {
     val memBefore = memAvailableMb()
     // Interleaved passes: calibration, then every query once, repeated.
     val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
+    val calibrationsScan = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibratePass(): Unit = {
+      calibrations += calibrate(spark)
+      calibrationsScan += calibrateScan(spark, sfDir)
+    }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
@@ -382,7 +405,7 @@ object Bench {
       }
     }
     val passTotals = (0 until runs).map { _ =>
-      calibrations += calibrate(spark)
+      calibratePass()
       val passT0 = System.nanoTime()
       queries.foreach { case (name, fn) => timeOne(name, fn) }
       (System.nanoTime() - passT0) / 1e9
@@ -398,13 +421,46 @@ object Bench {
     val readerQs = queries.filter(_._1.startsWith("b"))
     (runs until readerRuns).foreach { _ =>
       if (readerQs.nonEmpty) {
-        calibrations += calibrate(spark)
+        calibratePass()
         readerQs.foreach { case (name, fn) => timeOne(name, fn) }
       }
     }
-    calibrations += calibrate(spark)
+    calibratePass()
     val results = queries.collect {
       case (name, _) if samples(name).nonEmpty => name -> samples(name).min
+    }
+    // Cross-round comparability: raw seconds from different rounds are
+    // dominated by ambient machine state (the same code benched b08 at
+    // 0.67 s one morning and 1.46 s the same afternoon in an r12
+    // worktree A/B). Every pass is preceded by the two fixed
+    // calibration jobs above (register-bound CPU + scan-shaped), so
+    // each sample can be re-expressed in CALIBRATION UNITS — sample
+    // seconds divided by the COMBINED calibration seconds of its own
+    // pass — which cancels first-order ambient drift in both the
+    // core-contention and memory/page-cache-contention regimes.
+    // `queries_calibrated` (min over per-pass-normalized samples) is
+    // the statistic to diff across rounds; raw `queries` seconds
+    // remain the within-round number. Rule documented in README
+    // ("Bench comparability across rounds").
+    def combinedCal(j: Int): Double = {
+      val c = calibrations(math.min(j, calibrations.length - 1))
+      val s = calibrationsScan(math.min(j, calibrationsScan.length - 1))
+      c + s
+    }
+    val resultsCal = queries.collect {
+      case (name, _) if samples(name).nonEmpty =>
+        val ss = samples(name)
+        // sample j of any query was taken in the j-th pass that query
+        // participated in, and every such pass logged its calibrations
+        // at index j (b-only extra passes continue the numbering)
+        name -> ss.indices.map { j =>
+          val cal = combinedCal(j)
+          if (cal > 0) ss(j) / cal else ss(j)
+        }.min
+    }
+    val calMedian = {
+      val s = calibrations.indices.map(combinedCal).sorted
+      if (s.isEmpty) 0.0 else s(s.length / 2)
     }
     // measured ANN quality (untimed, like readerMeta): recall@10 of the
     // production banded/IVF paths vs brute-force ground truth — the
@@ -413,8 +469,14 @@ object Bench {
     // brute-force ground truth is O(n^2) and a single-query A/B must
     // not pay minutes of untimed recall work (same contract as the
     // corpus gate above).
+    // SPARK_GRAFT_BENCH_ANN=1 forces the recall block even on focused
+    // runs — the scale2x recipe needs recall-vs-scale evidence from its
+    // BENCH_PREFIX=q passes (banded recall can decay as band collision
+    // rates rise with density, so 1x-only recall says nothing about 2x)
     val annRecall =
-      if (only.isEmpty && prefix.isEmpty) AnnRecall.json(spark, sfDir)
+      if ((only.isEmpty && prefix.isEmpty) ||
+          sys.env.get("SPARK_GRAFT_BENCH_ANN").contains("1"))
+        AnnRecall.json(spark, sfDir)
       else "null"
     // optional untimed per-query OUTPUT row counts (scale2x recipe):
     // a 2x-data ratio conflates output growth with plan degradation for
@@ -434,6 +496,8 @@ object Bench {
       .getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsCal = resultsCal.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     // raw per-pass samples (pass order) — lets a reader separate a cold
     // first pass from a genuine steady-state shift per query
     val sampleJson = queries.map { case (name, _) =>
@@ -444,6 +508,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calJson = calibrations.map(fmt).mkString("[", ",", "]")
+    val calScanJson = calibrationsScan.map(fmt).mkString("[", ",", "]")
     val passJson = passTotals.map(fmt).mkString("[", ",", "]")
     val sysJson = s"""{"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,""" +
       s""""mem_available_mb":$memBefore,"cpus":"$cpus",""" +
@@ -463,7 +528,11 @@ object Bench {
     //     tail window.
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",""" +
       s""""sf":"$sfDir","runs":$runs,"action":"noop-write",""" +
-      s""""failed":$failedJson,"queries":$qs,"calibration_sec":$calJson,""" +
+      s""""failed":$failedJson,"queries":$qs,""" +
+      s""""queries_calibrated":$qsCal,""" +
+      s""""calibration_median_sec":${fmt(calMedian)},""" +
+      s""""calibration_sec":$calJson,""" +
+      s""""calibration_scan_sec":$calScanJson,""" +
       s""""pass_totals_sec":$passJson,"samples_sec":$sampleJson,""" +
       s""""reader_corpus":$readerMeta,"ann_recall":$annRecall,""" +
       s""""rows":$rowCounts,"system":$sysJson}"""

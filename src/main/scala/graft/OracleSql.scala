@@ -550,6 +550,26 @@ object OracleSql {
         |  round(max(abs(x)), 6) AS peak
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q64: the stereo convention gate — 2-channel interleaved PCM where
+    // the flat formula differs at every consecutive index, so the
+    // interleaved-flat rms/peak convention (and nothing else) matches;
+    // channels/n_frames are PARSED from the RIFF header (stereo
+    // blockAlign), the oracle computes them closed-form
+    "q64_wav_stereo" ->
+      """WITH s AS (SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 2 = 0
+        |    THEN ((d.doc_id * 7 + t.j * 13) % 256 - 128) / 128.0
+        |    ELSE (((d.doc_id * 7 + t.j * 13) * 257) % 65536 - 32768)
+        |      / 32768.0 END AS x
+        |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        |  CROSS JOIN generate_series(0, 63) t(j)
+        |  WHERE t.j < 2 * (d.doc_id % 32 + 1))
+        |SELECT doc_id, CAST(2 AS BIGINT) AS channels,
+        |  CAST(doc_id % 32 + 1 AS BIGINT) AS n_frames,
+        |  round(sqrt(avg(x * x)), 6) AS rms,
+        |  round(max(abs(x)), 6) AS peak
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q58: the REAL MP4 sample-table demux against closed-form frame
     // geometry: frame i of doc d has size (d%7+1+i%3)*8, pts i*(d%5+1)*40
     // (timescale 1000), and is filled with byte (d+i)%256 — so byte_sum

@@ -799,6 +799,45 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** STEREO PCM oracle — pins the documented multi-channel convention
+    * ([[graft.operators.Multimodal.MediaDecoder.wavPcmFeatures]]): each
+    * doc becomes a 2-channel interleaved WAV (8-bit even ids, 16-bit
+    * odd) whose flat sample formula differs at every consecutive index,
+    * so a decoder that dropped, duplicated, or de-interleaved a channel
+    * produces a different rms/peak than the flat-stream convention;
+    * `channels` and `n_frames` come from the RIFF parser
+    * ([[graft.operators.Multimodal.MediaDecoder.wavMeta]]), so the
+    * stereo blockAlign must be read correctly for the frame count
+    * (samples/2) to match DuckDB's closed form. */
+  private def q64_wav_stereo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = pq(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 32 + 1).toInt // frames per channel
+        val bits = if (id % 2 == 0) 8 else 16
+        val flat = Array.tabulate(2 * n) { j =>
+          if (bits == 8) ((id * 7 + j * 13) % 256).toInt
+          else (((id * 7 + j * 13) * 257) % 65536 - 32768).toInt
+        }
+        (id, "audio/wav",
+          Multimodal.encodePcmWav(8000, bits, flat, channels = 2))
+      }
+    }.toDF("doc_id", "mime", "payload")
+    val typed = Multimodal.toAssets(assets, "doc_id", "mime", "payload")
+    val meta = Multimodal.extractAvMeta(s, typed).toDF()
+      .select(col("asset_id"), col("channels"), col("n_frames"))
+    val feats = Multimodal.extractAudioFeatures(s, typed).toDF()
+      .where(col("decoded"))
+      .select(col("asset_id"), round(col("rms"), 6).as("rms"),
+        round(col("peak"), 6).as("peak"))
+    meta.join(feats, "asset_id")
+      .select(col("asset_id").as("doc_id"), col("channels"),
+        col("n_frames"), col("rms"), col("peak"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL MP4 frame-sampling oracle ([[graft.operators.Multimodal
     * .MediaDecoder.mp4Frames]] — stts/stsz/stsc/stco sample-table
     * demux): each doc becomes an MP4 with id-derived frame sizes/deltas
@@ -1186,7 +1225,8 @@ object SparkEntry {
     "q60_image_neardup" -> (q60_image_neardup _),
     "q61_media_dims_hdr" -> (q61_media_dims_hdr _),
     "q62_video_frames" -> (q62_video_frames _),
-    "q63_flat_dedup" -> (q63_flat_dedup _)) ++
+    "q63_flat_dedup" -> (q63_flat_dedup _),
+    "q64_wav_stereo" -> (q64_wav_stereo _)) ++
     // scanner-correctness gate (s01..s10): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

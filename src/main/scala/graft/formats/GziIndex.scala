@@ -63,7 +63,13 @@ object GziIndex {
           in.readFully(bytes)
           parse(bytes)
         } finally in.close()
-        if (cache.size >= CacheMax) cache.clear()
+        // evict ONE arbitrary entry at capacity, never clear(): a full
+        // wipe under concurrent readers near the cap thundering-herds
+        // the re-download of every index the cache exists to keep
+        if (cache.size >= CacheMax) {
+          val it = cache.keySet.iterator
+          if (it.hasNext) { it.next(); it.remove() }
+        }
         cache.put(key, idx)
         Some(idx)
       }

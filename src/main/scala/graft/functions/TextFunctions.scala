@@ -71,7 +71,11 @@ object TextKernels {
     val nWins = math.max(nGrams - w + 1, 1)
     // distinct emissions <= window count; table at <=50% load
     var cap = 8
-    while (cap < nWins * 2 && cap > 0) cap <<= 1
+    // size against a LONG target: nWins * 2 in Int wraps negative for
+    // ~1 GiB documents, the loop would exit with cap = 8, and the
+    // undersized table would spin the open-addressing probe forever —
+    // oversized inputs must hit the require below instead
+    while (cap < nWins.toLong * 2 && cap > 0) cap <<= 1
     require(cap > 0, s"winnow window count $nWins too large to table")
     val table = new Array[Long](cap)
     java.util.Arrays.fill(table, -1L)

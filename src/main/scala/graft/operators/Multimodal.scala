@@ -802,11 +802,18 @@ object Multimodal {
 
   /** Executor-side PCM WAV writer (gate/test generator): 8-bit unsigned
     * or 16-bit signed LE samples behind the standard RIFF/fmt/data
-    * layout [[MediaDecoder.wavPcmFeatures]] parses. Mono blockAlign. */
-  def encodePcmWav(sampleRate: Int, bits: Int, samples: Array[Int])
-      : Array[Byte] = {
+    * layout [[MediaDecoder.wavPcmFeatures]] parses. `samples` is the
+    * FLAT INTERLEAVED stream (frame-major: L0 R0 L1 R1 … for stereo);
+    * blockAlign = channels * bytesPerSample, so the parser's frame
+    * count is `samples.length / channels`. */
+  def encodePcmWav(sampleRate: Int, bits: Int, samples: Array[Int],
+      channels: Int = 1): Array[Byte] = {
     require(bits == 8 || bits == 16, s"unsupported PCM depth $bits")
+    require(channels > 0 && samples.length % channels == 0,
+      s"interleaved sample count ${samples.length} not a multiple of " +
+        s"$channels channels")
     val bytesPer = bits / 8
+    val block = bytesPer * channels
     val dataSize = samples.length * bytesPer
     val bo = new java.io.ByteArrayOutputStream(44 + dataSize)
     def s4(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
@@ -815,8 +822,9 @@ object Multimodal {
     def u16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
     s4("RIFF"); u32(36L + dataSize); s4("WAVE")
     s4("fmt "); u32(16)
-    u16(1); u16(1); u32(sampleRate); u32(sampleRate.toLong * bytesPer)
-    u16(bytesPer); u16(bits)
+    u16(1); u16(channels); u32(sampleRate)
+    u32(sampleRate.toLong * block)
+    u16(block); u16(bits)
     s4("data"); u32(dataSize)
     samples.foreach { v =>
       if (bits == 8) bo.write(v & 0xff)
@@ -1037,11 +1045,17 @@ object Multimodal {
 
   /** Audio/video header metadata extracted per partition (same
     * decoder-per-partition batch shape as [[extractFeatures]]); WAV and
-    * MP4 payloads are parsed for real, anything else yields nulls-as-
-    * zeros with kind "unknown". */
+    * MP4 payloads are parsed for real. Null/unparseable payloads get
+    * kind "unknown" with NULL metadata fields — a schema consumer can
+    * distinguish "WAV with 0 frames" (audio, `Some(0)`) from "not
+    * parseable" (unknown, null). Within a parsed kind, fields the
+    * format does not carry stay 0 (an audio row's width, a video row's
+    * sample_rate): the parse succeeded, the format just has no such
+    * dimension. */
   final case class AvMeta(asset_id: Long, mime: String, kind: String,
-      sample_rate: Long, channels: Long, bits: Long, n_frames: Long,
-      duration_ms: Long, width: Long, height: Long)
+      sample_rate: Option[Long], channels: Option[Long], bits: Option[Long],
+      n_frames: Option[Long], duration_ms: Option[Long], width: Option[Long],
+      height: Option[Long])
 
   def extractAvMeta(spark: SparkSession, assets: DataFrame): Dataset[AvMeta] = {
     import spark.implicits._
@@ -1049,19 +1063,20 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, mime, payload) =>
-          if (payload == null)
-            AvMeta(id, mime, "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          val unknown = AvMeta(id, mime, "unknown", None, None, None,
+            None, None, None, None)
+          if (payload == null) unknown
           else MediaDecoder.wavMeta(payload) match {
             case Some(a) =>
-              AvMeta(id, mime, "audio", a.sampleRate.toLong,
-                a.channels.toLong, a.bitsPerSample.toLong, a.nFrames,
-                0L, 0L, 0L)
+              AvMeta(id, mime, "audio", Some(a.sampleRate.toLong),
+                Some(a.channels.toLong), Some(a.bitsPerSample.toLong),
+                Some(a.nFrames), Some(0L), Some(0L), Some(0L))
             case None => MediaDecoder.mp4Meta(payload) match {
               case Some(vm) =>
-                AvMeta(id, mime, "video", 0L, 0L, 0L, 0L,
-                  vm.durationMs, vm.width.toLong, vm.height.toLong)
-              case None =>
-                AvMeta(id, mime, "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+                AvMeta(id, mime, "video", Some(0L), Some(0L), Some(0L),
+                  Some(0L), Some(vm.durationMs), Some(vm.width.toLong),
+                  Some(vm.height.toLong))
+              case None => unknown
             }
           }
         }

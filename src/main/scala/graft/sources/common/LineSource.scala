@@ -150,6 +150,18 @@ object LineSourceUtil {
     case other => other.toString.toLong
   }
 
+  /** A boxing-free long reader for a coordinate column, specialized on
+    * its Catalyst type once at predicate-build time — the generic
+    * `row.get` + [[filterAsLong]] pair allocates a box per read, which
+    * matters in the residual predicate's per-row hot loop. */
+  private[common] def longGetter(dt: org.apache.spark.sql.types.DataType,
+      i: Int): InternalRow => Long = dt match {
+    case org.apache.spark.sql.types.LongType => _.getLong(i)
+    case org.apache.spark.sql.types.IntegerType => _.getInt(i).toLong
+    case org.apache.spark.sql.types.ShortType => _.getShort(i).toLong
+    case other => row => filterAsLong(row.get(i, other))
+  }
+
   /** Conservative (startLt, endGt) bounds in OUTPUT coordinates from
     * pushed catalyst filters on the (start, end) region columns — the
     * shared folding used by the residual row predicate AND by index
@@ -765,8 +777,6 @@ class LineReader(format: LineFormat, fullSchema: StructType,
   private var emitted = 0
   private var exhausted = false
 
-  private def asLong(v: Any): Long = LineSourceUtil.filterAsLong(v)
-
   private def buildRegionPred(): InternalRow => Boolean = {
     val regionsOpt = options.get("regions")
     format.regionColumns match {
@@ -793,39 +803,84 @@ class LineReader(format: LineFormat, fullSchema: StructType,
           case _ => ()
         }
         val endOverride = format.regionEnd0(fullSchema, options)
-        row => {
-          // SQL null semantics PER CONSTRAINT: a null column fails only
-          // the constraints that reference it. Collapsing all nulls to
-          // "keep iff nothing was pushed" dropped rows Spark would keep
-          // — a GFF row with end='.' under a pushed start-only filter
-          // satisfies that filter regardless of its end. (A null end
-          // only matters when no format override can supply the true
-          // span — e.g. SAM '*'-cigar rows override it.)
-          val chromNull = row.isNullAt(ci)
-          val startNull = row.isNullAt(si)
-          val endNull = endOverride.isEmpty && row.isNullAt(ei)
-          lazy val chrom = row.getUTF8String(ci).toString
-          lazy val startOut = asLong(row.get(si, fullSchema(si).dataType))
-          lazy val endOut =
-            if (row.isNullAt(ei)) startOut
-            else asLong(row.get(ei, fullSchema(ei).dataType))
-          // normalize to 0-based half-open for the region overlap check
-          // (a closed 1-based end equals the half-open end value, so the
-          // end column needs no shift; formats whose true span is not a
-          // column override it via regionEnd0)
-          lazy val start0 = startOut + cs.startOffset
-          lazy val end0 = endOverride.fold(endOut)(f => f(row))
-          (regions.isEmpty ||
-            (!chromNull && !startNull && !endNull &&
-              regions.exists(_.overlaps(chrom, start0, end0)))) &&
-            (chromSet.isEmpty ||
-              (!chromNull && chromSet.forall(_.contains(chrom)))) &&
-            (startLt.isEmpty ||
-              (!startNull && startLt.forall(startOut < _))) &&
-            (endGt.isEmpty ||
-              (!endNull && !(row.isNullAt(ei) && startNull) &&
-                endGt.forall(endOut > _)))
-        }
+        // SQL null semantics PER CONSTRAINT: a null column fails only
+        // the constraints that reference it. Collapsing all nulls to
+        // "keep iff nothing was pushed" dropped rows Spark would keep
+        // — a GFF row with end='.' under a pushed start-only filter
+        // satisfies that filter regardless of its end. (A null end
+        // only matters when no format override can supply the true
+        // span — e.g. SAM '*'-cigar rows override it.)
+        //
+        // The predicate is SHAPE-SPECIALIZED at build time: Options are
+        // unwrapped to nullable fields / plain longs, coordinate reads
+        // go through a type-specialized unboxed getter, and the chrom
+        // string materializes at most once per row — the per-row
+        // LazyRef/boxing allocations of the straightforward encoding
+        // are all hoisted out of the scan's hot loop. A scan whose
+        // pushed filters carry no region constraint at all (pure
+        // projection pushdown) degrades to the constant-true predicate.
+        val regionArr = regions.toArray
+        val chromSetN: Set[String] = chromSet.orNull
+        val hasStartLt = startLt.isDefined
+        val startLtV = startLt.getOrElse(0L)
+        val hasEndGt = endGt.isDefined
+        val endGtV = endGt.getOrElse(0L)
+        val endOvN: InternalRow => Long = endOverride.orNull
+        val startOffset = cs.startOffset
+        val startGet = LineSourceUtil.longGetter(fullSchema(si).dataType, si)
+        val endGet = LineSourceUtil.longGetter(fullSchema(ei).dataType, ei)
+        if (regionArr.isEmpty && chromSetN == null && !hasStartLt && !hasEndGt)
+          _ => true
+        else
+          row => {
+            val chromNull = row.isNullAt(ci)
+            val startNull = row.isNullAt(si)
+            val endColNull = row.isNullAt(ei)
+            val endNull = endOvN == null && endColNull
+            var chromStr: String = null
+            var pass = true
+            if (chromSetN != null) {
+              if (chromNull) pass = false
+              else {
+                chromStr = row.getUTF8String(ci).toString
+                pass = chromSetN.contains(chromStr)
+              }
+            }
+            if (pass && hasStartLt)
+              pass = !startNull && startGet(row) < startLtV
+            if (pass && hasEndGt) {
+              // a null end column falls back to the start coordinate as
+              // the span end; if both are null the constraint fails
+              if (endNull || (endColNull && startNull)) pass = false
+              else pass =
+                (if (endColNull) startGet(row) else endGet(row)) > endGtV
+            }
+            if (pass && regionArr.length > 0) {
+              if (chromNull || startNull || endNull) pass = false
+              else {
+                if (chromStr == null)
+                  chromStr = row.getUTF8String(ci).toString
+                val startOut = startGet(row)
+                // normalize to 0-based half-open for the overlap check
+                // (a closed 1-based end equals the half-open end value,
+                // so the end column needs no shift; formats whose true
+                // span is not a column override it via regionEnd0)
+                val start0 = startOut + startOffset
+                val end0 =
+                  if (endOvN != null) endOvN(row)
+                  else if (endColNull) startOut
+                  else endGet(row)
+                pass = false
+                var i = 0
+                while (i < regionArr.length && !pass) {
+                  if (regionArr(i).overlaps(chromStr, start0, end0))
+                    pass = true
+                  i += 1
+                }
+              }
+            }
+            pass
+          }
       case _ => _ => true
     }
   }

@@ -213,7 +213,11 @@ object EventStream {
     val raw: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(src)) leaves(src) else Seq(src)
     require(raw.nonEmpty, s"no parquet data files under $eventsPath")
-    val partitioned = raw.exists(_.getParent != src)
+    // only a DIRECTORY input can be Hive-partitioned; a single-file
+    // input trivially has getParent != src and must not pay the
+    // flattening batch rewrite
+    val partitioned =
+      java.nio.file.Files.isDirectory(src) && raw.exists(_.getParent != src)
     val files =
       if (!partitioned) raw
       else {

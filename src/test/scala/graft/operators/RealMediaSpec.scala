@@ -31,6 +31,35 @@ class RealMediaSpec extends AnyFunSuite {
     "/usr/share/doc/libxslt1-dev/html/Libxslt-Logo-90x34.gif",
     "/usr/share/doc/libxslt1-dev/html/redhat.gif")
 
+  // real third-party JPEG/BMP candidates: nodejs doc images, Spark's
+  // mllib sample photos, CPython's imghdr test corpus — all encoded by
+  // real tools (libjpeg-era encoders, actual cameras), none by our own
+  // fixture writers
+  private val jpegCandidates = Seq(
+    "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+    "/usr/share/doc/nodejs/full-white-stripe.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP153539.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/54893.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg",
+    "/root/.pyenv/versions/3.7.16/lib/python3.7/test/imghdrdata/python.jpg")
+
+  private val bmpCandidates = Seq(
+    "/root/.pyenv/versions/3.7.16/lib/python3.7/test/imghdrdata/python.bmp",
+    "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.bmp")
+
+  // CPython's audio test corpus: real tool-encoded RIFF WAVs, and
+  // STEREO — so the blockAlign/channel handling is cross-checked on
+  // files our own writer did not produce
+  private val wavCandidates = Seq(
+    "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata/pluck-pcm8.wav",
+    "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata/pluck-pcm16.wav",
+    "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata/pluck-pcm24.wav",
+    "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata/pluck-pcm32.wav",
+    "/root/.pyenv/versions/3.7.16/lib/python3.7/test/audiodata/pluck-pcm8.wav",
+    "/root/.pyenv/versions/3.7.16/lib/python3.7/test/audiodata/pluck-pcm16.wav",
+    "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/sndhdr.wav")
+
   private def readable(p: String): Boolean =
     java.nio.file.Files.isReadable(java.nio.file.Paths.get(p))
 
@@ -57,6 +86,143 @@ class RealMediaSpec extends AnyFunSuite {
       }
     }
     assert(checked >= 3, s"only $checked real files cross-checked")
+  }
+
+  test("real third-party JPEGs: header-parsed dims match the JDK decode") {
+    val present = jpegCandidates.filter(readable)
+    if (present.isEmpty) cancel("no real JPEG files on this machine")
+    var checked = 0
+    for (path <- present) {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))
+      (MediaDecoder.jpegDims(bytes), MediaDecoder.pixelDecode(bytes)) match {
+        case (Some(d), Some(i)) =>
+          assert(d.width == i.getWidth && d.height == i.getHeight,
+            s"$path: header ${d.width}x${d.height} vs decoded " +
+              s"${i.getWidth}x${i.getHeight}")
+          checked += 1
+        case (None, Some(i)) =>
+          fail(s"$path: JDK decodes ${i.getWidth}x${i.getHeight} but " +
+            "jpegDims did not recognize it")
+        case _ => () // JDK can't decode this variant — no obligation
+      }
+    }
+    assert(checked >= 1, "no real JPEG cross-checked")
+  }
+
+  test("real third-party BMPs: header-parsed dims match the JDK decode") {
+    val present = bmpCandidates.filter(readable)
+    if (present.isEmpty) cancel("no real BMP files on this machine")
+    var checked = 0
+    for (path <- present) {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))
+      (MediaDecoder.bmpDims(bytes), MediaDecoder.pixelDecode(bytes)) match {
+        case (Some(d), Some(i)) =>
+          assert(d.width == i.getWidth && d.height == i.getHeight,
+            s"$path: header ${d.width}x${d.height} vs decoded " +
+              s"${i.getWidth}x${i.getHeight}")
+          checked += 1
+        case (None, Some(i)) =>
+          fail(s"$path: JDK decodes ${i.getWidth}x${i.getHeight} but " +
+            "bmpDims did not recognize it")
+        case _ => ()
+      }
+    }
+    assert(checked >= 1, "no real BMP cross-checked")
+  }
+
+  test("real third-party WAVs: RIFF meta matches the JDK's parser") {
+    // javax.sound's WAV reader is the JDK's INDEPENDENT RIFF walk —
+    // agreement on rate/channels/bits/frames for tool-encoded stereo
+    // files pins our blockAlign handling the way self-written fixtures
+    // cannot
+    val present = wavCandidates.filter(readable)
+    if (present.isEmpty) cancel("no real WAV files on this machine")
+    var checked = 0
+    for (path <- present) {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))
+      val jdk =
+        try Some(javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.File(path)))
+        catch { case _: Exception => None } // variant the JDK rejects
+      (MediaDecoder.wavMeta(bytes), jdk) match {
+        case (Some(m), Some(ff)) =>
+          val f = ff.getFormat
+          assert(m.sampleRate == f.getSampleRate.toInt,
+            s"$path: rate ${m.sampleRate} vs JDK ${f.getSampleRate}")
+          assert(m.channels == f.getChannels,
+            s"$path: channels ${m.channels} vs JDK ${f.getChannels}")
+          assert(m.bitsPerSample == f.getSampleSizeInBits,
+            s"$path: bits ${m.bitsPerSample} vs JDK " +
+              s"${f.getSampleSizeInBits}")
+          if (ff.getFrameLength >= 0)
+            assert(m.nFrames == ff.getFrameLength,
+              s"$path: frames ${m.nFrames} vs JDK ${ff.getFrameLength}")
+          checked += 1
+        case (None, Some(_)) =>
+          fail(s"$path: the JDK parses this WAV but wavMeta does not")
+        case _ => ()
+      }
+    }
+    assert(checked >= 1, "no real WAV cross-checked")
+  }
+
+  test("real stereo WAV PCM: rms/peak match an independent JDK decode") {
+    // data-path cross-check for the flat interleaved convention: the
+    // JDK's AudioInputStream locates and decodes the sample bytes with
+    // its own RIFF walk; computing rms/peak from ITS bytes must equal
+    // wavPcmFeatures computed from OUR walk of the same file
+    val present = wavCandidates.filter(readable)
+      .filter(p => p.endsWith("pcm8.wav") || p.endsWith("pcm16.wav"))
+    if (present.isEmpty) cancel("no pcm8/pcm16 WAV files on this machine")
+    var checked = 0
+    for (path <- present) {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))
+      val ours = MediaDecoder.wavPcmFeatures(bytes)
+      val in =
+        try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.File(path)))
+        catch { case _: Exception => None }
+      (ours, in) match {
+        case (Some((rms, peak)), Some(ais)) =>
+          try {
+            val f = ais.getFormat
+            assert(!f.isBigEndian || f.getSampleSizeInBits == 8)
+            val data = ais.readAllBytes()
+            val bits = f.getSampleSizeInBits
+            val n = data.length / (bits / 8)
+            var sumSq = 0.0
+            var pk = 0.0
+            var i = 0
+            while (i < n) {
+              val x =
+                if (bits == 8) ((data(i) & 0xff) - 128) / 128.0
+                else {
+                  val v = (data(2 * i) & 0xff) | (data(2 * i + 1) << 8)
+                  v / 32768.0
+                }
+              sumSq += x * x
+              if (math.abs(x) > pk) pk = math.abs(x)
+              i += 1
+            }
+            val jdkRms = math.sqrt(sumSq / n)
+            assert(math.abs(rms - jdkRms) < 1e-12,
+              s"$path: rms $rms vs JDK-decoded $jdkRms")
+            assert(math.abs(peak - pk) < 1e-12,
+              s"$path: peak $peak vs JDK-decoded $pk")
+            checked += 1
+          } finally ais.close()
+        case (None, Some(ais)) =>
+          ais.close()
+          fail(s"$path: the JDK decodes this PCM but wavPcmFeatures " +
+            "does not")
+        case _ => ()
+      }
+    }
+    assert(checked >= 1, "no real PCM WAV data cross-checked")
   }
 
   test("real files: dHash is deterministic and brightness is sane") {

@@ -20,7 +20,11 @@ import subprocess
 import sys
 
 
-def run_bench(sfdir, out):
+def run_bench(sfdir, out, ann_scale):
+    # SPARK_GRAFT_BENCH_ANN forces the (untimed) recall block on these
+    # focused runs; SPARK_GRAFT_ANN_SCALE grows the clustered corpus
+    # with the data so banded/IVF recall is evidenced against DENSITY,
+    # not just at 1x (band collision rates rise as the key space fills)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sfdir,
                SPARK_GRAFT_CPUS="32",
@@ -28,6 +32,8 @@ def run_bench(sfdir, out):
                SPARK_GRAFT_BENCH_RUNS="2",
                SPARK_GRAFT_BENCH_READERS="0",
                SPARK_GRAFT_BENCH_COUNTS="1",
+               SPARK_GRAFT_BENCH_ANN="1",
+               SPARK_GRAFT_ANN_SCALE=str(ann_scale),
                SPARK_GRAFT_BENCH_OUT=out)
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                    cwd="/root/repo", env=env, check=True,
@@ -47,8 +53,10 @@ def main():
                        check=True)
         with open(marker, "w") as f:
             f.write(tag)
-    one = run_bench(os.path.join(scale_dir, "sf1x"), "/tmp/scale2x_1x.json")
-    two = run_bench(os.path.join(scale_dir, "sf2x"), "/tmp/scale2x_2x.json")
+    one = run_bench(os.path.join(scale_dir, "sf1x"), "/tmp/scale2x_1x.json",
+                    ann_scale=1)
+    two = run_bench(os.path.join(scale_dir, "sf2x"), "/tmp/scale2x_2x.json",
+                    ann_scale=2)
     q1, q2 = one["queries"], two["queries"]
     r1, r2 = one.get("rows") or {}, two.get("rows") or {}
     per = {}
@@ -92,6 +100,11 @@ def main():
         "total_ratio": round(t2sum / t1sum, 3),
         "calibration_sec": {"sf1x": one["calibration_sec"],
                             "sf2x": two["calibration_sec"]},
+        # recall-vs-scale: the 2x row runs over the 2x embeddings table
+        # AND a 2x clustered corpus (2x vectors, 2x clusters); the
+        # floored health signal is clustered_*_at10 >= 0.9 at BOTH rows
+        "ann_recall": {"sf1x": one.get("ann_recall"),
+                       "sf2x": two.get("ann_recall")},
         "missing_or_failed": missing,
         "per_query": per,
     }
@@ -101,6 +114,16 @@ def main():
     print(f"wrote {out}: total {art['total_ratio']}x at 2x data")
     if missing:
         print(f"  WARNING missing/failed at one scale: {missing}")
+    for sf in ("sf1x", "sf2x"):
+        ar = art["ann_recall"].get(sf)
+        if not isinstance(ar, dict):
+            print(f"  WARNING {sf} ann_recall missing")
+            continue
+        for key in ("clustered_banded_at10", "clustered_ivf_at10"):
+            v = ar.get(key)
+            flag = "" if isinstance(v, (int, float)) and v >= 0.9 \
+                else "  <-- BELOW 0.9 FLOOR"
+            print(f"  {sf} {key} = {v}{flag}")
     # `is not None`, not truthiness: a throughput_ratio that rounds to
     # exactly 0.0 is the most degraded row there is — it must top this
     # list, not be filtered out of it
