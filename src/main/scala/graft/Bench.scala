@@ -35,6 +35,13 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Higher-precision variant for UNITLESS calibrated ratios: a fast
+    * query over a ~1.5 s combined calibration sits near 0.03, where
+    * %.3f would quantize at ~1.5% — visible step artifacts in exactly
+    * the cross-round diffs the column exists for. */
+  private def fmt6(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+
   private def memAvailableMb(): Long =
     try {
       scala.io.Source.fromFile("/proc/meminfo").getLines()
@@ -62,11 +69,21 @@ object Bench {
     * calibration (cpu + scan) is what `queries_calibrated` divides by. */
   private def calibrateScan(spark: SparkSession, sfDir: String): Double = {
     val t0 = System.nanoTime()
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .selectExpr("sum(l_quantity)", "sum(l_extendedprice)", "count(*)")
-      .collect()
-    catch { case _: Throwable => () }
-    (System.nanoTime() - t0) / 1e9
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity)", "sum(l_extendedprice)", "count(*)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        // -1 SENTINEL, never time-to-throw: an sf dir without a
+        // readable lineitem would otherwise silently change the unit
+        // of queries_calibrated (divided by ~CPU-only here, cpu+scan
+        // elsewhere). The sentinel is visible in calibration_scan_sec
+        // and combinedCal falls back to the CPU component alone.
+        System.err.println(s"[bench] scan calibration failed: $e")
+        -1.0
+    }
   }
 
   /** Bench-only production-path variants: timed for the honest cost
@@ -381,7 +398,10 @@ object Bench {
       calibrations += calibrate(spark)
       calibrationsScan += calibrateScan(spark, sfDir)
     }
-    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    // each sample carries the INDEX OF ITS OWN PASS: a query that
+    // fails transiently in one pass must not shift its later samples
+    // onto the wrong pass's calibration when normalizing
+    val samples = scala.collection.mutable.Map[String, List[(Int, Double)]]()
       .withDefaultValue(Nil)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // noop write forces the FULL plan — a bare count() lets
@@ -390,12 +410,13 @@ object Bench {
     // bench exists to measure (switched in round 7; earlier rounds'
     // numbers are count()-based and slightly lower for sort-heavy
     // queries)
-    def timeOne(name: String, fn: (SparkSession, String) => DataFrame)
-        : Unit = {
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame,
+        passIdx: Int): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        samples(name) =
+          samples(name) :+ (passIdx, (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           // a failed query must NOT record its time-to-crash as a
@@ -404,10 +425,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
     }
-    val passTotals = (0 until runs).map { _ =>
+    val passTotals = (0 until runs).map { p =>
       calibratePass()
       val passT0 = System.nanoTime()
-      queries.foreach { case (name, fn) => timeOne(name, fn) }
+      queries.foreach { case (name, fn) => timeOne(name, fn, p) }
       (System.nanoTime() - passT0) / 1e9
     }
     // the b-family reader scans showed >30% min-of-3 wobble in r11 (b01
@@ -419,15 +440,16 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_READER_RUNS").flatMap(_.toIntOption)
         .getOrElse(5))
     val readerQs = queries.filter(_._1.startsWith("b"))
-    (runs until readerRuns).foreach { _ =>
+    (runs until readerRuns).foreach { p =>
       if (readerQs.nonEmpty) {
         calibratePass()
-        readerQs.foreach { case (name, fn) => timeOne(name, fn) }
+        readerQs.foreach { case (name, fn) => timeOne(name, fn, p) }
       }
     }
     calibratePass()
     val results = queries.collect {
-      case (name, _) if samples(name).nonEmpty => name -> samples(name).min
+      case (name, _) if samples(name).nonEmpty =>
+        name -> samples(name).map(_._2).min
     }
     // Cross-round comparability: raw seconds from different rounds are
     // dominated by ambient machine state (the same code benched b08 at
@@ -445,17 +467,18 @@ object Bench {
     def combinedCal(j: Int): Double = {
       val c = calibrations(math.min(j, calibrations.length - 1))
       val s = calibrationsScan(math.min(j, calibrationsScan.length - 1))
-      c + s
+      // a failed scan calibration records its -1 sentinel: fall back to
+      // CPU-only rather than poisoning the ratio with time-to-throw
+      if (s < 0) c else c + s
     }
     val resultsCal = queries.collect {
       case (name, _) if samples(name).nonEmpty =>
-        val ss = samples(name)
-        // sample j of any query was taken in the j-th pass that query
-        // participated in, and every such pass logged its calibrations
-        // at index j (b-only extra passes continue the numbering)
-        name -> ss.indices.map { j =>
-          val cal = combinedCal(j)
-          if (cal > 0) ss(j) / cal else ss(j)
+        // each sample divides by the calibration of ITS OWN pass (the
+        // pass index rides with the sample, so transient per-pass
+        // failures cannot misalign the pairing)
+        name -> samples(name).map { case (p, sec) =>
+          val cal = combinedCal(p)
+          if (cal > 0) sec / cal else sec
         }.min
     }
     val calMedian = {
@@ -496,12 +519,12 @@ object Bench {
       .getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsCal = resultsCal.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qsCal = resultsCal.map { case (k, v) => s"\"" + k + "\":" + fmt6(v) }
       .mkString("{", ",", "}")
     // raw per-pass samples (pass order) — lets a reader separate a cold
     // first pass from a genuine steady-state shift per query
     val sampleJson = queries.map { case (name, _) =>
-      s"\"" + name + "\":" + samples(name).map(fmt)
+      s"\"" + name + "\":" + samples(name).map(s => fmt(s._2))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map(n => s"\"" + n + "\"")

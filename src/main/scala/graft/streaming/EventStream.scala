@@ -210,14 +210,15 @@ object EventStream {
           .toVector
       } finally s.close()
     }
+    val isDir = java.nio.file.Files.isDirectory(src)
     val raw: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) leaves(src) else Seq(src)
+      if (isDir) leaves(src) else Seq(src)
     require(raw.nonEmpty, s"no parquet data files under $eventsPath")
     // only a DIRECTORY input can be Hive-partitioned; a single-file
     // input trivially has getParent != src and must not pay the
-    // flattening batch rewrite
-    val partitioned =
-      java.nio.file.Files.isDirectory(src) && raw.exists(_.getParent != src)
+    // flattening batch rewrite (one stat, reused — a repeated
+    // isDirectory call could even disagree with the first)
+    val partitioned = isDir && raw.exists(_.getParent != src)
     val files =
       if (!partitioned) raw
       else {

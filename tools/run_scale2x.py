@@ -108,6 +108,17 @@ def main():
         "missing_or_failed": missing,
         "per_query": per,
     }
+    # the floor verdict must be machine-readable IN the artifact, like
+    # missing_or_failed — a stdout-only warning lets a density-driven
+    # recall regression be committed with no recorded flag
+    breaches = []
+    for sf in ("sf1x", "sf2x"):
+        ar = art["ann_recall"].get(sf)
+        for key in ("clustered_banded_at10", "clustered_ivf_at10"):
+            v = ar.get(key) if isinstance(ar, dict) else None
+            if not (isinstance(v, (int, float)) and v >= 0.9):
+                breaches.append(f"{sf}:{key}={v}")
+    art["ann_recall_floor"] = {"floor": 0.9, "breaches": breaches}
     out = f"/root/repo/bench_out/scale2x_r{rnd}.json"
     with open(out, "w") as f:
         json.dump(art, f, indent=1)
