@@ -112,12 +112,13 @@ private[graft] object AnnRecall {
 
   def ivf(emb: DataFrame): DataFrame =
     Similarity.ivfTopK(emb, emb, "vec_id", "embedding", k,
-      nCells = 32, nProbe = 8)
+      nCells = 32, nProbe = 8, dim = Some(dim))
 
   def recallOf(exactDf: DataFrame, approx: DataFrame): Double = {
     val row = Similarity.recallAtK(exactDf, approx).collect()(0)
-    // an empty ground-truth frame divides 0/0 -> null recall; report
-    // 0.0 instead of NPE-ing out of getDouble
+    // recallAtK itself coalesces the empty-ground-truth 0/0 case to
+    // 0.0 (the ONE definition of that convention); this null check is
+    // only belt-and-braces against a future schema change
     if (row.isNullAt(2)) 0.0 else row.getDouble(2)
   }
 

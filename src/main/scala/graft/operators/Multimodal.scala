@@ -284,7 +284,12 @@ object Multimodal {
             val ts = be32(b, body + 20).toLong & 0xffffffffL
             val dur = ((be32(b, body + 24).toLong & 0xffffffffL) << 32) |
               (be32(b, body + 28).toLong & 0xffffffffL)
-            if (ts > 0) durationMs = dur * 1000 / ts
+            // hostile 64-bit durations: a sign-bit value reads negative
+            // and dur * 1000 wraps above ~2^53 — the same guard the
+            // frame-sampling path applies to ptsUnits, or garbage
+            // negative duration_ms would surface as real metadata
+            if (ts > 0 && dur >= 0 && dur <= Long.MaxValue / 1000)
+              durationMs = dur * 1000 / ts
           } else if (v == 0 && body + 20 <= end) {
             val ts = be32(b, body + 12).toLong & 0xffffffffL
             val dur = be32(b, body + 16).toLong & 0xffffffffL
@@ -293,10 +298,19 @@ object Multimodal {
         case ("trak", tbody, tend) if width == 0 =>
           boxes(tbody, tend).foreach {
             case ("tkhd", body, end) =>
-              // width/height are the final two 16.16 words of the box
-              if (end - 8 >= body && width == 0) {
-                width = be32(b, end - 8) >>> 16
-                height = be32(b, end - 4) >>> 16
+              // width/height are the LAST two 16.16 words of a
+              // FULL-LENGTH box: fixed spec offsets (v0 body 84, v1
+              // body 96) with the box end agreeing. End-relative reads
+              // alone would decode arbitrary tail bytes of a TRUNCATED
+              // tkhd (bmffBoxes clamps end to the payload) as
+              // authoritative dims.
+              if (body + 4 <= end && width == 0) {
+                val tv = b(body) & 0xff
+                val expect = if (tv == 1) body + 96 else body + 84
+                if (end == expect && end - 8 >= body) {
+                  width = be32(b, end - 8) >>> 16
+                  height = be32(b, end - 4) >>> 16
+                }
               }
             case _ => ()
           }
@@ -379,8 +393,14 @@ object Multimodal {
       while (gy < gh) {
         var gx = 0
         while (gx < gw) {
-          val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
-          val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+          // LONG cell-edge math: gx * w wraps Int for extreme-aspect
+          // images inside the 16M-pixel cap (e.g. 16M x 1 at grid 200),
+          // and a wrapped-negative x0 would index out of bounds and
+          // fail the task instead of degrading
+          val x0 = (gx.toLong * w / gw).toInt
+          val x1 = math.max(((gx + 1).toLong * w / gw).toInt, x0 + 1)
+          val y0 = (gy.toLong * h / gh).toInt
+          val y1 = math.max(((gy + 1).toLong * h / gh).toInt, y0 + 1)
           var sum = 0L
           var y = y0
           while (y < y1) {
@@ -552,9 +572,11 @@ object Multimodal {
               (tt0, tt1) <- find(st0, st1, "stts")
               (sz0, sz1) <- find(st0, st1, "stsz")
               (sc0, sc1) <- find(st0, st1, "stsc")
-              (co0, co1) <- find(st0, st1, "stco")
-                .orElse(find(st0, st1, "co64"))
-              co64 = find(st0, st1, "stco").isEmpty
+              // bind the stco lookup once: each find() is a full box
+              // walk over stbl, and the co64 flag needs the same answer
+              stco = find(st0, st1, "stco")
+              (co0, co1) <- stco.orElse(find(st0, st1, "co64"))
+              co64 = stco.isEmpty
               frames <- composeFrames(b, mh0, mh1, tt0, tt1, sz0, sz1,
                 sc0, sc1, co0, co1, co64)
             } yield frames
@@ -703,8 +725,16 @@ object Multimodal {
           }
           val brightness =
             if (payload.isEmpty) 0.0
-            else payload.iterator.map(b => (b & 0xff).toDouble).sum /
-              payload.length / 255.0
+            else {
+              // primitive loop like meanLuminanceOf: this fallback runs
+              // for EVERY payload the JDK cannot decode (i.e. all real
+              // video), and a boxed iterator sum would allocate a
+              // Double per byte of a multi-MB blob per row
+              var s = 0L
+              var i = 0
+              while (i < payload.length) { s += (payload(i) & 0xff); i += 1 }
+              s.toDouble / payload.length / 255.0
+            }
           val emb = Array.tabulate(8)(i =>
             (((h >>> (i * 4)) & 0xf).toFloat / 15f) * 2f - 1f)
           (dims.width, dims.height, dims.channels, dims.bitDepth,
@@ -1349,6 +1379,22 @@ object Multimodal {
   final case class FrameSample(asset_id: Long, frame_idx: Long,
       size_bytes: Long, pts_ms: Long, byte_sum: Long)
 
+  /** The ONE hostile-input frame-admission predicate, shared by
+    * [[sampleFrames]] and [[decodeFrames]] so a hardening fix can never
+    * land on one site and silently leave the other admitting the same
+    * frame. Overflow-safe bounds: `offset + size <= length` wraps
+    * negative for a hostile co64 offset near Long.MaxValue and would
+    * admit the frame — compare subtractively. Overflow-safe pts too: a
+    * hostile stts whose cumulative deltas exceed Long.MaxValue/1000
+    * would wrap `* 1000` negative and emit garbage pts as real
+    * metadata. */
+  private def frameOk(p: Array[Byte], stride: Int)(
+      f: MediaDecoder.FrameLoc): Boolean =
+    f.index % stride == 0 &&
+      f.offset >= 0 && f.size >= 0 && f.size <= p.length &&
+      f.offset <= p.length - f.size &&
+      f.ptsUnits >= 0 && f.ptsUnits <= Long.MaxValue / 1000
+
   /** The FRAME-SAMPLE operator: every `stride`-th frame of each MP4
     * payload located via the REAL sample-table demux
     * ([[MediaDecoder.mp4Frames]] — stts/stsz/stsc/stco composition, no
@@ -1368,16 +1414,7 @@ object Multimodal {
           MediaDecoder.mp4Frames(p).toSeq.flatMap {
             case (timescale, frames) =>
               frames.iterator
-                // overflow-safe bounds: `offset + size <= length` wraps
-                // negative for a hostile co64 offset near Long.MaxValue
-                // and would admit the frame; compare subtractively
-                // overflow-safe pts too: a hostile stts whose cumulative
-                // deltas exceed Long.MaxValue/1000 would wrap *1000
-                // negative and emit garbage pts as real metadata
-                .filter(f => f.index % stride == 0 &&
-                  f.offset >= 0 && f.size >= 0 && f.size <= p.length &&
-                  f.offset <= p.length - f.size &&
-                  f.ptsUnits >= 0 && f.ptsUnits <= Long.MaxValue / 1000)
+                .filter(frameOk(p, stride))
                 .map { f =>
                   var sum = 0L
                   var i = f.offset.toInt
@@ -1419,12 +1456,7 @@ object Multimodal {
           MediaDecoder.mp4Frames(p).toSeq.flatMap {
             case (timescale, frames) =>
               frames.iterator
-                // same overflow-safe bounds AND pts guard as
-                // [[sampleFrames]]
-                .filter(f => f.index % stride == 0 &&
-                  f.offset >= 0 && f.size >= 0 && f.size <= p.length &&
-                  f.offset <= p.length - f.size &&
-                  f.ptsUnits >= 0 && f.ptsUnits <= Long.MaxValue / 1000)
+                .filter(frameOk(p, stride))
                 .map { f =>
                   val bytes = java.util.Arrays.copyOfRange(p,
                     f.offset.toInt, (f.offset + f.size).toInt)

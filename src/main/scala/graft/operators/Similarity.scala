@@ -126,8 +126,14 @@ object Similarity {
   def bandedTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int, bands: Int = 4,
       bitsPerBand: Int = 16, seed: Long = 42L): DataFrame = {
+    // wrong-length vectors are dropped like zero/NaN-norm ones: their
+    // zip_with against the hyperplanes pads with nulls, every band bit
+    // collapses to 0, and ALL such vectors would collide on key 0 in
+    // every band — an all-pairs clique feeding null sims into rerank
     val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+      .where(size(col("__qv")) === dim)
     val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
+      .where(size(col("__cv")) === dim)
     val cand = bandKeyed(q, "query_id", "__qv", dim, bands, bitsPerBand,
         seed)
       .join(bandKeyed(c, "cand_id", "__cv", dim, bands, bitsPerBand,
@@ -159,7 +165,11 @@ object Similarity {
       idAs: String, vecAs: String, nAs: String): DataFrame =
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         norm(col(vecCol)).as(nAs))
-      .where(col(nAs) > 0.0 && !isnan(col(nAs)) &&
+      // the id filter is load-bearing too: rerank partitions its top-k
+      // window by query_id, so two DISTINCT null-id queries would merge
+      // into one null partition and share a single top-k between them
+      .where(col(idAs).isNotNull &&
+        col(nAs) > 0.0 && !isnan(col(nAs)) &&
         col(nAs) < Double.PositiveInfinity)
 
   /** Shared exact-cosine rerank tail: compute sims over candidate
@@ -194,17 +204,29 @@ object Similarity {
     * nodes would be ~3M analyzer-visible nodes and a plan-size cliff;
     * as a single Literal it is O(1) plan nodes regardless of size. */
   private[graft] def centroidLiteral(candidates: DataFrame, idCol: String,
-      vecCol: String, nCells: Int): Option[Column] = {
+      vecCol: String, nCells: Int, dim: Option[Int] = None)
+      : Option[Column] = {
     import org.apache.spark.sql.types._
     val idType = candidates.schema(idCol).dataType
     val rows = candidates
       .select(col(idCol).as("cell_id"),
         col(vecCol).cast("array<double>").as("__cent"),
         norm(col(vecCol)).as("__centn"))
-      // null ids sort FIRST ascending and a zero/NaN-norm centroid
-      // poisons every cosine against it — neither may enter the quantizer
+      // a wrong-length vector must not become a centroid either: the
+      // assignment filter derives the expected length from the FIRST
+      // centroid when `dim` is not given, so a short/long low-id
+      // vector in the quantizer would invert that filter and drop the
+      // entire well-formed corpus instead of the malformed row
+      .where(dim.map(d => size(col("__cent")) === d).getOrElse(lit(true)))
+      // null ids sort FIRST ascending and a zero/NaN/INFINITE-norm
+      // centroid poisons every cosine against it (Inf/Inf = NaN, and
+      // NaN ranks greatest, so one Inf-element centroid would win every
+      // assignCells comparison and collapse the whole corpus into its
+      // cell) — none may enter the quantizer. Same three-part bound as
+      // [[normed]], whose doc calls it load-bearing.
       .where(col("cell_id").isNotNull &&
-        col("__centn") > 0.0 && !isnan(col("__centn")))
+        col("__centn") > 0.0 && !isnan(col("__centn")) &&
+        col("__centn") < Double.PositiveInfinity)
       .orderBy(col("cell_id").asc)
       .limit(nCells)
       .collect()
@@ -231,6 +253,14 @@ object Similarity {
       (dot(vec, c("cent")) / (n * c("centn"))).as("sim"),
       c("cell_id").as("cell_id")))
 
+  /** One-use let-binding (the TextOps.bind pattern): evaluates `bound`
+    * once and feeds it to `f`. Higher-order functions are interpreted —
+    * no codegen subexpression elimination — so an O(k·dim) scores
+    * array referenced twice in a fold (seed + input) is otherwise
+    * BUILT twice per row. */
+  private def bindCol(bound: Column, f: Column => Column): Column =
+    element_at(transform(array(bound), f), 1)
+
   /** Adds a `cell_id` column: each row's `keep` best cells by
     * (cosine desc, cell_id asc) against the literal centroids — a pure
     * narrow projection (no join, no window, no shuffle; plan-pinned in
@@ -240,10 +270,13 @@ object Similarity {
       n: String, keep: Int): DataFrame = {
     val scores = cellScores(cents, col(vec), col(n))
     if (keep == 1) {
-      val best = aggregate(scores, element_at(scores, 1), (acc, x) =>
-        when(x("sim") > acc("sim") ||
-          (x("sim") === acc("sim") && x("cell_id") < acc("cell_id")), x)
-          .otherwise(acc))
+      // scores is BOUND so the per-row score array is built once, not
+      // once for the fold seed and once for the fold input
+      val best = bindCol(scores, ss =>
+        aggregate(ss, element_at(ss, 1), (acc, x) =>
+          when(x("sim") > acc("sim") ||
+            (x("sim") === acc("sim") && x("cell_id") < acc("cell_id")), x)
+            .otherwise(acc)))
       df.withColumn("cell_id", best("cell_id"))
     } else {
       val sorted = array_sort(scores, (l, r) =>
@@ -276,18 +309,26 @@ object Similarity {
     * row's argmin; at production cell counts that dominates the job.) */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 8,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, dim: Option[Int] = None): DataFrame = {
     // a zero nCells would silently take the empty-corpus branch below
     // and return "no neighbors" for a populated corpus
     require(nCells > 0 && nProbe > 0, "nCells and nProbe must be > 0")
     val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
     val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
-    centroidLiteral(candidates, idCol, vecCol, nCells) match {
+    centroidLiteral(candidates, idCol, vecCol, nCells, dim) match {
       case None => // empty corpus: empty result, correct schema
         rerank(q.crossJoin(c).where(lit(false)), k)
       case Some(cents) =>
-        val assignedC = assignCells(c, cents, "__cv", "__cn", keep = 1)
-        val probedQ = assignCells(q, cents, "__qv", "__qn", keep = nProbe)
+        // length-vs-quantizer check (the centroid dim is a literal, so
+        // the comparison constant-folds): a wrong-length vector's
+        // cosine against every centroid is null, the assignment fold
+        // would silently stick it to the first cell, and its null sims
+        // would still receive row_number ranks in rerank
+        val centDim = size(element_at(cents, 1)("cent"))
+        val assignedC = assignCells(c.where(size(col("__cv")) === centDim),
+          cents, "__cv", "__cn", keep = 1)
+        val probedQ = assignCells(q.where(size(col("__qv")) === centDim),
+          cents, "__qv", "__qn", keep = nProbe)
         rerank(probedQ.join(assignedC, "cell_id"), k)
     }
   }
@@ -383,14 +424,22 @@ object Similarity {
     // narrow per-row argmin against the literal matrix (ties to the
     // lower cell id) — the assignCells fold with distance ordering
     def assigned: DataFrame = {
-      val scores = transform(centLit, c => struct(
+      def scores = transform(centLit, c => struct(
         l2(col("__qv"), c("cent")).as("dist"), c("cell").as("cell")))
-      val best = aggregate(scores, element_at(scores, 1), (acc, x) =>
-        when(x("dist") < acc("dist") ||
-          (x("dist") === acc("dist") && x("cell") < acc("cell")), x)
-          .otherwise(acc))
-      base.withColumn("__cell", best("cell")).withColumn("__dist",
-        best("dist"))
+      // each expression BINDS its scores array (built once per row, not
+      // twice — interpreted HOFs get no subexpression elimination), and
+      // __dist does not re-run the O(k·dim) argmin fold at all: the
+      // assigned cell's distance IS the minimum, identical under the
+      // lower-cell tie-break, so a flat array_min suffices. Before:
+      // 4 score-array builds + 2 full folds per row; now 2 + 1.
+      val best = bindCol(scores, ss =>
+        aggregate(ss, element_at(ss, 1), (acc, x) =>
+          when(x("dist") < acc("dist") ||
+            (x("dist") === acc("dist") && x("cell") < acc("cell")), x)
+            .otherwise(acc)))
+      val minDist = bindCol(scores, ss =>
+        array_min(transform(ss, x => x("dist"))))
+      base.withColumn("__cell", best("cell")).withColumn("__dist", minDist)
     }
     for (_ <- 1 to iters) {
       val sums = assigned
@@ -445,7 +494,11 @@ object Similarity {
     e.agg(count(lit(1)).as("n_exact"))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select(col("n_exact"), col("n_hit"),
-        round(col("n_hit") / col("n_exact"), 4).as("recall"))
+        // 0/0 (empty ground truth) reads as 0.0, not null — a null
+        // recall silently fails any `>= floor` health check as
+        // null-is-false instead of surfacing a number
+        round(coalesce(col("n_hit") / col("n_exact"), lit(0.0)), 4)
+          .as("recall"))
   }
 
   /** Exact brute-force cosine top-k: for every query row, the k most

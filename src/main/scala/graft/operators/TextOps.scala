@@ -58,14 +58,21 @@ object TextOps {
   val MinhashP: Long = 2038074743L
 
   /** Word 3-gram shingles; documents shorter than 3 words fall back to the
-    * truncated tail slice so every document has ≥1 shingle. The token
-    * array is [[bind]]-ed so the text is split once, not once per
-    * shingle position. */
+    * truncated tail slice so every NON-NULL document has ≥1 shingle.
+    * Null text yields a null array — without the guard,
+    * `concat_ws(" ", slice(null, ...))` is the EMPTY STRING, so every
+    * null-text doc would share a [""] shingle with every empty-string
+    * doc, minhash identically, jaccard 1.0, and be silently deleted by
+    * dedup as their "duplicate". A null array explodes to no rows:
+    * null docs simply carry no dedup signal. The token array is
+    * [[bind]]-ed so the text is split once, not once per shingle
+    * position. */
   def shingles(text: Column): Column =
-    bind(tokens(text), ws =>
-      transform(
-        sequence(lit(1), greatest(size(ws) - 2, lit(1))),
-        i => concat_ws(" ", slice(ws, i, lit(3)))))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .otherwise(bind(tokens(text), ws =>
+        transform(
+          sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+          i => concat_ws(" ", slice(ws, i, lit(3))))))
 
   /** Per-document minhash signatures.
     *
@@ -510,8 +517,15 @@ object TextOps {
     when(text.isNull, lit(null).cast("double")).otherwise(score)
   }
 
-  /** Token count (whitespace convention). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count (whitespace convention); null text counts null, NOT
+    * -1 — `size(null)` is -1 under Spark's default config, which would
+    * flow a poisoned -1 into [[packShards]]' prefix sums (every later
+    * document's offset shifted down, shard_id = -1 at the boundary)
+    * and deflate corpus token totals. In [[prefixSum]] a null value
+    * contributes 0 to the running offsets (window/bucket sums skip
+    * nulls), so null-text docs still get a well-defined shard. */
+  def tokenCount(text: Column): Column =
+    when(text.isNull, lit(null).cast("int")).otherwise(size(tokens(text)))
 
   /** Corpus-relative unigram log-probability per document — the
     * "perplexity filter" of training-data curation (docs whose words
@@ -590,9 +604,12 @@ object TextOps {
 
   /** Subword-ish token count under [[BpeTokenPattern]] — a closer LLM
     * cost proxy than whitespace counting (punctuation and number runs
-    * tokenize separately). */
+    * tokenize separately). Null text counts null (same `size(null)=-1`
+    * guard as [[tokenCount]]). */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+    when(text.isNull, lit(null).cast("int"))
+      .otherwise(size(regexp_extract_all(text, lit(BpeTokenPattern),
+        lit(0))))
 
   /** Mean token length, computed from char count assuming single spaces. */
   def meanTokenLen(text: Column): Column = {
@@ -852,10 +869,16 @@ object TextOps {
     * reproducible by any engine with list slicing. */
   def paragraphs(text: Column, words: Int): Column = {
     require(words > 0, "paragraph size must be positive")
-    bind(tokens(text), ws =>
-      transform(sequence(lit(1), ceil(size(ws) / lit(words.toDouble))
-          .cast("int")),
-        i => concat_ws(" ", slice(ws, (i - 1) * words + 1, lit(words)))))
+    // null guard: size(null) = -1 makes ceil(-1/words) = 0 and
+    // sequence(1, 0) a DESCENDING [1, 0] — null-text docs would get
+    // two empty-string "paragraphs" and count as duplicates of each
+    // other in paragraphDedup. A null array posexplodes to no rows.
+    when(text.isNull, lit(null).cast("array<string>"))
+      .otherwise(bind(tokens(text), ws =>
+        transform(sequence(lit(1), ceil(size(ws) / lit(words.toDouble))
+            .cast("int")),
+          i => concat_ws(" ", slice(ws, (i - 1) * words + 1,
+            lit(words))))))
   }
 
   /** Paragraph-level exact dedup bookkeeping — the passage-granularity

@@ -192,4 +192,58 @@ class CurationOpsSpec extends SparkSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(0L))
     assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 0L)
   }
+
+  test("null text: token counts are null and shard offsets stay exact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens
+      (2L, null: String),       // must contribute 0, count null
+      (3L, "d e"),              // 2 tokens
+      (4L, "f g h i")           // 4 tokens
+    ).toDF("id", "text")
+    // size(null) = -1 under the default config: un-guarded counts
+    // would shift every later offset down and deflate corpus totals
+    val counts = docs.select(TextOps.tokenCount(col("text")).as("n"),
+      TextOps.bpeTokenCount(col("text")).as("b")).collect()
+    assert(counts(1).isNullAt(0) && counts(1).isNullAt(1))
+    assert(counts.map(r => if (r.isNullAt(0)) 0 else r.getInt(0)).sum == 9)
+    val shards = TextOps.packShards(docs, "id", "text", budget = 5)
+      .orderBy("id").collect()
+    // exclusive prefix offsets in id order: 0, 3, 3, 5 — the null doc
+    // contributes nothing and doc 3 is NOT shifted to offset 2
+    assert(shards.map(_.getAs[Long]("tok_offset")).toSeq ==
+      Seq(0L, 3L, 3L, 5L))
+    assert(shards.map(_.getAs[Long]("shard_id")).toSeq ==
+      Seq(0L, 0L, 0L, 1L))
+    assert(shards(1).isNullAt(shards(1).fieldIndex("n_tokens")))
+  }
+
+  test("null text carries no dedup signal: shingles and paragraphs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, null: String),
+      (3L, null: String),
+      (4L, "")                  // empty is DISTINCT from null
+    ).toDF("id", "text")
+    // null text shingles to null (not [""]): two null docs must not
+    // minhash identically with each other or with the empty doc
+    val sigs = TextOps.minhashSignatures(docs, "id", "text", k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(1L, 4L), s"null-text docs produced signatures: $sigs")
+    // and no near-dup pair can involve a null doc
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(docs, "id", "text", k = 4), "id",
+      k = 4, bandSize = 2).collect()
+    assert(pairs.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
+    // paragraphs(null) is null (posexplodes to no rows), not ["",""]
+    val paras = TextOps.paragraphDedup(
+      docs.withColumn("p", TextOps.paragraphs(col("text"), 2)), "id", "p")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_paras")).toMap
+    assert(!paras.contains(2L) && !paras.contains(3L),
+      s"null-text docs produced paragraphs: $paras")
+    assert(paras(1L) == 2L)
+  }
 }

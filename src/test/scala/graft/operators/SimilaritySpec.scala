@@ -328,4 +328,47 @@ class SimilaritySpec extends SparkSuite {
     assert(kmRows.map(_.getLong(1)).sum == 13L,
       s"NaN/Inf vectors leaked into kmeans cells: ${kmRows.mkString}")
   }
+
+  test("inf centroid candidates, wrong-length and null-id vectors are inert") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val good = (2L until 14L).map(i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 17 + j + 1).toFloat)))
+    // id 0: Inf component with the LOWEST id — without the quantizer's
+    // Infinity bound it would become centroid #1, every cosine against
+    // it NaN, and (NaN ranks greatest) swallow ALL cell assignments;
+    // id 1: wrong-length vector — un-guarded, its null band bits would
+    // collide all such vectors on band key 0 and its null centroid
+    // sims would stick it to the first cell
+    val poisoned = good ++ Seq(
+      (0L, Array.tabulate(dim)(j =>
+        if (j == 0) Float.PositiveInfinity else 1f)),
+      (1L, Array.fill(dim + 3)(0.5f)))
+    val df = poisoned.toDF("id", "vec")
+    for (topk <- Seq(
+        Similarity.bandedTopK(df, df, "id", "vec", 3, dim),
+        // dim is REQUIRED for safety here: without it the wrong-length
+        // id-1 vector becomes centroid #1 and the assignment filter,
+        // deriving its expected length from that centroid, would drop
+        // the entire well-formed corpus instead
+        Similarity.ivfTopK(df, df, "id", "vec", 3, nCells = 4,
+          dim = Some(dim)))) {
+      val rows = topk.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getLong(0) >= 2L && r.getLong(1) >= 2L))
+      assert(rows.forall(r => !r.getDouble(2).isNaN))
+      // every clean query keeps its own per-query top-k (no collapsed
+      // single-cell degeneration)
+      assert(rows.map(_.getLong(0)).distinct.length == good.length)
+    }
+    // null ids are dropped, not merged into one shared top-k window
+    val withNull = good.map { case (i, v) => (java.lang.Long.valueOf(i), v) } ++
+      Seq((null.asInstanceOf[java.lang.Long], good.head._2),
+        (null.asInstanceOf[java.lang.Long], good.last._2))
+    val dfn = withNull.toDF("id", "vec")
+    val bf = Similarity.bruteForceTopK(dfn, dfn, "id", "vec", 3).collect()
+    assert(bf.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    assert(bf.map(_.getLong(0)).distinct.length == good.length)
+  }
 }
