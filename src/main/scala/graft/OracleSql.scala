@@ -229,15 +229,36 @@ object OracleSql {
          | min(start) AS min_start, max("end") AS max_end
          |FROM ivb GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q16: CLIPPED per-base zoom semantics — the oracle explodes each
+    // interval into the bins it overlaps (lateral generate_series) and
+    // splits covered bases at bin boundaries, mirroring the operator's
+    // explode(sequence(...)) exactly. v is integral so the double sums
+    // are exact and the BIGINT casts deterministic.
     "q16_zoom_rollup" ->
-      s"""WITH iva AS ($ivA)
-         |SELECT chrom, (start // 100000) * 100000 AS bin_start,
-         | count(*) AS n_records,
-         | CAST(sum("end" - start) AS BIGINT) AS bases_covered,
-         | min("end" - start) AS min_val, max("end" - start) AS max_val,
-         | CAST(sum("end" - start) AS BIGINT) AS sum_val,
-         | CAST(sum(("end" - start)*("end" - start)) AS BIGINT) AS sum_squares
-         |FROM iva GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH iva AS (
+        |  SELECT 'chr' || (l_orderkey % 4) AS chrom,
+        |    (l_partkey*12347) % 10000000 AS start,
+        |    (l_partkey*12347) % 10000000 + 50
+        |      + CAST(floor(l_quantity) AS BIGINT)*10 AS "end",
+        |    CAST(floor(l_quantity) AS DOUBLE) AS v
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT chrom, start, "end", v,
+        |    unnest(range(start // 100000, ("end"-1) // 100000 + 1))
+        |      AS bin
+        |  FROM iva),
+        |c AS (
+        |  SELECT chrom, bin, v,
+        |    LEAST("end", (bin+1)*100000) - GREATEST(start, bin*100000)
+        |      AS covered
+        |  FROM b)
+        |SELECT chrom, CAST(bin*100000 AS BIGINT) AS bin_start,
+        |  count(*) AS n_records,
+        |  CAST(sum(covered) AS BIGINT) AS bases_covered,
+        |  min(v) AS min_val, max(v) AS max_val,
+        |  CAST(sum(v * covered) AS BIGINT) AS sum_val,
+        |  CAST(sum(v * v * covered) AS BIGINT) AS sum_squares
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q17_flagstat" ->
       """SELECT count(*) AS n_total,

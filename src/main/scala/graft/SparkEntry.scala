@@ -271,13 +271,28 @@ object SparkEntry {
       .orderBy(col("chrom"))
   }
 
-  /** BBI-zoom-style multi-resolution rollup (SURVEY §2.1 S18). */
-  private def q16_zoom_rollup(s: SparkSession, dir: String): DataFrame =
-    IntervalJoin.zoomRollup(intervalsA(s, dir), resolution = 100000L)
+  /** BBI-zoom-style multi-resolution rollup (SURVEY §2.1 S18) with the
+    * CLIPPED per-base accounting of real zoom records: intervals
+    * straddling a 100 kb bin boundary must contribute to both bins,
+    * with covered bases split at the boundary — the oracle explodes
+    * the same bin ranges with generate_series. The per-base value is
+    * integral (floor(l_quantity)), so the double sums are exact and
+    * the BIGINT casts deterministic in both engines. */
+  private def q16_zoom_rollup(s: SparkSession, dir: String): DataFrame = {
+    val iv = pq(s, dir, "lineitem").select(
+      concat(lit("chr"), (col("l_orderkey") % 4).cast("string"))
+        .as("chrom"),
+      ((col("l_partkey") * 12347) % 10000000L).as("start"),
+      (((col("l_partkey") * 12347) % 10000000L) + 50 +
+        floor(col("l_quantity")) * 10).as("end"),
+      floor(col("l_quantity")).cast("double").as("v"))
+    IntervalJoin.zoomRollup(iv, resolution = 100000L, value = Some("v"))
       .select(col("chrom"), col("bin_start"), col("n_records"),
         col("bases_covered"), col("min_val"), col("max_val"),
-        col("sum_val"), col("sum_squares"))
+        col("sum_val").cast("long").as("sum_val"),
+        col("sum_squares").cast("long").as("sum_squares"))
       .orderBy(col("chrom"), col("bin_start"))
+  }
 
   /** SAM-flag bitfield helpers (samtools-flagstat-style counts). */
   private def q17_flagstat(s: SparkSession, dir: String): DataFrame = {

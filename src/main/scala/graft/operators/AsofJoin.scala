@@ -37,9 +37,19 @@ object AsofJoin {
   def backward(probe: DataFrame, ref: DataFrame, probeKey: String,
       refKey: String, probeTime: String, refTime: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
-    val t = "__asof_t"
-    val isProbe = "__asof_is_probe"
-    val refStruct = "__asof_ref"
+    // working-column names probed to miss BOTH inputs (the
+    // IntervalJoin.overlapJoin fresh() pattern): a caller column named
+    // "__asof_t" would otherwise duplicate in the union projection and
+    // make the window's time reference ambiguous. Case-insensitive,
+    // because withColumn/drop resolve case-insensitively under the
+    // default spark.sql.caseSensitive=false.
+    val used = (probe.columns ++ ref.columns).toSeq
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !used.exists(_.equalsIgnoreCase(n))).get
+    val t = fresh("__asof_t")
+    val isProbe = fresh("__asof_is_probe")
+    val refStruct = fresh("__asof_ref")
     val probePayload = probe.columns.toSeq.filterNot(_ == probeKey)
     val refPayload = ref.columns.toSeq.filterNot(_ == refKey)
     // the output carries probeKey + probe payload + ref payload, so a
@@ -62,9 +72,16 @@ object AsofJoin {
     // a null (or uncastable) refTime would sort NULLS FIRST — before
     // every real row of its key — and its payload would become the
     // "earliest" match for every probe with no genuine predecessor;
-    // a reference row without a time cannot be an as-of match at all
+    // a reference row without a time cannot be an as-of match at all.
+    // A null KEY cannot match either: Window.partitionBy groups nulls
+    // TOGETHER, so an unfiltered null-key reference row would supply
+    // payloads to null-key probes — where the equi-join these window
+    // semantics replace (key = key is never true for nulls) returns
+    // null payloads. Null-key PROBE rows are kept (left-outer), they
+    // just match nothing.
     val refU = ref
-      .where(col(refTime).cast("timestamp").isNotNull)
+      .where(col(refKey).isNotNull &&
+        col(refTime).cast("timestamp").isNotNull)
       .select(
         col(refKey).as(probeKey) +: col(refTime).cast("timestamp").as(t) +:
           lit(0).as(isProbe) +: probePayload.map(c =>

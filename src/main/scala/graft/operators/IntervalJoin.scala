@@ -125,6 +125,11 @@ object IntervalJoin {
       maxBinsPerRow: Int = 1024): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
+    // an overflowing product would wrap capLen negative, classify EVERY
+    // row as long, and silently turn the scale path into the quadratic
+    // per-chromosome shuffle it exists to avoid
+    require(binSize <= Long.MaxValue / maxBinsPerRow,
+      s"binSize * maxBinsPerRow overflows: $binSize * $maxBinsPerRow")
     val (lc, ls, le) = leftCols
     val (rc, rs, re) = rightCols
     val capLen = binSize * maxBinsPerRow
@@ -132,10 +137,14 @@ object IntervalJoin {
     // working-column names picked to miss BOTH inputs' columns: a
     // caller frame already carrying e.g. "__bin" would otherwise be
     // silently overwritten by the withColumn and then dropped from the
-    // output
+    // output. Case-INSENSITIVE, because withColumn/drop resolve
+    // case-insensitively under the default spark.sql.caseSensitive=
+    // false — a case-sensitive probe would accept "__bin" against a
+    // user column "__BIN" and still clobber it.
     def fresh(base: String): String =
       Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(n => !left.columns.contains(n) && !right.columns.contains(n))
+        .find(n => !left.columns.exists(_.equalsIgnoreCase(n)) &&
+          !right.columns.exists(_.equalsIgnoreCase(n)))
         .get
     val binCol = fresh("__bin")
     val rLongCol = fresh("__graft_r_long")
@@ -209,10 +218,27 @@ object IntervalJoin {
 
   /** Multi-resolution summary rollup — the Spark-native equivalent of BBI
     * zoom records (`/root/reference/oxbow/src/bbi/model/zoom.rs:13-37`:
-    * chrom, start, end, bases_covered, min, max, sum, sum_squares).
+    * chrom, start, end, bases_covered, min, max, sum, sum_squares),
+    * with BBI's CLIPPED per-base accounting: a record contributes to
+    * EVERY bin it overlaps, `bases_covered` counts only the bases
+    * inside each bin (it can never exceed the bin width), and
+    * sum/sum_squares accumulate `value · covered_bases` /
+    * `value² · covered_bases` the way zoom sumData/sumSquares do. A
+    * start-bin-only attribution (the pre-r13 shape) misreported any
+    * record longer than the resolution: its whole span landed in one
+    * bin and the bins it actually crossed showed zero coverage.
     *
-    * A plain partial-aggregating `groupBy`, so it map-side combines before
+    * `value` is the record's per-base value (wig-style), cast to
+    * double; when absent it defaults to 1.0, making the rollup a pure
+    * coverage summary (`sum_val == bases_covered`). min/max are over
+    * contributing records' values, like zoom minVal/maxVal.
+    *
+    * Scale shape: one `explode(sequence(startBin, endBin))` per record
+    * (spans/resolution elements — zoom rollups pick resolutions within
+    * ~2 orders of magnitude of the feature length, so small), then a
+    * plain partial-aggregating `groupBy` that map-side combines before
     * the shuffle; at 100 TB this is a single shuffle of `nBins` rows.
+    * Degenerate rows (`end <= start`) cover no bases and are dropped.
     */
   def zoomRollup(
       intervals: DataFrame,
@@ -224,17 +250,25 @@ object IntervalJoin {
     // a zero resolution would floorDiv every row into a null bin (one
     // garbage group) in non-ANSI mode instead of erroring
     require(resolution > 0, "resolution must be positive")
-    val v = value.map(col).getOrElse(col(end) - col(start))
-    intervals
-      .groupBy(col(chrom), (floorDiv(col(start), resolution) *
-        lit(resolution)).cast("long").as("bin_start"))
+    val v = value.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val binned = intervals
+      .where(col(end) > col(start))
+      .withColumn("__zr_v", v)
+      .withColumn("__zr_bin", explode(sequence(
+        floorDiv(col(start), resolution),
+        floorDiv(col(end) - 1, resolution))))
+    val binStart = col("__zr_bin") * resolution
+    val covered = (least(col(end), binStart + resolution) -
+      greatest(col(start), binStart)).cast("double")
+    binned
+      .groupBy(col(chrom), binStart.cast("long").as("bin_start"))
       .agg(
         count(lit(1)).as("n_records"),
-        sum(col(end) - col(start)).cast("long").as("bases_covered"),
-        min(v).as("min_val"),
-        max(v).as("max_val"),
-        sum(v).as("sum_val"),
-        sum(v * v).as("sum_squares"))
+        sum(covered).cast("long").as("bases_covered"),
+        min(col("__zr_v")).as("min_val"),
+        max(col("__zr_v")).as("max_val"),
+        sum(col("__zr_v") * covered).as("sum_val"),
+        sum(col("__zr_v") * col("__zr_v") * covered).as("sum_squares"))
       .withColumn("bin_end", col("bin_start") + resolution)
   }
 }

@@ -74,12 +74,30 @@ object IntervalOps {
     * no-overlap worst case degrades to the plain window). Results are
     * identical to [[mergeIntervals]], including the output schema: the
     * chromosome column keeps the caller's name and type (the sweep
-    * widens coordinates to long internally and casts back). */
+    * widens coordinates to long internally and casts back).
+    *
+    * INTEGRAL coordinates only (enforced below): the sweep's long cast
+    * would TRUNCATE fractional coordinates, silently merging intervals
+    * like (1.9, 2.5) and (2.6, 3.0) that [[mergeIntervals]] keeps
+    * apart — a loud analysis-time error beats a quiet wrong answer.
+    * Genomic coordinates are integral; fractional domains should use
+    * [[mergeIntervals]]. */
   def mergeIntervalsRange(df: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end",
       partitions: Int = 0): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(start, end).foreach { c =>
+      require(integral.contains(df.schema(c).dataType),
+        s"mergeIntervalsRange requires integral coordinates, got " +
+          s"$c: ${df.schema(c).dataType.simpleString} — " +
+          "use mergeIntervals for fractional domains")
+    }
     val n = if (partitions > 0) partitions
       else session.sessionState.conf.numShufflePartitions
     // same null-coordinate drop as mergeIntervals — without it the

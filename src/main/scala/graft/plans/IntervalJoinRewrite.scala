@@ -97,7 +97,11 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bs = confLong(BinSizeKey, 1000L)
     val maxBins = confLong(MaxBinsKey, 1024L)
-    if (bs <= 0 || maxBins <= 0) plan
+    // the overflow check mirrors IntervalJoin.overlapJoin's require: a
+    // wrapped-negative capLen would classify every row as long and turn
+    // the rewrite into the quadratic coarse plan it exists to avoid —
+    // an optimizer rule must bail out, not throw, on a bad conf pair
+    if (bs <= 0 || maxBins <= 0 || bs > Long.MaxValue / maxBins) plan
     else {
       val allowed = keyAllowlist
       plan.transformUp {

@@ -228,4 +228,85 @@ class IntervalJoinSpec extends SparkSuite {
     assert(z(1).getAs[Long]("bin_start") == 100000L &&
       z(1).getAs[Long]("bin_end") == 200000L)
   }
+
+  test("zoomRollup clips straddling rows per bin, value-weights sums") {
+    import spark.implicits._
+    // one long row spanning three bins at resolution 100: BBI-style
+    // clipping must credit each bin only its own covered bases —
+    // start-bin-only attribution would report bases_covered 250 in bin
+    // 0 (2.5x the bin width) and zero coverage in bins 1-2
+    val iv = Seq(
+      ("chr1", 50L, 300L, 2.0),
+      ("chr1", 120L, 140L, 5.0))
+      .toDF("chrom", "start", "end", "v")
+    val z = IntervalJoin.zoomRollup(iv, resolution = 100L,
+        value = Some("v"))
+      .orderBy("bin_start").collect()
+    assert(z.length == 3, z.mkString(";"))
+    // bin 0: [50,100) of the long row
+    assert(z(0).getAs[Long]("bases_covered") == 50L)
+    assert(z(0).getAs[Double]("sum_val") == 100.0) // 2.0 * 50
+    // bin 1: [100,200) of the long row + all of the short one
+    assert(z(1).getAs[Long]("n_records") == 2L)
+    assert(z(1).getAs[Long]("bases_covered") == 120L)
+    assert(z(1).getAs[Double]("min_val") == 2.0 &&
+      z(1).getAs[Double]("max_val") == 5.0)
+    assert(z(1).getAs[Double]("sum_val") == 2.0 * 100 + 5.0 * 20)
+    assert(z(1).getAs[Double]("sum_squares") == 4.0 * 100 + 25.0 * 20)
+    // bin 2: [200,300)
+    assert(z(2).getAs[Long]("bases_covered") == 100L)
+    // degenerate rows cover nothing and are dropped
+    val degen = Seq(("chr1", 10L, 10L, 1.0)).toDF("chrom", "start", "end", "v")
+    assert(IntervalJoin.zoomRollup(degen, 100L, value = Some("v"))
+      .collect().isEmpty)
+  }
+
+  test("asof backward: null-key ref rows never match (equi-join parity)") {
+    import spark.implicits._
+    val probe = Seq((Option(1), "2024-01-02 00:00:00"),
+        (Option.empty[Int], "2024-01-02 00:00:00"))
+      .toDF("uid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq((Option.empty[Int], "2024-01-01 00:00:00", 99),
+        (Option(1), "2024-01-01 00:00:00", 7))
+      .toDF("ouid", "ots", "okey")
+      .withColumn("ots", col("ots").cast("timestamp"))
+    val out = AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots")
+      .orderBy(col("uid").asc_nulls_last).collect()
+    // both probe rows kept (left-outer); the null-key probe matches
+    // NOTHING — `key = key` is never true for nulls in the equi-join
+    // these window semantics replace — even though a null-key ref row
+    // with an earlier time exists and Window.partitionBy groups nulls
+    assert(out.length == 2)
+    assert(out(0).getInt(out(0).fieldIndex("uid")) == 1 &&
+      out(0).getInt(out(0).fieldIndex("okey")) == 7)
+    assert(out(1).isNullAt(out(1).fieldIndex("uid")) &&
+      out(1).isNullAt(out(1).fieldIndex("okey")),
+      s"null-key probe matched a null-key ref: ${out(1)}")
+  }
+
+  test("asof backward survives caller columns named like its work columns") {
+    import spark.implicits._
+    val probe = Seq((1, "2024-01-02 00:00:00", "x"))
+      .toDF("uid", "ts", "__asof_t")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq((1, "2024-01-01 00:00:00", 7))
+      .toDF("ouid", "ots", "okey")
+      .withColumn("ots", col("ots").cast("timestamp"))
+    val out = AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots")
+      .collect()
+    assert(out.length == 1 &&
+      out(0).getInt(out(0).fieldIndex("okey")) == 7 &&
+      out(0).getString(out(0).fieldIndex("__asof_t")) == "x")
+  }
+
+  test("mergeIntervalsRange rejects fractional coordinates loudly") {
+    import spark.implicits._
+    val frac = Seq(("c", 1.9, 2.5), ("c", 2.6, 3.0))
+      .toDF("chrom", "start", "end")
+    val e = intercept[IllegalArgumentException] {
+      IntervalOps.mergeIntervalsRange(frac)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
