@@ -752,9 +752,14 @@ object OracleSql {
 
     // q42: the streaming custom-state sessionization must reproduce the
     // batch transitive gap closure — the oracle IS q12's sessionization
-    // (same 30-min gap, same counts), computed the window-function way
+    // (same 30-min gap, same counts), computed the window-function way.
+    // Rows with null identity/time can't sessionize (documented contract
+    // of sessionizeToCompletion) — the oracle filters them identically,
+    // so the equivalence holds by construction on null-containing data.
     "q42_stream_sessionize" ->
-      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL),
         |m AS (SELECT user_id,
         |  CASE WHEN lag(tus) OVER w IS NULL THEN 1
         |       WHEN tus - lag(tus) OVER w > 1800*1000000 THEN 1
@@ -770,10 +775,13 @@ object OracleSql {
       dedupClosureSql,
 
     // q38: the streaming watermarked dedup reads every event twice and
-    // must emit exactly the single-copy distinct rows DuckDB sees
+    // must emit exactly the single-copy distinct rows DuckDB sees. The
+    // watermark operator drops rows whose event time is null (Spark
+    // semantics — they cannot be ordered against the watermark), so the
+    // oracle filters identically.
     "q38_stream_dedup" ->
       """SELECT event_id, event_type, round(value, 2) AS value_r
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin,
 
     // q39: WAV/MP4 payloads are built from these exact doc-derived
     // formulas and parsed back by the real header decoders; DuckDB

@@ -156,10 +156,17 @@ object GenomicFunctions {
     Column(ParseRegion(expression(c), coords))
 
   /** Zero-based half-open interval overlap predicate between
-    * (chromA, startA, endA) and (chromB, startB, endB). */
+    * (chromA, startA, endA) and (chromB, startB, endB). A null end means
+    * OPEN-ENDED (unbounded right edge) — the contract [[parse_region]]
+    * emits for `"chr1"` / `"chr1:5000"` and `graft.core.Region.overlaps`
+    * implements — so whole-chromosome regions overlap everything on
+    * their chromosome instead of silently matching nothing under SQL
+    * three-valued logic. */
   def regions_overlap(chromA: Column, startA: Column, endA: Column,
                       chromB: Column, startB: Column, endB: Column): Column =
-    chromA === chromB && startA < endB && startB < endA
+    chromA === chromB &&
+      (endB.isNull || startA < endB) &&
+      (endA.isNull || startB < endA)
 
   // ------------------------------------------------------------------ cigar
 

@@ -117,7 +117,13 @@ object EventStream {
       * timeout only re-invokes finalize, which re-checks in micros). */
     def finalize(userId: Long, sessions: Seq[SessionAgg],
         state: GroupState[SessionList]): Iterator[UserSession] = {
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // batch execution (tests, backfill — the module-header contract)
+      // strips the watermark node, and GroupState then throws on the
+      // watermark accessor; with all data present every session is
+      // final, which is exactly what an unbounded watermark expresses
+      val wmUs =
+        try state.getCurrentWatermarkMs() * 1000L
+        catch { case _: UnsupportedOperationException => Long.MaxValue }
       val (done, open) = sessions.partition(_.endUs + gapUs < wmUs)
       if (open.isEmpty) state.remove()
       else {
@@ -219,22 +225,34 @@ object EventStream {
     // flattening batch rewrite (one stat, reused — a repeated
     // isDirectory call could even disagree with the first)
     val partitioned = isDir && raw.exists(_.getParent != src)
-    val files =
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    val files: Seq[java.nio.file.Path] =
       if (!partitioned) raw
       else {
+        // the flattened rewrite is MOVED into the stage dir itself, so
+        // the caller's streamDir cleanup reclaims the full data copy in
+        // its `finally` — a JVM-exit-scoped scratch dir would leak one
+        // complete copy per gate run on a long-lived driver
         val flat = java.nio.file.Files.createTempDirectory("graft-stream-flat")
-        deleteOnJvmExit(flat)
-        ss.read.parquet(eventsPath).write.mode("overwrite")
-          .parquet(flat.resolve("t").toString)
-        leaves(flat)
+        try {
+          ss.read.parquet(eventsPath).write.mode("overwrite")
+            .parquet(flat.resolve("t").toString)
+          leaves(flat).zipWithIndex.map { case (f, i) =>
+            val moved = d.resolve(s"copy_0_$i.parquet")
+            java.nio.file.Files.move(f, moved)
+            moved
+          }
+        } finally deleteRecursively(flat)
       }
-    val d = java.nio.file.Files.createTempDirectory("graft-stream-in")
     files.zipWithIndex.foreach { case (f, i) =>
+      val inStage = f.getParent == d // moved flat leaves ARE copy 0
       (0 until copies).foreach { c =>
-        val link = d.resolve(s"copy_${c}_$i.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, f)
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(f, link)
+        if (!(inStage && c == 0)) {
+          val link = d.resolve(s"copy_${c}_$i.parquet")
+          try java.nio.file.Files.createSymbolicLink(link, f)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(f, link)
+          }
         }
       }
     }
@@ -355,7 +373,12 @@ object EventStream {
     *     every pending event-time timeout fires inside a real batch
     *     (no reliance on a trailing no-data batch).
     * The parquet sink accumulates exactly-once across the executions;
-    * sentinel sessions are filtered from the rollup. */
+    * sentinel sessions are filtered from the rollup.
+    *
+    * Contract: rows with a null event_id, ts, or user_id cannot
+    * sessionize (no identity or event time) and are excluded before the
+    * stateful stage; the q42 oracle filters identically, so the
+    * streaming-vs-batch equivalence holds on null-containing inputs. */
   def sessionizeToCompletion(spark: SparkSession,
       eventsPath: String, rollupDir: Option[String] = None): DataFrame = {
     // the three drives each pay one state-store file set per shuffle
@@ -401,6 +424,13 @@ object EventStream {
         .withColumn("ts", bumped.cast(batchSchema("ts").dataType))
         .withColumn("user_id",
           lit(sentinelId).cast(batchSchema("user_id").dataType))
+        // the latest REAL row may carry a null event_id (it only needed
+        // non-null ts to win the top-1 scan); the sentinel must survive
+        // runOnce's identity filter or the watermark never advances and
+        // the rollup is silently truncated
+        .withColumn("event_id",
+          coalesce(col("event_id"), lit(0L))
+            .cast(batchSchema("event_id").dataType))
         .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("s").toString)
       val part = {
         val s = java.nio.file.Files.list(tmp.resolve("s"))
@@ -512,9 +542,7 @@ object EventStream {
     val events = normalizeTs(
       ss.readStream.schema(batchSchema).parquet(streamDir.toString),
       batchSchema)
-    val deduped = events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+    val deduped = dedupe(events, lateness = "1 hour")
     val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
     liveTables.add(ss -> name)

@@ -38,6 +38,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("regions_overlap treats a null end as open-ended, not as no-match") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]").appName("graft-overlap-test")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.functions.GenomicFunctions.regions_overlap
+      // parse_region('chr1') / 'chr1:5000' emit end = NULL (open-ended);
+      // under plain SQL comparison that NULL would make the predicate
+      // NULL and drop every row — the helper must treat it as unbounded
+      val df = Seq(
+        ("chr1", 100L, Option(200L)),   // bounded, overlapping
+        ("chr1", 5000L, None),          // open-ended from 5000
+        ("chr2", 100L, Option(200L))    // wrong chromosome
+      ).toDF("chrom", "start", "end")
+      val hit = df.where(regions_overlap(
+        col("chrom"), col("start"), col("end"),
+        lit("chr1"), lit(0L), lit(10000L))).count()
+      assert(hit == 2, s"bounded+open-ended on chr1 must both match: $hit")
+      // open-ended QUERY side: whole-chromosome probe matches both
+      // chr1 rows regardless of their coordinates
+      val hitOpen = df.where(regions_overlap(
+        col("chrom"), col("start"), col("end"),
+        lit("chr1"), lit(0L), lit(null).cast("long"))).count()
+      assert(hitOpen == 2, s"whole-chromosome probe must match: $hitOpen")
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("genomic expressions run inside whole-stage codegen, no fallback") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     import graft.functions.GenomicFunctions

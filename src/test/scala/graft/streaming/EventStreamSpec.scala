@@ -304,4 +304,47 @@ class EventStreamSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 3L, 3L)), s"got $got")
   }
+
+  test("sessionize runs over a BATCH dataset (backfill contract)") {
+    import spark.implicits._
+    // the module header promises the builders run over batch frames too;
+    // batch execution strips the watermark node, so the state closure
+    // must not die on GroupState's watermark accessor — with all data
+    // present, every session is final
+    val batch = Seq(
+      SessionEvent(1, ts("2024-01-01 01:00:00"), 1L, "view", 1.0),
+      SessionEvent(2, ts("2024-01-01 01:20:00"), 1L, "view", 2.0),
+      SessionEvent(3, ts("2024-01-01 03:00:00"), 1L, "buy", 3.0),
+      SessionEvent(4, ts("2024-01-01 02:00:00"), 2L, "view", 5.0)).toDS()
+    val got = EventStream.sessionize(batch)
+      .collect()
+      .map(s => (s.user_id, s.session_start.toString, s.n_events, s.sum_value))
+      .toSet
+    assert(got == Set(
+      (1L, "2024-01-01 01:00:00.0", 2L, 3.0),
+      (1L, "2024-01-01 03:00:00.0", 1L, 3.0),
+      (2L, "2024-01-01 02:00:00.0", 1L, 5.0)), s"got $got")
+  }
+
+  test("sessionizeToCompletion survives a null event_id on the latest row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-nullid")
+    // the max-ts row carries a NULL event_id: the sentinel derived from
+    // it must still pass the identity filter (else the watermark never
+    // advances and the rollup silently truncates), while the null-id
+    // real row itself is excluded per the documented contract — as is
+    // the null-user row
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, ts("2024-01-01 01:00:00"), 1L, "view", 1.0),
+      org.apache.spark.sql.Row(2L, ts("2024-01-01 01:10:00"), 1L, "view", 2.0),
+      org.apache.spark.sql.Row(3L, ts("2024-01-01 03:00:00"), null, "view", 1.0),
+      org.apache.spark.sql.Row(null, ts("2024-01-01 09:00:00"), 2L, "buy", 4.0))
+    val file = dir.resolve("ev.parquet")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), EventStream.EventSchema)
+      .coalesce(1).write.mode("overwrite").parquet(file.toString)
+    val got = EventStream.sessionizeToCompletion(spark, file.toString)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 2L)), s"got $got")
+  }
 }
