@@ -42,6 +42,17 @@ object Bench {
   private def fmt6(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
 
+  /** JSON string escape for env-derived values (paths, cpu strings): a
+    * quote or backslash in SPARK_GRAFT_SF_DIR would otherwise corrupt
+    * both bench_out/latest.json and the final stdout summary line the
+    * harness parses, losing the round's bench record. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def memAvailableMb(): Long =
     try {
       scala.io.Source.fromFile("/proc/meminfo").getLines()
@@ -54,8 +65,18 @@ object Bench {
     * proxy for ambient CPU contention in this container. */
   private def calibrate(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
-    spark.range(200000000L).selectExpr("sum(id * 2 + 1)").collect()
-    (System.nanoTime() - t0) / 1e9
+    try {
+      spark.range(200000000L).selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        // same -1 sentinel as calibrateScan: a transient hiccup in the
+        // mid-run calibration job must not abort the bench and discard
+        // every sample already collected (timed queries tolerate and
+        // record failures; the calibration jobs must too)
+        System.err.println(s"[bench] cpu calibration failed: $e")
+        -1.0
+    }
   }
 
   /** Fixed SCAN-shaped calibration job: a parquet aggregation over the
@@ -95,23 +116,24 @@ object Bench {
   private def fastPathBenches
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // q32 with fastHash=true: same winnowing via the codegen'd O(n)
-    // rolling-hash kernel — the variant a production pipeline runs;
-    // the q32/x32 delta is the price of oracle-reproducible hashing
+    // rolling-hash kernel — the variant a production pipeline runs.
+    // SAME aggregate shape as q32 (shared SparkEntry.winnowStats incl.
+    // the fp_checksum fold and final sort), so the q32/x32 delta is the
+    // price of oracle-reproducible hashing ALONE, not a divergent plan
     "x32_winnow_fast" -> ((s: SparkSession, dir: String) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(org.apache.spark.sql.functions.col("source"),
-          graft.operators.TextOps.winnowFingerprints(
-            org.apache.spark.sql.functions.col("text"), fastHash = true)
-            .as("fp"))
-        .groupBy("source")
-        .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
-          org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.size(
-              org.apache.spark.sql.functions.col("fp")))
-            .cast("long").as("n_fps"))),
+      SparkEntry.winnowStats(s, dir, fastHash = true)),
+    // q45 with persistInput: the documented 100 TB knob (one
+    // materialized normed projection instead of ~4 recomputed corpus
+    // passes). Results are identical to q45; the x45/q45 delta prices
+    // the knob at bench scale so the scaladoc's advice carries a number.
+    "x45_embed_persist" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.embedDedup(s, dir, persistInput =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
     // q14's interval-overlap join with 90% of BOTH interval sets forced
-    // onto one chromosome. The 10% tail has key%10==9, which forces the
+    // onto one chromosome. The canonical iv_id/start/end derivations
+    // are REUSED from SparkEntry.intervalsA/B (only the chrom column is
+    // overridden), so the skew twin can never silently drift from q14's
+    // arithmetic. The 10% tail has key%10==9, which forces the
     // key odd, so (key%4)+1 lands it on chr2/chr4 only — two spill
     // chromosomes, never chr0, skew fraction exactly 90%: the
     // shuffle key is (chrom, bin), so chromosome-level skew spreads
@@ -122,29 +144,22 @@ object Bench {
     // 90%² of both sides onto one chromosome inflates the OUTPUT pair
     // count ~3.3× (0.81·A·B·p vs uniform 4-chrom A·B·p/4), so parity
     // is time-per-pair, not raw seconds.
-    // q45 with persistInput: the documented 100 TB knob (one
-    // materialized normed projection instead of ~4 recomputed corpus
-    // passes). Results are identical to q45; the x45/q45 delta prices
-    // the knob at bench scale so the scaladoc's advice carries a number.
-    "x45_embed_persist" -> ((s: SparkSession, dir: String) =>
-      SparkEntry.embedDedup(s, dir, persistInput =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
     "x14_interval_skew" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       def skewed(key: org.apache.spark.sql.Column) =
         when(key % 10 < 9, lit("chr0"))
           .otherwise(concat(lit("chr"), ((key % 4) + 1).cast("string")))
-      val a = s.read.parquet(s"$dir/lineitem.parquet").select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("a_id"),
-        skewed(col("l_orderkey")).as("chrom"),
-        ((col("l_partkey") * 12347) % 10000000L).as("a_start"),
-        (((col("l_partkey") * 12347) % 10000000L) + 50 +
-          floor(col("l_quantity")) * 10).as("a_end"))
-      val b = s.read.parquet(s"$dir/orders.parquet").select(
-        col("o_orderkey").as("b_id"),
-        skewed(col("o_orderkey")).as("b_chrom"),
-        ((col("o_custkey") * 9973) % 10000000L).as("b_start"),
-        (((col("o_custkey") * 9973) % 10000000L) + 200).as("b_end"))
+      // iv_id = l_orderkey*10 + l_linenumber (linenumber < 10), so the
+      // original skew key l_orderkey is recoverable as iv_id div 10;
+      // set B's iv_id IS o_orderkey
+      val a = SparkEntry.intervalsA(s, dir).select(
+        col("iv_id").as("a_id"),
+        skewed(expr("iv_id div 10")).as("chrom"),
+        col("start").as("a_start"), col("end").as("a_end"))
+      val b = SparkEntry.intervalsB(s, dir).select(
+        col("iv_id").as("b_id"),
+        skewed(col("iv_id")).as("b_chrom"),
+        col("start").as("b_start"), col("end").as("b_end"))
       graft.operators.IntervalJoin.overlapJoin(a, b,
           leftCols = ("chrom", "a_start", "a_end"),
           rightCols = ("b_chrom", "b_start", "b_end"), binSize = 1000L)
@@ -312,6 +327,10 @@ object Bench {
     val prefix = sys.env.get("SPARK_GRAFT_BENCH_PREFIX").filter(_.nonEmpty)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      // an empty/whitespace ONLY (e.g. an unset shell substitution
+      // exported as "") means "no filter", like PREFIX — not Some(∅),
+      // which would silently bench zero queries and emit total 0.0
+      .filter(_.nonEmpty)
     // reader bench corpus: generated once (marker-cached), OUTSIDE any
     // timed region; size overridable / disableable via env. A focused
     // SPARK_GRAFT_BENCH_ONLY run that names no b* entry must not pay
@@ -467,9 +486,14 @@ object Bench {
     def combinedCal(j: Int): Double = {
       val c = calibrations(math.min(j, calibrations.length - 1))
       val s = calibrationsScan(math.min(j, calibrationsScan.length - 1))
-      // a failed scan calibration records its -1 sentinel: fall back to
-      // CPU-only rather than poisoning the ratio with time-to-throw
-      if (s < 0) c else c + s
+      // a failed calibration records its -1 sentinel: fall back to the
+      // surviving component rather than poisoning the ratio with
+      // time-to-throw; both failed → -1, and the caller falls back to
+      // raw seconds for that pass
+      if (c < 0 && s < 0) -1.0
+      else if (c < 0) s
+      else if (s < 0) c
+      else c + s
     }
     val resultsCal = queries.collect {
       case (name, _) if samples(name).nonEmpty =>
@@ -482,7 +506,8 @@ object Bench {
         }.min
     }
     val calMedian = {
-      val s = calibrations.indices.map(combinedCal).sorted
+      // -1 sentinels (failed calibrations) must not drag the median
+      val s = calibrations.indices.map(combinedCal).filter(_ > 0).sorted
       if (s.isEmpty) 0.0 else s(s.length / 2)
     }
     // measured ANN quality (untimed, like readerMeta): recall@10 of the
@@ -534,7 +559,7 @@ object Bench {
     val calScanJson = calibrationsScan.map(fmt).mkString("[", ",", "]")
     val passJson = passTotals.map(fmt).mkString("[", ",", "]")
     val sysJson = s"""{"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,""" +
-      s""""mem_available_mb":$memBefore,"cpus":"$cpus",""" +
+      s""""mem_available_mb":$memBefore,"cpus":${jstr(cpus)},""" +
       s""""host_cores":${Runtime.getRuntime.availableProcessors}}"""
     // The harness keeps only a fixed-size tail of stdout (observed
     // 2000 chars) and parses the last JSON line it can see — and in r9
@@ -550,7 +575,7 @@ object Bench {
     //  3. the LAST stdout line is a compact summary kept well under the
     //     tail window.
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",""" +
-      s""""sf":"$sfDir","runs":$runs,"action":"noop-write",""" +
+      s""""sf":${jstr(sfDir)},"runs":$runs,"action":"noop-write",""" +
       s""""failed":$failedJson,"queries":$qs,""" +
       s""""queries_calibrated":$qsCal,""" +
       s""""calibration_median_sec":${fmt(calMedian)},""" +
@@ -572,7 +597,7 @@ object Bench {
     val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$qsCompact,"sf":"$sfDir","runs":$runs,""" +
+      s""""queries":$qsCompact,"sf":${jstr(sfDir)},"runs":$runs,""" +
       s""""action":"noop-write","ann_recall":$annRecall,""" +
       s""""failed":$failedJson}""")
     spark.stop()

@@ -24,7 +24,35 @@ import graft.fixtures.{BamFixture, BbiFixture, BcfFixture, CramFixture, TabixFix
   */
 object ScanGate {
 
-  private val Root = "/tmp/graft_gate"
+  /** Per-PROCESS fixture root. The expected dumps must outlive this JVM
+    * (the driver's DuckDB pass reads the paths embedded in
+    * oracle_sql.json after Verify exits), so they cannot be temp-scoped
+    * — but a fixed shared path would let a concurrent JVM (an sbt test
+    * suite running alongside a Verify/Bench run) observe half-written
+    * fixtures: the object-level `synchronized` only serializes threads
+    * within one process. Each process writes its own dir; stale sibling
+    * dirs from dead runs are swept on first use. */
+  private[graft] val Root: String = {
+    val base = Paths.get("/tmp/graft_gate_runs")
+    try {
+      if (Files.isDirectory(base)) {
+        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        val s = Files.list(base)
+        try {
+          import scala.jdk.CollectionConverters.IteratorHasAsScala
+          s.iterator.asScala
+            .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+            .toVector.foreach { p =>
+              val w = Files.walk(p)
+              try w.iterator.asScala.toVector.reverse
+                .foreach(Files.deleteIfExists(_))
+              finally w.close()
+            }
+        } finally s.close()
+      }
+    } catch { case _: Exception => () } // sweep is best-effort
+    base.resolve(s"pid${ProcessHandle.current().pid()}").toString
+  }
 
   def expectedDir(name: String): String = s"$Root/expected/$name"
 

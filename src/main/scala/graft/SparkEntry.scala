@@ -221,7 +221,7 @@ object SparkEntry {
 
   /** Derived interval set A (from lineitem): deterministic, shared with the
     * oracle. Zero-based half-open on 4 synthetic chromosomes of 10 Mbp. */
-  private def intervalsA(s: SparkSession, dir: String): DataFrame =
+  private[graft] def intervalsA(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "lineitem").select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("iv_id"),
       concat(lit("chr"), (col("l_orderkey") % 4).cast("string")).as("chrom"),
@@ -230,7 +230,7 @@ object SparkEntry {
         floor(col("l_quantity")) * 10).as("end"))
 
   /** Derived interval set B (from orders). */
-  private def intervalsB(s: SparkSession, dir: String): DataFrame =
+  private[graft] def intervalsB(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "orders").select(
       col("o_orderkey").as("iv_id"),
       concat(lit("chr"), (col("o_orderkey") % 4).cast("string")).as("chrom"),
@@ -349,17 +349,25 @@ object SparkEntry {
       .orderBy(col("source"))
 
   /** Winnowing (rolling-hash) fingerprint statistics per source: count
-    * and checksum of the MOSS-style k-gram window-min fingerprints. */
-  private def q32_winnow(s: SparkSession, dir: String): DataFrame =
+    * and checksum of the MOSS-style k-gram window-min fingerprints.
+    * Shared by the gated q32 (md5, oracle-reproducible) and the bench
+    * twin x32 (fast path) so the pair differs ONLY in hash family —
+    * the x32/q32 delta then prices exactly that choice, not a
+    * divergent aggregate shape. */
+  private[graft] def winnowStats(s: SparkSession, dir: String,
+      fastHash: Boolean): DataFrame =
     pq(s, dir, "documents")
       .select(col("source"),
-        TextOps.winnowFingerprints(col("text"), fastHash = false).as("fp"))
+        TextOps.winnowFingerprints(col("text"), fastHash = fastHash).as("fp"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("fp"))).cast("long").as("n_fps"),
         sum(aggregate(col("fp"), lit(0L), (a, x) => a + x))
           .cast("long").as("fp_checksum"))
       .orderBy(col("source"))
+
+  private def q32_winnow(s: SparkSession, dir: String): DataFrame =
+    winnowStats(s, dir, fastHash = false)
 
   /** Heuristic quality scoring per source. */
   private def q20_quality(s: SparkSession, dir: String): DataFrame =

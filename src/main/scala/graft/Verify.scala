@@ -9,6 +9,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
       case Array(a, b, f) => (a, b, Some(f.split(',').toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -23,10 +27,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // a failed query must not leave a PREVIOUS run's dump behind in a
+      // reused outDir — the driver's DuckDB compare would read the stale
+      // parquet and report the regressed query as correct
+      val dest = Paths.get(s"$outDir/$name")
+      deleteRecursively(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(dest.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        deleteRecursively(dest) // a partial write is as stale as an old one
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,5 +55,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      val s = Files.walk(dir)
+      try s.iterator.asScala.toSeq.reverse.foreach(p =>
+        Files.deleteIfExists(p))
+      finally s.close()
+    }
   }
 }

@@ -27,11 +27,11 @@ class ScanGateSpec extends SparkSuite {
       case ("s20_split_scan", fn, _) => fn(spark, "unused").count()
     }
     val bgzf = spark.read.format("bed").option("bed_schema", "bed3")
-      .option("maxpartitionbytes", "1").load("/tmp/graft_gate/g.bed.gz")
+      .option("maxpartitionbytes", "1").load(s"${ScanGate.Root}/g.bed.gz")
     assert(bgzf.rdd.getNumPartitions >= 3,
       s"bgzf split count ${bgzf.rdd.getNumPartitions}")
     val text = spark.read.format("bed").option("bed_schema", "bed3")
-      .option("maxpartitionbytes", "32").load("/tmp/graft_gate/split.bed")
+      .option("maxpartitionbytes", "32").load(s"${ScanGate.Root}/split.bed")
     assert(text.rdd.getNumPartitions >= 3,
       s"text split count ${text.rdd.getNumPartitions}")
   }

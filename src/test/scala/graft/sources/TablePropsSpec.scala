@@ -73,10 +73,10 @@ class TablePropsSpec extends SparkSuite {
     graft.ScanGate.queries.collectFirst {
       case ("s10_scan_cram", fn, _) => fn(spark, "unused").count()
     }
-    val p = props(new CramDataSource(), "/tmp/graft_gate/g.cram")
+    val p = props(new CramDataSource(), s"${graft.ScanGate.Root}/g.cram")
     assert(p.get("chrom_names") == "chr1,chr2")
     assert(p.get("chrom_sizes") == "chr1:100,chr2:60")
-    val pb = props(new BcfDataSource(), "/tmp/graft_gate/gv.bcf")
+    val pb = props(new BcfDataSource(), s"${graft.ScanGate.Root}/gv.bcf")
     assert(pb.get("chrom_sizes") == "chr1:100000")
   }
 
