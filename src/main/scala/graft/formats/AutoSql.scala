@@ -35,6 +35,13 @@ object AutoSql {
   private val QuotedRe = """"([^"]*)"""".r
   private val EnumSetRe = """(?s)^(enum|set)\s*\(([^)]*)\)\s+(\w+)$""".r
   private val ScalarRe = """(?s)^([A-Za-z]+)\s*(?:\[\s*([^\]]*)\s*\])?\s+(\w+)$""".r
+  // kent-source extended column options (index/primary/auto/unique) —
+  // they follow the field name and carry no type information, so they
+  // are stripped before the declaration regexes run; without this a
+  // BigBed embedding `uint id primary auto;` would fail schema
+  // inference entirely
+  private val TrailingOpts =
+    """(?s)(?:\s+(?:primary|auto|unique|index(?:\s*\[[^\]]*\])?))+\s*$""".r
 
   def parse(text: String): AsTable = {
     // the field block's '(' must be located OUTSIDE quoted strings — a
@@ -94,7 +101,12 @@ object AutoSql {
     s
   }
 
-  private def parseField(decl: String): AsField = decl match {
+  private def parseField(raw: String): AsField = {
+    val decl = TrailingOpts.replaceFirstIn(raw, "")
+    parseFieldCore(decl)
+  }
+
+  private def parseFieldCore(decl: String): AsField = decl match {
     case EnumSetRe(kind, _, name) =>
       // enum → one symbolic value (string); set → comma list of values
       AsField(name,

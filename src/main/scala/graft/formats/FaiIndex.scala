@@ -49,12 +49,29 @@ object FaiIndex {
     if (end <= start) return ""
     val byteStart = byteOffset(e, start)
     val byteEnd = byteOffset(e, end - 1) + 1
-    val buf = new Array[Byte]((byteEnd - byteStart).toInt)
+    val span = byteEnd - byteStart
+    // one slice materializes in one array: the JVM caps that near
+    // Int.MaxValue, so fail loudly instead of letting .toInt wrap into
+    // a small positive size (silent truncation) or a negative one
+    require(span > 0 && span <= Int.MaxValue - 8,
+      s"FASTA slice ${e.name}:$start-$end spans $span bytes — " +
+        "split the region below 2 GiB per slice")
+    val buf = new Array[Byte](span.toInt)
     in.seek(byteStart)
-    in.readFully(buf, 0, buf.length)
+    val got = in.readFully(buf, 0, buf.length)
+    // readFully returns SHORT at EOF by contract: a stale .fai over a
+    // truncated FASTA (or a short BGZF view) would otherwise pad the
+    // sequence with NULs delivered as a successful row
+    require(got == buf.length,
+      s"short read slicing ${e.name}:$start-$end — wanted ${buf.length} " +
+        s"bytes at offset $byteStart, got $got (truncated FASTA or " +
+        "stale .fai?)")
     val sb = new java.lang.StringBuilder((end - start).toInt)
-    buf.foreach { b =>
+    var i = 0
+    while (i < buf.length) { // hand-rolled: foreach boxes every byte
+      val b = buf(i)
       if (b != '\n' && b != '\r') sb.append(b.toChar)
+      i += 1
     }
     sb.toString
   }
@@ -167,10 +184,15 @@ object GraftMeta {
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
     val lower = p.getName.toLowerCase
+    // the GZIP constructor reads the header and can throw (truncated /
+    // empty file) BEFORE any try/finally below owns the stream — close
+    // the underlying handle on that path instead of leaking it
     val in =
-      if (lower.endsWith(".gz") || lower.endsWith(".bgz"))
-        new java.util.zip.GZIPInputStream(raw)
-      else raw
+      try {
+        if (lower.endsWith(".gz") || lower.endsWith(".bgz"))
+          new java.util.zip.GZIPInputStream(raw)
+        else raw
+      } catch { case e: Throwable => raw.close(); throw e }
     val r = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, "UTF-8"))
     val sb = new StringBuilder

@@ -52,9 +52,13 @@ object GziIndex {
   def readFor(dataPath: Path, conf: Configuration): Option[Index] = {
     val gzi = new Path(dataPath.toString + ".gzi")
     val fs = gzi.getFileSystem(conf)
-    if (!fs.exists(gzi)) None
-    else {
-      val st = fs.getFileStatus(gzi)
+    // ONE metadata RPC: exists + getFileStatus would double the
+    // namenode/object-store round-trips on every executor-side call,
+    // cache hit or not
+    val stOpt =
+      try Some(fs.getFileStatus(gzi))
+      catch { case _: java.io.FileNotFoundException => None }
+    stOpt.flatMap { st =>
       val key = (gzi.toString, st.getLen, st.getModificationTime)
       Option(cache.get(key)).orElse {
         val in = fs.open(gzi)
@@ -99,12 +103,16 @@ object GziIndex {
             var c = coff
             var u = ustart
             var blk = Bgzf.readBlock(in, c).getOrElse(return done)
-            // walk forward past any blocks the index is too coarse for
+            // walk forward past any blocks the index is too coarse for.
+            // A mid-file EMPTY block (bgzip flush boundary) is legal and
+            // must be walked THROUGH, not treated as end-of-data: the
+            // loop still progresses because c advances by its
+            // compressedSize (>= 28 bytes), and true EOF terminates via
+            // readBlock returning None
             while (pos >= u + blk.data.length) {
               c += blk.compressedSize
               u += blk.data.length
               blk = Bgzf.readBlock(in, c).getOrElse(return done)
-              if (blk.data.isEmpty) return done
             }
             cached = Some((u, blk))
             (u, blk)

@@ -85,14 +85,25 @@ object BbiSource {
     val in = SeekableInputs.forHadoop(fs, path)
     try {
       val header = BbiCodec.readHeader(in)
-      BbiCodec.readAutoSql(in, header).map { text =>
-        val table = graft.formats.AutoSql.parse(text)
-        val n =
-          if (header.fieldCount > 0)
-            math.min(header.fieldCount, table.fields.size)
-          else table.fields.size
-        table.fields.take(n).drop(3)
-          .map(f => graft.core.BedField(f.name, f.dataType))
+      BbiCodec.readAutoSql(in, header).flatMap { text =>
+        // a malformed embedded declaration must DEGRADE to the single
+        // `rest` string column (a complete representation of the data),
+        // not make the whole BigBed unreadable
+        try {
+          val table = graft.formats.AutoSql.parse(text)
+          val n =
+            if (header.fieldCount > 0)
+              math.min(header.fieldCount, table.fields.size)
+            else table.fields.size
+          Some(table.fields.take(n).drop(3)
+            .map(f => graft.core.BedField(f.name, f.dataType)))
+        } catch {
+          case e: IllegalArgumentException =>
+            System.err.println(
+              s"[graft] unparseable embedded AutoSql in $path " +
+                s"(falling back to a single 'rest' column): ${e.getMessage}")
+            None
+        }
       }.filter(_.nonEmpty)
     } finally in.close()
   }

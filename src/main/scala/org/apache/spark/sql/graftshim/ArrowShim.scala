@@ -18,6 +18,10 @@ import org.apache.spark.sql.util.ArrowUtils
 object ArrowShim {
 
   def toIpcBytes(df: DataFrame, maxRecordsPerBatch: Int = 1 << 16): Array[Byte] = {
+    // <= 0 would loop forever writing empty batches below (and the
+    // columnar path would silently never flush) — reject loudly
+    require(maxRecordsPerBatch > 0,
+      s"maxRecordsPerBatch must be positive, got $maxRecordsPerBatch")
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
     val arrowSchema = ArrowUtils.toArrowSchema(df.schema, tz,
       errorOnDuplicatedFieldNames = true, largeVarTypes = false)
@@ -81,6 +85,10 @@ object ArrowShim {
     * default (the x01–x06 A/B showed it losing under ColumnarToRow). */
   def toIpcBytesColumnar(df: DataFrame,
       maxRecordsPerBatch: Int = 1 << 16): Array[Byte] = {
+    // same guard as toIpcBytes: a non-positive cap would mean "never
+    // flush" here (one giant batch) — the two faces must reject alike
+    require(maxRecordsPerBatch > 0,
+      s"maxRecordsPerBatch must be positive, got $maxRecordsPerBatch")
     import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
     def unwrap(p: SparkPlan): SparkPlan = p match {
       case w: WholeStageCodegenExec => unwrap(w.child)
