@@ -23,17 +23,39 @@ object FaiIndex {
       Entry(c(0), c(1).toLong, c(2).toLong, c(3).toLong, c(4).toLong)
     }.toSeq
 
+  // per-JVM parsed-index cache keyed by (path, size, mtime) — same
+  // scheme as GziIndex: getTable probes every .fai to pick the fast
+  // path and planInputPartitions re-reads it moments later; on object
+  // stores those are redundant GETs for a file that cannot have
+  // changed between the two calls. Single-entry eviction at capacity.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[Entry]]()
+  private val CacheMax = 64
+
   def readFor(fastaPath: Path, conf: Configuration): Option[Seq[Entry]] = {
     val fai = new Path(fastaPath.toString + ".fai")
     val fs = fai.getFileSystem(conf)
-    if (!fs.exists(fai)) None
-    else {
-      val in = fs.open(fai)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(fai).getLen.toInt)
-        in.readFully(bytes)
-        Some(parse(new String(bytes, "UTF-8")))
-      } finally in.close()
+    // ONE metadata RPC: exists + getFileStatus would double the
+    // round-trips on every call
+    val stOpt =
+      try Some(fs.getFileStatus(fai))
+      catch { case _: java.io.FileNotFoundException => None }
+    stOpt.flatMap { st =>
+      val key = (fai.toString, st.getLen, st.getModificationTime)
+      Option(cache.get(key)).orElse {
+        val in = fs.open(fai)
+        val entries = try {
+          val bytes = new Array[Byte](st.getLen.toInt)
+          in.readFully(bytes)
+          parse(new String(bytes, "UTF-8"))
+        } finally in.close()
+        if (cache.size >= CacheMax) {
+          val it = cache.keySet.iterator
+          if (it.hasNext) { it.next(); it.remove() }
+        }
+        cache.put(key, entries)
+        Some(entries)
+      }
     }
   }
 

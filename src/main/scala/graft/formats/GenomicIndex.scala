@@ -54,8 +54,13 @@ object GenomicIndex {
       * `refId`, filtered by the linear index low bound and merged. */
     def query(refId: Int, beg: Long, end: Long): Seq[Chunk] = {
       if (refId < 0 || refId >= refs.size) return Nil
-      // clamp to the binning scheme's addressable range (2^29 for BAI/TBI)
+      // an empty interval (end <= beg, constructible via "chr1:[100,100)")
+      // or one past the scheme's addressable range provably matches
+      // nothing: return Nil instead of inflating it to a 1-base window
+      // that opens/seeks/inflates blocks (a remote GET each) for rows
+      // the residual predicate then drops
       val maxPos = 1L << (minShift + depth * 3)
+      if (end <= beg || beg >= maxPos) return Nil
       val begC = math.max(0L, math.min(beg, maxPos - 1))
       val endC = math.max(begC + 1, math.min(end, maxPos))
       val ref = refs(refId)
@@ -73,7 +78,11 @@ object GenomicIndex {
           // chunk of every coarse bin survives the filter, costing a
           // pointless block open/seek/inflate per query (a remote GET
           // each on object stores).
-          var bin = ((1 << (depth * 3)) - 1) / 7 + (begC >> minShift).toInt
+          // Long shift: Int `1 << (depth*3)` wraps at depth >= 11 and
+          // lands the walk on a wrong (shallow) bin id, whose loffset
+          // could then unsafely inflate the lower bound
+          var bin = ((((1L << (depth * 3)) - 1) / 7) +
+            (begC >> minShift)).toInt
           var res = 0L
           var found = false
           while (!found && bin >= 0) {
@@ -215,6 +224,12 @@ object GenomicIndex {
     require(d.readBytes(4).sameElements("CSI\u0001".getBytes), "bad CSI magic")
     val minShift = d.readInt()
     val depth = d.readInt()
+    // htslib writes 14/5 by default; depth <= 10 covers 2^(shift+30)
+    // positions. Implausible values are corruption — raise a parse
+    // error (findFor degrades it to the next suffix / full scan)
+    // rather than let the shift math wrap downstream.
+    require(minShift > 0 && minShift < 32 && depth >= 0 && depth <= 10,
+      s"implausible CSI parameters min_shift=$minShift depth=$depth")
     val lAux = d.readInt()
     val aux = d.readBytes(lAux)
     val nRef = d.readInt()
@@ -263,7 +278,10 @@ object GenomicIndex {
     * statistics into a metadata pseudo-bin past that (id 37450 for the
     * 14/5 scheme). Anything at or beyond this id must be excluded from
     * chunk math — its "chunks" are counts, not virtual positions. */
-  def maxRealBins(depth: Int): Int = (((1L << ((depth + 1) * 3)) - 1) / 7).toInt
+  def maxRealBins(depth: Int): Int =
+    // clamp instead of .toInt-wrapping for depth >= 11 (bin ids are i32
+    // in the file formats, so Int.MaxValue is the honest ceiling)
+    math.min((((1L << ((depth + 1) * 3)) - 1) / 7), Int.MaxValue.toLong).toInt
 
   private def readRef(d: LEData, csi: Boolean, depth: Int): RefIndex = {
     val pseudoFrom = maxRealBins(depth)
@@ -299,10 +317,22 @@ object GenomicIndex {
       path: org.apache.hadoop.fs.Path): Option[Index] = {
     def tryRead(suffix: String, read: InputStream => Index): Option[Index] = {
       val p = new org.apache.hadoop.fs.Path(path.toString + suffix)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try Some(read(in)) finally in.close()
-      } else None
+      // one metadata RPC (open + FileNotFoundException) instead of
+      // exists + open; a PRESENT-but-corrupt index (zero-byte stale
+      // .bai next to a valid .csi) falls through to the next suffix —
+      // and if every suffix fails the caller's no-index path is a full
+      // scan with the residual predicate, which stays correct
+      val in =
+        try fs.open(p)
+        catch { case _: java.io.FileNotFoundException => return None }
+      try Some(read(in))
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] unreadable index $p (${e.getMessage}) — " +
+              "falling back to the next index suffix or a full scan")
+          None
+      } finally in.close()
     }
     tryRead(".bai", readBai)
       .orElse(tryRead(".csi", readCsi))
@@ -334,6 +364,9 @@ object GenomicIndex {
   private[formats] final class LEData(in: InputStream) {
     private val d = new DataInputStream(in)
     def readBytes(n: Int): Array[Byte] = {
+      // a hostile/corrupt length field must raise a parse error (which
+      // findFor converts into a fallback), not NegativeArraySizeException
+      require(n >= 0, s"negative length field in index: $n")
       val b = new Array[Byte](n); d.readFully(b); b
     }
     def readInt(): Int = java.lang.Integer.reverseBytes(d.readInt())

@@ -46,10 +46,18 @@ object FastaFaiSource {
   * record's `>` header line (computed from the previous entry's extent),
   * so the description column survives the fast path. `regionEnd` = -1
   * means to-end-of-sequence. */
+case class FaiSlice(name: String, length: Long, offset: Long,
+    lineBases: Long, lineWidth: Long, headerStart: Long,
+    regionStart: Long, regionEnd: Long)
+
+/** A PACKED set of slices of one file: a gene-panel query with
+  * thousands of small regions must not plan thousands of tasks each
+  * paying a full file open (+ .gzi fetch) for a few hundred bytes —
+  * the same fragment-packing `GenomicIndex.packRanges` does for the
+  * sibling indexed sources. Slices are ordered by byte offset so one
+  * partition reads roughly sequentially through its shared stream. */
 case class FaiSlicePartition(pathStr: String, gzi: Boolean,
-    name: String, length: Long, offset: Long, lineBases: Long,
-    lineWidth: Long, headerStart: Long, regionStart: Long, regionEnd: Long)
-    extends InputPartition
+    slices: Seq[FaiSlice]) extends InputPartition
 
 class FaiSliceTable(tableSchema: StructType, paths: Seq[Path],
     options: Map[String, String]) extends Table with SupportsRead {
@@ -88,7 +96,7 @@ class FaiSliceScan(fullSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = graft.sources.common.GraftHadoop.conf()
     val regions = LineSourceUtil.parseRegionsOption(options)
-    paths.flatMap { p =>
+    val perFile = paths.map { p =>
       val gzi = LineSourceUtil.isGzip(p)
       val entries = FaiIndex.readFor(p, conf).getOrElse(Nil)
       // header line of entry i lies in (previous entry's last sequence
@@ -96,23 +104,60 @@ class FaiSliceScan(fullSchema: StructType, required: StructType,
       // forward for the first '>' line, so blank/comment lines between
       // records are tolerated. Clamp into [0, e.offset] and handle
       // zero-length previous sequences (whose extent is just the header).
-      val byOffset = entries.sortBy(_.offset)
-      val headerStarts: Map[String, Long] = byOffset.zipWithIndex.map {
-        case (e, 0) => e.name -> 0L
+      // Header starts ride per ENTRY (aligned to the offset-sorted list),
+      // never through a name-keyed map: a malformed .fai with duplicate
+      // names would silently read the other record's description.
+      val byOffset = entries.sortBy(_.offset).toIndexedSeq
+      val headerStarts: IndexedSeq[Long] = byOffset.zipWithIndex.map {
+        case (_, 0) => 0L
         case (e, i) =>
           val prev = byOffset(i - 1)
           val afterPrev =
             if (prev.length <= 0) prev.offset
             else FaiIndex.byteOffset(prev, prev.length - 1) + 1
-          e.name -> math.max(0L, math.min(afterPrev, e.offset))
-      }.toMap
-      entries.flatMap { e =>
+          math.max(0L, math.min(afterPrev, e.offset))
+      }
+      val slices = byOffset.zipWithIndex.flatMap { case (e, i) =>
         regions.filter(r => r.name == e.name && r.start < e.length).map { r =>
-          FaiSlicePartition(p.toString, gzi, e.name, e.length, e.offset,
-            e.lineBases, e.lineWidth, headerStarts(e.name),
-            r.start, r.end.getOrElse(-1L))
+          FaiSlice(e.name, e.length, e.offset, e.lineBases, e.lineWidth,
+            headerStarts(i), r.start, r.end.getOrElse(-1L))
         }
       }
+      (p, gzi, slices)
+    }
+    // pack slices into byte-budgeted partitions (offset order → roughly
+    // sequential reads per task); a thousand-region panel query becomes
+    // a handful of tasks instead of a thousand file opens
+    def sliceBytes(s: FaiSlice): Long = {
+      val e = FaiIndex.Entry(s.name, s.length, s.offset, s.lineBases,
+        s.lineWidth)
+      val end = math.min(
+        if (s.regionEnd < 0) s.length else s.regionEnd, s.length)
+      if (end <= s.regionStart) 0L
+      else FaiIndex.byteOffset(e, end - 1) + 1 -
+        FaiIndex.byteOffset(e, s.regionStart)
+    }
+    val totalBytes = perFile.iterator
+      .flatMap(_._3).map(sliceBytes).sum
+    val budget = LineSourceUtil.maxSplitBytes(options,
+      fallback = 128L * 1024 * 1024, totalBytes = totalBytes)
+    perFile.flatMap { case (p, gzi, slices) =>
+      val packed = Seq.newBuilder[FaiSlicePartition]
+      var cur = List.empty[FaiSlice]
+      var curBytes = 0L
+      slices.sortBy(s => (s.offset, s.regionStart)).foreach { s =>
+        val b = sliceBytes(s)
+        if (cur.nonEmpty && curBytes + b > budget) {
+          packed += FaiSlicePartition(p.toString, gzi, cur.reverse)
+          cur = Nil
+          curBytes = 0L
+        }
+        cur = s :: cur
+        curBytes += b
+      }
+      if (cur.nonEmpty)
+        packed += FaiSlicePartition(p.toString, gzi, cur.reverse)
+      packed.result()
     }.toArray
   }
 
@@ -134,42 +179,58 @@ class FaiSliceReader(fullSchema: StructType, required: StructType,
     SeekableInputs.forHadoop(path.getFileSystem(graft.sources.common.GraftHadoop.conf()), path))
   private val in: Bgzf.SeekableInput =
     if (part.gzi) {
-      val idx = GziIndex.readFor(path, graft.sources.common.GraftHadoop.conf()).getOrElse(
-        throw new IllegalStateException(s"missing .gzi for ${part.pathStr}"))
+      // the ctor owns `raw` until construction completes: a missing
+      // .gzi (deleted between planning and execution) must close the
+      // already-opened stream, not leak a handle per task retry
+      val idx =
+        try GziIndex.readFor(path, graft.sources.common.GraftHadoop.conf())
+          .getOrElse(throw new IllegalStateException(
+            s"missing .gzi for ${part.pathStr}"))
+        catch { case e: Throwable => raw.close(); throw e }
       new GziIndex.UncompressedView(raw, idx)
     } else raw
 
-  private val entry = FaiIndex.Entry(part.name, part.length, part.offset,
-    part.lineBases, part.lineWidth)
-
+  // rows are built BY NAME against whatever schema the session handed
+  // us (supportsExternalMetadata lets a user declare a subset/reorder
+  // of the canonical columns): a positional 5-slot row under a 2-field
+  // user schema would silently serve the description as the sequence
   private val projIdx: Array[Int] =
     required.fieldNames.map(fullSchema.fieldIndex)
   private val identityProj = projIdx.sameElements(fullSchema.indices)
+  private val fullNames = fullSchema.fieldNames
 
-  private var done = false
+  private val slices = part.slices.iterator
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (done) return false
-    done = true
-    val endOpt = if (part.regionEnd < 0) None else Some(part.regionEnd)
+    if (!slices.hasNext) return false
+    val s = slices.next()
+    val entry = FaiIndex.Entry(s.name, s.length, s.offset,
+      s.lineBases, s.lineWidth)
+    val endOpt = if (s.regionEnd < 0) None else Some(s.regionEnd)
     // the slice read (seek + bulk read + newline strip) is the whole
     // cost of this reader: projection-gated like `description` below,
     // so select(name, start, end) pays no sequence I/O at all
     val seq: String =
       if (!required.fieldNames.contains("sequence")) null
       else FaiIndex.slice(in, entry,
-        Region(part.name, part.regionStart, endOpt))
-    val end = math.min(endOpt.getOrElse(part.length), part.length)
+        Region(s.name, s.regionStart, endOpt))
+    val end = math.min(endOpt.getOrElse(s.length), s.length)
     // description: parse the `>` header line (small, bounded by the
     // sequence offset) only if the projection needs it
     val desc: UTF8String =
       if (!required.fieldNames.contains("description")) null
       else {
-        val len = (part.offset - part.headerStart).toInt
+        val len = (s.offset - s.headerStart).toInt
         val buf = new Array[Byte](len)
-        in.seek(part.headerStart)
-        in.readFully(buf, 0, len)
+        in.seek(s.headerStart)
+        val got = in.readFully(buf, 0, len)
+        // same loud contract as FaiIndex.slice: a truncation inside
+        // the header span must not silently parse a NUL-padded buffer
+        require(got == len,
+          s"short read of FASTA header span for '${s.name}' — wanted " +
+            s"$len bytes at ${s.headerStart}, got $got (truncated " +
+            "FASTA or stale .fai?)")
         val text = new String(buf, "UTF-8")
         text.linesIterator.find(_.startsWith(">")) match {
           case Some(h) =>
@@ -178,10 +239,16 @@ class FaiSliceReader(fullSchema: StructType, required: StructType,
           case None => null
         }
       }
-    val full = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(part.name), desc,
-      part.regionStart, end,
-      if (seq == null) null else UTF8String.fromString(seq)))
+    val values: Array[Any] = fullNames.map {
+      case "name" => UTF8String.fromString(s.name)
+      case "description" => desc
+      case "start" => s.regionStart
+      case "end" => end
+      case "sequence" =>
+        if (seq == null) null else UTF8String.fromString(seq)
+      case _ => null // unknown user-declared column → null, not garbage
+    }
+    val full = new GenericInternalRow(values)
     current = LineSourceUtil.projectRow(full, projIdx, fullSchema,
       identityProj)
     true

@@ -55,7 +55,10 @@ class SeqSourcesSpec extends SparkSuite {
     val df = spark.read.format("fasta")
       .option("regions", "chr1:1001-1100;chr2:2-5")
       .load(fa.toString)
-    assert(df.rdd.getNumPartitions == 2) // one per (sequence, region)
+    // two tiny slices PACK into one byte-budgeted partition (the
+    // gene-panel fix: tasks scale with data volume, not region count)
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts >= 1 && nParts <= 2, s"got $nParts partitions")
     val rows = df.orderBy("name").collect()
     assert(rows(0).getString(0) == "chr1" &&
       rows(0).getString(1) == "big contig" &&
@@ -190,5 +193,78 @@ class SeqSourcesSpec extends SparkSuite {
     intercept[org.apache.spark.SparkException] {
       spark.read.format("fastq").load(p.toString).collect()
     }
+  }
+
+  test("fasta: fai fast path packs many regions into few partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-faipack")
+    val chr1seq = "ACGT" * 25000 // 100k bases
+    val wrapped = chr1seq.grouped(60).mkString("\n")
+    val fa = dir.resolve("pack.fa")
+    java.nio.file.Files.write(fa, (">chr1\n" + wrapped + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("pack.fa.fai"),
+      s"chr1\t100000\t6\t60\t61\n".getBytes("UTF-8"))
+    // 200 10-base regions — the gene-panel shape; without packing this
+    // planned 200 single-slice tasks each paying a file open
+    val regions = (0 until 200)
+      .map(i => s"chr1:${i * 500 + 1}-${i * 500 + 10}").mkString(";")
+    val df = spark.read.format("fasta").option("regions", regions)
+      .load(fa.toString)
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts <= 8, s"expected packed partitions, got $nParts")
+    val rows = df.orderBy("start").collect()
+    assert(rows.length == 200)
+    // spot-check content correctness through the packed reader
+    assert(rows(0).getString(4) == chr1seq.substring(0, 10))
+    assert(rows(37).getLong(2) == 37 * 500 &&
+      rows(37).getString(4) == chr1seq.substring(37 * 500, 37 * 500 + 10))
+  }
+
+  test("fasta: fai fast path honors a user-declared column subset") {
+    // supportsExternalMetadata lets a session hand the table a subset /
+    // reorder of the canonical columns; rows must be built BY NAME (a
+    // positional 5-slot row would serve the description as sequence)
+    val dir = java.nio.file.Files.createTempDirectory("graft-faischema")
+    val fa = dir.resolve("u.fa")
+    java.nio.file.Files.write(fa,
+      ">chr1 some desc\nACGTACGTAC\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("u.fa.fai"),
+      "chr1\t10\t16\t10\t11\n".getBytes("UTF-8"))
+    val df = spark.read.format("fasta")
+      .schema("sequence STRING, name STRING")
+      .option("regions", "chr1:2-5")
+      .load(fa.toString)
+    val r = df.collect()(0)
+    assert(r.getString(0) == "CGTA", r.toString) // sequence, not desc
+    assert(r.getString(1) == "chr1", r.toString)
+  }
+
+  test("index query: empty or out-of-range intervals plan zero chunks") {
+    import graft.formats.GenomicIndex._
+    import graft.formats.Bgzf.VirtualPosition
+    val bin = reg2bin(0, 100)
+    val idx = Index(14, 5, IndexedSeq(RefIndex(
+      Map(bin -> Bin(bin, Seq(Chunk(VirtualPosition(0, 0),
+        VirtualPosition(1000, 0))), None)),
+      IndexedSeq(VirtualPosition(0, 0)))), Map.empty, None)
+    assert(idx.query(0, 0, 100).nonEmpty)
+    assert(idx.query(0, 100, 100).isEmpty, "empty interval must plan Nil")
+    assert(idx.query(0, 200, 100).isEmpty, "inverted interval must plan Nil")
+    assert(idx.query(0, 1L << 40, 1L << 41).isEmpty,
+      "past the addressable range must plan Nil")
+  }
+
+  test("a corrupt index falls back instead of killing the scan") {
+    // stale zero-byte .tbi next to a bed: planning must degrade to the
+    // split/full scan (residual predicate keeps results correct), not
+    // throw from inside planInputPartitions
+    val dir = java.nio.file.Files.createTempDirectory("graft-corruptidx")
+    val bed = dir.resolve("c.bed")
+    java.nio.file.Files.write(bed,
+      "chr1\t10\t20\nchr1\t30\t40\nchr2\t5\t9\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("c.bed.tbi"), Array.empty[Byte])
+    val rows = spark.read.format("bed").option("bed_schema", "bed3")
+      .option("regions", "chr1:1-100")
+      .load(bed.toString).collect()
+    assert(rows.length == 2, rows.mkString(","))
   }
 }
