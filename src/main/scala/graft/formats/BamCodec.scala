@@ -75,12 +75,10 @@ object BamCodec {
 
     // slot index limited to the tags whose values are actually consumed
     // (nested pruning); un-requested tags are still WALKED (their sizes
-    // drive the cursor) but never converted/boxed
+    // drive the cursor) but never converted/boxed. Shared helper: the
+    // SAM text parser must fill the identical slots.
     private val tagIndex: Map[String, Int] =
-      tagSchema.map { ts =>
-        val all = ts.fieldNames.zipWithIndex.toMap
-        neededTags.fold(all)(keep => all.filter(kv => keep(kv._1)))
-      }.getOrElse(Map.empty)
+      graft.sources.SamTags.tagSlotIndex(tagSchema, neededTags)
 
     /** Read one record from the stream; None at EOF. */
     def read(le: LEInput): Option[RawRecord] = {
@@ -99,10 +97,16 @@ object BamCodec {
       val nextRefId = bb.getInt
       val nextPos0 = bb.getInt.toLong
       val tlen = bb.getInt
-      val nameBytes = new Array[Byte](lReadName)
-      bb.get(nameBytes)
+      // pruned fixed columns advance the cursor for FREE — no
+      // allocation, no copy (the decoder's own pruned-column contract;
+      // a pos-only scan of a long-read BAM must not copy 100 kb of
+      // name/seq/qual bytes per record)
       val qname =
-        if (need(0)) new String(nameBytes, 0, lReadName - 1, "UTF-8") else null
+        if (need(0)) {
+          val nameBytes = new Array[Byte](lReadName)
+          bb.get(nameBytes)
+          new String(nameBytes, 0, lReadName - 1, "UTF-8")
+        } else { bb.position(bb.position() + lReadName); null }
 
       var refLen = 0L
       var cigarStr: String = null
@@ -130,10 +134,10 @@ object BamCodec {
           nCigar == 2 && op0 == 'S' && len0 == lSeq && opLast == 'N'
       }
 
-      val seqBytes = new Array[Byte]((lSeq + 1) / 2)
-      bb.get(seqBytes)
       val seqStr: String =
         if (need(9) && lSeq > 0) {
+          val seqBytes = new Array[Byte]((lSeq + 1) / 2)
+          bb.get(seqBytes)
           val sb = new java.lang.StringBuilder(lSeq)
           var i = 0
           while (i < lSeq) {
@@ -142,17 +146,20 @@ object BamCodec {
             i += 1
           }
           sb.toString
-        } else null
+        } else { bb.position(bb.position() + (lSeq + 1) / 2); null }
 
-      val qualBytes = new Array[Byte](lSeq)
-      bb.get(qualBytes)
       val qualStr: String =
-        if (need(10) && lSeq > 0 && qualBytes(0) != -1) {
-          val sb = new java.lang.StringBuilder(lSeq)
-          var i = 0
-          while (i < lSeq) { sb.append((qualBytes(i) + 33).toChar); i += 1 }
-          sb.toString
-        } else null
+        if (need(10) && lSeq > 0) {
+          val qualBytes = new Array[Byte](lSeq)
+          bb.get(qualBytes)
+          if (qualBytes(0) == -1) null // 0xff fill = "*" (absent quals)
+          else {
+            val sb = new java.lang.StringBuilder(lSeq)
+            var i = 0
+            while (i < lSeq) { sb.append((qualBytes(i) + 33).toChar); i += 1 }
+            sb.toString
+          }
+        } else { bb.position(bb.position() + lSeq); null }
 
       // reconstruct the real CIGAR from CG:B,I when the record carries
       // the placeholder; the scan restores the buffer position so the
@@ -260,7 +267,9 @@ object BamCodec {
       case 'B' =>
         val sub = bb.get().toChar
         val n = bb.getInt
-        (0 until n).map(_ => readTagValue(bb, sub))
+        // the subtype letter rides along so a string-coerced B array
+        // renders the SAM text form ("c,1,2"), not a Scala toString
+        BArray(sub, (0 until n).map(_ => readTagValue(bb, sub)))
       case other =>
         throw new IllegalArgumentException(s"unknown BAM tag type '$other'")
     }
@@ -291,23 +300,38 @@ object BamCodec {
       case (s: String, StringType) => UTF8String.fromString(s)
       case (l: Long, LongType) => l
       case (f: Float, FloatType) => f
+      // scalar type drift across records (a tag typed Long by the
+      // schema meeting an f record, or vice versa) degrades by
+      // conversion like the SAM text face — silently nulling the value
+      // made the "drop-in interchangeable" sources disagree
+      case (f: Float, LongType) => f.toLong
+      case (l: Long, FloatType) => l.toFloat
       case (l: Long, StringType) => UTF8String.fromString(l.toString)
       case (f: Float, StringType) => UTF8String.fromString(f.toString)
-      case (xs: Seq[_], ArrayType(LongType, _)) =>
+      case (a: BArray, ArrayType(LongType, _)) =>
         // a record whose B-array subtype drifted to 'f' against a
         // long-typed schema degrades by truncation like the scalar
         // cases, instead of a task-killing ClassCastException
-        ArrayData.toArrayData(xs.map {
+        ArrayData.toArrayData(a.values.map {
           case l: Long => l
           case f: Float => f.toLong
         }.toArray)
-      case (xs: Seq[_], ArrayType(FloatType, _)) =>
-        ArrayData.toArrayData(xs.map {
+      case (a: BArray, ArrayType(FloatType, _)) =>
+        ArrayData.toArrayData(a.values.map {
           case f: Float => f
           case l: Long => l.toFloat
         }.toArray)
+      case (a: BArray, StringType) =>
+        // conflict-widened ('Z' sink) column: the SAM text form of a B
+        // value is "sub,v1,v2,..." — what the text parser emits for the
+        // same record
+        UTF8String.fromString((a.sub +: a.values).mkString(","))
       case (other, StringType) => UTF8String.fromString(other.toString)
       case _ => null
     }
   }
+
+  /** A decoded B-array tag value with its subtype letter (needed to
+    * render the SAM text form when coerced to a string column). */
+  private final case class BArray(sub: Char, values: Seq[Any])
 }

@@ -38,22 +38,34 @@ object BcfCodec {
   private val HeaderLine = """##(FILTER|INFO|FORMAT|contig)=<(.+)>""".r
 
   def dictionaries(headerText: String): Dictionaries = {
-    val strings = mutable.LinkedHashMap[String, Int]("PASS" -> 0)
-    val contigs = mutable.LinkedHashMap.empty[String, Int]
+    // collect declarations first: the implicit-vs-explicit numbering
+    // decision needs the whole header (BCF2 §6.2.1 — IDX= is
+    // all-or-none; when present it REnumbers the dictionary, including
+    // PASS, so pre-seeding PASS -> 0 unconditionally would ignore an
+    // explicit ##FILTER=<ID=PASS,...,IDX=3>)
+    val stringDecls = mutable.ArrayBuffer.empty[(String, Option[Int])]
+    val contigDecls = mutable.ArrayBuffer.empty[(String, Option[Int])]
     headerText.linesIterator.foreach {
       case HeaderLine(kind, body) =>
         // quote-aware: a comma inside Description must not create a
         // phantom attribute (which could shift implicit IDX numbering)
         val attrs = graft.sources.VcfHeader.parseDefBody(body)
         attrs.get("ID").foreach { id =>
-          val idx = attrs.get("IDX").map(_.toInt)
-          if (kind == "contig") {
-            contigs.getOrElseUpdate(id, idx.getOrElse(contigs.size))
-          } else {
-            strings.getOrElseUpdate(id, idx.getOrElse(strings.size))
-          }
+          val idx = attrs.get("IDX").flatMap(_.toIntOption)
+          if (kind == "contig") contigDecls += (id -> idx)
+          else stringDecls += (id -> idx)
         }
       case _ => ()
+    }
+    val strings = mutable.LinkedHashMap.empty[String, Int]
+    // implicit mode only: PASS is slot 0 whether or not it is declared
+    if (!stringDecls.exists(_._2.isDefined)) strings("PASS") = 0
+    stringDecls.foreach { case (id, idx) =>
+      strings.getOrElseUpdate(id, idx.getOrElse(strings.size))
+    }
+    val contigs = mutable.LinkedHashMap.empty[String, Int]
+    contigDecls.foreach { case (id, idx) =>
+      contigs.getOrElseUpdate(id, idx.getOrElse(contigs.size))
     }
     def toSeq(m: mutable.LinkedHashMap[String, Int]): IndexedSeq[String] = {
       val size = if (m.isEmpty) 0 else m.values.max + 1

@@ -97,7 +97,11 @@ class SamFormat extends LineFormat {
             val cols = line.split("\t", -1)
             cols.drop(11).foreach { t =>
               val parts = t.split(":", 3)
-              if (parts.length == 3) {
+              // parts(1).nonEmpty: a malformed "XX::v" token must not
+              // crash schema inference with head-of-empty — the row
+              // parser itself skips the same token, and discovery must
+              // never be MORE fragile than parsing
+              if (parts.length == 3 && parts(1).nonEmpty) {
                 val name = parts(0)
                 val code: Char =
                   if (parts(1) == "B") // B:f,… → float array, else int array
@@ -169,6 +173,17 @@ object SamTags {
       throw new IllegalArgumentException(s"unknown SAM tag type '$other'")
   }
 
+  /** Slot index limited to the tags whose values are actually consumed
+    * (nested pruning). ONE implementation shared by the SAM text parser
+    * and the BAM binary decoder — the pair must never drift on which
+    * tag slots get filled (the SAM/BAM parity class of bug). */
+  def tagSlotIndex(tagSchema: Option[StructType],
+      neededTags: Option[Set[String]]): Map[String, Int] =
+    tagSchema.map { ts =>
+      val all = ts.fieldNames.zipWithIndex.toMap
+      neededTags.fold(all)(keep => all.filter(kv => keep(kv._1)))
+    }.getOrElse(Map.empty)
+
   /** Reference bases consumed by a CIGAR string; -1 when unavailable. */
   def cigarRefLen(cigar: String): Long = {
     if (cigar == "*" || cigar.isEmpty) return -1L
@@ -196,12 +211,8 @@ class SamParser(fullSchema: StructType, outOffset: Long,
     if (fullSchema.fieldNames.contains("tags"))
       Some(fullSchema("tags").dataType.asInstanceOf[StructType])
     else None
-  // slot index limited to the tags whose values are actually consumed
   private val tagIndex: Map[String, Int] =
-    tagSchema.map { ts =>
-      val all = ts.fieldNames.zipWithIndex.toMap
-      neededTags.fold(all)(keep => all.filter(kv => keep(kv._1)))
-    }.getOrElse(Map.empty)
+    SamTags.tagSlotIndex(tagSchema, neededTags)
   // native SAM pos is 1-based closed → output delta ("11"→0, "01"→-1)
   private val shift = -1L - outOffset
 
@@ -224,7 +235,11 @@ class SamParser(fullSchema: StructType, outOffset: Long,
     val base = Array[Any](
       str(c(0)), c(1).toInt, str(c(2)),
       if (pos == 0) null else pos + shift,
-      c(4).toInt, str(c(5)), str(c(6)),
+      c(4).toInt, str(c(5)),
+      // RNEXT "=" means "same contig as RNAME" (SAM §1.4) — resolve it
+      // like the BAM/CRAM decoders do, so the three faces agree on
+      // every same-contig paired read
+      if (c(6) == "=") str(c(2)) else str(c(6)),
       if (c(7).toLong == 0) null else c(7).toLong + shift,
       c(8).toInt, str(c(9)), str(c(10)), endVal)
 
@@ -251,14 +266,33 @@ class SamParser(fullSchema: StructType, outOffset: Long,
     }
   }
 
+  /** Tag value → schema type, tolerating type drift PAST the discovery
+    * scan window (e.g. row 2000 carries XB:f:1.5 after 1024 XB:i rows
+    * typed the column Long): numeric families convert by truncation,
+    * anything unconvertible degrades to null — matching the BAM
+    * decoder's coerce instead of killing the whole query with a
+    * NumberFormatException on a file samtools reads fine. */
   private def convertTag(dt: DataType, v: String): Any = dt match {
     case StringType => UTF8String.fromString(v)
-    case LongType => v.toLong
-    case FloatType => v.toFloat
+    case LongType =>
+      try v.toLong catch {
+        case _: NumberFormatException =>
+          try v.toDouble.toLong
+          catch { case _: NumberFormatException => null }
+      }
+    case FloatType =>
+      try v.toFloat catch { case _: NumberFormatException => null }
     case ArrayType(LongType, _) =>
-      ArrayData.toArrayData(v.split(",").drop(1).map(_.toLong))
+      try ArrayData.toArrayData(v.split(",").drop(1).map(_.toLong))
+      catch {
+        case _: NumberFormatException =>
+          try ArrayData.toArrayData(
+            v.split(",").drop(1).map(_.toDouble.toLong))
+          catch { case _: NumberFormatException => null }
+      }
     case ArrayType(FloatType, _) =>
-      ArrayData.toArrayData(v.split(",").drop(1).map(_.toFloat))
+      try ArrayData.toArrayData(v.split(",").drop(1).map(_.toFloat))
+      catch { case _: NumberFormatException => null }
     case other => throw new IllegalArgumentException(s"bad tag type $other")
   }
 }

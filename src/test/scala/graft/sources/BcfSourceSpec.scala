@@ -136,4 +136,23 @@ class BcfSourceSpec extends SparkSuite {
       .select("chrom", "pos")
     assert(pruned.collect().map(_.getString(0)).toSet == Set("chr1", "chr2"))
   }
+
+  test("bcf: explicit IDX= renumbers the dictionary, including PASS") {
+    import graft.formats.BcfCodec
+    // BCF2 §6.2.1: IDX is all-or-none; when present it overrides the
+    // implicit ordering — pre-seeding PASS -> 0 would silently ignore
+    // an explicit ##FILTER=<ID=PASS,IDX=3>
+    val explicit = BcfCodec.dictionaries(Seq(
+      "##FILTER=<ID=q10,Description=\"low\",IDX=0>",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\",IDX=1>",
+      "##FILTER=<ID=PASS,Description=\"ok\",IDX=3>").mkString("\n"))
+    assert(explicit.strings(0) == "q10", explicit.strings.toString)
+    assert(explicit.strings(1) == "DP")
+    assert(explicit.strings(3) == "PASS")
+    // implicit mode unchanged: PASS is slot 0 even if declared late
+    val implicitD = BcfCodec.dictionaries(Seq(
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">",
+      "##FILTER=<ID=PASS,Description=\"ok\">").mkString("\n"))
+    assert(implicitD.strings(0) == "PASS" && implicitD.strings(1) == "DP")
+  }
 }

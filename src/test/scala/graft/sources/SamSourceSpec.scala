@@ -24,7 +24,8 @@ class SamSourceSpec extends SparkSuite {
     assert(rows.length == 4)
     // r001: pos 7, CIGAR 8M2I4M1D3M → ref len 8+4+1+3=16 → end 22
     assert(rows(0).getLong(3) == 7 && rows(0).getLong(11) == 22)
-    assert(rows(0).getString(6) == "=" && rows(0).getLong(7) == 37)
+    // RNEXT "=" resolves to RNAME's contig (BAM/CRAM parity)
+    assert(rows(0).getString(6) == "chr1" && rows(0).getLong(7) == 37)
     // r003 unmapped: null rname/pos/end
     assert(rows(2).isNullAt(2) && rows(2).isNullAt(3) && rows(2).isNullAt(11))
     assert(rows(2).getInt(1) == 4)
@@ -99,5 +100,34 @@ class SamSourceSpec extends SparkSuite {
         .load(tempFile("sb2.sam", withB)).collect()
     }
     assert(e.getMessage.contains("NAME:B:sub"), e.getMessage)
+  }
+
+  test("sam: tag type drift past the scan window degrades, never crashes") {
+    // XB typed Long by the declaration; a later record carries f — the
+    // value converts by truncation (matching the BAM decoder's coerce)
+    // instead of a NumberFormatException killing the scan
+    val drift = Seq(
+      "@SQ\tSN:chr1\tLN:100",
+      "d1\t0\tchr1\t10\t30\t4M\t*\t0\t0\tACGT\t*\tXB:i:5",
+      "d2\t0\tchr1\t20\t30\t4M\t*\t0\t0\tACGT\t*\tXB:f:1.5",
+      "d3\t0\tchr1\t30\t30\t4M\t*\t0\t0\tACGT\t*\tXB:Z:junk")
+    val rows = spark.read.format("sam").option("tags", "XB:i")
+      .load(tempFile("drift.sam", drift))
+      .orderBy("qname").select("tags.XB").collect()
+    assert(rows(0).getLong(0) == 5L)
+    assert(rows(1).getLong(0) == 1L) // 1.5 truncates like BAM coerce
+    assert(rows(2).isNullAt(0))     // unconvertible → null, not a crash
+  }
+
+  test("sam: discovery tolerates a malformed empty-type tag token") {
+    // "XX::v" would previously crash schema inference with
+    // NoSuchElementException (head of empty string) — strictly more
+    // fragile than the row parser, which skips the token
+    val bad = Seq(
+      "@SQ\tSN:chr1\tLN:100",
+      "m1\t0\tchr1\t10\t30\t4M\t*\t0\t0\tACGT\t*\tXX::v\tNM:i:1")
+    val df = spark.read.format("sam").load(tempFile("badtag.sam", bad))
+    val r = df.select("tags.NM").collect()(0)
+    assert(r.getLong(0) == 1L)
   }
 }
