@@ -193,16 +193,30 @@ object BbiCodec {
 
   private def sectionBytes(in: Bgzf.SeekableInput, header: Header,
       s: Section): ByteBuffer = {
-    val raw = new Array[Byte](s.dataSize.toInt)
-    in.seek(s.dataOffset)
-    in.readFully(raw, 0, raw.length)
-    if (!header.compressed) ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    // buf() raises EOFException on a short read; a truncated section that
+    // zero-pads would otherwise decode as repeated (0,0,0) garbage rows
+    val bb = buf(in, s.dataOffset, s.dataSize.toInt)
+    if (!header.compressed) bb
     else {
+      val raw = bb.array()
       val inf = new Inflater()
       inf.setInput(raw)
       val out = new Array[Byte](header.uncompressBufSize)
-      val n = inf.inflate(out)
-      inf.end()
+      var n = 0
+      try {
+        // a single inflate() call may return before the stream ends even
+        // with room left; loop until finished or the spec-capped buffer
+        // fills (sections larger than uncompressBufSize violate the spec)
+        var step = inf.inflate(out, 0, out.length)
+        n += step
+        while (!inf.finished() && step > 0 && n < out.length) {
+          step = inf.inflate(out, n, out.length - n)
+          n += step
+        }
+        if (!inf.finished()) throw new java.io.IOException(
+          s"BBI section at ${s.dataOffset} did not inflate to completion " +
+            s"within uncompressBufSize=${header.uncompressBufSize}")
+      } finally inf.end()
       ByteBuffer.wrap(out, 0, n).slice().order(ByteOrder.LITTLE_ENDIAN)
     }
   }

@@ -49,12 +49,20 @@ class BedFormat extends LineFormat {
     val derived = bedSchema(options)
     // the parser's row shape comes from the bed_schema grammar, not the
     // (possibly user-supplied) fullSchema: a diverging external schema
-    // would silently mis-slot every row, so fail loudly instead
-    require(fullSchema.length == derived.toStructType.length,
+    // would silently mis-slot every row, so fail loudly instead — names
+    // and types must match too, not just the count (a same-length
+    // reordered schema mis-slots just as silently)
+    val want = derived.toStructType
+    val mismatch = fullSchema.fields.zip(want.fields).collectFirst {
+      case (got, exp) if got.name != exp.name || got.dataType != exp.dataType =>
+        s"field '${got.name}: ${got.dataType.simpleString}' where the " +
+          s"grammar dissects '${exp.name}: ${exp.dataType.simpleString}'"
+    }
+    require(fullSchema.length == want.length && mismatch.isEmpty,
       s"schema has ${fullSchema.length} fields but bed_schema " +
         s"'${options.getOrElse("bed_schema", "bed3")}' dissects " +
-        s"${derived.toStructType.length}; describe the file with the " +
-        "bed_schema/fields options instead of .schema(...)")
+        s"${want.length}${mismatch.fold("")(m => s" ($m)")}; describe the " +
+        "file with the bed_schema/fields options instead of .schema(...)")
     new BedLineParser(derived, coordSystem(options))
   }
 }
@@ -66,8 +74,11 @@ class BedLineParser(schema: BedSchema, cs: CoordSystem) extends LineParser {
 
   override def parse(line: String): InternalRow = {
     val parts = line.split("\t", -1)
+    // whitespace fallback only for files with NO tabs at all: a tabbed
+    // line that is merely short (trailing optional fields omitted) must
+    // null-pad, not re-split names containing spaces into wrong columns
     val cols =
-      if (parts.length >= nDissected) parts
+      if (parts.length > 1) parts
       else line.trim.split("\\s+") // permissive: space-separated BED
     val out = new Array[Any](fields.length)
     var i = 0

@@ -33,7 +33,9 @@ import graft.sources.common.{LineFormat, LineParser, LineSourceUtil, LineTablePr
   * native; `01` shifts start to zero-based), `regions`.
   */
 abstract class GxfFormat(val gtfStyle: Boolean) extends LineFormat {
-  override def commentPrefixes: Seq[String] = Seq("#")
+  // UCSC custom-track exports prepend `track`/`browser` header lines to
+  // GTF/GFF just as they do to BED — same skip list as BedFormat
+  override def commentPrefixes: Seq[String] = Seq("#", "track", "browser")
   override def regionColumns: Option[(String, String, String)] =
     Some(("seqid", "start", "end"))
   override def coordSystem(options: Map[String, String]) =
@@ -50,7 +52,15 @@ abstract class GxfFormat(val gtfStyle: Boolean) extends LineFormat {
     val attrFields: Seq[StructField] = options.get("attributes") match {
       case Some(spec) =>
         spec.split(",").toSeq.filter(_.nonEmpty).map { part =>
-          val Array(n, t) = part.split(":")
+          // same name:type grammar as BedSchema.parseCustomFields; parse
+          // with indexOf so a malformed spec gets a clear error instead
+          // of a MatchError from an irrefutable destructuring
+          val colon = part.indexOf(':')
+          if (colon <= 0 || colon == part.length - 1 ||
+              part.indexOf(':', colon + 1) >= 0)
+            throw new IllegalArgumentException(
+              s"attributes entries must be name:type, got '$part'")
+          val (n, t) = (part.substring(0, colon), part.substring(colon + 1))
           StructField(n.trim, t.trim.toLowerCase match {
             case "string" => StringType
             case "array"  => ArrayType(StringType)
@@ -75,7 +85,11 @@ abstract class GxfFormat(val gtfStyle: Boolean) extends LineFormat {
     paths.iterator.takeWhile(_ => seen < scanRows).foreach { p =>
       val fs = p.getFileSystem(conf)
       val raw = fs.open(p)
-      val in = if (LineSourceUtil.isGzip(p)) new GZIPInputStream(raw) else raw
+      // close the fs handle if the gzip-header read throws before the
+      // reader (and its try/finally) exists
+      val in =
+        try if (LineSourceUtil.isGzip(p)) new GZIPInputStream(raw) else raw
+        catch { case e: Throwable => raw.close(); throw e }
       val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       try {
         var line = r.readLine()
@@ -246,6 +260,12 @@ class GxfParser(attrSchema: StructType, gtfStyle: Boolean, startOffset: Long,
 
   override def parse(line: String): InternalRow = {
     val c = line.split("\t", -1)
+    // GFF3 files may end with a ##FASTA section (the directive itself is
+    // skipped as a comment): its '>' deflines and sequence lines carry no
+    // tabs, while a feature line always has 8+ tab-separated columns —
+    // skip tab-less lines so spec-conformant files with embedded FASTA
+    // scan cleanly, even when a split partition starts inside the block
+    if (c.length == 1) return null
     if (c.length < 8) throw new IllegalArgumentException(
       s"malformed GFF/GTF line (${c.length} cols): '$line'")
     def str(v: String) =

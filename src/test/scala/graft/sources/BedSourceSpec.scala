@@ -143,4 +143,30 @@ class BedSourceSpec extends SparkSuite {
     assert(df.rdd.getNumPartitions == 1)
     assert(df.count() == 4)
   }
+
+  test("short tabbed lines null-pad; names with spaces stay intact") {
+    // a 4-column tabbed line under bed6 must null-pad score/strand, NOT
+    // fall back to whitespace-splitting (which would split 'my name'
+    // into two columns and feed 'name' to score.toInt)
+    val lines = Seq("chr1\t100\t200\tmy name")
+    val df = spark.read.format("bed").option("bed_schema", "bed6")
+      .load(tempFile("short.bed", lines))
+    val r = df.collect()(0)
+    assert(r.getString(3) == "my name" && r.isNullAt(4) && r.isNullAt(5))
+    // tab-less files still get the whitespace fallback
+    val df2 = spark.read.format("bed").option("bed_schema", "bed3")
+      .load(tempFile("ws.bed", Seq("chr1 100 200")))
+    assert(df2.collect()(0).getLong(2) == 200)
+  }
+
+  test("external schema with reordered or retyped fields fails loudly") {
+    val path = tempFile("g.bed", Seq("chr1\t100\t200"))
+    val e = intercept[Exception] {
+      spark.read.format("bed").option("bed_schema", "bed3")
+        .schema("start LONG, chrom STRING, end LONG")
+        .load(path).collect()
+    }
+    assert(e.getMessage.contains("bed_schema") ||
+      Option(e.getCause).exists(_.getMessage.contains("bed_schema")))
+  }
 }

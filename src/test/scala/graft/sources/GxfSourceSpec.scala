@@ -121,4 +121,35 @@ class GxfSourceSpec extends SparkSuite {
     // a null In-list element must narrow, not NPE the planner/reader
     assert(ids(df.where(col("seqid").isin("chr2", null))) == Set("g3"))
   }
+
+  test("gff3: trailing ##FASTA section and track/browser headers are skipped") {
+    // Prokka/Bakta-style GFF3 ends with an embedded FASTA block; UCSC
+    // exports prepend track/browser lines — both must scan cleanly under
+    // default FAILFAST, not crash the 8-column check
+    val lines = Seq(
+      "##gff-version 3",
+      "track name=myTrack description=\"x\"",
+      "browser position chr1:1-2000",
+      "chr1\t.\tgene\t1000\t2000\t.\t+\t.\tID=gene1",
+      "##FASTA",
+      ">chr1 assembled",
+      "ACGTACGTACGTACGT",
+      "NNNNACGT")
+    val df = spark.read.format("gff").load(tempFile("fa.gff", lines))
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getLong(3) == 1000)
+  }
+
+  test("gxf: malformed attributes option fails with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("gtf").option("attributes", "gene_id")
+        .load(tempFile("bad.gtf", gtf)).schema
+    }
+    assert(e.getMessage.contains("name:type"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("gtf").option("attributes", "a:string:x")
+        .load(tempFile("bad2.gtf", gtf)).schema
+    }
+    assert(e2.getMessage.contains("name:type"))
+  }
 }
