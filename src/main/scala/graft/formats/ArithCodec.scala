@@ -68,6 +68,11 @@ object ArithCodec {
       v
     }
     def take(n: Int): Array[Byte] = {
+      // copyOfRange zero-pads past the end — a truncated CAT/PACK
+      // payload must throw instead of decoding as silent zeros
+      if (n < 0 || pos.toLong + n > data.length)
+        throw new IndexOutOfBoundsException(
+          s"need $n bytes at offset $pos, have ${data.length}")
       val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
       pos += n
       out
@@ -234,23 +239,10 @@ object ArithCodec {
     val ulen = if ((flags & FNosz) != 0) expectedLen else in.uint7()
 
     if ((flags & FStripe) != 0) return decodeStripe(in, ulen)
-    if ((flags & FExt) != 0) {
-      val bz = new org.apache.commons.compress.compressors.bzip2
-        .BZip2CompressorInputStream(
-          new java.io.ByteArrayInputStream(in.remaining()))
-      try {
-        val out = new Array[Byte](ulen)
-        var off = 0
-        while (off < ulen) {
-          val n = bz.read(out, off, ulen - off)
-          require(n > 0, s"arith EXT payload shorter than $ulen")
-          off += n
-        }
-        return out
-      } finally bz.close()
-    }
 
-    // PACK metadata (expansion applied last)
+    // PACK metadata (expansion applied last) — parsed BEFORE choosing
+    // the payload transport: the spec orders [pack meta][cat|ext|coded],
+    // so an EXT(bzip2) payload of PACKed bytes must still unpack after
     var packMap: Array[Byte] = null
     var innerLen = ulen
     if ((flags & FPack) != 0) {
@@ -260,7 +252,22 @@ object ArithCodec {
     }
 
     val inner =
-      if ((flags & FCat) != 0) in.take(innerLen)
+      if ((flags & FExt) != 0) {
+        val bz = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorInputStream(
+            new java.io.ByteArrayInputStream(in.remaining()))
+        try {
+          val out = new Array[Byte](innerLen)
+          var off = 0
+          while (off < innerLen) {
+            val n = bz.read(out, off, innerLen - off)
+            require(n > 0, s"arith EXT payload shorter than $innerLen")
+            off += n
+          }
+          out
+        } finally bz.close()
+      }
+      else if ((flags & FCat) != 0) in.take(innerLen)
       else if ((flags & FRle) != 0)
         decodeRle(in, innerLen, (flags & FOrder1) != 0)
       else if ((flags & FOrder1) != 0) decodeO1(in, innerLen)
@@ -348,30 +355,10 @@ object ArithCodec {
     out
   }
 
+  /** Identical bit-pack transform to ransNx16 — one shared impl. */
   private def unpack(packed: Array[Byte], map: Array[Byte],
-      ulen: Int): Array[Byte] = {
-    val nsym = map.length
-    val out = new Array[Byte](ulen)
-    if (nsym <= 1) {
-      java.util.Arrays.fill(out, if (nsym == 1) map(0) else 0.toByte)
-    } else {
-      val (bits, per) =
-        if (nsym <= 2) (1, 8) else if (nsym <= 4) (2, 4)
-        else if (nsym <= 16) (4, 2)
-        else throw new IllegalArgumentException(
-          s"arith PACK with $nsym symbols (max 16)")
-      val mask = (1 << bits) - 1
-      var i = 0
-      while (i < ulen) {
-        var v = packed(i / per) & 0xff
-        var k = 0
-        while (k < (i % per)) { v >>= bits; k += 1 }
-        out(i) = map(v & mask)
-        i += 1
-      }
-    }
-    out
-  }
+      ulen: Int): Array[Byte] =
+    RansNx16Codec.unpack(packed, map, ulen, codec = "arith")
 
   // ------------------------------------------------------------- encode
 
@@ -395,15 +382,6 @@ object ArithCodec {
       subs.foreach(out.bytes)
       return out.result
     }
-    if ((flags & FExt) != 0) {
-      val b = new java.io.ByteArrayOutputStream()
-      val bz = new org.apache.commons.compress.compressors.bzip2
-        .BZip2CompressorOutputStream(b)
-      bz.write(data); bz.close()
-      out.bytes(b.toByteArray)
-      return out.result
-    }
-
     var inner = data
     if ((flags & FPack) != 0) {
       val present = data.map(_ & 0xff).distinct.sorted
@@ -425,6 +403,17 @@ object ArithCodec {
       present.foreach(out.u8)
       out.uint7(packed.length)
       inner = packed
+    }
+
+    // EXT transports the (possibly packed) bytes as a bzip2 stream —
+    // emitted AFTER the pack metadata, mirroring decode's spec ordering
+    if ((flags & FExt) != 0) {
+      val b = new java.io.ByteArrayOutputStream()
+      val bz = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(b)
+      bz.write(inner); bz.close()
+      out.bytes(b.toByteArray)
+      return out.result
     }
 
     if ((flags & FCat) != 0) {

@@ -190,6 +190,8 @@ object FqzCodec {
     require(vers == 5, s"fqzcomp version $vers not supported (want 5)")
     val gflags = in.u8()
     val nParam = if ((gflags & GMultiParam) != 0) in.u8() else 1
+    require(nParam >= 1,
+      "fqzcomp: corrupt payload, multi-param header with 0 parameter sets")
     var maxSel = if (nParam > 1) nParam else 0
     val stab: Array[Int] =
       if ((gflags & GHaveSTab) != 0) {

@@ -158,8 +158,8 @@ object RansCodec {
     order match {
       case 0 => decode0(in, outSz)
       case 1 => decode1(in, outSz)
-      case other => throw new UnsupportedOperationException(
-        s"rANS order $other")
+      case other => throw new IllegalArgumentException(
+        s"rANS 4x8: corrupt payload, order byte $other (spec defines 0/1)")
     }
   }
 

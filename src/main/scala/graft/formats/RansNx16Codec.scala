@@ -56,6 +56,11 @@ object RansNx16Codec {
       v
     }
     def take(n: Int): Array[Byte] = {
+      // copyOfRange zero-pads past the end — a truncated CAT/PACK
+      // payload must throw instead of decoding as silent zeros
+      if (n < 0 || pos.toLong + n > data.length)
+        throw new IndexOutOfBoundsException(
+          s"need $n bytes at offset $pos, have ${data.length}")
       val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
       pos += n
       out
@@ -174,8 +179,10 @@ object RansNx16Codec {
     out
   }
 
-  private def unpack(packed: Array[Byte], map: Array[Byte],
-      ulen: Int): Array[Byte] = {
+  /** Shared by [[ArithCodec]] — both 3.1 codecs define the identical
+    * bit-pack transform. `codec` only labels error messages. */
+  private[formats] def unpack(packed: Array[Byte], map: Array[Byte],
+      ulen: Int, codec: String = "ransNx16"): Array[Byte] = {
     val nsym = map.length
     val out = new Array[Byte](ulen)
     if (nsym <= 1) {
@@ -185,7 +192,7 @@ object RansNx16Codec {
         if (nsym <= 2) (1, 8) else if (nsym <= 4) (2, 4)
         else if (nsym <= 16) (4, 2)
         else throw new IllegalArgumentException(
-          s"ransNx16 PACK with $nsym symbols (max 16)")
+          s"$codec PACK with $nsym symbols (max 16)")
       val mask = (1 << bits) - 1
       var i = 0
       while (i < ulen) {
@@ -302,7 +309,11 @@ object RansNx16Codec {
       val m = (r & (TotFreq - 1)).toInt
       val s = lut(m) & 0xff
       r = f(s) * (r >>> Shift) + m - c(s)
-      while (r < RenormLow && in.pos + 1 < in.data.length) {
+      // no end-of-buffer skip here: a valid stream always has the bytes
+      // a needed renorm asks for, so running out is corruption and must
+      // surface (u8's bounds check → the wrapper's IAE), not decode on
+      // with an under-filled state and return silent garbage
+      while (r < RenormLow) {
         r = (r << 16) | in.u16le()
       }
       states(j) = r
@@ -363,7 +374,8 @@ object RansNx16Codec {
           val m = (r & (tot - 1)).toInt
           val s = luts(ctx)(m) & 0xff
           r = fs(ctx)(s) * (r >>> shift) + m - cs(ctx)(s)
-          while (r < RenormLow && in.pos + 1 < in.data.length) {
+          // truncation must throw, not silently skip the reload (see O0)
+          while (r < RenormLow) {
             r = (r << 16) | in.u16le()
           }
           states(j) = r

@@ -61,6 +61,30 @@ class ArithCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("EXT+PACK: spec byte layout, hand-assembled (not round-trip)") {
+    // flags 0x84 = EXT | PACK. Spec ordering: [flags][ulen][nsym][map]
+    // [packed-len][bzip2 of packed bytes] — the pack metadata precedes
+    // the external payload, and unpack applies AFTER decompression. A
+    // round-trip can't prove this (a mirrored encode/decode bug cancels),
+    // so assemble the stream by hand from the spec layout.
+    val packed = Array[Byte](0xf0.toByte) // 8×1-bit: AAAA then BBBB
+    val bz = {
+      val b = new java.io.ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(b)
+      z.write(packed); z.close()
+      b.toByteArray
+    }
+    val stream = Array[Byte](0x84.toByte, 8, 2, 'A', 'B', 1) ++ bz
+    assert(ArithCodec.decode(stream, 8).sameElements(bytes("AAAABBBB")))
+    // and the encoder emits that same layout: pack meta before bzip2 magic
+    val enc = ArithCodec.encode(bytes("AAAABBBB"), 0x84)
+    assert(enc(0) == 0x84.toByte && enc(1) == 8 && enc(2) == 2 &&
+      enc(3) == 'A' && enc(4) == 'B' && enc(5) == 1 &&
+      enc(6) == 'B' && enc(7) == 'Z' && enc(8) == 'h') // bzip2 magic "BZh"
+    assert(ArithCodec.decode(enc, 8).sameElements(bytes("AAAABBBB")))
+  }
+
   test("decode rejects truncated streams") {
     val enc = ArithCodec.encode(bytes("some content to trim"), 0)
     intercept[Exception] {

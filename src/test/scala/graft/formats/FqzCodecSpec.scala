@@ -74,6 +74,12 @@ class FqzCodecSpec extends AnyFunSuite {
     }
     val wrongVers = enc.clone(); wrongVers(0) = 4
     intercept[Exception] { FqzCodec.decode(wrongVers, 100) }
+    // multi-param header claiming 0 parameter sets: IAE, not a bare
+    // UnsupportedOperationException from empty.max
+    val e = intercept[IllegalArgumentException] {
+      FqzCodec.decode(Array[Byte](5, 1, 0), 10)
+    }
+    assert(e.getMessage.contains("fqzcomp"))
   }
 
   test("cram blocks declared method=7 decode through fqzcomp") {

@@ -25,6 +25,14 @@ class RansCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("unknown order byte raises IAE naming the codec") {
+    // spec defines orders 0/1 only; anything else is corruption and must
+    // honor the documented IAE contract, not leak an UnsupportedOperation
+    val payload = Array[Byte](2, 0, 0, 0, 0, 1, 0, 0, 0)
+    val e = intercept[IllegalArgumentException] { RansCodec.decode(payload) }
+    assert(e.getMessage.contains("rANS"))
+  }
+
   test("rans order-0 round-trip") {
     samples.foreach { s =>
       val enc = RansCodec.encode(s, 0)

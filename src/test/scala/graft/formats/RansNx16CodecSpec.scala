@@ -123,6 +123,27 @@ class RansNx16CodecSpec extends AnyFunSuite {
     assert(new String(out) == "ABCDEF")
   }
 
+  test("truncated entropy bytes raise IAE, never silent garbage") {
+    // chopping the tail of the renorm byte stream must surface as the
+    // documented IllegalArgumentException — a skipped state reload would
+    // instead return ulen bytes of wrong data
+    // high-entropy data encodes as CAT: take() must throw, not zero-pad
+    val flat = Array.tabulate[Byte](4096)(i => ((i * 131 + i / 7) % 256).toByte)
+    // skewed data wins the order-0 entropy path: a renorm with no bytes
+    // left must throw, not decode on with an under-filled state
+    val skewed = Array.tabulate[Byte](4096)(i =>
+      if (i % 11 == 0) ((i * 53) % 256).toByte else 'A'.toByte)
+    for (data <- Seq(flat, skewed)) {
+      val enc = RansNx16Codec.encode(data)
+      assert(RansNx16Codec.decode(enc, data.length).sameElements(data))
+      val e = intercept[IllegalArgumentException] {
+        RansNx16Codec.decode(java.util.Arrays.copyOf(enc, enc.length - 8),
+          data.length)
+      }
+      assert(e.getMessage.contains("ransNx16"))
+    }
+  }
+
   test("cram blocks with method=5 decode through ransNx16") {
     val rnd = new scala.util.Random(5)
     val payload = Array.fill[Byte](500)((33 + rnd.nextInt(40)).toByte)
