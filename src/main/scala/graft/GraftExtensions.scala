@@ -38,8 +38,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(c) => GenomicFunctions.ParseRegion(c, "11")
         case Seq(c, coords) =>
-          GenomicFunctions.ParseRegion(c,
-            coords.eval().toString)
+          // eval()'d at analysis time: only a non-null literal works —
+          // guard so a column/null gets an analysis-time error, not an
+          // internal Catalyst crash
+          if (!coords.foldable) throw new IllegalArgumentException(
+            "parse_region coords argument must be a literal ('01'/'11')")
+          val v = coords.eval()
+          if (v == null) throw new IllegalArgumentException(
+            "parse_region coords argument must not be null")
+          GenomicFunctions.ParseRegion(c, v.toString)
         case other => throw new IllegalArgumentException(
           s"parse_region takes 1-2 arguments, got ${other.size}")
       }))
@@ -47,11 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cigar_ref_len"),
       info("cigar_ref_len",
         "cigar_ref_len(cigar) - reference bases consumed by a CIGAR string"),
-      (args: Seq[Expression]) => GenomicFunctions.CigarRefLen(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => GenomicFunctions.CigarRefLen(c)
+        case other => throw new IllegalArgumentException(
+          s"cigar_ref_len takes 1 argument, got ${other.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("cigar_ops"),
       info("cigar_ops",
         "cigar_ops(cigar) - CIGAR string as array<struct<op,len>>"),
-      (args: Seq[Expression]) => GenomicFunctions.CigarOps(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => GenomicFunctions.CigarOps(c)
+        case other => throw new IllegalArgumentException(
+          s"cigar_ops takes 1 argument, got ${other.size}")
+      }))
   }
 }

@@ -218,7 +218,8 @@ object BenchCorpus {
         val h = splitmix64(recNo)
         val cigar: Seq[(Int, Char)] = ((recNo % 13).toInt) match {
           case 0 => Seq((40, 'M'), (2, 'I'), (58, 'M'))
-          case 7 => Seq((50, 'M'), (3, 'D'), (47, 'M'))
+          // query-consuming ops must sum to the 100-base seq (SAM §1.4)
+          case 7 => Seq((50, 'M'), (3, 'D'), (50, 'M'))
           case _ => Seq((100, 'M'))
         }
         val rec = BamFixture.Rec(
@@ -272,8 +273,11 @@ object BenchCorpus {
     while (i < nRecs) {
       val pos1 = 1L + i * step
       val h = splitmix64(i + 0x5eed)
-      val ref = Bases(((h >>> 2) & 3).toInt)
-      val alt = Bases(((h >>> 4) + 1 & 3).toInt)
+      val refIdx = ((h >>> 2) & 3).toInt
+      val ref = Bases(refIdx)
+      // ALT derived as a nonzero offset from REF — independent bit fields
+      // made ALT == REF in ~25% of records, which VCF 4.3 forbids
+      val alt = Bases((refIdx + 1 + ((h >>> 4) & 1).toInt) % 4)
       val dp = 10 + (h & 0x7f).toInt
       val sb = new java.lang.StringBuilder(192)
       sb.append("chr1\t").append(pos1).append("\trs").append(i)
@@ -317,7 +321,7 @@ object BenchCorpus {
         val start = i * step
         val end = start + 100 + (splitmix64(recNo) & 0x3ff)
         val line = s"$chrom\t$start\t$end\tfeat$recNo\t" +
-          s"${(splitmix64(recNo + 1) & 0x3ff)}\t" +
+          s"${(splitmix64(recNo + 1) & 0x7fffffffL) % 1001}\t" + // BED caps score at 1000
           (if ((recNo & 1) == 0) "+" else "-") + "\n"
         val (vs, ve) = w.append(line.getBytes("UTF-8"))
         bins(refId).add(start, end, vs, ve)
@@ -343,7 +347,7 @@ object BenchCorpus {
       new File(d, "bench.bed.gz").getPath,
       new File(d, "bench.cram").getPath)
     val marker = new File(d, "corpus.marker")
-    val tag = s"v3:$nBam:$nVcf:$nBed:$nCram"
+    val tag = s"v4:$nBam:$nVcf:$nBed:$nCram"
     val fresh = marker.exists() && {
       val src = scala.io.Source.fromFile(marker)
       try src.mkString.trim == tag finally src.close()

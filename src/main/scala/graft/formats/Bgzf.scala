@@ -195,15 +195,19 @@ object Bgzf {
   * current virtual position for record-boundary bookkeeping. */
 class BgzfRangeInputStream(in: Bgzf.SeekableInput,
     start: Bgzf.VirtualPosition,
-    end: Option[Bgzf.VirtualPosition]) extends InputStream {
+    end: Option[Bgzf.VirtualPosition],
+    ownsInput: Boolean = true,
+    rawModeHint: Option[Boolean] = None) extends InputStream {
 
   private var blockOffset = start.compressedOffset
   private var block: Option[Bgzf.Block] = None
   private var posInBlock = 0
 
   // uncompressed BAM/BCF (`samtools -u` style): no gzip magic → serve the
-  // raw bytes through pseudo-blocks; vpos degrades to (byteOffset, delta)
-  private val rawMode = !Bgzf.hasGzipMagic(in)
+  // raw bytes through pseudo-blocks; vpos degrades to (byteOffset, delta).
+  // Callers sharing one seekable input across many ranges pass the probe
+  // result once via rawModeHint instead of re-reading the magic per range
+  private val rawMode = rawModeHint.getOrElse(!Bgzf.hasGzipMagic(in))
 
   loadBlock(skipTo = start.uncompressedOffset)
 
@@ -289,7 +293,9 @@ class BgzfRangeInputStream(in: Bgzf.SeekableInput,
     }
   }
 
-  override def close(): Unit = in.close()
+  // ownsInput=false when a multi-range reader shares one seekable input
+  // across range streams; the sharer closes it once at partition end
+  override def close(): Unit = if (ownsInput) in.close()
 }
 
 /** SeekableInput adapters. */

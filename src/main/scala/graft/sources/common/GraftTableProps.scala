@@ -50,8 +50,60 @@ object GraftTableProps {
     m
   }
 
+  /** Planning-cost cap for multi-file aggregation: each file costs a
+    * header (and optionally index) read at table-construction time. */
+  private val MaxAggregatedFiles = 64
+
+  /** Table-level properties. Multi-file tables aggregate across files —
+    * chrom dictionary as a first-seen union, index counts summed — so a
+    * 10-file table doesn't present one file's BAI totals as the table's.
+    * Aggregation is capped at [[MaxAggregatedFiles]] to bound planning
+    * cost on huge globs; when capped, `properties_scope` records the
+    * sample honestly instead of implying table-level totals. */
   def forPaths(paths: Seq[Path], zoom: Boolean = false,
-      indexStats: Boolean = false): java.util.Map[String, String] =
-    paths.headOption.map(forPath(_, zoom, indexStats))
-      .getOrElse(new java.util.LinkedHashMap[String, String]())
+      indexStats: Boolean = false): java.util.Map[String, String] = {
+    if (paths.lengthCompare(1) <= 0)
+      return paths.headOption.map(forPath(_, zoom, indexStats))
+        .getOrElse(new java.util.LinkedHashMap[String, String]())
+    val m = new java.util.LinkedHashMap[String, String]()
+    val sample = paths.take(MaxAggregatedFiles)
+    if (sample.length < paths.length)
+      m.put("properties_scope",
+        s"first_${sample.length}_of_${paths.length}_files")
+    val sizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    sample.foreach { p =>
+      Try(GraftMeta.chromSizes(p.toString)).toOption.foreach(_.foreach {
+        case (n, s) => if (!sizes.contains(n)) sizes(n) = s
+      })
+    }
+    if (sizes.nonEmpty) {
+      val sorted = sizes.toSeq.sortBy(_._1)
+      m.put("chrom_names", sorted.map(_._1).mkString(","))
+      m.put("chrom_sizes",
+        sorted.map { case (n, s) => s"$n:$s" }.mkString(","))
+    }
+    if (zoom) {
+      val zl = sample.flatMap(p =>
+        Try(GraftMeta.zoomLevels(p.toString)).toOption.getOrElse(Nil))
+        .distinct.sorted
+      if (zl.nonEmpty) m.put("zoom_levels", zl.mkString(","))
+    }
+    if (indexStats) {
+      val agg = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      sample.foreach { p =>
+        Try(GraftMeta.indexStats(p.toString)).toOption.foreach(_.foreach {
+          case (n, (ma, um)) =>
+            val cur = agg.getOrElse(n, (0L, 0L))
+            agg(n) = (cur._1 + ma, cur._2 + um)
+        })
+      }
+      if (agg.nonEmpty) {
+        m.put("index.n_mapped", agg.values.map(_._1).sum.toString)
+        m.put("index.n_unmapped", agg.values.map(_._2).sum.toString)
+        m.put("index.record_counts", agg.toSeq.sortBy(_._1)
+          .map { case (n, (ma, um)) => s"$n:$ma:$um" }.mkString(","))
+      }
+    }
+    m
+  }
 }

@@ -16,8 +16,8 @@ import org.apache.spark.sql.types._
   * multi-range partition (e.g. a `limit`/`show` over a packed region
   * query) would pay hundreds of pointless opens (remote GETs on object
   * stores). */
-final class LazyConcatInputStream(parts: Iterator[() => InputStream])
-    extends InputStream {
+final class LazyConcatInputStream(parts: Iterator[() => InputStream],
+    onClose: () => Unit = () => ()) extends InputStream {
   private var cur: InputStream = _
   private var closed = false
   private val one = new Array[Byte](1)
@@ -43,6 +43,10 @@ final class LazyConcatInputStream(parts: Iterator[() => InputStream])
       else {
         val n = cur.read(b, off, len)
         if (n > 0) { out = n; looping = false }
+        // n == 0 for len > 0 violates the InputStream contract: advancing
+        // would silently drop the rest of that part's bytes — fail loudly
+        else if (n == 0) throw new java.io.IOException(
+          s"underlying stream returned 0 for a $len-byte read")
         else if (!advance()) looping = false
       }
     }
@@ -50,8 +54,11 @@ final class LazyConcatInputStream(parts: Iterator[() => InputStream])
   }
 
   override def close(): Unit = {
-    closed = true
-    if (cur != null) { cur.close(); cur = null }
+    if (!closed) {
+      closed = true
+      try { if (cur != null) { cur.close(); cur = null } }
+      finally onClose()
+    }
   }
 }
 
@@ -62,22 +69,45 @@ object RangeStreams {
 
   /** One contiguous record stream over record-aligned (startVpos,
     * endVpos) ranges of a BGZF file, each range's stream opened lazily
-    * when reached. */
+    * when reached.
+    *
+    * One seekable input is shared across every range of the partition —
+    * a per-range open costs getFileStatus + open + gzip-magic probe
+    * (2-3 RPCs each on object stores), so an N-range partition would
+    * pay 3N round-trips on the same file. The input opens lazily with
+    * the first range (an unread partition — `limit`/`show` — still
+    * pays nothing) and is closed once by the concat stream. */
   def bgzfRanges(fs: FileSystem, path: Path,
-      ranges: Seq[(Long, Long)]): InputStream =
-    new LazyConcatInputStream(ranges.iterator.map { case (a, b) => () =>
-      new graft.formats.BgzfRangeInputStream(
-        graft.formats.SeekableInputs.forHadoop(fs, path),
-        graft.formats.Bgzf.VirtualPosition(a),
-        Some(graft.formats.Bgzf.VirtualPosition(b))): InputStream
-    })
+      ranges: Seq[(Long, Long)]): InputStream = {
+    var shared: graft.formats.Bgzf.SeekableInput = null
+    var rawMode: Option[Boolean] = None
+    new LazyConcatInputStream(
+      ranges.iterator.map { case (a, b) => () =>
+        if (shared == null)
+          shared = graft.formats.SeekableInputs.forHadoop(fs, path)
+        if (rawMode.isEmpty)
+          rawMode = Some(!graft.formats.Bgzf.hasGzipMagic(shared))
+        new graft.formats.BgzfRangeInputStream(
+          shared,
+          graft.formats.Bgzf.VirtualPosition(a),
+          Some(graft.formats.Bgzf.VirtualPosition(b)),
+          ownsInput = false,
+          rawModeHint = rawMode): InputStream
+      },
+      onClose = () => if (shared != null) shared.close())
+  }
 
   /** Columnar-read eligibility shared by the reader factories: opt-in
     * (`columnar=true` — off by default, see the factories' measurement
     * notes) and a flat primitive/string projection. */
   def columnarEligible(options: Map[String, String],
       required: StructType): Boolean =
-    options.getOrElse("columnar", "false").toBoolean &&
+    (options.getOrElse("columnar", "false").toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"option columnar must be true or false, got '$other'")
+    }) &&
       required.fields.nonEmpty &&
       required.fields.forall(_.dataType match {
         case LongType | IntegerType | DoubleType | FloatType |

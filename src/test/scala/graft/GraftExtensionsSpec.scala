@@ -31,6 +31,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(2) == 5L)
       assert(r.getLong(3) == 16L)
       assert(r.getInt(4) == 5)
+      // arity and literal-coords violations get clear analysis-time
+      // errors, not NoSuchElementException / internal Catalyst crashes
+      val eArity = intercept[Exception] {
+        spark.sql("SELECT cigar_ref_len('4M', '2M')").collect()
+      }
+      assert(String.valueOf(eArity.getMessage).contains("1 argument") ||
+        String.valueOf(eArity.getCause).contains("1 argument"))
+      val eColumn = intercept[Exception] {
+        spark.sql(
+          "SELECT parse_region(r, c) FROM VALUES ('chr1:1-2', '01') t(r, c)")
+          .collect()
+      }
+      assert(String.valueOf(eColumn.getMessage).contains("literal") ||
+        String.valueOf(eColumn.getCause).contains("literal"))
+      val eNull = intercept[Exception] {
+        spark.sql(
+          "SELECT parse_region('chr1:1-2', CAST(NULL AS STRING))").collect()
+      }
+      assert(String.valueOf(eNull.getMessage).contains("null") ||
+        String.valueOf(eNull.getCause).contains("null"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

@@ -105,6 +105,26 @@ class TablePropsSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE graft_props_bam")
   }
 
+  test("multi-file tables aggregate: chrom union, index counts summed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-props-multi")
+    val bam1 = dir.resolve("a.bam").toString
+    val bam2 = dir.resolve("b.bam").toString
+    BamFixture.write(bam1, Seq(("chr1", 1000)),
+      Seq(BamFixture.Rec("a", 0, 0, 10, 30, Seq((4, 'M')), "ACGT", null),
+        BamFixture.Rec("b", 0, 0, 50, 30, Seq((4, 'M')), "GGTT", null)))
+    BamFixture.write(bam2, Seq(("chr1", 1000), ("chr3", 700)),
+      Seq(BamFixture.Rec("c", 0, 1, 20, 30, Seq((4, 'M')), "CCAA", null)))
+    val p = graft.sources.common.GraftTableProps.forPaths(
+      Seq(new org.apache.hadoop.fs.Path(bam1),
+        new org.apache.hadoop.fs.Path(bam2)), indexStats = true)
+    // union of both dictionaries, not just the first file's
+    assert(p.get("chrom_names") == "chr1,chr3", p.toString)
+    // counts summed across files: 2 on chr1 (file A) + 1 on chr3 (file B)
+    assert(p.get("index.n_mapped") == "3", p.toString)
+    assert(p.get("index.record_counts") == "chr1:2:0,chr3:1:0", p.toString)
+    assert(!p.containsKey("properties_scope"))
+  }
+
   test("missing companion metadata omits properties, never fails the read") {
     // FASTA without a .fai: the table still loads; properties are empty.
     val fa = tempFile("nofai.fa", Seq(">c", "ACGT"))
