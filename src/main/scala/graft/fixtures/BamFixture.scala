@@ -115,8 +115,11 @@ object BamFixture {
     * offsets. */
   def write(path: String, refs: Seq[(String, Int)], records: Seq[Rec]): Unit = {
     val out = new FileOutputStream(path)
-    out.write(Bgzf.writeBlock(encodeHeader(refs)))
-    var offset = new java.io.File(path).length()
+    val headerBlock = Bgzf.writeBlock(encodeHeader(refs))
+    out.write(headerBlock)
+    // accumulate offsets from the bytes written, never File.length() on a
+    // still-open stream (filesystems may report attribute updates late)
+    var offset = headerBlock.length.toLong
     // track (record, blockStart, blockEnd-compressed)
     val spans = records.map { r =>
       val blockBytes = Bgzf.writeBlock(encodeRecord(r))
@@ -133,21 +136,22 @@ object BamFixture {
     bai.put(Array[Byte]('B', 'A', 'I', 1))
     bai.putInt(refs.size)
     (0 until refs.size).foreach { refId =>
-      val mapped = spans.filter { case (r, _, _) =>
-        r.refId == refId && (r.flag & 0x4) == 0
-      }
+      // htslib indexes PLACED records — a coordinate implies a bin even
+      // when flag 0x4 is set (placed-unmapped mates) — so the fixture
+      // must too, or indexed region queries drop records a full scan
+      // returns; the 0x4 flag only routes the pseudo-bin COUNTS
+      val placed = spans.filter { case (r, _, _) => r.refId == refId }
       // bin → chunks
-      val bins = mapped.groupBy { case (r, _, _) =>
+      val bins = placed.groupBy { case (r, _, _) =>
         GenomicIndex.reg2bin(r.pos0.toLong, (r.pos0 + math.max(refLen(r), 1)).toLong)
       }
       // samtools always appends the metadata pseudo-bin 37450 (record
       // vpos span + mapped/unmapped counts); real-world indexes have it,
       // so the fixture writes it too — readers must NOT treat its
       // pseudo-chunks as virtual positions
-      val unmappedHere = spans.count { case (r, _, _) =>
-        r.refId == refId && (r.flag & 0x4) != 0
-      }
-      val writeMeta = mapped.nonEmpty
+      val unmappedHere = placed.count { case (r, _, _) => (r.flag & 0x4) != 0 }
+      val mappedHere = placed.size - unmappedHere
+      val writeMeta = placed.nonEmpty
       bai.putInt(bins.size + (if (writeMeta) 1 else 0))
       bins.toSeq.sortBy(_._1).foreach { case (bin, rs) =>
         bai.putInt(bin)
@@ -160,21 +164,21 @@ object BamFixture {
       if (writeMeta) {
         bai.putInt(37450) // metadata pseudo-bin
         bai.putInt(2)
-        bai.putLong(mapped.map(_._2).min << 16) // off_beg
-        bai.putLong(mapped.map(_._3).max << 16) // off_end
-        bai.putLong(mapped.size.toLong)         // n_mapped (raw count!)
+        bai.putLong(placed.map(_._2).min << 16) // off_beg
+        bai.putLong(placed.map(_._3).max << 16) // off_end
+        bai.putLong(mappedHere.toLong)          // n_mapped (raw count!)
         bai.putLong(unmappedHere.toLong)        // n_unmapped (raw count!)
       }
       // linear index: 16 KiB windows
-      if (mapped.isEmpty) bai.putInt(0)
+      if (placed.isEmpty) bai.putInt(0)
       else {
-        val maxEnd = mapped.map { case (r, _, _) =>
+        val maxEnd = placed.map { case (r, _, _) =>
           r.pos0 + math.max(refLen(r), 1)
         }.max
         val nIntv = (maxEnd >> 14) + 1
         bai.putInt(nIntv)
         (0 until nIntv).foreach { w =>
-          val lo = mapped.collect {
+          val lo = placed.collect {
             case (r, s, _)
               if (r.pos0 >> 14) <= w &&
                 ((r.pos0 + math.max(refLen(r), 1) - 1) >> 14) >= w => s << 16

@@ -21,6 +21,21 @@ object BbiFixture {
 
   private def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
 
+  /** Coordinate span actually covered by a wig section: varStep item end
+    * fields and fixedStep start/end fields are unused by contract, so the
+    * span must derive from step/span arithmetic — an r-tree entry built
+    * from the unused fields is [0,0) and silently invisible to region
+    * queries. */
+  private[fixtures] def wigSpan(s: WigSection): (Long, Long) = s.sectionType match {
+    case 1 => (s.items.map(_._1).minOption.getOrElse(s.chromStart),
+      s.items.map(_._2).maxOption.getOrElse(s.chromStart))
+    case 2 => (s.items.map(_._1).minOption.getOrElse(s.chromStart),
+      s.items.map(_._1).maxOption.map(_ + s.itemSpan).getOrElse(s.chromStart))
+    case 3 => (s.chromStart,
+      if (s.items.isEmpty) s.chromStart
+      else s.chromStart + (s.items.size - 1) * s.itemStep + s.itemSpan)
+  }
+
   private def encodeWigSection(s: WigSection): Array[Byte] = {
     val itemBytes = s.sectionType match {
       case 1 => 12 * s.items.size
@@ -28,7 +43,7 @@ object BbiFixture {
       case 3 => 4 * s.items.size
     }
     val bb = le(24 + itemBytes)
-    val chromEnd = s.items.map(_._2).maxOption.getOrElse(0L)
+    val chromEnd = wigSpan(s)._2
     bb.putInt(s.chromId).putInt(s.chromStart.toInt).putInt(chromEnd.toInt)
     bb.putInt(s.itemStep.toInt).putInt(s.itemSpan.toInt)
     bb.put(s.sectionType.toByte).put(0.toByte)
@@ -70,8 +85,11 @@ object BbiFixture {
     bb.putInt(BbiCodec.RTreeMagic)
     bb.putInt(256) // blockSize
     bb.putLong(entries.size.toLong)
-    bb.putInt(entries.map(_._1).min).putInt(entries.map(_._2).min.toInt)
-    bb.putInt(entries.map(_._3).max).putInt(entries.map(_._4).max.toInt)
+    // zero bounds for an empty tree (valid empty BBI) instead of empty.min
+    bb.putInt(entries.map(_._1).minOption.getOrElse(0))
+    bb.putInt(entries.map(_._2).minOption.getOrElse(0L).toInt)
+    bb.putInt(entries.map(_._3).maxOption.getOrElse(0))
+    bb.putInt(entries.map(_._4).maxOption.getOrElse(0L).toInt)
     bb.putLong(0L) // endFileOffset (informational)
     bb.putInt(64)  // itemsPerSlot
     bb.putInt(0)   // reserved
@@ -84,7 +102,7 @@ object BbiFixture {
   }
 
   private def encodeChromTree(chroms: Seq[(String, Int)]): Array[Byte] = {
-    val keySize = chroms.map(_._1.length).max
+    val keySize = chroms.map(_._1.length).maxOption.getOrElse(1)
     val bb = le(32 + 4 + chroms.size * (keySize + 8))
     bb.putInt(BbiCodec.ChromTreeMagic)
     bb.putInt(256).putInt(keySize).putInt(8)
@@ -110,9 +128,8 @@ object BbiFixture {
     val chromTree = encodeChromTree(chroms)
     val dataSections: Seq[(Array[Byte], (Int, Long, Int, Long))] =
       if (isWig) wigSections.map { s =>
-        val span = (s.chromId, s.items.map(_._1).minOption.getOrElse(s.chromStart),
-          s.chromId, s.items.map(_._2).maxOption.getOrElse(s.chromStart))
-        (encodeWigSection(s), span)
+        val (lo, hi) = wigSpan(s)
+        (encodeWigSection(s), (s.chromId, lo, s.chromId, hi))
       }
       else {
         // one section per chrom for bed

@@ -64,6 +64,9 @@ object BcfFixture {
     r.fmt.foreach { case (key, perSample) =>
       indiv.write(typedInt(key))
       val width = perSample.map(_.length).max
+      // width 15 means "long length follows" in BCF typing — a wider
+      // vector needs the long-form descriptor this fixture doesn't emit
+      require(width < 15, s"FORMAT vector width $width needs long-form typing")
       indiv.write(Array(((width << 4) | 1).toByte)) // int8 vector per sample
       perSample.foreach { vals =>
         val padded = vals.padTo(width, graft.formats.BcfCodec.EovInt8)
@@ -87,8 +90,11 @@ object BcfFixture {
       .order(ByteOrder.LITTLE_ENDIAN)
     head.put("BCF".getBytes).put(2.toByte).put(2.toByte)
     head.putInt(textBytes.length).put(textBytes)
-    out.write(Bgzf.writeBlock(head.array()))
-    var offset = new java.io.File(path).length()
+    val headerBlock = Bgzf.writeBlock(head.array())
+    out.write(headerBlock)
+    // offsets accumulate from bytes written, not File.length() on a
+    // still-open stream (see BamFixture.write)
+    var offset = headerBlock.length.toLong
     val spans = records.map { r =>
       val block = Bgzf.writeBlock(encodeRecord(r))
       out.write(block)
@@ -100,7 +106,8 @@ object BcfFixture {
     out.close()
 
     // CSI: gzip(magic, min_shift, depth, l_aux=0, n_ref, bins...)
-    val nRef = records.map(_.contigId).max + 1
+    // header-only BCFs (no records) get a valid 0-ref CSI, not empty.max
+    val nRef = records.map(_.contigId).maxOption.fold(0)(_ + 1)
     val bb = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("CSI".getBytes).put(1.toByte)
     bb.putInt(14).putInt(5).putInt(0)

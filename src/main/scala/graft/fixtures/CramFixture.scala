@@ -152,7 +152,10 @@ object CramFixture {
     o.write(itf8(payload.length))
     o.write(itf8(data.length))
     o.write(payload)
-    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    // spec §8: the CRC32 covers the WHOLE block (method byte through
+    // data), not just the compressed payload
+    val body = o.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(body)
     val c = crc.getValue
     o.write((c & 0xff).toInt); o.write(((c >> 8) & 0xff).toInt)
     o.write(((c >> 16) & 0xff).toInt); o.write(((c >> 24) & 0xff).toInt)
@@ -278,9 +281,11 @@ object CramFixture {
       val headSize = containerHeaderSize(allBlocks.length, refId, start,
         span, allRecs.size, nBlocks, landmarks)
       // CRAI slice offset is relative to the end of the container header
-      builtSlices.zipWithIndex.foreach { case ((sb, _, s, sp, _), i) =>
+      // CRAI field 6 is the TOTAL slice size (header block + core +
+      // external blocks); htslib bounds its read by it
+      builtSlices.zipWithIndex.foreach { case ((sb, rest, s, sp, _), i) =>
         craiLines += s"${slices(i).head.refId}\t$s\t$sp\t$fileOffset\t" +
-          s"${landmarks(i)}\t${sb.length}"
+          s"${landmarks(i)}\t${sb.length + rest.length}"
       }
       writeContainerHeader(out, allBlocks.length, refId, start, span,
         allRecs.size, nBlocks, landmarks)
@@ -421,7 +426,13 @@ object CramFixture {
     o.write(itf8(nBlocks))
     o.write(itf8(landmarks.size))
     landmarks.foreach(l => o.write(itf8(l)))
-    o.write(Array.fill[Byte](4)(0)) // crc32 (unvalidated by the reader)
+    // spec §6: CRC32 of the header bytes preceding this field — htslib
+    // validates it, so a zero CRC fails external conformance checks
+    val body = o.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val c = crc.getValue
+    o.write((c & 0xff).toInt); o.write(((c >> 8) & 0xff).toInt)
+    o.write(((c >> 16) & 0xff).toInt); o.write(((c >> 24) & 0xff).toInt)
     o.toByteArray
   }
 

@@ -198,6 +198,21 @@ class BamSourceSpec extends SparkSuite {
     assert(rows(2).isNullAt(2) && rows(2).isNullAt(3))
   }
 
+  test("bam: indexed region query returns placed-unmapped like htslib") {
+    // htslib indexes placed records regardless of flag 0x4 (a coordinate
+    // implies a bin); a BAI that drops them makes indexed region queries
+    // disagree with a full scan over the same file
+    val dir = java.nio.file.Files.createTempDirectory("graft-bam-placed-idx")
+    val p = dir.resolve("pidx.bam").toString
+    BamFixture.write(p, Seq(("chr1", 100000)), Seq(
+      Rec("m1", 0, 0, 99, 30, m(4), "ACGT", null),
+      Rec("m2", 4, 0, 99, 0, Nil, "ACGT", null)))
+    val names = spark.read.format("bam").option("tag_scan_rows", "0")
+      .option("regions", "chr1:[99,100)").load(p)
+      .select("qname").collect().map(_.getString(0)).toSet
+    assert(names == Set("m1", "m2"), names.toString)
+  }
+
   test("bam: a reordered user-supplied schema is rejected loudly") {
     val e = intercept[Exception] {
       spark.read.format("bam").schema("rname STRING, pos LONG")

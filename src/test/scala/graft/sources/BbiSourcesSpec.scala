@@ -51,6 +51,17 @@ class BbiSourcesSpec extends SparkSuite {
       ("chr2", 0L, 50L, 5.0f), ("chr2", 100L, 150L, 7.0f)))
   }
 
+  test("bigwig: region query finds fixedStep sections (span from step math)") {
+    // the fixedStep r-tree span must derive from chromStart/itemStep/
+    // itemSpan — item start/end fields are unused by contract, and a
+    // [0,0) span made every fixedStep section invisible to region queries
+    val df = spark.read.format("bigwig")
+      .option("regions", "chr1:[1050,1150)")
+      .load(bigwigPath)
+    val rows = df.collect().map(r => (r.getLong(1), r.getFloat(3)))
+    assert(rows.toSet == Set((1000L, 9.0f), (1100L, 10.0f)), rows.toSeq)
+  }
+
   test("bigwig: r-tree region query reads only overlapping sections") {
     val df = spark.read.format("bigwig")
       .option("regions", "chr1:[150,250)")
