@@ -154,12 +154,17 @@ object CramFixture {
     o.write(payload)
     // spec §8: the CRC32 covers the WHOLE block (method byte through
     // data), not just the compressed payload
-    val body = o.toByteArray
-    val crc = new java.util.zip.CRC32(); crc.update(body)
-    val c = crc.getValue
-    o.write((c & 0xff).toInt); o.write(((c >> 8) & 0xff).toInt)
-    o.write(((c >> 16) & 0xff).toInt); o.write(((c >> 24) & 0xff).toInt)
+    o.write(crc32le(o.toByteArray))
     o.toByteArray
+  }
+
+  /** CRC32 of `bytes` as the 4 little-endian bytes CRAM stores — shared
+    * by the fixture writers and hand-assembled test streams. */
+  def crc32le(bytes: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32(); crc.update(bytes)
+    val c = crc.getValue
+    Array((c & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+      ((c >> 16) & 0xff).toByte, ((c >> 24) & 0xff).toByte)
   }
 
   /** The spec's 38-byte v3 end-of-file container. */
@@ -428,11 +433,7 @@ object CramFixture {
     landmarks.foreach(l => o.write(itf8(l)))
     // spec §6: CRC32 of the header bytes preceding this field — htslib
     // validates it, so a zero CRC fails external conformance checks
-    val body = o.toByteArray
-    val crc = new java.util.zip.CRC32(); crc.update(body)
-    val c = crc.getValue
-    o.write((c & 0xff).toInt); o.write(((c >> 8) & 0xff).toInt)
-    o.write(((c >> 16) & 0xff).toInt); o.write(((c >> 24) & 0xff).toInt)
+    o.write(crc32le(o.toByteArray))
     o.toByteArray
   }
 

@@ -134,17 +134,24 @@ object CramCodec {
   }
 
   def readContainerHeader(in: InputStream): ContainerHeader = {
-    val length = readIntLE(in)
-    val refSeqId = readItf8(in)
-    val startPos = readItf8(in)
-    val span = readItf8(in)
-    val nRecords = readItf8(in)
-    val recordCounter = readLtf8(in)
-    val bases = readLtf8(in)
-    val nBlocks = readItf8(in)
-    val nLandmarks = readItf8(in)
-    val landmarks = (0 until nLandmarks).map(_ => readItf8(in))
-    readIntLE(in) // crc32 (not validated)
+    // CRC32 of the header bytes preceding the CRC field (spec §6);
+    // checksum as read so non-minimal ITF8 encodings still validate
+    val crc = new java.util.zip.CRC32
+    val cin = new java.util.zip.CheckedInputStream(in, crc)
+    val length = readIntLE(cin)
+    val refSeqId = readItf8(cin)
+    val startPos = readItf8(cin)
+    val span = readItf8(cin)
+    val nRecords = readItf8(cin)
+    val recordCounter = readLtf8(cin)
+    val bases = readLtf8(cin)
+    val nBlocks = readItf8(cin)
+    val nLandmarks = readItf8(cin)
+    val landmarks = (0 until nLandmarks).map(_ => readItf8(cin))
+    val stored = readIntLE(in)
+    require(crc.getValue.toInt == stored,
+      f"CRAM container header CRC mismatch: stored 0x$stored%08x, " +
+        f"computed 0x${crc.getValue.toInt}%08x")
     ContainerHeader(length, refSeqId, startPos, span, nRecords, recordCounter,
       bases, nBlocks, landmarks)
   }
@@ -162,16 +169,28 @@ object CramCodec {
     * reader uses this to avoid paying rANS/fqzcomp decode for blocks
     * (quality scores, read names) no projected column consumes. */
   def readBlock(in: InputStream, skipExternal: Int => Boolean): Block = {
-    val method = read1(in)
-    val contentType = read1(in)
-    val contentId = readItf8(in)
-    val compressedSize = readItf8(in)
-    val rawSize = readItf8(in)
-    val payload = readFully(in, compressedSize)
+    // the block CRC32 covers everything from the method byte through the
+    // payload (spec §8); checksum the bytes as read — htslib validates
+    // this, and so must we, or storage corruption inside a compressed
+    // payload decodes as silently wrong records
+    val crc = new java.util.zip.CRC32
+    val cin = new java.util.zip.CheckedInputStream(in, crc)
+    val method = read1(cin)
+    val contentType = read1(cin)
+    val contentId = readItf8(cin)
+    val compressedSize = readItf8(cin)
+    val rawSize = readItf8(cin)
+    val payload = readFully(cin, compressedSize)
+    val stored = readIntLE(in) // CRC field itself is not covered
+    // projection-skipped blocks are consumed but NOT validated: a query
+    // that never reads qualities must not fail on a corrupt quality
+    // block — only bytes that contribute to results get the check
     if (contentType == 4 && skipExternal(contentId)) {
-      readIntLE(in) // crc32
       return Block(method, contentType, contentId, null)
     }
+    require(crc.getValue.toInt == stored,
+      f"CRAM block CRC mismatch (content type $contentType id $contentId): " +
+        f"stored 0x$stored%08x, computed 0x${crc.getValue.toInt}%08x")
     val data = method match {
       case 0 => payload
       case 1 =>
@@ -207,7 +226,6 @@ object CramCodec {
             "supported; supported: raw, gzip, bzip2, lzma, rans4x8, " +
             "ransNx16, arith, fqzcomp, name-tokeniser")
     }
-    readIntLE(in) // crc32
     Block(method, contentType, contentId, data)
   }
 

@@ -66,7 +66,7 @@ class RansCodecSpec extends AnyFunSuite {
     CramCodec.writeItf8(o, compressed.length)
     CramCodec.writeItf8(o, payload.length)
     o.write(compressed)
-    o.write(Array.fill[Byte](4)(0)) // crc
+    o.write(graft.fixtures.CramFixture.crc32le(o.toByteArray)) // crc
     val block = CramCodec.readBlock(
       new java.io.ByteArrayInputStream(o.toByteArray))
     assert(block.contentId == 77)
@@ -90,7 +90,7 @@ class RansCodecSpec extends AnyFunSuite {
     CramCodec.writeItf8(o, compressed.length)
     CramCodec.writeItf8(o, payload.length)
     o.write(compressed)
-    o.write(Array.fill[Byte](4)(0)) // crc
+    o.write(graft.fixtures.CramFixture.crc32le(o.toByteArray)) // crc
     val block = CramCodec.readBlock(
       new java.io.ByteArrayInputStream(o.toByteArray))
     assert(block.contentId == 78)

@@ -155,11 +155,19 @@ class RansNx16CodecSpec extends AnyFunSuite {
     CramCodec.writeItf8(o, enc.length)
     CramCodec.writeItf8(o, payload.length)
     o.write(enc)
-    o.write(Array.fill[Byte](4)(0)) // crc
+    o.write(graft.fixtures.CramFixture.crc32le(o.toByteArray)) // crc
     val block = CramCodec.readBlock(
       new java.io.ByteArrayInputStream(o.toByteArray))
     assert(block.contentId == 12)
     assert(block.data.sameElements(payload))
+    // a flipped payload byte in a CONSUMED block must fail the CRC check
+    // (skipped blocks are exempt — CramSourceSpec pins that side)
+    val corrupt = o.toByteArray.clone()
+    corrupt(10) = (corrupt(10) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] {
+      CramCodec.readBlock(new java.io.ByteArrayInputStream(corrupt))
+    }
+    assert(e.getMessage.contains("CRC mismatch"))
   }
 
   test("3.1 codec methods dispatch; corrupt payloads raise typed errors") {
@@ -174,7 +182,7 @@ class RansNx16CodecSpec extends AnyFunSuite {
       CramCodec.writeItf8(o, 2)
       CramCodec.writeItf8(o, 10)
       o.write(Array[Byte](1, 2))
-      o.write(Array.fill[Byte](4)(0))
+      o.write(graft.fixtures.CramFixture.crc32le(o.toByteArray))
       val e = intercept[IllegalArgumentException] {
         CramCodec.readBlock(new java.io.ByteArrayInputStream(o.toByteArray))
       }
@@ -188,7 +196,7 @@ class RansNx16CodecSpec extends AnyFunSuite {
     CramCodec.writeItf8(o, 2)
     CramCodec.writeItf8(o, 10)
     o.write(Array[Byte](1, 2))
-    o.write(Array.fill[Byte](4)(0))
+    o.write(graft.fixtures.CramFixture.crc32le(o.toByteArray))
     intercept[java.io.IOException] {
       CramCodec.readBlock(new java.io.ByteArrayInputStream(o.toByteArray))
     }
@@ -199,7 +207,7 @@ class RansNx16CodecSpec extends AnyFunSuite {
     CramCodec.writeItf8(u, 2)
     CramCodec.writeItf8(u, 10)
     u.write(Array[Byte](1, 2))
-    u.write(Array.fill[Byte](4)(0))
+    u.write(graft.fixtures.CramFixture.crc32le(u.toByteArray))
     val e = intercept[UnsupportedOperationException] {
       CramCodec.readBlock(new java.io.ByteArrayInputStream(u.toByteArray))
     }
