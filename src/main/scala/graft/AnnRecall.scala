@@ -145,17 +145,24 @@ private[graft] object AnnRecall {
         // testdata numbers if it alone fails — its own try, its own
         // "null" fragments
         val (clB, clI) = {
-          val cl = clusteredCorpus(spark, n = 2000 * clScale,
-            nClusters = 100 * clScale).persist()
-          val cx = exact(cl).persist()
-          try (s"${recallOf(cx, banded(cl))}", s"${recallOf(cx, ivf(cl))}")
-          catch {
+          // frame CONSTRUCTION is inside the try too: an analysis error
+          // while building the clustered corpus must degrade to "null"
+          // fragments, not null the four testdata numbers above; persists
+          // unwind in the finally regardless of where the failure lands
+          var cl: org.apache.spark.sql.DataFrame = null
+          var cx: org.apache.spark.sql.DataFrame = null
+          try {
+            cl = clusteredCorpus(spark, n = 2000 * clScale,
+              nClusters = 100 * clScale).persist()
+            cx = exact(cl).persist()
+            (s"${recallOf(cx, banded(cl))}", s"${recallOf(cx, ivf(cl))}")
+          } catch {
             case e: Throwable =>
               System.err.println(s"[bench] clustered ann recall failed: $e")
               ("null", "null")
           } finally {
-            cx.unpersist(blocking = false)
-            cl.unpersist(blocking = false)
+            if (cx != null) cx.unpersist(blocking = false)
+            if (cl != null) cl.unpersist(blocking = false)
           }
         }
         s"""{"banded_at$k":${recallOf(ex, b)},""" +

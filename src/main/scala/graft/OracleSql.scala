@@ -93,6 +93,21 @@ object OracleSql {
   /** Transitive-closure clustering oracle shared by q37 (min-label
     * propagation) and q40 (star contraction) — one definition so the
     * two gates can never drift apart. */
+  /** Shared by q34 (full decode) and q61 (header-only): both gates
+    * assert the same analytic dims over the same corpus. */
+  private def mediaDimsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  octet_length(encode(text)) AS nb FROM documents)
+      |SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+      |            ELSE 'image/jpeg' END AS mime,
+      | CAST(nb % 64 + 1 AS BIGINT) AS width,
+      | CAST(nb % 48 + 1 AS BIGINT) AS height,
+      | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
+      |   AS n_channels,
+      | CAST(8 AS BIGINT) AS bit_depth,
+      | count(*) AS n_assets
+      |FROM d GROUP BY 1, 2, 3, 4, 5 ORDER BY mime, width, height""".stripMargin
+
   private def dedupClosureSql: String =
     s"""WITH RECURSIVE $pairCte,
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -190,15 +205,21 @@ object OracleSql {
         | event_type, count(*) AS n_events,
         | round(sum(value), 2) AS sum_value,
         | count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
+    // NULLS FIRST matches Spark's ASC default — DuckDB defaults to nulls
+    // last, which would sessionize null-ts rows differently the day the
+    // events corpus plants them (q42 filters them; this window gate
+    // must instead ORDER identically)
     "q12_sessionize" ->
       """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |m AS (SELECT user_id,
         |  CASE WHEN lag(tus) OVER w IS NULL THEN 1
         |       WHEN tus - lag(tus) OVER w > 1800*1000000 THEN 1
         |       ELSE 0 END AS new_session
-        | FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        | FROM t WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY tus NULLS FIRST, event_id))
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         | count(*) AS n_events
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -423,33 +444,13 @@ object OracleSql {
     // and PARSES the dims back via MediaDecoder; the oracle recomputes the
     // dims directly from the text length, so builder/parser offset bugs
     // surface as a mismatch.
-    "q34_media_dims" ->
-      """WITH d AS (SELECT doc_id,
-        |  octet_length(encode(text)) AS nb FROM documents)
-        |SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
-        |            ELSE 'image/jpeg' END AS mime,
-        | CAST(nb % 64 + 1 AS BIGINT) AS width,
-        | CAST(nb % 48 + 1 AS BIGINT) AS height,
-        | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
-        |   AS n_channels,
-        | CAST(8 AS BIGINT) AS bit_depth,
-        | count(*) AS n_assets
-        |FROM d GROUP BY 1, 2, 3, 4, 5 ORDER BY mime, width, height""".stripMargin,
+    "q34_media_dims" -> mediaDimsSql,
 
-    // q61: q34's corpus through the header-only extractDims path — same
-    // analytic dims oracle; header parsing alone must reproduce it
-    "q61_media_dims_hdr" ->
-      """WITH d AS (SELECT doc_id,
-        |  octet_length(encode(text)) AS nb FROM documents)
-        |SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
-        |            ELSE 'image/jpeg' END AS mime,
-        | CAST(nb % 64 + 1 AS BIGINT) AS width,
-        | CAST(nb % 48 + 1 AS BIGINT) AS height,
-        | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
-        |   AS n_channels,
-        | CAST(8 AS BIGINT) AS bit_depth,
-        | count(*) AS n_assets
-        |FROM d GROUP BY 1, 2, 3, 4, 5 ORDER BY mime, width, height""".stripMargin,
+    // q61: q34's corpus through the header-only extractDims path — the
+    // SAME oracle string (one val, like the shared Spark-side rollup and
+    // dedupClosureSql), so full-decode and header-only gates can never
+    // desynchronize
+    "q61_media_dims_hdr" -> mediaDimsSql,
 
     // q35: the streaming windowed aggregation's final table must equal
     // the plain batch aggregation — same grouping as q11 minus the
@@ -459,7 +460,8 @@ object OracleSql {
         |   AS hour_start,
         | event_type, count(*) AS n_events,
         | round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     // q36: bedtools-merge via the identical running-max window sweep
     "q36_merge_intervals" ->
@@ -1092,7 +1094,9 @@ object OracleSql {
 
   /** Mirror of `SparkEntry.q45_embed_dedup` /
     * `Similarity.embeddingDedupClusters`: the same doubled corpus (ids
-    * +1000, perturbed by the seed-99 multipliers), the same 4×16-bit
+    * +1000000000 — collision-free at every SF; a +1000 offset silently
+    * collided with base ids at sf0.1 — perturbed by the seed-99
+    * multipliers), the same 4×16-bit
     * band keys, the same 6-dp-rounded cosine threshold, and the
     * transitive closure of the surviving pairs (the q37/q40 closure
     * shape). Left-fold `list_reduce` sums keep the float arithmetic

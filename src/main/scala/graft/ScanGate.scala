@@ -40,8 +40,17 @@ object ScanGate {
         val s = Files.list(base)
         try {
           import scala.jdk.CollectionConverters.IteratorHasAsScala
+          // the dir name encodes the owner pid: never sweep a LIVE
+          // owner's dumps (a >24h bench/verify run, or a deferred
+          // DuckDB compare whose JVM is still up) — age alone cannot
+          // distinguish a dead run from a slow one
+          def ownerDead(p: java.nio.file.Path): Boolean =
+            p.getFileName.toString.stripPrefix("pid").toLongOption
+              .forall(pid => !ProcessHandle.of(pid)
+                .map[Boolean](_.isAlive).orElse(false))
           s.iterator.asScala
-            .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+            .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff &&
+              ownerDead(p))
             .toVector.foreach { p =>
               val w = Files.walk(p)
               try w.iterator.asScala.toVector.reverse

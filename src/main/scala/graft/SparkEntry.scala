@@ -1250,7 +1250,7 @@ object SparkEntry {
     "q62_video_frames" -> (q62_video_frames _),
     "q63_flat_dedup" -> (q63_flat_dedup _),
     "q64_wav_stereo" -> (q64_wav_stereo _)) ++
-    // scanner-correctness gate (s01..s10): genomic readers vs
+    // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap
 

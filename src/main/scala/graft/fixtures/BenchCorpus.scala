@@ -347,7 +347,8 @@ object BenchCorpus {
       new File(d, "bench.bed.gz").getPath,
       new File(d, "bench.cram").getPath)
     val marker = new File(d, "corpus.marker")
-    val tag = s"v4:$nBam:$nVcf:$nBed:$nCram"
+    // v5: CRAM blocks/containers carry computed CRCs (reader validates)
+    val tag = s"v5:$nBam:$nVcf:$nBed:$nCram"
     val fresh = marker.exists() && {
       val src = scala.io.Source.fromFile(marker)
       try src.mkString.trim == tag finally src.close()
