@@ -70,12 +70,31 @@ object GraftTableProps {
     if (sample.length < paths.length)
       m.put("properties_scope",
         s"first_${sample.length}_of_${paths.length}_files")
+    // per-file metadata reads run in parallel (each is 1-3 round-trips
+    // on an object store; 64 sequential opens would serialize table
+    // construction), but the merge walks futures in path order so the
+    // first-seen union stays deterministic
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(8, sample.length))
+    val perFile: Seq[(Map[String, Long], Seq[Int], Map[String, (Long, Long)])] =
+      try {
+        sample.map { p =>
+          pool.submit(new java.util.concurrent.Callable[
+              (Map[String, Long], Seq[Int], Map[String, (Long, Long)])] {
+            def call() = (
+              Try(GraftMeta.chromSizes(p.toString)).getOrElse(Map.empty),
+              if (zoom) Try(GraftMeta.zoomLevels(p.toString)).getOrElse(Nil)
+              else Nil,
+              if (indexStats)
+                Try(GraftMeta.indexStats(p.toString)).getOrElse(Map.empty)
+              else Map.empty)
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
     val sizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    sample.foreach { p =>
-      Try(GraftMeta.chromSizes(p.toString)).toOption.foreach(_.foreach {
-        case (n, s) => if (!sizes.contains(n)) sizes(n) = s
-      })
-    }
+    perFile.foreach(_._1.foreach { case (n, s) =>
+      if (!sizes.contains(n)) sizes(n) = s
+    })
     if (sizes.nonEmpty) {
       val sorted = sizes.toSeq.sortBy(_._1)
       m.put("chrom_names", sorted.map(_._1).mkString(","))
@@ -83,20 +102,15 @@ object GraftTableProps {
         sorted.map { case (n, s) => s"$n:$s" }.mkString(","))
     }
     if (zoom) {
-      val zl = sample.flatMap(p =>
-        Try(GraftMeta.zoomLevels(p.toString)).toOption.getOrElse(Nil))
-        .distinct.sorted
+      val zl = perFile.flatMap(_._2).distinct.sorted
       if (zl.nonEmpty) m.put("zoom_levels", zl.mkString(","))
     }
     if (indexStats) {
       val agg = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-      sample.foreach { p =>
-        Try(GraftMeta.indexStats(p.toString)).toOption.foreach(_.foreach {
-          case (n, (ma, um)) =>
-            val cur = agg.getOrElse(n, (0L, 0L))
-            agg(n) = (cur._1 + ma, cur._2 + um)
-        })
-      }
+      perFile.foreach(_._3.foreach { case (n, (ma, um)) =>
+        val cur = agg.getOrElse(n, (0L, 0L))
+        agg(n) = (cur._1 + ma, cur._2 + um)
+      })
       if (agg.nonEmpty) {
         m.put("index.n_mapped", agg.values.map(_._1).sum.toString)
         m.put("index.n_unmapped", agg.values.map(_._2).sum.toString)
