@@ -117,12 +117,26 @@ object BcfFixture {
       val bins = mine.groupBy { case (r, _, _) =>
         GenomicIndex.reg2bin(r.pos0.toLong, (r.pos0 + math.max(r.rlen, 1)).toLong)
       }
-      bb.putInt(bins.size)
+      val writeMeta = mine.nonEmpty
+      bb.putInt(bins.size + (if (writeMeta) 1 else 0))
       bins.toSeq.sortBy(_._1).foreach { case (bin, rs) =>
         bb.putInt(bin)
         bb.putLong(rs.map(_._2).min << 16) // loffset
         bb.putInt(rs.size)
         rs.foreach { case (_, s, e) => bb.putLong(s << 16).putLong(e << 16) }
+      }
+      if (writeMeta) {
+        // htslib appends the metadata pseudo-bin to CSIs too (id 37450
+        // for the 14/5 scheme, loffset 0): fixture indexes must carry it
+        // so the reader's pseudo-bin skip is exercised on the CSI path,
+        // not just against real bcftools files
+        bb.putInt(37450)
+        bb.putLong(0L) // loffset (meaningless for the pseudo-bin)
+        bb.putInt(2)
+        bb.putLong(mine.map(_._2).min << 16) // off_beg
+        bb.putLong(mine.map(_._3).max << 16) // off_end
+        bb.putLong(mine.size.toLong)         // n_mapped (raw count)
+        bb.putLong(0L)                       // n_unmapped
       }
     }
     val csi = new Array[Byte](bb.position())
