@@ -62,6 +62,8 @@ class FastaParser(regions: Seq[Region]) extends LineParser {
   override def parse(line: String): InternalRow =
     throw new IllegalStateException("FastaParser emits via parseMany")
 
+  override def emitsMany: Boolean = true
+
   override def parseMany(line: String): Seq[InternalRow] = {
     if (line.startsWith(">")) {
       val out = emit()

@@ -457,6 +457,29 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
     if (dot(v)) null
     else ArrayData.toArrayData(v.split(sep).map(UTF8String.fromString))
 
+  // Hot-path row layout, resolved once. The per-row path deliberately
+  // avoids generic collection combinators (the previous
+  // `infoSchema.toSeq.map { ... }` / `fixed ++ info ++ samples` shape):
+  // whether C2 inlined List.map into parse was a per-JVM coin flip, and
+  // the losing mode ran full-file scans 2.5-3x slower — on a large
+  // cluster that is a random per-executor straggler, so the hot loop
+  // must not depend on inlining luck.
+  private val infoStructOrNull: StructType = infoSchema.orNull
+  private val samplesStructOrNull: StructType = samplesSchema.orNull
+  private val infoSlot: Int = if (infoStructOrNull != null) 7 else -1
+  private val samplesSlot: Int =
+    if (samplesStructOrNull == null) -1
+    else 7 + (if (infoStructOrNull != null) 1 else 0)
+  private val rowWidth: Int = 7 +
+    (if (infoStructOrNull != null) 1 else 0) +
+    (if (samplesStructOrNull != null) 1 else 0)
+
+  private def colAt(line: String, nTabs: Int, i: Int): String = {
+    val a = if (i == 0) 0 else tabBuf(i - 1) + 1
+    val b = if (i == nTabs) line.length else tabBuf(i)
+    line.substring(a, b)
+  }
+
   override def parse(line: String): InternalRow = {
     // offset scan over the tabs: a column substring is materialized
     // only when that column is actually consumed — split("\t") would
@@ -472,33 +495,38 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
     }
     val nCols = nTabs + 1
     require(nCols >= 8, s"malformed VCF line ($nCols cols)")
-    def col(i: Int): String = {
-      val a = if (i == 0) 0 else tabBuf(i - 1) + 1
-      val b = if (i == nTabs) line.length else tabBuf(i)
-      line.substring(a, b)
-    }
 
-    val fixed = new Array[Any](7)
-    if (fixedNeeded(0)) { val v = col(0)
-      if (!dot(v)) fixed(0) = UTF8String.fromString(v) }
-    if (fixedNeeded(1)) { val v = col(1)
-      if (!dot(v)) fixed(1) = v.toLong + shift }
-    if (fixedNeeded(2)) fixed(2) = strList(col(2), ';')
-    if (fixedNeeded(3)) { val v = col(3)
-      if (!dot(v)) fixed(3) = UTF8String.fromString(v) }
-    if (fixedNeeded(4)) fixed(4) = strList(col(4), ',')
-    if (fixedNeeded(5)) { val v = col(5)
-      if (!dot(v)) fixed(5) = v.toFloat }
-    if (fixedNeeded(6)) fixed(6) = strList(col(6), ';')
+    val out = new Array[Any](rowWidth)
+    if (fixedNeeded(0)) { val v = colAt(line, nTabs, 0)
+      if (!dot(v)) out(0) = UTF8String.fromString(v) }
+    if (fixedNeeded(1)) { val v = colAt(line, nTabs, 1)
+      if (!dot(v)) out(1) = v.toLong + shift }
+    if (fixedNeeded(2)) out(2) = strList(colAt(line, nTabs, 2), ';')
+    if (fixedNeeded(3)) { val v = colAt(line, nTabs, 3)
+      if (!dot(v)) out(3) = UTF8String.fromString(v) }
+    if (fixedNeeded(4)) out(4) = strList(colAt(line, nTabs, 4), ',')
+    if (fixedNeeded(5)) { val v = colAt(line, nTabs, 5)
+      if (!dot(v)) out(5) = v.toFloat }
+    if (fixedNeeded(6)) out(6) = strList(colAt(line, nTabs, 6), ';')
 
-    val infoVal: Seq[Any] = infoSchema.toSeq.map { is =>
-      if (!parseInfo) null else {
+    if (infoSlot >= 0 && parseInfo)
+      out(infoSlot) = parseInfoValue(infoStructOrNull, line, nTabs)
+    if (samplesSlot >= 0 && parseSamples)
+      out(samplesSlot) =
+        if (byField) parseSamplesByField(samplesStructOrNull, line,
+          nTabs, nCols)
+        else parseSamplesBySample(samplesStructOrNull, line, nTabs, nCols)
+    new GenericInternalRow(out)
+  }
+
+  private def parseInfoValue(is: StructType, line: String,
+      nTabs: Int): GenericInternalRow = {
       // single pass over the INFO string, filling schema slots directly:
       // no split array, no intermediate map, and value substrings are
       // extracted only for keys the schema keeps (duplicate keys
       // last-win, matching the previous map behavior)
       val arr = new Array[Any](is.length)
-      val s = col(7)
+      val s = colAt(line, nTabs, 7)
       if (!dot(s)) {
         val n = s.length
         var start = 0
@@ -528,13 +556,12 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
         }
       }
       new GenericInternalRow(arr)
-      }
-    }
+  }
 
-    val samplesVal: Seq[Any] = samplesSchema.toSeq.map { ss =>
-      if (!parseSamples) null else {
-      val fmtIdx = formatIndex(if (nCols > 8) col(8) else "")
-      if (byField) {
+  private def parseSamplesByField(ss: StructType, line: String,
+      nTabs: Int, nCols: Int): GenericInternalRow = {
+      val fmtIdx =
+        formatIndex(if (nCols > 8) colAt(line, nTabs, 8) else "")
         // struct{field → struct{sample → value}}; the plan arrays limit
         // both which FORMAT fields and which samples within them are
         // parsed; each consumed sample column is split at most once per
@@ -558,7 +585,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
                 if (ci < nCols) {
                   var parts = partsCache(ci)
                   if (parts == null) {
-                    parts = col(ci).split(":", -1)
+                    parts = colAt(line, nTabs, ci).split(":", -1)
                     partsCache(ci) = parts
                   }
                   if (keyIdx < parts.length && !dot(parts(keyIdx))) {
@@ -575,7 +602,12 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
           i += 1
         }
         new GenericInternalRow(arr)
-      } else {
+  }
+
+  private def parseSamplesBySample(ss: StructType, line: String,
+      nTabs: Int, nCols: Int): GenericInternalRow = {
+      val fmtIdx =
+        formatIndex(if (nCols > 8) colAt(line, nTabs, 8) else "")
         // struct{sample → struct{field → value}}; un-requested samples
         // never even materialize their column substring
         val arr = new Array[Any](ss.length)
@@ -588,7 +620,7 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
             val inner = new Array[Any](fieldStruct.length)
             val ci = sampleModeCols(j)
             if (ci < nCols) {
-              val parts = col(ci).split(":", -1)
+              val parts = colAt(line, nTabs, ci).split(":", -1)
               var k = 0
               while (k < innerIdx.length) {
                 val ff = fieldStruct.fields(innerIdx(k))
@@ -607,11 +639,6 @@ class VcfParser(fullSchema: StructType, byField: Boolean,
           j += 1
         }
         new GenericInternalRow(arr)
-      }
-      }
-    }
-
-    new GenericInternalRow(fixed ++ infoVal ++ samplesVal)
   }
 
   private def convert(dt: DataType, v: String): Any = dt match {

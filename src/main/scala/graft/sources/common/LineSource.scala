@@ -49,6 +49,11 @@ trait LineParser extends Serializable {
     * that emit at most one row per line keep the default. */
   def parseMany(line: String): Seq[InternalRow] = Option(parse(line)).toSeq
   def flushMany(): Seq[InternalRow] = Option(flush()).toSeq
+  /** True only for parsers that override [[parseMany]] to emit more
+    * than one row per line (FASTA region slicing). Single-row formats
+    * keep `false`, which lets the reader call [[parse]] directly on the
+    * hot path — no per-line Option/Seq/Queue allocation. */
+  def emitsMany: Boolean = false
 }
 
 /** Format plugin: schema + parser + region-column metadata. */
@@ -902,6 +907,17 @@ class LineReader(format: LineFormat, fullSchema: StructType,
         Nil
     }
 
+  // single-row twin of parseSafe for the hot path: no Option/Seq wrap
+  private def parseOneSafe(line: String): InternalRow =
+    if (!permissive) parser.parse(line)
+    else try parser.parse(line) catch {
+      case e: Exception =>
+        skipped += 1
+        if (skipped <= 10) LineReader.log.warn(
+          s"skipping malformed ${format.shortName} record: ${e.getMessage}")
+        null
+    }
+
   private def flushSafe(): Seq[InternalRow] =
     if (!permissive) parser.flushMany()
     else try parser.flushMany() catch {
@@ -914,6 +930,21 @@ class LineReader(format: LineFormat, fullSchema: StructType,
     }
 
   private val pending = scala.collection.mutable.Queue.empty[InternalRow]
+
+  // hot-loop precomputation: the per-line comment check must not walk a
+  // Seq with a closure, and single-row parsers (everything but FASTA)
+  // bypass the Option/Seq/Queue machinery entirely
+  private val commentArr: Array[String] =
+    format.commentPrefixes.filter(_.nonEmpty).toArray
+  private def isComment(line: String): Boolean = {
+    var i = 0
+    while (i < commentArr.length) {
+      if (line.startsWith(commentArr(i))) return true
+      i += 1
+    }
+    false
+  }
+  private val singleRow = !parser.emitsMany
 
   private def emitFromPending(): Boolean = {
     while (pending.nonEmpty) {
@@ -945,10 +976,20 @@ class LineReader(format: LineFormat, fullSchema: StructType,
       // at a record boundary instead.)
       if (!part.gzip && !part.vpos && pos > part.end) exhausted = true
       if (!skip && (line.nonEmpty || !format.skipEmptyLines) &&
-          !format.commentPrefixes.exists(p => p.nonEmpty && line.startsWith(p))) {
-        pending ++= parseSafe(line)
-        if (exhausted) pending ++= flushSafe()
-        if (emitFromPending()) return true
+          !isComment(line)) {
+        if (singleRow && !exhausted) {
+          // hot path: parse straight to the row, no Option/Seq/Queue.
+          // (pending is empty here by construction: every entry point
+          // into this loop drains it first.)
+          val row = parseOneSafe(line)
+          if (row != null && regionPred(row)) {
+            current = project(row); emitted += 1; return true
+          }
+        } else {
+          pending ++= parseSafe(line)
+          if (exhausted) pending ++= flushSafe()
+          if (emitFromPending()) return true
+        }
       } else if (exhausted) {
         pending ++= flushSafe()
         return emitFromPending()
