@@ -513,7 +513,7 @@ object CramCodec {
   final case class CramRecord(bamFlags: Int, cramFlags: Int, refId: Int,
       readLength: Int, alignmentStart: Int, readGroup: Int, readName: String,
       mateRefId: Int, matePos: Int, templateSize: Int,
-      features: Seq[Feature], mappingQuality: Int,
+      features: collection.Seq[Feature], mappingQuality: Int,
       qualityScores: Array[Byte], bases: Array[Byte],
       /** (tag, SAM type char, BAM-binary value bytes) per TD line order. */
       tags: Seq[(String, Char, Array[Byte])] = Nil) {
@@ -550,7 +550,7 @@ object CramCodec {
       core: Array[Byte], external: Map[Int, Array[Byte]],
       decodeTags: Boolean = true,
       skipSeries: Set[String] = Set.empty,
-      skipTagKeys: Set[Int] = Set.empty): Seq[CramRecord] = {
+      skipTagKeys: Set[Int] = Set.empty): collection.IndexedSeq[CramRecord] = {
     val bits = new BitReader(core)
     val cursors = external.map { case (id, d) => id -> new ByteCursor(d) }
     def series(key: String): SeriesReader = {
@@ -574,6 +574,10 @@ object CramCodec {
 
     var prevAlignmentStart = slice.start
     val out = mutable.ArrayBuffer.empty[CramRecord]
+    // hot-loop hygiene: no per-record allocation beyond the record
+    // itself — `.lift` per record allocates a function, and indexing a
+    // potentially-List dictionary is O(n), so resolve both once
+    val tagDict = comp.tagDictionary.toIndexedSeq
     var i = 0
     while (i < slice.nRecords) {
       val bamFlags = bf.readInt()
@@ -617,7 +621,9 @@ object CramCodec {
       val tagLine = tl.readInt()
       // each (tag, type) has its own encoding/blocks, keyed by the
       // 3-byte int (tag0<<16 | tag1<<8 | type)
-      val tagDefs = comp.tagDictionary.lift(tagLine).getOrElse(Nil)
+      val tagDefs =
+        if (tagLine >= 0 && tagLine < tagDict.length) tagDict(tagLine)
+        else Nil
       val tags: Seq[(String, Char, Array[Byte])] =
         if (decodeTags) tagDefs.map {
           case (tag, tpe) =>
@@ -641,7 +647,7 @@ object CramCodec {
           Nil
         }
 
-      var features: Seq[Feature] = Nil
+      var features: collection.Seq[Feature] = Nil
       var mappingQuality = -1
       var quals: Array[Byte] = null
       var bases: Array[Byte] = null
@@ -675,7 +681,9 @@ object CramCodec {
           fs += feat
           j += 1
         }
-        features = fs.toSeq
+        // the buffer is never mutated after this point; skipping toSeq
+        // avoids one copy per mapped record
+        features = fs
         mappingQuality = mq.readInt()
         if ((cramFlags & 0x1) != 0) quals = qs.readBytesN(readLength)
       } else {
@@ -687,7 +695,7 @@ object CramCodec {
         templateSize, features, mappingQuality, quals, bases, tags)
       i += 1
     }
-    out.toSeq
+    out
   }
 
   // ------------------------------------------------- sequence + cigar

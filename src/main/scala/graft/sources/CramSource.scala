@@ -470,39 +470,103 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
         slices += ((slice, core, ext.result()))
         blocksRead += 1 + slice.nBlocks
       }
-      slices.iterator.flatMap { case (slice, core, ext) =>
-        val records = CramCodec.decodeSlice(comp, slice, core, ext,
-          decodeTags = doTags, skipSeries = skipKeys,
-          skipTagKeys = skipTagKeys)
-        val start0 = math.max(0L, slice.start - 1L)
-        // reference bases for this slice: an embedded-reference block
-        // takes precedence (self-contained slices), else seek the span
-        // out of the indexed FASTA once
-        val embedded: Option[Long => Char] =
-          if (slice.embeddedRefId < 0) None
-          else ext.get(slice.embeddedRefId).map { bytes => (pos0: Long) =>
-            val i = (pos0 - start0).toInt
-            if (i >= 0 && i < bytes.length) (bytes(i) & 0xff).toChar else 'N'
-          }
-        val refSlice: Option[Long => Char] =
-          if (slice.refSeqId < 0) None
-          else embedded.orElse(reference.flatMap { case (rp, entries) =>
-            val name = refNames.lift(slice.refSeqId).getOrElse("")
-            entries.find(_.name == name).map { e =>
-              val end0 = math.min(e.length, start0 + slice.span.toLong)
-              val rin = SeekableInputs.forHadoop(rp.getFileSystem(conf), rp)
-              val text =
-                try FaiIndex.slice(rin, e, Region(name, start0, Some(end0)))
-                finally rin.close()
-              (pos0: Long) => {
-                val i = (pos0 - start0).toInt
-                if (i >= 0 && i < text.length) text.charAt(i) else 'N'
-              }
+      // explicit per-record iterator instead of
+      // slices.iterator.flatMap { records.iterator.map(toRow) }: the
+      // per-record dispatch is a direct monomorphic toRow call, not a
+      // lambda under two generic iterator adapters whose steady-state
+      // cost depends on whether C2 happens to inline them (the same
+      // per-JVM coin flip fixed in the text-scan path this round)
+      new Iterator[InternalRow] {
+        private var si = 0
+        private var records: collection.IndexedSeq[CramCodec.CramRecord] = null
+        private var ri = 0
+        private var refSlice: Option[Long => Char] = None
+
+        private def loadSlice(): Unit = {
+          val (slice, core, ext) = slices(si)
+          si += 1
+          records = CramCodec.decodeSlice(comp, slice, core, ext,
+            decodeTags = doTags, skipSeries = skipKeys,
+            skipTagKeys = skipTagKeys)
+          ri = 0
+          val start0 = math.max(0L, slice.start - 1L)
+          // reference bases for this slice: an embedded-reference block
+          // takes precedence (self-contained slices), else seek the span
+          // out of the indexed FASTA once
+          val embedded: Option[Long => Char] =
+            if (slice.embeddedRefId < 0) None
+            else ext.get(slice.embeddedRefId).map { bytes => (pos0: Long) =>
+              val i = (pos0 - start0).toInt
+              if (i >= 0 && i < bytes.length) (bytes(i) & 0xff).toChar else 'N'
             }
-          })
-        records.iterator.map(rec => toRow(rec, comp, refSlice))
+          refSlice =
+            if (slice.refSeqId < 0) None
+            else embedded.orElse(reference.flatMap { case (rp, entries) =>
+              val name = refNames.lift(slice.refSeqId).getOrElse("")
+              entries.find(_.name == name).map { e =>
+                val end0 = math.min(e.length, start0 + slice.span.toLong)
+                val rin = SeekableInputs.forHadoop(rp.getFileSystem(conf), rp)
+                val text =
+                  try FaiIndex.slice(rin, e, Region(name, start0, Some(end0)))
+                  finally rin.close()
+                (pos0: Long) => {
+                  val i = (pos0 - start0).toInt
+                  if (i >= 0 && i < text.length) text.charAt(i) else 'N'
+                }
+              }
+            })
+        }
+
+        override def hasNext: Boolean = {
+          while ((records == null || ri >= records.length) &&
+            si < slices.length) loadSlice()
+          records != null && ri < records.length
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("CRAM iterator")
+          val rec = records(ri)
+          ri += 1
+          toRow(rec, comp, refSlice)
+        }
       }
     }
+  }
+
+  // per-record hot-path layout, resolved once (same JIT-stability rule
+  // as the text-scan path: no Option.toSeq.map lambdas, no array ++,
+  // no .lift allocation per record)
+  private val tagStructOrNull: StructType = tagSchema.orNull
+  private val outWidth: Int = 12 + (if (tagStructOrNull != null) 1 else 0)
+  // schema slot per tag name: rec.tags is small, the discovered tag
+  // schema can be wide — iterate the record's tags, not the schema
+  private val tagFieldIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    if (tagStructOrNull != null) {
+      var i = 0
+      while (i < tagStructOrNull.length) {
+        m.put(tagStructOrNull.fields(i).name, Integer.valueOf(i)); i += 1
+      }
+    }
+    m
+  }
+
+  private def refNameUtf8(id: Int): UTF8String =
+    UTF8String.fromString(
+      if (id >= 0 && id < refNames.length) refNames(id) else "")
+
+  private def buildTagsRow(rec: CramCodec.CramRecord): GenericInternalRow = {
+    val ts = tagStructOrNull
+    val arr = new Array[Any](ts.length)
+    val it = rec.tags.iterator
+    while (it.hasNext) {
+      val (tag, tpe, bytes) = it.next()
+      val idx = tagFieldIdx.get(tag)
+      // duplicate tags last-win, matching the toMap this loop replaced
+      if (idx != null) arr(idx.intValue()) = toCatalystTag(
+        ts.fields(idx.intValue()).dataType, CramCodec.tagValue(tpe, bytes))
+    }
+    new GenericInternalRow(arr)
   }
 
   private def toRow(rec: CramCodec.CramRecord,
@@ -516,41 +580,41 @@ class CramPartitionReader(fullSchema: StructType, required: StructType,
       else (null,
         if (rec.bases != null) new String(rec.bases.map(_.toChar)) else null)
     val refLen = if (mapped) rec.referenceLength else 0
-    val qual =
+    val qual: String =
       if (!wantQual || rec.qualityScores == null) null
-      else if (rec.qualityScores.forall(_ == 0xff.toByte)) null
-      else new String(rec.qualityScores.map(q => (q + 33).toChar))
-    val tagsVal: Seq[Any] = tagSchema.toSeq.map { ts =>
-      // un-projected: null slot, skip the struct build
-      if (!wantTags) null else {
-      val byName = rec.tags.map(t => t._1 -> t).toMap
-      val arr = new Array[Any](ts.length)
-      ts.fields.zipWithIndex.foreach { case (f, i) =>
-        byName.get(f.name).foreach { case (_, tpe, bytes) =>
-          arr(i) = toCatalystTag(f.dataType, CramCodec.tagValue(tpe, bytes))
+      else {
+        val qs = rec.qualityScores
+        var all255 = true
+        var i = 0
+        while (all255 && i < qs.length) {
+          if (qs(i) != 0xff.toByte) all255 = false
+          i += 1
+        }
+        if (all255) null
+        else {
+          val cs = new Array[Char](qs.length)
+          var j = 0
+          while (j < qs.length) { cs(j) = (qs(j) + 33).toChar; j += 1 }
+          new String(cs)
         }
       }
-      new GenericInternalRow(arr)
-      }
-    }
-    new GenericInternalRow(Array[Any](
-      if (rec.readName == null) null else UTF8String.fromString(rec.readName),
-      rec.bamFlags,
-      if (rec.refId < 0) null
-      else UTF8String.fromString(refNames.lift(rec.refId).getOrElse("")),
-      if (mapped) rec.alignmentStart.toLong + posShift else null,
-      if (rec.mappingQuality < 0) null else rec.mappingQuality,
-      if (cigar == null || cigar.isEmpty) null else UTF8String.fromString(cigar),
-      if (rec.mateRefId < 0) null
-      else UTF8String.fromString(refNames.lift(rec.mateRefId).getOrElse("")),
-      if (rec.matePos <= 0) null else rec.matePos.toLong + posShift,
-      rec.templateSize,
-      if (seq == null || seq.isEmpty) null else UTF8String.fromString(seq),
-      if (qual == null) null else UTF8String.fromString(qual),
-      // end is invariant across coord systems (1-based closed end equals
-      // the 0-based half-open end), matching the BAM reader
-      if (mapped) rec.alignmentStart.toLong + refLen - 1 else null)
-      ++ tagsVal)
+    val out = new Array[Any](outWidth)
+    if (rec.readName != null) out(0) = UTF8String.fromString(rec.readName)
+    out(1) = rec.bamFlags
+    if (rec.refId >= 0) out(2) = refNameUtf8(rec.refId)
+    if (mapped) out(3) = rec.alignmentStart.toLong + posShift
+    if (rec.mappingQuality >= 0) out(4) = rec.mappingQuality
+    if (cigar != null && cigar.nonEmpty) out(5) = UTF8String.fromString(cigar)
+    if (rec.mateRefId >= 0) out(6) = refNameUtf8(rec.mateRefId)
+    if (rec.matePos > 0) out(7) = rec.matePos.toLong + posShift
+    out(8) = rec.templateSize
+    if (seq != null && seq.nonEmpty) out(9) = UTF8String.fromString(seq)
+    if (qual != null) out(10) = UTF8String.fromString(qual)
+    // end is invariant across coord systems (1-based closed end equals
+    // the 0-based half-open end), matching the BAM reader
+    if (mapped) out(11) = rec.alignmentStart.toLong + refLen - 1
+    if (tagStructOrNull != null && wantTags) out(12) = buildTagsRow(rec)
+    new GenericInternalRow(out)
   }
 
   private def toCatalystTag(dt: DataType, v: Any): Any = (dt, v) match {
