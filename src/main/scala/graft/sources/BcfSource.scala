@@ -402,100 +402,127 @@ class BcfPartitionReader(fullSchema: StructType, required: StructType,
 
   private def utf8(s: String) = UTF8String.fromString(s)
 
+  // per-record row layout, resolved once — same JIT-stability rule as
+  // the VCF text parser: the hot path must not run Option.toSeq.map
+  // lambdas or an array ++ whose steady-state cost depends on whether
+  // C2 happens to inline the generic collection machinery
+  private val infoStructOrNull: StructType = infoSchema.orNull
+  private val samplesStructOrNull: StructType = samplesSchema.orNull
+  private val samplesOutSlot: Int =
+    if (samplesStructOrNull == null) -1
+    else 7 + (if (infoStructOrNull != null) 1 else 0)
+  private val outRowWidth: Int = 7 +
+    (if (infoStructOrNull != null) 1 else 0) +
+    (if (samplesStructOrNull != null) 1 else 0)
+
+  // formats are few per record: a linear probe beats building a
+  // string-keyed map per record
+  private def valsFor(rec: BcfCodec.BcfRecord,
+      dictIdx: Int): IndexedSeq[Any] =
+    if (dictIdx < 0) null
+    else {
+      var i = 0
+      var res: IndexedSeq[Any] = null
+      while (res == null && i < rec.formats.length) {
+        if (rec.formats(i)._1 == dictIdx) res = rec.formats(i)._2
+        i += 1
+      }
+      res
+    }
+
+  private def infoRowOf(rec: BcfCodec.BcfRecord): GenericInternalRow = {
+    val is = infoStructOrNull
+    val arr = new Array[Any](is.length)
+    val it = rec.info.iterator
+    while (it.hasNext) {
+      val (keyIdx, v) = it.next()
+      val fi =
+        if (keyIdx >= 0 && keyIdx < infoSlotByDict.length)
+          infoSlotByDict(keyIdx)
+        else -1
+      if (fi >= 0) arr(fi) = enforceCount(is(fi),
+        convert(is(fi).dataType, v))
+    }
+    new GenericInternalRow(arr)
+  }
+
+  private def samplesRowByField(
+      rec: BcfCodec.BcfRecord): GenericInternalRow = {
+    val ss = samplesStructOrNull
+    val arr = new Array[Any](ss.length)
+    var i = 0
+    while (i < ss.length) {
+      val fieldF = ss.fields(i)
+      val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
+      val inner = new Array[Any](sampleStruct.length)
+      val vals = valsFor(rec, byFieldDictIdx(i))
+      if (vals != null) {
+        val slots = byFieldInnerSlots(i)
+        var j = 0
+        while (j < sampleStruct.length) {
+          val slot = slots(j)
+          if (slot < vals.size)
+            inner(j) = enforceCount(sampleStruct.fields(j),
+              convertSample(fieldF.name,
+                sampleStruct.fields(j).dataType, vals(slot)))
+          j += 1
+        }
+      }
+      arr(i) = new GenericInternalRow(inner)
+      i += 1
+    }
+    new GenericInternalRow(arr)
+  }
+
+  private def samplesRowBySample(
+      rec: BcfCodec.BcfRecord): GenericInternalRow = {
+    val ss = samplesStructOrNull
+    val arr = new Array[Any](ss.length)
+    var j = 0
+    while (j < ss.length) {
+      val fieldStruct = ss.fields(j).dataType.asInstanceOf[StructType]
+      val inner = new Array[Any](fieldStruct.length)
+      val slot = bySampleSlots(j)
+      var i = 0
+      while (i < fieldStruct.length) {
+        val ff = fieldStruct.fields(i)
+        val vals = valsFor(rec, bySampleFieldDictIdx(i))
+        if (vals != null && slot < vals.size)
+          inner(i) = enforceCount(ff,
+            convertSample(ff.name, ff.dataType, vals(slot)))
+        i += 1
+      }
+      arr(j) = new GenericInternalRow(inner)
+      j += 1
+    }
+    new GenericInternalRow(arr)
+  }
+
   private def toRow(rec: BcfCodec.BcfRecord): InternalRow = {
-    val chromName =
-      if (rec.contigId >= 0 && rec.contigId < dict.contigs.size)
-        utf8(dict.contigs(rec.contigId))
-      else null
-    val fixed = Array[Any](
-      chromName,
-      rec.pos0 + 1 + shift,
-      if (rec.ids.isEmpty) null
-      else ArrayData.toArrayData(rec.ids.map(utf8).toArray),
-      if (rec.ref.isEmpty) null else utf8(rec.ref),
-      if (rec.alts.isEmpty) null
-      else ArrayData.toArrayData(rec.alts.map(utf8).toArray),
-      rec.qual.map(Float.box).orNull,
-      if (rec.filters.isEmpty) null
-      else ArrayData.toArrayData(rec.filters.map { i =>
-        // guarded like the INFO lookup below: an index outside the
-        // header dictionary (or an IDX= hole) is a malformed record,
-        // not a raw IndexOutOfBounds/NPE
+    val out = new Array[Any](outRowWidth)
+    if (rec.contigId >= 0 && rec.contigId < dict.contigs.size)
+      out(0) = utf8(dict.contigs(rec.contigId))
+    out(1) = rec.pos0 + 1 + shift
+    if (rec.ids.nonEmpty)
+      out(2) = ArrayData.toArrayData(rec.ids.map(utf8).toArray)
+    if (rec.ref.nonEmpty) out(3) = utf8(rec.ref)
+    if (rec.alts.nonEmpty)
+      out(4) = ArrayData.toArrayData(rec.alts.map(utf8).toArray)
+    out(5) = rec.qual.map(Float.box).orNull
+    if (rec.filters.nonEmpty)
+      out(6) = ArrayData.toArrayData(rec.filters.map { i =>
+        // guarded like the INFO lookup: an index outside the header
+        // dictionary (or an IDX= hole) is a malformed record, not a
+        // raw IndexOutOfBounds/NPE
         require(i >= 0 && i < dict.strings.size && dict.strings(i) != null,
           s"FILTER index $i not in the header dictionary")
         utf8(dict.strings(i))
-      }.toArray))
-
-    val infoVal: Seq[Any] = infoSchema.toSeq.map { is =>
-      if (!wantInfo) null else {
-      val arr = new Array[Any](is.length)
-      rec.info.foreach { case (keyIdx, v) =>
-        val fi =
-          if (keyIdx >= 0 && keyIdx < infoSlotByDict.length)
-            infoSlotByDict(keyIdx)
-          else -1
-        if (fi >= 0) arr(fi) = enforceCount(is(fi),
-          convert(is(fi).dataType, v))
-      }
-      new GenericInternalRow(arr)
-      }
-    }
-
-    // formats are few per record: a linear probe beats building a
-    // string-keyed map per record
-    def valsFor(dictIdx: Int): IndexedSeq[Any] =
-      if (dictIdx < 0) null
-      else {
-        var i = 0
-        var res: IndexedSeq[Any] = null
-        while (res == null && i < rec.formats.length) {
-          if (rec.formats(i)._1 == dictIdx) res = rec.formats(i)._2
-          i += 1
-        }
-        res
-      }
-
-    val samplesVal: Seq[Any] = samplesSchema.toSeq.map { ss =>
-      // un-projected: emit a null slot, don't build the struct tree
-      // (O(samples) allocations per record otherwise)
-      if (!wantSamples) null else {
-      if (byField) {
-        val arr = new Array[Any](ss.length)
-        ss.fields.zipWithIndex.foreach { case (fieldF, i) =>
-          val sampleStruct = fieldF.dataType.asInstanceOf[StructType]
-          val inner = new Array[Any](sampleStruct.length)
-          val vals = valsFor(byFieldDictIdx(i))
-          if (vals != null) {
-            val slots = byFieldInnerSlots(i)
-            sampleStruct.fields.zipWithIndex.foreach { case (sf, j) =>
-              val slot = slots(j)
-              if (slot < vals.size)
-                inner(j) = enforceCount(sf,
-                  convertSample(fieldF.name, sf.dataType, vals(slot)))
-            }
-          }
-          arr(i) = new GenericInternalRow(inner)
-        }
-        new GenericInternalRow(arr)
-      } else {
-        val arr = new Array[Any](ss.length)
-        ss.fields.zipWithIndex.foreach { case (sampleF, j) =>
-          val fieldStruct = sampleF.dataType.asInstanceOf[StructType]
-          val inner = new Array[Any](fieldStruct.length)
-          val slot = bySampleSlots(j)
-          fieldStruct.fields.zipWithIndex.foreach { case (ff, i) =>
-            val vals = valsFor(bySampleFieldDictIdx(i))
-            if (vals != null && slot < vals.size)
-              inner(i) = enforceCount(ff,
-                convertSample(ff.name, ff.dataType, vals(slot)))
-          }
-          arr(j) = new GenericInternalRow(inner)
-        }
-        new GenericInternalRow(arr)
-      }
-      }
-    }
-    new GenericInternalRow(fixed ++ infoVal ++ samplesVal)
+      }.toArray)
+    if (infoStructOrNull != null && wantInfo) out(7) = infoRowOf(rec)
+    if (samplesOutSlot >= 0 && wantSamples)
+      out(samplesOutSlot) =
+        if (byField) samplesRowByField(rec) else samplesRowBySample(rec)
+    new GenericInternalRow(out)
   }
 
   /** Enforce a declared fixed Number=n carried as field metadata (the
