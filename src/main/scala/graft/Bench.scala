@@ -450,6 +450,35 @@ object Bench {
       queries.foreach { case (name, fn) => timeOne(name, fn, p) }
       (System.nanoTime() - passT0) / 1e9
     }
+    // Loaded-pass gate (r13 verdict "what's wrong #2"): the r13 record
+    // was taken with pass totals spanning 221->119 s and several
+    // min-of-3 rows drew EVERY sample from loaded passes — one loaded
+    // session polluted the permanent record. The scan-shaped
+    // calibration is measured per pass anyway; a pass whose scan
+    // calibration ran >1.5x the best pass's saw real contention, so
+    // run one replacement pass per loaded pass (bounded at +2 — a
+    // persistently loaded machine must not loop forever), and exclude
+    // loaded-pass samples from the RAW per-query minimum below
+    // (queries_calibrated keeps all samples: per-pass normalization is
+    // its whole design).
+    val loadedThreshold = 1.5
+    def loadedPassIdxs(upto: Int): Seq[Int] = {
+      val valid = calibrationsScan.take(upto).zipWithIndex
+        .filter(_._1 > 0)
+      if (valid.isEmpty) Nil
+      else {
+        val best = valid.map(_._1).min
+        valid.filter(_._1 > loadedThreshold * best).map(_._2).toSeq
+      }
+    }
+    var extraPasses = 0
+    while (extraPasses < 2 &&
+        loadedPassIdxs(runs + extraPasses).size > extraPasses) {
+      val p = runs + extraPasses
+      calibratePass()
+      queries.foreach { case (name, fn) => timeOne(name, fn, p) }
+      extraPasses += 1
+    }
     // the b-family reader scans showed >30% min-of-3 wobble in r11 (b01
     // 2.30 -> 3.03 s with samples spread 3.03-5.85) — too few samples
     // for a min over a file-I/O-heavy scan under ambient load. Extra
@@ -459,16 +488,26 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_READER_RUNS").flatMap(_.toIntOption)
         .getOrElse(5))
     val readerQs = queries.filter(_._1.startsWith("b"))
-    (runs until readerRuns).foreach { p =>
+    (0 until (readerRuns - runs)).foreach { i =>
       if (readerQs.nonEmpty) {
+        val p = runs + extraPasses + i
         calibratePass()
         readerQs.foreach { case (name, fn) => timeOne(name, fn, p) }
       }
     }
     calibratePass()
+    // final loaded-pass set, over every pass that produced samples (the
+    // trailing calibration-only entry can sharpen `best` but matches no
+    // sample's pass index)
+    val loadedSet: Set[Int] = loadedPassIdxs(calibrationsScan.length).toSet
+    def cleanSamples(name: String): List[(Int, Double)] = {
+      val ss = samples(name)
+      val clean = ss.filterNot(s => loadedSet(s._1))
+      if (clean.nonEmpty) clean else ss // all-loaded: report, don't drop
+    }
     val results = queries.collect {
       case (name, _) if samples(name).nonEmpty =>
-        name -> samples(name).map(_._2).min
+        name -> cleanSamples(name).map(_._2).min
     }
     // Cross-round comparability: raw seconds from different rounds are
     // dominated by ambient machine state (the same code benched b08 at
@@ -574,8 +613,17 @@ object Bench {
     //  2. the same record is printed first for humans reading the log;
     //  3. the LAST stdout line is a compact summary kept well under the
     //     tail window.
+    // machine-readable comparability contract (README "Bench
+    // comparability across rounds"): records from rounds before 13
+    // predate the JIT-bimodality fix and mix two per-JVM steady states;
+    // tools/bench_diff.py refuses to diff records lacking this field
+    val passGateJson =
+      s"""{"threshold":$loadedThreshold,""" +
+        s""""loaded_passes":${loadedSet.toSeq.sorted.mkString("[", ",", "]")},""" +
+        s""""extra_passes":$extraPasses,"raw_min_excludes_loaded":true}"""
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",""" +
       s""""sf":${jstr(sfDir)},"runs":$runs,"action":"noop-write",""" +
+      s""""comparable_since":13,"pass_gate":$passGateJson,""" +
       s""""failed":$failedJson,"queries":$qs,""" +
       s""""queries_calibrated":$qsCal,""" +
       s""""calibration_median_sec":${fmt(calMedian)},""" +

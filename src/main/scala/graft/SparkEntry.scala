@@ -362,7 +362,14 @@ object SparkEntry {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("fp"))).cast("long").as("n_fps"),
-        sum(aggregate(col("fp"), lit(0L), (a, x) => a + x))
+        // codegen'd array sum — `aggregate(fp, 0L, +)` is
+        // CodegenFallback and its interpreted per-element boxing
+        // DOMINATED the fast-hash twin x32 (the winnow kernel is
+        // cheap); values identical (graft.functions.VectorKernels)
+        sum(org.apache.spark.sql.graftshim.ColumnShim.column(
+            graft.functions.VectorFunctions.ArraySumLong(
+              org.apache.spark.sql.graftshim.ColumnShim
+                .expression(col("fp")))))
           .cast("long").as("fp_checksum"))
       .orderBy(col("source"))
 

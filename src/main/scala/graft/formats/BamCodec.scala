@@ -36,6 +36,13 @@ object BamCodec {
     /** Try to read the next int; None at clean EOF. */
     def tryReadInt(): Option[Int] =
       try Some(readInt()) catch { case _: EOFException => None }
+    /** Next little-endian int as a Long, or Long.MinValue at clean EOF
+      * — the allocation-free variant for per-record loops (the Option
+      * box was one of the per-record allocations flagged by the r14
+      * JIT-stability audit; every real int32 fits a Long, so the
+      * sentinel is unambiguous). */
+    def readIntOrEof(): Long =
+      try readInt().toLong catch { case _: EOFException => Long.MinValue }
   }
 
   def readHeader(le: LEInput): BamHeader = {
@@ -80,9 +87,34 @@ object BamCodec {
     private val tagIndex: Map[String, Int] =
       graft.sources.SamTags.tagSlotIndex(tagSchema, neededTags)
 
-    /** Read one record from the stream; None at EOF. */
-    def read(le: LEInput): Option[RawRecord] = {
-      val blockSize = le.tryReadInt().getOrElse(return None)
+    // the same slots keyed by the two raw tag bytes ((t0<<8)|t1): the
+    // per-tag `new String` + `Map.get` Option of the name-keyed lookup
+    // were per-record allocations even for SKIPPED tags (r14
+    // JIT-stability audit). 64 KiB of Int per decoder instance — one
+    // per partition, not per record.
+    private val tagSlotByKey: Array[Int] = {
+      val arr = Array.fill(1 << 16)(-1)
+      tagIndex.foreach { case (t, i) =>
+        arr(((t.charAt(0) & 0xff) << 8) | (t.charAt(1) & 0xff)) = i
+      }
+      arr
+    }
+    private val CgKey = ('C' << 8) | 'G'
+
+    // chromosome names UTF-8-encoded ONCE per decoder: refName ran
+    // UTF8String.fromString per record (twice — rname and rnext);
+    // UTF8String is immutable, so sharing one instance across rows is
+    // safe (the same sharing Literal columns rely on)
+    private val refNamesU8: Array[UTF8String] =
+      header.refNames.iterator.map(UTF8String.fromString).toArray
+
+    /** Read one record from the stream; null at EOF (an Option wrapper
+      * here would box every record — see the scaladoc on
+      * [[LEInput.readIntOrEof]]). */
+    def read(le: LEInput): RawRecord = {
+      val blockSizeL = le.readIntOrEof()
+      if (blockSizeL == Long.MinValue) return null
+      val blockSize = blockSizeL.toInt
       val block = le.readBytes(blockSize)
       val bb = java.nio.ByteBuffer.wrap(block)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -201,36 +233,46 @@ object BamCodec {
 
       val unmapped = (flag & 0x4) != 0 || refId < 0 || pos0 < 0
       def refName(id: Int): Any =
-        if (id < 0 || id >= header.refNames.size) null
-        else UTF8String.fromString(header.refNames(id))
+        if (id < 0 || id >= refNamesU8.length) null
+        else refNamesU8(id)
 
-      val base = Array[Any](
-        if (qname == null || qname == "*") null else UTF8String.fromString(qname),
-        flag,
-        // placement, not mappedness: a flag-0x4 read with a valid
-        // refId/pos is a mate-placed unmapped read whose RNAME/POS are
-        // real data (the SAM text parser keeps them — '*'/0 are the
-        // only null spellings there); nulling on the flag lost the
-        // placement and broke SAM/BAM row parity
-        if (refId < 0) null else refName(refId),
-        if (pos0 < 0) null else pos0 + 1 + posShift, // 1-based out ("11")
-        mapq,
-        if (cigarStr == null) null else UTF8String.fromString(cigarStr),
-        refName(nextRefId),
-        if (nextRefId < 0 || nextPos0 < 0) null else nextPos0 + 1 + posShift,
-        tlen,
-        if (seqStr == null) null else UTF8String.fromString(seqStr),
-        if (qualStr == null) null else UTF8String.fromString(qualStr),
-        if (unmapped || refLen == 0) null else pos0 + refLen) // closed 1-based
+      // exact-width row array filled by index (the previous 12-slot
+      // `base :+ tags` copied the whole array per record)
+      val base = new Array[Any](if (tagSchema.isDefined) 13 else 12)
+      base(0) =
+        if (qname == null || qname == "*") null
+        else UTF8String.fromString(qname)
+      base(1) = flag
+      // placement, not mappedness: a flag-0x4 read with a valid
+      // refId/pos is a mate-placed unmapped read whose RNAME/POS are
+      // real data (the SAM text parser keeps them — '*'/0 are the
+      // only null spellings there); nulling on the flag lost the
+      // placement and broke SAM/BAM row parity
+      base(2) = if (refId < 0) null else refName(refId)
+      base(3) =
+        if (pos0 < 0) null else pos0 + 1 + posShift // 1-based out ("11")
+      base(4) = mapq
+      base(5) =
+        if (cigarStr == null) null else UTF8String.fromString(cigarStr)
+      base(6) = refName(nextRefId)
+      base(7) =
+        if (nextRefId < 0 || nextPos0 < 0) null
+        else nextPos0 + 1 + posShift
+      base(8) = tlen
+      base(9) = if (seqStr == null) null else UTF8String.fromString(seqStr)
+      base(10) =
+        if (qualStr == null) null else UTF8String.fromString(qualStr)
+      base(11) =
+        if (unmapped || refLen == 0) null
+        else pos0 + refLen // closed 1-based
 
-      val row = tagSchema match {
-        case None => new GenericInternalRow(base)
-        case Some(_) if !parseTags =>
-          new GenericInternalRow(base :+ (null: Any))
+      tagSchema match {
+        case None => ()
+        case Some(_) if !parseTags => () // slot 12 stays null
         case Some(ts) =>
           val tags = new Array[Any](ts.length)
           while (bb.remaining() >= 3) {
-            val tag = new String(Array(bb.get(), bb.get()), "ASCII")
+            val key = ((bb.get() & 0xff) << 8) | (bb.get() & 0xff)
             val tpe = bb.get().toChar
             // a record carrying the long-CIGAR placeholder holds its
             // real CIGAR in CG:B,I — that tag is never reported as a
@@ -238,16 +280,17 @@ object BamCodec {
             // RECORD property (placeholder present), not whether the
             // cigar column happened to be projected: tags.CG must not
             // change value with the projection
-            if (tag == "CG" && cigarPlaceholder) skipTagValue(bb, tpe)
-            else tagIndex.get(tag) match {
-              case Some(idx) =>
+            if (key == CgKey && cigarPlaceholder) skipTagValue(bb, tpe)
+            else {
+              val idx = tagSlotByKey(key)
+              if (idx >= 0)
                 tags(idx) = coerce(readTagValue(bb, tpe), ts(idx).dataType)
-              case None => skipTagValue(bb, tpe) // advance, never box
+              else skipTagValue(bb, tpe) // advance, never box
             }
           }
-          new GenericInternalRow(base :+ (new GenericInternalRow(tags): Any))
+          base(12) = new GenericInternalRow(tags)
       }
-      Some(RawRecord(refId, pos0, flag, refLen, row))
+      RawRecord(refId, pos0, flag, refLen, new GenericInternalRow(base))
     }
 
     private def readTagValue(bb: java.nio.ByteBuffer, tpe: Char): Any = tpe match {
@@ -269,7 +312,11 @@ object BamCodec {
         val n = bb.getInt
         // the subtype letter rides along so a string-coerced B array
         // renders the SAM text form ("c,1,2"), not a Scala toString
-        BArray(sub, (0 until n).map(_ => readTagValue(bb, sub)))
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) { out(i) = readTagValue(bb, sub); i += 1 }
+        BArray(sub,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       case other =>
         throw new IllegalArgumentException(s"unknown BAM tag type '$other'")
     }

@@ -107,6 +107,83 @@ object TextKernels {
     // loop above emits it at i == nGrams-1
     new GenericArrayData(java.util.Arrays.copyOf(outArr, outN))
   }
+
+  /** Word tokens split on SINGLE spaces keeping empties — byte-exact
+    * with `split(text, " ")` (Java `String.split(" ", -1)`: consecutive
+    * spaces yield empty tokens, trailing empties kept, empty input
+    * yields one empty token). Space (0x20) never occurs inside a UTF-8
+    * multibyte sequence, so the scan is byte-level-safe. */
+  private def splitSpaces(s: String): Array[String] = {
+    var count = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') count += 1; i += 1 }
+    val out = new Array[String](count)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') {
+        out(k) = s.substring(start, i); k += 1; start = i + 1
+      }
+      i += 1
+    }
+    out(k) = s.substring(start)
+    out
+  }
+
+  private def joinRange(parts: Array[String], from: Int,
+      until: Int): UTF8String = {
+    var len = 0
+    var j = from
+    while (j < until) { len += parts(j).length + 1; j += 1 }
+    val sb = new java.lang.StringBuilder(math.max(len - 1, 0))
+    j = from
+    while (j < until) {
+      if (j > from) sb.append(' ')
+      sb.append(parts(j)); j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Word 3-gram shingles — value-identical to the HOF formulation
+    * `transform(sequence(1, greatest(size(ws)-2, 1)), i =>
+    * concat_ws(" ", slice(ws, i, 3)))` over `ws = split(text, " ")`
+    * (the DuckDB-mirrored spec, pinned by `WordShinglesParitySpec`):
+    * `max(n-2, 1)` shingles with the short-text tail clamp. The HOF
+    * form is `CodegenFallback` — interpreted lambda dispatch per
+    * shingle, megamorphic and inline-fragile (the r14 q50 bisect
+    * landed on a commit q50 never executes: pure code-layout JIT
+    * sensitivity); this kernel is one monomorphic call. */
+  def wordShingles(text: UTF8String): ArrayData = {
+    val parts = splitSpaces(text.toString)
+    val n = parts.length
+    val nOut = math.max(n - 2, 1)
+    val out = new Array[Any](nOut)
+    var i = 0
+    while (i < nOut) {
+      out(i) = joinRange(parts, i, math.min(i + 3, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fixed-size word paragraphs — value-identical to
+    * `transform(sequence(1, ceil(size(ws)/words)), i =>
+    * concat_ws(" ", slice(ws, (i-1)*words+1, words)))`:
+    * `ceil(n/words)` chunks, last one short. Same kernel rationale as
+    * [[wordShingles]]. */
+  def wordParagraphs(text: UTF8String, words: Int): ArrayData = {
+    val parts = splitSpaces(text.toString)
+    val n = parts.length
+    val nOut = (n + words - 1) / words // n >= 1 always (split of "")
+    val out = new Array[Any](math.max(nOut, 0))
+    var i = 0
+    while (i < nOut) {
+      out(i) = joinRange(parts, i * words, math.min((i + 1) * words, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Production-path text expressions (fingerprinting); registered from
@@ -137,5 +214,44 @@ object TextFunctions {
     org.apache.spark.sql.graftshim.ColumnShim.column(
       WinnowFast(org.apache.spark.sql.graftshim.ColumnShim.expression(c),
         k, w))
+  }
+
+  /** Codegen'd word 3-gram shingles (see [[TextKernels.wordShingles]]).
+    * Null text → null array (the dedup-signal contract: null docs
+    * explode to no rows — previously a `when(isNull)` wrapper). */
+  case class WordShingles(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.wordShingles(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.wordShingles($c);")
+    override def prettyName: String = "word_shingles"
+    override protected def withNewChildInternal(c: Expression)
+        : WordShingles = copy(child = c)
+  }
+
+  /** Codegen'd fixed-size word paragraphs
+    * (see [[TextKernels.wordParagraphs]]). Null text → null array. */
+  case class WordParagraphs(child: Expression, words: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(words > 0, "paragraph size must be positive")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.wordParagraphs(v.asInstanceOf[UTF8String], words)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = " +
+          s"graft.functions.TextKernels.wordParagraphs($c, $words);")
+    override def prettyName: String = "word_paragraphs"
+    override protected def withNewChildInternal(c: Expression)
+        : WordParagraphs = copy(child = c)
   }
 }

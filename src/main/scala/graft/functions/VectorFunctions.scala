@@ -1,0 +1,427 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector/array kernels replacing the `aggregate`/`zip_with`
+  * higher-order-function formulations in [[graft.operators.Similarity]]
+  * and `SparkEntry.winnowStats`.
+  *
+  * Spark's higher-order array functions (`ArrayAggregate`, `ZipWith`,
+  * `ArrayTransform`) are `CodegenFallback`: inside an otherwise
+  * whole-stage-codegen'd stage they evaluate INTERPRETED, binding a
+  * `LambdaFunction` and boxing every element. For the similarity hot
+  * paths that is per-element boxing per candidate PAIR — the dominant
+  * per-row cost of ANN rerank, embedding dedup, and band-key
+  * assignment (bands x bits x dim lambda evaluations per row). These
+  * expressions compute the identical values (same left-to-right double
+  * accumulation, same null semantics — documented per expression) as
+  * one static-kernel call inside generated code, the same pattern as
+  * [[TextKernels]] / `GenomicCodegen`.
+  *
+  * Reference parity note: the reference has no vector/ANN surface at
+  * all (oxbow is a genomics scanner library); these back the
+  * LLM-pipeline operators' 100 TB path.
+  */
+object VectorKernels {
+
+  /** Σ aᵢ·bᵢ in double precision, left-to-right — exactly
+    * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, +)`: a length
+    * mismatch (zip_with pads the shorter side with null) or any null
+    * element yields null. `aF`/`bF` select float vs double element
+    * reads; the branch is hoisted outside the loop so each loop body
+    * stays monomorphic. */
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean,
+      bF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    if (aF && bF) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+      }
+    } else if (aF && !bF) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getFloat(i).toDouble * b.getDouble(i); i += 1
+      }
+    } else if (!aF && bF) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getDouble(i) * b.getFloat(i).toDouble; i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getDouble(i) * b.getDouble(i); i += 1
+      }
+    }
+    s
+  }
+
+  /** Σ aᵢ² in double precision, left-to-right — exactly
+    * `aggregate(a, 0.0, (acc, x) => acc + x*x)`: any null element
+    * yields null (sqrt stays OUTSIDE, applied by the caller, so the
+    * final rounding path is Spark's own). */
+  def normSq(a: ArrayData, aF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    if (aF) {
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = a.getFloat(i).toDouble; s += x * x; i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = a.getDouble(i); s += x * x; i += 1
+      }
+    }
+    s
+  }
+
+  /** Σ (aᵢ-bᵢ)² in double precision, left-to-right — exactly
+    * `aggregate(zip_with(a, b, (x, c) => (x-c)*(x-c)), 0.0, +)` with
+    * the same mismatch/null-element → null semantics as [[dot]]. */
+  def distSq(a: ArrayData, b: ArrayData, aF: Boolean,
+      bF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    if (aF && bF) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        s += d * d; i += 1
+      }
+    } else if (aF && !bF) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getFloat(i).toDouble - b.getDouble(i); s += d * d; i += 1
+      }
+    } else if (!aF && bF) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getDouble(i) - b.getFloat(i).toDouble; s += d * d; i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1
+      }
+    }
+    s
+  }
+
+  /** Σ (aᵢ-bᵢ)² over array<long> in EXACT long arithmetic — the
+    * fixed-point k-means distance (`Similarity.kmeansFixedPoint`
+    * quantizes to longs precisely so sums are order-independent and
+    * bit-identical across engines; its scaladoc bounds the magnitudes
+    * at ~2⁴⁷, far from wrap). Mismatch/null-element → null, matching
+    * the `aggregate(zip_with(...))` form it replaces. */
+  def distSqLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Σ elements of an array<long> — exactly
+    * `aggregate(a, 0L, (acc, x) => acc + x)`: null element → null.
+    * Plain (wrapping) +: the one caller sums 32-bit-masked winnow
+    * fingerprints (each < 2³²) over per-document gram counts, which
+    * cannot reach 2⁶³. */
+  def sumLong(a: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      s += a.getLong(i); i += 1
+    }
+    s
+  }
+
+  /** LSH band key from a sign-bit matrix: bit i = (dot(v, planes(i)) >
+    * 0), key = Σ bitᵢ·2ⁱ. Parity contract (both HOF call sites it
+    * replaces): a null dot — null vector ELEMENT, or length mismatch —
+    * contributes bit 0 via the `when(...).otherwise(0)` fallthrough,
+    * and a NULL VECTOR yields key 0, not null (`when(dot(null,p) > 0,
+    * ...)` is false for every plane). A NaN dot sets the bit: Spark's
+    * `>` orders NaN GREATER than everything (unlike Java primitives) —
+    * parity-spec-pinned; production vectors never reach here with NaN
+    * (`Similarity.normed` drops them) but the kernel must match the
+    * HOF spec the oracles mirror. */
+  def planeSignBits(v: ArrayData, vF: Boolean,
+      planes: Array[Array[Double]]): Long = {
+    var key = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val d = dotPlane(v, vF, p)
+      // null fails the > test; NaN passes it (Spark NaN-is-greatest)
+      if (d != null &&
+          (d.doubleValue() > 0.0 || d.doubleValue().isNaN)) key |= 1L << i
+      i += 1
+    }
+    key
+  }
+
+  private def dotPlane(v: ArrayData, vF: Boolean,
+      p: Array[Double]): java.lang.Double = {
+    val n = v.numElements()
+    if (p.length != n) return null
+    var s = 0.0
+    var i = 0
+    if (vF) {
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        s += v.getFloat(i).toDouble * p(i); i += 1
+      }
+    } else {
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        s += v.getDouble(i) * p(i); i += 1
+      }
+    }
+    s
+  }
+}
+
+/** Catalyst expressions over [[VectorKernels]]. All accept
+  * array<float> or array<double> children (the float/double flag is
+  * resolved at planning time, so generated code calls the kernel with
+  * constant flags and C2 drops the dead loops). */
+object VectorFunctions {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got ${other.simpleString}")
+  }
+
+  private def checkVec(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<float|double>, got ${other.simpleString}")
+    }
+
+  /** Σ aᵢ·bᵢ (double) — codegen'd `aggregate(zip_with(...))`. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val l = checkVec(left, prettyName)
+      if (l.isSuccess) checkVec(right, prettyName) else l
+    }
+    private lazy val aF = elemIsFloat(left)
+    private lazy val bF = elemIsFloat(right)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.dot(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], aF, bF)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val boxed = ctx.freshName("dotRes")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |java.lang.Double $boxed =
+        |  graft.functions.VectorKernels.dot($a, $b, $aF, $bF);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed.doubleValue(); }
+        |""".stripMargin)
+    }
+    override def prettyName: String = "vec_dot"
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): VecDot = copy(left = l, right = r)
+  }
+
+  /** Σ aᵢ² (double) — codegen'd; caller applies sqrt. */
+  case class VecNormSq(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(child, prettyName)
+    private lazy val aF = elemIsFloat(child)
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.normSq(a.asInstanceOf[ArrayData], aF)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val boxed = ctx.freshName("nsqRes")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |java.lang.Double $boxed =
+        |  graft.functions.VectorKernels.normSq($a, $aF);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed.doubleValue(); }
+        |""".stripMargin)
+    }
+    override def prettyName: String = "vec_norm_sq"
+    override protected def withNewChildInternal(c: Expression): VecNormSq =
+      copy(child = c)
+  }
+
+  /** Σ (aᵢ-bᵢ)² (double) — codegen'd squared L2 distance. */
+  case class VecDistSq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val l = checkVec(left, prettyName)
+      if (l.isSuccess) checkVec(right, prettyName) else l
+    }
+    private lazy val aF = elemIsFloat(left)
+    private lazy val bF = elemIsFloat(right)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.distSq(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], aF, bF)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val boxed = ctx.freshName("dsqRes")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |java.lang.Double $boxed =
+        |  graft.functions.VectorKernels.distSq($a, $b, $aF, $bF);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed.doubleValue(); }
+        |""".stripMargin)
+    }
+    override def prettyName: String = "vec_dist_sq"
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): VecDistSq = copy(left = l, right = r)
+  }
+
+  private def checkLongVec(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<bigint>, got ${other.simpleString}")
+    }
+
+  /** Σ (aᵢ-bᵢ)² over array<long>, exact — codegen'd. */
+  case class VecDistSqLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = checkLongVec(left, prettyName)
+      if (l.isSuccess) checkLongVec(right, prettyName) else l
+    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.distSqLong(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val boxed = ctx.freshName("dsqlRes")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |java.lang.Long $boxed =
+        |  graft.functions.VectorKernels.distSqLong($a, $b);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed.longValue(); }
+        |""".stripMargin)
+    }
+    override def prettyName: String = "vec_dist_sq_long"
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): VecDistSqLong = copy(left = l, right = r)
+  }
+
+  /** Σ elements of array<long> — codegen'd `aggregate(a, 0L, +)`. */
+  case class ArraySumLong(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(
+              s"$prettyName expects array<bigint>, got ${other.simpleString}")
+      }
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.sumLong(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val boxed = ctx.freshName("sumRes")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |java.lang.Long $boxed = graft.functions.VectorKernels.sumLong($a);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed.longValue(); }
+        |""".stripMargin)
+    }
+    override def prettyName: String = "array_sum_long"
+    override protected def withNewChildInternal(c: Expression): ArraySumLong =
+      copy(child = c)
+  }
+
+  /** LSH band key: bit i = sign(v · planes(i)), key = Σ bitᵢ·2ⁱ.
+    * Replaces the `transform(planes, p => when(dot > 0, 1L)) →
+    * zip_with(bits, weights) → aggregate` tree (bands × bits × dim
+    * interpreted lambda evaluations per row) with ONE kernel loop.
+    *
+    * `planes` is a Seq-of-Seq (structural equality — two expressions
+    * built from the same seed compare semantically equal, which plan
+    * dedup / ReusedExchange detection relies on); the kernel walks a
+    * transient Array form.
+    *
+    * NOT nullSafeEval: a null vector must yield key 0L, not null —
+    * the `when(dot(null, p) > 0, ...).otherwise(0)` fallthrough of
+    * both HOF call sites it replaces. */
+  case class PlaneSignBits(child: Expression, planes: Seq[Seq[Double]])
+      extends UnaryExpression {
+    require(planes.nonEmpty && planes.size <= 63,
+      s"1..63 planes (long key), got ${planes.size}")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(child, prettyName)
+    private lazy val vF = elemIsFloat(child)
+    @transient private lazy val planesArr: Array[Array[Double]] =
+      planes.map(_.toArray).toArray
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) 0L
+      else VectorKernels.planeSignBits(v.asInstanceOf[ArrayData], vF,
+        planesArr)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planesArr, "double[][]")
+      val c = child.genCode(ctx)
+      ev.copy(isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral,
+        code = code"""
+          |${c.code}
+          |long ${ev.value} = 0L;
+          |if (!${c.isNull}) {
+          |  ${ev.value} = graft.functions.VectorKernels.planeSignBits(
+          |    ${c.value}, $vF, $planesRef);
+          |}
+          |""".stripMargin)
+    }
+    override def prettyName: String = "plane_sign_bits"
+    override protected def withNewChildInternal(c: Expression)
+        : PlaneSignBits = copy(child = c)
+  }
+}

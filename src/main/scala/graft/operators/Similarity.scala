@@ -11,22 +11,30 @@ import org.apache.spark.sql.functions._
   * the cross product shrinks by ~2^bits and the join is a bucket equi-join
   * that shuffles instead of broadcasting the full corpus.
   *
-  * All vector math is `zip_with`/`aggregate` over built-in functions
-  * (codegen'd, accumulates left-to-right in doubles — reproducible across
-  * engines for the oracle).
+  * All vector math accumulates left-to-right in doubles — reproducible
+  * across engines for the oracle. The kernels are custom codegen'd
+  * expressions ([[graft.functions.VectorFunctions]]): the
+  * `aggregate`/`zip_with` higher-order formulations they replaced are
+  * `CodegenFallback` (interpreted, boxing every element per candidate
+  * pair), which dominated the rerank and band-assignment hot paths.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = org.apache.spark.sql.graftshim.ColumnShim.column(e)
+  private def exprOf(c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftshim.ColumnShim.expression(c)
+
+  /** Σ aᵢ·bᵢ in double precision (left-to-right; null element or
+    * length mismatch → null — the `aggregate(zip_with(...))`
+    * semantics, now one codegen'd kernel call). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    colOf(graft.functions.VectorFunctions.VecDot(exprOf(a), exprOf(b)))
 
   /** Euclidean norm in double precision. */
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    sqrt(colOf(graft.functions.VectorFunctions.VecNormSq(exprOf(a))))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -70,13 +78,9 @@ object Similarity {
     * literal arrays, so the expression stays codegen'd built-ins with no
     * UDF and no runtime randomness. */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int = 8,
-      seed: Long = 42L): Column = {
-    val planes = intPlanes(seed, bits, dim)
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(v => lit(v.toDouble)).toIndexedSeq: _*)
-      when(dot(vec, plane) > 0.0, 1L << i).otherwise(0L)
-    }.reduce(_ + _)
-  }
+      seed: Long = 42L): Column =
+    colOf(graft.functions.VectorFunctions.PlaneSignBits(exprOf(vec),
+      intPlanes(seed, bits, dim).map(_.map(_.toDouble).toSeq).toSeq))
 
   /** One `bitsPerBand`-bit [[hyperplaneBucket]]-family key per band, each
     * band seeded independently — the vector-space analogue of the minhash
@@ -85,25 +89,22 @@ object Similarity {
     * 1-(1-p^bits)^bands while each band key keeps full content-derived
     * cardinality (2^bits values per band — no capped bucket count).
     *
-    * The band's planes enter the plan as ONE literal matrix traversed by a
-    * `transform` lambda, not `bits` separate dot-product subtrees: with
-    * bands×bits planes the unrolled form (r5) produced a 4096-term
-    * expression whose first-use analysis+codegen took ~1 minute; the
-    * matrix form is a constant-size tree per band with identical values
+    * The band's planes ride the expression as ONE matrix constant
+    * consumed by a single codegen'd kernel loop
+    * ([[graft.functions.VectorFunctions.PlaneSignBits]]), not `bits`
+    * separate dot-product subtrees: the unrolled form (r5) produced a
+    * 4096-term expression whose first-use analysis+codegen took ~1
+    * minute, and the r13 `transform`+`zip_with`+`aggregate` matrix form
+    * — though constant-size — was `CodegenFallback`, evaluating
+    * bands×bits×dim interpreted lambdas per row. Values are identical
     * (same per-plane left-to-right double aggregation, same integer
-    * weights). */
+    * weights, null/wrong-length vector → bit 0, null vector → key 0). */
   def bandKeys(vec: Column, dim: Int, bands: Int, bitsPerBand: Int,
       seed: Long = 42L): Seq[Column] =
     (0 until bands).map { b =>
-      val planes = array(intPlanes(seed + 7919L * b, bitsPerBand, dim)
-        .map(p => array(p.map(v => lit(v.toDouble)).toIndexedSeq: _*))
-        .toIndexedSeq: _*)
-      val bits = transform(planes,
-        p => when(dot(vec, p) > 0.0, 1L).otherwise(0L))
-      val weights = array((0 until bitsPerBand)
-        .map(i => lit(1L << i)).toIndexedSeq: _*)
-      aggregate(zip_with(bits, weights, (x, w) => x * w),
-        lit(0L), (acc, x) => acc + x)
+      colOf(graft.functions.VectorFunctions.PlaneSignBits(exprOf(vec),
+        intPlanes(seed + 7919L * b, bitsPerBand, dim)
+          .map(_.map(_.toDouble).toSeq).toSeq))
     }
 
   /** Deterministic near-identity multipliers 1 + k/512 with k ∈ [-10, 10]
@@ -419,8 +420,8 @@ object Similarity {
           ArrayType(structType, containsNull = false)))
     }
     def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, x) => acc + x)
+      colOf(graft.functions.VectorFunctions.VecDistSqLong(exprOf(a),
+        exprOf(b)))
     // narrow per-row argmin against the literal matrix (ties to the
     // lower cell id) — the assignCells fold with distance ordering
     def assigned: DataFrame = {

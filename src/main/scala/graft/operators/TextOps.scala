@@ -59,20 +59,24 @@ object TextOps {
 
   /** Word 3-gram shingles; documents shorter than 3 words fall back to the
     * truncated tail slice so every NON-NULL document has ≥1 shingle.
-    * Null text yields a null array — without the guard,
+    * Null text yields a null array — without that contract,
     * `concat_ws(" ", slice(null, ...))` is the EMPTY STRING, so every
     * null-text doc would share a [""] shingle with every empty-string
     * doc, minhash identically, jaccard 1.0, and be silently deleted by
     * dedup as their "duplicate". A null array explodes to no rows:
-    * null docs simply carry no dedup signal. The token array is
-    * [[bind]]-ed so the text is split once, not once per shingle
-    * position. */
+    * null docs simply carry no dedup signal.
+    *
+    * One codegen'd kernel call ([[graft.functions.TextFunctions
+    * .WordShingles]], value-identical to the HOF formulation the
+    * oracle mirrors — parity spec-pinned): the r13
+    * `transform`+`slice`+`concat_ws` form was `CodegenFallback`,
+    * whose megamorphic interpreted lambda dispatch per shingle made
+    * q50's cost flip with UNRELATED code-size changes (the r14 bisect
+    * landed on a commit q50 never executes). */
   def shingles(text: Column): Column =
-    when(text.isNull, lit(null).cast("array<string>"))
-      .otherwise(bind(tokens(text), ws =>
-        transform(
-          sequence(lit(1), greatest(size(ws) - 2, lit(1))),
-          i => concat_ws(" ", slice(ws, i, lit(3))))))
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.TextFunctions.WordShingles(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text)))
 
   /** Per-document minhash signatures.
     *
@@ -869,16 +873,13 @@ object TextOps {
     * reproducible by any engine with list slicing. */
   def paragraphs(text: Column, words: Int): Column = {
     require(words > 0, "paragraph size must be positive")
-    // null guard: size(null) = -1 makes ceil(-1/words) = 0 and
-    // sequence(1, 0) a DESCENDING [1, 0] — null-text docs would get
-    // two empty-string "paragraphs" and count as duplicates of each
-    // other in paragraphDedup. A null array posexplodes to no rows.
-    when(text.isNull, lit(null).cast("array<string>"))
-      .otherwise(bind(tokens(text), ws =>
-        transform(sequence(lit(1), ceil(size(ws) / lit(words.toDouble))
-            .cast("int")),
-          i => concat_ws(" ", slice(ws, (i - 1) * words + 1,
-            lit(words))))))
+    // null text → null array (posexplodes to no rows) — without it,
+    // null-text docs would get empty-string "paragraphs" and count as
+    // duplicates of each other in paragraphDedup. Codegen'd kernel,
+    // same rationale and parity pinning as [[shingles]].
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.TextFunctions.WordParagraphs(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text), words))
   }
 
   /** Paragraph-level exact dedup bookkeeping — the passage-granularity

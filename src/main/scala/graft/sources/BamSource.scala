@@ -457,6 +457,11 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
   private val regionsById: Seq[(Int, Long, Long)] = part.regions.flatMap {
     case (name, s, e) => refIdByName.get(name).map(id => (id, s, e))
   }
+  // flat arrays for the per-record residual check: Seq.exists allocated
+  // an iterator + closure per record (r14 JIT-stability audit)
+  private val regionIds: Array[Int] = regionsById.map(_._1).toArray
+  private val regionStarts: Array[Long] = regionsById.map(_._2).toArray
+  private val regionEnds: Array[Long] = regionsById.map(_._3).toArray
 
   private val projIdx: Array[Int] =
     required.fieldNames.map(fullSchema.fieldIndex)
@@ -465,37 +470,42 @@ class BamPartitionReader(fullSchema: StructType, required: StructType,
   private var current: InternalRow = _
   private var emitted = 0
 
+  // htslib bam_endpos convention: zero-reference-length records (no
+  // CIGAR, all-clip/insert) span length 1
+  private def overlapsAnyRegion(rec: BamCodec.RawRecord): Boolean = {
+    var i = 0
+    while (i < regionIds.length) {
+      if (rec.refId == regionIds(i) && rec.pos0 < regionEnds(i) &&
+          (rec.pos0 + math.max(rec.refLen, 1L)) > regionStarts(i))
+        return true
+      i += 1
+    }
+    false
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (true) {
-      decoder.read(le) match {
-        case None => return false
-        case Some(rec) =>
-          val keep = (!part.unmappedOnly || (rec.flag & 0x4) != 0) &&
-            (regionsById.isEmpty || regionsById.exists {
-              case (id, s, e) =>
-                // htslib bam_endpos convention: zero-reference-length
-                // records (no CIGAR, all-clip/insert) span length 1
-                rec.refId == id && rec.pos0 < e &&
-                  (rec.pos0 + math.max(rec.refLen, 1L)) > s
-            })
-          if (keep) {
-            current =
-              if (identityProj) rec.row
-              else {
-                val out = new Array[Any](projIdx.length)
-                var i = 0
-                while (i < projIdx.length) {
-                  val idx = projIdx(i)
-                  out(i) = if (rec.row.isNullAt(idx)) null
-                    else rec.row.get(idx, fullSchema(idx).dataType)
-                  i += 1
-                }
-                new GenericInternalRow(out)
-              }
-            emitted += 1
-            return true
+      val rec = decoder.read(le)
+      if (rec == null) return false
+      val keep = (!part.unmappedOnly || (rec.flag & 0x4) != 0) &&
+        (regionIds.length == 0 || overlapsAnyRegion(rec))
+      if (keep) {
+        current =
+          if (identityProj) rec.row
+          else {
+            val out = new Array[Any](projIdx.length)
+            var i = 0
+            while (i < projIdx.length) {
+              val idx = projIdx(i)
+              out(i) = if (rec.row.isNullAt(idx)) null
+                else rec.row.get(idx, fullSchema(idx).dataType)
+              i += 1
+            }
+            new GenericInternalRow(out)
           }
+        emitted += 1
+        return true
       }
     }
     false

@@ -225,6 +225,50 @@ class RealMediaSpec extends AnyFunSuite {
     assert(checked >= 1, "no real PCM WAV data cross-checked")
   }
 
+  test("real third-party MP4s: mp4Meta box walk matches the container") {
+    // DOCUMENTED GAP (same contract as CramConformanceSpec): mp4Meta /
+    // mp4Frames are validated against self-encoded ISO-BMFF fixtures
+    // only. The JDK ships no independent MP4 demuxer to diff against,
+    // and a filesystem sweep of this sandbox (r14: `find / -name
+    // '*.mp4' -o -name '*.m4a' -o -name '*.mov' -o -name '*.3gp'`,
+    // /proc,/sys,/dev pruned) found ZERO third-party MP4-family files —
+    // Debian doc trees, CPython test corpora, the Spark distribution,
+    // and the JDK carry none. This test is the WATCH: it probes the
+    // same corpora the image/audio tests draw from plus a bounded
+    // sweep, and the day a real file appears it cross-checks the box
+    // walk instead of cancelling. Hand-assembling an MP4 here would be
+    // circular (same writer both sides) — exactly what
+    // CramConformanceSpec refuses to do for the CRAM entropy codecs.
+    val roots = Seq("/usr/share/doc", "/opt/spark-4.1.2-bin-hadoop3/data",
+      "/root/.pyenv/versions")
+    val exts = Seq(".mp4", ".m4a", ".mov", ".3gp", ".m4v")
+    val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    for (r <- roots if readable(r)) {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
+      try {
+        stream.filter(p => exts.exists(p.toString.toLowerCase.endsWith(_)))
+          .limit(8).forEach(p => found += p)
+      } catch { case _: Exception => () } finally stream.close()
+    }
+    if (found.isEmpty)
+      cancel("no third-party MP4/M4A in this sandbox — mp4Meta stays " +
+        "self-fixture-validated (documented gap; see comment)")
+    var checked = 0
+    for (path <- found) {
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      MediaDecoder.mp4Meta(bytes).foreach { m =>
+        // minimum honest assertions without an independent demuxer:
+        // the walk terminated, duration is non-negative, and any video
+        // track reports positive dims
+        assert(m.durationMs >= 0, s"$path: negative duration")
+        assert(m.width >= 0 && m.height >= 0, s"$path: negative dims")
+        checked += 1
+      }
+    }
+    assert(checked >= 1, "MP4 files present but none parsed — " +
+      "mp4Meta should recognize at least one real container")
+  }
+
   test("real files: dHash is deterministic and brightness is sane") {
     val present = candidates.filter(readable)
     if (present.isEmpty) cancel("no real media files on this machine")
