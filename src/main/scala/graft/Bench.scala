@@ -122,6 +122,47 @@ object Bench {
     // price of oracle-reproducible hashing ALONE, not a divergent plan
     "x32_winnow_fast" -> ((s: SparkSession, dir: String) =>
       SparkEntry.winnowStats(s, dir, fastHash = true)),
+    // diagnostic twins apportioning x32's cost (added while
+    // adjudicating the r13 x32 "regression": the r12-era x32 had
+    // NEITHER the checksum NOR the sort, so the cross-round delta
+    // needed splitting into its parts on one JVM)
+    "x32b_nochecksum" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          graft.operators.TextOps.winnowFingerprints(col("text"),
+            fastHash = true).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("fp"))).cast("long").as("n_fps"))
+    }),
+    "x32c_nosort" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          graft.operators.TextOps.winnowFingerprints(col("text"),
+            fastHash = true).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("fp"))).cast("long").as("n_fps"),
+          sum(org.apache.spark.sql.graftshim.ColumnShim.column(
+              graft.functions.VectorFunctions.ArraySumLong(
+                org.apache.spark.sql.graftshim.ColumnShim
+                  .expression(col("fp")))))
+            .cast("long").as("fp_checksum"))
+    }),
+    // q50's first stage in isolation (r14 adjudication): minhash
+    // signatures over the gate corpus. The full stage decomposition
+    // (one-off, bench_out/AB_r14.md §4) priced signatures 0.44 s,
+    // +LSH pairs 0.57 s, +star contraction 2.65 s of q50's 3.18 s
+    // steady state — star contraction is where q50's cost and its
+    // JIT-mode variance live; this cheap standing row keeps the text
+    // front-half pinned without re-paying the 3 s contraction twice
+    // per pass.
+    "x50a_minhash" -> ((s: SparkSession, dir: String) =>
+      graft.operators.TextOps.minhashSignatures(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 8,
+        fastHash = false)),
     // q45 with persistInput: the documented 100 TB knob (one
     // materialized normed projection instead of ~4 recomputed corpus
     // passes). Results are identical to q45; the x45/q45 delta prices

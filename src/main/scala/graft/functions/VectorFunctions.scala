@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Codegen'd vector/array kernels replacing the `aggregate`/`zip_with`
@@ -179,6 +179,146 @@ object VectorKernels {
       i += 1
     }
     key
+  }
+
+  /** Spark `GreaterThan` on doubles: NaN orders GREATER than
+    * everything, NaN > NaN is false. */
+  private def sparkGt(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
+    else if (java.lang.Double.isNaN(b)) false
+    else a > b
+
+  /** Top-`keep` centroid INDICES by cosine — the IVF assignment
+    * argmax (`Similarity.assignCells`), one kernel loop instead of an
+    * interpreted `transform` of nCells dot-lambdas + fold/array_sort
+    * per row. Centroids are ordered by ascending cell id, so index
+    * order IS the tie-break order of both HOF branches it replaces.
+    *
+    * Parity contract (spec-pinned): sim_i = dot(v, cent_i)/(n·centn_i)
+    * with null propagation (null/`wrong-length` vector → null sims).
+    *   keep == 1 — the fold `when(x.sim > acc.sim || (x.sim ===
+    *   acc.sim && x.cell < acc.cell), x).otherwise(acc)` seeded with
+    *   cell 0: a null-sim SEED is sticky (`null > ...` is never true),
+    *   so all-null or first-null sims return cell 0; later null sims
+    *   never win; NaN via Spark ordering (sparkGt).
+    *   keep > 1 — the `array_sort` comparator (sim desc with Spark
+    *   NaN ordering, then cell asc; null sims fall through to the
+    *   cell compare), take `min(keep, nCells)`. */
+  def cellTopK(v: ArrayData, vF: Boolean, nNull: Boolean, n: Double,
+      cents: Array[Array[Double]], centNorms: Array[Double],
+      keep: Int): ArrayData = {
+    val k = cents.length
+    val sims = new Array[java.lang.Double](k)
+    if (v != null && !nNull) {
+      var i = 0
+      while (i < k) {
+        val d = dotPlane(v, vF, cents(i))
+        sims(i) =
+          if (d == null) null
+          else java.lang.Double.valueOf(d.doubleValue() / (n * centNorms(i)))
+        i += 1
+      }
+    } // else: all sims stay null (dot(null, c) is null)
+    if (keep == 1) {
+      val out = new Array[Any](1)
+      val s0 = sims(0)
+      if (s0 == null) { out(0) = 0; return new GenericArrayData(out) }
+      var best = 0
+      var bestSim = s0.doubleValue()
+      var i = 1
+      while (i < k) {
+        val si = sims(i)
+        if (si != null && sparkGt(si.doubleValue(), bestSim)) {
+          best = i; bestSim = si.doubleValue()
+        }
+        i += 1
+      }
+      out(0) = best
+      new GenericArrayData(out)
+    } else {
+      val idx = new Array[Integer](k)
+      var i = 0
+      while (i < k) { idx(i) = Integer.valueOf(i); i += 1 }
+      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+        override def compare(a: Integer, b: Integer): Int = {
+          val sa = sims(a.intValue()); val sb = sims(b.intValue())
+          if (sa != null && sb != null) {
+            if (sparkGt(sa.doubleValue(), sb.doubleValue())) return -1
+            if (sparkGt(sb.doubleValue(), sa.doubleValue())) return 1
+          }
+          Integer.compare(a.intValue(), b.intValue())
+        }
+      })
+      val m = math.min(keep, k)
+      val out = new Array[Any](m)
+      i = 0
+      while (i < m) { out(i) = idx(i).intValue(); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Fixed-point k-means assignment: argmin cell by EXACT long squared
+    * L2 against the centroid matrix, plus the minimum distance — the
+    * `Similarity.kmeansFixedPoint` per-row pass, replacing the
+    * interpreted transform + argmin-fold + array_min.
+    *
+    * Parity: fold ties break to the lower cell (= lower index —
+    * centroids ride in cell order); a null-dist SEED is sticky (cell
+    * 0); dist output is `array_min` semantics — min over NON-null
+    * dists, null only if all are (nulls only arise from dim
+    * mismatches, which the caller filters). Returns a 2-slot struct
+    * row (cell int, dist nullable long). */
+  def cellArgMinL2(v: ArrayData,
+      cents: Array[Array[Long]]): InternalRow = {
+    val k = cents.length
+    val out = new Array[Any](2)
+    out(0) = 0
+    if (v == null) return new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(out)
+    val dists = new Array[java.lang.Long](k)
+    var i = 0
+    while (i < k) {
+      dists(i) = distSqLongPlane(v, cents(i))
+      i += 1
+    }
+    // argmin fold, sticky-null seed
+    if (dists(0) != null) {
+      var best = 0
+      var bestD = dists(0).longValue()
+      i = 1
+      while (i < k) {
+        val di = dists(i)
+        if (di != null && di.longValue() < bestD) {
+          best = i; bestD = di.longValue()
+        }
+        i += 1
+      }
+      out(0) = best
+    }
+    // array_min over non-null dists
+    var minD: java.lang.Long = null
+    i = 0
+    while (i < k) {
+      val di = dists(i)
+      if (di != null && (minD == null || di.longValue() < minD.longValue()))
+        minD = di
+      i += 1
+    }
+    out(1) = if (minD == null) null else minD.longValue()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  private def distSqLongPlane(a: ArrayData,
+      c: Array[Long]): java.lang.Long = {
+    val n = a.numElements()
+    if (c.length != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = a.getLong(i) - c(i); s += d * d; i += 1
+    }
+    s
   }
 
   private def dotPlane(v: ArrayData, vF: Boolean,
@@ -372,6 +512,95 @@ object VectorFunctions {
     override def prettyName: String = "array_sum_long"
     override protected def withNewChildInternal(c: Expression): ArraySumLong =
       copy(child = c)
+  }
+
+  /** IVF assignment argmax: top-`keep` centroid indices by cosine
+    * (see [[VectorKernels.cellTopK]] for the parity contract). NOT
+    * nullSafe: null vector/norm must yield the sticky-null result
+    * (index prefix), not null — matching the HOF fold/sort it
+    * replaces. */
+  case class CellTopK(left: Expression, right: Expression,
+      cents: Seq[Seq[Double]], centNorms: Seq[Double], keep: Int)
+      extends BinaryExpression {
+    require(cents.nonEmpty && cents.size == centNorms.size && keep > 0,
+      s"need matching non-empty centroids/norms and keep > 0")
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = checkVec(left, prettyName)
+      if (!l.isSuccess) return l
+      right.dataType match {
+        case DoubleType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName norm must be double, got ${other.simpleString}")
+      }
+    }
+    private lazy val vF = elemIsFloat(left)
+    @transient private lazy val centsArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
+    @transient private lazy val centNormsArr: Array[Double] =
+      centNorms.toArray
+    override def eval(input: InternalRow): Any = {
+      val v = left.eval(input)
+      val n = right.eval(input)
+      VectorKernels.cellTopK(
+        v.asInstanceOf[ArrayData], vF, n == null,
+        if (n == null) 0.0 else n.asInstanceOf[Double],
+        centsArr, centNormsArr, keep)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
+      val normsRef = ctx.addReferenceObj("centNorms", centNormsArr,
+        "double[]")
+      val l = left.genCode(ctx)
+      val r = right.genCode(ctx)
+      val vfStr = if (vF) "true" else "false"
+      ev.copy(isNull = FalseLiteral, code = code"""
+        ${l.code}
+        ${r.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.VectorKernels.cellTopK(
+            ${l.isNull} ? null : ${l.value}, $vfStr,
+            ${r.isNull}, ${r.isNull} ? 0.0 : ${r.value},
+            $centsRef, $normsRef, $keep);""")
+    }
+    override def prettyName: String = "cell_top_k"
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): CellTopK = copy(left = l, right = r)
+  }
+
+  /** Fixed-point k-means argmin (see [[VectorKernels.cellArgMinL2]]).
+    * NOT nullSafe: null vector → (cell 0, null dist), the sticky-null
+    * fold result. */
+  case class CellArgMinL2(child: Expression, cents: Seq[Seq[Long]])
+      extends UnaryExpression {
+    require(cents.nonEmpty, "need at least one centroid")
+    override def dataType: DataType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("dist", LongType, nullable = true)))
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongVec(child, prettyName)
+    @transient private lazy val centsArr: Array[Array[Long]] =
+      cents.map(_.toArray).toArray
+    override def eval(input: InternalRow): Any =
+      VectorKernels.cellArgMinL2(
+        child.eval(input).asInstanceOf[ArrayData], centsArr)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("kmCents", centsArr, "long[][]")
+      val c = child.genCode(ctx)
+      ev.copy(isNull = FalseLiteral, code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.VectorKernels.cellArgMinL2(
+            ${c.isNull} ? null : ${c.value}, $centsRef);""")
+    }
+    override def prettyName: String = "cell_argmin_l2"
+    override protected def withNewChildInternal(c: Expression)
+        : CellArgMinL2 = copy(child = c)
   }
 
   /** LSH band key: bit i = sign(v · planes(i)), key = Σ bitᵢ·2ⁱ.

@@ -247,45 +247,45 @@ object Similarity {
     }
   }
 
-  /** Per-row cell scores against the literal centroid matrix — the same
-    * left-fold double cosine the oracle mirrors, one struct per cell. */
-  private def cellScores(cents: Column, vec: Column, n: Column): Column =
-    transform(cents, c => struct(
-      (dot(vec, c("cent")) / (n * c("centn"))).as("sim"),
-      c("cell_id").as("cell_id")))
-
-  /** One-use let-binding (the TextOps.bind pattern): evaluates `bound`
-    * once and feeds it to `f`. Higher-order functions are interpreted —
-    * no codegen subexpression elimination — so an O(k·dim) scores
-    * array referenced twice in a fold (seed + input) is otherwise
-    * BUILT twice per row. */
-  private def bindCol(bound: Column, f: Column => Column): Column =
-    element_at(transform(array(bound), f), 1)
-
   /** Adds a `cell_id` column: each row's `keep` best cells by
     * (cosine desc, cell_id asc) against the literal centroids — a pure
     * narrow projection (no join, no window, no shuffle; plan-pinned in
-    * `PlanAuditSpec`). `keep = 1` is a single O(nCells) fold argmax;
-    * `keep > 1` sorts the nCells scores per row and explodes the slice. */
+    * `PlanAuditSpec`).
+    *
+    * The argmax itself is ONE codegen'd kernel call
+    * ([[graft.functions.VectorFunctions.CellTopK]] — value-parity with
+    * the r13 `transform`-scores + fold/`array_sort` HOF tree, which
+    * evaluated nCells interpreted dot-lambdas per row and would have
+    * been nCells×dim lambda dispatches per row at a production 4096-
+    * cell quantizer). The kernel ranks centroid INDICES (centroids
+    * ride in ascending-cell_id order, so index order == the HOF
+    * tie-break order); the id column keeps its original type via an
+    * `element_at` into the same literal the scores used to traverse. */
   private[graft] def assignCells(df: DataFrame, cents: Column, vec: String,
       n: String, keep: Int): DataFrame = {
-    val scores = cellScores(cents, col(vec), col(n))
-    if (keep == 1) {
-      // scores is BOUND so the per-row score array is built once, not
-      // once for the fold seed and once for the fold input
-      val best = bindCol(scores, ss =>
-        aggregate(ss, element_at(ss, 1), (acc, x) =>
-          when(x("sim") > acc("sim") ||
-            (x("sim") === acc("sim") && x("cell_id") < acc("cell_id")), x)
-            .otherwise(acc)))
-      df.withColumn("cell_id", best("cell_id"))
-    } else {
-      val sorted = array_sort(scores, (l, r) =>
-        when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
-          .when(l("cell_id") < r("cell_id"), -1)
-          .when(l("cell_id") > r("cell_id"), 1).otherwise(0))
+    // destructure the literal quantizer back into plan-time matrices
+    val centsLit = org.apache.spark.sql.graftshim.ColumnShim
+      .expression(cents)
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+    val arr = centsLit.value
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nCells = arr.numElements()
+    val centMat = (0 until nCells)
+      .map(i => arr.getStruct(i, 3).getArray(1).toDoubleArray().toSeq)
+    val centNs = (0 until nCells).map(i => arr.getStruct(i, 3).getDouble(2))
+    val topIdx = colOf(graft.functions.VectorFunctions.CellTopK(
+      exprOf(col(vec)), exprOf(col(n)), centMat, centNs, keep))
+    if (keep == 1)
       df.withColumn("cell_id",
-        explode(transform(slice(sorted, 1, keep), x => x("cell_id"))))
+        element_at(cents, element_at(topIdx, 1) + 1)("cell_id"))
+    else {
+      // explode the index array (sorted best-first), then map each
+      // index through the literal — no per-row HOF left
+      val ci = Iterator.from(0).map(i => s"__graft_ci$i")
+        .find(n => !df.columns.contains(n)).get
+      df.withColumn(ci, explode(topIdx))
+        .withColumn("cell_id", element_at(cents, col(ci) + 1)("cell_id"))
+        .drop(ci)
     }
   }
 
@@ -408,39 +408,20 @@ object Similarity {
       return df.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), kmeansSchema)
 
-    def centLit: Column = {
-      import org.apache.spark.sql.types._
-      val structType = StructType(Seq(
-        StructField("cell", IntegerType, nullable = false),
-        StructField("cent", ArrayType(LongType, containsNull = false),
-          nullable = false)))
-      org.apache.spark.sql.graftshim.ColumnShim.column(
-        org.apache.spark.sql.catalyst.expressions.Literal.create(
-          cents.map { case (c, v) => org.apache.spark.sql.Row(c, v) },
-          ArrayType(structType, containsNull = false)))
-    }
-    def l2(a: Column, b: Column): Column =
-      colOf(graft.functions.VectorFunctions.VecDistSqLong(exprOf(a),
-        exprOf(b)))
-    // narrow per-row argmin against the literal matrix (ties to the
-    // lower cell id) — the assignCells fold with distance ordering
+    // narrow per-row argmin against the centroid matrix (ties to the
+    // lower cell id == lower index — cents ride in cell order): ONE
+    // codegen'd kernel call per row
+    // ([[graft.functions.VectorFunctions.CellArgMinL2]], value-parity
+    // with the r13 transform-scores + fold + array_min HOF tree — the
+    // fold's sticky-null seed and array_min's skip-null dist both
+    // preserved) instead of k interpreted distance lambdas + 2 folds.
     def assigned: DataFrame = {
-      def scores = transform(centLit, c => struct(
-        l2(col("__qv"), c("cent")).as("dist"), c("cell").as("cell")))
-      // each expression BINDS its scores array (built once per row, not
-      // twice — interpreted HOFs get no subexpression elimination), and
-      // __dist does not re-run the O(k·dim) argmin fold at all: the
-      // assigned cell's distance IS the minimum, identical under the
-      // lower-cell tie-break, so a flat array_min suffices. Before:
-      // 4 score-array builds + 2 full folds per row; now 2 + 1.
-      val best = bindCol(scores, ss =>
-        aggregate(ss, element_at(ss, 1), (acc, x) =>
-          when(x("dist") < acc("dist") ||
-            (x("dist") === acc("dist") && x("cell") < acc("cell")), x)
-            .otherwise(acc)))
-      val minDist = bindCol(scores, ss =>
-        array_min(transform(ss, x => x("dist"))))
-      base.withColumn("__cell", best("cell")).withColumn("__dist", minDist)
+      val kern = colOf(graft.functions.VectorFunctions.CellArgMinL2(
+        exprOf(col("__qv")), cents.map(_._2.toSeq)))
+      base.withColumn("__t", kern)
+        .withColumn("__cell", col("__t")("cell"))
+        .withColumn("__dist", col("__t")("dist"))
+        .drop("__t")
     }
     for (_ <- 1 to iters) {
       val sums = assigned
