@@ -125,32 +125,15 @@ object Bench {
     // diagnostic twins apportioning x32's cost (added while
     // adjudicating the r13 x32 "regression": the r12-era x32 had
     // NEITHER the checksum NOR the sort, so the cross-round delta
-    // needed splitting into its parts on one JVM)
-    "x32b_nochecksum" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.functions._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("source"),
-          graft.operators.TextOps.winnowFingerprints(col("text"),
-            fastHash = true).as("fp"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(col("fp"))).cast("long").as("n_fps"))
-    }),
-    "x32c_nosort" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.functions._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("source"),
-          graft.operators.TextOps.winnowFingerprints(col("text"),
-            fastHash = true).as("fp"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(col("fp"))).cast("long").as("n_fps"),
-          sum(org.apache.spark.sql.graftshim.ColumnShim.column(
-              graft.functions.VectorFunctions.ArraySumLong(
-                org.apache.spark.sql.graftshim.ColumnShim
-                  .expression(col("fp")))))
-            .cast("long").as("fp_checksum"))
-    }),
+    // needed splitting into its parts on one JVM). Both share
+    // winnowStats' single body — the decomposition can't silently
+    // drift from the gated query's shape.
+    "x32b_nochecksum" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.winnowStats(s, dir, fastHash = true, sort = false,
+        checksum = false)),
+    "x32c_nosort" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.winnowStats(s, dir, fastHash = true, sort = false,
+        checksum = true)),
     // q50's first stage in isolation (r14 adjudication): minhash
     // signatures over the gate corpus. The full stage decomposition
     // (one-off, bench_out/AB_r14.md §4) priced signatures 0.44 s,
@@ -685,7 +668,12 @@ object Bench {
     println(detail)
     val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // the compact line carries the comparability stamp too: a
+    // BENCH_rN.json captured from the stdout tail holds THIS line, and
+    // tools/bench_diff.py must not refuse a valid r14+ record just
+    // because the detail line was the truncated one
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""comparable_since":13,""" +
       s""""queries":$qsCompact,"sf":${jstr(sfDir)},"runs":$runs,""" +
       s""""action":"noop-write","ann_recall":$annRecall,""" +
       s""""failed":$failedJson}""")

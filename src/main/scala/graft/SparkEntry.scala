@@ -355,13 +355,16 @@ object SparkEntry {
     * the x32/q32 delta then prices exactly that choice, not a
     * divergent aggregate shape. */
   private[graft] def winnowStats(s: SparkSession, dir: String,
-      fastHash: Boolean): DataFrame =
-    pq(s, dir, "documents")
-      .select(col("source"),
-        TextOps.winnowFingerprints(col("text"), fastHash = fastHash).as("fp"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("fp"))).cast("long").as("n_fps"),
+      fastHash: Boolean, sort: Boolean = true,
+      checksum: Boolean = true): DataFrame = {
+    // `sort`/`checksum` exist ONLY for the bench's x32b/x32c
+    // decomposition twins (Bench.fastPathBenches) — sharing this one
+    // body keeps the diagnostic rows structurally identical to the
+    // gated query by construction. Gates always use the defaults.
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("fp"))).cast("long").as("n_fps")) ++
+      (if (checksum) Seq(
         // codegen'd array sum — `aggregate(fp, 0L, +)` is
         // CodegenFallback and its interpreted per-element boxing
         // DOMINATED the fast-hash twin x32 (the winnow kernel is
@@ -371,7 +374,14 @@ object SparkEntry {
               org.apache.spark.sql.graftshim.ColumnShim
                 .expression(col("fp")))))
           .cast("long").as("fp_checksum"))
-      .orderBy(col("source"))
+      else Nil)
+    val grouped = pq(s, dir, "documents")
+      .select(col("source"),
+        TextOps.winnowFingerprints(col("text"), fastHash = fastHash).as("fp"))
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+    if (sort) grouped.orderBy(col("source")) else grouped
+  }
 
   private def q32_winnow(s: SparkSession, dir: String): DataFrame =
     winnowStats(s, dir, fastHash = false)

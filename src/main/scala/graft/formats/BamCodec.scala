@@ -90,8 +90,8 @@ object BamCodec {
     // the same slots keyed by the two raw tag bytes ((t0<<8)|t1): the
     // per-tag `new String` + `Map.get` Option of the name-keyed lookup
     // were per-record allocations even for SKIPPED tags (r14
-    // JIT-stability audit). 64 KiB of Int per decoder instance — one
-    // per partition, not per record.
+    // JIT-stability audit). 64Ki Int slots = 256 KiB per decoder
+    // instance — one per partition, not per record.
     private val tagSlotByKey: Array[Int] = {
       val arr = Array.fill(1 << 16)(-1)
       tagIndex.foreach { case (t, i) =>

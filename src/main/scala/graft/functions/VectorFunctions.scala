@@ -66,6 +66,47 @@ object VectorKernels {
     s
   }
 
+  /** Generic-element variants for the PUBLIC dot/norm surface: the
+    * HOF forms they replaced cast ANY numeric element to double
+    * (`x.cast("double")`), so `Similarity.dot/cosine` on array<int>/
+    * array<long> must keep working. Element codes: 0=float, 1=double,
+    * 2=int, 3=long. Float/double pairs delegate to the specialized
+    * monomorphic loops; integral paths take the (rare, compat-only)
+    * per-element switch. */
+  def dotWide(a: ArrayData, b: ArrayData, ac: Int,
+      bc: Int): java.lang.Double = {
+    if (ac <= 1 && bc <= 1) return dot(a, b, ac == 0, bc == 0)
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += elemD(a, ac, i) * elemD(b, bc, i); i += 1
+    }
+    s
+  }
+
+  def normSqWide(a: ArrayData, ac: Int): java.lang.Double = {
+    if (ac <= 1) return normSq(a, ac == 0)
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = elemD(a, ac, i); s += x * x; i += 1
+    }
+    s
+  }
+
+  private def elemD(a: ArrayData, code: Int, i: Int): Double =
+    code match {
+      case 0 => a.getFloat(i).toDouble
+      case 1 => a.getDouble(i)
+      case 2 => a.getInt(i).toDouble
+      case _ => a.getLong(i).toDouble
+    }
+
   /** Σ aᵢ² in double precision, left-to-right — exactly
     * `aggregate(a, 0.0, (acc, x) => acc + x*x)`: any null element
     * yields null (sqrt stays OUTSIDE, applied by the caller, so the
@@ -207,54 +248,98 @@ object VectorKernels {
   def cellTopK(v: ArrayData, vF: Boolean, nNull: Boolean, n: Double,
       cents: Array[Array[Double]], centNorms: Array[Double],
       keep: Int): ArrayData = {
+    // primitive sims + explicit null mask (NaN is a MEANINGFUL sim
+    // value under Spark ordering, so it cannot double as the null
+    // sentinel) — no boxing per cell, the point of this kernel
     val k = cents.length
-    val sims = new Array[java.lang.Double](k)
-    if (v != null && !nNull) {
+    val sims = new Array[Double](k)
+    val simNull = new Array[Boolean](k)
+    if (v == null || nNull) java.util.Arrays.fill(simNull, true)
+    else {
       var i = 0
       while (i < k) {
-        val d = dotPlane(v, vF, cents(i))
-        sims(i) =
-          if (d == null) null
-          else java.lang.Double.valueOf(d.doubleValue() / (n * centNorms(i)))
+        fillSim(v, vF, cents(i), n, centNorms(i), sims, simNull, i)
         i += 1
       }
-    } // else: all sims stay null (dot(null, c) is null)
+    }
     if (keep == 1) {
       val out = new Array[Any](1)
-      val s0 = sims(0)
-      if (s0 == null) { out(0) = 0; return new GenericArrayData(out) }
+      if (simNull(0)) { out(0) = 0; return new GenericArrayData(out) }
       var best = 0
-      var bestSim = s0.doubleValue()
+      var bestSim = sims(0)
       var i = 1
       while (i < k) {
-        val si = sims(i)
-        if (si != null && sparkGt(si.doubleValue(), bestSim)) {
-          best = i; bestSim = si.doubleValue()
+        if (!simNull(i) && sparkGt(sims(i), bestSim)) {
+          best = i; bestSim = sims(i)
         }
         i += 1
       }
       out(0) = best
       new GenericArrayData(out)
     } else {
-      val idx = new Array[Integer](k)
-      var i = 0
-      while (i < k) { idx(i) = Integer.valueOf(i); i += 1 }
-      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
-        override def compare(a: Integer, b: Integer): Int = {
-          val sa = sims(a.intValue()); val sb = sims(b.intValue())
-          if (sa != null && sb != null) {
-            if (sparkGt(sa.doubleValue(), sb.doubleValue())) return -1
-            if (sparkGt(sb.doubleValue(), sa.doubleValue())) return 1
-          }
-          Integer.compare(a.intValue(), b.intValue())
-        }
-      })
+      // bounded top-m insertion (m = min(keep, k)): O(k·m) compares,
+      // allocation-free — same total order as the full sort it
+      // replaces (sim desc with Spark NaN ordering, then index asc;
+      // null sims fall through to the index compare)
       val m = math.min(keep, k)
+      val best = new Array[Int](m)
+      var size = 0
+      var i = 0
+      while (i < k) {
+        if (size < m) {
+          var pos = size
+          while (pos > 0 && cmpIdx(i, best(pos - 1), sims, simNull) < 0) {
+            best(pos) = best(pos - 1); pos -= 1
+          }
+          best(pos) = i; size += 1
+        } else if (cmpIdx(i, best(m - 1), sims, simNull) < 0) {
+          var pos = m - 1
+          while (pos > 0 && cmpIdx(i, best(pos - 1), sims, simNull) < 0) {
+            best(pos) = best(pos - 1); pos -= 1
+          }
+          best(pos) = i
+        }
+        i += 1
+      }
       val out = new Array[Any](m)
       i = 0
-      while (i < m) { out(i) = idx(i).intValue(); i += 1 }
+      while (i < m) { out(i) = best(i); i += 1 }
       new GenericArrayData(out)
     }
+  }
+
+  /** sim_i = dot(v, p)/(n·cn) into the primitive arrays; null dot
+    * (length mismatch or null element) marks the null mask instead. */
+  private def fillSim(v: ArrayData, vF: Boolean, p: Array[Double],
+      n: Double, cn: Double, sims: Array[Double],
+      simNull: Array[Boolean], i: Int): Unit = {
+    val len = v.numElements()
+    if (p.length != len) { simNull(i) = true; return }
+    var s = 0.0
+    var j = 0
+    if (vF) {
+      while (j < len) {
+        if (v.isNullAt(j)) { simNull(i) = true; return }
+        s += v.getFloat(j).toDouble * p(j); j += 1
+      }
+    } else {
+      while (j < len) {
+        if (v.isNullAt(j)) { simNull(i) = true; return }
+        s += v.getDouble(j) * p(j); j += 1
+      }
+    }
+    sims(i) = s / (n * cn)
+  }
+
+  /** The keep>1 comparator: sim desc (Spark NaN ordering), null sims
+    * fall through to the ascending index compare. */
+  private def cmpIdx(a: Int, b: Int, sims: Array[Double],
+      simNull: Array[Boolean]): Int = {
+    if (!simNull(a) && !simNull(b)) {
+      if (sparkGt(sims(a), sims(b))) return -1
+      if (sparkGt(sims(b), sims(a))) return 1
+    }
+    Integer.compare(a, b)
   }
 
   /** Fixed-point k-means assignment: argmin cell by EXACT long squared
@@ -364,27 +449,50 @@ object VectorFunctions {
           s"$name expects array<float|double>, got ${other.simpleString}")
     }
 
-  /** Σ aᵢ·bᵢ (double) — codegen'd `aggregate(zip_with(...))`. */
+  // the public dot/norm surface additionally accepts integral-element
+  // arrays (the HOF forms cast every element to double, so callers
+  // passing array<int>/array<long> must keep working)
+  private def elemCodeOf(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case other => throw new IllegalArgumentException(
+      s"expected numeric array, got ${other.simpleString}")
+  }
+
+  private def checkVecWide(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name expects a numeric array, got ${other.simpleString}")
+    }
+
+  /** Σ aᵢ·bᵢ (double) — codegen'd `aggregate(zip_with(...))`. Accepts
+    * any numeric-element arrays (the HOF cast every element to
+    * double). */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      val l = checkVec(left, prettyName)
-      if (l.isSuccess) checkVec(right, prettyName) else l
+      val l = checkVecWide(left, prettyName)
+      if (l.isSuccess) checkVecWide(right, prettyName) else l
     }
-    private lazy val aF = elemIsFloat(left)
-    private lazy val bF = elemIsFloat(right)
+    private lazy val aC = elemCodeOf(left)
+    private lazy val bC = elemCodeOf(right)
     override def nullSafeEval(a: Any, b: Any): Any =
-      VectorKernels.dot(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], aF, bF)
+      VectorKernels.dotWide(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], aC, bC)
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode = {
       val boxed = ctx.freshName("dotRes")
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
         |java.lang.Double $boxed =
-        |  graft.functions.VectorKernels.dot($a, $b, $aF, $bF);
+        |  graft.functions.VectorKernels.dotWide($a, $b, $aC, $bC);
         |if ($boxed == null) { ${ev.isNull} = true; }
         |else { ${ev.value} = $boxed.doubleValue(); }
         |""".stripMargin)
@@ -394,22 +502,23 @@ object VectorFunctions {
         r: Expression): VecDot = copy(left = l, right = r)
   }
 
-  /** Σ aᵢ² (double) — codegen'd; caller applies sqrt. */
+  /** Σ aᵢ² (double) — codegen'd; caller applies sqrt. Accepts any
+    * numeric-element array (see [[VecDot]]). */
   case class VecNormSq(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      checkVec(child, prettyName)
-    private lazy val aF = elemIsFloat(child)
+      checkVecWide(child, prettyName)
+    private lazy val aC = elemCodeOf(child)
     override def nullSafeEval(a: Any): Any =
-      VectorKernels.normSq(a.asInstanceOf[ArrayData], aF)
+      VectorKernels.normSqWide(a.asInstanceOf[ArrayData], aC)
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode = {
       val boxed = ctx.freshName("nsqRes")
       nullSafeCodeGen(ctx, ev, a => s"""
         |java.lang.Double $boxed =
-        |  graft.functions.VectorKernels.normSq($a, $aF);
+        |  graft.functions.VectorKernels.normSqWide($a, $aC);
         |if ($boxed == null) { ${ev.isNull} = true; }
         |else { ${ev.value} = $boxed.doubleValue(); }
         |""".stripMargin)

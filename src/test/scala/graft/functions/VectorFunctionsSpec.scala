@@ -195,6 +195,158 @@ class VectorFunctionsSpec extends SparkSuite {
     assertSame(dd, kernelD, hofBucket(col("a")), "planebits-double")
   }
 
+  test("CellTopK parity with the r13 fold/array_sort HOF tree " +
+      "(sticky-null seed, NaN ordering, sim ties)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    // quantizer with a deliberate duplicate direction (cells 10 and 13
+    // tie on sim — the fold must keep the LOWER cell id)
+    val cents: Seq[(Long, Seq[Double], Double)] = Seq(
+      (10L, Seq(1.0, 0.0, 0.0), 1.0),
+      (11L, Seq(0.0, 1.0, 0.0), 1.0),
+      (12L, Seq(1.0, 1.0, 0.0), math.sqrt(2.0)),
+      (13L, Seq(1.0, 0.0, 0.0), 1.0))
+    val structType = StructType(Seq(
+      StructField("cell_id", LongType, nullable = false),
+      StructField("cent", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("centn", DoubleType, nullable = false)))
+    val centsCol = colOf(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        cents.map { case (c, v, n) => org.apache.spark.sql.Row(c, v, n) },
+        ArrayType(structType, containsNull = false)))
+    def bindC(bound: Column, f: Column => Column): Column =
+      element_at(transform(array(bound), f), 1)
+    // the r13 HOF formulation, verbatim (cellScores + assignCells)
+    def hofScores(vec: Column, n: Column): Column =
+      transform(centsCol, c => struct(
+        (hofDot(vec, c("cent")) / (n * c("centn"))).as("sim"),
+        c("cell_id").as("cell_id")))
+    def hofBest(vec: Column, n: Column): Column =
+      bindC(hofScores(vec, n), ss =>
+        aggregate(ss, element_at(ss, 1), (acc, x) =>
+          when(x("sim") > acc("sim") ||
+            (x("sim") === acc("sim") && x("cell_id") < acc("cell_id")), x)
+            .otherwise(acc)))("cell_id")
+    def hofSorted(vec: Column, n: Column, keep: Int): Column =
+      transform(slice(array_sort(hofScores(vec, n), (l, r) =>
+        when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
+          .when(l("cell_id") < r("cell_id"), -1)
+          .when(l("cell_id") > r("cell_id"), 1).otherwise(0)),
+        1, keep), x => x("cell_id"))
+    val centMat = cents.map(_._2)
+    val centNs = cents.map(_._3)
+    def kernelIdx(keep: Int): Column =
+      colOf(VectorFunctions.CellTopK(exprOf(col("v")), exprOf(col("n")),
+        centMat, centNs, keep))
+    def D(x: Double): java.lang.Double = java.lang.Double.valueOf(x)
+    val vecs: Seq[(Seq[java.lang.Double], java.lang.Double)] = Seq(
+      (Seq[java.lang.Double](1.0, 0.0, 0.0), D(1.0)), // ties 10 vs 13
+      (Seq[java.lang.Double](0.1, 0.9, 0.0), D(0.906)),
+      (Seq[java.lang.Double](-1.0, -1.0, 0.5), D(1.5)),
+      (Seq[java.lang.Double](Double.NaN, 1.0, 0.0), D(1.0)), // NaN sims
+      (Seq[java.lang.Double](1.0, null, 0.0), D(1.0)), // sticky null
+      (Seq[java.lang.Double](1.0, 2.0), D(2.236)), // wrong length
+      (null, D(1.0)), // null vector
+      (Seq[java.lang.Double](1.0, 0.0, 0.0),
+        null: java.lang.Double)) ++ // null norm
+      (0 until 30).map { i =>
+        val rnd = new scala.util.Random(i)
+        (Seq.fill(3)(rnd.nextDouble() * 2 - 1: java.lang.Double),
+          D(rnd.nextDouble() + 0.1))
+      }
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(DoubleType, containsNull = true)),
+      StructField("n", DoubleType)))
+    val df = spark.createDataFrame(
+      vecs.map { case (v, n) => org.apache.spark.sql.Row(v, n) }.asJava,
+      schema)
+    // keep == 1: kernel index mapped through the SAME literal
+    assertSame(df,
+      element_at(centsCol, element_at(kernelIdx(1), 1) + 1)("cell_id"),
+      hofBest(col("v"), col("n")), "celltopk-keep1")
+    // keep > 1 (incl. keep > nCells)
+    for (keep <- Seq(2, 3, 9))
+      assertSame(df,
+        transform(kernelIdx(keep),
+          i => element_at(centsCol, i + 1)("cell_id")),
+        hofSorted(col("v"), col("n"), keep), s"celltopk-keep$keep")
+  }
+
+  test("CellArgMinL2 parity with the r13 fold + array_min HOF tree") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    // duplicate centroid (cells 0 and 3): dist tie must keep cell 0
+    val cents: Seq[Seq[Long]] = Seq(
+      Seq(0L, 0L), Seq(10L, 0L), Seq(0L, 10L), Seq(0L, 0L))
+    val structType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("cent", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val centsCol = colOf(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        cents.zipWithIndex.map { case (v, c) =>
+          org.apache.spark.sql.Row(c, v) },
+        ArrayType(structType, containsNull = false)))
+    def bindC(bound: Column, f: Column => Column): Column =
+      element_at(transform(array(bound), f), 1)
+    def hofL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, x) => acc + x)
+    def hofScores(vec: Column): Column =
+      transform(centsCol, c => struct(
+        hofL2(vec, c("cent")).as("dist"), c("cell").as("cell")))
+    def hofBest(vec: Column): Column =
+      bindC(hofScores(vec), ss =>
+        aggregate(ss, element_at(ss, 1), (acc, x) =>
+          when(x("dist") < acc("dist") ||
+            (x("dist") === acc("dist") && x("cell") < acc("cell")), x)
+            .otherwise(acc)))("cell")
+    def hofMin(vec: Column): Column =
+      bindC(hofScores(vec), ss => array_min(transform(ss, x => x("dist"))))
+    val kern = colOf(VectorFunctions.CellArgMinL2(exprOf(col("v")), cents))
+    val vecs: Seq[Seq[java.lang.Long]] = Seq(
+      Seq[java.lang.Long](0L, 0L), // tie with duplicate centroid
+      Seq[java.lang.Long](9L, 1L),
+      Seq[java.lang.Long](1L, 9L),
+      Seq[java.lang.Long](5L, 5L),
+      Seq[java.lang.Long](1L, null), // null dists (sticky)
+      Seq[java.lang.Long](1L), // wrong length
+      null) ++
+      (0 until 30).map { i =>
+        val rnd = new scala.util.Random(100 + i)
+        Seq.fill(2)(rnd.nextLong() % 20: java.lang.Long)
+      }
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(LongType, containsNull = true))))
+    val df = spark.createDataFrame(
+      vecs.map(v => org.apache.spark.sql.Row(v)).asJava, schema)
+    assertSame(df, kern("cell"), hofBest(col("v")), "argmin-cell")
+    assertSame(df, kern("dist"), hofMin(col("v")), "argmin-dist")
+  }
+
+  test("VecDot/VecNormSq accept integral-element arrays like the HOF") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType, containsNull = true)),
+      StructField("b", ArrayType(IntegerType, containsNull = true))))
+    val rows: Seq[(Seq[java.lang.Long], Seq[Integer])] = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[Integer](4, 5, 6)),
+      (Seq[java.lang.Long](1L, null), Seq[Integer](1, 2)),
+      (Seq[java.lang.Long](1L), Seq[Integer](1, 2)),
+      (null, Seq[Integer](1)))
+    val df = spark.createDataFrame(
+      rows.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+      schema)
+    assertSame(df, vecDot(col("a"), col("b")),
+      hofDot(col("a"), col("b")), "dot-integral")
+    assertSame(df, vecNormSq(col("a")), hofNormSq(col("a")),
+      "normsq-long")
+    assertSame(df, vecNormSq(col("b")), hofNormSq(col("b")),
+      "normsq-int")
+  }
+
   test("kernel expressions survive a codegen'd projection stage") {
     // a real projection over parquet-free in-memory data with
     // whole-stage codegen on (default): exercises doGenCode, not just

@@ -28,11 +28,14 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    raw = "--raw" in sys.argv
+    argv = sys.argv[1:]
+    raw = "--raw" in argv
     top = 0
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
+    if "--top" in argv:
+        i = argv.index("--top")
+        top = int(argv[i + 1])
+        del argv[i:i + 2]  # the value is not a positional file arg
+    args = [a for a in argv if not a.startswith("--")]
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)
