@@ -167,6 +167,27 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Word n-grams with NO short-document fallback — value-identical to
+    * `when(size(ws) >= n, transform(sequence(1, size(ws)-(n-1)), i =>
+    * concat_ws(" ", slice(ws, i, n)))).otherwise(array())`: fewer than
+    * `n` words (INCLUDING null text, via the `when` null-condition
+    * fallthrough) yields the EMPTY array, never null. The q48
+    * decontamination path runs this per corpus document with n=13 —
+    * the same interpreted-HOF shape the shingle kernel replaced. */
+  def wordGrams(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(new Array[Any](0))
+    val parts = splitSpaces(text.toString)
+    val len = parts.length
+    if (len < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = joinRange(parts, i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fixed-size word paragraphs — value-identical to
     * `transform(sequence(1, ceil(size(ws)/words)), i =>
     * concat_ws(" ", slice(ws, (i-1)*words+1, words)))`:
@@ -233,6 +254,38 @@ object TextFunctions {
     override def prettyName: String = "word_shingles"
     override protected def withNewChildInternal(c: Expression)
         : WordShingles = copy(child = c)
+  }
+
+  /** Codegen'd word n-grams (see [[TextKernels.wordGrams]]). NOT
+    * nullSafe: null text yields the EMPTY array, matching the
+    * `when(...).otherwise(array())` fallthrough it replaces. */
+  case class WordGrams(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n > 0, "gram size must be positive")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+        : Any =
+      TextKernels.wordGrams(
+        child.eval(input).asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      ev.copy(
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen
+          .FalseLiteral,
+        code = code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            graft.functions.TextKernels.wordGrams(
+              ${c.isNull} ? null : ${c.value}, $n);""")
+    }
+    override def prettyName: String = "word_grams"
+    override protected def withNewChildInternal(c: Expression)
+        : WordGrams = copy(child = c)
   }
 
   /** Codegen'd fixed-size word paragraphs

@@ -222,6 +222,62 @@ object VectorKernels {
     key
   }
 
+  /** Bucket index in a SORTED ascending bounds array — exactly
+    * `size(filter(boundsLit, b => x >= b))` (the prefixSum bucket
+    * function): count of bounds ≤ x, binary-searched instead of an
+    * interpreted per-bound lambda per row. Parity: a null x drops
+    * every filter element (count 0); NaN ≥ everything under Spark
+    * ordering (count = all). */
+  def sortedBucket(xNull: Boolean, x: Double,
+      bounds: Array[Double]): Int = {
+    if (xNull) return 0
+    if (java.lang.Double.isNaN(x)) return bounds.length
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (x >= bounds(mid)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** true iff NO element is null, NaN or ±Infinity — exactly
+    * `!exists(a, x => x.isNull || isnan(x) || abs(x) === Inf)`
+    * (the k-means finite-vector filter); null array → null via the
+    * caller's nullSafeEval. */
+  def allFinite(a: ArrayData, aF: Boolean): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return false
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** `transform(cast(a as array<double>), x => floor(x*scale)
+    * .cast(long))` — the k-means fixed-point quantization. Null
+    * elements pass through; NaN/Inf elements are OUT OF CONTRACT here
+    * (the [[allFinite]] filter runs first — a Java toLong saturates
+    * where an ANSI cast would throw, which only an unfiltered caller
+    * could observe). */
+  def quantizeFloor(a: ArrayData, aF: Boolean, scale: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = java.lang.Math.floor(x * scale).toLong
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Spark `GreaterThan` on doubles: NaN orders GREATER than
     * everything, NaN > NaN is false. */
   private def sparkGt(a: Double, b: Double): Boolean =
@@ -621,6 +677,81 @@ object VectorFunctions {
     override def prettyName: String = "array_sum_long"
     override protected def withNewChildInternal(c: Expression): ArraySumLong =
       copy(child = c)
+  }
+
+  /** prefixSum's bucket function (see [[VectorKernels.sortedBucket]]).
+    * NOT nullSafe: a null order key yields bucket 0 (the filter-HOF
+    * drops every element on a null predicate), not null. */
+  case class SortedBucket(child: Expression, bounds: Seq[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case DoubleType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects double, got ${other.simpleString}")
+      }
+    @transient private lazy val boundsArr: Array[Double] = bounds.toArray
+    override def eval(input: InternalRow): Any = {
+      val x = child.eval(input)
+      VectorKernels.sortedBucket(x == null,
+        if (x == null) 0.0 else x.asInstanceOf[Double], boundsArr)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("bounds", boundsArr, "double[]")
+      val c = child.genCode(ctx)
+      ev.copy(isNull = FalseLiteral, code = code"""
+        ${c.code}
+        int ${ev.value} = graft.functions.VectorKernels.sortedBucket(
+          ${c.isNull}, ${c.isNull} ? 0.0 : ${c.value}, $bRef);""")
+    }
+    override def prettyName: String = "sorted_bucket"
+    override protected def withNewChildInternal(c: Expression)
+        : SortedBucket = copy(child = c)
+  }
+
+  /** k-means finite filter (see [[VectorKernels.allFinite]]);
+    * null array → null, matching `!exists(...)`. */
+  case class AllFinite(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(child, prettyName)
+    private lazy val aF = elemIsFloat(child)
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.allFinite(a.asInstanceOf[ArrayData], aF)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.allFinite($a, $aF);")
+    override def prettyName: String = "all_finite"
+    override protected def withNewChildInternal(c: Expression)
+        : AllFinite = copy(child = c)
+  }
+
+  /** k-means fixed-point quantization (see
+    * [[VectorKernels.quantizeFloor]]); null array → null. */
+  case class QuantizeFloor(child: Expression, scale: Long)
+      extends UnaryExpression {
+    require(scale > 0, "scale must be positive")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = true)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(child, prettyName)
+    private lazy val aF = elemIsFloat(child)
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.quantizeFloor(a.asInstanceOf[ArrayData], aF, scale)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.quantizeFloor(" +
+          s"$a, $aF, ${scale}L);")
+    override def prettyName: String = "quantize_floor"
+    override protected def withNewChildInternal(c: Expression)
+        : QuantizeFloor = copy(child = c)
   }
 
   /** IVF assignment argmax: top-`keep` centroid indices by cosine

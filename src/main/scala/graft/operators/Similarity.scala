@@ -380,15 +380,17 @@ object Similarity {
       initSeed: Option[Long] = None): DataFrame = {
     require(k > 0 && iters >= 0 && dim > 0 && scale > 0,
       "k, iters, dim, scale must be positive")
-    val quantized = transform(col(vecCol).cast("array<double>"),
-      x => floor(x * scale).cast("long"))
+    // both per-row passes are codegen'd kernels (value-parity with the
+    // transform/exists HOF forms they replaced, spec-pinned)
+    val quantized = colOf(graft.functions.VectorFunctions.QuantizeFloor(
+      exprOf(col(vecCol)), scale))
     // drop NaN/Inf/null-element vectors like the search paths do
     // (Similarity.normed): a NaN element quantizes to a null long, the
     // l2 fold then yields null distances, the argmin falls through to
     // cell 0, and the update step's count/sum disagree on the row —
     // cell 0's centroid would silently drift toward zero
-    val finite = !exists(col(vecCol).cast("array<double>"),
-      x => x.isNull || isnan(x) || abs(x) === Double.PositiveInfinity)
+    val finite = colOf(graft.functions.VectorFunctions.AllFinite(
+      exprOf(col(vecCol))))
     val base = df
       .where(col(idCol).isNotNull && size(col(vecCol)) === dim && finite)
       .select(col(idCol).as("__id"), quantized.as("__qv"))

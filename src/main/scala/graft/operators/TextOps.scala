@@ -419,15 +419,15 @@ object TextOps {
   }
 
   /** Word n-grams with NO short-document fallback: a document of fewer
-    * than `n` words has no n-gram (contrast [[shingles]], whose ≥1-gram
-    * guarantee exists for minhash). The token array is [[bind]]-ed so
-    * the text splits once, not once per gram position. */
+    * than `n` words — including null text — has no n-gram, yielding the
+    * EMPTY array (contrast [[shingles]], whose ≥1-gram guarantee exists
+    * for minhash). Codegen'd kernel, value-identical to the HOF
+    * formulation (parity spec-pinned); the decontamination gate runs
+    * this per corpus document at n=13. */
   def wordGrams(text: Column, n: Int): Column =
-    bind(tokens(text), ws =>
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.TextFunctions.WordGrams(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text), n))
 
   /** Benchmark decontamination: drop every corpus document that shares
     * at least one word `n`-gram with any benchmark/eval document (the
@@ -717,10 +717,16 @@ object TextOps {
       .approxQuantile(orderCol,
         (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
       .distinct.sorted
-    val bucketOf = {
-      val bs = array(bounds.map(lit).toIndexedSeq: _*)
-      size(filter(bs, b => col(orderCol) >= b))
-    }
+    // bucket = count of bounds <= key, binary-searched in one
+    // codegen'd kernel call ([[graft.functions.VectorFunctions
+    // .SortedBucket]] — value-parity with the interpreted
+    // size(filter(boundsLit, b => key >= b)) HOF it replaces,
+    // spec-pinned); the double cast mirrors the old comparison's
+    // implicit numeric promotion against double literals
+    val bucketOf = org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.VectorFunctions.SortedBucket(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          col(orderCol).cast("double")), bounds.toSeq))
     val bk = Iterator.from(0).map(i => s"__graft_bk$i")
       .find(n => !df.columns.contains(n)).get
     val bucketed = base.withColumn(bk, bucketOf)

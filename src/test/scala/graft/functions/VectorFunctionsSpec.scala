@@ -347,6 +347,81 @@ class VectorFunctionsSpec extends SparkSuite {
       "normsq-int")
   }
 
+  test("SortedBucket matches size(filter(bounds, b => x >= b)) " +
+      "incl. null (-> 0) and NaN (-> all)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val bounds = Seq(10.0, 20.0, 30.0, 40.0)
+    val hof = size(filter(
+      array(bounds.map(lit): _*), b => col("x") >= b))
+    val kernel = colOf(VectorFunctions.SortedBucket(
+      exprOf(col("x")), bounds))
+    val xs: Seq[java.lang.Double] = Seq[java.lang.Double](
+      5.0, 10.0, 15.0, 20.0, 39.999, 40.0, 41.0, -1e18, 1e18,
+      Double.NaN, null) ++
+      (0 until 40).map(i =>
+        java.lang.Double.valueOf(new scala.util.Random(i).nextDouble() * 60 - 5))
+    val df = spark.createDataFrame(
+      xs.map(x => org.apache.spark.sql.Row(x)).asJava,
+      StructType(Seq(StructField("x", DoubleType))))
+    assertSame(df, kernel, hof, "sorted-bucket")
+    // empty bounds: single bucket 0 for every row
+    val kernel0 = colOf(VectorFunctions.SortedBucket(
+      exprOf(col("x")), Seq.empty))
+    val all0 = df.select(kernel0).collect().map(_.getInt(0))
+    assert(all0.forall(_ == 0))
+  }
+
+  test("AllFinite / QuantizeFloor match the exists/transform HOFs") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val hofFinite = !exists(col("v").cast("array<double>"),
+      x => x.isNull || isnan(x) || abs(x) === Double.PositiveInfinity)
+    val hofQuant = transform(col("v").cast("array<double>"),
+      x => floor(x * 1000000L).cast("long"))
+    val kFinite = colOf(VectorFunctions.AllFinite(exprOf(col("v"))))
+    val kQuant = colOf(VectorFunctions.QuantizeFloor(
+      exprOf(col("v")), 1000000L))
+    val vs: Seq[Seq[java.lang.Double]] = Seq(
+      Seq[java.lang.Double](0.5, -0.25, 1.0),
+      Seq[java.lang.Double](),
+      Seq[java.lang.Double](1.0, null),
+      Seq[java.lang.Double](Double.NaN, 1.0),
+      Seq[java.lang.Double](Double.PositiveInfinity),
+      Seq[java.lang.Double](Double.NegativeInfinity),
+      null) ++
+      (0 until 30).map { i =>
+        val rnd = new scala.util.Random(i)
+        Seq.fill(4)(rnd.nextDouble() * 4 - 2: java.lang.Double)
+      }
+    val df = spark.createDataFrame(
+      vs.map(v => org.apache.spark.sql.Row(v)).asJava,
+      StructType(Seq(StructField("v",
+        ArrayType(DoubleType, containsNull = true)))))
+    assertSame(df, kFinite, hofFinite, "all-finite")
+    // quantize compared only on finite rows (the production contract:
+    // the filter runs first; NaN/Inf cast-to-long is ANSI-undefined)
+    val fin = df.where(kFinite)
+    val rows = fin.select(kQuant.as("k"), hofQuant.as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"quantize: ${r.get(0)} vs ${r.get(1)}")
+    }
+    // float input works without the explicit cast
+    val vf = df.select(col("v").cast("array<float>").as("v"))
+    val rows2 = vf.where(colOf(VectorFunctions.AllFinite(
+        exprOf(col("v")))))
+      .select(colOf(VectorFunctions.QuantizeFloor(exprOf(col("v")),
+        1000000L)).as("k"),
+        transform(col("v").cast("array<double>"),
+          x => floor(x * 1000000L).cast("long")).as("h"))
+      .collect()
+    rows2.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"quantize-float: ${r.get(0)} vs ${r.get(1)}")
+    }
+  }
+
   test("kernel expressions survive a codegen'd projection stage") {
     // a real projection over parquet-free in-memory data with
     // whole-stage codegen on (default): exercises doGenCode, not just

@@ -81,4 +81,17 @@ class WordShinglesParitySpec extends SparkSuite {
       assertSame(graft.operators.TextOps.paragraphs(col("t"), words),
         hofParagraphs(col("t"), words), s"paragraphs($words)")
   }
+
+  test("WordGrams is string-exact with the HOF formulation " +
+      "(incl. null text -> EMPTY array, not null)") {
+    def hofGrams(text: Column, n: Int): Column =
+      bindCol(split(text, " "), ws =>
+        when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+    for (n <- Seq(1, 2, 3, 13))
+      assertSame(graft.operators.TextOps.wordGrams(col("t"), n),
+        hofGrams(col("t"), n), s"wordGrams($n)")
+  }
 }
