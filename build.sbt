@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // diagnostics pass-through for the forked run/test JVMs (JFR
+  // recordings, PrintCompilation — the r13/r14 JIT-mode
+  // investigations needed exactly this)
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split(" ").filter(_.nonEmpty))
