@@ -671,7 +671,10 @@ object Bench {
     // the compact line carries the comparability stamp too: a
     // BENCH_rN.json captured from the stdout tail holds THIS line, and
     // tools/bench_diff.py must not refuse a valid r14+ record just
-    // because the detail line was the truncated one
+    // because the detail line was the truncated one. It does NOT carry
+    // queries_calibrated (that map would blow the ~2000-char tail
+    // window) — a compact-only record diffs with --raw, and bench_diff
+    // says so instead of failing opaquely
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""comparable_since":13,""" +
       s""""queries":$qsCompact,"sf":${jstr(sfDir)},"runs":$runs,""" +

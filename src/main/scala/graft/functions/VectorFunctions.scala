@@ -242,15 +242,17 @@ object VectorKernels {
   }
 
   /** true iff NO element is null, NaN or ±Infinity — exactly
-    * `!exists(a, x => x.isNull || isnan(x) || abs(x) === Inf)`
-    * (the k-means finite-vector filter); null array → null via the
-    * caller's nullSafeEval. */
-  def allFinite(a: ArrayData, aF: Boolean): Boolean = {
+    * `!exists(cast(a as array<double>), x => x.isNull || isnan(x) ||
+    * abs(x) === Inf)` (the k-means finite-vector filter); null array
+    * → null via the caller's nullSafeEval. Element code as in
+    * [[dotWide]] — the replaced HOF's cast accepted any numeric
+    * element type. */
+  def allFinite(a: ArrayData, ac: Int): Boolean = {
     val n = a.numElements()
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return false
-      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val x = elemD(a, ac, i)
       if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
         return false
       i += 1
@@ -259,19 +261,19 @@ object VectorKernels {
   }
 
   /** `transform(cast(a as array<double>), x => floor(x*scale)
-    * .cast(long))` — the k-means fixed-point quantization. Null
-    * elements pass through; NaN/Inf elements are OUT OF CONTRACT here
-    * (the [[allFinite]] filter runs first — a Java toLong saturates
-    * where an ANSI cast would throw, which only an unfiltered caller
-    * could observe). */
-  def quantizeFloor(a: ArrayData, aF: Boolean, scale: Long): ArrayData = {
+    * .cast(long))` — the k-means fixed-point quantization, any
+    * numeric element type like the cast it replaces. Null elements
+    * pass through; NaN/Inf elements are OUT OF CONTRACT here (the
+    * [[allFinite]] filter runs first — a Java toLong saturates where
+    * an ANSI cast would throw, which only an unfiltered caller could
+    * observe). */
+  def quantizeFloor(a: ArrayData, ac: Int, scale: Long): ArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
-        out(i) = java.lang.Math.floor(x * scale).toLong
+        out(i) = java.lang.Math.floor(elemD(a, ac, i) * scale).toLong
       }
       i += 1
     }
@@ -483,10 +485,13 @@ object VectorKernels {
   }
 }
 
-/** Catalyst expressions over [[VectorKernels]]. All accept
-  * array<float> or array<double> children (the float/double flag is
-  * resolved at planning time, so generated code calls the kernel with
-  * constant flags and C2 drops the dead loops). */
+/** Catalyst expressions over [[VectorKernels]]. Element types resolve
+  * at planning time, so generated code calls each kernel with constant
+  * type flags and C2 drops the dead loops. The embedding-internal
+  * expressions (VecDistSq, PlaneSignBits, CellTopK) accept
+  * array<float|double>; the PUBLIC surfaces whose HOF predecessors
+  * cast elements to double (VecDot, VecNormSq, AllFinite,
+  * QuantizeFloor) additionally accept array<int|long>. */
 object VectorFunctions {
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
@@ -713,26 +718,28 @@ object VectorFunctions {
   }
 
   /** k-means finite filter (see [[VectorKernels.allFinite]]);
-    * null array → null, matching `!exists(...)`. */
+    * null array → null, matching `!exists(...)`. Accepts any numeric
+    * element type (the replaced HOF cast to array<double> first). */
   case class AllFinite(child: Expression) extends UnaryExpression {
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
-      checkVec(child, prettyName)
-    private lazy val aF = elemIsFloat(child)
+      checkVecWide(child, prettyName)
+    private lazy val aC = elemCodeOf(child)
     override def nullSafeEval(a: Any): Any =
-      VectorKernels.allFinite(a.asInstanceOf[ArrayData], aF)
+      VectorKernels.allFinite(a.asInstanceOf[ArrayData], aC)
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a =>
-        s"${ev.value} = graft.functions.VectorKernels.allFinite($a, $aF);")
+        s"${ev.value} = graft.functions.VectorKernels.allFinite($a, $aC);")
     override def prettyName: String = "all_finite"
     override protected def withNewChildInternal(c: Expression)
         : AllFinite = copy(child = c)
   }
 
   /** k-means fixed-point quantization (see
-    * [[VectorKernels.quantizeFloor]]); null array → null. */
+    * [[VectorKernels.quantizeFloor]]); null array → null. Accepts any
+    * numeric element type (see [[AllFinite]]). */
   case class QuantizeFloor(child: Expression, scale: Long)
       extends UnaryExpression {
     require(scale > 0, "scale must be positive")
@@ -740,15 +747,15 @@ object VectorFunctions {
       ArrayType(LongType, containsNull = true)
     override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
-      checkVec(child, prettyName)
-    private lazy val aF = elemIsFloat(child)
+      checkVecWide(child, prettyName)
+    private lazy val aC = elemCodeOf(child)
     override def nullSafeEval(a: Any): Any =
-      VectorKernels.quantizeFloor(a.asInstanceOf[ArrayData], aF, scale)
+      VectorKernels.quantizeFloor(a.asInstanceOf[ArrayData], aC, scale)
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a =>
         s"${ev.value} = graft.functions.VectorKernels.quantizeFloor(" +
-          s"$a, $aF, ${scale}L);")
+          s"$a, $aC, ${scale}L);")
     override def prettyName: String = "quantize_floor"
     override protected def withNewChildInternal(c: Expression)
         : QuantizeFloor = copy(child = c)

@@ -407,18 +407,28 @@ class VectorFunctionsSpec extends SparkSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1),
         s"quantize: ${r.get(0)} vs ${r.get(1)}")
     }
-    // float input works without the explicit cast
-    val vf = df.select(col("v").cast("array<float>").as("v"))
-    val rows2 = vf.where(colOf(VectorFunctions.AllFinite(
-        exprOf(col("v")))))
-      .select(colOf(VectorFunctions.QuantizeFloor(exprOf(col("v")),
-        1000000L)).as("k"),
-        transform(col("v").cast("array<double>"),
-          x => floor(x * 1000000L).cast("long")).as("h"))
-      .collect()
-    rows2.foreach { r =>
-      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
-        s"quantize-float: ${r.get(0)} vs ${r.get(1)}")
+    // float and INTEGRAL inputs work without the explicit cast (the
+    // replaced HOFs cast to array<double>, so any numeric element
+    // type was accepted — kmeansFixedPoint on int-quantized vectors
+    // must keep working)
+    for (t <- Seq("array<float>", "array<int>", "array<long>")) {
+      // integral casts must not see NaN/Inf (ANSI cast throws before
+      // AllFinite could filter) — the production contract is integral
+      // vectors arriving already integral, so build from finite rows
+      val src = if (t == "array<float>") df else df.where(hofFinite)
+      val vt = src.select(col("v").cast(t).as("v"))
+      val rows2 = vt.where(colOf(VectorFunctions.AllFinite(
+          exprOf(col("v")))))
+        .select(colOf(VectorFunctions.QuantizeFloor(exprOf(col("v")),
+          1000000L)).as("k"),
+          transform(col("v").cast("array<double>"),
+            x => floor(x * 1000000L).cast("long")).as("h"))
+        .collect()
+      assert(rows2.nonEmpty, s"no finite rows for $t")
+      rows2.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"quantize-$t: ${r.get(0)} vs ${r.get(1)}")
+      }
     }
   }
 

@@ -22,9 +22,16 @@ import sys
 def load(path):
     with open(path) as f:
         txt = f.read().strip()
-    # bench files are one JSON line; BENCH_rN.json may hold the compact
-    # summary line — both parse the same way
-    return json.loads(txt.splitlines()[-1])
+    # bench_out/latest.json is one JSON line; driver-written
+    # BENCH_rN.json is a multi-line wrapper whose `parsed` field holds
+    # the compact record
+    try:
+        rec = json.loads(txt)
+    except json.JSONDecodeError:
+        rec = json.loads(txt.splitlines()[-1])
+    if isinstance(rec, dict) and "parsed" in rec and "queries" not in rec:
+        rec = rec["parsed"] or {}
+    return rec
 
 
 def main():
@@ -33,7 +40,11 @@ def main():
     top = 0
     if "--top" in argv:
         i = argv.index("--top")
-        top = int(argv[i + 1])
+        try:
+            top = int(argv[i + 1])
+        except (IndexError, ValueError):
+            print(__doc__)
+            sys.exit(2)
         del argv[i:i + 2]  # the value is not a positional file arg
     args = [a for a in argv if not a.startswith("--")]
     if len(args) != 2:
@@ -50,12 +61,27 @@ def main():
                   "Its numbers are not comparable to any other round, "
                   "calibrated or raw (README: 'Bench comparability').")
             sys.exit(1)
+    # the VALUE is the comparability epoch: two records stamped with
+    # different epochs straddle a steady-state-changing fix and must
+    # not be diffed either
+    if old.get("comparable_since") != new.get("comparable_since"):
+        print("REFUSED: the records carry different comparable_since "
+              f"epochs ({old.get('comparable_since')} vs "
+              f"{new.get('comparable_since')}) — a steady-state-changing "
+              "fix separates them.")
+        sys.exit(1)
 
     key = "queries" if raw else "queries_calibrated"
     qo, qn = old.get(key) or {}, new.get(key) or {}
     shared = sorted(set(qo) & set(qn))
     if not shared:
-        print(f"no shared queries under '{key}'")
+        if not raw and (key not in old or key not in new):
+            print("no `queries_calibrated` in one of the records — a "
+                  "compact stdout-tail record carries raw seconds only; "
+                  "re-run with --raw (and remember raw cross-round "
+                  "numbers are ambient-sensitive).")
+        else:
+            print(f"no shared queries under '{key}'")
         sys.exit(1)
     rows = []
     for q in shared:
