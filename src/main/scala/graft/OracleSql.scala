@@ -538,6 +538,9 @@ object OracleSql {
     // q55: the same loop with the production SEEDED init — the
     // xxhash64 draw replayed bit-exactly in HUGEINT arithmetic
     "q55_kmeans_seeded" -> q55Sql,
+    // q65: trained-quantizer IVF — the q53 training chain's centroids
+    // driving the q41-shaped assignment/probe/rerank
+    "q65_ann_ivf_trained" -> q65Sql,
 
     // q56: the REAL pixel decoder (ImageIO) against closed-form
     // two-tone PNGs: brightness = (a+b)/510 and the left/right 4x2
@@ -886,44 +889,106 @@ object OracleSql {
     * the seed-pick is identical between the lowest-id init (q53) and the
     * seeded-sample init (q55), so both gates share this builder and only
     * inject the CTE chain that defines `c0(cell, cent)`. */
-  private def kmeansLoopSql(initCtes: String): String = {
-    def dist(v: String, c: String) =
-      s"list_sum(list_transform(range(1,65), j -> ($v[j]-$c[j])*($v[j]-$c[j])))"
-    def asg(name: String, ct: String) = {
-      val d = dist("v.qv", s"$ct.cent")
-      s"""$name AS (SELECT id, qv, cell, dist FROM (
-         |  SELECT v.id, v.qv, $ct.cell, $d AS dist,
-         |    row_number() OVER (PARTITION BY v.id ORDER BY $d, $ct.cell)
-         |      AS rk
-         |  FROM v, $ct) WHERE rk = 1)""".stripMargin
-    }
-    def upd(name: String, a: String, prev: String) =
-      s"""${name}s AS (SELECT cell, jj.j AS pos, sum(qv[jj.j]) AS sm,
-         |    count(*) AS cnt
-         |  FROM $a, (SELECT unnest(range(1,65)) AS j) jj GROUP BY 1, 2),
-         |$name AS (SELECT p.cell, coalesce(u.cent, p.cent) AS cent
-         |  FROM $prev p
-         |  LEFT JOIN (SELECT cell,
-         |      list(CAST((sm - ((sm % cnt) + cnt) % cnt) // cnt AS BIGINT)
-         |        ORDER BY pos) AS cent
-         |    FROM ${name}s GROUP BY cell) u USING (cell))""".stripMargin
-    s"""WITH v AS (SELECT vec_id AS id, list_transform(range(1,65),
+  private def kmDist(v: String, c: String) =
+    s"list_sum(list_transform(range(1,65), j -> ($v[j]-$c[j])*($v[j]-$c[j])))"
+  private def kmAsg(name: String, ct: String) = {
+    val d = kmDist("v.qv", s"$ct.cent")
+    s"""$name AS (SELECT id, qv, cell, dist FROM (
+       |  SELECT v.id, v.qv, $ct.cell, $d AS dist,
+       |    row_number() OVER (PARTITION BY v.id ORDER BY $d, $ct.cell)
+       |      AS rk
+       |  FROM v, $ct) WHERE rk = 1)""".stripMargin
+  }
+  private def kmUpd(name: String, a: String, prev: String) =
+    s"""${name}s AS (SELECT cell, jj.j AS pos, sum(qv[jj.j]) AS sm,
+       |    count(*) AS cnt
+       |  FROM $a, (SELECT unnest(range(1,65)) AS j) jj GROUP BY 1, 2),
+       |$name AS (SELECT p.cell, coalesce(u.cent, p.cent) AS cent
+       |  FROM $prev p
+       |  LEFT JOIN (SELECT cell,
+       |      list(CAST((sm - ((sm % cnt) + cnt) % cnt) // cnt AS BIGINT)
+       |        ORDER BY pos) AS cent
+       |    FROM ${name}s GROUP BY cell) u USING (cell))""".stripMargin
+
+  /** The shared training-chain CTEs (quantized vectors `v`, init
+    * `c0`, two assignment/update rounds ending at trained centroids
+    * `c2`) — used by both the k-means summaries and the trained-IVF
+    * oracle (q65). */
+  private def kmeansTrainCtes(initCtes: String): String =
+    s"""v AS (SELECT vec_id AS id, list_transform(range(1,65),
        |    j -> CAST(floor(CAST(embedding[j] AS DOUBLE)*1000000) AS BIGINT))
        |      AS qv
        |  FROM embeddings
        |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
        |$initCtes,
-       |${asg("a1", "c0")},
-       |${upd("c1", "a1", "c0")},
-       |${asg("a2", "c1")},
-       |${upd("c2", "a2", "c1")},
-       |${asg("a3", "c2")}
+       |${kmAsg("a1", "c0")},
+       |${kmUpd("c1", "a1", "c0")},
+       |${kmAsg("a2", "c1")},
+       |${kmUpd("c2", "a2", "c1")}""".stripMargin
+
+  private def kmeansLoopSql(initCtes: String): String =
+    s"""WITH ${kmeansTrainCtes(initCtes)},
+       |${kmAsg("a3", "c2")}
        |SELECT CAST(a3.cell AS BIGINT) AS cell_id, count(*) AS n_vectors,
        |  CAST(sum(a3.dist) AS BIGINT) AS sum_dist,
        |  CAST(max(cs.s) AS BIGINT) AS cent_sum
        |FROM a3 JOIN (SELECT cell, list_sum(cent) AS s FROM c2) cs
        |  USING (cell)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Trained-IVF oracle (`SparkEntry.q65_ann_ivf_trained` /
+    * `Similarity.ivfTopKTrained`): the SAME training chain as q53's
+    * oracle produces the centroids, which de-quantize as cent/1e6
+    * (one correctly-rounded IEEE division per component), get
+    * left-fold norms, and drive the q41-shaped assignment / 2-probe /
+    * exact-rerank — every cosine and tie reproduced bit-for-bit. */
+  private def q65Sql: String = {
+    def cos(vec: String, nrm: String) =
+      s"""(list_reduce(list_transform(range(1,65),
+         |       j -> $vec[j] * cn.cvec[j]), (a, x) -> a + x)
+         |     / ($nrm * cn.cnrm))""".stripMargin
+    s"""WITH ${kmeansTrainCtes(
+        """c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+          |    qv AS cent
+          |  FROM (SELECT id, qv FROM v ORDER BY id LIMIT 4))""".stripMargin)},
+       |cd AS (SELECT cell, list_transform(cent, x -> x / 1000000.0)
+       |    AS cvec FROM c2),
+       |cn AS (SELECT cell, cvec,
+       |    sqrt(list_reduce(list_transform(cvec, x -> x * x),
+       |      (a, x) -> a + x)) AS cnrm
+       |  FROM cd),
+       |vv AS (SELECT vec_id AS id,
+       |    list_transform(range(1,65),
+       |      j -> CAST(embedding[j] AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT id, vec,
+       |    sqrt(list_reduce(list_transform(vec, x -> x * x),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM vv),
+       |casg AS (SELECT id, cell FROM (
+       |    SELECT n.id, cn.cell, row_number() OVER (
+       |        PARTITION BY n.id ORDER BY
+       |        ${cos("n.vec", "n.nrm")} DESC, cn.cell) AS rk
+       |    FROM n, cn) WHERE rk = 1),
+       |qprb AS (SELECT id, cell FROM (
+       |    SELECT n.id, cn.cell, row_number() OVER (
+       |        PARTITION BY n.id ORDER BY
+       |        ${cos("n.vec", "n.nrm")} DESC, cn.cell) AS rk
+       |    FROM n, cn WHERE n.id < 16) WHERE rk <= 2),
+       |pairs AS (SELECT q.id AS query_id, c.id AS cand_id,
+       |    (list_reduce(list_transform(range(1,65),
+       |       j -> q.vec[j] * c.vec[j]), (a, x) -> a + x)
+       |     / (q.nrm * c.nrm)) AS sim
+       |  FROM qprb JOIN casg ON qprb.cell = casg.cell
+       |  JOIN n q ON q.id = qprb.id
+       |  JOIN n c ON c.id = casg.id),
+       |ranked AS (SELECT query_id, cand_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, cand_id, round(sim, 6) AS sim_r,
+       |  CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB replay of Spark's `xxhash64(input, lit(seedLit))` over ONE

@@ -1111,6 +1111,25 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN with a TRAINED coarse quantizer
+    * ([[graft.operators.Similarity.ivfTopKTrained]]): the q53
+    * fixed-point Lloyd loop (k=4, 2 iterations, lowest-id init)
+    * produces the centroids, which drive the q41-shaped assignment /
+    * 2-probe / exact rerank — the composition the IVF scaladoc
+    * promises ("a trained quantizer drops in"), now oracle-gated end
+    * to end: the DuckDB side replays the training chain AND the
+    * search bit-for-bit. */
+  private def q65_ann_ivf_trained(s: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = pq(s, dir, "embeddings")
+    graft.operators.Similarity.ivfTopKTrained(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "embedding",
+        k = 3, kCells = 4, iters = 2, nProbe = 2, dim = 64)
+      .select(col("query_id"), col("cand_id"),
+        round(col("sim"), 6).as("sim_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PII detection + redaction ([[graft.operators.TextOps.redactPii]]):
     * deterministic PII (an email, a phone, an IPv4 derived from doc_id)
     * is appended to every document by BOTH engines, then counted and
@@ -1266,7 +1285,8 @@ object SparkEntry {
     "q61_media_dims_hdr" -> (q61_media_dims_hdr _),
     "q62_video_frames" -> (q62_video_frames _),
     "q63_flat_dedup" -> (q63_flat_dedup _),
-    "q64_wav_stereo" -> (q64_wav_stereo _)) ++
+    "q64_wav_stereo" -> (q64_wav_stereo _),
+    "q65_ann_ivf_trained" -> (q65_ann_ivf_trained _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

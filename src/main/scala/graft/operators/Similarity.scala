@@ -319,19 +319,26 @@ object Similarity {
     centroidLiteral(candidates, idCol, vecCol, nCells, dim) match {
       case None => // empty corpus: empty result, correct schema
         rerank(q.crossJoin(c).where(lit(false)), k)
-      case Some(cents) =>
-        // length-vs-quantizer check (the centroid dim is a literal, so
-        // the comparison constant-folds): a wrong-length vector's
-        // cosine against every centroid is null, the assignment fold
-        // would silently stick it to the first cell, and its null sims
-        // would still receive row_number ranks in rerank
-        val centDim = size(element_at(cents, 1)("cent"))
-        val assignedC = assignCells(c.where(size(col("__cv")) === centDim),
-          cents, "__cv", "__cn", keep = 1)
-        val probedQ = assignCells(q.where(size(col("__qv")) === centDim),
-          cents, "__qv", "__qn", keep = nProbe)
-        rerank(probedQ.join(assignedC, "cell_id"), k)
+      case Some(cents) => ivfSearch(q, c, cents, k, nProbe)
     }
+  }
+
+  /** Assignment + probe + rerank over an arbitrary quantizer literal
+    * (the cell_id/cent/centn struct-array shape both
+    * [[centroidLiteral]] and [[ivfTopKTrained]] build). */
+  private def ivfSearch(q: DataFrame, c: DataFrame, cents: Column,
+      k: Int, nProbe: Int): DataFrame = {
+    // length-vs-quantizer check (the centroid dim is a literal, so
+    // the comparison constant-folds): a wrong-length vector's
+    // cosine against every centroid is null, the assignment fold
+    // would silently stick it to the first cell, and its null sims
+    // would still receive row_number ranks in rerank
+    val centDim = size(element_at(cents, 1)("cent"))
+    val assignedC = assignCells(c.where(size(col("__cv")) === centDim),
+      cents, "__cv", "__cn", keep = 1)
+    val probedQ = assignCells(q.where(size(col("__qv")) === centDim),
+      cents, "__qv", "__qn", keep = nProbe)
+    rerank(probedQ.join(assignedC, "cell_id"), k)
   }
 
   /** Deterministic fixed-point Lloyd k-means over an embedding column —
@@ -380,20 +387,67 @@ object Similarity {
       initSeed: Option[Long] = None): DataFrame = {
     require(k > 0 && iters >= 0 && dim > 0 && scale > 0,
       "k, iters, dim, scale must be positive")
-    // both per-row passes are codegen'd kernels (value-parity with the
-    // transform/exists HOF forms they replaced, spec-pinned)
+    val base = kmeansBase(df, idCol, vecCol, dim, scale)
+    val cents = trainCentroids(base, k, iters, initSeed)
+    if (cents.isEmpty)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), kmeansSchema)
+    kmeansAssign(base, cents).groupBy(col("__cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("__dist")).as("sum_dist"))
+      .select(col("__cell").cast("long").as("cell_id"),
+        col("n_vectors"),
+        col("sum_dist"),
+        element_at(
+          array(cents.map(c => lit(c._2.sum)).toIndexedSeq: _*),
+          col("__cell") + 1).as("cent_sum"))
+  }
+
+  /** The quantized, finite-filtered (id, vector) projection the k-means
+    * loop runs over. Both per-row passes are codegen'd kernels
+    * (value-parity with the transform/exists HOF forms they replaced,
+    * spec-pinned). NaN/Inf/null-element vectors are dropped like the
+    * search paths do (Similarity.normed): a NaN element quantizes to a
+    * null long, the distance argmin falls through to cell 0, and the
+    * update step's count/sum disagree on the row — cell 0's centroid
+    * would silently drift toward zero. */
+  private def kmeansBase(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, scale: Long): DataFrame = {
     val quantized = colOf(graft.functions.VectorFunctions.QuantizeFloor(
       exprOf(col(vecCol)), scale))
-    // drop NaN/Inf/null-element vectors like the search paths do
-    // (Similarity.normed): a NaN element quantizes to a null long, the
-    // l2 fold then yields null distances, the argmin falls through to
-    // cell 0, and the update step's count/sum disagree on the row —
-    // cell 0's centroid would silently drift toward zero
     val finite = colOf(graft.functions.VectorFunctions.AllFinite(
       exprOf(col(vecCol))))
-    val base = df
-      .where(col(idCol).isNotNull && size(col(vecCol)) === dim && finite)
+    df.where(col(idCol).isNotNull && size(col(vecCol)) === dim && finite)
       .select(col(idCol).as("__id"), quantized.as("__qv"))
+  }
+
+  /** Narrow per-row argmin against the centroid matrix (ties to the
+    * lower cell id == lower index — cents ride in cell order): ONE
+    * codegen'd kernel call per row
+    * ([[graft.functions.VectorFunctions.CellArgMinL2]], value-parity
+    * with the r13 transform-scores + fold + array_min HOF tree — the
+    * fold's sticky-null seed and array_min's skip-null dist both
+    * preserved) instead of k interpreted distance lambdas + 2 folds. */
+  private def kmeansAssign(base: DataFrame,
+      cents: IndexedSeq[(Int, IndexedSeq[Long])]): DataFrame = {
+    val kern = colOf(graft.functions.VectorFunctions.CellArgMinL2(
+      exprOf(col("__qv")), cents.map(_._2.toSeq)))
+    base.withColumn("__t", kern)
+      .withColumn("__cell", col("__t")("cell"))
+      .withColumn("__dist", col("__t")("dist"))
+      .drop("__t")
+  }
+
+  /** The Lloyd training loop over a [[kmeansBase]] projection: k seed
+    * centroids (lowest-id, or smallest seeded xxhash64 draw), `iters`
+    * exact integer update rounds — empty cells keep their previous
+    * centroid. Returns the trained QUANTIZED centroids in cell order
+    * (empty when the corpus is). Shared by [[kmeansFixedPoint]] (whose
+    * q53/q55 oracles replay this loop bit-exactly in SQL) and
+    * [[ivfTopKTrained]] (which uses the result as its coarse
+    * quantizer). */
+  private[graft] def trainCentroids(base: DataFrame, k: Int, iters: Int,
+      initSeed: Option[Long]): IndexedSeq[(Int, IndexedSeq[Long])] = {
     // init: k seed vectors numbered 0..k-1 in draw order. Either way
     // the pick is a TakeOrderedAndProject (top-k, no global sort) and
     // only k rows reach the driver — quantizer metadata, not data.
@@ -406,27 +460,9 @@ object Similarity {
       .collect().toIndexedSeq
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](1).toIndexedSeq }
-    if (cents.isEmpty)
-      return df.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), kmeansSchema)
-
-    // narrow per-row argmin against the centroid matrix (ties to the
-    // lower cell id == lower index — cents ride in cell order): ONE
-    // codegen'd kernel call per row
-    // ([[graft.functions.VectorFunctions.CellArgMinL2]], value-parity
-    // with the r13 transform-scores + fold + array_min HOF tree — the
-    // fold's sticky-null seed and array_min's skip-null dist both
-    // preserved) instead of k interpreted distance lambdas + 2 folds.
-    def assigned: DataFrame = {
-      val kern = colOf(graft.functions.VectorFunctions.CellArgMinL2(
-        exprOf(col("__qv")), cents.map(_._2.toSeq)))
-      base.withColumn("__t", kern)
-        .withColumn("__cell", col("__t")("cell"))
-        .withColumn("__dist", col("__t")("dist"))
-        .drop("__t")
-    }
+    if (cents.isEmpty) return cents
     for (_ <- 1 to iters) {
-      val sums = assigned
+      val sums = kmeansAssign(base, cents)
         .select(col("__cell"), posexplode(col("__qv"))
           .as(Seq("__pos", "__x")))
         .groupBy(col("__cell"), col("__pos"))
@@ -444,15 +480,50 @@ object Similarity {
         }
       }
     }
-    assigned.groupBy(col("__cell"))
-      .agg(count(lit(1)).as("n_vectors"),
-        sum(col("__dist")).as("sum_dist"))
-      .select(col("__cell").cast("long").as("cell_id"),
-        col("n_vectors"),
-        col("sum_dist"),
-        element_at(
-          array(cents.map(c => lit(c._2.sum)).toIndexedSeq: _*),
-          col("__cell") + 1).as("cent_sum"))
+    cents
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: the
+    * [[trainCentroids]] Lloyd loop (same fixed-point arithmetic the
+    * q53 oracle replays) produces the centroids, which then drop into
+    * [[ivfTopK]]'s assignment/probe/rerank exactly as its scaladoc
+    * promises. Centroids de-quantize as cent/scale — a single
+    * correctly-rounded IEEE division per component, and the norms are
+    * left-to-right double sums, so an external SQL oracle reproduces
+    * the quantizer, every cosine, and every tie bit-for-bit (gate
+    * q65). Cell ids are the 0-based training cell indices. */
+  def ivfTopKTrained(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, kCells: Int, iters: Int,
+      nProbe: Int, dim: Int, scale: Long = 1000000L,
+      initSeed: Option[Long] = None): DataFrame = {
+    require(kCells > 0 && iters >= 0 && nProbe > 0 && dim > 0 &&
+      scale > 0, "kCells, iters, nProbe, dim, scale must be positive")
+    val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
+    val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val cents = trainCentroids(
+      kmeansBase(candidates, idCol, vecCol, dim, scale), kCells, iters,
+      initSeed)
+    if (cents.isEmpty) // empty corpus: empty result, correct schema
+      return rerank(q.crossJoin(c).where(lit(false)), k)
+    val centMat = cents.map(_._2.map(_.toDouble / scale))
+    val centNorms = centMat.map { v =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    import org.apache.spark.sql.types._
+    val structType = StructType(Seq(
+      StructField("cell_id", IntegerType, nullable = false),
+      StructField("cent", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("centn", DoubleType, nullable = false)))
+    val centsCol = org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        cents.indices.map(i =>
+          org.apache.spark.sql.Row(i, centMat(i), centNorms(i))),
+        ArrayType(structType, containsNull = false)))
+    ivfSearch(q, c, centsCol, k, nProbe)
   }
 
   private def kmeansSchema: org.apache.spark.sql.types.StructType = {
