@@ -114,6 +114,17 @@ private[graft] object AnnRecall {
     Similarity.ivfTopK(emb, emb, "vec_id", "embedding", k,
       nCells = 32, nProbe = 8, dim = Some(dim))
 
+  /** IVF-PQ at a production-shaped config: the same 32-cell/8-probe
+    * coarse grid as [[ivf]], 8 blocks × 16 sub-centroids (8 dims per
+    * block), trained 2 Lloyd rounds, ADC keeps 10·k candidates per
+    * query for exact rerank — the standard "efSearch ≈ 10×k" budget.
+    * Its recall is measured alongside [[ivf]]'s every round, so the
+    * PQ pruning loss is a NUMBER in the bench record, not a claim. */
+  def ivfpq(emb: DataFrame): DataFrame =
+    Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding", k,
+      nCells = 32, nProbe = 8, m = 8, kSub = 16, iters = 2,
+      adcKeep = 10 * k, dim = dim)
+
   def recallOf(exactDf: DataFrame, approx: DataFrame): Double = {
     val row = Similarity.recallAtK(exactDf, approx).collect()(0)
     // recallAtK itself coalesces the empty-ground-truth 0/0 case to
@@ -139,12 +150,13 @@ private[graft] object AnnRecall {
       val ex = exact(emb).persist()
       val b = banded(emb).persist()
       val i = ivf(emb).persist()
+      val p = ivfpq(emb).persist()
       try {
         val exTrue = ex.where(col("sim") >= trueNbrSim)
         // the clustered-corpus evaluation must not null the four
         // testdata numbers if it alone fails — its own try, its own
         // "null" fragments
-        val (clB, clI) = {
+        val (clB, clI, clP) = {
           // frame CONSTRUCTION is inside the try too: an analysis error
           // while building the clustered corpus must degrade to "null"
           // fragments, not null the four testdata numbers above; persists
@@ -155,11 +167,12 @@ private[graft] object AnnRecall {
             cl = clusteredCorpus(spark, n = 2000 * clScale,
               nClusters = 100 * clScale).persist()
             cx = exact(cl).persist()
-            (s"${recallOf(cx, banded(cl))}", s"${recallOf(cx, ivf(cl))}")
+            (s"${recallOf(cx, banded(cl))}", s"${recallOf(cx, ivf(cl))}",
+              s"${recallOf(cx, ivfpq(cl))}")
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] clustered ann recall failed: $e")
-              ("null", "null")
+              ("null", "null", "null")
           } finally {
             if (cx != null) cx.unpersist(blocking = false)
             if (cl != null) cl.unpersist(blocking = false)
@@ -169,8 +182,11 @@ private[graft] object AnnRecall {
           s""""banded_at${k}_truenbr":${recallOf(exTrue, b)},""" +
           s""""ivf_at$k":${recallOf(ex, i)},""" +
           s""""ivf_at${k}_truenbr":${recallOf(exTrue, i)},""" +
+          s""""ivfpq_at$k":${recallOf(ex, p)},""" +
+          s""""ivfpq_at${k}_truenbr":${recallOf(exTrue, p)},""" +
           s""""clustered_banded_at$k":$clB,""" +
           s""""clustered_ivf_at$k":$clI,""" +
+          s""""clustered_ivfpq_at$k":$clP,""" +
           s""""clustered_scale":$clScale,""" +
           s""""true_nbr_sim":$trueNbrSim,"floor_truenbr":$floor,""" +
           s""""floor_clustered":$clusteredFloor}"""
@@ -178,6 +194,7 @@ private[graft] object AnnRecall {
         ex.unpersist(blocking = false)
         b.unpersist(blocking = false)
         i.unpersist(blocking = false)
+        p.unpersist(blocking = false)
       }
     } catch {
       case e: Throwable =>

@@ -541,6 +541,9 @@ object OracleSql {
     // q65: trained-quantizer IVF — the q53 training chain's centroids
     // driving the q41-shaped assignment/probe/rerank
     "q65_ann_ivf_trained" -> q65Sql,
+    // q66: IVF-PQ — coarse route + per-block trained codebooks +
+    // exact-long ADC scan + exact rerank, all replayed
+    "q66_ann_ivfpq" -> q66Sql,
 
     // q56: the REAL pixel decoder (ImageIO) against closed-form
     // two-tone PNGs: brightness = (a+b)/510 and the left/right 4x2
@@ -889,20 +892,23 @@ object OracleSql {
     * the seed-pick is identical between the lowest-id init (q53) and the
     * seeded-sample init (q55), so both gates share this builder and only
     * inject the CTE chain that defines `c0(cell, cent)`. */
-  private def kmDist(v: String, c: String) =
-    s"list_sum(list_transform(range(1,65), j -> ($v[j]-$c[j])*($v[j]-$c[j])))"
-  private def kmAsg(name: String, ct: String) = {
-    val d = kmDist("v.qv", s"$ct.cent")
+  private def kmDist(v: String, c: String, d: Int = 64) =
+    s"list_sum(list_transform(range(1,${d + 1}), " +
+      s"j -> ($v[j]-$c[j])*($v[j]-$c[j])))"
+  private def kmAsg(name: String, ct: String, src: String = "v",
+      d: Int = 64) = {
+    val dist = kmDist(s"$src.qv", s"$ct.cent", d)
     s"""$name AS (SELECT id, qv, cell, dist FROM (
-       |  SELECT v.id, v.qv, $ct.cell, $d AS dist,
-       |    row_number() OVER (PARTITION BY v.id ORDER BY $d, $ct.cell)
+       |  SELECT $src.id, $src.qv, $ct.cell, $dist AS dist,
+       |    row_number() OVER (PARTITION BY $src.id ORDER BY $dist, $ct.cell)
        |      AS rk
-       |  FROM v, $ct) WHERE rk = 1)""".stripMargin
+       |  FROM $src, $ct) WHERE rk = 1)""".stripMargin
   }
-  private def kmUpd(name: String, a: String, prev: String) =
+  private def kmUpd(name: String, a: String, prev: String,
+      d: Int = 64) =
     s"""${name}s AS (SELECT cell, jj.j AS pos, sum(qv[jj.j]) AS sm,
        |    count(*) AS cnt
-       |  FROM $a, (SELECT unnest(range(1,65)) AS j) jj GROUP BY 1, 2),
+       |  FROM $a, (SELECT unnest(range(1,${d + 1})) AS j) jj GROUP BY 1, 2),
        |$name AS (SELECT p.cell, coalesce(u.cent, p.cent) AS cent
        |  FROM $prev p
        |  LEFT JOIN (SELECT cell,
@@ -982,6 +988,105 @@ object OracleSql {
        |  FROM qprb JOIN casg ON qprb.cell = casg.cell
        |  JOIN n q ON q.id = qprb.id
        |  JOIN n c ON c.id = casg.id),
+       |ranked AS (SELECT query_id, cand_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, cand_id, round(sim, 6) AS sim_r,
+       |  CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-PQ oracle (`SparkEntry.q66_ann_ivfpq` /
+    * `Similarity.ivfPqTopK`): the q41 coarse quantizer (8 lowest-id
+    * vectors, cosine assignment / 2-probe), four per-block Lloyd
+    * trainings (the q53 arithmetic on 16-dim slices of the quantized
+    * vectors, k=4, 2 iterations, lowest-id init), exact-long encode
+    * (nearest sub-centroid per block, ties to the lower code = lower
+    * cell), exact-long ADC (sum of the four block squared-L2s against
+    * the CODED sub-centroids, top-8 per query, ties to the lower
+    * cand_id), and the shared exact-cosine rerank — every stage
+    * replayed bit-for-bit. */
+  private def q66Sql: String = {
+    val m = 4
+    val bl = 16 // block length (dim 64 / m)
+    // per-block training chain: sliced quantized vectors, lowest-id
+    // init, two assignment/update rounds, then the full encode
+    // assignment against the trained codebook
+    val blockCtes = (0 until m).map { b =>
+      val off = b * bl
+      s"""v$b AS (SELECT id, qv[${off + 1}:${off + bl}] AS qv FROM v),
+         |cb${b}0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+         |    qv AS cent
+         |  FROM (SELECT id, qv FROM v$b ORDER BY id LIMIT 4)),
+         |${kmAsg(s"a${b}1", s"cb${b}0", s"v$b", bl)},
+         |${kmUpd(s"cb${b}1", s"a${b}1", s"cb${b}0", bl)},
+         |${kmAsg(s"a${b}2", s"cb${b}1", s"v$b", bl)},
+         |${kmUpd(s"cb${b}2", s"a${b}2", s"cb${b}1", bl)},
+         |${kmAsg(s"e$b", s"cb${b}2", s"v$b", bl)}""".stripMargin
+    }.mkString(",\n")
+    val encJoin = (1 until m).map(b => s"JOIN e$b USING (id)")
+      .mkString(" ")
+    val encCols = (0 until m).map(b => s"e$b.cell AS c$b").mkString(", ")
+    // ADC: block b's exact-long squared L2 between the query's slice
+    // and the candidate's coded sub-centroid
+    val adcSum = (0 until m).map { b =>
+      val off = b * bl
+      s"""list_sum(list_transform(range(1,${bl + 1}),
+         |       j -> (vq.qv[$off+j]-b$b.cent[j])*(vq.qv[$off+j]-b$b.cent[j])))"""
+        .stripMargin
+    }.mkString("\n     + ")
+    val bookJoins = (0 until m).map(b =>
+      s"JOIN cb${b}2 b$b ON b$b.cell = enc.c$b").mkString("\n  ")
+    def cos(q: String, c: String) =
+      s"""(list_reduce(list_transform(range(1,65),
+         |       j -> $q.vec[j] * $c.vec[j]), (a, x) -> a + x)
+         |     / ($q.nrm * $c.nrm))""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, list_transform(range(1,65),
+       |    j -> CAST(floor(CAST(embedding[j] AS DOUBLE)*1000000) AS BIGINT))
+       |      AS qv
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+       |$blockCtes,
+       |enc AS (SELECT e0.id, $encCols FROM e0 $encJoin),
+       |vv AS (SELECT vec_id AS id,
+       |    list_transform(range(1,65),
+       |      j -> CAST(embedding[j] AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT id, vec,
+       |    sqrt(list_reduce(list_transform(vec, x -> x * x),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM vv),
+       |cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
+       |  FROM n ORDER BY id LIMIT 8),
+       |casg AS (SELECT id, cell_id FROM (
+       |    SELECT n.id, cent.cell_id, row_number() OVER (
+       |        PARTITION BY n.id ORDER BY
+       |        (list_reduce(list_transform(range(1,65),
+       |           j -> n.vec[j] * cent.cvec[j]), (a, x) -> a + x)
+       |         / (n.nrm * cent.cnrm)) DESC, cent.cell_id) AS rk
+       |    FROM n, cent) WHERE rk = 1),
+       |qprb AS (SELECT id, cell_id FROM (
+       |    SELECT n.id, cent.cell_id, row_number() OVER (
+       |        PARTITION BY n.id ORDER BY
+       |        (list_reduce(list_transform(range(1,65),
+       |           j -> n.vec[j] * cent.cvec[j]), (a, x) -> a + x)
+       |         / (n.nrm * cent.cnrm)) DESC, cent.cell_id) AS rk
+       |    FROM n, cent WHERE n.id < 16) WHERE rk <= 2),
+       |adcp AS (SELECT q.id AS query_id, c.id AS cand_id,
+       |    ($adcSum) AS adc
+       |  FROM qprb q
+       |  JOIN casg c ON q.cell_id = c.cell_id
+       |  JOIN enc ON enc.id = c.id
+       |  JOIN v vq ON vq.id = q.id
+       |  $bookJoins),
+       |adct AS (SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+       |    FROM adcp) WHERE rk <= 8),
+       |pairs AS (SELECT t.query_id, t.cand_id, ${cos("q", "c")} AS sim
+       |  FROM adct t JOIN n q ON q.id = t.query_id
+       |  JOIN n c ON c.id = t.cand_id),
        |ranked AS (SELECT query_id, cand_id, sim, row_number() OVER (
        |    PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
        |  FROM pairs)

@@ -1130,6 +1130,25 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ ANN ([[graft.operators.Similarity.ivfPqTopK]]): the q41
+    * coarse quantizer routes candidates to cells, four fixed-point
+    * Lloyd loops (one per 16-dim block, the q53 training arithmetic)
+    * produce the PQ codebooks, candidates travel as 4-code words, the
+    * probe scans codes via exact-long ADC (top-8 per query, ties to
+    * the lower cand_id), and only those survivors are reranked
+    * exactly. The oracle replays coarse assignment, all four block
+    * trainings, encode, ADC, and the rerank bit-for-bit. */
+  private def q66_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = pq(s, dir, "embeddings")
+    graft.operators.Similarity.ivfPqTopK(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "embedding",
+        k = 3, nCells = 8, nProbe = 2, m = 4, kSub = 4, iters = 2,
+        adcKeep = 8, dim = 64)
+      .select(col("query_id"), col("cand_id"),
+        round(col("sim"), 6).as("sim_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PII detection + redaction ([[graft.operators.TextOps.redactPii]]):
     * deterministic PII (an email, a phone, an IPv4 derived from doc_id)
     * is appended to every document by BOTH engines, then counted and
@@ -1286,7 +1305,8 @@ object SparkEntry {
     "q62_video_frames" -> (q62_video_frames _),
     "q63_flat_dedup" -> (q63_flat_dedup _),
     "q64_wav_stereo" -> (q64_wav_stereo _),
-    "q65_ann_ivf_trained" -> (q65_ann_ivf_trained _)) ++
+    "q65_ann_ivf_trained" -> (q65_ann_ivf_trained _),
+    "q66_ann_ivfpq" -> (q66_ann_ivfpq _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

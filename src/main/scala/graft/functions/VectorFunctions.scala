@@ -483,6 +483,92 @@ object VectorKernels {
     }
     s
   }
+
+  /** Product-quantization encode: block `b` of the quantized vector
+    * (the contiguous slice whose length is codebook `b`'s centroid
+    * dimension) maps to the code of its nearest sub-centroid by EXACT
+    * long squared L2, ties to the LOWER code (codebooks ride in cell
+    * order, same convention as [[cellArgMinL2]]).
+    *
+    * Contract (new primitive — no HOF predecessor; the q66 oracle
+    * mirrors this definition): null/any-null-element vector or a total
+    * length ≠ Σ block lengths → null (encode undefined), never a
+    * partial code word. */
+  def pqEncode(v: ArrayData,
+      books: Array[Array[Array[Long]]]): ArrayData = {
+    if (v == null) return null
+    var total = 0
+    var b = 0
+    while (b < books.length) { total += books(b)(0).length; b += 1 }
+    if (v.numElements() != total) return null
+    val out = new Array[Any](books.length)
+    var off = 0
+    b = 0
+    while (b < books.length) {
+      val book = books(b)
+      val len = book(0).length
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var s = 0L
+        var j = 0
+        while (j < len) {
+          if (v.isNullAt(off + j)) return null
+          val d = v.getLong(off + j) - cent(j)
+          s += d * d
+          j += 1
+        }
+        if (s < bestD) { best = c; bestD = s }
+        c += 1
+      }
+      out(b) = best
+      off += len
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ asymmetric distance: Σ over blocks of the exact long squared
+    * L2 between the QUERY's block slice and the candidate's coded
+    * sub-centroid `books(b)(codes(b))` — the ADC scan of IVF-PQ, with
+    * the classic per-query lookup table inlined (kSub is small here;
+    * at production kSub=256 the per-query LUT materializes once per
+    * partition, same kernel shape).
+    *
+    * Contract: null vector/codes (caller-filtered), wrong vector or
+    * code-word length, null element, or out-of-range code → null. */
+  def pqAdcDist(v: ArrayData, codes: ArrayData,
+      books: Array[Array[Array[Long]]]): java.lang.Long = {
+    if (v == null || codes == null) return null
+    if (codes.numElements() != books.length) return null
+    var total = 0
+    var b = 0
+    while (b < books.length) { total += books(b)(0).length; b += 1 }
+    if (v.numElements() != total) return null
+    var acc = 0L
+    var off = 0
+    b = 0
+    while (b < books.length) {
+      if (codes.isNullAt(b)) return null
+      val book = books(b)
+      val len = book(0).length
+      val code = codes.getInt(b)
+      if (code < 0 || code >= book.length) return null
+      val cent = book(code)
+      var j = 0
+      while (j < len) {
+        if (v.isNullAt(off + j)) return null
+        val d = v.getLong(off + j) - cent(j)
+        acc += d * d
+        j += 1
+      }
+      off += len
+      b += 1
+    }
+    acc
+  }
 }
 
 /** Catalyst expressions over [[VectorKernels]]. Element types resolve
@@ -899,5 +985,85 @@ object VectorFunctions {
     override def prettyName: String = "plane_sign_bits"
     override protected def withNewChildInternal(c: Expression)
         : PlaneSignBits = copy(child = c)
+  }
+
+  private def checkLongVecOf(e: Expression, name: String)
+      : TypeCheckResult = e.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<bigint>, got ${other.simpleString}")
+  }
+
+  /** PQ encode (see [[VectorKernels.pqEncode]] for the parity
+    * contract): quantized vector → per-block nearest-sub-centroid
+    * code word. Null-safe: null vector → null code word. */
+  case class PqEncode(child: Expression, books: Seq[Seq[Seq[Long]]])
+      extends UnaryExpression {
+    require(books.nonEmpty && books.forall(_.nonEmpty) &&
+      books.forall(b => b.forall(_.length == b.head.length)),
+      "need non-empty codebooks with equal-dim centroids per block")
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongVecOf(child, prettyName)
+    @transient private lazy val booksArr: Array[Array[Array[Long]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.pqEncode(a.asInstanceOf[ArrayData], booksArr)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val booksRef = ctx.addReferenceObj("pqBooks", booksArr, "long[][][]")
+      val boxed = ctx.freshName("pqCodes")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $boxed =
+        |  graft.functions.VectorKernels.pqEncode($a, $booksRef);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed; }
+        |""".stripMargin)
+    }
+    override def prettyName: String = "pq_encode"
+    override protected def withNewChildInternal(c: Expression)
+        : PqEncode = copy(child = c)
+  }
+
+  /** PQ asymmetric distance (see [[VectorKernels.pqAdcDist]]):
+    * quantized query vector × candidate code word → exact long
+    * approximate squared L2. Null-safe on both children. */
+  case class PqAdcDist(left: Expression, right: Expression,
+      books: Seq[Seq[Seq[Long]]]) extends BinaryExpression {
+    require(books.nonEmpty && books.forall(_.nonEmpty) &&
+      books.forall(b => b.forall(_.length == b.head.length)),
+      "need non-empty codebooks with equal-dim centroids per block")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = checkLongVecOf(left, prettyName)
+      if (!l.isSuccess) return l
+      right.dataType match {
+        case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName codes must be array<int>, got ${other.simpleString}")
+      }
+    }
+    @transient private lazy val booksArr: Array[Array[Array[Long]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.pqAdcDist(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], booksArr)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val booksRef = ctx.addReferenceObj("pqBooks", booksArr, "long[][][]")
+      val boxed = ctx.freshName("adcRes")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |java.lang.Long $boxed =
+        |  graft.functions.VectorKernels.pqAdcDist($a, $b, $booksRef);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed.longValue(); }
+        |""".stripMargin)
+    }
+    override def prettyName: String = "pq_adc_dist"
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): PqAdcDist = copy(left = l, right = r)
   }
 }

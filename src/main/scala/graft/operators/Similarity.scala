@@ -526,6 +526,89 @@ object Similarity {
     ivfSearch(q, c, centsCol, k, nProbe)
   }
 
+  /** IVF-PQ ANN — the production 100 TB composition: a coarse IVF
+    * quantizer routes each vector to a cell, a PRODUCT QUANTIZER
+    * compresses every candidate to an `m`-byte code word (here m
+    * ints; at 768-dim/m=96 this is a ~32× memory reduction — the
+    * difference between "candidate vectors fit in executor memory"
+    * and "every probe refetches the corpus"), probing scans only the
+    * CODES via asymmetric-distance (ADC) lookups, and only the
+    * `adcKeep` ADC survivors per query are reranked against their
+    * exact vectors (an id equi-join refetch — the codes travel, the
+    * corpus doesn't).
+    *
+    * Determinism end to end (gate q66 replays every stage in SQL):
+    * the coarse quantizer is [[ivfTopK]]'s seed scheme (nCells
+    * lowest-id vectors, cosine assignment, ties to the lower cell);
+    * each PQ codebook is a [[trainCentroids]] fixed-point Lloyd loop
+    * over that block's slice of the `floor(x·scale)` quantized
+    * vectors (exact long arithmetic, lowest-id init); encode/ADC are
+    * exact long squared-L2 ([[graft.functions.VectorFunctions.PqEncode]]
+    * / [[PqAdcDist]], ties to the lower code; ADC ties to the lower
+    * cand_id); the rerank is the shared exact-cosine tail.
+    *
+    * Plan shape: codebooks are driver-side metadata (m small Lloyd
+    * loops = a few KB); encode and ADC are narrow codegen'd kernels;
+    * the only shuffles are the cell equi-join, the per-query top-k
+    * windows, and the rerank refetch join — no all-pairs anywhere.
+    *
+    * @param m      number of PQ blocks (must divide `dim`)
+    * @param kSub   sub-centroids per block codebook
+    * @param adcKeep ADC candidates per query that reach exact rerank */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 8,
+      nProbe: Int = 2, m: Int = 4, kSub: Int = 4, iters: Int = 2,
+      adcKeep: Int = 8, dim: Int = 64,
+      scale: Long = 1000000L): DataFrame = {
+    require(nCells > 0 && nProbe > 0 && m > 0 && kSub > 0 &&
+      iters >= 0 && adcKeep > 0 && dim > 0 && scale > 0,
+      "nCells, nProbe, m, kSub, adcKeep, dim, scale must be positive")
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val blockLen = dim / m
+    val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
+    val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val base = kmeansBase(candidates, idCol, vecCol, dim, scale)
+    val books: IndexedSeq[Seq[Seq[Long]]] = (0 until m).map { b =>
+      trainCentroids(
+        base.select(col("__id"),
+          slice(col("__qv"), b * blockLen + 1, blockLen).as("__qv")),
+        kSub, iters, None).map(_._2.toSeq)
+    }
+    val centsOpt = centroidLiteral(candidates, idCol, vecCol, nCells,
+      Some(dim))
+    if (centsOpt.isEmpty || books.exists(_.isEmpty)) // empty corpus
+      return rerank(q.crossJoin(c).where(lit(false)), k)
+    val cents = centsOpt.get
+    val booksSeq = books.map(_.toSeq)
+    // coarse assignment (candidates) + probe (queries), then encode
+    // candidates and quantize queries for the ADC scan
+    val assignedC = assignCells(c.where(size(col("__cv")) === dim),
+        cents, "__cv", "__cn", keep = 1)
+      .withColumn("__codes", colOf(
+        graft.functions.VectorFunctions.PqEncode(
+          exprOf(colOf(graft.functions.VectorFunctions.QuantizeFloor(
+            exprOf(col("__cv")), scale))), booksSeq)))
+      .select(col("cand_id"), col("cell_id"), col("__codes"))
+    val probedQ = assignCells(q.where(size(col("__qv")) === dim),
+        cents, "__qv", "__qn", keep = nProbe)
+      .withColumn("__qqv", colOf(
+        graft.functions.VectorFunctions.QuantizeFloor(
+          exprOf(col("__qv")), scale)))
+    // ADC scan: codes-only candidates, exact-long approximate
+    // distance, per-query top-adcKeep (ties to the lower cand_id)
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("cand_id").asc)
+    val survivors = probedQ.join(assignedC, "cell_id")
+      .withColumn("__adc", colOf(
+        graft.functions.VectorFunctions.PqAdcDist(
+          exprOf(col("__qqv")), exprOf(col("__codes")), booksSeq)))
+      .withColumn("__adc_rk", row_number().over(adcW))
+      .where(col("__adc_rk") <= adcKeep)
+      .select(col("query_id"), col("cand_id"), col("__qv"), col("__qn"))
+    // exact rerank: refetch only the survivors' vectors by id
+    rerank(survivors.join(c, "cand_id"), k)
+  }
+
   private def kmeansSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(

@@ -200,7 +200,8 @@ class SimilaritySpec extends SparkSuite {
       val exTrue = ex.where(col("sim") >= graft.AnnRecall.trueNbrSim)
       for ((name, approx) <- Seq(
           "bandedTopK" -> graft.AnnRecall.banded(emb),
-          "ivfTopK" -> graft.AnnRecall.ivf(emb))) {
+          "ivfTopK" -> graft.AnnRecall.ivf(emb),
+          "ivfPqTopK" -> graft.AnnRecall.ivfpq(emb))) {
         val trueNbr = graft.AnnRecall.recallOf(exTrue, approx)
         assert(trueNbr >= graft.AnnRecall.floor,
           s"$name true-neighbor recall@10 $trueNbr < ${graft.AnnRecall.floor}")
@@ -224,7 +225,8 @@ class SimilaritySpec extends SparkSuite {
     try {
       for ((name, approx) <- Seq(
           "bandedTopK" -> graft.AnnRecall.banded(cl),
-          "ivfTopK" -> graft.AnnRecall.ivf(cl))) {
+          "ivfTopK" -> graft.AnnRecall.ivf(cl),
+          "ivfPqTopK" -> graft.AnnRecall.ivfpq(cl))) {
         val r = graft.AnnRecall.recallOf(ex, approx)
         assert(r >= graft.AnnRecall.clusteredFloor,
           s"$name clustered recall@10 $r < ${graft.AnnRecall.clusteredFloor}")
