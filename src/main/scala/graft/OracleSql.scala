@@ -544,6 +544,11 @@ object OracleSql {
     // q66: IVF-PQ — coarse route + per-block trained codebooks +
     // exact-long ADC scan + exact rerank, all replayed
     "q66_ann_ivfpq" -> q66Sql,
+    // q67: stratified sampling — the exact kept set via xxhash replay
+    "q67_sample_stratified" -> q67Sql,
+    // q68/q69: BM25 ranking and BM25+cosine RRF hybrid search
+    "q68_bm25" -> q68Sql,
+    "q69_rrf_hybrid" -> q69Sql,
 
     // q56: the REAL pixel decoder (ImageIO) against closed-form
     // two-tone PNGs: brightness = (a+b)/510 and the left/right 4x2
@@ -1094,6 +1099,119 @@ object OracleSql {
        |  CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Shared BM25 scoring CTEs (`SparkEntry.q68_bm25` / `q69_rrf_hybrid`
+    * ↔ `Ranking.bm25`): whitespace tokens, one tf row per corpus doc,
+    * a single corpus-stats row, and the score as the SAME fixed-order
+    * double expression the Spark side builds — every derived constant
+    * (k1+1, 1-b) is computed in driver Scala and embedded via
+    * `Double.toString` (which round-trips), so both engines evaluate
+    * identical bits. Ends at `sc(doc_id, dlen, score)`. */
+  private def bm25Ctes(terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val k1p1 = (k1 + 1.0).toString
+    val oneMinusB = (1.0 - b).toString
+    val tfCases = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS tf$i"
+    }.mkString(",\n    ")
+    val dfSums = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS df$i").mkString(",\n    ")
+    val contribs = terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(st.df$i AS DOUBLE) + 0.5)
+         |       / (CAST(st.df$i AS DOUBLE) + 0.5))
+         |     * (CAST(tf.tf$i AS DOUBLE) * $k1p1)
+         |     / (CAST(tf.tf$i AS DOUBLE) + $k1 * ($oneMinusB
+         |        + $b * CAST(tf.dlen AS DOUBLE)
+         |          / (CAST(st.sumlen AS DOUBLE) / CAST(st.n AS DOUBLE))))"""
+        .stripMargin
+    }.mkString("\n   + ")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |wd AS (SELECT doc_id, len(ws) AS dlen, unnest(ws) AS word FROM tk),
+       |tf AS (SELECT doc_id, dlen,
+       |    $tfCases
+       |  FROM wd GROUP BY 1, 2),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dlen) AS BIGINT) AS sumlen,
+       |    $dfSums
+       |  FROM tf),
+       |sc AS (SELECT tf.doc_id, tf.dlen, (0.0
+       |   + $contribs) AS score
+       |  FROM tf, st)""".stripMargin
+  }
+
+  private def q68Sql: String =
+    s"""WITH ${bm25Ctes(SparkEntry.Bm25Terms)},
+       |top AS (SELECT doc_id, score, row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT doc_id, round(score, 6) AS score_r, CAST(rank AS INT) AS rank
+       |FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** RRF hybrid oracle: BM25 top-50 (the q68 chain) fused with the
+    * exact cosine top-50 against query vector 0 (the q27 brute-force
+    * arithmetic, UNROUNDED ranking like the q41 family), rrf =
+    * 1/(60+rank) summed lexical-then-vector, absent ranks as 0. */
+  private def q69Sql: String =
+    s"""WITH ${bm25Ctes(SparkEntry.Bm25Terms)},
+       |bmr AS (SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |        ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |  WHERE rank <= 50),
+       |$embCte,
+       |vp AS (SELECT c.vec_id AS doc_id,
+       |    ${dot("q", "c")} / (q.nrm * c.nrm) AS sim
+       |  FROM e q, e c WHERE q.vec_id = 0),
+       |vr AS (SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |        ORDER BY sim DESC, doc_id) AS rank FROM vp)
+       |  WHERE rank <= 50),
+       |f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |    a.rank AS ra, b.rank AS rb
+       |  FROM bmr a FULL OUTER JOIN vr b ON a.doc_id = b.doc_id),
+       |sc2 AS (SELECT doc_id, ra, rb,
+       |    (coalesce(1.0 / CAST(60 + ra AS DOUBLE), 0.0)
+       |     + coalesce(1.0 / CAST(60 + rb AS DOUBLE), 0.0)) AS rrf
+       |  FROM f),
+       |top AS (SELECT doc_id, ra, rb, rrf, row_number() OVER (
+       |    ORDER BY rrf DESC, doc_id) AS rank FROM sc2)
+       |SELECT doc_id, CAST(coalesce(ra, 0) AS INT) AS rank_bm25,
+       |  CAST(coalesce(rb, 0) AS INT) AS rank_vec,
+       |  round(rrf, 6) AS rrf_r, CAST(rank AS INT) AS rank
+       |FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** Stratified-sample oracle (`SparkEntry.q67_sample_stratified` /
+    * `TextOps.stratifiedSample`): the q55 xxhash64 chain replayed over
+    * doc_id (hash(id, 42) then hash(7, prev)), pmod 100, per-lang rate
+    * CASE — the kept SET pinned via id and char checksums.
+    *
+    * `hx` must be MATERIALIZED: filtering on the hash column would
+    * otherwise push the predicate down through the ~24 chained hash
+    * CTEs, re-substituting each step (every xor/mul references its
+    * input twice) into an exponentially-growing expression — the same
+    * planner blowup [[xxh64Ctes]] documents for lateral aliases,
+    * reached through filter pushdown instead (q55 never hits it
+    * because its chain ends in ORDER BY ... LIMIT, not WHERE). */
+  private def q67Sql: String = {
+    val toU = "(CAST(id AS HUGEINT) + CASE WHEN id < 0 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    val (d1, last1, h1) = xxh64Ctes("d", toU, "42::HUGEINT", "xa")
+    val (d2, last2, h2) = xxh64Ctes(last1, "7::HUGEINT", h1, "xb")
+    s"""WITH d AS (SELECT doc_id AS id, lang, n_chars FROM documents
+       |  WHERE doc_id IS NOT NULL),
+       |${(d1 ++ d2).mkString(",\n")},
+       |hx AS MATERIALIZED (SELECT id, lang, n_chars,
+       |    ((${xxh64SignedSql(h2)} % 100) + 100) % 100 AS hm
+       |  FROM $last2),
+       |k AS (SELECT * FROM hx WHERE hm <
+       |    CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 40
+       |         ELSE 60 END)
+       |SELECT lang, count(*) AS n_kept,
+       |  CAST(sum(id) AS BIGINT) AS kept_id_sum,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** DuckDB replay of Spark's `xxhash64(input, lit(seedLit))` over ONE

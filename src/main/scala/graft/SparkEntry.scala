@@ -1149,6 +1149,75 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25 query-term set shared by the q68/q69 gates and their DuckDB
+    * oracles (mid-frequency corpus vocabulary — every term has
+    * non-trivial df, so all five idf branches are exercised). */
+  private[graft] val Bm25Terms =
+    Seq("join", "scan", "vector", "window", "stream")
+
+  /** Deterministic stratified sampling
+    * ([[graft.operators.TextOps.stratifiedSample]]): keep 20% of
+    * English, 40% of Chinese, 60% of every other language by
+    * `pmod(xxhash64(doc_id, 7), 100) < rate`. The oracle replays the
+    * xxhash64 chain (the q55 machinery) so the kept SET — not just
+    * counts — is pinned via id/char checksums. */
+  private def q67_sample_stratified(s: SparkSession, dir: String)
+      : DataFrame = {
+    val kept = TextOps.stratifiedSample(pq(s, dir, "documents"),
+      "doc_id", "lang", Seq("en" -> 20, "zh" -> 40), defaultRate = 60,
+      seed = 7L)
+    kept.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_sum"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** BM25 ranking ([[graft.operators.Ranking.bm25]]) of the corpus
+    * against the fixed five-term query: top 20 docs by score (ties to
+    * the lower doc_id), the score bits reproduced by the oracle from
+    * the identical fixed-order double arithmetic. The top-k is a
+    * TakeOrderedAndProject (no global sort); the rank window runs
+    * over 20 rows. */
+  private def q68_bm25(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.Ranking.bm25(
+      pq(s, dir, "documents"), "doc_id", "text", Bm25Terms)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), round(col("score"), 6).as("score_r"),
+        col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Hybrid search ([[graft.operators.Ranking.rrfFuse]]): reciprocal-
+    * rank fusion of the BM25 top-50 (q68's scoring) with the exact
+    * cosine top-50 against query vector 0 (the q27 brute-force
+    * machinery) — doc_id and vec_id share the id space by
+    * construction. Absent ranks ride as 0; the fused top-20 is pinned
+    * with both source ranks. */
+  private def q69_rrf_hybrid(s: SparkSession, dir: String): DataFrame = {
+    val bmW = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val bm = graft.operators.Ranking.bm25(
+        pq(s, dir, "documents"), "doc_id", "text", Bm25Terms)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+      .withColumn("rank", row_number().over(bmW))
+      .select(col("doc_id"), col("rank"))
+    val emb = pq(s, dir, "embeddings")
+    val vec = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") === 0), emb, "vec_id", "embedding",
+        k = 50)
+      .select(col("cand_id").as("doc_id"), col("rank"))
+    val fused = graft.operators.Ranking.rrfFuse(bm, vec)
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank_a").as("rank_bm25"),
+        col("rank_b").as("rank_vec"), round(col("rrf"), 6).as("rrf_r"),
+        col("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** PII detection + redaction ([[graft.operators.TextOps.redactPii]]):
     * deterministic PII (an email, a phone, an IPv4 derived from doc_id)
     * is appended to every document by BOTH engines, then counted and
@@ -1306,7 +1375,10 @@ object SparkEntry {
     "q63_flat_dedup" -> (q63_flat_dedup _),
     "q64_wav_stereo" -> (q64_wav_stereo _),
     "q65_ann_ivf_trained" -> (q65_ann_ivf_trained _),
-    "q66_ann_ivfpq" -> (q66_ann_ivfpq _)) ++
+    "q66_ann_ivfpq" -> (q66_ann_ivfpq _),
+    "q67_sample_stratified" -> (q67_sample_stratified _),
+    "q68_bm25" -> (q68_bm25 _),
+    "q69_rrf_hybrid" -> (q69_rrf_hybrid _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -659,6 +659,37 @@ object TextOps {
     when(id.isNotNull && bucket.isNotNull, assigned)
   }
 
+  /** Deterministic stratified Bernoulli sampling — the data-mixing
+    * primitive of corpus rebalancing ("keep 20% of English, 60% of
+    * everything else"): a row is kept iff
+    * `pmod(xxhash64(id, seed), 100) < rate(stratum)`. Pure function
+    * of (id, stratum, seed): the same row gets the same verdict on
+    * any engine, executor count, or run — so a sample drawn today and
+    * a sample drawn after a re-shard are IDENTICAL sets (the property
+    * `df.sample()` explicitly does not give), and an external engine
+    * can reproduce the exact membership (gate q67 replays the xxhash64
+    * chain in SQL). Narrow, shuffle-free, scale-independent.
+    *
+    * Rates are integer percentages (0..100). A stratum absent from
+    * `rates` (including a NULL stratum — equality with every listed
+    * stratum is null, so the when-chain falls through) samples at
+    * `defaultRate`. Null ids are DROPPED explicitly: `xxhash64` skips
+    * null children, so all null-id rows would share one hash and be
+    * kept or dropped as a block — neither is a defensible sample. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultRate: Int,
+      seed: Long = 7L): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 100),
+      "rates are integer percentages in 0..100")
+    require(rates.map(_._1).distinct.size == rates.size,
+      "duplicate stratum in rates")
+    val h = pmod(xxhash64(col(idCol), lit(seed)), lit(100L))
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((s, r), acc) => when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.where(col(idCol).isNotNull && h < rate)
+  }
+
   /** Leakage-safe split assignment: near-duplicate clusters are
     * assigned to train/val/test as UNITS. A document's split is
     * [[hashSplit]] of its CLUSTER label (component min id from

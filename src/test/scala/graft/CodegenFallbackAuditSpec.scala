@@ -59,7 +59,8 @@ class CodegenFallbackAuditSpec extends SparkSuite {
     "q46_repetition", "q48_decontaminate", "q49_shard_pack",
     "q50_leakage_split", "q52_para_dedup", "q53_kmeans",
     "q55_kmeans_seeded", "q63_flat_dedup", "q65_ann_ivf_trained",
-    "q66_ann_ivfpq")
+    "q66_ann_ivfpq", "q67_sample_stratified", "q68_bm25",
+    "q69_rrf_hybrid")
 
   test("rewired query plans contain zero CodegenFallback expressions") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
