@@ -549,6 +549,10 @@ object OracleSql {
     // q68/q69: BM25 ranking and BM25+cosine RRF hybrid search
     "q68_bm25" -> q68Sql,
     "q69_rrf_hybrid" -> q69Sql,
+    // q70: exact histogram-method token percentiles per source
+    "q70_corpus_profile" -> q70Sql,
+    // q71: kNN majority-label audit over the IVF search path
+    "q71_knn_label_audit" -> q71Sql,
 
     // q56: the REAL pixel decoder (ImageIO) against closed-form
     // two-tone PNGs: brightness = (a+b)/510 and the left/right 4x2
@@ -1212,6 +1216,91 @@ object OracleSql {
        |  CAST(sum(id) AS BIGINT) AS kept_id_sum,
        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Corpus-profile oracle (`SparkEntry.q70_corpus_profile` /
+    * `TextOps.corpusProfile`): the same histogram construction —
+    * distinct (stratum, token count) with doc counts, cumulative sum
+    * in length order, nearest-rank percentile = the smallest length
+    * whose cumulative count reaches ceil(p·n/100) (integer
+    * arithmetic, so both engines pick the identical bucket). */
+  private def q70Sql: String = {
+    val pCols = Seq(50, 90, 99).map(p =>
+      s"""min(CASE WHEN cum >= (n * $p + 99) // 100 THEN tokc END)
+         |    AS p${p}_tokens""".stripMargin).mkString(",\n  ")
+    s"""WITH t AS (SELECT source AS stratum,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokc
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |h AS (SELECT stratum, tokc, CAST(count(*) AS BIGINT) AS c
+       |  FROM t GROUP BY 1, 2),
+       |cm AS (SELECT stratum, tokc, c,
+       |    CAST(sum(c) OVER (PARTITION BY stratum ORDER BY tokc)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY stratum) AS BIGINT) AS n
+       |  FROM h)
+       |SELECT stratum, max(n) AS n_docs,
+       |  CAST(sum(tokc * c) AS BIGINT) AS sum_tokens,
+       |  min(tokc) AS min_tokens, max(tokc) AS max_tokens,
+       |  $pCols
+       |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** kNN-label-audit oracle (`SparkEntry.q71_knn_label_audit` /
+    * `Similarity.knnClassify`): the q41 IVF search replayed for EVERY
+    * vector (self pairs dropped before ranking, k=5), neighbor labels
+    * vote with ties to the smallest label, accuracy per true label. */
+  private def q71Sql: String = {
+    def cosTo(cv: String, cn: String) =
+      s"""(list_reduce(list_transform(range(1,65),
+         |           j -> n.vec[j] * $cv[j]), (a, x) -> a + x)
+         |         / (n.nrm * $cn))""".stripMargin
+    s"""WITH vv AS (SELECT vec_id AS id,
+       |    list_transform(range(1,65),
+       |      j -> CAST(embedding[j] AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT id, vec,
+       |    sqrt(list_reduce(list_transform(vec, x -> x * x),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM vv),
+       |cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
+       |  FROM n ORDER BY id LIMIT 8),
+       |casg AS (SELECT id, cell_id FROM (
+       |    SELECT n.id, cent.cell_id, row_number() OVER (
+       |        PARTITION BY n.id ORDER BY
+       |        ${cosTo("cent.cvec", "cent.cnrm")} DESC, cent.cell_id) AS rk
+       |    FROM n, cent) WHERE rk = 1),
+       |qprb AS (SELECT id, cell_id FROM (
+       |    SELECT n.id, cent.cell_id, row_number() OVER (
+       |        PARTITION BY n.id ORDER BY
+       |        ${cosTo("cent.cvec", "cent.cnrm")} DESC, cent.cell_id) AS rk
+       |    FROM n, cent) WHERE rk <= 2),
+       |pairs AS (SELECT q.id AS query_id, c.id AS cand_id,
+       |    (list_reduce(list_transform(range(1,65),
+       |       j -> nq.vec[j] * nc.vec[j]), (a, x) -> a + x)
+       |     / (nq.nrm * nc.nrm)) AS sim
+       |  FROM qprb q JOIN casg c ON q.cell_id = c.cell_id
+       |  JOIN n nq ON nq.id = q.id
+       |  JOIN n nc ON nc.id = c.id
+       |  WHERE q.id <> c.id),
+       |nn AS (SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+       |    FROM pairs) WHERE rank <= 5),
+       |lb AS (SELECT vec_id AS id, label FROM embeddings
+       |  WHERE label IS NOT NULL),
+       |votes AS (SELECT r.query_id, l.label AS nl, count(*) AS v
+       |  FROM nn r JOIN lb l ON l.id = r.cand_id GROUP BY 1, 2),
+       |pred AS (SELECT query_id, nl AS pred_label FROM (
+       |    SELECT query_id, nl, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY v DESC, nl) AS pr
+       |    FROM votes) WHERE pr = 1)
+       |SELECT o.label, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN p.pred_label = o.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  round(CAST(sum(CASE WHEN p.pred_label = o.label THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS acc_r
+       |FROM pred p JOIN lb o ON o.id = p.query_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** DuckDB replay of Spark's `xxhash64(input, lit(seedLit))` over ONE

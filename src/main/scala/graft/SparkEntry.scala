@@ -1218,6 +1218,38 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
+    * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
+    * token-length percentiles via the histogram method (the cumulative
+    * window runs over distinct lengths, never corpus rows). */
+  private def q70_corpus_profile(s: SparkSession, dir: String)
+      : DataFrame = {
+    TextOps.corpusProfile(pq(s, dir, "documents"), "doc_id", "text",
+        "source", Seq(50, 90, 99))
+      .orderBy(col("stratum"))
+  }
+
+  /** kNN label audit ([[graft.operators.Similarity.knnClassify]]):
+    * every embedding's label predicted by the majority label of its 5
+    * nearest neighbors (self excluded before ranking, the q41 IVF
+    * production path, vote ties to the smallest label), rolled up to
+    * per-label accuracy. The oracle replays search, vote, and both
+    * tie-breaks. */
+  private def q71_knn_label_audit(s: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = pq(s, dir, "embeddings")
+    Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+        k = 5, nCells = 8, nProbe = 2)
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_vecs").cast("double"), 4).as("acc_r"))
+      .orderBy(col("label"))
+  }
+
   /** PII detection + redaction ([[graft.operators.TextOps.redactPii]]):
     * deterministic PII (an email, a phone, an IPv4 derived from doc_id)
     * is appended to every document by BOTH engines, then counted and
@@ -1378,7 +1410,9 @@ object SparkEntry {
     "q66_ann_ivfpq" -> (q66_ann_ivfpq _),
     "q67_sample_stratified" -> (q67_sample_stratified _),
     "q68_bm25" -> (q68_bm25 _),
-    "q69_rrf_hybrid" -> (q69_rrf_hybrid _)) ++
+    "q69_rrf_hybrid" -> (q69_rrf_hybrid _),
+    "q70_corpus_profile" -> (q70_corpus_profile _),
+    "q71_knn_label_audit" -> (q71_knn_label_audit _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -310,7 +310,8 @@ object Similarity {
     * row's argmin; at production cell counts that dominates the job.) */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 8,
-      nProbe: Int = 2, dim: Option[Int] = None): DataFrame = {
+      nProbe: Int = 2, dim: Option[Int] = None,
+      excludeSelf: Boolean = false): DataFrame = {
     // a zero nCells would silently take the empty-corpus branch below
     // and return "no neighbors" for a populated corpus
     require(nCells > 0 && nProbe > 0, "nCells and nProbe must be > 0")
@@ -319,15 +320,19 @@ object Similarity {
     centroidLiteral(candidates, idCol, vecCol, nCells, dim) match {
       case None => // empty corpus: empty result, correct schema
         rerank(q.crossJoin(c).where(lit(false)), k)
-      case Some(cents) => ivfSearch(q, c, cents, k, nProbe)
+      case Some(cents) => ivfSearch(q, c, cents, k, nProbe, excludeSelf)
     }
   }
 
   /** Assignment + probe + rerank over an arbitrary quantizer literal
     * (the cell_id/cent/centn struct-array shape both
-    * [[centroidLiteral]] and [[ivfTopKTrained]] build). */
+    * [[centroidLiteral]] and [[ivfTopKTrained]] build).
+    * `excludeSelf` drops query==candidate pairs BEFORE ranking (the
+    * self-neighbor is otherwise always rank 1 when queries come from
+    * the corpus itself) — the filter must precede the rank window, or
+    * a query tied with exact duplicates could return k-1 rows. */
   private def ivfSearch(q: DataFrame, c: DataFrame, cents: Column,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, excludeSelf: Boolean = false): DataFrame = {
     // length-vs-quantizer check (the centroid dim is a literal, so
     // the comparison constant-folds): a wrong-length vector's
     // cosine against every centroid is null, the assignment fold
@@ -338,7 +343,9 @@ object Similarity {
       cents, "__cv", "__cn", keep = 1)
     val probedQ = assignCells(q.where(size(col("__qv")) === centDim),
       cents, "__qv", "__qn", keep = nProbe)
-    rerank(probedQ.join(assignedC, "cell_id"), k)
+    val pairs = probedQ.join(assignedC, "cell_id")
+    rerank(if (excludeSelf) pairs.where(col("query_id") =!= col("cand_id"))
+      else pairs, k)
   }
 
   /** Deterministic fixed-point Lloyd k-means over an embedding column —
@@ -607,6 +614,48 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("__qv"), col("__qn"))
     // exact rerank: refetch only the survivors' vectors by id
     rerank(survivors.join(c, "cand_id"), k)
+  }
+
+  /** Embedding-space label audit: every vector's label is predicted by
+    * the MAJORITY LABEL of its k nearest neighbors (self excluded,
+    * found via the [[ivfTopK]] production path), and compared to its
+    * own — the standard kNN-consistency check for embedding quality /
+    * label-noise hunting over a training corpus ("which classes bleed
+    * into each other in embedding space?").
+    *
+    * Deterministic: neighbor ranking is [[ivfTopK]]'s (sim desc, ties
+    * to the lower cand_id, self pairs dropped BEFORE ranking); the
+    * vote breaks ties to the SMALLEST label. Null-label neighbors
+    * don't vote, and null-label vectors are excluded from the audit
+    * (no ground truth to compare against); a vector whose probed cells
+    * contain only itself yields no prediction and drops out (inner
+    * joins on both engines). Gate q71 replays neighbor search, vote,
+    * and tie-breaks exactly.
+    *
+    * Shape at scale: the ANN equi-joins dominate; the vote is one
+    * `groupBy(query, label)` + a per-query top-1 window over ≤ k rows.
+    *
+    * @return (query_id, label, pred_label) — one row per audited
+    *         vector */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+      dim: Option[Int] = None): DataFrame = {
+    val nn = ivfTopK(df, df, idCol, vecCol, k, nCells, nProbe, dim,
+      excludeSelf = true)
+    val nbrLabels = df.select(col(idCol).as("cand_id"),
+      col(labelCol).as("__nl")).where(col("__nl").isNotNull)
+    val votes = nn.join(nbrLabels, "cand_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__votes").desc, col("__nl").asc)
+    val pred = votes.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"))
+    val own = df.select(col(idCol).as("query_id"),
+      col(labelCol).as("label")).where(col("label").isNotNull)
+    pred.join(own, "query_id")
+      .select(col("query_id"), col("label"), col("pred_label"))
   }
 
   private def kmeansSchema: org.apache.spark.sql.types.StructType = {

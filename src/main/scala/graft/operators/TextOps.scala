@@ -690,6 +690,58 @@ object TextOps {
     df.where(col(idCol).isNotNull && h < rate)
   }
 
+  /** Exact per-stratum token-length profile — the corpus audit that
+    * sizes a training run (docs, tokens, and EXACT nearest-rank
+    * percentiles per source/language/shard): p(q) = the smallest token
+    * count whose cumulative doc count reaches ceil(q·n/100).
+    *
+    * Shape at scale — the histogram method, not a per-stratum row
+    * sort: one `groupBy(stratum, tokc)` compresses the corpus to its
+    * distinct (stratum, length) pairs (bounded by max doc length, NOT
+    * corpus size), the cumulative window then runs over that tiny
+    * frame, and percentiles fall out of a conditional min. A
+    * row-number approach would sort every row of a 100 TB corpus
+    * inside skewed stratum partitions; this sorts a few thousand
+    * histogram buckets. Exactness is what makes it oracle-able
+    * (gate q70) — approximate sketches can't hash-match an external
+    * engine.
+    *
+    * Docs with a null id or null text are excluded (no defined
+    * length); a null STRATUM is a real group (profiled like any
+    * other). Token counts ride as longs end to end. */
+  def corpusProfile(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, percentiles: Seq[Int] = Seq(50, 90, 99))
+      : DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      "percentiles are integers in 1..100")
+    require(percentiles.distinct.size == percentiles.size,
+      "duplicate percentile")
+    val t = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(strataCol).as("stratum"),
+        size(split(col(textCol), " ")).cast("long").as("__tokc"))
+    val hist = t.groupBy(col("stratum"), col("__tokc"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(col("stratum"))
+      .orderBy(col("__tokc").asc)
+    val allW = Window.partitionBy(col("stratum"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(allW))
+    val pCols = percentiles.map { p =>
+      // nearest-rank: ceil(p*n/100) as exact integer arithmetic
+      val rank = floor((col("__n") * p + 99) / 100)
+      min(when(col("__cum") >= rank, col("__tokc"))).as(s"p${p}_tokens")
+    }
+    val aggs = Seq(
+      max(col("__n")).as("n_docs"),
+      sum(col("__tokc") * col("__c")).as("sum_tokens"),
+      min(col("__tokc")).as("min_tokens"),
+      max(col("__tokc")).as("max_tokens")) ++ pCols
+    cum.groupBy(col("stratum")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Leakage-safe split assignment: near-duplicate clusters are
     * assigned to train/val/test as UNITS. A document's split is
     * [[hashSplit]] of its CLUSTER label (component min id from

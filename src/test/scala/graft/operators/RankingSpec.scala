@@ -75,6 +75,63 @@ class RankingSpec extends SparkSuite {
       (13L, 0, 2, 1.0 / (k + 2))))
   }
 
+  test("corpusProfile: exact nearest-rank percentiles vs a reference") {
+    // strata with 1, 4, and 10 docs; token counts chosen so p50/p90
+    // land on different buckets and duplicate lengths collapse into
+    // one histogram bucket
+    val docs: Seq[(java.lang.Long, String, String)] = Seq(
+      (1L: java.lang.Long, "a", "s1"),
+      (2L: java.lang.Long, "a b", "s2"), (3L: java.lang.Long, "a b", "s2"),
+      (4L: java.lang.Long, "a b c d", "s2"),
+      (5L: java.lang.Long, "a b c d e f", "s2")) ++
+      (10L until 20L).map(i => (i: java.lang.Long,
+        Seq.fill(i.toInt - 9)("w").mkString(" "), "s3")) ++
+      Seq((null, "dropped null id", "s1"),
+        (99L: java.lang.Long, null, "s1"))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text", "src")
+    val prof = TextOps.corpusProfile(df, "doc_id", "text", "src",
+      Seq(50, 90)).orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    def ref(lens: Seq[Long], p: Int): Long = {
+      val sorted = lens.sorted
+      sorted((p * sorted.size + 99) / 100 - 1) // nearest-rank, 1-based
+    }
+    val s3 = (1L to 10L)
+    assert(prof.toSeq == Seq(
+      ("s1", 1L, 1L, 1L, 1L, ref(Seq(1L), 50), ref(Seq(1L), 90)),
+      ("s2", 4L, 2L + 2L + 4L + 6L, 2L, 6L,
+        ref(Seq(2L, 2L, 4L, 6L), 50), ref(Seq(2L, 2L, 4L, 6L), 90)),
+      ("s3", 10L, s3.sum, 1L, 10L, ref(s3, 50), ref(s3, 90))),
+      s"profile mismatch: ${prof.toSeq}")
+  }
+
+  test("knnClassify: self is excluded BEFORE ranking (duplicate edge)") {
+    // three EXACT duplicates (ids 0,1,2) + two other points; k=2.
+    // Query 2's candidate list must be its two dup mates (sim 1.0,
+    // ties to lower id) — if self-exclusion ran AFTER a top-k window,
+    // query 2 (self ranked 3rd among the sim-1.0 ties) would keep a
+    // non-dup neighbor and mispredict
+    val base = Array.fill(4)(0.0f); base(0) = 1.0f
+    val far = Array.fill(4)(0.0f); far(3) = 1.0f
+    val rows = Seq(
+      (0L, base.toSeq, 7), (1L, base.toSeq, 7), (2L, base.toSeq, 7),
+      (3L, far.toSeq, 8), (4L, far.map(x => x * 0.5f).toSeq, 8))
+    val df = spark.createDataFrame(rows)
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(df, "vec_id", "embedding", "label",
+        k = 2, nCells = 2, nProbe = 2, dim = Some(4))
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every duplicate predicts 7 from its two mates; 3 and 4 predict 8
+    // from each other (their second neighbor is a base point, but one
+    // vote each → tie broken to the SMALLER label 7? No: labels vote
+    // with counts {8:1, 7:1} → tie → smallest label wins = 7)
+    assert(got.toSeq == Seq(
+      (0L, 7, 7), (1L, 7, 7), (2L, 7, 7),
+      (3L, 8, 7), (4L, 8, 7)), s"got ${got.toSeq}")
+  }
+
   test("stratifiedSample: deterministic membership, strata rates, " +
       "null handling") {
     val rows: Seq[(java.lang.Long, String)] =
