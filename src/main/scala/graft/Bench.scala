@@ -146,6 +146,15 @@ object Bench {
       graft.operators.TextOps.minhashSignatures(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 8,
         fastHash = false)),
+    // IVF-PQ at the PRODUCTION-shaped recall config (AnnRecall.ivfpq:
+    // 32 cells / 8 probes / 8 blocks x 16 sub-centroids / ADC keep
+    // 10k) over the full embedding corpus as self-queries — the
+    // standing row that puts a COST next to the ivfpq recall number
+    // the bench records each round. q66 stays the oracle-gated small
+    // config; this row prices the config whose recall is measured.
+    "x66_ivfpq_prod" -> ((s: SparkSession, dir: String) =>
+      graft.AnnRecall.ivfpq(
+        s.read.parquet(s"$dir/embeddings.parquet"))),
     // q45 with persistInput: the documented 100 TB knob (one
     // materialized normed projection instead of ~4 recomputed corpus
     // passes). Results are identical to q45; the x45/q45 delta prices

@@ -418,8 +418,8 @@ object Similarity {
     * null long, the distance argmin falls through to cell 0, and the
     * update step's count/sum disagree on the row — cell 0's centroid
     * would silently drift toward zero. */
-  private def kmeansBase(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, scale: Long): DataFrame = {
+  private[graft] def kmeansBase(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, scale: Long): DataFrame = {
     val quantized = colOf(graft.functions.VectorFunctions.QuantizeFloor(
       exprOf(col(vecCol)), scale))
     val finite = colOf(graft.functions.VectorFunctions.AllFinite(
@@ -575,15 +575,13 @@ object Similarity {
     val c = normed(candidates, idCol, vecCol, "cand_id", "__cv", "__cn")
     val q = normed(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     val base = kmeansBase(candidates, idCol, vecCol, dim, scale)
-    val books: IndexedSeq[Seq[Seq[Long]]] = (0 until m).map { b =>
-      trainCentroids(
-        base.select(col("__id"),
-          slice(col("__qv"), b * blockLen + 1, blockLen).as("__qv")),
-        kSub, iters, None).map(_._2.toSeq)
-    }
+    val books = trainPqBooks(base, m, blockLen, kSub, iters)
     val centsOpt = centroidLiteral(candidates, idCol, vecCol, nCells,
       Some(dim))
-    if (centsOpt.isEmpty || books.exists(_.isEmpty)) // empty corpus
+    // empty corpus — or a corpus whose every vector the quantized
+    // projection drops (books empty/degenerate while the raw-id coarse
+    // quantizer is not): PqEncode requires non-empty codebooks
+    if (centsOpt.isEmpty || books.isEmpty || books.exists(_.isEmpty))
       return rerank(q.crossJoin(c).where(lit(false)), k)
     val cents = centsOpt.get
     val booksSeq = books.map(_.toSeq)
@@ -614,6 +612,61 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("__qv"), col("__qn"))
     // exact rerank: refetch only the survivors' vectors by id
     rerank(survivors.join(c, "cand_id"), k)
+  }
+
+  /** All `m` PQ codebooks trained in ONE Spark job per Lloyd round —
+    * value-identical to running [[trainCentroids]] independently on
+    * each block's slice (spec-pinned equivalence), but with 1 + iters
+    * driver round-trips TOTAL instead of m·(1 + iters): at a
+    * production 96-block quantizer the per-block formulation is ~300
+    * tiny jobs whose scheduling overhead dwarfs the arithmetic.
+    *
+    * Per round: one narrow [[graft.functions.VectorFunctions.PqEncode]]
+    * pass assigns every block's code (per-block exact-long argmin,
+    * ties to the lower code — exactly the per-block
+    * [[trainCentroids]] assignment), one posexplode + groupBy(block,
+    * code, position) computes every codebook's component sums, and the
+    * k·dim-sized result returns to the driver for the exact
+    * floor-division update (empty cells keep their centroid). The
+    * lowest-id init collects once and slices driver-side — the same k
+    * rows each per-block loop would draw. */
+  private[graft] def trainPqBooks(base: DataFrame, m: Int,
+      blockLen: Int, kSub: Int, iters: Int)
+      : IndexedSeq[Seq[Seq[Long]]] = {
+    val initRows = base.orderBy(col("__id").asc).limit(kSub).collect()
+    if (initRows.isEmpty) return IndexedSeq.empty
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      (0 until m).map { b =>
+        initRows.toIndexedSeq.map(r =>
+          r.getSeq[Long](1).slice(b * blockLen, (b + 1) * blockLen)
+            .toIndexedSeq)
+      }
+    for (_ <- 1 to iters) {
+      val codes = colOf(graft.functions.VectorFunctions.PqEncode(
+        exprOf(col("__qv")), books.map(_.map(_.toSeq).toSeq)))
+      val sums = base.withColumn("__codes", codes)
+        .select(col("__codes"),
+          posexplode(col("__qv")).as(Seq("__pos", "__x")))
+        .withColumn("__blk", (col("__pos") / blockLen).cast("int"))
+        .withColumn("__code", element_at(col("__codes"), col("__blk") + 1))
+        .groupBy(col("__blk"), col("__code"), col("__pos"))
+        .agg(sum(col("__x")).as("__sum"), count(lit(1)).as("__cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          (r.getLong(3), r.getLong(4)))
+        .toMap
+      books = books.zipWithIndex.map { case (book, b) =>
+        book.zipWithIndex.map { case (prev, c) =>
+          prev.indices.map { j =>
+            sums.get((b, c, b * blockLen + j)) match {
+              case Some((s, n)) => Math.floorDiv(s, n)
+              case None         => prev(j) // empty cell keeps centroid
+            }
+          }
+        }
+      }
+    }
+    books.map(_.map(_.toSeq).toSeq)
   }
 
   /** Embedding-space label audit: every vector's label is predicted by

@@ -106,6 +106,30 @@ class PqKernelSpec extends SparkSuite {
     assert(got.forall(_.isNullAt(1)), "undefined ADC inputs must be null")
   }
 
+  test("fused PQ training equals per-block trainCentroids exactly") {
+    // trainPqBooks runs ONE job per Lloyd round for all blocks; this
+    // pins its value-equivalence to m independent per-block
+    // trainCentroids loops (same init rows, same argmin tie-breaks,
+    // same floor-division updates, same empty-cell inheritance) on the
+    // real corpus — the equivalence the q66 oracle's per-block SQL
+    // replay relies on
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = graft.operators.Similarity.kmeansBase(
+      emb, "vec_id", "embedding", 64, 1000000L)
+    val m = 4
+    val bl = 16
+    val fused = graft.operators.Similarity.trainPqBooks(
+      base, m, bl, kSub = 4, iters = 2)
+    val perBlock = (0 until m).map { b =>
+      graft.operators.Similarity.trainCentroids(
+        base.select(col("__id"),
+          slice(col("__qv"), b * bl + 1, bl).as("__qv")),
+        4, 2, None).map(_._2.toSeq).toSeq
+    }
+    assert(fused.map(_.map(_.toSeq)) == perBlock.map(_.map(_.toSeq)),
+      "fused training diverged from the per-block loops")
+  }
+
   test("ivfPqTopK with pruning disabled equals exact brute force") {
     // nProbe = nCells and adcKeep >= corpus size: the ADC stage keeps
     // everything, so the exact rerank must reproduce bruteForceTopK
