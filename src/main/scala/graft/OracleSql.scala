@@ -1263,7 +1263,8 @@ object OracleSql {
        |      (a, x) -> a + x)) AS nrm
        |  FROM vv),
        |cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
-       |  FROM n ORDER BY id LIMIT 8),
+       |  FROM n ORDER BY id LIMIT (
+       |    SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |casg AS (SELECT id, cell_id FROM (
        |    SELECT n.id, cent.cell_id, row_number() OVER (
        |        PARTITION BY n.id ORDER BY

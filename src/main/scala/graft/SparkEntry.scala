@@ -1233,13 +1233,14 @@ object SparkEntry {
     * every embedding's label predicted by the majority label of its 5
     * nearest neighbors (self excluded before ranking, the q41 IVF
     * production path, vote ties to the smallest label), rolled up to
-    * per-label accuracy. The oracle replays search, vote, and both
-    * tie-breaks. */
+    * per-label accuracy. The quantizer self-sizes to ceil(sqrt(N))
+    * cells (the balanced all-pairs-audit law); the oracle replays the
+    * sizing (LIMIT subquery), search, vote, and both tie-breaks. */
   private def q71_knn_label_audit(s: SparkSession, dir: String)
       : DataFrame = {
     val emb = pq(s, dir, "embeddings")
     Similarity.knnClassify(emb, "vec_id", "embedding", "label",
-        k = 5, nCells = 8, nProbe = 2)
+        k = 5, nCells = None, nProbe = 2)
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),
         sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))

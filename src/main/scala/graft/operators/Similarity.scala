@@ -687,13 +687,25 @@ object Similarity {
     *
     * Shape at scale: the ANN equi-joins dominate; the vote is one
     * `groupBy(query, label)` + a per-query top-1 window over ≤ k rows.
+    * Because EVERY vector is a query, cell sizing is the complexity
+    * knob: with C cells, assignment costs N·C and probing costs
+    * ~nProbe·N²/C, so the default (`nCells = None`) self-sizes to
+    * C = ceil(√N) — the balanced Θ(N^1.5) total, vs Θ(N²) at any
+    * fixed C. One count() job picks C; ceil(sqrt(·)) over an exact
+    * long is engine-reproducible (IEEE sqrt is correctly rounded), so
+    * the q71 oracle mirrors the auto-sizing with a LIMIT subquery.
+    * Note a per-corpus-doubling time ratio of ~2^1.5 ≈ 2.83 with flat
+    * output is this operator's HEALTHY scaling — it is an all-pairs
+    * audit, not a fixed-query search.
     *
     * @return (query_id, label, pred_label) — one row per audited
     *         vector */
   def knnClassify(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
-      dim: Option[Int] = None): DataFrame = {
-    val nn = ivfTopK(df, df, idCol, vecCol, k, nCells, nProbe, dim,
+      labelCol: String, k: Int, nCells: Option[Int] = None,
+      nProbe: Int = 2, dim: Option[Int] = None): DataFrame = {
+    val cells = nCells.getOrElse(
+      math.max(1, math.ceil(math.sqrt(df.count().toDouble)).toInt))
+    val nn = ivfTopK(df, df, idCol, vecCol, k, cells, nProbe, dim,
       excludeSelf = true)
     val nbrLabels = df.select(col(idCol).as("cand_id"),
       col(labelCol).as("__nl")).where(col("__nl").isNotNull)

@@ -120,7 +120,7 @@ class RankingSpec extends SparkSuite {
     val df = spark.createDataFrame(rows)
       .toDF("vec_id", "embedding", "label")
     val got = Similarity.knnClassify(df, "vec_id", "embedding", "label",
-        k = 2, nCells = 2, nProbe = 2, dim = Some(4))
+        k = 2, nCells = Some(2), nProbe = 2, dim = Some(4))
       .orderBy("query_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     // every duplicate predicts 7 from its two mates; 3 and 4 predict 8
