@@ -551,6 +551,10 @@ object OracleSql {
     "q69_rrf_hybrid" -> q69Sql,
     // q70: exact histogram-method token percentiles per source
     "q70_corpus_profile" -> q70Sql,
+    // q72: residual IVFADC — the q66 replay in per-cell residual frame
+    "q72_ann_ivfadc" -> q72Sql,
+    // q73: trained-coarse residual IVFADC — the faithful composition
+    "q73_ann_ivfadc_trained" -> q73Sql,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 
@@ -1016,15 +1020,47 @@ object OracleSql {
     * the CODED sub-centroids, top-8 per query, ties to the lower
     * cand_id), and the shared exact-cosine rerank — every stage
     * replayed bit-for-bit. */
-  private def q66Sql: String = {
+  private def q66Sql: String = ivfPqSql(residual = false)
+
+  /** Residual-IVFADC oracle (`SparkEntry.q72_ann_ivfadc`): the q66
+    * replay with PQ applied to `qv − cell's quantized centroid` — the
+    * `qc`/`rbase` CTEs build the residual frame (inner joins mirror
+    * the Spark side's quantizer-projection joins), the block
+    * trainings run over residual slices, and the ADC subtracts the
+    * probed cell's centroid from the query inline (two exact long
+    * subtractions, same association order as VecSubLong + PqAdcDist). */
+  private def q72Sql: String = ivfPqSql(residual = true)
+
+  /** Trained-coarse residual-IVFADC oracle
+    * (`SparkEntry.q73_ann_ivfadc_trained`): the q53 training chain
+    * (lowest-id init, 2 rounds → c2) provides BOTH the cosine coarse
+    * quantizer (de-quantized, q65's construction) and the exact
+    * quantized centroids the residual frame subtracts (c2 directly —
+    * already fixed-point, no extra rounding anywhere). */
+  private def q73Sql: String = ivfPqSql(residual = true, trained = true)
+
+  /** Shared IVF-PQ replay (gates q66/q72): coarse quantizer (8
+    * lowest-id vectors, cosine assignment / 2-probe), four per-block
+    * Lloyd trainings (q53 arithmetic, 16-dim slices, k=4, 2
+    * iterations, lowest-id init), exact-long encode (ties to the
+    * lower code), exact-long ADC (top-8 per query, ties to the lower
+    * cand_id), exact-cosine rerank. `residual` switches the PQ frame
+    * from raw quantized vectors to per-cell residuals; `trained`
+    * switches the coarse quantizer from the 8 lowest-id vectors to
+    * the q53 Lloyd chain's 4 trained centroids (q65's de-quantized
+    * cosine construction, with c2 doubling as the exact residual
+    * frame). */
+  private def ivfPqSql(residual: Boolean,
+      trained: Boolean = false): String = {
     val m = 4
     val bl = 16 // block length (dim 64 / m)
-    // per-block training chain: sliced quantized vectors, lowest-id
-    // init, two assignment/update rounds, then the full encode
-    // assignment against the trained codebook
+    val src = if (residual) "rbase" else "v"
+    // per-block training chain: sliced quantized (residual) vectors,
+    // lowest-id init, two assignment/update rounds, then the full
+    // encode assignment against the trained codebook
     val blockCtes = (0 until m).map { b =>
       val off = b * bl
-      s"""v$b AS (SELECT id, qv[${off + 1}:${off + bl}] AS qv FROM v),
+      s"""v$b AS (SELECT id, qv[${off + 1}:${off + bl}] AS qv FROM $src),
          |cb${b}0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
          |    qv AS cent
          |  FROM (SELECT id, qv FROM v$b ORDER BY id LIMIT 4)),
@@ -1037,27 +1073,91 @@ object OracleSql {
     val encJoin = (1 until m).map(b => s"JOIN e$b USING (id)")
       .mkString(" ")
     val encCols = (0 until m).map(b => s"e$b.cell AS c$b").mkString(", ")
-    // ADC: block b's exact-long squared L2 between the query's slice
-    // and the candidate's coded sub-centroid
+    // ADC: block b's exact-long squared L2 between the query's
+    // (residual) slice and the candidate's coded sub-centroid
+    val qSlice = (off: Int) =>
+      if (residual) s"(vq.qv[$off+j] - qc.cqv[$off+j])"
+      else s"vq.qv[$off+j]"
     val adcSum = (0 until m).map { b =>
       val off = b * bl
       s"""list_sum(list_transform(range(1,${bl + 1}),
-         |       j -> (vq.qv[$off+j]-b$b.cent[j])*(vq.qv[$off+j]-b$b.cent[j])))"""
+         |       j -> (${qSlice(off)}-b$b.cent[j])*(${qSlice(off)}-b$b.cent[j])))"""
         .stripMargin
     }.mkString("\n     + ")
     val bookJoins = (0 until m).map(b =>
       s"JOIN cb${b}2 b$b ON b$b.cell = enc.c$b").mkString("\n  ")
+    val qcJoin =
+      if (residual) "\n  JOIN qc ON qc.cell_id = q.cell_id" else ""
+    val qcCte =
+      if (trained)
+        """qc AS (SELECT cell AS cell_id, cent AS cqv FROM c2)"""
+      else
+        """qc AS (SELECT cent.cell_id, v.qv AS cqv
+          |  FROM cent JOIN v ON v.id = cent.cell_id)""".stripMargin
+    val residualCtes = if (!residual) "" else
+      s""",
+         |$qcCte,
+         |rbase AS (SELECT c.id, list_transform(range(1,65),
+         |    j -> v.qv[j] - qc2.cqv[j]) AS qv
+         |  FROM casg c JOIN v ON v.id = c.id
+         |  JOIN qc qc2 ON qc2.cell_id = c.cell_id)""".stripMargin
+    // head: the quantized-vector CTE — plain `v` for the seed coarse
+    // quantizer, or the full q53 training chain (which begins with the
+    // identical `v`) when the coarse stage is trained
+    val headCtes =
+      if (!trained)
+        """v AS (SELECT vec_id AS id, list_transform(range(1,65),
+          |    j -> CAST(floor(CAST(embedding[j] AS DOUBLE)*1000000) AS BIGINT))
+          |      AS qv
+          |  FROM embeddings
+          |  WHERE vec_id IS NOT NULL AND len(embedding) = 64)""".stripMargin
+      else kmeansTrainCtes(
+        """c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+          |    qv AS cent
+          |  FROM (SELECT id, qv FROM v ORDER BY id LIMIT 4))""".stripMargin)
+    // coarse cosine quantizer: 8 lowest-id vectors, or the trained
+    // centroids de-quantized (q65's construction) with `cell` renamed
+    // to the shared `cell_id`
+    def cosTo(cv: String, cn: String) =
+      s"""(list_reduce(list_transform(range(1,65),
+         |           j -> n.vec[j] * $cv[j]), (a, x) -> a + x)
+         |         / (n.nrm * $cn))""".stripMargin
+    val coarseCtes =
+      if (!trained)
+        s"""cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
+           |  FROM n ORDER BY id LIMIT 8),
+           |casg AS (SELECT id, cell_id FROM (
+           |    SELECT n.id, cent.cell_id, row_number() OVER (
+           |        PARTITION BY n.id ORDER BY
+           |        ${cosTo("cent.cvec", "cent.cnrm")} DESC, cent.cell_id) AS rk
+           |    FROM n, cent) WHERE rk = 1),
+           |qprb AS (SELECT id, cell_id FROM (
+           |    SELECT n.id, cent.cell_id, row_number() OVER (
+           |        PARTITION BY n.id ORDER BY
+           |        ${cosTo("cent.cvec", "cent.cnrm")} DESC, cent.cell_id) AS rk
+           |    FROM n, cent WHERE n.id < 16) WHERE rk <= 2)""".stripMargin
+      else
+        s"""cd AS (SELECT cell, list_transform(cent, x -> x / 1000000.0)
+           |    AS cvec FROM c2),
+           |cn AS (SELECT cell, cvec,
+           |    sqrt(list_reduce(list_transform(cvec, x -> x * x),
+           |      (a, x) -> a + x)) AS cnrm
+           |  FROM cd),
+           |casg AS (SELECT id, cell_id FROM (
+           |    SELECT n.id, cn.cell AS cell_id, row_number() OVER (
+           |        PARTITION BY n.id ORDER BY
+           |        ${cosTo("cn.cvec", "cn.cnrm")} DESC, cn.cell) AS rk
+           |    FROM n, cn) WHERE rk = 1),
+           |qprb AS (SELECT id, cell_id FROM (
+           |    SELECT n.id, cn.cell AS cell_id, row_number() OVER (
+           |        PARTITION BY n.id ORDER BY
+           |        ${cosTo("cn.cvec", "cn.cnrm")} DESC, cn.cell) AS rk
+           |    FROM n, cn WHERE n.id < 16) WHERE rk <= 2)""".stripMargin
     def cos(q: String, c: String) =
       s"""(list_reduce(list_transform(range(1,65),
          |       j -> $q.vec[j] * $c.vec[j]), (a, x) -> a + x)
          |     / ($q.nrm * $c.nrm))""".stripMargin
-    s"""WITH v AS (SELECT vec_id AS id, list_transform(range(1,65),
-       |    j -> CAST(floor(CAST(embedding[j] AS DOUBLE)*1000000) AS BIGINT))
-       |      AS qv
-       |  FROM embeddings
-       |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
-       |$blockCtes,
-       |enc AS (SELECT e0.id, $encCols FROM e0 $encJoin),
+    s"""WITH $headCtes,
        |vv AS (SELECT vec_id AS id,
        |    list_transform(range(1,65),
        |      j -> CAST(embedding[j] AS DOUBLE)) AS vec
@@ -1066,28 +1166,15 @@ object OracleSql {
        |    sqrt(list_reduce(list_transform(vec, x -> x * x),
        |      (a, x) -> a + x)) AS nrm
        |  FROM vv),
-       |cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
-       |  FROM n ORDER BY id LIMIT 8),
-       |casg AS (SELECT id, cell_id FROM (
-       |    SELECT n.id, cent.cell_id, row_number() OVER (
-       |        PARTITION BY n.id ORDER BY
-       |        (list_reduce(list_transform(range(1,65),
-       |           j -> n.vec[j] * cent.cvec[j]), (a, x) -> a + x)
-       |         / (n.nrm * cent.cnrm)) DESC, cent.cell_id) AS rk
-       |    FROM n, cent) WHERE rk = 1),
-       |qprb AS (SELECT id, cell_id FROM (
-       |    SELECT n.id, cent.cell_id, row_number() OVER (
-       |        PARTITION BY n.id ORDER BY
-       |        (list_reduce(list_transform(range(1,65),
-       |           j -> n.vec[j] * cent.cvec[j]), (a, x) -> a + x)
-       |         / (n.nrm * cent.cnrm)) DESC, cent.cell_id) AS rk
-       |    FROM n, cent WHERE n.id < 16) WHERE rk <= 2),
+       |$coarseCtes$residualCtes,
+       |$blockCtes,
+       |enc AS (SELECT e0.id, $encCols FROM e0 $encJoin),
        |adcp AS (SELECT q.id AS query_id, c.id AS cand_id,
        |    ($adcSum) AS adc
        |  FROM qprb q
        |  JOIN casg c ON q.cell_id = c.cell_id
        |  JOIN enc ON enc.id = c.id
-       |  JOIN v vq ON vq.id = q.id
+       |  JOIN v vq ON vq.id = q.id$qcJoin
        |  $bookJoins),
        |adct AS (SELECT query_id, cand_id FROM (
        |    SELECT query_id, cand_id, row_number() OVER (

@@ -1218,6 +1218,43 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Residual IVF-PQ — IVFADC proper
+    * ([[graft.operators.Similarity.ivfPqTopK]] with `residual=true`):
+    * the q66 composition with PQ applied to `vector − its cell's
+    * quantized centroid`; queries re-frame per probed cell. Every
+    * stage — the residual construction included — replays in the
+    * oracle's exact long arithmetic. */
+  private def q72_ann_ivfadc(s: SparkSession, dir: String): DataFrame = {
+    val emb = pq(s, dir, "embeddings")
+    graft.operators.Similarity.ivfPqTopK(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "embedding",
+        k = 3, nCells = 8, nProbe = 2, m = 4, kSub = 4, iters = 2,
+        adcKeep = 8, dim = 64, residual = true)
+      .select(col("query_id"), col("cand_id"),
+        round(col("sim"), 6).as("sim_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Trained-coarse residual IVFADC
+    * ([[graft.operators.Similarity.ivfPqTopKTrained]]): the faithful
+    * FAISS composition — q53's Lloyd loop trains the coarse quantizer
+    * (as in q65), PQ encodes residuals against the TRAINED quantized
+    * centroids (exact long subtraction, no extra rounding), per-cell
+    * residual frames at probe time. The oracle replays coarse
+    * training, residual construction, all block trainings, ADC, and
+    * rerank. */
+  private def q73_ann_ivfadc_trained(s: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = pq(s, dir, "embeddings")
+    graft.operators.Similarity.ivfPqTopKTrained(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "embedding",
+        k = 3, kCells = 4, coarseIters = 2, nProbe = 2, m = 4,
+        kSub = 4, iters = 2, adcKeep = 8, dim = 64, residual = true)
+      .select(col("query_id"), col("cand_id"),
+        round(col("sim"), 6).as("sim_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1413,7 +1450,9 @@ object SparkEntry {
     "q68_bm25" -> (q68_bm25 _),
     "q69_rrf_hybrid" -> (q69_rrf_hybrid _),
     "q70_corpus_profile" -> (q70_corpus_profile _),
-    "q71_knn_label_audit" -> (q71_knn_label_audit _)) ++
+    "q71_knn_label_audit" -> (q71_knn_label_audit _),
+    "q72_ann_ivfadc" -> (q72_ann_ivfadc _),
+    "q73_ann_ivfadc_trained" -> (q73_ann_ivfadc_trained _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

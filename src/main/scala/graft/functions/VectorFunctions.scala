@@ -484,6 +484,24 @@ object VectorKernels {
     s
   }
 
+  /** Element-wise long subtraction a − b — the residual step of
+    * IVFADC (candidate/query quantized vector minus its cell's
+    * quantized centroid). Null/any-null-element input or a length
+    * mismatch → null (residual undefined). */
+  def vecSubLong(a: ArrayData, b: ArrayData): ArrayData = {
+    if (a == null || b == null) return null
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      out(i) = a.getLong(i) - b.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Product-quantization encode: block `b` of the quantized vector
     * (the contiguous slice whose length is codebook `b`'s centroid
     * dimension) maps to the code of its nearest sub-centroid by EXACT
@@ -992,6 +1010,35 @@ object VectorFunctions {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$name expects array<bigint>, got ${other.simpleString}")
+  }
+
+  /** Residual subtraction (see [[VectorKernels.vecSubLong]]);
+    * null-safe on both children. */
+  case class VecSubLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = checkLongVecOf(left, prettyName)
+      if (l.isSuccess) checkLongVecOf(right, prettyName) else l
+    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.vecSubLong(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val boxed = ctx.freshName("subRes")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $boxed =
+        |  graft.functions.VectorKernels.vecSubLong($a, $b);
+        |if ($boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $boxed; }
+        |""".stripMargin)
+    }
+    override def prettyName: String = "vec_sub_long"
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): VecSubLong = copy(left = l, right = r)
   }
 
   /** PQ encode (see [[VectorKernels.pqEncode]] for the parity

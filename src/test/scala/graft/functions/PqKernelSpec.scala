@@ -130,6 +130,52 @@ class PqKernelSpec extends SparkSuite {
       "fused training diverged from the per-block loops")
   }
 
+  test("VecSubLong: element-wise difference, null on undefined") {
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq(
+      (Seq[java.lang.Long](5L, -3L, 0L), Seq[java.lang.Long](2L, 2L, 7L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](0L, 0L, 0L)),
+      (null, Seq[java.lang.Long](1L)))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val got = df.select(colOf(VectorFunctions.VecSubLong(
+      exprOf(col("a")), exprOf(col("b"))))).collect()
+    assert(got(0).getSeq[Long](0) == Seq(3L, -5L, -7L))
+    assert(got.drop(1).forall(_.isNullAt(0)),
+      "mismatched/null inputs must yield null")
+  }
+
+  test("residual ivfPqTopK with pruning disabled equals brute force") {
+    // the residual frame changes ADC scores but never the exact
+    // rerank: with nProbe = nCells and a huge adcKeep the output must
+    // still be bruteForceTopK exactly
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 8)
+    val approx = graft.operators.Similarity.ivfPqTopK(
+      queries, emb, "vec_id", "embedding", k = 3, nCells = 4,
+      nProbe = 4, m = 4, kSub = 4, iters = 1, adcKeep = 100000,
+      dim = 64, residual = true)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 3)
+    assert(approx.orderBy("query_id", "rank").collect().toSeq ==
+      exact.orderBy("query_id", "rank").collect().toSeq,
+      "pruning-disabled residual IVF-PQ diverged from brute force")
+  }
+
+  test("trained-coarse residual IVFADC with pruning disabled equals " +
+      "brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 8)
+    val approx = graft.operators.Similarity.ivfPqTopKTrained(
+      queries, emb, "vec_id", "embedding", k = 3, kCells = 4,
+      coarseIters = 2, nProbe = 4, m = 4, kSub = 4, iters = 1,
+      adcKeep = 100000, dim = 64, residual = true)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 3)
+    assert(approx.orderBy("query_id", "rank").collect().toSeq ==
+      exact.orderBy("query_id", "rank").collect().toSeq,
+      "pruning-disabled trained IVFADC diverged from brute force")
+  }
+
   test("ivfPqTopK with pruning disabled equals exact brute force") {
     // nProbe = nCells and adcKeep >= corpus size: the ADC stage keeps
     // everything, so the exact rerank must reproduce bruteForceTopK
