@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions.col
 
 import graft.operators.Similarity
 
-/** Measured ANN quality: recall@k of the two production search paths
-  * ([[Similarity.bandedTopK]], [[Similarity.ivfTopK]]) against
+/** Measured ANN quality: recall@k of the three production search paths
+  * ([[Similarity.bandedTopK]], [[Similarity.ivfTopK]],
+  * [[Similarity.ivfPqTopK]]) against
   * [[Similarity.bruteForceTopK]] ground truth on the testdata embedding
   * corpus. One definition shared by the bench record (values land in
   * `bench_out/latest.json` + the compact BENCH line) and the regression
@@ -159,7 +160,7 @@ private[graft] object AnnRecall {
         val (clB, clI, clP) = {
           // frame CONSTRUCTION is inside the try too: an analysis error
           // while building the clustered corpus must degrade to "null"
-          // fragments, not null the four testdata numbers above; persists
+          // fragments, not null the six testdata numbers above; persists
           // unwind in the finally regardless of where the failure lands
           var cl: org.apache.spark.sql.DataFrame = null
           var cx: org.apache.spark.sql.DataFrame = null

@@ -1039,6 +1039,35 @@ object OracleSql {
     * already fixed-point, no extra rounding anywhere). */
   private def q73Sql: String = ivfPqSql(residual = true, trained = true)
 
+  /** Seed-coarse cosine-assignment CTEs shared by the IVF-family
+    * oracles (ivfPqSql's seed branch, q71): `cent` = the nCells
+    * lowest-id vectors, `casg` = every vector's best-cosine cell
+    * (ties to the lower cell_id), `qprb` = each query's nProbe best
+    * cells, with the query set narrowed by `queryFilter` (empty = all
+    * vectors are queries). ONE definition so a tie-break or
+    * arithmetic fix can never reach only some gates. `nCellsExpr` is
+    * a SQL expression (a constant, or q71's self-sizing LIMIT
+    * subquery). */
+  private def seedCoarseCtes(nCellsExpr: String, nProbe: Int,
+      queryFilter: String): String = {
+    val cos =
+      s"""(list_reduce(list_transform(range(1,65),
+         |           j -> n.vec[j] * cent.cvec[j]), (a, x) -> a + x)
+         |         / (n.nrm * cent.cnrm))""".stripMargin
+    s"""cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
+       |  FROM n ORDER BY id LIMIT $nCellsExpr),
+       |casg AS (SELECT id, cell_id FROM (
+       |    SELECT n.id, cent.cell_id, row_number() OVER (
+       |        PARTITION BY n.id ORDER BY
+       |        $cos DESC, cent.cell_id) AS rk
+       |    FROM n, cent) WHERE rk = 1),
+       |qprb AS (SELECT id, cell_id FROM (
+       |    SELECT n.id, cent.cell_id, row_number() OVER (
+       |        PARTITION BY n.id ORDER BY
+       |        $cos DESC, cent.cell_id) AS rk
+       |    FROM n, cent$queryFilter) WHERE rk <= $nProbe)""".stripMargin
+  }
+
   /** Shared IVF-PQ replay (gates q66/q72): coarse quantizer (8
     * lowest-id vectors, cosine assignment / 2-probe), four per-block
     * Lloyd trainings (q53 arithmetic, 16-dim slices, k=4, 2
@@ -1124,18 +1153,7 @@ object OracleSql {
          |         / (n.nrm * $cn))""".stripMargin
     val coarseCtes =
       if (!trained)
-        s"""cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
-           |  FROM n ORDER BY id LIMIT 8),
-           |casg AS (SELECT id, cell_id FROM (
-           |    SELECT n.id, cent.cell_id, row_number() OVER (
-           |        PARTITION BY n.id ORDER BY
-           |        ${cosTo("cent.cvec", "cent.cnrm")} DESC, cent.cell_id) AS rk
-           |    FROM n, cent) WHERE rk = 1),
-           |qprb AS (SELECT id, cell_id FROM (
-           |    SELECT n.id, cent.cell_id, row_number() OVER (
-           |        PARTITION BY n.id ORDER BY
-           |        ${cosTo("cent.cvec", "cent.cnrm")} DESC, cent.cell_id) AS rk
-           |    FROM n, cent WHERE n.id < 16) WHERE rk <= 2)""".stripMargin
+        seedCoarseCtes("8", 2, " WHERE n.id < 16")
       else
         s"""cd AS (SELECT cell, list_transform(cent, x -> x / 1000000.0)
            |    AS cvec FROM c2),
@@ -1337,10 +1355,6 @@ object OracleSql {
     * vector (self pairs dropped before ranking, k=5), neighbor labels
     * vote with ties to the smallest label, accuracy per true label. */
   private def q71Sql: String = {
-    def cosTo(cv: String, cn: String) =
-      s"""(list_reduce(list_transform(range(1,65),
-         |           j -> n.vec[j] * $cv[j]), (a, x) -> a + x)
-         |         / (n.nrm * $cn))""".stripMargin
     s"""WITH vv AS (SELECT vec_id AS id,
        |    list_transform(range(1,65),
        |      j -> CAST(embedding[j] AS DOUBLE)) AS vec
@@ -1349,19 +1363,10 @@ object OracleSql {
        |    sqrt(list_reduce(list_transform(vec, x -> x * x),
        |      (a, x) -> a + x)) AS nrm
        |  FROM vv),
-       |cent AS (SELECT id AS cell_id, vec AS cvec, nrm AS cnrm
-       |  FROM n ORDER BY id LIMIT (
-       |    SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-       |casg AS (SELECT id, cell_id FROM (
-       |    SELECT n.id, cent.cell_id, row_number() OVER (
-       |        PARTITION BY n.id ORDER BY
-       |        ${cosTo("cent.cvec", "cent.cnrm")} DESC, cent.cell_id) AS rk
-       |    FROM n, cent) WHERE rk = 1),
-       |qprb AS (SELECT id, cell_id FROM (
-       |    SELECT n.id, cent.cell_id, row_number() OVER (
-       |        PARTITION BY n.id ORDER BY
-       |        ${cosTo("cent.cvec", "cent.cnrm")} DESC, cent.cell_id) AS rk
-       |    FROM n, cent) WHERE rk <= 2),
+       |${seedCoarseCtes(
+          """(
+            |    SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"""
+            .stripMargin, 2, "")},
        |pairs AS (SELECT q.id AS query_id, c.id AS cand_id,
        |    (list_reduce(list_transform(range(1,65),
        |       j -> nq.vec[j] * nc.vec[j]), (a, x) -> a + x)

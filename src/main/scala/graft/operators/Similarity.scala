@@ -207,23 +207,28 @@ object Similarity {
   private[graft] def centroidLiteral(candidates: DataFrame, idCol: String,
       vecCol: String, nCells: Int, dim: Option[Int] = None)
       : Option[Column] = {
-    import org.apache.spark.sql.types._
-    val idType = candidates.schema(idCol).dataType
     val rows = centroidRows(candidates, idCol, vecCol, nCells, dim)
     if (rows.isEmpty) None
-    else {
-      val structType = StructType(Seq(
-        StructField("cell_id", idType, nullable = false),
-        StructField("cent", ArrayType(DoubleType, containsNull = false),
-          nullable = false),
-        StructField("centn", DoubleType, nullable = false)))
-      val value = rows.toIndexedSeq.map(r =>
-        org.apache.spark.sql.Row(r.get(0), r.getSeq[Double](1),
-          r.getDouble(2)))
-      Some(org.apache.spark.sql.graftshim.ColumnShim.column(
-        org.apache.spark.sql.catalyst.expressions.Literal.create(
-          value, ArrayType(structType, containsNull = false))))
-    }
+    else Some(centsLiteralOf(rows, candidates.schema(idCol).dataType))
+  }
+
+  /** The (cell_id, cent, centn) quantizer literal from already-
+    * collected [[centroidRows]] — shared so the residual path can
+    * build the literal AND read the centroid ids from ONE collect. */
+  private def centsLiteralOf(rows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val structType = StructType(Seq(
+      StructField("cell_id", idType, nullable = false),
+      StructField("cent", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("centn", DoubleType, nullable = false)))
+    val value = rows.toIndexedSeq.map(r =>
+      org.apache.spark.sql.Row(r.get(0), r.getSeq[Double](1),
+        r.getDouble(2)))
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        value, ArrayType(structType, containsNull = false)))
   }
 
   /** The quantizer row selection behind [[centroidLiteral]], exposed so
@@ -644,19 +649,21 @@ object Similarity {
     // QUANTIZED centroid frame the residual subtraction joins against
     val coarse: Option[(Column, Option[DataFrame])] = trainedCoarse match {
       case None =>
-        centroidLiteral(candidates, idCol, vecCol, nCells, Some(dim))
-          .map { cl =>
-            val qc = if (!residual) None else {
-              val centIds = centroidRows(candidates, idCol, vecCol,
-                nCells, Some(dim)).map(_.get(0)).toSeq
-              Some(broadcast(
-                kmeansBase(candidates, idCol, vecCol, dim, scale)
-                  .where(col("__id").isin(centIds: _*))
-                  .select(col("__id").as("cell_id"),
-                    col("__qv").as("__cqv"))))
-            }
-            (cl, qc)
+        val rows = centroidRows(candidates, idCol, vecCol, nCells,
+          Some(dim))
+        if (rows.isEmpty) None
+        else {
+          val qc = if (!residual) None else {
+            val centIds = rows.map(_.get(0)).toSeq
+            Some(broadcast(
+              kmeansBase(candidates, idCol, vecCol, dim, scale)
+                .where(col("__id").isin(centIds: _*))
+                .select(col("__id").as("cell_id"),
+                  col("__qv").as("__cqv"))))
           }
+          Some((centsLiteralOf(rows, candidates.schema(idCol).dataType),
+            qc))
+        }
       case Some(coarseIters) =>
         val tc = trainCentroids(
           kmeansBase(candidates, idCol, vecCol, dim, scale), nCells,
@@ -713,7 +720,16 @@ object Similarity {
       (cc, qq,
         cc.select(col("cand_id").as("__id"), col("__pqv").as("__qv")))
     }
-    val books = trainPqBooks(trainBase, m, blockLen, kSub, iters)
+    // the training loop drives 1 + iters eager jobs over trainBase —
+    // in residual mode that frame is the coarse argmax + residual
+    // join over the whole corpus, so cache it for the loop's duration
+    // (training is collect-driven, so every cached read happens before
+    // the unpersist; the one downstream encode pass recomputes lazily)
+    val tb = trainBase.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books =
+      try trainPqBooks(tb, m, blockLen, kSub, iters)
+      finally tb.unpersist(blocking = false)
     // a corpus whose every vector the quantized projection (or the
     // residual join) drops: PqEncode requires non-empty codebooks
     if (books.isEmpty || books.exists(_.isEmpty))

@@ -730,8 +730,11 @@ object TextOps {
       .withColumn("__cum", sum(col("__c")).over(cumW))
       .withColumn("__n", sum(col("__c")).over(allW))
     val pCols = percentiles.map { p =>
-      // nearest-rank: ceil(p*n/100) as exact integer arithmetic
-      val rank = floor((col("__n") * p + 99) / 100)
+      // nearest-rank: ceil(p*n/100) in EXACT integer arithmetic —
+      // `div` is integral division; the tempting `floor((x)/100)` is
+      // DOUBLE division, which can land one off from the oracle's
+      // BIGINT `//` once p·n approaches 2^53
+      val rank = expr(s"(__n * $p + 99) div 100")
       min(when(col("__cum") >= rank, col("__tokc"))).as(s"p${p}_tokens")
     }
     val aggs = Seq(
