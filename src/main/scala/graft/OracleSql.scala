@@ -1179,11 +1179,12 @@ object OracleSql {
        |vv AS (SELECT vec_id AS id,
        |    list_transform(range(1,65),
        |      j -> CAST(embedding[j] AS DOUBLE)) AS vec
-       |  FROM embeddings),
-       |n AS (SELECT id, vec,
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+       |n AS (SELECT id, vec, nrm FROM (SELECT id, vec,
        |    sqrt(list_reduce(list_transform(vec, x -> x * x),
        |      (a, x) -> a + x)) AS nrm
-       |  FROM vv),
+       |  FROM vv) WHERE nrm > 0 AND isfinite(nrm)),
        |$coarseCtes$residualCtes,
        |$blockCtes,
        |enc AS (SELECT e0.id, $encCols FROM e0 $encJoin),
@@ -1320,7 +1321,7 @@ object OracleSql {
        |SELECT lang, count(*) AS n_kept,
        |  CAST(sum(id) AS BIGINT) AS kept_id_sum,
        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
-       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM k GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
   }
 
   /** Corpus-profile oracle (`SparkEntry.q70_corpus_profile` /
@@ -1347,7 +1348,7 @@ object OracleSql {
        |  CAST(sum(tokc * c) AS BIGINT) AS sum_tokens,
        |  min(tokc) AS min_tokens, max(tokc) AS max_tokens,
        |  $pCols
-       |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM cm GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
   }
 
   /** kNN-label-audit oracle (`SparkEntry.q71_knn_label_audit` /

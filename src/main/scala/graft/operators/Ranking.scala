@@ -23,10 +23,18 @@ object Ranking {
     *
     * Shape at scale: tokenize → explode → ONE `groupBy(doc)` with a
     * conditional-sum column per term (no per-term joins, no pivot
-    * shuffle), then a single-row corpus-stats aggregate broadcast back
-    * over the scored frame. The per-doc score is a narrow codegen'd
-    * expression; nothing in the plan grows with corpus size except the
-    * one hash aggregation, and the term list rides as literals.
+    * shuffle). The corpus stats (N, Σdlen, per-term df) are ONE
+    * single-row aggregate collected to the driver here, so idf and
+    * avg-dlen ship as literals and the returned frame's plan contains
+    * exactly one pass over the corpus — the per-doc score is a narrow
+    * codegen'd expression over the tf columns; nothing in the plan
+    * grows with corpus size except the one hash aggregation, and the
+    * term list rides as literals. (The earlier broadcast-crossJoin
+    * formulation re-ran the tokenize→explode→groupBy pass once more
+    * under the stats aggregate on every action.) Calling this method
+    * therefore runs one eager Spark job for the stats row — the same
+    * driver-side-constant strategy the k-means/IVF operators use for
+    * their centroid literals.
     *
     * Semantics: whitespace tokens (the corpus tokenizer used by every
     * text gate); docs with a null id or null text are excluded from
@@ -58,25 +66,33 @@ object Ranking {
       .agg(tfCols.head, tfCols.tail: _*)
     val dfCols = terms.indices.map(i =>
       sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
-    val stats = tf.agg(
+    // the ONE eager corpus pass: a single-row aggregate collected to
+    // the driver so every downstream action pays exactly one tf pass
+    val statsRow = tf.agg(
       count(lit(1)).as("__n"),
-      (sum(col("dlen")).as("__sumlen") +: dfCols): _*)
+      (sum(col("dlen")).as("__sumlen") +: dfCols): _*).head()
+    val nDocs = statsRow.getLong(0)
+    if (nDocs == 0L) // empty corpus: empty frame, correct schema
+      return tf.select(col("doc_id"), col("dlen"),
+        lit(0.0).as("score"))
     // derived constants computed ONCE here; the q68 oracle embeds the
-    // same Double.toString values, so both engines use identical bits
+    // same Double.toString values, so both engines use identical bits.
+    // idf/avgLen use the same java.lang.Math ops (in the same order)
+    // the former in-plan expressions compiled to, so scores are
+    // bit-identical to the broadcast formulation.
     val k1p1 = k1 + 1.0
     val oneMinusB = 1.0 - b
-    val scored = tf.crossJoin(broadcast(stats))
-    val n = col("__n").cast("double")
-    val avgLen = col("__sumlen").cast("double") / n
+    val n = nDocs.toDouble
+    val avgLen = statsRow.getLong(1).toDouble / n
     val score = terms.indices.foldLeft(lit(0.0): Column) { (acc, i) =>
       val tfd = col(s"__tf$i").cast("double")
-      val dfd = col(s"__df$i").cast("double")
-      val idf = log(lit(1.0) + (n - dfd + lit(0.5)) / (dfd + lit(0.5)))
-      acc + idf * (tfd * lit(k1p1)) /
+      val dfd = statsRow.getLong(2 + i).toDouble
+      val idf = math.log(1.0 + (n - dfd + 0.5) / (dfd + 0.5))
+      acc + lit(idf) * (tfd * lit(k1p1)) /
         (tfd + lit(k1) * (lit(oneMinusB) +
-          lit(b) * col("dlen").cast("double") / avgLen))
+          lit(b) * col("dlen").cast("double") / lit(avgLen)))
     }
-    scored.select(col("doc_id"), col("dlen"), score.as("score"))
+    tf.select(col("doc_id"), col("dlen"), score.as("score"))
   }
 
   /** Reciprocal-rank fusion of two rankings (doc_id, rank):

@@ -637,8 +637,9 @@ object Similarity {
       adcKeep: Int, dim: Int, scale: Long,
       residual: Boolean, trainedCoarse: Option[Int]): DataFrame = {
     require(nCells > 0 && nProbe > 0 && m > 0 && kSub > 0 &&
-      iters >= 0 && adcKeep > 0 && dim > 0 && scale > 0,
+      adcKeep > 0 && dim > 0 && scale > 0,
       "nCells, nProbe, m, kSub, adcKeep, dim, scale must be positive")
+    require(iters >= 0, "iters must be >= 0")
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     def quantized(v: Column) = colOf(
       graft.functions.VectorFunctions.QuantizeFloor(exprOf(v), scale))
