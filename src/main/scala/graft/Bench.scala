@@ -53,6 +53,102 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  /** Minimal JSON-object extractor for OUR OWN bench records: the body
+    * of `"key":{...}` (balanced braces). Not a general parser — the
+    * records are machine-written by this file, never hand-edited. */
+  private def extractObj(json: String, key: String): Option[String] = {
+    val k = "\"" + key + "\":{"
+    val i = json.indexOf(k)
+    if (i < 0) None
+    else {
+      var j = i + k.length
+      var depth = 1
+      while (j < json.length && depth > 0) {
+        val c = json.charAt(j)
+        if (c == '{') depth += 1 else if (c == '}') depth -= 1
+        j += 1
+      }
+      if (depth == 0) Some(json.substring(i + k.length, j - 1)) else None
+    }
+  }
+
+  private def parseNumMap(body: String): Map[String, Double] =
+    "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _))
+      .toMap
+
+  /** The previous committed bench record, if one exists and was taken
+    * at the same sf dir: (queries map). Anchors the stable-slow
+    * relaunch rule below. */
+  private def priorRecord(path: String, sfDir: String)
+      : Option[Map[String, Double]] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isReadable(p)) None
+      else {
+        val json = java.nio.file.Files.readString(p)
+        val sfOk = "\"sf\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findFirstMatchIn(json).exists(_.group(1) == sfDir)
+        if (!sfOk) None
+        else extractObj(json, "queries").map(parseNumMap)
+          .filter(_.nonEmpty)
+      }
+    } catch { case _: Throwable => None }
+
+  /** ONE bounded fresh-JVM re-measurement of `rows` (r15 verdict
+    * "what's wrong" #2): the loaded-pass gate keys on per-pass scan
+    * calibration, so a row that is slow in EVERY pass of one JVM — the
+    * sticky JIT-mode signature (r13 text scans, r15's official b09
+    * sample) — sails through it. Any row whose clean min lands >2x its
+    * value in the previous committed record gets re-timed once in a
+    * child JVM launched with this JVM's own flags and classpath
+    * (focused SPARK_GRAFT_BENCH_ONLY run, relaunch disabled inside so
+    * it cannot recurse); the caller records min(parent, child) and
+    * lists the rows either way. Returns the child's queries map, or
+    * None if the child failed/timed out. */
+  private def relaunchRows(rows: Seq[String], sfDir: String,
+      cpus: String): Option[Map[String, Double]] =
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+      val outFile = java.nio.file.Files
+        .createTempFile("graft_relaunch", ".json")
+      val logFile = java.nio.file.Files
+        .createTempFile("graft_relaunch", ".log")
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp")
+      cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(logFile.toFile)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      env.put("SPARK_GRAFT_BENCH_ONLY", rows.mkString(","))
+      env.put("SPARK_GRAFT_BENCH_RUNS", "2")
+      env.put("SPARK_GRAFT_BENCH_READER_RUNS", "2")
+      env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      env.put("SPARK_GRAFT_BENCH_NO_RELAUNCH", "1")
+      env.put("SPARK_GRAFT_BENCH_ANN", "0")
+      env.put("SPARK_GRAFT_BENCH_COUNTS", "0")
+      val proc = pb.start()
+      val done = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); None }
+      else if (proc.exitValue() != 0) None
+      else {
+        val json = java.nio.file.Files.readString(outFile)
+        extractObj(json, "queries").map(parseNumMap)
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] relaunch failed: $e")
+        None
+    }
+
   private def memAvailableMb(): Long =
     try {
       scala.io.Source.fromFile("/proc/meminfo").getLines()
@@ -146,6 +242,25 @@ object Bench {
       graft.operators.TextOps.minhashSignatures(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 8,
         fastHash = false)),
+    // q62's stage decomposition as STANDING rows (r15 verdict "next"
+    // #3: q62 drifted 2.49->3.28 s r14->r15 with no code change and
+    // its 2x-scale ratio sits ~2.1-2.6 every generation — it needed
+    // the same treatment q50 got). Same-body twins via
+    // SparkEntry.videoAssets, so the decomposition can't drift from
+    // the gate: x62a = asset GENERATION only (per-doc JPEG encodes +
+    // MP4 sample-table wrap — fixture cost, embedded in every stage),
+    // x62b = generation + container DEMUX (stts/stsz/stsc/stco walk +
+    // frame byte slice + byte sum, q58's operator on q62's assets, no
+    // pixel decode). Attribution: demux = x62b - x62a, JPEG pixel
+    // decode + finish = q62 - x62b; all three are per-doc narrow maps,
+    // so each delta should scale linearly with doc count.
+    "x62a_video_assets" -> ((s: SparkSession, dir: String) =>
+      SparkEntry.videoAssets(s, dir)),
+    "x62b_video_demux" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Multimodal.sampleFrames(s,
+        graft.operators.Multimodal.toAssets(
+          SparkEntry.videoAssets(s, dir), "doc_id", "mime", "payload"),
+        stride = 2).toDF()),
     // IVF-PQ at the PRODUCTION-shaped recall config (AnnRecall.ivfpq:
     // 32 cells / 8 probes / 8 blocks x 16 sub-centroids / ADC keep
     // 10k) over the full embedding corpus as self-queries — the
@@ -542,6 +657,49 @@ object Bench {
       case (name, _) if samples(name).nonEmpty =>
         name -> cleanSamples(name).map(_._2).min
     }
+    // Stable-slow relaunch rule (r15 verdict "what's wrong" #2): the
+    // loaded-pass gate above is per-pass, so a row slow in EVERY pass
+    // of this one JVM (sticky JIT mode, not ambient spikes) passes it.
+    // Compare each clean min against the previous committed record at
+    // the same sf; rows >2x get ONE bounded fresh-JVM re-measurement,
+    // and the record keeps min(this JVM, fresh JVM). Full official
+    // runs only — focused A/Bs and the scale2x prefix recipe manage
+    // their own JVM hygiene (and scale2x's sf dir differs anyway).
+    val relaunchEnabled =
+      !sys.env.contains("SPARK_GRAFT_BENCH_NO_RELAUNCH") &&
+        only.isEmpty && prefix.isEmpty
+    val prior =
+      if (!relaunchEnabled) None
+      else priorRecord(sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+        "bench_out/latest.json"), sfDir)
+    val slowRows: Seq[String] = prior.map { pm =>
+      results.collect { case (n, v)
+        if pm.get(n).exists(pv => pv > 0 && v > 2.0 * pv) => n }
+    }.getOrElse(Seq.empty)
+    val childVals: Map[String, Double] =
+      if (slowRows.isEmpty) Map.empty
+      else relaunchRows(slowRows, sfDir, cpus).getOrElse(Map.empty)
+    val resultsMerged = results.map { case (n, v) =>
+      n -> (childVals.get(n) match {
+        case Some(cv) if cv > 0 && cv < v => cv
+        case _ => v
+      })
+    }
+    val relaunchJson = {
+      val rowsJson = slowRows.map { n =>
+        val pv = prior.flatMap(_.get(n)).getOrElse(-1.0)
+        val tv = results.toMap.getOrElse(n, -1.0)
+        val fv = childVals.get(n)
+        s"${jstr(n)}:{\"prior\":${fmt(pv)},\"this_jvm\":${fmt(tv)}," +
+          s"\"fresh_jvm\":${fv.map(fmt).getOrElse("null")}}"
+      }.mkString("{", ",", "}")
+      s"""{"rule":"clean min > 2x same-sf prior committed record""" +
+        s""" -> one fresh-JVM re-measure, record keeps the min",""" +
+        s""""enabled":$relaunchEnabled,"prior_found":${prior.nonEmpty},""" +
+        s""""raw_min_only":true,""" +
+        s""""relaunched":${slowRows.map(jstr).mkString("[", ",", "]")},""" +
+        s""""rows":$rowsJson}"""
+    }
     // Cross-round comparability: raw seconds from different rounds are
     // dominated by ambient machine state (the same code benched b08 at
     // 0.67 s one morning and 1.46 s the same afternoon in an r12
@@ -614,7 +772,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val loadAfter = ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = resultsMerged.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsCal = resultsCal.map { case (k, v) => s"\"" + k + "\":" + fmt6(v) }
       .mkString("{", ",", "}")
@@ -626,7 +784,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map(n => s"\"" + n + "\"")
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total =
+      if (resultsMerged.nonEmpty) resultsMerged.map(_._2).sum else 0.0
     val calJson = calibrations.map(fmt).mkString("[", ",", "]")
     val calScanJson = calibrationsScan.map(fmt).mkString("[", ",", "]")
     val passJson = passTotals.map(fmt).mkString("[", ",", "]")
@@ -657,6 +816,7 @@ object Bench {
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",""" +
       s""""sf":${jstr(sfDir)},"runs":$runs,"action":"noop-write",""" +
       s""""comparable_since":13,"pass_gate":$passGateJson,""" +
+      s""""relaunch":$relaunchJson,""" +
       s""""failed":$failedJson,"queries":$qs,""" +
       s""""queries_calibrated":$qsCal,""" +
       s""""calibration_median_sec":${fmt(calMedian)},""" +
@@ -675,8 +835,9 @@ object Bench {
       System.err.println(s"[bench] could not write bench_out: $e")
     }
     println(detail)
-    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val qsCompact = resultsMerged.map { case (k, v) =>
+      s"\"" + k + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     // the compact line carries the comparability stamp too: a
     // BENCH_rN.json captured from the stdout tail holds THIS line, and
     // tools/bench_diff.py must not refuse a valid r14+ record just
@@ -689,6 +850,53 @@ object Bench {
       s""""queries":$qsCompact,"sf":${jstr(sfDir)},"runs":$runs,""" +
       s""""action":"noop-write","ann_recall":$annRecall,""" +
       s""""failed":$failedJson}""")
+    // FINAL stdout line (r15 verdict "next" #7): the harness keeps the
+    // last ~2000 chars of stdout and json-parses the last line inside
+    // that window — the full compact line above outgrew it around r12,
+    // so every BENCH_r*.json since carries "parsed":null and a raw
+    // truncated tail. The very last line is therefore a
+    // GUARANTEED-SMALL headline record: every reader-bench row plus as
+    // many flagship gates as fit an 1800-char budget (the rest are in
+    // bench_out/latest.json, committed each round, and in the compact
+    // line above for human readers of the log).
+    val merged = resultsMerged.toMap
+    val headlineOrder: Seq[String] = {
+      val names = resultsMerged.map(_._1)
+      val b = names.filter(_.startsWith("b")).sorted
+      val preferred = Seq("q01_agg_pricing", "q14_interval_join",
+        "q24_lsh_pairs", "q32_winnow", "q40_dedup_star",
+        "q42_stream_sessionize", "q50_leakage_split",
+        "q62_video_frames", "q66_ann_ivfpq", "q68_bm25",
+        "q71_knn_label_audit", "q72_ann_ivfadc",
+        "q73_ann_ivfadc_trained").filter(names.contains)
+      val rest = names
+        .filterNot(n => n.startsWith("b") || preferred.contains(n))
+        .sorted
+      b ++ preferred ++ rest
+    }
+    def headlineLine(entries: Seq[String], annJson: String): String = {
+      val qsH = entries.map(n => "\"" + n + "\":" + fmt(merged(n)))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""comparable_since":13,"queries":$qsH,""" +
+        s""""queries_omitted":${resultsMerged.size - entries.size},""" +
+        s""""full_record":"bench_out/latest.json",""" +
+        s""""sf":${jstr(sfDir)},"runs":$runs,"action":"noop-write",""" +
+        s""""relaunched":${slowRows.map(jstr).mkString("[", ",", "]")},""" +
+        s""""ann_recall":$annJson,"failed":$failedJson}"""
+    }
+    var hEntries = headlineOrder
+    var hAnn = annRecall
+    var hLine = headlineLine(hEntries, hAnn)
+    if (hLine.length > 1800 && hAnn != "null") {
+      hAnn = "null"
+      hLine = headlineLine(hEntries, hAnn)
+    }
+    while (hLine.length > 1800 && hEntries.nonEmpty) {
+      hEntries = hEntries.dropRight(1)
+      hLine = headlineLine(hEntries, hAnn)
+    }
+    println(hLine)
     spark.stop()
   }
 }

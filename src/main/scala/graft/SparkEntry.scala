@@ -924,11 +924,17 @@ object SparkEntry {
     * mismatch); a pixel-path error changes the gray. Real video-frame
     * pixels end-to-end with zero new codec work; reference analogue:
     * none (oxbow has no video surface). */
-  private def q62_video_frames(s: SparkSession, dir: String): DataFrame = {
+  /** q62's asset generation (per-doc uniform-gray MJPEG frames wrapped
+    * in a real MP4 sample table) — factored out so the x62a/x62b stage
+    * twins in [[Bench]] time the EXACT generation the gate runs
+    * (same-body decomposition, the x32/x50a pattern: the twins can
+    * never silently drift from the gated query's work). */
+  private[graft] def videoAssets(s: SparkSession, dir: String)
+      : DataFrame = {
     import s.implicits._
     val ids = pq(s, dir, "documents")
       .select(col("doc_id").cast("long")).as[Long]
-    val assets = ids.mapPartitions { it =>
+    ids.mapPartitions { it =>
       it.map { id =>
         val n = (id % 4 + 2).toInt
         val deltas = Array.tabulate(n)(_ => (id % 5 + 1) * 40L)
@@ -940,6 +946,10 @@ object SparkEntry {
         (id, "video/mp4", payload)
       }
     }.toDF("doc_id", "mime", "payload")
+  }
+
+  private def q62_video_frames(s: SparkSession, dir: String): DataFrame = {
+    val assets = videoAssets(s, dir)
     Multimodal.decodeFrames(s,
         Multimodal.toAssets(assets, "doc_id", "mime", "payload"),
         stride = 2)
