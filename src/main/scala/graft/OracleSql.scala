@@ -555,6 +555,28 @@ object OracleSql {
     "q72_ann_ivfadc" -> q72Sql,
     // q73: trained-coarse residual IVFADC — the faithful composition
     "q73_ann_ivfadc_trained" -> q73Sql,
+    // q74: coverage histogram — the textbook per-chrom window prefix
+    // sum over net breakpoints (the formulation whose one-task-per-
+    // contig skew IntervalOps.coverage's two-pass sweep replaces)
+    "q74_coverage" ->
+      s"""WITH iva AS ($ivA),
+         |ev AS (SELECT chrom, "start" AS pos, 1 AS d FROM iva
+         |  UNION ALL
+         |  SELECT chrom, greatest("end", "start"), -1 FROM iva),
+         |bp AS (SELECT chrom, pos, CAST(sum(d) AS BIGINT) AS d
+         |  FROM ev GROUP BY 1, 2 HAVING sum(d) <> 0),
+         |seg AS (SELECT chrom, pos AS seg_start,
+         |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos)
+         |      AS seg_end,
+         |    CAST(sum(d) OVER (PARTITION BY chrom ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS depth
+         |  FROM bp)
+         |SELECT chrom, depth, count(*) AS n_segs,
+         |  CAST(sum(seg_end - seg_start) AS BIGINT) AS bases,
+         |  CAST(sum(seg_start) AS BIGINT) AS sum_start
+         |FROM seg WHERE seg_end IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

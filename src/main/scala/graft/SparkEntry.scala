@@ -1265,6 +1265,25 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Genome-wide coverage histogram ([[graft.operators.IntervalOps
+    * .coverage]] — the bedtools-genomecov analogue via a two-pass
+    * range-partitioned breakpoint sweep, no per-chromosome window):
+    * depth segments of the lineitem-derived interval set, aggregated
+    * per (chrom, depth) with segment counts, covered bases, and a
+    * start-sum placement witness — a one-base shift anywhere in the
+    * sweep (offset seeding, terminator closing, breakpoint dedup)
+    * fails the gate. The DuckDB oracle computes the same segments with
+    * the textbook per-chromosome window prefix sum that the
+    * distributed sweep replaces. */
+  private def q74_coverage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IntervalOps.coverage(
+        intervalsA(s, dir).drop("iv_id"))
+      .groupBy(col("chrom"), col("depth"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("end") - col("start")).as("bases"),
+        sum(col("start")).as("sum_start"))
+      .orderBy(col("chrom"), col("depth"))
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1462,7 +1481,8 @@ object SparkEntry {
     "q70_corpus_profile" -> (q70_corpus_profile _),
     "q71_knn_label_audit" -> (q71_knn_label_audit _),
     "q72_ann_ivfadc" -> (q72_ann_ivfadc _),
-    "q73_ann_ivfadc_trained" -> (q73_ann_ivfadc_trained _)) ++
+    "q73_ann_ivfadc_trained" -> (q73_ann_ivfadc_trained _),
+    "q74_coverage" -> (q74_coverage _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

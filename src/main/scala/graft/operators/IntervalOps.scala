@@ -138,4 +138,146 @@ object IntervalOps {
         col("end").cast(df.schema(end).dataType).as("end"),
         col("n_merged"))
   }
+
+  /** Per-base coverage depth of an interval set (the bedtools
+    * `genomecov -bga` analogue; the reference's surface stops at
+    * indexed scans, so this is downstream-engine territory it leaves
+    * open): the disjoint segments between consecutive NET breakpoints
+    * of each chromosome, each labeled with how many input intervals
+    * cover it — interior zero-depth gaps included, the unbounded zero
+    * tail after a chromosome's last end not emitted. Half-open
+    * [start, end) intervals; inverted rows clamp to points (whose
+    * +1/-1 events then cancel and vanish); null chrom/coords are
+    * dropped ([[mergeIntervals]]' shared semantics). Breakpoints whose
+    * events net to zero are removed, so adjacent segments ALWAYS
+    * differ in depth — the output is the canonical coalesced form.
+    *
+    * Scale shape (the 100 TB plan): ONE hash shuffle aggregates the
+    * 2n (chrom, pos, ±1) events into net breakpoints with map-side
+    * combine (distinct breakpoints are usually far below row count for
+    * dense coverage); one range shuffle orders them; then the classic
+    * two-pass distributed prefix sum — pass A collects per-partition
+    * per-chromosome delta totals plus first breakpoints (driver-sized,
+    * O(partitions + contigs)), pass B streams each sorted partition
+    * once, seeding every chromosome's running depth from the broadcast
+    * entering-depth offsets and closing each partition's last segment
+    * against the next non-empty partition's first breakpoint. No
+    * per-chromosome window: a single-contig load spreads across ALL
+    * range partitions, unlike the textbook
+    * `sum(d) OVER (PARTITION BY chrom ORDER BY pos)` formulation whose
+    * one-task-per-contig skew this exists to avoid (the q74 oracle IS
+    * that window formulation, in DuckDB, over the same breakpoints).
+    * Both passes share one RDD, so the range shuffle's map stage runs
+    * once and pass B reuses its shuffle files. Calling this method
+    * runs pass A eagerly (one small collect) — the same driver-side-
+    * constant pattern as the k-means/IVF/BM25 operators.
+    *
+    * INTEGRAL coordinates only, enforced exactly as
+    * [[mergeIntervalsRange]] (the sweep widens to long and casts
+    * back). */
+  def coverage(df: DataFrame, chrom: String = "chrom",
+      start: String = "start", end: String = "end",
+      partitions: Int = 0): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(start, end).foreach { c =>
+      require(integral.contains(df.schema(c).dataType),
+        s"coverage requires integral coordinates, got " +
+          s"$c: ${df.schema(c).dataType.simpleString}")
+    }
+    val n = if (partitions > 0) partitions
+      else session.sessionState.conf.numShufflePartitions
+    // 2n events -> net breakpoints (map-side combined), zero-net
+    // breakpoints dropped (they would only split equal-depth segments)
+    val bp = dropNullCoords(df, chrom, start, end)
+      .select(col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__s"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__e"))
+      .select(col("__c"), explode(array(
+        struct(col("__s").as("pos"), lit(1L).as("d")),
+        struct(col("__e").as("pos"), lit(-1L).as("d")))).as("__ev"))
+      .groupBy(col("__c"), col("__ev.pos").as("__p"))
+      .agg(sum(col("__ev.d")).as("__d"))
+      .where(col("__d") =!= 0L)
+      .as[(String, Long, Long)]
+    // ONE shared RDD for both passes: pass B's job reuses pass A's
+    // completed range-shuffle map stage instead of re-shuffling
+    val rdd = bp.repartitionByRange(n, col("__c"), col("__p"))
+      .sortWithinPartitions("__c", "__p")
+      .rdd
+    // pass A: (pid, nonEmpty, firstChrom, firstPos, per-chrom sums)
+    val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var any = false
+      var firstC: String = null
+      var firstP = 0L
+      val sums = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { case (c, p, d) =>
+        if (!any) { any = true; firstC = c; firstP = p }
+        sums.update(c, sums.getOrElse(c, 0L) + d)
+      }
+      Iterator.single((pid, any, firstC, firstP, sums.toSeq))
+    }.collect().sortBy(_._1)
+    // entering depth per (partition, chrom): prefix over partitions
+    val offs = Array.fill(summaries.length)(Map.empty[String, Long])
+    val running = scala.collection.mutable.Map[String, Long]()
+    summaries.foreach { case (pid, _, _, _, sums) =>
+      offs(pid) = running.toMap
+      sums.foreach { case (c, v) =>
+        running.update(c, running.getOrElse(c, 0L) + v)
+      }
+    }
+    // terminator per partition: the nearest LATER non-empty
+    // partition's first breakpoint (closes the last open segment)
+    val terms = Array.fill(summaries.length)(null: (String, Long))
+    var nextFirst: (String, Long) = null
+    summaries.reverseIterator.foreach { case (pid, any, fc, fp, _) =>
+      terms(pid) = nextFirst
+      if (any) nextFirst = (fc, fp)
+    }
+    val bcOffs = session.sparkContext.broadcast(offs)
+    val bcTerms = session.sparkContext.broadcast(terms)
+    // pass B: one streaming sweep per sorted partition
+    val segs = rdd.mapPartitionsWithIndex { (pid, it0) =>
+      val it = it0.buffered
+      val off = bcOffs.value(pid)
+      val term = bcTerms.value(pid)
+      new Iterator[(String, Long, Long, Long)] {
+        private var curC: String = null
+        private var depth = 0L
+        private var out: (String, Long, Long, Long) = null
+        private def advance(): Unit = {
+          while (out == null && it.hasNext) {
+            val (c, p, d) = it.next()
+            if (c != curC) { curC = c; depth = off.getOrElse(c, 0L) }
+            depth += d
+            // the segment [p, next breakpoint of the SAME chromosome):
+            // within this partition, else the terminator; a chromosome
+            // with no same-chrom successor ended here with net depth 0
+            // (every interval contributes +1 and -1), so nothing opens
+            if (it.hasNext) {
+              if (it.head._1 == c) out = (c, p, it.head._2, depth)
+            } else if (term != null && term._1 == c) {
+              out = (c, p, term._2, depth)
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); out != null }
+        def next(): (String, Long, Long, Long) = {
+          advance(); val r = out; out = null; r
+        }
+      }
+    }
+    session.createDataset(segs)
+      .toDF("__c", "__s", "__e", "depth")
+      .select(col("__c").cast(df.schema(chrom).dataType).as(chrom),
+        col("__s").cast(df.schema(start).dataType).as("start"),
+        col("__e").cast(df.schema(end).dataType).as("end"),
+        col("depth"))
+  }
 }

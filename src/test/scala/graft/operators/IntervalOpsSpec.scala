@@ -123,4 +123,93 @@ class IntervalOpsSpec extends SparkSuite {
     }
     assert(covered == expected)
   }
+
+  test("coverage: hand case — overlaps, gap, canceling point") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("chr1", 0L, 10L), ("chr1", 5L, 15L), ("chr1", 20L, 30L),
+      ("chr1", 12L, 12L), // point: +1/-1 cancel, no breakpoint
+      ("chr2", 3L, 4L))
+      .toDF("chrom", "start", "end")
+    val got = IntervalOps.coverage(iv)
+      .orderBy("chrom", "start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("chr1", 0L, 5L, 1L), ("chr1", 5L, 10L, 2L),
+      ("chr1", 10L, 15L, 1L), ("chr1", 15L, 20L, 0L),
+      ("chr1", 20L, 30L, 1L),
+      ("chr2", 3L, 4L, 1L)))
+  }
+
+  test("coverage: partition boundaries never shift a segment") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    // strict intervals (start < end) so the naive reference's domain
+    // [min start, max end) begins and ends on net breakpoints
+    val rows = Seq.tabulate(300) { i =>
+      val c = s"chr${i % 3}"
+      val st = rnd.nextInt(100).toLong
+      (c, st, st + 1 + rnd.nextInt(30))
+    }
+    val df = rows.toDF("chrom", "start", "end")
+    // naive per-base reference: depth(pos) by direct counting, equal-
+    // depth runs coalesced — independent of the breakpoint algebra
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (c, ivs) =>
+        val lo = ivs.map(_._2).min
+        val hi = ivs.map(_._3).max
+        val depth = (lo until hi).map(p =>
+          ivs.count(iv => iv._2 <= p && p < iv._3).toLong)
+        val segs = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long)]
+        var runStart = lo
+        var i = lo + 1
+        while (i <= hi) {
+          if (i == hi || depth((i - lo).toInt) !=
+              depth((runStart - lo).toInt)) {
+            segs += ((c, runStart, i, depth((runStart - lo).toInt)))
+            runStart = i
+          }
+          i += 1
+        }
+        segs
+    }
+    // many tiny partitions force chromosome runs across boundaries —
+    // the offset seeding and terminator closing must both be exact
+    for (parts <- Seq(1, 7)) {
+      val got = IntervalOps.coverage(df, partitions = parts)
+        .orderBy("chrom", "start")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSeq
+      assert(got == expected, s"partitions=$parts")
+    }
+  }
+
+  test("coverage: null coords dropped, caller types kept, " +
+      "fractional rejected") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      (Option("chr1"), Option(1), Option(5)),
+      (Option.empty[String], Option(2), Option(6)),
+      (Option("chr1"), Option.empty[Int], Option(6)))
+      .toDF("chrom", "start", "end")
+    val got = IntervalOps.coverage(iv).collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+      r.getLong(3))).toSeq == Seq(("chr1", 1, 5, 1L)))
+    assert(got.head.schema("start").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val frac = Seq(("chr1", 1.5, 2.5)).toDF("chrom", "start", "end")
+    val e = intercept[IllegalArgumentException] {
+      IntervalOps.coverage(frac)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
