@@ -440,7 +440,29 @@ object Bench {
         .option("maxpartitionbytes", (4L * 1024 * 1024).toString)
         .load(c.vcf)
         .select("chrom", "pos", "info.DP", "info.AF", "info.MQ",
-          "info.QD", "info.AN", "info.AC")))
+          "info.QD", "info.AN", "info.AC")),
+      // coverage depth over the REAL BAM corpus's mapped reads (the
+      // bedtools-genomecov shape q74 gates on synthetic intervals):
+      // indexed split scan -> IntervalOps.coverage two-pass sweep ->
+      // per-(chrom, depth) histogram. Prices the operator at real
+      // alignment density, where breakpoint dedup does the heavy
+      // lifting (millions of reads collapse to ~contig-length
+      // breakpoints)
+      "b12_bam_coverage" -> ((s: SparkSession, _: String) => {
+        import org.apache.spark.sql.functions._
+        val reads = bam(s)
+          .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
+          .load(c.bam)
+          .where(col("rname").isNotNull && col("pos").isNotNull &&
+            col("end").isNotNull)
+          .select(col("rname").as("chrom"), col("pos").as("start"),
+            col("end"))
+        graft.operators.IntervalOps.coverage(reads)
+          .groupBy(col("chrom"), col("depth"))
+          .agg(count(lit(1)).as("n_segs"),
+            sum(col("end") - col("start")).as("bases"))
+          .orderBy(col("chrom"), col("depth"))
+      }))
   }
 
   def main(args: Array[String]): Unit = {
