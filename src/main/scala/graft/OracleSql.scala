@@ -577,6 +577,34 @@ object OracleSql {
          |  CAST(sum(seg_start) AS BIGINT) AS sum_start
          |FROM seg WHERE seg_end IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q75: as-of attribution — DuckDB's NATIVE ASOF LEFT JOIN over the
+    // same micro-truncated times, with right-side ties pre-deduped to
+    // the max event_id (the pick AsofJoin.backward's window tiebreak
+    // makes by construction)
+    "q75_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    event_type, value
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (SELECT event_id, user_id, tus, value FROM e
+        |  WHERE event_type = 'click'),
+        |v0 AS (SELECT user_id, tus, value, event_id, row_number()
+        |    OVER (PARTITION BY user_id, tus ORDER BY event_id DESC)
+        |    AS rk
+        |  FROM e WHERE event_type = 'view'),
+        |v AS (SELECT user_id, tus, value FROM v0 WHERE rk = 1),
+        |j AS (SELECT c.user_id, c.event_id, c.tus, c.value,
+        |    v.tus AS vtus, v.value AS vvalue
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND c.tus >= v.tus)
+        |SELECT user_id, event_id, tus, value,
+        |  vtus AS view_tus, vvalue AS view_value,
+        |  CASE WHEN vtus IS NOT NULL AND tus - vtus <= 60000000
+        |    THEN vtus END AS view60_tus,
+        |  CASE WHEN vtus IS NOT NULL AND tus - vtus <= 60000000
+        |    THEN vvalue END AS view60_value
+        |FROM j ORDER BY event_id""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

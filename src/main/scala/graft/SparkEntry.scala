@@ -1284,6 +1284,45 @@ object SparkEntry {
         sum(col("start")).as("sum_start"))
       .orderBy(col("chrom"), col("depth"))
 
+  /** Tolerance-bounded as-of attribution ([[graft.operators.AsofJoin
+    * .backward]], `tolerance` semantics added r16 — kdb-`wj`/pandas-
+    * `merge_asof` style): every click event joins the SAME user's
+    * latest view at or before it, twice — unbounded and with a
+    * 60-second tolerance that nulls older matches struct-atomically.
+    * Times flow as the micros-truncated event timestamps on both
+    * engines (Spark `ts div 1000` via normalizeTs; DuckDB's ns→us
+    * parquet read), so DuckDB's NATIVE `ASOF LEFT JOIN` replays every
+    * match, tie (engineered to the max view event_id per (user, time)
+    * via tieBreak), and tolerance null bit-for-bit. q13 gates the
+    * unbounded operator on an orders timeline; this gate pins the
+    * tolerance path and the native-ASOF cross-engine equivalence. */
+  private def q75_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .where(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+    val clicks = e.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"),
+        col("value").as("vvalue"), col("event_id").as("vid"))
+    def asof(tol: Option[Long]) = graft.operators.AsofJoin.backward(
+      clicks, views, probeKey = "user_id", refKey = "user_id",
+      probeTime = "ts", refTime = "vts",
+      tieBreak = Seq("vts", "vid"), tolerance = tol)
+    val base = asof(None)
+    val bounded = asof(Some(60000000L))
+      .select(col("event_id"), col("vts").as("v60ts"),
+        col("vvalue").as("v60value"))
+    base.join(bounded, Seq("event_id"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"),
+        unix_micros(col("vts")).as("view_tus"),
+        col("vvalue").as("view_value"),
+        unix_micros(col("v60ts")).as("view60_tus"),
+        col("v60value").as("view60_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1482,7 +1521,8 @@ object SparkEntry {
     "q71_knn_label_audit" -> (q71_knn_label_audit _),
     "q72_ann_ivfadc" -> (q72_ann_ivfadc _),
     "q73_ann_ivfadc_trained" -> (q73_ann_ivfadc_trained _),
-    "q74_coverage" -> (q74_coverage _)) ++
+    "q74_coverage" -> (q74_coverage _),
+    "q75_asof_join" -> (q75_asof_join _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -32,11 +32,21 @@ object AsofJoin {
     *                  ties with a probe time match (inclusive <=)
     * @param tieBreak  extra `ref` columns ordering same-time reference
     *                  rows ascending — the LAST one wins
+    * @param tolerance max allowed probe-minus-reference gap in
+    *                  MICROSECONDS (both timelines are cast to
+    *                  timestamp, so one unit serves every input type);
+    *                  a match older than the tolerance is nulled
+    *                  struct-atomically, exactly as if it did not
+    *                  exist — the kdb `wj`/pandas `merge_asof`
+    *                  tolerance semantics
     * @return probe columns plus the matched ref payload columns (null
     *         when no reference row precedes the probe) */
   def backward(probe: DataFrame, ref: DataFrame, probeKey: String,
       refKey: String, probeTime: String, refTime: String,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    tolerance.foreach(tol =>
+      require(tol >= 0, "tolerance must be >= 0 microseconds"))
     // working-column names probed to miss BOTH inputs (the
     // IntervalJoin.overlapJoin fresh() pattern): a caller column named
     // "__asof_t" would otherwise duplicate in the union projection and
@@ -98,8 +108,19 @@ object AsofJoin {
     val w = Window.partitionBy(col(probeKey)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    probeU.unionByName(refU)
+    val filled = probeU.unionByName(refU)
       .withColumn(refStruct, last(col(refStruct), ignoreNulls = true).over(w))
+    // tolerance nulls the WHOLE struct (row-atomic, like the fill
+    // itself): a too-old match must be indistinguishable from no match
+    val bounded = tolerance match {
+      case None => filled
+      case Some(tol) =>
+        val mt = col(s"$refStruct.$refTime").cast("timestamp")
+        val ok = mt.isNotNull &&
+          (unix_micros(col(t)) - unix_micros(mt) <= tol)
+        filled.withColumn(refStruct, when(ok, col(refStruct)))
+    }
+    bounded
       .where(col(isProbe) === 1)
       .select(col(probeKey) +: (probePayload.map(col) ++
         refPayload.map(c => col(s"$refStruct.$c").as(c))): _*)

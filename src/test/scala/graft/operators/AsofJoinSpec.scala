@@ -83,4 +83,39 @@ class AsofJoinSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("collision"))
   }
+
+  test("tolerance nulls too-old matches struct-atomically") {
+    import spark.implicits._
+    val probe = Seq(
+      (1, "2024-01-01 00:10:00", "in_tol"), // 60 s after its match
+      (1, "2024-01-01 01:00:00", "too_old"), // 50 min after
+      (2, "2024-01-01 00:00:00", "no_match"))
+      .toDF("uid", "ts", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq((1, "2024-01-01 00:09:00", 7, Option.empty[String]))
+      .toDF("ouid", "ots", "okey", "onote")
+      .withColumn("ots", col("ots").cast("timestamp"))
+    val out = AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots",
+        tolerance = Some(60L * 1000000L))
+      .collect()
+      .map(r => (r.getAs[String]("eid"),
+        if (r.isNullAt(r.fieldIndex("okey"))) None
+        else Some(r.getAs[Int]("okey")),
+        // a partially-nulled struct would leave ots set with okey null
+        r.isNullAt(r.fieldIndex("ots"))))
+      .sortBy(_._1)
+      .toSeq
+    assert(out == Seq(("in_tol", Some(7), false),
+      ("no_match", None, true), ("too_old", None, true)))
+    // tolerance-free call over the same data still matches both uid-1
+    // probes (the bounded variant must be a pure restriction)
+    val free = AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots")
+      .where(col("okey").isNotNull).count()
+    assert(free == 2)
+    val bad = intercept[IllegalArgumentException] {
+      AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots",
+        tolerance = Some(-1L))
+    }
+    assert(bad.getMessage.contains("tolerance"))
+  }
 }
