@@ -605,6 +605,33 @@ object OracleSql {
         |  CASE WHEN vtus IS NOT NULL AND tus - vtus <= 60000000
         |    THEN vvalue END AS view60_value
         |FROM j ORDER BY event_id""".stripMargin,
+    // q76: forward as-of (next purchase at-or-after each click) —
+    // DuckDB's native forward ASOF (c.tus <= p.tus picks the smallest
+    // at-or-after time), ties pre-deduped to max event_id like q75
+    "q76_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    event_type, value
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (SELECT event_id, user_id, tus, value FROM e
+        |  WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, tus, value, event_id, row_number()
+        |    OVER (PARTITION BY user_id, tus ORDER BY event_id DESC)
+        |    AS rk
+        |  FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, tus, value FROM p0 WHERE rk = 1),
+        |j AS (SELECT c.user_id, c.event_id, c.tus, c.value,
+        |    p.tus AS ptus, p.value AS pvalue
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.tus <= p.tus)
+        |SELECT user_id, event_id, tus, value,
+        |  ptus AS next_tus, pvalue AS next_value,
+        |  CASE WHEN ptus IS NOT NULL AND ptus - tus <= 3600000000
+        |    THEN ptus END AS next1h_tus,
+        |  CASE WHEN ptus IS NOT NULL AND ptus - tus <= 3600000000
+        |    THEN pvalue END AS next1h_value
+        |FROM j ORDER BY event_id""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

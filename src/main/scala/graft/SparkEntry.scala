@@ -1323,6 +1323,39 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of funnel ([[graft.operators.AsofJoin.forward]], added
+    * r16): every click joins the SAME user's NEXT purchase at or after
+    * it — unbounded and with a 1-hour tolerance — the
+    * `merge_asof(direction='forward')` semantics, replayed by DuckDB's
+    * native forward `ASOF LEFT JOIN` (`c.tus <= p.tus`) over the same
+    * micro-truncated times and engineered max-id ties. */
+  private def q76_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .where(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+    val clicks = e.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("value").as("pvalue"), col("event_id").as("pid"))
+    def asof(tol: Option[Long]) = graft.operators.AsofJoin.forward(
+      clicks, purchases, probeKey = "user_id", refKey = "user_id",
+      probeTime = "ts", refTime = "pts",
+      tieBreak = Seq("pts", "pid"), tolerance = tol)
+    val base = asof(None)
+    val bounded = asof(Some(3600000000L))
+      .select(col("event_id"), col("pts").as("p60ts"),
+        col("pvalue").as("p60value"))
+    base.join(bounded, Seq("event_id"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"),
+        unix_micros(col("pts")).as("next_tus"),
+        col("pvalue").as("next_value"),
+        unix_micros(col("p60ts")).as("next1h_tus"),
+        col("p60value").as("next1h_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1522,7 +1555,8 @@ object SparkEntry {
     "q72_ann_ivfadc" -> (q72_ann_ivfadc _),
     "q73_ann_ivfadc_trained" -> (q73_ann_ivfadc_trained _),
     "q74_coverage" -> (q74_coverage _),
-    "q75_asof_join" -> (q75_asof_join _)) ++
+    "q75_asof_join" -> (q75_asof_join _),
+    "q76_asof_forward" -> (q76_asof_forward _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -44,7 +44,29 @@ object AsofJoin {
   def backward(probe: DataFrame, ref: DataFrame, probeKey: String,
       refKey: String, probeTime: String, refTime: String,
       tieBreak: Seq[String] = Nil,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(probe, ref, probeKey, refKey, probeTime, refTime,
+      tieBreak, tolerance, forwardDir = false)
+
+  /** Forward as-of join: each probe row matched to the EARLIEST
+    * reference row at-or-after its time, per key — the other direction
+    * of pandas `merge_asof(direction='forward')` (funnel attribution:
+    * "the next purchase after this click"). Same machinery as
+    * [[backward]] with the timeline walked in reverse; `tolerance`
+    * bounds `refTime - probeTime` in microseconds; among reference
+    * rows sharing (key, time) the LAST in `tieBreak` order still
+    * wins. */
+  def forward(probe: DataFrame, ref: DataFrame, probeKey: String,
+      refKey: String, probeTime: String, refTime: String,
+      tieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(probe, ref, probeKey, refKey, probeTime, refTime,
+      tieBreak, tolerance, forwardDir = true)
+
+  private def asofImpl(probe: DataFrame, ref: DataFrame,
+      probeKey: String, refKey: String, probeTime: String,
+      refTime: String, tieBreak: Seq[String],
+      tolerance: Option[Long], forwardDir: Boolean): DataFrame = {
     tolerance.foreach(tol =>
       require(tol >= 0, "tolerance must be >= 0 microseconds"))
     // working-column names probed to miss BOTH inputs (the
@@ -101,9 +123,13 @@ object AsofJoin {
     // reference rows sort before probe rows at equal time (inclusive
     // as-of); among same-time reference rows the tieBreak order decides
     // (probe rows carry a null struct, so their tieBreak fields are null
-    // and nulls_first keeps them out of the reference ordering)
+    // and nulls_first keeps them out of the reference ordering).
+    // Forward direction = the same running frame over a REVERSED
+    // timeline: last(ignoreNulls) then picks the smallest
+    // at-or-after reference time instead of the largest at-or-before.
+    val timeOrd = if (forwardDir) col(t).desc else col(t).asc
     val ordering: Seq[Column] =
-      col(t).asc +: col(isProbe).asc +:
+      timeOrd +: col(isProbe).asc +:
         tieBreak.map(c => col(s"$refStruct.$c").asc_nulls_first)
     val w = Window.partitionBy(col(probeKey)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -116,8 +142,10 @@ object AsofJoin {
       case None => filled
       case Some(tol) =>
         val mt = col(s"$refStruct.$refTime").cast("timestamp")
-        val ok = mt.isNotNull &&
-          (unix_micros(col(t)) - unix_micros(mt) <= tol)
+        val gap =
+          if (forwardDir) unix_micros(mt) - unix_micros(col(t))
+          else unix_micros(col(t)) - unix_micros(mt)
+        val ok = mt.isNotNull && (gap <= tol)
         filled.withColumn(refStruct, when(ok, col(refStruct)))
     }
     bounded

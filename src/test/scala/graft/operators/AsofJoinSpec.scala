@@ -118,4 +118,38 @@ class AsofJoinSpec extends SparkSuite {
     }
     assert(bad.getMessage.contains("tolerance"))
   }
+
+  test("forward: earliest at-or-after, max-id tie, tolerance bound") {
+    import spark.implicits._
+    val probe = Seq(
+      (1, "2024-01-01 00:00:00", "equal_tie"), // two refs AT this time
+      (1, "2024-01-01 00:00:30", "next_is_0100"),
+      (1, "2024-01-01 02:00:00", "nothing_after"),
+      (2, "2024-01-01 00:00:00", "only_before"))
+      .toDF("uid", "ts", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq(
+      (1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:00:00", 2),
+      (1, "2024-01-01 01:00:00", 3),
+      (2, "2023-12-31 23:00:00", 4)) // strictly before probe: no match
+      .toDF("ouid", "ots", "okey")
+      .withColumn("ots", col("ots").cast("timestamp"))
+    def run(tol: Option[Long]) =
+      AsofJoin.forward(probe, ref, "uid", "ouid", "ts", "ots",
+        tieBreak = Seq("okey"), tolerance = tol)
+        .collect()
+        .map(r => r.getAs[String]("eid") ->
+          (if (r.isNullAt(r.fieldIndex("okey"))) None
+           else Some(r.getAs[Int]("okey"))))
+        .toMap
+    assert(run(None) == Map(
+      "equal_tie" -> Some(2), // inclusive; max tieBreak wins
+      "next_is_0100" -> Some(3),
+      "nothing_after" -> None,
+      "only_before" -> None))
+    // 30-minute tolerance drops the 59.5-minute-away match only
+    assert(run(Some(30L * 60 * 1000000L)) == Map(
+      "equal_tie" -> Some(2), "next_is_0100" -> None,
+      "nothing_after" -> None, "only_before" -> None))
+  }
 }
