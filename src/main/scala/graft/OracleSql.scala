@@ -632,6 +632,33 @@ object OracleSql {
         |  CASE WHEN ptus IS NOT NULL AND ptus - tus <= 3600000000
         |    THEN pvalue END AS next1h_value
         |FROM j ORDER BY event_id""".stripMargin,
+    // q77: bedtools-closest — naive all-pairs argmin over the same
+    // (distance, b start, b id) tie rule the sweep composition
+    // engineers (the oracle may be quadratic; the engine must not be)
+    "q77_closest" ->
+      s"""WITH a AS (SELECT c_custkey AS aid,
+         |    'chr' || (c_custkey % 4) AS chrom,
+         |    (c_custkey*5557) % 10000000 AS astart,
+         |    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300
+         |      AS aend
+         |  FROM customer),
+         |bv AS ($ivB),
+         |pair AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+         |    b.iv_id AS bid, b."start" AS bstart, b."end" AS bend,
+         |    CASE WHEN a.astart < b."end" AND b."start" < a.aend THEN 0
+         |         WHEN b."end" <= a.astart THEN a.astart - b."end"
+         |         ELSE b."start" - a.aend END AS dist
+         |  FROM a JOIN bv b ON a.chrom = b.chrom),
+         |r AS (SELECT aid, chrom, astart, aend,
+         |    min(struct_pack(d := dist, s := bstart, i := bid,
+         |      e := bend)) AS m
+         |  FROM pair GROUP BY 1, 2, 3, 4)
+         |SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+         |  CAST(m['s'] AS BIGINT) AS closest_start,
+         |  CAST(m['e'] AS BIGINT) AS closest_end,
+         |  CAST(m['d'] AS BIGINT) AS distance
+         |FROM r ORDER BY aid""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

@@ -1356,6 +1356,27 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-interval annotation ([[graft.operators.IntervalOps
+    * .closest]] — the bedtools-closest analogue, added r16): every
+    * customer-derived interval finds its nearest orders-derived
+    * interval per chromosome via two as-of-style window sweeps plus
+    * the binned overlap join — never all pairs. Ties resolve by the
+    * engineered argmin (distance, b start, b id) rule, which the
+    * DuckDB oracle replays as a naive all-pairs row_number argmin over
+    * the identical CASE distance. */
+  private def q77_closest(s: SparkSession, dir: String): DataFrame = {
+    val a = pq(s, dir, "customer").select(
+      col("c_custkey").as("aid"),
+      concat(lit("chr"), (col("c_custkey") % 4).cast("string"))
+        .as("chrom"),
+      ((col("c_custkey") * 5557) % 10000000L).as("start"),
+      (((col("c_custkey") * 5557) % 10000000L) + 30 +
+        col("c_custkey") % 300).as("end"))
+    val b = intervalsB(s, dir).withColumnRenamed("iv_id", "bid")
+    graft.operators.IntervalOps.closest(a, b, "aid", "bid")
+      .orderBy(col("aid"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1556,7 +1577,8 @@ object SparkEntry {
     "q73_ann_ivfadc_trained" -> (q73_ann_ivfadc_trained _),
     "q74_coverage" -> (q74_coverage _),
     "q75_asof_join" -> (q75_asof_join _),
-    "q76_asof_forward" -> (q76_asof_forward _)) ++
+    "q76_asof_forward" -> (q76_asof_forward _),
+    "q77_closest" -> (q77_closest _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

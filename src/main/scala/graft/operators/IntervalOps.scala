@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -279,5 +279,107 @@ object IntervalOps {
         col("__s").cast(df.schema(start).dataType).as("start"),
         col("__e").cast(df.schema(end).dataType).as("end"),
         col("depth"))
+  }
+
+  /** Nearest B interval for every A interval, per chromosome — the
+    * bedtools `closest` analogue. Distance is 0 for any overlap or
+    * book-ended touch (half-open), else the gap between the facing
+    * ends; ties resolve by the GLOBAL deterministic rule
+    * argmin (distance, b start, b id) — engineered so an external
+    * engine can replay the exact pick (the q77 oracle is a naive
+    * all-pairs argmin over the same rule). A rows on a chromosome with
+    * no B rows keep null closest columns (left-outer semantics).
+    *
+    * Scale shape — NEVER all-pairs: any B is left-of, right-of, or
+    * overlapping a given A, and within each class the best candidate
+    * under the tie rule is computable by a linear structure:
+    *  - left candidate (max b.end ≤ a.start): one union timeline per
+    *    chromosome, running `last(ignoreNulls)` over a struct payload —
+    *    the [[AsofJoin]] formulation on plain long coordinates;
+    *  - right candidate (min b.start ≥ a.end): the same sweep over the
+    *    reversed timeline;
+    *  - overlap candidates: the binned equi-join
+    *    ([[IntervalJoin.overlapJoin]]) reduced per A by struct-min.
+    * The global winner is `least()` of the three candidate structs
+    * ordered (distance, b start, b id). Cost: two key-shuffled window
+    * sweeps + one binned join — each linear in rows; per-chromosome
+    * window parallelism bounds the sweeps (the [[mergeIntervals]]
+    * caveat; the join part is bin-parallel and skew-robust).
+    *
+    * @param aId unique id column in `a` (joins the three candidate
+    *            frames back together; duplicates would cross-product)
+    * @param bId unique id column in `b` (tie-break + output id) */
+  def closest(a: DataFrame, b: DataFrame, aId: String, bId: String,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L): DataFrame = {
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__as"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__ae"))
+      .where(col("__aid").isNotNull)
+    val b2 = dropNullCoords(b, chrom, start, end)
+      .select(col(bId).as("__bid"), col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__bs"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__be"))
+      .where(col("__bid").isNotNull)
+    // candidate struct layout: least() compares lexicographically, so
+    // (distance, b start, b id) IS the tie rule
+    def candOf(dist: Column) = struct(dist.as("d"), col("__cb.__bs").as("s"),
+      col("__cb.__bid").as("i"), col("__cb.__be").as("e"))
+    def sweep(bPos: Column, forwardDir: Boolean,
+        outName: String): DataFrame = {
+      val bl = b2.select(col("__c"), bPos.as("__pos"),
+        lit(0).as("__isA"),
+        struct(col("__bs"), col("__bid"), col("__be")).as("__cb"))
+        .withColumn("__aid",
+          lit(null).cast(a2.schema("__aid").dataType))
+        .withColumn("__as", lit(null).cast("long"))
+        .withColumn("__ae", lit(null).cast("long"))
+      val al = a2.select(col("__c"),
+        (if (forwardDir) col("__ae") else col("__as")).as("__pos"),
+        lit(1).as("__isA"),
+        lit(null).cast(bl.schema("__cb").dataType).as("__cb"),
+        col("__aid"), col("__as"), col("__ae"))
+      // among equal-position B rows the GLOBAL rule wants the MIN
+      // (b start, b id); last() takes the final frame row, so the tie
+      // columns sort DESCENDING
+      val w = Window.partitionBy(col("__c"))
+        .orderBy(
+          (if (forwardDir) col("__pos").desc else col("__pos").asc) +:
+            col("__isA").asc +: Seq(col("__cb.__bs").desc_nulls_first,
+              col("__cb.__bid").desc_nulls_first): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dist =
+        if (forwardDir) col("__cb.__bs") - col("__ae")
+        else col("__as") - col("__cb.__be")
+      bl.unionByName(al)
+        .withColumn("__cb", last(col("__cb"), ignoreNulls = true).over(w))
+        .where(col("__isA") === 1)
+        .select(col("__aid"),
+          when(col("__cb").isNotNull, candOf(dist)).as(outName))
+    }
+    val leftCand = sweep(col("__be"), forwardDir = false, "__L")
+    val rightCand = sweep(col("__bs"), forwardDir = true, "__R")
+    val overlapCand = IntervalJoin.overlapJoin(
+        a2, b2.withColumnRenamed("__c", "__c2"),
+        leftCols = ("__c", "__as", "__ae"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+      .groupBy(col("__aid"))
+      .agg(min(struct(lit(0L).as("d"), col("__bs").as("s"),
+        col("__bid").as("i"), col("__be").as("e"))).as("__O"))
+    val best = least(col("__O"), col("__L"), col("__R"))
+    a2.join(leftCand, Seq("__aid"), "left")
+      .join(rightCand, Seq("__aid"), "left")
+      .join(overlapCand, Seq("__aid"), "left")
+      .select(col("__aid").as(aId),
+        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__as").cast(a.schema(start).dataType).as(start),
+        col("__ae").cast(a.schema(end).dataType).as(end),
+        best.getField("i").as("closest_id"),
+        best.getField("s").as("closest_start"),
+        best.getField("e").as("closest_end"),
+        best.getField("d").as("distance"))
   }
 }

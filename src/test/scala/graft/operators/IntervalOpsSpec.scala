@@ -192,6 +192,68 @@ class IntervalOpsSpec extends SparkSuite {
     }
   }
 
+  test("closest: overlap, touch, gaps, equidistant tie, empty chrom") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 12L, 15L), // inside b1
+      (2L, "chr1", 15L, 35L), // overlaps b1 AND b2 -> min start wins
+      (3L, "chr1", 20L, 30L), // touches b1's end and b2's start -> b1
+      (4L, "chr1", 50L, 60L), // gap: b2 at 10, b3 at 40 -> b2
+      (5L, "chr1", 70L, 95L), // gap: b2 at 30, b3 at 5 -> b3
+      (6L, "chr1", 44L, 96L), // equidistant (4 both sides) -> b2
+      (7L, "chr2", 1L, 2L)) // no B on chr2 -> nulls
+      .toDF("aid", "chrom", "start", "end")
+    val b = Seq(
+      (1L, "chr1", 10L, 20L), (2L, "chr1", 30L, 40L),
+      (3L, "chr1", 100L, 110L))
+      .toDF("bid", "chrom", "start", "end")
+    val got = IntervalOps.closest(a, b, "aid", "bid")
+      .orderBy("aid")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some(1L), Some(0L)), (2L, Some(1L), Some(0L)),
+      (3L, Some(1L), Some(0L)), (4L, Some(2L), Some(10L)),
+      (5L, Some(3L), Some(5L)), (6L, Some(2L), Some(4L)),
+      (7L, None, None)))
+  }
+
+  test("closest matches the naive all-pairs argmin on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    val aRows = Seq.tabulate(150) { i =>
+      val st = rnd.nextInt(200).toLong
+      (i.toLong, s"chr${i % 3}", st, st + 1 + rnd.nextInt(20))
+    }
+    val bRows = Seq.tabulate(60) { i =>
+      val st = rnd.nextInt(200).toLong
+      // chr2 gets no B rows: the no-candidate path must appear
+      (i.toLong, s"chr${i % 2}", st, st + 1 + rnd.nextInt(20))
+    }
+    val naive = aRows.map { case (aid, c, as, ae) =>
+      val cands = bRows.filter(_._2 == c).map { case (bid, _, bs, be) =>
+        val d = if (as < be && bs < ae) 0L
+          else if (be <= as) as - be else bs - ae
+        (d, bs, bid)
+      }
+      aid -> (if (cands.isEmpty) None else Some(cands.min))
+    }.toMap
+    val got = IntervalOps.closest(
+        aRows.toDF("aid", "chrom", "start", "end"),
+        bRows.toDF("bid", "chrom", "start", "end"), "aid", "bid")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None
+         else Some((r.getLong(7), r.getLong(5), r.getLong(4)))))
+      .toMap
+    assert(got == naive)
+  }
+
   test("coverage: null coords dropped, caller types kept, " +
       "fractional rejected") {
     val s = spark
