@@ -462,6 +462,44 @@ object Bench {
           .agg(count(lit(1)).as("n_segs"),
             sum(col("end") - col("start")).as("bases"))
           .orderBy(col("chrom"), col("depth"))
+      }),
+      // nearest-feature annotation over the REAL corpora (the
+      // bedtools-closest shape q77 gates synthetically): every BAM
+      // read in a 15 Mbp indexed slice finds its nearest BED feature
+      // from the matching tabix slice — two as-of sweeps + the binned
+      // overlap join, reduced to a per-chrom distance profile. Both
+      // scans go through the INDEXED region path, so the row also
+      // exercises pushdown feeding an operator (the full-file variant
+      // benched 33 s — single-contig window skew, the documented
+      // closest caveat — too heavy for a standing per-pass row).
+      // Feature ids hash the interval (xxhash64 — deterministic);
+      // qname is unique per read in this corpus
+      "b13_bam_closest" -> ((s: SparkSession, _: String) => {
+        import org.apache.spark.sql.functions._
+        val reads = bam(s)
+          .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
+          .option("regions", "chr1:60000001-75000000")
+          .load(c.bam)
+          .where(col("rname").isNotNull && col("pos").isNotNull &&
+            col("end").isNotNull)
+          .select(col("qname").as("aid"), col("rname").as("chrom"),
+            col("pos").cast("long").as("start"),
+            col("end").cast("long").as("end"))
+        val feats = s.read.format("bed")
+          .option("regions", "chr1:60000001-75000000")
+          .load(c.bed)
+          .where(col("chrom").isNotNull && col("start").isNotNull &&
+            col("end").isNotNull)
+          .select(xxhash64(col("chrom"), col("start"), col("end"))
+            .as("bid"), col("chrom"), col("start").cast("long")
+            .as("start"), col("end").cast("long").as("end"))
+        graft.operators.IntervalOps.closest(reads, feats, "aid", "bid")
+          .groupBy(col("chrom"))
+          .agg(count(lit(1)).as("n_reads"),
+            sum(when(col("distance") === 0L, 1L).otherwise(0L))
+              .as("n_overlapping"),
+            sum(col("distance")).as("sum_distance"))
+          .orderBy(col("chrom"))
       }))
   }
 
