@@ -16,6 +16,24 @@ object OracleSql {
       | (l_partkey*12347) % 10000000 AS start,
       | (l_partkey*12347) % 10000000 + 50 + CAST(floor(l_quantity) AS BIGINT)*10 AS "end"
       |FROM lineitem""".stripMargin
+  /** Shared coverage-segment CTEs (gates q74/q78): net breakpoints of
+    * the lineitem-derived interval set, then the per-chromosome window
+    * prefix sum whose skew the distributed sweep replaces. */
+  private def coverageSegCtes: String =
+    s"""WITH iva AS ($ivA),
+       |ev AS (SELECT chrom, "start" AS pos, 1 AS d FROM iva
+       |  UNION ALL
+       |  SELECT chrom, greatest("end", "start"), -1 FROM iva),
+       |bp AS (SELECT chrom, pos, CAST(sum(d) AS BIGINT) AS d
+       |  FROM ev GROUP BY 1, 2 HAVING sum(d) <> 0),
+       |seg AS (SELECT chrom, pos AS seg_start,
+       |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos)
+       |      AS seg_end,
+       |    CAST(sum(d) OVER (PARTITION BY chrom ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS depth
+       |  FROM bp)""".stripMargin
+
   private val ivB =
     """SELECT o_orderkey AS iv_id,
       | 'chr' || (o_orderkey % 4) AS chrom,
@@ -559,24 +577,21 @@ object OracleSql {
     // sum over net breakpoints (the formulation whose one-task-per-
     // contig skew IntervalOps.coverage's two-pass sweep replaces)
     "q74_coverage" ->
-      s"""WITH iva AS ($ivA),
-         |ev AS (SELECT chrom, "start" AS pos, 1 AS d FROM iva
-         |  UNION ALL
-         |  SELECT chrom, greatest("end", "start"), -1 FROM iva),
-         |bp AS (SELECT chrom, pos, CAST(sum(d) AS BIGINT) AS d
-         |  FROM ev GROUP BY 1, 2 HAVING sum(d) <> 0),
-         |seg AS (SELECT chrom, pos AS seg_start,
-         |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos)
-         |      AS seg_end,
-         |    CAST(sum(d) OVER (PARTITION BY chrom ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS BIGINT) AS depth
-         |  FROM bp)
+      s"""$coverageSegCtes
          |SELECT chrom, depth, count(*) AS n_segs,
          |  CAST(sum(seg_end - seg_start) AS BIGINT) AS bases,
          |  CAST(sum(seg_start) AS BIGINT) AS sum_start
          |FROM seg WHERE seg_end IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q78: bedtools-complement — q74's segments filtered to depth 0
+    // (IntervalOps.complement is literally coverage().where(depth=0),
+    // and the oracle shares the same CTEs, so they cannot drift)
+    "q78_complement" ->
+      s"""$coverageSegCtes
+         |SELECT chrom, CAST(seg_start AS BIGINT) AS "start",
+         |  CAST(seg_end AS BIGINT) AS "end"
+         |FROM seg WHERE seg_end IS NOT NULL AND depth = 0
+         |ORDER BY 1, 2""".stripMargin,
     // q75: as-of attribution — DuckDB's NATIVE ASOF LEFT JOIN over the
     // same micro-truncated times, with right-side ties pre-deduped to
     // the max event_id (the pick AsofJoin.backward's window tiebreak

@@ -1377,6 +1377,15 @@ object SparkEntry {
       .orderBy(col("aid"))
   }
 
+  /** Interval complement ([[graft.operators.IntervalOps.complement]]
+    * — coverage's depth-0 segments, the bedtools-complement analogue
+    * within the data's span): the uncovered gaps of the q74 interval
+    * set, row-level. Shares q74's oracle CTEs filtered to depth 0. */
+  private def q78_complement(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IntervalOps.complement(
+        intervalsA(s, dir).drop("iv_id"))
+      .orderBy(col("chrom"), col("start"))
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1578,7 +1587,8 @@ object SparkEntry {
     "q74_coverage" -> (q74_coverage _),
     "q75_asof_join" -> (q75_asof_join _),
     "q76_asof_forward" -> (q76_asof_forward _),
-    "q77_closest" -> (q77_closest _)) ++
+    "q77_closest" -> (q77_closest _),
+    "q78_complement" -> (q78_complement _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -281,6 +281,22 @@ object IntervalOps {
         col("depth"))
   }
 
+  /** Uncovered gaps of an interval set within its own covered span —
+    * the bedtools `complement` analogue restricted to the data's
+    * extent (no genome-sizes file in this scope: the unbounded span
+    * before each chromosome's first start and after its last end is
+    * not emitted, the same tail contract as [[coverage]]). These are
+    * exactly [[coverage]]'s depth-0 segments, so the operator inherits
+    * the two-pass range-partitioned breakpoint-sweep scale shape
+    * verbatim — and its gate (q78) shares q74's oracle CTEs with a
+    * `depth = 0` filter, so the two can never drift. */
+  def complement(df: DataFrame, chrom: String = "chrom",
+      start: String = "start", end: String = "end",
+      partitions: Int = 0): DataFrame =
+    coverage(df, chrom, start, end, partitions)
+      .where(col("depth") === 0L)
+      .drop("depth")
+
   /** Nearest B interval for every A interval, per chromosome — the
     * bedtools `closest` analogue. Distance is 0 for any overlap or
     * book-ended touch (half-open), else the gap between the facing

@@ -62,7 +62,8 @@ class CodegenFallbackAuditSpec extends SparkSuite {
     "q66_ann_ivfpq", "q67_sample_stratified", "q68_bm25",
     "q69_rrf_hybrid", "q70_corpus_profile", "q71_knn_label_audit",
     "q72_ann_ivfadc", "q73_ann_ivfadc_trained", "q74_coverage",
-    "q75_asof_join", "q76_asof_forward", "q77_closest")
+    "q75_asof_join", "q76_asof_forward", "q77_closest",
+    "q78_complement")
 
   test("rewired query plans contain zero CodegenFallback expressions") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()

@@ -192,6 +192,34 @@ class IntervalOpsSpec extends SparkSuite {
     }
   }
 
+  test("complement equals coverage's depth-0 gaps and mergeIntervals' " +
+      "holes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val iv = Seq.tabulate(200) { i =>
+      val st = rnd.nextInt(300).toLong
+      (s"chr${i % 2}", st, st + 1 + rnd.nextInt(25))
+    }.toDF("chrom", "start", "end")
+    val gaps = IntervalOps.complement(iv)
+      .orderBy("chrom", "start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(gaps.nonEmpty) // the random corpus must exercise the path
+    // independent reference: the holes BETWEEN consecutive merged
+    // intervals of the same chromosome
+    val merged = IntervalOps.mergeIntervals(iv)
+      .orderBy("chrom", "start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val holes = merged.sliding(2).collect {
+      case Seq((c1, _, e1), (c2, s2, _)) if c1 == c2 => (c1, e1, s2)
+    }.toSeq
+    assert(gaps == holes)
+  }
+
   test("closest: overlap, touch, gaps, equidistant tie, empty chrom") {
     val s = spark
     import s.implicits._
