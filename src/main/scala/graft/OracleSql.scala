@@ -583,6 +583,32 @@ object OracleSql {
          |  CAST(sum(seg_start) AS BIGINT) AS sum_start
          |FROM seg WHERE seg_end IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q79: bedtools-subtract — maximally independent per-base replay:
+    // explode A to positions, drop covered ones, re-coalesce with a
+    // gaps-and-islands window (the oracle may be per-base; the engine
+    // must not be)
+    "q79_subtract" ->
+      s"""WITH a AS (SELECT c_custkey AS aid,
+         |    'chr' || (c_custkey % 4) AS chrom,
+         |    (c_custkey*5557) % 10000000 AS astart,
+         |    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300
+         |      AS aend
+         |  FROM customer),
+         |bv AS ($ivB),
+         |pos AS (SELECT aid, chrom, unnest(range(astart, aend)) AS p
+         |  FROM a),
+         |alive AS (SELECT aid, chrom, p FROM pos
+         |  WHERE NOT EXISTS (SELECT 1 FROM bv b
+         |    WHERE b.chrom = pos.chrom
+         |      AND b."start" <= pos.p AND pos.p < b."end")),
+         |isl AS (SELECT aid, chrom, p,
+         |    p - row_number() OVER (PARTITION BY aid ORDER BY p)
+         |      AS grp
+         |  FROM alive)
+         |SELECT aid, chrom, CAST(min(p) AS BIGINT) AS "start",
+         |  CAST(max(p) + 1 AS BIGINT) AS "end"
+         |FROM isl GROUP BY aid, chrom, grp
+         |ORDER BY aid, "start"""".stripMargin,
     // q78: bedtools-complement — q74's segments filtered to depth 0
     // (IntervalOps.complement is literally coverage().where(depth=0),
     // and the oracle shares the same CTEs, so they cannot drift)

@@ -1386,6 +1386,28 @@ object SparkEntry {
         intervalsA(s, dir).drop("iv_id"))
       .orderBy(col("chrom"), col("start"))
 
+  /** Interval subtraction ([[graft.operators.IntervalOps.subtract]] —
+    * the bedtools-subtract analogue: merged-B overlap join + per-A
+    * gap window, never per-base, never all-pairs): each
+    * customer-derived interval minus everything the orders-derived
+    * set covers. The DuckDB oracle is maximally independent — it
+    * EXPLODES every A interval to positions, keeps those no B row
+    * covers, and re-coalesces survivors with a gaps-and-islands
+    * window, so any boundary arithmetic error on the engine side
+    * breaks the hash. */
+  private def q79_subtract(s: SparkSession, dir: String): DataFrame = {
+    val a = pq(s, dir, "customer").select(
+      col("c_custkey").as("aid"),
+      concat(lit("chr"), (col("c_custkey") % 4).cast("string"))
+        .as("chrom"),
+      ((col("c_custkey") * 5557) % 10000000L).as("start"),
+      (((col("c_custkey") * 5557) % 10000000L) + 30 +
+        col("c_custkey") % 300).as("end"))
+    val b = intervalsB(s, dir).drop("iv_id")
+    graft.operators.IntervalOps.subtract(a, b, "aid")
+      .orderBy(col("aid"), col("start"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1588,7 +1610,8 @@ object SparkEntry {
     "q75_asof_join" -> (q75_asof_join _),
     "q76_asof_forward" -> (q76_asof_forward _),
     "q77_closest" -> (q77_closest _),
-    "q78_complement" -> (q78_complement _)) ++
+    "q78_complement" -> (q78_complement _),
+    "q79_subtract" -> (q79_subtract _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

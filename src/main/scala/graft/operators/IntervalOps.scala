@@ -297,6 +297,77 @@ object IntervalOps {
       .where(col("depth") === 0L)
       .drop("depth")
 
+  /** A minus B (the bedtools `subtract` analogue): each A interval's
+    * surviving sub-intervals after removing every base covered by any
+    * B interval on the same chromosome — possibly several output rows
+    * per A, possibly none (fully covered). Half-open arithmetic;
+    * inverted rows clamp to points; zero-length A rows cover no bases
+    * and emit nothing; null chrom/coords (and null `aId`) drop, the
+    * family's shared policy.
+    *
+    * Scale shape — never per-base, never all-pairs: B first collapses
+    * to its disjoint union ([[mergeIntervalsRange]], skew-robust), the
+    * binned equi-join ([[IntervalJoin.overlapJoin]]) finds each A's
+    * overlapping covered segments (disjoint by construction), and a
+    * per-A window ordered by segment start emits each row's leading
+    * gap plus — on the last row — the trailing gap. A rows touching no
+    * covered segment pass through whole via an anti-join. Window
+    * parallelism is per A INTERVAL (not per chromosome), so this stage
+    * has no single-contig skew at all.
+    *
+    * @param aId unique id column in `a`, carried to the output (one A
+    *            can split into many rows; the id says which) */
+  def subtract(a: DataFrame, b: DataFrame, aId: String,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L): DataFrame = {
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__as"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__ae"))
+      .where(col("__aid").isNotNull && col("__as") < col("__ae"))
+    val mb = mergeIntervalsRange(
+        dropNullCoords(b, chrom, start, end)
+          .select(col(chrom).cast("string").as("__c"),
+            col(start).cast("long").as("__bs"),
+            col(end).cast("long").as("__be")),
+        chrom = "__c", start = "__bs", end = "__be")
+      .withColumnRenamed("start", "__bs")
+      .withColumnRenamed("end", "__be")
+      .drop("n_merged")
+    val ov = IntervalJoin.overlapJoin(a2,
+      mb.withColumnRenamed("__c", "__c2"),
+      leftCols = ("__c", "__as", "__ae"),
+      rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+    // covered segments clipped to A are DISJOINT (merged B), so the
+    // survivors are each row's leading gap + the last row's tail
+    val w = Window.partitionBy(col("__aid")).orderBy(col("__bs"))
+    val clipS = greatest(col("__bs"), col("__as"))
+    val clipE = least(col("__be"), col("__ae"))
+    val marked = ov
+      .withColumn("__gs", coalesce(lag(clipE, 1).over(w), col("__as")))
+      .withColumn("__ce", clipE)
+      .withColumn("__cs", clipS)
+      .withColumn("__lastBs",
+        max(col("__bs")).over(Window.partitionBy(col("__aid"))))
+    val leading = marked.where(col("__gs") < col("__cs"))
+      .select(col("__aid"), col("__c"), col("__gs").as("__as"),
+        col("__cs").as("__ae"))
+    val tails = marked
+      .where(col("__bs") === col("__lastBs") &&
+        col("__ce") < col("__ae"))
+      .select(col("__aid"), col("__c"), col("__ce").as("__as"),
+        col("__ae"))
+    val untouched = a2.join(ov.select(col("__aid")).distinct(),
+      Seq("__aid"), "left_anti")
+      .select(col("__aid"), col("__c"), col("__as"), col("__ae"))
+    leading.unionByName(tails).unionByName(untouched)
+      .select(col("__aid").as(aId),
+        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__as").cast(a.schema(start).dataType).as(start),
+        col("__ae").cast(a.schema(end).dataType).as(end))
+  }
+
   /** Nearest B interval for every A interval, per chromosome — the
     * bedtools `closest` analogue. Distance is 0 for any overlap or
     * book-ended touch (half-open), else the gap between the facing

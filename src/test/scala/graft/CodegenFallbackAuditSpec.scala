@@ -63,7 +63,7 @@ class CodegenFallbackAuditSpec extends SparkSuite {
     "q69_rrf_hybrid", "q70_corpus_profile", "q71_knn_label_audit",
     "q72_ann_ivfadc", "q73_ann_ivfadc_trained", "q74_coverage",
     "q75_asof_join", "q76_asof_forward", "q77_closest",
-    "q78_complement")
+    "q78_complement", "q79_subtract")
 
   test("rewired query plans contain zero CodegenFallback expressions") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()

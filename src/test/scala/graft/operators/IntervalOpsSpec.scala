@@ -220,6 +220,60 @@ class IntervalOpsSpec extends SparkSuite {
     assert(gaps == holes)
   }
 
+  test("subtract: split, swallow, untouched, book-ends, per-base ref") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 0L, 30L), // b covers [10,20) -> splits in two
+      (2L, "chr1", 12L, 18L), // fully inside b -> vanishes
+      (3L, "chr1", 40L, 50L), // no overlap -> unchanged
+      (4L, "chr1", 20L, 25L), // book-ends b's end (half-open) -> whole
+      (5L, "chr2", 0L, 5L)) // no B on chr2 -> unchanged
+      .toDF("aid", "chrom", "start", "end")
+    val b = Seq(("chr1", 10L, 15L), ("chr1", 14L, 20L)) // merge first
+      .toDF("chrom", "start", "end")
+    val got = IntervalOps.subtract(a, b, "aid")
+      .orderBy("aid", "start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 0L, 10L), (1L, 20L, 30L), (3L, 40L, 50L),
+      (4L, 20L, 25L), (5L, 0L, 5L)))
+    // randomized per-base reference
+    val rnd = new scala.util.Random(53)
+    val aR = Seq.tabulate(120) { i =>
+      val st = rnd.nextInt(200).toLong
+      (i.toLong, s"chr${i % 2}", st, st + 1 + rnd.nextInt(30))
+    }
+    val bR = Seq.tabulate(50) { i =>
+      val st = rnd.nextInt(200).toLong
+      (s"chr${i % 2}", st, st + 1 + rnd.nextInt(15))
+    }
+    val naive = aR.flatMap { case (aid, c, as, ae) =>
+      val covered = (p: Long) =>
+        bR.exists(bv => bv._1 == c && bv._2 <= p && p < bv._3)
+      val alive = (as until ae).filterNot(covered)
+      // coalesce consecutive survivors into intervals
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)]
+      alive.foreach { p =>
+        if (segs.nonEmpty && segs.last._3 == p) {
+          val (i0, s0, _) = segs.remove(segs.length - 1)
+          segs += ((i0, s0, p + 1))
+        } else segs += ((aid, p, p + 1))
+      }
+      segs
+    }.sortBy(x => (x._1, x._2))
+    val gotR = IntervalOps.subtract(
+        aR.toDF("aid", "chrom", "start", "end"),
+        bR.toDF("chrom", "start", "end"), "aid")
+      .orderBy("aid", "start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(gotR == naive)
+  }
+
   test("closest: overlap, touch, gaps, equidistant tie, empty chrom") {
     val s = spark
     import s.implicits._
