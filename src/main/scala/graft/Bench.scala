@@ -472,8 +472,11 @@ object Bench {
       // exercises pushdown feeding an operator (the full-file variant
       // benched 33 s — single-contig window skew, the documented
       // closest caveat — too heavy for a standing per-pass row).
-      // Feature ids hash the interval (xxhash64 — deterministic);
-      // qname is unique per read in this corpus
+      // Feature ids hash the interval (xxhash64 — deterministic); read
+      // ids hash (qname, pos, flag) — qname ALONE is shared by
+      // paired-end mates in real BAMs, and closest() documents that
+      // duplicate aId values cross-product the candidate joins, so the
+      // row must not rest on a corpus-specific uniqueness accident
       "b13_bam_closest" -> ((s: SparkSession, _: String) => {
         import org.apache.spark.sql.functions._
         val reads = bam(s)
@@ -482,7 +485,8 @@ object Bench {
           .load(c.bam)
           .where(col("rname").isNotNull && col("pos").isNotNull &&
             col("end").isNotNull)
-          .select(col("qname").as("aid"), col("rname").as("chrom"),
+          .select(xxhash64(col("qname"), col("pos"), col("flag"))
+            .as("aid"), col("rname").as("chrom"),
             col("pos").cast("long").as("start"),
             col("end").cast("long").as("end"))
         val feats = s.read.format("bed")

@@ -675,7 +675,11 @@ object OracleSql {
         |FROM j ORDER BY event_id""".stripMargin,
     // q77: bedtools-closest — naive all-pairs argmin over the same
     // (distance, b start, b id) tie rule the sweep composition
-    // engineers (the oracle may be quadratic; the engine must not be)
+    // engineers (the oracle may be quadratic; the engine must not be).
+    // LEFT JOIN, not inner: IntervalOps.closest keeps A rows on
+    // chromosomes with no B candidates (null closest columns), and the
+    // oracle must replay that left-outer path too — an inner join only
+    // agreed by the accident of both generators emitting chr0..chr3
     "q77_closest" ->
       s"""WITH a AS (SELECT c_custkey AS aid,
          |    'chr' || (c_custkey % 4) AS chrom,
@@ -685,14 +689,16 @@ object OracleSql {
          |  FROM customer),
          |bv AS ($ivB),
          |pair AS (SELECT a.aid, a.chrom, a.astart, a.aend,
-         |    b.iv_id AS bid, b."start" AS bstart, b."end" AS bend,
-         |    CASE WHEN a.astart < b."end" AND b."start" < a.aend THEN 0
-         |         WHEN b."end" <= a.astart THEN a.astart - b."end"
-         |         ELSE b."start" - a.aend END AS dist
-         |  FROM a JOIN bv b ON a.chrom = b.chrom),
-         |r AS (SELECT aid, chrom, astart, aend,
-         |    min(struct_pack(d := dist, s := bstart, i := bid,
-         |      e := bend)) AS m
+         |    CASE WHEN b.iv_id IS NULL THEN NULL
+         |      ELSE struct_pack(
+         |        d := CASE WHEN a.astart < b."end"
+         |                    AND b."start" < a.aend THEN 0
+         |                  WHEN b."end" <= a.astart
+         |                    THEN a.astart - b."end"
+         |                  ELSE b."start" - a.aend END,
+         |        s := b."start", i := b.iv_id, e := b."end") END AS c
+         |  FROM a LEFT JOIN bv b ON a.chrom = b.chrom),
+         |r AS (SELECT aid, chrom, astart, aend, min(c) AS m
          |  FROM pair GROUP BY 1, 2, 3, 4)
          |SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
          |  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,

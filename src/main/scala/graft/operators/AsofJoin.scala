@@ -127,7 +127,14 @@ object AsofJoin {
     // Forward direction = the same running frame over a REVERSED
     // timeline: last(ignoreNulls) then picks the smallest
     // at-or-after reference time instead of the largest at-or-before.
-    val timeOrd = if (forwardDir) col(t).desc else col(t).asc
+    // NULLS FIRST in BOTH directions: a probe row with a null (or
+    // uncastable) time can never be an as-of match, so it must sort
+    // before every reference row and fill null. asc defaults to nulls
+    // first, but desc defaults to NULLS LAST — which would sort a
+    // null-time probe after the whole reversed timeline and hand it
+    // the smallest-time reference row as a spurious "match".
+    val timeOrd =
+      if (forwardDir) col(t).desc_nulls_first else col(t).asc
     val ordering: Seq[Column] =
       timeOrd +: col(isProbe).asc +:
         tieBreak.map(c => col(s"$refStruct.$c").asc_nulls_first)

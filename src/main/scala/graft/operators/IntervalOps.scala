@@ -190,6 +190,14 @@ object IntervalOps {
         s"coverage requires integral coordinates, got " +
           s"$c: ${df.schema(c).dataType.simpleString}")
     }
+    // segment boundaries MIX the two coordinate domains (a segment can
+    // start at an input END), so unlike mergeIntervalsRange the
+    // back-casts below are only safe when both columns share one type —
+    // an int start column would silently wrap a long end value
+    require(df.schema(start).dataType == df.schema(end).dataType,
+      s"coverage requires $start and $end to share a type, got " +
+        s"${df.schema(start).dataType.simpleString} vs " +
+        s"${df.schema(end).dataType.simpleString}")
     val n = if (partitions > 0) partitions
       else session.sessionState.conf.numShufflePartitions
     // 2n events -> net breakpoints (map-side combined), zero-net
@@ -335,6 +343,11 @@ object IntervalOps {
       .withColumnRenamed("start", "__bs")
       .withColumnRenamed("end", "__be")
       .drop("n_merged")
+      // zero-length survivors (inverted/point B rows clamp to [p,p)
+      // and survive the merge when isolated) cover no bases, but the
+      // strict overlap predicate below would still match one strictly
+      // inside an A interval and split A's output at p — drop them
+      .where(col("__bs") < col("__be"))
     val ov = IntervalJoin.overlapJoin(a2,
       mb.withColumnRenamed("__c", "__c2"),
       leftCols = ("__c", "__as", "__ae"),

@@ -152,4 +152,33 @@ class AsofJoinSpec extends SparkSuite {
       "equal_tie" -> Some(2), "next_is_0100" -> None,
       "nothing_after" -> None, "only_before" -> None))
   }
+
+  test("null-probe-time rows match nothing in BOTH directions") {
+    import spark.implicits._
+    // desc defaults to NULLS LAST, so an unfixed forward() would sort
+    // the null-time probe after the whole reversed timeline and hand
+    // it the smallest-time reference row as a spurious match; backward
+    // (asc = nulls first) always nulled it — the two directions must
+    // agree that a probe without a time matches nothing
+    val probe = Seq(
+      (1, Option("2024-01-01 00:00:00"), "real"),
+      (1, Option.empty[String], "timeless"))
+      .toDF("uid", "ts", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ref = Seq((1, "2024-01-01 00:00:00", 7))
+      .toDF("ouid", "ots", "okey")
+      .withColumn("ots", col("ots").cast("timestamp"))
+    for (dir <- Seq("backward", "forward")) {
+      val out = (if (dir == "backward")
+          AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots")
+        else AsofJoin.forward(probe, ref, "uid", "ouid", "ts", "ots"))
+        .collect()
+        .map(r => r.getAs[String]("eid") ->
+          (if (r.isNullAt(r.fieldIndex("okey"))) None
+           else Some(r.getAs[Int]("okey"))))
+        .toMap
+      assert(out == Map("real" -> Some(7), "timeless" -> None),
+        s"direction=$dir: $out")
+    }
+  }
 }

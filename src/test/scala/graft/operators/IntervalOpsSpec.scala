@@ -239,6 +239,17 @@ class IntervalOpsSpec extends SparkSuite {
       .toSeq
     assert(got == Seq((1L, 0L, 10L), (1L, 20L, 30L), (3L, 40L, 50L),
       (4L, 20L, 25L), (5L, 0L, 5L)))
+    // zero-length B rows cover no bases and must not split A: a point
+    // [5,5) and an inverted row (clamping to a point at 8) both land
+    // strictly inside A=[0,10), where the strict overlap predicate
+    // would match the surviving [p,p) segment and emit [0,p)+[p,10)
+    val aPt = Seq((1L, "chr1", 0L, 10L)).toDF("aid", "chrom", "start", "end")
+    val bPt = Seq(("chr1", 5L, 5L), ("chr1", 8L, 3L))
+      .toDF("chrom", "start", "end")
+    val gotPt = IntervalOps.subtract(aPt, bPt, "aid")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(gotPt == Seq((1L, 0L, 10L)))
     // randomized per-base reference
     val rnd = new scala.util.Random(53)
     val aR = Seq.tabulate(120) { i =>
@@ -355,5 +366,15 @@ class IntervalOpsSpec extends SparkSuite {
       IntervalOps.coverage(frac)
     }
     assert(e.getMessage.contains("integral"))
+    // mixed coordinate widths are rejected too: segment boundaries mix
+    // the two domains (a segment can START at an input end), so an int
+    // start column would silently wrap a long end value on cast-back
+    import org.apache.spark.sql.functions.col
+    val mixed = Seq(("chr1", 1, 5L)).toDF("chrom", "start", "end")
+      .select(col("chrom"), col("start").cast("int"), col("end"))
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalOps.coverage(mixed)
+    }
+    assert(e2.getMessage.contains("share a type"))
   }
 }
