@@ -466,45 +466,63 @@ object Bench {
       // nearest-feature annotation over the REAL corpora (the
       // bedtools-closest shape q77 gates synthetically): every BAM
       // read in a 15 Mbp indexed slice finds its nearest BED feature
-      // from the matching tabix slice — two as-of sweeps + the binned
-      // overlap join, reduced to a per-chrom distance profile. Both
-      // scans go through the INDEXED region path, so the row also
-      // exercises pushdown feeding an operator (the full-file variant
-      // benched 33 s — single-contig window skew, the documented
-      // closest caveat — too heavy for a standing per-pass row).
+      // from the matching tabix slice — two timeline sweeps + the
+      // binned overlap join, reduced to a per-chrom distance profile.
+      // Both scans go through the INDEXED region path, so the row also
+      // exercises pushdown feeding an operator. (Under the r16
+      // per-chromosome window sweeps the FULL-FILE variant ran 33 s —
+      // single-contig skew — which kept it out of the bench; the
+      // RangeFill rewrite made it standable, see b13b below.)
       // Feature ids hash the interval (xxhash64 — deterministic); read
       // ids hash (qname, pos, flag) — qname ALONE is shared by
       // paired-end mates in real BAMs, and closest() documents that
       // duplicate aId values cross-product the candidate joins, so the
       // row must not rest on a corpus-specific uniqueness accident
-      "b13_bam_closest" -> ((s: SparkSession, _: String) => {
-        import org.apache.spark.sql.functions._
-        val reads = bam(s)
-          .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
-          .option("regions", "chr1:60000001-75000000")
-          .load(c.bam)
-          .where(col("rname").isNotNull && col("pos").isNotNull &&
-            col("end").isNotNull)
-          .select(xxhash64(col("qname"), col("pos"), col("flag"))
-            .as("aid"), col("rname").as("chrom"),
-            col("pos").cast("long").as("start"),
-            col("end").cast("long").as("end"))
-        val feats = s.read.format("bed")
-          .option("regions", "chr1:60000001-75000000")
-          .load(c.bed)
-          .where(col("chrom").isNotNull && col("start").isNotNull &&
-            col("end").isNotNull)
-          .select(xxhash64(col("chrom"), col("start"), col("end"))
-            .as("bid"), col("chrom"), col("start").cast("long")
-            .as("start"), col("end").cast("long").as("end"))
-        graft.operators.IntervalOps.closest(reads, feats, "aid", "bid")
-          .groupBy(col("chrom"))
-          .agg(count(lit(1)).as("n_reads"),
-            sum(when(col("distance") === 0L, 1L).otherwise(0L))
-              .as("n_overlapping"),
-            sum(col("distance")).as("sum_distance"))
-          .orderBy(col("chrom"))
-      }))
+      "b13_bam_closest" -> ((s: SparkSession, _: String) =>
+        closestProfile(s, c, region = Some("chr1:60000001-75000000"))),
+      // the FULL-FILE closest: all 4M reads vs all features, dominated
+      // by one contig — the exact load whose per-chromosome window
+      // sweep serialized at 33 s before the RangeFill rewrite. Shares
+      // b13's body (only the region differs), so slice and full rows
+      // can never drift; the pair's ratio is the standing evidence
+      // that the sweep cost is input-proportional, not contig-bound
+      "b13b_bam_closest_full" -> ((s: SparkSession, _: String) =>
+        closestProfile(s, c, region = None)))
+  }
+
+  /** Shared body of b13/b13b: nearest BED feature for every BAM read
+    * (optionally restricted to one indexed region on BOTH sides),
+    * reduced to a per-chromosome distance profile. */
+  private def closestProfile(s: SparkSession,
+      c: graft.fixtures.BenchCorpus.Paths,
+      region: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def withRegion(r: org.apache.spark.sql.DataFrameReader) =
+      region.fold(r)(reg => r.option("regions", reg))
+    val reads = withRegion(s.read.format("bam")
+        .option("tags", "NM:i,AS:i,RG:Z")
+        .option("maxpartitionbytes", (16L * 1024 * 1024).toString))
+      .load(c.bam)
+      .where(col("rname").isNotNull && col("pos").isNotNull &&
+        col("end").isNotNull)
+      .select(xxhash64(col("qname"), col("pos"), col("flag"))
+        .as("aid"), col("rname").as("chrom"),
+        col("pos").cast("long").as("start"),
+        col("end").cast("long").as("end"))
+    val feats = withRegion(s.read.format("bed"))
+      .load(c.bed)
+      .where(col("chrom").isNotNull && col("start").isNotNull &&
+        col("end").isNotNull)
+      .select(xxhash64(col("chrom"), col("start"), col("end"))
+        .as("bid"), col("chrom"), col("start").cast("long")
+        .as("start"), col("end").cast("long").as("end"))
+    graft.operators.IntervalOps.closest(reads, feats, "aid", "bid")
+      .groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n_reads"),
+        sum(when(col("distance") === 0L, 1L).otherwise(0L))
+          .as("n_overlapping"),
+        sum(col("distance")).as("sum_distance"))
+      .orderBy(col("chrom"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -622,57 +622,17 @@ object OracleSql {
     // same micro-truncated times, with right-side ties pre-deduped to
     // the max event_id (the pick AsofJoin.backward's window tiebreak
     // makes by construction)
-    "q75_asof_join" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
-        |    event_type, value
-        |  FROM events
-        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
-        |    AND ts IS NOT NULL),
-        |c AS (SELECT event_id, user_id, tus, value FROM e
-        |  WHERE event_type = 'click'),
-        |v0 AS (SELECT user_id, tus, value, event_id, row_number()
-        |    OVER (PARTITION BY user_id, tus ORDER BY event_id DESC)
-        |    AS rk
-        |  FROM e WHERE event_type = 'view'),
-        |v AS (SELECT user_id, tus, value FROM v0 WHERE rk = 1),
-        |j AS (SELECT c.user_id, c.event_id, c.tus, c.value,
-        |    v.tus AS vtus, v.value AS vvalue
-        |  FROM c ASOF LEFT JOIN v
-        |    ON c.user_id = v.user_id AND c.tus >= v.tus)
-        |SELECT user_id, event_id, tus, value,
-        |  vtus AS view_tus, vvalue AS view_value,
-        |  CASE WHEN vtus IS NOT NULL AND tus - vtus <= 60000000
-        |    THEN vtus END AS view60_tus,
-        |  CASE WHEN vtus IS NOT NULL AND tus - vtus <= 60000000
-        |    THEN vvalue END AS view60_value
-        |FROM j ORDER BY event_id""".stripMargin,
+    "q75_asof_join" -> q75Sql,
+    // q81: q75 through AsofJoin.backwardRange (the RangeFill
+    // skew-robust twin) — SAME oracle: the twin must be
+    // result-indistinguishable from the windowed operator
+    "q81_asof_range" -> q75Sql,
     // q76: forward as-of (next purchase at-or-after each click) —
     // DuckDB's native forward ASOF (c.tus <= p.tus picks the smallest
     // at-or-after time), ties pre-deduped to max event_id like q75
-    "q76_asof_forward" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
-        |    event_type, value
-        |  FROM events
-        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
-        |    AND ts IS NOT NULL),
-        |c AS (SELECT event_id, user_id, tus, value FROM e
-        |  WHERE event_type = 'click'),
-        |p0 AS (SELECT user_id, tus, value, event_id, row_number()
-        |    OVER (PARTITION BY user_id, tus ORDER BY event_id DESC)
-        |    AS rk
-        |  FROM e WHERE event_type = 'purchase'),
-        |p AS (SELECT user_id, tus, value FROM p0 WHERE rk = 1),
-        |j AS (SELECT c.user_id, c.event_id, c.tus, c.value,
-        |    p.tus AS ptus, p.value AS pvalue
-        |  FROM c ASOF LEFT JOIN p
-        |    ON c.user_id = p.user_id AND c.tus <= p.tus)
-        |SELECT user_id, event_id, tus, value,
-        |  ptus AS next_tus, pvalue AS next_value,
-        |  CASE WHEN ptus IS NOT NULL AND ptus - tus <= 3600000000
-        |    THEN ptus END AS next1h_tus,
-        |  CASE WHEN ptus IS NOT NULL AND ptus - tus <= 3600000000
-        |    THEN pvalue END AS next1h_value
-        |FROM j ORDER BY event_id""".stripMargin,
+    "q76_asof_forward" -> q76Sql,
+    // q82: q76 through AsofJoin.forwardRange — same pairing, forward
+    "q82_asof_forward_range" -> q76Sql,
     // q77: bedtools-closest — naive all-pairs argmin over the same
     // (distance, b start, b id) tie rule the sweep composition
     // engineers (the oracle may be quadratic; the engine must not be).
@@ -1481,6 +1441,60 @@ object OracleSql {
     * in length order, nearest-rank percentile = the smallest length
     * whose cumulative count reaches ceil(p·n/100) (integer
     * arithmetic, so both engines pick the identical bucket). */
+  /** Shared by q75 (AsofJoin.backward) and q81 (its backwardRange
+    * skew-robust twin): one oracle text, two engine paths that must be
+    * result-indistinguishable. */
+  private def q75Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+      |    event_type, value
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      |    AND ts IS NOT NULL),
+      |c AS (SELECT event_id, user_id, tus, value FROM e
+      |  WHERE event_type = 'click'),
+      |v0 AS (SELECT user_id, tus, value, event_id, row_number()
+      |    OVER (PARTITION BY user_id, tus ORDER BY event_id DESC)
+      |    AS rk
+      |  FROM e WHERE event_type = 'view'),
+      |v AS (SELECT user_id, tus, value FROM v0 WHERE rk = 1),
+      |j AS (SELECT c.user_id, c.event_id, c.tus, c.value,
+      |    v.tus AS vtus, v.value AS vvalue
+      |  FROM c ASOF LEFT JOIN v
+      |    ON c.user_id = v.user_id AND c.tus >= v.tus)
+      |SELECT user_id, event_id, tus, value,
+      |  vtus AS view_tus, vvalue AS view_value,
+      |  CASE WHEN vtus IS NOT NULL AND tus - vtus <= 60000000
+      |    THEN vtus END AS view60_tus,
+      |  CASE WHEN vtus IS NOT NULL AND tus - vtus <= 60000000
+      |    THEN vvalue END AS view60_value
+      |FROM j ORDER BY event_id""".stripMargin
+
+  /** Shared by q76 (AsofJoin.forward) and q82 (forwardRange twin). */
+  private def q76Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+      |    event_type, value
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      |    AND ts IS NOT NULL),
+      |c AS (SELECT event_id, user_id, tus, value FROM e
+      |  WHERE event_type = 'click'),
+      |p0 AS (SELECT user_id, tus, value, event_id, row_number()
+      |    OVER (PARTITION BY user_id, tus ORDER BY event_id DESC)
+      |    AS rk
+      |  FROM e WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, tus, value FROM p0 WHERE rk = 1),
+      |j AS (SELECT c.user_id, c.event_id, c.tus, c.value,
+      |    p.tus AS ptus, p.value AS pvalue
+      |  FROM c ASOF LEFT JOIN p
+      |    ON c.user_id = p.user_id AND c.tus <= p.tus)
+      |SELECT user_id, event_id, tus, value,
+      |  ptus AS next_tus, pvalue AS next_value,
+      |  CASE WHEN ptus IS NOT NULL AND ptus - tus <= 3600000000
+      |    THEN ptus END AS next1h_tus,
+      |  CASE WHEN ptus IS NOT NULL AND ptus - tus <= 3600000000
+      |    THEN pvalue END AS next1h_value
+      |FROM j ORDER BY event_id""".stripMargin
+
   private def q70Sql: String = {
     val pCols = Seq(50, 90, 99).map(p =>
       s"""min(CASE WHEN cum >= (n * $p + 99) // 100 THEN tokc END)

@@ -1296,7 +1296,15 @@ object SparkEntry {
     * via tieBreak), and tolerance null bit-for-bit. q13 gates the
     * unbounded operator on an orders timeline; this gate pins the
     * tolerance path and the native-ASOF cross-engine equivalence. */
-  private def q75_asof_join(s: SparkSession, dir: String): DataFrame = {
+  private def q75_asof_join(s: SparkSession, dir: String): DataFrame =
+    asofAttribution(s, dir, range = false)
+
+  /** q75's body, shared with its q81 skew-robust twin ([[graft
+    * .operators.AsofJoin.backwardRange]] — the [[graft.operators
+    * .RangeFill]] path): only the fill machinery differs, so the twin
+    * gate can never silently drift from the windowed one. */
+  private def asofAttribution(s: SparkSession, dir: String,
+      range: Boolean): DataFrame = {
     val e = events(s, dir)
       .where(col("event_id").isNotNull && col("user_id").isNotNull &&
         col("ts").isNotNull)
@@ -1305,10 +1313,15 @@ object SparkEntry {
     val views = e.where(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("vts"),
         col("value").as("vvalue"), col("event_id").as("vid"))
-    def asof(tol: Option[Long]) = graft.operators.AsofJoin.backward(
-      clicks, views, probeKey = "user_id", refKey = "user_id",
-      probeTime = "ts", refTime = "vts",
-      tieBreak = Seq("vts", "vid"), tolerance = tol)
+    def asof(tol: Option[Long]) =
+      if (range) graft.operators.AsofJoin.backwardRange(
+        clicks, views, probeKey = "user_id", refKey = "user_id",
+        probeTime = "ts", refTime = "vts",
+        tieBreak = Seq("vts", "vid"), tolerance = tol)
+      else graft.operators.AsofJoin.backward(
+        clicks, views, probeKey = "user_id", refKey = "user_id",
+        probeTime = "ts", refTime = "vts",
+        tieBreak = Seq("vts", "vid"), tolerance = tol)
     val base = asof(None)
     val bounded = asof(Some(60000000L))
       .select(col("event_id"), col("vts").as("v60ts"),
@@ -1329,7 +1342,14 @@ object SparkEntry {
     * `merge_asof(direction='forward')` semantics, replayed by DuckDB's
     * native forward `ASOF LEFT JOIN` (`c.tus <= p.tus`) over the same
     * micro-truncated times and engineered max-id ties. */
-  private def q76_asof_forward(s: SparkSession, dir: String): DataFrame = {
+  private def q76_asof_forward(s: SparkSession, dir: String): DataFrame =
+    asofFunnel(s, dir, range = false)
+
+  /** q76's body, shared with its q82 skew-robust twin ([[graft
+    * .operators.AsofJoin.forwardRange]]) — the q75/q81 pairing's
+    * forward direction. */
+  private def asofFunnel(s: SparkSession, dir: String,
+      range: Boolean): DataFrame = {
     val e = events(s, dir)
       .where(col("event_id").isNotNull && col("user_id").isNotNull &&
         col("ts").isNotNull)
@@ -1338,10 +1358,15 @@ object SparkEntry {
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pts"),
         col("value").as("pvalue"), col("event_id").as("pid"))
-    def asof(tol: Option[Long]) = graft.operators.AsofJoin.forward(
-      clicks, purchases, probeKey = "user_id", refKey = "user_id",
-      probeTime = "ts", refTime = "pts",
-      tieBreak = Seq("pts", "pid"), tolerance = tol)
+    def asof(tol: Option[Long]) =
+      if (range) graft.operators.AsofJoin.forwardRange(
+        clicks, purchases, probeKey = "user_id", refKey = "user_id",
+        probeTime = "ts", refTime = "pts",
+        tieBreak = Seq("pts", "pid"), tolerance = tol)
+      else graft.operators.AsofJoin.forward(
+        clicks, purchases, probeKey = "user_id", refKey = "user_id",
+        probeTime = "ts", refTime = "pts",
+        tieBreak = Seq("pts", "pid"), tolerance = tol)
     val base = asof(None)
     val bounded = asof(Some(3600000000L))
       .select(col("event_id"), col("pts").as("p60ts"),
@@ -1407,6 +1432,21 @@ object SparkEntry {
     graft.operators.IntervalOps.subtract(a, b, "aid")
       .orderBy(col("aid"), col("start"))
   }
+
+  /** q75's attribution through [[graft.operators.AsofJoin
+    * .backwardRange]] — the skew-robust [[graft.operators.RangeFill]]
+    * twin, where a hot user key spreads across all range partitions
+    * instead of serializing one window task. Shares q75's body and its
+    * DuckDB native-ASOF oracle verbatim: the twin must be
+    * result-indistinguishable. */
+  private def q81_asof_range(s: SparkSession, dir: String): DataFrame =
+    asofAttribution(s, dir, range = true)
+
+  /** q76's funnel through [[graft.operators.AsofJoin.forwardRange]] —
+    * the forward direction of the q81 pairing, same oracle as q76. */
+  private def q82_asof_forward_range(s: SparkSession, dir: String)
+      : DataFrame =
+    asofFunnel(s, dir, range = true)
 
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
@@ -1611,7 +1651,9 @@ object SparkEntry {
     "q76_asof_forward" -> (q76_asof_forward _),
     "q77_closest" -> (q77_closest _),
     "q78_complement" -> (q78_complement _),
-    "q79_subtract" -> (q79_subtract _)) ++
+    "q79_subtract" -> (q79_subtract _),
+    "q81_asof_range" -> (q81_asof_range _),
+    "q82_asof_forward_range" -> (q82_asof_forward_range _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

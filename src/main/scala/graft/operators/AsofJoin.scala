@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   * Matches the as-of semantics of the reference's query layer (probe
   * rows with no earlier reference row get nulls; drop them for inner
   * semantics).
+  *
+  * SKEW BOUND of [[backward]]/[[forward]]: the running fill is a
+  * per-key window, so one key = one task for the fill stage — standard
+  * for as-of semantics and fine for well-distributed keys (event keys
+  * are typically high-cardinality), but a single hot key holding most
+  * rows serializes the stage, exactly like [[IntervalOps
+  * .mergeIntervals]]' per-chromosome window. [[backwardRange]] /
+  * [[forwardRange]] are the skew-robust twins: identical results
+  * through [[RangeFill]]'s range-partitioned two-pass fill, where a
+  * hot key spreads across ALL partitions; they cost one extra
+  * sampling pass plus an external-row round trip, so the window
+  * variants stay the default for balanced keys.
   */
 object AsofJoin {
 
@@ -63,10 +75,34 @@ object AsofJoin {
     asofImpl(probe, ref, probeKey, refKey, probeTime, refTime,
       tieBreak, tolerance, forwardDir = true)
 
+  /** [[backward]] through [[RangeFill]]'s range-partitioned two-pass
+    * fill instead of the per-key window: identical results, but a
+    * single hot key (one symbol holding most of the tape) spreads
+    * across all `partitions` instead of serializing one task. Use when
+    * the largest key's row share is unbounded; see the object scaladoc
+    * for the cost trade. */
+  def backwardRange(probe: DataFrame, ref: DataFrame, probeKey: String,
+      refKey: String, probeTime: String, refTime: String,
+      tieBreak: Seq[String] = Nil, tolerance: Option[Long] = None,
+      partitions: Int = 0): DataFrame =
+    asofImpl(probe, ref, probeKey, refKey, probeTime, refTime,
+      tieBreak, tolerance, forwardDir = false,
+      rangePartitions = Some(partitions))
+
+  /** [[forward]]'s skew-robust twin; see [[backwardRange]]. */
+  def forwardRange(probe: DataFrame, ref: DataFrame, probeKey: String,
+      refKey: String, probeTime: String, refTime: String,
+      tieBreak: Seq[String] = Nil, tolerance: Option[Long] = None,
+      partitions: Int = 0): DataFrame =
+    asofImpl(probe, ref, probeKey, refKey, probeTime, refTime,
+      tieBreak, tolerance, forwardDir = true,
+      rangePartitions = Some(partitions))
+
   private def asofImpl(probe: DataFrame, ref: DataFrame,
       probeKey: String, refKey: String, probeTime: String,
       refTime: String, tieBreak: Seq[String],
-      tolerance: Option[Long], forwardDir: Boolean): DataFrame = {
+      tolerance: Option[Long], forwardDir: Boolean,
+      rangePartitions: Option[Int] = None): DataFrame = {
     tolerance.foreach(tol =>
       require(tol >= 0, "tolerance must be >= 0 microseconds"))
     // working-column names probed to miss BOTH inputs (the
@@ -138,11 +174,20 @@ object AsofJoin {
     val ordering: Seq[Column] =
       timeOrd +: col(isProbe).asc +:
         tieBreak.map(c => col(s"$refStruct.$c").asc_nulls_first)
-    val w = Window.partitionBy(col(probeKey)).orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = probeU.unionByName(refU)
-      .withColumn(refStruct, last(col(refStruct), ignoreNulls = true).over(w))
+    // the fill step is the ONLY physical difference between the window
+    // variants and the *Range twins: same union, same ordering, same
+    // running last(ignoreNulls) semantics
+    val unioned = probeU.unionByName(refU)
+    val filled = rangePartitions match {
+      case Some(n) =>
+        RangeFill.fill(unioned, probeKey, refStruct, ordering, n)
+      case None =>
+        val w = Window.partitionBy(col(probeKey)).orderBy(ordering: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn(refStruct,
+          last(col(refStruct), ignoreNulls = true).over(w))
+    }
     // tolerance nulls the WHOLE struct (row-atomic, like the fill
     // itself): a too-old match must be indistinguishable from no match
     val bounded = tolerance match {

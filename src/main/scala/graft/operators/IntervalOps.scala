@@ -394,24 +394,31 @@ object IntervalOps {
     * overlapping a given A, and within each class the best candidate
     * under the tie rule is computable by a linear structure:
     *  - left candidate (max b.end ≤ a.start): one union timeline per
-    *    chromosome, running `last(ignoreNulls)` over a struct payload —
+    *    chromosome, filled with the running latest candidate struct —
     *    the [[AsofJoin]] formulation on plain long coordinates;
     *  - right candidate (min b.start ≥ a.end): the same sweep over the
     *    reversed timeline;
     *  - overlap candidates: the binned equi-join
     *    ([[IntervalJoin.overlapJoin]]) reduced per A by struct-min.
     * The global winner is `least()` of the three candidate structs
-    * ordered (distance, b start, b id). Cost: two key-shuffled window
-    * sweeps + one binned join — each linear in rows; per-chromosome
-    * window parallelism bounds the sweeps (the [[mergeIntervals]]
-    * caveat; the join part is bin-parallel and skew-robust).
+    * ordered (distance, b start, b id). Both timeline sweeps run
+    * through [[RangeFill]] — the range-partitioned two-pass fill — so
+    * a single dense contig spreads across ALL partitions instead of
+    * serializing one window task (the skew that made the full-file
+    * real-BAM variant run 33 s through the per-chromosome
+    * `Window.partitionBy` formulation this replaced; the overlap part
+    * was always bin-parallel). Cost: two range-shuffled linear sweeps
+    * + one binned join.
     *
     * @param aId unique id column in `a` (joins the three candidate
     *            frames back together; duplicates would cross-product)
-    * @param bId unique id column in `b` (tie-break + output id) */
+    * @param bId unique id column in `b` (tie-break + output id)
+    * @param partitions range-partition count for the two sweeps; 0 =
+    *            the session's shuffle-partition default */
   def closest(a: DataFrame, b: DataFrame, aId: String, bId: String,
       chrom: String = "chrom", start: String = "start",
-      end: String = "end", binSize: Long = 1000L): DataFrame = {
+      end: String = "end", binSize: Long = 1000L,
+      partitions: Int = 0): DataFrame = {
     val a2 = dropNullCoords(a, chrom, start, end)
       .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
         col(start).cast("long").as("__as"),
@@ -430,32 +437,33 @@ object IntervalOps {
       col("__cb.__bid").as("i"), col("__cb.__be").as("e"))
     def sweep(bPos: Column, forwardDir: Boolean,
         outName: String): DataFrame = {
+      // the timeline carries ONLY (chrom, pos, side, payload, aid):
+      // an A row's probe coordinate IS its __pos (start for the left
+      // sweep, end for the right), so the distance needs no extra
+      // coordinate columns in the shuffle
       val bl = b2.select(col("__c"), bPos.as("__pos"),
         lit(0).as("__isA"),
         struct(col("__bs"), col("__bid"), col("__be")).as("__cb"))
         .withColumn("__aid",
           lit(null).cast(a2.schema("__aid").dataType))
-        .withColumn("__as", lit(null).cast("long"))
-        .withColumn("__ae", lit(null).cast("long"))
       val al = a2.select(col("__c"),
         (if (forwardDir) col("__ae") else col("__as")).as("__pos"),
         lit(1).as("__isA"),
         lit(null).cast(bl.schema("__cb").dataType).as("__cb"),
-        col("__aid"), col("__as"), col("__ae"))
+        col("__aid"))
       // among equal-position B rows the GLOBAL rule wants the MIN
-      // (b start, b id); last() takes the final frame row, so the tie
-      // columns sort DESCENDING
-      val w = Window.partitionBy(col("__c"))
-        .orderBy(
-          (if (forwardDir) col("__pos").desc else col("__pos").asc) +:
-            col("__isA").asc +: Seq(col("__cb.__bs").desc_nulls_first,
-              col("__cb.__bid").desc_nulls_first): _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // (b start, b id); the running fill keeps the LAST row seen, so
+      // the tie columns sort DESCENDING. RangeFill replays the window
+      // ordering exactly — range-partitioned on (chrom, ordering), so
+      // one dense contig spreads over every partition
+      val ord: Seq[Column] =
+        (if (forwardDir) col("__pos").desc else col("__pos").asc) +:
+          col("__isA").asc +: Seq(col("__cb.__bs").desc_nulls_first,
+            col("__cb.__bid").desc_nulls_first)
       val dist =
-        if (forwardDir) col("__cb.__bs") - col("__ae")
-        else col("__as") - col("__cb.__be")
-      bl.unionByName(al)
-        .withColumn("__cb", last(col("__cb"), ignoreNulls = true).over(w))
+        if (forwardDir) col("__cb.__bs") - col("__pos")
+        else col("__pos") - col("__cb.__be")
+      RangeFill.fill(bl.unionByName(al), "__c", "__cb", ord, partitions)
         .where(col("__isA") === 1)
         .select(col("__aid"),
           when(col("__cb").isNotNull, candOf(dist)).as(outName))

@@ -153,6 +153,42 @@ class AsofJoinSpec extends SparkSuite {
       "nothing_after" -> None, "only_before" -> None))
   }
 
+  test("range twins equal the window variants, incl. one hot key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    // 90% of BOTH sides on one key — the skew shape the twins exist
+    // for — with tied times, null probe times, and keyless refs mixed in
+    def key(i: Int) = if (i % 10 < 9) 7 else i % 5
+    val probe = Seq.tabulate(800) { i =>
+      val ts = if (i % 97 == 0) None
+        else Some(new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+      (key(i), ts, i.toLong)
+    }.toDF("uid", "ts", "eid")
+    val ref = Seq.tabulate(400) { i =>
+      (key(i + 3), new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        i.toLong, rnd.nextDouble())
+    }.toDF("ouid", "ots", "okey", "price")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("eid").collect().map(_.toSeq.toSeq).toSeq
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(30000L * 1000L))) {
+      val win = canon(
+        if (fwd) AsofJoin.forward(probe, ref, "uid", "ouid", "ts", "ots",
+          tieBreak = Seq("ots", "okey"), tolerance = tol)
+        else AsofJoin.backward(probe, ref, "uid", "ouid", "ts", "ots",
+          tieBreak = Seq("ots", "okey"), tolerance = tol))
+      for (parts <- Seq(0, 37)) {
+        val rng = canon(
+          if (fwd) AsofJoin.forwardRange(probe, ref, "uid", "ouid",
+            "ts", "ots", tieBreak = Seq("ots", "okey"), tolerance = tol,
+            partitions = parts)
+          else AsofJoin.backwardRange(probe, ref, "uid", "ouid",
+            "ts", "ots", tieBreak = Seq("ots", "okey"), tolerance = tol,
+            partitions = parts))
+        assert(rng == win, s"fwd=$fwd tol=$tol partitions=$parts")
+      }
+    }
+  }
+
   test("null-probe-time rows match nothing in BOTH directions") {
     import spark.implicits._
     // desc defaults to NULLS LAST, so an unfixed forward() would sort

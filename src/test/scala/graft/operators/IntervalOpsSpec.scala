@@ -347,6 +347,46 @@ class IntervalOpsSpec extends SparkSuite {
     assert(got == naive)
   }
 
+  test("closest: single-contig-heavy load is exact at every partition " +
+      "count") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(67)
+    // 95% of BOTH sides on one chromosome — the skew shape the
+    // RangeFill sweeps exist for; equal positions, duplicate B
+    // intervals, and a candidate-less chromosome all appear
+    val aRows = Seq.tabulate(400) { i =>
+      val c = if (i % 20 < 19) "chrBig" else s"chr${i % 3}"
+      val st = rnd.nextInt(3000).toLong
+      (i.toLong, c, st, st + 1 + rnd.nextInt(40))
+    } :+ ((400L, "chrEmpty", 5L, 9L))
+    val bRows = Seq.tabulate(200) { i =>
+      val c = if (i % 20 < 19) "chrBig" else s"chr${i % 2}"
+      val st = rnd.nextInt(3000).toLong
+      (i.toLong, c, st, st + 1 + rnd.nextInt(40))
+    }
+    val naive = aRows.map { case (aid, c, as, ae) =>
+      val cands = bRows.filter(_._2 == c).map { case (bid, _, bs, be) =>
+        val d = if (as < be && bs < ae) 0L
+          else if (be <= as) as - be else bs - ae
+        (d, bs, bid)
+      }
+      aid -> (if (cands.isEmpty) None else Some(cands.min))
+    }.toMap
+    val a = aRows.toDF("aid", "chrom", "start", "end")
+    val b = bRows.toDF("bid", "chrom", "start", "end")
+    for (parts <- Seq(1, 7, 40)) {
+      val got = IntervalOps.closest(a, b, "aid", "bid",
+          partitions = parts)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) None
+           else Some((r.getLong(7), r.getLong(5), r.getLong(4)))))
+        .toMap
+      assert(got == naive, s"partitions=$parts")
+    }
+  }
+
   test("coverage: null coords dropped, caller types kept, " +
       "fractional rejected") {
     val s = spark

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class RangeFillSpec extends SparkSuite {
+
+  /** The textbook window formulation RangeFill replaces — the oracle. */
+  private def windowFill(df: DataFrame, key: String, fillCol: String,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(fillCol, last(col(fillCol), ignoreNulls = true).over(w))
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy("k", "pos", "id").collect().map(_.toSeq.toSeq).toSeq
+
+  test("fill equals the window formulation, incl. one hot key across " +
+      "many partitions") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    // 90% of rows on one key (the skew shape the operator exists for),
+    // ~40% null fill values so carries chain across boundaries
+    val rows = Seq.tabulate(2000) { i =>
+      val k = if (i % 10 < 9) "hot" else s"k${i % 7}"
+      val v = if (rnd.nextInt(10) < 4) None else Some(rnd.nextInt(100))
+      (k, rnd.nextInt(10000), i.toLong, v)
+    }
+    val df = rows.toDF("k", "pos", "id", "v")
+    val order = Seq(col("pos").asc, col("id").asc)
+    val want = canon(windowFill(df, "k", "v", order))
+    for (parts <- Seq(1, 5, 40)) {
+      val got = canon(RangeFill.fill(df, "k", "v", order, parts))
+      assert(got == want, s"partitions=$parts")
+    }
+  }
+
+  test("all-null runs chain the carry across whole partitions") {
+    val s = spark
+    import s.implicits._
+    // one key, ONE non-null value at the front, then a long null tail:
+    // with many tiny partitions the carry must propagate through
+    // partitions that contain no non-null value at all
+    val rows = (0 until 300).map(i =>
+      ("k", i, i.toLong, if (i == 3) Some(42) else Option.empty[Int]))
+    val df = rows.toDF("k", "pos", "id", "v")
+    val order = Seq(col("pos").asc)
+    val got = canon(RangeFill.fill(df, "k", "v", order, 50))
+    val want = canon(windowFill(df, "k", "v", order))
+    assert(got == want)
+    // and the value really did reach the tail
+    assert(got.last(3) == 42)
+  }
+
+  test("null keys group together; struct payloads; desc ordering") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Option("a"), 1, 1L, Option(10)),
+      (Option("a"), 2, 2L, Option.empty[Int]),
+      (Option.empty[String], 1, 3L, Option(7)),
+      (Option.empty[String], 5, 4L, Option.empty[Int]),
+      (Option("b"), 9, 5L, Option.empty[Int]))
+    val df0 = rows.toDF("k", "pos", "id", "v0")
+      // struct payload: the fill value travels row-atomically
+      .withColumn("v", when(col("v0").isNotNull,
+        struct(col("v0").as("x"), col("id").as("src"))))
+      .drop("v0")
+    val order = Seq(col("pos").desc_nulls_first, col("id").asc)
+    for (parts <- Seq(1, 3, 8)) {
+      val got = canon(RangeFill.fill(df0, "k", "v", order, parts))
+      val want = canon(windowFill(df0, "k", "v", order))
+      assert(got == want, s"partitions=$parts")
+    }
+  }
+
+  test("empty input and more partitions than rows") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(String, Int, Long, Option[Int])]
+      .toDF("k", "pos", "id", "v")
+    assert(RangeFill.fill(empty, "k", "v", Seq(col("pos"))).count() == 0)
+    val tiny = Seq(("a", 1, 1L, Option(5)), ("a", 2, 2L, Option.empty[Int]))
+      .toDF("k", "pos", "id", "v")
+    val got = canon(RangeFill.fill(tiny, "k", "v", Seq(col("pos")), 16))
+    assert(got.map(_(3)) == Seq(5, 5))
+  }
+}
