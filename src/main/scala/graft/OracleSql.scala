@@ -618,6 +618,36 @@ object OracleSql {
          |  CAST(seg_end AS BIGINT) AS "end"
          |FROM seg WHERE seg_end IS NOT NULL AND depth = 0
          |ORDER BY 1, 2""".stripMargin,
+    // q80: genome-sizes-aware complement — q78's depth-0 segments plus
+    // the boundary gaps a genome file declares: [0, first) / [last,
+    // size) per covered chromosome, whole [0, size) for a declared
+    // chromosome with no data. Shares q74/q78's coverage CTEs; the
+    // sizes table is the literal the engine passes.
+    "q80_complement_sized" ->
+      s"""$coverageSegCtes,
+         |spans AS (SELECT chrom, min("start") AS f,
+         |    max(greatest("end", "start")) AS l
+         |  FROM iva GROUP BY 1),
+         |sz(chrom, size) AS (SELECT * FROM (VALUES
+         |  ('chr0', 11000000), ('chr1', 11000000), ('chr2', 11000000),
+         |  ('chr3', 11000000), ('chrM', 16571)))
+         |SELECT chrom, CAST(s AS BIGINT) AS "start",
+         |  CAST(e AS BIGINT) AS "end"
+         |FROM (
+         |  SELECT chrom, seg_start AS s, seg_end AS e FROM seg
+         |    WHERE seg_end IS NOT NULL AND depth = 0
+         |  UNION ALL
+         |  SELECT sz.chrom, 0, sp.f FROM sz JOIN spans sp USING (chrom)
+         |    WHERE sp.f > 0
+         |  UNION ALL
+         |  SELECT sz.chrom, sp.l, sz.size
+         |    FROM sz JOIN spans sp USING (chrom)
+         |    WHERE sp.l < sz.size
+         |  UNION ALL
+         |  SELECT sz.chrom, 0, sz.size FROM sz
+         |    WHERE sz.size > 0
+         |      AND chrom NOT IN (SELECT chrom FROM spans)
+         |) u ORDER BY chrom, "start"""".stripMargin,
     // q75: as-of attribution — DuckDB's NATIVE ASOF LEFT JOIN over the
     // same micro-truncated times, with right-side ties pre-deduped to
     // the max event_id (the pick AsofJoin.backward's window tiebreak

@@ -1433,6 +1433,24 @@ object SparkEntry {
       .orderBy(col("aid"), col("start"))
   }
 
+  /** Genome-sizes-aware complement ([[graft.operators.IntervalOps
+    * .complement]] with `chromSizes` — full bedtools parity): q78's
+    * interior gaps plus the boundary segments a genome file declares —
+    * `[0, first)` and `[last, size)` per covered chromosome and the
+    * whole `[0, size)` for a declared chromosome with no data (chrM
+    * here). The oracle unions q74/q78's coverage CTEs with the same
+    * boundary arithmetic over a literal sizes table. */
+  private def q80_complement_sized(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sizes = s.createDataFrame(Seq(
+        ("chr0", 11000000L), ("chr1", 11000000L), ("chr2", 11000000L),
+        ("chr3", 11000000L), ("chrM", 16571L)))
+      .toDF("chrom", "size")
+    graft.operators.IntervalOps.complement(
+        intervalsA(s, dir).drop("iv_id"), chromSizes = Some(sizes))
+      .orderBy(col("chrom"), col("start"))
+  }
+
   /** q75's attribution through [[graft.operators.AsofJoin
     * .backwardRange]] — the skew-robust [[graft.operators.RangeFill]]
     * twin, where a hot user key spreads across all range partitions
@@ -1652,6 +1670,7 @@ object SparkEntry {
     "q77_closest" -> (q77_closest _),
     "q78_complement" -> (q78_complement _),
     "q79_subtract" -> (q79_subtract _),
+    "q80_complement_sized" -> (q80_complement_sized _),
     "q81_asof_range" -> (q81_asof_range _),
     "q82_asof_forward_range" -> (q82_asof_forward_range _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs

@@ -289,21 +289,73 @@ object IntervalOps {
         col("depth"))
   }
 
-  /** Uncovered gaps of an interval set within its own covered span —
-    * the bedtools `complement` analogue restricted to the data's
-    * extent (no genome-sizes file in this scope: the unbounded span
-    * before each chromosome's first start and after its last end is
-    * not emitted, the same tail contract as [[coverage]]). These are
-    * exactly [[coverage]]'s depth-0 segments, so the operator inherits
-    * the two-pass range-partitioned breakpoint-sweep scale shape
-    * verbatim — and its gate (q78) shares q74's oracle CTEs with a
-    * `depth = 0` filter, so the two can never drift. */
+  /** Uncovered gaps of an interval set — the bedtools `complement`
+    * analogue. Without `chromSizes` the result is restricted to the
+    * data's covered span (the unbounded span before each chromosome's
+    * first start and after its last end is not emitted, the same tail
+    * contract as [[coverage]]); these are exactly [[coverage]]'s
+    * depth-0 segments, so the operator inherits the two-pass
+    * range-partitioned breakpoint-sweep scale shape verbatim — and its
+    * gate (q78) shares q74's oracle CTEs with a `depth = 0` filter, so
+    * the two can never drift.
+    *
+    * With `chromSizes` (full bedtools parity — a genome file; the
+    * chrom-sizes metadata every indexed source here already exposes
+    * via `GraftTableProps`, the reference analogue being the BBI
+    * header's chrom B-tree, `oxbow/src/bbi/scanner/bigwig.rs:94-117`),
+    * the boundary gaps are added: `[0, first_start)` per covered
+    * chromosome, `[last_end, size)` per covered chromosome, and
+    * `[0, size)` whole for declared chromosomes with no data. The
+    * boundary pieces cost one tiny per-chromosome aggregate broadcast-
+    * joined to the sizes frame — O(contigs), nothing at data scale.
+    * Contract details: coordinates are assumed non-negative (the head
+    * gap appears only when the first start is > 0); data BEYOND a
+    * declared size is not clipped (the tail gap is simply omitted when
+    * `last_end >= size` — bedtools errors there instead); chromosomes
+    * present in the data but missing from `chromSizes` keep interior
+    * gaps only; null or non-positive sizes drop.
+    *
+    * @param chromSizes one row per chromosome: a chromosome column
+    *                   named like `chrom` and a long-castable `size`
+    *                   column */
   def complement(df: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end",
-      partitions: Int = 0): DataFrame =
-    coverage(df, chrom, start, end, partitions)
+      partitions: Int = 0,
+      chromSizes: Option[DataFrame] = None): DataFrame = {
+    val base = coverage(df, chrom, start, end, partitions)
       .where(col("depth") === 0L)
       .drop("depth")
+    chromSizes match {
+      case None => base
+      case Some(sz) =>
+        // coverage already enforced start/end type equality
+        val coordT = df.schema(start).dataType
+        val szl = broadcast(sz
+          .select(col(chrom).cast("string").as("__c"),
+            col("size").cast("long").as("__sz"))
+          .where(col("__c").isNotNull && col("__sz").isNotNull &&
+            col("__sz") > 0L))
+        val spans = dropNullCoords(df, chrom, start, end)
+          .groupBy(col(chrom).cast("string").as("__c"))
+          .agg(min(col(start).cast("long")).as("__first"),
+            max(greatest(col(end).cast("long"),
+              col(start).cast("long"))).as("__last"))
+        val joined = spans.join(szl, Seq("__c"))
+        val head = joined.where(col("__first") > 0L)
+          .select(col("__c"), lit(0L).as("__s"),
+            col("__first").as("__e"))
+        val tail = joined.where(col("__last") < col("__sz"))
+          .select(col("__c"), col("__last").as("__s"),
+            col("__sz").as("__e"))
+        val whole = szl.join(spans, Seq("__c"), "left_anti")
+          .select(col("__c"), lit(0L).as("__s"), col("__sz").as("__e"))
+        val bounds = head.unionByName(tail).unionByName(whole)
+          .select(col("__c").cast(df.schema(chrom).dataType).as(chrom),
+            col("__s").cast(coordT).as("start"),
+            col("__e").cast(coordT).as("end"))
+        base.unionByName(bounds)
+    }
+  }
 
   /** A minus B (the bedtools `subtract` analogue): each A interval's
     * surviving sub-intervals after removing every base covered by any

@@ -220,6 +220,37 @@ class IntervalOpsSpec extends SparkSuite {
     assert(gaps == holes)
   }
 
+  test("complement with chromSizes: head/tail/whole-chromosome gaps") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("chr1", 10L, 20L), ("chr1", 30L, 40L), // head 0-10, mid 20-30, tail 40-100
+      ("chr2", 0L, 50L), // covers its whole declared span: no boundary gaps
+      ("chr3", 5L, 200L), // extends BEYOND its size: tail omitted, head kept
+      ("chrX", 7L, 9L)) // not declared in sizes: interior contract only
+      .toDF("chrom", "start", "end")
+    val sizes = Seq(("chr1", 100L), ("chr2", 50L), ("chr3", 60L),
+      ("chrM", 16L), // declared, no data -> whole [0,16)
+      ("chrBad", 0L)) // non-positive size drops
+      .toDF("chrom", "size")
+    val got = IntervalOps.complement(iv, chromSizes = Some(sizes))
+      .orderBy("chrom", "start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      ("chr1", 0L, 10L), ("chr1", 20L, 30L), ("chr1", 40L, 100L),
+      ("chr3", 0L, 5L),
+      ("chrM", 0L, 16L)))
+    // and the sizes-free call still returns only the interior gaps
+    val bare = IntervalOps.complement(iv)
+      .orderBy("chrom", "start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(bare == Seq(("chr1", 20L, 30L)))
+  }
+
   test("subtract: split, swallow, untouched, book-ends, per-base ref") {
     val s = spark
     import s.implicits._
