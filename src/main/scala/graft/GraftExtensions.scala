@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.functions.GenomicFunctions
 
@@ -15,8 +16,36 @@ import graft.functions.GenomicFunctions
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Functions: `parse_region(str[, coords])`, `cigar_ref_len(str)`,
-  * `cigar_ops(str)`.
+  * Scalar functions: `parse_region(str[, coords])`,
+  * `cigar_ref_len(str)`, `cigar_ops(str)`.
+  *
+  * Table-valued functions surfacing the interval-algebra / as-of
+  * operators to SQL-only users (each takes TABLE OR VIEW NAMES as
+  * literal strings — resolved in the active session's catalog — plus
+  * optional literal column names; the built plan is IDENTICAL to the
+  * Scala API's, pinned by spec):
+  *
+  *  - `SELECT * FROM interval_merge('ivs')` —
+  *    [[graft.operators.IntervalOps.mergeIntervals]]
+  *  - `SELECT * FROM interval_coverage('ivs')` —
+  *    [[graft.operators.IntervalOps.coverage]]
+  *  - `SELECT * FROM interval_complement('ivs')` —
+  *    [[graft.operators.IntervalOps.complement]] (data-span variant;
+  *    the genome-sizes variant needs a second frame, Scala API only)
+  *  - `SELECT * FROM interval_subtract('a', 'b', 'aid')` —
+  *    [[graft.operators.IntervalOps.subtract]]
+  *  - `SELECT * FROM interval_closest('a', 'b', 'aid', 'bid')` —
+  *    [[graft.operators.IntervalOps.closest]]
+  *  - `SELECT * FROM asof_backward('clicks', 'views', 'uid', 'uid',
+  *    'ts', 'vts')` / `asof_forward(...)` —
+  *    [[graft.operators.AsofJoin.backward]] / [[graft.operators
+  *    .AsofJoin.forward]] (tie-break / tolerance / range variants:
+  *    Scala API)
+  *
+  * The single-table interval TVFs accept an optional trailing
+  * (chrom, start, end) column-name triple. NOTE: coverage/complement/
+  * closest run their small pass-A driver jobs eagerly when the TVF is
+  * ANALYZED (the same eager-planning contract as the Scala API).
   *
   * Also injects [[graft.plans.IntervalJoinRewrite]], the optimizer rule
   * that turns naive chrom-equality + range-overlap joins into binned
@@ -28,8 +57,124 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GenomicFunctions.type].getName, null, name,
       usage, "", "", "", "", "", "", "built-in")
 
+  private def litStr(e: Expression, what: String): String = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal string")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(
+      s"$what must not be null")
+    v.toString
+  }
+
+  /** Resolve a TVF table argument in the ACTIVE session's catalog (the
+    * session analyzing the query — TVF builders run at analysis time,
+    * so one is always active). */
+  private def tableOf(e: Expression): DataFrame =
+    SparkSession.active.table(litStr(e, "table name"))
+
+  /** Single-table interval TVF plumbing: `f(tbl)` with the operator's
+    * default (chrom, start, end) names, or `f(tbl, chrom, start, end)`. */
+  private def intervalTvf(name: String)(
+      op: (DataFrame, String, String, String) => DataFrame)
+      : Seq[Expression] => LogicalPlan = {
+    case Seq(t) =>
+      op(tableOf(t), "chrom", "start", "end").queryExecution.logical
+    case Seq(t, c, s, e) =>
+      op(tableOf(t), litStr(c, "chrom column"), litStr(s, "start column"),
+        litStr(e, "end column")).queryExecution.logical
+    case other => throw new IllegalArgumentException(
+      s"$name takes (table[, chrom, start, end]), got ${other.size} args")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_merge"),
+      info("interval_merge",
+        "interval_merge(table[, chrom, start, end]) - merge " +
+          "overlapping/book-ended intervals per chromosome"),
+      intervalTvf("interval_merge")((df, c, s, e) =>
+        graft.operators.IntervalOps.mergeIntervals(df, c, s, e))))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_coverage"),
+      info("interval_coverage",
+        "interval_coverage(table[, chrom, start, end]) - per-base " +
+          "coverage depth segments (bedtools genomecov)"),
+      intervalTvf("interval_coverage")((df, c, s, e) =>
+        graft.operators.IntervalOps.coverage(df, c, s, e))))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_complement"),
+      info("interval_complement",
+        "interval_complement(table[, chrom, start, end]) - uncovered " +
+          "gaps within the data's span (bedtools complement)"),
+      intervalTvf("interval_complement")((df, c, s, e) =>
+        graft.operators.IntervalOps.complement(df, c, s, e))))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_subtract"),
+      info("interval_subtract",
+        "interval_subtract(a_table, b_table, a_id[, chrom, start, end])" +
+          " - A minus every base B covers (bedtools subtract)"),
+      {
+        case Seq(a, b, aid) =>
+          graft.operators.IntervalOps.subtract(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column")).queryExecution.logical
+        case Seq(a, b, aid, c, s, e) =>
+          graft.operators.IntervalOps.subtract(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(c, "chrom column"),
+            litStr(s, "start column"), litStr(e, "end column"))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_subtract takes (a_table, b_table, a_id[, chrom, " +
+            s"start, end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_closest"),
+      info("interval_closest",
+        "interval_closest(a_table, b_table, a_id, b_id[, chrom, start, " +
+          "end]) - nearest B interval per A (bedtools closest)"),
+      {
+        case Seq(a, b, aid, bid) =>
+          graft.operators.IntervalOps.closest(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(bid, "b_id column"))
+            .queryExecution.logical
+        case Seq(a, b, aid, bid, c, s, e) =>
+          graft.operators.IntervalOps.closest(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(bid, "b_id column"),
+            litStr(c, "chrom column"), litStr(s, "start column"),
+            litStr(e, "end column")).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_closest takes (a_table, b_table, a_id, b_id[, " +
+            s"chrom, start, end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    def asofTvf(name: String, forward: Boolean)
+        : Seq[Expression] => LogicalPlan = {
+      case Seq(p, r, pk, rk, pt, rt) =>
+        val probe = tableOf(p)
+        val ref = tableOf(r)
+        val args = (litStr(pk, "probe key"), litStr(rk, "ref key"),
+          litStr(pt, "probe time"), litStr(rt, "ref time"))
+        (if (forward)
+          graft.operators.AsofJoin.forward(probe, ref, args._1, args._2,
+            args._3, args._4)
+        else
+          graft.operators.AsofJoin.backward(probe, ref, args._1, args._2,
+            args._3, args._4)).queryExecution.logical
+      case other => throw new IllegalArgumentException(
+        s"$name takes (probe_table, ref_table, probe_key, ref_key, " +
+          s"probe_time, ref_time), got ${other.size} args")
+    }
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_backward"),
+      info("asof_backward",
+        "asof_backward(probe_table, ref_table, probe_key, ref_key, " +
+          "probe_time, ref_time) - latest ref at-or-before each probe"),
+      asofTvf("asof_backward", forward = false)))
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_forward"),
+      info("asof_forward",
+        "asof_forward(probe_table, ref_table, probe_key, ref_key, " +
+          "probe_time, ref_time) - earliest ref at-or-after each probe"),
+      asofTvf("asof_forward", forward = true)))
     ext.injectFunction((
       FunctionIdentifier("parse_region"),
       info("parse_region",

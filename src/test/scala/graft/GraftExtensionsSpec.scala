@@ -58,6 +58,88 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval/as-of table functions build the Scala API's exact plan") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tvf-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      Seq(("chr1", 10L, 50L), ("chr1", 40L, 80L), ("chr2", 5L, 9L))
+        .toDF("chrom", "start", "end").createOrReplaceTempView("ivs")
+      Seq((1L, "chr1", 0L, 30L), (2L, "chr2", 100L, 120L))
+        .toDF("aid", "chrom", "start", "end").createOrReplaceTempView("a")
+      Seq((7L, "chr1", 20L, 60L))
+        .toDF("bid", "chrom", "start", "end").createOrReplaceTempView("b")
+      Seq((1, "2024-01-02 00:00:00", "e1"))
+        .toDF("uid", "ts", "eid")
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast("timestamp"))
+        .createOrReplaceTempView("clicks")
+      Seq((1, "2024-01-01 00:00:00", 10))
+        .toDF("ruid", "rts", "okey")
+        .withColumn("rts", org.apache.spark.sql.functions.col("rts")
+          .cast("timestamp"))
+        .createOrReplaceTempView("views")
+
+      import graft.operators.{AsofJoin, IntervalOps}
+      // (sql text, equivalent Scala-API frame) pairs — the optimized
+      // plans must CANONICALIZE identically (same operators, same
+      // expressions, ids normalized), and the results must match
+      val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "SELECT * FROM interval_merge('ivs')" ->
+          IntervalOps.mergeIntervals(spark.table("ivs")),
+        "SELECT * FROM interval_coverage('ivs')" ->
+          IntervalOps.coverage(spark.table("ivs")),
+        "SELECT * FROM interval_complement('ivs')" ->
+          IntervalOps.complement(spark.table("ivs")),
+        "SELECT * FROM interval_subtract('a', 'b', 'aid')" ->
+          IntervalOps.subtract(spark.table("a"), spark.table("b"), "aid"),
+        "SELECT * FROM interval_closest('a', 'b', 'aid', 'bid')" ->
+          IntervalOps.closest(spark.table("a"), spark.table("b"),
+            "aid", "bid"),
+        ("SELECT * FROM asof_backward('clicks', 'views', 'uid', 'ruid', " +
+          "'ts', 'rts')") ->
+          AsofJoin.backward(spark.table("clicks"), spark.table("views"),
+            "uid", "ruid", "ts", "rts"),
+        ("SELECT * FROM asof_forward('clicks', 'views', 'uid', 'ruid', " +
+          "'ts', 'rts')") ->
+          AsofJoin.forward(spark.table("clicks"), spark.table("views"),
+            "uid", "ruid", "ts", "rts"))
+      cases.foreach { case (sql, api) =>
+        val viaSql = spark.sql(sql)
+        assert(viaSql.queryExecution.optimizedPlan.canonicalized.toString ==
+          api.queryExecution.optimizedPlan.canonicalized.toString,
+          s"plan drift for: $sql")
+        assert(viaSql.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+          api.collect().map(_.toSeq).toSeq.sortBy(_.toString),
+          s"result drift for: $sql")
+      }
+      // sanity on one result: the merge really merged
+      assert(spark.sql("SELECT * FROM interval_merge('ivs')").count() == 2)
+      // loud analysis-time errors for bad arity / non-literal args
+      val eArity = intercept[Exception] {
+        spark.sql("SELECT * FROM interval_merge('ivs', 'chrom')").collect()
+      }
+      assert(String.valueOf(eArity.getMessage).contains("interval_merge") ||
+        String.valueOf(eArity.getCause).contains("interval_merge"))
+      val eTbl = intercept[Exception] {
+        spark.sql("SELECT * FROM interval_merge('no_such_table')").collect()
+      }
+      assert(eTbl != null)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("regions_overlap treats a null end as open-ended, not as no-match") {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
