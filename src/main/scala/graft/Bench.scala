@@ -292,6 +292,32 @@ object Bench {
     // 90%² of both sides onto one chromosome inflates the OUTPUT pair
     // count ~3.3× (0.81·A·B·p vs uniform 4-chrom A·B·p/4), so parity
     // is time-per-pair, not raw seconds.
+    // q77's closest with 90% of BOTH interval sets forced onto one
+    // chromosome (the x14 recipe applied to the RangeFill sweeps): the
+    // canonical aid/start/end derivations are REUSED from
+    // SparkEntry.intervalsC/intervalsB (only chrom is overridden), so
+    // the twin can't drift from q77's arithmetic. Under the r16
+    // per-chromosome window sweeps this shape serialized (one contig =
+    // one task); under RangeFill the hot contig spreads across every
+    // range partition, so x77 should track q77's cost — THE standing
+    // skew evidence for the closest rewrite, like x14 is for the
+    // overlap join.
+    "x77_closest_skew" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      def skewed(key: org.apache.spark.sql.Column) =
+        when(key % 10 < 9, lit("chr0"))
+          .otherwise(concat(lit("chr"), ((key % 4) + 1).cast("string")))
+      val a = SparkEntry.intervalsC(s, dir)
+        .withColumn("chrom", skewed(col("aid")))
+      val b = SparkEntry.intervalsB(s, dir)
+        .withColumnRenamed("iv_id", "bid")
+        .withColumn("chrom", skewed(col("bid")))
+      graft.operators.IntervalOps.closest(a, b, "aid", "bid")
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("distance")).as("sum_distance"))
+        .orderBy(col("chrom"))
+    }),
     "x14_interval_skew" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       def skewed(key: org.apache.spark.sql.Column) =

@@ -229,6 +229,18 @@ object SparkEntry {
       (((col("l_partkey") * 12347) % 10000000L) + 50 +
         floor(col("l_quantity")) * 10).as("end"))
 
+  /** Derived interval set C (from customer) — the probe side of the
+    * q77/q79 bedtools gates, shared with their oracles AND with the
+    * x77 skew bench twin (which overrides only the chromosome). */
+  private[graft] def intervalsC(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "customer").select(
+      col("c_custkey").as("aid"),
+      concat(lit("chr"), (col("c_custkey") % 4).cast("string"))
+        .as("chrom"),
+      ((col("c_custkey") * 5557) % 10000000L).as("start"),
+      (((col("c_custkey") * 5557) % 10000000L) + 30 +
+        col("c_custkey") % 300).as("end"))
+
   /** Derived interval set B (from orders). */
   private[graft] def intervalsB(s: SparkSession, dir: String): DataFrame =
     pq(s, dir, "orders").select(
@@ -1390,13 +1402,7 @@ object SparkEntry {
     * DuckDB oracle replays as a naive all-pairs row_number argmin over
     * the identical CASE distance. */
   private def q77_closest(s: SparkSession, dir: String): DataFrame = {
-    val a = pq(s, dir, "customer").select(
-      col("c_custkey").as("aid"),
-      concat(lit("chr"), (col("c_custkey") % 4).cast("string"))
-        .as("chrom"),
-      ((col("c_custkey") * 5557) % 10000000L).as("start"),
-      (((col("c_custkey") * 5557) % 10000000L) + 30 +
-        col("c_custkey") % 300).as("end"))
+    val a = intervalsC(s, dir)
     val b = intervalsB(s, dir).withColumnRenamed("iv_id", "bid")
     graft.operators.IntervalOps.closest(a, b, "aid", "bid")
       .orderBy(col("aid"))
@@ -1421,13 +1427,7 @@ object SparkEntry {
     * window, so any boundary arithmetic error on the engine side
     * breaks the hash. */
   private def q79_subtract(s: SparkSession, dir: String): DataFrame = {
-    val a = pq(s, dir, "customer").select(
-      col("c_custkey").as("aid"),
-      concat(lit("chr"), (col("c_custkey") % 4).cast("string"))
-        .as("chrom"),
-      ((col("c_custkey") * 5557) % 10000000L).as("start"),
-      (((col("c_custkey") * 5557) % 10000000L) + 30 +
-        col("c_custkey") % 300).as("end"))
+    val a = intervalsC(s, dir)
     val b = intervalsB(s, dir).drop("iv_id")
     graft.operators.IntervalOps.subtract(a, b, "aid")
       .orderBy(col("aid"), col("start"))
