@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""sf0.1-sweep companion for the two DELIBERATELY-quadratic oracles.
+
+q77_closest's oracle is a naive all-pairs argmin and q79_subtract's is a
+per-base explode — both are the point (the ENGINE must be linear, the
+oracle maximally independent), but at sf0.1 they are too heavy for the
+full-sweep DuckDB pass. This script validates them by an independent
+1-in-N-sampled DuckDB computation instead (exact row equality on the
+sampled ids), the same procedure the r16 sweep documented.
+
+Usage: sampled_sweep.py <sfdir> <verify_out_dir> [sample_mod=20]
+"""
+import sys
+
+import duckdb
+import pandas as pd
+
+IVB = """SELECT o_orderkey AS iv_id,
+ 'chr' || (o_orderkey % 4) AS chrom,
+ (o_custkey*9973) % 10000000 AS start,
+ (o_custkey*9973) % 10000000 + 200 AS "end"
+FROM orders"""
+
+Q77_SAMPLED = """WITH a AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+bv AS ({ivb}),
+pair AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+    CASE WHEN b.iv_id IS NULL THEN NULL
+      ELSE struct_pack(
+        d := CASE WHEN a.astart < b."end" AND b."start" < a.aend THEN 0
+                  WHEN b."end" <= a.astart THEN a.astart - b."end"
+                  ELSE b."start" - a.aend END,
+        s := b."start", i := b.iv_id, e := b."end") END AS c
+  FROM a LEFT JOIN bv b ON a.chrom = b.chrom),
+r AS (SELECT aid, chrom, astart, aend, min(c) AS m
+  FROM pair GROUP BY 1, 2, 3, 4)
+SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+  CAST(m['s'] AS BIGINT) AS closest_start,
+  CAST(m['e'] AS BIGINT) AS closest_end,
+  CAST(m['d'] AS BIGINT) AS distance
+FROM r ORDER BY aid"""
+
+Q79_SAMPLED = """WITH a AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+bv AS ({ivb}),
+pos AS (SELECT aid, chrom, unnest(range(astart, aend)) AS p FROM a),
+alive AS (SELECT aid, chrom, p FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM bv b
+    WHERE b.chrom = pos.chrom
+      AND b."start" <= pos.p AND pos.p < b."end")),
+isl AS (SELECT aid, chrom, p,
+    p - row_number() OVER (PARTITION BY aid ORDER BY p) AS grp
+  FROM alive)
+SELECT aid, chrom, CAST(min(p) AS BIGINT) AS "start",
+  CAST(max(p) + 1 AS BIGINT) AS "end"
+FROM isl GROUP BY aid, chrom, grp
+ORDER BY aid, "start\""""
+
+
+def check(name, con, outdir, sql, id_col, mod):
+    want = con.execute(sql).df()
+    got = pd.read_parquet(f"{outdir}/{name}")
+    got = got[got[id_col] % mod == 0].reset_index(drop=True)
+    want = want[sorted(want.columns)]
+    got = got[sorted(got.columns)]
+    if list(want.columns) != list(got.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs "
+              f"{list(want.columns)}")
+        return False
+    if len(want) != len(got):
+        print(f"FAIL {name}: sampled rows {len(got)} vs oracle {len(want)}")
+        return False
+    for c in want.columns:
+        wv = want[c].astype(str).tolist()
+        gv = got[c].astype(str).tolist()
+        if wv != gv:
+            i = next(i for i in range(len(wv)) if wv[i] != gv[i])
+            print(f"FAIL {name}: col {c} row {i}: {gv[i]} vs {wv[i]}")
+            return False
+    print(f"OK   {name} (sampled 1-in-{mod}: {len(got)} rows exact)")
+    return True
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    mod = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    con = duckdb.connect()
+    for t in ["customer", "orders"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    ok = check("q77_closest", con, outdir,
+               Q77_SAMPLED.format(mod=mod, ivb=IVB), "aid", mod)
+    ok &= check("q79_subtract", con, outdir,
+                Q79_SAMPLED.format(mod=mod, ivb=IVB), "aid", mod)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
