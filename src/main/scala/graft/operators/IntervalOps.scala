@@ -357,6 +357,21 @@ object IntervalOps {
     }
   }
 
+  /** The chrom-sizes frame [[complement]]'s `chromSizes` parameter
+    * takes, sourced from a genomic file's OWN header/index metadata —
+    * the same map [[graft.sources.common.GraftTableProps]] surfaces as
+    * the SQL-visible `chrom_sizes` table property (reference analogue:
+    * the per-handle `chrom_sizes` of
+    * `oxbow/src/bbi/scanner/bigwig.rs:94-117`). Works for any source
+    * whose header or index declares lengths (BAM/CRAM/SAM headers,
+    * FASTA .fai, BBI chrom B-trees); one driver-side metadata read,
+    * O(contigs) rows. */
+  def chromSizes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.createDataFrame(
+        graft.formats.GraftMeta.chromSizes(path).toSeq.sortBy(_._1))
+      .toDF("chrom", "size")
+
   /** A minus B (the bedtools `subtract` analogue): each A interval's
     * surviving sub-intervals after removing every base covered by any
     * B interval on the same chromosome — possibly several output rows

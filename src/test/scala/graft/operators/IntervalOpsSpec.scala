@@ -251,6 +251,44 @@ class IntervalOpsSpec extends SparkSuite {
     assert(bare == Seq(("chr1", 20L, 30L)))
   }
 
+  test("complement composes with a real file's own chrom-sizes metadata") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    // a BAM whose HEADER declares chr1:1000/chr2:500/chrM:16 — the same
+    // metadata GraftTableProps surfaces as the chrom_sizes property —
+    // with reads leaving a head gap on chr1, a mid gap, a tail gap on
+    // both covered chromosomes, and chrM unread
+    val dir = java.nio.file.Files.createTempDirectory("graft-csizes")
+    val bam = dir.resolve("c.bam").toString
+    graft.fixtures.BamFixture.write(bam,
+      Seq(("chr1", 1000), ("chr2", 500), ("chrM", 16)),
+      Seq(
+        graft.fixtures.BamFixture.Rec("a", 0, 0, 10, 30,
+          Seq((20, 'M')), "A" * 20, null),
+        graft.fixtures.BamFixture.Rec("b", 0, 0, 50, 30,
+          Seq((10, 'M')), "A" * 10, null),
+        graft.fixtures.BamFixture.Rec("c", 0, 1, 0, 30,
+          Seq((100, 'M')), "A" * 100, null)))
+    val sizes = IntervalOps.chromSizes(s, bam)
+    assert(sizes.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("chr1", 1000L), ("chr2", 500L), ("chrM", 16L)))
+    // the scanner emits SAM-convention 1-based pos and inclusive end;
+    // shift to 0-based half-open for the interval algebra
+    val reads = s.read.format("bam").load(bam)
+      .where(col("rname").isNotNull)
+      .select(col("rname").as("chrom"),
+        (col("pos") - 1L).as("start"), col("end"))
+    val got = IntervalOps.complement(reads, chromSizes = Some(sizes))
+      .orderBy("chrom", "start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      ("chr1", 0L, 10L), ("chr1", 30L, 50L), ("chr1", 60L, 1000L),
+      ("chr2", 100L, 500L),
+      ("chrM", 0L, 16L)))
+  }
+
   test("subtract: split, swallow, untouched, book-ends, per-base ref") {
     val s = spark
     import s.implicits._
