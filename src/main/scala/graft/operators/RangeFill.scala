@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.PlanShim
 
 /** Skew-robust distributed running fill: the range-partitioned two-pass
   * replacement for the textbook
@@ -26,8 +29,11 @@ import org.apache.spark.sql.functions._
   * sorted partition once, seeded from the broadcast carries. Both
   * passes share one RDD, so the range shuffle's map stage runs once.
   *
-  * Cost vs the window: one extra (small) job for pass A plus an
-  * external-Row decode/re-encode round trip — the price of skew
+  * Both passes run on the plan's `InternalRow`s directly (the sorted
+  * rows pass through untouched unless they need a fill, and the
+  * re-wrap is [[PlanShim.internalCreateDataFrame]]) — no external-Row
+  * decode/re-encode leg. Cost vs the window: one range-boundary
+  * sampling job plus the (tiny) pass-A summary job — the price of skew
   * robustness. Callers with guaranteed-balanced high-cardinality keys
   * can keep the plain window; callers that cannot bound the largest
   * key's share should use this.
@@ -56,15 +62,25 @@ object RangeFill {
     val schema = df.schema
     val keyIdx = schema.fieldIndex(key)
     val fillIdx = schema.fieldIndex(fillCol)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val keyType = fieldTypes(keyIdx)
+    val fillType = fieldTypes(fillIdx)
+    val numFields = fieldTypes.length
     // the range exprs ARE the full window ordering (key first): range
     // partitions then concatenate to the exact global sort the window
     // would produce, and equal key tuples never straddle a boundary
     val sortExprs = col(key).asc +: order
     // ONE shared RDD for both passes (pass B reuses pass A's completed
-    // range-shuffle map stage instead of re-shuffling)
+    // range-shuffle map stage instead of re-shuffling). toRdd hands
+    // back the plan's own (possibly reused) UnsafeRows, so every value
+    // retained ACROSS rows below is detached via InternalRow.copyValue;
+    // values forwarded within one iterator step ride the live buffer
+    // (the consumer projects each row before pulling the next).
     val rdd = df.repartitionByRange(n, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
-      .rdd
+      .queryExecution.toRdd
+    def keyOf(r: InternalRow): Any =
+      if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
     // pass A: (pid, nonEmpty, firstKey, lastKey, lastVal) where lastVal
     // is the last non-null fill among the TRAILING run of lastKey rows
     // (the only rows a later partition can continue from)
@@ -74,11 +90,16 @@ object RangeFill {
       var curKey: Any = null
       var curVal: Any = null
       it.foreach { r =>
-        val k = r.get(keyIdx)
-        if (!any) { any = true; firstKey = k; curKey = k }
-        else if (k != curKey) { curKey = k; curVal = null }
-        val v = r.get(fillIdx)
-        if (v != null) curVal = v
+        val k = keyOf(r)
+        if (!any) {
+          any = true
+          firstKey = InternalRow.copyValue(k)
+          curKey = firstKey
+        } else if (k != curKey) {
+          curKey = InternalRow.copyValue(k); curVal = null
+        }
+        if (!r.isNullAt(fillIdx))
+          curVal = InternalRow.copyValue(r.get(fillIdx, fillType))
       }
       Iterator.single((pid, any, firstKey, curKey, curVal))
     }.collect().sortBy(_._1)
@@ -106,25 +127,38 @@ object RangeFill {
     }
     val bc = session.sparkContext.broadcast(carries)
     // pass B: one streaming sweep per sorted partition, seeded from the
-    // broadcast carry (which applies only until the first key changes)
+    // broadcast carry (which applies only until the first key changes).
+    // Unfilled rows pass through as the plan's own rows; filled rows
+    // are rebuilt as GenericInternalRows (fields other than the fill
+    // still reference the live buffer — consumed before the next pull).
     val filled = rdd.mapPartitionsWithIndex { (pid, it) =>
       var first = true
       var curKey: Any = null
       var curVal: Any = bc.value(pid)
       it.map { r =>
-        val k = r.get(keyIdx)
-        if (first) { first = false; curKey = k }
-        else if (k != curKey) { curKey = k; curVal = null }
-        val v = r.get(fillIdx)
-        if (v != null) { curVal = v; r }
-        else if (curVal == null) r
+        val k = keyOf(r)
+        if (first) {
+          first = false
+          curKey = InternalRow.copyValue(k)
+        } else if (k != curKey) {
+          curKey = InternalRow.copyValue(k); curVal = null
+        }
+        if (!r.isNullAt(fillIdx)) {
+          curVal = InternalRow.copyValue(r.get(fillIdx, fillType))
+          r
+        } else if (curVal == null) r
         else {
-          val vals = r.toSeq.toArray
+          val vals = new Array[Any](numFields)
+          var i = 0
+          while (i < numFields) {
+            vals(i) = if (r.isNullAt(i)) null else r.get(i, fieldTypes(i))
+            i += 1
+          }
           vals(fillIdx) = curVal
-          Row.fromSeq(vals.toSeq)
+          new GenericInternalRow(vals)
         }
       }
     }
-    session.createDataFrame(filled, schema)
+    PlanShim.internalCreateDataFrame(session, filled, schema)
   }
 }
