@@ -41,6 +41,45 @@ object OracleSql {
       | (o_custkey*9973) % 10000000 + 200 AS "end"
       |FROM orders""".stripMargin
 
+  /** Mirrors SparkEntry.intervalsC (the customer-derived probe side of
+    * the q77/q79/q83/q85-q87 bedtools gates). */
+  private val ivC =
+    """SELECT c_custkey AS aid,
+      | 'chr' || (c_custkey % 4) AS chrom,
+      | (c_custkey*5557) % 10000000 AS astart,
+      | (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+      |FROM customer""".stripMargin
+
+  /** The q36-style gaps-and-islands merge, parameterized by the source
+    * CTE name — shared by the q84 jaccard oracle, which replays BOTH
+    * sides' merges with the textbook per-chromosome windows that
+    * [[graft.operators.IntervalOps.mergeIntervalsRange]] replaces.
+    * The DISTINCT head is load-bearing: the two ROWS-framed windows
+    * order ties ARBITRARILY, so with duplicate (start, end) rows a
+    * duplicate can land before its island's new_grp=1 carrier in the
+    * second window's order and fuse two islands (observed on the ivB
+    * set, 1500 rows / 544 distinct). Duplicates never change a union,
+    * and distinct rows make both orders total, hence deterministic. */
+  private def mergeCtes(src: String, pfx: String): String =
+    s"""${pfx}d AS (SELECT DISTINCT chrom, "start", "end" FROM $src),
+       |${pfx}g AS (
+       |  SELECT chrom, "start", "end",
+       |    CASE WHEN max(greatest("end", "start")) OVER w IS NULL
+       |           OR "start" > max(greatest("end", "start")) OVER w
+       |         THEN 1 ELSE 0 END AS new_grp
+       |  FROM ${pfx}d
+       |  WINDOW w AS (PARTITION BY chrom ORDER BY "start", "end"
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |${pfx}h AS (
+       |  SELECT chrom, "start", "end",
+       |    sum(new_grp) OVER (PARTITION BY chrom ORDER BY "start", "end"
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM ${pfx}g),
+       |${pfx}m AS (
+       |  SELECT chrom, min("start") AS ms,
+       |    max(greatest("end", "start")) AS me
+       |  FROM ${pfx}h GROUP BY chrom, grp)""".stripMargin
+
   /** Minhash/shingle CTE fragments (mirror TextOps constants). */
   private val shingleCte =
     """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -696,6 +735,87 @@ object OracleSql {
          |  CAST(m['e'] AS BIGINT) AS closest_end,
          |  CAST(m['d'] AS BIGINT) AS distance
          |FROM r ORDER BY aid""".stripMargin,
+    // q83: bedtools-map — per-A aggregation of overlapping B values,
+    // the plain LEFT JOIN + GROUP BY formulation (zero-overlap A rows
+    // keep n=0 / null aggregates; v is never null so count(v) counts
+    // matches exactly)
+    "q83_interval_map" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB),
+         |b2 AS (SELECT chrom, "start", "end", iv_id % 97 AS v FROM bv)
+         |SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+         |  CAST(a.aend AS BIGINT) AS "end",
+         |  count(b2.v) AS n_overlaps,
+         |  CAST(sum(b2.v) AS BIGINT) AS v_sum,
+         |  min(b2.v) AS v_min, max(b2.v) AS v_max,
+         |  round(avg(b2.v), 4) AS v_mean_r
+         |FROM a LEFT JOIN b2
+         |  ON a.chrom = b2.chrom AND a.astart < b2."end"
+         |    AND b2."start" < a.aend
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // q84: bedtools-jaccard — both sides merged with the textbook
+    // gaps-and-islands windows (the formulation the skew-robust range
+    // merge replaces), then intersection as the sum of clipped overlap
+    // lengths between the two DISJOINT merged sets
+    "q84_interval_jaccard" ->
+      s"""WITH iva AS ($ivA),
+         |ivb AS ($ivB),
+         |${mergeCtes("iva", "a")},
+         |${mergeCtes("ivb", "b")},
+         |ix AS (SELECT
+         |    CAST(coalesce(sum(least(a.me, b.me)
+         |      - greatest(a.ms, b.ms)), 0) AS BIGINT) AS inter,
+         |    count(*) AS n_intersections
+         |  FROM am a JOIN bm b
+         |    ON a.chrom = b.chrom AND a.ms < b.me AND b.ms < a.me),
+         |la AS (SELECT CAST(coalesce(sum(me - ms), 0) AS BIGINT) AS l
+         |  FROM am),
+         |lb AS (SELECT CAST(coalesce(sum(me - ms), 0) AS BIGINT) AS l
+         |  FROM bm)
+         |SELECT ix.inter AS intersection,
+         |  CAST(la.l + lb.l - ix.inter AS BIGINT) AS union_len,
+         |  round(ix.inter * 1.0
+         |    / nullif(la.l + lb.l - ix.inter, 0), 6) AS jaccard_r,
+         |  ix.n_intersections
+         |FROM ix, la, lb ORDER BY intersection""".stripMargin,
+    // q85: bedtools-slop — pure greatest/least clamp arithmetic over
+    // the declared 10-Mbp sizes (one Mbp below the generator ceiling
+    // so BOTH clamps bind in the data)
+    "q85_interval_slop" ->
+      s"""WITH a AS ($ivC)
+         |SELECT aid, chrom,
+         |  CAST(greatest(astart - 250000, 0) AS BIGINT) AS "start",
+         |  CAST(least(aend + 250000, 10000000) AS BIGINT) AS "end"
+         |FROM a ORDER BY aid""".stripMargin,
+    // q86: bedtools-flank — the two flank pieces as a UNION ALL, empty
+    // pieces (floored at 0 / capped at the size) filtered exactly as
+    // the engine's array-filter does
+    "q86_interval_flank" ->
+      s"""WITH a AS ($ivC)
+         |SELECT aid, 'left' AS side, chrom,
+         |  CAST(greatest(astart - 100, 0) AS BIGINT) AS "start",
+         |  CAST(astart AS BIGINT) AS "end"
+         |FROM a WHERE greatest(astart - 100, 0) < astart
+         |UNION ALL
+         |SELECT aid, 'right' AS side, chrom,
+         |  CAST(aend AS BIGINT) AS "start",
+         |  CAST(least(aend + 200, 10000000) AS BIGINT) AS "end"
+         |FROM a WHERE aend < least(aend + 200, 10000000)
+         |ORDER BY aid, side""".stripMargin,
+    // q87: bedtools-window — the naive range-predicate proximity join
+    // (the engine's binned equi-join on slop-extended coordinates must
+    // reproduce it pair for pair), rolled up per A with placement
+    // witnesses
+    "q87_interval_window" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB)
+         |SELECT a.aid, count(*) AS n_near,
+         |  CAST(sum(b."start") AS BIGINT) AS sum_bstart,
+         |  min(b.iv_id) AS min_bid, max(b.iv_id) AS max_bid
+         |FROM a JOIN bv b
+         |  ON a.chrom = b.chrom AND a.astart - 20000 < b."end"
+         |    AND b."start" < a.aend + 20000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

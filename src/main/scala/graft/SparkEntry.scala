@@ -1466,6 +1466,97 @@ object SparkEntry {
       : DataFrame =
     asofFunnel(s, dir, range = true)
 
+  /** Per-interval value annotation ([[graft.operators.IntervalOps
+    * .mapOverlaps]] — the bedtools-map analogue, added r17): every
+    * customer-derived interval aggregates an order-derived value over
+    * its ≥1-bp overlappers — count, sum, min, max, mean — zero-overlap
+    * rows kept with n=0 and null aggregates. Binned equi-join + one
+    * hash aggregation, no window, no all-pairs; the oracle is the
+    * plain LEFT JOIN + GROUP BY formulation. */
+  private def q83_interval_map(s: SparkSession, dir: String): DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsB(s, dir).withColumn("v", col("iv_id") % 97)
+    graft.operators.IntervalOps.mapOverlaps(a, b, "aid", "v")
+      .select(col("aid"), col("chrom"), col("start"), col("end"),
+        col("n_overlaps"), col("v_sum"), col("v_min"), col("v_max"),
+        round(col("v_mean"), 4).as("v_mean_r"))
+      .orderBy(col("aid"))
+  }
+
+  /** Interval-set similarity ([[graft.operators.IntervalOps.jaccard]]
+    * — the bedtools-jaccard analogue, added r17): the lineitem- and
+    * orders-derived sets each collapse to their disjoint union
+    * (skew-robust range merge), then one binned join of the two
+    * DISJOINT sets sums the clipped intersection exactly — never
+    * per-base. One output row; the oracle replays both merges with
+    * the textbook gaps-and-islands windows. */
+  private def q84_interval_jaccard(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.operators.IntervalOps.jaccard(
+        intervalsA(s, dir).drop("iv_id"),
+        intervalsB(s, dir).drop("iv_id"))
+      .select(col("intersection"), col("union_len"),
+        round(col("jaccard"), 6).as("jaccard_r"),
+        col("n_intersections"))
+      .orderBy(col("intersection"))
+
+  /** Shared 10-Mbp sizes frame for the q85/q86 slop/flank gates —
+    * deliberately one Mbp BELOW the generators' coordinate ceiling so
+    * BOTH clamps bind: starts within `both` of 0 floor at 0, ends
+    * growing past 10 Mbp cap at the declared size. */
+  private def sizes10M(s: SparkSession): DataFrame =
+    s.createDataFrame(Seq(("chr0", 10000000L), ("chr1", 10000000L),
+        ("chr2", 10000000L), ("chr3", 10000000L)))
+      .toDF("chrom", "size")
+
+  /** Coordinate extension ([[graft.operators.IntervalOps.slop]] — the
+    * bedtools-slop analogue, added r17): every customer-derived
+    * interval grows 250 kbp on each side, floored at 0 and capped at
+    * the declared 10-Mbp chromosome size — both clamps exercised by
+    * construction. Narrow codegen'd projection + broadcast sizes
+    * join; the oracle is the same greatest/least arithmetic. */
+  private def q85_interval_slop(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IntervalOps.slop(intervalsC(s, dir),
+        both = 250000L, chromSizes = Some(sizes10M(s)))
+      .select(col("aid"), col("chrom"), col("start"), col("end"))
+      .orderBy(col("aid"))
+
+  /** Flanking intervals ([[graft.operators.IntervalOps.flank]] — the
+    * bedtools-flank analogue, added r17): 100 bp before and 200 bp
+    * after every customer-derived interval, floored/capped like q85,
+    * empty flanks dropped (rows starting at 0 lose their left flank;
+    * rows whose body already crosses the cap lose their right). At
+    * most two rows per input, narrow explode, no shuffle. */
+  private def q86_interval_flank(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.operators.IntervalOps.flank(intervalsC(s, dir),
+        left = 100L, right = 200L, chromSizes = Some(sizes10M(s)))
+      .select(col("aid"), col("side"), col("chrom"), col("start"),
+        col("end"))
+      .orderBy(col("aid"), col("side"))
+
+  /** Proximity join ([[graft.operators.IntervalOps.windowJoin]] — the
+    * bedtools-window analogue, added r17): every (customer, order)
+    * interval pair within a 20-kbp window, rolled up per A with a
+    * count and placement witnesses (sum of B starts, min/max B id) so
+    * a single spurious or missing neighbor fails the gate. The binned
+    * equi-join on extended coordinates; the oracle is the naive
+    * range-predicate join. */
+  private def q87_interval_window(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsB(s, dir)
+      .select(col("iv_id").as("bid"), col("chrom").as("bchrom"),
+        col("start").as("bstart"), col("end").as("bend"))
+    graft.operators.IntervalOps.windowJoin(a, b, window = 20000L,
+        leftCols = ("chrom", "start", "end"),
+        rightCols = ("bchrom", "bstart", "bend"))
+      .groupBy(col("aid"))
+      .agg(count(lit(1)).as("n_near"), sum(col("bstart")).as("sum_bstart"),
+        min(col("bid")).as("min_bid"), max(col("bid")).as("max_bid"))
+      .orderBy(col("aid"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1672,7 +1763,12 @@ object SparkEntry {
     "q79_subtract" -> (q79_subtract _),
     "q80_complement_sized" -> (q80_complement_sized _),
     "q81_asof_range" -> (q81_asof_range _),
-    "q82_asof_forward_range" -> (q82_asof_forward_range _)) ++
+    "q82_asof_forward_range" -> (q82_asof_forward_range _),
+    "q83_interval_map" -> (q83_interval_map _),
+    "q84_interval_jaccard" -> (q84_interval_jaccard _),
+    "q85_interval_slop" -> (q85_interval_slop _),
+    "q86_interval_flank" -> (q86_interval_flank _),
+    "q87_interval_window" -> (q87_interval_window _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -448,6 +448,279 @@ object IntervalOps {
         col("__ae").cast(a.schema(end).dataType).as(end))
   }
 
+  /** Per-A aggregation of overlapping B values — the bedtools `map`
+    * analogue (reference surface stops at indexed scans; this is the
+    * downstream annotation step its users run in pandas/polars). For
+    * every A interval: the count of B intervals overlapping it by at
+    * least one base (strict half-open overlap — book-ended touching
+    * does NOT count, matching `bedtools map`'s ≥1 bp contract) and the
+    * sum/min/max/mean of `value` over those B rows. A rows with no
+    * overlapping B keep `n_overlaps = 0` and null aggregates (bedtools'
+    * `.`); zero-length or inverted rows on either side cover no bases
+    * and can overlap nothing (A points still appear in the output with
+    * zero overlaps); null chrom/coords (and null `aId`) drop — the
+    * family's shared policy. Null `value`s on matched B rows count in
+    * `n_overlaps` but are ignored by sum/min/max/mean (SQL aggregate
+    * semantics).
+    *
+    * Scale shape: the binned equi-join ([[IntervalJoin.overlapJoin]] —
+    * never per-chromosome, never all-pairs) followed by ONE hash
+    * aggregation on the A id (map-side combined) and one equi-join back
+    * to A to restore the zero-overlap rows. No window anywhere, so no
+    * contig skew; a pathologically popular single A interval is bounded
+    * by its own overlap count, not by its chromosome's.
+    *
+    * @param aId unique id column in `a` (duplicates would double-count)
+    * @param value numeric column in `b` to aggregate */
+  def mapOverlaps(a: DataFrame, b: DataFrame, aId: String,
+      value: String, chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L): DataFrame = {
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__as"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__ae"))
+      .where(col("__aid").isNotNull)
+    val b2 = dropNullCoords(b, chrom, start, end)
+      .select(col(chrom).cast("string").as("__c2"),
+        col(start).cast("long").as("__bs"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__be"),
+        col(value).as("__v"))
+      // zero-length B rows cover no bases; the strict predicate would
+      // still match one strictly inside an A interval (subtract's
+      // boundary case), so they drop here
+      .where(col("__bs") < col("__be"))
+    val agg = IntervalJoin.overlapJoin(
+        a2.where(col("__as") < col("__ae")), b2,
+        leftCols = ("__c", "__as", "__ae"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+      .groupBy(col("__aid"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("v_sum"),
+        min(col("__v")).as("v_min"), max(col("__v")).as("v_max"),
+        avg(col("__v")).as("v_mean"))
+    a2.join(agg, Seq("__aid"), "left")
+      .select(col("__aid").as(aId),
+        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__as").cast(a.schema(start).dataType).as(start),
+        col("__ae").cast(a.schema(end).dataType).as(end),
+        coalesce(col("__n"), lit(0L)).as("n_overlaps"),
+        col("v_sum"), col("v_min"), col("v_max"), col("v_mean"))
+  }
+
+  /** Overlap similarity of two interval SETS — the bedtools `jaccard`
+    * analogue: each side first collapses to its disjoint union, then
+    * `intersection` = total bases covered by both, `union_len` =
+    * total bases covered by either, `jaccard` = intersection /
+    * union_len (null when both sets are empty), `n_intersections` =
+    * the count of disjoint intersection segments. One output row.
+    * Half-open arithmetic; inverted rows clamp to points, which cover
+    * no bases and are dropped after the merge; null chrom/coords drop.
+    *
+    * Scale shape: two skew-robust merges ([[mergeIntervalsRange]] —
+    * range-partitioned streaming sweeps, no per-contig window), the
+    * binned equi-join of the two DISJOINT merged sets (each base of
+    * intersection appears in exactly one joined pair, so a global sum
+    * of clipped lengths is exact), and three scalar aggregates
+    * combined on the driver — O(1) rows after the aggregation
+    * boundary, no collect of data-scale state. */
+  def jaccard(a: DataFrame, b: DataFrame, chrom: String = "chrom",
+      start: String = "start", end: String = "end",
+      binSize: Long = 1000L): DataFrame = {
+    def merged(df: DataFrame): DataFrame =
+      mergeIntervalsRange(
+          dropNullCoords(df, chrom, start, end)
+            .select(col(chrom).cast("string").as("__c"),
+              col(start).cast("long").as("__s"),
+              greatest(col(end).cast("long"), col(start).cast("long"))
+                .as("__e")),
+          chrom = "__c", start = "__s", end = "__e")
+        .select(col("__c"), col("start").as("__s"), col("end").as("__e"))
+        // isolated point survivors cover no bases (subtract's case)
+        .where(col("__s") < col("__e"))
+    val ma = merged(a)
+    val mb = merged(b)
+      .select(col("__c").as("__c2"), col("__s").as("__bs"),
+        col("__e").as("__be"))
+    val inter = IntervalJoin.overlapJoin(ma, mb,
+        leftCols = ("__c", "__s", "__e"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+      .agg(coalesce(sum(least(col("__e"), col("__be")) -
+          greatest(col("__s"), col("__bs"))), lit(0L))
+          .as("intersection"),
+        count(lit(1)).as("n_intersections"))
+    val la = ma.agg(coalesce(sum(col("__e") - col("__s")), lit(0L))
+      .as("__la"))
+    val lb = mb.agg(coalesce(sum(col("__be") - col("__bs")), lit(0L))
+      .as("__lb"))
+    // three single-row frames — the in-repo one-row-stats crossJoin
+    inter.crossJoin(la).crossJoin(lb)
+      .select(col("intersection"),
+        (col("__la") + col("__lb") - col("intersection"))
+          .as("union_len"),
+        (col("intersection").cast("double") /
+          nullif(col("__la") + col("__lb") - col("intersection"),
+            lit(0L)).cast("double")).as("jaccard"),
+        col("n_intersections"))
+  }
+
+  /** Coordinate extension — the bedtools `slop` analogue: every
+    * interval grows `both + left` bases leftward (floored at 0) and
+    * `both + right` bases rightward (capped at the chromosome's
+    * declared size when `chromSizes` is given; chromosomes absent from
+    * the sizes frame stay uncapped, and data already beyond a declared
+    * size keeps `end >= start` rather than inverting). All other
+    * columns pass through untouched; inverted rows clamp to points
+    * before growing; null chrom/coords drop (family policy). INTEGRAL
+    * coordinates sharing one type, enforced like [[coverage]] (the
+    * arithmetic widens to long and casts back).
+    *
+    * Scale shape: a narrow codegen'd projection — plus one broadcast
+    * join to the O(contigs) sizes frame when capping. Nothing
+    * shuffles. */
+  def slop(df: DataFrame, both: Long = 0L, left: Long = 0L,
+      right: Long = 0L, chromSizes: Option[DataFrame] = None,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end"): DataFrame = {
+    val (gl, gr) = (both + left, both + right)
+    require(gl >= 0L && gr >= 0L,
+      s"slop growth must be non-negative, got left $gl / right $gr")
+    requireSharedIntegralCoords(df, start, end, "slop")
+    val coordT = df.schema(start).dataType
+    val pe = greatest(col(end).cast("long"), col(start).cast("long"))
+    val ns = greatest(col(start).cast("long") - gl, lit(0L))
+    val grown = chromSizes match {
+      case None =>
+        df.withColumn("__ns", ns).withColumn("__ne", pe + gr)
+      case Some(sz) =>
+        val szl = broadcast(sz
+          .select(col(chrom).cast("string").as("__slc"),
+            col("size").cast("long").as("__ssz"))
+          .where(col("__slc").isNotNull && col("__ssz").isNotNull &&
+            col("__ssz") > 0L))
+        df.join(szl, col(chrom).cast("string") === col("__slc"), "left")
+          .withColumn("__ns", ns)
+          .withColumn("__ne", greatest(
+            least(pe + gr, coalesce(col("__ssz"), pe + gr)), ns))
+          .drop("__slc", "__ssz")
+    }
+    val out = grown
+      .withColumn(start, col("__ns").cast(coordT))
+      .withColumn(end, col("__ne").cast(coordT))
+      .drop("__ns", "__ne")
+    dropNullCoords(out, chrom, start, end).select(
+      df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Flanking intervals — the bedtools `flank` analogue: for every
+    * input interval, up to two output rows — the `left` bases
+    * immediately before `start` (floored at 0) tagged `side = 'left'`,
+    * and the `right` bases immediately after `end` (capped at the
+    * declared chromosome size like [[slop]]) tagged `side = 'right'`.
+    * Empty flanks (zero requested, floored/capped away, or start at 0)
+    * are not emitted. All other columns pass through; inverted rows
+    * clamp to points first; null chrom/coords drop. INTEGRAL shared
+    * coordinate type, as [[slop]].
+    *
+    * Scale shape: a narrow explode of a two-element array — at most 2
+    * output rows per input, no shuffle, plus [[slop]]'s broadcast
+    * sizes join when capping. */
+  def flank(df: DataFrame, left: Long = 0L, right: Long = 0L,
+      chromSizes: Option[DataFrame] = None, chrom: String = "chrom",
+      start: String = "start", end: String = "end"): DataFrame = {
+    require(left >= 0L && right >= 0L,
+      s"flank widths must be non-negative, got left $left / right $right")
+    requireSharedIntegralCoords(df, start, end, "flank")
+    val coordT = df.schema(start).dataType
+    val sl = col(start).cast("long")
+    val pe = greatest(col(end).cast("long"), sl)
+    val base = chromSizes match {
+      case None => dropNullCoords(df, chrom, start, end)
+      case Some(sz) =>
+        val szl = broadcast(sz
+          .select(col(chrom).cast("string").as("__slc"),
+            col("size").cast("long").as("__ssz"))
+          .where(col("__slc").isNotNull && col("__ssz").isNotNull &&
+            col("__ssz") > 0L))
+        dropNullCoords(df, chrom, start, end)
+          .join(szl, col(chrom).cast("string") === col("__slc"), "left")
+    }
+    val pieces = array(
+      struct(lit("left").as("side"),
+        greatest(sl - left, lit(0L)).as("__fs"), sl.as("__fe")),
+      struct(lit("right").as("side"), pe.as("__fs"),
+        (chromSizes match {
+          case None => pe + right
+          case Some(_) => greatest(
+            least(pe + right, coalesce(col("__ssz"), pe + right)), pe)
+        }).as("__fe")))
+    val passCols = df.columns.filter(c => c != start && c != end)
+    base
+      .select(passCols.map(col).toIndexedSeq :+
+        explode(filter(pieces, p =>
+          p.getField("__fs") < p.getField("__fe"))).as("__f"): _*)
+      .select(passCols.map(col).toIndexedSeq ++ Seq(
+        col("__f.side").as("side"),
+        col("__f.__fs").cast(coordT).as(start),
+        col("__f.__fe").cast(coordT).as(end)): _*)
+  }
+
+  private def requireSharedIntegralCoords(df: DataFrame, start: String,
+      end: String, op: String): Unit = {
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(start, end).foreach { c =>
+      require(integral.contains(df.schema(c).dataType),
+        s"$op requires integral coordinates, got " +
+          s"$c: ${df.schema(c).dataType.simpleString}")
+    }
+    require(df.schema(start).dataType == df.schema(end).dataType,
+      s"$op requires $start and $end to share a type, got " +
+        s"${df.schema(start).dataType.simpleString} vs " +
+        s"${df.schema(end).dataType.simpleString}")
+  }
+
+  /** Proximity join — the bedtools `window` analogue: every (A, B)
+    * pair where B overlaps A extended by `window` bases on each side
+    * (equivalently: B overlaps A, or the gap between them is STRICTLY
+    * below `window` — the exact `slop -b w | intersect` composition,
+    * half-open throughout; a B starting exactly `window` bases past
+    * A's end touches the extended interval book-ended and does NOT
+    * match). Output columns are the two inputs' columns side by side
+    * (names must not collide, as [[IntervalJoin.overlapJoin]]);
+    * zero-length B rows match nothing, zero-length A rows match only
+    * what their extension overlaps; null coords drop.
+    *
+    * Scale shape: [[IntervalJoin.overlapJoin]] on the extended
+    * coordinates — the binned equi-join with its AQE skew pin, never
+    * per-chromosome. The extension widens each A row's bin fan-out by
+    * `2 * window / binSize` bins, so callers with very large windows
+    * should raise `binSize` proportionally. */
+  def windowJoin(a: DataFrame, b: DataFrame, window: Long,
+      leftCols: (String, String, String) = ("chrom", "start", "end"),
+      rightCols: (String, String, String) = ("chrom", "start", "end"),
+      binSize: Long = 1000L): DataFrame = {
+    require(window >= 0L, s"window must be non-negative, got $window")
+    val (c, s, e) = leftCols
+    val wa = dropNullCoords(a, c, s, e)
+      .withColumn("__ws",
+        greatest(col(s).cast("long") - window, lit(0L)))
+      .withColumn("__we",
+        greatest(col(e).cast("long"), col(s).cast("long")) + window)
+    // zero-length/inverted B rows cover no bases; the strict predicate
+    // would still match one strictly inside the extended interval
+    // (subtract's boundary case), so they drop here
+    val b2 = dropNullCoords(b, rightCols._1, rightCols._2, rightCols._3)
+      .where(col(rightCols._3).cast("long") >
+        col(rightCols._2).cast("long"))
+    IntervalJoin.overlapJoin(wa, b2, leftCols = (c, "__ws", "__we"),
+        rightCols = rightCols, binSize = binSize)
+      .drop("__ws", "__we")
+  }
+
   /** Nearest B interval for every A interval, per chromosome — the
     * bedtools `closest` analogue. Distance is 0 for any overlap or
     * book-ended touch (half-open), else the gap between the facing

@@ -486,4 +486,118 @@ class IntervalOpsSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("share a type"))
   }
+
+  test("mapOverlaps: counts, aggregates, zero-overlap/point/null edges") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 10L, 50L),  // overlaps b1, b2; book-ends b3
+      (2L, "chr1", 200L, 210L), // no overlaps
+      (3L, "chr2", 10L, 20L),  // overlaps b5 (null value)
+      (4L, "chr1", 300L, 300L)) // zero-length A: kept, n = 0
+      .toDF("aid", "chrom", "start", "end")
+    val b = Seq(
+      ("chr1", 5L, 15L, Option(10L)),   // b1: overlaps A1
+      ("chr1", 40L, 60L, Option(4L)),   // b2: overlaps A1
+      ("chr1", 50L, 70L, Option(100L)), // b3: book-ends A1 — NOT counted
+      ("chr1", 30L, 30L, Option(7L)),   // b4: zero-length inside A1 — dropped
+      ("chr2", 15L, 25L, Option.empty[Long])) // b5: null value
+      .toDF("chrom", "start", "end", "v")
+    val got = IntervalOps.mapOverlaps(a, b, "aid", "v")
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0), r.getLong(4), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7))))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, Some(14L), Some(4L), Some(10L)),
+      (2L, 0L, None, None, None),
+      (3L, 1L, None, None, None), // counted, but null v → null aggs
+      (4L, 0L, None, None, None)))
+  }
+
+  test("jaccard: hand-computed sets, empty sides, point survivors") {
+    val s = spark
+    import s.implicits._
+    // A merges to [10,30)+[50,60) = 30 bases; B = [20,55) = 35 bases;
+    // intersection [20,30)+[50,55) = 15 over two segments; union 50
+    val a = Seq(("chr1", 10L, 30L), ("chr1", 50L, 60L),
+      ("chr1", 25L, 25L)).toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 20L, 40L), ("chr1", 35L, 55L))
+      .toDF("chrom", "start", "end")
+    val r = IntervalOps.jaccard(a, b).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) == (15L, 50L, 2L))
+    assert(math.abs(r.getDouble(2) - 0.3) < 1e-12)
+    // empty B: intersection 0, union = |A|, jaccard 0
+    val r2 = IntervalOps.jaccard(a,
+      b.where($"start" < 0)).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2),
+      r2.getLong(3)) == (0L, 30L, 0.0, 0L))
+    // both empty: union 0 → jaccard null, not a division error
+    val r3 = IntervalOps.jaccard(a.where($"start" < 0),
+      b.where($"start" < 0)).collect().head
+    assert((r3.getLong(0), r3.getLong(1), r3.isNullAt(2),
+      r3.getLong(3)) == (0L, 0L, true, 0L))
+  }
+
+  test("slop: floor/cap clamps, missing size, pass-through, int coords") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("chr1", 100, 200, "x"),  // grows to [0, 300)
+      ("chr1", 950, 980, "y"),  // caps at size 1000
+      ("chrU", 950, 980, "z"),  // no declared size: uncapped
+      ("chr1", 500, 400, "w"))  // inverted → point 500, grows both ways
+      .toDF("chrom", "start", "end", "tag")
+    val sizes = Seq(("chr1", 1000L)).toDF("chrom", "size")
+    val got = IntervalOps.slop(iv, both = 150L,
+        chromSizes = Some(sizes))
+      .orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      ("chr1", 350, 650, "w"),
+      ("chr1", 0, 350, "x"),
+      ("chr1", 800, 1000, "y"),
+      ("chrU", 800, 1130, "z")))
+  }
+
+  test("flank: sides, floor/cap drops, pass-through") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("chr1", 100L, 200L, "a"),  // both flanks
+      ("chr1", 0L, 50L, "b"),     // left flank empty (starts at 0)
+      ("chr1", 900L, 1000L, "c")) // right flank capped away (size 1000)
+      .toDF("chrom", "start", "end", "tag")
+    val sizes = Seq(("chr1", 1000L)).toDF("chrom", "size")
+    val got = IntervalOps.flank(iv, left = 30L, right = 40L,
+        chromSizes = Some(sizes))
+      .orderBy("tag", "side").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("chr1", "a", "left", 70L, 100L),
+      ("chr1", "a", "right", 200L, 240L),
+      ("chr1", "b", "right", 50L, 90L),
+      ("chr1", "c", "left", 870L, 900L)))
+  }
+
+  test("windowJoin: strict window boundary, overlap, zero-length B") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "chr1", 100L, 200L)).toDF("aid", "c", "s", "e")
+    val b = Seq(
+      (10L, "chr1", 150L, 160L), // overlaps
+      (11L, "chr1", 205L, 215L), // gap 5 < 10 → in
+      (12L, "chr1", 210L, 220L), // gap 10 == w → OUT (strict)
+      (13L, "chr1", 85L, 90L),   // gap 10 == w on the left → OUT
+      (14L, "chr1", 86L, 91L),   // gap 9 → in
+      (15L, "chr1", 120L, 120L)) // zero-length → never matches
+      .toDF("bid", "bc", "bs", "be")
+    val got = IntervalOps.windowJoin(a, b, window = 10L,
+        leftCols = ("c", "s", "e"), rightCols = ("bc", "bs", "be"))
+      .select("bid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 11L, 14L))
+  }
 }
