@@ -36,6 +36,20 @@ import graft.functions.GenomicFunctions
   *    [[graft.operators.IntervalOps.subtract]]
   *  - `SELECT * FROM interval_closest('a', 'b', 'aid', 'bid')` —
   *    [[graft.operators.IntervalOps.closest]]
+  *  - `SELECT * FROM interval_map('a', 'b', 'aid', 'v')` —
+  *    [[graft.operators.IntervalOps.mapOverlaps]]
+  *  - `SELECT * FROM interval_jaccard('a', 'b')` —
+  *    [[graft.operators.IntervalOps.jaccard]]
+  *  - `SELECT * FROM interval_slop('ivs', 500)` /
+  *    `interval_slop('ivs', 500, 'sizes')` —
+  *    [[graft.operators.IntervalOps.slop]] (symmetric growth; the
+  *    left/right split is Scala API)
+  *  - `SELECT * FROM interval_flank('ivs', 100, 200[, 'sizes'])` —
+  *    [[graft.operators.IntervalOps.flank]]
+  *  - `SELECT * FROM interval_window('a', 'b', 5000[, 'bc', 'bs',
+  *    'be'])` — [[graft.operators.IntervalOps.windowJoin]] (the output
+  *    holds both sides' columns, so B's coordinate names must differ
+  *    from A's; A-side custom names are Scala API)
   *  - `SELECT * FROM asof_backward('clicks', 'views', 'uid', 'uid',
   *    'ts', 'vts')` / `asof_forward(...)` —
   *    [[graft.operators.AsofJoin.backward]] / [[graft.operators
@@ -71,6 +85,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * so one is always active). */
   private def tableOf(e: Expression): DataFrame =
     SparkSession.active.table(litStr(e, "table name"))
+
+  private def litLong(e: Expression, what: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal integer")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$what must not be null")
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+  }
 
   /** Single-table interval TVF plumbing: `f(tbl)` with the operator's
     * default (chrom, start, end) names, or `f(tbl, chrom, start, end)`. */
@@ -145,6 +171,100 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           "interval_closest takes (a_table, b_table, a_id, b_id[, " +
             s"chrom, start, end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_map"),
+      info("interval_map",
+        "interval_map(a_table, b_table, a_id, value[, chrom, start, " +
+          "end]) - aggregate overlapping B values per A (bedtools map)"),
+      {
+        case Seq(a, b, aid, v) =>
+          graft.operators.IntervalOps.mapOverlaps(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(v, "value column"))
+            .queryExecution.logical
+        case Seq(a, b, aid, v, c, s, e) =>
+          graft.operators.IntervalOps.mapOverlaps(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(v, "value column"),
+            litStr(c, "chrom column"), litStr(s, "start column"),
+            litStr(e, "end column")).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_map takes (a_table, b_table, a_id, value[, chrom, " +
+            s"start, end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_jaccard"),
+      info("interval_jaccard",
+        "interval_jaccard(a_table, b_table[, chrom, start, end]) - " +
+          "overlap similarity of two interval sets (bedtools jaccard)"),
+      {
+        case Seq(a, b) =>
+          graft.operators.IntervalOps.jaccard(tableOf(a), tableOf(b))
+            .queryExecution.logical
+        case Seq(a, b, c, s, e) =>
+          graft.operators.IntervalOps.jaccard(tableOf(a), tableOf(b),
+            litStr(c, "chrom column"), litStr(s, "start column"),
+            litStr(e, "end column")).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_jaccard takes (a_table, b_table[, chrom, start, " +
+            s"end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_slop"),
+      info("interval_slop",
+        "interval_slop(table, both[, sizes_table]) - grow every " +
+          "interval both ways, floored at 0 / capped at the declared " +
+          "size (bedtools slop)"),
+      {
+        case Seq(t, g) =>
+          graft.operators.IntervalOps.slop(tableOf(t),
+            both = litLong(g, "growth")).queryExecution.logical
+        case Seq(t, g, sz) =>
+          graft.operators.IntervalOps.slop(tableOf(t),
+            both = litLong(g, "growth"),
+            chromSizes = Some(tableOf(sz))).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_slop takes (table, both[, sizes_table]), got " +
+            s"${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_flank"),
+      info("interval_flank",
+        "interval_flank(table, left, right[, sizes_table]) - the " +
+          "flanking intervals before/after each input (bedtools flank)"),
+      {
+        case Seq(t, l, r) =>
+          graft.operators.IntervalOps.flank(tableOf(t),
+            left = litLong(l, "left width"),
+            right = litLong(r, "right width")).queryExecution.logical
+        case Seq(t, l, r, sz) =>
+          graft.operators.IntervalOps.flank(tableOf(t),
+            left = litLong(l, "left width"),
+            right = litLong(r, "right width"),
+            chromSizes = Some(tableOf(sz))).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_flank takes (table, left, right[, sizes_table]), " +
+            s"got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_window"),
+      info("interval_window",
+        "interval_window(a_table, b_table, window[, b_chrom, b_start, " +
+          "b_end]) - every (A, B) pair within the window (bedtools " +
+          "window; output holds both sides' columns, so B's coordinate " +
+          "names must differ from A's — pass them when not defaults)"),
+      {
+        case Seq(a, b, w) =>
+          graft.operators.IntervalOps.windowJoin(tableOf(a), tableOf(b),
+            window = litLong(w, "window")).queryExecution.logical
+        case Seq(a, b, w, bc, bs, be) =>
+          graft.operators.IntervalOps.windowJoin(tableOf(a), tableOf(b),
+            window = litLong(w, "window"),
+            rightCols = (litStr(bc, "b_chrom column"),
+              litStr(bs, "b_start column"), litStr(be, "b_end column")))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_window takes (a_table, b_table, window[, b_chrom, " +
+            s"b_start, b_end]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     def asofTvf(name: String, forward: Boolean)
         : Seq[Expression] => LogicalPlan = {

@@ -77,6 +77,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .toDF("aid", "chrom", "start", "end").createOrReplaceTempView("a")
       Seq((7L, "chr1", 20L, 60L))
         .toDF("bid", "chrom", "start", "end").createOrReplaceTempView("b")
+      Seq((7L, "chr1", 20L, 60L, 3L))
+        .toDF("bid", "chrom", "start", "end", "v")
+        .createOrReplaceTempView("bv")
+      Seq((7L, "chr1", 20L, 60L))
+        .toDF("bid", "bchrom", "bstart", "bend")
+        .createOrReplaceTempView("br")
+      Seq(("chr1", 100L), ("chr2", 150L))
+        .toDF("chrom", "size").createOrReplaceTempView("sz")
       Seq((1, "2024-01-02 00:00:00", "e1"))
         .toDF("uid", "ts", "eid")
         .withColumn("ts", org.apache.spark.sql.functions.col("ts")
@@ -104,6 +112,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM interval_closest('a', 'b', 'aid', 'bid')" ->
           IntervalOps.closest(spark.table("a"), spark.table("b"),
             "aid", "bid"),
+        "SELECT * FROM interval_map('a', 'bv', 'aid', 'v')" ->
+          IntervalOps.mapOverlaps(spark.table("a"), spark.table("bv"),
+            "aid", "v"),
+        "SELECT * FROM interval_jaccard('a', 'b')" ->
+          IntervalOps.jaccard(spark.table("a"), spark.table("b")),
+        "SELECT * FROM interval_slop('ivs', 15, 'sz')" ->
+          IntervalOps.slop(spark.table("ivs"), both = 15L,
+            chromSizes = Some(spark.table("sz"))),
+        "SELECT * FROM interval_flank('ivs', 5, 7, 'sz')" ->
+          IntervalOps.flank(spark.table("ivs"), left = 5L, right = 7L,
+            chromSizes = Some(spark.table("sz"))),
+        "SELECT * FROM interval_window('a', 'br', 30, 'bchrom', " +
+          "'bstart', 'bend')" ->
+          IntervalOps.windowJoin(spark.table("a"), spark.table("br"),
+            window = 30L,
+            rightCols = ("bchrom", "bstart", "bend")),
         ("SELECT * FROM asof_backward('clicks', 'views', 'uid', 'ruid', " +
           "'ts', 'rts')") ->
           AsofJoin.backward(spark.table("clicks"), spark.table("views"),
