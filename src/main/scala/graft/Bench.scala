@@ -513,7 +513,44 @@ object Bench {
       // can never drift; the pair's ratio is the standing evidence
       // that the sweep cost is input-proportional, not contig-bound
       "b13b_bam_closest_full" -> ((s: SparkSession, _: String) =>
-        closestProfile(s, c, region = None)))
+        closestProfile(s, c, region = None)),
+      // per-feature read aggregation over the REAL corpora (the
+      // bedtools-map shape q83 gates synthetically): every BED feature
+      // in the b13 slice aggregates the mapq of its overlapping BAM
+      // reads — the binned equi-join + one hash aggregation, reduced
+      // to a per-chrom profile. Same indexed-slice inputs as b13 so
+      // the pair prices map vs closest on identical data.
+      "b14_bam_map" -> ((s: SparkSession, _: String) => {
+        import org.apache.spark.sql.functions._
+        val reg = "chr1:60000001-75000000"
+        val reads = s.read.format("bam")
+          .option("regions", reg)
+          .option("maxpartitionbytes", (16L * 1024 * 1024).toString)
+          .load(c.bam)
+          .where(col("rname").isNotNull && col("pos").isNotNull &&
+            col("end").isNotNull)
+          .select(col("rname").as("chrom"),
+            col("pos").cast("long").as("start"),
+            col("end").cast("long").as("end"),
+            col("mapq").cast("long").as("v"))
+        val feats = s.read.format("bed")
+          .option("regions", reg)
+          .load(c.bed)
+          .where(col("chrom").isNotNull && col("start").isNotNull &&
+            col("end").isNotNull)
+          .select(xxhash64(col("chrom"), col("start"), col("end"))
+            .as("fid"), col("chrom"),
+            col("start").cast("long").as("start"),
+            col("end").cast("long").as("end"))
+        graft.operators.IntervalOps.mapOverlaps(feats, reads, "fid", "v")
+          .groupBy(col("chrom"))
+          .agg(count(lit(1)).as("n_feats"),
+            sum(col("n_overlaps")).as("n_pairs"),
+            sum(col("v_sum")).as("sum_mapq"),
+            sum(when(col("n_overlaps") === 0L, 1L).otherwise(0L))
+              .as("n_uncovered"))
+          .orderBy(col("chrom"))
+      }))
   }
 
   /** Shared body of b13/b13b: nearest BED feature for every BAM read

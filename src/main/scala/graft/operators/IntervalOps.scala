@@ -521,9 +521,12 @@ object IntervalOps {
     * range-partitioned streaming sweeps, no per-contig window), the
     * binned equi-join of the two DISJOINT merged sets (each base of
     * intersection appears in exactly one joined pair, so a global sum
-    * of clipped lengths is exact), and three scalar aggregates
-    * combined on the driver — O(1) rows after the aggregation
-    * boundary, no collect of data-scale state. */
+    * of clipped lengths is exact), and three scalar aggregates. Each
+    * merged set feeds BOTH its length aggregate and the join, so both
+    * are persisted for the duration and the statistics computed
+    * EAGERLY (merging a 100-TB input twice is not acceptable; the
+    * same eager-stats contract as the k-means/IVF/BM25 operators and
+    * [[coverage]]'s pass A) — the returned frame is one literal row. */
   def jaccard(a: DataFrame, b: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end",
       binSize: Long = 1000L): DataFrame = {
@@ -538,30 +541,34 @@ object IntervalOps {
         .select(col("__c"), col("start").as("__s"), col("end").as("__e"))
         // isolated point survivors cover no bases (subtract's case)
         .where(col("__s") < col("__e"))
-    val ma = merged(a)
+    val ma = merged(a).persist()
     val mb = merged(b)
       .select(col("__c").as("__c2"), col("__s").as("__bs"),
         col("__e").as("__be"))
-    val inter = IntervalJoin.overlapJoin(ma, mb,
-        leftCols = ("__c", "__s", "__e"),
-        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
-      .agg(coalesce(sum(least(col("__e"), col("__be")) -
-          greatest(col("__s"), col("__bs"))), lit(0L))
-          .as("intersection"),
-        count(lit(1)).as("n_intersections"))
-    val la = ma.agg(coalesce(sum(col("__e") - col("__s")), lit(0L))
-      .as("__la"))
-    val lb = mb.agg(coalesce(sum(col("__be") - col("__bs")), lit(0L))
-      .as("__lb"))
-    // three single-row frames — the in-repo one-row-stats crossJoin
-    inter.crossJoin(la).crossJoin(lb)
-      .select(col("intersection"),
-        (col("__la") + col("__lb") - col("intersection"))
-          .as("union_len"),
-        (col("intersection").cast("double") /
-          nullif(col("__la") + col("__lb") - col("intersection"),
-            lit(0L)).cast("double")).as("jaccard"),
-        col("n_intersections"))
+      .persist()
+    try {
+      val Array(inter, nx) = IntervalJoin.overlapJoin(ma, mb,
+          leftCols = ("__c", "__s", "__e"),
+          rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+        .agg(coalesce(sum(least(col("__e"), col("__be")) -
+            greatest(col("__s"), col("__bs"))), lit(0L)),
+          count(lit(1)))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val la = ma.agg(coalesce(sum(col("__e") - col("__s")), lit(0L)))
+        .collect().head.getLong(0)
+      val lb = mb.agg(coalesce(sum(col("__be") - col("__bs")), lit(0L)))
+        .collect().head.getLong(0)
+      val union = la + lb - inter
+      val jac: java.lang.Double =
+        if (union == 0L) null else inter.toDouble / union
+      val session = a.sparkSession
+      import session.implicits._
+      Seq((inter, union, Option(jac).map(_.doubleValue), nx))
+        .toDF("intersection", "union_len", "jaccard", "n_intersections")
+    } finally {
+      ma.unpersist()
+      mb.unpersist()
+    }
   }
 
   /** Coordinate extension — the bedtools `slop` analogue: every
