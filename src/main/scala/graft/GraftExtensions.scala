@@ -50,6 +50,12 @@ import graft.functions.GenomicFunctions
   *    'be'])` — [[graft.operators.IntervalOps.windowJoin]] (the output
   *    holds both sides' columns, so B's coordinate names must differ
   *    from A's; A-side custom names are Scala API)
+  *  - `SELECT * FROM interval_coverage_by('a', 'b', 'aid')` —
+  *    [[graft.operators.IntervalOps.coverageBy]]
+  *  - `SELECT * FROM interval_cluster('ivs')` —
+  *    [[graft.operators.IntervalOps.cluster]]
+  *  - `SELECT * FROM make_windows('sizes', 1000[, step])` —
+  *    [[graft.operators.IntervalOps.makeWindows]]
   *  - `SELECT * FROM asof_backward('clicks', 'views', 'uid', 'uid',
   *    'ts', 'vts')` / `asof_forward(...)` —
   *    [[graft.operators.AsofJoin.backward]] / [[graft.operators
@@ -265,6 +271,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           "interval_window takes (a_table, b_table, window[, b_chrom, " +
             s"b_start, b_end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_coverage_by"),
+      info("interval_coverage_by",
+        "interval_coverage_by(a_table, b_table, a_id[, chrom, start, " +
+          "end]) - per-A overlap count and union-covered bases " +
+          "(bedtools coverage)"),
+      {
+        case Seq(a, b, aid) =>
+          graft.operators.IntervalOps.coverageBy(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column")).queryExecution.logical
+        case Seq(a, b, aid, c, s, e) =>
+          graft.operators.IntervalOps.coverageBy(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(c, "chrom column"),
+            litStr(s, "start column"), litStr(e, "end column"))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_coverage_by takes (a_table, b_table, a_id[, chrom, " +
+            s"start, end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_cluster"),
+      info("interval_cluster",
+        "interval_cluster(table[, chrom, start, end]) - tag every row " +
+          "with its merged run's span and size (bedtools cluster)"),
+      intervalTvf("interval_cluster")((df, c, s, e) =>
+        graft.operators.IntervalOps.cluster(df, c, s, e))))
+    ext.injectTableFunction((
+      FunctionIdentifier("make_windows"),
+      info("make_windows",
+        "make_windows(sizes_table, window_size[, step]) - tile each " +
+          "declared chromosome into fixed windows (bedtools makewindows)"),
+      {
+        case Seq(t, w) =>
+          graft.operators.IntervalOps.makeWindows(tableOf(t),
+            litLong(w, "window size")).queryExecution.logical
+        case Seq(t, w, st) =>
+          graft.operators.IntervalOps.makeWindows(tableOf(t),
+            litLong(w, "window size"), step = litLong(st, "step"))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "make_windows takes (sizes_table, window_size[, step]), got " +
+            s"${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     def asofTvf(name: String, forward: Boolean)
         : Seq[Expression] => LogicalPlan = {

@@ -816,6 +816,74 @@ object OracleSql {
          |  ON a.chrom = b.chrom AND a.astart - 20000 < b."end"
          |    AND b."start" < a.aend + 20000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q88: bedtools-coverage — count from the raw overlap join; union
+    // covered bases from per-aid islands over the DISTINCT clipped
+    // segments (the q84 dedup rule: ivB is duplicate-heavy, and the
+    // ROWS-framed island windows are tie-unsafe on duplicates)
+    "q88_interval_coverage_by" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB),
+         |cnt AS (SELECT a.aid, count(*) AS n
+         |  FROM a JOIN bv b ON a.chrom = b.chrom
+         |    AND a.astart < b."end" AND b."start" < a.aend
+         |  GROUP BY 1),
+         |seg AS (SELECT DISTINCT a.aid,
+         |    greatest(a.astart, b."start") AS cs,
+         |    least(a.aend, b."end") AS ce
+         |  FROM a JOIN bv b ON a.chrom = b.chrom
+         |    AND a.astart < b."end" AND b."start" < a.aend),
+         |sg AS (SELECT aid, cs, ce,
+         |    CASE WHEN max(ce) OVER w IS NULL OR cs > max(ce) OVER w
+         |         THEN 1 ELSE 0 END AS new_grp
+         |  FROM seg
+         |  WINDOW w AS (PARTITION BY aid ORDER BY cs, ce
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |sh AS (SELECT aid, cs, ce,
+         |    sum(new_grp) OVER (PARTITION BY aid ORDER BY cs, ce
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM sg),
+         |cov AS (SELECT aid, CAST(sum(me - ms) AS BIGINT) AS c
+         |  FROM (SELECT aid, min(cs) AS ms, max(ce) AS me
+         |        FROM sh GROUP BY aid, grp) u
+         |  GROUP BY 1)
+         |SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+         |  CAST(a.aend AS BIGINT) AS "end",
+         |  coalesce(cnt.n, 0) AS n_overlaps,
+         |  CAST(coalesce(cov.c, 0) AS BIGINT) AS covered_bases,
+         |  CAST(a.aend - a.astart AS BIGINT) AS a_len,
+         |  round(coalesce(cov.c, 0) * 1.0 / (a.aend - a.astart), 6)
+         |    AS fraction_r
+         |FROM a LEFT JOIN cnt ON a.aid = cnt.aid
+         |  LEFT JOIN cov ON a.aid = cov.aid
+         |ORDER BY a.aid""".stripMargin,
+    // q89: bedtools-cluster — tie-safe DISTINCT islands, then each
+    // row's run by containment of its start (merged runs never touch, so the
+    // join is exactly one run per row); cluster_n recounts assigned
+    // source rows per run
+    "q89_interval_cluster" ->
+      s"""WITH ivb AS ($ivB),
+         |${mergeCtes("ivb", "c")},
+         |j AS (SELECT b.iv_id, b.chrom, b."start", b."end",
+         |    m.ms, m.me
+         |  FROM ivb b JOIN cm m ON b.chrom = m.chrom
+         |    AND m.ms <= b."start" AND b."start" <= m.me)
+         |SELECT iv_id, chrom, CAST("start" AS BIGINT) AS "start",
+         |  CAST("end" AS BIGINT) AS "end",
+         |  CAST(ms AS BIGINT) AS cluster_start,
+         |  CAST(me AS BIGINT) AS cluster_end,
+         |  count(*) OVER (PARTITION BY chrom, ms) AS cluster_n
+         |FROM j ORDER BY iv_id""".stripMargin,
+    // q90: bedtools-makewindows — generate_series over the same
+    // literal genome declaration the engine tiles
+    "q90_make_windows" ->
+      """WITH sz(chrom, size) AS (SELECT * FROM (VALUES
+        |  ('chr0', 11000000), ('chr1', 11000000), ('chr2', 11000000),
+        |  ('chr3', 11000000), ('chrM', 16571))),
+        |w AS (SELECT chrom, unnest(range(0, size, 500000)) AS ws, size
+        |  FROM sz)
+        |SELECT chrom, CAST(ws AS BIGINT) AS "start",
+        |  CAST(least(ws + 750000, size) AS BIGINT) AS "end"
+        |FROM w ORDER BY chrom, "start"""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

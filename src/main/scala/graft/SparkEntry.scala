@@ -1557,6 +1557,54 @@ object SparkEntry {
       .orderBy(col("aid"))
   }
 
+  /** Per-interval coverage breadth ([[graft.operators.IntervalOps
+    * .coverageBy]] — the bedtools-coverage analogue, added r17): every
+    * customer-derived interval reports how many order-derived
+    * intervals touch it and how many of its bases their UNION covers
+    * (merged-B clipped sum — overlapping B rows never double-count),
+    * plus the covered fraction. The oracle recomputes the union length
+    * per A with DISTINCT clipped-segment islands — the textbook window
+    * formulation, tie-safe by the q84 dedup rule. */
+  private def q88_interval_coverage_by(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.operators.IntervalOps.coverageBy(intervalsC(s, dir),
+        intervalsB(s, dir).drop("iv_id"), "aid")
+      .select(col("aid"), col("chrom"), col("start"), col("end"),
+        col("n_overlaps"), col("covered_bases"), col("a_len"),
+        round(col("fraction"), 6).as("fraction_r"))
+      .orderBy(col("aid"))
+
+  /** Per-row cluster assignment ([[graft.operators.IntervalOps
+    * .cluster]] — the bedtools-cluster analogue, added r17): every
+    * order-derived interval tagged with its merged run's span and
+    * source-row count — one skew-robust merge plus one binned
+    * membership join of each row's start probe, no window over input
+    * rows. The orders derivation is duplicate-heavy (many orders share
+    * a customer), so the gate also pins that duplicates cluster
+    * together and count correctly; the oracle replays membership as a
+    * containment join against tie-safe DISTINCT islands. */
+  private def q89_interval_cluster(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.operators.IntervalOps.cluster(intervalsB(s, dir))
+      .select(col("iv_id"), col("chrom"), col("start"), col("end"),
+        col("cluster_start"), col("cluster_end"), col("cluster_n"))
+      .orderBy(col("iv_id"))
+
+  /** Genome tiling ([[graft.operators.IntervalOps.makeWindows]] — the
+    * bedtools-makewindows analogue, added r17): 750-kbp windows every
+    * 500 kbp (sliding + truncation both exercised; chrM emits a single
+    * truncated window) over the q80 genome declaration. The oracle is
+    * DuckDB's generate_series over the same literal sizes. */
+  private def q90_make_windows(s: SparkSession, dir: String): DataFrame = {
+    val sizes = s.createDataFrame(Seq(
+        ("chr0", 11000000L), ("chr1", 11000000L), ("chr2", 11000000L),
+        ("chr3", 11000000L), ("chrM", 16571L)))
+      .toDF("chrom", "size")
+    graft.operators.IntervalOps.makeWindows(sizes,
+        windowSize = 750000L, step = 500000L)
+      .orderBy(col("chrom"), col("start"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1768,7 +1816,10 @@ object SparkEntry {
     "q84_interval_jaccard" -> (q84_interval_jaccard _),
     "q85_interval_slop" -> (q85_interval_slop _),
     "q86_interval_flank" -> (q86_interval_flank _),
-    "q87_interval_window" -> (q87_interval_window _)) ++
+    "q87_interval_window" -> (q87_interval_window _),
+    "q88_interval_coverage_by" -> (q88_interval_coverage_by _),
+    "q89_interval_cluster" -> (q89_interval_cluster _),
+    "q90_make_windows" -> (q90_make_windows _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

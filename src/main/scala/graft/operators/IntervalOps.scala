@@ -728,6 +728,146 @@ object IntervalOps {
       .drop("__ws", "__we")
   }
 
+  /** Per-A breadth and depth of B coverage — the bedtools `coverage`
+    * analogue: for every A interval, the count of B intervals
+    * overlapping it by ≥1 base, the bases of A covered by the UNION of
+    * those B intervals (overlapping B rows never double-count: B is
+    * merged first, so the clipped segments are disjoint), A's own
+    * length, and the covered fraction (null for zero-length A rows,
+    * which cover no bases; they still appear with zero counts).
+    * Zero-length/inverted B clamps to points and drops; null
+    * chrom/coords and null `aId` drop — the family policy.
+    *
+    * Scale shape: one skew-robust merge of B ([[mergeIntervalsRange]]),
+    * two binned equi-joins ([[IntervalJoin.overlapJoin]] — raw B for
+    * the count, merged B for the covered bases), each reduced by ONE
+    * hash aggregation on the A id, then two equi-joins back to A. No
+    * window, no per-contig stage, no all-pairs. */
+  def coverageBy(a: DataFrame, b: DataFrame, aId: String,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L): DataFrame = {
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__as"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__ae"))
+      .where(col("__aid").isNotNull)
+    val aPos = a2.where(col("__as") < col("__ae"))
+    val b2 = dropNullCoords(b, chrom, start, end)
+      .select(col(chrom).cast("string").as("__c2"),
+        col(start).cast("long").as("__bs"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__be"))
+      .where(col("__bs") < col("__be"))
+    val cnt = IntervalJoin.overlapJoin(aPos, b2,
+        leftCols = ("__c", "__as", "__ae"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+      .groupBy(col("__aid")).agg(count(lit(1)).as("__n"))
+    val mb = mergeIntervalsRange(b2, chrom = "__c2", start = "__bs",
+        end = "__be")
+      .select(col("__c2"), col("start").as("__bs"),
+        col("end").as("__be"))
+    val cov = IntervalJoin.overlapJoin(aPos, mb,
+        leftCols = ("__c", "__as", "__ae"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+      .groupBy(col("__aid"))
+      .agg(sum(least(col("__ae"), col("__be")) -
+        greatest(col("__as"), col("__bs"))).as("__cov"))
+    a2.join(cnt, Seq("__aid"), "left").join(cov, Seq("__aid"), "left")
+      .select(col("__aid").as(aId),
+        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__as").cast(a.schema(start).dataType).as(start),
+        col("__ae").cast(a.schema(end).dataType).as(end),
+        coalesce(col("__n"), lit(0L)).as("n_overlaps"),
+        coalesce(col("__cov"), lit(0L)).as("covered_bases"),
+        (col("__ae") - col("__as")).as("a_len"),
+        when(col("__ae") > col("__as"),
+          coalesce(col("__cov"), lit(0L)).cast("double") /
+            (col("__ae") - col("__as")).cast("double"))
+          .as("fraction"))
+  }
+
+  /** Per-row cluster assignment — the bedtools `cluster` analogue:
+    * every input row is tagged with the disjoint merged run
+    * (overlap-or-book-ended transitive closure, [[mergeIntervals]]'
+    * semantics) it belongs to — `cluster_start`/`cluster_end` are the
+    * run's span (a deterministic cluster key that two engines can
+    * agree on, unlike an ordinal) and `cluster_n` the run's source-row
+    * count. Point/inverted rows cluster like the merge treats them
+    * (points at `start`, including pure book-end touches); null
+    * chrom/coords drop.
+    *
+    * Scale shape: one skew-robust merge ([[mergeIntervalsRange]]),
+    * then ONE binned equi-join of each row's start PROBE ([s, s+1))
+    * against the runs extended to [rs, re+1) — strict overlap there is
+    * exactly `rs <= s <= re`, the membership rule, and merged runs
+    * never touch, so each row joins exactly one run. No window over
+    * input rows, no per-contig stage. */
+  def cluster(df: DataFrame, chrom: String = "chrom",
+      start: String = "start", end: String = "end",
+      binSize: Long = 1000L): DataFrame = {
+    val coordT = df.schema(start).dataType
+    val d2 = dropNullCoords(df, chrom, start, end)
+      .withColumn("__ps", col(start).cast("long"))
+      .withColumn("__pe", col(start).cast("long") + 1L)
+    val runs = mergeIntervalsRange(
+        d2.select(col(chrom).cast("string").as("__rc"),
+          col(start).cast("long").as("__rs"),
+          greatest(col(end).cast("long"), col(start).cast("long"))
+            .as("__re")),
+        chrom = "__rc", start = "__rs", end = "__re")
+      .select(col("__rc"), col("start").as("__rs"),
+        col("end").as("__re"), (col("end") + 1L).as("__rx"),
+        col("n_merged").as("__rn"))
+    IntervalJoin.overlapJoin(d2, runs,
+        leftCols = (chrom, "__ps", "__pe"),
+        rightCols = ("__rc", "__rs", "__rx"), binSize = binSize)
+      .select(df.columns.map(col).toIndexedSeq ++ Seq(
+        col("__rs").cast(coordT).as("cluster_start"),
+        col("__re").cast(coordT).as("cluster_end"),
+        col("__rn").as("cluster_n")): _*)
+  }
+
+  /** Fixed-size genome tiling — the bedtools `makewindows` analogue:
+    * each declared chromosome `[0, size)` tiles into windows of
+    * `windowSize` starting every `step` (default: `windowSize`, the
+    * non-overlapping case), the final windows truncated at `size`.
+    * Null or non-positive sizes drop.
+    *
+    * Scale shape: a whole genome is O(contigs) INPUT rows exploding
+    * into millions of windows, so a naive per-chromosome explode
+    * would both build giant in-memory arrays and leave one task per
+    * contig. Windows generate in two levels instead: coarse chunks of
+    * `chunkWindows` steps first, REPARTITIONED so the fine explode
+    * runs distributed, with per-row arrays bounded by `chunkWindows`.
+    *
+    * @param chromSizes one row per chromosome: `chrom` + long-castable
+    *                   `size` (the [[chromSizes]] helper reads one
+    *                   from any indexed genomic file's own header) */
+  def makeWindows(chromSizes: DataFrame, windowSize: Long,
+      step: Long = 0L, chrom: String = "chrom",
+      chunkWindows: Int = 4096): DataFrame = {
+    val st = if (step > 0L) step else windowSize
+    require(windowSize > 0L, s"windowSize must be positive, got $windowSize")
+    require(chunkWindows > 0, s"chunkWindows must be positive")
+    val chunk = st * chunkWindows
+    val sz = chromSizes
+      .select(col(chrom).cast("string").as("__c"),
+        col("size").cast("long").as("__sz"))
+      .where(col("__c").isNotNull && col("__sz").isNotNull &&
+        col("__sz") > 0L)
+    sz.select(col("__c"), col("__sz"),
+        explode(sequence(lit(0L), col("__sz") - 1L, lit(chunk)))
+          .as("__cs"))
+      .repartition(col("__c"), col("__cs"))
+      .select(col("__c"), col("__sz"),
+        explode(sequence(col("__cs"),
+          least(col("__cs") + chunk - 1L, col("__sz") - 1L), lit(st)))
+          .as("__ws"))
+      .select(col("__c").as(chrom), col("__ws").as("start"),
+        least(col("__ws") + windowSize, col("__sz")).as("end"))
+  }
+
   /** Nearest B interval for every A interval, per chromosome — the
     * bedtools `closest` analogue. Distance is 0 for any overlap or
     * book-ended touch (half-open), else the gap between the facing

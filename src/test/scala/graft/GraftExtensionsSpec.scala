@@ -128,6 +128,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           IntervalOps.windowJoin(spark.table("a"), spark.table("br"),
             window = 30L,
             rightCols = ("bchrom", "bstart", "bend")),
+        "SELECT * FROM interval_coverage_by('a', 'b', 'aid')" ->
+          IntervalOps.coverageBy(spark.table("a"), spark.table("b"),
+            "aid"),
+        "SELECT * FROM interval_cluster('ivs')" ->
+          IntervalOps.cluster(spark.table("ivs")),
+        "SELECT * FROM make_windows('sz', 40, 25)" ->
+          IntervalOps.makeWindows(spark.table("sz"), windowSize = 40L,
+            step = 25L),
         ("SELECT * FROM asof_backward('clicks', 'views', 'uid', 'ruid', " +
           "'ts', 'rts')") ->
           AsofJoin.backward(spark.table("clicks"), spark.table("views"),

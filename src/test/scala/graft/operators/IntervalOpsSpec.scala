@@ -583,6 +583,73 @@ class IntervalOpsSpec extends SparkSuite {
       ("chr1", "c", "left", 870L, 900L)))
   }
 
+  test("coverageBy: union-not-sum covered bases, zero-overlap, points") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 10L, 30L),  // b1+b2 overlap each other: union [12,25)
+      (2L, "chr1", 100L, 110L), // nothing
+      (3L, "chr1", 200L, 200L)) // zero-length A: n=0, fraction null
+      .toDF("aid", "chrom", "start", "end")
+    val b = Seq(
+      ("chr1", 12L, 20L),  // b1
+      ("chr1", 15L, 25L),  // b2 — overlaps b1; bases must not double
+      ("chr1", 28L, 40L))  // b3 — clips to [28,30)
+      .toDF("chrom", "start", "end")
+    val got = IntervalOps.coverageBy(a, b, "aid")
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6),
+        Option(r.get(7)).map(_.asInstanceOf[Double])))
+      .toSeq
+    assert(got == Seq(
+      (1L, 3L, 15L, 20L, Some(0.75)), // [12,25)=13 + [28,30)=2 → 15/20
+      (2L, 0L, 0L, 10L, Some(0.0)),
+      (3L, 0L, 0L, 0L, None)))
+  }
+
+  test("cluster: membership incl. book-end touches, points, counts") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      (1L, "chr1", 10L, 50L),
+      (2L, "chr1", 40L, 80L),   // overlaps 1 → same cluster
+      (3L, "chr1", 80L, 90L),   // book-ends 2 → same cluster
+      (4L, "chr1", 90L, 90L),   // point book-ending 3 → same cluster
+      (5L, "chr1", 95L, 99L),   // alone
+      (6L, "chr2", 10L, 20L))   // other chromosome
+      .toDF("id", "chrom", "start", "end")
+    val got = IntervalOps.cluster(iv)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 10L, 90L, 4L), (2L, 10L, 90L, 4L), (3L, 10L, 90L, 4L),
+      (4L, 10L, 90L, 4L), (5L, 95L, 99L, 1L), (6L, 10L, 20L, 1L)))
+  }
+
+  test("makeWindows: truncation, step, two-level explode, bad sizes") {
+    val s = spark
+    import s.implicits._
+    val sizes = Seq(("chr1", Option(250L)), ("chr2", Option(100L)),
+      ("chrBad", Option(0L)), ("chrNull", Option.empty[Long]))
+      .toDF("chrom", "size")
+    val got = IntervalOps.makeWindows(sizes, windowSize = 100L)
+      .orderBy("chrom", "start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("chr1", 0L, 100L), ("chr1", 100L, 200L), ("chr1", 200L, 250L),
+      ("chr2", 0L, 100L)))
+    // sliding windows (step < windowSize) and a chunk size small
+    // enough that the two-level explode actually splits
+    val slid = IntervalOps.makeWindows(
+        sizes.where($"chrom" === "chr1"), windowSize = 100L,
+        step = 60L, chunkWindows = 2)
+      .orderBy("start").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(slid == Seq((0L, 100L), (60L, 160L), (120L, 220L),
+      (180L, 250L), (240L, 250L)))
+  }
+
   test("windowJoin: strict window boundary, overlap, zero-length B") {
     val s = spark
     import s.implicits._
