@@ -56,6 +56,8 @@ import graft.functions.GenomicFunctions
   *    [[graft.operators.IntervalOps.cluster]]
   *  - `SELECT * FROM make_windows('sizes', 1000[, step])` —
   *    [[graft.operators.IntervalOps.makeWindows]]
+  *  - `SELECT * FROM interval_shift('ivs', -500[, 'sizes'])` —
+  *    [[graft.operators.IntervalOps.shift]]
   *  - `SELECT * FROM asof_backward('clicks', 'views', 'uid', 'uid',
   *    'ts', 'vts')` / `asof_forward(...)` —
   *    [[graft.operators.AsofJoin.backward]] / [[graft.operators
@@ -313,6 +315,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .queryExecution.logical
         case other => throw new IllegalArgumentException(
           "make_windows takes (sizes_table, window_size[, step]), got " +
+            s"${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_shift"),
+      info("interval_shift",
+        "interval_shift(table, amount[, sizes_table]) - move every " +
+          "interval by amount bases, floored at 0 / capped at the " +
+          "declared size (bedtools shift)"),
+      {
+        case Seq(t, n) =>
+          graft.operators.IntervalOps.shift(tableOf(t),
+            litLong(n, "amount")).queryExecution.logical
+        case Seq(t, n, sz) =>
+          graft.operators.IntervalOps.shift(tableOf(t),
+            litLong(n, "amount"), chromSizes = Some(tableOf(sz)))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_shift takes (table, amount[, sizes_table]), got " +
             s"${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     def asofTvf(name: String, forward: Boolean)

@@ -884,6 +884,21 @@ object OracleSql {
         |SELECT chrom, CAST(ws AS BIGINT) AS "start",
         |  CAST(least(ws + 750000, size) AS BIGINT) AS "end"
         |FROM w ORDER BY chrom, "start"""".stripMargin,
+    // q91: bedtools-shift — the same clamp arithmetic in SQL, both
+    // directions (top-cap collapses whole intervals to boundary
+    // points; floor at 0 on the left shift)
+    "q91_interval_shift" ->
+      s"""WITH a AS ($ivC)
+         |SELECT aid, 'right' AS dir, chrom,
+         |  CAST(least(astart + 300000, 10000000) AS BIGINT) AS "start",
+         |  CAST(least(aend + 300000, 10000000) AS BIGINT) AS "end"
+         |FROM a
+         |UNION ALL
+         |SELECT aid, 'left' AS dir, chrom,
+         |  CAST(greatest(astart - 300000, 0) AS BIGINT) AS "start",
+         |  CAST(greatest(aend - 300000, 0) AS BIGINT) AS "end"
+         |FROM a
+         |ORDER BY aid, dir""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

@@ -1605,6 +1605,26 @@ object SparkEntry {
       .orderBy(col("chrom"), col("start"))
   }
 
+  /** Coordinate translation ([[graft.operators.IntervalOps.shift]] —
+    * the bedtools-shift analogue, added r17): every customer-derived
+    * interval moved +300 kbp (top-capped at the 10-Mbp size, whole
+    * intervals collapsing to boundary points) and −300 kbp (floored at
+    * 0), union-tagged by direction. Pure clamp arithmetic on both
+    * engines. */
+  private def q91_interval_shift(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsC(s, dir)
+    val sz = Some(sizes10M(s))
+    graft.operators.IntervalOps.shift(a, 300000L, chromSizes = sz)
+      .withColumn("dir", lit("right"))
+      .unionByName(
+        graft.operators.IntervalOps.shift(a, -300000L, chromSizes = sz)
+          .withColumn("dir", lit("left")))
+      .select(col("aid"), col("dir"), col("chrom"), col("start"),
+        col("end"))
+      .orderBy(col("aid"), col("dir"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1819,7 +1839,8 @@ object SparkEntry {
     "q87_interval_window" -> (q87_interval_window _),
     "q88_interval_coverage_by" -> (q88_interval_coverage_by _),
     "q89_interval_cluster" -> (q89_interval_cluster _),
-    "q90_make_windows" -> (q90_make_windows _)) ++
+    "q90_make_windows" -> (q90_make_windows _),
+    "q91_interval_shift" -> (q91_interval_shift _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

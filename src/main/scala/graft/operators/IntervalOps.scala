@@ -672,6 +672,48 @@ object IntervalOps {
         col("__f.__fe").cast(coordT).as(end)): _*)
   }
 
+  /** Coordinate translation — the bedtools `shift` analogue: every
+    * interval moves `amount` bases (negative = leftward), both
+    * coordinates floored at 0 and capped at the declared chromosome
+    * size when `chromSizes` is given ([[slop]]'s sizes contract). An
+    * interval pushed entirely past a boundary collapses to a
+    * zero-length point AT the boundary (kept — callers who want them
+    * gone filter `start < end`); inverted rows clamp to points before
+    * moving; null chrom/coords drop. INTEGRAL shared coordinate type,
+    * enforced as [[slop]]. All other columns pass through.
+    *
+    * Scale shape: a narrow codegen'd projection, plus [[slop]]'s
+    * broadcast sizes join when clamping. Nothing shuffles. */
+  def shift(df: DataFrame, amount: Long,
+      chromSizes: Option[DataFrame] = None, chrom: String = "chrom",
+      start: String = "start", end: String = "end"): DataFrame = {
+    requireSharedIntegralCoords(df, start, end, "shift")
+    val coordT = df.schema(start).dataType
+    val pe = greatest(col(end).cast("long"), col(start).cast("long"))
+    val ns0 = greatest(col(start).cast("long") + amount, lit(0L))
+    val ne0 = greatest(pe + amount, lit(0L))
+    val moved = chromSizes match {
+      case None =>
+        df.withColumn("__ns", ns0).withColumn("__ne", ne0)
+      case Some(sz) =>
+        val szl = broadcast(sz
+          .select(col(chrom).cast("string").as("__slc"),
+            col("size").cast("long").as("__ssz"))
+          .where(col("__slc").isNotNull && col("__ssz").isNotNull &&
+            col("__ssz") > 0L))
+        df.join(szl, col(chrom).cast("string") === col("__slc"), "left")
+          .withColumn("__ns", least(ns0, coalesce(col("__ssz"), ns0)))
+          .withColumn("__ne", least(ne0, coalesce(col("__ssz"), ne0)))
+          .drop("__slc", "__ssz")
+    }
+    val out = moved
+      .withColumn(start, col("__ns").cast(coordT))
+      .withColumn(end, col("__ne").cast(coordT))
+      .drop("__ns", "__ne")
+    dropNullCoords(out, chrom, start, end).select(
+      df.columns.map(col).toIndexedSeq: _*)
+  }
+
   private def requireSharedIntegralCoords(df: DataFrame, start: String,
       end: String, op: String): Unit = {
     val integral = Set[org.apache.spark.sql.types.DataType](

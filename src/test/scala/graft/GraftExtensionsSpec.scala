@@ -136,6 +136,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM make_windows('sz', 40, 25)" ->
           IntervalOps.makeWindows(spark.table("sz"), windowSize = 40L,
             step = 25L),
+        "SELECT * FROM interval_shift('ivs', -20, 'sz')" ->
+          IntervalOps.shift(spark.table("ivs"), -20L,
+            chromSizes = Some(spark.table("sz"))),
         ("SELECT * FROM asof_backward('clicks', 'views', 'uid', 'ruid', " +
           "'ts', 'rts')") ->
           AsofJoin.backward(spark.table("clicks"), spark.table("views"),

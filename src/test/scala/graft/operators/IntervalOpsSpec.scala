@@ -650,6 +650,25 @@ class IntervalOpsSpec extends SparkSuite {
       (180L, 250L), (240L, 250L)))
   }
 
+  test("shift: both directions, boundary collapse, missing size") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("chr1", 100L, 200L, "a"),
+      ("chr1", 950L, 980L, "b"),   // +300 pushes past size: [1000,1000)
+      ("chr1", 100L, 250L, "c"),   // -300 pushes past 0: [0,0)
+      ("chrU", 950L, 980L, "d"))   // no declared size: uncapped
+      .toDF("chrom", "start", "end", "tag")
+    val sizes = Seq(("chr1", 1000L)).toDF("chrom", "size")
+    def run(n: Long) = IntervalOps.shift(iv, n, chromSizes = Some(sizes))
+      .orderBy("tag").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(run(300L) == Seq((400L, 500L), (1000L, 1000L),
+      (400L, 550L), (1250L, 1280L)))
+    assert(run(-300L) == Seq((0L, 0L), (650L, 680L),
+      (0L, 0L), (650L, 680L)))
+  }
+
   test("windowJoin: strict window boundary, overlap, zero-length B") {
     val s = spark
     import s.implicits._
