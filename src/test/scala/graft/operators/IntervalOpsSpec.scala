@@ -650,6 +650,76 @@ class IntervalOpsSpec extends SparkSuite {
       (180L, 250L), (240L, 250L)))
   }
 
+  test("mapOverlaps/coverageBy: randomized per-base reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    val aR = Seq.tabulate(100) { i =>
+      val st = rnd.nextInt(180).toLong
+      (i.toLong, s"chr${i % 2}", st, st + 1 + rnd.nextInt(25))
+    }
+    // every 7th B row is zero-length (must drop on both paths)
+    val bR = Seq.tabulate(60) { i =>
+      val st = rnd.nextInt(180).toLong
+      val len = if (i % 7 == 0) 0 else 1 + rnd.nextInt(12)
+      (s"chr${i % 2}", st, st + len, (rnd.nextInt(50) - 10).toLong)
+    }
+    val naive = aR.map { case (aid, c, as, ae) =>
+      val ov = bR.filter(b => b._1 == c && b._2 < b._3 &&
+        as < b._3 && b._2 < ae)
+      val vs = ov.map(_._4)
+      val covered = (as until ae).count(p =>
+        ov.exists(b => b._2 <= p && p < b._3)).toLong
+      (aid, ov.size.toLong, vs.sum, covered)
+    }.sortBy(_._1)
+    val aDf = aR.toDF("aid", "chrom", "start", "end")
+    val bDf = bR.toDF("chrom", "start", "end", "v")
+    val gotMap = IntervalOps.mapOverlaps(aDf, bDf, "aid", "v")
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0), r.getLong(4),
+        if (r.isNullAt(5)) 0L else r.getLong(5)))
+      .toSeq
+    assert(gotMap == naive.map(x => (x._1, x._2, x._3)))
+    val gotCov = IntervalOps.coverageBy(aDf, bDf, "aid")
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(gotCov == naive.map(x => (x._1, x._2, x._4)))
+  }
+
+  test("cluster: randomized transitive-closure reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.tabulate(150) { i =>
+      val st = rnd.nextInt(300).toLong
+      // mix of points (length 0) and spans, duplicate-heavy starts
+      (i.toLong, s"chr${i % 2}", st, st + rnd.nextInt(12))
+    }
+    // naive closure: sort per chrom, island with the book-end rule
+    val naive = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val sorted = rs.map(r => (r._1, r._3, math.max(r._4, r._3)))
+        .sortBy(x => (x._2, x._3))
+      var spans = List.empty[(Long, Long, List[Long])]
+      sorted.foreach { case (id, st, en) =>
+        spans match {
+          case (cs, ce, ids) :: tail if st <= ce =>
+            spans = (cs, math.max(ce, en), id :: ids) :: tail
+          case _ => spans = (st, en, List(id)) :: spans
+        }
+      }
+      spans.flatMap { case (cs, ce, ids) =>
+        ids.map(id => (id, cs, ce, ids.size.toLong))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = IntervalOps.cluster(
+        rows.toDF("id", "chrom", "start", "end"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got == naive)
+  }
+
   test("shift: both directions, boundary collapse, missing size") {
     val s = spark
     import s.implicits._
