@@ -322,9 +322,8 @@ object IntervalOps {
       start: String = "start", end: String = "end",
       partitions: Int = 0,
       chromSizes: Option[DataFrame] = None): DataFrame = {
-    val base = coverage(df, chrom, start, end, partitions)
-      .where(col("depth") === 0L)
-      .drop("depth")
+    val cov = coverage(df, chrom, start, end, partitions)
+    val base = cov.where(col("depth") === 0L).drop("depth")
     chromSizes match {
       case None => base
       case Some(sz) =>
@@ -335,11 +334,18 @@ object IntervalOps {
             col("size").cast("long").as("__sz"))
           .where(col("__c").isNotNull && col("__sz").isNotNull &&
             col("__sz") > 0L))
-        val spans = dropNullCoords(df, chrom, start, end)
+        // boundary spans from coverage's OWN segments (per chromosome,
+        // [first breakpoint, last breakpoint] IS [first start, last
+        // end] of the NET-covered span), not a second scan of the raw
+        // input — at scale the input is decoded once, full stop. Side
+        // contract: a chromosome whose rows are ALL degenerate points
+        // has no segments, counts as uncovered, and emits its whole
+        // [0, size) gap — the canonical maximal-gap form (the raw-scan
+        // formulation split it at the point, two abutting rows).
+        val spans = cov
           .groupBy(col(chrom).cast("string").as("__c"))
           .agg(min(col(start).cast("long")).as("__first"),
-            max(greatest(col(end).cast("long"),
-              col(start).cast("long"))).as("__last"))
+            max(col(end).cast("long")).as("__last"))
         val joined = spans.join(szl, Seq("__c"))
         val head = joined.where(col("__first") > 0L)
           .select(col("__c"), lit(0L).as("__s"),

@@ -249,6 +249,18 @@ class IntervalOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq
     assert(bare == Seq(("chr1", 20L, 30L)))
+    // a chromosome whose rows are ALL degenerate points has no NET
+    // coverage: it counts as uncovered and emits its whole declared
+    // gap in the canonical maximal form (one row, not split at the
+    // point) — the boundary spans derive from coverage's own segments,
+    // not a second raw-input scan
+    val pts = Seq(("chrP", 5L, 5L), ("chrP", 9L, 3L))
+      .toDF("chrom", "start", "end")
+    val gotP = IntervalOps.complement(pts,
+        chromSizes = Some(Seq(("chrP", 20L)).toDF("chrom", "size")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(gotP == Seq(("chrP", 0L, 20L)))
   }
 
   test("complement composes with a real file's own chrom-sizes metadata") {
