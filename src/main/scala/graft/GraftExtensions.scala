@@ -58,6 +58,9 @@ import graft.functions.GenomicFunctions
   *    [[graft.operators.IntervalOps.makeWindows]]
   *  - `SELECT * FROM interval_shift('ivs', -500[, 'sizes'])` —
   *    [[graft.operators.IntervalOps.shift]]
+  *  - `SELECT * FROM interval_multiinter('u'[, 'set'])` —
+  *    [[graft.operators.IntervalOps.multiinter]] (one frame with a
+  *    set-label column; the separate-frames form is Scala API)
   *  - `SELECT * FROM asof_backward('clicks', 'views', 'uid', 'uid',
   *    'ts', 'vts')` / `asof_forward(...)` —
   *    [[graft.operators.AsofJoin.backward]] / [[graft.operators
@@ -333,6 +336,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .queryExecution.logical
         case other => throw new IllegalArgumentException(
           "interval_shift takes (table, amount[, sizes_table]), got " +
+            s"${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_multiinter"),
+      info("interval_multiinter",
+        "interval_multiinter(table[, set_col]) - atomic segments of " +
+          "the union of labeled interval sets with per-segment " +
+          "membership (bedtools multiinter)"),
+      {
+        case Seq(t) =>
+          graft.operators.IntervalOps.multiinter(tableOf(t))
+            .queryExecution.logical
+        case Seq(t, sc) =>
+          graft.operators.IntervalOps.multiinter(tableOf(t),
+            setCol = litStr(sc, "set column")).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_multiinter takes (table[, set_col]), got " +
             s"${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     def asofTvf(name: String, forward: Boolean)

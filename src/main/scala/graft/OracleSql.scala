@@ -899,6 +899,49 @@ object OracleSql {
          |  CAST(greatest(aend - 300000, 0) AS BIGINT) AS "end"
          |FROM a
          |ORDER BY aid, dir""".stripMargin,
+    // q92: bedtools-multiinter — the per-set depth grid: union
+    // breakpoints x sets (zero-filled), textbook per-(chrom, set)
+    // cumulative windows, membership per segment, rolled up per
+    // (chrom, membership)
+    "q92_multiinter" ->
+      s"""WITH iva AS ($ivA),
+         |ivb AS ($ivB),
+         |a3 AS ($ivC),
+         |u AS (SELECT 'li' AS s, chrom, "start", "end" FROM iva
+         |  UNION ALL SELECT 'ord', chrom, "start", "end" FROM ivb
+         |  UNION ALL SELECT 'cust', chrom, astart, aend FROM a3),
+         |ev AS (SELECT s, chrom, "start" AS pos, 1 AS d FROM u
+         |  UNION ALL
+         |  SELECT s, chrom, greatest("end", "start"), -1 FROM u),
+         |net AS (SELECT chrom, pos, s, CAST(sum(d) AS BIGINT) AS d
+         |  FROM ev GROUP BY 1, 2, 3 HAVING sum(d) <> 0),
+         |grid AS (SELECT DISTINCT chrom, pos FROM net),
+         |setsl AS (SELECT DISTINCT s FROM net),
+         |filled AS (SELECT g.chrom, g.pos, sl.s, coalesce(n.d, 0) AS d
+         |  FROM grid g CROSS JOIN setsl sl
+         |  LEFT JOIN net n ON n.chrom = g.chrom AND n.pos = g.pos
+         |    AND n.s = sl.s),
+         |dep AS (SELECT chrom, pos, s,
+         |    sum(d) OVER (PARTITION BY chrom, s ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS depth
+         |  FROM filled),
+         |mem AS (SELECT chrom, pos,
+         |    count(*) FILTER (WHERE depth > 0) AS nsets,
+         |    string_agg(s, ',' ORDER BY s) FILTER (WHERE depth > 0)
+         |      AS sets
+         |  FROM dep GROUP BY 1, 2),
+         |seg AS (SELECT chrom, pos AS seg_start,
+         |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos)
+         |      AS seg_end,
+         |    nsets, sets
+         |  FROM mem)
+         |SELECT chrom, sets, count(*) AS n_segs,
+         |  CAST(sum(seg_end - seg_start) AS BIGINT) AS bases,
+         |  CAST(sum(seg_start) AS BIGINT) AS sum_start,
+         |  CAST(max(nsets) AS BIGINT) AS n_sets
+         |FROM seg WHERE seg_end IS NOT NULL AND nsets > 0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

@@ -1625,6 +1625,29 @@ object SparkEntry {
       .orderBy(col("aid"), col("dir"))
   }
 
+  /** N-set breakpoint partition ([[graft.operators.IntervalOps
+    * .multiinter]] — the bedtools-multiinter analogue, added r17): the
+    * customer/lineitem/orders-derived sets partitioned into atomic
+    * segments labeled with WHICH sets cover them, rolled up per
+    * (chrom, membership) with segment counts, bases, and the
+    * sum-of-starts placement witness (one breakpoint off anywhere
+    * fails the gate). The oracle replays the per-set depth grid with
+    * textbook per-(chrom, set) windows — the formulation whose
+    * one-task-per-contig skew the generalized two-pass sweep
+    * replaces. */
+  private def q92_multiinter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IntervalOps.multiinterOf(Seq(
+        "cust" -> intervalsC(s, dir)
+          .select(col("chrom"), col("start"), col("end")),
+        "li" -> intervalsA(s, dir).drop("iv_id"),
+        "ord" -> intervalsB(s, dir).drop("iv_id")))
+      .groupBy(col("chrom"), col("sets"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("end") - col("start")).as("bases"),
+        sum(col("start")).as("sum_start"),
+        max(col("n_sets")).as("n_sets"))
+      .orderBy(col("chrom"), col("sets"))
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1840,7 +1863,8 @@ object SparkEntry {
     "q88_interval_coverage_by" -> (q88_interval_coverage_by _),
     "q89_interval_cluster" -> (q89_interval_cluster _),
     "q90_make_windows" -> (q90_make_windows _),
-    "q91_interval_shift" -> (q91_interval_shift _)) ++
+    "q91_interval_shift" -> (q91_interval_shift _),
+    "q92_multiinter" -> (q92_multiinter _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -289,6 +289,156 @@ object IntervalOps {
         col("depth"))
   }
 
+  /** N-set breakpoint partition — the bedtools `multiinter` analogue:
+    * the atomic segments between consecutive NET breakpoints of the
+    * UNION of several interval sets, each labeled with how many and
+    * WHICH sets cover it (`n_sets`, `sets` — the sorted
+    * comma-joined labels). Segments no set covers are not emitted; a
+    * net breakpoint is a position where at least one set's depth
+    * changes, so adjacent segments can share a membership when only a
+    * depth changed (nested same-set intervals) — the atomic, not the
+    * coalesced, form, stated contract. Inverted rows clamp to points
+    * and vanish; null chrom/coords/labels drop; INTEGRAL shared
+    * coordinate type as [[coverage]].
+    *
+    * Input is ONE frame with a set-label column — the union-with-label
+    * form a DataFrame pipeline naturally has; [[multiinterOf]] wraps
+    * separate frames.
+    *
+    * Scale shape: [[coverage]]'s two-pass range-partitioned sweep,
+    * generalized from a scalar depth to a per-set depth vector. One
+    * hash shuffle nets the 2n events per (chrom, pos, set) with
+    * map-side combine, one range shuffle orders the breakpoints; pass
+    * A collects per-partition per-(chrom, set) delta totals — driver
+    * state O(partitions × contigs × sets), sets being small by
+    * construction — and pass B streams each partition once, seeded.
+    * No per-chromosome window anywhere. */
+  def multiinter(df: DataFrame, setCol: String = "set",
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end", partitions: Int = 0): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    requireSharedIntegralCoords(df, start, end, "multiinter")
+    val n = if (partitions > 0) partitions
+      else session.sessionState.conf.numShufflePartitions
+    // 2n events -> net per-(chrom, pos, set) deltas -> one row per
+    // breakpoint carrying the per-set delta vector (all-zero rows
+    // dropped: they separate equal segments only)
+    val bp = dropNullCoords(df, chrom, start, end)
+      .where(col(setCol).isNotNull)
+      .select(col(chrom).cast("string").as("__c"),
+        col(setCol).cast("string").as("__set"),
+        col(start).cast("long").as("__s"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__e"))
+      .select(col("__c"), col("__set"), explode(array(
+        struct(col("__s").as("pos"), lit(1L).as("d")),
+        struct(col("__e").as("pos"), lit(-1L).as("d")))).as("__ev"))
+      .groupBy(col("__c"), col("__ev.pos").as("__p"), col("__set"))
+      .agg(sum(col("__ev.d")).as("__d"))
+      .where(col("__d") =!= 0L)
+      .groupBy(col("__c"), col("__p"))
+      .agg(map_from_entries(collect_list(struct(col("__set"),
+        col("__d")))).as("__dm"))
+      .as[(String, Long, Map[String, Long])]
+    val rdd = bp.repartitionByRange(n, col("__c"), col("__p"))
+      .sortWithinPartitions("__c", "__p")
+      .rdd
+    // pass A: per-partition first breakpoint + per-(chrom, set) sums
+    val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var any = false
+      var firstC: String = null
+      var firstP = 0L
+      val sums =
+        scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+      it.foreach { case (c, p, dm) =>
+        if (!any) { any = true; firstC = c; firstP = p }
+        dm.foreach { case (s, d) =>
+          sums.update((c, s), sums.getOrElse((c, s), 0L) + d)
+        }
+      }
+      Iterator.single((pid, any, firstC, firstP, sums.toSeq))
+    }.collect().sortBy(_._1)
+    // entering per-set depth per (partition, chrom)
+    val offs = Array.fill(summaries.length)(
+      Map.empty[(String, String), Long])
+    val running = scala.collection.mutable.Map[(String, String), Long]()
+    summaries.foreach { case (pid, _, _, _, sums) =>
+      offs(pid) = running.toMap
+      sums.foreach { case (k, v) =>
+        running.update(k, running.getOrElse(k, 0L) + v)
+      }
+    }
+    val terms = Array.fill(summaries.length)(null: (String, Long))
+    var nextFirst: (String, Long) = null
+    summaries.reverseIterator.foreach { case (pid, any, fc, fp, _) =>
+      terms(pid) = nextFirst
+      if (any) nextFirst = (fc, fp)
+    }
+    val bcOffs = session.sparkContext.broadcast(offs)
+    val bcTerms = session.sparkContext.broadcast(terms)
+    // pass B: one streaming sweep per sorted partition, per-set depths
+    val segs = rdd.mapPartitionsWithIndex { (pid, it0) =>
+      val it = it0.buffered
+      val off = bcOffs.value(pid)
+      val term = bcTerms.value(pid)
+      new Iterator[(String, Long, Long, Long, String)] {
+        private var curC: String = null
+        private val depth = scala.collection.mutable.Map[String, Long]()
+        private var out: (String, Long, Long, Long, String) = null
+        private def advance(): Unit = {
+          while (out == null && it.hasNext) {
+            val (c, p, dm) = it.next()
+            if (c != curC) {
+              curC = c
+              depth.clear()
+              off.foreach { case ((oc, s), d) =>
+                if (oc == c && d != 0L) depth.update(s, d)
+              }
+            }
+            dm.foreach { case (s, d) =>
+              val nd = depth.getOrElse(s, 0L) + d
+              if (nd == 0L) depth.remove(s) else depth.update(s, nd)
+            }
+            val segEnd: Long =
+              if (it.hasNext) { if (it.head._1 == c) it.head._2 else -1L }
+              else if (term != null && term._1 == c) term._2
+              else -1L
+            if (segEnd >= 0L && depth.nonEmpty) {
+              val names = depth.keysIterator.toArray.sorted
+              out = (c, p, segEnd, names.length.toLong,
+                names.mkString(","))
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); out != null }
+        def next(): (String, Long, Long, Long, String) = {
+          advance(); val r = out; out = null; r
+        }
+      }
+    }
+    session.createDataset(segs)
+      .toDF("__c", "__s", "__e", "n_sets", "sets")
+      .select(col("__c").cast(df.schema(chrom).dataType).as(chrom),
+        col("__s").cast(df.schema(start).dataType).as("start"),
+        col("__e").cast(df.schema(end).dataType).as("end"),
+        col("n_sets"), col("sets"))
+  }
+
+  /** [[multiinter]] over separate frames: unions them under literal
+    * labels (each frame needs only the three coordinate columns). */
+  def multiinterOf(sets: Seq[(String, DataFrame)],
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end", partitions: Int = 0): DataFrame = {
+    require(sets.nonEmpty, "multiinterOf needs at least one set")
+    val tagged = sets.map { case (name, f) =>
+      f.select(col(chrom), col(start), col(end))
+        .withColumn("__setname", lit(name))
+    }.reduce(_.unionByName(_))
+    multiinter(tagged, setCol = "__setname", chrom = chrom,
+      start = start, end = end, partitions = partitions)
+  }
+
   /** Uncovered gaps of an interval set — the bedtools `complement`
     * analogue. Without `chromSizes` the result is restricted to the
     * data's covered span (the unbounded span before each chromosome's

@@ -85,6 +85,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .createOrReplaceTempView("br")
       Seq(("chr1", 100L), ("chr2", 150L))
         .toDF("chrom", "size").createOrReplaceTempView("sz")
+      Seq(("x", "chr1", 10L, 50L), ("y", "chr1", 40L, 80L))
+        .toDF("set", "chrom", "start", "end")
+        .createOrReplaceTempView("lab")
       Seq((1, "2024-01-02 00:00:00", "e1"))
         .toDF("uid", "ts", "eid")
         .withColumn("ts", org.apache.spark.sql.functions.col("ts")
@@ -139,6 +142,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM interval_shift('ivs', -20, 'sz')" ->
           IntervalOps.shift(spark.table("ivs"), -20L,
             chromSizes = Some(spark.table("sz"))),
+        "SELECT * FROM interval_multiinter('lab', 'set')" ->
+          IntervalOps.multiinter(spark.table("lab"), setCol = "set"),
         ("SELECT * FROM asof_backward('clicks', 'views', 'uid', 'ruid', " +
           "'ts', 'rts')") ->
           AsofJoin.backward(spark.table("clicks"), spark.table("views"),

@@ -732,6 +732,58 @@ class IntervalOpsSpec extends SparkSuite {
     assert(got == naive)
   }
 
+  test("multiinter: memberships, nested same-set atomics, null labels") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "chr1", 10L, 30L),
+      ("a", "chr1", 15L, 20L),  // nested same-set: atomic split, same membership
+      ("b", "chr1", 20L, 40L),
+      ("c", "chr1", 50L, 60L),
+      (null.asInstanceOf[String], "chr1", 0L, 100L), // null label drops
+      ("a", "chr2", 5L, 5L))    // point: vanishes
+      .toDF("set", "chrom", "start", "end")
+    val got = IntervalOps.multiinter(df)
+      .orderBy("chrom", "start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(got == Seq(
+      ("chr1", 10L, 15L, 1L, "a"),
+      ("chr1", 15L, 20L, 1L, "a"),   // nested depth change: atomic form
+      ("chr1", 20L, 30L, 2L, "a,b"),
+      ("chr1", 30L, 40L, 1L, "b"),
+      ("chr1", 50L, 60L, 1L, "c")))
+  }
+
+  test("multiinter: randomized consistency with per-set coverage") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(71)
+    val rows = Seq.tabulate(300) { i =>
+      val st = rnd.nextInt(400).toLong
+      (s"s${i % 3}", s"chr${i % 2}", st, st + 1 + rnd.nextInt(40))
+    }
+    val df = rows.toDF("set", "chrom", "start", "end")
+    val got = IntervalOps.multiinter(df, partitions = 7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4)))
+    // reference: per-base membership from the raw rows
+    got.foreach { case (c, st, en, sets) =>
+      val want = rows.filter(r => r._2 == c)
+      (st until en).foreach { p =>
+        val cover = want.filter(r => r._3 <= p && p < r._4)
+          .map(_._1).distinct.sorted.mkString(",")
+        assert(cover == sets, s"at $c:$p expected [$cover] got [$sets]")
+      }
+    }
+    // completeness: every covered base appears in exactly one segment
+    val coveredBases = rows.flatMap(r => (r._3 until r._4)
+      .map(p => (r._2, p))).distinct.size
+    assert(got.map(x => x._3 - x._2).sum == coveredBases)
+  }
+
   test("shift: both directions, boundary collapse, missing size") {
     val s = spark
     import s.implicits._
