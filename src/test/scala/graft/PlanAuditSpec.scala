@@ -364,6 +364,66 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("slop/flank/shift are narrow: no Exchange in any plan") {
+    val s = spark
+    import s.implicits._
+    val iv = (1L to 500L).map(i => (s"chr${i % 4}", i * 7L, i * 7L + 30L))
+      .toDF("chrom", "start", "end")
+    val sizes = (0 to 3).map(i => (s"chr$i", 5000L)).toDF("chrom", "size")
+    import graft.operators.IntervalOps
+    Seq(
+      IntervalOps.slop(iv, both = 10L, chromSizes = Some(sizes)),
+      IntervalOps.flank(iv, left = 5L, right = 5L,
+        chromSizes = Some(sizes)),
+      IntervalOps.shift(iv, -25L, chromSizes = Some(sizes)))
+      .foreach { out =>
+        val plan = executedString(out)
+        // the sizes lookup must ride a BroadcastExchange, never a
+        // shuffle: these are per-row projections at 100 TB
+        assert(!plan.contains("ShuffleExchange") &&
+          !plan.contains("Exchange hashpartitioning") &&
+          !plan.contains("Exchange rangepartitioning"), plan)
+      }
+  }
+
+  test("mapOverlaps aggregates per A id with no window or cartesian") {
+    val s = spark
+    import s.implicits._
+    val a = (1L to 300L).map(i => (i, s"chr${i % 3}", i * 11L, i * 11L + 40L))
+      .toDF("aid", "chrom", "start", "end")
+    val b = (1L to 400L).map(i => (s"chr${i % 3}", i * 9L, i * 9L + 25L, i))
+      .toDF("chrom", "start", "end", "v")
+    val out = graft.operators.IntervalOps.mapOverlaps(a, b, "aid", "v")
+    val plan = executedString(out)
+    // a Window here would mean per-contig serialization crept in; a
+    // CartesianProduct would mean the binned join degenerated
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("multiinter never routes a contig through one window task") {
+    val s = spark
+    import s.implicits._
+    // single-contig load: the per-chromosome window formulation would
+    // put EVERYTHING in one task; the two-pass sweep range-partitions
+    val df = (1L to 2000L).map(i =>
+      (s"s${i % 3}", "chrOnly", i * 3L, i * 3L + 50L))
+      .toDF("set", "chrom", "start", "end")
+    val out = graft.operators.IntervalOps.multiinter(df, partitions = 8)
+    val plan = executedString(out)
+    assert(!plan.contains("Window"), plan)
+    // the range shuffle lives in the RDD lineage (the sweep is a
+    // mapPartitions), so pin the OBSERVABLE property: the single
+    // contig's segments occupy most of the requested partitions
+    // instead of one window task
+    val nonEmpty = out.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .collect().sum
+    assert(nonEmpty >= 4, s"segments funneled into $nonEmpty partitions")
+    assert(out.count() > 0)
+  }
+
   test("decontamination joins stay hashed-gram equi-joins") {
     val s = spark
     import s.implicits._
