@@ -61,6 +61,8 @@ import graft.functions.GenomicFunctions
   *  - `SELECT * FROM interval_multiinter('u'[, 'set'])` —
   *    [[graft.operators.IntervalOps.multiinter]] (one frame with a
   *    set-label column; the separate-frames form is Scala API)
+  *  - `SELECT * FROM interval_reldist('a', 'b', 'aid')` —
+  *    [[graft.operators.IntervalOps.reldist]]
   *  - `SELECT * FROM asof_backward('clicks', 'views', 'uid', 'uid',
   *    'ts', 'vts')` / `asof_forward(...)` —
   *    [[graft.operators.AsofJoin.backward]] / [[graft.operators
@@ -354,6 +356,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           "interval_multiinter takes (table[, set_col]), got " +
             s"${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_reldist"),
+      info("interval_reldist",
+        "interval_reldist(a_table, b_table, a_id[, chrom, start, end])" +
+          " - per-A relative distance between flanking B midpoints " +
+          "(bedtools reldist core)"),
+      {
+        case Seq(a, b, aid) =>
+          graft.operators.IntervalOps.reldist(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column")).queryExecution.logical
+        case Seq(a, b, aid, c, s, e) =>
+          graft.operators.IntervalOps.reldist(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(c, "chrom column"),
+            litStr(s, "start column"), litStr(e, "end column"))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_reldist takes (a_table, b_table, a_id[, chrom, " +
+            s"start, end]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     def asofTvf(name: String, forward: Boolean)
         : Seq[Expression] => LogicalPlan = {

@@ -942,6 +942,39 @@ object OracleSql {
          |  CAST(max(nsets) AS BIGINT) AS n_sets
          |FROM seg WHERE seg_end IS NOT NULL AND nsets > 0
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q93: bedtools-reldist — union-timeline windows, one per
+    // direction, each ordering ties so a COINCIDING B midpoint is an
+    // inclusive flanker (B before A ascending for prev; A before B
+    // ascending for next, so the following-frame picks it up)
+    "q93_reldist" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB),
+         |am AS (SELECT aid, chrom, (astart + aend) // 2 AS pos FROM a),
+         |bm AS (SELECT chrom, ("start" + "end") // 2 AS pos FROM bv),
+         |tl AS (SELECT chrom, pos, 1 AS isa,
+         |    CAST(NULL AS BIGINT) AS bpos, aid FROM am
+         |  UNION ALL
+         |  SELECT chrom, pos, 0, pos, NULL FROM bm),
+         |fl AS (SELECT chrom, pos, isa, aid,
+         |    max(bpos) OVER wprev AS prev,
+         |    min(bpos) OVER wnext AS next
+         |  FROM tl
+         |  WINDOW wprev AS (PARTITION BY chrom ORDER BY pos, isa
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wnext AS (PARTITION BY chrom ORDER BY pos, isa DESC
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |d AS (SELECT aid, pos, prev, next,
+         |    CASE WHEN prev IS NULL OR next IS NULL THEN NULL
+         |         WHEN next = prev THEN 0.0
+         |         ELSE least(pos - prev, next - pos) * 1.0
+         |           / (next - prev) END AS rd
+         |  FROM fl WHERE isa = 1)
+         |SELECT CAST(floor(rd * 100) AS BIGINT) AS bin,
+         |  count(*) AS n_a,
+         |  CAST(sum(next - prev) AS BIGINT) AS sum_span,
+         |  CAST(sum(pos) AS BIGINT) AS sum_amid
+         |FROM d WHERE rd IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

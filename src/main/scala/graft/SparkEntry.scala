@@ -1648,6 +1648,25 @@ object SparkEntry {
         max(col("n_sets")).as("n_sets"))
       .orderBy(col("chrom"), col("sets"))
 
+  /** Relative-distance statistic ([[graft.operators.IntervalOps
+    * .reldist]] — the bedtools-reldist analogue, added r17): every
+    * customer-derived midpoint against its flanking order-derived
+    * midpoints via two RangeFill timeline sweeps, aggregated into the
+    * bedtools 0.01-bin histogram with span and midpoint-sum witnesses
+    * (a one-base shift in any flank moves a witness). The oracle
+    * replays the sweeps as textbook per-chromosome union-timeline
+    * windows with the same inclusive-coincidence tie rule on both
+    * sides. */
+  private def q93_reldist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IntervalOps.reldist(intervalsC(s, dir),
+        intervalsB(s, dir).drop("iv_id"), "aid")
+      .where(col("reldist").isNotNull)
+      .groupBy(floor(col("reldist") * 100).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_a"),
+        sum(col("next_mid") - col("prev_mid")).as("sum_span"),
+        sum(col("a_mid")).as("sum_amid"))
+      .orderBy(col("bin"))
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1864,7 +1883,8 @@ object SparkEntry {
     "q89_interval_cluster" -> (q89_interval_cluster _),
     "q90_make_windows" -> (q90_make_windows _),
     "q91_interval_shift" -> (q91_interval_shift _),
-    "q92_multiinter" -> (q92_multiinter _)) ++
+    "q92_multiinter" -> (q92_multiinter _),
+    "q93_reldist" -> (q93_reldist _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

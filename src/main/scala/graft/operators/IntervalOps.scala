@@ -425,6 +425,74 @@ object IntervalOps {
         col("n_sets"), col("sets"))
   }
 
+  /** Relative-distance statistic — the bedtools `reldist` analogue's
+    * per-A core: every A interval's midpoint against its flanking B
+    * midpoints on the same chromosome, `reldist = min(a − prev,
+    * next − a) / (next − prev)` ∈ [0, 0.5] (0 when a B midpoint
+    * coincides, per the 0/0 convention). A rows before the first or
+    * after the last B midpoint of their chromosome emit null reldist
+    * (bedtools drops them from its histogram; keeping the rows lets
+    * the caller count them). Midpoints are floor((start + end) / 2)
+    * on clamped coordinates; null coords/ids drop. The caller
+    * aggregates the histogram (`groupBy(floor(reldist * 100))`) —
+    * that composition IS the bedtools output.
+    *
+    * Scale shape: two [[RangeFill]] sweeps over the (chrom, midpoint)
+    * union timeline — the range-partitioned two-pass fill, so a
+    * single dense contig spreads across all partitions (exactly
+    * [[closest]]'s machinery, carrying one long instead of a struct)
+    * — then one equi-join on the A id. Never all-pairs.
+    *
+    * @param aId unique id column in `a` (joins the two sweeps) */
+  def reldist(a: DataFrame, b: DataFrame, aId: String,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end", partitions: Int = 0): DataFrame = {
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+        ((col(start).cast("long") +
+          greatest(col(end).cast("long"), col(start).cast("long")))
+          / 2).cast("long").as("__am"))
+      .where(col("__aid").isNotNull)
+    val b2 = dropNullCoords(b, chrom, start, end)
+      .select(col(chrom).cast("string").as("__c"),
+        ((col(start).cast("long") +
+          greatest(col(end).cast("long"), col(start).cast("long")))
+          / 2).cast("long").as("__bm"))
+    def sweep(forwardDir: Boolean, outName: String): DataFrame = {
+      val bl = b2.select(col("__c"), col("__bm").as("__pos"),
+        lit(0).as("__isA"), col("__bm").as("__fill"))
+        .withColumn("__aid",
+          lit(null).cast(a2.schema("__aid").dataType))
+      val al = a2.select(col("__c"), col("__am").as("__pos"),
+        lit(1).as("__isA"), lit(null).cast("long").as("__fill"),
+        col("__aid"))
+      // B sorts before A at equal positions in BOTH directions, so a
+      // coinciding B midpoint is an INCLUSIVE flanker on each side
+      val ord: Seq[Column] =
+        (if (forwardDir) col("__pos").desc else col("__pos").asc) +:
+          Seq(col("__isA").asc)
+      RangeFill.fill(bl.unionByName(al), "__c", "__fill", ord,
+          partitions)
+        .where(col("__isA") === 1)
+        .select(col("__aid"), col("__fill").as(outName))
+    }
+    val prev = sweep(forwardDir = false, "__prev")
+    val next = sweep(forwardDir = true, "__next")
+    val span = col("__next") - col("__prev")
+    a2.join(prev, Seq("__aid"), "left")
+      .join(next, Seq("__aid"), "left")
+      .select(col("__aid").as(aId),
+        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__am").as("a_mid"),
+        col("__prev").as("prev_mid"), col("__next").as("next_mid"),
+        when(col("__prev").isNotNull && col("__next").isNotNull,
+          when(span === 0L, lit(0.0)).otherwise(
+            least(col("__am") - col("__prev"),
+              col("__next") - col("__am")).cast("double") /
+              span.cast("double")))
+          .as("reldist"))
+  }
+
   /** [[multiinter]] over separate frames: unions them under literal
     * labels (each frame needs only the three coordinate columns). */
   def multiinterOf(sets: Seq[(String, DataFrame)],

@@ -144,6 +144,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
             chromSizes = Some(spark.table("sz"))),
         "SELECT * FROM interval_multiinter('lab', 'set')" ->
           IntervalOps.multiinter(spark.table("lab"), setCol = "set"),
+        "SELECT * FROM interval_reldist('a', 'b', 'aid')" ->
+          IntervalOps.reldist(spark.table("a"), spark.table("b"),
+            "aid"),
         ("SELECT * FROM asof_backward('clicks', 'views', 'uid', 'ruid', " +
           "'ts', 'rts')") ->
           AsofJoin.backward(spark.table("clicks"), spark.table("views"),

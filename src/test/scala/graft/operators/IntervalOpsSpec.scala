@@ -784,6 +784,29 @@ class IntervalOpsSpec extends SparkSuite {
     assert(got.map(x => x._3 - x._2).sum == coveredBases)
   }
 
+  test("reldist: flanks, coincidence, edges, equidistance") {
+    val s = spark
+    import s.implicits._
+    // B midpoints on chr1: 10, 50, 100
+    val b = Seq(("chr1", 5L, 15L), ("chr1", 45L, 55L),
+      ("chr1", 95L, 105L)).toDF("chrom", "start", "end")
+    val a = Seq(
+      (1L, "chr1", 20L, 20L),  // mid 20: prev 10, next 50 → 10/40 = 0.25
+      (2L, "chr1", 50L, 50L),  // coincides with B mid 50 → 0.0
+      (3L, "chr1", 30L, 30L),  // equidistant 10/50 → 20/40 = 0.5
+      (4L, "chr1", 2L, 2L),    // before first B mid → null
+      (5L, "chr1", 200L, 200L),// after last B mid → null
+      (6L, "chr2", 10L, 10L))  // no B on chr2 → null
+      .toDF("aid", "chrom", "start", "end")
+    val got = IntervalOps.reldist(a, b, "aid")
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toSeq
+    assert(got == Seq((1L, Some(0.25)), (2L, Some(0.0)),
+      (3L, Some(0.5)), (4L, None), (5L, None), (6L, None)))
+  }
+
   test("shift: both directions, boundary collapse, missing size") {
     val s = spark
     import s.implicits._
