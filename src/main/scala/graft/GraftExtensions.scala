@@ -63,6 +63,8 @@ import graft.functions.GenomicFunctions
   *    set-label column; the separate-frames form is Scala API)
   *  - `SELECT * FROM interval_reldist('a', 'b', 'aid')` —
   *    [[graft.operators.IntervalOps.reldist]]
+  *  - `SELECT * FROM interval_shuffle('ivs', 'sizes', 7, 'id')` —
+  *    [[graft.operators.IntervalOps.shuffleIntervals]]
   *  - `SELECT * FROM asof_backward('clicks', 'views', 'uid', 'uid',
   *    'ts', 'vts')` / `asof_forward(...)` —
   *    [[graft.operators.AsofJoin.backward]] / [[graft.operators
@@ -375,6 +377,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           "interval_reldist takes (a_table, b_table, a_id[, chrom, " +
             s"start, end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_shuffle"),
+      info("interval_shuffle",
+        "interval_shuffle(table, sizes_table, seed, id_col) - seeded " +
+          "deterministic relocation within each chromosome (bedtools " +
+          "shuffle -chrom, null models)"),
+      {
+        case Seq(t, sz, seed, id) =>
+          graft.operators.IntervalOps.shuffleIntervals(tableOf(t),
+            tableOf(sz), litLong(seed, "seed"), litStr(id, "id column"))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_shuffle takes (table, sizes_table, seed, id_col), " +
+            s"got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     def asofTvf(name: String, forward: Boolean)
         : Seq[Expression] => LogicalPlan = {

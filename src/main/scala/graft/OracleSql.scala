@@ -975,6 +975,10 @@ object OracleSql {
          |  CAST(sum(pos) AS BIGINT) AS sum_amid
          |FROM d WHERE rd IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q94: bedtools-shuffle (seeded deterministic) — the q55 xxhash64
+    // HUGEINT replay chain computes each row's placement draw, then
+    // the same pmod/clamp arithmetic
+    "q94_interval_shuffle" -> q94Sql,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 
@@ -1933,6 +1937,38 @@ object OracleSql {
     * SEEDED init — c0 holds the 4 vectors with the smallest
     * `xxhash64(vec_id, 7L)` (signed order, ties to the lower id),
     * numbered in draw order, replayed via the [[xxh64Ctes]] chain. */
+  /** Mirror of `SparkEntry.q94_interval_shuffle`: each interval's
+    * placement is `pmod(xxhash64(aid, 7), size - len + 1)` — the hash
+    * replayed through [[xxh64Ctes]] (42-seeded first round, literal-7
+    * second, as Catalyst folds `xxhash64(aid, lit(7))`), the pmod as
+    * `((hs % room) + room) % room` on the SIGNED value, matching
+    * Spark's `pmod` on longs. */
+  private def q94Sql: String = {
+    val toU = "(CAST(aid AS HUGEINT) + CASE WHEN aid < 0 " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    val (d1, last1, h1) = xxh64Ctes("a", toU, "42::HUGEINT", "sa")
+    val (d2, last2, h2) = xxh64Ctes(last1, "7::HUGEINT", h1, "sb")
+    s"""WITH a0 AS ($ivC),
+       |sz(chrom, size) AS (SELECT * FROM (VALUES
+       |  ('chr0', 11000000), ('chr1', 11000000), ('chr2', 11000000),
+       |  ('chr3', 11000000))),
+       |a AS (SELECT a0.aid, a0.chrom, a0.astart, a0.aend,
+       |    CAST(sz.size AS HUGEINT) AS size
+       |  FROM a0 JOIN sz USING (chrom)),
+       |${(d1 ++ d2).mkString(",\n")},
+       |hx AS (SELECT aid, chrom, size,
+       |    least(CAST(aend - astart AS HUGEINT), size) AS len,
+       |    ${xxh64SignedSql(h2)} AS hs
+       |  FROM $last2),
+       |pl AS (SELECT aid, chrom, size, len,
+       |    ((hs % (size - len + 1)) + (size - len + 1))
+       |      % (size - len + 1) AS ns
+       |  FROM hx)
+       |SELECT aid, chrom, CAST(ns AS BIGINT) AS "start",
+       |  CAST(ns + len AS BIGINT) AS "end"
+       |FROM pl ORDER BY aid""".stripMargin
+  }
+
   private def q55Sql: String = {
     val toU = "(CAST(id AS HUGEINT) + CASE WHEN id < 0 " +
       "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"

@@ -1667,6 +1667,25 @@ object SparkEntry {
         sum(col("a_mid")).as("sum_amid"))
       .orderBy(col("bin"))
 
+  /** Seeded deterministic shuffle ([[graft.operators.IntervalOps
+    * .shuffleIntervals]] — the bedtools-shuffle-within-chromosome
+    * analogue for null models, added r17): every customer-derived
+    * interval relocates to `pmod(xxhash64(aid, 7), size - len + 1)`
+    * on its own chromosome — the q55 xxhash64 chain replayed
+    * bit-exactly by the oracle in HUGEINT arithmetic, so a single
+    * differing placement fails the gate. */
+  private def q94_interval_shuffle(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sizes = s.createDataFrame(Seq(
+        ("chr0", 11000000L), ("chr1", 11000000L), ("chr2", 11000000L),
+        ("chr3", 11000000L)))
+      .toDF("chrom", "size")
+    graft.operators.IntervalOps.shuffleIntervals(
+        intervalsC(s, dir), sizes, seed = 7L, idCol = "aid")
+      .select(col("aid"), col("chrom"), col("start"), col("end"))
+      .orderBy(col("aid"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1884,7 +1903,8 @@ object SparkEntry {
     "q90_make_windows" -> (q90_make_windows _),
     "q91_interval_shift" -> (q91_interval_shift _),
     "q92_multiinter" -> (q92_multiinter _),
-    "q93_reldist" -> (q93_reldist _)) ++
+    "q93_reldist" -> (q93_reldist _),
+    "q94_interval_shuffle" -> (q94_interval_shuffle _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -938,6 +938,50 @@ object IntervalOps {
       df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Seeded deterministic interval relocation — the bedtools
+    * `shuffle -chrom` analogue for NULL MODELS: every interval keeps
+    * its chromosome and length but moves to a pseudo-random start
+    * drawn from `pmod(xxhash64(id, seed), size - len + 1)` — fully
+    * deterministic given (id, seed), so two engines (and two runs of
+    * a 1000-executor job) place every interval identically, unlike a
+    * `rand()`-based shuffle. Lengths longer than the chromosome
+    * truncate to it; rows on chromosomes absent from `chromSizes`
+    * DROP (bedtools errors there; a loud contract note instead);
+    * inverted rows clamp to points first; null coords/ids drop.
+    * INTEGRAL shared coordinate type as [[slop]]. All other columns
+    * pass through.
+    *
+    * Scale shape: a narrow codegen'd projection (xxhash64 is a
+    * codegen'd Catalyst expression) + the broadcast sizes join.
+    * Nothing shuffles — "shuffle" here is bedtools' name, not
+    * Spark's. */
+  def shuffleIntervals(df: DataFrame, chromSizes: DataFrame, seed: Long,
+      idCol: String, chrom: String = "chrom", start: String = "start",
+      end: String = "end"): DataFrame = {
+    requireSharedIntegralCoords(df, start, end, "shuffleIntervals")
+    val coordT = df.schema(start).dataType
+    val szl = broadcast(chromSizes
+      .select(col(chrom).cast("string").as("__slc"),
+        col("size").cast("long").as("__ssz"))
+      .where(col("__slc").isNotNull && col("__ssz").isNotNull &&
+        col("__ssz") > 0L))
+    val sl = col(start).cast("long")
+    val pe = greatest(col(end).cast("long"), sl)
+    val len = least(pe - sl, col("__ssz"))
+    val room = col("__ssz") - len + 1L
+    val ns = pmod(xxhash64(col(idCol), lit(seed)), room)
+    val out = dropNullCoords(df, chrom, start, end)
+      .where(col(idCol).isNotNull)
+      .join(szl, col(chrom).cast("string") === col("__slc"))
+      .withColumn("__ns", ns)
+      .withColumn("__ne", col("__ns") + len)
+      .drop("__slc", "__ssz")
+      .withColumn(start, col("__ns").cast(coordT))
+      .withColumn(end, col("__ne").cast(coordT))
+      .drop("__ns", "__ne")
+    out.select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   private def requireSharedIntegralCoords(df: DataFrame, start: String,
       end: String, op: String): Unit = {
     val integral = Set[org.apache.spark.sql.types.DataType](

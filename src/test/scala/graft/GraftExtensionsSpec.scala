@@ -147,6 +147,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM interval_reldist('a', 'b', 'aid')" ->
           IntervalOps.reldist(spark.table("a"), spark.table("b"),
             "aid"),
+        "SELECT * FROM interval_shuffle('a', 'sz', 7, 'aid')" ->
+          IntervalOps.shuffleIntervals(spark.table("a"),
+            spark.table("sz"), seed = 7L, idCol = "aid"),
         ("SELECT * FROM asof_backward('clicks', 'views', 'uid', 'ruid', " +
           "'ts', 'rts')") ->
           AsofJoin.backward(spark.table("clicks"), spark.table("views"),

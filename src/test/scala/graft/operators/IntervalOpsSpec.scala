@@ -807,6 +807,36 @@ class IntervalOpsSpec extends SparkSuite {
       (3L, Some(0.5)), (4L, None), (5L, None), (6L, None)))
   }
 
+  test("shuffleIntervals: deterministic, in-bounds, length-preserving") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      (1L, "chr1", 100L, 160L),
+      (2L, "chr1", 0L, 1000L),  // len == size: room 1, lands at 0
+      (3L, "chr1", 10L, 2000L), // len > size: truncates to [0, size)
+      (4L, "chrU", 5L, 9L))     // undeclared chromosome: drops
+      .toDF("id", "chrom", "start", "end")
+    val sizes = Seq(("chr1", 1000L)).toDF("chrom", "size")
+    def run() = IntervalOps.shuffleIntervals(iv, sizes, seed = 11L,
+        idCol = "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    val got = run()
+    assert(got == run()) // deterministic across runs
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    val byId = got.map(x => x._1 -> (x._2, x._3)).toMap
+    assert(byId(1L)._2 - byId(1L)._1 == 60L) // length preserved
+    assert(byId(1L)._1 >= 0L && byId(1L)._2 <= 1000L)
+    assert(byId(2L) == (0L, 1000L))
+    assert(byId(3L) == (0L, 1000L))
+    // a different seed moves interval 1 (overwhelmingly likely and
+    // fixed for these constants — pinned so the seed genuinely flows)
+    val other = IntervalOps.shuffleIntervals(iv, sizes, seed = 12L,
+        idCol = "id")
+      .where($"id" === 1L).collect().head.getLong(2)
+    assert(other != byId(1L)._1)
+  }
+
   test("shift: both directions, boundary collapse, missing size") {
     val s = spark
     import s.implicits._
