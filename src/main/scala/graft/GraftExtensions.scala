@@ -65,6 +65,9 @@ import graft.functions.GenomicFunctions
   *    [[graft.operators.IntervalOps.reldist]]
   *  - `SELECT * FROM interval_shuffle('ivs', 'sizes', 7, 'id')` —
   *    [[graft.operators.IntervalOps.shuffleIntervals]]
+  *  - `SELECT * FROM interval_annotate('a', 'aid', 'lbl1', 'b1'[,
+  *    'lbl2', 'b2', ...])` —
+  *    [[graft.operators.IntervalOps.annotate]] (long format)
   *  - `SELECT * FROM asof_backward('clicks', 'views', 'uid', 'uid',
   *    'ts', 'vts')` / `asof_forward(...)` —
   *    [[graft.operators.AsofJoin.backward]] / [[graft.operators
@@ -392,6 +395,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           "interval_shuffle takes (table, sizes_table, seed, id_col), " +
             s"got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_annotate"),
+      info("interval_annotate",
+        "interval_annotate(a_table, a_id, label1, b_table1[, label2, " +
+          "b_table2, ...]) - per-A per-set overlap counts and " +
+          "union-covered bases, long format (bedtools annotate)"),
+      {
+        case Seq(a, aid, rest @ _*) if rest.size >= 2 &&
+            rest.size % 2 == 0 =>
+          val pairs = rest.grouped(2).map {
+            case Seq(lbl, tbl) =>
+              litStr(lbl, "set label") -> tableOf(tbl)
+          }.toSeq
+          graft.operators.IntervalOps.annotate(tableOf(a), pairs,
+            litStr(aid, "a_id column")).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_annotate takes (a_table, a_id, label1, b_table1[, " +
+            s"label2, b_table2, ...]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     def asofTvf(name: String, forward: Boolean)
         : Seq[Expression] => LogicalPlan = {

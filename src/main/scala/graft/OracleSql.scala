@@ -979,6 +979,9 @@ object OracleSql {
     // HUGEINT replay chain computes each row's placement draw, then
     // the same pmod/clamp arithmetic
     "q94_interval_shuffle" -> q94Sql,
+    // q95: bedtools-annotate — the q88 tie-safe island formulation
+    // replayed once per labeled set, unioned in long format
+    "q95_interval_annotate" -> q95Sql,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 
@@ -1967,6 +1970,57 @@ object OracleSql {
        |SELECT aid, chrom, CAST(ns AS BIGINT) AS "start",
        |  CAST(ns + len AS BIGINT) AS "end"
        |FROM pl ORDER BY aid""".stripMargin
+  }
+
+  /** Mirror of `SparkEntry.q95_interval_annotate`: per labeled set,
+    * the q88 count + DISTINCT-clipped-islands union length, emitted in
+    * long format with zero rows kept. */
+  private def q95Sql: String = {
+    def perSet(tag: String): String =
+      s"""cnt_$tag AS (SELECT a.aid, count(*) AS n
+         |  FROM a JOIN bv_$tag b ON a.chrom = b.chrom
+         |    AND a.astart < b."end" AND b."start" < a.aend
+         |  GROUP BY 1),
+         |seg_$tag AS (SELECT DISTINCT a.aid,
+         |    greatest(a.astart, b."start") AS cs,
+         |    least(a.aend, b."end") AS ce
+         |  FROM a JOIN bv_$tag b ON a.chrom = b.chrom
+         |    AND a.astart < b."end" AND b."start" < a.aend),
+         |sg_$tag AS (SELECT aid, cs, ce,
+         |    CASE WHEN max(ce) OVER w IS NULL OR cs > max(ce) OVER w
+         |         THEN 1 ELSE 0 END AS new_grp
+         |  FROM seg_$tag
+         |  WINDOW w AS (PARTITION BY aid ORDER BY cs, ce
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |sh_$tag AS (SELECT aid, cs, ce,
+         |    sum(new_grp) OVER (PARTITION BY aid ORDER BY cs, ce
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS grp
+         |  FROM sg_$tag),
+         |cov_$tag AS (SELECT aid, CAST(sum(me - ms) AS BIGINT) AS c
+         |  FROM (SELECT aid, min(cs) AS ms, max(ce) AS me
+         |        FROM sh_$tag GROUP BY aid, grp) u
+         |  GROUP BY 1)""".stripMargin
+    def selSet(tag: String): String =
+      s"""SELECT a.aid, '$tag' AS set, a.chrom,
+         |  CAST(a.astart AS BIGINT) AS "start",
+         |  CAST(a.aend AS BIGINT) AS "end",
+         |  coalesce(cnt_$tag.n, 0) AS n_overlaps,
+         |  CAST(coalesce(cov_$tag.c, 0) AS BIGINT) AS covered_bases,
+         |  CAST(a.aend - a.astart AS BIGINT) AS a_len,
+         |  round(coalesce(cov_$tag.c, 0) * 1.0 / (a.aend - a.astart), 6)
+         |    AS fraction_r
+         |FROM a LEFT JOIN cnt_$tag ON a.aid = cnt_$tag.aid
+         |  LEFT JOIN cov_$tag ON a.aid = cov_$tag.aid""".stripMargin
+    s"""WITH a AS ($ivC),
+       |bv_li AS (SELECT chrom, "start", "end" FROM ($ivA)),
+       |bv_ord AS (SELECT chrom, "start", "end" FROM ($ivB)),
+       |${perSet("li")},
+       |${perSet("ord")}
+       |${selSet("li")}
+       |UNION ALL
+       |${selSet("ord")}
+       |ORDER BY aid, set""".stripMargin
   }
 
   private def q55Sql: String = {

@@ -1686,6 +1686,23 @@ object SparkEntry {
       .orderBy(col("aid"))
   }
 
+  /** Multi-set coverage annotation ([[graft.operators.IntervalOps
+    * .annotate]] — the bedtools-annotate analogue, added r17): every
+    * customer-derived interval reports, per labeled source set
+    * (lineitem- and orders-derived), the overlap count and the bases
+    * its union covers — long format, zero rows kept. The oracle
+    * replays each set through the q88 tie-safe island formulation and
+    * unions the two. */
+  private def q95_interval_annotate(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.operators.IntervalOps.annotate(intervalsC(s, dir), Seq(
+        "li" -> intervalsA(s, dir).drop("iv_id"),
+        "ord" -> intervalsB(s, dir).drop("iv_id")), "aid")
+      .select(col("aid"), col("set"), col("chrom"), col("start"),
+        col("end"), col("n_overlaps"), col("covered_bases"),
+        col("a_len"), round(col("fraction"), 6).as("fraction_r"))
+      .orderBy(col("aid"), col("set"))
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1904,7 +1921,8 @@ object SparkEntry {
     "q91_interval_shift" -> (q91_interval_shift _),
     "q92_multiinter" -> (q92_multiinter _),
     "q93_reldist" -> (q93_reldist _),
-    "q94_interval_shuffle" -> (q94_interval_shuffle _)) ++
+    "q94_interval_shuffle" -> (q94_interval_shuffle _),
+    "q95_interval_annotate" -> (q95_interval_annotate _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

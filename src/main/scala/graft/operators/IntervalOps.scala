@@ -1097,6 +1097,79 @@ object IntervalOps {
           .as("fraction"))
   }
 
+  /** Per-A coverage breakdown across SEVERAL labeled B sets — the
+    * bedtools `annotate` analogue (`-counts`/`-both`, long format: one
+    * output row per (A, set) rather than pivoted columns — the
+    * Spark-idiomatic shape; pivot downstream if wanted). Per pair: the
+    * count of that set's intervals overlapping A by ≥1 base, the bases
+    * of A covered by that SET's union (each set merged separately, so
+    * within-set overlap never double-counts), A's length, and the
+    * fraction (null for zero-length A). Every (A, set) pair appears,
+    * zero rows included. Edge policy as [[coverageBy]].
+    *
+    * Scale shape: per-set skew-robust merges, ONE binned equi-join per
+    * statistic over the tagged unions (not one join per set), hash
+    * aggregations on (A id, set), and a broadcast literal set-name
+    * grid to restore zero rows. */
+  def annotate(a: DataFrame, sets: Seq[(String, DataFrame)],
+      aId: String, chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L): DataFrame = {
+    require(sets.nonEmpty, "annotate needs at least one set")
+    require(sets.map(_._1).distinct.size == sets.size,
+      "annotate set labels must be distinct")
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__as"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__ae"))
+      .where(col("__aid").isNotNull)
+    val aPos = a2.where(col("__as") < col("__ae"))
+    def norm(f: DataFrame, name: String): DataFrame =
+      dropNullCoords(f, chrom, start, end)
+        .select(lit(name).as("__set"),
+          col(chrom).cast("string").as("__c2"),
+          col(start).cast("long").as("__bs"),
+          greatest(col(end).cast("long"), col(start).cast("long"))
+            .as("__be"))
+        .where(col("__bs") < col("__be"))
+    val raw = sets.map { case (n, f) => norm(f, n) }
+      .reduce(_.unionByName(_))
+    val mrg = sets.map { case (n, f) =>
+      mergeIntervalsRange(norm(f, n), chrom = "__c2", start = "__bs",
+          end = "__be")
+        .select(lit(n).as("__set"), col("__c2"),
+          col("start").as("__bs"), col("end").as("__be"))
+    }.reduce(_.unionByName(_))
+    val cnt = IntervalJoin.overlapJoin(aPos, raw,
+        leftCols = ("__c", "__as", "__ae"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+      .groupBy(col("__aid"), col("__set"))
+      .agg(count(lit(1)).as("__n"))
+    val cov = IntervalJoin.overlapJoin(aPos, mrg,
+        leftCols = ("__c", "__as", "__ae"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+      .groupBy(col("__aid"), col("__set"))
+      .agg(sum(least(col("__ae"), col("__be")) -
+        greatest(col("__as"), col("__bs"))).as("__cov"))
+    val session = a.sparkSession
+    import session.implicits._
+    val names = broadcast(sets.map(_._1).toDF("__set"))
+    a2.crossJoin(names)
+      .join(cnt, Seq("__aid", "__set"), "left")
+      .join(cov, Seq("__aid", "__set"), "left")
+      .select(col("__aid").as(aId), col("__set").as("set"),
+        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__as").cast(a.schema(start).dataType).as(start),
+        col("__ae").cast(a.schema(end).dataType).as(end),
+        coalesce(col("__n"), lit(0L)).as("n_overlaps"),
+        coalesce(col("__cov"), lit(0L)).as("covered_bases"),
+        (col("__ae") - col("__as")).as("a_len"),
+        when(col("__ae") > col("__as"),
+          coalesce(col("__cov"), lit(0L)).cast("double") /
+            (col("__ae") - col("__as")).cast("double"))
+          .as("fraction"))
+  }
+
   /** Per-row cluster assignment — the bedtools `cluster` analogue:
     * every input row is tagged with the disjoint merged run
     * (overlap-or-book-ended transitive closure, [[mergeIntervals]]'

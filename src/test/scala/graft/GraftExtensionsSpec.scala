@@ -150,6 +150,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM interval_shuffle('a', 'sz', 7, 'aid')" ->
           IntervalOps.shuffleIntervals(spark.table("a"),
             spark.table("sz"), seed = 7L, idCol = "aid"),
+        "SELECT * FROM interval_annotate('a', 'aid', 'one', 'b', " +
+          "'two', 'ivs')" ->
+          IntervalOps.annotate(spark.table("a"),
+            Seq("one" -> spark.table("b"), "two" -> spark.table("ivs")),
+            "aid"),
         ("SELECT * FROM asof_backward('clicks', 'views', 'uid', 'ruid', " +
           "'ts', 'rts')") ->
           AsofJoin.backward(spark.table("clicks"), spark.table("views"),

@@ -699,6 +699,40 @@ class IntervalOpsSpec extends SparkSuite {
     assert(gotCov == naive.map(x => (x._1, x._2, x._4)))
   }
 
+  test("annotate: per-set long format agrees with coverageBy per set") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(73)
+    val a = Seq.tabulate(80) { i =>
+      val st = rnd.nextInt(150).toLong
+      (i.toLong, s"chr${i % 2}", st, st + 1 + rnd.nextInt(20))
+    }.toDF("aid", "chrom", "start", "end")
+    def mk(seed: Int) = {
+      val r2 = new scala.util.Random(seed)
+      Seq.tabulate(40) { _ =>
+        val st = r2.nextInt(150).toLong
+        ("chr" + r2.nextInt(2), st, st + 1 + r2.nextInt(10))
+      }.toDF("chrom", "start", "end")
+    }
+    val (b1, b2) = (mk(5), mk(6))
+    val got = IntervalOps.annotate(a, Seq("x" -> b1, "y" -> b2), "aid")
+      .orderBy("aid", "set").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5),
+        r.getLong(6)))
+      .toSeq
+    // reference: coverageBy per set, interleaved to the same order
+    def ref(b: org.apache.spark.sql.DataFrame, name: String) =
+      IntervalOps.coverageBy(a, b, "aid")
+        .orderBy("aid").collect()
+        .map(r => (r.getLong(0), name, r.getLong(4), r.getLong(5)))
+        .toSeq
+    val want = (ref(b1, "x") ++ ref(b2, "y"))
+      .sortBy(t => (t._1, t._2))
+    assert(got == want)
+    // every (A, set) pair appears — zero rows included
+    assert(got.size == 160)
+  }
+
   test("cluster: randomized transitive-closure reference") {
     val s = spark
     import s.implicits._
