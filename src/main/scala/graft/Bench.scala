@@ -538,8 +538,10 @@ object Bench {
           .load(c.bed)
           .where(col("chrom").isNotNull && col("start").isNotNull &&
             col("end").isNotNull)
-          .select(xxhash64(col("chrom"), col("start"), col("end"))
-            .as("fid"), col("chrom"),
+          // mapOverlaps' documented contract needs UNIQUE A ids: a
+          // coordinate hash collapses duplicate-coordinate BED features
+          // (common in real tracks) into one fid, merging their counts
+          .select(monotonically_increasing_id().as("fid"), col("chrom"),
             col("start").cast("long").as("start"),
             col("end").cast("long").as("end"))
         graft.operators.IntervalOps.mapOverlaps(feats, reads, "fid", "v")

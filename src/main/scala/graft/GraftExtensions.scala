@@ -110,7 +110,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval() match {
       case null => throw new IllegalArgumentException(
         s"$what must not be null")
-      case n: Number => n.longValue()
+      // reject fractional numerics explicitly: longValue() would
+      // silently truncate e.g. 1.5e0 to 1 despite the "literal
+      // integer" contract (decimal literals like 1.5 already error,
+      // so acceptance must not depend on the literal's spelling)
+      case n: Number if n.doubleValue() == n.longValue().toDouble =>
+        n.longValue()
       case other => throw new IllegalArgumentException(
         s"$what must be a literal integer, got $other")
     }

@@ -447,17 +447,21 @@ object IntervalOps {
   def reldist(a: DataFrame, b: DataFrame, aId: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", partitions: Int = 0): DataFrame = {
+    // midpoints in INTEGRAL arithmetic: Spark's `/ 2` is double
+    // division (exactness lost past 2^53) and its long cast truncates
+    // toward zero rather than flooring — shiftright is the exact
+    // floor((s + e) / 2) for every long, the same rationale as
+    // IntervalJoin.floorDivExpr
+    def mid(s: Column, e: Column): Column =
+      shiftright(s.cast("long") +
+        greatest(e.cast("long"), s.cast("long")), 1)
     val a2 = dropNullCoords(a, chrom, start, end)
       .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
-        ((col(start).cast("long") +
-          greatest(col(end).cast("long"), col(start).cast("long")))
-          / 2).cast("long").as("__am"))
+        mid(col(start), col(end)).as("__am"))
       .where(col("__aid").isNotNull)
     val b2 = dropNullCoords(b, chrom, start, end)
       .select(col(chrom).cast("string").as("__c"),
-        ((col(start).cast("long") +
-          greatest(col(end).cast("long"), col(start).cast("long")))
-          / 2).cast("long").as("__bm"))
+        mid(col(start), col(end)).as("__bm"))
     def sweep(forwardDir: Boolean, outName: String): DataFrame = {
       val bl = b2.select(col("__c"), col("__bm").as("__pos"),
         lit(0).as("__isA"), col("__bm").as("__fill"))
@@ -560,10 +564,14 @@ object IntervalOps {
         // has no segments, counts as uncovered, and emits its whole
         // [0, size) gap — the canonical maximal-gap form (the raw-scan
         // formulation split it at the point, two abutting rows).
+        // coverage's output coordinate columns are LITERALLY named
+        // "start"/"end" regardless of the caller's names (only the
+        // chrom name is preserved) — referencing the caller's names
+        // here threw AnalysisException for e.g. start = "s"
         val spans = cov
           .groupBy(col(chrom).cast("string").as("__c"))
-          .agg(min(col(start).cast("long")).as("__first"),
-            max(col(end).cast("long")).as("__last"))
+          .agg(min(col("start").cast("long")).as("__first"),
+            max(col("end").cast("long")).as("__last"))
         val joined = spans.join(szl, Seq("__c"))
         val head = joined.where(col("__first") > 0L)
           .select(col("__c"), lit(0L).as("__s"),
@@ -1022,10 +1030,20 @@ object IntervalOps {
       binSize: Long = 1000L): DataFrame = {
     require(window >= 0L, s"window must be non-negative, got $window")
     val (c, s, e) = leftCols
+    // extension-column names probed against BOTH inputs (overlapJoin's
+    // case-insensitive fresh() rule): a caller frame already carrying
+    // "__ws"/"__we" was silently clobbered and dropped from the output
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !a.columns.exists(_.equalsIgnoreCase(n)) &&
+          !b.columns.exists(_.equalsIgnoreCase(n)))
+        .get
+    val wsCol = fresh("__ws")
+    val weCol = fresh("__we")
     val wa = dropNullCoords(a, c, s, e)
-      .withColumn("__ws",
+      .withColumn(wsCol,
         greatest(col(s).cast("long") - window, lit(0L)))
-      .withColumn("__we",
+      .withColumn(weCol,
         greatest(col(e).cast("long"), col(s).cast("long")) + window)
     // zero-length/inverted B rows cover no bases; the strict predicate
     // would still match one strictly inside the extended interval
@@ -1033,9 +1051,9 @@ object IntervalOps {
     val b2 = dropNullCoords(b, rightCols._1, rightCols._2, rightCols._3)
       .where(col(rightCols._3).cast("long") >
         col(rightCols._2).cast("long"))
-    IntervalJoin.overlapJoin(wa, b2, leftCols = (c, "__ws", "__we"),
+    IntervalJoin.overlapJoin(wa, b2, leftCols = (c, wsCol, weCol),
         rightCols = rightCols, binSize = binSize)
-      .drop("__ws", "__we")
+      .drop(wsCol, weCol)
   }
 
   /** Per-A breadth and depth of B coverage — the bedtools `coverage`

@@ -184,6 +184,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM interval_merge('no_such_table')").collect()
       }
       assert(eTbl != null)
+      // fractional double literals must be rejected, not silently
+      // truncated: 1.5e0 is a foldable Number whose longValue() is 1
+      val eFrac = intercept[Exception] {
+        spark.sql("SELECT * FROM interval_slop('ivs', 1.5e0)").collect()
+      }
+      assert(String.valueOf(eFrac.getMessage).contains("literal integer") ||
+        String.valueOf(eFrac.getCause).contains("literal integer"))
+      // integral double literals still pass (2e0 == growth 2)
+      assert(spark.sql("SELECT * FROM interval_slop('ivs', 2e0)")
+        .collect().nonEmpty)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

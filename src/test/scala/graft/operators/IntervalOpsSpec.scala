@@ -907,4 +907,43 @@ class IntervalOpsSpec extends SparkSuite {
       .select("bid").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(10L, 11L, 14L))
   }
+
+  test("windowJoin: caller columns named __ws/__we survive untouched") {
+    val s = spark
+    import s.implicits._
+    // the working-column names must be probed fresh (overlapJoin's
+    // rule): a frame already carrying "__ws" was silently clobbered
+    // by the extension withColumn and dropped from the output
+    val a = Seq((1L, "chr1", 100L, 200L, "keepL"))
+      .toDF("aid", "c", "s", "e", "__ws")
+    val b = Seq((10L, "chr1", 205L, 215L, "keepR"))
+      .toDF("bid", "bc", "bs", "be", "__we")
+    val got = IntervalOps.windowJoin(a, b, window = 10L,
+        leftCols = ("c", "s", "e"), rightCols = ("bc", "bs", "be"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("__ws") == "keepL")
+    assert(r.getAs[String]("__we") == "keepR")
+  }
+
+  test("complement with custom coordinate names AND chromSizes") {
+    val s = spark
+    import s.implicits._
+    // regression: the boundary-span aggregate must read coverage's
+    // literal "start"/"end" output names, not the caller's names —
+    // with start = "lo" this threw AnalysisException
+    val iv = Seq(("chr1", 10L, 20L), ("chr1", 30L, 40L))
+      .toDF("contig", "lo", "hi")
+    val sizes = Seq(("chr1", 100L), ("chrM", 16L)).toDF("contig", "size")
+    val got = IntervalOps.complement(iv, chrom = "contig", start = "lo",
+        end = "hi", chromSizes = Some(sizes))
+      .orderBy("contig", "start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      ("chr1", 0L, 10L), ("chr1", 20L, 30L), ("chr1", 40L, 100L),
+      ("chrM", 0L, 16L)))
+  }
 }
