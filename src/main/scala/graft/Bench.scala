@@ -342,7 +342,42 @@ object Bench {
           sum(least(col("a_end"), col("b_end")) -
             greatest(col("a_start"), col("b_start"))).as("sum_overlap"))
         .orderBy(col("chrom"))
-    }))
+    }),
+    // mergeIntervalsRange's documented worst case, made a standing
+    // pair: SPARSE low-overlap intervals (short lengths over a 10 Mbp
+    // span, surviving runs ≈ rows) — x36 piles every row onto ONE
+    // contig, x36b spreads the identical rows over four. Under the
+    // r17 formulation the merge's final per-chromosome window put the
+    // whole sparse contig in one task; the boundary handoff must keep
+    // x36 within ~1.5x of its balanced twin. Shared arithmetic, only
+    // the chrom column differs, so the pair can never drift apart.
+    "x36_merge_skew" -> ((s: SparkSession, dir: String) =>
+      sparseMergeProfile(s, dir, balanced = false)),
+    "x36b_merge_balanced" -> ((s: SparkSession, dir: String) =>
+      sparseMergeProfile(s, dir, balanced = true)))
+
+  /** Shared body of the x36/x36b twins: a sparse low-overlap interval
+    * set from orders (gaps ≫ lengths, so nearly every row survives the
+    * merge as its own group — the no-local-reduction worst case),
+    * merged and reduced to a per-chromosome profile. */
+  private def sparseMergeProfile(s: SparkSession, dir: String,
+      balanced: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val chromCol =
+      if (balanced) concat(lit("chr"), (col("o_orderkey") % 4)
+        .cast("string"))
+      else lit("chrOnly")
+    val iv = s.read.parquet(s"$dir/orders.parquet").select(
+      chromCol.as("chrom"),
+      ((col("o_custkey") * 7919) % 10000000).cast("long").as("start"),
+      ((col("o_custkey") * 7919) % 10000000 + 5 + col("o_orderkey") % 20)
+        .cast("long").as("end"))
+    graft.operators.IntervalOps.mergeIntervalsRange(iv)
+      .groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_merged")).as("n_rows"),
+        sum(col("end") - col("start")).as("bases"))
+      .orderBy(col("chrom"))
+  }
 
   /** Columnar-pilot A/B pairs (x-rows, not gates): the same flat
     * projection through the row path and the opt-in `columnar=true`

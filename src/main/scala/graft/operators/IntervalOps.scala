@@ -62,19 +62,37 @@ object IntervalOps {
       .drop("__grp")
   }
 
-  /** One locally-merged run: disjoint within its source partition. */
-  final case class IvRun(chrom: String, start: Long, end: Long, n: Long)
-
   /** Skew-robust merge for few-contig loads. [[mergeIntervals]]'s window
-    * puts an entire chromosome in one task; here the data is first
-    * range-repartitioned on (chrom, start) and each sorted partition is
-    * merged by a streaming linear sweep, so the per-chromosome window
-    * only processes the surviving RUNS (input reduced by the local merge
-    * factor — the common case for dense genomic interval sets; a
-    * no-overlap worst case degrades to the plain window). Results are
-    * identical to [[mergeIntervals]], including the output schema: the
-    * chromosome column keeps the caller's name and type (the sweep
-    * widens coordinates to long internally and casts back).
+    * puts an entire chromosome in one task; here the data is
+    * range-repartitioned ONCE on (chrom, start) and merged end-to-end by
+    * streaming linear sweeps with a coverage-style boundary handoff —
+    * NO per-chromosome window anywhere, so even the sparse no-overlap
+    * worst case (surviving runs ≈ rows, the shape that used to fall
+    * back to one window task per contig) stays spread across all range
+    * partitions. Results are identical to [[mergeIntervals]], including
+    * the output schema: the chromosome column keeps the caller's name
+    * and type (the sweep widens coordinates to long internally and
+    * casts back).
+    *
+    * Scale shape (the [[coverage]] two-pass pattern): pass A streams
+    * each sorted partition once and summarizes it into five scalars —
+    * first chromosome, and the last LOCAL merged group's (chrom, start,
+    * max end) — O(partitions) driver state. The driver chains carry-in
+    * ends across partitions: range partitions are contiguous in
+    * (chrom, start), so only a partition's FIRST chromosome can
+    * continue an earlier partition's chain, and a carried end `c`
+    * reaches a partition's last local group iff `c >= lastGroupStart`
+    * (sorted starts make every intermediate group's start a smaller
+    * threshold, so one comparison settles the whole chain — including
+    * a single earlier interval spanning MANY of this partition's
+    * groups). Pass B re-streams each partition seeded with its
+    * broadcast carry as a virtual open group and emits complete
+    * interior groups distributed; only the first- and last-emitted
+    * groups per partition (≤ 2·partitions rows) are collected and
+    * stitched on the driver by the same sweep rule. Both passes share
+    * one RDD, so the range shuffle's map stage runs once. Calling this
+    * method runs pass A and the boundary collect eagerly — the same
+    * driver-side-constant pattern as [[coverage]].
     *
     * INTEGRAL coordinates only (enforced below): the sweep's long cast
     * would TRUNCATE fractional coordinates, silently merging intervals
@@ -101,41 +119,130 @@ object IntervalOps {
     val n = if (partitions > 0) partitions
       else session.sessionState.conf.numShufflePartitions
     // same null-coordinate drop as mergeIntervals — without it the
-    // primitive-Long tuple decode below dies on the first null row
+    // primitive-Long tuple decode below dies on the first null row.
+    // Points/inverted rows clamp to points here (greatest), exactly
+    // the window formulation's greatest(end, start) participation
     val typed = dropNullCoords(df, chrom, start, end)
       .select(col(chrom).cast("string").as("_1"),
-        col(start).cast("long").as("_2"), col(end).cast("long").as("_3"))
+        col(start).cast("long").as("_2"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("_3"))
       .as[(String, Long, Long)]
-    val runs = typed
+    // ONE shared RDD: pass B and the boundary collect reuse pass A's
+    // completed range-shuffle map stage instead of re-shuffling
+    val rdd = typed
       .repartitionByRange(n, col("_1"), col("_2"))
       .sortWithinPartitions("_1", "_2", "_3")
-      .mapPartitions { it =>
-        val base = it.map { case (c, st, en) => (c, st, math.max(en, st)) }
-        new Iterator[IvRun] {
-          private var cur: IvRun = null
-          private var pending: IvRun = null
-          private def advance(): Unit = {
-            while (pending == null && base.hasNext) {
-              val (c, st, en) = base.next()
-              if (cur == null) cur = IvRun(c, st, en, 1)
-              else if (c == cur.chrom && st <= cur.end)
-                cur = cur.copy(end = math.max(cur.end, en), n = cur.n + 1)
-              else { pending = cur; cur = IvRun(c, st, en, 1) }
-            }
-            if (pending == null && cur != null && !base.hasNext) {
-              pending = cur; cur = null
+      .rdd
+    // pass A: (pid, nonEmpty, firstChrom, lastGroupChrom,
+    // lastGroupStart, lastGroupEnd) — the last LOCAL merged group of
+    // each sorted partition, from the plain un-seeded sweep
+    val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var any = false
+      var firstC: String = null
+      var gC: String = null
+      var gS = 0L
+      var gE = 0L
+      it.foreach { case (c, st, en) =>
+        if (!any) { any = true; firstC = c; gC = c; gS = st; gE = en }
+        else if (c == gC && st <= gE) gE = math.max(gE, en)
+        else { gC = c; gS = st; gE = en }
+      }
+      Iterator.single((pid, any, firstC, gC, gS, gE))
+    }.collect().sortBy(_._1)
+    // driver: one forward pass, O(partitions). carries(p) = the open
+    // chain's (chrom, end) entering partition p — set only when the
+    // latest non-empty partition's trailing chromosome equals p's
+    // first. chainEnd(p) folds the carry in iff it reaches p's last
+    // local group (carry >= lastGroupStart; see scaladoc derivation).
+    val carries = Array.fill[(String, Long)](summaries.length)(null)
+    var prev: (String, Long) = null
+    summaries.foreach { case (pid, any, firstC, lastC, lgS, lgE) =>
+      if (any) {
+        if (prev != null && prev._1 == firstC) carries(pid) = prev
+        val chainEnd =
+          if (carries(pid) != null && lastC == firstC &&
+            carries(pid)._2 >= lgS) math.max(carries(pid)._2, lgE)
+          else lgE
+        prev = (lastC, chainEnd)
+      }
+    }
+    val bc = session.sparkContext.broadcast(carries)
+    // pass B: one seeded streaming sweep per sorted partition. The
+    // carry opens a VIRTUAL group (end = carried end, zero count):
+    // local rows it reaches — however many groups they would have
+    // formed alone — fold into one leading piece whose start is its
+    // first local row's. Emitted groups carry a boundary flag on the
+    // first- and last-emitted of each partition; everything else is a
+    // complete merged interval by construction.
+    val grouped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val carry = bc.value(pid)
+      new Iterator[(String, Long, Long, Long, Boolean)] {
+        private var pending: (String, Long, Long, Long, Boolean) = null
+        private var open = carry != null
+        private var gC: String = if (carry != null) carry._1 else null
+        private var gS = 0L
+        private var gE: Long = if (carry != null) carry._2 else 0L
+        private var gN = 0L
+        private var emittedAny = false
+        private def advance(): Unit = {
+          while (pending == null && it.hasNext) {
+            val (c, st, en) = it.next()
+            if (!open) { open = true; gC = c; gS = st; gE = en; gN = 1L }
+            else if (c == gC && st <= gE) {
+              if (gN == 0L) gS = st // first local row joining the carry
+              gE = math.max(gE, en); gN += 1L
+            } else {
+              if (gN > 0L) {
+                pending = (gC, gS, gE, gN, !emittedAny)
+                emittedAny = true
+              }
+              gC = c; gS = st; gE = en; gN = 1L
             }
           }
-          def hasNext: Boolean = { advance(); pending != null }
-          def next(): IvRun = {
-            advance(); val r = pending; pending = null; r
+          if (pending == null && open && !it.hasNext) {
+            // the trailing group is ALWAYS a boundary piece: the next
+            // partition may continue it (an empty virtual-only group
+            // means the carry reached nothing local — emit nothing)
+            if (gN > 0L) pending = (gC, gS, gE, gN, true)
+            open = false
           }
         }
+        def hasNext: Boolean = { advance(); pending != null }
+        def next(): (String, Long, Long, Long, Boolean) = {
+          advance(); val r = pending; pending = null; r
+        }
       }
-    windowMerge(runs.toDF(), "chrom", "start", "end", col("n"))
-      .select(col("chrom").cast(df.schema(chrom).dataType).as(chrom),
-        col("start").cast(df.schema(start).dataType).as("start"),
-        col("end").cast(df.schema(end).dataType).as("end"),
+    }
+    // boundary stitch: ≤ 2·partitions pieces, walked in global
+    // (chrom, start) order with the same sweep rule. Two pieces that
+    // must merge are always adjacent here: any complete group lying
+    // between them would itself have folded into the chain in pass B
+    // (its start is below the carried end), contradiction.
+    val pieces = grouped.filter(_._5)
+      .map(t => (t._1, t._2, t._3, t._4)).collect()
+      .sortBy(t => (t._1, t._2))
+    val stitched = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long)]
+    var openPiece: (String, Long, Long, Long) = null
+    pieces.foreach { case (c, s, e, cnt) =>
+      if (openPiece != null && openPiece._1 == c && s <= openPiece._3)
+        openPiece = (c, openPiece._2, math.max(openPiece._3, e),
+          openPiece._4 + cnt)
+      else {
+        if (openPiece != null) stitched += openPiece
+        openPiece = (c, s, e, cnt)
+      }
+    }
+    if (openPiece != null) stitched += openPiece
+    val complete = session.createDataset(
+      grouped.filter(!_._5).map(t => (t._1, t._2, t._3, t._4)))
+    val boundary = session.createDataset(stitched.toSeq)
+    complete.unionByName(boundary)
+      .toDF("__mc", "__ms", "__me", "n_merged")
+      .select(col("__mc").cast(df.schema(chrom).dataType).as(chrom),
+        col("__ms").cast(df.schema(start).dataType).as("start"),
+        col("__me").cast(df.schema(end).dataType).as("end"),
         col("n_merged"))
   }
 

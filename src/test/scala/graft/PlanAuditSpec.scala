@@ -424,6 +424,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("mergeIntervalsRange never routes a contig through one window task") {
+    val s = spark
+    import s.implicits._
+    // the r17 soft spot: a SPARSE no-overlap single-contig input keeps
+    // runs ≈ rows, and the old per-chromosome windowMerge tail put the
+    // whole contig in one task. The boundary handoff must show NO
+    // Window node and spread the surviving groups across partitions.
+    val df = (1L to 3000L).map(i => ("chrOnly", i * 100L, i * 100L + 10L))
+      .toDF("chrom", "start", "end")
+    val out = graft.operators.IntervalOps.mergeIntervalsRange(df,
+      partitions = 8)
+    val plan = executedString(out)
+    assert(!plan.contains("Window"), plan)
+    // the range shuffle lives in the RDD lineage (the sweeps are
+    // mapPartitions), so pin the OBSERVABLE property: the single
+    // contig's merged groups occupy most of the requested partitions
+    val nonEmpty = out.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .collect().sum
+    assert(nonEmpty >= 4, s"groups funneled into $nonEmpty partitions")
+    assert(out.count() == 3000L) // no-overlap: every row survives
+  }
+
   test("decontamination joins stay hashed-gram equi-joins") {
     val s = spark
     import s.implicits._

@@ -927,6 +927,47 @@ class IntervalOpsSpec extends SparkSuite {
     assert(r.getAs[String]("__we") == "keepR")
   }
 
+  test("mergeIntervalsRange: one interval spanning many partitions") {
+    val s = spark
+    import s.implicits._
+    // the boundary-handoff's hardest case: a single early interval
+    // whose end reaches across SEVERAL range partitions, swallowing
+    // whole groups that would otherwise be complete interior output —
+    // pass B must fold them into the carried chain, not emit them
+    val mega = ("chr1", 0L, 1000000L)
+    val sparse = (1 to 500).map(i => ("chr1", i * 1000L, i * 1000L + 10L))
+    val after = Seq(("chr1", 2000000L, 2000100L), ("chr2", 5L, 15L))
+    val iv = (mega +: sparse) ++ after
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("chrom", "start").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val expected = Seq(
+      ("chr1", 0L, 1000000L, 501L),
+      ("chr1", 2000000L, 2000100L, 1L),
+      ("chr2", 5L, 15L, 1L))
+    for (p <- Seq(3, 17, 64)) {
+      val got = canon(IntervalOps.mergeIntervalsRange(
+        iv.toDF("chrom", "start", "end"), partitions = p))
+      assert(got == expected, s"partitions = $p")
+    }
+    // randomized cross-check against the window formulation on a mix
+    // of dense, sparse, chained and point rows
+    val rnd = new scala.util.Random(41)
+    val rand = (0 until 3000).map { _ =>
+      val c = s"chr${rnd.nextInt(3)}"
+      val st = rnd.nextInt(20000).toLong
+      val len = rnd.nextInt(4) match {
+        case 0 => 0L                       // point
+        case 1 => rnd.nextInt(8).toLong    // sparse short
+        case _ => rnd.nextInt(400).toLong  // chaining long
+      }
+      (c, st, st + len)
+    }.toDF("chrom", "start", "end")
+    assert(canon(IntervalOps.mergeIntervalsRange(rand, partitions = 23))
+      == canon(IntervalOps.mergeIntervals(rand)))
+  }
+
   test("complement with custom coordinate names AND chromSizes") {
     val s = spark
     import s.implicits._
