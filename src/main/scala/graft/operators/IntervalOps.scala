@@ -544,13 +544,16 @@ object IntervalOps {
     * aggregates the histogram (`groupBy(floor(reldist * 100))`) —
     * that composition IS the bedtools output.
     *
-    * Scale shape: two [[RangeFill]] sweeps over the (chrom, midpoint)
-    * union timeline — the range-partitioned two-pass fill, so a
-    * single dense contig spreads across all partitions (exactly
-    * [[closest]]'s machinery, carrying one long instead of a struct)
-    * — then one equi-join on the A id. Never all-pairs.
+    * Scale shape: ONE [[RangeFill.fillBoth]] pass over the
+    * (chrom, midpoint) union timeline — the range-partitioned two-pass
+    * bidirectional fill, so a single dense contig spreads across all
+    * partitions (exactly [[closest]]'s machinery, carrying one long
+    * instead of a struct). Both flanks land on the SAME probe row, so
+    * no join is needed at all — the r17 shape (two sweeps + two
+    * equi-joins on the A id) collapsed to one shuffle. Never
+    * all-pairs.
     *
-    * @param aId unique id column in `a` (joins the two sweeps) */
+    * @param aId unique id column in `a`, carried to the output */
   def reldist(a: DataFrame, b: DataFrame, aId: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", partitions: Int = 0): DataFrame = {
@@ -569,37 +572,39 @@ object IntervalOps {
     val b2 = dropNullCoords(b, chrom, start, end)
       .select(col(chrom).cast("string").as("__c"),
         mid(col(start), col(end)).as("__bm"))
-    def sweep(forwardDir: Boolean, outName: String): DataFrame = {
-      val bl = b2.select(col("__c"), col("__bm").as("__pos"),
-        lit(0).as("__isA"), col("__bm").as("__fill"))
-        .withColumn("__aid",
-          lit(null).cast(a2.schema("__aid").dataType))
-      val al = a2.select(col("__c"), col("__am").as("__pos"),
-        lit(1).as("__isA"), lit(null).cast("long").as("__fill"),
-        col("__aid"))
-      // B sorts before A at equal positions in BOTH directions, so a
-      // coinciding B midpoint is an INCLUSIVE flanker on each side
-      val ord: Seq[Column] =
-        (if (forwardDir) col("__pos").desc else col("__pos").asc) +:
-          Seq(col("__isA").asc)
-      RangeFill.fill(bl.unionByName(al), "__c", "__fill", ord,
-          partitions)
-        .where(col("__isA") === 1)
-        .select(col("__aid"), col("__fill").as(outName))
-    }
-    val prev = sweep(forwardDir = false, "__prev")
-    val next = sweep(forwardDir = true, "__next")
+    // combined timeline: each B midpoint contributes a forward-payload
+    // event (kind 0, sorts BEFORE probes at equal positions — a
+    // coinciding B is an inclusive left flanker) and a backward-payload
+    // event (kind 2, sorts AFTER probes — the backward next-at-or-after
+    // reaches a B coinciding with the probe); each A contributes one
+    // probe (kind 1) that receives BOTH flanks in one pass
+    val aidT = a2.schema("__aid").dataType
+    val bFwd = b2.select(col("__c"), col("__bm").as("__pos"),
+      lit(0).as("__kind"), col("__bm").as("__prev"),
+      lit(null).cast("long").as("__next"),
+      lit(null).cast(aidT).as("__aid"))
+    val bBwd = b2.select(col("__c"), col("__bm").as("__pos"),
+      lit(2).as("__kind"), lit(null).cast("long").as("__prev"),
+      col("__bm").as("__next"), lit(null).cast(aidT).as("__aid"))
+    val aProbes = a2.select(col("__c"), col("__am").as("__pos"),
+      lit(1).as("__kind"), lit(null).cast("long").as("__prev"),
+      lit(null).cast("long").as("__next"), col("__aid"))
+    val filled = RangeFill.fillBoth(
+      bFwd.unionByName(bBwd).unionByName(aProbes)
+        .withColumn("__probe", col("__kind") === 1),
+      "__c", "__prev", "__next",
+      Seq(col("__pos").asc, col("__kind").asc), partitions,
+      probeCol = Some("__probe"))
     val span = col("__next") - col("__prev")
-    a2.join(prev, Seq("__aid"), "left")
-      .join(next, Seq("__aid"), "left")
+    filled.where(col("__kind") === 1)
       .select(col("__aid").as(aId),
         col("__c").cast(a.schema(chrom).dataType).as(chrom),
-        col("__am").as("a_mid"),
+        col("__pos").as("a_mid"),
         col("__prev").as("prev_mid"), col("__next").as("next_mid"),
         when(col("__prev").isNotNull && col("__next").isNotNull,
           when(span === 0L, lit(0.0)).otherwise(
-            least(col("__am") - col("__prev"),
-              col("__next") - col("__am")).cast("double") /
+            least(col("__pos") - col("__prev"),
+              col("__next") - col("__pos")).cast("double") /
               span.cast("double")))
           .as("reldist"))
   }
@@ -1388,28 +1393,34 @@ object IntervalOps {
     * Scale shape — NEVER all-pairs: any B is left-of, right-of, or
     * overlapping a given A, and within each class the best candidate
     * under the tie rule is computable by a linear structure:
-    *  - left candidate (max b.end ≤ a.start): one union timeline per
-    *    chromosome, filled with the running latest candidate struct —
-    *    the [[AsofJoin]] formulation on plain long coordinates;
-    *  - right candidate (min b.start ≥ a.end): the same sweep over the
-    *    reversed timeline;
+    *  - left candidate (max b.end ≤ a.start): a union timeline per
+    *    chromosome, filled FORWARD with the running latest candidate
+    *    struct — the [[AsofJoin]] formulation on plain coordinates;
+    *  - right candidate (min b.start ≥ a.end): the BACKWARD fill of
+    *    the same timeline;
     *  - overlap candidates: the binned equi-join
     *    ([[IntervalJoin.overlapJoin]]) reduced per A by struct-min.
     * The global winner is `least()` of the three candidate structs
-    * ordered (distance, b start, b id). Both timeline sweeps run
-    * through [[RangeFill]] — the range-partitioned two-pass fill — so
-    * a single dense contig spreads across ALL partitions instead of
-    * serializing one window task (the skew that made the full-file
-    * real-BAM variant run 33 s through the per-chromosome
-    * `Window.partitionBy` formulation this replaced; the overlap part
-    * was always bin-parallel). Cost: two range-shuffled linear sweeps
-    * + one binned join.
+    * ordered (distance, b start, b id). Both directions ride ONE
+    * combined timeline through [[RangeFill.fillBoth]] — one range
+    * shuffle, one boundary-sampling job, one pass-A summary — instead
+    * of two single-direction sweeps (the r17 shape this halves). Each
+    * B contributes an end event (kind 0, forward payload) and a start
+    * event (kind 2, backward payload); each A contributes a start
+    * probe (left candidate) and an end probe (right candidate), both
+    * kind 1. The kind ordering makes an equal-position B inclusive in
+    * BOTH directions: end events sort before probes (a book-ended B
+    * is a distance-0 left candidate), start events after them (the
+    * backward fill's next-at-or-after reaches a B starting exactly at
+    * the probe). The fill is range-partitioned on (chrom, ordering),
+    * so one dense contig spreads over every partition — no
+    * per-chromosome window anywhere.
     *
-    * @param aId unique id column in `a` (joins the three candidate
-    *            frames back together; duplicates would cross-product)
+    * @param aId unique id column in `a` (joins the candidate frames
+    *            back together; duplicates would cross-product)
     * @param bId unique id column in `b` (tie-break + output id)
-    * @param partitions range-partition count for the two sweeps; 0 =
-    *            the session's shuffle-partition default */
+    * @param partitions range-partition count for the sweep; 0 = the
+    *            session's shuffle-partition default */
   def closest(a: DataFrame, b: DataFrame, aId: String, bId: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", binSize: Long = 1000L,
@@ -1426,45 +1437,56 @@ object IntervalOps {
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be"))
       .where(col("__bid").isNotNull)
+    val cbStruct = struct(col("__bs"), col("__bid"), col("__be"))
+    val bEnd = b2.select(col("__c"), col("__be").as("__pos"),
+      lit(0).as("__kind"), cbStruct.as("__cbL"))
+    val cbT = bEnd.schema("__cbL").dataType
+    val aidT = a2.schema("__aid").dataType
+    val bEndFull = bEnd
+      .withColumn("__cbR", lit(null).cast(cbT))
+      .withColumn("__aid", lit(null).cast(aidT))
+      .withColumn("__side", lit(null).cast("int"))
+    val bStartFull = b2.select(col("__c"), col("__bs").as("__pos"),
+      lit(2).as("__kind"), lit(null).cast(cbT).as("__cbL"),
+      cbStruct.as("__cbR"), lit(null).cast(aidT).as("__aid"),
+      lit(null).cast("int").as("__side"))
+    val aProbes = a2.select(col("__c"), col("__aid"),
+        explode(array(
+          struct(col("__as").as("p"), lit(0).as("sd")),
+          struct(col("__ae").as("p"), lit(1).as("sd")))).as("__pr"))
+      .select(col("__c"), col("__pr.p").as("__pos"),
+        lit(1).as("__kind"), lit(null).cast(cbT).as("__cbL"),
+        lit(null).cast(cbT).as("__cbR"), col("__aid"),
+        col("__pr.sd").as("__side"))
+    // among equal-position B events the GLOBAL rule wants the MIN
+    // (b start, b id): the forward fill keeps the LAST seen, so kind-0
+    // tie columns sort DESCENDING; the backward fill keeps the FIRST,
+    // so kind-2 ties sort ASCENDING (equal-position start events share
+    // their __bs — the id alone decides). Each tie column is constant
+    // null outside its own kind, so the combined order stays total.
+    val ord: Seq[Column] = Seq(col("__pos").asc, col("__kind").asc,
+      col("__cbL.__bs").desc_nulls_first,
+      col("__cbL.__bid").desc_nulls_first,
+      col("__cbR.__bid").asc_nulls_first)
+    val filled = RangeFill.fillBoth(
+      bEndFull.unionByName(bStartFull).unionByName(aProbes)
+        .withColumn("__probe", col("__kind") === 1),
+      "__c", "__cbL", "__cbR", ord, partitions,
+      probeCol = Some("__probe"))
     // candidate struct layout: least() compares lexicographically, so
     // (distance, b start, b id) IS the tie rule
-    def candOf(dist: Column) = struct(dist.as("d"), col("__cb.__bs").as("s"),
-      col("__cb.__bid").as("i"), col("__cb.__be").as("e"))
-    def sweep(bPos: Column, forwardDir: Boolean,
-        outName: String): DataFrame = {
-      // the timeline carries ONLY (chrom, pos, side, payload, aid):
-      // an A row's probe coordinate IS its __pos (start for the left
-      // sweep, end for the right), so the distance needs no extra
-      // coordinate columns in the shuffle
-      val bl = b2.select(col("__c"), bPos.as("__pos"),
-        lit(0).as("__isA"),
-        struct(col("__bs"), col("__bid"), col("__be")).as("__cb"))
-        .withColumn("__aid",
-          lit(null).cast(a2.schema("__aid").dataType))
-      val al = a2.select(col("__c"),
-        (if (forwardDir) col("__ae") else col("__as")).as("__pos"),
-        lit(1).as("__isA"),
-        lit(null).cast(bl.schema("__cb").dataType).as("__cb"),
-        col("__aid"))
-      // among equal-position B rows the GLOBAL rule wants the MIN
-      // (b start, b id); the running fill keeps the LAST row seen, so
-      // the tie columns sort DESCENDING. RangeFill replays the window
-      // ordering exactly — range-partitioned on (chrom, ordering), so
-      // one dense contig spreads over every partition
-      val ord: Seq[Column] =
-        (if (forwardDir) col("__pos").desc else col("__pos").asc) +:
-          col("__isA").asc +: Seq(col("__cb.__bs").desc_nulls_first,
-            col("__cb.__bid").desc_nulls_first)
-      val dist =
-        if (forwardDir) col("__cb.__bs") - col("__pos")
-        else col("__pos") - col("__cb.__be")
-      RangeFill.fill(bl.unionByName(al), "__c", "__cb", ord, partitions)
-        .where(col("__isA") === 1)
-        .select(col("__aid"),
-          when(col("__cb").isNotNull, candOf(dist)).as(outName))
-    }
-    val leftCand = sweep(col("__be"), forwardDir = false, "__L")
-    val rightCand = sweep(col("__bs"), forwardDir = true, "__R")
+    def candOf(cb: String, dist: Column) = struct(dist.as("d"),
+      col(s"$cb.__bs").as("s"), col(s"$cb.__bid").as("i"),
+      col(s"$cb.__be").as("e"))
+    val candL = when(col("__side") === 0 && col("__cbL").isNotNull,
+      candOf("__cbL", col("__pos") - col("__cbL.__be")))
+    val candR = when(col("__side") === 1 && col("__cbR").isNotNull,
+      candOf("__cbR", col("__cbR.__bs") - col("__pos")))
+    // exactly one probe row per (aid, side): max() just picks the
+    // non-null candidate of each side
+    val sweepCand = filled.where(col("__kind") === 1)
+      .groupBy(col("__aid"))
+      .agg(max(candL).as("__L"), max(candR).as("__R"))
     val overlapCand = IntervalJoin.overlapJoin(
         a2, b2.withColumnRenamed("__c", "__c2"),
         leftCols = ("__c", "__as", "__ae"),
@@ -1473,8 +1495,7 @@ object IntervalOps {
       .agg(min(struct(lit(0L).as("d"), col("__bs").as("s"),
         col("__bid").as("i"), col("__be").as("e"))).as("__O"))
     val best = least(col("__O"), col("__L"), col("__R"))
-    a2.join(leftCand, Seq("__aid"), "left")
-      .join(rightCand, Seq("__aid"), "left")
+    a2.join(sweepCand, Seq("__aid"), "left")
       .join(overlapCand, Seq("__aid"), "left")
       .select(col("__aid").as(aId),
         col("__c").cast(a.schema(chrom).dataType).as(chrom),

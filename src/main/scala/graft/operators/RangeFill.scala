@@ -161,4 +161,213 @@ object RangeFill {
     }
     PlanShim.internalCreateDataFrame(session, filled, schema)
   }
+
+  /** Bidirectional [[fill]] over ONE range shuffle: `fwdCol` fills with
+    * the latest non-null value at-or-before each row in (key, order)
+    * row order (exactly [[fill]]), and `bwdCol` fills with the NEXT
+    * non-null value at-or-after it — the reverse-direction fill that
+    * would otherwise cost a second range shuffle with the ordering
+    * flipped. Callers that sweep one timeline in both directions
+    * (closest's left/right candidates, reldist's flanking midpoints)
+    * pay one range-boundary sampling job, one pass-A summary job, and
+    * one shuffle instead of two of each.
+    *
+    * Scale shape: pass A additionally records each partition's LEADING
+    * key run's first non-null `bwdCol` value; the driver resolves
+    * backward carries with the mirror of the forward chain walk (still
+    * O(partitions)). Pass B streams forward once: rows whose `bwdCol`
+    * is null are buffered (copied) until the next non-null value of
+    * their key arrives — or their key ends (no later value exists →
+    * stays null), or the partition ends (the trailing run takes the
+    * broadcast backward carry). Buffer memory is the longest gap
+    * between consecutive non-null `bwdCol` values within one key — the
+    * distance between adjacent reference rows on a timeline, NOT the
+    * partition (a whole partition only when a key has no reference
+    * rows at all).
+    *
+    * @param probeCol optional name of a BOOLEAN column: when set, only
+    *                 rows where it is true ("probes") receive fills or
+    *                 enter the pending buffer — every other row passes
+    *                 through untouched as the plan's own live row (its
+    *                 non-null fwd/bwd values still drive the running
+    *                 state). Event-timeline callers whose reference
+    *                 rows never consume a fill (closest, reldist) skip
+    *                 one full-row copy per reference row this way. The
+    *                 cost: with probeCol set, a partition's output may
+    *                 interleave pass-through rows ahead of buffered
+    *                 probes, so within-partition row ORDER is not
+    *                 preserved (both callers filter + aggregate). */
+  def fillBoth(df: DataFrame, key: String, fwdCol: String,
+      bwdCol: String, order: Seq[Column], partitions: Int = 0,
+      probeCol: Option[String] = None): DataFrame = {
+    val session = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else session.sessionState.conf.numShufflePartitions
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(key)
+    val fwdIdx = schema.fieldIndex(fwdCol)
+    val bwdIdx = schema.fieldIndex(bwdCol)
+    val probeIdx = probeCol.map { p =>
+      require(schema(p).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"probeCol $p must be boolean, got " +
+          schema(p).dataType.simpleString)
+      schema.fieldIndex(p)
+    }.getOrElse(-1)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val keyType = fieldTypes(keyIdx)
+    val fwdType = fieldTypes(fwdIdx)
+    val bwdType = fieldTypes(bwdIdx)
+    val numFields = fieldTypes.length
+    val sortExprs = col(key).asc +: order
+    val rdd = df.repartitionByRange(n, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .queryExecution.toRdd
+    def keyOf(r: InternalRow): Any =
+      if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
+    // pass A: fill()'s forward summary (firstKey, lastKey, lastFwdVal
+    // of the trailing key run) plus the backward mirror: the FIRST
+    // non-null bwd value among the LEADING run of firstKey rows (the
+    // only rows an earlier partition can take its carry from)
+    val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var any = false
+      var firstKey: Any = null
+      var curKey: Any = null
+      var curFwd: Any = null
+      var leadBwd: Any = null
+      var inLeading = true
+      it.foreach { r =>
+        val k = keyOf(r)
+        if (!any) {
+          any = true
+          firstKey = InternalRow.copyValue(k)
+          curKey = firstKey
+        } else if (k != curKey) {
+          curKey = InternalRow.copyValue(k); curFwd = null
+          inLeading = false
+        }
+        if (!r.isNullAt(fwdIdx))
+          curFwd = InternalRow.copyValue(r.get(fwdIdx, fwdType))
+        if (inLeading && leadBwd == null && !r.isNullAt(bwdIdx))
+          leadBwd = InternalRow.copyValue(r.get(bwdIdx, bwdType))
+      }
+      Iterator.single((pid, any, firstKey, curKey, curFwd, leadBwd))
+    }.collect().sortBy(_._1)
+    // forward carries: fill()'s chain walk verbatim
+    val carriesF = Array.fill[Any](summaries.length)(null)
+    val resolvedF = Array.fill[Any](summaries.length)(null)
+    var prevIdx = -1
+    summaries.foreach { case (pid, any, firstKey, lastKey, lastFwd, _) =>
+      if (any) {
+        if (prevIdx >= 0 && summaries(prevIdx)._4 == firstKey)
+          carriesF(pid) = resolvedF(prevIdx)
+        resolvedF(pid) =
+          if (lastFwd != null) lastFwd
+          else if (firstKey == lastKey) carriesF(pid)
+          else null
+        prevIdx = pid
+      }
+    }
+    // backward carries: the mirror walk — carriesB(p) applies to p's
+    // TRAILING lastKey run; a later partition continues the chain when
+    // its first key equals this partition's last key
+    val carriesB = Array.fill[Any](summaries.length)(null)
+    val resolvedB = Array.fill[Any](summaries.length)(null)
+    var nextIdx = -1
+    summaries.reverseIterator.foreach {
+      case (pid, any, firstKey, lastKey, _, leadBwd) =>
+        if (any) {
+          if (nextIdx >= 0 && summaries(nextIdx)._3 == lastKey)
+            carriesB(pid) = resolvedB(nextIdx)
+          resolvedB(pid) =
+            if (leadBwd != null) leadBwd
+            else if (firstKey == lastKey) carriesB(pid)
+            else null
+          nextIdx = pid
+        }
+    }
+    val bcF = session.sparkContext.broadcast(carriesF)
+    val bcB = session.sparkContext.broadcast(carriesB)
+    // pass B: ONE forward stream per sorted partition. Forward fill as
+    // fill(); backward fill buffers null-bwd rows (as detached field
+    // arrays — the plan reuses its UnsafeRow buffer across pulls) until
+    // their key's next non-null value, the key's end (stay null), or
+    // the partition's end (broadcast carry).
+    val filled = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bwdCarry = bcB.value(pid)
+      new Iterator[InternalRow] {
+        private val outQ =
+          scala.collection.mutable.Queue.empty[InternalRow]
+        private val pend =
+          scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+        private var first = true
+        private var curKey: Any = null
+        private var curFwd: Any = bcF.value(pid)
+        private var exhausted = false
+        private def copyFields(r: InternalRow): Array[Any] = {
+          val vals = new Array[Any](numFields)
+          var i = 0
+          while (i < numFields) {
+            vals(i) =
+              if (r.isNullAt(i)) null
+              else InternalRow.copyValue(r.get(i, fieldTypes(i)))
+            i += 1
+          }
+          vals
+        }
+        private def flushPend(bwdVal: Any): Unit = {
+          pend.foreach { vals =>
+            if (bwdVal != null) vals(bwdIdx) = bwdVal
+            outQ.enqueue(new GenericInternalRow(vals))
+          }
+          pend.clear()
+        }
+        private def step(): Unit = {
+          val r = it.next()
+          val k = keyOf(r)
+          if (first) {
+            first = false
+            curKey = InternalRow.copyValue(k)
+          } else if (k != curKey) {
+            curKey = InternalRow.copyValue(k); curFwd = null
+            flushPend(null) // the old key ended: no later value exists
+          }
+          val fwdNull = r.isNullAt(fwdIdx)
+          if (!fwdNull)
+            curFwd = InternalRow.copyValue(r.get(fwdIdx, fwdType))
+          val bwdNull = r.isNullAt(bwdIdx)
+          if (!bwdNull) // a reference row: release everything waiting
+            flushPend(InternalRow.copyValue(r.get(bwdIdx, bwdType)))
+          val isProbe = probeIdx < 0 ||
+            (!r.isNullAt(probeIdx) && r.getBoolean(probeIdx))
+          if (!isProbe) {
+            // pass-through: never filled, never buffered (live row —
+            // safe because no further it.next() happens until the
+            // queue drains)
+            outQ.enqueue(r)
+          } else if (bwdNull) {
+            val vals = copyFields(r)
+            if (fwdNull && curFwd != null) vals(fwdIdx) = curFwd
+            pend += vals
+          } else if (fwdNull && curFwd != null) {
+            val vals = copyFields(r)
+            vals(fwdIdx) = curFwd
+            outQ.enqueue(new GenericInternalRow(vals))
+          } else outQ.enqueue(r) // live buffer: dequeued before next pull
+        }
+        private def advance(): Unit = {
+          while (outQ.isEmpty && !exhausted) {
+            if (it.hasNext) step()
+            else {
+              exhausted = true
+              flushPend(bwdCarry) // trailing run: later partitions' value
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); outQ.nonEmpty }
+        def next(): InternalRow = { advance(); outQ.dequeue() }
+      }
+    }
+    PlanShim.internalCreateDataFrame(session, filled, schema)
+  }
 }

@@ -79,6 +79,81 @@ class RangeFillSpec extends SparkSuite {
     }
   }
 
+  /** fillBoth's backward oracle: first non-null at-or-after in row
+    * order — the window formulation with the frame flipped. */
+  private def windowFillBoth(df: DataFrame, key: String, fwd: String,
+      bwd: String, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val wF = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn(fwd, last(col(fwd), ignoreNulls = true).over(wF))
+      .withColumn(bwd, first(col(bwd), ignoreNulls = true).over(wB))
+  }
+
+  test("fillBoth equals two window fills, incl. one hot key") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(67)
+    // sparse non-null values in BOTH directions so forward and
+    // backward carries chain across many boundaries independently
+    val rows = Seq.tabulate(2500) { i =>
+      val k = if (i % 10 < 9) "hot" else s"k${i % 5}"
+      val f = if (rnd.nextInt(10) < 7) None else Some(rnd.nextInt(100))
+      val b = if (rnd.nextInt(10) < 7) None else Some(rnd.nextInt(100))
+      (k, rnd.nextInt(10000), i.toLong, f, b)
+    }
+    val df = rows.toDF("k", "pos", "id", "f", "b")
+    val order = Seq(col("pos").asc, col("id").asc)
+    val want = canon(windowFillBoth(df, "k", "f", "b", order))
+    for (parts <- Seq(1, 7, 48)) {
+      val got = canon(RangeFill.fillBoth(df, "k", "f", "b", order, parts))
+      assert(got == want, s"partitions=$parts")
+    }
+  }
+
+  test("fillBoth: all-null runs chain BOTH carries across partitions") {
+    val s = spark
+    import s.implicits._
+    // one key; the only forward value sits at the front, the only
+    // backward value at the very end — with 50 tiny partitions both
+    // carries must chain through partitions holding no value at all,
+    // and the pending buffer must hold a key's whole null tail until
+    // the partition-end carry flush
+    val rows = (0 until 300).map(i => ("k", i, i.toLong,
+      if (i == 2) Some(11) else Option.empty[Int],
+      if (i == 297) Some(99) else Option.empty[Int]))
+    val df = rows.toDF("k", "pos", "id", "f", "b")
+    val order = Seq(col("pos").asc)
+    val got = canon(RangeFill.fillBoth(df, "k", "f", "b", order, 50))
+    assert(got == canon(windowFillBoth(df, "k", "f", "b", order)))
+    assert(got.last(3) == 11)   // forward value reached the tail
+    assert(got.head(4) == 99)   // backward value reached the head
+    // rows before the first forward value stay null; rows after the
+    // last backward value stay null
+    assert(got.head(3) == null && got.last(4) == null)
+  }
+
+  test("fillBoth: key changes cut the backward fill (no later value)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("a", 1, 1L, Option.empty[Int], Option.empty[Int]),
+      ("a", 2, 2L, Option(5), Option.empty[Int]),
+      ("b", 1, 3L, Option.empty[Int], Option(7)),
+      ("b", 2, 4L, Option.empty[Int], Option.empty[Int]))
+    val df = rows.toDF("k", "pos", "id", "f", "b")
+    val order = Seq(col("pos").asc)
+    for (parts <- Seq(1, 2, 4)) {
+      val got = canon(RangeFill.fillBoth(df, "k", "f", "b", order, parts))
+      assert(got == canon(windowFillBoth(df, "k", "f", "b", order)),
+        s"partitions=$parts")
+      // key a's pending null row must NOT take key b's backward value
+      assert(got(0)(4) == null, s"partitions=$parts")
+      assert(got(2)(4) == 7, s"partitions=$parts")
+    }
+  }
+
   test("empty input and more partitions than rows") {
     val s = spark
     import s.implicits._
