@@ -50,6 +50,21 @@ object OracleSql {
       | (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
       |FROM customer""".stripMargin
 
+  /** Mirrors SparkEntry.intervalsCS / intervalsBS: the stranded-gate
+    * derivations — thirds of '+' / '-' / '.' keyed off the id, so
+    * both engines derive the strand with one CASE expression. */
+  private val ivCS =
+    s"""SELECT *,
+       | CASE WHEN aid % 3 = 0 THEN '+'
+       |   WHEN aid % 3 = 1 THEN '-' ELSE '.' END AS strand
+       |FROM ($ivC)""".stripMargin
+
+  private val ivBS =
+    s"""SELECT *,
+       | CASE WHEN iv_id % 3 = 0 THEN '+'
+       |   WHEN iv_id % 3 = 1 THEN '-' ELSE '.' END AS strand
+       |FROM ($ivB)""".stripMargin
+
   /** The q36-style gaps-and-islands merge, parameterized by the source
     * CTE name — shared by the q84 jaccard oracle, which replays BOTH
     * sides' merges with the textbook per-chromosome windows that
@@ -982,6 +997,130 @@ object OracleSql {
     // q95: bedtools-annotate — the q88 tie-safe island formulation
     // replayed once per labeled set, unioned in long format
     "q95_interval_annotate" -> q95Sql,
+    // q96: bedtools closest -s — q77's all-pairs argmin with the
+    // strand equality added to the candidate join ('.' matches '.')
+    "q96_closest_stranded" ->
+      s"""WITH a AS ($ivCS),
+         |bv AS ($ivBS),
+         |pair AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+         |    CASE WHEN b.iv_id IS NULL THEN NULL
+         |      ELSE struct_pack(
+         |        d := CASE WHEN a.astart < b."end"
+         |                    AND b."start" < a.aend THEN 0
+         |                  WHEN b."end" <= a.astart
+         |                    THEN a.astart - b."end"
+         |                  ELSE b."start" - a.aend END,
+         |        s := b."start", i := b.iv_id, e := b."end") END AS c
+         |  FROM a LEFT JOIN bv b
+         |    ON a.chrom = b.chrom AND a.strand = b.strand),
+         |r AS (SELECT aid, chrom, astart, aend, min(c) AS m
+         |  FROM pair GROUP BY 1, 2, 3, 4)
+         |SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+         |  CAST(m['s'] AS BIGINT) AS closest_start,
+         |  CAST(m['e'] AS BIGINT) AS closest_end,
+         |  CAST(m['d'] AS BIGINT) AS distance
+         |FROM r ORDER BY aid""".stripMargin,
+    // q97: bedtools map -S — q83's LEFT JOIN restricted to the
+    // opposite '+'/'-' pairing ('.' rows never match; their A rows
+    // keep zero overlaps)
+    "q97_map_stranded" ->
+      s"""WITH a AS ($ivCS),
+         |bv AS ($ivBS),
+         |b2 AS (SELECT chrom, "start", "end", strand,
+         |  iv_id % 97 AS v FROM bv)
+         |SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+         |  CAST(a.aend AS BIGINT) AS "end",
+         |  count(b2.v) AS n_overlaps,
+         |  CAST(sum(b2.v) AS BIGINT) AS v_sum,
+         |  min(b2.v) AS v_min, max(b2.v) AS v_max,
+         |  round(avg(b2.v), 4) AS v_mean_r
+         |FROM a LEFT JOIN b2
+         |  ON a.chrom = b2.chrom AND a.astart < b2."end"
+         |    AND b2."start" < a.aend
+         |    AND ((a.strand = '+' AND b2.strand = '-')
+         |      OR (a.strand = '-' AND b2.strand = '+'))
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // q98: bedtools subtract -s — q79's per-base explode with the
+    // strand equality in the coverage test (only same-strand B bases
+    // remove)
+    "q98_subtract_stranded" ->
+      s"""WITH a AS ($ivCS),
+         |bv AS ($ivBS),
+         |pos AS (SELECT aid, chrom, strand,
+         |    unnest(range(astart, aend)) AS p
+         |  FROM a),
+         |alive AS (SELECT aid, chrom, p FROM pos
+         |  WHERE NOT EXISTS (SELECT 1 FROM bv b
+         |    WHERE b.chrom = pos.chrom AND b.strand = pos.strand
+         |      AND b."start" <= pos.p AND pos.p < b."end")),
+         |isl AS (SELECT aid, chrom, p,
+         |    p - row_number() OVER (PARTITION BY aid ORDER BY p)
+         |      AS grp
+         |  FROM alive)
+         |SELECT aid, chrom, CAST(min(p) AS BIGINT) AS "start",
+         |  CAST(max(p) + 1 AS BIGINT) AS "end"
+         |FROM isl GROUP BY aid, chrom, grp
+         |ORDER BY aid, "start"""".stripMargin,
+    // q99: bedtools window -w 20000 -s — q87's proximity pairing with
+    // the strand equality in the join
+    "q99_window_stranded" ->
+      s"""WITH a AS ($ivCS),
+         |bv AS ($ivBS)
+         |SELECT a.aid, count(*) AS n_near,
+         |  CAST(sum(b."start") AS BIGINT) AS sum_bstart,
+         |  min(b.iv_id) AS min_bid, max(b.iv_id) AS max_bid
+         |FROM a JOIN bv b
+         |  ON a.chrom = b.chrom AND a.strand = b.strand
+         |    AND a.astart - 20000 < b."end"
+         |    AND b."start" < a.aend + 20000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q100: bedtools map -f 0.5 -F 0.25 — q83's LEFT JOIN with both
+    // fraction inequalities on the exact clipped overlap (integer *
+    // 0.5/0.25 is exact in doubles, so >= agrees bit-for-bit)
+    "q100_map_fraction" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB),
+         |b2 AS (SELECT chrom, "start", "end", iv_id % 97 AS v FROM bv)
+         |SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+         |  CAST(a.aend AS BIGINT) AS "end",
+         |  count(b2.v) AS n_overlaps,
+         |  CAST(sum(b2.v) AS BIGINT) AS v_sum,
+         |  min(b2.v) AS v_min, max(b2.v) AS v_max,
+         |  round(avg(b2.v), 4) AS v_mean_r
+         |FROM a LEFT JOIN b2
+         |  ON a.chrom = b2.chrom AND a.astart < b2."end"
+         |    AND b2."start" < a.aend
+         |    AND least(a.aend, b2."end") - greatest(a.astart, b2."start")
+         |      >= 0.5 * (a.aend - a.astart)
+         |    AND least(a.aend, b2."end") - greatest(a.astart, b2."start")
+         |      >= 0.25 * (b2."end" - b2."start")
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // q101: bedtools closest -t all -D ref — every pair at each A's
+    // all-pairs minimum distance, signed negative for upstream B
+    "q101_closest_all" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB),
+         |pair AS (SELECT a.aid, b.iv_id AS bid,
+         |    b."start" AS bs, b."end" AS be,
+         |    CASE WHEN a.astart < b."end" AND b."start" < a.aend THEN 0
+         |         WHEN b."end" <= a.astart THEN a.astart - b."end"
+         |         ELSE b."start" - a.aend END AS d
+         |  FROM a JOIN bv b ON a.chrom = b.chrom),
+         |mn AS (SELECT aid, min(d) AS md FROM pair GROUP BY 1),
+         |ties AS (SELECT p.* FROM pair p
+         |  JOIN mn ON p.aid = mn.aid AND p.d = mn.md)
+         |SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+         |  CAST(a.aend AS BIGINT) AS "end",
+         |  t.bid AS closest_id,
+         |  CAST(t.bs AS BIGINT) AS closest_start,
+         |  CAST(t.be AS BIGINT) AS closest_end,
+         |  CAST(t.d AS BIGINT) AS distance,
+         |  CAST(CASE WHEN t.d = 0 THEN 0
+         |    WHEN t.be <= a.astart THEN -t.d ELSE t.d END
+         |    AS BIGINT) AS signed_distance
+         |FROM a LEFT JOIN ties t ON a.aid = t.aid
+         |ORDER BY a.aid, closest_id""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

@@ -1703,6 +1703,122 @@ object SparkEntry {
         col("a_len"), round(col("fraction"), 6).as("fraction_r"))
       .orderBy(col("aid"), col("set"))
 
+  /** Deterministic strand for the stranded-gate derivations: thirds of
+    * '+' / '-' / '.', keyed off the interval id so the DuckDB oracles
+    * replay it with one CASE expression. */
+  private def strandOf(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(key % 3 === 0, "+").when(key % 3 === 1, "-").otherwise(lit("."))
+
+  /** [[intervalsC]] plus the derived strand — probe side of the
+    * stranded gates (kept separate so the strand column never leaks
+    * into the pass-through outputs of the unstranded gates). */
+  private[graft] def intervalsCS(s: SparkSession, dir: String): DataFrame =
+    intervalsC(s, dir).withColumn("strand", strandOf(col("aid")))
+
+  /** [[intervalsB]] plus the derived strand. */
+  private[graft] def intervalsBS(s: SparkSession, dir: String): DataFrame =
+    intervalsB(s, dir).withColumn("strand", strandOf(col("iv_id")))
+
+  /** Same-strand closest ([[graft.operators.IntervalOps.closest]] with
+    * [[graft.operators.Strandedness.Same]] — the bedtools `closest -s`
+    * analogue, added r18): the strand joins the sweep/overlap KEY, so
+    * each A finds its nearest same-strand B even when a wrong-strand B
+    * sits nearer ('.' matches only '.'). The oracle replays q77's
+    * all-pairs argmin with the strand equality added to the join. */
+  private def q96_closest_stranded(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsCS(s, dir)
+    val b = intervalsBS(s, dir).withColumnRenamed("iv_id", "bid")
+    graft.operators.IntervalOps.closest(a, b, "aid", "bid",
+        strand = graft.operators.Strandedness.Same())
+      .orderBy(col("aid"))
+  }
+
+  /** Opposite-strand value annotation ([[graft.operators.IntervalOps
+    * .mapOverlaps]] with [[graft.operators.Strandedness.Opposite]] —
+    * the bedtools `map -S` analogue, added r18): only '+'/'-' pairings
+    * aggregate ('.' rows never match, predicate policy keeps their A
+    * rows with zero overlaps). Oracle = q83's LEFT JOIN with the
+    * opposite-pairing condition. */
+  private def q97_map_stranded(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsCS(s, dir)
+    val b = intervalsBS(s, dir).withColumn("v", col("iv_id") % 97)
+    graft.operators.IntervalOps.mapOverlaps(a, b, "aid", "v",
+        strand = graft.operators.Strandedness.Opposite())
+      .select(col("aid"), col("chrom"), col("start"), col("end"),
+        col("n_overlaps"), col("v_sum"), col("v_min"), col("v_max"),
+        round(col("v_mean"), 4).as("v_mean_r"))
+      .orderBy(col("aid"))
+  }
+
+  /** Same-strand subtraction ([[graft.operators.IntervalOps.subtract]]
+    * with Same — the bedtools `subtract -s` analogue, added r18): only
+    * same-strand B bases are removed; the strand keys the merge AND
+    * the join. The oracle is q79's per-base explode-and-recoalesce
+    * with the strand equality in the coverage test. */
+  private def q98_subtract_stranded(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsCS(s, dir)
+    val b = intervalsBS(s, dir).drop("iv_id")
+    graft.operators.IntervalOps.subtract(a, b, "aid",
+        strand = graft.operators.Strandedness.Same())
+      .orderBy(col("aid"), col("start"))
+  }
+
+  /** Same-strand proximity join ([[graft.operators.IntervalOps
+    * .windowJoin]] with Same — the bedtools `window -sw -s` analogue,
+    * added r18): q87's 20-kbp pairing restricted to equal strands via
+    * the join-condition predicate. */
+  private def q99_window_stranded(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsCS(s, dir)
+    val b = intervalsBS(s, dir)
+      .select(col("iv_id").as("bid"), col("chrom").as("bchrom"),
+        col("start").as("bstart"), col("end").as("bend"),
+        col("strand").as("bstrand"))
+    graft.operators.IntervalOps.windowJoin(a, b, window = 20000L,
+        leftCols = ("chrom", "start", "end"),
+        rightCols = ("bchrom", "bstart", "bend"),
+        strand = graft.operators.Strandedness.Same("strand", "bstrand"))
+      .groupBy(col("aid"))
+      .agg(count(lit(1)).as("n_near"), sum(col("bstart")).as("sum_bstart"),
+        min(col("bid")).as("min_bid"), max(col("bid")).as("max_bid"))
+      .orderBy(col("aid"))
+  }
+
+  /** Fraction-thresholded annotation ([[graft.operators.IntervalOps
+    * .mapOverlaps]] with `minOverlapFracA/B` — the bedtools
+    * `map -f 0.5 -F 0.25` analogue, added r18): a B row counts only
+    * when the exact clipped overlap covers ≥ 50% of A AND ≥ 25% of
+    * itself. The oracle adds both inequalities to q83's join. */
+  private def q100_map_fraction(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsB(s, dir).withColumn("v", col("iv_id") % 97)
+    graft.operators.IntervalOps.mapOverlaps(a, b, "aid", "v",
+        minOverlapFracA = 0.5, minOverlapFracB = 0.25)
+      .select(col("aid"), col("chrom"), col("start"), col("end"),
+        col("n_overlaps"), col("v_sum"), col("v_min"), col("v_max"),
+        round(col("v_mean"), 4).as("v_mean_r"))
+      .orderBy(col("aid"))
+  }
+
+  /** Every-tie closest with signed distance ([[graft.operators
+    * .IntervalOps.closestAll]] — the bedtools `closest -t all -D ref`
+    * analogue, added r18): one row per (A, B-at-minimum-distance)
+    * pair, negative signed distance for upstream B. The oracle keeps
+    * ALL pairs at each A's all-pairs minimum instead of the q77
+    * argmin. */
+  private def q101_closest_all(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsB(s, dir).withColumnRenamed("iv_id", "bid")
+    graft.operators.IntervalOps.closestAll(a, b, "aid", "bid")
+      .orderBy(col("aid"), col("closest_id"))
+  }
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -1922,7 +2038,13 @@ object SparkEntry {
     "q92_multiinter" -> (q92_multiinter _),
     "q93_reldist" -> (q93_reldist _),
     "q94_interval_shuffle" -> (q94_interval_shuffle _),
-    "q95_interval_annotate" -> (q95_interval_annotate _)) ++
+    "q95_interval_annotate" -> (q95_interval_annotate _),
+    "q96_closest_stranded" -> (q96_closest_stranded _),
+    "q97_map_stranded" -> (q97_map_stranded _),
+    "q98_subtract_stranded" -> (q98_subtract_stranded _),
+    "q99_window_stranded" -> (q99_window_stranded _),
+    "q100_map_fraction" -> (q100_map_fraction _),
+    "q101_closest_all" -> (q101_closest_all _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -122,9 +122,16 @@ object IntervalJoin {
       leftCols: (String, String, String) = ("chrom", "start", "end"),
       rightCols: (String, String, String) = ("chrom", "start", "end"),
       binSize: Long = 1000L,
-      maxBinsPerRow: Int = 1024): DataFrame = {
+      maxBinsPerRow: Int = 1024,
+      strand: Strandedness = Strandedness.Ignore,
+      minOverlapFracLeft: Double = 0.0,
+      minOverlapFracRight: Double = 0.0): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
+    require(minOverlapFracLeft >= 0.0 && minOverlapFracLeft <= 1.0,
+      s"minOverlapFracLeft must be in [0, 1], got $minOverlapFracLeft")
+    require(minOverlapFracRight >= 0.0 && minOverlapFracRight <= 1.0,
+      s"minOverlapFracRight must be in [0, 1], got $minOverlapFracRight")
     // an overflowing product would wrap capLen negative, classify EVERY
     // row as long, and silently turn the scale path into the quadratic
     // per-chromosome shuffle it exists to avoid
@@ -209,9 +216,39 @@ object IntervalJoin {
         .when(L(binCol) === LongRightChannel, !isLong(L(ls), L(le)))
         .otherwise(L(binCol) === floorDiv(greatest(L(ls), R(rs)), binSize))
 
+    // bedtools -s/-S: a residual equi/pair predicate inside the join
+    // condition (strand columns must exist on their sides with
+    // non-colliding names, like every other carried column). Null
+    // strands never match — the predicate-based policy.
+    val strandCond = strand match {
+      case Strandedness.Ignore => lit(true)
+      case Strandedness.Same(ac, bc) => L(ac) === R(bc)
+      case Strandedness.Opposite(ac, bc) =>
+        (L(ac) === "+" && R(bc) === "-") ||
+          (L(ac) === "-" && R(bc) === "+")
+    }
+    // bedtools -f/-F (-r = both): minimum overlap as a fraction of a
+    // side's length, evaluated on the exact clipped overlap. A zero
+    // threshold is the plain >= 1-base predicate (already implied by
+    // the strict raw predicate); degenerate zero-length sides match
+    // under the raw predicate's own rules and are unaffected by a
+    // zero threshold (0 >= f * 0 holds).
+    val ovl = (least(L(le), R(re)) - greatest(L(ls), R(rs)))
+      .cast("double")
+    val fracCond =
+      (if (minOverlapFracLeft > 0.0)
+        ovl >= lit(minOverlapFracLeft) *
+          (L(le) - L(ls)).cast("double")
+      else lit(true)) &&
+      (if (minOverlapFracRight > 0.0)
+        ovl >= lit(minOverlapFracRight) *
+          (R(re) - R(rs)).cast("double")
+      else lit(true))
+
     val joined = l.join(r,
       L(lc) === R(rc) && L(binCol) === R(binCol) &&
-        L(ls) < R(re) && R(rs) < L(le) && ownership)
+        L(ls) < R(re) && R(rs) < L(le) && ownership &&
+        strandCond && fracCond)
 
     joined.drop(binCol, rLongCol, lLongCol)
   }

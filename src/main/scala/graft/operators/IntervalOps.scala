@@ -18,7 +18,59 @@ import org.apache.spark.sql.functions._
   * split a pathological single-contig load at the cost of a second
   * merge pass over the salt boundaries.
   */
+/** Strand constraint for the interval operators — the bedtools
+  * `-s`/`-S` analogue (the reference's own BED/GFF models type a
+  * strand column, `bed/model/field_def.rs:16-32`,
+  * `gxf/model/field.rs:9-51`; the reference leaves the stranded
+  * OPERATORS to downstream engines).
+  *
+  * Semantics (engineering contract, replayed verbatim by the oracle
+  * gates): strands compare as RAW STRINGS under [[Strandedness.Same]]
+  * (so `'.'` matches `'.'`), and under [[Strandedness.Opposite]] only
+  * a `'+'`/`'-'` pairing matches (a `'.'` has no opposite). A null
+  * strand never matches anything. Key-based operators (closest,
+  * subtract — where the strand joins the sweep/merge KEY) DROP rows
+  * whose strand cannot participate, the same policy as a null
+  * chromosome; predicate-based operators (overlapJoin, windowJoin,
+  * mapOverlaps) simply never match them, so probe-side rows survive
+  * with zero counts where the operator reports zeroes. */
+sealed trait Strandedness
+object Strandedness {
+  /** Strand-blind (the default everywhere). */
+  case object Ignore extends Strandedness
+  /** bedtools `-s`: equal strand strings required. */
+  final case class Same(aCol: String = "strand",
+    bCol: String = "strand") extends Strandedness
+  /** bedtools `-S`: one side `'+'`, the other `'-'`. */
+  final case class Opposite(aCol: String = "strand",
+    bCol: String = "strand") extends Strandedness
+}
+
 object IntervalOps {
+
+  /** The A-side/B-side key fragments a strand policy adds to a
+    * composite (chrom, strand) sweep or merge key: equality of the two
+    * fragments IS the policy (the A side flips under Opposite). None
+    * under Ignore. */
+  private[operators] def strandKeyCols(s: Strandedness)
+      : Option[(Column, Column)] = s match {
+    case Strandedness.Ignore => None
+    case Strandedness.Same(ac, bc) =>
+      Some((col(ac).cast("string"), col(bc).cast("string")))
+    case Strandedness.Opposite(ac, bc) =>
+      Some((when(col(ac) === "+", "-").when(col(ac) === "-", "+"),
+        col(bc).cast("string")))
+  }
+
+  /** Extends a normalized chromosome-string key with the strand
+    * fragment (NUL-separated — a character no text-format chromosome
+    * name can carry); a null fragment nulls the key, which the caller's
+    * isNotNull filter then drops (the key-based drop policy). */
+  private def compositeKey(chromStr: Column,
+      frag: Option[Column]): Column = frag match {
+    case None => chromStr
+    case Some(f) => concat(chromStr, lit("\u0000"), f)
+  }
 
   /** Merge overlapping or book-ended (`end == start`, half-open abutting)
     * intervals per chromosome: the minimal set of disjoint intervals
@@ -615,6 +667,18 @@ object IntervalOps {
       chrom: String = "chrom", start: String = "start",
       end: String = "end", partitions: Int = 0): DataFrame = {
     require(sets.nonEmpty, "multiinterOf needs at least one set")
+    // pass-A driver state is O(partitions x contigs x sets): the
+    // partition and contig dimensions are bounded by construction
+    // (range partitions are contiguous, so each partition meets few
+    // contigs), but the SET dimension multiplies every entry — a
+    // 1000-set panel over a draft assembly's 100k scaffolds would be
+    // ~10^8 driver entries. bedtools-style panels are dozens of sets;
+    // fail loudly past that instead of silently ballooning the driver.
+    require(sets.size <= 64,
+      s"multiinterOf supports at most 64 sets, got ${sets.size} — " +
+        "per-set driver state in the breakpoint sweep grows with " +
+        "sets x contigs x partitions; partition the panel and union " +
+        "the results instead")
     val tagged = sets.map { case (name, f) =>
       f.select(col(chrom), col(start), col(end))
         .withColumn("__setname", lit(name))
@@ -738,18 +802,29 @@ object IntervalOps {
     *            can split into many rows; the id says which) */
   def subtract(a: DataFrame, b: DataFrame, aId: String,
       chrom: String = "chrom", start: String = "start",
-      end: String = "end", binSize: Long = 1000L): DataFrame = {
+      end: String = "end", binSize: Long = 1000L,
+      strand: Strandedness = Strandedness.Ignore): DataFrame = {
+    // stranded subtraction keys the merge AND the join on the
+    // composite (chrom, strand fragment): only same-key B bases are
+    // removed (bedtools -s/-S). Key-based policy: rows whose strand
+    // cannot participate (null; non-+/- A under Opposite) DROP.
+    val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
-      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+      .select(col(aId).as("__aid"),
+        compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
+        col(chrom).cast("string").as("__oc"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae"))
-      .where(col("__aid").isNotNull && col("__as") < col("__ae"))
+      .where(col("__aid").isNotNull && col("__as") < col("__ae") &&
+        col("__c").isNotNull)
     val mb = mergeIntervalsRange(
         dropNullCoords(b, chrom, start, end)
-          .select(col(chrom).cast("string").as("__c"),
+          .select(compositeKey(col(chrom).cast("string"), sk.map(_._2))
+            .as("__c"),
             col(start).cast("long").as("__bs"),
-            col(end).cast("long").as("__be")),
+            col(end).cast("long").as("__be"))
+          .where(col("__c").isNotNull),
         chrom = "__c", start = "__bs", end = "__be")
       .withColumnRenamed("start", "__bs")
       .withColumnRenamed("end", "__be")
@@ -775,19 +850,19 @@ object IntervalOps {
       .withColumn("__lastBs",
         max(col("__bs")).over(Window.partitionBy(col("__aid"))))
     val leading = marked.where(col("__gs") < col("__cs"))
-      .select(col("__aid"), col("__c"), col("__gs").as("__as"),
+      .select(col("__aid"), col("__oc"), col("__gs").as("__as"),
         col("__cs").as("__ae"))
     val tails = marked
       .where(col("__bs") === col("__lastBs") &&
         col("__ce") < col("__ae"))
-      .select(col("__aid"), col("__c"), col("__ce").as("__as"),
+      .select(col("__aid"), col("__oc"), col("__ce").as("__as"),
         col("__ae"))
     val untouched = a2.join(ov.select(col("__aid")).distinct(),
       Seq("__aid"), "left_anti")
-      .select(col("__aid"), col("__c"), col("__as"), col("__ae"))
+      .select(col("__aid"), col("__oc"), col("__as"), col("__ae"))
     leading.unionByName(tails).unionByName(untouched)
       .select(col("__aid").as(aId),
-        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
         col("__as").cast(a.schema(start).dataType).as(start),
         col("__ae").cast(a.schema(end).dataType).as(end))
   }
@@ -818,19 +893,30 @@ object IntervalOps {
     * @param value numeric column in `b` to aggregate */
   def mapOverlaps(a: DataFrame, b: DataFrame, aId: String,
       value: String, chrom: String = "chrom", start: String = "start",
-      end: String = "end", binSize: Long = 1000L): DataFrame = {
+      end: String = "end", binSize: Long = 1000L,
+      strand: Strandedness = Strandedness.Ignore,
+      minOverlapFracA: Double = 0.0,
+      minOverlapFracB: Double = 0.0): DataFrame = {
+    // strand columns ride the normalized projections under fixed
+    // names; the policy itself is enforced INSIDE the binned join's
+    // condition (predicate-based: unmatchable A rows stay, with
+    // zero overlaps). Fractions (-f/-F; -r = both) likewise.
+    val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
-      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+      .select(Seq(col(aId).as("__aid"),
+        col(chrom).cast("string").as("__c"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
-          .as("__ae"))
+          .as("__ae")) ++
+        sk.map(_._1.as("__astr")).toSeq: _*)
       .where(col("__aid").isNotNull)
     val b2 = dropNullCoords(b, chrom, start, end)
-      .select(col(chrom).cast("string").as("__c2"),
+      .select(Seq(col(chrom).cast("string").as("__c2"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be"),
-        col(value).as("__v"))
+        col(value).as("__v")) ++
+        sk.map(_._2.as("__bstr")).toSeq: _*)
       // zero-length B rows cover no bases; the strict predicate would
       // still match one strictly inside an A interval (subtract's
       // boundary case), so they drop here
@@ -838,7 +924,12 @@ object IntervalOps {
     val agg = IntervalJoin.overlapJoin(
         a2.where(col("__as") < col("__ae")), b2,
         leftCols = ("__c", "__as", "__ae"),
-        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
+        strand =
+          if (sk.isEmpty) Strandedness.Ignore
+          else Strandedness.Same("__astr", "__bstr"),
+        minOverlapFracLeft = minOverlapFracA,
+        minOverlapFracRight = minOverlapFracB)
       .groupBy(col("__aid"))
       .agg(count(lit(1)).as("__n"), sum(col("__v")).as("v_sum"),
         min(col("__v")).as("v_min"), max(col("__v")).as("v_max"),
@@ -1139,7 +1230,8 @@ object IntervalOps {
   def windowJoin(a: DataFrame, b: DataFrame, window: Long,
       leftCols: (String, String, String) = ("chrom", "start", "end"),
       rightCols: (String, String, String) = ("chrom", "start", "end"),
-      binSize: Long = 1000L): DataFrame = {
+      binSize: Long = 1000L,
+      strand: Strandedness = Strandedness.Ignore): DataFrame = {
     require(window >= 0L, s"window must be non-negative, got $window")
     val (c, s, e) = leftCols
     // extension-column names probed against BOTH inputs (overlapJoin's
@@ -1164,7 +1256,7 @@ object IntervalOps {
       .where(col(rightCols._3).cast("long") >
         col(rightCols._2).cast("long"))
     IntervalJoin.overlapJoin(wa, b2, leftCols = (c, wsCol, weCol),
-        rightCols = rightCols, binSize = binSize)
+        rightCols = rightCols, binSize = binSize, strand = strand)
       .drop(wsCol, weCol)
   }
 
@@ -1424,19 +1516,30 @@ object IntervalOps {
   def closest(a: DataFrame, b: DataFrame, aId: String, bId: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", binSize: Long = 1000L,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      strand: Strandedness = Strandedness.Ignore): DataFrame = {
+    // stranded closest keys the SWEEPS and the overlap join on the
+    // composite (chrom, strand fragment) — a candidate must share the
+    // key, so a same/opposite-strand B is found even when a
+    // wrong-strand B sits nearer (a residual filter could not do
+    // that). Key-based policy: rows whose strand cannot participate
+    // DROP from their side.
+    val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
-      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+      .select(col(aId).as("__aid"),
+        compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
+        col(chrom).cast("string").as("__oc"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae"))
-      .where(col("__aid").isNotNull)
+      .where(col("__aid").isNotNull && col("__c").isNotNull)
     val b2 = dropNullCoords(b, chrom, start, end)
-      .select(col(bId).as("__bid"), col(chrom).cast("string").as("__c"),
+      .select(col(bId).as("__bid"),
+        compositeKey(col(chrom).cast("string"), sk.map(_._2)).as("__c"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be"))
-      .where(col("__bid").isNotNull)
+      .where(col("__bid").isNotNull && col("__c").isNotNull)
     val cbStruct = struct(col("__bs"), col("__bid"), col("__be"))
     val bEnd = b2.select(col("__c"), col("__be").as("__pos"),
       lit(0).as("__kind"), cbStruct.as("__cbL"))
@@ -1498,12 +1601,100 @@ object IntervalOps {
     a2.join(sweepCand, Seq("__aid"), "left")
       .join(overlapCand, Seq("__aid"), "left")
       .select(col("__aid").as(aId),
-        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
         col("__as").cast(a.schema(start).dataType).as(start),
         col("__ae").cast(a.schema(end).dataType).as(end),
         best.getField("i").as("closest_id"),
         best.getField("s").as("closest_start"),
         best.getField("e").as("closest_end"),
         best.getField("d").as("distance"))
+  }
+
+  /** Every-tie variant of [[closest]] — the bedtools `closest -t all`
+    * analogue, with the `-D ref`-style SIGNED distance: one output row
+    * per (A, B-at-minimum-distance) pair instead of the deterministic
+    * argmin pick. `distance` matches [[closest]]'s rule exactly (0 for
+    * any overlap or book-ended touch); `signed_distance` is 0 there,
+    * negative for an upstream B (`b.end <= a.start` — B lower on the
+    * reference), positive downstream. A rows with no candidate on
+    * their (chrom, strand) key keep one row of null closest columns —
+    * [[closest]]'s left-outer contract.
+    *
+    * Scale shape — still never all-pairs: [[closest]] first computes
+    * each A's minimum distance d (its one-shuffle sweep machinery),
+    * then ONE binned equi-join of A extended by d + 1 on each side
+    * against B keeps the pairs at exactly distance d. The per-row
+    * extension means an isolated A whose nearest B sits far away fans
+    * out over many bins — [[IntervalJoin.overlapJoin]]'s long-row
+    * coarse channels bound that explosion exactly as they bound long
+    * input intervals. Ties at distance d are the output, so the join's
+    * result size IS the answer's size.
+    *
+    * @param strand [[Strandedness]] — applied inside [[closest]]'s
+    *               sweeps AND the tie join's key */
+  def closestAll(a: DataFrame, b: DataFrame, aId: String, bId: String,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L,
+      partitions: Int = 0,
+      strand: Strandedness = Strandedness.Ignore): DataFrame = {
+    val sk = strandKeyCols(strand)
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(col(aId).as("__aid"),
+        compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
+        col(chrom).cast("string").as("__oc"),
+        col(start).cast("long").as("__as"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__ae"))
+      .where(col("__aid").isNotNull && col("__c").isNotNull)
+    val b2 = dropNullCoords(b, chrom, start, end)
+      .select(col(bId).as("__bid"),
+        compositeKey(col(chrom).cast("string"), sk.map(_._2))
+          .as("__c2"),
+        col(start).cast("long").as("__bs"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__be"))
+      .where(col("__bid").isNotNull && col("__c2").isNotNull)
+    val best = closest(a, b, aId, bId, chrom, start, end, binSize,
+        partitions, strand)
+      .select(col(aId).as("__aid"), col("distance").as("__d"))
+    val withD = a2.join(best, Seq("__aid"))
+    // extend by d + 1 so a B at EXACTLY distance d still strictly
+    // overlaps the probe interval (be > as - d - 1 <=> be >= as - d)
+    val aExt = withD.where(col("__d").isNotNull)
+      .withColumn("__xs", col("__as") - col("__d") - 1L)
+      .withColumn("__xe", col("__ae") + col("__d") + 1L)
+    val dist =
+      when(col("__as") < col("__be") && col("__bs") < col("__ae"),
+        lit(0L))
+        .when(col("__be") <= col("__as"), col("__as") - col("__be"))
+        .otherwise(col("__bs") - col("__ae"))
+    val ties = IntervalJoin.overlapJoin(aExt, b2,
+        leftCols = ("__c", "__xs", "__xe"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+      .withColumn("__dist", dist)
+      .where(col("__dist") === col("__d"))
+      .select(col("__aid"), col("__oc"), col("__as"), col("__ae"),
+        col("__bid").as("__ci"), col("__bs").as("__cs"),
+        col("__be").as("__ce"), col("__dist"),
+        when(col("__dist") === 0L, lit(0L))
+          .when(col("__be") <= col("__as"), -col("__dist"))
+          .otherwise(col("__dist")).as("__sd"))
+    val misses = withD.where(col("__d").isNull)
+      .select(col("__aid"), col("__oc"), col("__as"), col("__ae"),
+        lit(null).cast(b2.schema("__bid").dataType).as("__ci"),
+        lit(null).cast("long").as("__cs"),
+        lit(null).cast("long").as("__ce"),
+        lit(null).cast("long").as("__dist"),
+        lit(null).cast("long").as("__sd"))
+    ties.unionByName(misses)
+      .select(col("__aid").as(aId),
+        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
+        col("__as").cast(a.schema(start).dataType).as(start),
+        col("__ae").cast(a.schema(end).dataType).as(end),
+        col("__ci").as("closest_id"),
+        col("__cs").as("closest_start"),
+        col("__ce").as("closest_end"),
+        col("__dist").as("distance"),
+        col("__sd").as("signed_distance"))
   }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 class IntervalOpsSpec extends SparkSuite {
@@ -966,6 +968,209 @@ class IntervalOpsSpec extends SparkSuite {
     }.toDF("chrom", "start", "end")
     assert(canon(IntervalOps.mergeIntervalsRange(rand, partitions = 23))
       == canon(IntervalOps.mergeIntervals(rand)))
+  }
+
+  test("stranded closest: same/opposite keys pick the right candidate") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 100L, 110L, "+"),
+      (2L, "chr1", 100L, 110L, "-"),
+      (3L, "chr1", 500L, 510L, "."),   // '.' matches only '.' under Same
+      (4L, "chr1", 700L, 710L, null.asInstanceOf[String])) // drops
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val b = Seq(
+      (10L, "chr1", 120L, 130L, "+"),  // nearest overall, plus-strand
+      (11L, "chr1", 200L, 210L, "-"),  // nearest minus-strand
+      (12L, "chr1", 520L, 530L, "."),
+      (13L, "chr1", 705L, 706L, "+"))
+      .toDF("bid", "chrom", "start", "end", "strand")
+    def got(st: Strandedness) =
+      IntervalOps.closest(a, b, "aid", "bid", strand = st)
+        .orderBy("aid")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(7)) -1L else r.getLong(7)))
+        .toSeq
+    // strand-blind: both 1 and 2 pick b10 (distance 10)
+    assert(got(Strandedness.Ignore) == Seq(
+      (1L, 10L, 10L), (2L, 10L, 10L), (3L, 12L, 10L), (4L, 13L, 0L)))
+    // -s: A1(+) -> b10; A2(-) -> b11 even though b10 is nearer;
+    // A3(.) -> b12; A4(null strand) DROPS (key-based policy)
+    assert(got(Strandedness.Same()) == Seq(
+      (1L, 10L, 10L), (2L, 11L, 90L), (3L, 12L, 10L)))
+    // -S: A1(+) -> minus-strand b11; A2(-) -> plus-strand b10;
+    // A3(.) has no opposite -> drops; A4 drops
+    assert(got(Strandedness.Opposite()) == Seq(
+      (1L, 11L, 90L), (2L, 10L, 10L)))
+  }
+
+  test("stranded subtract: only same/opposite-strand bases removed") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "chr1", 100L, 200L, "+"))
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val b = Seq(
+      ("chr1", 120L, 140L, "+"),
+      ("chr1", 160L, 180L, "-"))
+      .toDF("chrom", "start", "end", "strand")
+    def canon(st: Strandedness) =
+      IntervalOps.subtract(a, b, "aid", strand = st)
+        .orderBy("start")
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(canon(Strandedness.Ignore) ==
+      Seq((100L, 120L), (140L, 160L), (180L, 200L)))
+    // -s removes only the '+' block; -S only the '-' block
+    assert(canon(Strandedness.Same()) == Seq((100L, 120L), (140L, 200L)))
+    assert(canon(Strandedness.Opposite()) ==
+      Seq((100L, 160L), (180L, 200L)))
+  }
+
+  test("stranded mapOverlaps and windowJoin: predicate-based policy") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 100L, 200L, "+"),
+      (2L, "chr1", 100L, 200L, null.asInstanceOf[String]))
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val b = Seq(
+      ("chr1", 120L, 140L, "+", 10L),
+      ("chr1", 150L, 170L, "-", 20L))
+      .toDF("chrom", "start", "end", "strand", "v")
+    val same = IntervalOps.mapOverlaps(a, b, "aid", "v",
+        strand = Strandedness.Same())
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    // A1 matches only the '+' row; A2 (null strand) SURVIVES with 0
+    assert(same == Seq((1L, 1L), (2L, 0L)))
+    val aw = a.withColumnRenamed("chrom", "ac")
+      .withColumnRenamed("start", "as").withColumnRenamed("end", "ae")
+      .withColumnRenamed("strand", "astr")
+    val opp = IntervalOps.windowJoin(aw, b, window = 1000L,
+        leftCols = ("ac", "as", "ae"),
+        rightCols = ("chrom", "start", "end"),
+        strand = Strandedness.Opposite("astr", "strand"))
+      .select("aid", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(opp == Seq((1L, 20L))) // only A1(+) x B('-') pairs
+  }
+
+  test("overlap fractions: -f/-F/-r thresholds on the exact overlap") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "chr1", 100L, 200L)).toDF("aid", "c", "s", "e")
+    val b = Seq(
+      (10L, "chr1", 100L, 150L),  // covers 50% of A, 100% of itself
+      (11L, "chr1", 190L, 400L),  // covers 10% of A, ~4.8% of itself
+      (12L, "chr1", 140L, 160L))  // covers 20% of A, 100% of itself
+      .toDF("bid", "bc", "bs", "be")
+    def ids(fa: Double, fb: Double) =
+      IntervalJoin.overlapJoin(a, b, leftCols = ("c", "s", "e"),
+          rightCols = ("bc", "bs", "be"),
+          minOverlapFracLeft = fa, minOverlapFracRight = fb)
+        .select("bid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(0.0, 0.0) == Seq(10L, 11L, 12L))
+    assert(ids(0.5, 0.0) == Seq(10L))               // -f 0.5
+    assert(ids(0.0, 0.9) == Seq(10L, 12L))          // -F 0.9
+    assert(ids(0.5, 0.5) == Seq(10L))               // -r with f=0.5
+    // exact boundary: overlap == f * len passes (>=)
+    assert(ids(0.2, 0.0) == Seq(10L, 12L))
+    // surfaced through mapOverlaps
+    val n = IntervalOps.mapOverlaps(
+        a.withColumnRenamed("c", "chrom").withColumnRenamed("s", "start")
+          .withColumnRenamed("e", "end"),
+        b.select(col("bc").as("chrom"), col("bs").as("start"),
+          col("be").as("end"), col("bid").as("v")),
+        "aid", "v", minOverlapFracA = 0.5)
+      .select("n_overlaps").collect().head.getLong(0)
+    assert(n == 1L)
+  }
+
+  test("closestAll: every tie reported with signed distance") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 100L, 110L),  // two B's at distance 10, one up one down
+      (2L, "chr1", 500L, 510L),  // overlap (distance 0)
+      (3L, "chr2", 10L, 20L))    // no B on chr2 -> null row
+      .toDF("aid", "chrom", "start", "end")
+    val b = Seq(
+      (10L, "chr1", 80L, 90L),    // upstream of A1, gap 10
+      (11L, "chr1", 120L, 130L),  // downstream of A1, gap 10
+      (12L, "chr1", 505L, 520L),  // overlaps A2
+      (13L, "chr1", 490L, 505L))  // overlaps A2 too (both distance 0)
+      .toDF("bid", "chrom", "start", "end")
+    val got = IntervalOps.closestAll(a, b, "aid", "bid")
+      .orderBy("aid", "closest_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(7)) Long.MinValue else r.getLong(7),
+        if (r.isNullAt(8)) Long.MinValue else r.getLong(8)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 10L, 10L, -10L),  // upstream: negative signed distance
+      (1L, 11L, 10L, 10L),   // downstream tie: positive
+      (2L, 12L, 0L, 0L),
+      (2L, 13L, 0L, 0L),
+      (3L, -1L, Long.MinValue, Long.MinValue)))
+    // the argmin operator's pick is always among the ties
+    val argmin = IntervalOps.closest(a, b, "aid", "bid")
+      .where(col("closest_id").isNotNull)
+      .select("aid", "closest_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tieSet = got.filter(_._2 >= 0).map(t => (t._1, t._2)).toSet
+    assert(argmin.subsetOf(tieSet))
+  }
+
+  test("closestAll: randomized parity with a naive all-pairs oracle") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(83)
+    val aRows = (1 to 120).map(i => (i.toLong, s"chr${rnd.nextInt(2)}",
+      rnd.nextInt(3000).toLong))
+      .map { case (id, c, st) => (id, c, st, st + rnd.nextInt(40)) }
+    val bRows = (1 to 90).map(i => (i.toLong, s"chr${rnd.nextInt(2)}",
+      rnd.nextInt(3000).toLong))
+      .map { case (id, c, st) => (id, c, st, st + rnd.nextInt(40)) }
+    val a = aRows.toDF("aid", "chrom", "start", "end")
+    val b = bRows.toDF("bid", "chrom", "start", "end")
+    val got = IntervalOps.closestAll(a, b, "aid", "bid",
+        binSize = 100L, partitions = 7)
+      .where(col("closest_id").isNotNull)
+      .select("aid", "closest_id", "distance", "signed_distance")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // naive oracle: per (a, b) same-chrom pair, the closest rule's
+    // distance; keep pairs at each A's minimum
+    def dist(as: Long, ae: Long, bs: Long, be: Long): Long =
+      if (as < be && bs < ae) 0L
+      else if (be <= as) as - be else bs - ae
+    val pairs = for {
+      (aid, ac, as0, ae0) <- aRows
+      (bid, bc, bs0, be0) <- bRows if ac == bc
+    } yield (aid, bid, dist(as0, ae0, bs0, be0),
+      if (be0 <= as0 && dist(as0, ae0, bs0, be0) != 0L)
+        -dist(as0, ae0, bs0, be0)
+      else dist(as0, ae0, bs0, be0))
+    val minD = pairs.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._3).min }
+    val want = pairs.filter(p => minD(p._1) == p._3).toSet
+    assert(got == want)
+  }
+
+  test("multiinterOf: loud bound on the set-count dimension") {
+    val s = spark
+    import s.implicits._
+    val one = Seq(("chr1", 1L, 5L)).toDF("chrom", "start", "end")
+    val e = intercept[IllegalArgumentException] {
+      IntervalOps.multiinterOf((1 to 65).map(i => s"s$i" -> one))
+    }
+    assert(e.getMessage.contains("64"))
+    // 64 exactly still works
+    assert(IntervalOps.multiinterOf((1 to 64).map(i => s"s$i" -> one))
+      .count() == 1L)
   }
 
   test("complement with custom coordinate names AND chromSizes") {
