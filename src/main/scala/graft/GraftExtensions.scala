@@ -36,6 +36,9 @@ import graft.functions.GenomicFunctions
   *    [[graft.operators.IntervalOps.subtract]]
   *  - `SELECT * FROM interval_closest('a', 'b', 'aid', 'bid')` —
   *    [[graft.operators.IntervalOps.closest]]
+  *  - `SELECT * FROM interval_closest_all('a', 'b', 'aid', 'bid')` —
+  *    [[graft.operators.IntervalOps.closestAll]] (every tie + signed
+  *    distance; strand policies are Scala API on all operators)
   *  - `SELECT * FROM interval_map('a', 'b', 'aid', 'v')` —
   *    [[graft.operators.IntervalOps.mapOverlaps]]
   *  - `SELECT * FROM interval_jaccard('a', 'b')` —
@@ -193,6 +196,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litStr(e, "end column")).queryExecution.logical
         case other => throw new IllegalArgumentException(
           "interval_closest takes (a_table, b_table, a_id, b_id[, " +
+            s"chrom, start, end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_closest_all"),
+      info("interval_closest_all",
+        "interval_closest_all(a_table, b_table, a_id, b_id[, chrom, " +
+          "start, end]) - every tie at each A's minimum distance with " +
+          "signed distance (bedtools closest -t all -D ref)"),
+      {
+        case Seq(a, b, aid, bid) =>
+          graft.operators.IntervalOps.closestAll(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(bid, "b_id column"))
+            .queryExecution.logical
+        case Seq(a, b, aid, bid, c, s, e) =>
+          graft.operators.IntervalOps.closestAll(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(bid, "b_id column"),
+            litStr(c, "chrom column"), litStr(s, "start column"),
+            litStr(e, "end column")).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_closest_all takes (a_table, b_table, a_id, b_id[, " +
             s"chrom, start, end]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((

@@ -115,6 +115,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM interval_closest('a', 'b', 'aid', 'bid')" ->
           IntervalOps.closest(spark.table("a"), spark.table("b"),
             "aid", "bid"),
+        "SELECT * FROM interval_closest_all('a', 'b', 'aid', 'bid')" ->
+          IntervalOps.closestAll(spark.table("a"), spark.table("b"),
+            "aid", "bid"),
         "SELECT * FROM interval_map('a', 'bv', 'aid', 'v')" ->
           IntervalOps.mapOverlaps(spark.table("a"), spark.table("bv"),
             "aid", "v"),

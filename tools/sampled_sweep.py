@@ -64,6 +64,87 @@ FROM isl GROUP BY aid, chrom, grp
 ORDER BY aid, "start\""""
 
 
+STRAND_A = """CASE WHEN aid % 3 = 0 THEN '+'
+  WHEN aid % 3 = 1 THEN '-' ELSE '.' END"""
+
+IVB_S = """SELECT *, CASE WHEN iv_id % 3 = 0 THEN '+'
+  WHEN iv_id % 3 = 1 THEN '-' ELSE '.' END AS strand
+FROM ({ivb})"""
+
+Q96_SAMPLED = """WITH a0 AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+a AS (SELECT *, {strand_a} AS strand FROM a0),
+bv AS ({ivbs}),
+pair AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+    CASE WHEN b.iv_id IS NULL THEN NULL
+      ELSE struct_pack(
+        d := CASE WHEN a.astart < b."end" AND b."start" < a.aend THEN 0
+                  WHEN b."end" <= a.astart THEN a.astart - b."end"
+                  ELSE b."start" - a.aend END,
+        s := b."start", i := b.iv_id, e := b."end") END AS c
+  FROM a LEFT JOIN bv b
+    ON a.chrom = b.chrom AND a.strand = b.strand),
+r AS (SELECT aid, chrom, astart, aend, min(c) AS m
+  FROM pair GROUP BY 1, 2, 3, 4)
+SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+  CAST(m['s'] AS BIGINT) AS closest_start,
+  CAST(m['e'] AS BIGINT) AS closest_end,
+  CAST(m['d'] AS BIGINT) AS distance
+FROM r ORDER BY aid"""
+
+Q98_SAMPLED = """WITH a0 AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+a AS (SELECT *, {strand_a} AS strand FROM a0),
+bv AS ({ivbs}),
+pos AS (SELECT aid, chrom, strand, unnest(range(astart, aend)) AS p
+  FROM a),
+alive AS (SELECT aid, chrom, p FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM bv b
+    WHERE b.chrom = pos.chrom AND b.strand = pos.strand
+      AND b."start" <= pos.p AND pos.p < b."end")),
+isl AS (SELECT aid, chrom, p,
+    p - row_number() OVER (PARTITION BY aid ORDER BY p) AS grp
+  FROM alive)
+SELECT aid, chrom, CAST(min(p) AS BIGINT) AS "start",
+  CAST(max(p) + 1 AS BIGINT) AS "end"
+FROM isl GROUP BY aid, chrom, grp
+ORDER BY aid, "start\""""
+
+Q101_SAMPLED = """WITH a AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+bv AS ({ivb}),
+pair AS (SELECT a.aid, b.iv_id AS bid,
+    b."start" AS bs, b."end" AS be,
+    CASE WHEN a.astart < b."end" AND b."start" < a.aend THEN 0
+         WHEN b."end" <= a.astart THEN a.astart - b."end"
+         ELSE b."start" - a.aend END AS d
+  FROM a JOIN bv b ON a.chrom = b.chrom),
+mn AS (SELECT aid, min(d) AS md FROM pair GROUP BY 1),
+ties AS (SELECT p.* FROM pair p
+  JOIN mn ON p.aid = mn.aid AND p.d = mn.md)
+SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+  CAST(a.aend AS BIGINT) AS "end",
+  t.bid AS closest_id,
+  CAST(t.bs AS BIGINT) AS closest_start,
+  CAST(t.be AS BIGINT) AS closest_end,
+  CAST(t.d AS BIGINT) AS distance,
+  CAST(CASE WHEN t.d = 0 THEN 0
+    WHEN t.be <= a.astart THEN -t.d ELSE t.d END
+    AS BIGINT) AS signed_distance
+FROM a LEFT JOIN ties t ON a.aid = t.aid
+ORDER BY a.aid, closest_id"""
+
+
 def check(name, con, outdir, sql, id_col, mod):
     want = con.execute(sql).df()
     got = pd.read_parquet(f"{outdir}/{name}")
@@ -95,10 +176,19 @@ def main():
     for t in ["customer", "orders"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    ivbs = IVB_S.format(ivb=IVB)
     ok = check("q77_closest", con, outdir,
                Q77_SAMPLED.format(mod=mod, ivb=IVB), "aid", mod)
     ok &= check("q79_subtract", con, outdir,
                 Q79_SAMPLED.format(mod=mod, ivb=IVB), "aid", mod)
+    ok &= check("q96_closest_stranded", con, outdir,
+                Q96_SAMPLED.format(mod=mod, ivbs=ivbs,
+                                   strand_a=STRAND_A), "aid", mod)
+    ok &= check("q98_subtract_stranded", con, outdir,
+                Q98_SAMPLED.format(mod=mod, ivbs=ivbs,
+                                   strand_a=STRAND_A), "aid", mod)
+    ok &= check("q101_closest_all", con, outdir,
+                Q101_SAMPLED.format(mod=mod, ivb=IVB), "aid", mod)
     sys.exit(0 if ok else 1)
 
 
