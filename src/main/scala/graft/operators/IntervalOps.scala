@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * whose strand cannot participate, the same policy as a null
   * chromosome; predicate-based operators (overlapJoin, windowJoin,
   * mapOverlaps) simply never match them, so probe-side rows survive
-  * with zero counts where the operator reports zeroes. */
+  * with zero counts where the operator reports zeroes. Key-based:
+  * closest/closestAll, subtract, coverageBy, annotate. */
 sealed trait Strandedness
 object Strandedness {
   /** Strand-blind (the default everywhere). */
@@ -1277,20 +1278,28 @@ object IntervalOps {
     * window, no per-contig stage, no all-pairs. */
   def coverageBy(a: DataFrame, b: DataFrame, aId: String,
       chrom: String = "chrom", start: String = "start",
-      end: String = "end", binSize: Long = 1000L): DataFrame = {
+      end: String = "end", binSize: Long = 1000L,
+      strand: Strandedness = Strandedness.Ignore): DataFrame = {
+    // stranded coverage keys BOTH joins and the B merge on the
+    // composite (chrom, strand fragment) -- bedtools coverage -s/-S.
+    // Key-based policy: rows whose strand cannot participate DROP.
+    val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
-      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+      .select(col(aId).as("__aid"),
+        compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
+        col(chrom).cast("string").as("__oc"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae"))
-      .where(col("__aid").isNotNull)
+      .where(col("__aid").isNotNull && col("__c").isNotNull)
     val aPos = a2.where(col("__as") < col("__ae"))
     val b2 = dropNullCoords(b, chrom, start, end)
-      .select(col(chrom).cast("string").as("__c2"),
+      .select(compositeKey(col(chrom).cast("string"), sk.map(_._2))
+          .as("__c2"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be"))
-      .where(col("__bs") < col("__be"))
+      .where(col("__bs") < col("__be") && col("__c2").isNotNull)
     val cnt = IntervalJoin.overlapJoin(aPos, b2,
         leftCols = ("__c", "__as", "__ae"),
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
@@ -1307,7 +1316,7 @@ object IntervalOps {
         greatest(col("__as"), col("__bs"))).as("__cov"))
     a2.join(cnt, Seq("__aid"), "left").join(cov, Seq("__aid"), "left")
       .select(col("__aid").as(aId),
-        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
         col("__as").cast(a.schema(start).dataType).as(start),
         col("__ae").cast(a.schema(end).dataType).as(end),
         coalesce(col("__n"), lit(0L)).as("n_overlaps"),
@@ -1335,25 +1344,33 @@ object IntervalOps {
     * grid to restore zero rows. */
   def annotate(a: DataFrame, sets: Seq[(String, DataFrame)],
       aId: String, chrom: String = "chrom", start: String = "start",
-      end: String = "end", binSize: Long = 1000L): DataFrame = {
+      end: String = "end", binSize: Long = 1000L,
+      strand: Strandedness = Strandedness.Ignore): DataFrame = {
     require(sets.nonEmpty, "annotate needs at least one set")
     require(sets.map(_._1).distinct.size == sets.size,
       "annotate set labels must be distinct")
+    // stranded annotation: the composite key rides the tagged unions
+    // through both joins and the per-set merges (bedtools annotate
+    // -s/-S). Key-based policy, as coverageBy.
+    val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
-      .select(col(aId).as("__aid"), col(chrom).cast("string").as("__c"),
+      .select(col(aId).as("__aid"),
+        compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
+        col(chrom).cast("string").as("__oc"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae"))
-      .where(col("__aid").isNotNull)
+      .where(col("__aid").isNotNull && col("__c").isNotNull)
     val aPos = a2.where(col("__as") < col("__ae"))
     def norm(f: DataFrame, name: String): DataFrame =
       dropNullCoords(f, chrom, start, end)
         .select(lit(name).as("__set"),
-          col(chrom).cast("string").as("__c2"),
+          compositeKey(col(chrom).cast("string"), sk.map(_._2))
+            .as("__c2"),
           col(start).cast("long").as("__bs"),
           greatest(col(end).cast("long"), col(start).cast("long"))
             .as("__be"))
-        .where(col("__bs") < col("__be"))
+        .where(col("__bs") < col("__be") && col("__c2").isNotNull)
     val raw = sets.map { case (n, f) => norm(f, n) }
       .reduce(_.unionByName(_))
     val mrg = sets.map { case (n, f) =>
@@ -1380,7 +1397,7 @@ object IntervalOps {
       .join(cnt, Seq("__aid", "__set"), "left")
       .join(cov, Seq("__aid", "__set"), "left")
       .select(col("__aid").as(aId), col("__set").as("set"),
-        col("__c").cast(a.schema(chrom).dataType).as(chrom),
+        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
         col("__as").cast(a.schema(start).dataType).as(start),
         col("__ae").cast(a.schema(end).dataType).as(end),
         coalesce(col("__n"), lit(0L)).as("n_overlaps"),

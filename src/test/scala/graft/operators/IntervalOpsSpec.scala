@@ -1055,6 +1055,28 @@ class IntervalOpsSpec extends SparkSuite {
     assert(opp == Seq((1L, 20L))) // only A1(+) x B('-') pairs
   }
 
+  test("stranded coverageBy and annotate: composite-key policy") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "chr1", 100L, 200L, "+"))
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val b = Seq(
+      ("chr1", 100L, 150L, "+"),   // same strand: 50 covered bases
+      ("chr1", 140L, 190L, "-"))   // opposite: 50 bases (overlaps +10)
+      .toDF("chrom", "start", "end", "strand")
+    def cov(st: Strandedness) =
+      IntervalOps.coverageBy(a, b, "aid", strand = st)
+        .collect().map(r => (r.getLong(4), r.getLong(5))).head
+    assert(cov(Strandedness.Ignore) == ((2L, 90L)))
+    assert(cov(Strandedness.Same()) == ((1L, 50L)))
+    assert(cov(Strandedness.Opposite()) == ((1L, 50L)))
+    val ann = IntervalOps.annotate(a, Seq("s1" -> b), "aid",
+        strand = Strandedness.Same())
+      .collect().map(r => (r.getString(1), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(ann == Seq(("s1", 1L, 50L)))
+  }
+
   test("overlap fractions: -f/-F/-r thresholds on the exact overlap") {
     val s = spark
     import s.implicits._
