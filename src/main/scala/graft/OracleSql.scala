@@ -1121,6 +1121,57 @@ object OracleSql {
          |    AS BIGINT) AS signed_distance
          |FROM a LEFT JOIN ties t ON a.aid = t.aid
          |ORDER BY a.aid, closest_id""".stripMargin,
+    // q102: bedtools getfasta — the ENGINE reads bytes from the
+    // synthetic reference file via .fai byte math; the oracle rebuilds
+    // every sequence character by character from the generating
+    // formula base(p, k) = 'ACGT'[(p*7 + k*11) % 4] without ever
+    // seeing the file, so any byte-offset or line-wrap error fails
+    "q102_getfasta" ->
+      """WITH a AS (SELECT c_custkey AS aid,
+        |    'chr' || (c_custkey % 4) AS chrom,
+        |    c_custkey % 4 AS k,
+        |    (c_custkey*37) % 49000 AS s,
+        |    (c_custkey*37) % 49000 + 10 + c_custkey % 90 AS e
+        |  FROM customer),
+        |pos AS (SELECT aid, k, unnest(range(s, e)) AS i FROM a),
+        |seqs AS (SELECT aid,
+        |    string_agg(substr('ACGT',
+        |      CAST((i*7 + k*11) % 4 AS INT) + 1, 1),
+        |      '' ORDER BY i) AS sequence
+        |  FROM pos GROUP BY aid)
+        |SELECT a.aid, a.chrom, CAST(a.s AS BIGINT) AS "start",
+        |  CAST(a.e AS BIGINT) AS "end", seqs.sequence
+        |FROM a JOIN seqs USING (aid) ORDER BY a.aid""".stripMargin,
+    // q103: bedtools nuc — counts per residue class of the same
+    // formula; fractions are single double divisions of exact
+    // integers, rounded identically on both engines
+    "q103_nuc" ->
+      """WITH a AS (SELECT c_custkey AS aid,
+        |    'chr' || (c_custkey % 4) AS chrom,
+        |    c_custkey % 4 AS k,
+        |    (c_custkey*37) % 49000 AS s,
+        |    (c_custkey*37) % 49000 + 10 + c_custkey % 90 AS e
+        |  FROM customer),
+        |pos AS (SELECT aid, k, unnest(range(s, e)) AS i FROM a),
+        |cnts AS (SELECT aid, count(*) AS seq_len,
+        |    sum(CASE WHEN (i*7 + k*11) % 4 = 0 THEN 1 ELSE 0 END)
+        |      AS n_a,
+        |    sum(CASE WHEN (i*7 + k*11) % 4 = 1 THEN 1 ELSE 0 END)
+        |      AS n_c,
+        |    sum(CASE WHEN (i*7 + k*11) % 4 = 2 THEN 1 ELSE 0 END)
+        |      AS n_g,
+        |    sum(CASE WHEN (i*7 + k*11) % 4 = 3 THEN 1 ELSE 0 END)
+        |      AS n_t
+        |  FROM pos GROUP BY aid)
+        |SELECT a.aid, a.chrom, CAST(a.s AS BIGINT) AS "start",
+        |  CAST(a.e AS BIGINT) AS "end",
+        |  CAST(seq_len AS BIGINT) AS seq_len,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(n_g AS BIGINT) AS n_g, CAST(n_t AS BIGINT) AS n_t,
+        |  CAST(0 AS BIGINT) AS n_n, CAST(0 AS BIGINT) AS n_other,
+        |  round((n_a + n_t) / CAST(seq_len AS DOUBLE), 6) AS pct_at_r,
+        |  round((n_c + n_g) / CAST(seq_len AS DOUBLE), 6) AS pct_gc_r
+        |FROM a JOIN cnts USING (aid) ORDER BY a.aid""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

@@ -1819,6 +1819,92 @@ object SparkEntry {
       .orderBy(col("aid"), col("closest_id"))
   }
 
+  /** Deterministic synthetic reference FASTA for the q102/q103
+    * sequence gates, written once per JVM into the system temp dir
+    * (atomic rename — concurrent or crashed writers can only leave
+    * whole files): four 50-kbp contigs where the base at position p of
+    * chr k is `"ACGT"[(p*7 + k*11) % 4]` — a closed-form rule the
+    * DuckDB oracle replays without reading the file, the q56 media
+    * fixture's approach applied to sequence data. */
+  private[graft] lazy val seqFixture: String = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-seqfix-v1")
+    val fa = new java.io.File(dir, "ref.fa")
+    val fai = new java.io.File(dir, "ref.fa.fai")
+    if (!(fa.exists() && fai.exists())) {
+      dir.mkdirs()
+      val L = 50000
+      val W = 60
+      val faTmp = java.io.File.createTempFile("ref", ".fa.tmp", dir)
+      val out = new java.io.BufferedWriter(new java.io.FileWriter(faTmp))
+      val faiSb = new StringBuilder
+      var offset = 0L
+      for (k <- 0 until 4) {
+        val header = s">chr$k synthetic\n"
+        out.write(header)
+        offset += header.length
+        faiSb.append(s"chr$k\t$L\t$offset\t$W\t${W + 1}\n")
+        val sb = new StringBuilder(L)
+        var p = 0
+        while (p < L) {
+          sb.append("ACGT".charAt((p * 7 + k * 11) % 4))
+          p += 1
+        }
+        sb.toString.grouped(W).foreach { line =>
+          out.write(line); out.write("\n")
+        }
+        offset += L + (L + W - 1) / W
+      }
+      out.close()
+      val faiTmp = java.io.File.createTempFile("ref", ".fai.tmp", dir)
+      java.nio.file.Files.write(faiTmp.toPath,
+        faiSb.toString.getBytes("UTF-8"))
+      faiTmp.renameTo(fai)
+      faTmp.renameTo(fa)
+    }
+    fa.getAbsolutePath
+  }
+
+  /** Customer-derived probe intervals over [[seqFixture]]'s contigs —
+    * 10-99 bp each, bounded inside the 50-kbp contigs. */
+  private[graft] def seqIntervals(s: SparkSession, dir: String)
+      : DataFrame =
+    pq(s, dir, "customer").select(
+      col("c_custkey").as("aid"),
+      concat(lit("chr"), (col("c_custkey") % 4).cast("string"))
+        .as("chrom"),
+      ((col("c_custkey") * 37) % 49000).as("start"),
+      (((col("c_custkey") * 37) % 49000) + 10 + col("c_custkey") % 90)
+        .as("end"))
+
+  /** Per-interval sequence extraction ([[graft.operators.SequenceOps
+    * .getFasta]] — the bedtools-getfasta analogue, added r18): every
+    * probe interval reads its bases from the synthetic reference via
+    * .fai byte math (narrow pass, one broadcast index, no shuffle).
+    * The oracle rebuilds each sequence character by character from
+    * the generating formula — the ENGINE reads real file bytes, the
+    * oracle never sees the file, so any byte-offset error fails the
+    * hash. */
+  private def q102_getfasta(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequenceOps.getFasta(seqIntervals(s, dir),
+        seqFixture)
+      .orderBy(col("aid"))
+
+  /** Per-interval nucleotide composition ([[graft.operators
+    * .SequenceOps.nucContent]] — the bedtools-nuc analogue, added
+    * r18): A/C/G/T/N counts and AT/GC fractions over the same
+    * extraction, counted with codegen'd translate/length projections.
+    * The oracle counts the formula's residue classes directly. */
+  private def q103_nuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequenceOps.nucContent(seqIntervals(s, dir),
+        seqFixture)
+      .select(col("aid"), col("chrom"), col("start"), col("end"),
+        col("seq_len"), col("n_a"), col("n_c"), col("n_g"),
+        col("n_t"), col("n_n"), col("n_other"),
+        round(col("pct_at"), 6).as("pct_at_r"),
+        round(col("pct_gc"), 6).as("pct_gc_r"))
+      .orderBy(col("aid"))
+
   /** Exact corpus profile ([[graft.operators.TextOps.corpusProfile]]):
     * per-source doc/token totals and EXACT nearest-rank p50/p90/p99
     * token-length percentiles via the histogram method (the cumulative
@@ -2044,7 +2130,9 @@ object SparkEntry {
     "q98_subtract_stranded" -> (q98_subtract_stranded _),
     "q99_window_stranded" -> (q99_window_stranded _),
     "q100_map_fraction" -> (q100_map_fraction _),
-    "q101_closest_all" -> (q101_closest_all _)) ++
+    "q101_closest_all" -> (q101_closest_all _),
+    "q102_getfasta" -> (q102_getfasta _),
+    "q103_nuc" -> (q103_nuc _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

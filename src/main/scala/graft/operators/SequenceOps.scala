@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.PlanShim
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Region
+import graft.formats.{Bgzf, FaiIndex, GziIndex, SeekableInputs}
+import graft.sources.common.{GraftHadoop, LineSourceUtil}
+
+/** Interval → sequence bridge operators — the bedtools `getfasta` /
+  * `nuc` analogues, joining the interval algebra to the FAI-indexed
+  * FASTA machinery ([[graft.sources.FastaFaiSource]] is the
+  * literal-region scan; these take the regions from a DATAFRAME).
+  * Reference analogue: the seek-based subsequence extraction of
+  * `/root/reference/oxbow/src/sequence/scanner/fasta.rs:105-121`,
+  * which the reference only exposes for caller-supplied region
+  * strings — the frame-driven join is downstream-engine territory it
+  * leaves open. */
+object SequenceOps {
+
+  /** Per-interval sequence extraction — the bedtools `getfasta`
+    * analogue: every input row gains the FASTA bases its
+    * (chrom, start, end) covers, via .fai byte math (bgzipped FASTA
+    * through the .gzi block map), never materializing a contig.
+    *
+    * Contract: coordinates clamp into [0, sequence length]; inverted
+    * or fully-out-of-range rows get an EMPTY sequence (bedtools
+    * errors; a clamp composes better with [[IntervalOps.slop]]-style
+    * upstream arithmetic). Null chrom/coords drop (family policy);
+    * rows naming a sequence ABSENT from the index DROP with the same
+    * rationale as [[IntervalOps.shuffleIntervals]]'s missing-size
+    * rule — bedtools warns per line, a bulk engine cannot. All other
+    * columns pass through.
+    *
+    * Scale shape: NO shuffle — one broadcast of the O(contigs) .fai
+    * entry map, then a narrow per-partition pass where each task
+    * opens the file once (closed via task-completion listener) and
+    * seeks per row. Callers whose intervals are randomly ordered can
+    * `repartitionByRange(chrom, start)` upstream to make each task's
+    * seeks near-sequential; the operator does not force that shuffle.
+    * Per-slice cost is bytes-proportional ([[FaiIndex.slice]]'s 2 GiB
+    * single-slice bound applies). */
+  def getFasta(df: DataFrame, fastaPath: String,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end", seqCol: String = "sequence"): DataFrame = {
+    val session = df.sparkSession
+    require(!df.columns.exists(_.equalsIgnoreCase(seqCol)),
+      s"getFasta output column '$seqCol' collides with an input column")
+    val p = new Path(fastaPath)
+    val conf = GraftHadoop.conf()
+    val entries = FaiIndex.readFor(p, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"getFasta needs a .fai index next to $fastaPath"))
+    val gzi = LineSourceUtil.isGzip(p)
+    val bc = session.sparkContext.broadcast(
+      entries.map(e => e.name -> e).toMap)
+    val pruned = df.where(col(chrom).isNotNull &&
+      col(start).isNotNull && col(end).isNotNull)
+    val schema = pruned.schema
+    val cIdx = schema.fieldIndex(chrom)
+    val sIdx = schema.fieldIndex(start)
+    val eIdx = schema.fieldIndex(end)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val n = fieldTypes.length
+    // INTEGRAL coordinates, the family rule (a fractional coordinate
+    // has no byte offset); widened per-row below
+    Seq(sIdx, eIdx).foreach { i =>
+      require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(fieldTypes(i)),
+        s"getFasta requires integral coordinates, got " +
+          fieldTypes(i).simpleString)
+    }
+    def longAt(r: InternalRow, i: Int): Long = fieldTypes(i) match {
+      case org.apache.spark.sql.types.LongType => r.getLong(i)
+      case org.apache.spark.sql.types.IntegerType => r.getInt(i).toLong
+      case org.apache.spark.sql.types.ShortType => r.getShort(i).toLong
+      case _ => r.getByte(i).toLong
+    }
+    val outSchema = schema.add(seqCol, StringType)
+    val pathStr = fastaPath
+    val rdd = pruned.queryExecution.toRdd.mapPartitions { it =>
+      // one lazily-opened handle per task, closed with the task (not
+      // on iterator exhaustion — a downstream limit() may not drain)
+      var in: Bgzf.SeekableInput = null
+      def input(): Bgzf.SeekableInput = {
+        if (in == null) {
+          val path = new Path(pathStr)
+          val hconf = GraftHadoop.conf()
+          val raw = SeekableInputs.forHadoop(
+            path.getFileSystem(hconf), path)
+          in =
+            if (!gzi) raw
+            else {
+              val idx =
+                try GziIndex.readFor(path, hconf).getOrElse(
+                  throw new IllegalStateException(
+                    s"missing .gzi for $pathStr"))
+                catch { case e: Throwable => raw.close(); throw e }
+              new GziIndex.UncompressedView(raw, idx)
+            }
+          Option(TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => in.close()))
+        }
+        in
+      }
+      it.flatMap { r =>
+        val name = String.valueOf(r.get(cIdx, fieldTypes(cIdx)))
+        bc.value.get(name) match {
+          case None => None // sequence not in the index: row drops
+          case Some(entry) =>
+            val s0 = math.max(0L, longAt(r, sIdx))
+            val e0 = math.max(s0, longAt(r, eIdx))
+            val seq = FaiIndex.slice(input(), entry,
+              Region(name, s0, Some(e0)))
+            val vals = new Array[Any](n + 1)
+            var i = 0
+            while (i < n) {
+              vals(i) = if (r.isNullAt(i)) null else r.get(i, fieldTypes(i))
+              i += 1
+            }
+            vals(n) = UTF8String.fromString(seq)
+            Some(new GenericInternalRow(vals): InternalRow)
+        }
+      }
+    }
+    PlanShim.internalCreateDataFrame(session, rdd, outSchema)
+  }
+
+  /** Per-interval nucleotide composition — the bedtools `nuc`
+    * analogue over [[getFasta]]'s output: AT/GC fractions and the
+    * A/C/G/T/N counts (case-insensitive; `n_other` covers IUPAC
+    * ambiguity codes). `pct_at`/`pct_gc` are null for empty
+    * sequences (bedtools prints 0 there; null marks "no bases" more
+    * honestly and is what the gate pins).
+    *
+    * Scale shape: [[getFasta]]'s narrow pass plus codegen'd string
+    * projections — counting by length-difference of single-character
+    * removals, no UDF, no regex. */
+  def nucContent(df: DataFrame, fastaPath: String,
+      chrom: String = "chrom", start: String = "start",
+      end: String = "end"): DataFrame = {
+    val withSeq = getFasta(df, fastaPath, chrom, start, end,
+      seqCol = "__nuc_seq")
+    val up = upper(col("__nuc_seq"))
+    val total = length(up).cast("long")
+    def cnt(ch: String) =
+      (length(up) - length(translate(up, ch, ""))).cast("long")
+    val (a, c, g, t, nn) = (cnt("A"), cnt("C"), cnt("G"), cnt("T"),
+      cnt("N"))
+    withSeq
+      .withColumn("seq_len", total)
+      .withColumn("n_a", a).withColumn("n_c", c)
+      .withColumn("n_g", g).withColumn("n_t", t)
+      .withColumn("n_n", nn)
+      .withColumn("n_other",
+        total - col("n_a") - col("n_c") - col("n_g") - col("n_t") -
+          col("n_n"))
+      .withColumn("pct_at",
+        when(total > 0L, (col("n_a") + col("n_t")).cast("double") /
+          total.cast("double")))
+      .withColumn("pct_gc",
+        when(total > 0L, (col("n_c") + col("n_g")).cast("double") /
+          total.cast("double")))
+      .drop("__nuc_seq")
+  }
+}
