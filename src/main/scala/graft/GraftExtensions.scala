@@ -43,6 +43,10 @@ import graft.functions.GenomicFunctions
   *    [[graft.operators.IntervalOps.mapOverlaps]]
   *  - `SELECT * FROM interval_jaccard('a', 'b')` —
   *    [[graft.operators.IntervalOps.jaccard]]
+  *  - `SELECT * FROM interval_getfasta('ivs', '/ref.fa')` /
+  *    `interval_nuc('ivs', '/ref.fa')` —
+  *    [[graft.operators.SequenceOps.getFasta]] /
+  *    [[graft.operators.SequenceOps.nucContent]]
   *  - `SELECT * FROM interval_slop('ivs', 500)` /
   *    `interval_slop('ivs', 500, 'sizes')` —
   *    [[graft.operators.IntervalOps.slop]] (symmetric growth; the
@@ -252,6 +256,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litStr(e, "end column")).queryExecution.logical
         case other => throw new IllegalArgumentException(
           "interval_jaccard takes (a_table, b_table[, chrom, start, " +
+            s"end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_getfasta"),
+      info("interval_getfasta",
+        "interval_getfasta(table, fasta_path[, chrom, start, end]) - " +
+          "per-interval FASTA sequence extraction (bedtools getfasta)"),
+      {
+        case Seq(t, fp) =>
+          graft.operators.SequenceOps.getFasta(tableOf(t),
+            litStr(fp, "fasta path")).queryExecution.logical
+        case Seq(t, fp, c, s, e) =>
+          graft.operators.SequenceOps.getFasta(tableOf(t),
+            litStr(fp, "fasta path"), litStr(c, "chrom column"),
+            litStr(s, "start column"), litStr(e, "end column"))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_getfasta takes (table, fasta_path[, chrom, start, " +
+            s"end]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_nuc"),
+      info("interval_nuc",
+        "interval_nuc(table, fasta_path[, chrom, start, end]) - " +
+          "per-interval nucleotide composition (bedtools nuc)"),
+      {
+        case Seq(t, fp) =>
+          graft.operators.SequenceOps.nucContent(tableOf(t),
+            litStr(fp, "fasta path")).queryExecution.logical
+        case Seq(t, fp, c, s, e) =>
+          graft.operators.SequenceOps.nucContent(tableOf(t),
+            litStr(fp, "fasta path"), litStr(c, "chrom column"),
+            litStr(s, "start column"), litStr(e, "end column"))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_nuc takes (table, fasta_path[, chrom, start, " +
             s"end]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((
