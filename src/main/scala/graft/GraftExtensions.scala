@@ -43,6 +43,10 @@ import graft.functions.GenomicFunctions
   *    [[graft.operators.IntervalOps.mapOverlaps]]
   *  - `SELECT * FROM interval_jaccard('a', 'b')` —
   *    [[graft.operators.IntervalOps.jaccard]]
+  *  - `SELECT * FROM interval_filter('a', 'b', 'aid', 'u')` —
+  *    [[graft.operators.IntervalOps.overlapFilter]] ('u' keeps
+  *    overlapping A rows, 'v' the rest; strand/fraction options are
+  *    Scala API)
   *  - `SELECT * FROM interval_getfasta('ivs', '/ref.fa')` /
   *    `interval_nuc('ivs', '/ref.fa')` —
   *    [[graft.operators.SequenceOps.getFasta]] /
@@ -258,6 +262,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "interval_jaccard takes (a_table, b_table[, chrom, start, " +
             s"end]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_filter"),
+      info("interval_filter",
+        "interval_filter(a_table, b_table, a_id, 'u'|'v'[, chrom, " +
+          "start, end]) - A rows that do ('u') or do not ('v') " +
+          "overlap any B interval (bedtools intersect -u/-v)"),
+      {
+        def keepOf(m: Expression): Boolean =
+          litStr(m, "mode") match {
+            case "u" => true
+            case "v" => false
+            case other => throw new IllegalArgumentException(
+              s"interval_filter mode must be 'u' or 'v', got '$other'")
+          }
+        val f: Seq[Expression] => LogicalPlan = {
+          case Seq(a, b, aid, m) =>
+            graft.operators.IntervalOps.overlapFilter(tableOf(a),
+              tableOf(b), litStr(aid, "a_id column"), keepOf(m))
+              .queryExecution.logical
+          case Seq(a, b, aid, m, c, s, e) =>
+            graft.operators.IntervalOps.overlapFilter(tableOf(a),
+              tableOf(b), litStr(aid, "a_id column"), keepOf(m),
+              litStr(c, "chrom column"), litStr(s, "start column"),
+              litStr(e, "end column")).queryExecution.logical
+          case other => throw new IllegalArgumentException(
+            "interval_filter takes (a_table, b_table, a_id, 'u'|'v'[, " +
+              s"chrom, start, end]), got ${other.size} args")
+        }
+        f
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("interval_getfasta"),
       info("interval_getfasta",

@@ -560,6 +560,51 @@ object OracleSql {
         |  max(greatest("end", "start")) AS "end", count(*) AS n_merged
         |FROM h GROUP BY chrom, grp ORDER BY chrom, "start"""".stripMargin,
 
+    // q104: bedtools merge -d 500 — q36's gaps-and-islands windows
+    // with the same 500-base slack in the new-group rule
+    "q104_merge_gap" ->
+      """WITH iv AS (
+        |  SELECT 'chr' || CAST(o_orderkey % 4 AS VARCHAR) AS chrom,
+        |         CAST((o_custkey * 7919) % 10000000 AS BIGINT) AS "start",
+        |         CAST((o_custkey * 7919) % 10000000 + 40 + o_orderkey % 4000
+        |           AS BIGINT) AS "end"
+        |  FROM orders),
+        |g AS (
+        |  SELECT chrom, "start", "end",
+        |    CASE WHEN max(greatest("end", "start")) OVER w IS NULL
+        |           OR "start" > max(greatest("end", "start")) OVER w + 500
+        |         THEN 1 ELSE 0 END AS new_grp
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY chrom ORDER BY "start", "end"
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |h AS (
+        |  SELECT chrom, "start", "end",
+        |    sum(new_grp) OVER (PARTITION BY chrom ORDER BY "start", "end"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g)
+        |SELECT chrom, min("start") AS "start",
+        |  max(greatest("end", "start")) AS "end", count(*) AS n_merged
+        |FROM h GROUP BY chrom, grp ORDER BY chrom, "start"""".stripMargin,
+    // q105: bedtools intersect -u / -v — EXISTS / NOT EXISTS over the
+    // raw strict-overlap predicate, tagged and unioned
+    "q105_overlap_filter" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB)
+         |SELECT 'u' AS mode, aid, chrom,
+         |  CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end"
+         |FROM a WHERE EXISTS (SELECT 1 FROM bv b
+         |  WHERE b.chrom = a.chrom AND a.astart < b."end"
+         |    AND b."start" < a.aend)
+         |UNION ALL
+         |SELECT 'v' AS mode, aid, chrom,
+         |  CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end"
+         |FROM a WHERE NOT EXISTS (SELECT 1 FROM bv b
+         |  WHERE b.chrom = a.chrom AND a.astart < b."end"
+         |    AND b."start" < a.aend)
+         |ORDER BY mode, aid""".stripMargin,
+
     // q37: connected components of the LSH pair graph via a recursive
     // transitive-closure CTE — every node labeled with the smallest
     // reachable id, mirroring TextOps.dedupClusters' fixpoint

@@ -1819,6 +1819,43 @@ object SparkEntry {
       .orderBy(col("aid"), col("closest_id"))
   }
 
+  /** Gap-tolerant merge ([[graft.operators.IntervalOps
+    * .mergeIntervalsRange]] with `maxGap` — the bedtools `merge -d`
+    * analogue, added r18): q36's derivation merged with a 500-base
+    * slack, so intervals separated by ≤ 500 bases fuse. Every sweep,
+    * chain, and stitch comparison carries the same slack; the oracle
+    * adds `+ 500` to the q36 window rule. */
+  private def q104_merge_gap(s: SparkSession, dir: String): DataFrame = {
+    val iv = pq(s, dir, "orders").select(
+      concat(lit("chr"), (col("o_orderkey") % 4).cast("string")).as("chrom"),
+      ((col("o_custkey") * 7919) % 10000000).cast("long").as("start"),
+      ((col("o_custkey") * 7919) % 10000000 + 40 + col("o_orderkey") % 4000)
+        .cast("long").as("end"))
+    graft.operators.IntervalOps.mergeIntervalsRange(iv, maxGap = 500L)
+      .orderBy(col("chrom"), col("start"))
+  }
+
+  /** Overlap-existence filter ([[graft.operators.IntervalOps
+    * .overlapFilter]] — the bedtools `intersect -u` / `-v` analogue,
+    * added r18): the customer-derived intervals that DO ('u') and do
+    * NOT ('v') touch any order-derived interval, one row per A per
+    * mode, tagged and unioned. The oracle is the plain EXISTS /
+    * NOT EXISTS formulation. */
+  private def q105_overlap_filter(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsB(s, dir).drop("iv_id")
+    graft.operators.IntervalOps.overlapFilter(a, b, "aid", keep = true)
+      .withColumn("mode", lit("u"))
+      .unionByName(
+        graft.operators.IntervalOps.overlapFilter(a, b, "aid",
+            keep = false)
+          .withColumn("mode", lit("v")))
+      .select(col("mode"), col("aid"), col("chrom"), col("start"),
+        col("end"))
+      .orderBy(col("mode"), col("aid"))
+  }
+
   /** Deterministic synthetic reference FASTA for the q102/q103
     * sequence gates, written once per JVM into the system temp dir
     * (atomic rename — concurrent or crashed writers can only leave
@@ -2132,7 +2169,9 @@ object SparkEntry {
     "q100_map_fraction" -> (q100_map_fraction _),
     "q101_closest_all" -> (q101_closest_all _),
     "q102_getfasta" -> (q102_getfasta _),
-    "q103_nuc" -> (q103_nuc _)) ++
+    "q103_nuc" -> (q103_nuc _),
+    "q104_merge_gap" -> (q104_merge_gap _),
+    "q105_overlap_filter" -> (q105_overlap_filter _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

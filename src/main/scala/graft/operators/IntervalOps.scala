@@ -83,9 +83,16 @@ object IntervalOps {
     * share one explicit semantics instead of the window's
     * null-sorts-first accident. */
   def mergeIntervals(df: DataFrame, chrom: String = "chrom",
-      start: String = "start", end: String = "end"): DataFrame =
+      start: String = "start", end: String = "end",
+      maxGap: Long = 0L): DataFrame =
     windowMerge(dropNullCoords(df, chrom, start, end), chrom, start, end,
-      lit(1L))
+      lit(1L), maxGap)
+
+  /** `maxGap` rides long additions beside coordinates; bound it so
+    * `end + maxGap` can never overflow for any plausible coordinate. */
+  private def requireMaxGap(maxGap: Long, op: String): Unit =
+    require(maxGap >= 0L && maxGap <= Long.MaxValue / 4,
+      s"$op maxGap must be in [0, 2^61], got $maxGap")
 
   private def dropNullCoords(df: DataFrame, chrom: String, start: String,
       end: String): DataFrame =
@@ -95,16 +102,20 @@ object IntervalOps {
   /** The running-max window sweep shared by both merge variants; `cnt`
     * is each row's source-row weight. */
   private def windowMerge(df: DataFrame, chrom: String, start: String,
-      end: String, cnt: org.apache.spark.sql.Column): DataFrame = {
+      end: String, cnt: org.apache.spark.sql.Column,
+      maxGap: Long = 0L): DataFrame = {
+    requireMaxGap(maxGap, "mergeIntervals")
     val ord = Window.partitionBy(col(chrom)).orderBy(col(start), col(end))
     // the running max of `end` over all PRIOR rows; a new merged group
-    // starts where the current start exceeds it (strictly: half-open
-    // intervals touching at a point still merge)
+    // starts where the current start exceeds it by more than `maxGap`
+    // (bedtools merge -d; at 0, strictly: half-open intervals touching
+    // at a point still merge)
     val prevMax = max(greatest(col(end), col(start)))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))
     val grouped = df
       .withColumn("__new_grp",
-        when(prevMax.isNull || col(start) > prevMax, 1L).otherwise(0L))
+        when(prevMax.isNull || col(start) > prevMax + maxGap, 1L)
+          .otherwise(0L))
       .withColumn("__grp", sum(col("__new_grp")).over(ord))
     grouped
       .groupBy(col(chrom), col("__grp"))
@@ -152,10 +163,17 @@ object IntervalOps {
     * like (1.9, 2.5) and (2.6, 3.0) that [[mergeIntervals]] keeps
     * apart — a loud analysis-time error beats a quiet wrong answer.
     * Genomic coordinates are integral; fractional domains should use
-    * [[mergeIntervals]]. */
+    * [[mergeIntervals]].
+    *
+    * `maxGap` (bedtools `merge -d`): intervals separated by at most
+    * that many bases merge too; every comparison in the sweep, the
+    * driver chain, and the boundary stitch carries the same slack, so
+    * the handoff derivation holds unchanged (carry reaches the last
+    * local group iff `carry + maxGap >= lastGroupStart`). */
   def mergeIntervalsRange(df: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, maxGap: Long = 0L): DataFrame = {
+    requireMaxGap(maxGap, "mergeIntervalsRange")
     val session = df.sparkSession
     import session.implicits._
     val integral = Set[org.apache.spark.sql.types.DataType](
@@ -198,7 +216,7 @@ object IntervalOps {
       var gE = 0L
       it.foreach { case (c, st, en) =>
         if (!any) { any = true; firstC = c; gC = c; gS = st; gE = en }
-        else if (c == gC && st <= gE) gE = math.max(gE, en)
+        else if (c == gC && st <= gE + maxGap) gE = math.max(gE, en)
         else { gC = c; gS = st; gE = en }
       }
       Iterator.single((pid, any, firstC, gC, gS, gE))
@@ -215,7 +233,8 @@ object IntervalOps {
         if (prev != null && prev._1 == firstC) carries(pid) = prev
         val chainEnd =
           if (carries(pid) != null && lastC == firstC &&
-            carries(pid)._2 >= lgS) math.max(carries(pid)._2, lgE)
+            carries(pid)._2 + maxGap >= lgS)
+            math.max(carries(pid)._2, lgE)
           else lgE
         prev = (lastC, chainEnd)
       }
@@ -242,7 +261,7 @@ object IntervalOps {
           while (pending == null && it.hasNext) {
             val (c, st, en) = it.next()
             if (!open) { open = true; gC = c; gS = st; gE = en; gN = 1L }
-            else if (c == gC && st <= gE) {
+            else if (c == gC && st <= gE + maxGap) {
               if (gN == 0L) gS = st // first local row joining the carry
               gE = math.max(gE, en); gN += 1L
             } else {
@@ -279,7 +298,8 @@ object IntervalOps {
       .empty[(String, Long, Long, Long)]
     var openPiece: (String, Long, Long, Long) = null
     pieces.foreach { case (c, s, e, cnt) =>
-      if (openPiece != null && openPiece._1 == c && s <= openPiece._3)
+      if (openPiece != null && openPiece._1 == c &&
+        s <= openPiece._3 + maxGap)
         openPiece = (c, openPiece._2, math.max(openPiece._3, e),
           openPiece._4 + cnt)
       else {
@@ -1409,6 +1429,63 @@ object IntervalOps {
           .as("fraction"))
   }
 
+  /** Overlap-existence filter — the bedtools `intersect -u` / `-v`
+    * analogue: the A rows that DO (`keep = true`) or do NOT
+    * (`keep = false`) overlap at least one B interval by ≥ 1 base,
+    * each A reported once, all columns passing through untouched.
+    * Strand and minimum-overlap-fraction options compose (`-s -v`,
+    * `-f 0.5 -u`, ...); zero-length A rows overlap only B intervals
+    * strictly spanning them ([[IntervalJoin.overlapJoin]]'s degenerate
+    * contract); zero-length B rows match nothing; null chrom/coords
+    * drop.
+    *
+    * Scale shape: the binned equi-join reduced to the DISTINCT
+    * matched A ids (map-side-combined aggregate), then one
+    * left-semi/anti equi-join back to A — never a row explosion in
+    * the output, never all-pairs.
+    *
+    * @param aId unique id column in `a` (the join-back key) */
+  def overlapFilter(a: DataFrame, b: DataFrame, aId: String,
+      keep: Boolean, chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L,
+      strand: Strandedness = Strandedness.Ignore,
+      minOverlapFracA: Double = 0.0,
+      minOverlapFracB: Double = 0.0): DataFrame = {
+    val sk = strandKeyCols(strand)
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(Seq(col(aId).as("__aid"),
+        col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__as"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__ae")) ++
+        sk.map(_._1.as("__astr")).toSeq: _*)
+      .where(col("__aid").isNotNull)
+    val b2 = dropNullCoords(b, chrom, start, end)
+      .select(Seq(col(chrom).cast("string").as("__c2"),
+        col(start).cast("long").as("__bs"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__be")) ++
+        sk.map(_._2.as("__bstr")).toSeq: _*)
+      .where(col("__bs") < col("__be"))
+    val matched = IntervalJoin.overlapJoin(a2, b2,
+        leftCols = ("__c", "__as", "__ae"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
+        strand =
+          if (sk.isEmpty) Strandedness.Ignore
+          else Strandedness.Same("__astr", "__bstr"),
+        minOverlapFracLeft = minOverlapFracA,
+        minOverlapFracRight = minOverlapFracB)
+      .select(col("__aid")).distinct()
+    // null ids drop in BOTH modes (family policy) — without the filter
+    // the anti join would KEEP them (null never matches) while the
+    // semi join dropped them
+    val cleaned = dropNullCoords(a, chrom, start, end)
+      .where(col(aId).isNotNull)
+    cleaned.join(matched,
+      col(aId) === matched("__aid"),
+      if (keep) "left_semi" else "left_anti")
+  }
+
   /** Per-row cluster assignment — the bedtools `cluster` analogue:
     * every input row is tagged with the disjoint merged run
     * (overlap-or-book-ended transitive closure, [[mergeIntervals]]'
@@ -1427,7 +1504,8 @@ object IntervalOps {
     * input rows, no per-contig stage. */
   def cluster(df: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end",
-      binSize: Long = 1000L): DataFrame = {
+      binSize: Long = 1000L, maxGap: Long = 0L): DataFrame = {
+    requireMaxGap(maxGap, "cluster")
     val coordT = df.schema(start).dataType
     val d2 = dropNullCoords(df, chrom, start, end)
       .withColumn("__ps", col(start).cast("long"))
@@ -1437,7 +1515,7 @@ object IntervalOps {
           col(start).cast("long").as("__rs"),
           greatest(col(end).cast("long"), col(start).cast("long"))
             .as("__re")),
-        chrom = "__rc", start = "__rs", end = "__re")
+        chrom = "__rc", start = "__rs", end = "__re", maxGap = maxGap)
       .select(col("__rc"), col("start").as("__rs"),
         col("end").as("__re"), (col("end") + 1L).as("__rx"),
         col("n_merged").as("__rn"))

@@ -134,6 +134,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
             "aid", "v"),
         "SELECT * FROM interval_jaccard('a', 'b')" ->
           IntervalOps.jaccard(spark.table("a"), spark.table("b")),
+        "SELECT * FROM interval_filter('a', 'b', 'aid', 'u')" ->
+          IntervalOps.overlapFilter(spark.table("a"), spark.table("b"),
+            "aid", keep = true),
+        "SELECT * FROM interval_filter('a', 'b', 'aid', 'v')" ->
+          IntervalOps.overlapFilter(spark.table("a"), spark.table("b"),
+            "aid", keep = false),
         s"SELECT * FROM interval_getfasta('ivs', '$tvfFa')" ->
           graft.operators.SequenceOps.getFasta(spark.table("ivs"),
             tvfFa),

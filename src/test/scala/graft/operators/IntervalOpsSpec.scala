@@ -970,6 +970,82 @@ class IntervalOpsSpec extends SparkSuite {
       == canon(IntervalOps.mergeIntervals(rand)))
   }
 
+  test("merge maxGap (-d): both variants, boundary chains, cluster") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("chr1", 10L, 20L), ("chr1", 25L, 30L),  // gap 5: merge at d>=5
+      ("chr1", 40L, 50L),                      // gap 10 from 30
+      ("chr2", 5L, 6L))
+      .toDF("chrom", "start", "end")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("chrom", "start").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val want5 = Seq(("chr1", 10L, 30L, 2L), ("chr1", 40L, 50L, 1L),
+      ("chr2", 5L, 6L, 1L))
+    assert(canon(IntervalOps.mergeIntervals(iv, maxGap = 5L)) == want5)
+    assert(canon(IntervalOps.mergeIntervalsRange(iv, maxGap = 5L))
+      == want5)
+    // d=4 does NOT bridge the 5-gap (strict: start > prevMax + d splits)
+    assert(canon(IntervalOps.mergeIntervals(iv, maxGap = 4L)).length == 4)
+    // d=10 bridges everything on chr1
+    assert(canon(IntervalOps.mergeIntervalsRange(iv, maxGap = 10L)) ==
+      Seq(("chr1", 10L, 50L, 3L), ("chr2", 5L, 6L, 1L)))
+    // randomized equality across variants with gaps + many partitions
+    // (boundary chains must carry the same slack)
+    val rnd = new scala.util.Random(59)
+    val big = (0 until 2500).map { _ =>
+      val st = rnd.nextInt(30000).toLong
+      (s"chr${rnd.nextInt(2)}", st, st + rnd.nextInt(12).toLong)
+    }.toDF("chrom", "start", "end")
+    for (d <- Seq(0L, 3L, 25L)) {
+      assert(canon(IntervalOps.mergeIntervalsRange(big, partitions = 21,
+        maxGap = d)) == canon(IntervalOps.mergeIntervals(big,
+        maxGap = d)), s"maxGap=$d")
+    }
+    // cluster -d: rows within d cluster together
+    val cl = IntervalOps.cluster(iv, maxGap = 5L)
+      .where(col("chrom") === "chr1").orderBy("start")
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("cluster_start"),
+        r.getAs[Long]("cluster_n"))).toSeq
+    assert(cl == Seq((10L, 10L, 2L), (25L, 10L, 2L), (40L, 40L, 1L)))
+  }
+
+  test("overlapFilter: -u/-v with strand and fraction composition") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 100L, 200L, "+"),  // overlapped by b1 (50%, '+')
+      (2L, "chr1", 300L, 400L, "-"),  // overlapped by b2 ('+', tiny)
+      (3L, "chr2", 10L, 20L, "+"))    // no overlap
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val b = Seq(
+      ("chr1", 100L, 150L, "+"),
+      ("chr1", 399L, 450L, "+"))
+      .toDF("chrom", "start", "end", "strand")
+    def ids(keep: Boolean, st: Strandedness = Strandedness.Ignore,
+        fa: Double = 0.0) =
+      IntervalOps.overlapFilter(a, b, "aid", keep = keep, strand = st,
+          minOverlapFracA = fa)
+        .select("aid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(keep = true) == Seq(1L, 2L))
+    assert(ids(keep = false) == Seq(3L))
+    // -s: only A1 matches a same-strand B
+    assert(ids(keep = true, st = Strandedness.Same()) == Seq(1L))
+    assert(ids(keep = false, st = Strandedness.Same()) == Seq(2L, 3L))
+    // -f 0.5: A2's 1-base overlap fails the threshold
+    assert(ids(keep = true, fa = 0.5) == Seq(1L))
+    assert(ids(keep = false, fa = 0.5) == Seq(2L, 3L))
+    // all columns pass through; each A reported once even with many B
+    val manyB = (0 until 20).map(i => ("chr1", 100L + i, 200L))
+      .toDF("chrom", "start", "end")
+    val out = IntervalOps.overlapFilter(a.drop("strand"), manyB, "aid",
+      keep = true)
+    assert(out.columns.toSeq == Seq("aid", "chrom", "start", "end"))
+    assert(out.count() == 1L)
+  }
+
   test("stranded closest: same/opposite keys pick the right candidate") {
     val s = spark
     import s.implicits._
