@@ -295,8 +295,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((
       FunctionIdentifier("interval_getfasta"),
       info("interval_getfasta",
-        "interval_getfasta(table, fasta_path[, chrom, start, end]) - " +
-          "per-interval FASTA sequence extraction (bedtools getfasta)"),
+        "interval_getfasta(table, fasta_path[, chrom, start, end" +
+          "[, strand, name]]) - per-interval FASTA sequence " +
+          "extraction (bedtools getfasta; strand='' disables -s, " +
+          "name='' disables -name)"),
       {
         case Seq(t, fp) =>
           graft.operators.SequenceOps.getFasta(tableOf(t),
@@ -306,9 +308,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litStr(fp, "fasta path"), litStr(c, "chrom column"),
             litStr(s, "start column"), litStr(e, "end column"))
             .queryExecution.logical
+        case Seq(t, fp, c, s, e, str, nm) =>
+          // empty string = option off, the TVF's nullability idiom
+          val strandOpt = litStr(str, "strand column")
+          val nameOpt = litStr(nm, "name column")
+          graft.operators.SequenceOps.getFasta(tableOf(t),
+            litStr(fp, "fasta path"), litStr(c, "chrom column"),
+            litStr(s, "start column"), litStr(e, "end column"),
+            strand = if (strandOpt.isEmpty) null else strandOpt,
+            name = if (nameOpt.isEmpty) null else nameOpt)
+            .queryExecution.logical
         case other => throw new IllegalArgumentException(
           "interval_getfasta takes (table, fasta_path[, chrom, start, " +
-            s"end]), got ${other.size} args")
+            s"end[, strand, name]]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((
       FunctionIdentifier("interval_nuc"),

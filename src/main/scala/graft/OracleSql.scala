@@ -1217,6 +1217,40 @@ object OracleSql {
         |  round((n_a + n_t) / CAST(seq_len AS DOUBLE), 6) AS pct_at_r,
         |  round((n_c + n_g) / CAST(seq_len AS DOUBLE), 6) AS pct_gc_r
         |FROM a JOIN cnts USING (aid) ORDER BY a.aid""".stripMargin,
+    // q106: bedtools getfasta -s -name — the ENGINE fetches bytes
+    // then applies a codegen'd translate+reverse; the oracle replays
+    // the generating formula WITH the complement arithmetic inline:
+    // '-' rows aggregate 'TGCA'[(i*7+k*11)%4] in DESCENDING position
+    // order (reverse complement of the forward formula), '+'/'.' rows
+    // the forward 'ACGT' form — so a wrong alphabet, missed reverse,
+    // or strand-policy slip fails the hash. Header replay pins the
+    // name::chrom:start-end(strand) format.
+    "q106_getfasta_stranded" ->
+      """WITH a AS (SELECT c_custkey AS aid,
+        |    'chr' || (c_custkey % 4) AS chrom,
+        |    c_custkey % 4 AS k,
+        |    (c_custkey*37) % 49000 AS s,
+        |    (c_custkey*37) % 49000 + 10 + c_custkey % 90 AS e,
+        |    CASE c_custkey % 3 WHEN 0 THEN '+' WHEN 1 THEN '-'
+        |      ELSE '.' END AS strand
+        |  FROM customer),
+        |pos AS (SELECT aid, k, strand, unnest(range(s, e)) AS i
+        |  FROM a),
+        |seqs AS (SELECT aid,
+        |    string_agg(CASE WHEN strand = '-'
+        |        THEN substr('TGCA',
+        |          CAST((i*7 + k*11) % 4 AS INT) + 1, 1)
+        |        ELSE substr('ACGT',
+        |          CAST((i*7 + k*11) % 4 AS INT) + 1, 1) END,
+        |      '' ORDER BY CASE WHEN strand = '-' THEN -i ELSE i END)
+        |      AS sequence
+        |  FROM pos GROUP BY aid)
+        |SELECT a.aid, a.chrom, CAST(a.s AS BIGINT) AS "start",
+        |  CAST(a.e AS BIGINT) AS "end", a.strand,
+        |  'iv_' || a.aid AS name, seqs.sequence,
+        |  'iv_' || a.aid || '::' || a.chrom || ':' || a.s || '-' ||
+        |    a.e || '(' || a.strand || ')' AS fasta_header
+        |FROM a JOIN seqs USING (aid) ORDER BY a.aid""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

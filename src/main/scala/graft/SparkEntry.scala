@@ -1856,6 +1856,31 @@ object SparkEntry {
       .orderBy(col("mode"), col("aid"))
   }
 
+  /** Strand-aware sequence extraction ([[graft.operators.SequenceOps
+    * .getFasta]] with `strand`/`name` — bedtools `getfasta -s -name`,
+    * added r19): the q102 probes gain a deterministic strand
+    * (`aid % 3` → `'+'`/`'-'`/`'.'`) and a name; `'-'` rows get the
+    * IUPAC reverse complement of their bases (a codegen'd
+    * translate+reverse, no new I/O) and every row gains the bedtools
+    * `name::chrom:start-end(strand)` header. The oracle replays the
+    * generating formula with the complement arithmetic inline —
+    * `'TGCA'[(i*7+k*11)%4]` aggregated in DESCENDING position order —
+    * so a wrong complement alphabet, a missed reverse, or a
+    * strand-policy slip ('+'/'.' must stay untouched) all fail the
+    * hash. */
+  private def q106_getfasta_stranded(s: SparkSession, dir: String)
+      : DataFrame = {
+    val probes = seqIntervals(s, dir)
+      .withColumn("strand",
+        when(col("aid") % 3 === 0, "+")
+          .when(col("aid") % 3 === 1, "-")
+          .otherwise("."))
+      .withColumn("name", concat(lit("iv_"), col("aid")))
+    graft.operators.SequenceOps.getFasta(probes, seqFixture,
+        strand = "strand", name = "name")
+      .orderBy(col("aid"))
+  }
+
   /** Deterministic synthetic reference FASTA for the q102/q103
     * sequence gates, written once per JVM into the system temp dir
     * (atomic rename — concurrent or crashed writers can only leave
@@ -1896,8 +1921,16 @@ object SparkEntry {
       val faiTmp = java.io.File.createTempFile("ref", ".fai.tmp", dir)
       java.nio.file.Files.write(faiTmp.toPath,
         faiSb.toString.getBytes("UTF-8"))
-      faiTmp.renameTo(fai)
-      faTmp.renameTo(fa)
+      // .fa lands BEFORE .fai so a visible index always implies a
+      // complete FASTA; ATOMIC_MOVE (same dir) throws on failure
+      // instead of renameTo's silently-ignorable boolean
+      import java.nio.file.{Files, StandardCopyOption}
+      Files.move(faTmp.toPath, fa.toPath,
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.move(faiTmp.toPath, fai.toPath,
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
     fa.getAbsolutePath
   }
@@ -2171,7 +2204,8 @@ object SparkEntry {
     "q102_getfasta" -> (q102_getfasta _),
     "q103_nuc" -> (q103_nuc _),
     "q104_merge_gap" -> (q104_merge_gap _),
-    "q105_overlap_filter" -> (q105_overlap_filter _)) ++
+    "q105_overlap_filter" -> (q105_overlap_filter _),
+    "q106_getfasta_stranded" -> (q106_getfasta_stranded _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
@@ -25,6 +25,18 @@ import graft.sources.common.{GraftHadoop, LineSourceUtil}
   * leaves open. */
 object SequenceOps {
 
+  /** IUPAC complement alphabet for the bedtools `-s` reverse
+    * complement, both cases (W/S/N and their lowercase forms are
+    * self-complementary and need no entry; unknown characters pass
+    * through unchanged, bedtools' own behavior). */
+  private val CompFrom = "ACGTUMRYKVHDBacgtumrykvhdb"
+  private val CompTo   = "TGCAAKYRMBDHVtgcaakyrmbdhv"
+
+  /** Codegen'd reverse complement of a sequence column — a
+    * `translate` (the IUPAC complement) under a `reverse`, no UDF. */
+  def reverseComplement(seq: Column): Column =
+    reverse(translate(seq, CompFrom, CompTo))
+
   /** Per-interval sequence extraction — the bedtools `getfasta`
     * analogue: every input row gains the FASTA bases its
     * (chrom, start, end) covers, via .fai byte math (bgzipped FASTA
@@ -46,10 +58,29 @@ object SequenceOps {
     * `repartitionByRange(chrom, start)` upstream to make each task's
     * seeks near-sequential; the operator does not force that shuffle.
     * Per-slice cost is bytes-proportional ([[FaiIndex.slice]]'s 2 GiB
-    * single-slice bound applies). */
+    * single-slice bound applies).
+    *
+    * Options (bedtools parity, both codegen'd projections over the
+    * fetched bases — no new I/O):
+    *  - `strand` (bedtools `-s`): name of a strand column; rows whose
+    *    strand is `'-'` get the IUPAC reverse complement of the
+    *    fetched bases ([[reverseComplement]]). Every other value
+    *    (`'+'`, `'.'`, null, anything else) leaves the bases as-is,
+    *    exactly bedtools' rule ("if the feature occupies the antisense
+    *    strand"). Coordinates are untouched — only the base string
+    *    flips.
+    *  - `name` (bedtools `-name`) / `emitHeader`: adds a
+    *    `fasta_header` string column carrying the header bedtools
+    *    would write: `chrom:start-end` (plain), with `name` set
+    *    `name::chrom:start-end` (bedtools ≥2.26 `-name`), and when
+    *    `strand` is also set a `(+)`/`(-)`/`(.)` suffix (null strand
+    *    renders `(.)`, bedtools' unknown-strand dot). `name != null`
+    *    implies the header column. */
   def getFasta(df: DataFrame, fastaPath: String,
       chrom: String = "chrom", start: String = "start",
-      end: String = "end", seqCol: String = "sequence"): DataFrame = {
+      end: String = "end", seqCol: String = "sequence",
+      strand: String = null, name: String = null,
+      emitHeader: Boolean = false): DataFrame = {
     val session = df.sparkSession
     require(!df.columns.exists(_.equalsIgnoreCase(seqCol)),
       s"getFasta output column '$seqCol' collides with an input column")
@@ -132,7 +163,28 @@ object SequenceOps {
         }
       }
     }
-    PlanShim.internalCreateDataFrame(session, rdd, outSchema)
+    val fetched = PlanShim.internalCreateDataFrame(session, rdd, outSchema)
+    val stranded =
+      if (strand == null) fetched
+      else fetched.withColumn(seqCol,
+        when(col(strand) === "-", reverseComplement(col(seqCol)))
+          .otherwise(col(seqCol)))
+    if (name == null && !emitHeader) stranded
+    else {
+      require(!df.columns.exists(_.equalsIgnoreCase("fasta_header")),
+        "getFasta header output column 'fasta_header' collides with " +
+          "an input column")
+      val coords = concat(col(chrom).cast("string"), lit(":"),
+        col(start).cast("string"), lit("-"), col(end).cast("string"))
+      val base =
+        if (name == null) coords
+        else concat(col(name).cast("string"), lit("::"), coords)
+      val header =
+        if (strand == null) base
+        else concat(base, lit("("),
+          coalesce(col(strand).cast("string"), lit(".")), lit(")"))
+      stranded.withColumn("fasta_header", header)
+    }
   }
 
   /** Per-interval nucleotide composition — the bedtools `nuc`
@@ -144,12 +196,18 @@ object SequenceOps {
     *
     * Scale shape: [[getFasta]]'s narrow pass plus codegen'd string
     * projections — counting by length-difference of single-character
-    * removals, no UDF, no regex. */
+    * removals, no UDF, no regex.
+    *
+    * `strand` (bedtools `nuc -s`): counts run over the reverse
+    * complement for `'-'`-strand rows — A and T swap, C and G swap,
+    * `seq_len`/`pct_at`/`pct_gc` are invariant (the complement is a
+    * base-class bijection), matching bedtools' "profile the sequence
+    * as transcribed" semantics. */
   def nucContent(df: DataFrame, fastaPath: String,
       chrom: String = "chrom", start: String = "start",
-      end: String = "end"): DataFrame = {
+      end: String = "end", strand: String = null): DataFrame = {
     val withSeq = getFasta(df, fastaPath, chrom, start, end,
-      seqCol = "__nuc_seq")
+      seqCol = "__nuc_seq", strand = strand)
     val up = upper(col("__nuc_seq"))
     val total = length(up).cast("long")
     def cnt(ch: String) =

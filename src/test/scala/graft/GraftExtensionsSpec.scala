@@ -96,6 +96,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           s"chr2\t${c2.length}\t${6 + c1.length + 1 + 6}\t" +
           s"${c2.length}\t${c2.length + 1}\n").getBytes("UTF-8"))
       val tvfFa = seqDir.resolve("r.fa").toString
+      Seq(("chr1", 10L, 50L, "+", "n1"), ("chr1", 40L, 80L, "-", "n2"))
+        .toDF("chrom", "start", "end", "strand", "name")
+        .createOrReplaceTempView("ivss")
       Seq(("x", "chr1", 10L, 50L), ("y", "chr1", 40L, 80L))
         .toDF("set", "chrom", "start", "end")
         .createOrReplaceTempView("lab")
@@ -146,6 +149,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT * FROM interval_nuc('ivs', '$tvfFa')" ->
           graft.operators.SequenceOps.nucContent(spark.table("ivs"),
             tvfFa),
+        (s"SELECT * FROM interval_getfasta('ivss', '$tvfFa', 'chrom', " +
+          "'start', 'end', 'strand', 'name')") ->
+          graft.operators.SequenceOps.getFasta(spark.table("ivss"),
+            tvfFa, strand = "strand", name = "name"),
         "SELECT * FROM interval_slop('ivs', 15, 'sz')" ->
           IntervalOps.slop(spark.table("ivs"), both = 15L,
             chromSizes = Some(spark.table("sz"))),

@@ -153,6 +153,87 @@ class SequenceOpsSpec extends SparkSuite {
       empty.isNullAt(empty.fieldIndex("pct_at")))
   }
 
+  test("getFasta -s: reverse complement only on '-' rows; IUPAC + case") {
+    val s = spark
+    import s.implicits._
+    val (fa, chr1, chr2) = writeFasta()
+    def rc(seq: String): String = seq.reverseIterator.map {
+      case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+      case 'a' => 't'; case 'c' => 'g'; case 'g' => 'c'; case 't' => 'a'
+      case 'N' => 'N'; case 'n' => 'n'; case other => other
+    }.mkString
+    val df = Seq(
+      (1L, "chr1", 100L, 160L, "+"),
+      (2L, "chr1", 100L, 160L, "-"),   // uppercase ACGTN source
+      (3L, "chr2", 5L, 60L, "-"),      // lowercase acgt source
+      (4L, "chr1", 100L, 160L, "."),
+      (5L, "chr1", 100L, 160L, null.asInstanceOf[String]))
+      .toDF("id", "chrom", "start", "end", "strand")
+    val got = SequenceOps.getFasta(df, fa, strand = "strand")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("sequence"))).toSeq
+    val fwd1 = chr1.substring(100, 160)
+    assert(got == Seq(
+      (1L, fwd1), (2L, rc(fwd1)), (3L, rc(chr2.substring(5, 60))),
+      (4L, fwd1), (5L, fwd1)))
+    // full IUPAC alphabet sanity on the column function itself
+    val one = Seq(("MRWSYKVHDBNmrwsykvhdbn-X"))
+      .toDF("x")
+      .select(SequenceOps.reverseComplement(col("x")).as("y"))
+      .collect().head.getString(0)
+    assert(one == "X-nvhdbmrswykNVHDBMRSWYK")
+  }
+
+  test("getFasta -name / header column formats") {
+    val s = spark
+    import s.implicits._
+    val (fa, chr1, _) = writeFasta()
+    val df = Seq(
+      (1L, "chr1", 10L, 20L, "-", "geneA"),
+      (2L, "chr1", 30L, 40L, null.asInstanceOf[String], "geneB"))
+      .toDF("id", "chrom", "start", "end", "strand", "name")
+    // name + strand: bedtools name::chrom:start-end(strand), null
+    // strand renders the unknown-strand dot
+    val h1 = SequenceOps.getFasta(df, fa, strand = "strand",
+        name = "name")
+      .orderBy("id").collect()
+      .map(_.getAs[String]("fasta_header")).toSeq
+    assert(h1 == Seq("geneA::chr1:10-20(-)", "geneB::chr1:30-40(.)"))
+    // emitHeader without name, strand-blind: bare coordinates
+    val h2 = SequenceOps.getFasta(df, fa, emitHeader = true)
+      .orderBy("id").collect()
+      .map(_.getAs[String]("fasta_header")).toSeq
+    assert(h2 == Seq("chr1:10-20", "chr1:30-40"))
+    // header collision fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SequenceOps.getFasta(
+        Seq((1L, "chr1", 0L, 1L, "x")).toDF("id", "chrom", "start",
+          "end", "fasta_header"), fa, emitHeader = true)
+    }
+    assert(e.getMessage.contains("fasta_header"))
+  }
+
+  test("nucContent -s: A/T and C/G swap on '-' rows, invariants hold") {
+    val s = spark
+    import s.implicits._
+    val (fa, chr1, _) = writeFasta()
+    val df = Seq(
+      (1L, "chr1", 10L, 200L, "+"),
+      (2L, "chr1", 10L, 200L, "-"))
+      .toDF("id", "chrom", "start", "end", "strand")
+    val rows = SequenceOps.nucContent(df, fa, strand = "strand")
+      .orderBy("id").collect()
+    val (p, m) = (rows(0), rows(1))
+    assert(p.getAs[Long]("n_a") == m.getAs[Long]("n_t") &&
+      p.getAs[Long]("n_t") == m.getAs[Long]("n_a") &&
+      p.getAs[Long]("n_c") == m.getAs[Long]("n_g") &&
+      p.getAs[Long]("n_g") == m.getAs[Long]("n_c") &&
+      p.getAs[Long]("n_n") == m.getAs[Long]("n_n") &&
+      p.getAs[Long]("seq_len") == m.getAs[Long]("seq_len"))
+    assert(math.abs(p.getAs[Double]("pct_gc") -
+      m.getAs[Double]("pct_gc")) < 1e-15)
+  }
+
   test("getFasta plan is narrow: no shuffle") {
     val s = spark
     import s.implicits._
