@@ -1613,14 +1613,35 @@ object IntervalOps {
       end: String = "end", binSize: Long = 1000L,
       partitions: Int = 0,
       strand: Strandedness = Strandedness.Ignore): DataFrame = {
-    // stranded closest keys the SWEEPS and the overlap join on the
-    // composite (chrom, strand fragment) — a candidate must share the
-    // key, so a same/opposite-strand B is found even when a
-    // wrong-strand B sits nearer (a residual filter could not do
-    // that). Key-based policy: rows whose strand cannot participate
-    // DROP from their side.
+    val a2 = closestProjectA(a, aId, chrom, start, end, strand)
+    val b2 = closestProjectB(b, bId, chrom, start, end, strand)
+    val best = col("__best")
+    closestCore(a2, b2, binSize, partitions)
+      .select(col("__aid").as(aId),
+        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
+        col("__as").cast(a.schema(start).dataType).as(start),
+        col("__ae").cast(a.schema(end).dataType).as(end),
+        best.getField("i").as("closest_id"),
+        best.getField("s").as("closest_start"),
+        best.getField("e").as("closest_end"),
+        best.getField("d").as("distance"))
+  }
+
+  /** [[closest]]'s A-side projection: (__aid, __c composite sweep key,
+    * __oc original chrom, __as, __ae) with the key-based strand drop.
+    * Shared with [[closestAll]] so the tie join reuses the SAME
+    * projected frame instead of rebuilding it (one scan, not two).
+    *
+    * Stranded closest keys the SWEEPS and the overlap join on the
+    * composite (chrom, strand fragment) — a candidate must share the
+    * key, so a same/opposite-strand B is found even when a
+    * wrong-strand B sits nearer (a residual filter could not do
+    * that). Key-based policy: rows whose strand cannot participate
+    * DROP from their side. */
+  private def closestProjectA(a: DataFrame, aId: String, chrom: String,
+      start: String, end: String, strand: Strandedness): DataFrame = {
     val sk = strandKeyCols(strand)
-    val a2 = dropNullCoords(a, chrom, start, end)
+    dropNullCoords(a, chrom, start, end)
       .select(col(aId).as("__aid"),
         compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
         col(chrom).cast("string").as("__oc"),
@@ -1628,13 +1649,31 @@ object IntervalOps {
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae"))
       .where(col("__aid").isNotNull && col("__c").isNotNull)
-    val b2 = dropNullCoords(b, chrom, start, end)
+  }
+
+  /** [[closest]]'s B-side projection twin of [[closestProjectA]]:
+    * (__bid, __c, __bs, __be). */
+  private def closestProjectB(b: DataFrame, bId: String, chrom: String,
+      start: String, end: String, strand: Strandedness): DataFrame = {
+    val sk = strandKeyCols(strand)
+    dropNullCoords(b, chrom, start, end)
       .select(col(bId).as("__bid"),
         compositeKey(col(chrom).cast("string"), sk.map(_._2)).as("__c"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be"))
       .where(col("__bid").isNotNull && col("__c").isNotNull)
+  }
+
+  /** The argmin machinery under [[closest]]/[[closestAll]], over the
+    * ALREADY-projected frames: one [[RangeFill.fillBoth]] timeline for
+    * both sweep directions plus the binned overlap join for the
+    * distance-0 candidates. Returns one row per A row — (__aid, __c,
+    * __oc, __as, __ae, __best) where __best is the winning
+    * (d, s, i, e) candidate struct, null when the A's key has no B at
+    * all. */
+  private def closestCore(a2: DataFrame, b2: DataFrame, binSize: Long,
+      partitions: Int): DataFrame = {
     val cbStruct = struct(col("__bs"), col("__bid"), col("__be"))
     val bEnd = b2.select(col("__c"), col("__be").as("__pos"),
       lit(0).as("__kind"), cbStruct.as("__cbL"))
@@ -1692,17 +1731,11 @@ object IntervalOps {
       .groupBy(col("__aid"))
       .agg(min(struct(lit(0L).as("d"), col("__bs").as("s"),
         col("__bid").as("i"), col("__be").as("e"))).as("__O"))
-    val best = least(col("__O"), col("__L"), col("__R"))
     a2.join(sweepCand, Seq("__aid"), "left")
       .join(overlapCand, Seq("__aid"), "left")
-      .select(col("__aid").as(aId),
-        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
-        col("__as").cast(a.schema(start).dataType).as(start),
-        col("__ae").cast(a.schema(end).dataType).as(end),
-        best.getField("i").as("closest_id"),
-        best.getField("s").as("closest_start"),
-        best.getField("e").as("closest_end"),
-        best.getField("d").as("distance"))
+      .select(col("__aid"), col("__c"), col("__oc"), col("__as"),
+        col("__ae"),
+        least(col("__O"), col("__L"), col("__R")).as("__best"))
   }
 
   /** Every-tie variant of [[closest]] — the bedtools `closest -t all`
@@ -1732,27 +1765,15 @@ object IntervalOps {
       end: String = "end", binSize: Long = 1000L,
       partitions: Int = 0,
       strand: Strandedness = Strandedness.Ignore): DataFrame = {
-    val sk = strandKeyCols(strand)
-    val a2 = dropNullCoords(a, chrom, start, end)
-      .select(col(aId).as("__aid"),
-        compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
-        col(chrom).cast("string").as("__oc"),
-        col(start).cast("long").as("__as"),
-        greatest(col(end).cast("long"), col(start).cast("long"))
-          .as("__ae"))
-      .where(col("__aid").isNotNull && col("__c").isNotNull)
-    val b2 = dropNullCoords(b, chrom, start, end)
-      .select(col(bId).as("__bid"),
-        compositeKey(col(chrom).cast("string"), sk.map(_._2))
-          .as("__c2"),
-        col(start).cast("long").as("__bs"),
-        greatest(col(end).cast("long"), col(start).cast("long"))
-          .as("__be"))
-      .where(col("__bid").isNotNull && col("__c2").isNotNull)
-    val best = closest(a, b, aId, bId, chrom, start, end, binSize,
-        partitions, strand)
-      .select(col(aId).as("__aid"), col("distance").as("__d"))
-    val withD = a2.join(best, Seq("__aid"))
+    // ONE pair of projections feeds both the argmin core and the tie
+    // join (the core's output already carries a2's columns, so no
+    // re-join against a2 either)
+    val a2 = closestProjectA(a, aId, chrom, start, end, strand)
+    val b2 = closestProjectB(b, bId, chrom, start, end, strand)
+      .withColumnRenamed("__c", "__c2")
+    val withD = closestCore(a2, b2.withColumnRenamed("__c2", "__c"),
+        binSize, partitions)
+      .withColumn("__d", col("__best").getField("d"))
     // extend by d + 1 so a B at EXACTLY distance d still strictly
     // overlaps the probe interval (be > as - d - 1 <=> be >= as - d)
     val aExt = withD.where(col("__d").isNotNull)
