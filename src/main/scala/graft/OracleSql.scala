@@ -1107,6 +1107,32 @@ object OracleSql {
          |  CAST(max(p) + 1 AS BIGINT) AS "end"
          |FROM isl GROUP BY aid, chrom, grp
          |ORDER BY aid, "start"""".stripMargin,
+    // q107: bedtools subtract -S — q98's per-base
+    // explode-and-recoalesce with the OPPOSITE pairing in the
+    // coverage test. The gate's point: a '.'-strand A row (a third of
+    // the probes) matches nothing and must come back UNMODIFIED —
+    // this formulation returns it whole by construction, so an engine
+    // that drops unmatchable A rows fails on row count.
+    "q107_subtract_opposite" ->
+      s"""WITH a AS ($ivCS),
+         |bv AS ($ivBS),
+         |pos AS (SELECT aid, chrom, strand,
+         |    unnest(range(astart, aend)) AS p
+         |  FROM a),
+         |alive AS (SELECT aid, chrom, p FROM pos
+         |  WHERE NOT EXISTS (SELECT 1 FROM bv b
+         |    WHERE b.chrom = pos.chrom
+         |      AND ((pos.strand = '+' AND b.strand = '-') OR
+         |           (pos.strand = '-' AND b.strand = '+'))
+         |      AND b."start" <= pos.p AND pos.p < b."end")),
+         |isl AS (SELECT aid, chrom, p,
+         |    p - row_number() OVER (PARTITION BY aid ORDER BY p)
+         |      AS grp
+         |  FROM alive)
+         |SELECT aid, chrom, CAST(min(p) AS BIGINT) AS "start",
+         |  CAST(max(p) + 1 AS BIGINT) AS "end"
+         |FROM isl GROUP BY aid, chrom, grp
+         |ORDER BY aid, "start"""".stripMargin,
     // q99: bedtools window -w 20000 -s — q87's proximity pairing with
     // the strand equality in the join
     "q99_window_stranded" ->

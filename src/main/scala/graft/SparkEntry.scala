@@ -1767,6 +1767,25 @@ object SparkEntry {
       .orderBy(col("aid"), col("start"))
   }
 
+  /** Opposite-strand subtraction ([[graft.operators.IntervalOps
+    * .subtract]] with [[graft.operators.Strandedness.Opposite]] — the
+    * bedtools `subtract -S` analogue, added r19): only
+    * opposite-strand B bases are removed, and — the contract this
+    * gate exists to pin — A rows whose strand is `'.'` (a third of
+    * [[intervalsCS]]) match NOTHING and pass through UNMODIFIED
+    * (bedtools keeps them; a key-based drop would silently lose
+    * them). The oracle is q98's per-base explode-and-recoalesce with
+    * the opposite pairing in the coverage test, which returns '.'
+    * rows whole by construction. */
+  private def q107_subtract_opposite(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsCS(s, dir)
+    val b = intervalsBS(s, dir).drop("iv_id")
+    graft.operators.IntervalOps.subtract(a, b, "aid",
+        strand = graft.operators.Strandedness.Opposite())
+      .orderBy(col("aid"), col("start"))
+  }
+
   /** Same-strand proximity join ([[graft.operators.IntervalOps
     * .windowJoin]] with Same — the bedtools `window -sw -s` analogue,
     * added r18): q87's 20-kbp pairing restricted to equal strands via
@@ -2205,7 +2224,8 @@ object SparkEntry {
     "q103_nuc" -> (q103_nuc _),
     "q104_merge_gap" -> (q104_merge_gap _),
     "q105_overlap_filter" -> (q105_overlap_filter _),
-    "q106_getfasta_stranded" -> (q106_getfasta_stranded _)) ++
+    "q106_getfasta_stranded" -> (q106_getfasta_stranded _),
+    "q107_subtract_opposite" -> (q107_subtract_opposite _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -28,13 +28,21 @@ import org.apache.spark.sql.functions._
   * gates): strands compare as RAW STRINGS under [[Strandedness.Same]]
   * (so `'.'` matches `'.'`), and under [[Strandedness.Opposite]] only
   * a `'+'`/`'-'` pairing matches (a `'.'` has no opposite). A null
-  * strand never matches anything. Key-based operators (closest,
-  * subtract — where the strand joins the sweep/merge KEY) DROP rows
-  * whose strand cannot participate, the same policy as a null
-  * chromosome; predicate-based operators (overlapJoin, windowJoin,
-  * mapOverlaps) simply never match them, so probe-side rows survive
-  * with zero counts where the operator reports zeroes. Key-based:
-  * closest/closestAll, subtract, coverageBy, annotate. */
+  * strand never matches anything.
+  *
+  * A-side rows whose strand cannot match anything are KEPT and
+  * reported as unmatched — bedtools' own `-s`/`-S` behavior (subtract
+  * returns them unmodified, coverage reports zero, closest reports no
+  * hit). Predicate-based operators (overlapJoin, windowJoin,
+  * mapOverlaps, overlapFilter) get this for free from the join
+  * condition; key-based operators (closest/closestAll, subtract,
+  * coverageBy, annotate — where the strand joins the sweep/merge KEY)
+  * get it from [[IntervalOps.strandKeyCols]]'s total A fragment,
+  * whose NUL sentinel can never equal a B strand. B-side null-strand
+  * rows still drop from key-based operators (they could never match;
+  * their absence is invisible). Pinned by the q107 oracle gate
+  * (Opposite subtract over '.'-strand rows) and the stranded unit
+  * specs. */
 sealed trait Strandedness
 object Strandedness {
   /** Strand-blind (the default everywhere). */
@@ -52,14 +60,27 @@ object IntervalOps {
   /** The A-side/B-side key fragments a strand policy adds to a
     * composite (chrom, strand) sweep or merge key: equality of the two
     * fragments IS the policy (the A side flips under Opposite). None
-    * under Ignore. */
+    * under Ignore.
+    *
+    * The A fragment is TOTAL (never null): an A row whose strand
+    * cannot match anything — null under Same; `'.'`/null/other under
+    * Opposite — gets a NUL sentinel no text-format B strand can equal,
+    * so key-based operators KEEP it and report "no match" (subtract
+    * returns it unmodified, coverageBy zero, closest null columns),
+    * which is bedtools' own `-s`/`-S` behavior. Only the B side still
+    * drops its null-strand rows (they could never match; their absence
+    * is invisible). Predicate-based operators compare the fragments in
+    * the join condition, where sentinel-vs-anything is false — the
+    * same no-match outcome they already had. */
   private[operators] def strandKeyCols(s: Strandedness)
       : Option[(Column, Column)] = s match {
     case Strandedness.Ignore => None
     case Strandedness.Same(ac, bc) =>
-      Some((col(ac).cast("string"), col(bc).cast("string")))
+      Some((coalesce(col(ac).cast("string"), lit("\u0000")),
+        col(bc).cast("string")))
     case Strandedness.Opposite(ac, bc) =>
-      Some((when(col(ac) === "+", "-").when(col(ac) === "-", "+"),
+      Some((when(col(ac) === "+", "-").when(col(ac) === "-", "+")
+        .otherwise(lit("\u0000")),
         col(bc).cast("string")))
   }
 
@@ -827,8 +848,8 @@ object IntervalOps {
       strand: Strandedness = Strandedness.Ignore): DataFrame = {
     // stranded subtraction keys the merge AND the join on the
     // composite (chrom, strand fragment): only same-key B bases are
-    // removed (bedtools -s/-S). Key-based policy: rows whose strand
-    // cannot participate (null; non-+/- A under Opposite) DROP.
+    // removed (bedtools -s/-S). Unmatchable A rows keep a sentinel
+    // key and pass through unmodified; unmatchable B rows drop.
     val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
       .select(col(aId).as("__aid"),
@@ -1302,7 +1323,8 @@ object IntervalOps {
       strand: Strandedness = Strandedness.Ignore): DataFrame = {
     // stranded coverage keys BOTH joins and the B merge on the
     // composite (chrom, strand fragment) -- bedtools coverage -s/-S.
-    // Key-based policy: rows whose strand cannot participate DROP.
+    // Unmatchable A rows keep a sentinel key -> zero coverage rows;
+    // unmatchable B rows drop (invisible).
     val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
       .select(col(aId).as("__aid"),
@@ -1636,8 +1658,8 @@ object IntervalOps {
     * composite (chrom, strand fragment) — a candidate must share the
     * key, so a same/opposite-strand B is found even when a
     * wrong-strand B sits nearer (a residual filter could not do
-    * that). Key-based policy: rows whose strand cannot participate
-    * DROP from their side. */
+    * that). Unmatchable A rows keep a sentinel key and surface with
+    * null closest columns; unmatchable B rows drop. */
   private def closestProjectA(a: DataFrame, aId: String, chrom: String,
       start: String, end: String, strand: Strandedness): DataFrame = {
     val sk = strandKeyCols(strand)

@@ -1053,7 +1053,7 @@ class IntervalOpsSpec extends SparkSuite {
       (1L, "chr1", 100L, 110L, "+"),
       (2L, "chr1", 100L, 110L, "-"),
       (3L, "chr1", 500L, 510L, "."),   // '.' matches only '.' under Same
-      (4L, "chr1", 700L, 710L, null.asInstanceOf[String])) // drops
+      (4L, "chr1", 700L, 710L, null.asInstanceOf[String])) // matches nothing
       .toDF("aid", "chrom", "start", "end", "strand")
     val b = Seq(
       (10L, "chr1", 120L, 130L, "+"),  // nearest overall, plus-strand
@@ -1072,13 +1072,14 @@ class IntervalOpsSpec extends SparkSuite {
     assert(got(Strandedness.Ignore) == Seq(
       (1L, 10L, 10L), (2L, 10L, 10L), (3L, 12L, 10L), (4L, 13L, 0L)))
     // -s: A1(+) -> b10; A2(-) -> b11 even though b10 is nearer;
-    // A3(.) -> b12; A4(null strand) DROPS (key-based policy)
+    // A3(.) -> b12; A4(null strand) KEPT with no hit (bedtools keeps
+    // every A row; null matches nothing)
     assert(got(Strandedness.Same()) == Seq(
-      (1L, 10L, 10L), (2L, 11L, 90L), (3L, 12L, 10L)))
+      (1L, 10L, 10L), (2L, 11L, 90L), (3L, 12L, 10L), (4L, -1L, -1L)))
     // -S: A1(+) -> minus-strand b11; A2(-) -> plus-strand b10;
-    // A3(.) has no opposite -> drops; A4 drops
+    // A3(.) has no opposite and A4 is null -> both KEPT with no hit
     assert(got(Strandedness.Opposite()) == Seq(
-      (1L, 11L, 90L), (2L, 10L, 10L)))
+      (1L, 11L, 90L), (2L, 10L, 10L), (3L, -1L, -1L), (4L, -1L, -1L)))
   }
 
   test("stranded subtract: only same/opposite-strand bases removed") {
@@ -1100,6 +1101,15 @@ class IntervalOpsSpec extends SparkSuite {
     assert(canon(Strandedness.Same()) == Seq((100L, 120L), (140L, 200L)))
     assert(canon(Strandedness.Opposite()) ==
       Seq((100L, 160L), (180L, 200L)))
+    // a '.'-strand A row matches nothing under -S and passes through
+    // UNMODIFIED (bedtools keeps it; pre-r19 the key-based policy
+    // wrongly dropped it)
+    val dot = Seq((2L, "chr1", 100L, 200L, "."))
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val kept = IntervalOps.subtract(dot, b, "aid",
+        strand = Strandedness.Opposite())
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(kept == Seq((100L, 200L)))
   }
 
   test("stranded mapOverlaps and windowJoin: predicate-based policy") {
@@ -1146,6 +1156,14 @@ class IntervalOpsSpec extends SparkSuite {
     assert(cov(Strandedness.Ignore) == ((2L, 90L)))
     assert(cov(Strandedness.Same()) == ((1L, 50L)))
     assert(cov(Strandedness.Opposite()) == ((1L, 50L)))
+    // a '.'-strand A row survives -S with ZERO coverage (bedtools -S
+    // keeps it; pre-r19 it dropped)
+    val dot = Seq((9L, "chr1", 100L, 200L, "."))
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val z = IntervalOps.coverageBy(dot, b, "aid",
+        strand = Strandedness.Opposite())
+      .collect().map(r => (r.getLong(4), r.getLong(5))).head
+    assert(z == ((0L, 0L)))
     val ann = IntervalOps.annotate(a, Seq("s1" -> b), "aid",
         strand = Strandedness.Same())
       .collect().map(r => (r.getString(1), r.getLong(5), r.getLong(6)))
