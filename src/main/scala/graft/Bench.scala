@@ -107,7 +107,7 @@ object Bench {
     * lists the rows either way. Returns the child's queries map, or
     * None if the child failed/timed out. */
   private def relaunchRows(rows: Seq[String], sfDir: String,
-      cpus: String): Option[Map[String, Double]] =
+      cpus: String, runs: Int = 2): Option[Map[String, Double]] =
     try {
       val javaBin = java.nio.file.Paths
         .get(System.getProperty("java.home"), "bin", "java").toString
@@ -129,8 +129,8 @@ object Bench {
       env.put("SPARK_GRAFT_SF_DIR", sfDir)
       env.put("SPARK_GRAFT_CPUS", cpus)
       env.put("SPARK_GRAFT_BENCH_ONLY", rows.mkString(","))
-      env.put("SPARK_GRAFT_BENCH_RUNS", "2")
-      env.put("SPARK_GRAFT_BENCH_READER_RUNS", "2")
+      env.put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
+      env.put("SPARK_GRAFT_BENCH_READER_RUNS", runs.toString)
       env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
       env.put("SPARK_GRAFT_BENCH_NO_RELAUNCH", "1")
       env.put("SPARK_GRAFT_BENCH_ANN", "0")
@@ -892,6 +892,33 @@ object Bench {
         s""""relaunched":${slowRows.map(jstr).mkString("[", ",", "]")},""" +
         s""""rows":$rowsJson}"""
     }
+    // Standing focused-min section (r18 verdict "next" #5): a small
+    // set of volatile rows has been bitten by ambient load in TWO
+    // official records (q50 read 2.27x in r18 on untouched code; b13b
+    // 14.5 s vs a quiet 10.9; q68 drifts 0.6-0.8 s) — each time the
+    // adjudication needed a manual quiet-window re-measure. The
+    // official record now carries that re-measure itself: one bounded
+    // fresh-JVM focused run (min over 4 passes) over just these rows,
+    // taken immediately after the main passes in the same machine
+    // window. Future judges diff `focused` before calling a volatile
+    // row a regression. Full official runs only;
+    // SPARK_GRAFT_BENCH_FOCUSED=0 disables.
+    val focusedJson: String = {
+      val volatileRows = Seq("q50_leakage_split", "q68_bm25",
+        "b13b_bam_closest_full")
+      val present = {
+        val have = resultsMerged.map(_._1).toSet
+        volatileRows.filter(have)
+      }
+      if (!relaunchEnabled || present.isEmpty ||
+          sys.env.get("SPARK_GRAFT_BENCH_FOCUSED").contains("0")) "null"
+      else relaunchRows(present, sfDir, cpus, runs = 4) match {
+        case Some(m) =>
+          present.flatMap(n => m.get(n).map(v => s"${jstr(n)}:${fmt(v)}"))
+            .mkString("{", ",", "}")
+        case None => "null"
+      }
+    }
     // Cross-round comparability: raw seconds from different rounds are
     // dominated by ambient machine state (the same code benched b08 at
     // 0.67 s one morning and 1.46 s the same afternoon in an r12
@@ -1008,7 +1035,7 @@ object Bench {
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",""" +
       s""""sf":${jstr(sfDir)},"runs":$runs,"action":"noop-write",""" +
       s""""comparable_since":13,"pass_gate":$passGateJson,""" +
-      s""""relaunch":$relaunchJson,""" +
+      s""""relaunch":$relaunchJson,"focused":$focusedJson,""" +
       s""""failed":$failedJson,"queries":$qs,""" +
       s""""queries_calibrated":$qsCal,""" +
       s""""calibration_median_sec":${fmt(calMedian)},""" +

@@ -233,6 +233,14 @@ object IntervalJoin {
     // the strict raw predicate); degenerate zero-length sides match
     // under the raw predicate's own rules and are unaffected by a
     // zero threshold (0 >= f * 0 holds).
+    //
+    // Precision contract: the comparison is double arithmetic, exact
+    // whenever f * length is — always true for dyadic f (0.5, 0.25)
+    // and for any f while length < 2^53 / denominator(f). Intervals
+    // long enough to push f * length past 2^53 can flip a
+    // boundary-EQUAL overlap across the >=; bedtools itself computes
+    // the threshold in floating point the same way, so this matches
+    // the tool rather than an exact rational evaluation.
     val ovl = (least(L(le), R(re)) - greatest(L(ls), R(rs)))
       .cast("double")
     val fracCond =

@@ -177,7 +177,23 @@ object IntervalOps {
     * stitched on the driver by the same sweep rule. Both passes share
     * one RDD, so the range shuffle's map stage runs once. Calling this
     * method runs pass A and the boundary collect eagerly — the same
-    * driver-side-constant pattern as [[coverage]].
+    * driver-side-constant pattern as [[coverage]] — and this
+    * eager-execution contract is inherited by every caller
+    * ([[subtract]], [[cluster]], the `interval_merge_range` /
+    * `interval_subtract` / `interval_cluster` TVFs): constructing the
+    * DataFrame runs cluster jobs.
+    *
+    * Determinism contract (the flip side of baking collected carries
+    * into the returned plan): pass B re-reads the range shuffle's
+    * files, and if an executor loss forces their recomputation Spark
+    * re-runs the upstream map stage — a NONDETERMINISTIC input
+    * (unseeded sampling, a table mutating mid-job) could then disagree
+    * with the frozen pass-A summaries and mis-stitch. Deterministic
+    * inputs (every graft source; any pure plan over stable files) are
+    * safe by construction. Callers feeding nondeterministic frames
+    * should persist/checkpoint them FIRST — the standard Spark rule
+    * for any multi-action pipeline, stated here because the second
+    * action is hidden inside the operator.
     *
     * INTEGRAL coordinates only (enforced below): the sweep's long cast
     * would TRUNCATE fractional coordinates, silently merging intervals
@@ -839,6 +855,10 @@ object IntervalOps {
     * covered segment pass through whole via an anti-join. Window
     * parallelism is per A INTERVAL (not per chromosome), so this stage
     * has no single-contig skew at all.
+    *
+    * Inherits [[mergeIntervalsRange]]'s eager-execution and
+    * determinism contracts: constructing the frame runs the B-side
+    * merge's driver-summary jobs.
     *
     * @param aId unique id column in `a`, carried to the output (one A
     *            can split into many rows; the id says which) */
@@ -1523,7 +1543,10 @@ object IntervalOps {
     * against the runs extended to [rs, re+1) — strict overlap there is
     * exactly `rs <= s <= re`, the membership rule, and merged runs
     * never touch, so each row joins exactly one run. No window over
-    * input rows, no per-contig stage. */
+    * input rows, no per-contig stage. Inherits
+    * [[mergeIntervalsRange]]'s eager-execution and determinism
+    * contracts: constructing the frame runs the merge's
+    * driver-summary jobs. */
   def cluster(df: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end",
       binSize: Long = 1000L, maxGap: Long = 0L): DataFrame = {
@@ -1806,17 +1829,24 @@ object IntervalOps {
         lit(0L))
         .when(col("__be") <= col("__as"), col("__as") - col("__be"))
         .otherwise(col("__bs") - col("__ae"))
+    // `dist` is inlined into the filter and BOTH output columns (one
+    // flat select over the join, no stacked Project): with a
+    // __dist-column intermediate the optimizer's collapse-vs-keep
+    // decision on the two stacked Projects was nondeterministic
+    // across builds (exprId hash ordering), flipping the canonical
+    // plan and tripping the TVF plan-equality pin. Duplicating the
+    // CASE is free under codegen and makes the plan shape a function
+    // of the code alone.
     val ties = IntervalJoin.overlapJoin(aExt, b2,
         leftCols = ("__c", "__xs", "__xe"),
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
-      .withColumn("__dist", dist)
-      .where(col("__dist") === col("__d"))
+      .where(dist === col("__d"))
       .select(col("__aid"), col("__oc"), col("__as"), col("__ae"),
         col("__bid").as("__ci"), col("__bs").as("__cs"),
-        col("__be").as("__ce"), col("__dist"),
-        when(col("__dist") === 0L, lit(0L))
-          .when(col("__be") <= col("__as"), -col("__dist"))
-          .otherwise(col("__dist")).as("__sd"))
+        col("__be").as("__ce"), dist.as("__dist"),
+        when(dist === 0L, lit(0L))
+          .when(col("__be") <= col("__as"), -dist)
+          .otherwise(dist).as("__sd"))
     val misses = withD.where(col("__d").isNull)
       .select(col("__aid"), col("__oc"), col("__as"), col("__ae"),
         lit(null).cast(b2.schema("__bid").dataType).as("__ci"),

@@ -197,14 +197,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
           AsofJoin.forward(spark.table("clicks"), spark.table("views"),
             "uid", "ruid", "ts", "rts"))
       cases.foreach { case (sql, api) =>
+        // ids are normalized OUT of the compared string (exprIds
+        // `#12`, RDD ids `[34]`, cached-plan ordinals) — they vary
+        // across two builds of the same logical shape and were the
+        // observed source of a rare flake on the RDD-backed operators
         def planOf(df: org.apache.spark.sql.DataFrame): String =
           df.queryExecution.optimizedPlan.canonicalized.toString
+            .replaceAll("#\\d+", "#x")
+            .replaceAll("\\[\\d+\\]", "[x]")
         val viaSql = spark.sql(sql)
         if (planOf(viaSql) != planOf(api)) {
-          // retries absorb a rare canonicalization flake observed on
-          // the RDD-backed operators (normalized-id assignment can
-          // differ across two builds of the same logical shape); a
-          // REAL plan drift differs on EVERY rebuild and still fails
+          // one retry layer remains as a diagnostic net: if an
+          // UN-normalized source of nondeterminism still exists, the
+          // printed diff names the case for the round ledger; a REAL
+          // plan drift differs on EVERY rebuild and still fails
+          info(s"normalized plan mismatch on first build for: $sql\n" +
+            s"--- sql-side ---\n${planOf(viaSql)}\n" +
+            s"--- api-side ---\n${planOf(api)}")
           val rebuilds = Seq.fill(3)(planOf(spark.sql(sql)))
           assert(rebuilds.contains(planOf(api)),
             s"plan drift for: $sql")

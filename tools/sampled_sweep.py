@@ -117,6 +117,29 @@ SELECT aid, chrom, CAST(min(p) AS BIGINT) AS "start",
 FROM isl GROUP BY aid, chrom, grp
 ORDER BY aid, "start\""""
 
+Q107_SAMPLED = """WITH a0 AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+a AS (SELECT *, {strand_a} AS strand FROM a0),
+bv AS ({ivbs}),
+pos AS (SELECT aid, chrom, strand, unnest(range(astart, aend)) AS p
+  FROM a),
+alive AS (SELECT aid, chrom, p FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM bv b
+    WHERE b.chrom = pos.chrom
+      AND ((pos.strand = '+' AND b.strand = '-') OR
+           (pos.strand = '-' AND b.strand = '+'))
+      AND b."start" <= pos.p AND pos.p < b."end")),
+isl AS (SELECT aid, chrom, p,
+    p - row_number() OVER (PARTITION BY aid ORDER BY p) AS grp
+  FROM alive)
+SELECT aid, chrom, CAST(min(p) AS BIGINT) AS "start",
+  CAST(max(p) + 1 AS BIGINT) AS "end"
+FROM isl GROUP BY aid, chrom, grp
+ORDER BY aid, "start\""""
+
 Q101_SAMPLED = """WITH a AS (SELECT c_custkey AS aid,
     'chr' || (c_custkey % 4) AS chrom,
     (c_custkey*5557) % 10000000 AS astart,
@@ -187,6 +210,9 @@ def main():
     ok &= check("q98_subtract_stranded", con, outdir,
                 Q98_SAMPLED.format(mod=mod, ivbs=ivbs,
                                    strand_a=STRAND_A), "aid", mod)
+    ok &= check("q107_subtract_opposite", con, outdir,
+                Q107_SAMPLED.format(mod=mod, ivbs=ivbs,
+                                    strand_a=STRAND_A), "aid", mod)
     ok &= check("q101_closest_all", con, outdir,
                 Q101_SAMPLED.format(mod=mod, ivb=IVB), "aid", mod)
     sys.exit(0 if ok else 1)
