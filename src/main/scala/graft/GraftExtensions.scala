@@ -293,6 +293,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         f
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("interval_intersect"),
+      info("interval_intersect",
+        "interval_intersect(a_table, b_table, a_id, b_id" +
+          "[, 'wo'|'wao'|'loj']) - one row per overlapping (A, B) " +
+          "pair with overlap_bp (bedtools intersect -wo/-wao/-loj)"),
+      {
+        case Seq(a, b, aid, bid) =>
+          graft.operators.IntervalOps.intersectJoin(tableOf(a),
+            tableOf(b), litStr(aid, "a_id column"),
+            litStr(bid, "b_id column")).queryExecution.logical
+        case Seq(a, b, aid, bid, m) =>
+          graft.operators.IntervalOps.intersectJoin(tableOf(a),
+            tableOf(b), litStr(aid, "a_id column"),
+            litStr(bid, "b_id column"),
+            mode = litStr(m, "mode")).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_intersect takes (a_table, b_table, a_id, b_id" +
+            s"[, mode]), got ${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
       FunctionIdentifier("interval_getfasta"),
       info("interval_getfasta",
         "interval_getfasta(table, fasta_path[, chrom, start, end" +

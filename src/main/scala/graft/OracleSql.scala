@@ -1133,6 +1133,49 @@ object OracleSql {
          |  CAST(max(p) + 1 AS BIGINT) AS "end"
          |FROM isl GROUP BY aid, chrom, grp
          |ORDER BY aid, "start"""".stripMargin,
+    // q108: bedtools intersect -wo — the plain pairwise join with the
+    // clipped-overlap arithmetic inline; the engine's binned
+    // equi-join must reproduce every pair exactly once
+    "q108_intersect_wo" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB)
+         |SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+         |  CAST(a.aend AS BIGINT) AS "end", b.iv_id AS b_id,
+         |  CAST(b."start" AS BIGINT) AS b_start,
+         |  CAST(b."end" AS BIGINT) AS b_end,
+         |  CAST(least(a.aend, b."end") - greatest(a.astart, b."start")
+         |    AS BIGINT) AS overlap_bp
+         |FROM a JOIN bv b ON a.chrom = b.chrom
+         |  AND a.astart < b."end" AND b."start" < a.aend
+         |ORDER BY a.aid, b_id""".stripMargin,
+    // q109: bedtools intersect -wao -f 0.5 — pairs covering >= half
+    // the A interval (0.5 * integer length is exact in doubles, the
+    // q100 rule), plus a zero row for every A with NO qualifying
+    // pair: the retention -wao guarantees even when a threshold
+    // filtered every overlap
+    "q109_intersect_wao" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB),
+         |p AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+         |    b.iv_id AS b_id, b."start" AS bs, b."end" AS be,
+         |    least(a.aend, b."end") - greatest(a.astart, b."start")
+         |      AS ovl
+         |  FROM a JOIN bv b ON a.chrom = b.chrom
+         |    AND a.astart < b."end" AND b."start" < a.aend
+         |  WHERE (least(a.aend, b."end") - greatest(a.astart, b."start"))
+         |    >= 0.5 * (a.aend - a.astart))
+         |SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end", b_id,
+         |  CAST(bs AS BIGINT) AS b_start, CAST(be AS BIGINT) AS b_end,
+         |  CAST(ovl AS BIGINT) AS overlap_bp
+         |FROM p
+         |UNION ALL
+         |SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT),
+         |  CAST(a.aend AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(0 AS BIGINT)
+         |FROM a WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.aid = a.aid)
+         |ORDER BY aid, b_id NULLS FIRST""".stripMargin,
     // q99: bedtools window -w 20000 -s — q87's proximity pairing with
     // the strand equality in the join
     "q99_window_stranded" ->

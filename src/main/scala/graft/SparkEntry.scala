@@ -1786,6 +1786,35 @@ object SparkEntry {
       .orderBy(col("aid"), col("start"))
   }
 
+  /** Pairwise overlap report ([[graft.operators.IntervalOps
+    * .intersectJoin]] `mode="wo"` — the bedtools `intersect -wo`
+    * analogue, added r19): one row per overlapping (A, B) pair with
+    * both intervals and the clipped overlap length. The oracle is the
+    * plain pairwise join with the overlap arithmetic inline. */
+  private def q108_intersect_wo(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsB(s, dir)
+    graft.operators.IntervalOps.intersectJoin(a, b, "aid", "iv_id")
+      .orderBy(col("aid"), col("b_id"))
+  }
+
+  /** `-wao` with a `-f 0.5` fraction threshold ([[graft.operators
+    * .IntervalOps.intersectJoin]] `mode="wao"`, added r19): pairs
+    * covering at least half the A interval, plus one zero row for
+    * every A with NO qualifying pair — including A rows whose
+    * overlaps all failed the threshold, the retention bedtools -wao
+    * guarantees. 0.5 * an integer length is exact in doubles, so the
+    * threshold agrees bit-for-bit with the oracle's. */
+  private def q109_intersect_wao(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsB(s, dir)
+    graft.operators.IntervalOps.intersectJoin(a, b, "aid", "iv_id",
+        minOverlapFracA = 0.5, mode = "wao")
+      .orderBy(col("aid"), col("b_id").asc_nulls_first)
+  }
+
   /** Same-strand proximity join ([[graft.operators.IntervalOps
     * .windowJoin]] with Same — the bedtools `window -sw -s` analogue,
     * added r18): q87's 20-kbp pairing restricted to equal strands via
@@ -2225,7 +2254,9 @@ object SparkEntry {
     "q104_merge_gap" -> (q104_merge_gap _),
     "q105_overlap_filter" -> (q105_overlap_filter _),
     "q106_getfasta_stranded" -> (q106_getfasta_stranded _),
-    "q107_subtract_opposite" -> (q107_subtract_opposite _)) ++
+    "q107_subtract_opposite" -> (q107_subtract_opposite _),
+    "q108_intersect_wo" -> (q108_intersect_wo _),
+    "q109_intersect_wao" -> (q109_intersect_wao _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -1005,6 +1005,95 @@ object IntervalOps {
         col("v_sum"), col("v_min"), col("v_max"), col("v_mean"))
   }
 
+  /** Pairwise overlap report — the bedtools `intersect -wa -wb`
+    * family: one row per qualifying (A, B) pair carrying both
+    * intervals plus `overlap_bp`, the clipped overlap length
+    * (bedtools `-wo`). `mode`:
+    *  - `"wo"`: qualifying pairs only;
+    *  - `"wao"`: additionally one row per A with NO qualifying B —
+    *    null B columns, `overlap_bp` 0 (bedtools `-wao`, where a
+    *    fraction threshold that filtered every pair still reports
+    *    the A row with 0);
+    *  - `"loj"`: as `"wao"` but `overlap_bp` null (bedtools `-loj`
+    *    prints no overlap count; null marks "not a measured 0").
+    *
+    * B-side columns come back under fixed names (`b_id`, `b_start`,
+    * `b_end`, coordinate types preserved). Strand (`-s`/`-S`) and
+    * fraction (`-f`/`-F`; both = `-r`) options ride the join
+    * condition — predicate policy, so unmatchable A rows still
+    * surface under `"wao"`/`"loj"`. Zero-length B rows cover no bases
+    * and drop; zero-length A rows can never form a pair (they surface
+    * only via the `"wao"`/`"loj"` miss branch). Null chrom/coords and
+    * null ids drop (family policy).
+    *
+    * Scale shape: ONE binned equi-join ([[IntervalJoin.overlapJoin]] —
+    * long rows ride its coarse channels, AQE handles skew) whose
+    * output size IS the answer; the `"wao"`/`"loj"` miss branch adds
+    * one aId anti-join against the pair ids (the [[subtract]]
+    * pass-through pattern), never a second interval join. */
+  def intersectJoin(a: DataFrame, b: DataFrame, aId: String,
+      bId: String, chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L,
+      strand: Strandedness = Strandedness.Ignore,
+      minOverlapFracA: Double = 0.0, minOverlapFracB: Double = 0.0,
+      mode: String = "wo"): DataFrame = {
+    require(Set("wo", "wao", "loj").contains(mode),
+      s"intersectJoin mode must be wo|wao|loj, got '$mode'")
+    val sk = strandKeyCols(strand)
+    val a2 = dropNullCoords(a, chrom, start, end)
+      .select(Seq(col(aId).as("__aid"),
+        col(chrom).cast("string").as("__c"),
+        col(start).cast("long").as("__as"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__ae")) ++
+        sk.map(_._1.as("__astr")).toSeq: _*)
+      .where(col("__aid").isNotNull)
+    val b2 = dropNullCoords(b, chrom, start, end)
+      .select(Seq(col(bId).as("__bid"),
+        col(chrom).cast("string").as("__c2"),
+        col(start).cast("long").as("__bs"),
+        greatest(col(end).cast("long"), col(start).cast("long"))
+          .as("__be")) ++
+        sk.map(_._2.as("__bstr")).toSeq: _*)
+      .where(col("__bid").isNotNull && col("__bs") < col("__be"))
+    val pairs = IntervalJoin.overlapJoin(
+        a2.where(col("__as") < col("__ae")), b2,
+        leftCols = ("__c", "__as", "__ae"),
+        rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
+        strand =
+          if (sk.isEmpty) Strandedness.Ignore
+          else Strandedness.Same("__astr", "__bstr"),
+        minOverlapFracLeft = minOverlapFracA,
+        minOverlapFracRight = minOverlapFracB)
+      .select(col("__aid"), col("__c"), col("__as"), col("__ae"),
+        col("__bid"), col("__bs"), col("__be"),
+        (least(col("__ae"), col("__be")) -
+          greatest(col("__as"), col("__bs"))).as("__ovl"))
+    val rows = mode match {
+      case "wo" => pairs
+      case _ =>
+        val missOvl =
+          if (mode == "wao") lit(0L) else lit(null).cast("long")
+        val misses = a2
+          .join(pairs.select(col("__aid")).distinct(), Seq("__aid"),
+            "left_anti")
+          .select(col("__aid"), col("__c"), col("__as"), col("__ae"),
+            lit(null).cast(b2.schema("__bid").dataType).as("__bid"),
+            lit(null).cast("long").as("__bs"),
+            lit(null).cast("long").as("__be"),
+            missOvl.as("__ovl"))
+        pairs.unionByName(misses)
+    }
+    rows.select(col("__aid").as(aId),
+      col("__c").cast(a.schema(chrom).dataType).as(chrom),
+      col("__as").cast(a.schema(start).dataType).as(start),
+      col("__ae").cast(a.schema(end).dataType).as(end),
+      col("__bid").as("b_id"),
+      col("__bs").cast(b.schema(start).dataType).as("b_start"),
+      col("__be").cast(b.schema(end).dataType).as("b_end"),
+      col("__ovl").as("overlap_bp"))
+  }
+
   /** Overlap similarity of two interval SETS — the bedtools `jaccard`
     * analogue: each side first collapses to its disjoint union, then
     * `intersection` = total bases covered by both, `union_len` =

@@ -143,6 +143,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM interval_filter('a', 'b', 'aid', 'v')" ->
           IntervalOps.overlapFilter(spark.table("a"), spark.table("b"),
             "aid", keep = false),
+        "SELECT * FROM interval_intersect('a', 'b', 'aid', 'bid')" ->
+          IntervalOps.intersectJoin(spark.table("a"), spark.table("b"),
+            "aid", "bid"),
+        "SELECT * FROM interval_intersect('a', 'b', 'aid', 'bid', " +
+          "'wao')" ->
+          IntervalOps.intersectJoin(spark.table("a"), spark.table("b"),
+            "aid", "bid", mode = "wao"),
         s"SELECT * FROM interval_getfasta('ivs', '$tvfFa')" ->
           graft.operators.SequenceOps.getFasta(spark.table("ivs"),
             tvfFa),

@@ -1046,6 +1046,77 @@ class IntervalOpsSpec extends SparkSuite {
     assert(out.count() == 1L)
   }
 
+  test("intersectJoin: wo pairs, wao zero rows, loj null rows") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 100L, 200L),   // overlaps b10 (50) and b11 (10)
+      (2L, "chr1", 500L, 600L),   // overlaps nothing -> wao/loj only
+      (3L, "chr2", 10L, 10L))     // zero-length: never a pair
+      .toDF("aid", "chrom", "start", "end")
+    val b = Seq(
+      (10L, "chr1", 150L, 250L),  // 50 bases with A1 (>= half of 100? no)
+      (11L, "chr1", 90L, 110L),   // 10 bases with A1
+      (12L, "chr2", 0L, 5L))      // touches nothing
+      .toDF("bid", "chrom", "start", "end")
+    def rows(mode: String, frac: Double = 0.0) =
+      IntervalOps.intersectJoin(a, b, "aid", "bid",
+          minOverlapFracA = frac, mode = mode)
+        .orderBy(col("aid"), col("b_id").asc_nulls_first)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(7)) Long.MinValue else r.getLong(7)))
+        .toSeq
+    assert(rows("wo") == Seq((1L, 10L, 50L), (1L, 11L, 10L)))
+    // wao: every pairless A surfaces with overlap 0 (incl. zero-length)
+    assert(rows("wao") == Seq((1L, 10L, 50L), (1L, 11L, 10L),
+      (2L, -1L, 0L), (3L, -1L, 0L)))
+    // loj: same rows, null overlap marks "not a measured zero"
+    assert(rows("loj") == Seq((1L, 10L, 50L), (1L, 11L, 10L),
+      (2L, -1L, Long.MinValue), (3L, -1L, Long.MinValue)))
+    // -f 0.5: b10's 50 bases are EXACTLY half of A1's 100 — >= keeps
+    // it (the bedtools boundary rule); b11's 10 drop. A2/A3 still
+    // come back as zero rows (bedtools -wao -f retention)
+    assert(rows("wao", frac = 0.5) == Seq((1L, 10L, 50L),
+      (2L, -1L, 0L), (3L, -1L, 0L)))
+    // a hair above half excludes the boundary pair and A1 becomes a
+    // zero row itself
+    assert(rows("wao", frac = 0.51) == Seq((1L, -1L, 0L),
+      (2L, -1L, 0L), (3L, -1L, 0L)))
+    // b_start/b_end keep B's coordinate types and values
+    val pair = IntervalOps.intersectJoin(a, b, "aid", "bid")
+      .where(col("b_id") === 10L).collect().head
+    assert(pair.getAs[Long]("b_start") == 150L &&
+      pair.getAs[Long]("b_end") == 250L &&
+      pair.getAs[Long]("overlap_bp") == 50L)
+    val e = intercept[IllegalArgumentException] {
+      IntervalOps.intersectJoin(a, b, "aid", "bid", mode = "bad")
+    }
+    assert(e.getMessage.contains("wo|wao|loj"))
+  }
+
+  test("intersectJoin: strand predicate keeps unmatchable A rows") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "chr1", 100L, 200L, "+"),
+      (2L, "chr1", 100L, 200L, "."))
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val b = Seq(
+      (10L, "chr1", 150L, 250L, "-"),
+      (11L, "chr1", 90L, 110L, "+"))
+      .toDF("bid", "chrom", "start", "end", "strand")
+    val opp = IntervalOps.intersectJoin(a, b, "aid", "bid",
+        strand = Strandedness.Opposite(), mode = "wao")
+      .orderBy(col("aid"), col("b_id").asc_nulls_first)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    // A1(+) pairs only with b10(-); A2(.) has no opposite -> zero row
+    assert(opp == Seq((1L, 10L), (2L, -1L)))
+  }
+
   test("stranded closest: same/opposite keys pick the right candidate") {
     val s = spark
     import s.implicits._
