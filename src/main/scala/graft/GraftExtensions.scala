@@ -338,9 +338,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strand = if (strandOpt.isEmpty) null else strandOpt,
             name = if (nameOpt.isEmpty) null else nameOpt)
             .queryExecution.logical
+        case Seq(t, fp, c, s, e, str, nm, bs, sz) =>
+          val strandOpt = litStr(str, "strand column")
+          val nameOpt = litStr(nm, "name column")
+          val bsOpt = litStr(bs, "block starts column")
+          val szOpt = litStr(sz, "block sizes column")
+          graft.operators.SequenceOps.getFasta(tableOf(t),
+            litStr(fp, "fasta path"), litStr(c, "chrom column"),
+            litStr(s, "start column"), litStr(e, "end column"),
+            strand = if (strandOpt.isEmpty) null else strandOpt,
+            name = if (nameOpt.isEmpty) null else nameOpt,
+            blockStarts = if (bsOpt.isEmpty) null else bsOpt,
+            blockSizes = if (szOpt.isEmpty) null else szOpt)
+            .queryExecution.logical
         case other => throw new IllegalArgumentException(
           "interval_getfasta takes (table, fasta_path[, chrom, start, " +
-            s"end[, strand, name]]), got ${other.size} args")
+            s"end[, strand, name[, block_starts, block_sizes]]]), " +
+            s"got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((
       FunctionIdentifier("interval_nuc"),

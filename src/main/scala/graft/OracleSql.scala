@@ -1320,6 +1320,41 @@ object OracleSql {
         |  'iv_' || a.aid || '::' || a.chrom || ':' || a.s || '-' ||
         |    a.e || '(' || a.strand || ')' AS fasta_header
         |FROM a JOIN seqs USING (aid) ORDER BY a.aid""".stripMargin,
+    // q110: bedtools getfasta -split -s — the BED12 spliced rule:
+    // the sequence is the blocks' concatenation, reverse complemented
+    // WHOLE on '-' rows. The oracle replays the generating formula
+    // per (block, position) and aggregates in descending (block,
+    // position) order with the complement alphabet for '-' rows — so
+    // a block-order slip, a per-block (instead of whole) revcomp, or
+    // an offset error all fail the hash.
+    "q110_getfasta_split" ->
+      """WITH a AS (SELECT c_custkey AS aid,
+        |    'chr' || (c_custkey % 4) AS chrom,
+        |    c_custkey % 4 AS k,
+        |    (c_custkey*37) % 49000 AS s,
+        |    (c_custkey*37) % 49000 + 10 + c_custkey % 90 AS e,
+        |    CASE c_custkey % 3 WHEN 0 THEN '+' WHEN 1 THEN '-'
+        |      ELSE '.' END AS strand
+        |  FROM customer),
+        |pos AS (SELECT aid, k, strand, 1 AS blk,
+        |    unnest(range(s, s + 5 + aid % 7)) AS i FROM a
+        |  UNION ALL
+        |  SELECT aid, k, strand, 2,
+        |    unnest(range(s + 20 + aid % 13,
+        |                 s + 20 + aid % 13 + 11)) FROM a),
+        |seqs AS (SELECT aid,
+        |    string_agg(CASE WHEN strand = '-'
+        |        THEN substr('TGCA',
+        |          CAST((i*7 + k*11) % 4 AS INT) + 1, 1)
+        |        ELSE substr('ACGT',
+        |          CAST((i*7 + k*11) % 4 AS INT) + 1, 1) END,
+        |      '' ORDER BY CASE WHEN strand = '-' THEN -blk ELSE blk END,
+        |        CASE WHEN strand = '-' THEN -i ELSE i END)
+        |      AS sequence
+        |  FROM pos GROUP BY aid)
+        |SELECT a.aid, a.chrom, CAST(a.s AS BIGINT) AS "start",
+        |  CAST(a.e AS BIGINT) AS "end", a.strand, seqs.sequence
+        |FROM a JOIN seqs USING (aid) ORDER BY a.aid""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

@@ -1929,6 +1929,33 @@ object SparkEntry {
       .orderBy(col("aid"))
   }
 
+  /** Spliced sequence extraction ([[graft.operators.SequenceOps
+    * .getFasta]] with `blockStarts`/`blockSizes` — bedtools
+    * `getfasta -split -s`, the BED12 transcript rule, added r19):
+    * every probe carries two blocks (relative start 0 sized
+    * `5 + aid % 7`, and relative start `20 + aid % 13` sized 11);
+    * the sequence is the blocks' concatenation, reverse complemented
+    * WHOLE for `'-'` rows (bedtools' minus-strand transcript rule —
+    * block order flips too, which the oracle pins by aggregating in
+    * descending (block, position) order for those rows). */
+  private def q110_getfasta_split(s: SparkSession, dir: String)
+      : DataFrame = {
+    val probes = seqIntervals(s, dir)
+      .withColumn("strand",
+        when(col("aid") % 3 === 0, "+")
+          .when(col("aid") % 3 === 1, "-")
+          .otherwise("."))
+      .withColumn("block_starts",
+        array(lit(0L), lit(20L) + col("aid") % 13))
+      .withColumn("block_sizes",
+        array(lit(5L) + col("aid") % 7, lit(11L)))
+    graft.operators.SequenceOps.getFasta(probes, seqFixture,
+        strand = "strand", blockStarts = "block_starts",
+        blockSizes = "block_sizes")
+      .drop("block_starts", "block_sizes")
+      .orderBy(col("aid"))
+  }
+
   /** Deterministic synthetic reference FASTA for the q102/q103
     * sequence gates, written once per JVM into the system temp dir
     * (atomic rename — concurrent or crashed writers can only leave
@@ -2256,7 +2283,8 @@ object SparkEntry {
     "q106_getfasta_stranded" -> (q106_getfasta_stranded _),
     "q107_subtract_opposite" -> (q107_subtract_opposite _),
     "q108_intersect_wo" -> (q108_intersect_wo _),
-    "q109_intersect_wao" -> (q109_intersect_wao _)) ++
+    "q109_intersect_wao" -> (q109_intersect_wao _),
+    "q110_getfasta_split" -> (q110_getfasta_split _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -75,12 +75,27 @@ object SequenceOps {
     *    `name::chrom:start-end` (bedtools ≥2.26 `-name`), and when
     *    `strand` is also set a `(+)`/`(-)`/`(.)` suffix (null strand
     *    renders `(.)`, bedtools' unknown-strand dot). `name != null`
-    *    implies the header column. */
+    *    implies the header column.
+    *  - `blockStarts`/`blockSizes` (bedtools `-split`, the BED12
+    *    spliced-transcript rule): names of two integral-array columns
+    *    — block start offsets RELATIVE to the row's `start` and block
+    *    lengths, pairwise by position. The row's sequence becomes the
+    *    CONCATENATION of the blocks' bases in array order, sliced in
+    *    the same narrow per-partition pass (still no shuffle, one
+    *    seek per block). A row whose arrays are null (a non-BED12
+    *    row in a mixed frame) falls back to the whole-interval slice;
+    *    index `i` pairs exhaust at the shorter array (malformed rows
+    *    degrade, they do not throw mid-job). With `strand`, the
+    *    reverse complement applies to the CONCATENATED sequence —
+    *    bedtools' minus-strand transcript rule. */
   def getFasta(df: DataFrame, fastaPath: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", seqCol: String = "sequence",
       strand: String = null, name: String = null,
-      emitHeader: Boolean = false): DataFrame = {
+      emitHeader: Boolean = false,
+      blockStarts: String = null, blockSizes: String = null): DataFrame = {
+    require((blockStarts == null) == (blockSizes == null),
+      "getFasta -split needs BOTH blockStarts and blockSizes")
     val session = df.sparkSession
     require(!df.columns.exists(_.equalsIgnoreCase(seqCol)),
       s"getFasta output column '$seqCol' collides with an input column")
@@ -116,6 +131,37 @@ object SequenceOps {
       case org.apache.spark.sql.types.ShortType => r.getShort(i).toLong
       case _ => r.getByte(i).toLong
     }
+    // -split: resolve the block-array columns once; element types are
+    // validated here (an analysis-time error, not a task crash)
+    val split: Option[(Int, Int,
+        org.apache.spark.sql.types.DataType,
+        org.apache.spark.sql.types.DataType)] =
+      if (blockStarts == null) None
+      else {
+        val integral = Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType)
+        val pair = Seq(blockStarts, blockSizes).map { c =>
+          schema(c).dataType match {
+            case org.apache.spark.sql.types.ArrayType(et, _)
+              if integral.contains(et) => (schema.fieldIndex(c), et)
+            case other => throw new IllegalArgumentException(
+              s"getFasta -split needs integral-array columns, got " +
+                s"$c: ${other.simpleString}")
+          }
+        }
+        Some((pair(0)._1, pair(1)._1, pair(0)._2, pair(1)._2))
+      }
+    def elemLong(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        i: Int, et: org.apache.spark.sql.types.DataType): Long =
+      et match {
+        case org.apache.spark.sql.types.LongType => arr.getLong(i)
+        case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toLong
+        case org.apache.spark.sql.types.ShortType => arr.getShort(i).toLong
+        case _ => arr.getByte(i).toLong
+      }
     val outSchema = schema.add(seqCol, StringType)
     val pathStr = fastaPath
     val rdd = pruned.queryExecution.toRdd.mapPartitions { it =>
@@ -148,10 +194,31 @@ object SequenceOps {
         bc.value.get(name) match {
           case None => None // sequence not in the index: row drops
           case Some(entry) =>
-            val s0 = math.max(0L, longAt(r, sIdx))
-            val e0 = math.max(s0, longAt(r, eIdx))
-            val seq = FaiIndex.slice(input(), entry,
-              Region(name, s0, Some(e0)))
+            def sliceAbs(a: Long, b: Long): String = {
+              val s0 = math.max(0L, a)
+              val e0 = math.max(s0, b)
+              FaiIndex.slice(input(), entry, Region(name, s0, Some(e0)))
+            }
+            val seq = split match {
+              case Some((bsI, szI, bsT, szT))
+                if !r.isNullAt(bsI) && !r.isNullAt(szI) =>
+                val base = longAt(r, sIdx)
+                val bs = r.getArray(bsI)
+                val sz = r.getArray(szI)
+                val m = math.min(bs.numElements(), sz.numElements())
+                val sb = new StringBuilder
+                var k = 0
+                while (k < m) {
+                  if (!bs.isNullAt(k) && !sz.isNullAt(k)) {
+                    val abs = base + elemLong(bs, k, bsT)
+                    sb.append(sliceAbs(abs, abs + elemLong(sz, k, szT)))
+                  }
+                  k += 1
+                }
+                sb.toString
+              case _ =>
+                sliceAbs(longAt(r, sIdx), longAt(r, eIdx))
+            }
             val vals = new Array[Any](n + 1)
             var i = 0
             while (i < n) {

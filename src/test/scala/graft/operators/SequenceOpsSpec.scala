@@ -213,6 +213,46 @@ class SequenceOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("fasta_header"))
   }
 
+  test("getFasta -split: block concatenation, whole-sequence revcomp") {
+    val s = spark
+    import s.implicits._
+    val (fa, chr1, _) = writeFasta()
+    def rc(seq: String): String = seq.reverseIterator.map {
+      case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+      case 'N' => 'N'; case other => other
+    }.mkString
+    val df = Seq(
+      (1L, "chr1", 100L, 200L, "+", Seq(0L, 50L), Seq(10L, 20L)),
+      (2L, "chr1", 100L, 200L, "-", Seq(0L, 50L), Seq(10L, 20L)),
+      // null arrays: plain whole-interval fallback
+      (3L, "chr1", 100L, 120L, "+", null.asInstanceOf[Seq[Long]],
+        null.asInstanceOf[Seq[Long]]),
+      // shorter sizes array: extra start ignored, no crash
+      (4L, "chr1", 100L, 200L, "+", Seq(0L, 50L, 90L), Seq(10L, 20L)))
+      .toDF("id", "chrom", "start", "end", "strand", "bs", "sz")
+    val got = SequenceOps.getFasta(df, fa, strand = "strand",
+        blockStarts = "bs", blockSizes = "sz")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("sequence"))).toSeq
+    val spliced = chr1.substring(100, 110) + chr1.substring(150, 170)
+    assert(got == Seq(
+      (1L, spliced),
+      (2L, rc(spliced)),   // revcomp of the CONCATENATION, not per block
+      (3L, chr1.substring(100, 120)),
+      (4L, spliced)))
+    // both-or-neither arg contract
+    val e = intercept[IllegalArgumentException] {
+      SequenceOps.getFasta(df, fa, blockStarts = "bs")
+    }
+    assert(e.getMessage.contains("-split"))
+    // non-array column fails at analysis time, not in a task
+    val e2 = intercept[IllegalArgumentException] {
+      SequenceOps.getFasta(df, fa, blockStarts = "strand",
+        blockSizes = "sz")
+    }
+    assert(e2.getMessage.contains("integral-array"))
+  }
+
   test("nucContent -s: A/T and C/G swap on '-' rows, invariants hold") {
     val s = spark
     import s.implicits._
