@@ -35,6 +35,7 @@ SUBSET = ",".join([
     "q92_multiinter", "q93_reldist", "q95_interval_annotate",
     "q96_closest_stranded", "q100_map_fraction", "q101_closest_all",
     "q104_merge_gap", "q105_overlap_filter", "q107_subtract_opposite",
+    "q108_intersect_wo", "q109_intersect_wao",
     # dedup / text
     "q22_fingerprint", "q23_minhash_sig", "q24_neardup_pairs",
     "q37_dedup_clusters", "q40_dedup_star", "q50_leakage_split",
