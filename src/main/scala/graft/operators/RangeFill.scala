@@ -370,4 +370,235 @@ object RangeFill {
     }
     PlanShim.internalCreateDataFrame(session, filled, schema)
   }
+
+  /** K-deep [[fillBoth]]: instead of ONE value per direction, every
+    * probe row receives the last `k` non-null `fwdCol` values
+    * at-or-before it (most-recent-first) and the next `k` non-null
+    * `bwdCol` values at-or-after it (earliest-first), as two NEW array
+    * columns appended to the schema (`outFwd`, `outBwd`) — the
+    * "as-of join with k matches" primitive under
+    * [[IntervalOps.closestK]]'s bedtools `closest -k` analogue.
+    * Rows where `probeCol` is false/absent pass through with null
+    * arrays (their non-null fwd/bwd values still drive the running
+    * state). A row's OWN non-null value is included in its fill, both
+    * directions — [[fillBoth]]'s inclusive at-or-before / at-or-after
+    * contract.
+    *
+    * Scale shape — identical to [[fillBoth]]: ONE range shuffle on
+    * (key, ordering); pass A summarizes each sorted partition into the
+    * trailing key run's last ≤k fwd values and the leading run's first
+    * ≤k bwd values; the driver chain walk concatenates deques across
+    * partitions of one key and caps at k — O(partitions × k) driver
+    * state. Pass B streams forward once keeping a k-deep deque; probes
+    * awaiting backward values buffer until k values arrive, their key
+    * ends, or the partition ends (broadcast carry tops up). Buffer
+    * memory is k × the gap between reference rows, not the partition.
+    *
+    * Within-partition output ORDER is not preserved (buffered probes
+    * flush behind pass-through rows) — callers filter + aggregate,
+    * exactly [[fillBoth]]'s probeCol contract. */
+  def fillBothK(df: DataFrame, key: String, fwdCol: String,
+      bwdCol: String, outFwd: String, outBwd: String, k: Int,
+      order: Seq[Column], partitions: Int = 0,
+      probeCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"fillBothK needs k >= 1, got $k")
+    val session = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else session.sessionState.conf.numShufflePartitions
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(key)
+    val fwdIdx = schema.fieldIndex(fwdCol)
+    val bwdIdx = schema.fieldIndex(bwdCol)
+    val probeIdx = probeCol.map { p =>
+      require(schema(p).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"probeCol $p must be boolean, got " +
+          schema(p).dataType.simpleString)
+      schema.fieldIndex(p)
+    }.getOrElse(-1)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val keyType = fieldTypes(keyIdx)
+    val fwdType = fieldTypes(fwdIdx)
+    val bwdType = fieldTypes(bwdIdx)
+    val numFields = fieldTypes.length
+    val sortExprs = col(key).asc +: order
+    val rdd = df.repartitionByRange(n, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .queryExecution.toRdd
+    def keyOf(r: InternalRow): Any =
+      if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
+    // pass A: the k-deep mirror of fillBoth's summary — trailing run's
+    // last ≤k fwd values (most-recent-first) and leading run's first
+    // ≤k bwd values (earliest-first)
+    val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var any = false
+      var firstKey: Any = null
+      var curKey: Any = null
+      val tailFwd = scala.collection.mutable.ArrayDeque.empty[Any]
+      val leadBwd = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var inLeading = true
+      it.foreach { r =>
+        val kv = keyOf(r)
+        if (!any) {
+          any = true
+          firstKey = InternalRow.copyValue(kv)
+          curKey = firstKey
+        } else if (kv != curKey) {
+          curKey = InternalRow.copyValue(kv); tailFwd.clear()
+          inLeading = false
+        }
+        if (!r.isNullAt(fwdIdx)) {
+          tailFwd.prepend(InternalRow.copyValue(r.get(fwdIdx, fwdType)))
+          if (tailFwd.length > k) tailFwd.remove(k)
+        }
+        if (inLeading && leadBwd.length < k && !r.isNullAt(bwdIdx))
+          leadBwd += InternalRow.copyValue(r.get(bwdIdx, bwdType))
+      }
+      Iterator.single((pid, any, firstKey, curKey, tailFwd.toList,
+        leadBwd.toList))
+    }.collect().sortBy(_._1)
+    // forward chain walk (fill()'s, list-valued): a single-key
+    // partition continues its predecessor's resolved deque
+    val carriesF = Array.fill[List[Any]](summaries.length)(Nil)
+    val resolvedF = Array.fill[List[Any]](summaries.length)(Nil)
+    var prevIdx = -1
+    summaries.foreach { case (pid, any, firstKey, lastKey, tailF, _) =>
+      if (any) {
+        if (prevIdx >= 0 && summaries(prevIdx)._4 == firstKey)
+          carriesF(pid) = resolvedF(prevIdx)
+        resolvedF(pid) =
+          (tailF ++ (if (firstKey == lastKey) carriesF(pid) else Nil))
+            .take(k)
+        prevIdx = pid
+      }
+    }
+    // backward mirror: earliest-first lists, appended from later
+    // partitions of the same key
+    val carriesB = Array.fill[List[Any]](summaries.length)(Nil)
+    val resolvedB = Array.fill[List[Any]](summaries.length)(Nil)
+    var nextIdx = -1
+    summaries.reverseIterator.foreach {
+      case (pid, any, firstKey, lastKey, _, leadB) =>
+        if (any) {
+          if (nextIdx >= 0 && summaries(nextIdx)._3 == lastKey)
+            carriesB(pid) = resolvedB(nextIdx)
+          resolvedB(pid) =
+            (leadB ++ (if (firstKey == lastKey) carriesB(pid) else Nil))
+              .take(k)
+          nextIdx = pid
+        }
+    }
+    val bcF = session.sparkContext.broadcast(carriesF)
+    val bcB = session.sparkContext.broadcast(carriesB)
+    val outSchema = schema
+      .add(outFwd, org.apache.spark.sql.types.ArrayType(fwdType))
+      .add(outBwd, org.apache.spark.sql.types.ArrayType(bwdType))
+    // pass B: one forward stream; every row is rebuilt (the schema
+    // widens by two fields, so UnsafeRow pass-through is impossible)
+    val filled = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bwdCarry = bcB.value(pid)
+      new Iterator[InternalRow] {
+        private val outQ =
+          scala.collection.mutable.Queue.empty[InternalRow]
+        // pending probes: field copies + the backward values collected
+        // so far (earliest-first)
+        private val pend = scala.collection.mutable.ArrayBuffer
+          .empty[(Array[Any], scala.collection.mutable.ArrayBuffer[Any])]
+        private val deque =
+          scala.collection.mutable.ArrayDeque.empty[Any]
+        private var first = true
+        private var curKey: Any = null
+        private var exhausted = false
+        deque.appendAll(bcF.value(pid))
+        private def copyFields(r: InternalRow): Array[Any] = {
+          val vals = new Array[Any](numFields + 2)
+          var i = 0
+          while (i < numFields) {
+            vals(i) =
+              if (r.isNullAt(i)) null
+              else InternalRow.copyValue(r.get(i, fieldTypes(i)))
+            i += 1
+          }
+          vals
+        }
+        private def emit(vals: Array[Any],
+            bwd: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+          vals(numFields + 1) =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              bwd.toArray)
+          outQ.enqueue(new GenericInternalRow(vals))
+        }
+        private def flushPendAll(
+            carry: List[Any]): Unit = {
+          pend.foreach { case (vals, buf) =>
+            carry.iterator.takeWhile(_ => buf.length < k)
+              .foreach(buf += _)
+            emit(vals, buf)
+          }
+          pend.clear()
+        }
+        private def onBwdValue(v: Any): Unit = {
+          var i = 0
+          while (i < pend.length) {
+            pend(i)._2 += v
+            i += 1
+          }
+          val (done, wait) = pend.partition(_._2.length >= k)
+          done.foreach { case (vals, buf) => emit(vals, buf) }
+          pend.clear(); pend ++= wait
+        }
+        private def step(): Unit = {
+          val r = it.next()
+          val kv = keyOf(r)
+          if (first) {
+            first = false
+            curKey = InternalRow.copyValue(kv)
+          } else if (kv != curKey) {
+            curKey = InternalRow.copyValue(kv)
+            deque.clear()
+            flushPendAll(Nil) // the old key ended: no later values
+          }
+          if (!r.isNullAt(fwdIdx)) {
+            deque.prepend(InternalRow.copyValue(r.get(fwdIdx, fwdType)))
+            if (deque.length > k) deque.remove(k)
+          }
+          val bwdNull = r.isNullAt(bwdIdx)
+          val bwdVal =
+            if (bwdNull) null
+            else InternalRow.copyValue(r.get(bwdIdx, bwdType))
+          val isProbe = probeIdx < 0 ||
+            (!r.isNullAt(probeIdx) && r.getBoolean(probeIdx))
+          if (isProbe) {
+            val vals = copyFields(r)
+            vals(numFields) =
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                deque.toArray)
+            // enqueued with an empty buffer BEFORE onBwdValue runs, so
+            // a probe that is also a reference row collects its own
+            // value exactly once (the inclusive at-or-after contract)
+            pend += ((vals,
+              scala.collection.mutable.ArrayBuffer.empty[Any]))
+          } else {
+            val vals = copyFields(r)
+            vals(numFields) = null
+            vals(numFields + 1) = null
+            outQ.enqueue(new GenericInternalRow(vals))
+          }
+          if (!bwdNull) onBwdValue(bwdVal)
+        }
+        private def advance(): Unit = {
+          while (outQ.isEmpty && !exhausted) {
+            if (it.hasNext) step()
+            else {
+              exhausted = true
+              flushPendAll(bwdCarry)
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); outQ.nonEmpty }
+        def next(): InternalRow = { advance(); outQ.dequeue() }
+      }
+    }
+    PlanShim.internalCreateDataFrame(session, filled, outSchema)
+  }
 }

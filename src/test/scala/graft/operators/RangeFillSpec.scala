@@ -154,6 +154,70 @@ class RangeFillSpec extends SparkSuite {
     }
   }
 
+  /** fillBothK's oracle: the window collect_list formulation — last k
+    * non-null fwd values at-or-before (most-recent-first), next k
+    * non-null bwd values at-or-after (earliest-first). */
+  private def windowFillBothK(df: DataFrame, key: String, fwd: String,
+      bwd: String, k: Int,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val wF = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn("lk",
+        slice(reverse(collect_list(col(fwd)).over(wF)), 1, k))
+      .withColumn("nk", slice(collect_list(col(bwd)).over(wB), 1, k))
+  }
+
+  test("fillBothK equals the window collect_list formulation") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(71)
+    val rows = Seq.tabulate(1500) { i =>
+      val k = if (i % 10 < 8) "hot" else s"k${i % 5}"
+      val f = if (rnd.nextInt(10) < 6) None else Some(rnd.nextInt(100))
+      val b = if (rnd.nextInt(10) < 6) None else Some(rnd.nextInt(100))
+      (k, rnd.nextInt(10000), i.toLong, f, b)
+    }
+    val df = rows.toDF("k", "pos", "id", "f", "b")
+    val order = Seq(col("pos").asc, col("id").asc)
+    for (kk <- Seq(1, 3); parts <- Seq(1, 6, 40)) {
+      val want = canon(windowFillBothK(df, "k", "f", "b", kk, order)
+        .select(col("k"), col("pos"), col("id"), col("lk"), col("nk")))
+      val got = canon(
+        RangeFill.fillBothK(df, "k", "f", "b", "lk", "nk", kk,
+            order, parts)
+          .select(col("k"), col("pos"), col("id"), col("lk"), col("nk")))
+      assert(got == want, s"k=$kk partitions=$parts")
+    }
+  }
+
+  test("fillBothK: probes only fill, events pass through with null " +
+      "arrays; carries chain deques across partitions") {
+    val s = spark
+    import s.implicits._
+    // one key: values at the front (forward) and back (backward), a
+    // probe in the middle of a long value-free gap — with 50 tiny
+    // partitions both k-deques must chain across empty partitions
+    val rows = (0 until 300).map { i =>
+      val f = if (i == 2) Some(20) else if (i == 5) Some(50)
+        else if (i == 7) Some(70) else Option.empty[Int]
+      val b = if (i == 290) Some(290) else if (i == 295) Some(295)
+        else Option.empty[Int]
+      ("k", i, i.toLong, f, b, i == 150)
+    }
+    val df = rows.toDF("k", "pos", "id", "f", "b", "p")
+    val got = RangeFill.fillBothK(df, "k", "f", "b", "lk", "nk", 2,
+        Seq(col("pos").asc), 50, probeCol = Some("p"))
+      .orderBy("pos").collect()
+    val probe = got.find(_.getInt(1) == 150).get
+    assert(probe.getSeq[Int](6) == Seq(70, 50)) // most-recent-first
+    assert(probe.getSeq[Int](7) == Seq(290, 295)) // earliest-first
+    // non-probe rows keep null arrays
+    assert(got.filter(_.getInt(1) != 150).forall(r =>
+      r.isNullAt(6) && r.isNullAt(7)))
+  }
+
   test("empty input and more partitions than rows") {
     val s = spark
     import s.implicits._
