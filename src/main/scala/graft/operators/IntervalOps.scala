@@ -43,6 +43,63 @@ import org.apache.spark.sql.functions._
   * their absence is invisible). Pinned by the q107 oracle gate
   * (Opposite subtract over '.'-strand rows) and the stranded unit
   * specs. */
+/** Sign convention for closest's `signed_distance` — the bedtools
+  * `closest -D ref|a|b` analogue. Negative = the B feature is
+  * "upstream" of A under the convention; 0 for any overlap or
+  * book-ended touch.
+  *  - [[DistanceMode.Ref]] (`-D ref`): upstream = lower reference
+  *    coordinate (B entirely at-or-below A's start).
+  *  - [[DistanceMode.RespectA]] (`-D a`): as ref, but when A's strand
+  *    column holds `'-'` the sign flips (upstream = higher
+  *    coordinate). Any other strand value (`'+'`, `'.'`, null) leaves
+  *    the ref sign — bedtools' unstranded-feature rule.
+  *  - [[DistanceMode.RespectB]] (`-D b`): as ref, but the sign flips
+  *    when the CANDIDATE B's strand is `'-'`.
+  */
+sealed trait DistanceMode
+object DistanceMode {
+  case object Ref extends DistanceMode
+  /** `-D a`: sign relative to A's strand (`aCol` names A's column). */
+  final case class RespectA(aCol: String = "strand") extends DistanceMode
+  /** `-D b`: sign relative to each candidate B's strand. */
+  final case class RespectB(bCol: String = "strand") extends DistanceMode
+}
+
+/** Candidate-set options for [[IntervalOps.closest]] /
+  * [[IntervalOps.closestAll]] / [[IntervalOps.closestK]] — the
+  * bedtools `closest -io -iu -id -D` flags.
+  *
+  * Semantics (engineering contract, replayed by the q112/q113 oracle
+  * gates):
+  *  - `ignoreOverlaps` (`-io`): STRICTLY overlapping B features are
+  *    not candidates; book-ended features (0 shared bases, distance 0)
+  *    remain — bedtools counts only bp-sharing features as overlaps.
+  *  - `ignoreUpstream` / `ignoreDownstream` (`-iu` / `-id`): B
+  *    features whose signed distance under `distanceMode` is negative
+  *    (resp. positive) are not candidates; distance-0 features
+  *    (overlap or touch) are neither upstream nor downstream and
+  *    always remain.
+  *  - `signed`: emit the `signed_distance` column from [[closest]]
+  *    (always emitted by [[closestAll]]/[[closestK]]); required when
+  *    `ignoreUpstream`/`ignoreDownstream` is set there, mirroring
+  *    bedtools' "-iu/-id require -D" rule. */
+final case class ClosestOptions(
+    signed: Boolean = false,
+    distanceMode: DistanceMode = DistanceMode.Ref,
+    ignoreOverlaps: Boolean = false,
+    ignoreUpstream: Boolean = false,
+    ignoreDownstream: Boolean = false) {
+  private[operators] def aStrandCol: Option[String] = distanceMode match {
+    case DistanceMode.RespectA(c) => Some(c)
+    case _ => None
+  }
+  private[operators] def bStrandCol: Option[String] = distanceMode match {
+    case DistanceMode.RespectB(c) => Some(c)
+    case _ => None
+  }
+  private[operators] def isDefault: Boolean = this == ClosestOptions()
+}
+
 sealed trait Strandedness
 object Strandedness {
   /** Strand-blind (the default everywhere). */
@@ -1741,24 +1798,57 @@ object IntervalOps {
     *            back together; duplicates would cross-product)
     * @param bId unique id column in `b` (tie-break + output id)
     * @param partitions range-partition count for the sweep; 0 = the
-    *            session's shuffle-partition default */
+    *            session's shuffle-partition default
+    * @param opts [[ClosestOptions]] — `-io`/`-iu`/`-id` candidate
+    *            filters and the `-D` sign convention; with
+    *            `opts.signed` the output gains `signed_distance` */
   def closest(a: DataFrame, b: DataFrame, aId: String, bId: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", binSize: Long = 1000L,
       partitions: Int = 0,
-      strand: Strandedness = Strandedness.Ignore): DataFrame = {
-    val a2 = closestProjectA(a, aId, chrom, start, end, strand)
-    val b2 = closestProjectB(b, bId, chrom, start, end, strand)
+      strand: Strandedness = Strandedness.Ignore,
+      opts: ClosestOptions = ClosestOptions()): DataFrame = {
+    require(!(opts.ignoreUpstream || opts.ignoreDownstream) ||
+      opts.signed,
+      "closest -iu/-id need opts.signed (bedtools' -iu/-id require -D)")
+    val a2 = closestProjectA(a, aId, chrom, start, end, strand,
+      opts.aStrandCol)
+    val b2 = closestProjectB(b, bId, chrom, start, end, strand,
+      opts.bStrandCol)
     val best = col("__best")
-    closestCore(a2, b2, binSize, partitions)
-      .select(col("__aid").as(aId),
-        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
-        col("__as").cast(a.schema(start).dataType).as(start),
-        col("__ae").cast(a.schema(end).dataType).as(end),
-        best.getField("i").as("closest_id"),
-        best.getField("s").as("closest_start"),
-        best.getField("e").as("closest_end"),
-        best.getField("d").as("distance"))
+    val baseCols = Seq(col("__aid").as(aId),
+      col("__oc").cast(a.schema(chrom).dataType).as(chrom),
+      col("__as").cast(a.schema(start).dataType).as(start),
+      col("__ae").cast(a.schema(end).dataType).as(end),
+      best.getField("i").as("closest_id"),
+      best.getField("s").as("closest_start"),
+      best.getField("e").as("closest_end"),
+      best.getField("d").as("distance"))
+    val outCols =
+      if (!opts.signed) baseCols
+      else {
+        val d = best.getField("d")
+        // geometry disambiguates the side for d > 0: only a left
+        // (upstream-by-ref) candidate can end at-or-below A's start
+        val ref = when(d === 0L, lit(0L))
+          .when(best.getField("e") <= col("__as"), -d)
+          .otherwise(d)
+        baseCols :+ signFlip(ref, opts.distanceMode,
+          col("__astr"), best.getField("t")).as("signed_distance")
+      }
+    closestCore(a2, b2, binSize, partitions, opts).select(outCols: _*)
+  }
+
+  /** Applies [[DistanceMode]]'s strand flip to a ref-signed value:
+    * only a literal `'-'` strand flips (bedtools' rule — `'+'`, `'.'`,
+    * null, anything else keeps the reference sign). */
+  private def signFlip(ref: Column, mode: DistanceMode,
+      aStrand: => Column, bStrand: => Column): Column = mode match {
+    case DistanceMode.Ref => ref
+    case DistanceMode.RespectA(_) =>
+      when(aStrand === "-", -ref).otherwise(ref)
+    case DistanceMode.RespectB(_) =>
+      when(bStrand === "-", -ref).otherwise(ref)
   }
 
   /** [[closest]]'s A-side projection: (__aid, __c composite sweep key,
@@ -1773,29 +1863,35 @@ object IntervalOps {
     * that). Unmatchable A rows keep a sentinel key and surface with
     * null closest columns; unmatchable B rows drop. */
   private def closestProjectA(a: DataFrame, aId: String, chrom: String,
-      start: String, end: String, strand: Strandedness): DataFrame = {
+      start: String, end: String, strand: Strandedness,
+      aStrandCol: Option[String] = None): DataFrame = {
     val sk = strandKeyCols(strand)
     dropNullCoords(a, chrom, start, end)
-      .select(col(aId).as("__aid"),
+      .select(Seq(col(aId).as("__aid"),
         compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
         col(chrom).cast("string").as("__oc"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
-          .as("__ae"))
+          .as("__ae")) ++
+        // -D a: A's RAW strand rides beside the (possibly composite)
+        // key — the sign convention is orthogonal to strand MATCHING
+        aStrandCol.map(c => col(c).cast("string").as("__astr")): _*)
       .where(col("__aid").isNotNull && col("__c").isNotNull)
   }
 
   /** [[closest]]'s B-side projection twin of [[closestProjectA]]:
-    * (__bid, __c, __bs, __be). */
+    * (__bid, __c, __bs, __be[, __bstr under -D b]). */
   private def closestProjectB(b: DataFrame, bId: String, chrom: String,
-      start: String, end: String, strand: Strandedness): DataFrame = {
+      start: String, end: String, strand: Strandedness,
+      bStrandCol: Option[String] = None): DataFrame = {
     val sk = strandKeyCols(strand)
     dropNullCoords(b, chrom, start, end)
-      .select(col(bId).as("__bid"),
+      .select(Seq(col(bId).as("__bid"),
         compositeKey(col(chrom).cast("string"), sk.map(_._2)).as("__c"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
-          .as("__be"))
+          .as("__be")) ++
+        bStrandCol.map(c => col(c).cast("string").as("__bstr")): _*)
       .where(col("__bid").isNotNull && col("__c").isNotNull)
   }
 
@@ -1807,69 +1903,150 @@ object IntervalOps {
     * (d, s, i, e) candidate struct, null when the A's key has no B at
     * all. */
   private def closestCore(a2: DataFrame, b2: DataFrame, binSize: Long,
-      partitions: Int): DataFrame = {
-    val cbStruct = struct(col("__bs"), col("__bid"), col("__be"))
-    val bEnd = b2.select(col("__c"), col("__be").as("__pos"),
-      lit(0).as("__kind"), cbStruct.as("__cbL"))
-    val cbT = bEnd.schema("__cbL").dataType
+      partitions: Int,
+      opts: ClosestOptions = ClosestOptions()): DataFrame = {
+    // -D b: the candidate struct carries the B strand as a trailing
+    // field `t` — least() compares (d, s, i, ...) lexicographically
+    // and `i` is unique, so the extra field never affects the argmin
+    val withBt = opts.bStrandCol.isDefined
+    val cbStruct =
+      if (!withBt) struct(col("__bs"), col("__bid"), col("__be"))
+      else struct(col("__bs"), col("__bid"), col("__be"), col("__bstr"))
     val aidT = a2.schema("__aid").dataType
-    val bEndFull = bEnd
-      .withColumn("__cbR", lit(null).cast(cbT))
-      .withColumn("__aid", lit(null).cast(aidT))
-      .withColumn("__side", lit(null).cast("int"))
-    val bStartFull = b2.select(col("__c"), col("__bs").as("__pos"),
-      lit(2).as("__kind"), lit(null).cast(cbT).as("__cbL"),
-      cbStruct.as("__cbR"), lit(null).cast(aidT).as("__aid"),
-      lit(null).cast("int").as("__side"))
-    val aProbes = a2.select(col("__c"), col("__aid"),
-        explode(array(
-          struct(col("__as").as("p"), lit(0).as("sd")),
-          struct(col("__ae").as("p"), lit(1).as("sd")))).as("__pr"))
-      .select(col("__c"), col("__pr.p").as("__pos"),
-        lit(1).as("__kind"), lit(null).cast(cbT).as("__cbL"),
-        lit(null).cast(cbT).as("__cbR"), col("__aid"),
-        col("__pr.sd").as("__side"))
-    // among equal-position B events the GLOBAL rule wants the MIN
-    // (b start, b id): the forward fill keeps the LAST seen, so kind-0
-    // tie columns sort DESCENDING; the backward fill keeps the FIRST,
-    // so kind-2 ties sort ASCENDING (equal-position start events share
-    // their __bs — the id alone decides). Each tie column is constant
-    // null outside its own kind, so the combined order stays total.
-    val ord: Seq[Column] = Seq(col("__pos").asc, col("__kind").asc,
-      col("__cbL.__bs").desc_nulls_first,
-      col("__cbL.__bid").desc_nulls_first,
-      col("__cbR.__bid").asc_nulls_first)
-    val filled = RangeFill.fillBoth(
-      bEndFull.unionByName(bStartFull).unionByName(aProbes)
-        .withColumn("__probe", col("__kind") === 1),
-      "__c", "__cbL", "__cbR", ord, partitions,
-      probeCol = Some("__probe"))
-    // candidate struct layout: least() compares lexicographically, so
-    // (distance, b start, b id) IS the tie rule
-    def candOf(cb: String, dist: Column) = struct(dist.as("d"),
-      col(s"$cb.__bs").as("s"), col(s"$cb.__bid").as("i"),
-      col(s"$cb.__be").as("e"))
-    val candL = when(col("__side") === 0 && col("__cbL").isNotNull,
-      candOf("__cbL", col("__pos") - col("__cbL.__be")))
-    val candR = when(col("__side") === 1 && col("__cbR").isNotNull,
-      candOf("__cbR", col("__cbR.__bs") - col("__pos")))
-    // exactly one probe row per (aid, side): max() just picks the
-    // non-null candidate of each side
-    val sweepCand = filled.where(col("__kind") === 1)
-      .groupBy(col("__aid"))
-      .agg(max(candL).as("__L"), max(candR).as("__R"))
-    val overlapCand = IntervalJoin.overlapJoin(
-        a2, b2.withColumnRenamed("__c", "__c2"),
-        leftCols = ("__c", "__as", "__ae"),
-        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
-      .groupBy(col("__aid"))
-      .agg(min(struct(lit(0L).as("d"), col("__bs").as("s"),
-        col("__bid").as("i"), col("__be").as("e"))).as("__O"))
-    a2.join(sweepCand, Seq("__aid"), "left")
-      .join(overlapCand, Seq("__aid"), "left")
-      .select(col("__aid"), col("__c"), col("__oc"), col("__as"),
-        col("__ae"),
-        least(col("__O"), col("__L"), col("__R")).as("__best"))
+    /** One bidirectional sweep over `b2x`'s events: per A,
+      * (__aid, __L<sfx>, __R<sfx>) — the best left/right candidate. */
+    def sweep(b2x: DataFrame, sfx: String): DataFrame = {
+      val bEnd = b2x.select(col("__c"), col("__be").as("__pos"),
+        lit(0).as("__kind"), cbStruct.as("__cbL"))
+      val cbT = bEnd.schema("__cbL").dataType
+      val bEndFull = bEnd
+        .withColumn("__cbR", lit(null).cast(cbT))
+        .withColumn("__aid", lit(null).cast(aidT))
+        .withColumn("__side", lit(null).cast("int"))
+      val bStartFull = b2x.select(col("__c"), col("__bs").as("__pos"),
+        lit(2).as("__kind"), lit(null).cast(cbT).as("__cbL"),
+        cbStruct.as("__cbR"), lit(null).cast(aidT).as("__aid"),
+        lit(null).cast("int").as("__side"))
+      val aProbes = a2.select(col("__c"), col("__aid"),
+          explode(array(
+            struct(col("__as").as("p"), lit(0).as("sd")),
+            struct(col("__ae").as("p"), lit(1).as("sd")))).as("__pr"))
+        .select(col("__c"), col("__pr.p").as("__pos"),
+          lit(1).as("__kind"), lit(null).cast(cbT).as("__cbL"),
+          lit(null).cast(cbT).as("__cbR"), col("__aid"),
+          col("__pr.sd").as("__side"))
+      // among equal-position B events the GLOBAL rule wants the MIN
+      // (b start, b id): the forward fill keeps the LAST seen, so
+      // kind-0 tie columns sort DESCENDING; the backward fill keeps
+      // the FIRST, so kind-2 ties sort ASCENDING (equal-position start
+      // events share their __bs — the id alone decides). Each tie
+      // column is constant null outside its own kind, so the combined
+      // order stays total.
+      val ord: Seq[Column] = Seq(col("__pos").asc, col("__kind").asc,
+        col("__cbL.__bs").desc_nulls_first,
+        col("__cbL.__bid").desc_nulls_first,
+        col("__cbR.__bid").asc_nulls_first)
+      val filled = RangeFill.fillBoth(
+        bEndFull.unionByName(bStartFull).unionByName(aProbes)
+          .withColumn("__probe", col("__kind") === 1),
+        "__c", "__cbL", "__cbR", ord, partitions,
+        probeCol = Some("__probe"))
+      // candidate struct layout: least() compares lexicographically,
+      // so (distance, b start, b id) IS the tie rule
+      def candOf(cb: String, dist: Column) = {
+        val base = Seq(dist.as("d"), col(s"$cb.__bs").as("s"),
+          col(s"$cb.__bid").as("i"), col(s"$cb.__be").as("e"))
+        struct((if (withBt) base :+ col(s"$cb.__bstr").as("t")
+          else base): _*)
+      }
+      val candL = when(col("__side") === 0 && col("__cbL").isNotNull,
+        candOf("__cbL", col("__pos") - col("__cbL.__be")))
+      val candR = when(col("__side") === 1 && col("__cbR").isNotNull,
+        candOf("__cbR", col("__cbR.__bs") - col("__pos")))
+      // exactly one probe row per (aid, side): max() just picks the
+      // non-null candidate of each side
+      filled.where(col("__kind") === 1)
+        .groupBy(col("__aid"))
+        .agg(max(candL).as("__L" + sfx), max(candR).as("__R" + sfx))
+    }
+    // -D b with -iu/-id: the filter depends on each CANDIDATE's
+    // strand, so one per-side argmin is unsound (the side's best may
+    // be masked while a deeper same-side candidate survives). Split
+    // the B side by strand CLASS ('-' vs everything else) — within a
+    // class the flip is a constant, so per-(side, class) masking is
+    // exact again: a masked (side, class) contributes only its
+    // distance-0 (book-ended) candidate, which is always allowed.
+    val classSplit =
+      (opts.ignoreUpstream || opts.ignoreDownstream) && withBt
+    val joined0 =
+      if (!classSplit) a2.join(sweep(b2, ""), Seq("__aid"), "left")
+      else a2
+        .join(sweep(b2.where(col("__bstr") === "-"), "m"),
+          Seq("__aid"), "left")
+        .join(sweep(b2.where(!(col("__bstr") <=> "-")), "o"),
+          Seq("__aid"), "left")
+    // -io: the overlap join is simply absent (left/right sweep
+    // candidates are non-overlapping by construction; book-ended
+    // distance-0 candidates still arrive via the sweeps — bedtools
+    // counts only bp-sharing features as "overlaps")
+    val joined =
+      if (opts.ignoreOverlaps) joined0
+      else {
+        val oBase = Seq(lit(0L).as("d"), col("__bs").as("s"),
+          col("__bid").as("i"), col("__be").as("e"))
+        val overlapCand = IntervalJoin.overlapJoin(
+            a2, b2.withColumnRenamed("__c", "__c2"),
+            leftCols = ("__c", "__as", "__ae"),
+            rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+          .groupBy(col("__aid"))
+          .agg(min(struct((if (withBt) oBase :+ col("__bstr").as("t")
+            else oBase): _*)).as("__O"))
+        joined0.join(overlapCand, Seq("__aid"), "left")
+      }
+    // -iu/-id: a candidate whose effective sign (branch geometry ×
+    // the -D strand flip) is negative/positive is masked to null;
+    // least() skips nulls, so the argmin runs over the survivors
+    def kept(cand: Column, refSign: Column): Column =
+      if (!opts.ignoreUpstream && !opts.ignoreDownstream) cand
+      else {
+        val eff = signFlip(refSign, opts.distanceMode,
+          col("__astr"), cand.getField("t"))
+        val keep =
+          (if (opts.ignoreUpstream) eff >= 0L else lit(true)) &&
+            (if (opts.ignoreDownstream) eff <= 0L else lit(true))
+        when(keep, cand)
+      }
+    /** Static masking for the class-split path: refSgn `r` × class
+      * flip `f` is a compile-time constant for d > 0; a fully-masked
+      * (side, class) keeps only its distance-0 candidate. */
+    def keptStatic(cand: Column, r: Int, f: Int): Column = {
+      val masked = (opts.ignoreUpstream && r * f < 0) ||
+        (opts.ignoreDownstream && r * f > 0)
+      if (masked) when(cand.getField("d") === 0L, cand) else cand
+    }
+    val bestCol =
+      if (!classSplit) {
+        val keptL = kept(col("__L"),
+          when(col("__L").getField("d") > 0L, lit(-1L))
+            .otherwise(lit(0L)))
+        val keptR = kept(col("__R"),
+          when(col("__R").getField("d") > 0L, lit(1L))
+            .otherwise(lit(0L)))
+        if (opts.ignoreOverlaps) least(keptL, keptR)
+        else least(kept(col("__O"), lit(0L)), keptL, keptR)
+      } else {
+        val cands = Seq(
+          keptStatic(col("__Lm"), -1, -1),
+          keptStatic(col("__Lo"), -1, 1),
+          keptStatic(col("__Rm"), 1, -1),
+          keptStatic(col("__Ro"), 1, 1)) ++
+          (if (opts.ignoreOverlaps) Nil else Seq(col("__O")))
+        least(cands: _*)
+      }
+    joined.select(Seq(col("__aid"), col("__c"), col("__oc"),
+      col("__as"), col("__ae")) ++
+      opts.aStrandCol.map(_ => col("__astr")).toSeq :+
+      bestCol.as("__best"): _*)
   }
 
   /** Every-tie variant of [[closest]] — the bedtools `closest -t all`
@@ -1893,20 +2070,25 @@ object IntervalOps {
     * result size IS the answer's size.
     *
     * @param strand [[Strandedness]] — applied inside [[closest]]'s
-    *               sweeps AND the tie join's key */
+    *               sweeps AND the tie join's key
+    * @param opts [[ClosestOptions]] — the candidate filters apply to
+    *               the argmin AND to the tie join's pair predicate */
   def closestAll(a: DataFrame, b: DataFrame, aId: String, bId: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", binSize: Long = 1000L,
       partitions: Int = 0,
-      strand: Strandedness = Strandedness.Ignore): DataFrame = {
+      strand: Strandedness = Strandedness.Ignore,
+      opts: ClosestOptions = ClosestOptions()): DataFrame = {
     // ONE pair of projections feeds both the argmin core and the tie
     // join (the core's output already carries a2's columns, so no
     // re-join against a2 either)
-    val a2 = closestProjectA(a, aId, chrom, start, end, strand)
-    val b2 = closestProjectB(b, bId, chrom, start, end, strand)
+    val a2 = closestProjectA(a, aId, chrom, start, end, strand,
+      opts.aStrandCol)
+    val b2 = closestProjectB(b, bId, chrom, start, end, strand,
+      opts.bStrandCol)
       .withColumnRenamed("__c", "__c2")
     val withD = closestCore(a2, b2.withColumnRenamed("__c2", "__c"),
-        binSize, partitions)
+        binSize, partitions, opts)
       .withColumn("__d", col("__best").getField("d"))
     // extend by d + 1 so a B at EXACTLY distance d still strictly
     // overlaps the probe interval (be > as - d - 1 <=> be >= as - d)
@@ -1926,16 +2108,30 @@ object IntervalOps {
     // plan and tripping the TVF plan-equality pin. Duplicating the
     // CASE is free under codegen and makes the plan shape a function
     // of the code alone.
+    // the tie join replays the SAME candidate filters the argmin saw:
+    // -io drops strictly-overlapping pairs (a book-ended pair shares
+    // distance 0 but no bases and stays), -iu/-id drop by the
+    // effective sign under the -D convention
+    val refSd = when(dist === 0L, lit(0L))
+      .when(col("__be") <= col("__as"), -dist)
+      .otherwise(dist)
+    val effSd = signFlip(refSd, opts.distanceMode,
+      col("__astr"), col("__bstr"))
+    val pairConds: Seq[Column] =
+      (if (opts.ignoreOverlaps)
+        Seq(!(col("__as") < col("__be") && col("__bs") < col("__ae")))
+      else Nil) ++
+      (if (opts.ignoreUpstream) Seq(effSd >= 0L) else Nil) ++
+      (if (opts.ignoreDownstream) Seq(effSd <= 0L) else Nil)
     val ties = IntervalJoin.overlapJoin(aExt, b2,
         leftCols = ("__c", "__xs", "__xe"),
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
-      .where(dist === col("__d"))
+      .where(pairConds.foldLeft(dist === col("__d"))(_ && _))
       .select(col("__aid"), col("__oc"), col("__as"), col("__ae"),
         col("__bid").as("__ci"), col("__bs").as("__cs"),
         col("__be").as("__ce"), dist.as("__dist"),
-        when(dist === 0L, lit(0L))
-          .when(col("__be") <= col("__as"), -dist)
-          .otherwise(dist).as("__sd"))
+        (if (opts.distanceMode == DistanceMode.Ref) refSd else effSd)
+          .as("__sd"))
     val misses = withD.where(col("__d").isNull)
       .select(col("__aid"), col("__oc"), col("__as"), col("__ae"),
         lit(null).cast(b2.schema("__bid").dataType).as("__ci"),
@@ -1954,4 +2150,195 @@ object IntervalOps {
         col("__dist").as("distance"),
         col("__sd").as("signed_distance"))
   }
+
+  /** K-nearest B intervals for every A interval — the bedtools
+    * `closest -k` analogue: up to `k` output rows per A, ranked by the
+    * family's global deterministic rule (distance, b start, b id) with
+    * `rank` 1..k, plus one null-columned row for an A with no
+    * candidate on its (chrom, strand) key ([[closest]]'s left-outer
+    * contract). `distance`/`signed_distance` follow [[closest]]'s
+    * conventions; [[ClosestOptions]]' `-io`/`-iu`/`-id`/`-D` filters
+    * compose (candidates are filtered BEFORE ranking, so the k
+    * survivors are the true top-k of the filtered set).
+    *
+    * Scale shape — never all-pairs: [[RangeFill.fillBothK]] runs
+    * [[closest]]'s one combined event timeline with a k-deep deque per
+    * direction (ONE range shuffle; the per-side deques hold exactly
+    * the top-k left/right candidates because the timeline's tie
+    * ordering makes deque order = ascending (distance, b start,
+    * b id)), the binned overlap join supplies distance-0 candidates
+    * capped to k per A by a row_number over the A id (no skew: the
+    * partition key is the unique A id), and one final per-A window
+    * ranks ≤3k candidate rows. Output size ≤ k × |A| + misses.
+    *
+    * @param k how many nearest features to report (bedtools `-k`) */
+  def closestK(a: DataFrame, b: DataFrame, aId: String, bId: String,
+      k: Int, chrom: String = "chrom", start: String = "start",
+      end: String = "end", binSize: Long = 1000L,
+      partitions: Int = 0,
+      strand: Strandedness = Strandedness.Ignore,
+      opts: ClosestOptions = ClosestOptions()): DataFrame = {
+    require(k >= 1, s"closestK needs k >= 1, got $k")
+    val a2 = closestProjectA(a, aId, chrom, start, end, strand,
+      opts.aStrandCol)
+    val b2 = closestProjectB(b, bId, chrom, start, end, strand,
+      opts.bStrandCol)
+    val withBt = opts.bStrandCol.isDefined
+    val withAt = opts.aStrandCol.isDefined
+    val cbStruct =
+      if (!withBt) struct(col("__bs"), col("__bid"), col("__be"))
+      else struct(col("__bs"), col("__bid"), col("__be"), col("__bstr"))
+    val aidT = a2.schema("__aid").dataType
+    val nullAstr = lit(null).cast("string").as("__astr")
+    /** The k-deep timeline over `b2x`'s events — [[closestCore]]'s
+      * construction with [[RangeFill.fillBothK]] and two extra probe
+      * payloads (__apoint for the both-zero-length dedup corner,
+      * __astr under -D a). */
+    def filledOf(b2x: DataFrame): DataFrame = {
+      val bEnd = b2x.select(col("__c"), col("__be").as("__pos"),
+        lit(0).as("__kind"), cbStruct.as("__cbL"))
+      val cbT = bEnd.schema("__cbL").dataType
+      val bEndFull = bEnd
+        .withColumn("__cbR", lit(null).cast(cbT))
+        .withColumn("__aid", lit(null).cast(aidT))
+        .withColumn("__side", lit(null).cast("int"))
+        .withColumn("__apoint", lit(null).cast("boolean"))
+        .withColumn("__astr", lit(null).cast("string"))
+      val bStartFull = b2x.select(col("__c"), col("__bs").as("__pos"),
+        lit(2).as("__kind"), lit(null).cast(cbT).as("__cbL"),
+        cbStruct.as("__cbR"), lit(null).cast(aidT).as("__aid"),
+        lit(null).cast("int").as("__side"),
+        lit(null).cast("boolean").as("__apoint"), nullAstr)
+      val aProbes = a2.select(Seq(col("__c"), col("__aid"),
+          (col("__as") === col("__ae")).as("__apoint")) ++
+          (if (withAt) Seq(col("__astr")) else Seq(nullAstr)) :+
+          explode(array(
+            struct(col("__as").as("p"), lit(0).as("sd")),
+            struct(col("__ae").as("p"), lit(1).as("sd")))).as("__pr"): _*)
+        .select(col("__c"), col("__pr.p").as("__pos"),
+          lit(1).as("__kind"), lit(null).cast(cbT).as("__cbL"),
+          lit(null).cast(cbT).as("__cbR"), col("__aid"),
+          col("__pr.sd").as("__side"), col("__apoint"), col("__astr"))
+      // the SAME total order as closestCore's timeline: deque order
+      // becomes ascending (distance, b start, b id) on both sides
+      val ord: Seq[Column] = Seq(col("__pos").asc, col("__kind").asc,
+        col("__cbL.__bs").desc_nulls_first,
+        col("__cbL.__bid").desc_nulls_first,
+        col("__cbR.__bid").asc_nulls_first)
+      RangeFill.fillBothK(
+        bEndFull.unionByName(bStartFull).unionByName(aProbes)
+          .withColumn("__probe", col("__kind") === 1),
+        "__c", "__cbL", "__cbR", "__Lk", "__Rk", k, ord, partitions,
+        probeCol = Some("__probe"))
+    }
+    def candCols(cb: Column, d: Column, src: String): Seq[Column] =
+      Seq(col("__aid"), d.as("__d"), cb.getField("__bs").as("__s"),
+        cb.getField("__bid").as("__i"), cb.getField("__be").as("__e"),
+        lit(src).as("__src"), col("__astr")) ++
+        (if (withBt) Seq(cb.getField("__bstr").as("__bt"))
+        else Seq(lit(null).cast("string").as("__bt")))
+    // `masked` (only in the -D b × -iu/-id class-split below): the
+    // (side, class)'s d > 0 candidates are all disallowed, so only the
+    // distance-0 prefix of the deque survives — still the true top of
+    // the filtered set (deque order is ascending distance)
+    def leftCOf(filled: DataFrame, masked: Boolean): DataFrame = {
+      val ex = filled
+        .where(col("__kind") === 1 && col("__side") === 0)
+        .select(col("__aid"), col("__pos"), col("__astr"),
+          explode(col("__Lk")).as("__cb"))
+      (if (masked) ex.where(col("__pos") === col("__cb.__be")) else ex)
+        .select(candCols(col("__cb"),
+          col("__pos") - col("__cb.__be"), "L"): _*)
+    }
+    // a zero-length B book-ended at a zero-length A's point is BOTH a
+    // left and a right candidate (the only double-report case in the
+    // family); it stays via the left sweep and drops here
+    def rightCOf(filled: DataFrame, masked: Boolean): DataFrame = {
+      val ex = filled
+        .where(col("__kind") === 1 && col("__side") === 1)
+        .select(col("__aid"), col("__pos"), col("__astr"),
+          col("__apoint"), explode(col("__Rk")).as("__cb"))
+        .where(!(col("__apoint") &&
+          col("__cb.__bs") === col("__cb.__be") &&
+          col("__cb.__bs") === col("__pos")))
+      (if (masked) ex.where(col("__cb.__bs") === col("__pos")) else ex)
+        .select(candCols(col("__cb"),
+          col("__cb.__bs") - col("__pos"), "R"): _*)
+    }
+    val classSplit =
+      (opts.ignoreUpstream || opts.ignoreDownstream) && withBt
+    val sweepC =
+      if (!classSplit) {
+        val filled = filledOf(b2)
+        leftCOf(filled, masked = false)
+          .unionByName(rightCOf(filled, masked = false))
+      } else {
+        def maskedFor(r: Int, f: Int): Boolean =
+          (opts.ignoreUpstream && r * f < 0) ||
+            (opts.ignoreDownstream && r * f > 0)
+        val fm = filledOf(b2.where(col("__bstr") === "-"))
+        val fo = filledOf(b2.where(!(col("__bstr") <=> "-")))
+        leftCOf(fm, maskedFor(-1, -1))
+          .unionByName(rightCOf(fm, maskedFor(1, -1)))
+          .unionByName(leftCOf(fo, maskedFor(-1, 1)))
+          .unionByName(rightCOf(fo, maskedFor(1, 1)))
+      }
+    val cands0 =
+      if (opts.ignoreOverlaps) sweepC
+      else {
+        val wO = Window.partitionBy(col("__aid"))
+          .orderBy(col("__bs"), col("__bid"))
+        val overlapC = IntervalJoin.overlapJoin(
+            a2, b2.withColumnRenamed("__c", "__c2"),
+            leftCols = ("__c", "__as", "__ae"),
+            rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+          .withColumn("__ork", row_number().over(wO))
+          .where(col("__ork") <= k)
+          .select(Seq(col("__aid"), lit(0L).as("__d"),
+            col("__bs").as("__s"), col("__bid").as("__i"),
+            col("__be").as("__e"), lit("O").as("__src")) ++
+            (if (withAt) Seq(col("__astr")) else Seq(nullAstr)) ++
+            (if (withBt) Seq(col("__bstr").as("__bt"))
+            else Seq(lit(null).cast("string").as("__bt"))): _*)
+        sweepC.unionByName(overlapC)
+      }
+    // -iu/-id filter BEFORE ranking (the deques' per-side top-k are
+    // supersets of the filtered per-side top-k: survivors of the sign
+    // predicate always sort ahead of non-survivors in deque order)
+    val refSign = when(col("__d") === 0L, lit(0L))
+      .when(col("__src") === "L", lit(-1L)).otherwise(lit(1L))
+    val effSign = signFlip(refSign, opts.distanceMode,
+      col("__astr"), col("__bt"))
+    val signConds: Seq[Column] =
+      (if (opts.ignoreUpstream) Seq(effSign >= 0L) else Nil) ++
+        (if (opts.ignoreDownstream) Seq(effSign <= 0L) else Nil)
+    val cands = signConds.foldLeft(cands0)(_ where _)
+    val w = Window.partitionBy(col("__aid"))
+      .orderBy(col("__d"), col("__s"), col("__i"))
+    val ranked = cands.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .withColumnRenamed("__astr", "__castr")
+    val refSd = when(col("__d") === 0L, lit(0L))
+      .when(col("__src") === "L", -col("__d")).otherwise(col("__d"))
+    joinedK(a2, ranked, a, aId, chrom, start, end,
+      signFlip(refSd, opts.distanceMode, col("__castr"), col("__bt")))
+  }
+
+  /** [[closestK]]'s final assembly: the left join back to the A
+    * projection (restoring no-candidate rows as single null-columned
+    * rows) and the typed output select. */
+  private def joinedK(a2: DataFrame, ranked: DataFrame, a: DataFrame,
+      aId: String, chrom: String, start: String, end: String,
+      signedCol: Column): DataFrame =
+    a2.join(ranked, Seq("__aid"), "left")
+      .select(col("__aid").as(aId),
+        col("__oc").cast(a.schema(chrom).dataType).as(chrom),
+        col("__as").cast(a.schema(start).dataType).as(start),
+        col("__ae").cast(a.schema(end).dataType).as(end),
+        col("__i").as("closest_id"),
+        col("__s").as("closest_start"),
+        col("__e").as("closest_end"),
+        col("__d").as("distance"),
+        signedCol.as("signed_distance"),
+        col("__rk").cast("long").as("rank"))
 }

@@ -470,6 +470,158 @@ class IntervalOpsSpec extends SparkSuite {
     }
   }
 
+  test("closestK: top-k matches the naive ranking at every partition " +
+      "count") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(83)
+    // heavy single contig, zero-length rows on BOTH sides (the
+    // double-report corner), a candidate-less chromosome
+    val aRows = Seq.tabulate(200) { i =>
+      val c = if (i % 10 < 8) "chrBig" else s"chr${i % 3}"
+      val st = rnd.nextInt(2000).toLong
+      val len = if (i % 17 == 0) 0 else 1 + rnd.nextInt(40)
+      (i.toLong, c, st, st + len)
+    } :+ ((200L, "chrEmpty", 5L, 9L))
+    val bRows = Seq.tabulate(120) { i =>
+      val c = if (i % 10 < 8) "chrBig" else s"chr${i % 2}"
+      val st = rnd.nextInt(2000).toLong
+      val len = if (i % 13 == 0) 0 else 1 + rnd.nextInt(40)
+      (i.toLong, c, st, st + len)
+    }
+    val k = 3
+    def d(as: Long, ae: Long, bs: Long, be: Long): Long =
+      if (as < be && bs < ae) 0L else if (be <= as) as - be else bs - ae
+    val naive: Map[Long, Seq[(Long, Long, Long)]] = aRows.map {
+      case (aid, c, as, ae) =>
+        aid -> bRows.filter(_._2 == c)
+          .map { case (bid, _, bs, be) => (d(as, ae, bs, be), bs, bid) }
+          .sorted.take(k)
+    }.toMap
+    val a = aRows.toDF("aid", "chrom", "start", "end")
+    val b = bRows.toDF("bid", "chrom", "start", "end")
+    for (parts <- Seq(1, 6, 32)) {
+      val gotMap = IntervalOps.closestK(a, b, "aid", "bid", k,
+          partitions = parts)
+        .collect()
+        .groupBy(_.getLong(0)).map { case (aid, rs) =>
+          aid -> rs.filter(!_.isNullAt(4)).sortBy(_.getLong(9))
+            .map(r => (r.getLong(7), r.getLong(5), r.getLong(4))).toSeq
+        }
+      assert(gotMap == naive, s"partitions=$parts")
+    }
+  }
+
+  test("closestK: the both-zero-length corner reports the B once; " +
+      "ranks are 1..n; misses keep one null row") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "c", 10L, 10L), (2L, "cEmpty", 1L, 5L))
+      .toDF("aid", "chrom", "start", "end")
+    val b = Seq((5L, "c", 10L, 10L), (6L, "c", 30L, 40L))
+      .toDF("bid", "chrom", "start", "end")
+    val got = IntervalOps.closestK(a, b, "aid", "bid", 3)
+      .orderBy("aid", "rank").collect()
+    // aid 1: the zero-length B book-ended at the zero-length A point
+    // is a candidate ONCE (d 0), then bid 6 at distance 20
+    assert(got.length == 3)
+    assert((got(0).getLong(0), got(0).getLong(4), got(0).getLong(7),
+      got(0).getLong(8), got(0).getLong(9)) == (1L, 5L, 0L, 0L, 1L))
+    assert((got(1).getLong(0), got(1).getLong(4), got(1).getLong(7),
+      got(1).getLong(8), got(1).getLong(9)) == (1L, 6L, 20L, 20L, 2L))
+    assert(got(2).getLong(0) == 2L && got(2).isNullAt(4) &&
+      got(2).isNullAt(9))
+  }
+
+  test("closest/closestAll/closestK options: -io/-iu/-id/-D match " +
+      "the naive filtered argmin") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(89)
+    def strandOf(i: Long): String =
+      if (i % 3 == 0) "+" else if (i % 3 == 1) "-" else "."
+    val aRows = Seq.tabulate(150) { i =>
+      val st = rnd.nextInt(1500).toLong
+      (i.toLong, s"chr${i % 3}", st, st + 1 + rnd.nextInt(40),
+        strandOf(i.toLong))
+    }
+    val bRows = Seq.tabulate(80) { i =>
+      val st = rnd.nextInt(1500).toLong
+      (i.toLong, s"chr${i % 2}", st, st + 1 + rnd.nextInt(40),
+        strandOf(i.toLong))
+    }
+    def d(as: Long, ae: Long, bs: Long, be: Long): Long =
+      if (as < be && bs < ae) 0L else if (be <= as) as - be else bs - ae
+    // naive model: filtered candidate list under an option set
+    def naive(io: Boolean, iu: Boolean, id: Boolean, mode: String)
+        : Map[Long, Seq[(Long, Long, Long, Long)]] = aRows.map {
+      case (aid, c, as, ae, astr) =>
+        aid -> bRows.filter(_._2 == c).flatMap {
+          case (bid, _, bs, be, bstr) =>
+            val dd = d(as, ae, bs, be)
+            val refSgn =
+              if (dd == 0) 0L else if (be <= as) -1L else 1L
+            val flip = mode match {
+              case "a" => if (astr == "-") -1L else 1L
+              case "b" => if (bstr == "-") -1L else 1L
+              case _ => 1L
+            }
+            val eff = refSgn * flip
+            val strictOv = as < be && bs < ae
+            if ((io && strictOv) || (iu && eff < 0) || (id && eff > 0))
+              None
+            else Some((dd, bs, bid, eff * dd))
+        }.sorted
+    }.toMap
+    val a = aRows.toDF("aid", "chrom", "start", "end", "strand")
+    val b = bRows.toDF("bid", "chrom", "start", "end", "strand")
+    val combos = Seq(
+      ("io ref", ClosestOptions(signed = true, ignoreOverlaps = true),
+        (true, false, false, "ref")),
+      ("iu -D a", ClosestOptions(signed = true,
+        distanceMode = DistanceMode.RespectA(),
+        ignoreUpstream = true), (false, true, false, "a")),
+      ("id -D b", ClosestOptions(signed = true,
+        distanceMode = DistanceMode.RespectB(),
+        ignoreDownstream = true), (false, false, true, "b")),
+      ("iu -D b", ClosestOptions(signed = true,
+        distanceMode = DistanceMode.RespectB(),
+        ignoreUpstream = true), (false, true, false, "b")))
+    for (((label, opts, (io, iu, id, mode))) <- combos) {
+      val want = naive(io, iu, id, mode)
+      // closest: the argmin of the filtered set, with flipped sign
+      val gotOne = IntervalOps.closest(a, b, "aid", "bid", opts = opts)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) None
+           else Some((r.getLong(7), r.getLong(5), r.getLong(4),
+             r.getLong(8))))).toMap
+      assert(gotOne == want.map { case (aid, cs) =>
+        aid -> cs.headOption }, s"closest $label")
+      // closestAll: every filtered tie at the min distance
+      val gotAll = IntervalOps.closestAll(a, b, "aid", "bid",
+          opts = opts)
+        .collect().groupBy(_.getLong(0)).map { case (aid, rs) =>
+          aid -> rs.filter(!_.isNullAt(4))
+            .map(r => (r.getLong(7), r.getLong(5), r.getLong(4),
+              r.getLong(8))).toSet
+        }
+      assert(gotAll == want.map { case (aid, cs) =>
+        aid -> cs.headOption.map(h =>
+          cs.takeWhile(_._1 == h._1).toSet).getOrElse(Set.empty)
+      }, s"closestAll $label")
+      // closestK: the top-2 of the filtered set
+      val gotK = IntervalOps.closestK(a, b, "aid", "bid", 2,
+          opts = opts)
+        .collect().groupBy(_.getLong(0)).map { case (aid, rs) =>
+          aid -> rs.filter(!_.isNullAt(4)).sortBy(_.getLong(9))
+            .map(r => (r.getLong(7), r.getLong(5), r.getLong(4),
+              r.getLong(8))).toSeq
+        }
+      assert(gotK == want.map { case (aid, cs) =>
+        aid -> cs.take(2) }, s"closestK $label")
+    }
+  }
+
   test("coverage: null coords dropped, caller types kept, " +
       "fractional rejected") {
     val s = spark
