@@ -1355,6 +1355,122 @@ object OracleSql {
         |SELECT a.aid, a.chrom, CAST(a.s AS BIGINT) AS "start",
         |  CAST(a.e AS BIGINT) AS "end", a.strand, seqs.sequence
         |FROM a JOIN seqs USING (aid) ORDER BY a.aid""".stripMargin,
+    // q111: bedtools closest -k 3 — the all-pairs row_number ranking
+    // under the q77 argmin rule (distance, b start, b id); LEFT JOIN
+    // keeps no-candidate A rows as one null row with null rank
+    "q111_closest_k" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivB),
+         |pair AS (SELECT a.aid, b.iv_id AS bid,
+         |    b."start" AS bs, b."end" AS be,
+         |    CASE WHEN a.astart < b."end" AND b."start" < a.aend THEN 0
+         |         WHEN b."end" <= a.astart THEN a.astart - b."end"
+         |         ELSE b."start" - a.aend END AS d
+         |  FROM a JOIN bv b ON a.chrom = b.chrom),
+         |rk AS (SELECT *, row_number() OVER
+         |    (PARTITION BY aid ORDER BY d, bs, bid) AS rnk
+         |  FROM pair)
+         |SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+         |  CAST(a.aend AS BIGINT) AS "end",
+         |  r.bid AS closest_id,
+         |  CAST(r.bs AS BIGINT) AS closest_start,
+         |  CAST(r.be AS BIGINT) AS closest_end,
+         |  CAST(r.d AS BIGINT) AS distance,
+         |  CAST(CASE WHEN r.d = 0 THEN 0
+         |    WHEN r.be <= a.astart THEN -r.d ELSE r.d END
+         |    AS BIGINT) AS signed_distance,
+         |  CAST(r.rnk AS BIGINT) AS "rank"
+         |FROM a LEFT JOIN rk r ON a.aid = r.aid AND r.rnk <= 3
+         |ORDER BY a.aid, "rank"""".stripMargin,
+    // q112: bedtools closest -io -D a — q77's argmin with strictly
+    // overlapping pairs excluded in the LEFT JOIN's ON clause
+    // (book-ended distance-0 pairs stay) and the winner's sign
+    // flipped for '-'-strand A rows
+    "q112_closest_io" ->
+      s"""WITH a AS ($ivCS),
+         |bv AS ($ivB),
+         |pair AS (SELECT a.aid, a.chrom, a.astart, a.aend, a.strand,
+         |    CASE WHEN b.iv_id IS NULL THEN NULL
+         |      ELSE struct_pack(
+         |        d := CASE WHEN b."end" <= a.astart
+         |                    THEN a.astart - b."end"
+         |                  ELSE b."start" - a.aend END,
+         |        s := b."start", i := b.iv_id, e := b."end") END AS c
+         |  FROM a LEFT JOIN bv b ON a.chrom = b.chrom
+         |    AND NOT (a.astart < b."end" AND b."start" < a.aend)),
+         |r AS (SELECT aid, chrom, astart, aend, strand, min(c) AS m
+         |  FROM pair GROUP BY 1, 2, 3, 4, 5)
+         |SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+         |  CAST(m['s'] AS BIGINT) AS closest_start,
+         |  CAST(m['e'] AS BIGINT) AS closest_end,
+         |  CAST(m['d'] AS BIGINT) AS distance,
+         |  CAST((CASE WHEN m['d'] = 0 THEN 0
+         |      WHEN m['e'] <= astart THEN -m['d'] ELSE m['d'] END)
+         |    * (CASE WHEN strand = '-' THEN -1 ELSE 1 END)
+         |    AS BIGINT) AS signed_distance
+         |FROM r ORDER BY aid""".stripMargin,
+    // q113: bedtools closest -iu (-D ref) and -id (-D b), unioned
+    // with a mode tag. The iu-ref exclusion algebraically reduces to
+    // "B must end at-or-after A's start" (an upstream candidate has
+    // d > 0 AND b.end <= a.start, i.e. b.end < a.start); the idb
+    // exclusion is the strand-conditional mirror under the B-strand
+    // flip. The idb winner's sign flips by ITS OWN strand (carried as
+    // a trailing struct field past the unique id, so the argmin is
+    // unaffected).
+    "q113_closest_updown" ->
+      s"""WITH a AS ($ivC),
+         |bv AS ($ivBS),
+         |pu AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+         |    CASE WHEN b.iv_id IS NULL THEN NULL
+         |      ELSE struct_pack(
+         |        d := CASE WHEN a.astart < b."end"
+         |                    AND b."start" < a.aend THEN 0
+         |                  WHEN b."end" <= a.astart
+         |                    THEN a.astart - b."end"
+         |                  ELSE b."start" - a.aend END,
+         |        s := b."start", i := b.iv_id, e := b."end") END AS c
+         |  FROM a LEFT JOIN bv b ON a.chrom = b.chrom
+         |    AND b."end" >= a.astart),
+         |ru AS (SELECT aid, chrom, astart, aend, min(c) AS m
+         |  FROM pu GROUP BY 1, 2, 3, 4),
+         |pd AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+         |    CASE WHEN b.iv_id IS NULL THEN NULL
+         |      ELSE struct_pack(
+         |        d := CASE WHEN a.astart < b."end"
+         |                    AND b."start" < a.aend THEN 0
+         |                  WHEN b."end" <= a.astart
+         |                    THEN a.astart - b."end"
+         |                  ELSE b."start" - a.aend END,
+         |        s := b."start", i := b.iv_id, e := b."end",
+         |        t := b.strand) END AS c
+         |  FROM a LEFT JOIN bv b ON a.chrom = b.chrom
+         |    AND NOT ((b.strand <> '-' AND b."start" > a.aend)
+         |      OR (b.strand = '-' AND b."end" < a.astart))),
+         |rd AS (SELECT aid, chrom, astart, aend, min(c) AS m
+         |  FROM pd GROUP BY 1, 2, 3, 4)
+         |SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+         |  CAST(m['s'] AS BIGINT) AS closest_start,
+         |  CAST(m['e'] AS BIGINT) AS closest_end,
+         |  CAST(m['d'] AS BIGINT) AS distance,
+         |  CAST(CASE WHEN m['d'] = 0 THEN 0
+         |    WHEN m['e'] <= astart THEN -m['d'] ELSE m['d'] END
+         |    AS BIGINT) AS signed_distance,
+         |  'iu' AS mode
+         |FROM ru
+         |UNION ALL
+         |SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+         |  CAST(m['s'] AS BIGINT) AS closest_start,
+         |  CAST(m['e'] AS BIGINT) AS closest_end,
+         |  CAST(m['d'] AS BIGINT) AS distance,
+         |  CAST((CASE WHEN m['d'] = 0 THEN 0
+         |      WHEN m['e'] <= astart THEN -m['d'] ELSE m['d'] END)
+         |    * (CASE WHEN m['t'] = '-' THEN -1 ELSE 1 END)
+         |    AS BIGINT) AS signed_distance,
+         |  'idb' AS mode
+         |FROM rd ORDER BY mode, aid""".stripMargin,
     // q71: kNN majority-label audit over the IVF search path
     "q71_knn_label_audit" -> q71Sql,
 

@@ -1815,6 +1815,65 @@ object SparkEntry {
       .orderBy(col("aid"), col("b_id").asc_nulls_first)
   }
 
+  /** K-nearest annotation ([[graft.operators.IntervalOps.closestK]]
+    * — the bedtools `closest -k 3 -d` analogue, added r20): the three
+    * nearest orders-derived intervals per customer-derived interval,
+    * ranked 1..3 by the q77 argmin rule (distance, b start, b id);
+    * A rows with no candidate keep one null row. The engine's k-deep
+    * timeline deques ([[graft.operators.RangeFill.fillBothK]]) are
+    * replayed by the oracle as a naive all-pairs row_number. */
+  private def q111_closest_k(s: SparkSession, dir: String): DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsB(s, dir).withColumnRenamed("iv_id", "bid")
+    graft.operators.IntervalOps.closestK(a, b, "aid", "bid", 3)
+      .orderBy(col("aid"), col("rank"))
+  }
+
+  /** Non-overlapping closest with strand-relative sign
+    * ([[graft.operators.IntervalOps.closest]] with `-io -D a`, added
+    * r20): strictly-overlapping B features are not candidates
+    * (book-ended distance-0 ones remain), and the signed distance
+    * flips for `'-'`-strand A rows — bedtools' "upstream is higher
+    * coordinates when A is antisense" rule. The oracle excludes
+    * overlap pairs in the LEFT JOIN's ON clause and applies the same
+    * sign flip to the argmin winner. */
+  private def q112_closest_io(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsCS(s, dir)
+    val b = intervalsB(s, dir).withColumnRenamed("iv_id", "bid")
+    graft.operators.IntervalOps.closest(a, b, "aid", "bid",
+        opts = graft.operators.ClosestOptions(signed = true,
+          ignoreOverlaps = true,
+          distanceMode = graft.operators.DistanceMode.RespectA()))
+      .orderBy(col("aid"))
+  }
+
+  /** Directional closest ([[graft.operators.IntervalOps.closest]]
+    * with `-iu` under `-D ref` and `-id` under `-D b`, added r20,
+    * unioned with a mode tag): the `iu` half ignores upstream
+    * candidates by reference coordinates (B entirely below A's
+    * start), the `idb` half ignores downstream candidates under the
+    * B-strand convention — which exercises the class-split sweep
+    * (the per-candidate flip makes one per-side argmin unsound; the
+    * engine runs one sweep per B strand class). Oracle: the same
+    * exclusions as LEFT JOIN ON conditions (iu-ref reduces to
+    * `b.end >= a.start`; idb to a strand-conditional pair). */
+  private def q113_closest_updown(s: SparkSession, dir: String)
+      : DataFrame = {
+    val a = intervalsC(s, dir)
+    val b = intervalsBS(s, dir).withColumnRenamed("iv_id", "bid")
+    val iu = graft.operators.IntervalOps.closest(a, b, "aid", "bid",
+        opts = graft.operators.ClosestOptions(signed = true,
+          ignoreUpstream = true))
+      .withColumn("mode", lit("iu"))
+    val idb = graft.operators.IntervalOps.closest(a, b, "aid", "bid",
+        opts = graft.operators.ClosestOptions(signed = true,
+          ignoreDownstream = true,
+          distanceMode = graft.operators.DistanceMode.RespectB()))
+      .withColumn("mode", lit("idb"))
+    iu.unionByName(idb).orderBy(col("mode"), col("aid"))
+  }
+
   /** Same-strand proximity join ([[graft.operators.IntervalOps
     * .windowJoin]] with Same — the bedtools `window -sw -s` analogue,
     * added r18): q87's 20-kbp pairing restricted to equal strands via
@@ -2284,7 +2343,10 @@ object SparkEntry {
     "q107_subtract_opposite" -> (q107_subtract_opposite _),
     "q108_intersect_wo" -> (q108_intersect_wo _),
     "q109_intersect_wao" -> (q109_intersect_wao _),
-    "q110_getfasta_split" -> (q110_getfasta_split _)) ++
+    "q110_getfasta_split" -> (q110_getfasta_split _),
+    "q111_closest_k" -> (q111_closest_k _),
+    "q112_closest_io" -> (q112_closest_io _),
+    "q113_closest_updown" -> (q113_closest_updown _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap
