@@ -132,6 +132,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  /** Parses the closest family's option-string TVF argument —
+    * comma-separated bedtools-style flags: `io` (ignore strict
+    * overlaps), `iu`/`id` (ignore upstream/downstream; imply signed
+    * output), `signed`/`D=ref`, `D=a`, `D=b` (sign convention; the
+    * strand column is the default `strand` on the respective side). */
+  private def parseClosestOpts(s: String)
+      : graft.operators.ClosestOptions = {
+    var o = graft.operators.ClosestOptions()
+    s.split(',').map(_.trim).filter(_.nonEmpty).foreach {
+      case "io" => o = o.copy(ignoreOverlaps = true)
+      case "iu" => o = o.copy(ignoreUpstream = true, signed = true)
+      case "id" => o = o.copy(ignoreDownstream = true, signed = true)
+      case "signed" | "D=ref" => o = o.copy(signed = true)
+      case "D=a" => o = o.copy(signed = true,
+        distanceMode = graft.operators.DistanceMode.RespectA())
+      case "D=b" => o = o.copy(signed = true,
+        distanceMode = graft.operators.DistanceMode.RespectB())
+      case other => throw new IllegalArgumentException(
+        s"unknown closest option '$other' " +
+          "(io|iu|id|signed|D=ref|D=a|D=b)")
+    }
+    o
+  }
+
   /** Single-table interval TVF plumbing: `f(tbl)` with the operator's
     * default (chrom, start, end) names, or `f(tbl, chrom, start, end)`. */
   private def intervalTvf(name: String)(
@@ -197,6 +221,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.operators.IntervalOps.closest(tableOf(a), tableOf(b),
             litStr(aid, "a_id column"), litStr(bid, "b_id column"))
             .queryExecution.logical
+        case Seq(a, b, aid, bid, o) =>
+          graft.operators.IntervalOps.closest(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(bid, "b_id column"),
+            opts = parseClosestOpts(litStr(o, "options")))
+            .queryExecution.logical
         case Seq(a, b, aid, bid, c, s, e) =>
           graft.operators.IntervalOps.closest(tableOf(a), tableOf(b),
             litStr(aid, "a_id column"), litStr(bid, "b_id column"),
@@ -204,7 +233,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litStr(e, "end column")).queryExecution.logical
         case other => throw new IllegalArgumentException(
           "interval_closest takes (a_table, b_table, a_id, b_id[, " +
-            s"chrom, start, end]), got ${other.size} args")
+            "options][, chrom, start, end]), got " +
+            s"${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_closest_k"),
+      info("interval_closest_k",
+        "interval_closest_k(a_table, b_table, a_id, b_id, k[, options])" +
+          " - k nearest B intervals per A with rank and signed " +
+          "distance (bedtools closest -k)"),
+      {
+        case Seq(a, b, aid, bid, k) =>
+          graft.operators.IntervalOps.closestK(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(bid, "b_id column"),
+            litLong(k, "k").toInt).queryExecution.logical
+        case Seq(a, b, aid, bid, k, o) =>
+          graft.operators.IntervalOps.closestK(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(bid, "b_id column"),
+            litLong(k, "k").toInt,
+            opts = parseClosestOpts(litStr(o, "options")))
+            .queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_closest_k takes (a_table, b_table, a_id, b_id, " +
+            s"k[, options]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((
       FunctionIdentifier("interval_closest_all"),
@@ -217,6 +268,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.operators.IntervalOps.closestAll(tableOf(a), tableOf(b),
             litStr(aid, "a_id column"), litStr(bid, "b_id column"))
             .queryExecution.logical
+        case Seq(a, b, aid, bid, o) =>
+          graft.operators.IntervalOps.closestAll(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(bid, "b_id column"),
+            opts = parseClosestOpts(litStr(o, "options")))
+            .queryExecution.logical
         case Seq(a, b, aid, bid, c, s, e) =>
           graft.operators.IntervalOps.closestAll(tableOf(a), tableOf(b),
             litStr(aid, "a_id column"), litStr(bid, "b_id column"),
@@ -224,7 +280,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litStr(e, "end column")).queryExecution.logical
         case other => throw new IllegalArgumentException(
           "interval_closest_all takes (a_table, b_table, a_id, b_id[, " +
-            s"chrom, start, end]), got ${other.size} args")
+            s"options][, chrom, start, end]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((
       FunctionIdentifier("interval_map"),

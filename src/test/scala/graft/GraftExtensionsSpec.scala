@@ -85,6 +85,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .createOrReplaceTempView("br")
       Seq(("chr1", 100L), ("chr2", 150L))
         .toDF("chrom", "size").createOrReplaceTempView("sz")
+      Seq((1L, "chr1", 0L, 30L, "-"), (2L, "chr1", 80L, 85L, "+"))
+        .toDF("aid", "chrom", "start", "end", "strand")
+        .createOrReplaceTempView("ast")
+      Seq((7L, "chr1", 20L, 60L, "+"), (8L, "chr1", 90L, 95L, "-"))
+        .toDF("bid", "chrom", "start", "end", "strand")
+        .createOrReplaceTempView("bst")
       // tiny FASTA + .fai for the sequence TVFs (covers ivs's coords)
       val seqDir = java.nio.file.Files.createTempDirectory("graft-tvf-fa")
       val c1 = "ACGT" * 30
@@ -132,6 +138,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM interval_closest_all('a', 'b', 'aid', 'bid')" ->
           IntervalOps.closestAll(spark.table("a"), spark.table("b"),
             "aid", "bid"),
+        "SELECT * FROM interval_closest('ast', 'bst', 'aid', 'bid', " +
+          "'io,D=a')" ->
+          IntervalOps.closest(spark.table("ast"), spark.table("bst"),
+            "aid", "bid", opts = graft.operators.ClosestOptions(
+              signed = true, ignoreOverlaps = true,
+              distanceMode = graft.operators.DistanceMode.RespectA())),
+        "SELECT * FROM interval_closest_all('ast', 'bst', 'aid', " +
+          "'bid', 'iu')" ->
+          IntervalOps.closestAll(spark.table("ast"), spark.table("bst"),
+            "aid", "bid", opts = graft.operators.ClosestOptions(
+              signed = true, ignoreUpstream = true)),
+        "SELECT * FROM interval_closest_k('a', 'b', 'aid', 'bid', 2)" ->
+          IntervalOps.closestK(spark.table("a"), spark.table("b"),
+            "aid", "bid", 2),
+        "SELECT * FROM interval_closest_k('ast', 'bst', 'aid', 'bid', " +
+          "2, 'id,D=b')" ->
+          IntervalOps.closestK(spark.table("ast"), spark.table("bst"),
+            "aid", "bid", 2, opts = graft.operators.ClosestOptions(
+              signed = true, ignoreDownstream = true,
+              distanceMode = graft.operators.DistanceMode.RespectB())),
         "SELECT * FROM interval_map('a', 'bv', 'aid', 'v')" ->
           IntervalOps.mapOverlaps(spark.table("a"), spark.table("bv"),
             "aid", "v"),
@@ -204,14 +230,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
           AsofJoin.forward(spark.table("clicks"), spark.table("views"),
             "uid", "ruid", "ts", "rts"))
       cases.foreach { case (sql, api) =>
-        // ids are normalized OUT of the compared string (exprIds
-        // `#12`, RDD ids `[34]`, cached-plan ordinals) — they vary
-        // across two builds of the same logical shape and were the
-        // observed source of a rare flake on the RDD-backed operators
-        def planOf(df: org.apache.spark.sql.DataFrame): String =
-          df.queryExecution.optimizedPlan.canonicalized.toString
-            .replaceAll("#\\d+", "#x")
-            .replaceAll("\\[\\d+\\]", "[x]")
+        // ids are ALPHA-RENAMED by first appearance (`#12` -> `#a0`,
+        // `[34]` -> `[a1]`, in scan order): two builds of the same
+        // logical shape assign ids in the same positions, so the
+        // rename removes the build-to-build flake the RDD-backed
+        // operators showed — while, unlike the old collapse-to-one-
+        // token scheme, a plan wiring a DIFFERENT attribute (same
+        // shape, wrong binding) still compares unequal
+        def planOf(df: org.apache.spark.sql.DataFrame): String = {
+          val raw = df.queryExecution.optimizedPlan.canonicalized
+            .toString
+          val seen =
+            scala.collection.mutable.LinkedHashMap.empty[String, String]
+          "#\\d+|\\[\\d+\\]".r.replaceAllIn(raw, m => {
+            val tok = m.matched
+            java.util.regex.Matcher.quoteReplacement(
+              seen.getOrElseUpdate(tok,
+                if (tok.startsWith("#")) s"#a${seen.size}"
+                else s"[a${seen.size}]"))
+          })
+        }
         val viaSql = spark.sql(sql)
         if (planOf(viaSql) != planOf(api)) {
           // one retry layer remains as a diagnostic net: if an
