@@ -1135,7 +1135,14 @@ object OracleSql {
          |ORDER BY aid, "start"""".stripMargin,
     // q108: bedtools intersect -wo — the plain pairwise join with the
     // clipped-overlap arithmetic inline; the engine's binned
-    // equi-join must reproduce every pair exactly once
+    // equi-join must reproduce every pair exactly once.
+    // NOTE (q108/q109): the engine excludes ZERO-LENGTH A rows from
+    // the pair branch (they cover no bases; only wao/loj miss rows
+    // report them), while this naive strict-overlap formulation
+    // would emit a 0-bp pair for a point strictly inside B. The two
+    // agree ONLY because ivC's intervals have minimum length 30 —
+    // the fixtures carry no zero-length A rows by construction; the
+    // engine-side choice is pinned by the intersectJoin unit spec.
     "q108_intersect_wo" ->
       s"""WITH a AS ($ivC),
          |bv AS ($ivB)
@@ -1355,6 +1362,42 @@ object OracleSql {
         |SELECT a.aid, a.chrom, CAST(a.s AS BIGINT) AS "start",
         |  CAST(a.e AS BIGINT) AS "end", a.strand, seqs.sequence
         |FROM a JOIN seqs USING (aid) ORDER BY a.aid""".stripMargin,
+    // q114: bedtools intersect -split -f 0.5 -wao — the same
+    // closed-form blocks (1 + aid%3 blocks of size len // 5 at
+    // stride 2·size) exploded with unnest(range(nb)), joined
+    // per-block, re-aggregated per (A, B) pair, with the fraction
+    // against BLOCK bases; misses keep a zero row
+    "q114_intersect_split" ->
+      s"""WITH a AS ($ivC),
+         |ab AS (SELECT aid, chrom, astart, aend,
+         |    (aend - astart) // 5 AS bsz, aid % 3 + 1 AS nb FROM a),
+         |blk AS (SELECT aid, chrom, astart, aend, nb * bsz AS blen,
+         |    astart + x * 2 * bsz AS ks,
+         |    astart + x * 2 * bsz + bsz AS ke
+         |  FROM (SELECT ab.*, unnest(range(nb)) AS x FROM ab)),
+         |bv AS ($ivB),
+         |pr AS (SELECT k.aid, k.chrom, k.astart, k.aend, k.blen,
+         |    v.iv_id AS bid, v."start" AS bs, v."end" AS be,
+         |    least(k.ke, v."end") - greatest(k.ks, v."start") AS ov
+         |  FROM blk k JOIN bv v ON k.chrom = v.chrom
+         |    AND k.ks < v."end" AND v."start" < k.ke),
+         |pairs AS (SELECT aid, chrom, astart, aend, blen, bid, bs, be,
+         |    sum(ov) AS ovl
+         |  FROM pr GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+         |qual AS (SELECT * FROM pairs WHERE ovl >= 0.5 * blen)
+         |SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+         |  CAST(aend AS BIGINT) AS "end", bid AS b_id,
+         |  CAST(bs AS BIGINT) AS b_start,
+         |  CAST(be AS BIGINT) AS b_end,
+         |  CAST(ovl AS BIGINT) AS overlap_bp
+         |FROM qual
+         |UNION ALL
+         |SELECT aid, chrom, CAST(astart AS BIGINT),
+         |  CAST(aend AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(0 AS BIGINT)
+         |FROM a WHERE aid NOT IN (SELECT aid FROM qual)
+         |ORDER BY aid, b_id NULLS FIRST""".stripMargin,
     // q111: bedtools closest -k 3 — the all-pairs row_number ranking
     // under the q77 argmin rule (distance, b start, b id); LEFT JOIN
     // keeps no-candidate A rows as one null row with null rank

@@ -1815,6 +1815,32 @@ object SparkEntry {
       .orderBy(col("aid"), col("b_id").asc_nulls_first)
   }
 
+  /** Block-aware pair report ([[graft.operators.IntervalOps
+    * .intersectJoin]] with `blockStarts`/`blockSizes` — bedtools
+    * `intersect -split -f 0.5 -wao`, the BED12 exon-overlap rule,
+    * added r20): every customer-derived interval carries `1 + aid%3`
+    * blocks of size `len // 5` at stride `2·size` (covered/gap
+    * alternation), overlap bases sum the per-block clips, and the
+    * `-f` fraction measures against BLOCK bases; A rows with no
+    * qualifying pair keep a zero row. The oracle explodes the same
+    * closed-form blocks with unnest(range(nb)) and replays the
+    * re-aggregation. */
+  private def q114_intersect_split(s: SparkSession, dir: String)
+      : DataFrame = {
+    val bszC = ((col("end") - col("start")) / 5).cast("long")
+    val probes = intervalsC(s, dir)
+      .withColumn("block_starts",
+        transform(sequence(lit(0L), col("aid") % 3),
+          x => x * 2L * bszC))
+      .withColumn("block_sizes",
+        array_repeat(bszC, (col("aid") % 3 + 1).cast("int")))
+    val b = intervalsB(s, dir)
+    graft.operators.IntervalOps.intersectJoin(probes, b, "aid",
+        "iv_id", minOverlapFracA = 0.5, mode = "wao",
+        blockStarts = "block_starts", blockSizes = "block_sizes")
+      .orderBy(col("aid"), col("b_id").asc_nulls_first)
+  }
+
   /** K-nearest annotation ([[graft.operators.IntervalOps.closestK]]
     * — the bedtools `closest -k 3 -d` analogue, added r20): the three
     * nearest orders-derived intervals per customer-derived interval,
@@ -2346,7 +2372,8 @@ object SparkEntry {
     "q110_getfasta_split" -> (q110_getfasta_split _),
     "q111_closest_k" -> (q111_closest_k _),
     "q112_closest_io" -> (q112_closest_io _),
-    "q113_closest_updown" -> (q113_closest_updown _)) ++
+    "q113_closest_updown" -> (q113_closest_updown _),
+    "q114_intersect_split" -> (q114_intersect_split _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -151,6 +151,85 @@ object IntervalOps {
     case Some(f) => concat(chromStr, lit("\u0000"), f)
   }
 
+  /** BED12 `-split` preamble shared by the block-aware overlap family
+    * (and public for composition with [[mergeIntervals]]/[[coverage]]/
+    * [[complement]]): one output row per block, with absolute
+    * half-open bounds. `blockStarts`/`blockSizes` name two
+    * integral-array columns — block start offsets RELATIVE to the
+    * row's `start` and block lengths, pairwise by position (the
+    * BED12 columns 11/12 convention, as [[SequenceOps.getFasta]]'s
+    * `-split`). Added columns:
+    *  - `blk_start`/`blk_end` — the block's absolute bounds;
+    *  - `blk_index` — 0-based block ordinal (−1 on a fallback row);
+    *  - `blk_total` — the row's TOTAL block bases (the `-f` fraction
+    *    denominator under `-split`; the whole interval's length on a
+    *    fallback row);
+    *  - `blk_pairs` — the validated (o, l) offset/length struct array
+    *    (null on a fallback row; lets downstream predicates test
+    *    "does an EARLIER block overlap" without a self-join).
+    * A row whose arrays are null, empty, or degrade to no valid pair
+    * (index pairs exhaust at the shorter array; null elements drop)
+    * falls back to ONE whole-interval row — the family's
+    * malformed-rows-degrade rule. Blocks are assumed disjoint (the
+    * BED12 contract); overlapping blocks would double-count bases.
+    * All other columns pass through; no shuffle. */
+  def explodeBlocks(df: DataFrame, start: String = "start",
+      end: String = "end", blockStarts: String = "block_starts",
+      blockSizes: String = "block_sizes"): DataFrame = {
+    val valid = validBlocks(col(blockStarts), col(blockSizes))
+    df.withColumn("__blks", when(size(valid) > 0, valid))
+      .withColumn("blk_total",
+        blockTotal(col("__blks"), col(start), col(end)))
+      .select(col("*"),
+        posexplode_outer(col("__blks")).as(Seq("__bi", "__blk")))
+      .withColumn("blk_index", coalesce(col("__bi"), lit(-1)))
+      .withColumn("blk_start",
+        when(col("__blk").isNotNull,
+          col(start).cast("long") + col("__blk.o"))
+          .otherwise(col(start).cast("long")))
+      .withColumn("blk_end",
+        when(col("__blk").isNotNull,
+          col(start).cast("long") + col("__blk.o") + col("__blk.l"))
+          .otherwise(greatest(col(end).cast("long"),
+            col(start).cast("long"))))
+      .withColumnRenamed("__blks", "blk_pairs")
+      .drop("__bi", "__blk")
+  }
+
+  /** The validated zipped (o, l) block array: index pairs exhaust at
+    * the shorter array (zip_with pads with nulls; the filter drops
+    * them), null elements drop. */
+  private def validBlocks(bs: Column, sz: Column): Column =
+    when(bs.isNotNull && sz.isNotNull,
+      filter(
+        zip_with(bs, sz, (o, l) =>
+          struct(o.cast("long").as("o"), l.cast("long").as("l"))),
+        b => b.getField("o").isNotNull && b.getField("l").isNotNull))
+
+  /** Total block bases (the `-split` fraction denominator), falling
+    * back to the whole interval's clamped length. */
+  private def blockTotal(blks: Column, start: Column,
+      end: Column): Column =
+    coalesce(
+      aggregate(blks, lit(0L), (acc, b) => acc + b.getField("l")),
+      greatest(end.cast("long") - start.cast("long"), lit(0L)))
+
+  /** The `-split` "count each B once" predicate: true when NO earlier
+    * block of the same A row strictly overlaps the pair's B interval
+    * (so a B spanning several blocks contributes exactly one pair,
+    * attributed to its first overlapping block). Fallback rows
+    * (blk_index −1) and first blocks pass trivially. Zero-length
+    * earlier blocks never overlap (mirroring the exploded rows' own
+    * `blk_start < blk_end` join filter). */
+  private def firstHit(blkIndex: Column, blkPairs: Column,
+      aStart: Column, bs: Column, be: Column): Column =
+    blkIndex <= 0 || !coalesce(
+      exists(slice(blkPairs, lit(1), greatest(blkIndex, lit(0))), b =>
+        b.getField("l") > 0L &&
+          aStart + b.getField("o") < be &&
+          bs < aStart + b.getField("o") + b.getField("l")),
+      lit(false))
+
   /** Merge overlapping or book-ended (`end == start`, half-open abutting)
     * intervals per chromosome: the minimal set of disjoint intervals
     * covering the input, with the count of source rows per merged
@@ -1015,7 +1094,18 @@ object IntervalOps {
       end: String = "end", binSize: Long = 1000L,
       strand: Strandedness = Strandedness.Ignore,
       minOverlapFracA: Double = 0.0,
-      minOverlapFracB: Double = 0.0): DataFrame = {
+      minOverlapFracB: Double = 0.0,
+      blockStarts: String = null,
+      blockSizes: String = null): DataFrame = {
+    require((blockStarts == null) == (blockSizes == null),
+      "mapOverlaps -split needs BOTH blockStarts and blockSizes")
+    val split = blockStarts != null
+    // fractions under -split would need per-(A, B-row) shared-base
+    // re-aggregation, and mapOverlaps carries no B identity to
+    // aggregate against — use intersectJoin (which has one) instead
+    require(!split ||
+      (minOverlapFracA == 0.0 && minOverlapFracB == 0.0),
+      "mapOverlaps -split does not compose with fraction thresholds")
     // strand columns ride the normalized projections under fixed
     // names; the policy itself is enforced INSIDE the binned join's
     // condition (predicate-based: unmatchable A rows stay, with
@@ -1040,7 +1130,8 @@ object IntervalOps {
       // still match one strictly inside an A interval (subtract's
       // boundary case), so they drop here
       .where(col("__bs") < col("__be"))
-    val agg = IntervalJoin.overlapJoin(
+    val joined =
+      if (!split) IntervalJoin.overlapJoin(
         a2.where(col("__as") < col("__ae")), b2,
         leftCols = ("__c", "__as", "__ae"),
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
@@ -1049,6 +1140,30 @@ object IntervalOps {
           else Strandedness.Same("__astr", "__bstr"),
         minOverlapFracLeft = minOverlapFracA,
         minOverlapFracRight = minOverlapFracB)
+      else {
+        // -split: blocks join, then the first-overlapping-block
+        // predicate keeps exactly one pair per (A row, B row) — a B
+        // spanning several blocks must aggregate once
+        val a3 = explodeBlocks(dropNullCoords(a, chrom, start, end),
+            start, end, blockStarts, blockSizes)
+          .select(Seq(col(aId).as("__aid"),
+            col(chrom).cast("string").as("__c"),
+            col(start).cast("long").as("__as"),
+            col("blk_start").as("__ks"), col("blk_end").as("__ke"),
+            col("blk_index").as("__bix"),
+            col("blk_pairs").as("__bp")) ++
+            sk.map(_._1.as("__astr")).toSeq: _*)
+          .where(col("__aid").isNotNull && col("__ks") < col("__ke"))
+        IntervalJoin.overlapJoin(a3, b2,
+            leftCols = ("__c", "__ks", "__ke"),
+            rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
+            strand =
+              if (sk.isEmpty) Strandedness.Ignore
+              else Strandedness.Same("__astr", "__bstr"))
+          .where(firstHit(col("__bix"), col("__bp"), col("__as"),
+            col("__bs"), col("__be")))
+      }
+    val agg = joined
       .groupBy(col("__aid"))
       .agg(count(lit(1)).as("__n"), sum(col("__v")).as("v_sum"),
         min(col("__v")).as("v_min"), max(col("__v")).as("v_max"),
@@ -1093,9 +1208,13 @@ object IntervalOps {
       end: String = "end", binSize: Long = 1000L,
       strand: Strandedness = Strandedness.Ignore,
       minOverlapFracA: Double = 0.0, minOverlapFracB: Double = 0.0,
-      mode: String = "wo"): DataFrame = {
+      mode: String = "wo", blockStarts: String = null,
+      blockSizes: String = null): DataFrame = {
     require(Set("wo", "wao", "loj").contains(mode),
       s"intersectJoin mode must be wo|wao|loj, got '$mode'")
+    require((blockStarts == null) == (blockSizes == null),
+      "intersectJoin -split needs BOTH blockStarts and blockSizes")
+    val split = blockStarts != null
     val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
       .select(Seq(col(aId).as("__aid"),
@@ -1113,19 +1232,62 @@ object IntervalOps {
           .as("__be")) ++
         sk.map(_._2.as("__bstr")).toSeq: _*)
       .where(col("__bid").isNotNull && col("__bs") < col("__be"))
-    val pairs = IntervalJoin.overlapJoin(
-        a2.where(col("__as") < col("__ae")), b2,
-        leftCols = ("__c", "__as", "__ae"),
-        rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
-        strand =
-          if (sk.isEmpty) Strandedness.Ignore
-          else Strandedness.Same("__astr", "__bstr"),
-        minOverlapFracLeft = minOverlapFracA,
-        minOverlapFracRight = minOverlapFracB)
-      .select(col("__aid"), col("__c"), col("__as"), col("__ae"),
-        col("__bid"), col("__bs"), col("__be"),
-        (least(col("__ae"), col("__be")) -
-          greatest(col("__as"), col("__bs"))).as("__ovl"))
+    val pairs =
+      if (!split) IntervalJoin.overlapJoin(
+          a2.where(col("__as") < col("__ae")), b2,
+          leftCols = ("__c", "__as", "__ae"),
+          rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
+          strand =
+            if (sk.isEmpty) Strandedness.Ignore
+            else Strandedness.Same("__astr", "__bstr"),
+          minOverlapFracLeft = minOverlapFracA,
+          minOverlapFracRight = minOverlapFracB)
+        .select(col("__aid"), col("__c"), col("__as"), col("__ae"),
+          col("__bid"), col("__bs"), col("__be"),
+          (least(col("__ae"), col("__be")) -
+            greatest(col("__as"), col("__bs"))).as("__ovl"))
+      else {
+        // -split: blocks join, then ONE hash re-aggregation per
+        // (A, B) pair sums the per-block clipped overlaps (blocks are
+        // disjoint by the BED12 contract, so the sum is exact).
+        // Fractions apply AFTER the re-aggregation: -f measures
+        // against the row's BLOCK bases (bedtools' -split rule), -F
+        // against the whole B interval.
+        val a3 = explodeBlocks(dropNullCoords(a, chrom, start, end),
+            start, end, blockStarts, blockSizes)
+          .select(Seq(col(aId).as("__aid"),
+            col(chrom).cast("string").as("__c"),
+            col(start).cast("long").as("__as"),
+            greatest(col(end).cast("long"), col(start).cast("long"))
+              .as("__ae"),
+            col("blk_start").as("__ks"), col("blk_end").as("__ke"),
+            col("blk_total").as("__blen")) ++
+            sk.map(_._1.as("__astr")).toSeq: _*)
+          .where(col("__aid").isNotNull && col("__ks") < col("__ke"))
+        val fracConds: Seq[Column] =
+          (if (minOverlapFracA > 0.0)
+            Seq(col("__ovl") >= lit(minOverlapFracA) * col("__blen"))
+          else Nil) ++
+          (if (minOverlapFracB > 0.0)
+            Seq(col("__ovl") >=
+              lit(minOverlapFracB) * (col("__be") - col("__bs")))
+          else Nil)
+        fracConds.foldLeft(
+          IntervalJoin.overlapJoin(a3, b2,
+              leftCols = ("__c", "__ks", "__ke"),
+              rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
+              strand =
+                if (sk.isEmpty) Strandedness.Ignore
+                else Strandedness.Same("__astr", "__bstr"))
+            .groupBy(col("__aid"), col("__c"), col("__as"),
+              col("__ae"), col("__blen"), col("__bid"), col("__bs"),
+              col("__be"))
+            .agg(sum(least(col("__ke"), col("__be")) -
+              greatest(col("__ks"), col("__bs"))).as("__ovl"))
+          )(_ where _)
+          .select(col("__aid"), col("__c"), col("__as"), col("__ae"),
+            col("__bid"), col("__bs"), col("__be"), col("__ovl"))
+      }
     val rows = mode match {
       case "wo" => pairs
       case _ =>
@@ -1486,21 +1648,49 @@ object IntervalOps {
   def coverageBy(a: DataFrame, b: DataFrame, aId: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", binSize: Long = 1000L,
-      strand: Strandedness = Strandedness.Ignore): DataFrame = {
+      strand: Strandedness = Strandedness.Ignore,
+      blockStarts: String = null,
+      blockSizes: String = null): DataFrame = {
+    require((blockStarts == null) == (blockSizes == null),
+      "coverageBy -split needs BOTH blockStarts and blockSizes")
+    val split = blockStarts != null
     // stranded coverage keys BOTH joins and the B merge on the
     // composite (chrom, strand fragment) -- bedtools coverage -s/-S.
     // Unmatchable A rows keep a sentinel key -> zero coverage rows;
     // unmatchable B rows drop (invisible).
     val sk = strandKeyCols(strand)
     val a2 = dropNullCoords(a, chrom, start, end)
-      .select(col(aId).as("__aid"),
+      .select(Seq(col(aId).as("__aid"),
         compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
         col(chrom).cast("string").as("__oc"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
-          .as("__ae"))
+          .as("__ae")) ++
+        // -split: the row's block bases become a_len / the fraction
+        // denominator (bedtools' exon-space coverage rule)
+        (if (split) Seq(blockTotal(
+          validBlocks(col(blockStarts), col(blockSizes)),
+          col(start), col(end)).as("__blen"))
+        else Nil): _*)
       .where(col("__aid").isNotNull && col("__c").isNotNull)
-    val aPos = a2.where(col("__as") < col("__ae"))
+    // -split: both joins probe the exploded BLOCK rows; the count
+    // join's first-overlapping-block predicate counts a multi-block-
+    // spanning B once, the covered-bases join clips merged B against
+    // each (disjoint) block so the per-A sum stays exact
+    val aPos =
+      if (!split) a2.where(col("__as") < col("__ae"))
+      else explodeBlocks(dropNullCoords(a, chrom, start, end),
+          start, end, blockStarts, blockSizes)
+        .select(col(aId).as("__aid"),
+          compositeKey(col(chrom).cast("string"), sk.map(_._1))
+            .as("__c"),
+          col(start).cast("long").as("__as"),
+          col("blk_start").as("__ks"), col("blk_end").as("__ke"),
+          col("blk_index").as("__bix"), col("blk_pairs").as("__bp"))
+        .where(col("__aid").isNotNull && col("__c").isNotNull &&
+          col("__ks") < col("__ke"))
+    val aCols: (String, String, String) =
+      if (!split) ("__c", "__as", "__ae") else ("__c", "__ks", "__ke")
     val b2 = dropNullCoords(b, chrom, start, end)
       .select(compositeKey(col(chrom).cast("string"), sk.map(_._2))
           .as("__c2"),
@@ -1508,20 +1698,26 @@ object IntervalOps {
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be"))
       .where(col("__bs") < col("__be") && col("__c2").isNotNull)
-    val cnt = IntervalJoin.overlapJoin(aPos, b2,
-        leftCols = ("__c", "__as", "__ae"),
+    val cntJoined = IntervalJoin.overlapJoin(aPos, b2,
+        leftCols = aCols,
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+    val cnt = (if (!split) cntJoined
+      else cntJoined.where(firstHit(col("__bix"), col("__bp"),
+        col("__as"), col("__bs"), col("__be"))))
       .groupBy(col("__aid")).agg(count(lit(1)).as("__n"))
     val mb = mergeIntervalsRange(b2, chrom = "__c2", start = "__bs",
         end = "__be")
       .select(col("__c2"), col("start").as("__bs"),
         col("end").as("__be"))
+    val clipLo = if (!split) col("__as") else col("__ks")
+    val clipHi = if (!split) col("__ae") else col("__ke")
     val cov = IntervalJoin.overlapJoin(aPos, mb,
-        leftCols = ("__c", "__as", "__ae"),
+        leftCols = aCols,
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
       .groupBy(col("__aid"))
-      .agg(sum(least(col("__ae"), col("__be")) -
-        greatest(col("__as"), col("__bs"))).as("__cov"))
+      .agg(sum(least(clipHi, col("__be")) -
+        greatest(clipLo, col("__bs"))).as("__cov"))
+    val aLen = if (!split) col("__ae") - col("__as") else col("__blen")
     a2.join(cnt, Seq("__aid"), "left").join(cov, Seq("__aid"), "left")
       .select(col("__aid").as(aId),
         col("__oc").cast(a.schema(chrom).dataType).as(chrom),
@@ -1529,10 +1725,10 @@ object IntervalOps {
         col("__ae").cast(a.schema(end).dataType).as(end),
         coalesce(col("__n"), lit(0L)).as("n_overlaps"),
         coalesce(col("__cov"), lit(0L)).as("covered_bases"),
-        (col("__ae") - col("__as")).as("a_len"),
-        when(col("__ae") > col("__as"),
+        aLen.as("a_len"),
+        when(aLen > 0L,
           coalesce(col("__cov"), lit(0L)).cast("double") /
-            (col("__ae") - col("__as")).cast("double"))
+            aLen.cast("double"))
           .as("fraction"))
   }
 

@@ -622,6 +622,76 @@ class IntervalOpsSpec extends SparkSuite {
     }
   }
 
+  test("-split: block-aware intersect/map/coverage count block bases " +
+      "only and each B once") {
+    val s = spark
+    import s.implicits._
+    // aid 1: blocks [100,120) + [160,200) (gap 120..160), blen 60
+    // aid 2: null arrays -> whole-interval fallback, blen 100
+    // aid 3: unequal arrays -> only the (0,10) pair survives, blen 10
+    // aid 4: one zero-length block -> no join rows, blen 0
+    val a = Seq(
+      (1L, "chr1", 100L, 200L, Some(Seq(0L, 60L)), Some(Seq(20L, 40L))),
+      (2L, "chr1", 300L, 400L, None, None),
+      (3L, "chr1", 500L, 560L, Some(Seq(0L, 40L)), Some(Seq(10L))),
+      (4L, "chr2", 10L, 50L, Some(Seq(0L)), Some(Seq(0L))))
+      .toDF("aid", "chrom", "start", "end", "bst", "bsz")
+    // bid 10 spans BOTH of aid 1's blocks (counts once, ovl 10+10);
+    // bid 11 sits wholly in the block gap (no -split overlap at all)
+    val b = Seq(
+      (10L, "chr1", 110L, 170L), (11L, "chr1", 130L, 150L),
+      (12L, "chr1", 390L, 420L), (13L, "chr1", 505L, 540L),
+      (14L, "chr2", 0L, 100L))
+      .toDF("bid", "chrom", "start", "end")
+    // intersectJoin -split -f 0.3 wao: pair ovl sums block clips and
+    // the fraction measures against BLOCK bases
+    val ij = IntervalOps.intersectJoin(a, b, "aid", "bid",
+        minOverlapFracA = 0.3, mode = "wao",
+        blockStarts = "bst", blockSizes = "bsz")
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    // aid 1: 20 >= 18 qualifies; aid 2: 10 < 30 fails -> miss 0;
+    // aid 3: 5 >= 3; aid 4: no block rows -> miss 0
+    assert(ij.toSeq == Seq((1L, Some(10L), Some(20L)),
+      (2L, None, Some(0L)), (3L, Some(13L), Some(5L)),
+      (4L, None, Some(0L))))
+    // mapOverlaps -split: B 10 aggregates ONCE despite two blocks;
+    // gap-only B 11 never matches
+    val mo = IntervalOps.mapOverlaps(a, b.withColumn("v", col("bid")),
+        "aid", "v", blockStarts = "bst", blockSizes = "bsz")
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(mo.toSeq == Seq((1L, 1L, 10L), (2L, 1L, 12L),
+      (3L, 1L, 13L), (4L, 0L, -1L)))
+    // coverageBy -split: covered bases clip against blocks, a_len is
+    // the BLOCK total, zero-block rows keep null fraction
+    val cb = IntervalOps.coverageBy(a, b, "aid",
+        blockStarts = "bst", blockSizes = "bsz")
+      .orderBy("aid").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    assert(cb.toSeq == Seq(
+      (1L, 1L, 20L, 60L, Some(20.0 / 60.0)),
+      (2L, 1L, 10L, 100L, Some(0.1)),
+      (3L, 1L, 5L, 10L, Some(0.5)),
+      (4L, 0L, 0L, 0L, None)))
+    // explodeBlocks itself: block rows + fallback row shapes
+    val ex = IntervalOps.explodeBlocks(a, blockStarts = "bst",
+        blockSizes = "bsz")
+      .select("aid", "blk_index", "blk_start", "blk_end", "blk_total")
+      .orderBy("aid", "blk_index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(ex.toSeq == Seq(
+      (1L, 0, 100L, 120L, 60L), (1L, 1, 160L, 200L, 60L),
+      (2L, -1, 300L, 400L, 100L),
+      (3L, 0, 500L, 510L, 10L),
+      (4L, 0, 10L, 10L, 0L)))
+  }
+
   test("coverage: null coords dropped, caller types kept, " +
       "fractional rejected") {
     val s = spark
