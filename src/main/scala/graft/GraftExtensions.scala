@@ -111,9 +111,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** Resolve a TVF table argument in the ACTIVE session's catalog (the
     * session analyzing the query — TVF builders run at analysis time,
-    * so one is always active). */
-  private def tableOf(e: Expression): DataFrame =
-    SparkSession.active.table(litStr(e, "table name"))
+    * so one is always active).
+    *
+    * Rejects NONDETERMINISTIC inputs up front: the two-pass
+    * range-partitioned operators behind many of these TVFs freeze
+    * their pass-A summaries at construction, and an executor loss
+    * recomputing a `rand()`-bearing child during pass B could
+    * disagree with them (see
+    * [[graft.operators.IntervalOps.mergeIntervalsRange]]'s
+    * eager-execution contract). The check walks the OPTIMIZED plan,
+    * so a persisted/cached derivation passes — its nondeterminism is
+    * frozen behind an InMemoryRelation leaf, which is exactly the
+    * documented remedy. */
+  private def tableOf(e: Expression): DataFrame = {
+    val name = litStr(e, "table name")
+    val df = SparkSession.active.table(name)
+    val nondet = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(!_.deterministic)))
+    if (nondet) throw new IllegalArgumentException(
+      s"table '$name' has a nondeterministic derivation (rand()/uuid()" +
+        "/...); graft table functions freeze driver-side summaries at " +
+        "construction, so recomputation under executor loss could " +
+        "disagree — cache/persist (and materialize) the table first")
+    df
+  }
 
   private def litLong(e: Expression, what: String): Long = {
     if (!e.foldable) throw new IllegalArgumentException(

@@ -265,26 +265,41 @@ object SequenceOps {
     * projections — counting by length-difference of single-character
     * removals, no UDF, no regex.
     *
-    * `strand` (bedtools `nuc -s`): counts run over the reverse
+    * `strand` (bedtools `nuc -s`): counts report the reverse
     * complement for `'-'`-strand rows — A and T swap, C and G swap,
     * `seq_len`/`pct_at`/`pct_gc` are invariant (the complement is a
     * base-class bijection), matching bedtools' "profile the sequence
-    * as transcribed" semantics. */
+    * as transcribed" semantics. The engine never MATERIALIZES the
+    * reverse-complement string: counts run over the plus-strand
+    * bases and the complementary COLUMNS swap for `'-'` rows (exact
+    * under the full [[reverseComplement]] IUPAC map — a lone `U`
+    * complements to `A`, hence the extra U count folded into `n_a`;
+    * every other ambiguity code complements within the `n_other`
+    * class, and `n_other` is derived from the emitted columns). */
   def nucContent(df: DataFrame, fastaPath: String,
       chrom: String = "chrom", start: String = "start",
       end: String = "end", strand: String = null): DataFrame = {
     val withSeq = getFasta(df, fastaPath, chrom, start, end,
-      seqCol = "__nuc_seq", strand = strand)
+      seqCol = "__nuc_seq")
     val up = upper(col("__nuc_seq"))
     val total = length(up).cast("long")
     def cnt(ch: String) =
       (length(up) - length(translate(up, ch, ""))).cast("long")
     val (a, c, g, t, nn) = (cnt("A"), cnt("C"), cnt("G"), cnt("T"),
       cnt("N"))
+    val (na, nc, ng, nt) =
+      if (strand == null) (a, c, g, t)
+      else {
+        val minus = col(strand) === "-"
+        (when(minus, t + cnt("U")).otherwise(a),
+          when(minus, g).otherwise(c),
+          when(minus, c).otherwise(g),
+          when(minus, a).otherwise(t))
+      }
     withSeq
       .withColumn("seq_len", total)
-      .withColumn("n_a", a).withColumn("n_c", c)
-      .withColumn("n_g", g).withColumn("n_t", t)
+      .withColumn("n_a", na).withColumn("n_c", nc)
+      .withColumn("n_g", ng).withColumn("n_t", nt)
       .withColumn("n_n", nn)
       .withColumn("n_other",
         total - col("n_a") - col("n_c") - col("n_g") - col("n_t") -

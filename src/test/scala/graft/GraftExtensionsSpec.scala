@@ -289,6 +289,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // integral double literals still pass (2e0 == growth 2)
       assert(spark.sql("SELECT * FROM interval_slop('ivs', 2e0)")
         .collect().nonEmpty)
+      // a NONDETERMINISTIC input table is rejected at analysis time:
+      // the eager two-pass operators freeze driver-side pass-A
+      // summaries at construction, and a rand()-bearing child
+      // recomputed under executor loss could disagree with them
+      // (spark.range, not a local Seq: a Project-over-LocalRelation
+      // with an evaluable rand() constant-folds into literal rows —
+      // which IS deterministic-after-freezing and rightly passes)
+      import org.apache.spark.sql.functions.{lit, rand}
+      spark.range(5)
+        .withColumn("chrom", lit("chr1"))
+        .withColumn("start", (rand(7) * 100).cast("long"))
+        .withColumn("end", org.apache.spark.sql.functions.col("start") + 10)
+        .createOrReplaceTempView("nd")
+      val eNd = intercept[Exception] {
+        spark.sql("SELECT * FROM interval_merge('nd')").collect()
+      }
+      assert(
+        String.valueOf(eNd.getMessage).contains("nondeterministic") ||
+          String.valueOf(eNd.getCause).contains("nondeterministic"))
+      // the documented remedy — cache + materialize — passes: the
+      // frozen InMemoryRelation leaf hides the rand() derivation
+      spark.table("nd").cache().count()
+      try assert(spark.sql("SELECT * FROM interval_merge('nd')")
+        .collect().nonEmpty)
+      finally spark.table("nd").unpersist()
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

@@ -36,6 +36,8 @@ SUBSET = ",".join([
     "q96_closest_stranded", "q100_map_fraction", "q101_closest_all",
     "q104_merge_gap", "q105_overlap_filter", "q107_subtract_opposite",
     "q108_intersect_wo", "q109_intersect_wao",
+    "q111_closest_k", "q112_closest_io", "q113_closest_updown",
+    "q114_intersect_split",
     # dedup / text
     "q22_fingerprint", "q23_minhash_sig", "q24_neardup_pairs",
     "q37_dedup_clusters", "q40_dedup_star", "q50_leakage_split",
@@ -107,7 +109,10 @@ def main():
              "time_ratio_2x_1x": round(t2 / t1, 2) if t1 > 0 else None,
              "time_ratio_4x_2x": round(t4 / t2, 2) if t2 > 0 else None,
              "time_ratio_4x_1x": round(t4 / t1, 2) if t1 > 0 else None}
-        if n1 > 0 and n4 > 0 and n2 > 0:
+        # min(t) > 0 mirrors the time-ratio guards: a 0.0-second
+        # measurement (trivial rung or malformed REUSE record) must
+        # not ZeroDivisionError away the whole assembled artifact
+        if n1 > 0 and n4 > 0 and n2 > 0 and min(t1, t2, t4) > 0:
             e["row_ratio_4x_1x"] = round(n4 / n1, 2)
             # throughput at each rung; a DROPPING sequence flags
             # compounding degradation even when each step looks small
@@ -136,10 +141,28 @@ def main():
         "total_ratio_4x_1x": round(tsum["sf4x"] / tsum["sf1x"], 3),
         "calibration_sec": {r: recs[r].get("calibration_sec")
                             for r in recs},
+        "calibration_median_sec": {
+            r: recs[r].get("calibration_median_sec") for r in recs},
         "ann_recall": {r: recs[r].get("ann_recall") for r in recs},
         "missing_or_failed": missing,
         "per_query": per,
     }
+    # calibrated ratios (r19 verdict "next" #4): each rung's total
+    # divided by ITS OWN fixed-pure-Spark calibration median, so a
+    # machine-state drift between rungs (or between rounds, when a
+    # future judge compares curves) divides out instead of being
+    # read as a scaling change
+    calib = art["calibration_median_sec"]
+    if all(isinstance(calib.get(r), (int, float)) and calib[r] > 0
+           for r in recs):
+        ct = {r: tsum[r] / calib[r] for r in recs}
+        art["calibrated_totals"] = {r: round(ct[r], 3) for r in ct}
+        art["calibrated_total_ratio_2x_1x"] = round(
+            ct["sf2x"] / ct["sf1x"], 3)
+        art["calibrated_total_ratio_4x_2x"] = round(
+            ct["sf4x"] / ct["sf2x"], 3)
+        art["calibrated_total_ratio_4x_1x"] = round(
+            ct["sf4x"] / ct["sf1x"], 3)
     breaches = []
     for rung in ("sf1x", "sf2x", "sf4x"):
         ar = art["ann_recall"].get(rung)

@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
-"""sf0.1-sweep companion for the two DELIBERATELY-quadratic oracles.
+"""sf0.1-sweep companion for the DELIBERATELY-quadratic oracles
+(r20: nine — q77/q79/q96/q98/q101/q107/q111/q112/q113).
 
-q77_closest's oracle is a naive all-pairs argmin and q79_subtract's is a
-per-base explode — both are the point (the ENGINE must be linear, the
-oracle maximally independent), but at sf0.1 they are too heavy for the
-full-sweep DuckDB pass. This script validates them by an independent
-1-in-N-sampled DuckDB computation instead (exact row equality on the
-sampled ids), the same procedure the r16 sweep documented.
+The closest-family oracles are naive all-pairs argmins/rankings and the
+subtract oracles are per-base explodes — deliberately so (the ENGINE
+must be linear, the oracle maximally independent), but at sf0.1 they
+are too heavy for the full-sweep DuckDB pass. This script validates
+them by an independent 1-in-N-sampled DuckDB computation instead
+(exact row equality on the sampled ids), the same procedure the r16
+sweep documented.
 
 Usage: sampled_sweep.py <sfdir> <verify_out_dir> [sample_mod=20]
 """
@@ -168,6 +170,118 @@ FROM a LEFT JOIN ties t ON a.aid = t.aid
 ORDER BY a.aid, closest_id"""
 
 
+Q111_SAMPLED = """WITH a AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+bv AS ({ivb}),
+pair AS (SELECT a.aid, b.iv_id AS bid,
+    b."start" AS bs, b."end" AS be,
+    CASE WHEN a.astart < b."end" AND b."start" < a.aend THEN 0
+         WHEN b."end" <= a.astart THEN a.astart - b."end"
+         ELSE b."start" - a.aend END AS d
+  FROM a JOIN bv b ON a.chrom = b.chrom),
+rk AS (SELECT *, row_number() OVER
+    (PARTITION BY aid ORDER BY d, bs, bid) AS rnk
+  FROM pair)
+SELECT a.aid, a.chrom, CAST(a.astart AS BIGINT) AS "start",
+  CAST(a.aend AS BIGINT) AS "end",
+  r.bid AS closest_id,
+  CAST(r.bs AS BIGINT) AS closest_start,
+  CAST(r.be AS BIGINT) AS closest_end,
+  CAST(r.d AS BIGINT) AS distance,
+  CAST(CASE WHEN r.d = 0 THEN 0
+    WHEN r.be <= a.astart THEN -r.d ELSE r.d END
+    AS BIGINT) AS signed_distance,
+  CAST(r.rnk AS BIGINT) AS "rank"
+FROM a LEFT JOIN rk r ON a.aid = r.aid AND r.rnk <= 3
+ORDER BY a.aid, "rank\""""
+
+Q112_SAMPLED = """WITH a0 AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+a AS (SELECT *, {strand_a} AS strand FROM a0),
+bv AS ({ivb}),
+pair AS (SELECT a.aid, a.chrom, a.astart, a.aend, a.strand,
+    CASE WHEN b.iv_id IS NULL THEN NULL
+      ELSE struct_pack(
+        d := CASE WHEN b."end" <= a.astart THEN a.astart - b."end"
+                  ELSE b."start" - a.aend END,
+        s := b."start", i := b.iv_id, e := b."end") END AS c
+  FROM a LEFT JOIN bv b ON a.chrom = b.chrom
+    AND NOT (a.astart < b."end" AND b."start" < a.aend)),
+r AS (SELECT aid, chrom, astart, aend, strand, min(c) AS m
+  FROM pair GROUP BY 1, 2, 3, 4, 5)
+SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+  CAST(m['s'] AS BIGINT) AS closest_start,
+  CAST(m['e'] AS BIGINT) AS closest_end,
+  CAST(m['d'] AS BIGINT) AS distance,
+  CAST((CASE WHEN m['d'] = 0 THEN 0
+      WHEN m['e'] <= astart THEN -m['d'] ELSE m['d'] END)
+    * (CASE WHEN strand = '-' THEN -1 ELSE 1 END)
+    AS BIGINT) AS signed_distance
+FROM r ORDER BY aid"""
+
+Q113_SAMPLED = """WITH a AS (SELECT c_custkey AS aid,
+    'chr' || (c_custkey % 4) AS chrom,
+    (c_custkey*5557) % 10000000 AS astart,
+    (c_custkey*5557) % 10000000 + 30 + c_custkey % 300 AS aend
+  FROM customer WHERE c_custkey % {mod} = 0),
+bv AS ({ivbs}),
+pu AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+    CASE WHEN b.iv_id IS NULL THEN NULL
+      ELSE struct_pack(
+        d := CASE WHEN a.astart < b."end"
+                    AND b."start" < a.aend THEN 0
+                  WHEN b."end" <= a.astart THEN a.astart - b."end"
+                  ELSE b."start" - a.aend END,
+        s := b."start", i := b.iv_id, e := b."end") END AS c
+  FROM a LEFT JOIN bv b ON a.chrom = b.chrom
+    AND b."end" >= a.astart),
+ru AS (SELECT aid, chrom, astart, aend, min(c) AS m
+  FROM pu GROUP BY 1, 2, 3, 4),
+pd AS (SELECT a.aid, a.chrom, a.astart, a.aend,
+    CASE WHEN b.iv_id IS NULL THEN NULL
+      ELSE struct_pack(
+        d := CASE WHEN a.astart < b."end"
+                    AND b."start" < a.aend THEN 0
+                  WHEN b."end" <= a.astart THEN a.astart - b."end"
+                  ELSE b."start" - a.aend END,
+        s := b."start", i := b.iv_id, e := b."end",
+        t := b.strand) END AS c
+  FROM a LEFT JOIN bv b ON a.chrom = b.chrom
+    AND NOT ((b.strand <> '-' AND b."start" > a.aend)
+      OR (b.strand = '-' AND b."end" < a.astart))),
+rd AS (SELECT aid, chrom, astart, aend, min(c) AS m
+  FROM pd GROUP BY 1, 2, 3, 4)
+SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+  CAST(m['s'] AS BIGINT) AS closest_start,
+  CAST(m['e'] AS BIGINT) AS closest_end,
+  CAST(m['d'] AS BIGINT) AS distance,
+  CAST(CASE WHEN m['d'] = 0 THEN 0
+    WHEN m['e'] <= astart THEN -m['d'] ELSE m['d'] END
+    AS BIGINT) AS signed_distance,
+  'iu' AS mode
+FROM ru
+UNION ALL
+SELECT aid, chrom, CAST(astart AS BIGINT) AS "start",
+  CAST(aend AS BIGINT) AS "end", m['i'] AS closest_id,
+  CAST(m['s'] AS BIGINT) AS closest_start,
+  CAST(m['e'] AS BIGINT) AS closest_end,
+  CAST(m['d'] AS BIGINT) AS distance,
+  CAST((CASE WHEN m['d'] = 0 THEN 0
+      WHEN m['e'] <= astart THEN -m['d'] ELSE m['d'] END)
+    * (CASE WHEN m['t'] = '-' THEN -1 ELSE 1 END)
+    AS BIGINT) AS signed_distance,
+  'idb' AS mode
+FROM rd ORDER BY mode, aid"""
+
+
 def check(name, con, outdir, sql, id_col, mod):
     want = con.execute(sql).df()
     got = pd.read_parquet(f"{outdir}/{name}")
@@ -215,6 +329,13 @@ def main():
                                     strand_a=STRAND_A), "aid", mod)
     ok &= check("q101_closest_all", con, outdir,
                 Q101_SAMPLED.format(mod=mod, ivb=IVB), "aid", mod)
+    ok &= check("q111_closest_k", con, outdir,
+                Q111_SAMPLED.format(mod=mod, ivb=IVB), "aid", mod)
+    ok &= check("q112_closest_io", con, outdir,
+                Q112_SAMPLED.format(mod=mod, ivb=IVB,
+                                    strand_a=STRAND_A), "aid", mod)
+    ok &= check("q113_closest_updown", con, outdir,
+                Q113_SAMPLED.format(mod=mod, ivbs=ivbs), "aid", mod)
     sys.exit(0 if ok else 1)
 
 
