@@ -35,10 +35,16 @@ import graft.functions.GenomicFunctions
   *  - `SELECT * FROM interval_subtract('a', 'b', 'aid')` —
   *    [[graft.operators.IntervalOps.subtract]]
   *  - `SELECT * FROM interval_closest('a', 'b', 'aid', 'bid')` —
-  *    [[graft.operators.IntervalOps.closest]]
+  *    [[graft.operators.IntervalOps.closest]]; an optional 5th
+  *    options literal carries the bedtools flags
+  *    (`'io,iu,id,signed,D=ref|a|b'`)
   *  - `SELECT * FROM interval_closest_all('a', 'b', 'aid', 'bid')` —
   *    [[graft.operators.IntervalOps.closestAll]] (every tie + signed
-  *    distance; strand policies are Scala API on all operators)
+  *    distance; same optional options literal; strand MATCHING
+  *    policies are Scala API on all operators)
+  *  - `SELECT * FROM interval_closest_k('a', 'b', 'aid', 'bid', 3)` —
+  *    [[graft.operators.IntervalOps.closestK]] (k nearest with rank;
+  *    same optional trailing options literal)
   *  - `SELECT * FROM interval_map('a', 'b', 'aid', 'v')` —
   *    [[graft.operators.IntervalOps.mapOverlaps]]
   *  - `SELECT * FROM interval_jaccard('a', 'b')` —

@@ -296,6 +296,23 @@ def check(name, con, outdir, sql, id_col, mod):
         print(f"FAIL {name}: sampled rows {len(got)} vs oracle {len(want)}")
         return False
     for c in want.columns:
+        # numeric columns compare NUMERICALLY (NaN == NaN): a null
+        # anywhere in the engine's FULL parquet column makes pandas
+        # read it as float64 while the sampled oracle subset may have
+        # no nulls at all (int64) — stringly comparison would then
+        # fail on '200.0' vs '200' with both values exact
+        import pandas.api.types as ptypes
+        if (ptypes.is_numeric_dtype(want[c])
+                and ptypes.is_numeric_dtype(got[c])):
+            wv = want[c].astype(float)
+            gv = got[c].astype(float)
+            eq = ((wv.isna() & gv.isna()) | (wv == gv)).tolist()
+            if not all(eq):
+                i = eq.index(False)
+                print(f"FAIL {name}: col {c} row {i}: "
+                      f"{gv.iloc[i]} vs {wv.iloc[i]}")
+                return False
+            continue
         wv = want[c].astype(str).tolist()
         gv = got[c].astype(str).tolist()
         if wv != gv:
