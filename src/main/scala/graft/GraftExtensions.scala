@@ -391,9 +391,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             tableOf(b), litStr(aid, "a_id column"),
             litStr(bid, "b_id column"),
             mode = litStr(m, "mode")).queryExecution.logical
+        case Seq(a, b, aid, bid, m, bs, sz) =>
+          // -split: two trailing column names carry the BED12 block
+          // arrays (offsets relative to start / lengths)
+          graft.operators.IntervalOps.intersectJoin(tableOf(a),
+            tableOf(b), litStr(aid, "a_id column"),
+            litStr(bid, "b_id column"),
+            mode = litStr(m, "mode"),
+            blockStarts = litStr(bs, "blockStarts column"),
+            blockSizes = litStr(sz, "blockSizes column"))
+            .queryExecution.logical
         case other => throw new IllegalArgumentException(
           "interval_intersect takes (a_table, b_table, a_id, b_id" +
-            s"[, mode]), got ${other.size} args")
+            s"[, mode[, block_starts, block_sizes]]), got " +
+            s"${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((
       FunctionIdentifier("interval_getfasta"),

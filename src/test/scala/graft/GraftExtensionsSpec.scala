@@ -91,6 +91,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq((7L, "chr1", 20L, 60L, "+"), (8L, "chr1", 90L, 95L, "-"))
         .toDF("bid", "chrom", "start", "end", "strand")
         .createOrReplaceTempView("bst")
+      Seq((1L, "chr1", 0L, 100L, Seq(0L, 60L), Seq(20L, 30L)))
+        .toDF("aid", "chrom", "start", "end", "bst", "bsz")
+        .createOrReplaceTempView("asp")
       // tiny FASTA + .fai for the sequence TVFs (covers ivs's coords)
       val seqDir = java.nio.file.Files.createTempDirectory("graft-tvf-fa")
       val c1 = "ACGT" * 30
@@ -176,6 +179,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "'wao')" ->
           IntervalOps.intersectJoin(spark.table("a"), spark.table("b"),
             "aid", "bid", mode = "wao"),
+        "SELECT * FROM interval_intersect('asp', 'b', 'aid', 'bid', " +
+          "'wao', 'bst', 'bsz')" ->
+          IntervalOps.intersectJoin(spark.table("asp"),
+            spark.table("b"), "aid", "bid", mode = "wao",
+            blockStarts = "bst", blockSizes = "bsz"),
         s"SELECT * FROM interval_getfasta('ivs', '$tvfFa')" ->
           graft.operators.SequenceOps.getFasta(spark.table("ivs"),
             tvfFa),

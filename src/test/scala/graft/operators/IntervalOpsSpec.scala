@@ -533,6 +533,26 @@ class IntervalOpsSpec extends SparkSuite {
       got(2).isNullAt(9))
   }
 
+  test("closestK plan: no all-pairs CartesianProduct at any option " +
+      "combo (the only nested-loop joins are the one-row broadcast " +
+      "flags)") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "c", 10L, 20L, "+"), (2L, "c", 50L, 60L, "-"))
+      .toDF("aid", "chrom", "start", "end", "strand")
+    val b = Seq((7L, "c", 30L, 40L, "-"), (8L, "c", 70L, 90L, "+"))
+      .toDF("bid", "chrom", "start", "end", "strand")
+    for (opts <- Seq(ClosestOptions(),
+        ClosestOptions(signed = true, ignoreOverlaps = true),
+        ClosestOptions(signed = true, ignoreDownstream = true,
+          distanceMode = DistanceMode.RespectB()))) {
+      val df = IntervalOps.closestK(a, b, "aid", "bid", 3, opts = opts)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$opts\n$plan")
+    }
+  }
+
   test("closest/closestAll/closestK options: -io/-iu/-id/-D match " +
       "the naive filtered argmin") {
     val s = spark
