@@ -319,14 +319,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.operators.IntervalOps.mapOverlaps(tableOf(a), tableOf(b),
             litStr(aid, "a_id column"), litStr(v, "value column"))
             .queryExecution.logical
+        case Seq(a, b, aid, v, bs, sz) =>
+          // -split: two trailing block-array column names
+          graft.operators.IntervalOps.mapOverlaps(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"), litStr(v, "value column"),
+            blockStarts = litStr(bs, "blockStarts column"),
+            blockSizes = litStr(sz, "blockSizes column"))
+            .queryExecution.logical
         case Seq(a, b, aid, v, c, s, e) =>
           graft.operators.IntervalOps.mapOverlaps(tableOf(a), tableOf(b),
             litStr(aid, "a_id column"), litStr(v, "value column"),
             litStr(c, "chrom column"), litStr(s, "start column"),
             litStr(e, "end column")).queryExecution.logical
         case other => throw new IllegalArgumentException(
-          "interval_map takes (a_table, b_table, a_id, value[, chrom, " +
-            s"start, end]), got ${other.size} args")
+          "interval_map takes (a_table, b_table, a_id, value[, " +
+            "block_starts, block_sizes | chrom, start, end]), got " +
+            s"${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((
       FunctionIdentifier("interval_jaccard"),
@@ -536,14 +544,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b, aid) =>
           graft.operators.IntervalOps.coverageBy(tableOf(a), tableOf(b),
             litStr(aid, "a_id column")).queryExecution.logical
+        case Seq(a, b, aid, bs, sz) =>
+          // -split: two trailing block-array column names (bedtools
+          // coverage -split, exon-space coverage)
+          graft.operators.IntervalOps.coverageBy(tableOf(a), tableOf(b),
+            litStr(aid, "a_id column"),
+            blockStarts = litStr(bs, "blockStarts column"),
+            blockSizes = litStr(sz, "blockSizes column"))
+            .queryExecution.logical
         case Seq(a, b, aid, c, s, e) =>
           graft.operators.IntervalOps.coverageBy(tableOf(a), tableOf(b),
             litStr(aid, "a_id column"), litStr(c, "chrom column"),
             litStr(s, "start column"), litStr(e, "end column"))
             .queryExecution.logical
         case other => throw new IllegalArgumentException(
-          "interval_coverage_by takes (a_table, b_table, a_id[, chrom, " +
-            s"start, end]), got ${other.size} args")
+          "interval_coverage_by takes (a_table, b_table, a_id[, " +
+            "block_starts, block_sizes | chrom, start, end]), got " +
+            s"${other.size} args")
+      }: Seq[Expression] => LogicalPlan))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_explode_blocks"),
+      info("interval_explode_blocks",
+        "interval_explode_blocks(table[, start, end, block_starts, " +
+          "block_sizes]) - one row per BED12 block with absolute " +
+          "blk_start/blk_end (the -split preamble; compose with " +
+          "interval_merge/interval_coverage/interval_complement)"),
+      {
+        case Seq(t) =>
+          graft.operators.IntervalOps.explodeBlocks(tableOf(t))
+            .queryExecution.logical
+        case Seq(t, s, e, bs, sz) =>
+          graft.operators.IntervalOps.explodeBlocks(tableOf(t),
+            litStr(s, "start column"), litStr(e, "end column"),
+            litStr(bs, "blockStarts column"),
+            litStr(sz, "blockSizes column")).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          "interval_explode_blocks takes (table[, start, end, " +
+            s"block_starts, block_sizes]), got ${other.size} args")
       }: Seq[Expression] => LogicalPlan))
     ext.injectTableFunction((
       FunctionIdentifier("interval_cluster"),

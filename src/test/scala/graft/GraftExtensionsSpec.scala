@@ -164,6 +164,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM interval_map('a', 'bv', 'aid', 'v')" ->
           IntervalOps.mapOverlaps(spark.table("a"), spark.table("bv"),
             "aid", "v"),
+        "SELECT * FROM interval_map('asp', 'bv', 'aid', 'v', 'bst', " +
+          "'bsz')" ->
+          IntervalOps.mapOverlaps(spark.table("asp"), spark.table("bv"),
+            "aid", "v", blockStarts = "bst", blockSizes = "bsz"),
+        "SELECT * FROM interval_coverage_by('asp', 'b', 'aid', " +
+          "'bst', 'bsz')" ->
+          IntervalOps.coverageBy(spark.table("asp"), spark.table("b"),
+            "aid", blockStarts = "bst", blockSizes = "bsz"),
+        "SELECT * FROM interval_explode_blocks('asp', 'start', 'end', " +
+          "'bst', 'bsz')" ->
+          IntervalOps.explodeBlocks(spark.table("asp"),
+            "start", "end", "bst", "bsz"),
         "SELECT * FROM interval_jaccard('a', 'b')" ->
           IntervalOps.jaccard(spark.table("a"), spark.table("b")),
         "SELECT * FROM interval_filter('a', 'b', 'aid', 'u')" ->
