@@ -533,6 +533,23 @@ class IntervalOpsSpec extends SparkSuite {
       got(2).isNullAt(9))
   }
 
+  test("closestK composes with strand matching: Same keys the " +
+      "k-deep timeline") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "c", 100L, 110L, "+"))
+      .toDF("aid", "chrom", "start", "end", "strand")
+    // a NEARER opposite-strand B must lose to the same-strand ones
+    val b = Seq((5L, "c", 120L, 130L, "-"), (6L, "c", 200L, 210L, "+"),
+      (7L, "c", 300L, 310L, "+"), (8L, "c", 400L, 410L, "+"))
+      .toDF("bid", "chrom", "start", "end", "strand")
+    val got = IntervalOps.closestK(a, b, "aid", "bid", 2,
+        strand = Strandedness.Same())
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(4), r.getLong(7), r.getLong(9)))
+    assert(got.toSeq == Seq((6L, 90L, 1L), (7L, 190L, 2L)))
+  }
+
   test("closestK plan: no all-pairs CartesianProduct at any option " +
       "combo (the only nested-loop joins are the one-row broadcast " +
       "flags)") {
