@@ -2367,6 +2367,11 @@ object IntervalOps {
     * partition key is the unique A id), and one final per-A window
     * ranks ≤3k candidate rows. Output size ≤ k × |A| + misses.
     *
+    * @param aId unique id column in `a` ([[closest]]'s contract:
+    *            duplicate values cross-product the candidate
+    *            machinery — here the per-A ranking window and the
+    *            final join back)
+    * @param bId unique id column in `b` (tie-break + output id)
     * @param k how many nearest features to report (bedtools `-k`) */
   def closestK(a: DataFrame, b: DataFrame, aId: String, bId: String,
       k: Int, chrom: String = "chrom", start: String = "start",

@@ -218,6 +218,44 @@ class RangeFillSpec extends SparkSuite {
       r.isNullAt(6) && r.isNullAt(7)))
   }
 
+  test("fillBothK: null keys group together; struct payloads; " +
+      "empty input") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Option("a"), 1, 1L, Option(10), Option.empty[Int]),
+      (Option("a"), 2, 2L, Option(11), Option(20)),
+      (Option.empty[String], 1, 3L, Option(7), Option.empty[Int]),
+      (Option.empty[String], 5, 4L, Option(8), Option(9)),
+      (Option("b"), 9, 5L, Option.empty[Int], Option(5)))
+      .toDF("k", "pos", "id", "f0", "b0")
+      // struct payloads: values must travel row-atomically
+      .withColumn("f", when(col("f0").isNotNull,
+        struct(col("f0").as("x"), col("id").as("src"))))
+      .withColumn("b", when(col("b0").isNotNull,
+        struct(col("b0").as("x"), col("id").as("src"))))
+      .drop("f0", "b0")
+    val order = Seq(col("pos").asc, col("id").asc)
+    for (parts <- Seq(1, 3, 8)) {
+      val got = RangeFill.fillBothK(rows, "k", "f", "b", "lk", "nk", 2,
+          order, parts)
+        .orderBy("k", "pos", "id").collect()
+        .map(r => (r.getString(0),
+          r.getSeq[org.apache.spark.sql.Row](5).map(_.getInt(0)),
+          r.getSeq[org.apache.spark.sql.Row](6).map(_.getInt(0))))
+      // null-key rows form their own group; key boundaries cut both
+      // directions; deques are most-recent-first / earliest-first
+      assert(got.toSeq == Seq(
+        (null, Seq(7), Seq(9)), (null, Seq(8, 7), Seq(9)),
+        ("a", Seq(10), Seq(20)), ("a", Seq(11, 10), Seq(20)),
+        ("b", Seq(), Seq(5))), s"partitions=$parts")
+    }
+    val empty = Seq.empty[(String, Int, Long, Option[Int], Option[Int])]
+      .toDF("k", "pos", "id", "f", "b")
+    assert(RangeFill.fillBothK(empty, "k", "f", "b", "lk", "nk", 2,
+      order).count() == 0)
+  }
+
   test("empty input and more partitions than rows") {
     val s = spark
     import s.implicits._
