@@ -729,6 +729,99 @@ class IntervalOpsSpec extends SparkSuite {
       (4L, 0, 10L, 10L, 0L)))
   }
 
+  test("-split intersect/map/coverage match a naive block model on " +
+      "random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(97)
+    // random BED12-ish rows: alternating covered/gap blocks of a
+    // random per-row size; every 4th row has null arrays (fallback)
+    case class ARow(aid: Long, chrom: String, start: Long, end: Long,
+      bst: Option[Seq[Long]], bsz: Option[Seq[Long]])
+    val aRows = Seq.tabulate(80) { i =>
+      val st = rnd.nextInt(800).toLong
+      val len = (10 + rnd.nextInt(51)).toLong
+      if (i % 4 == 0)
+        ARow(i.toLong, s"chr${i % 3}", st, st + len, None, None)
+      else {
+        val nb = 1 + rnd.nextInt(3)
+        val bsz = math.max(1L, len / (2 * nb))
+        ARow(i.toLong, s"chr${i % 3}", st, st + len,
+          Some(Seq.tabulate(nb)(j => j * 2L * bsz)),
+          Some(Seq.fill(nb)(bsz)))
+      }
+    }
+    val bRows = Seq.tabulate(60) { i =>
+      val st = rnd.nextInt(900).toLong
+      (i.toLong, s"chr${i % 2}", st, st + 1 + rnd.nextInt(40))
+    }
+    // naive model: absolute blocks (whole interval on fallback rows)
+    def blocksOf(a: ARow): Seq[(Long, Long)] = (a.bst, a.bsz) match {
+      case (Some(os), Some(ls)) =>
+        os.zip(ls).map { case (o, l) => (a.start + o, a.start + o + l) }
+      case _ => Seq((a.start, a.end))
+    }
+    def clip(ks: Long, ke: Long, bs: Long, be: Long): Long =
+      math.max(0L, math.min(ke, be) - math.max(ks, bs))
+    val naivePairs = for {
+      a <- aRows
+      (bid, bc, bs, be) <- bRows if bc == a.chrom
+      ovl = blocksOf(a).map { case (ks, ke) => clip(ks, ke, bs, be) }.sum
+      if blocksOf(a).exists { case (ks, ke) =>
+        ks < ke && ks < be && bs < ke }
+    } yield (a.aid, bid, bs, be, ovl)
+    val blenOf = aRows.map(a => a.aid ->
+      blocksOf(a).map { case (ks, ke) => ke - ks }.sum).toMap
+    val a = aRows.map(r => (r.aid, r.chrom, r.start, r.end, r.bst,
+      r.bsz)).toDF("aid", "chrom", "start", "end", "bst", "bsz")
+    val b = bRows.toDF("bid", "chrom", "start", "end")
+    // intersectJoin -split wao -f 0.25: pairs at >= quarter of the
+    // BLOCK bases, plus a zero row per A with no qualifying pair
+    val wantQual = naivePairs
+      .filter { case (aid, _, _, _, ovl) => ovl >= 0.25 * blenOf(aid) }
+    val wantPairs = wantQual
+      .map { case (aid, bid, _, _, ovl) => (aid, Some(bid), Some(ovl)) }
+    val wantMiss = aRows.map(_.aid)
+      .filterNot(wantQual.map(_._1).toSet)
+      .map(aid => (aid, None, Some(0L)))
+    val gotIj = IntervalOps.intersectJoin(a, b, "aid", "bid",
+        minOverlapFracA = 0.25, mode = "wao",
+        blockStarts = "bst", blockSizes = "bsz")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    assert(gotIj.sortBy(x => (x._1, x._2.getOrElse(-1L))) ==
+      (wantPairs ++ wantMiss).sortBy(x => (x._1, x._2.getOrElse(-1L))))
+    // mapOverlaps -split: every block-overlapping B aggregates ONCE
+    val hits = naivePairs.groupBy(_._1)
+    val gotMo = IntervalOps.mapOverlaps(a,
+        b.withColumn("v", col("bid")), "aid", "v",
+        blockStarts = "bst", blockSizes = "bsz")
+      .collect().map(r => r.getLong(0) -> (r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    aRows.foreach { ar =>
+      val h = hits.getOrElse(ar.aid, Seq())
+      assert(gotMo(ar.aid) ==
+        (h.size.toLong, if (h.isEmpty) -1L else h.map(_._2).sum),
+        s"map aid=${ar.aid}")
+    }
+    // coverageBy -split: per-base union coverage over block space
+    val gotCb = IntervalOps.coverageBy(a, b, "aid",
+        blockStarts = "bst", blockSizes = "bsz")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    aRows.foreach { ar =>
+      val bsOnChrom = bRows.filter(_._2 == ar.chrom)
+      val cov = blocksOf(ar).map { case (ks, ke) =>
+        (ks until ke).count(p =>
+          bsOnChrom.exists { case (_, _, bs, be) => bs <= p && p < be })
+      }.sum.toLong
+      val n = hits.getOrElse(ar.aid, Seq()).size.toLong
+      assert(gotCb(ar.aid) == ((n, cov, blenOf(ar.aid))),
+        s"coverage aid=${ar.aid}")
+    }
+  }
+
   test("coverage: null coords dropped, caller types kept, " +
       "fractional rejected") {
     val s = spark
