@@ -1398,6 +1398,21 @@ object OracleSql {
          |  CAST(0 AS BIGINT)
          |FROM a WHERE aid NOT IN (SELECT aid FROM qual)
          |ORDER BY aid, b_id NULLS FIRST""".stripMargin,
+    // q115: sliding-window chunking — the same 64-word windows every
+    // 48 words via DuckDB's stride generate_series and 1-based
+    // inclusive list slicing (which clamps at the end exactly like
+    // Spark's slice); both engines split on single spaces, so empty
+    // tokens agree too
+    "q115_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (SELECT doc_id, w,
+        |    unnest(generate_series(0, len(w) - 1, 48)) AS off
+        |  FROM t)
+        |SELECT doc_id, CAST(off // 48 AS BIGINT) AS chunk_index,
+        |  array_to_string(w[off+1:off+64], ' ') AS chunk_text,
+        |  CAST(len(w[off+1:off+64]) AS BIGINT) AS chunk_words
+        |FROM o ORDER BY doc_id, chunk_index""".stripMargin,
     // q111: bedtools closest -k 3 — the all-pairs row_number ranking
     // under the q77 argmin rule (distance, b start, b id); LEFT JOIN
     // keeps no-candidate A rows as one null row with null rank

@@ -1841,6 +1841,19 @@ object SparkEntry {
       .orderBy(col("aid"), col("b_id").asc_nulls_first)
   }
 
+  /** Sliding-window document chunking ([[graft.operators.TextOps
+    * .chunkDocuments]] — the training-data / RAG passage builder,
+    * added r20): 64-word windows every 48 words (25% overlap) over
+    * the documents table, tail windows kept. Pure narrow array
+    * arithmetic (split + posexplode(sequence) + slice, no shuffle);
+    * the oracle replays it with DuckDB's 1-based inclusive list
+    * slicing and generate_series stride. */
+  private def q115_chunking(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.TextOps.chunkDocuments(
+        pq(s, dir, "documents"), "doc_id", "text", 64, 48)
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
   /** K-nearest annotation ([[graft.operators.IntervalOps.closestK]]
     * — the bedtools `closest -k 3 -d` analogue, added r20): the three
     * nearest orders-derived intervals per customer-derived interval,
@@ -2373,7 +2386,8 @@ object SparkEntry {
     "q111_closest_k" -> (q111_closest_k _),
     "q112_closest_io" -> (q112_closest_io _),
     "q113_closest_updown" -> (q113_closest_updown _),
-    "q114_intersect_split" -> (q114_intersect_split _)) ++
+    "q114_intersect_split" -> (q114_intersect_split _),
+    "q115_chunking" -> (q115_chunking _)) ++
     // scanner-correctness gate (s01..s23): genomic readers vs
     // pre-materialized expected rows (see ScanGate)
     ScanGate.queries.map { case (name, fn, _) => name -> fn }.toMap

@@ -974,6 +974,40 @@ object TextOps {
         org.apache.spark.sql.graftshim.ColumnShim.expression(text), words))
   }
 
+  /** Overlapping sliding-window chunking — the training-data / RAG
+    * passage builder: one output row per window of `chunkWords`
+    * whitespace tokens, a new window starting every `strideWords`
+    * (stride < chunk ⇒ overlapping context windows; stride == chunk ⇒
+    * [[paragraphs]]-style disjoint chunks, row-per-chunk instead of
+    * array-per-doc). Windows start at token offsets 0, stride,
+    * 2·stride, … while the offset is inside the document, so a tail
+    * shorter than `chunkWords` is kept (truncation is the consumer's
+    * policy decision, not the chunker's) and a document shorter than
+    * one chunk yields exactly one chunk. Null-text documents yield no
+    * rows. Output: (id, `chunk_index` 0-based, `chunk_text`,
+    * `chunk_words`).
+    *
+    * Scale shape: pure narrow array arithmetic — `split` +
+    * `posexplode(sequence)` + `slice`, all codegen'd; no UDF, no
+    * shuffle anywhere. 100 TB cost is output-proportional (the
+    * overlap factor chunk/stride is the only amplification), and the
+    * rows stay co-partitioned with their source document for free. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int, strideWords: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be > 0, got $chunkWords")
+    require(strideWords > 0 && strideWords <= chunkWords,
+      s"strideWords must be in [1, chunkWords], got $strideWords")
+    val chunk = slice(col("__w"), col("__off") + 1, lit(chunkWords))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 1,
+          lit(strideWords))).as(Seq("__ci", "__off")))
+      .select(col(idCol), col("__ci").cast("long").as("chunk_index"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).cast("long").as("chunk_words"))
+  }
+
   /** Paragraph-level exact dedup bookkeeping — the passage-granularity
     * companion to [[exactDedup]] (whole documents) that catches
     * boilerplate shared ACROSS distinct pages (headers, licence

@@ -50,6 +50,37 @@ class CurationOpsSpec extends SparkSuite {
     assert(out == Seq("a b c", "d e f", "g"))
   }
 
+  test("chunkDocuments: overlapping windows, tail kept, short doc, " +
+      "null text, disjoint at stride == chunk") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Option("a b c d e f g")),
+      (2L, Option("x")),        // shorter than one chunk
+      (3L, Option.empty[String])) // no rows
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(docs, "doc_id", "text", 4, 3)
+      .orderBy("doc_id", "chunk_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L),
+      (1L, 2L, "g", 1L),
+      (2L, 0L, "x", 1L)))
+    // stride == chunk reproduces paragraphs() as rows
+    val disjoint = TextOps.chunkDocuments(docs, "doc_id", "text", 3, 3)
+      .where(col("doc_id") === 1L).orderBy("chunk_index")
+      .collect().map(_.getString(2))
+    assert(disjoint.toSeq == Seq("a b c", "d e f", "g"))
+    // guardrails: stride 0 / stride > chunk rejected at analysis time
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(docs, "doc_id", "text", 4, 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(docs, "doc_id", "text", 4, 5)
+    }
+  }
+
   test("paragraphDedup keeps the earliest occurrence by (id, pos)") {
     val s = spark
     import s.implicits._
