@@ -41,7 +41,7 @@ SUBSET = ",".join([
     # dedup / text
     "q22_fingerprint", "q23_minhash_sig", "q24_neardup_pairs",
     "q37_dedup_clusters", "q40_dedup_star", "q50_leakage_split",
-    "q52_para_dedup", "q68_bm25",
+    "q52_para_dedup", "q68_bm25", "q115_chunking",
     # ANN (recall block rides separately via BENCH_ANN=1)
     "q33_ann_banded", "q41_ann_ivf", "q65_ann_ivf_trained",
     "q66_ann_ivfpq", "q72_ann_ivfadc",
