@@ -631,7 +631,11 @@ object Bench {
     // "1,234" and break every consumer, so pin ROOT process-wide.
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32, the benchmark contract's local[32] — a bare launch
+    // used to default to 4 and silently price the real-file decode
+    // rows at 1/8th the threads (the r20 discarded-record incident;
+    // the record's system.cpus field is the audit trail either way)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
