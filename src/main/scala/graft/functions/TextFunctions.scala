@@ -58,23 +58,29 @@ object TextKernels {
         p += 1
       }
     }
-    // window minima via monotonic deque (indices of increasing hash),
-    // emitting in first-appearance order without re-adding duplicates;
-    // the max(nGrams-w+1, 1) window count is implicit in the emission
-    // condition below (full windows, plus the clamped final one).
-    // Dedup is a PRIMITIVE open-addressing table (-1 sentinel — hashes
-    // are 32-bit-masked, so -1 is unreachable): this kernel exists to
-    // strip per-position allocation, and a HashSet<Long> would box
-    // every window minimum right back.
+    windowMinDistinct(hashes, w)
+  }
+
+  /** Window minima + first-appearance distinct over a precomputed gram
+    * hash array — the shared back half of [[winnow]] and [[winnowMd5]]
+    * (extracted verbatim from [[winnow]] so the two hash families can
+    * never drift in window/distinct semantics): monotonic-deque minima
+    * (indices of increasing hash) over `w`-wide windows
+    * (`max(n-w+1, 1)` windows, the final one clamped — implicit in the
+    * emission condition), emitted in first-appearance order. Dedup is
+    * a PRIMITIVE open-addressing table (-1 sentinel — hashes are
+    * 32-bit-masked, so -1 is unreachable): these kernels exist to
+    * strip per-position allocation, and a HashSet<Long> would box
+    * every window minimum right back. The table sizes against a LONG
+    * target: nWins * 2 in Int wraps negative for ~1 GiB documents, the
+    * loop would exit with cap = 8, and the undersized table would spin
+    * the probe forever — oversized inputs hit the require instead. */
+  private def windowMinDistinct(hashes: Array[Long], w: Int): ArrayData = {
+    val nGrams = hashes.length
     val deque = new Array[Int](nGrams)
     var head = 0; var tail = 0 // [head, tail)
     val nWins = math.max(nGrams - w + 1, 1)
-    // distinct emissions <= window count; table at <=50% load
     var cap = 8
-    // size against a LONG target: nWins * 2 in Int wraps negative for
-    // ~1 GiB documents, the loop would exit with cap = 8, and the
-    // undersized table would spin the open-addressing probe forever —
-    // oversized inputs must hit the require below instead
     while (cap < nWins.toLong * 2 && cap > 0) cap <<= 1
     require(cap > 0, s"winnow window count $nWins too large to table")
     val table = new Array[Long](cap)
@@ -98,14 +104,67 @@ object TextKernels {
       deque(tail) = i; tail += 1
       val winStart = i - w + 1
       while (deque(head) < winStart) head += 1
-      // windows are positions 0..nWins-1; emit once the first full (or
-      // clamped-final) window is reached
       if (i >= w - 1 || i == nGrams - 1) addIfNew(hashes(deque(head)))
       i += 1
     }
-    // short inputs: nGrams < w means exactly one (clamped) window — the
-    // loop above emits it at i == nGrams-1
     new GenericArrayData(java.util.Arrays.copyOf(outArr, outN))
+  }
+
+  /** Winnowing fingerprints with the ORACLE-REPRODUCIBLE md5 gram hash
+    * — value-identical to the HOF formulation
+    * `array_distinct(transform(sequence(1, max(nHashes-w+1, 1)), i =>
+    * array_min(slice(hashes, i, w))))` over `hashes =
+    * transform(sequence(1, max(len-k+1, 1)), i =>
+    * conv(substring(md5(substr(text, i, k)), 1, 8), 16, 10))`
+    * (parity spec-pinned, `WinnowMd5ParitySpec`), but ONE kernel call
+    * instead of interpreted higher-order functions: the HOF path paid
+    * a per-position UTF8String substring + hex-string digest + conv
+    * parse, plus an O(n·w) per-window `slice` array allocation — the
+    * dominant cost of the gated q32 row. Here: code-point byte offsets
+    * computed once, one reused MessageDigest over byte slices (the
+    * first 4 digest bytes ARE `conv(substring(hex, 1, 8), 16, 10)`),
+    * and [[windowMinDistinct]]'s allocation-free deque. Same gram
+    * positions (`max(len-k+1, 1)`, code-point counted, short-text tail
+    * clamp), same window count, same distinct semantics — same VALUES,
+    * which the DuckDB oracle replays independently.
+    *
+    * NULL text yields the single-null array `[null]`, NOT null — the
+    * HOF formulation's exact value (`greatest(length(null) - 7, 1)`
+    * is 1 because `greatest` skips nulls, so one null gram hash flows
+    * through the window min and the distinct); parity includes the
+    * null row. */
+  def winnowMd5(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k > 0 && w > 0, s"winnow needs k > 0 and w > 0, got k=$k w=$w")
+    if (text == null) return new GenericArrayData(Array[Any](null))
+    val bytes = text.getBytes
+    val n = text.numChars()
+    // byte offset of each code point, plus the terminal offset
+    val offs = new Array[Int](n + 1)
+    var cp = 0
+    var bi = 0
+    while (cp < n) {
+      offs(cp) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      cp += 1
+    }
+    offs(n) = bytes.length
+    val nGrams = math.max(n - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = new Array[Byte](16)
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      // gram = code points [i, min(i+k, n)) — substr's tail clamp
+      val from = offs(i)
+      val until = offs(math.min(i + k, n))
+      md.reset()
+      md.update(bytes, from, until - from)
+      md.digest(digest, 0, 16)
+      hashes(i) = ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
+        ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
+      i += 1
+    }
+    windowMinDistinct(hashes, w)
   }
 
   /** Word tokens split on SINGLE spaces keeping empties — byte-exact
@@ -234,6 +293,46 @@ object TextFunctions {
     require(k > 0 && w > 0, s"winnow needs k > 0 and w > 0, got k=$k w=$w")
     org.apache.spark.sql.graftshim.ColumnShim.column(
       WinnowFast(org.apache.spark.sql.graftshim.ColumnShim.expression(c),
+        k, w))
+  }
+
+  /** Catalyst expression: winnowing fingerprints with the md5 gram
+    * hash (see [[TextKernels.winnowMd5]] — value-identical to the
+    * oracle-mirrored HOF formulation, one codegen'd kernel call). NOT
+    * nullSafe: null text yields the `[null]` single-element array the
+    * HOF produced, never a null array (same pattern as WordGrams). */
+  case class WinnowMd5(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = true)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+        : Any =
+      TextKernels.winnowMd5(
+        child.eval(input).asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      ev.copy(
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen
+          .FalseLiteral,
+        code = code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            graft.functions.TextKernels.winnowMd5(
+              ${c.isNull} ? null : ${c.value}, $k, $w);""")
+    }
+    override def prettyName: String = "winnow_fingerprints_md5"
+    override protected def withNewChildInternal(c: Expression): WinnowMd5 =
+      copy(child = c)
+  }
+
+  def winnow_md5(c: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, s"winnow needs k > 0 and w > 0, got k=$k w=$w")
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      WinnowMd5(org.apache.spark.sql.graftshim.ColumnShim.expression(c),
         k, w))
   }
 

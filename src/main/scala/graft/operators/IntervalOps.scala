@@ -114,6 +114,89 @@ object Strandedness {
 
 object IntervalOps {
 
+  /** Materialize a frame that an operator's physical plan would
+    * otherwise evaluate several times. The multi-subplan operators here
+    * reference their projected inputs 3-5x — sweep events + probes, the
+    * binned join's two sides, its long-row existence probes
+    * ([[IntervalJoin.overlapJoin]] re-scans each input for a one-row
+    * aggregate), and the join-backs that restore unmatched rows — so a
+    * BAM/CRAM/BED-backed input was DECODED 3-5 times per query (the r21
+    * b13b plan carried 4 full BAM decodes). An eager `localCheckpoint`
+    * computes the narrow projection ONCE and turns every later
+    * reference into an executor-block read (optimization-guide §1.2:
+    * remove unnecessary passes; §3.3: materialize intermediates that
+    * feed several subplans).
+    *
+    * `localCheckpoint`, NOT `persist()`: no CacheManager registration,
+    * so no plan-fragment reuse can leak across queries — every
+    * invocation computes from its inputs, and the blocks die with the
+    * RDD. Storage is MEMORY_AND_DISK (spills, never OOMs the executor).
+    * The checkpointed frames are id+coordinate projections — tens of
+    * bytes per row — so at 100 TB input scale the materialization is
+    * the small-metadata table of guide §8, not a copy of the payload.
+    * Trade-off vs recompute: one executor-loss during the (short)
+    * lifetime of the blocks fails the query (localCheckpoint's
+    * documented contract, same as the text-dedup Snapshotter default);
+    * recomputing a CRAM decode 4x per query loses that bet at scale.
+    *
+    * EAGER, with a cost gate: an eager checkpoint is an extra
+    * serialized job, a measured ~20% regression on small cheap
+    * parquet-derived inputs (r21 A/B: q77 3.10 -> 3.81 s) against the
+    * BAM rows' 1.4-2x win — so a frame is only materialized when
+    * recomputing it is NOT trivially cheap: its optimized subtree
+    * contains anything beyond projections/filters over v1 file scans
+    * (a DSv2 decode — the BAM/CRAM/VCF/BED readers, a join, an
+    * aggregate, a window, an RDD-backed stage), OR its estimated size
+    * exceeds `spark.graft.materialize.threshold` (default 1 GiB —
+    * at 100 TB even a plain columnar rescan x4 is 3 full I/O passes
+    * wasted, so big frames materialize regardless of shape; the local
+    * default keeps small-SF plans lean and the bench comparable).
+    * (A LAZY checkpoint was also tried and is strictly worse: the
+    * first consumers race to write blocks and mostly recompute —
+    * b13b 12.2 s eager vs 34.0 s lazy in the same window.) */
+  private def materializeInputs(df: DataFrame): DataFrame =
+    if (shouldMaterialize(df)) df.localCheckpoint() else df
+
+  /** Eagerly materialize several INDEPENDENT frames at once: the
+    * checkpoint jobs are submitted from a small thread pool so the
+    * second input's decode back-fills executors the first one's tail
+    * leaves idle (guide §2.6) instead of running serially. Frames the
+    * cost gate skips pass through untouched. */
+  private def materializeAll(dfs: DataFrame*): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = dfs.map { d =>
+      if (shouldMaterialize(d)) Future(d.localCheckpoint())
+      else Future.successful(d)
+    }
+    futs.map(Await.result(_, Duration.Inf))
+  }
+
+  /** The [[materializeInputs]] cost gate: true when the frame's
+    * optimized subtree is more than projections/filters/unions over
+    * v1 file relations (parquet — columnar, pruned, cheap to rescan)
+    * or in-memory literals, or when its size estimate crosses the
+    * materialize threshold. */
+  private def shouldMaterialize(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = df.queryExecution.optimizedPlan
+    def cheap(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias =>
+        p.children.forall(cheap)
+      case _: LocalRelation => true
+      case _: org.apache.spark.sql.execution.datasources
+        .LogicalRelation => true
+      case _ => false
+    }
+    val threshold = df.sparkSession.conf
+      .getOption("spark.graft.materialize.threshold")
+      .flatMap(_.toLongOption)
+      .getOrElse(1L << 30)
+    !cheap(plan) ||
+      plan.stats.sizeInBytes > BigInt(threshold)
+  }
+
   /** The A-side/B-side key fragments a strand policy adds to a
     * composite (chrom, strand) sweep or merge key: equality of the two
     * fragments IS the policy (the A side flips under Opposite). None
@@ -1007,7 +1090,9 @@ object IntervalOps {
     // removed (bedtools -s/-S). Unmatchable A rows keep a sentinel
     // key and pass through unmodified; unmatchable B rows drop.
     val sk = strandKeyCols(strand)
-    val a2 = dropNullCoords(a, chrom, start, end)
+    // a2 feeds the binned join, its existence probe, and the untouched
+    // pass-through anti-join: materialized once
+    val a2 = materializeInputs(dropNullCoords(a, chrom, start, end)
       .select(col(aId).as("__aid"),
         compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
         col(chrom).cast("string").as("__oc"),
@@ -1015,7 +1100,7 @@ object IntervalOps {
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae"))
       .where(col("__aid").isNotNull && col("__as") < col("__ae") &&
-        col("__c").isNotNull)
+        col("__c").isNotNull))
     val mb = mergeIntervalsRange(
         dropNullCoords(b, chrom, start, end)
           .select(compositeKey(col(chrom).cast("string"), sk.map(_._2))
@@ -1041,12 +1126,21 @@ object IntervalOps {
     val w = Window.partitionBy(col("__aid")).orderBy(col("__bs"))
     val clipS = greatest(col("__bs"), col("__as"))
     val clipE = least(col("__be"), col("__ae"))
-    val marked = ov
+    // __lastBs shares w's partitioning AND ordering (full-partition
+    // frame) so both window columns evaluate in ONE Window operator
+    // over one sort — the unordered max().over(partitionBy) spec forced
+    // a second window pass. Same values: the max over the whole
+    // partition is frame-independent.
+    // `marked` feeds three consumers (leading, tails, untouched's id
+    // set) — materialized once instead of running the binned join and
+    // window three times.
+    val marked = materializeInputs(ov
       .withColumn("__gs", coalesce(lag(clipE, 1).over(w), col("__as")))
       .withColumn("__ce", clipE)
       .withColumn("__cs", clipS)
       .withColumn("__lastBs",
-        max(col("__bs")).over(Window.partitionBy(col("__aid"))))
+        max(col("__bs")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))))
     val leading = marked.where(col("__gs") < col("__cs"))
       .select(col("__aid"), col("__oc"), col("__gs").as("__as"),
         col("__cs").as("__ae"))
@@ -1055,7 +1149,8 @@ object IntervalOps {
         col("__ce") < col("__ae"))
       .select(col("__aid"), col("__oc"), col("__ce").as("__as"),
         col("__ae"))
-    val untouched = a2.join(ov.select(col("__aid")).distinct(),
+    // same id set as ov's: marked is ov plus derived columns
+    val untouched = a2.join(marked.select(col("__aid")).distinct(),
       Seq("__aid"), "left_anti")
       .select(col("__aid"), col("__oc"), col("__as"), col("__ae"))
     leading.unionByName(tails).unionByName(untouched)
@@ -1111,15 +1206,18 @@ object IntervalOps {
     // condition (predicate-based: unmatchable A rows stay, with
     // zero overlaps). Fractions (-f/-F; -r = both) likewise.
     val sk = strandKeyCols(strand)
-    val a2 = dropNullCoords(a, chrom, start, end)
+    // both projections feed the binned join + its existence probes,
+    // and a2 additionally the zero-overlap join-back: materialized once
+    val Seq(a2, b2) = materializeAll(
+      dropNullCoords(a, chrom, start, end)
       .select(Seq(col(aId).as("__aid"),
         col(chrom).cast("string").as("__c"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae")) ++
         sk.map(_._1.as("__astr")).toSeq: _*)
-      .where(col("__aid").isNotNull)
-    val b2 = dropNullCoords(b, chrom, start, end)
+      .where(col("__aid").isNotNull),
+      dropNullCoords(b, chrom, start, end)
       .select(Seq(col(chrom).cast("string").as("__c2"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
@@ -1129,7 +1227,7 @@ object IntervalOps {
       // zero-length B rows cover no bases; the strict predicate would
       // still match one strictly inside an A interval (subtract's
       // boundary case), so they drop here
-      .where(col("__bs") < col("__be"))
+      .where(col("__bs") < col("__be")))
     val joined =
       if (!split) IntervalJoin.overlapJoin(
         a2.where(col("__as") < col("__ae")), b2,
@@ -1143,8 +1241,10 @@ object IntervalOps {
       else {
         // -split: blocks join, then the first-overlapping-block
         // predicate keeps exactly one pair per (A row, B row) — a B
-        // spanning several blocks must aggregate once
-        val a3 = explodeBlocks(dropNullCoords(a, chrom, start, end),
+        // spanning several blocks must aggregate once. Materialized:
+        // the exploded block frame feeds the join and its probe.
+        val a3 = materializeInputs(
+          explodeBlocks(dropNullCoords(a, chrom, start, end),
             start, end, blockStarts, blockSizes)
           .select(Seq(col(aId).as("__aid"),
             col(chrom).cast("string").as("__c"),
@@ -1153,7 +1253,7 @@ object IntervalOps {
             col("blk_index").as("__bix"),
             col("blk_pairs").as("__bp")) ++
             sk.map(_._1.as("__astr")).toSeq: _*)
-          .where(col("__aid").isNotNull && col("__ks") < col("__ke"))
+          .where(col("__aid").isNotNull && col("__ks") < col("__ke")))
         IntervalJoin.overlapJoin(a3, b2,
             leftCols = ("__c", "__ks", "__ke"),
             rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
@@ -1216,23 +1316,26 @@ object IntervalOps {
       "intersectJoin -split needs BOTH blockStarts and blockSizes")
     val split = blockStarts != null
     val sk = strandKeyCols(strand)
-    val a2 = dropNullCoords(a, chrom, start, end)
+    // materialized once for the binned join, its existence probes, and
+    // (wao/loj) the miss branch's join-back
+    val Seq(a2, b2) = materializeAll(
+      dropNullCoords(a, chrom, start, end)
       .select(Seq(col(aId).as("__aid"),
         col(chrom).cast("string").as("__c"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae")) ++
         sk.map(_._1.as("__astr")).toSeq: _*)
-      .where(col("__aid").isNotNull)
-    val b2 = dropNullCoords(b, chrom, start, end)
+      .where(col("__aid").isNotNull),
+      dropNullCoords(b, chrom, start, end)
       .select(Seq(col(bId).as("__bid"),
         col(chrom).cast("string").as("__c2"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be")) ++
         sk.map(_._2.as("__bstr")).toSeq: _*)
-      .where(col("__bid").isNotNull && col("__bs") < col("__be"))
-    val pairs =
+      .where(col("__bid").isNotNull && col("__bs") < col("__be")))
+    val pairs0 =
       if (!split) IntervalJoin.overlapJoin(
           a2.where(col("__as") < col("__ae")), b2,
           leftCols = ("__c", "__as", "__ae"),
@@ -1253,7 +1356,8 @@ object IntervalOps {
         // Fractions apply AFTER the re-aggregation: -f measures
         // against the row's BLOCK bases (bedtools' -split rule), -F
         // against the whole B interval.
-        val a3 = explodeBlocks(dropNullCoords(a, chrom, start, end),
+        val a3 = materializeInputs(
+          explodeBlocks(dropNullCoords(a, chrom, start, end),
             start, end, blockStarts, blockSizes)
           .select(Seq(col(aId).as("__aid"),
             col(chrom).cast("string").as("__c"),
@@ -1263,7 +1367,7 @@ object IntervalOps {
             col("blk_start").as("__ks"), col("blk_end").as("__ke"),
             col("blk_total").as("__blen")) ++
             sk.map(_._1.as("__astr")).toSeq: _*)
-          .where(col("__aid").isNotNull && col("__ks") < col("__ke"))
+          .where(col("__aid").isNotNull && col("__ks") < col("__ke")))
         val fracConds: Seq[Column] =
           (if (minOverlapFracA > 0.0)
             Seq(col("__ovl") >= lit(minOverlapFracA) * col("__blen"))
@@ -1288,6 +1392,10 @@ object IntervalOps {
           .select(col("__aid"), col("__c"), col("__as"), col("__ae"),
             col("__bid"), col("__bs"), col("__be"), col("__ovl"))
       }
+    // wao/loj reference the pair frame twice (rows + the miss
+    // anti-join's id set) — without the checkpoint the binned join ran
+    // twice; "wo" consumes it once and skips the materialization
+    val pairs = if (mode == "wo") pairs0 else materializeInputs(pairs0)
     val rows = mode match {
       case "wo" => pairs
       case _ =>
@@ -1614,17 +1722,22 @@ object IntervalOps {
         .get
     val wsCol = fresh("__ws")
     val weCol = fresh("__we")
-    val wa = dropNullCoords(a, c, s, e)
+    // each side feeds the binned join and its existence probe:
+    // materialized once (these frames keep ALL caller columns — the
+    // alternative, evaluating the caller subtree twice, costs the same
+    // width in compute instead of spillable storage)
+    // (zero-length/inverted B rows cover no bases; the strict
+    // predicate would still match one strictly inside the extended
+    // interval — subtract's boundary case — so they drop here)
+    val Seq(wa, b2) = materializeAll(
+      dropNullCoords(a, c, s, e)
       .withColumn(wsCol,
         greatest(col(s).cast("long") - window, lit(0L)))
       .withColumn(weCol,
-        greatest(col(e).cast("long"), col(s).cast("long")) + window)
-    // zero-length/inverted B rows cover no bases; the strict predicate
-    // would still match one strictly inside the extended interval
-    // (subtract's boundary case), so they drop here
-    val b2 = dropNullCoords(b, rightCols._1, rightCols._2, rightCols._3)
+        greatest(col(e).cast("long"), col(s).cast("long")) + window),
+      dropNullCoords(b, rightCols._1, rightCols._2, rightCols._3)
       .where(col(rightCols._3).cast("long") >
-        col(rightCols._2).cast("long"))
+        col(rightCols._2).cast("long")))
     IntervalJoin.overlapJoin(wa, b2, leftCols = (c, wsCol, weCol),
         rightCols = rightCols, binSize = binSize, strand = strand)
       .drop(wsCol, weCol)
@@ -1659,7 +1772,10 @@ object IntervalOps {
     // Unmatchable A rows keep a sentinel key -> zero coverage rows;
     // unmatchable B rows drop (invisible).
     val sk = strandKeyCols(strand)
-    val a2 = dropNullCoords(a, chrom, start, end)
+    // a2 feeds the join-back plus (non-split) both binned joins and
+    // their probes via aPos; b2 feeds the count join, its probe, and
+    // the merge: materialized once each
+    val a2 = materializeInputs(dropNullCoords(a, chrom, start, end)
       .select(Seq(col(aId).as("__aid"),
         compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
         col(chrom).cast("string").as("__oc"),
@@ -1672,14 +1788,15 @@ object IntervalOps {
           validBlocks(col(blockStarts), col(blockSizes)),
           col(start), col(end)).as("__blen"))
         else Nil): _*)
-      .where(col("__aid").isNotNull && col("__c").isNotNull)
+      .where(col("__aid").isNotNull && col("__c").isNotNull))
     // -split: both joins probe the exploded BLOCK rows; the count
     // join's first-overlapping-block predicate counts a multi-block-
     // spanning B once, the covered-bases join clips merged B against
     // each (disjoint) block so the per-A sum stays exact
     val aPos =
       if (!split) a2.where(col("__as") < col("__ae"))
-      else explodeBlocks(dropNullCoords(a, chrom, start, end),
+      else materializeInputs(
+        explodeBlocks(dropNullCoords(a, chrom, start, end),
           start, end, blockStarts, blockSizes)
         .select(col(aId).as("__aid"),
           compositeKey(col(chrom).cast("string"), sk.map(_._1))
@@ -1688,16 +1805,16 @@ object IntervalOps {
           col("blk_start").as("__ks"), col("blk_end").as("__ke"),
           col("blk_index").as("__bix"), col("blk_pairs").as("__bp"))
         .where(col("__aid").isNotNull && col("__c").isNotNull &&
-          col("__ks") < col("__ke"))
+          col("__ks") < col("__ke")))
     val aCols: (String, String, String) =
       if (!split) ("__c", "__as", "__ae") else ("__c", "__ks", "__ke")
-    val b2 = dropNullCoords(b, chrom, start, end)
+    val b2 = materializeInputs(dropNullCoords(b, chrom, start, end)
       .select(compositeKey(col(chrom).cast("string"), sk.map(_._2))
           .as("__c2"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be"))
-      .where(col("__bs") < col("__be") && col("__c2").isNotNull)
+      .where(col("__bs") < col("__be") && col("__c2").isNotNull))
     val cntJoined = IntervalJoin.overlapJoin(aPos, b2,
         leftCols = aCols,
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
@@ -1757,14 +1874,17 @@ object IntervalOps {
     // through both joins and the per-set merges (bedtools annotate
     // -s/-S). Key-based policy, as coverageBy.
     val sk = strandKeyCols(strand)
-    val a2 = dropNullCoords(a, chrom, start, end)
+    // a2 feeds both binned joins + their probes (via aPos) and the
+    // zero-row-restoring grid join: materialized once (5 evaluations
+    // of the A subtree before)
+    val a2 = materializeInputs(dropNullCoords(a, chrom, start, end)
       .select(col(aId).as("__aid"),
         compositeKey(col(chrom).cast("string"), sk.map(_._1)).as("__c"),
         col(chrom).cast("string").as("__oc"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae"))
-      .where(col("__aid").isNotNull && col("__c").isNotNull)
+      .where(col("__aid").isNotNull && col("__c").isNotNull))
     val aPos = a2.where(col("__as") < col("__ae"))
     def norm(f: DataFrame, name: String): DataFrame =
       dropNullCoords(f, chrom, start, end)
@@ -1775,10 +1895,14 @@ object IntervalOps {
           greatest(col(end).cast("long"), col(start).cast("long"))
             .as("__be"))
         .where(col("__bs") < col("__be") && col("__c2").isNotNull)
-    val raw = sets.map { case (n, f) => norm(f, n) }
-      .reduce(_.unionByName(_))
-    val mrg = sets.map { case (n, f) =>
-      mergeIntervalsRange(norm(f, n), chrom = "__c2", start = "__bs",
+    // each set frame feeds the count join (via raw), its probe, AND
+    // its own merge — normalize + materialize each set once (all sets
+    // in parallel) and derive all three from the blocks
+    val normed = sets.map(_._1).zip(
+      materializeAll(sets.map { case (n, f) => norm(f, n) }: _*))
+    val raw = normed.map(_._2).reduce(_.unionByName(_))
+    val mrg = normed.map { case (n, f) =>
+      mergeIntervalsRange(f, chrom = "__c2", start = "__bs",
           end = "__be")
         .select(lit(n).as("__set"), col("__c2"),
           col("start").as("__bs"), col("end").as("__be"))
@@ -1836,21 +1960,24 @@ object IntervalOps {
       minOverlapFracA: Double = 0.0,
       minOverlapFracB: Double = 0.0): DataFrame = {
     val sk = strandKeyCols(strand)
-    val a2 = dropNullCoords(a, chrom, start, end)
+    // each projection feeds the binned join and its existence probe:
+    // materialized once
+    val Seq(a2, b2) = materializeAll(
+      dropNullCoords(a, chrom, start, end)
       .select(Seq(col(aId).as("__aid"),
         col(chrom).cast("string").as("__c"),
         col(start).cast("long").as("__as"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__ae")) ++
         sk.map(_._1.as("__astr")).toSeq: _*)
-      .where(col("__aid").isNotNull)
-    val b2 = dropNullCoords(b, chrom, start, end)
+      .where(col("__aid").isNotNull),
+      dropNullCoords(b, chrom, start, end)
       .select(Seq(col(chrom).cast("string").as("__c2"),
         col(start).cast("long").as("__bs"),
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be")) ++
         sk.map(_._2.as("__bstr")).toSeq: _*)
-      .where(col("__bs") < col("__be"))
+      .where(col("__bs") < col("__be")))
     val matched = IntervalJoin.overlapJoin(a2, b2,
         leftCols = ("__c", "__as", "__ae"),
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize,
@@ -1894,9 +2021,11 @@ object IntervalOps {
       binSize: Long = 1000L, maxGap: Long = 0L): DataFrame = {
     requireMaxGap(maxGap, "cluster")
     val coordT = df.schema(start).dataType
-    val d2 = dropNullCoords(df, chrom, start, end)
+    // d2 feeds the probe join, its existence probe, AND the merge's
+    // input: materialized once (3 evaluations of the input before)
+    val d2 = materializeInputs(dropNullCoords(df, chrom, start, end)
       .withColumn("__ps", col(start).cast("long"))
-      .withColumn("__pe", col(start).cast("long") + 1L)
+      .withColumn("__pe", col(start).cast("long") + 1L))
     val runs = mergeIntervalsRange(
         d2.select(col(chrom).cast("string").as("__rc"),
           col(start).cast("long").as("__rs"),
@@ -2007,10 +2136,14 @@ object IntervalOps {
     require(!(opts.ignoreUpstream || opts.ignoreDownstream) ||
       opts.signed,
       "closest -iu/-id need opts.signed (bedtools' -iu/-id require -D)")
-    val a2 = closestProjectA(a, aId, chrom, start, end, strand,
-      opts.aStrandCol)
-    val b2 = closestProjectB(b, bId, chrom, start, end, strand,
-      opts.bStrandCol)
+    // the projections feed the sweep events/probes, the binned overlap
+    // join AND its existence probes, and the join-backs — materialized
+    // once instead of 4 decodes of each input (see materializeInputs)
+    val Seq(a2, b2) = materializeAll(
+      closestProjectA(a, aId, chrom, start, end, strand,
+        opts.aStrandCol),
+      closestProjectB(b, bId, chrom, start, end, strand,
+        opts.bStrandCol))
     val best = col("__best")
     val baseCols = Seq(col("__aid").as(aId),
       col("__oc").cast(a.schema(chrom).dataType).as(chrom),
@@ -2277,15 +2410,21 @@ object IntervalOps {
       opts: ClosestOptions = ClosestOptions()): DataFrame = {
     // ONE pair of projections feeds both the argmin core and the tie
     // join (the core's output already carries a2's columns, so no
-    // re-join against a2 either)
-    val a2 = closestProjectA(a, aId, chrom, start, end, strand,
-      opts.aStrandCol)
-    val b2 = closestProjectB(b, bId, chrom, start, end, strand,
-      opts.bStrandCol)
-      .withColumnRenamed("__c", "__c2")
-    val withD = closestCore(a2, b2.withColumnRenamed("__c2", "__c"),
-        binSize, partitions, opts)
-      .withColumn("__d", col("__best").getField("d"))
+    // re-join against a2 either); materialized once, as closest()
+    val Seq(a2, b2raw) = materializeAll(
+      closestProjectA(a, aId, chrom, start, end, strand,
+        opts.aStrandCol),
+      closestProjectB(b, bId, chrom, start, end, strand,
+        opts.bStrandCol))
+    val b2 = b2raw.withColumnRenamed("__c", "__c2")
+    // the core output feeds the tie join's extended probe side, that
+    // join's OWN existence probe, and the miss branch — without the
+    // checkpoint the ENTIRE argmin core (range fill + joins) executed
+    // three times per query
+    val withD = materializeInputs(
+      closestCore(a2, b2.withColumnRenamed("__c2", "__c"),
+          binSize, partitions, opts)
+        .withColumn("__d", col("__best").getField("d")))
     // extend by d + 1 so a B at EXACTLY distance d still strictly
     // overlaps the probe interval (be > as - d - 1 <=> be >= as - d)
     val aExt = withD.where(col("__d").isNotNull)
@@ -2380,10 +2519,13 @@ object IntervalOps {
       strand: Strandedness = Strandedness.Ignore,
       opts: ClosestOptions = ClosestOptions()): DataFrame = {
     require(k >= 1, s"closestK needs k >= 1, got $k")
-    val a2 = closestProjectA(a, aId, chrom, start, end, strand,
-      opts.aStrandCol)
-    val b2 = closestProjectB(b, bId, chrom, start, end, strand,
-      opts.bStrandCol)
+    // materialized once for the k-deep timeline, the overlap join +
+    // probes, and the final join-back (see materializeInputs)
+    val Seq(a2, b2) = materializeAll(
+      closestProjectA(a, aId, chrom, start, end, strand,
+        opts.aStrandCol),
+      closestProjectB(b, bId, chrom, start, end, strand,
+        opts.bStrandCol))
     val withBt = opts.bStrandCol.isDefined
     val withAt = opts.aStrandCol.isDefined
     val cbStruct =

@@ -22,17 +22,6 @@ object TextOps {
   /** Whitespace tokenization (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Expression-level let-binding: evaluate `bound` ONCE per row and pass
-    * the value into `f`. Catalyst has no common-subexpression elimination
-    * across higher-order-function lambda boundaries, so an array-valued
-    * subexpression referenced inside a `transform` lambda is re-evaluated
-    * for EVERY element — quadratic for windowed constructions (a sf0.1
-    * winnowing materialization burned 750+ s in one task before this).
-    * Wrapping the value as the single element of an array and
-    * transforming over it binds it as a lambda variable instead. */
-  private def bind(bound: Column, f: Column => Column): Column =
-    element_at(transform(array(bound), f), 1)
-
   /** 32-bit base hash of a string. `fast = false` (this building
     * block's default — note the PUBLIC operators above it default to
     * fast): first 8 hex digits of md5, reproducible in any SQL engine,
@@ -383,15 +372,18 @@ object TextOps {
     * the MOSS scheme): hash every k-char gram, keep the minimum of each
     * w-wide window, dedupe. Robust to local edits — two documents
     * sharing a long run share fingerprints regardless of alignment.
-    * Built entirely from built-in functions (no UDF). The DEFAULT is
-    * the codegen'd fast path (`fastHash = true`, ~14× cheaper — the
-    * gram hash dominates this operator's cost, one digest per
-    * character position); `fastHash = false` switches to the md5-based
-    * gram hash, which is reproducible in any engine and is what the
-    * DuckDB oracle gates pin. The md5 branch's gram-hash array is
-    * [[bind]]-ed so each gram is hashed once — without the binding the
-    * O(n) hash array was re-evaluated per window position, O(n²) md5
-    * calls per document. */
+    * Built entirely from codegen'd kernels (no UDF). The DEFAULT is
+    * the fast path (`fastHash = true` — rolling 32-bit gram hash);
+    * `fastHash = false` switches to the md5-based gram hash, which is
+    * reproducible in any engine and is what the DuckDB oracle gates
+    * pin. Both run ONE kernel call per document
+    * ([[graft.functions.TextKernels]]); the md5 branch's values are
+    * bit-identical to its original HOF formulation
+    * (`transform(sequence(...), i => baseHash(text.substr(i, k)))` +
+    * windowed `array_min(slice(...))` + `array_distinct`), whose
+    * interpreted per-position substring+digest+hex-conv and per-window
+    * slice allocation dominated the gated q32 row — pinned by
+    * `WinnowMd5ParitySpec` against that exact formulation. */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4,
       fastHash: Boolean = true): Column =
     if (fastHash)
@@ -400,14 +392,7 @@ object TextOps {
       // substring+digest under interpreted higher-order functions —
       // same gram/window/distinct semantics, different hash family
       graft.functions.TextFunctions.winnow_fast(text, k, w)
-    else bind(
-      transform(
-        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-        i => baseHash(text.substr(i, lit(k)))),
-      hashes =>
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-          i => array_min(slice(hashes, i, lit(w))))))
+    else graft.functions.TextFunctions.winnow_md5(text, k, w)
 
   /** Exact deduplication: keep the row with the smallest `idCol` per
     * fingerprint. Window-free formulation (min + semi-join back) so both

@@ -1669,27 +1669,68 @@ class IntervalOpsSpec extends SparkSuite {
       .toDF("aid", "chrom", "start", "end")
     val b = Seq((10L, "chr1", 80L, 90L), (11L, "chr1", 120L, 130L))
       .toDF("bid", "chrom", "start", "end")
-    def leaves(df: org.apache.spark.sql.DataFrame): Int =
+    def localLeaves(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.optimizedPlan.collectLeaves().count(
         _.isInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-    val nAll = leaves(IntervalOps.closestAll(a, b, "aid", "bid"))
-    val nOne = leaves(IntervalOps.closest(a, b, "aid", "bid"))
+    val dfAll = IntervalOps.closestAll(a, b, "aid", "bid")
+    val dfOne = IntervalOps.closest(a, b, "aid", "bid")
     // Spark plans are trees: every reference to an input duplicates
-    // its leaf, so the leaf count IS the scan count. closestAll
-    // shares closest's projected frames and argmin core (the r18
-    // verdict's "builds the A/B projections twice" refactor): this
-    // shape measures 17 leaves; the pre-refactor formulation — which
-    // rebuilt a2/b2 AND re-joined the core output against a fresh a2
-    // — measured 20 on the same inputs. The bound catches a
-    // regression back to rebuilt projections without forbidding
-    // further sharing.
+    // its leaf, so the leaf count IS the evaluation count. These tiny
+    // LocalRelation inputs are deliberately SKIPPED by the r21
+    // materialization cost gate (trivial to recompute), so the counts
+    // here pin the SHARING structure: closestAll reuses closest's
+    // projections and its materialized argmin core (the core's
+    // checkpoint is why closestAll shows FEWER raw-input leaves than
+    // closest itself — the whole core subtree collapses to one
+    // LogicalRDD leaf). This shape measures 6 / 5; the pre-r18
+    // rebuild-everything formulation measured 20.
+    val nAll = localLeaves(dfAll)
+    val nOne = localLeaves(dfOne)
     info(s"closestAll leaves=$nAll closest leaves=$nOne")
-    assert(nOne <= 5, s"closest plan grew to $nOne input scans")
-    assert(nAll <= 17,
-      s"closestAll plan has $nAll input scans (17 pinned, 20 before " +
-        "projection sharing) — the tie join stopped reusing " +
-        "closest's frames")
+    assert(nOne <= 8, s"closest plan grew to $nOne input scans")
+    assert(nAll <= 8,
+      s"closestAll plan has $nAll input scans — the tie join stopped " +
+        "reusing closest's frames or the core checkpoint is gone")
+  }
+
+  test("materialization gate: expensive subtrees are checkpointed, " +
+      "trivial ones are not") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "chr1", 100L, 110L), (2L, "chr1", 500L, 510L))
+      .toDF("aid", "chrom", "start", "end")
+    val b = Seq((10L, "chr1", 80L, 90L), (11L, "chr1", 120L, 130L))
+      .toDF("bid", "chrom", "start", "end")
+    // an aggregate in the B subtree is not trivially recomputable:
+    // the gate must checkpoint the projection (the optimized plan
+    // then contains NO Aggregate — it ran once, into blocks)
+    val bAgg = b.groupBy("bid", "chrom")
+      .agg(org.apache.spark.sql.functions.min("start").as("start"),
+        org.apache.spark.sql.functions.max("end").as("end"))
+    def rddLeaves(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Int = p.collectLeaves().count(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    val planAgg = IntervalOps.closest(a, bAgg, "aid", "bid")
+      .queryExecution.optimizedPlan
+    val plain = IntervalOps.closest(a, b, "aid", "bid")
+      .queryExecution.optimizedPlan
+    // RangeFill's own RDD-backed stage contributes LogicalRDD leaves
+    // to BOTH plans; the aggregate-derived B must contribute MORE
+    // (every b2 reference becomes a checkpoint-block leaf) and its
+    // aggregate must no longer be duplicated per reference (<= 1
+    // Aggregate over a LocalRelation subtree: the one checkpoint run
+    // is outside this plan entirely — the overlap join's own one-row
+    // existence probes are the Aggregates that remain)
+    assert(rddLeaves(planAgg) > rddLeaves(plain),
+      "closest over an aggregate-derived B did not materialize the " +
+        "projection — the aggregate would run once per reference")
+    // trivial inputs stay un-checkpointed: raw LocalRelation leaves
+    // remain in the plan
+    assert(plain.collectLeaves().exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "trivial LocalRelation inputs were checkpointed — the gate " +
+        "stopped skipping cheap frames")
   }
 
   test("closestAll: randomized parity with a naive all-pairs oracle") {
