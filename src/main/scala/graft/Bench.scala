@@ -776,6 +776,20 @@ object Bench {
           // legitimate (absurdly fast) sample
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      } finally {
+        // Inter-query block hygiene (OUTSIDE the timed region, r21):
+        // operators that localCheckpoint/persist inside the query leave
+        // their blocks registered until the driver-GC-driven
+        // ContextCleaner happens to run — across 150 rows x several
+        // passes the dead blocks pinned storage memory and each query's
+        // cost depended on how much garbage its predecessors left
+        // (b13b: 34-57 s in-suite vs 14 s fresh-JVM). Dropping them
+        // here makes every row's sample independent of suite position —
+        // it REMOVES cross-query state rather than adding any; nothing
+        // is reused across queries by design (localCheckpoint never
+        // registers with the CacheManager).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val passTotals = (0 until runs).map { p =>

@@ -37,6 +37,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         deleteRecursively(dest) // a partial write is as stale as an old one
+      } finally {
+        // drop blocks operators checkpointed inside this query (same
+        // inter-query hygiene as Bench.timeOne: nothing is shared
+        // across queries by design, so the blocks are dead weight)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -130,7 +130,12 @@ object IntervalOps {
     * `localCheckpoint`, NOT `persist()`: no CacheManager registration,
     * so no plan-fragment reuse can leak across queries — every
     * invocation computes from its inputs, and the blocks die with the
-    * RDD. Storage is MEMORY_AND_DISK (spills, never OOMs the executor).
+    * RDD. Storage is MEMORY_AND_DISK_SER (spills, never OOMs the
+    * executor; SERIALIZED because the deserialized default stores one
+    * JVM object per row — a 4M-row BAM projection checkpointed as 4M
+    * pinned UnsafeRows turned the whole-suite bench into a GC storm:
+    * b13b's in-suite samples ran 34-57 s against 14 s in a fresh JVM
+    * until the blocks became a handful of serialized byte buffers).
     * The checkpointed frames are id+coordinate projections — tens of
     * bytes per row — so at 100 TB input scale the materialization is
     * the small-metadata table of guide §8, not a copy of the payload.
@@ -154,8 +159,14 @@ object IntervalOps {
     * (A LAZY checkpoint was also tried and is strictly worse: the
     * first consumers race to write blocks and mostly recompute —
     * b13b 12.2 s eager vs 34.0 s lazy in the same window.) */
+  /** The one storage level every interval-operator checkpoint uses. */
+  private val MaterializeLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   private def materializeInputs(df: DataFrame): DataFrame =
-    if (shouldMaterialize(df)) df.localCheckpoint() else df
+    if (shouldMaterialize(df))
+      df.localCheckpoint(eager = true, MaterializeLevel)
+    else df
 
   /** Eagerly materialize several INDEPENDENT frames at once: the
     * checkpoint jobs are submitted from a small thread pool so the
@@ -167,7 +178,8 @@ object IntervalOps {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val futs = dfs.map { d =>
-      if (shouldMaterialize(d)) Future(d.localCheckpoint())
+      if (shouldMaterialize(d))
+        Future(d.localCheckpoint(eager = true, MaterializeLevel))
       else Future.successful(d)
     }
     futs.map(Await.result(_, Duration.Inf))
@@ -180,6 +192,11 @@ object IntervalOps {
     * materialize threshold. */
   private def shouldMaterialize(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // production escape hatch / A-B knob: results are identical either
+    // way (the checkpoint only changes how many times inputs re-decode)
+    if (df.sparkSession.conf
+        .getOption("spark.graft.materialize.enabled").contains("false"))
+      return false
     val plan = df.queryExecution.optimizedPlan
     def cheap(p: LogicalPlan): Boolean = p match {
       case _: Project | _: Filter | _: Union | _: SubqueryAlias =>
@@ -2136,14 +2153,17 @@ object IntervalOps {
     require(!(opts.ignoreUpstream || opts.ignoreDownstream) ||
       opts.signed,
       "closest -iu/-id need opts.signed (bedtools' -iu/-id require -D)")
-    // the projections feed the sweep events/probes, the binned overlap
-    // join AND its existence probes, and the join-backs — materialized
-    // once instead of 4 decodes of each input (see materializeInputs)
-    val Seq(a2, b2) = materializeAll(
-      closestProjectA(a, aId, chrom, start, end, strand,
-        opts.aStrandCol),
-      closestProjectB(b, bId, chrom, start, end, strand,
-        opts.bStrandCol))
+    // NOT materialized (r21 A/B, one window): the union-timeline core
+    // evaluates each projection ~3x (events/probes, the binned join,
+    // its existence probe), and recomputing even a full BAM decode 3x
+    // beat the checkpoint's write+8-block-reads+lost-pipelining at
+    // every size tried (b13b 13.0 s plain vs 15.3 s checkpointed;
+    // q113 5.0 vs 5.8) — the opposite verdict from subtract/mapOverlaps,
+    // whose join-heavy shapes keep their checkpoints
+    val a2 = closestProjectA(a, aId, chrom, start, end, strand,
+      opts.aStrandCol)
+    val b2 = closestProjectB(b, bId, chrom, start, end, strand,
+      opts.bStrandCol)
     val best = col("__best")
     val baseCols = Seq(col("__aid").as(aId),
       col("__oc").cast(a.schema(chrom).dataType).as(chrom),
@@ -2230,111 +2250,41 @@ object IntervalOps {
     * distance-0 candidates. Returns one row per A row — (__aid, __c,
     * __oc, __as, __ae, __best) where __best is the winning
     * (d, s, i, e) candidate struct, null when the A's key has no B at
-    * all. */
+    * all.
+    *
+    * Shape (r21 restructure, guide §2.4 — remove shuffles outright):
+    * the probe rows CARRY the A payload (__c/__oc/__as/__ae[/__astr])
+    * through the timeline, every candidate — per-side sweep winners
+    * and raw overlap pairs — flows into ONE union, and a single
+    * hash aggregation on the A id takes `min(candidate)` (the struct
+    * ordering IS the global (distance, b start, b id) tie rule) while
+    * re-assembling the constant payload with `max()`. Every A emits
+    * its two probe rows even when no B exists on its key, so the
+    * aggregate output has exactly one row per A and the old
+    * left-join-back to the A projection — one more exchange AND one
+    * more evaluation of the A input — is gone, as are the separate
+    * per-sweep and per-overlap aggregates (three hash aggregations and
+    * two joins collapsed into one aggregation). Candidate masking
+    * (-iu/-id × -D) is applied per candidate row BEFORE the argmin —
+    * each side has exactly one sweep candidate per A, so masking
+    * before or after the per-side pick is the same function. */
   private def closestCore(a2: DataFrame, b2: DataFrame, binSize: Long,
       partitions: Int,
       opts: ClosestOptions = ClosestOptions()): DataFrame = {
     // -D b: the candidate struct carries the B strand as a trailing
-    // field `t` — least() compares (d, s, i, ...) lexicographically
+    // field `t` — min() compares (d, s, i, ...) lexicographically
     // and `i` is unique, so the extra field never affects the argmin
     val withBt = opts.bStrandCol.isDefined
+    val withAt = opts.aStrandCol.isDefined
     val cbStruct =
       if (!withBt) struct(col("__bs"), col("__bid"), col("__be"))
       else struct(col("__bs"), col("__bid"), col("__be"), col("__bstr"))
     val aidT = a2.schema("__aid").dataType
-    /** One bidirectional sweep over `b2x`'s events: per A,
-      * (__aid, __L<sfx>, __R<sfx>) — the best left/right candidate. */
-    def sweep(b2x: DataFrame, sfx: String): DataFrame = {
-      val bEnd = b2x.select(col("__c"), col("__be").as("__pos"),
-        lit(0).as("__kind"), cbStruct.as("__cbL"))
-      val cbT = bEnd.schema("__cbL").dataType
-      val bEndFull = bEnd
-        .withColumn("__cbR", lit(null).cast(cbT))
-        .withColumn("__aid", lit(null).cast(aidT))
-        .withColumn("__side", lit(null).cast("int"))
-      val bStartFull = b2x.select(col("__c"), col("__bs").as("__pos"),
-        lit(2).as("__kind"), lit(null).cast(cbT).as("__cbL"),
-        cbStruct.as("__cbR"), lit(null).cast(aidT).as("__aid"),
-        lit(null).cast("int").as("__side"))
-      val aProbes = a2.select(col("__c"), col("__aid"),
-          explode(array(
-            struct(col("__as").as("p"), lit(0).as("sd")),
-            struct(col("__ae").as("p"), lit(1).as("sd")))).as("__pr"))
-        .select(col("__c"), col("__pr.p").as("__pos"),
-          lit(1).as("__kind"), lit(null).cast(cbT).as("__cbL"),
-          lit(null).cast(cbT).as("__cbR"), col("__aid"),
-          col("__pr.sd").as("__side"))
-      // among equal-position B events the GLOBAL rule wants the MIN
-      // (b start, b id): the forward fill keeps the LAST seen, so
-      // kind-0 tie columns sort DESCENDING; the backward fill keeps
-      // the FIRST, so kind-2 ties sort ASCENDING (equal-position start
-      // events share their __bs — the id alone decides). Each tie
-      // column is constant null outside its own kind, so the combined
-      // order stays total.
-      val ord: Seq[Column] = Seq(col("__pos").asc, col("__kind").asc,
-        col("__cbL.__bs").desc_nulls_first,
-        col("__cbL.__bid").desc_nulls_first,
-        col("__cbR.__bid").asc_nulls_first)
-      val filled = RangeFill.fillBoth(
-        bEndFull.unionByName(bStartFull).unionByName(aProbes)
-          .withColumn("__probe", col("__kind") === 1),
-        "__c", "__cbL", "__cbR", ord, partitions,
-        probeCol = Some("__probe"))
-      // candidate struct layout: least() compares lexicographically,
-      // so (distance, b start, b id) IS the tie rule
-      def candOf(cb: String, dist: Column) = {
-        val base = Seq(dist.as("d"), col(s"$cb.__bs").as("s"),
-          col(s"$cb.__bid").as("i"), col(s"$cb.__be").as("e"))
-        struct((if (withBt) base :+ col(s"$cb.__bstr").as("t")
-          else base): _*)
-      }
-      val candL = when(col("__side") === 0 && col("__cbL").isNotNull,
-        candOf("__cbL", col("__pos") - col("__cbL.__be")))
-      val candR = when(col("__side") === 1 && col("__cbR").isNotNull,
-        candOf("__cbR", col("__cbR.__bs") - col("__pos")))
-      // exactly one probe row per (aid, side): max() just picks the
-      // non-null candidate of each side
-      filled.where(col("__kind") === 1)
-        .groupBy(col("__aid"))
-        .agg(max(candL).as("__L" + sfx), max(candR).as("__R" + sfx))
-    }
-    // -D b with -iu/-id: the filter depends on each CANDIDATE's
-    // strand, so one per-side argmin is unsound (the side's best may
-    // be masked while a deeper same-side candidate survives). Split
-    // the B side by strand CLASS ('-' vs everything else) — within a
-    // class the flip is a constant, so per-(side, class) masking is
-    // exact again: a masked (side, class) contributes only its
-    // distance-0 (book-ended) candidate, which is always allowed.
-    val classSplit =
-      (opts.ignoreUpstream || opts.ignoreDownstream) && withBt
-    val joined0 =
-      if (!classSplit) a2.join(sweep(b2, ""), Seq("__aid"), "left")
-      else a2
-        .join(sweep(b2.where(col("__bstr") === "-"), "m"),
-          Seq("__aid"), "left")
-        .join(sweep(b2.where(!(col("__bstr") <=> "-")), "o"),
-          Seq("__aid"), "left")
-    // -io: the overlap join is simply absent (left/right sweep
-    // candidates are non-overlapping by construction; book-ended
-    // distance-0 candidates still arrive via the sweeps — bedtools
-    // counts only bp-sharing features as "overlaps")
-    val joined =
-      if (opts.ignoreOverlaps) joined0
-      else {
-        val oBase = Seq(lit(0L).as("d"), col("__bs").as("s"),
-          col("__bid").as("i"), col("__be").as("e"))
-        val overlapCand = IntervalJoin.overlapJoin(
-            a2, b2.withColumnRenamed("__c", "__c2"),
-            leftCols = ("__c", "__as", "__ae"),
-            rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
-          .groupBy(col("__aid"))
-          .agg(min(struct((if (withBt) oBase :+ col("__bstr").as("t")
-            else oBase): _*)).as("__O"))
-        joined0.join(overlapCand, Seq("__aid"), "left")
-      }
+    val nullAstr = lit(null).cast("string").as("__astr")
     // -iu/-id: a candidate whose effective sign (branch geometry ×
-    // the -D strand flip) is negative/positive is masked to null;
-    // least() skips nulls, so the argmin runs over the survivors
+    // the -D strand flip) is negative/positive is masked to null
+    // BEFORE the argmin; min() skips nulls, so the argmin runs over
+    // the survivors. refSign: 0 for distance-0, else the row's side.
     def kept(cand: Column, refSign: Column): Column =
       if (!opts.ignoreUpstream && !opts.ignoreDownstream) cand
       else {
@@ -2353,29 +2303,138 @@ object IntervalOps {
         (opts.ignoreDownstream && r * f > 0)
       if (masked) when(cand.getField("d") === 0L, cand) else cand
     }
-    val bestCol =
-      if (!classSplit) {
-        val keptL = kept(col("__L"),
-          when(col("__L").getField("d") > 0L, lit(-1L))
-            .otherwise(lit(0L)))
-        val keptR = kept(col("__R"),
-          when(col("__R").getField("d") > 0L, lit(1L))
-            .otherwise(lit(0L)))
-        if (opts.ignoreOverlaps) least(keptL, keptR)
-        else least(kept(col("__O"), lit(0L)), keptL, keptR)
-      } else {
-        val cands = Seq(
-          keptStatic(col("__Lm"), -1, -1),
-          keptStatic(col("__Lo"), -1, 1),
-          keptStatic(col("__Rm"), 1, -1),
-          keptStatic(col("__Ro"), 1, 1)) ++
-          (if (opts.ignoreOverlaps) Nil else Seq(col("__O")))
-        least(cands: _*)
+    /** One bidirectional sweep over `b2x`'s events: per-probe
+      * candidate rows (__aid, payload, __cand) — each A contributes
+      * exactly two (side 0 = best left, side 1 = best right; __cand
+      * null when that side has no candidate or masking dropped it).
+      * `maskOf(side)` is identity outside -iu/-id. */
+    def sweepCands(b2x: DataFrame,
+        maskOf: Int => Column => Column): DataFrame = {
+      val bEnd = b2x.select(col("__c"), col("__be").as("__pos"),
+        lit(0).as("__kind"), cbStruct.as("__cbL"))
+      val cbT = bEnd.schema("__cbL").dataType
+      val bEndFull = bEnd
+        .withColumn("__cbR", lit(null).cast(cbT))
+        .withColumn("__aid", lit(null).cast(aidT))
+        .withColumn("__side", lit(null).cast("int"))
+        .withColumn("__oc", lit(null).cast("string"))
+        .withColumn("__as", lit(null).cast("long"))
+        .withColumn("__ae", lit(null).cast("long"))
+        .withColumn("__astr", lit(null).cast("string"))
+      val bStartFull = b2x.select(col("__c"), col("__bs").as("__pos"),
+        lit(2).as("__kind"), lit(null).cast(cbT).as("__cbL"),
+        cbStruct.as("__cbR"), lit(null).cast(aidT).as("__aid"),
+        lit(null).cast("int").as("__side"),
+        lit(null).cast("string").as("__oc"),
+        lit(null).cast("long").as("__as"),
+        lit(null).cast("long").as("__ae"), nullAstr)
+      // probes carry the A payload through the fill so the aggregate
+      // below can re-emit it without a join back to a2
+      val aProbes = a2.select(Seq(col("__c"), col("__aid"),
+          col("__oc"), col("__as").as("__pas"),
+          col("__ae").as("__pae")) ++
+          (if (withAt) Seq(col("__astr")) else Seq(nullAstr)) :+
+          explode(array(
+            struct(col("__as").as("p"), lit(0).as("sd")),
+            struct(col("__ae").as("p"), lit(1).as("sd")))).as("__pr"): _*)
+        .select(col("__c"), col("__pr.p").as("__pos"),
+          lit(1).as("__kind"), lit(null).cast(cbT).as("__cbL"),
+          lit(null).cast(cbT).as("__cbR"), col("__aid"),
+          col("__pr.sd").as("__side"), col("__oc"),
+          col("__pas").as("__as"), col("__pae").as("__ae"),
+          col("__astr"))
+      // among equal-position B events the GLOBAL rule wants the MIN
+      // (b start, b id): the forward fill keeps the LAST seen, so
+      // kind-0 tie columns sort DESCENDING; the backward fill keeps
+      // the FIRST, so kind-2 ties sort ASCENDING (equal-position start
+      // events share their __bs — the id alone decides). Each tie
+      // column is constant null outside its own kind, so the combined
+      // order stays total.
+      val ord: Seq[Column] = Seq(col("__pos").asc, col("__kind").asc,
+        col("__cbL.__bs").desc_nulls_first,
+        col("__cbL.__bid").desc_nulls_first,
+        col("__cbR.__bid").asc_nulls_first)
+      val filled = RangeFill.fillBoth(
+        bEndFull.unionByName(bStartFull).unionByName(aProbes)
+          .withColumn("__probe", col("__kind") === 1),
+        "__c", "__cbL", "__cbR", ord, partitions,
+        probeCol = Some("__probe"))
+      // candidate struct layout: min() compares lexicographically,
+      // so (distance, b start, b id) IS the tie rule
+      def candOf(cb: String, dist: Column) = {
+        val base = Seq(dist.as("d"), col(s"$cb.__bs").as("s"),
+          col(s"$cb.__bid").as("i"), col(s"$cb.__be").as("e"))
+        struct((if (withBt) base :+ col(s"$cb.__bstr").as("t")
+          else base): _*)
       }
-    joined.select(Seq(col("__aid"), col("__c"), col("__oc"),
-      col("__as"), col("__ae")) ++
-      opts.aStrandCol.map(_ => col("__astr")).toSeq :+
-      bestCol.as("__best"): _*)
+      val candL = when(col("__side") === 0 && col("__cbL").isNotNull,
+        candOf("__cbL", col("__pos") - col("__cbL.__be")))
+      val candR = when(col("__side") === 1 && col("__cbR").isNotNull,
+        candOf("__cbR", col("__cbR.__bs") - col("__pos")))
+      filled.where(col("__kind") === 1)
+        .select(col("__aid"), col("__c"), col("__oc"), col("__as"),
+          col("__ae"), col("__astr"),
+          when(col("__side") === 0, maskOf(0)(candL))
+            .otherwise(maskOf(1)(candR)).as("__cand"))
+    }
+    // -D b with -iu/-id: the filter depends on each CANDIDATE's
+    // strand, so one per-side argmin is unsound (the side's best may
+    // be masked while a deeper same-side candidate survives). Split
+    // the B side by strand CLASS ('-' vs everything else) — within a
+    // class the flip is a constant, so per-(side, class) masking is
+    // exact again: a masked (side, class) contributes only its
+    // distance-0 (book-ended) candidate, which is always allowed.
+    val classSplit =
+      (opts.ignoreUpstream || opts.ignoreDownstream) && withBt
+    val sweeps =
+      if (!classSplit) {
+        // dynamic masking (identity outside -iu/-id): refSign 0 for a
+        // distance-0 candidate, else the side's geometric sign
+        def dyn(side: Int): Column => Column = cand =>
+          kept(cand, when(cand.getField("d") === 0L, lit(0L))
+            .otherwise(lit(if (side == 0) -1L else 1L)))
+        sweepCands(b2, dyn)
+      } else {
+        def stat(f: Int)(side: Int): Column => Column = cand =>
+          keptStatic(cand, if (side == 0) -1 else 1, f)
+        sweepCands(b2.where(col("__bstr") === "-"), stat(-1))
+          .unionByName(
+            sweepCands(b2.where(!(col("__bstr") <=> "-")), stat(1)))
+      }
+    // -io: the overlap candidates are simply absent (left/right sweep
+    // candidates are non-overlapping by construction; book-ended
+    // distance-0 candidates still arrive via the sweeps — bedtools
+    // counts only bp-sharing features as "overlaps"). Overlap
+    // candidates are never masked: their effective sign is 0, which
+    // passes both -iu and -id.
+    val cands =
+      if (opts.ignoreOverlaps) sweeps
+      else {
+        val oBase = Seq(lit(0L).as("d"), col("__bs").as("s"),
+          col("__bid").as("i"), col("__be").as("e"))
+        val overlapCand = IntervalJoin.overlapJoin(
+            a2, b2.withColumnRenamed("__c", "__c2"),
+            leftCols = ("__c", "__as", "__ae"),
+            rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
+          .select(col("__aid"), col("__c"), col("__oc"), col("__as"),
+            col("__ae"),
+            (if (withAt) col("__astr") else nullAstr),
+            struct((if (withBt) oBase :+ col("__bstr").as("t")
+              else oBase): _*).as("__cand"))
+        sweeps.unionByName(overlapCand)
+      }
+    // ONE hash aggregation: min(candidate) is the global argmin, the
+    // payload columns are constant per A (max() re-emits them; every
+    // A has its two probe rows, so no A is lost)
+    cands.groupBy(col("__aid"))
+      .agg(max(col("__c")).as("__c"), max(col("__oc")).as("__oc"),
+        max(col("__as")).as("__as"), max(col("__ae")).as("__ae"),
+        max(col("__astr")).as("__astr"),
+        min(col("__cand")).as("__best"))
+      .select(Seq(col("__aid"), col("__c"), col("__oc"),
+        col("__as"), col("__ae")) ++
+        opts.aStrandCol.map(_ => col("__astr")).toSeq :+
+        col("__best"): _*)
   }
 
   /** Every-tie variant of [[closest]] — the bedtools `closest -t all`
@@ -2410,12 +2469,13 @@ object IntervalOps {
       opts: ClosestOptions = ClosestOptions()): DataFrame = {
     // ONE pair of projections feeds both the argmin core and the tie
     // join (the core's output already carries a2's columns, so no
-    // re-join against a2 either); materialized once, as closest()
-    val Seq(a2, b2raw) = materializeAll(
-      closestProjectA(a, aId, chrom, start, end, strand,
-        opts.aStrandCol),
-      closestProjectB(b, bId, chrom, start, end, strand,
-        opts.bStrandCol))
+    // re-join against a2 either); NOT checkpointed — closest()'s r21
+    // A/B verdict (recomputing the narrow projections beats the
+    // block write + re-reads at every size tried)
+    val a2 = closestProjectA(a, aId, chrom, start, end, strand,
+      opts.aStrandCol)
+    val b2raw = closestProjectB(b, bId, chrom, start, end, strand,
+      opts.bStrandCol)
     val b2 = b2raw.withColumnRenamed("__c", "__c2")
     // the core output feeds the tie join's extended probe side, that
     // join's OWN existence probe, and the miss branch — without the

@@ -1704,33 +1704,46 @@ class IntervalOpsSpec extends SparkSuite {
       .toDF("bid", "chrom", "start", "end")
     // an aggregate in the B subtree is not trivially recomputable:
     // the gate must checkpoint the projection (the optimized plan
-    // then contains NO Aggregate — it ran once, into blocks)
+    // then contains NO Aggregate — it ran once, into blocks).
+    // mapOverlaps is the pinned operator since the r21 A/B moved the
+    // closest family OFF input checkpointing (see closestCore's doc).
     val bAgg = b.groupBy("bid", "chrom")
       .agg(org.apache.spark.sql.functions.min("start").as("start"),
         org.apache.spark.sql.functions.max("end").as("end"))
+      .withColumn("v", col("bid"))
+    val bV = b.withColumn("v", col("bid"))
     def rddLeaves(p: org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan): Int = p.collectLeaves().count(
       _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
-    val planAgg = IntervalOps.closest(a, bAgg, "aid", "bid")
+    val planAgg = IntervalOps.mapOverlaps(a, bAgg, "aid", "v")
       .queryExecution.optimizedPlan
-    val plain = IntervalOps.closest(a, b, "aid", "bid")
+    val plain = IntervalOps.mapOverlaps(a, bV, "aid", "v")
       .queryExecution.optimizedPlan
-    // RangeFill's own RDD-backed stage contributes LogicalRDD leaves
-    // to BOTH plans; the aggregate-derived B must contribute MORE
-    // (every b2 reference becomes a checkpoint-block leaf) and its
-    // aggregate must no longer be duplicated per reference (<= 1
-    // Aggregate over a LocalRelation subtree: the one checkpoint run
-    // is outside this plan entirely — the overlap join's own one-row
-    // existence probes are the Aggregates that remain)
+    // the aggregate-derived B must contribute checkpoint-block leaves
+    // (every b2 reference becomes a LogicalRDD leaf) and its
+    // aggregate must no longer be duplicated per reference — the one
+    // checkpoint run is outside this plan entirely; the overlap
+    // join's own one-row existence probes are the Aggregates that
+    // remain
     assert(rddLeaves(planAgg) > rddLeaves(plain),
-      "closest over an aggregate-derived B did not materialize the " +
-        "projection — the aggregate would run once per reference")
+      "mapOverlaps over an aggregate-derived B did not materialize " +
+        "the projection — the aggregate would run once per reference")
     // trivial inputs stay un-checkpointed: raw LocalRelation leaves
     // remain in the plan
     assert(plain.collectLeaves().exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
       "trivial LocalRelation inputs were checkpointed — the gate " +
         "stopped skipping cheap frames")
+    // and the closest family stays OFF input checkpointing (the r21
+    // A/B verdict: recomputing the narrow projections beats the
+    // block write + re-reads): an aggregate-derived B keeps its
+    // Aggregate nodes inside closest's own plan
+    val closestAgg = IntervalOps.closest(a, bAgg.drop("v"), "aid",
+      "bid").queryExecution.optimizedPlan
+    assert(closestAgg.collect { case ag: org.apache.spark.sql.catalyst
+        .plans.logical.Aggregate => ag }.size > 1,
+      "closest re-materialized its projections — the r21 decision " +
+        "to keep the closest family checkpoint-free was reverted")
   }
 
   test("closestAll: randomized parity with a naive all-pairs oracle") {
