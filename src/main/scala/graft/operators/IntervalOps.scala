@@ -774,9 +774,13 @@ object IntervalOps {
     requireSharedIntegralCoords(df, start, end, "multiinter")
     val n = if (partitions > 0) partitions
       else session.sessionState.conf.numShufflePartitions
-    // 2n events -> net per-(chrom, pos, set) deltas -> one row per
-    // breakpoint carrying the per-set delta vector (all-zero rows
-    // dropped: they separate equal segments only)
+    // 2n events -> net per-(chrom, pos, set) deltas, ONE map-side-
+    // combined shuffle (all-zero rows dropped: they separate equal
+    // segments only). The r21 shape keeps the deltas FLAT — the old
+    // second groupBy that collected a per-breakpoint map was a full
+    // extra shuffle whose only job the pass-B sweep below absorbs by
+    // draining every equal-(chrom, pos) row before emitting a segment
+    // (equal range-partition keys never straddle a partition).
     val bp = dropNullCoords(df, chrom, start, end)
       .where(col(setCol).isNotNull)
       .select(col(chrom).cast("string").as("__c"),
@@ -790,10 +794,7 @@ object IntervalOps {
       .groupBy(col("__c"), col("__ev.pos").as("__p"), col("__set"))
       .agg(sum(col("__ev.d")).as("__d"))
       .where(col("__d") =!= 0L)
-      .groupBy(col("__c"), col("__p"))
-      .agg(map_from_entries(collect_list(struct(col("__set"),
-        col("__d")))).as("__dm"))
-      .as[(String, Long, Map[String, Long])]
+      .as[(String, Long, String, Long)]
     val rdd = bp.repartitionByRange(n, col("__c"), col("__p"))
       .sortWithinPartitions("__c", "__p")
       .rdd
@@ -804,11 +805,9 @@ object IntervalOps {
       var firstP = 0L
       val sums =
         scala.collection.mutable.LinkedHashMap[(String, String), Long]()
-      it.foreach { case (c, p, dm) =>
+      it.foreach { case (c, p, set, d) =>
         if (!any) { any = true; firstC = c; firstP = p }
-        dm.foreach { case (s, d) =>
-          sums.update((c, s), sums.getOrElse((c, s), 0L) + d)
-        }
+        sums.update((c, set), sums.getOrElse((c, set), 0L) + d)
       }
       Iterator.single((pid, any, firstC, firstP, sums.toSeq))
     }.collect().sortBy(_._1)
@@ -830,7 +829,10 @@ object IntervalOps {
     }
     val bcOffs = session.sparkContext.broadcast(offs)
     val bcTerms = session.sparkContext.broadcast(terms)
-    // pass B: one streaming sweep per sorted partition, per-set depths
+    // pass B: one streaming sweep per sorted partition, per-set
+    // depths; all rows of one (chrom, pos) breakpoint drain before
+    // the segment is emitted (they are adjacent in the sort, and a
+    // range partition never splits equal keys)
     val segs = rdd.mapPartitionsWithIndex { (pid, it0) =>
       val it = it0.buffered
       val off = bcOffs.value(pid)
@@ -839,9 +841,13 @@ object IntervalOps {
         private var curC: String = null
         private val depth = scala.collection.mutable.Map[String, Long]()
         private var out: (String, Long, Long, Long, String) = null
+        private def applyDelta(s: String, d: Long): Unit = {
+          val nd = depth.getOrElse(s, 0L) + d
+          if (nd == 0L) depth.remove(s) else depth.update(s, nd)
+        }
         private def advance(): Unit = {
           while (out == null && it.hasNext) {
-            val (c, p, dm) = it.next()
+            val (c, p, set0, d0) = it.next()
             if (c != curC) {
               curC = c
               depth.clear()
@@ -849,9 +855,10 @@ object IntervalOps {
                 if (oc == c && d != 0L) depth.update(s, d)
               }
             }
-            dm.foreach { case (s, d) =>
-              val nd = depth.getOrElse(s, 0L) + d
-              if (nd == 0L) depth.remove(s) else depth.update(s, nd)
+            applyDelta(set0, d0)
+            while (it.hasNext && it.head._1 == c && it.head._2 == p) {
+              val (_, _, s2, d2) = it.next()
+              applyDelta(s2, d2)
             }
             val segEnd: Long =
               if (it.hasNext) { if (it.head._1 == c) it.head._2 else -1L }
@@ -1460,23 +1467,36 @@ object IntervalOps {
   def jaccard(a: DataFrame, b: DataFrame, chrom: String = "chrom",
       start: String = "start", end: String = "end",
       binSize: Long = 1000L): DataFrame = {
-    def merged(df: DataFrame): DataFrame =
-      mergeIntervalsRange(
-          dropNullCoords(df, chrom, start, end)
-            .select(col(chrom).cast("string").as("__c"),
-              col(start).cast("long").as("__s"),
-              greatest(col(end).cast("long"), col(start).cast("long"))
-                .as("__e")),
-          chrom = "__c", start = "__s", end = "__e")
-        .select(col("__c"), col("start").as("__s"), col("end").as("__e"))
-        // isolated point survivors cover no bases (subtract's case)
-        .where(col("__s") < col("__e"))
-    val ma = merged(a).persist()
-    val mb = merged(b)
-      .select(col("__c").as("__c2"), col("__s").as("__bs"),
-        col("__e").as("__be"))
+    // ONE merge over the union of both sets, keyed on the composite
+    // "<tag> <chrom>" string (r21, guide §2.4): a merge never crosses
+    // the tag boundary, so the result equals two separate merges —
+    // for one range shuffle, one boundary-sampling job and one pass-A
+    // summary instead of two of each, run back to back. The prefix is
+    // FIXED-WIDTH (one tag char + one separator), so recovery by
+    // substring is unambiguous for every chromosome string.
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      dropNullCoords(df, chrom, start, end)
+        .select(concat(lit(tag + " "),
+            col(chrom).cast("string")).as("__ck"),
+          col(start).cast("long").as("__s"),
+          greatest(col(end).cast("long"), col(start).cast("long"))
+            .as("__e"))
+    val m = mergeIntervalsRange(
+        tagged(a, "a").unionByName(tagged(b, "b")),
+        chrom = "__ck", start = "__s", end = "__e")
+      .select(col("__ck"), col("start").as("__s"),
+        col("end").as("__e"))
+      // isolated point survivors cover no bases (subtract's case)
+      .where(col("__s") < col("__e"))
       .persist()
     try {
+      val isA = col("__ck").startsWith("a")
+      val chromOf = expr("substring(__ck, 3)")
+      val ma = m.where(isA)
+        .select(chromOf.as("__c"), col("__s"), col("__e"))
+      val mb = m.where(!isA)
+        .select(chromOf.as("__c2"), col("__s").as("__bs"),
+          col("__e").as("__be"))
       val Array(inter, nx) = IntervalJoin.overlapJoin(ma, mb,
           leftCols = ("__c", "__s", "__e"),
           rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
@@ -1484,10 +1504,12 @@ object IntervalOps {
             greatest(col("__s"), col("__bs"))), lit(0L)),
           count(lit(1)))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      val la = ma.agg(coalesce(sum(col("__e") - col("__s")), lit(0L)))
-        .collect().head.getLong(0)
-      val lb = mb.agg(coalesce(sum(col("__be") - col("__bs")), lit(0L)))
-        .collect().head.getLong(0)
+      // both side lengths in ONE job over the cached merged frame
+      val lens = m.agg(
+          coalesce(sum(when(isA, col("__e") - col("__s"))), lit(0L)),
+          coalesce(sum(when(!isA, col("__e") - col("__s"))), lit(0L)))
+        .collect().head
+      val (la, lb) = (lens.getLong(0), lens.getLong(1))
       val union = la + lb - inter
       val jac: java.lang.Double =
         if (union == 0L) null else inter.toDouble / union
@@ -1496,8 +1518,7 @@ object IntervalOps {
       Seq((inter, union, Option(jac).map(_.doubleValue), nx))
         .toDF("intersection", "union_len", "jaccard", "n_intersections")
     } finally {
-      ma.unpersist()
-      mb.unpersist()
+      m.unpersist()
     }
   }
 
@@ -1832,27 +1853,37 @@ object IntervalOps {
         greatest(col(end).cast("long"), col(start).cast("long"))
           .as("__be"))
       .where(col("__bs") < col("__be") && col("__c2").isNotNull))
-    val cntJoined = IntervalJoin.overlapJoin(aPos, b2,
-        leftCols = aCols,
-        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
-    val cnt = (if (!split) cntJoined
-      else cntJoined.where(firstHit(col("__bix"), col("__bp"),
-        col("__as"), col("__bs"), col("__be"))))
-      .groupBy(col("__aid")).agg(count(lit(1)).as("__n"))
+    // ONE binned join over the TAGGED union of raw B (the count side)
+    // and merged B (the covered-bases side) instead of one join per
+    // statistic (r21, guide §2.4): the A side is scanned/exploded
+    // once, one hash aggregation computes both statistics with
+    // conditional aggregates, and one join-back restores zero rows —
+    // a full binned join, an aggregation and a join fewer than the
+    // two-join shape, with the same joined pair volume.
     val mb = mergeIntervalsRange(b2, chrom = "__c2", start = "__bs",
         end = "__be")
       .select(col("__c2"), col("start").as("__bs"),
         col("end").as("__be"))
-    val clipLo = if (!split) col("__as") else col("__ks")
-    val clipHi = if (!split) col("__ae") else col("__ke")
-    val cov = IntervalJoin.overlapJoin(aPos, mb,
+    val bTagged = b2.withColumn("__mrg", lit(false))
+      .unionByName(mb.withColumn("__mrg", lit(true)))
+    val joined = IntervalJoin.overlapJoin(aPos, bTagged,
         leftCols = aCols,
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
-      .groupBy(col("__aid"))
-      .agg(sum(least(clipHi, col("__be")) -
-        greatest(clipLo, col("__bs"))).as("__cov"))
+    val clipLo = if (!split) col("__as") else col("__ks")
+    val clipHi = if (!split) col("__ae") else col("__ke")
+    // -split counts a multi-block-spanning B once (firstHit on the raw
+    // rows only); covered bases clip merged B against each disjoint
+    // block, so the per-A sum stays exact
+    val cntRow = !col("__mrg") &&
+      (if (!split) lit(true)
+      else firstHit(col("__bix"), col("__bp"),
+        col("__as"), col("__bs"), col("__be")))
+    val agg = joined.groupBy(col("__aid"))
+      .agg(sum(when(cntRow, 1L).otherwise(0L)).as("__n"),
+        sum(when(col("__mrg"), least(clipHi, col("__be")) -
+          greatest(clipLo, col("__bs")))).as("__cov"))
     val aLen = if (!split) col("__ae") - col("__as") else col("__blen")
-    a2.join(cnt, Seq("__aid"), "left").join(cov, Seq("__aid"), "left")
+    a2.join(agg, Seq("__aid"), "left")
       .select(col("__aid").as(aId),
         col("__oc").cast(a.schema(chrom).dataType).as(chrom),
         col("__as").cast(a.schema(start).dataType).as(start),
@@ -1917,30 +1948,33 @@ object IntervalOps {
     // in parallel) and derive all three from the blocks
     val normed = sets.map(_._1).zip(
       materializeAll(sets.map { case (n, f) => norm(f, n) }: _*))
+    // ONE binned join over the tagged union of every set's raw rows
+    // (count side) and per-set merged rows (covered-bases side)
+    // instead of one join per statistic — coverageBy's r21 fusion
+    // applied across the set dimension: the A side is scanned once,
+    // one hash aggregation on (A id, set) computes both statistics
+    // with conditional aggregates, and one join restores zero rows.
     val raw = normed.map(_._2).reduce(_.unionByName(_))
+      .withColumn("__mrg", lit(false))
     val mrg = normed.map { case (n, f) =>
       mergeIntervalsRange(f, chrom = "__c2", start = "__bs",
           end = "__be")
         .select(lit(n).as("__set"), col("__c2"),
           col("start").as("__bs"), col("end").as("__be"))
     }.reduce(_.unionByName(_))
-    val cnt = IntervalJoin.overlapJoin(aPos, raw,
+      .withColumn("__mrg", lit(true))
+    val stats = IntervalJoin.overlapJoin(aPos, raw.unionByName(mrg),
         leftCols = ("__c", "__as", "__ae"),
         rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
       .groupBy(col("__aid"), col("__set"))
-      .agg(count(lit(1)).as("__n"))
-    val cov = IntervalJoin.overlapJoin(aPos, mrg,
-        leftCols = ("__c", "__as", "__ae"),
-        rightCols = ("__c2", "__bs", "__be"), binSize = binSize)
-      .groupBy(col("__aid"), col("__set"))
-      .agg(sum(least(col("__ae"), col("__be")) -
-        greatest(col("__as"), col("__bs"))).as("__cov"))
+      .agg(sum(when(!col("__mrg"), 1L).otherwise(0L)).as("__n"),
+        sum(when(col("__mrg"), least(col("__ae"), col("__be")) -
+          greatest(col("__as"), col("__bs")))).as("__cov"))
     val session = a.sparkSession
     import session.implicits._
     val names = broadcast(sets.map(_._1).toDF("__set"))
     a2.crossJoin(names)
-      .join(cnt, Seq("__aid", "__set"), "left")
-      .join(cov, Seq("__aid", "__set"), "left")
+      .join(stats, Seq("__aid", "__set"), "left")
       .select(col("__aid").as(aId), col("__set").as("set"),
         col("__oc").cast(a.schema(chrom).dataType).as(chrom),
         col("__as").cast(a.schema(start).dataType).as(start),
