@@ -564,16 +564,24 @@ object TextOps {
   def repetitionStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val n = size(col("__ws")).cast("double")
+    // bigram pairs via slice + arrays_zip, NOT a transform(sequence)
+    // lambda: higher-order functions are CodegenFallback, so the old
+    // form ran one interpreted lambda call per bigram occurrence and
+    // broke whole-stage codegen for the projection (r21; the same
+    // lesson as q32's winnowMd5 kernel). slice lengths clamp at 0 so
+    // sub-2-word docs zip to an empty array and explode drops them —
+    // the same rows the old size guard dropped. Words contain no
+    // whitespace (tokens splits on it), so the joined string is the
+    // same bigram key as before.
+    val nm1 = greatest(size(col("__ws")) - 1, lit(0))
     docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
       .select(col(idCol),
         round(lit(1d) - size(array_distinct(col("__ws"))).cast("double") / n,
           6).as("dup_word_frac"),
-        // element_at is 1-based; the size guard matters because
-        // sequence(1, 0) is a DESCENDING sequence in Spark, not empty
-        explode(expr("CASE WHEN size(__ws) < 2 THEN array() ELSE " +
-          "transform(sequence(1, size(__ws) - 1), i -> " +
-          "concat(element_at(__ws, i), ' ', element_at(__ws, i + 1))) END"))
-          .as("bg"))
+        explode(arrays_zip(slice(col("__ws"), lit(1), nm1),
+          slice(col("__ws"), lit(2), nm1))).as("__bgp"))
+      .select(col(idCol), col("dup_word_frac"),
+        concat(col("__bgp.0"), lit(" "), col("__bgp.1")).as("bg"))
       .groupBy(col(idCol), col("bg"))
       .agg(first(col("dup_word_frac")).as("dwf"), count(lit(1)).as("cnt"))
       .groupBy(col(idCol))
