@@ -142,7 +142,12 @@ object TextOps {
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
     }
     private def base(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      // serialized storage, like IntervalOps.materializeInputs: the
+      // deserialized default pins one UnsafeRow object per row per
+      // superstep until the ContextCleaner runs (r21)
+      else df.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     /** Snapshot that outlives the whole iteration (never cleaned up
       * mid-run — e.g. the edge list every superstep joins against). */
