@@ -14,7 +14,10 @@ object Verify {
           "usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
         sys.exit(2)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default aligned with Bench's local[32] benchmark contract (r21,
+    // ADVICE fix: bare Verify and bare Bench used different session
+    // shapes — 4 vs 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

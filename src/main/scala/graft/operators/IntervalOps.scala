@@ -298,13 +298,19 @@ object IntervalOps {
 
   /** The validated zipped (o, l) block array: index pairs exhaust at
     * the shorter array (zip_with pads with nulls; the filter drops
-    * them), null elements drop. */
+    * them), null elements drop, and a NEGATIVE length drops too (r21,
+    * ADVICE fix: a negative l silently subtracted from blk_total —
+    * the -split -f denominator and coverageBy's a_len — overstating
+    * fractions; a malformed pair now degrades like the other
+    * documented malformed shapes, falling back to the whole-interval
+    * row when no valid pair remains). */
   private def validBlocks(bs: Column, sz: Column): Column =
     when(bs.isNotNull && sz.isNotNull,
       filter(
         zip_with(bs, sz, (o, l) =>
           struct(o.cast("long").as("o"), l.cast("long").as("l"))),
-        b => b.getField("o").isNotNull && b.getField("l").isNotNull))
+        b => b.getField("o").isNotNull && b.getField("l").isNotNull &&
+          b.getField("l") >= 0L))
 
   /** Total block bases (the `-split` fraction denominator), falling
     * back to the whole interval's clamped length. */

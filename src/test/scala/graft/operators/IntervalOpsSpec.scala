@@ -729,6 +729,29 @@ class IntervalOpsSpec extends SparkSuite {
       (4L, 0, 10L, 10L, 0L)))
   }
 
+  test("explodeBlocks: negative block lengths are malformed, not " +
+      "subtracted from blk_total") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      // one valid block + one negative-length block: the negative
+      // pair drops, blk_total = the valid block's 10 (the old code
+      // summed 10 + (-5) = 5, overstating -split fractions)
+      (1L, "chr1", 100L, 200L, Seq(0L, 20L), Seq(10L, -5L)),
+      // ALL pairs negative -> no valid pair -> whole-interval fallback
+      (2L, "chr1", 300L, 400L, Seq(0L), Seq(-1L)))
+      .toDF("aid", "chrom", "start", "end", "bst", "bsz")
+    val ex = IntervalOps.explodeBlocks(a, blockStarts = "bst",
+        blockSizes = "bsz")
+      .select("aid", "blk_index", "blk_start", "blk_end", "blk_total")
+      .orderBy("aid", "blk_index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(ex.toSeq == Seq(
+      (1L, 0, 100L, 110L, 10L),
+      (2L, -1, 300L, 400L, 100L)))
+  }
+
   test("-split intersect/map/coverage match a naive block model on " +
       "random data") {
     val s = spark

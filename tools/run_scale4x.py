@@ -109,17 +109,23 @@ def main():
              "time_ratio_2x_1x": round(t2 / t1, 2) if t1 > 0 else None,
              "time_ratio_4x_2x": round(t4 / t2, 2) if t2 > 0 else None,
              "time_ratio_4x_1x": round(t4 / t1, 2) if t1 > 0 else None}
-        # min(t) > 0 mirrors the time-ratio guards: a 0.0-second
-        # measurement (trivial rung or malformed REUSE record) must
-        # not ZeroDivisionError away the whole assembled artifact
-        if n1 > 0 and n4 > 0 and n2 > 0 and min(t1, t2, t4) > 0:
+        # row_ratio needs only row counts (r21 ADVICE fix: the old
+        # combined guard also suppressed this pure row-count ratio
+        # whenever any rung reported a 0.0-second time)
+        if n1 > 0 and n4 > 0 and n2 > 0:
             e["row_ratio_4x_1x"] = round(n4 / n1, 2)
-            # throughput at each rung; a DROPPING sequence flags
-            # compounding degradation even when each step looks small
-            e["rows_per_sec"] = {"1x": round(n1 / t1),
-                                 "2x": round(n2 / t2),
-                                 "4x": round(n4 / t4)}
-            e["throughput_ratio_4x_1x"] = round((n4 / t4) / (n1 / t1), 2)
+            # min(t) > 0 mirrors the time-ratio guards: a 0.0-second
+            # measurement (trivial rung or malformed REUSE record) must
+            # not ZeroDivisionError away the whole assembled artifact
+            if min(t1, t2, t4) > 0:
+                # throughput at each rung; a DROPPING sequence flags
+                # compounding degradation even when each step looks
+                # small
+                e["rows_per_sec"] = {"1x": round(n1 / t1),
+                                     "2x": round(n2 / t2),
+                                     "4x": round(n4 / t4)}
+                e["throughput_ratio_4x_1x"] = round((n4 / t4) / (n1 / t1),
+                                                    2)
         per[name] = e
     tsum = {r: sum(qs[r][n] for n in names) for r in recs}
     art = {

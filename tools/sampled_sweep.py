@@ -304,9 +304,21 @@ def check(name, con, outdir, sql, id_col, mod):
         import pandas.api.types as ptypes
         if (ptypes.is_numeric_dtype(want[c])
                 and ptypes.is_numeric_dtype(got[c])):
-            wv = want[c].astype(float)
-            gv = got[c].astype(float)
-            eq = ((wv.isna() & gv.isna()) | (wv == gv)).tolist()
+            # nullable Int64 when BOTH sides are integral (r21 ADVICE
+            # fix: an astype(float) round-trip loses exactness above
+            # 2^53, so two large ids differing only there would
+            # false-PASS); float columns keep the float compare
+            if (ptypes.is_integer_dtype(want[c])
+                    and ptypes.is_integer_dtype(got[c])):
+                wv = want[c].astype("Int64")
+                gv = got[c].astype("Int64")
+            else:
+                wv = want[c].astype(float)
+                gv = got[c].astype(float)
+            # fillna(False): under nullable Int64 a null-vs-value
+            # compare yields pd.NA, and bool(pd.NA) raises in all()
+            eq = ((wv.isna() & gv.isna())
+                  | (wv == gv).fillna(False)).tolist()
             if not all(eq):
                 i = eq.index(False)
                 print(f"FAIL {name}: col {c} row {i}: "
