@@ -2362,42 +2362,75 @@ object IntervalOps {
       * candidate rows (__aid, payload, __cand) — each A contributes
       * exactly two (side 0 = best left, side 1 = best right; __cand
       * null when that side has no candidate or masking dropped it).
-      * `maskOf(side)` is identity outside -iu/-id. */
+      * `maskOf(side)` is identity outside -iu/-id.
+      *
+      * `classed` (the -D b × -iu/-id path, r22): the sweep KEY gains
+      * the B strand class ('-' = "m", everything else = "o") and every
+      * A probe appears once per class — per (side, class) the fill's
+      * winner is that class's true best, the static per-class mask
+      * keeps only distance-0 candidates when the (side, class) is
+      * disallowed (the flip is constant within a class), and ONE range
+      * shuffle replaces the former two per-class timelines. The total
+      * probe row count is unchanged (2 sides × 2 classes); each A
+      * contributes four candidate rows. The PLAIN key rides as probe
+      * payload (__pc) so the classed key never leaves the sweep —
+      * downstream ([[closestAll]]'s tie join on __c) is untouched. */
     def sweepCands(b2x: DataFrame,
-        maskOf: Int => Column => Column): DataFrame = {
-      val bEnd = b2x.select(col("__c"), col("__be").as("__pos"),
-        lit(0).as("__kind"), cbStruct.as("__cbL"))
-      val cbT = bEnd.schema("__cbL").dataType
-      val bEndFull = bEnd
-        .withColumn("__cbR", lit(null).cast(cbT))
-        .withColumn("__aid", lit(null).cast(aidT))
-        .withColumn("__side", lit(null).cast("int"))
-        .withColumn("__oc", lit(null).cast("string"))
-        .withColumn("__as", lit(null).cast("long"))
-        .withColumn("__ae", lit(null).cast("long"))
-        .withColumn("__astr", lit(null).cast("string"))
-      val bStartFull = b2x.select(col("__c"), col("__bs").as("__pos"),
-        lit(2).as("__kind"), lit(null).cast(cbT).as("__cbL"),
-        cbStruct.as("__cbR"), lit(null).cast(aidT).as("__aid"),
+        maskOf: Int => Column => Column,
+        classed: Boolean = false): DataFrame = {
+      val nul = "\u0000" // compositeKey separator; class is the last fragment
+      // ONE pass over b2x emits BOTH event kinds via explode (r22) —
+      // the former bEnd/bStart union branches each evaluated the B
+      // projection separately, so the range shuffle's sampling job and
+      // map stage both decoded B twice; the exploded form also halves
+      // the union fan-in the analyzer/optimizer walk per invocation
+      val bKey =
+        if (!classed) col("__c")
+        else concat(col("__c"), lit(nul),
+          when(col("__bstr") === "-", lit("m")).otherwise(lit("o")))
+      val bEvents = b2x.select(bKey.as("__c"), cbStruct.as("__cb"),
+          explode(array(
+            struct(col("__be").as("p"), lit(0).as("k")),
+            struct(col("__bs").as("p"), lit(2).as("k")))).as("__ev"))
+      val cbT = bEvents.schema("__cb").dataType
+      val bFull = bEvents.select(Seq(col("__c"),
+        col("__ev.p").as("__pos"), col("__ev.k").as("__kind"),
+        when(col("__ev.k") === 0, col("__cb")).as("__cbL"),
+        when(col("__ev.k") === 2, col("__cb")).as("__cbR"),
+        lit(null).cast(aidT).as("__aid"),
         lit(null).cast("int").as("__side"),
         lit(null).cast("string").as("__oc"),
         lit(null).cast("long").as("__as"),
-        lit(null).cast("long").as("__ae"), nullAstr)
+        lit(null).cast("long").as("__ae"), nullAstr) ++
+        (if (classed) Seq(lit(null).cast("string").as("__pc"),
+          lit(null).cast("string").as("__cls")) else Nil): _*)
       // probes carry the A payload through the fill so the aggregate
       // below can re-emit it without a join back to a2
+      val probeStructs =
+        if (!classed) array(
+          struct(col("__as").as("p"), lit(0).as("sd"), lit("").as("cl")),
+          struct(col("__ae").as("p"), lit(1).as("sd"), lit("").as("cl")))
+        else array(
+          struct(col("__as").as("p"), lit(0).as("sd"), lit("m").as("cl")),
+          struct(col("__ae").as("p"), lit(1).as("sd"), lit("m").as("cl")),
+          struct(col("__as").as("p"), lit(0).as("sd"), lit("o").as("cl")),
+          struct(col("__ae").as("p"), lit(1).as("sd"), lit("o").as("cl")))
       val aProbes = a2.select(Seq(col("__c"), col("__aid"),
           col("__oc"), col("__as").as("__pas"),
           col("__ae").as("__pae")) ++
           (if (withAt) Seq(col("__astr")) else Seq(nullAstr)) :+
-          explode(array(
-            struct(col("__as").as("p"), lit(0).as("sd")),
-            struct(col("__ae").as("p"), lit(1).as("sd")))).as("__pr"): _*)
-        .select(col("__c"), col("__pr.p").as("__pos"),
+          explode(probeStructs).as("__pr"): _*)
+        .select(Seq(
+          (if (!classed) col("__c")
+          else concat(col("__c"), lit(nul), col("__pr.cl"))).as("__c"),
+          col("__pr.p").as("__pos"),
           lit(1).as("__kind"), lit(null).cast(cbT).as("__cbL"),
           lit(null).cast(cbT).as("__cbR"), col("__aid"),
           col("__pr.sd").as("__side"), col("__oc"),
           col("__pas").as("__as"), col("__pae").as("__ae"),
-          col("__astr"))
+          col("__astr")) ++
+          (if (classed) Seq(col("__c").as("__pc"),
+            col("__pr.cl").as("__cls")) else Nil): _*)
       // among equal-position B events the GLOBAL rule wants the MIN
       // (b start, b id): the forward fill keeps the LAST seen, so
       // kind-0 tie columns sort DESCENDING; the backward fill keeps
@@ -2410,7 +2443,7 @@ object IntervalOps {
         col("__cbL.__bid").desc_nulls_first,
         col("__cbR.__bid").asc_nulls_first)
       val filled = RangeFill.fillBoth(
-        bEndFull.unionByName(bStartFull).unionByName(aProbes)
+        bFull.unionByName(aProbes)
           .withColumn("__probe", col("__kind") === 1),
         "__c", "__cbL", "__cbR", ord, partitions,
         probeCol = Some("__probe"))
@@ -2426,19 +2459,32 @@ object IntervalOps {
         candOf("__cbL", col("__pos") - col("__cbL.__be")))
       val candR = when(col("__side") === 1 && col("__cbR").isNotNull,
         candOf("__cbR", col("__cbR.__bs") - col("__pos")))
+      // classed masking: keptStatic with the class flip as a per-row
+      // column — `when(!masked || d == 0, cand)` IS keptStatic's
+      // `if (masked) when(d === 0, cand) else cand`, row-wise
+      def keptCl(cand: Column, r: Int): Column = {
+        val flip = when(col("__cls") === "m", lit(-1L)).otherwise(lit(1L))
+        val masked =
+          (if (opts.ignoreUpstream) lit(r) * flip < 0L else lit(false)) ||
+            (if (opts.ignoreDownstream) lit(r) * flip > 0L else lit(false))
+        when(!masked || cand.getField("d") === 0L, cand)
+      }
+      val mL = if (classed) keptCl(candL, -1) else maskOf(0)(candL)
+      val mR = if (classed) keptCl(candR, 1) else maskOf(1)(candR)
       filled.where(col("__kind") === 1)
-        .select(col("__aid"), col("__c"), col("__oc"), col("__as"),
+        .select((if (classed) col("__pc") else col("__c")).as("__c"),
+          col("__aid"), col("__oc"), col("__as"),
           col("__ae"), col("__astr"),
-          when(col("__side") === 0, maskOf(0)(candL))
-            .otherwise(maskOf(1)(candR)).as("__cand"))
+          when(col("__side") === 0, mL).otherwise(mR).as("__cand"))
     }
     // -D b with -iu/-id: the filter depends on each CANDIDATE's
     // strand, so one per-side argmin is unsound (the side's best may
-    // be masked while a deeper same-side candidate survives). Split
-    // the B side by strand CLASS ('-' vs everything else) — within a
-    // class the flip is a constant, so per-(side, class) masking is
-    // exact again: a masked (side, class) contributes only its
-    // distance-0 (book-ended) candidate, which is always allowed.
+    // be masked while a deeper same-side candidate survives). The
+    // class-keyed sweep (classed = true above) runs one per-(side,
+    // class) argmin inside ONE timeline — within a strand class the
+    // flip is constant, so per-(side, class) masking is exact: a
+    // masked (side, class) contributes only its distance-0
+    // (book-ended) candidate, which is always allowed.
     val classSplit =
       (opts.ignoreUpstream || opts.ignoreDownstream) && withBt
     val sweeps =
@@ -2449,13 +2495,7 @@ object IntervalOps {
           kept(cand, when(cand.getField("d") === 0L, lit(0L))
             .otherwise(lit(if (side == 0) -1L else 1L)))
         sweepCands(b2, dyn)
-      } else {
-        def stat(f: Int)(side: Int): Column => Column = cand =>
-          keptStatic(cand, if (side == 0) -1 else 1, f)
-        sweepCands(b2.where(col("__bstr") === "-"), stat(-1))
-          .unionByName(
-            sweepCands(b2.where(!(col("__bstr") <=> "-")), stat(1)))
-      }
+      } else sweepCands(b2, _ => identity, classed = true)
     // -io: the overlap candidates are simply absent (left/right sweep
     // candidates are non-overlapping by construction; book-ended
     // distance-0 candidates still arrive via the sweeps — bedtools
@@ -2653,18 +2693,19 @@ object IntervalOps {
       * payloads (__apoint for the both-zero-length dedup corner,
       * __astr under -D a). */
     def filledOf(b2x: DataFrame): DataFrame = {
-      val bEnd = b2x.select(col("__c"), col("__be").as("__pos"),
-        lit(0).as("__kind"), cbStruct.as("__cbL"))
-      val cbT = bEnd.schema("__cbL").dataType
-      val bEndFull = bEnd
-        .withColumn("__cbR", lit(null).cast(cbT))
-        .withColumn("__aid", lit(null).cast(aidT))
-        .withColumn("__side", lit(null).cast("int"))
-        .withColumn("__apoint", lit(null).cast("boolean"))
-        .withColumn("__astr", lit(null).cast("string"))
-      val bStartFull = b2x.select(col("__c"), col("__bs").as("__pos"),
-        lit(2).as("__kind"), lit(null).cast(cbT).as("__cbL"),
-        cbStruct.as("__cbR"), lit(null).cast(aidT).as("__aid"),
+      // ONE pass over b2x emits BOTH event kinds via explode (r22,
+      // closestCore's rewrite applied here): the former bEnd/bStart
+      // union branches each evaluated the B projection separately
+      val bEvents = b2x.select(col("__c"), cbStruct.as("__cb"),
+          explode(array(
+            struct(col("__be").as("p"), lit(0).as("k")),
+            struct(col("__bs").as("p"), lit(2).as("k")))).as("__ev"))
+      val cbT = bEvents.schema("__cb").dataType
+      val bFull = bEvents.select(col("__c"),
+        col("__ev.p").as("__pos"), col("__ev.k").as("__kind"),
+        when(col("__ev.k") === 0, col("__cb")).as("__cbL"),
+        when(col("__ev.k") === 2, col("__cb")).as("__cbR"),
+        lit(null).cast(aidT).as("__aid"),
         lit(null).cast("int").as("__side"),
         lit(null).cast("boolean").as("__apoint"), nullAstr)
       val aProbes = a2.select(Seq(col("__c"), col("__aid"),
@@ -2684,7 +2725,7 @@ object IntervalOps {
         col("__cbL.__bid").desc_nulls_first,
         col("__cbR.__bid").asc_nulls_first)
       RangeFill.fillBothK(
-        bEndFull.unionByName(bStartFull).unionByName(aProbes)
+        bFull.unionByName(aProbes)
           .withColumn("__probe", col("__kind") === 1),
         "__c", "__cbL", "__cbR", "__Lk", "__Rk", k, ord, partitions,
         probeCol = Some("__probe"))

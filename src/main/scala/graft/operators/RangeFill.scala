@@ -76,8 +76,11 @@ object RangeFill {
     // retained ACROSS rows below is detached via InternalRow.copyValue;
     // values forwarded within one iterator step ride the live buffer
     // (the consumer projects each row before pulling the next).
-    val rdd = df.repartitionByRange(n, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
+    // RangeShuffle (r22): boundary sampling runs on a column-pruned
+    // plan instead of re-evaluating the full upstream decode, and the
+    // partition count adapts to the sampled row count.
+    val rdd = org.apache.spark.sql.graftshim.RangeShuffle
+      .rangeSortedDf(df, sortExprs, Nil, n)
       .queryExecution.toRdd
     def keyOf(r: InternalRow): Any =
       if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
@@ -220,8 +223,8 @@ object RangeFill {
     val bwdType = fieldTypes(bwdIdx)
     val numFields = fieldTypes.length
     val sortExprs = col(key).asc +: order
-    val rdd = df.repartitionByRange(n, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
+    val rdd = org.apache.spark.sql.graftshim.RangeShuffle
+      .rangeSortedDf(df, sortExprs, Nil, n)
       .queryExecution.toRdd
     def keyOf(r: InternalRow): Any =
       if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
@@ -422,8 +425,8 @@ object RangeFill {
     val bwdType = fieldTypes(bwdIdx)
     val numFields = fieldTypes.length
     val sortExprs = col(key).asc +: order
-    val rdd = df.repartitionByRange(n, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
+    val rdd = org.apache.spark.sql.graftshim.RangeShuffle
+      .rangeSortedDf(df, sortExprs, Nil, n)
       .queryExecution.toRdd
     def keyOf(r: InternalRow): Any =
       if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
