@@ -20,6 +20,35 @@ object SparkEntry {
   private def pq(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Doc ids for the synthetic media-asset generators, spread over the
+    * session's shuffle width BEFORE the per-doc encode work:
+    * documents.parquet is one small file, so the narrow mapPartitions
+    * pipelines downstream otherwise run as a single task — q62's
+    * JPEG+MP4 build and decode measured 2.7 s single-threaded on a
+    * 32-core session (r22). Hash repartition on the deterministic
+    * doc_id (guide §2.5 — never round-robin on re-runnable stages);
+    * the shuffle moves 8-byte ids, the heavy payloads are built after
+    * it. Per-doc outputs are id-deterministic, so results are
+    * identical at any width. */
+  private def docIds(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    val base = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+    // default width: at least 8-way for the encode stage (the r22
+    // interleaved A/B optimum on one small input file — 32-way paid
+    // more task overhead than it bought on every generator), never
+    // below the scan's own width, never above the session's shuffle
+    // width (the 100 TB case: a many-file documents table keeps its
+    // natural parallelism and the repartition is a cheap id shuffle).
+    // 0 disables the repartition.
+    val auto = math.min(s.sessionState.conf.numShufflePartitions,
+      math.max(8, base.rdd.getNumPartitions))
+    val n = scala.util.Try(
+      s.conf.get("spark.graft.media.genPartitions", auto.toString).toInt)
+      .getOrElse(auto)
+    (if (n > 0) base.repartition(n, col("doc_id")) else base).as[Long]
+  }
+
   /** The events table's `ts` has shipped in three physical shapes across
     * testdata generations: nanosecond parquet timestamps read as a raw
     * long (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench
@@ -792,8 +821,7 @@ object SparkEntry {
     * unfilter swaps them. */
   private def q56_media_pixels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = pq(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    val ids = docIds(s, dir)
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val w = (4 * (id % 4 + 1)).toInt
@@ -828,8 +856,7 @@ object SparkEntry {
     * dyadic rationals, so both engines' sum/avg/sqrt round identically. */
   private def q57_wav_pcm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = pq(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    val ids = docIds(s, dir)
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val n = (id % 64 + 1).toInt
@@ -863,8 +890,7 @@ object SparkEntry {
     * (samples/2) to match DuckDB's closed form. */
   private def q64_wav_stereo(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = pq(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    val ids = docIds(s, dir)
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val n = (id % 32 + 1).toInt // frames per channel
@@ -901,8 +927,7 @@ object SparkEntry {
     * the gate. */
   private def q58_mp4_frames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = pq(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    val ids = docIds(s, dir)
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val n = (id % 16 + 1).toInt
@@ -944,8 +969,7 @@ object SparkEntry {
   private[graft] def videoAssets(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
-    val ids = pq(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    val ids = docIds(s, dir)
     ids.mapPartitions { it =>
       it.map { id =>
         val n = (id % 4 + 2).toInt
@@ -987,8 +1011,7 @@ object SparkEntry {
     * bug, or a contraction error all change the cluster assignment. */
   private def q59_image_dedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = pq(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    val ids = docIds(s, dir)
     val assets = ids.mapPartitions { it =>
       // splitmix-style avalanche: a LINEAR pattern in (x, y) makes
       // dHash compare phase-shifted ramps and classes collide — each
@@ -1033,8 +1056,7 @@ object SparkEntry {
     * makes the fixed point a window min over the class residue. */
   private def q60_image_neardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = pq(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    val ids = docIds(s, dir)
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val payload = Multimodal.plantedNearDupPng(
@@ -1063,8 +1085,7 @@ object SparkEntry {
     * images would collapse into a single dhash-0 cluster. */
   private def q63_flat_dedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = pq(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    val ids = docIds(s, dir)
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val g = ((id % 20) * 13 + (id / 20) % 2).toInt

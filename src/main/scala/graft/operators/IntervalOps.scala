@@ -480,8 +480,10 @@ object IntervalOps {
       .as[(String, Long, Long)]
     // ONE shared RDD: pass B and the boundary collect reuse pass A's
     // completed range-shuffle map stage instead of re-shuffling
+    val nA = org.apache.spark.sql.graftshim.RangeShuffle
+      .adaptivePartitions(typed.toDF, n)
     val rdd = typed
-      .repartitionByRange(n, col("_1"), col("_2"))
+      .repartitionByRange(nA, col("_1"), col("_2"))
       .sortWithinPartitions("_1", "_2", "_3")
       .rdd
     // pass A: (pid, nonEmpty, firstChrom, lastGroupChrom,
@@ -675,7 +677,9 @@ object IntervalOps {
       .as[(String, Long, Long)]
     // ONE shared RDD for both passes: pass B's job reuses pass A's
     // completed range-shuffle map stage instead of re-shuffling
-    val rdd = bp.repartitionByRange(n, col("__c"), col("__p"))
+    val nA = org.apache.spark.sql.graftshim.RangeShuffle
+      .adaptivePartitions(bp.toDF, n)
+    val rdd = bp.repartitionByRange(nA, col("__c"), col("__p"))
       .sortWithinPartitions("__c", "__p")
       .rdd
     // pass A: (pid, nonEmpty, firstChrom, firstPos, per-chrom sums)
@@ -801,7 +805,9 @@ object IntervalOps {
       .agg(sum(col("__ev.d")).as("__d"))
       .where(col("__d") =!= 0L)
       .as[(String, Long, String, Long)]
-    val rdd = bp.repartitionByRange(n, col("__c"), col("__p"))
+    val nA = org.apache.spark.sql.graftshim.RangeShuffle
+      .adaptivePartitions(bp.toDF, n)
+    val rdd = bp.repartitionByRange(nA, col("__c"), col("__p"))
       .sortWithinPartitions("__c", "__p")
       .rdd
     // pass A: per-partition first breakpoint + per-(chrom, set) sums
