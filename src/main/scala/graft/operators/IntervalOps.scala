@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -479,26 +481,37 @@ object IntervalOps {
           .as("_3"))
       .as[(String, Long, Long)]
     // ONE shared RDD: pass B and the boundary collect reuse pass A's
-    // completed range-shuffle map stage instead of re-shuffling
-    val nA = org.apache.spark.sql.graftshim.RangeShuffle
-      .adaptivePartitions(typed.toDF, n)
-    val rdd = typed
-      .repartitionByRange(nA, col("_1"), col("_2"))
-      .sortWithinPartitions("_1", "_2", "_3")
-      .rdd
+    // completed range-shuffle map stage instead of re-shuffling.
+    // All three consumers run on the plan's InternalRows (r22): the
+    // former typed `.as[(String, Long, Long)].rdd` leg decoded every
+    // row into a fresh String + Tuple3 in pass A, pass B AND the
+    // boundary collect, then re-encoded every merged group through the
+    // product encoder. Chromosome values detach (UTF8String copy) only
+    // on change-of-contig.
+    val rdd = org.apache.spark.sql.graftshim.RangeShuffle
+      .rangeSortedDf(typed.toDF, Seq(col("_1"), col("_2")),
+        Seq(col("_3")), n)
+      .queryExecution.toRdd
     // pass A: (pid, nonEmpty, firstChrom, lastGroupChrom,
     // lastGroupStart, lastGroupEnd) — the last LOCAL merged group of
     // each sorted partition, from the plain un-seeded sweep
     val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
       var any = false
       var firstC: String = null
+      var curC: org.apache.spark.unsafe.types.UTF8String = null
       var gC: String = null
       var gS = 0L
       var gE = 0L
-      it.foreach { case (c, st, en) =>
-        if (!any) { any = true; firstC = c; gC = c; gS = st; gE = en }
-        else if (c == gC && st <= gE + maxGap) gE = math.max(gE, en)
-        else { gC = c; gS = st; gE = en }
+      it.foreach { r =>
+        val c = r.getUTF8String(0)
+        val st = r.getLong(1)
+        val en = r.getLong(2)
+        val sameC = curC != null && c == curC
+        if (!sameC) { curC = c.copy() }
+        val cs = if (sameC) gC else curC.toString
+        if (!any) { any = true; firstC = cs; gC = cs; gS = st; gE = en }
+        else if (sameC && st <= gE + maxGap) gE = math.max(gE, en)
+        else { gC = cs; gS = st; gE = en }
       }
       Iterator.single((pid, any, firstC, gC, gS, gE))
     }.collect().sortBy(_._1)
@@ -530,50 +543,80 @@ object IntervalOps {
     // complete merged interval by construction.
     val grouped = rdd.mapPartitionsWithIndex { (pid, it) =>
       val carry = bc.value(pid)
-      new Iterator[(String, Long, Long, Long, Boolean)] {
-        private var pending: (String, Long, Long, Long, Boolean) = null
+      new Iterator[InternalRow] {
+        private var pending: InternalRow = null
         private var open = carry != null
+        private var curC: org.apache.spark.unsafe.types.UTF8String =
+          if (carry != null)
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(carry._1)
+          else null
         private var gC: String = if (carry != null) carry._1 else null
         private var gS = 0L
         private var gE: Long = if (carry != null) carry._2 else 0L
         private var gN = 0L
         private var emittedAny = false
+        private def emit(boundary: Boolean): Unit = {
+          pending = new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(gC),
+            gS, gE, gN, boundary))
+        }
         private def advance(): Unit = {
           while (pending == null && it.hasNext) {
-            val (c, st, en) = it.next()
-            if (!open) { open = true; gC = c; gS = st; gE = en; gN = 1L }
-            else if (c == gC && st <= gE + maxGap) {
+            val r = it.next()
+            val c = r.getUTF8String(0)
+            val st = r.getLong(1)
+            val en = r.getLong(2)
+            val sameC = curC != null && c == curC
+            if (!sameC) curC = c.copy()
+            if (!open) {
+              open = true
+              gC = curC.toString; gS = st; gE = en; gN = 1L
+            } else if (sameC && gC != null && st <= gE + maxGap) {
               if (gN == 0L) gS = st // first local row joining the carry
               gE = math.max(gE, en); gN += 1L
             } else {
               if (gN > 0L) {
-                pending = (gC, gS, gE, gN, !emittedAny)
+                emit(!emittedAny)
                 emittedAny = true
               }
-              gC = c; gS = st; gE = en; gN = 1L
+              gC = curC.toString; gS = st; gE = en; gN = 1L
             }
           }
           if (pending == null && open && !it.hasNext) {
             // the trailing group is ALWAYS a boundary piece: the next
             // partition may continue it (an empty virtual-only group
             // means the carry reached nothing local — emit nothing)
-            if (gN > 0L) pending = (gC, gS, gE, gN, true)
+            if (gN > 0L) emit(true)
             open = false
           }
         }
         def hasNext: Boolean = { advance(); pending != null }
-        def next(): (String, Long, Long, Long, Boolean) = {
+        def next(): InternalRow = {
           advance(); val r = pending; pending = null; r
         }
       }
     }
+    val groupSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__mc",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__me",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_merged",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__bd",
+        org.apache.spark.sql.types.BooleanType)))
     // boundary stitch: ≤ 2·partitions pieces, walked in global
     // (chrom, start) order with the same sweep rule. Two pieces that
     // must merge are always adjacent here: any complete group lying
     // between them would itself have folded into the chain in pass B
     // (its start is below the carried end), contradiction.
-    val pieces = grouped.filter(_._5)
-      .map(t => (t._1, t._2, t._3, t._4)).collect()
+    val pieces = grouped.filter(_.getBoolean(4))
+      .map(r => (r.getUTF8String(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .collect()
       .sortBy(t => (t._1, t._2))
     val stitched = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Long)]
@@ -589,11 +632,13 @@ object IntervalOps {
       }
     }
     if (openPiece != null) stitched += openPiece
-    val complete = session.createDataset(
-      grouped.filter(!_._5).map(t => (t._1, t._2, t._3, t._4)))
+    val complete = org.apache.spark.sql.graftshim.PlanShim
+      .internalCreateDataFrame(session,
+        grouped.filter(r => !r.getBoolean(4)), groupSchema)
+      .select(col("__mc"), col("__ms"), col("__me"), col("n_merged"))
     val boundary = session.createDataset(stitched.toSeq)
-    complete.unionByName(boundary)
       .toDF("__mc", "__ms", "__me", "n_merged")
+    complete.unionByName(boundary)
       .select(col("__mc").cast(df.schema(chrom).dataType).as(chrom),
         col("__ms").cast(df.schema(start).dataType).as("start"),
         col("__me").cast(df.schema(end).dataType).as("end"),
@@ -674,23 +719,30 @@ object IntervalOps {
       .groupBy(col("__c"), col("__ev.pos").as("__p"))
       .agg(sum(col("__ev.d")).as("__d"))
       .where(col("__d") =!= 0L)
-      .as[(String, Long, Long)]
     // ONE shared RDD for both passes: pass B's job reuses pass A's
-    // completed range-shuffle map stage instead of re-shuffling
-    val nA = org.apache.spark.sql.graftshim.RangeShuffle
-      .adaptivePartitions(bp.toDF, n)
-    val rdd = bp.repartitionByRange(nA, col("__c"), col("__p"))
-      .sortWithinPartitions("__c", "__p")
-      .rdd
+    // completed range-shuffle map stage instead of re-shuffling.
+    // Both passes run on the plan's InternalRows (r22): the former
+    // typed `.as[(String, Long, Long)].rdd` leg decoded every
+    // breakpoint into a fresh String + Tuple3 in BOTH passes and
+    // re-encoded every emitted segment through the product encoder —
+    // per-row allocation the sweep never needed. Chromosome values
+    // detach (UTF8String copy) only on change-of-contig.
+    val rdd = org.apache.spark.sql.graftshim.RangeShuffle
+      .rangeSortedDf(bp, Seq(col("__c"), col("__p")), Nil, n)
+      .queryExecution.toRdd
     // pass A: (pid, nonEmpty, firstChrom, firstPos, per-chrom sums)
     val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
       var any = false
       var firstC: String = null
       var firstP = 0L
+      var curC: org.apache.spark.unsafe.types.UTF8String = null
+      var curCs: String = null
       val sums = scala.collection.mutable.LinkedHashMap[String, Long]()
-      it.foreach { case (c, p, d) =>
-        if (!any) { any = true; firstC = c; firstP = p }
-        sums.update(c, sums.getOrElse(c, 0L) + d)
+      it.foreach { r =>
+        val c = r.getUTF8String(0)
+        if (curC == null || c != curC) { curC = c.copy(); curCs = curC.toString }
+        if (!any) { any = true; firstC = curCs; firstP = r.getLong(1) }
+        sums.update(curCs, sums.getOrElse(curCs, 0L) + r.getLong(2))
       }
       Iterator.single((pid, any, firstC, firstP, sums.toSeq))
     }.collect().sortBy(_._1)
@@ -713,39 +765,68 @@ object IntervalOps {
     }
     val bcOffs = session.sparkContext.broadcast(offs)
     val bcTerms = session.sparkContext.broadcast(terms)
-    // pass B: one streaming sweep per sorted partition
-    val segs = rdd.mapPartitionsWithIndex { (pid, it0) =>
-      val it = it0.buffered
+    // pass B: one streaming sweep per sorted partition. The former
+    // formulation peeked at the NEXT row (BufferedIterator.head) to
+    // close each segment — unsafe on the plan's reused row buffers —
+    // so the InternalRow sweep inverts it: each row closes the
+    // PREVIOUS breakpoint's segment (same emission set: a row emits
+    // iff its same-chrom successor exists in this partition, else the
+    // terminator closes it).
+    val segs = rdd.mapPartitionsWithIndex { (pid, it) =>
       val off = bcOffs.value(pid)
       val term = bcTerms.value(pid)
-      new Iterator[(String, Long, Long, Long)] {
-        private var curC: String = null
+      new Iterator[InternalRow] {
+        private var curC: org.apache.spark.unsafe.types.UTF8String = null
+        private var curCs: String = null
         private var depth = 0L
-        private var out: (String, Long, Long, Long) = null
+        private var havePrev = false
+        private var prevP = 0L
+        private var prevDepth = 0L
+        private var done = false
+        private var out: InternalRow = null
+        private def emit(endP: Long): Unit =
+          out = new GenericInternalRow(
+            Array[Any](curC, prevP, endP, prevDepth))
         private def advance(): Unit = {
-          while (out == null && it.hasNext) {
-            val (c, p, d) = it.next()
-            if (c != curC) { curC = c; depth = off.getOrElse(c, 0L) }
-            depth += d
-            // the segment [p, next breakpoint of the SAME chromosome):
-            // within this partition, else the terminator; a chromosome
-            // with no same-chrom successor ended here with net depth 0
-            // (every interval contributes +1 and -1), so nothing opens
+          while (out == null && !done) {
             if (it.hasNext) {
-              if (it.head._1 == c) out = (c, p, it.head._2, depth)
-            } else if (term != null && term._1 == c) {
-              out = (c, p, term._2, depth)
+              val r = it.next()
+              val c = r.getUTF8String(0)
+              val p = r.getLong(1)
+              val d = r.getLong(2)
+              if (curC == null || c != curC) {
+                // change of contig: the previous breakpoint had no
+                // same-chrom successor (net depth 0 — nothing opens)
+                curC = c.copy(); curCs = curC.toString
+                depth = off.getOrElse(curCs, 0L)
+                havePrev = false
+              } else if (havePrev) emit(p)
+              depth += d
+              prevP = p; prevDepth = depth; havePrev = true
+            } else {
+              done = true
+              if (havePrev && term != null && term._1 == curCs)
+                emit(term._2)
             }
           }
         }
         def hasNext: Boolean = { advance(); out != null }
-        def next(): (String, Long, Long, Long) = {
+        def next(): InternalRow = {
           advance(); val r = out; out = null; r
         }
       }
     }
-    session.createDataset(segs)
-      .toDF("__c", "__s", "__e", "depth")
+    val segSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__c",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__s",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__e",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.LongType)))
+    org.apache.spark.sql.graftshim.PlanShim
+      .internalCreateDataFrame(session, segs, segSchema)
       .select(col("__c").cast(df.schema(chrom).dataType).as(chrom),
         col("__s").cast(df.schema(start).dataType).as("start"),
         col("__e").cast(df.schema(end).dataType).as("end"),
