@@ -885,22 +885,27 @@ object IntervalOps {
       .groupBy(col("__c"), col("__ev.pos").as("__p"), col("__set"))
       .agg(sum(col("__ev.d")).as("__d"))
       .where(col("__d") =!= 0L)
-      .as[(String, Long, String, Long)]
-    val nA = org.apache.spark.sql.graftshim.RangeShuffle
-      .adaptivePartitions(bp.toDF, n)
-    val rdd = bp.repartitionByRange(nA, col("__c"), col("__p"))
-      .sortWithinPartitions("__c", "__p")
-      .rdd
+    // Both passes on InternalRows (r22, the merge/coverage port): no
+    // per-row String/Tuple4 decode; set names detach (UTF8String copy)
+    // only when first seen per partition, chroms on change-of-contig.
+    val rdd = org.apache.spark.sql.graftshim.RangeShuffle
+      .rangeSortedDf(bp, Seq(col("__c"), col("__p")), Nil, n)
+      .queryExecution.toRdd
     // pass A: per-partition first breakpoint + per-(chrom, set) sums
     val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
       var any = false
       var firstC: String = null
       var firstP = 0L
+      var curC: org.apache.spark.unsafe.types.UTF8String = null
+      var curCs: String = null
       val sums =
         scala.collection.mutable.LinkedHashMap[(String, String), Long]()
-      it.foreach { case (c, p, set, d) =>
-        if (!any) { any = true; firstC = c; firstP = p }
-        sums.update((c, set), sums.getOrElse((c, set), 0L) + d)
+      it.foreach { r =>
+        val c = r.getUTF8String(0)
+        if (curC == null || c != curC) { curC = c.copy(); curCs = curC.toString }
+        if (!any) { any = true; firstC = curCs; firstP = r.getLong(1) }
+        val k = (curCs, r.getUTF8String(2).toString)
+        sums.update(k, sums.getOrElse(k, 0L) + r.getLong(3))
       }
       Iterator.single((pid, any, firstC, firstP, sums.toSeq))
     }.collect().sortBy(_._1)
@@ -925,53 +930,87 @@ object IntervalOps {
     // pass B: one streaming sweep per sorted partition, per-set
     // depths; all rows of one (chrom, pos) breakpoint drain before
     // the segment is emitted (they are adjacent in the sort, and a
-    // range partition never splits equal keys)
-    val segs = rdd.mapPartitionsWithIndex { (pid, it0) =>
-      val it = it0.buffered
+    // range partition never splits equal keys). The InternalRow form
+    // inverts the old next-row peek (unsafe on reused buffers): a new
+    // (chrom, pos) group first closes the PREVIOUS breakpoint's
+    // segment — the emission set is identical (a breakpoint emits iff
+    // a same-chrom successor exists here, else the terminator).
+    val segs = rdd.mapPartitionsWithIndex { (pid, it) =>
       val off = bcOffs.value(pid)
       val term = bcTerms.value(pid)
-      new Iterator[(String, Long, Long, Long, String)] {
-        private var curC: String = null
-        private val depth = scala.collection.mutable.Map[String, Long]()
-        private var out: (String, Long, Long, Long, String) = null
-        private def applyDelta(s: String, d: Long): Unit = {
-          val nd = depth.getOrElse(s, 0L) + d
-          if (nd == 0L) depth.remove(s) else depth.update(s, nd)
+      type U = org.apache.spark.unsafe.types.UTF8String
+      new Iterator[InternalRow] {
+        private var curC: U = null
+        private var curCs: String = null
+        private var curP = 0L
+        private var haveGroup = false
+        private val depth = scala.collection.mutable.Map[U, Long]()
+        private var out: InternalRow = null
+        private var done = false
+        private def applyDelta(s: U, d: Long): Unit = {
+          depth.get(s) match {
+            case Some(old) =>
+              val nd = old + d
+              if (nd == 0L) depth.remove(s) else depth.update(s, nd)
+            case None => if (d != 0L) depth.update(s.copy(), d)
+          }
         }
+        private def closeGroup(segEnd: Long): Unit =
+          if (depth.nonEmpty) {
+            val names = depth.keysIterator.map(_.toString).toArray.sorted
+            out = new GenericInternalRow(Array[Any](curC, curP, segEnd,
+              names.length.toLong,
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(names.mkString(","))))
+          }
         private def advance(): Unit = {
-          while (out == null && it.hasNext) {
-            val (c, p, set0, d0) = it.next()
-            if (c != curC) {
-              curC = c
-              depth.clear()
-              off.foreach { case ((oc, s), d) =>
-                if (oc == c && d != 0L) depth.update(s, d)
+          while (out == null && !done) {
+            if (it.hasNext) {
+              val r = it.next()
+              val c = r.getUTF8String(0)
+              val p = r.getLong(1)
+              val sameC = curC != null && c == curC
+              if (!sameC || p != curP) {
+                // a new breakpoint: the previous one's segment closes
+                // here (same chrom) or not at all (chrom changed)
+                if (haveGroup && sameC) closeGroup(p)
+                if (!sameC) {
+                  curC = c.copy(); curCs = curC.toString
+                  depth.clear()
+                  off.foreach { case ((oc, s), d) =>
+                    if (oc == curCs && d != 0L)
+                      depth.update(org.apache.spark.unsafe.types
+                        .UTF8String.fromString(s), d)
+                  }
+                }
+                curP = p
+                haveGroup = true
               }
-            }
-            applyDelta(set0, d0)
-            while (it.hasNext && it.head._1 == c && it.head._2 == p) {
-              val (_, _, s2, d2) = it.next()
-              applyDelta(s2, d2)
-            }
-            val segEnd: Long =
-              if (it.hasNext) { if (it.head._1 == c) it.head._2 else -1L }
-              else if (term != null && term._1 == c) term._2
-              else -1L
-            if (segEnd >= 0L && depth.nonEmpty) {
-              val names = depth.keysIterator.toArray.sorted
-              out = (c, p, segEnd, names.length.toLong,
-                names.mkString(","))
+              applyDelta(r.getUTF8String(2), r.getLong(3))
+            } else {
+              done = true
+              if (haveGroup && term != null && term._1 == curCs)
+                closeGroup(term._2)
             }
           }
         }
         def hasNext: Boolean = { advance(); out != null }
-        def next(): (String, Long, Long, Long, String) = {
-          advance(); val r = out; out = null; r
-        }
+        def next(): InternalRow = { advance(); val r = out; out = null; r }
       }
     }
-    session.createDataset(segs)
-      .toDF("__c", "__s", "__e", "n_sets", "sets")
+    val segSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__c",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__s",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__e",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_sets",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sets",
+        org.apache.spark.sql.types.StringType)))
+    org.apache.spark.sql.graftshim.PlanShim
+      .internalCreateDataFrame(session, segs, segSchema)
       .select(col("__c").cast(df.schema(chrom).dataType).as(chrom),
         col("__s").cast(df.schema(start).dataType).as("start"),
         col("__e").cast(df.schema(end).dataType).as("end"),
