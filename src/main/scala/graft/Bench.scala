@@ -1114,12 +1114,17 @@ object Bench {
     def headlineLine(entries: Seq[String], annJson: String): String = {
       val qsH = entries.map(n => "\"" + n + "\":" + fmt(merged(n)))
         .mkString("{", ",", "}")
+      // relaunched rows are a COUNT here (r22): the r21 official record
+      // relaunched 17 rows and their name array ate ~420 chars of the
+      // 1800-char budget — 14 query entries silently fell off the
+      // parsed record (PERF_r21 "dropped_from_bench"). The names stay
+      // in bench_out/latest.json's relaunch block.
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""comparable_since":13,"queries":$qsH,""" +
         s""""queries_omitted":${resultsMerged.size - entries.size},""" +
         s""""full_record":"bench_out/latest.json",""" +
         s""""sf":${jstr(sfDir)},"runs":$runs,"action":"noop-write",""" +
-        s""""relaunched":${slowRows.map(jstr).mkString("[", ",", "]")},""" +
+        s""""relaunched_n":${slowRows.size},""" +
         s""""ann_recall":$annJson,"failed":$failedJson}"""
     }
     var hEntries = headlineOrder
