@@ -490,7 +490,7 @@ object IntervalOps {
     // on change-of-contig.
     val rdd = org.apache.spark.sql.graftshim.RangeShuffle
       .rangeSortedDf(typed.toDF, Seq(col("_1"), col("_2")),
-        Seq(col("_3")), n)
+        Seq(col("_3")), n, adapt = partitions <= 0)
       .queryExecution.toRdd
     // pass A: (pid, nonEmpty, firstChrom, lastGroupChrom,
     // lastGroupStart, lastGroupEnd) — the last LOCAL merged group of
@@ -728,7 +728,8 @@ object IntervalOps {
     // per-row allocation the sweep never needed. Chromosome values
     // detach (UTF8String copy) only on change-of-contig.
     val rdd = org.apache.spark.sql.graftshim.RangeShuffle
-      .rangeSortedDf(bp, Seq(col("__c"), col("__p")), Nil, n)
+      .rangeSortedDf(bp, Seq(col("__c"), col("__p")), Nil, n,
+        adapt = partitions <= 0)
       .queryExecution.toRdd
     // pass A: (pid, nonEmpty, firstChrom, firstPos, per-chrom sums)
     val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -889,7 +890,8 @@ object IntervalOps {
     // per-row String/Tuple4 decode; set names detach (UTF8String copy)
     // only when first seen per partition, chroms on change-of-contig.
     val rdd = org.apache.spark.sql.graftshim.RangeShuffle
-      .rangeSortedDf(bp, Seq(col("__c"), col("__p")), Nil, n)
+      .rangeSortedDf(bp, Seq(col("__c"), col("__p")), Nil, n,
+        adapt = partitions <= 0)
       .queryExecution.toRdd
     // pass A: per-partition first breakpoint + per-(chrom, set) sums
     val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>

@@ -76,11 +76,11 @@ object RangeFill {
     // retained ACROSS rows below is detached via InternalRow.copyValue;
     // values forwarded within one iterator step ride the live buffer
     // (the consumer projects each row before pulling the next).
-    // RangeShuffle (r22): boundary sampling runs on a column-pruned
-    // plan instead of re-evaluating the full upstream decode, and the
-    // partition count adapts to the sampled row count.
+    // RangeShuffle (r22): the shuffle width adapts to the plan's size
+    // estimate when the caller left the count at the session default
+    // (an explicit `partitions` argument is honored exactly).
     val rdd = org.apache.spark.sql.graftshim.RangeShuffle
-      .rangeSortedDf(df, sortExprs, Nil, n)
+      .rangeSortedDf(df, sortExprs, Nil, n, adapt = partitions <= 0)
       .queryExecution.toRdd
     def keyOf(r: InternalRow): Any =
       if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
@@ -224,7 +224,7 @@ object RangeFill {
     val numFields = fieldTypes.length
     val sortExprs = col(key).asc +: order
     val rdd = org.apache.spark.sql.graftshim.RangeShuffle
-      .rangeSortedDf(df, sortExprs, Nil, n)
+      .rangeSortedDf(df, sortExprs, Nil, n, adapt = partitions <= 0)
       .queryExecution.toRdd
     def keyOf(r: InternalRow): Any =
       if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
@@ -426,7 +426,7 @@ object RangeFill {
     val numFields = fieldTypes.length
     val sortExprs = col(key).asc +: order
     val rdd = org.apache.spark.sql.graftshim.RangeShuffle
-      .rangeSortedDf(df, sortExprs, Nil, n)
+      .rangeSortedDf(df, sortExprs, Nil, n, adapt = partitions <= 0)
       .queryExecution.toRdd
     def keyOf(r: InternalRow): Any =
       if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)

@@ -73,9 +73,15 @@ object RangeShuffle {
 
   /** `df.repartitionByRange(adaptiveN, partExprs)` + local sort by
     * `partExprs ++ localSortExprs` — the sweep operators' standard
-    * pre-pass shape with the width adapted to the input estimate. */
+    * pre-pass shape with the width adapted to the input estimate.
+    * `adapt = false` pins the caller's n exactly (operators pass it
+    * when the user gave an EXPLICIT partition count — explicit beats
+    * heuristic, the same convention Spark's AQE applies to explicit
+    * repartitions). */
   def rangeSortedDf(df: DataFrame, partExprs: Seq[Column],
-      localSortExprs: Seq[Column], n: Int): DataFrame =
-    df.repartitionByRange(adaptivePartitions(df, n), partExprs: _*)
+      localSortExprs: Seq[Column], n: Int,
+      adapt: Boolean = true): DataFrame =
+    df.repartitionByRange(
+        if (adapt) adaptivePartitions(df, n) else n, partExprs: _*)
       .sortWithinPartitions(partExprs ++ localSortExprs: _*)
 }
